@@ -1,23 +1,55 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main — one JSON line per run (driver contract).
+  *
+  * Headline queries mirror BASELINE.md §2's metric set: the §7.1 minimum
+  * slice (scan+filter+project+slice), concatenate + RowID regen,
+  * append-by-position, the domain/statistics pass, the map/UDF pipeline
+  * (SimpleLinearWorkflowBenchmark analog — reference
+  * org.knime.core.columnar.benchmarks.tests/.../workflow/SimpleLinearWorkflowBenchmark.java:85-240),
+  * plus the relational/LLM headliners (Q1 agg, multi-join, exact dedup,
+  * MinHash pairs, brute-force ANN).
+  */
 object Bench {
+
+  private val headline = Seq(
+    "q_scan_filter_project_slice",
+    "q_concat_new_rowids",
+    "q_append_position",
+    "q_domain_stats",
+    "q_map",
+    "q1_agg",
+    "q_join_multi",
+    "q_window_rank",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_ann_bruteforce"
+  )
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession
+      .builder(master = s"local[$cpus]", shufflePartitions = cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    // Warm the JVM/parquet footer caches once with the cheapest query so
+    // first-query JIT/classloading doesn't dominate the measurements.
+    SparkEntry.queries("q_slice")(spark, sfDir).count()
+
+    val results = headline.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() }
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

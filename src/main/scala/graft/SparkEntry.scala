@@ -1,13 +1,28 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.queries.{CoreQueries, FunctionQueries, LlmQueries, RelationalQueries}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the engine's declared operator inventory (one entry per
+  * implemented operator from SURVEY.md §2 plus the LLM-pipeline
+  * extensions); `oracleSql` holds the DuckDB-equivalent SQL for every
+  * SQL-expressible query (hash-based dedup/ANN operators get the driver's
+  * rows-only check and are invariant-tested in ScalaTest instead).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * TPC-H Q1 shape — scan, expression map, partial+final aggregation.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    RelationalQueries.queries("q1_agg")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    CoreQueries.queries ++ RelationalQueries.queries ++ FunctionQueries.queries ++ LlmQueries.queries
+
+  def oracleSql: Map[String, String] =
+    CoreQueries.oracles ++ RelationalQueries.oracles ++ FunctionQueries.oracles ++ LlmQueries.oracles
 }

@@ -1,0 +1,255 @@
+package graft.dedup
+
+import graft.functions.{HashFunctions => H, TextFunctions => T}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, each designed
+  * shuffle-consciously for 100 TB:
+  *
+  *  - exact: one hash aggregation on a content fingerprint (map-side
+  *    partial combine; the only shuffle key is the fingerprint — uniform by
+  *    construction, no skew).
+  *  - MinHash+LSH near-dup: signatures are computed by EXPLODING shingles
+  *    and taking k min-aggregates of seeded xxhash64 — everything stays in
+  *    whole-stage-codegen'd hash aggregation (interpreted higher-order
+  *    functions are deliberately avoided in the hot path: Catalyst's
+  *    CollapseProject would inline the shingle expression into each of the
+  *    k signature lanes and re-evaluate it k× per row). The partial
+  *    aggregation collapses shingles to one 64-long signature per doc per
+  *    partition, so the shuffle carries signatures — never document text.
+  *  - candidate generation explodes b band keys per doc (b≈16 ⇒ 16× row
+  *    amplification of (id, key64) pairs only), buckets join on
+  *    (band,bucket) — uniform 64-bit keys; verification re-checks
+  *    candidates with exact Jaccard over the collected shingle-hash sets.
+  *  - SimHash: 64 sign-sum aggregates over exploded tokens (same codegen
+  *    rationale), banded bucketing, Hamming verification.
+  *  - embedding near-dup: random-hyperplane LSH buckets, cosine
+  *    verification.
+  *
+  * Cluster representative assignment uses iterated min-label propagation
+  * over the candidate-pair graph (the standard distributed connected-
+  * components loop; each iteration is one join+agg over (id,id) pairs,
+  * converging in O(cluster diameter) ≤ `maxIters`).
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-id row per identical normalized content.
+    * Returns the survivors (all original columns). Aggregation + semi-join
+    * (two uniform-key shuffles), no window sort.
+    */
+  def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val survivors = docs
+      .select(T.fingerprint(col(textCol)).as("__fp"), col(idCol).as("__id"))
+      .groupBy(col("__fp"))
+      .agg(min(col("__id")).as("__id"))
+      .select(col("__id"))
+    docs.join(survivors.withColumnRenamed("__id", idCol), Seq(idCol), "left_semi")
+  }
+
+  /** (id, shingle-hash) rows: shingle expression evaluated exactly once per
+    * document by the Generate (explode) operator, then hashed to a Long so
+    * downstream aggregation never carries strings.
+    */
+  private def shingleHashes(docs: DataFrame, textCol: String, idCol: String, shingleExpr: Column): DataFrame =
+    docs
+      .select(col(idCol).as("id"), explode(shingleExpr).as("sh"))
+      .select(col("id"), xxhash64(col("sh")).as("h"))
+
+  /** MinHash signatures via the single-buffer custom aggregate
+    * (graft.functions.MinHashAggregator — k separate min-agg expressions
+    * would Janino-compile k lanes of generated code). Output: (id, sig
+    * array<long>, shset array<long> — the distinct shingle-hash set for
+    * exact-Jaccard verification).
+    */
+  private def minHashSignatures(shingled: DataFrame, k: Int): DataFrame =
+    shingled
+      .groupBy(col("id"))
+      .agg(
+        graft.functions.MinHashAggregator.signature(col("h"), k).as("sig"),
+        collect_set(col("h")).as("shset"))
+
+  /** Band keys over a Long fingerprint: (band, bucket) structs where
+    * bucket = the band-th `width`-bit chunk.
+    */
+  private def bandKeys(fp: Column, bands: Int, width: Int): Column = {
+    val mask = (1L << width) - 1
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"), call_function("shiftright", fp, b * width).bitwiseAND(mask).as("bucket")))
+  }
+
+  /** Exact Jaccard over two Long-set columns (used for verification). */
+  private def jaccardSets(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(array_union(a, b)).cast("double")
+    when(union === 0, lit(0.0)).otherwise(inter / union)
+  }
+
+  /** Shared LSH-banding candidate pipeline over MinHash signatures. */
+  private def lshVerifiedPairs(
+      prepared: DataFrame, // (id, sig, shset)
+      bands: Int,
+      rows: Int,
+      threshold: Double
+  ): DataFrame = {
+    val keyed = prepared
+      .select(col("id"), explode(H.lshBands(col("sig"), bands, rows)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val cand = keyed.as("a")
+      .join(keyed.as("b"), Seq("band", "bucket"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val sh = prepared.select(col("id"), col("shset"))
+    cand
+      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shset", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("shset", "sh_b"), "id_b")
+      .withColumn("jaccard_sim", round(jaccardSets(col("sh_a"), col("sh_b")), 6))
+      .where(col("jaccard_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard_sim"))
+  }
+
+  /** Candidate near-duplicate pairs (id_a < id_b) via word-shingle MinHash +
+    * LSH banding, verified with exact shingle-set Jaccard ≥ threshold.
+    */
+  def minHashPairs(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.7
+  ): DataFrame = {
+    require(numHashes % bands == 0)
+    val shingled = shingleHashes(docs, textCol, idCol, T.shingles(col(textCol), shingleSize))
+    lshVerifiedPairs(minHashSignatures(shingled, numHashes), bands, numHashes / bands, threshold)
+  }
+
+  /** Character-n-gram Jaccard near-dup pairs (same MinHash machinery over
+    * char shingles).
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 5,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    require(numHashes % bands == 0)
+    val shingled = shingleHashes(docs, textCol, idCol, T.charShingles(col(textCol), n))
+    lshVerifiedPairs(minHashSignatures(shingled, numHashes), bands, numHashes / bands, threshold)
+  }
+
+  /** 64-bit SimHash fingerprints via 64 codegen'd sign-sum aggregates over
+    * exploded tokens. Output: (id, fp).
+    */
+  def simHashFingerprints(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("id"), explode(T.tokenize(col(textCol))).as("tok"))
+      .select(col("id"), xxhash64(col("tok")).as("h"))
+      .groupBy(col("id"))
+      .agg(graft.functions.SimHashAggregator.fingerprint(col("h")).as("fp"))
+
+  /** SimHash near-dup candidate pairs within a Hamming radius. */
+  def simHashPairs(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxHamming: Int = 3,
+      bands: Int = 8
+  ): DataFrame = {
+    val fp = simHashFingerprints(docs, textCol, idCol)
+    val keyed = fp
+      .select(col("id"), col("fp"), explode(H.simHashBands(col("fp"), bands)).as("bk"))
+      .select(col("id"), col("fp"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    keyed.as("a")
+      .join(keyed.as("b"), Seq("band", "bucket"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
+      .distinct()
+      .withColumn("hamming", H.hamming64(col("fp_a"), col("fp_b")))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Embedding cosine near-dup pairs via random-hyperplane LSH bucketing +
+    * cosine verification.
+    */
+  def embeddingPairs(
+      emb: DataFrame,
+      vecCol: String,
+      idCol: String,
+      nBits: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.95
+  ): DataFrame = {
+    import graft.functions.{VectorFunctions => V}
+    require(nBits % bands == 0)
+    val keyed = emb
+      .select(col(idCol).as("id"), col(vecCol).as("vec"), V.lshBits(col(vecCol), nBits).as("fp"))
+      .select(col("id"), col("vec"), explode(bandKeys(col("fp"), bands, nBits / bands)).as("bk"))
+      .select(col("id"), col("vec"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    keyed.as("a")
+      .join(keyed.as("b"), Seq("band", "bucket"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("a.vec").as("va"), col("b.vec").as("vb"))
+      .distinct()
+      .withColumn("cosine_sim", round(V.cosine(col("va"), col("vb")), 6))
+      .where(col("cosine_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine_sim"))
+  }
+
+  /** Assign each doc a cluster representative = min id reachable over the
+    * pair graph: iterated min-label propagation (distributed connected
+    * components, bounded iterations).
+    */
+  def clusterRepresentatives(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .cache()
+    var labels = edges
+      .select(col("src").as("id"))
+      .distinct()
+      .withColumn("rep", col("id"))
+      .cache()
+    var changed = true
+    var iter = 0
+    while (changed && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("rep").as("nrep")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nrep")).as("minNeighbor"))
+      val updated = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"), least(col("rep"), coalesce(col("minNeighbor"), col("rep"))).as("rep"))
+        .cache()
+      updated.count() // materialize before comparing / unpersisting parent
+      changed = updated.join(labels.withColumnRenamed("rep", "oldRep"), "id")
+        .where(col("rep") =!= col("oldRep"))
+        .limit(1)
+        .count() > 0
+      labels.unpersist()
+      labels = updated
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Near-dedup end-to-end: survivors after removing every doc whose
+    * cluster representative is a lower id.
+    */
+  def minHashDedup(docs: DataFrame, textCol: String, idCol: String, threshold: Double = 0.7): DataFrame = {
+    val pairs = minHashPairs(docs, textCol, idCol, threshold = threshold).cache()
+    val reps = clusterRepresentatives(pairs)
+    val losers = reps.where(col("rep") =!= col("id")).select(col("id"))
+    docs.join(losers.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+  }
+}

@@ -1,0 +1,183 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for dense-vector math over array<float> /
+  * array<double> columns.
+  *
+  * Why not `zip_with`/`aggregate` (see graft.functions.VectorFunctions's
+  * original formulation): higher-order functions are CodegenFallback and
+  * pay interpreted-dispatch PER ELEMENT — ~1k object allocations and
+  * virtual calls per 64-dim cosine. These expressions make one eval call
+  * per ROW and run a primitive JVM loop inside (the loop JIT-compiles), so
+  * the per-element cost is a few ns. CodegenFallback at the row level is
+  * fine — the row-level dispatch is not the bottleneck, the element-level
+  * one was.
+  */
+object VectorExpressions {
+
+  @inline private[expressions] def elemAt(a: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+
+  private[expressions] def isFloatArray(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  private[expressions] def checkVec(dt: DataType, side: String) = dt match {
+    case ArrayType(FloatType | DoubleType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$side must be array<float> or array<double>, got ${other.simpleString(10)}")
+  }
+}
+
+/** Cosine similarity in one pass (dot and both norms in a single loop);
+  * 0.0 for zero vectors; null if either side is null. Dimensions compared
+  * up to the shorter length.
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  import VectorExpressions._
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes() = {
+    val l = checkVec(left.dataType, "left")
+    if (l.isFailure) l else checkVec(right.dataType, "right")
+  }
+  private lazy val lf = isFloatArray(left.dataType)
+  private lazy val rf = isFloatArray(right.dataType)
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = elemAt(a, i, lf); val y = elemAt(b, i, rf)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** Dot product (computed in double). */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  import VectorExpressions._
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes() = {
+    val l = checkVec(left.dataType, "left")
+    if (l.isFailure) l else checkVec(right.dataType, "right")
+  }
+  private lazy val lf = isFloatArray(left.dataType)
+  private lazy val rf = isFloatArray(right.dataType)
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += elemAt(a, i, lf) * elemAt(b, i, rf); i += 1 }
+    dot
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** Euclidean (L2) distance. */
+case class L2Distance(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  import VectorExpressions._
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes() = {
+    val l = checkVec(left.dataType, "left")
+    if (l.isFailure) l else checkVec(right.dataType, "right")
+  }
+  private lazy val lf = isFloatArray(left.dataType)
+  private lazy val rf = isFloatArray(right.dataType)
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { val d = elemAt(a, i, lf) - elemAt(b, i, rf); s += d * d; i += 1 }
+    math.sqrt(s)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** L2 norm. */
+case class L2Norm(child: Expression) extends UnaryExpression with CodegenFallback {
+  import VectorExpressions._
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes() = checkVec(child.dataType, "child")
+  private lazy val cf = isFloatArray(child.dataType)
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    var s = 0.0
+    var i = 0
+    while (i < a.numElements()) { val x = elemAt(a, i, cf); s += x * x; i += 1 }
+    math.sqrt(s)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** Random-hyperplane LSH: a Long whose low `nBits` bits are the signs of
+  * the vector's projections onto `nBits` deterministic pseudo-random
+  * hyperplanes (plane p, coordinate j derived from splitmix64(p·D + j),
+  * mapped to [-1, 1] — no RNG state, reproducible on any cluster). Vectors
+  * at small cosine distance agree on most bits (SimHash for vectors,
+  * Charikar 2002).
+  */
+case class HyperplaneLsh(child: Expression, nBits: Int)
+    extends UnaryExpression with CodegenFallback {
+  import VectorExpressions._
+  require(nBits >= 1 && nBits <= 64, s"nBits must be in [1,64], got $nBits")
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() = checkVec(child.dataType, "child")
+  private lazy val cf = isFloatArray(child.dataType)
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val dim = a.numElements()
+    var bits = 0L
+    var p = 0
+    while (p < nBits) {
+      var proj = 0.0
+      var j = 0
+      while (j < dim) {
+        proj += elemAt(a, j, cf) * HyperplaneLsh.coord(p, j)
+        j += 1
+      }
+      if (proj >= 0) bits |= (1L << p)
+      p += 1
+    }
+    bits
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object HyperplaneLsh {
+  /** Deterministic plane coordinate in [-1, 1): splitmix64 of the
+    * (plane, dim) index pair, top 53 bits → unit double.
+    */
+  @inline def coord(plane: Int, j: Int): Double = {
+    val h = graft.functions.MinHashAggregator.mix64(plane.toLong * 1000003L + j + 0x9E3779B97F4A7C15L)
+    ((h >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+  }
+}

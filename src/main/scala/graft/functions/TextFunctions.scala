@@ -1,0 +1,137 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, token counting, language ID (n-gram/stopword heuristic),
+  * quality scoring, and document fingerprinting. All are pure Catalyst
+  * expression compositions (`org.apache.spark.sql.functions`) — codegen'd,
+  * shuffle-free, and pushdown-transparent, so they run at scan speed over
+  * 100 TB (no UDFs, no driver round-trips).
+  *
+  * The reference has no text operators (its compute escape hatch is the
+  * per-row mapper, reference
+  * org.knime.core.data.columnar/.../table/virtual/ColumnarVirtualTable.java:447-451);
+  * these are north-star extensions expressed through that same "row-wise
+  * map" surface.
+  */
+object TextFunctions {
+
+  /** Lowercase, strip non-alphanumerics (keeping spaces), squeeze runs of
+    * whitespace, trim. The canonical normalization used by dedup and
+    * fingerprinting.
+    */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
+  /** Whitespace tokenization over normalized text → array<string>. */
+  def tokenize(c: Column): Column = {
+    val n = normalizeText(c)
+    when(n === "", array().cast("array<string>")).otherwise(split(n, " "))
+  }
+
+  /** Token count: whitespace tokens over normalized text. */
+  def tokenCount(c: Column): Column = size(tokenize(c))
+
+  /** BPE-ish subword count estimate: word-boundary pieces plus an extra
+    * piece per 4 chars of long words (a public rule-of-thumb approximation
+    * of byte-pair tokenizers; deterministic, no vocab needed).
+    */
+  def subwordCountEstimate(c: Column): Column =
+    aggregate(
+      tokenize(c),
+      lit(0),
+      (acc, tok) => acc + lit(1) + (length(tok) / lit(4)).cast("int")
+    )
+
+  /** n-gram construction by zip-concatenating n shifted copies of the
+    * element array.
+    *
+    * PERFORMANCE-CRITICAL SHAPE: a naive
+    * `transform(sequence(0, size-n), i => f(arr, i))` lambda references the
+    * upstream array expression per ELEMENT, and since higher-order
+    * functions are interpreted (CodegenFallback) while CollapseProject
+    * inlines the upstream chain, the full tokenize/normalize pipeline would
+    * re-run once per output element (O(len²) regex work per row). Here each
+    * `zip_with`/`filter` lambda touches only its lambda variables, so the
+    * source array chain is evaluated O(n) times per row, not O(len).
+    * Incomplete tail shingles are null (null-propagating `concat`) and
+    * filtered out; `zip_with` pads the shorter side with nulls.
+    */
+  private def zipShingles(arr: Column, n: Int, sep: String): Column = {
+    require(n >= 1)
+    val shifted = (0 until n).map(i => slice(arr, lit(i + 1), greatest(size(arr) - i, lit(0))))
+    val zipped = shifted.reduce((a, b) => zip_with(a, b, (x, y) => concat(x, lit(sep), y)))
+    array_distinct(filter(zipped, x => x.isNotNull))
+  }
+
+  /** Word n-gram shingles (n consecutive tokens joined by a space). Empty
+    * array when fewer than n tokens.
+    */
+  def shingles(c: Column, n: Int): Column = zipShingles(tokenize(c), n, " ")
+
+  /** Character n-gram shingles over normalized text. */
+  def charShingles(c: Column, n: Int): Column =
+    zipShingles(split(normalizeText(c), ""), n, "")
+
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with", "was", "on", "are", "as", "at"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del", "las", "un", "por", "con", "una", "su", "para"),
+    "de" -> Seq("der", "die", "und", "das", "von", "zu", "den", "mit", "ist", "im", "für", "auf", "des", "ein", "nicht"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "du", "une", "que", "est", "pour", "qui", "dans")
+  )
+
+  /** Language ID via stopword-hit ratios (the classic cheap n-gram/stopword
+    * heuristic). Returns the language whose stopword list overlaps the
+    * token set most; "und" (undetermined) when nothing matches.
+    * Deterministic tie-break: lexicographic language code.
+    */
+  def langId(c: Column): Column = {
+    val toks = tokenize(c)
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val hits = size(array_intersect(toks, array(words.map(lit): _*)))
+      struct(hits.as("hits"), lit(lang).as("lang"))
+    }
+    // array_max on struct picks highest hits, then LAST lang lexicographically;
+    // reverse sort order of lang for deterministic preference of earlier code.
+    val best = array_max(array(scored: _*))
+    when(best.getField("hits") <= 0, lit("und")).otherwise(best.getField("lang"))
+  }
+
+  /** Composite quality score in [0,1]: mean of
+    *  - length score  (1 at ≥200 chars, linear below),
+    *  - alpha ratio   (alphanumeric+space chars / chars),
+    *  - stopword hit  (any stopword present),
+    *  - word-length sanity (mean token length in [2,12]).
+    * Deterministic, expression-only — a practical pre-training quality
+    * gate in the spirit of public pipeline heuristics (C4/Gopher rules).
+    */
+  def qualityScore(c: Column): Column = {
+    val raw = coalesce(c, lit(""))
+    val len = length(raw).cast("double")
+    val lengthScore = least(len / lit(200.0), lit(1.0))
+    val alphaCount = length(regexp_replace(raw, "[^A-Za-z0-9 ]", "")).cast("double")
+    val alphaRatio = when(len === 0, lit(0.0)).otherwise(alphaCount / len)
+    val toks = tokenize(c)
+    val allStops = array(stopwords.values.flatten.toSeq.distinct.map(lit): _*)
+    val stopHit = when(size(array_intersect(toks, allStops)) > 0, lit(1.0)).otherwise(lit(0.0))
+    val meanTokLen = when(size(toks) === 0, lit(0.0))
+      .otherwise(aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double") / size(toks))
+    val tokLenScore = when(meanTokLen >= 2 && meanTokLen <= 12, lit(1.0)).otherwise(lit(0.0))
+    // raw double (no rounding): identical expression order across engines
+    // makes this bitwise-reproducible; callers round for display
+    (lengthScore + alphaRatio + stopHit + tokLenScore) / lit(4.0)
+  }
+
+  /** Document fingerprint: md5 of the canonical token stream. Two documents
+    * with the same normalized content collide — the exact-dedup key.
+    * md5 (not xxhash) so the oracle (DuckDB md5) reproduces it bit-for-bit.
+    */
+  def fingerprint(c: Column): Column = md5(concat_ws(" ", tokenize(c)))
+
+  /** 64-bit rolling-hash fingerprint (xxhash64 over normalized text) —
+    * cheaper than md5 when oracle parity is not needed.
+    */
+  def fingerprint64(c: Column): Column = xxhash64(concat_ws(" ", tokenize(c)))
+}

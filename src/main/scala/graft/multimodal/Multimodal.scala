@@ -1,0 +1,107 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column support: payloads are opaque
+  * `binary` columns with a typed metadata struct alongside, processed by
+  * per-partition batch UDFs.
+  *
+  * Spark-side plumbing (schema, partitioning, batch shape) is real; the
+  * actual media decode is STUBBED with a deterministic fake (this container
+  * has no image/audio codecs — in production the stub body is replaced by
+  * the codec call; the Python twin of this operator is `mapInPandas` with
+  * the same schema contract).
+  *
+  * Scale design: decode is embarrassingly parallel and scan-local — no
+  * shuffle. `repartition` the input only to match decoder-core counts;
+  * feature outputs are small fixed-width columns so the decoded table is
+  * far smaller than the payload table.
+  */
+object Multimodal {
+
+  /** Canonical multimodal schema: payload + typed metadata. */
+  val mediaMetadataType: StructType = StructType(
+    Seq(
+      StructField("media_type", StringType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true)
+    ))
+
+  /** Wrap a binary column into the canonical (payload, metadata) layout. */
+  def asMediaTable(df: DataFrame, payloadCol: String, mediaType: String): DataFrame =
+    df.withColumn(
+      "media_meta",
+      struct(
+        lit(mediaType).as("media_type"),
+        lit(null).cast(IntegerType).as("width"),
+        lit(null).cast(IntegerType).as("height"),
+        lit(null).cast(IntegerType).as("sample_rate"),
+        lit(null).cast(LongType).as("duration_ms")
+      )
+    )
+
+  val imageFeatureSchema: StructType = StructType(
+    Seq(
+      StructField("byte_length", LongType, nullable = false),
+      StructField("content_hash", LongType, nullable = false),
+      StructField("mean_intensity", DoubleType, nullable = false),
+      StructField("feature_vec", ArrayType(DoubleType, containsNull = false), nullable = false)
+    ))
+
+  /** STUB decode: deterministic fake features derived from the raw bytes
+    * (length, 64-bit content hash, byte-mean as "intensity", 8-dim hash
+    * projection as "embedding"). Replace the body with a real codec in
+    * production; signature and batch shape stay identical.
+    */
+  private[multimodal] def decodeStub(bytes: Array[Byte]): Row = {
+    val len = bytes.length.toLong
+    var h = 1125899906842597L // deterministic FNV-ish rolling hash
+    var sum = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = 31 * h + bytes(i)
+      sum += (bytes(i) & 0xff)
+      i += 1
+    }
+    val mean = if (len == 0) 0.0 else sum.toDouble / len
+    val vec = (0 until 8).map(j => ((h >>> (j * 8)) & 0xff).toDouble / 255.0)
+    Row(len, h, mean, vec)
+  }
+
+  /** Per-partition batch "decode": the mapInPandas-equivalent plumbing.
+    * Input: any table with an id column and a binary payload column.
+    * Output: id + imageFeatureSchema columns.
+    */
+  def decodeImages(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val idField = df.schema(idCol)
+    val outSchema = StructType(idField +: imageFeatureSchema.fields)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = if (r.isNullAt(payloadIdx)) Array.emptyByteArray else r.getAs[Array[Byte]](payloadIdx)
+        val f = decodeStub(bytes)
+        Row.fromSeq(r.get(idIdx) +: f.toSeq)
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
+  /** Frame-sample stub for video payloads: emits `n` deterministic frame
+    * rows per video (UDTF/generator shape — 1→N rows).
+    */
+  def sampleFrames(df: DataFrame, idCol: String, payloadCol: String, n: Int): DataFrame =
+    df.select(
+        col(idCol),
+        posexplode(
+          transform(
+            sequence(lit(0), lit(n - 1)),
+            i => xxhash64(col(payloadCol), i)
+          )
+        ).as(Seq("frame_index", "frame_hash"))
+      )
+}

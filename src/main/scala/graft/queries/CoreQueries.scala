@@ -1,0 +1,290 @@
+package graft.queries
+
+import graft.table.{Combine, Domains, KTable, RowId}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Tables._
+
+/** The reference's virtual-table algebra exercised end-to-end
+  * (SURVEY.md §2.2–§2.5), each with a DuckDB oracle.
+  *
+  * Conventions for oracle parity (the driver hash-compares values after
+  * sorting columns by name): every query ends in a deterministic ORDER BY
+  * present on both sides; computed integers are cast to BIGINT on both
+  * sides; floating-point aggregates are rounded on both sides; timestamps
+  * are projected as dates or formatted strings.
+  */
+object CoreQueries {
+
+  val queries: Map[String, Q] = Map(
+    // §7.1 minimum slice: scan → filter → project → slice.
+    "q_scan_filter_project_slice" -> ((s, dir) => {
+      KTable(t(s, dir, "lineitem"))
+        .filterRows(col("l_quantity") > 30 && col("l_discount") <= 0.05)
+        .map(
+          "l_orderkey" -> col("l_orderkey"),
+          "l_linenumber" -> col("l_linenumber"),
+          "l_quantity" -> col("l_quantity"),
+          "l_extendedprice" -> col("l_extendedprice")
+        )
+        // lineitem's (l_orderkey, l_linenumber) is NOT unique in the synthetic
+        // data — extend the sort to a total order so slice is deterministic.
+        .df.orderBy(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"), col("l_quantity"))
+        .offset(100).limit(200)
+    }),
+
+    // selectColumns: project + permute + duplicate (reference ColumnarVirtualTable.java:178-182)
+    "q_select_permute" -> ((s, dir) => {
+      KTable(t(s, dir, "part"))
+        .selectColumns(1, 0, 5, 0) // p_name, p_partkey, p_retailprice, p_partkey again
+        .df.orderBy(col("p_partkey"))
+    }),
+
+    "q_drop_columns" -> ((s, dir) => {
+      KTable(t(s, dir, "customer")).dropColumns(3, 4).df.orderBy(col("c_custkey"))
+    }),
+
+    "q_slice" -> ((s, dir) => {
+      KTable(t(s, dir, "orders").orderBy(col("o_orderkey")))
+        .slice(1000, 1100)
+        .selectColumns(0, 1, 3).df
+    }),
+
+    "q_filter_rows" -> ((s, dir) => {
+      KTable(t(s, dir, "lineitem"))
+        .filterRows(
+          col("l_returnflag").isin("A", "R") &&
+            col("l_quantity").between(10, 20) &&
+            col("l_tax") =!= 0.0)
+        .df.select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_quantity"), col("l_tax"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_quantity"), col("l_tax"))
+    }),
+
+    // map family (reference ColumnarVirtualTable.java:447-541)
+    // NOTE: per-row arithmetic is NOT rounded — identical IEEE expression
+    // order makes the doubles bitwise-equal across engines, while rounding
+    // decimal-exact products (price×(1±d)) hits .5 boundaries where Spark
+    // (HALF_UP) and DuckDB disagree.
+    "q_map" -> ((s, dir) => {
+      KTable(t(s, dir, "lineitem"))
+        .map(
+          "l_orderkey" -> col("l_orderkey"),
+          "l_linenumber" -> col("l_linenumber"),
+          "revenue" -> col("l_extendedprice") * (lit(1) - col("l_discount")),
+          "charge" -> col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))
+        )
+        .df.orderBy(col("l_orderkey"), col("l_linenumber"), col("revenue"))
+    }),
+
+    "q_append_map" -> ((s, dir) => {
+      KTable(t(s, dir, "supplier"))
+        .appendMap(
+          "acctbal_tier" -> when(col("s_acctbal") < 0, "negative")
+            .when(col("s_acctbal") < 5000, "low")
+            .otherwise("high"))
+        .df.orderBy(col("s_suppkey"))
+    }),
+
+    "q_replace_map" -> ((s, dir) => {
+      KTable(t(s, dir, "part"))
+        .replaceMap(1, upper(col("p_name"))) // replace p_name in place
+        .selectColumns(0, 1, 2).df.orderBy(col("p_partkey"))
+    }),
+
+    // exact contiguous row index (reference RowIndexTransformSpec :432-436)
+    "q_row_index" -> ((s, dir) => {
+      KTable(t(s, dir, "orders").orderBy(col("o_orderkey")).select(col("o_orderkey"), col("o_totalprice")))
+        .appendRowIndex("row_index")
+        .df.orderBy(col("o_orderkey"))
+    }),
+
+    "q_append_missing" -> ((s, dir) => {
+      KTable(t(s, dir, "nation"))
+        .appendMissingValueColumns("n_comment" -> StringType, "n_bonus" -> DoubleType)
+        .df.orderBy(col("n_nationkey"))
+    }),
+
+    // cast / retype (reference TableCasterFactory.java:97-118)
+    "q_cast" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          col("l_orderkey").cast(StringType).as("orderkey_str"),
+          col("l_linenumber").cast(LongType).as("linenumber_long"),
+          floor(col("l_quantity")).cast(LongType).as("quantity_floor"),
+          col("l_quantity").cast(StringType).as("quantity_str")
+        )
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("quantity_floor"), col("quantity_str"))
+    }),
+
+    // concatenate with union-schema merge + typed nulls (reference ColumnarConcatenater)
+    "q_concat_schema_merge" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val a = o.where(col("o_totalprice") < 50000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val b = o.where(col("o_totalprice") >= 50000)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      Combine.concatenate(Seq(a, b)).orderBy(col("o_orderkey"))
+    }),
+
+    // concatenate + RowID regeneration (reference ColumnarTableBackend.java:206-215)
+    "q_concat_new_rowids" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      val shifted = n.select((col("n_nationkey") + 100).cast(IntegerType).as("n_nationkey"), col("n_name"), col("n_regionkey"))
+      val unioned = Combine.concatenate(Seq(n, shifted)).orderBy(col("n_nationkey"))
+      RowId.regenerateRowIds(unioned).orderBy(col("n_nationkey"))
+    }),
+
+    // RowID uniquify with _dup suffixes (reference ColumnarConcatenater.java:275-281)
+    "q_rowid_uniquify" -> ((s, dir) => {
+      val base = t(s, dir, "nation")
+        .select(
+          concat(lit("R"), (col("n_nationkey") % 3).cast(StringType)).as("row_id"),
+          col("n_nationkey"),
+          col("n_name"))
+        .orderBy(col("n_nationkey"))
+      RowId.uniquifyRowIds(base).orderBy(col("n_nationkey"))
+    }),
+
+    // RowID duplicate check (reference DuplicateCheckWritable.java:87-110)
+    "q_dup_check" -> ((s, dir) => {
+      RowId.duplicateKeys(t(s, dir, "orders"), "o_custkey").orderBy(col("o_custkey"))
+    }),
+
+    // append-by-position (reference AppendTransformSpec, TableTransformUtils.appendTables:83-110)
+    "q_append_position" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val left = c.orderBy(col("c_custkey")).select(col("c_custkey"), col("c_name"))
+      val right = c.orderBy(col("c_custkey").desc).select(col("c_acctbal"), col("c_mktsegment"))
+      Combine.appendByPosition(left, right).orderBy(col("c_custkey"))
+    }),
+
+    // single-pass numeric domain statistics (reference domain/ calculators)
+    "q_domain_stats" -> ((s, dir) => {
+      Domains.domainTable(t(s, dir, "lineitem"))
+    }),
+
+    // capped nominal domains (reference ColumnarStringDomainCalculator.java:67)
+    "q_nominal_domain" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .agg(
+          array_join(sort_array(collect_set(col("l_returnflag"))), ",").as("rf"),
+          array_join(sort_array(collect_set(col("l_linestatus"))), ",").as("ls")
+        )
+        .select(expr(
+          "stack(2, 'l_returnflag', rf, 'l_linestatus', ls) as (column_name, domain_values)"))
+        .orderBy(col("column_name"))
+    }),
+
+    // observe: metrics piggy-backed on an action (reference ObserverTransformSpec)
+    "q_observe" -> ((s, dir) => {
+      KTable(t(s, dir, "region"))
+        .observe("region_metrics", count(lit(1)).as("n"))
+        .df.orderBy(col("r_regionkey"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_scan_filter_project_slice" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_quantity > 30 AND l_discount <= 0.05
+        |ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_quantity
+        |LIMIT 200 OFFSET 100""".stripMargin,
+    "q_select_permute" ->
+      """SELECT p_name, p_partkey, p_retailprice, p_partkey AS p_partkey_1
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_drop_columns" ->
+      "SELECT c_custkey, c_name, c_nationkey FROM customer ORDER BY c_custkey",
+    "q_slice" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 100 OFFSET 1000)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_filter_rows" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity, l_tax
+        |FROM lineitem
+        |WHERE l_returnflag IN ('A','R') AND l_quantity BETWEEN 10 AND 20 AND l_tax <> 0.0
+        |ORDER BY l_orderkey, l_linenumber, l_returnflag, l_quantity, l_tax""".stripMargin,
+    "q_map" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice * (1 - l_discount) AS revenue,
+        |  l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, revenue""".stripMargin,
+    "q_append_map" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal,
+        |  CASE WHEN s_acctbal < 0 THEN 'negative'
+        |       WHEN s_acctbal < 5000 THEN 'low' ELSE 'high' END AS acctbal_tier
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "q_replace_map" ->
+      "SELECT p_partkey, upper(p_name) AS p_name, p_brand FROM part ORDER BY p_partkey",
+    "q_row_index" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  CAST(row_number() OVER (ORDER BY o_orderkey) - 1 AS BIGINT) AS row_index
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_append_missing" ->
+      """SELECT n_nationkey, n_name, n_regionkey,
+        |  CAST(NULL AS VARCHAR) AS n_comment, CAST(NULL AS DOUBLE) AS n_bonus
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "q_cast" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(l_orderkey AS VARCHAR) AS orderkey_str,
+        |  CAST(l_linenumber AS BIGINT) AS linenumber_long,
+        |  CAST(floor(l_quantity) AS BIGINT) AS quantity_floor,
+        |  CAST(l_quantity AS VARCHAR) AS quantity_str
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, quantity_floor, quantity_str""".stripMargin,
+    "q_concat_schema_merge" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderstatus
+        |FROM orders WHERE o_totalprice < 50000
+        |UNION ALL
+        |SELECT o_orderkey, NULL, NULL, o_orderstatus
+        |FROM orders WHERE o_totalprice >= 50000
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_concat_new_rowids" ->
+      """WITH u AS (
+        |  SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |  UNION ALL
+        |  SELECT CAST(n_nationkey + 100 AS INT), n_name, n_regionkey FROM nation
+        |)
+        |SELECT 'Row' || CAST(row_number() OVER (ORDER BY n_nationkey) - 1 AS VARCHAR) AS row_id,
+        |  n_nationkey, n_name, n_regionkey
+        |FROM u ORDER BY n_nationkey""".stripMargin,
+    "q_rowid_uniquify" ->
+      """WITH base AS (
+        |  SELECT 'R' || CAST(n_nationkey % 3 AS VARCHAR) AS row_id, n_nationkey, n_name
+        |  FROM nation
+        |)
+        |SELECT row_id || repeat('_dup',
+        |    CAST(row_number() OVER (PARTITION BY row_id ORDER BY n_nationkey) - 1 AS INT)) AS row_id,
+        |  n_nationkey, n_name
+        |FROM base ORDER BY n_nationkey""".stripMargin,
+    "q_dup_check" ->
+      "SELECT o_custkey FROM orders GROUP BY o_custkey HAVING count(*) > 1 ORDER BY o_custkey",
+    "q_append_position" ->
+      """WITH l AS (
+        |  SELECT c_custkey, c_name, row_number() OVER (ORDER BY c_custkey) AS rn FROM customer
+        |), r AS (
+        |  SELECT c_acctbal, c_mktsegment, row_number() OVER (ORDER BY c_custkey DESC) AS rn FROM customer
+        |)
+        |SELECT l.c_custkey, l.c_name, r.c_acctbal, r.c_mktsegment
+        |FROM l JOIN r USING (rn) ORDER BY l.c_custkey""".stripMargin,
+    "q_domain_stats" ->
+      """SELECT column_name, min_value, max_value, null_count, non_null_count FROM (
+        |  SELECT 'l_discount' AS column_name, CAST(min(l_discount) AS DOUBLE) AS min_value, CAST(max(l_discount) AS DOUBLE) AS max_value, CAST(count(CASE WHEN l_discount IS NULL THEN 1 END) AS BIGINT) AS null_count, CAST(count(l_discount) AS BIGINT) AS non_null_count FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', CAST(min(l_extendedprice) AS DOUBLE), CAST(max(l_extendedprice) AS DOUBLE), CAST(count(CASE WHEN l_extendedprice IS NULL THEN 1 END) AS BIGINT), CAST(count(l_extendedprice) AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT 'l_linenumber', CAST(min(l_linenumber) AS DOUBLE), CAST(max(l_linenumber) AS DOUBLE), CAST(count(CASE WHEN l_linenumber IS NULL THEN 1 END) AS BIGINT), CAST(count(l_linenumber) AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT 'l_orderkey', CAST(min(l_orderkey) AS DOUBLE), CAST(max(l_orderkey) AS DOUBLE), CAST(count(CASE WHEN l_orderkey IS NULL THEN 1 END) AS BIGINT), CAST(count(l_orderkey) AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT 'l_partkey', CAST(min(l_partkey) AS DOUBLE), CAST(max(l_partkey) AS DOUBLE), CAST(count(CASE WHEN l_partkey IS NULL THEN 1 END) AS BIGINT), CAST(count(l_partkey) AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT 'l_quantity', CAST(min(l_quantity) AS DOUBLE), CAST(max(l_quantity) AS DOUBLE), CAST(count(CASE WHEN l_quantity IS NULL THEN 1 END) AS BIGINT), CAST(count(l_quantity) AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT 'l_suppkey', CAST(min(l_suppkey) AS DOUBLE), CAST(max(l_suppkey) AS DOUBLE), CAST(count(CASE WHEN l_suppkey IS NULL THEN 1 END) AS BIGINT), CAST(count(l_suppkey) AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT 'l_tax', CAST(min(l_tax) AS DOUBLE), CAST(max(l_tax) AS DOUBLE), CAST(count(CASE WHEN l_tax IS NULL THEN 1 END) AS BIGINT), CAST(count(l_tax) AS BIGINT) FROM lineitem
+        |) ORDER BY column_name""".stripMargin,
+    "q_nominal_domain" ->
+      """SELECT column_name, domain_values FROM (
+        |  SELECT 'l_returnflag' AS column_name, string_agg(DISTINCT l_returnflag, ',' ORDER BY l_returnflag) AS domain_values FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_linestatus', string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) FROM lineitem
+        |) ORDER BY column_name""".stripMargin,
+    "q_observe" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"
+  )
+}

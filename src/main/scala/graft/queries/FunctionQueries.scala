@@ -1,0 +1,229 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** Scalar-function library coverage (SURVEY.md §2.4 "scalar function
+  * library — absent in reference, Spark built-in"): string, date, math,
+  * conditional, array, and JSON functions, each oracle-checked against
+  * DuckDB equivalents. All codegen'd expressions — no UDFs.
+  */
+object FunctionQueries {
+
+  val queries: Map[String, Q] = Map(
+    "q_string_funcs" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("upper_name"),
+          lower(col("p_brand")).as("lower_brand"),
+          length(col("p_name")).cast("long").as("name_len"),
+          substring(col("p_name"), 1, 5).as("name_prefix"),
+          trim(col("p_type")).as("type_trim"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+          regexp_replace(col("p_name"), "[aeiou]", "_").as("name_novowels"),
+          lpad(col("p_brand"), 12, "0").as("brand_padded"),
+          instr(col("p_name"), "a").cast("long").as("first_a"),
+          reverse(col("p_brand")).as("brand_rev")
+        )
+        .orderBy(col("p_partkey"))
+    }),
+
+    "q_date_funcs" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          to_date(col("o_orderdate")).as("order_date"),
+          year(col("o_orderdate")).cast("long").as("order_year"),
+          month(col("o_orderdate")).cast("long").as("order_month"),
+          dayofmonth(col("o_orderdate")).cast("long").as("order_day"),
+          to_date(date_trunc("month", col("o_orderdate"))).as("month_start"),
+          date_add(to_date(col("o_orderdate")), 30).as("due_date"),
+          last_day(col("o_orderdate")).as("month_end"),
+          datediff(to_date(col("o_orderdate")), to_date(lit("1995-01-01"))).cast("long").as("days_since_95")
+        )
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q_math_funcs" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          abs(col("l_discount") - 0.05).as("abs_disc"),
+          round(col("l_extendedprice"), 0).as("price_round"),
+          floor(col("l_extendedprice")).cast("long").as("price_floor"),
+          ceil(col("l_extendedprice")).cast("long").as("price_ceil"),
+          round(sqrt(col("l_quantity")), 6).as("qty_sqrt"),
+          round(log(col("l_extendedprice")), 6).as("price_ln"),
+          round(log10(col("l_extendedprice")), 6).as("price_log10"),
+          round(pow(col("l_quantity"), 2), 2).as("qty_sq"),
+          (col("l_orderkey") % 7).as("key_mod"),
+          greatest(col("l_quantity"), col("l_discount") * 100).as("g"),
+          least(col("l_tax"), col("l_discount")).as("l")
+        )
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("price_floor"), col("qty_sqrt"), col("abs_disc"))
+    }),
+
+    "q_conditional_funcs" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .select(
+          col("c_custkey"),
+          when(col("c_acctbal") < 0, "overdrawn")
+            .when(col("c_acctbal") < 1000, "low")
+            .when(col("c_acctbal") < 5000, "mid")
+            .otherwise("high").as("balance_band"),
+          coalesce(nullif(col("c_mktsegment"), lit("MACHINERY")), lit("OTHER")).as("segment_masked"),
+          (col("c_nationkey") % 2 === 0).as("even_nation")
+        )
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q_array_funcs" -> ((s, dir) => {
+      val toks = split(col("p_name"), " ")
+      t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          size(toks).cast("long").as("n_tokens"),
+          element_at(toks, 1).as("first_token"),
+          array_join(array_sort(toks), "-").as("sorted_joined"),
+          array_contains(toks, "green").as("has_green"),
+          // sorted: DuckDB's list_distinct does not preserve first-occurrence order
+          array_join(array_sort(array_distinct(toks)), ",").as("distinct_tokens"),
+          array_join(slice(toks, 1, 2), " ").as("first_two")
+        )
+        .orderBy(col("p_partkey"))
+    }),
+
+    // UDTF/generator analog: explode (reference has none; SURVEY §2.4)
+    "q_explode" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(explode(split(col("p_name"), " ")).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("token"))
+    }),
+
+    "q_json_funcs" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_value")
+        )
+        .orderBy(col("event_id"))
+    }),
+
+    "q_json_agg" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
+    // custom typed UDAF surface (reference has none; Aggregator[IN,BUF,OUT])
+    "q_udaf_geomean" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(graft.functions.GeoMean.asColumn(col("l_extendedprice")), 4).as("geomean_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // approximate distinct — weaker rows-only check (no exact oracle)
+    "q_approx_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+    }),
+
+    // batch twin of the streaming tumbling-window aggregation
+    "q_stream_window_batch" -> ((s, dir) => {
+      graft.streaming.EventStreams
+        .tumblingCounts(t(s, dir, "events"))
+        .select(
+          date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy(col("window_start"), col("event_type"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_string_funcs" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS upper_name,
+        |  lower(p_brand) AS lower_brand,
+        |  CAST(length(p_name) AS BIGINT) AS name_len,
+        |  substring(p_name, 1, 5) AS name_prefix,
+        |  trim(p_type) AS type_trim,
+        |  p_brand || '|' || p_type AS brand_type,
+        |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_novowels,
+        |  lpad(p_brand, 12, '0') AS brand_padded,
+        |  CAST(strpos(p_name, 'a') AS BIGINT) AS first_a,
+        |  reverse(p_brand) AS brand_rev
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS order_date,
+        |  CAST(year(o_orderdate) AS BIGINT) AS order_year,
+        |  CAST(month(o_orderdate) AS BIGINT) AS order_month,
+        |  CAST(day(o_orderdate) AS BIGINT) AS order_day,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_95
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  abs(l_discount - 0.05) AS abs_disc,
+        |  round(l_extendedprice, 0) AS price_round,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+        |  round(sqrt(l_quantity), 6) AS qty_sqrt,
+        |  round(ln(l_extendedprice), 6) AS price_ln,
+        |  round(log10(l_extendedprice), 6) AS price_log10,
+        |  round(pow(l_quantity, 2), 2) AS qty_sq,
+        |  l_orderkey % 7 AS key_mod,
+        |  greatest(l_quantity, l_discount * 100) AS g,
+        |  least(l_tax, l_discount) AS l
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, price_floor, qty_sqrt, abs_disc""".stripMargin,
+    "q_conditional_funcs" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+        |       WHEN c_acctbal < 1000 THEN 'low'
+        |       WHEN c_acctbal < 5000 THEN 'mid'
+        |       ELSE 'high' END AS balance_band,
+        |  coalesce(nullif(c_mktsegment, 'MACHINERY'), 'OTHER') AS segment_masked,
+        |  (c_nationkey % 2 = 0) AS even_nation
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_array_funcs" ->
+      """SELECT p_partkey,
+        |  CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_tokens,
+        |  string_split(p_name, ' ')[1] AS first_token,
+        |  array_to_string(list_sort(string_split(p_name, ' ')), '-') AS sorted_joined,
+        |  list_contains(string_split(p_name, ' '), 'green') AS has_green,
+        |  array_to_string(list_sort(list_distinct(string_split(p_name, ' '))), ',') AS distinct_tokens,
+        |  array_to_string(string_split(p_name, ' ')[1:2], ' ') AS first_two
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_explode" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(string_split(p_name, ' ')) AS token FROM part)
+        |GROUP BY token ORDER BY token""".stripMargin,
+    "q_json_funcs" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_json_agg" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_udaf_geomean" ->
+      """SELECT l_returnflag, round(exp(avg(ln(l_extendedprice))), 4) AS geomean_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_stream_window_batch" ->
+      """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+}

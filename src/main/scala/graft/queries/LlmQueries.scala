@@ -1,0 +1,197 @@
+package graft.queries
+
+import graft.dedup.Dedup
+import graft.functions.{TextFunctions => T}
+import graft.multimodal.Multimodal
+import graft.similarity.Similarity
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** LLM-training-data pipeline operators over the `documents` and
+  * `embeddings` tables: dedup (exact / MinHash / SimHash / n-gram /
+  * embedding), similarity search (brute force + IVF), text analysis, and
+  * multimodal plumbing. Oracle-checked where DuckDB can express the
+  * computation; hash-based operators (xxhash64 MinHash/SimHash) get the
+  * driver's weaker rows-only check plus ScalaTest invariants (planted
+  * near-duplicates must pair up — see DedupSpec).
+  */
+object LlmQueries {
+
+  val queries: Map[String, Q] = Map(
+    // exact dedup: survivors (lowest doc_id per identical normalized text)
+    "q_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // MinHash+LSH near-dup pairs (rows-only check; invariants in DedupSpec)
+    "q_dedup_minhash" -> ((s, dir) => {
+      Dedup.minHashPairs(t(s, dir, "documents"), "text", "doc_id", threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // SimHash near-dup pairs (rows-only)
+    "q_dedup_simhash" -> ((s, dir) => {
+      Dedup.simHashPairs(t(s, dir, "documents"), "text", "doc_id", maxHamming = 6)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // char-n-gram Jaccard pairs (rows-only)
+    "q_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id", threshold = 0.4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // embedding cosine near-dup pairs (rows-only)
+    "q_dedup_embedding" -> ((s, dir) => {
+      Dedup.embeddingPairs(t(s, dir, "embeddings"), "embedding", "vec_id", threshold = 0.9)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // end-to-end near-dedup: survivors after cluster-representative removal
+    "q_dedup_minhash_survivors" -> ((s, dir) => {
+      Dedup.minHashDedup(t(s, dir, "documents"), "text", "doc_id", threshold = 0.5)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // brute-force cosine top-k ANN (DuckDB list_cosine_similarity oracle)
+    "q_ann_bruteforce" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 5), "embedding", "vec_id", k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // IVF ANN (rows-only; recall-vs-brute-force invariant in SimilaritySpec).
+    // The built index is cached — it is the reusable artifact (at scale:
+    // written out partitioned by cell), probed twice inside ivfTopK.
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val indexed = Similarity.ivfBuild(emb, "embedding", "vec_id", nlist = 16).cache()
+      Similarity.ivfTopK(indexed, emb.where(col("vec_id") < 5), "embedding", "vec_id", k = 5, nlist = 16, nprobe = 4)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // text analysis: token counting
+    "q_token_count" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          T.tokenCount(col("text")).cast("long").as("n_tokens"),
+          T.subwordCountEstimate(col("text")).cast("long").as("n_subwords"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // text analysis: quality scoring
+    "q_text_quality" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), T.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // text analysis: language ID (stopword heuristic)
+    "q_langid" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), T.langId(col("text")).as("lang_guess"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // document fingerprinting (md5 — exact DuckDB parity)
+    "q_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), T.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // multimodal plumbing: binary payload → deterministic stub features
+    // (rows-only; schema/partitioning real, decode stubbed — no codecs in
+    // this container)
+    "q_multimodal_decode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      Multimodal.decodeImages(docs, "doc_id", "payload")
+        .select(col("doc_id"), col("byte_length"), col("content_hash"), round(col("mean_intensity"), 6).as("mean_intensity"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  private val normSql =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+  private val toksSql = s"string_split($normSql, ' ')"
+
+  // DuckDB twins of TextFunctions' stopword lists (same order-insensitive sets)
+  private val stopEn = "['the','and','of','to','in','is','that','it','for','with','was','on','are','as','at']"
+  private val stopEs = "['el','la','de','que','y','en','los','del','las','un','por','con','una','su','para']"
+  private val stopDe = "['der','die','und','das','von','zu','den','mit','ist','im','für','auf','des','ein','nicht']"
+  private val stopFr = "['le','la','de','et','les','des','en','un','du','une','que','est','pour','qui','dans']"
+  private val stopAll =
+    "['the','and','of','to','in','is','that','it','for','with','was','on','are','as','at'," +
+      "'el','la','de','que','y','en','los','del','las','un','por','con','una','su','para'," +
+      "'der','die','und','das','von','zu','den','mit','ist','im','für','auf','des','ein','nicht'," +
+      "'le','et','les','des','du','une','est','pour','qui','dans']"
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      s"""SELECT doc_id, lang, source, n_chars FROM (
+         |  SELECT doc_id, lang, source, n_chars,
+         |    row_number() OVER (PARTITION BY $normSql ORDER BY doc_id) AS rn
+         |  FROM documents)
+         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q_ann_bruteforce" ->
+      """SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS cosine_sim,
+        |    CAST(row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) DESC,
+        |               c.vec_id) AS BIGINT) AS rank
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 5)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_token_count" ->
+      s"""SELECT doc_id,
+         |  CAST(CASE WHEN $normSql = '' THEN 0 ELSE len($toksSql) END AS BIGINT) AS n_tokens,
+         |  CAST(CASE WHEN $normSql = '' THEN 0 ELSE (
+         |    SELECT sum(1 + CAST(floor(length(tok) / 4) AS INT)) FROM unnest($toksSql) AS u(tok)
+         |  ) END AS BIGINT) AS n_subwords
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      s"""SELECT doc_id,
+         |  md5(CASE WHEN $normSql = '' THEN '' ELSE array_to_string($toksSql, ' ') END) AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_quality" ->
+      s"""SELECT doc_id,
+         |  (least(length(coalesce(text,'')) / 200.0, 1.0)
+         |   + CASE WHEN length(coalesce(text,'')) = 0 THEN 0.0
+         |          ELSE length(regexp_replace(coalesce(text,''), '[^A-Za-z0-9 ]', '', 'g'))
+         |               / CAST(length(coalesce(text,'')) AS DOUBLE) END
+         |   + CASE WHEN list_has_any(toks, $stopAll) THEN 1.0 ELSE 0.0 END
+         |   + CASE WHEN mtl >= 2 AND mtl <= 12 THEN 1.0 ELSE 0.0 END) / 4.0 AS quality
+         |FROM (
+         |  SELECT doc_id, text, toks,
+         |    CASE WHEN norm = '' THEN 0.0
+         |         ELSE (SELECT sum(length(tok)) FROM unnest(toks) AS u(tok)) / len(toks) END AS mtl
+         |  FROM (SELECT doc_id, text, $normSql AS norm, $toksSql AS toks FROM documents)
+         |) ORDER BY doc_id""".stripMargin,
+    "q_langid" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN best <= 0 THEN 'und'
+         |       WHEN h_fr = best THEN 'fr'
+         |       WHEN h_es = best THEN 'es'
+         |       WHEN h_en = best THEN 'en'
+         |       ELSE 'de' END AS lang_guess
+         |FROM (
+         |  SELECT doc_id, greatest(h_en, h_es, h_de, h_fr) AS best, h_en, h_es, h_de, h_fr
+         |  FROM (
+         |    SELECT doc_id,
+         |      len(list_intersect(list_distinct(toks), $stopEn)) AS h_en,
+         |      len(list_intersect(list_distinct(toks), $stopEs)) AS h_es,
+         |      len(list_intersect(list_distinct(toks), $stopDe)) AS h_de,
+         |      len(list_intersect(list_distinct(toks), $stopFr)) AS h_fr
+         |    FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+         |  )
+         |) ORDER BY doc_id""".stripMargin
+  )
+}

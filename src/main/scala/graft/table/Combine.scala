@@ -1,0 +1,96 @@
+package graft.table
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Table combination: column-wise append (zip by position) and row-wise
+  * concatenation with union-schema merge — the reference's only two
+  * multi-table operators (reference
+  * org.knime.core.data.columnar/.../table/virtual/ColumnarVirtualTable.java:222-237 append,
+  * :344-390 concatenate; ColumnarConcatenater.java:157-184 driver,
+  * TablePrepper casts/missing-columns/permutation :294-394;
+  * TableTransformUtils.appendTables:83-110 + checkRowKeysMatch:120-143).
+  */
+object Combine {
+
+  /** Zip two tables of equal row count side-by-side, by position.
+    *
+    * Distributed strategy: exact row index on both sides (narrow
+    * zipWithIndex, no shuffle) then an equi-join on the index. With AQE the
+    * join shuffles both sides once on a perfectly uniform Long key — the
+    * scalable analog of the reference's in-process positional zip. Row-count
+    * equality is checked like the reference (appendSize:77-81); name
+    * collisions on the right get a "_r" suffix.
+    */
+  def appendByPosition(left: DataFrame, right: DataFrame): DataFrame = {
+    val idx = "__graft_zip_idx"
+    val l = RowId.withRowIndex(left, idx)
+    val leftNames = left.columns.toSet
+    val renamedRight = right.columns.foldLeft(right) { (d, c) =>
+      if (leftNames.contains(c)) d.withColumnRenamed(c, c + "_r") else d
+    }
+    val r = RowId.withRowIndex(renamedRight, idx)
+    // Equal-row-count check, distributed (one count job per side).
+    val (nl, nr) = (left.count(), right.count())
+    require(nl == nr, s"appendByPosition: row counts differ ($nl vs $nr)")
+    l.join(r, Seq(idx)).orderBy(col(idx)).drop(idx)
+  }
+
+  /** Least common supertype for concatenation's per-column type merge
+    * (reference merge at ColumnarVirtualTable.java:360-390). Uses numeric
+    * widening; otherwise requires equal types or falls back to string.
+    */
+  private[graft] def commonType(a: DataType, b: DataType): DataType = (a, b) match {
+    case (x, y) if x == y => x
+    case (NullType, y)    => y
+    case (x, NullType)    => x
+    case (x: NumericType, y: NumericType) =>
+      val order: Seq[DataType] =
+        Seq(ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType)
+      val (ia, ib) = (order.indexOf(x), order.indexOf(y))
+      if (ia >= 0 && ib >= 0) order(math.max(ia, ib)) else DoubleType
+    case (ArrayType(ea, na), ArrayType(eb, nb)) => ArrayType(commonType(ea, eb), na || nb)
+    case _ => StringType
+  }
+
+  /** Union-by-name with full schema reconciliation: per-column common
+    * supertype upcast, missing columns inserted as typed nulls, column order
+    * = first table's order followed by columns new in later tables (the
+    * reference's union-schema permutation, ColumnarConcatenater.java:217-235).
+    * Shuffle-free (Union is narrow); at 100 TB this is the operator of
+    * choice for appending partitions of a dataset.
+    */
+  def concatenate(tables: Seq[DataFrame]): DataFrame = {
+    require(tables.nonEmpty)
+    // Union schema: first-table order, then new columns in appearance order.
+    val fields = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
+    tables.foreach(_.schema.fields.foreach { f =>
+      fields(f.name) = fields.get(f.name).map(commonType(_, f.dataType)).getOrElse(f.dataType)
+    })
+    val ordered = fields.toSeq
+    val aligned = tables.map { t =>
+      val have = t.schema.fields.map(f => f.name -> f.dataType).toMap
+      t.select(ordered.map { case (n, dt) =>
+        have.get(n) match {
+          case Some(`dt`) => col(n)
+          case Some(_)    => col(n).cast(dt).as(n)
+          case None       => lit(null).cast(dt).as(n)
+        }
+      }: _*)
+    }
+    aligned.reduce(_.unionAll(_))
+  }
+
+  /** Concatenate + regenerate RowIDs "Row0","Row1",… (reference
+    * concatenateWithNewRowIDs, ColumnarTableBackend.java:206-215).
+    */
+  def concatenateWithNewRowIds(tables: Seq[DataFrame]): DataFrame =
+    RowId.regenerateRowIds(concatenate(tables))
+
+  /** Concatenate with RowID duplicate-suffix uniquification (reference
+    * RowIDUniquifier, ColumnarConcatenater.java:237-292).
+    */
+  def concatenateUniquifyRowIds(tables: Seq[DataFrame]): DataFrame =
+    RowId.uniquifyRowIds(concatenate(tables.map(RowId.ensureRowId)))
+}

@@ -1,0 +1,128 @@
+package graft.table
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Per-column domain/statistics computation — the reference's only
+  * aggregation machinery, rebuilt as one Spark aggregation job.
+  *
+  * Reference semantics (org.knime.core.data.columnar/.../domain/):
+  *  - numeric min/max ignoring nulls (ColumnarDoubleDomainCalculator.java:68-96,
+  *    Int/Long variants),
+  *  - boolean possible-values domain (ColumnarBooleanDomainCalculator.java:68),
+  *  - nominal (distinct-value) domain with a cap: the domain is DROPPED when
+  *    the distinct count exceeds maxNumValues
+  *    (ColumnarStringDomainCalculator.java:67, default cap 60),
+  *  - type→calculator dispatch (DefaultDomainWritableConfig.java:88-185),
+  *  - computed incrementally during write, async per batch
+  *    (DomainWritable.java:90-137).
+  *
+  * Spark design: the whole per-batch async pipeline collapses into ONE
+  * aggregation with partial (map-side) combine — every statistic below is a
+  * single-pass agg expression, so a domain pass over 100 TB is one scan with
+  * no shuffle beyond the final 1-row reduce. The capped nominal domain uses
+  * a size-bounded collect_set: `slice(sort_array(collect_set), 1, cap+1)`
+  * would lose the drop signal, so we keep cap+1 values and null the domain
+  * out when it overflows — same observable semantics as the reference's
+  * drop-on-overflow, but in a distributed-safe expression. (collect_set's
+  * intermediate state is bounded per group by the true distinct count;
+  * callers with adversarial cardinality should first gate with
+  * approx_count_distinct, which we expose too.)
+  */
+object Domains {
+
+  val DefaultNominalCap = 60
+
+  final case class ColumnDomain(
+      column: String,
+      dataType: DataType,
+      min: Option[Any],
+      max: Option[Any],
+      nominal: Option[Seq[Any]],
+      nullCount: Long,
+      approxDistinct: Long
+  )
+
+  private def isBounded(dt: DataType): Boolean = dt match {
+    case _: NumericType | DateType | TimestampType => true
+    case _                                         => false
+  }
+
+  private def isNominal(dt: DataType): Boolean = dt match {
+    case StringType | BooleanType => true
+    case _                        => false
+  }
+
+  /** Aggregate expressions for one column's domain. */
+  def domainExprs(f: StructField, nominalCap: Int): Seq[Column] = {
+    val c = col(f.name)
+    val base = Seq(
+      count(when(c.isNull, 1)).as(s"${f.name}__nulls"),
+      approx_count_distinct(c).as(s"${f.name}__approx_distinct")
+    )
+    val bounds =
+      if (isBounded(f.dataType))
+        Seq(min(c).as(s"${f.name}__min"), max(c).as(s"${f.name}__max"))
+      else Seq.empty
+    val nominal =
+      if (isNominal(f.dataType))
+        // keep cap+1 values so overflow is detectable, then drop (null) the
+        // domain — reference drop-when-exceeded semantics.
+        Seq(slice(sort_array(collect_set(c)), 1, nominalCap + 1).as(s"${f.name}__nominal"))
+      else Seq.empty
+    base ++ bounds ++ nominal
+  }
+
+  /** Compute all column domains in a single aggregation job. */
+  def compute(df: DataFrame, nominalCap: Int = DefaultNominalCap): Seq[ColumnDomain] = {
+    val exprs = df.schema.fields.flatMap(domainExprs(_, nominalCap))
+    val row: Row = df.agg(exprs.head, exprs.tail: _*).head()
+    def get(n: String): Option[Any] = {
+      val i = row.fieldIndex(n)
+      if (row.isNullAt(i)) None else Some(row.get(i))
+    }
+    df.schema.fields.toSeq.map { f =>
+      val nominal: Option[Seq[Any]] =
+        if (isNominal(f.dataType))
+          get(s"${f.name}__nominal")
+            .map(_.asInstanceOf[scala.collection.Seq[Any]].toSeq)
+            .filter(_.length <= nominalCap)
+        else None
+      ColumnDomain(
+        column = f.name,
+        dataType = f.dataType,
+        min = if (isBounded(f.dataType)) get(s"${f.name}__min") else None,
+        max = if (isBounded(f.dataType)) get(s"${f.name}__max") else None,
+        nominal = nominal,
+        nullCount = get(s"${f.name}__nulls").map(_.asInstanceOf[Long]).getOrElse(0L),
+        approxDistinct = get(s"${f.name}__approx_distinct").map(_.asInstanceOf[Long]).getOrElse(0L)
+      )
+    }
+  }
+
+  /** The domain pass as a DataFrame (for the oracle/bench surface): one row
+    * per numeric column with min/max/null-count. ONE scan — all statistics
+    * in a single aggregation (map-side partial combine), then an unpivot of
+    * the 1-row result. Deterministic output order.
+    */
+  def domainTable(df: DataFrame): DataFrame = {
+    val numeric = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[NumericType] => f.name
+    }.sorted.toSeq
+    require(numeric.nonEmpty, "domainTable: no numeric columns")
+    val exprs = numeric.flatMap(n =>
+      Seq(
+        min(col(n)).cast(DoubleType).as(s"${n}__min"),
+        max(col(n)).cast(DoubleType).as(s"${n}__max"),
+        count(when(col(n).isNull, 1)).as(s"${n}__nulls"),
+        count(col(n)).as(s"${n}__nonnulls")
+      ))
+    val agged = df.agg(exprs.head, exprs.tail: _*)
+    val stackExpr = s"stack(${numeric.length}, " + numeric
+      .map(n => s"'$n', `${n}__min`, `${n}__max`, `${n}__nulls`, `${n}__nonnulls`")
+      .mkString(", ") +
+      ") as (column_name, min_value, max_value, null_count, non_null_count)"
+    agged.select(expr(stackExpr)).orderBy(col("column_name"))
+  }
+}

@@ -1,0 +1,102 @@
+package graft.table
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** RowID + exact row-index semantics.
+  *
+  * The reference keeps a String RowID as column 0 of every table and supports
+  * (a) appending an exact, contiguous Long row index
+  *     (RowIndexTransformSpec — reference
+  *     org.knime.core.data.columnar/.../table/virtual/ColumnarVirtualTable.java:432-436),
+  * (b) regenerating RowIDs as "Row0","Row1",...
+  *     (reference ColumnarConcatenater.java:186-215), and
+  * (c) uniquifying duplicate RowIDs by appending "_dup" suffixes in a retry
+  *     loop (reference ColumnarConcatenater.java:237-292).
+  *
+  * Spark's `monotonically_increasing_id()` is NOT contiguous across
+  * partitions, so exactness needs `zipWithIndex` — one extra narrow job that
+  * counts partition sizes, then a per-partition offset add. No shuffle: at
+  * 100 TB this is a metadata pass (count per partition) plus a map, which is
+  * the cheapest exact-index strategy available on a distributed engine.
+  */
+object RowId {
+
+  val RowIdCol = "row_id"
+
+  /** Append an exact contiguous 0-based Long row index in the DataFrame's
+    * current partition order. Narrow (no shuffle); one extra job to count
+    * partition sizes.
+    */
+  def withRowIndex(df: DataFrame, name: String = "row_index"): DataFrame = {
+    require(!df.columns.contains(name), s"column $name already exists")
+    val schema = StructType(df.schema.fields :+ StructField(name, LongType, nullable = false))
+    val rdd = df.rdd.zipWithIndex().map { case (row, idx) =>
+      Row.fromSeq(row.toSeq :+ idx)
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** Exact-order variant: sort by the given columns first, then index.
+    * This is the deterministic path used when a canonical order exists
+    * (the engine's ordering invariant — SURVEY.md §7 "hard parts").
+    */
+  def withRowIndexOrdered(df: DataFrame, orderBy: Seq[Column], name: String = "row_index"): DataFrame =
+    withRowIndex(df.orderBy(orderBy: _*), name)
+
+  /** Regenerate RowIDs "Row0","Row1",… in current order, as column 0.
+    * Mirrors concatenateWithNewRowIDs (reference
+    * ColumnarTableBackend.java:206-215).
+    */
+  def regenerateRowIds(df: DataFrame): DataFrame = {
+    val tmp = "__graft_row_index"
+    val indexed = withRowIndex(dropRowId(df), tmp)
+    val cols = concat(lit("Row"), col(tmp).cast(StringType)).as(RowIdCol) +:
+      indexed.columns.filterNot(_ == tmp).map(col).toSeq
+    indexed.select(cols: _*)
+  }
+
+  /** Ensure a row_id column exists (as column 0); synthesize from an exact
+    * index when absent.
+    */
+  def ensureRowId(df: DataFrame): DataFrame =
+    if (df.columns.contains(RowIdCol)) {
+      df.select(col(RowIdCol) +: df.columns.filterNot(_ == RowIdCol).map(col).toSeq: _*)
+    } else regenerateRowIds(df)
+
+  def dropRowId(df: DataFrame): DataFrame =
+    if (df.columns.contains(RowIdCol)) df.drop(RowIdCol) else df
+
+  /** Distributed RowID duplicate check (reference async disk-backed
+    * DuplicateCheckWritable.java:69,87-110 → one hash aggregation).
+    * Returns offending keys (empty = pass). Scales: shuffle on the key,
+    * partial aggregation map-side.
+    */
+  def duplicateKeys(df: DataFrame, keyCol: String = RowIdCol): DataFrame =
+    df.groupBy(col(keyCol)).count().where(col("count") > 1).select(col(keyCol))
+
+  def assertUniqueRowIds(df: DataFrame, keyCol: String = RowIdCol): Unit = {
+    val dups = duplicateKeys(df, keyCol).limit(10).collect()
+    require(dups.isEmpty, s"duplicate RowIDs: ${dups.map(_.get(0)).mkString(", ")}")
+  }
+
+  /** Uniquify duplicate RowIDs by suffixing "_dup", "_dup_dup", … like the
+    * reference's retry loop (ColumnarConcatenater.java:275-281), but in one
+    * distributed pass: the n-th occurrence of a key gets n-1 "_dup"
+    * suffixes. Window shuffle on the key; skew-safe for realistic RowID
+    * duplication factors.
+    */
+  def uniquifyRowIds(df: DataFrame, keyCol: String = RowIdCol): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tmp = "__graft_occurrence"
+    val ord = "__graft_order"
+    val ordered = withRowIndex(df, ord)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(ord))
+    ordered
+      .withColumn(tmp, row_number().over(w) - 1)
+      .withColumn(keyCol, concat(col(keyCol), repeat(lit("_dup"), col(tmp).cast("int"))))
+      .orderBy(col(ord))
+      .drop(tmp, ord)
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.functions.{HashFunctions => H, TextFunctions => T}
+import org.apache.spark.sql.functions._
+
+/** Invariant tests for the hash-based dedup operators (no SQL oracle is
+  * possible for xxhash64-based MinHash/SimHash, so planted-duplicate
+  * invariants are the correctness check).
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat sleeps on the warm mat near the door"
+  private val nearDup = base.replace("warm", "cold") // 1-token change
+  private val distinct1 =
+    "spark engines shuffle data across partitions with hash exchanges and sort merge joins at scale"
+  private val distinct2 =
+    "completely unrelated content about astronomy telescopes galaxies nebulae and the expansion of space"
+
+  private def docs = Seq(
+    (0L, base), (1L, nearDup), (2L, distinct1), (3L, distinct2), (4L, base)
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps lowest id of identical docs") {
+    val out = Dedup.exact(docs, "text", "doc_id").select($"doc_id").collect().map(_.getLong(0)).sorted
+    assert(out.toSeq == Seq(0L, 1L, 2L, 3L)) // doc 4 == doc 0 dropped
+  }
+
+  test("minhash finds planted near-duplicates and exact duplicates, not distinct docs") {
+    val pairs = Dedup.minHashPairs(docs, "text", "doc_id", threshold = 0.5)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 4L)))
+    assert(pairs.contains((0L, 1L)) || pairs.contains((1L, 4L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash jaccard estimate tracks exact jaccard") {
+    val sh = docs.select($"doc_id", T.shingles($"text", 3).as("sh"))
+      .withColumn("sig", H.minHashSignature($"sh", 128))
+    val a = sh.where($"doc_id" === 0).select($"sh", $"sig").head()
+    val b = sh.where($"doc_id" === 1).select($"sh", $"sig").head()
+    val exact = docs.sparkSession.range(1).select(
+      H.jaccard(typedLit(a.getSeq[String](0)), typedLit(b.getSeq[String](0)))).head().getDouble(0)
+    val est = docs.sparkSession.range(1).select(
+      H.minHashJaccard(typedLit(a.getSeq[Long](1)), typedLit(b.getSeq[Long](1)))).head().getDouble(0)
+    assert(math.abs(exact - est) < 0.2, s"exact=$exact est=$est")
+  }
+
+  test("simhash: near-dups within small hamming distance, distinct docs far") {
+    val fps = docs.select($"doc_id", H.simHash64(T.tokenize($"text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fps(0L), fps(4L)) == 0) // identical
+    assert(ham(fps(0L), fps(1L)) <= 12) // near-dup
+    assert(ham(fps(0L), fps(3L)) > 12) // distinct
+  }
+
+  test("simhash pairs operator surfaces the exact duplicate") {
+    val pairs = Dedup.simHashPairs(docs, "text", "doc_id", maxHamming = 3)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 4L)))
+  }
+
+  test("ngram jaccard pairs finds near-dup") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", threshold = 0.5)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 4L)) && pairs.contains((0L, 1L)))
+  }
+
+  test("cluster representatives: transitive closure to min id") {
+    val pairs = Seq((0L, 1L, 1.0), (1L, 4L, 1.0), (7L, 8L, 1.0))
+      .toDF("id_a", "id_b", "jaccard_sim")
+    val reps = Dedup.clusterRepresentatives(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reps(0L) == 0L && reps(1L) == 0L && reps(4L) == 0L)
+    assert(reps(7L) == 7L && reps(8L) == 7L)
+  }
+
+  test("end-to-end minhash dedup removes dup cluster members only") {
+    val out = Dedup.minHashDedup(docs, "text", "doc_id", threshold = 0.5)
+      .select($"doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out.head == 0L) // representative survives
+    assert(out.contains(2L) && out.contains(3L)) // distinct docs survive
+    assert(!out.contains(4L)) // exact dup dropped
+  }
+
+  test("embedding pairs: identical and near-identical vectors pair up") {
+    val v = (0 until 16).map(_.toFloat / 16f).toArray
+    val vNear = v.clone(); vNear(0) = vNear(0) + 0.001f
+    val vFar = (0 until 16).map(i => ((i * 37) % 16).toFloat / 16f - 0.5f).toArray
+    val emb = Seq((0L, v.toSeq), (1L, vNear.toSeq), (2L, vFar.toSeq)).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingPairs(emb, "embedding", "vec_id", threshold = 0.99)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._2 == 2L))
+  }
+}

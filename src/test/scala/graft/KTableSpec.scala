@@ -1,0 +1,131 @@
+package graft
+
+import graft.table.{Combine, Domains, KTable, RowId}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Operator-law tests mirroring the reference's virtual-table behavior
+  * tests (reference org.knime.core.data.columnar.tests/.../table/virtual/
+  * ColumnarVirtualTableTest.java): composition laws for slice/select,
+  * concat schema merge, append row-count check, RowID semantics.
+  */
+class KTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample = {
+    KTable(
+      (0 until 100)
+        .map(i => (s"Row$i", i, i.toDouble / 2, s"v$i"))
+        .toDF("row_id", "num", "half", "label"))
+  }
+
+  test("selectColumns projects, permutes, duplicates") {
+    val t = sample.selectColumns(1, 0, 1)
+    assert(t.columnNames == Seq("num", "row_id", "num_1"))
+    val r = t.df.orderBy($"num").head()
+    assert(r.getInt(0) == 0 && r.getString(1) == "Row0" && r.getInt(2) == 0)
+  }
+
+  test("slice composition law: slice(a,b) ∘ slice(c,d) == slice(c+a, min(c+b, d))") {
+    val base = sample.df.orderBy($"num")
+    val s1 = KTable(base).slice(10, 50).slice(5, 20) // rows 15..30 of base
+    val s2 = KTable(base).slice(15, 30)
+    assert(s1.df.select($"num").collect().map(_.getInt(0)).toSeq ==
+      s2.df.select($"num").collect().map(_.getInt(0)).toSeq)
+  }
+
+  test("select composition: select(p) ∘ select(q) == select(q ∘ p)") {
+    val a = sample.selectColumns(3, 1, 0).selectColumns(2, 1)
+    val b = sample.selectColumns(0, 1)
+    assert(a.columnNames == b.columnNames)
+    assert(a.df.orderBy($"num").collect().toSeq == b.df.orderBy($"num").collect().toSeq)
+  }
+
+  test("appendRowIndex is exact and contiguous") {
+    val t = sample.df.orderBy($"num")
+    val idx = KTable(t).appendRowIndex("ri").df.select($"num", $"ri").collect()
+    idx.foreach(r => assert(r.getLong(1) == r.getInt(0).toLong))
+  }
+
+  test("appendMissingValueColumns adds typed nulls") {
+    val t = sample.appendMissingValueColumns("extra_s" -> StringType, "extra_d" -> DoubleType)
+    assert(t.schema("extra_s").dataType == StringType)
+    assert(t.schema("extra_d").dataType == DoubleType)
+    assert(t.df.where($"extra_s".isNotNull || $"extra_d".isNotNull).count() == 0)
+  }
+
+  test("appendByPosition zips equal-size tables and rejects size mismatch") {
+    val l = sample.df.orderBy($"num").select($"num")
+    val r = sample.df.orderBy($"num".desc).select($"half")
+    val zipped = Combine.appendByPosition(l, r)
+    val first = zipped.orderBy($"num").head()
+    assert(first.getInt(0) == 0 && first.getDouble(1) == 99.0 / 2)
+    intercept[IllegalArgumentException] {
+      Combine.appendByPosition(l, r.limit(10))
+    }
+  }
+
+  test("concatenate merges schemas with upcasts and typed nulls") {
+    val a = Seq((1, "x")).toDF("k", "s")
+    val b = Seq((2L, 3.5)).toDF("k", "d")
+    val u = Combine.concatenate(Seq(a, b)).orderBy($"k")
+    assert(u.schema("k").dataType == LongType)
+    assert(u.columns.toSeq == Seq("k", "s", "d"))
+    val rows = u.collect()
+    assert(rows(0).getString(1) == "x" && rows(0).isNullAt(2))
+    assert(rows(1).isNullAt(1) && rows(1).getDouble(2) == 3.5)
+  }
+
+  test("concatenate type merge laws") {
+    assert(Combine.commonType(IntegerType, LongType) == LongType)
+    assert(Combine.commonType(FloatType, DoubleType) == DoubleType)
+    assert(Combine.commonType(IntegerType, DoubleType) == DoubleType)
+    assert(Combine.commonType(StringType, IntegerType) == StringType)
+    assert(Combine.commonType(NullType, IntegerType) == IntegerType)
+    assert(Combine.commonType(ArrayType(IntegerType), ArrayType(LongType)) == ArrayType(LongType))
+  }
+
+  test("regenerateRowIds produces Row0..RowN in order") {
+    val t = RowId.regenerateRowIds(sample.df.orderBy($"num").drop("row_id"))
+    val ids = t.orderBy($"num").select($"row_id").collect().map(_.getString(0))
+    assert(ids.take(3).toSeq == Seq("Row0", "Row1", "Row2"))
+    assert(ids.last == "Row99")
+  }
+
+  test("uniquifyRowIds suffixes duplicates deterministically") {
+    val dup = Seq(("A", 1), ("A", 2), ("B", 3), ("A", 4)).toDF("row_id", "v").orderBy($"v")
+    val u = RowId.uniquifyRowIds(dup).orderBy($"v").collect()
+    assert(u.map(_.getString(0)).toSeq == Seq("A", "A_dup", "B", "A_dup_dup"))
+  }
+
+  test("duplicateKeys flags only duplicated ids") {
+    val dup = Seq("A", "B", "A", "C").toDF("row_id")
+    assert(RowId.duplicateKeys(dup).collect().map(_.getString(0)).toSeq == Seq("A"))
+    intercept[IllegalArgumentException](RowId.assertUniqueRowIds(dup))
+  }
+
+  test("domain compute: min/max, capped nominal, null counts") {
+    val df = Seq(
+      (Some(1), Some("a")), (Some(5), Some("b")), (None, Some("a")), (Some(3), None)
+    ).toDF("n", "s")
+    val domains = Domains.compute(df, nominalCap = 10)
+    val n = domains.find(_.column == "n").get
+    assert(n.min.contains(1) && n.max.contains(5) && n.nullCount == 1)
+    val s = domains.find(_.column == "s").get
+    assert(s.nominal.contains(Seq("a", "b")) && s.nullCount == 1)
+  }
+
+  test("nominal domain dropped when cap exceeded") {
+    val df = (0 until 100).map(i => s"v$i").toDF("s")
+    val d = Domains.compute(df, nominalCap = 10).head
+    assert(d.nominal.isEmpty) // dropped, reference drop-when-exceeded semantics
+  }
+
+  test("slice pushes limits into the plan (no full materialization)") {
+    // needs a file-backed source: over local data the optimizer folds the
+    // limit into the LocalRelation itself
+    val li = KTable(spark.read.parquet(s"$sf0001/lineitem.parquet"))
+    val plan = li.slice(0, 5).df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("GlobalLimit") || plan.contains("LocalLimit"))
+  }
+}

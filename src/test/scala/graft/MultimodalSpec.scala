@@ -1,0 +1,37 @@
+package graft
+
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decode stub: deterministic features, schema contract") {
+    val df = Seq((1L, "abc".getBytes("UTF-8")), (2L, Array.emptyByteArray))
+      .toDF("id", "payload")
+    val out = Multimodal.decodeImages(df, "id", "payload")
+    assert(out.columns.toSeq == Seq("id", "byte_length", "content_hash", "mean_intensity", "feature_vec"))
+    val rows = out.orderBy($"id").collect()
+    assert(rows(0).getAs[Long]("byte_length") == 3)
+    assert(rows(1).getAs[Long]("byte_length") == 0)
+    assert(rows(1).getAs[Double]("mean_intensity") == 0.0)
+    assert(rows(0).getAs[scala.collection.Seq[Double]]("feature_vec").length == 8)
+    // determinism
+    val again = Multimodal.decodeImages(df, "id", "payload").orderBy($"id").collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("media table wrapper adds typed metadata struct") {
+    val df = Seq((1L, "x".getBytes("UTF-8"))).toDF("id", "payload")
+    val media = Multimodal.asMediaTable(df, "payload", "image/png")
+    val meta = media.select($"media_meta.media_type").head().getString(0)
+    assert(meta == "image/png")
+  }
+
+  test("frame sampling emits n deterministic rows per input") {
+    val df = Seq((1L, "video-bytes".getBytes("UTF-8"))).toDF("id", "payload")
+    val frames = Multimodal.sampleFrames(df, "id", "payload", 4)
+    assert(frames.count() == 4)
+    assert(frames.select($"frame_index").collect().map(_.getInt(0)).sorted.toSeq == Seq(0, 1, 2, 3))
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import graft.functions.{VectorFunctions => V}
+import graft.similarity.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("vector math: dot, norm, cosine basics") {
+    val df = Seq((Seq(1.0f, 0f, 0f), Seq(1.0f, 0f, 0f), Seq(0f, 1.0f, 0f)))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      V.dot($"a", $"b"), V.cosine($"a", $"b"), V.cosine($"a", $"c"),
+      V.l2Norm($"a"), V.l2Distance($"a", $"c")).head()
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getDouble(1) == 1.0)
+    assert(r.getDouble(2) == 0.0)
+    assert(r.getDouble(3) == 1.0)
+    assert(math.abs(r.getDouble(4) - math.sqrt(2)) < 1e-12)
+  }
+
+  test("brute-force top-k: self-similar vector ranks first") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val out = Similarity.bruteForceTopK(emb, emb.where($"vec_id" === 0), "embedding", "vec_id", 3)
+    val rows = out.orderBy($"rank").collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getAs[Double]("cosine_sim")).toSeq == rows.map(_.getAs[Double]("cosine_sim")).sorted.reverse.toSeq)
+  }
+
+  test("IVF ANN recall vs brute force ≥ 0.6 with nprobe=4/16") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val queries = emb.where($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id", 5)
+      .select($"query_id", $"neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val indexed = Similarity.ivfBuild(emb, "embedding", "vec_id", nlist = 16)
+    assert(indexed.count() == emb.count()) // every vector assigned to exactly one cell
+    val approx = Similarity.ivfTopK(indexed, queries, "embedding", "vec_id", 5, nlist = 16, nprobe = 4)
+      .select($"query_id", $"neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall=$recall")
+  }
+
+  test("LSH bits deterministic across evaluations, similar vectors agree") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(5)
+    val s1 = emb.select($"vec_id", V.lshBits($"embedding", 16).as("fp")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s2 = emb.select($"vec_id", V.lshBits($"embedding", 16).as("fp")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s1 == s2)
+    // identical vector → identical fingerprint
+    val v = Seq((0L, Seq(1.0f, 2f, 3f)), (1L, Seq(1.0f, 2f, 3f))).toDF("vec_id", "embedding")
+    val fps = v.select(V.lshBits($"embedding", 16)).collect().map(_.getLong(0))
+    assert(fps(0) == fps(1))
+  }
+}

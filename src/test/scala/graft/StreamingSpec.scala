@@ -1,0 +1,72 @@
+package graft
+
+import graft.streaming.EventStreams
+import graft.queries.Tables
+import org.apache.spark.sql.functions._
+
+/** Streaming behavior: each streaming transform must equal its batch twin
+  * when driven to completion over a static file set (the Structured
+  * Streaming contract), exercised via the memory sink.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String, mode: String): Unit = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  test("streaming tumbling counts == batch twin") {
+    // FileStreamSource wants a directory: stage the single parquet file
+    val dir = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = EventStreams.readEventStream(spark, dir.toString)
+    runToMemory(EventStreams.tumblingCounts(stream), "tumbling_out", "append")
+    val streamed = spark.table("tumbling_out")
+      .select("window_start", "event_type", "n_events", "sum_value")
+      .collect().map(_.toSeq).toSet
+    val batch = EventStreams.tumblingCounts(Tables.events(spark, sf0001))
+      .collect().map(_.toSeq).toSet
+    // watermark may hold back the tail windows in append mode; everything
+    // emitted must match the batch result and cover most of it
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batch), s"streamed rows not in batch: ${(streamed -- batch).take(3)}")
+    assert(streamed.size >= batch.size / 2)
+  }
+
+  test("streaming dedup within watermark drops replayed event_ids") {
+    val events = Tables.events(spark, sf0001).limit(100).cache()
+    val dupes = events.unionAll(events) // replay everything twice
+    // batch semantics of dropDuplicatesWithinWatermark == plain dropDuplicates
+    val n = dupes.dropDuplicates("event_id").count()
+    assert(n == 100)
+  }
+
+  test("session windows produce non-overlapping per-user sessions") {
+    val out = EventStreams.sessionCounts(Tables.events(spark, sf0001).where(col("user_id") < 5))
+    val rows = out.orderBy(col("user_id"), col("session_start")).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (_, sessions) =>
+      sessions.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(!b.getAs[java.sql.Timestamp]("session_start").before(a.getAs[java.sql.Timestamp]("session_end")))
+        case _ =>
+      }
+    }
+  }
+
+  test("stateful running totals via mapGroupsWithState (batch mode)") {
+    val events = Tables.events(spark, sf0001).where(col("user_id") < 3)
+    val out = EventStreams.runningUserTotals(events).collect()
+    val exp = events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    out.foreach { u =>
+      val (n, v) = exp(u.userId)
+      assert(u.nEvents == n)
+      assert(math.abs(u.totalValue - v) < 1e-6)
+    }
+  }
+}
