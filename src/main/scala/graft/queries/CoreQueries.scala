@@ -177,6 +177,16 @@ object CoreQueries {
         .orderBy(col("column_name"))
     }),
 
+    // cell-factory analog: one struct-valued UDF producing k columns,
+    // evaluated once per row (reference ColumnarRearranger.java:468-527)
+    "q_multi_out_udf" -> ((s, dir) => {
+      val factory = udf((name: String) => (name.length, name.toUpperCase)).asNondeterministic()
+      KTable(t(s, dir, "part"))
+        .selectColumns(0, 1)
+        .appendMultiOutput(factory(col("p_name")).cast("struct<name_len:long,name_upper:string>"))
+        .df.orderBy(col("p_partkey"))
+    }),
+
     // observe: metrics piggy-backed on an action (reference ObserverTransformSpec)
     "q_observe" -> ((s, dir) => {
       KTable(t(s, dir, "region"))
@@ -284,6 +294,11 @@ object CoreQueries {
         |  UNION ALL
         |  SELECT 'l_linestatus', string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) FROM lineitem
         |) ORDER BY column_name""".stripMargin,
+    "q_multi_out_udf" ->
+      """SELECT p_partkey, p_name,
+        |  CAST(length(p_name) AS BIGINT) AS name_len,
+        |  upper(p_name) AS name_upper
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "q_observe" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"
   )

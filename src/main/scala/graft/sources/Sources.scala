@@ -1,0 +1,48 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink surface (SURVEY.md §2.1). The reference's storage layer is
+  * a single format (LZ4 Arrow IPC batch stores, reference
+  * org.knime.core.columnar.arrow/.../offheap/OffHeapArrowBatchStore.java:67)
+  * plus a row-push adapter (BufferedDataTableRowAccessible.java:68); the
+  * engine's equivalents are Parquet as the canonical store plus the
+  * formats a Spark user expects at the boundary. Schemas are explicit,
+  * never inferred (reference ColumnarSchema semantics — SURVEY.md §1.3):
+  * csv/json readers REQUIRE a schema.
+  */
+object Sources {
+
+  /** Canonical store read (columnar, compressed, footer-indexed). */
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** CSV with explicit schema (no inference pass — one scan, not two). */
+  def csv(spark: SparkSession, path: String, schema: StructType, header: Boolean = true, delimiter: String = ","): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("header", header.toString)
+      .option("delimiter", delimiter)
+      .csv(path)
+
+  /** JSON-lines with explicit schema. */
+  def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** In-memory rows → table (the row-push adapter analog at the API edge:
+    * reference ColumnarDataContainerDelegate.addRowToTable — row-at-a-time
+    * only ever at boundaries, columnar within).
+    */
+  def fromRows(spark: SparkSession, rows: Seq[org.apache.spark.sql.Row], schema: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
+    df.write.mode("overwrite").option("header", header.toString).csv(path)
+
+  def writeJsonLines(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+}

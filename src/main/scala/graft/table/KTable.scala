@@ -96,6 +96,21 @@ final class KTable private (val df: DataFrame) extends Serializable {
     */
   def appendRowIndex(name: String): KTable = KTable(RowId.withRowIndex(df, name))
 
+  /** Multi-output mapper evaluated ONCE per row — the cell-factory analog
+    * (reference ColumnarRearranger.java:468-527: one CellFactory producing
+    * k columns, computed once then column-selected; SURVEY.md §4.1
+    * "evaluate-multi-output-factory-once"). Pass a struct-producing column
+    * (for Scala UDFs call `.asNondeterministic()` on the udf so Catalyst
+    * may not duplicate the call when collapsing projects); its fields are
+    * star-expanded into top-level columns.
+    */
+  def appendMultiOutput(structCol: Column): KTable = {
+    val tmp = "__graft_multi"
+    val withS = df.withColumn(tmp, structCol)
+    val fields = withS.schema(tmp).dataType.asInstanceOf[StructType].fieldNames
+    KTable(withS.select(df.columns.map(col) ++ fields.map(f => col(s"$tmp.`$f`").as(f)): _*))
+  }
+
   // ---- missing-value columns (reference ColumnarVirtualTable.java:266-270) ----
 
   def appendMissingValueColumns(fields: (String, DataType)*): KTable =

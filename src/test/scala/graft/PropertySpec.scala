@@ -1,0 +1,72 @@
+package graft
+
+import graft.table.{Combine, KTable}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** ScalaCheck operator-law coverage (SURVEY.md §5: property tests for
+  * composition laws mirroring the reference's virtual-table behavior
+  * tests). Deterministic seed-driven sampling (no scalatest-scalacheck
+  * bridge in the offline cache).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private lazy val base = {
+    val df = (0 until 200).map(i => (i, s"v$i", i * 0.5)).toDF("num", "label", "half").orderBy($"num").cache()
+    df.count()
+    df
+  }
+
+  test("law: slice(a,b)∘slice(c,d) == slice(c+a, min(c+b, d))") {
+    val ranges = for {
+      c <- Gen.choose(0L, 150L); d <- Gen.choose(c, 200L)
+      a <- Gen.choose(0L, d - c); b <- Gen.choose(a, d - c)
+    } yield (a, b, c, d)
+    samples(ranges, 8).foreach { case (a, b, c, d) =>
+      val lhs = KTable(base).slice(c, d).slice(a, b).df.select($"num").collect().map(_.getInt(0)).toSeq
+      val rhs = KTable(base).slice(c + a, math.min(c + b, d)).df.select($"num").collect().map(_.getInt(0)).toSeq
+      assert(lhs == rhs, s"a=$a b=$b c=$c d=$d")
+    }
+  }
+
+  test("law: selectColumns(p)∘selectColumns(q) == selectColumns(p∘q)") {
+    val perm = Gen.listOfN(3, Gen.choose(0, 2))
+    samples(Gen.zip(perm, perm), 8).foreach { case (p, q) =>
+      val lhs = KTable(base).selectColumns(p: _*).selectColumns(q: _*)
+      val composed = q.map(p(_))
+      val rhs = KTable(base).selectColumns(composed: _*)
+      assert(lhs.df.collect().map(_.toSeq).toSeq == rhs.df.collect().map(_.toSeq).toSeq, s"p=$p q=$q")
+    }
+  }
+
+  test("law: concatenate row count is sum of inputs; schema is union") {
+    samples(Gen.choose(1, 199), 6).foreach { s =>
+      val u = Combine.concatenate(Seq(base.limit(s), base.offset(s)))
+      assert(u.count() == 200, s"split=$s")
+      assert(u.columns.toSeq == base.columns.toSeq)
+    }
+  }
+
+  test("law: concatenate(a, b-with-extra-col) nulls the extra for a's rows") {
+    samples(Gen.choose(1, 50), 6).foreach { n =>
+      val a = base.limit(n)
+      val b = base.limit(n).withColumn("extra", lit(1))
+      val u = Combine.concatenate(Seq(a, b))
+      assert(u.where($"extra".isNull).count() == n)
+      assert(u.where($"extra" === 1).count() == n)
+    }
+  }
+
+  test("law: appendRowIndex values are 0..n-1 regardless of partitioning") {
+    samples(Gen.choose(1, 8), 5).foreach { parts =>
+      val idx = KTable(base.repartition(parts)).appendRowIndex("ri").df
+        .select($"ri").collect().map(_.getLong(0)).sorted.toSeq
+      assert(idx == (0L until 200L), s"parts=$parts")
+    }
+  }
+}

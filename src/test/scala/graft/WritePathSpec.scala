@@ -1,0 +1,73 @@
+package graft
+
+import graft.sources.Sources
+import graft.table.{RowId, TableWriter}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Write-pipeline + source round-trip coverage (mirrors the reference's
+  * arrow round-trip tests, SURVEY.md §5.2, re-expressed for Parquet/CSV/
+  * JSON).
+  */
+class WritePathSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(name: String) =
+    java.nio.file.Files.createTempDirectory(name).resolve("t").toString
+
+  test("write with domains sidecar + row count") {
+    val df = Seq((1, "a", 1.5), (2, "b", -0.5), (3, "a", 99.0)).toDF("k", "s", "v")
+    val out = tmp("writer")
+    val res = TableWriter.write(df, out)
+    assert(res.rowCount == 3)
+    val kDomain = res.domains.find(_.column == "k").get
+    assert(kDomain.min.contains(1) && kDomain.max.contains(3))
+    val sDomain = res.domains.find(_.column == "s").get
+    assert(sDomain.nominal.contains(Seq("a", "b")))
+    val json = TableWriter.readDomainsJson(spark, out).get
+    assert(json.contains("\"row_count\":3"))
+    // round-trip: data readable and identical
+    val back = spark.read.parquet(out)
+    assert(back.orderBy($"k").collect().map(_.toSeq).toSeq == df.orderBy($"k").collect().map(_.toSeq).toSeq)
+  }
+
+  test("write rejects duplicate RowIDs when checked") {
+    val df = Seq(("Row0", 1), ("Row0", 2)).toDF("row_id", "v")
+    intercept[IllegalArgumentException] {
+      TableWriter.write(df, tmp("dup"), checkRowIdUnique = true)
+    }
+    // and accepts unique ones
+    val ok = Seq(("Row0", 1), ("Row1", 2)).toDF("row_id", "v")
+    assert(TableWriter.write(ok, tmp("nodup"), checkRowIdUnique = true).rowCount == 2)
+  }
+
+  test("csv round-trip with explicit schema (no inference)") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType), StructField("score", DoubleType)))
+    val df = Seq((1L, "x", 0.5), (2L, "y", 1.5)).toDF("id", "name", "score")
+    val out = tmp("csv")
+    Sources.writeCsv(df, out)
+    val back = Sources.csv(spark, out, schema)
+    assert(back.schema == schema)
+    assert(back.orderBy($"id").collect().map(_.toSeq).toSeq == df.orderBy($"id").collect().map(_.toSeq).toSeq)
+  }
+
+  test("json-lines round-trip with explicit schema") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("tags", ArrayType(StringType))))
+    val df = Seq((1L, Seq("a", "b")), (2L, Seq.empty[String])).toDF("id", "tags")
+    val out = tmp("json")
+    Sources.writeJsonLines(df, out)
+    val back = Sources.jsonLines(spark, out, schema)
+    assert(back.schema == schema)
+    assert(back.count() == 2)
+  }
+
+  test("row-push adapter: rows → DataFrame with explicit schema") {
+    val schema = StructType(Seq(StructField("row_id", StringType), StructField("v", IntegerType)))
+    val rows = (0 until 10).map(i => org.apache.spark.sql.Row(s"Row$i", i))
+    val df = Sources.fromRows(spark, rows, schema)
+    assert(df.count() == 10)
+    assert(RowId.duplicateKeys(df).count() == 0)
+  }
+}
