@@ -187,6 +187,38 @@ object CoreQueries {
         .df.orderBy(col("p_partkey"))
     }),
 
+    // map with absolute row index (reference
+    // WrappedColumnarMapperWithRowIndexFactory :309-342)
+    "q_map_row_index" -> ((s, dir) => {
+      KTable(t(s, dir, "orders").orderBy(col("o_orderkey")).select(col("o_orderkey"), col("o_totalprice")))
+        .mapWithRowIndex("__ri") { d =>
+          d.withColumn("price_plus_index", col("o_totalprice") + col("__ri"))
+        }
+        .df.orderBy(col("o_orderkey"))
+    }),
+
+    // metadata-only schema replacement (reference replaceSchema :272-281)
+    "q_rename_schema" -> ((s, dir) => {
+      KTable(t(s, dir, "region"))
+        .renameColumns("region_id", "region_name")
+        .df.orderBy(col("region_id"))
+    }),
+
+    // skew-safe two-phase aggregation (salting; —absent— in the reference,
+    // core at 100 TB for low-cardinality keys)
+    "q_salted_agg" -> ((s, dir) => {
+      graft.operators.Skew
+        .saltedSum(t(s, dir, "lineitem"), Seq("l_returnflag"), "l_quantity", "sum_qty", salts = 16)
+        .withColumn("sum_qty", round(col("sum_qty"), 2))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "q_salted_distinct" -> ((s, dir) => {
+      graft.operators.Skew
+        .saltedCountDistinct(t(s, dir, "lineitem"), Seq("l_returnflag"), "l_partkey", "n_parts", salts = 16)
+        .orderBy(col("l_returnflag"))
+    }),
+
     // observe: metrics piggy-backed on an action (reference ObserverTransformSpec)
     "q_observe" -> ((s, dir) => {
       KTable(t(s, dir, "region"))
@@ -294,6 +326,18 @@ object CoreQueries {
         |  UNION ALL
         |  SELECT 'l_linestatus', string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) FROM lineitem
         |) ORDER BY column_name""".stripMargin,
+    "q_map_row_index" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  o_totalprice + (row_number() OVER (ORDER BY o_orderkey) - 1) AS price_plus_index
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_rename_schema" ->
+      "SELECT r_regionkey AS region_id, r_name AS region_name FROM region ORDER BY region_id",
+    "q_salted_agg" ->
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_salted_distinct" ->
+      """SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_multi_out_udf" ->
       """SELECT p_partkey, p_name,
         |  CAST(length(p_name) AS BIGINT) AS name_len,

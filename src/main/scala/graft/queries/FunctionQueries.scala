@@ -138,6 +138,18 @@ object FunctionQueries {
           countDistinct(col("l_partkey")).as("exact_parts"))
     }),
 
+    // batch twin of the streaming sliding-window aggregation (1h window,
+    // 30m slide: every event lands in two windows)
+    "q_sliding_window_batch" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n_events"))
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
     // batch twin of the streaming tumbling-window aggregation
     "q_stream_window_batch" -> ((s, dir) => {
       graft.streaming.EventStreams
@@ -221,6 +233,15 @@ object FunctionQueries {
     "q_udaf_geomean" ->
       """SELECT l_returnflag, round(exp(avg(ln(l_extendedprice))), 4) AS geomean_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_sliding_window_batch" ->
+      """SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+        |  count(*) AS n_events
+        |FROM (
+        |  SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+        |                 time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS ws,
+        |         event_type
+        |  FROM events)
+        |GROUP BY ws, event_type ORDER BY 1, 2""".stripMargin,
     "q_stream_window_batch" ->
       """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |  event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value

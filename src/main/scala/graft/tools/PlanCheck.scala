@@ -1,0 +1,64 @@
+package graft.tools
+
+import graft.{GraftSession, SparkEntry}
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Plan-quality audit (dev tool): for key queries, print the formatted
+  * physical plan and assert the properties that matter at 100 TB —
+  * parquet filter pushdown, column pruning (ReadSchema), broadcast joins
+  * for dimension tables, whole-stage codegen coverage.
+  */
+object PlanCheck {
+
+  private case class Check(
+      name: String,
+      mustContain: Seq[String] = Seq.empty,
+      mustNotContain: Seq[String] = Seq.empty)
+
+  private val checks = Seq(
+    // filter + projection pushed into the parquet scan
+    Check(
+      "q_scan_filter_project_slice",
+      // "*(1)" = whole-stage-codegen stage marker; TakeOrderedAndProject =
+      // offset+limit folded into a top-k, no global sort
+      mustContain = Seq("PushedFilters: [IsNotNull(l_quantity)", "*(1)", "TakeOrderedAndProject")),
+    // broadcast chosen for the small dim side
+    Check("q_join_broadcast", mustContain = Seq("BroadcastHashJoin")),
+    Check("q_join_multi", mustContain = Seq("BroadcastHashJoin")),
+    Check("q_semi_join", mustContain = Seq("Semi")),
+    Check("q_anti_join", mustContain = Seq("Anti")),
+    // top-k compiles to TakeOrdered, not a global sort
+    Check("q_sort_topk", mustContain = Seq("TakeOrderedAndProject")),
+    // partial aggregation before the exchange
+    Check("q1_agg", mustContain = Seq("partial_sum", "HashAggregate")),
+    Check("q_range_join", mustContain = Seq("BroadcastNestedLoopJoin")),
+    Check("q_dedup_exact", mustContain = Seq("partial_min"))
+  )
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = GraftSession.builder("local[8]", 8).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    var failures = 0
+    checks.foreach { c =>
+      val df = SparkEntry.queries(c.name)(spark, dir)
+      val plan = df.queryExecution.executedPlan.toString
+      val missing = c.mustContain.filterNot(plan.contains)
+      val present = c.mustNotContain.filter(plan.contains)
+      if (missing.isEmpty && present.isEmpty) {
+        System.err.println("[plan] OK " + c.name)
+      } else {
+        failures += 1
+        System.err.println(s"[plan] FAIL ${c.name}: missing=$missing unexpected=$present")
+        System.err.println(plan.linesIterator.take(40).mkString("\n"))
+      }
+    }
+    // detailed dump for manual inspection when a query name is passed
+    args.drop(1).foreach { q =>
+      System.err.println(s"===== ${q} =====")
+      SparkEntry.queries(q)(spark, dir).explain("formatted")
+    }
+    System.err.println(s"[plan] failures: $failures")
+    spark.stop()
+  }
+}
