@@ -1,0 +1,50 @@
+package graft.plans
+
+import graft.expressions._
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** Engine extension wiring (SparkSessionExtensions): exposes the native
+  * vector expressions to the SQL surface, so `spark.sql` users get the
+  * same operators as the Scala API — the extension-registration path the
+  * engine would use for any further custom rule/strategy (SURVEY.md §4.3;
+  * reference has no SQL surface at all, this is capability extension).
+  *
+  * Usage: `SparkSession.builder().withExtensions(new GraftExtensions)` —
+  * done by default in [[graft.GraftSession]] — or
+  * `spark.sql.extensions=graft.plans.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[CosineSim].getName, null, name, usage, "", "", "", "", "4.0.0", "", "built-in")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(
+      (FunctionIdentifier("graft_cosine"),
+        info("graft_cosine", "graft_cosine(a, b) - cosine similarity of two dense vectors"),
+        (args: Seq[Expression]) => CosineSim(args(0), args(1))))
+    e.injectFunction(
+      (FunctionIdentifier("graft_dot"),
+        info("graft_dot", "graft_dot(a, b) - dot product of two dense vectors"),
+        (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+    e.injectFunction(
+      (FunctionIdentifier("graft_l2norm"),
+        info("graft_l2norm", "graft_l2norm(a) - Euclidean norm of a dense vector"),
+        (args: Seq[Expression]) => L2Norm(args(0))))
+    e.injectFunction(
+      (FunctionIdentifier("graft_l2dist"),
+        info("graft_l2dist", "graft_l2dist(a, b) - Euclidean distance between dense vectors"),
+        (args: Seq[Expression]) => L2Distance(args(0), args(1))))
+    e.injectFunction(
+      (FunctionIdentifier("graft_lsh_bits"),
+        info("graft_lsh_bits", "graft_lsh_bits(a, nBits) - random-hyperplane LSH fingerprint (nBits literal)"),
+        (args: Seq[Expression]) => args(1) match {
+          case Literal(n: Int, IntegerType) => HyperplaneLsh(args(0), n)
+          case other =>
+            throw new IllegalArgumentException(s"graft_lsh_bits: nBits must be an integer literal, got $other")
+        }))
+  }
+}

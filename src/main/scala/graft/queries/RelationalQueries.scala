@@ -166,25 +166,22 @@ object RelationalQueries {
         .orderBy(col("band_id"))
     }),
 
-    // as-of join: latest 'purchase' at or before each 'click' per user.
-    // Scalable union+window algorithm: one shuffle on user_id, no
-    // per-row range scan (the sort-merge as-of pattern).
+    // as-of join: latest 'purchase' at or before each 'click' per user —
+    // the generic union+window operator (graft.operators.AsOfJoin): one
+    // sort-shuffle on the key, no per-row range scan.
     "q_asof_join" -> ((s, dir) => {
       val e = t(s, dir, "events")
-      val clicks = e.where(col("event_type") === "click")
-        .select(col("event_id"), col("user_id"), col("ts"), lit(null).cast("timestamp").as("p_ts"), lit(1).as("is_probe"))
+      val clicks = e.where(col("event_type") === "click").select(col("event_id"), col("user_id"), col("ts"))
       val purchases = e.where(col("event_type") === "purchase")
-        .select(lit(null).cast("long").as("event_id"), col("user_id"), col("ts"), col("ts").as("p_ts"), lit(0).as("is_probe"))
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("is_probe"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      clicks.unionAll(purchases)
-        .withColumn("asof_purchase_ts", last(col("p_ts"), ignoreNulls = true).over(w))
-        .where(col("is_probe") === 1)
+        .select(col("user_id"), col("ts"), col("ts").as("purchase_time"))
+      graft.operators.AsOfJoin
+        .backward(clicks, purchases, on = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+          valueCols = Seq("purchase_time"))
         .select(
           col("event_id"),
           col("user_id"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
-          date_format(col("asof_purchase_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"))
+          date_format(col("asof_purchase_time"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"))
         .orderBy(col("event_id"))
     }),
 

@@ -1,0 +1,38 @@
+package graft
+
+/** SQL-surface parity for the engine's custom expressions via
+  * SparkSessionExtensions.
+  */
+class ExtensionsSpec extends SparkSpec {
+
+  test("graft_* functions callable from SQL") {
+    val r = spark.sql(
+      """SELECT
+        |  graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c1,
+        |  graft_cosine(array(1.0D, 0.0D), array(0.0D, 1.0D)) AS c0,
+        |  graft_dot(array(2.0D, 3.0D), array(4.0D, 5.0D)) AS d,
+        |  graft_l2norm(array(3.0D, 4.0D)) AS n,
+        |  graft_l2dist(array(0.0D, 0.0D), array(3.0D, 4.0D)) AS dist
+        |""".stripMargin).head()
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getDouble(1) == 0.0)
+    assert(r.getDouble(2) == 23.0)
+    assert(r.getDouble(3) == 5.0)
+    assert(r.getDouble(4) == 5.0)
+  }
+
+  test("graft_lsh_bits deterministic from SQL, requires literal nBits") {
+    val a = spark.sql("SELECT graft_lsh_bits(array(1.0D, 2.0D, 3.0D), 16)").head().getLong(0)
+    val b = spark.sql("SELECT graft_lsh_bits(array(1.0D, 2.0D, 3.0D), 16)").head().getLong(0)
+    assert(a == b)
+    assert((a & ~((1L << 16) - 1)) == 0) // only low 16 bits set
+  }
+
+  test("float vectors accepted (embedding column type)") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(1)
+    emb.createOrReplaceTempView("emb_ext")
+    val v = spark.sql("SELECT graft_cosine(embedding, embedding) FROM emb_ext").head().getDouble(0)
+    assert(math.abs(v - 1.0) < 1e-12)
+  }
+}
