@@ -25,7 +25,12 @@ object Bench {
     "q_window_rank",
     "q_dedup_exact",
     "q_dedup_minhash",
-    "q_ann_bruteforce"
+    "q_ann_bruteforce",
+    "q_ann_ivf",
+    "q_asof_join",
+    "q_salted_agg",
+    "q_stream_window_batch",
+    "q_text_quality"
   )
 
   def main(args: Array[String]): Unit = {

@@ -165,6 +165,22 @@ final class KTable private (val df: DataFrame) extends Serializable {
   def concatenate(others: KTable*): KTable =
     KTable(Combine.concatenate(df +: others.map(_.df)))
 
+  // ---- persistence policy (reference multi-level cache hierarchy,
+  //      SURVEY.md §4.2 — Spark's unified memory manager + explicit hints) ----
+
+  /** Pin this table for reuse across several downstream queries (the
+    * reference's read-data/small-table cache analog; MEMORY_AND_DISK so
+    * eviction degrades to recompute-free disk reads, never OOM).
+    */
+  def cached(): KTable = KTable(df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  def uncache(): KTable = KTable(df.unpersist())
+
+  /** Hint this (small) table as the broadcast side of subsequent joins —
+    * the small-table-cache analog at join time.
+    */
+  def broadcastHint(): KTable = KTable(broadcast(df))
+
   override def toString: String = s"KTable(${df.schema.simpleString})"
 }
 

@@ -37,11 +37,17 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("streaming dedup within watermark drops replayed event_ids") {
-    val events = Tables.events(spark, sf0001).limit(100).cache()
-    val dupes = events.unionAll(events) // replay everything twice
-    // batch semantics of dropDuplicatesWithinWatermark == plain dropDuplicates
-    val n = dupes.dropDuplicates("event_id").count()
-    assert(n == 100)
+    // stage the same file twice: the second micro-batch replays every event
+    val dir = java.nio.file.Files.createTempDirectory("events_dedup")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"), dir.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"), dir.resolve("b.parquet"))
+    val total = Tables.events(spark, sf0001).count()
+    val stream = EventStreams.readEventStream(spark, dir.toString)
+    runToMemory(EventStreams.dedupWithinWatermark(stream), "dedup_out", "append")
+    val n = spark.table("dedup_out").count()
+    assert(n == total, s"expected $total deduped events, got $n")
   }
 
   test("session windows produce non-overlapping per-user sessions") {
