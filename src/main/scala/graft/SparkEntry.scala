@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{CoreQueries, FunctionQueries, LlmQueries, RelationalQueries}
+import graft.queries.{CoreQueries, ExtraQueries, FunctionQueries, LlmQueries, RelationalQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -21,8 +21,10 @@ object SparkEntry {
     RelationalQueries.queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries ++ RelationalQueries.queries ++ FunctionQueries.queries ++ LlmQueries.queries
+    CoreQueries.queries ++ RelationalQueries.queries ++ FunctionQueries.queries ++
+      LlmQueries.queries ++ ExtraQueries.queries
 
   def oracleSql: Map[String, String] =
-    CoreQueries.oracles ++ RelationalQueries.oracles ++ FunctionQueries.oracles ++ LlmQueries.oracles
+    CoreQueries.oracles ++ RelationalQueries.oracles ++ FunctionQueries.oracles ++
+      LlmQueries.oracles ++ ExtraQueries.oracles
 }

@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[CosineSim].getName, null, name, usage, "", "", "", "", "4.0.0", "", "built-in")
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => SelfSimilarityFold)
     e.injectFunction(
       (FunctionIdentifier("graft_cosine"),
         info("graft_cosine", "graft_cosine(a, b) - cosine similarity of two dense vectors"),

@@ -1,0 +1,237 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import Tables._
+
+/** Second relational wave: deep join chains, subquery shapes, HAVING,
+  * nested struct/array construction, decimal arithmetic — rounding out the
+  * capability-parity surface (SURVEY.md §2 "—absent—" rows + FIXTURES.md
+  * A2/A3 type coverage) with DuckDB oracles.
+  */
+object ExtraQueries {
+
+  val queries: Map[String, Q] = Map(
+    // TPC-H Q5 shape: five-table chain, two broadcast dims, grouped revenue
+    "q_join_chain5" -> ((s, dir) => {
+      val region = t(s, dir, "region").where(col("r_name") === "ASIA")
+      val nation = t(s, dir, "nation")
+      val customer = t(s, dir, "customer")
+      val orders = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+        .join(customer, orders("o_custkey") === customer("c_custkey"))
+        .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"))
+    }),
+
+    // HAVING (post-aggregation filter)
+    "q_having" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("spent"))
+        .where(col("n_orders") >= 15)
+        .orderBy(col("o_custkey"))
+    }),
+
+    // scalar subquery: broadcast the 1-row aggregate, stay lazy (no
+    // driver-side collect)
+    "q_scalar_subquery" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val threshold = o.agg((lit(2) * avg(col("o_totalprice"))).as("__thr"))
+      o.crossJoin(broadcast(threshold))
+        .where(col("o_totalprice") > col("__thr"))
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // IN-subquery (semi-join through SQL surface)
+    "q_in_subquery" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_in")
+      t(s, dir, "customer").createOrReplaceTempView("customer_in")
+      s.sql(
+        """SELECT o_orderkey, o_custkey FROM orders_in
+          |WHERE o_custkey IN (SELECT c_custkey FROM customer_in WHERE c_mktsegment = 'AUTOMOBILE')
+          |  AND o_totalprice > 150000
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+
+    // correlated EXISTS via SQL
+    "q_correlated_exists" -> ((s, dir) => {
+      t(s, dir, "supplier").createOrReplaceTempView("supplier_ce")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_ce")
+      s.sql(
+        """SELECT s_suppkey, s_name FROM supplier_ce
+          |WHERE EXISTS (SELECT 1 FROM lineitem_ce
+          |              WHERE l_suppkey = s_suppkey AND l_quantity > 45)
+          |ORDER BY s_suppkey""".stripMargin)
+    }),
+
+    // nested struct build + field extraction (FIXTURES A2; outputs scalars)
+    "q_struct_ops" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .select(
+          col("c_custkey"),
+          struct(col("c_name").as("name"), col("c_acctbal").as("bal")).as("info"))
+        .select(
+          col("c_custkey"),
+          col("info.name").as("name"),
+          (col("info.bal") * 2).as("double_bal"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // array build / aggregation / re-expansion (list roundtrip as scalars)
+    "q_array_agg" -> ((s, dir) => {
+      t(s, dir, "nation")
+        .groupBy(col("n_regionkey"))
+        .agg(
+          array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
+          count(lit(1)).as("n"))
+        .orderBy(col("n_regionkey"))
+    }),
+
+    // map type (absent in reference physical types; Spark-native — §1.2)
+    "q_map_type" -> ((s, dir) => {
+      t(s, dir, "region")
+        .select(
+          col("r_regionkey"),
+          map(lit("name"), col("r_name"), lit("key"), col("r_regionkey").cast("string")).as("m"))
+        .select(
+          col("r_regionkey"),
+          element_at(col("m"), "name").as("name_from_map"),
+          size(col("m")).cast("long").as("map_size"))
+        .orderBy(col("r_regionkey"))
+    }),
+
+    // decimal arithmetic (FIXTURES A3: DecimalType(18,4))
+    "q_decimal" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          col("l_extendedprice").cast(DecimalType(18, 4)).as("price_dec"),
+          (col("l_extendedprice").cast(DecimalType(18, 4)) * col("l_quantity").cast(DecimalType(18, 4)))
+            .cast(DecimalType(18, 4)).as("total_dec"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("price_dec"))
+    }),
+
+    // union of three tables with distinct (n-ary set op)
+    "q_union_distinct" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      val su = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      val n = t(s, dir, "nation").select(col("n_nationkey").as("nationkey"))
+      c.union(su).union(n).distinct().orderBy(col("nationkey"))
+    }),
+
+    // conditional aggregation (pivot-style counts without pivot)
+    "q_conditional_agg" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
+          count(when(col("o_orderstatus") === "O", 1)).as("n_o"),
+          count(when(col("o_orderstatus") === "P", 1)).as("n_p"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // pivot (dedicated operator on top of the same aggregation machinery)
+    "q_pivot" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // first/last ordered aggregates via min_by/max_by
+    "q_minby_maxby" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          min_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey"))).as("cheapest_order"),
+          max_by(col("o_orderkey"), struct(col("o_totalprice"), (-col("o_orderkey")).cast("long"))).as("priciest_order"))
+        .orderBy(col("o_orderpriority"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_join_chain5" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_having" ->
+      """SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spent
+        |FROM orders GROUP BY o_custkey HAVING count(*) >= 15
+        |ORDER BY o_custkey""".stripMargin,
+    "q_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_in_subquery" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+        |  AND o_totalprice > 150000
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_correlated_exists" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_suppkey = s_suppkey AND l_quantity > 45)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q_struct_ops" ->
+      """SELECT c_custkey, c_name AS name, c_acctbal * 2 AS double_bal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_array_agg" ->
+      """SELECT n_regionkey,
+        |  array_to_string(list_sort(list(n_name)), ',') AS nations,
+        |  count(*) AS n
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "q_map_type" ->
+      """SELECT r_regionkey, r_name AS name_from_map, CAST(2 AS BIGINT) AS map_size
+        |FROM region ORDER BY r_regionkey""".stripMargin,
+    "q_decimal" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(l_extendedprice AS DECIMAL(18,4)) AS price_dec,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4)) AS DECIMAL(18,4)) AS total_dec
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, price_dec""".stripMargin,
+    "q_union_distinct" ->
+      """SELECT nationkey FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  UNION SELECT s_nationkey FROM supplier
+        |  UNION SELECT n_nationkey FROM nation)
+        |ORDER BY nationkey""".stripMargin,
+    "q_conditional_agg" ->
+      """SELECT o_orderpriority,
+        |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+        |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+        |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+        |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+        |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_minby_maxby" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS rn_min,
+        |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn_max
+        |  FROM orders)
+        |SELECT o_orderpriority,
+        |  min(CASE WHEN rn_min = 1 THEN o_orderkey END) AS cheapest_order,
+        |  min(CASE WHEN rn_max = 1 THEN o_orderkey END) AS priciest_order
+        |FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+  )
+}

@@ -28,6 +28,15 @@ class ExtensionsSpec extends SparkSpec {
     assert((a & ~((1L << 16) - 1)) == 0) // only low 16 bits set
   }
 
+  test("optimizer rule folds cosine(x, x) to a literal") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(3)
+    val df = emb.select(graft.functions.VectorFunctions.cosine($"embedding", $"embedding").as("c"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("cosinesim"), optimized)
+    assert(df.collect().forall(r => r.getDouble(0) == 1.0))
+  }
+
   test("float vectors accepted (embedding column type)") {
     import spark.implicits._
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(1)
