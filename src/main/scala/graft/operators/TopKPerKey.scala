@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Row}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Top-k rows per key WITHOUT a per-partition total sort.
+  *
+  * `row_number().over(Window.partitionBy(key).orderBy(ord)) <= k` shuffles
+  * EVERY row of every key to one reducer and sorts it — at 100 TB the
+  * window sort of the biggest key is the straggler. This operator keeps a
+  * bounded k-element heap per key inside a typed Aggregator, so map-side
+  * partial aggregation reduces each partition's contribution to ≤ k rows
+  * per key BEFORE the shuffle; the exchange then carries ≤ k·partitions
+  * rows per key instead of all of them. Same output as the window
+  * formulation (modulo the caller's deterministic ordering).
+  *
+  * Ordering: rows are ranked by a double `score` (descending; ties broken
+  * by ascending payload order comparison) packed by the caller.
+  */
+object TopKPerKey {
+
+  /** (score, payload) pairs kept in a bounded array buffer. */
+  private final case class HeapAgg(k: Int)
+      extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+
+    override def zero: Seq[(Double, Long)] = Vector.empty
+
+    private def insert(buf: Seq[(Double, Long)], v: (Double, Long)): Seq[(Double, Long)] = {
+      // descending score, ascending id tiebreak; keep k best
+      val merged = (buf :+ v).sortBy { case (s, id) => (-s, id) }
+      if (merged.length > k) merged.take(k) else merged
+    }
+
+    override def reduce(buf: Seq[(Double, Long)], v: (Double, Long)): Seq[(Double, Long)] = insert(buf, v)
+
+    override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] = {
+      val merged = (a ++ b).sortBy { case (s, id) => (-s, id) }
+      merged.take(k)
+    }
+
+    override def finish(buf: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      buf.sortBy { case (s, id) => (-s, id) }
+
+    override def bufferEncoder: Encoder[Seq[(Double, Long)]] = ExpressionEncoder[Seq[(Double, Long)]]()
+    override def outputEncoder: Encoder[Seq[(Double, Long)]] = ExpressionEncoder[Seq[(Double, Long)]]()
+  }
+
+  /** Top-k (score desc, id asc) per key. Input columns: key (any), score
+    * (double), id (long payload / row identifier). Output: key, id, score,
+    * rank (1-based).
+    */
+  def topK(df: DataFrame, keyCol: String, scoreCol: String, idCol: String, k: Int): DataFrame = {
+    val agg = udaf(HeapAgg(k))
+    df.select(col(keyCol).as("key"), col(scoreCol).cast("double").as("__score"), col(idCol).cast("long").as("__id"))
+      .groupBy(col("key"))
+      .agg(agg(col("__score"), col("__id")).as("top"))
+      .select(col("key"), posexplode(col("top")).as(Seq("rank0", "pair")))
+      .select(
+        col("key").as(keyCol),
+        col("pair._2").as(idCol),
+        col("pair._1").as(scoreCol),
+        (col("rank0") + 1).cast("long").as("rank"))
+  }
+}

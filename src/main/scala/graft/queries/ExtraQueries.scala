@@ -148,6 +148,13 @@ object ExtraQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // bounded-heap top-k per key (map-side combine; no per-key total sort)
+    "q_topk_per_key" -> ((s, dir) => {
+      graft.operators.TopKPerKey
+        .topK(t(s, dir, "orders"), "o_orderpriority", "o_totalprice", "o_orderkey", k = 3)
+        .orderBy(col("o_orderpriority"), col("rank"))
+    }),
+
     // first/last ordered aggregates via min_by/max_by
     "q_minby_maxby" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -223,6 +230,14 @@ object ExtraQueries {
         |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
         |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_topk_per_key" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rank
+        |FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin,
     "q_minby_maxby" ->
       """WITH r AS (
         |  SELECT o_orderpriority, o_orderkey,
