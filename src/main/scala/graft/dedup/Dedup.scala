@@ -89,11 +89,17 @@ object Dedup {
 
   /** Shared LSH-banding candidate pipeline over MinHash signatures. */
   private def lshVerifiedPairs(
-      prepared: DataFrame, // (id, sig, shset)
+      preparedIn: DataFrame, // (id, sig, shset)
       bands: Int,
       rows: Int,
       threshold: Double
   ): DataFrame = {
+    // The signature table feeds three consumers (both self-join sides and
+    // the verification join); persist it so the scan+explode+aggregate
+    // pipeline runs once. MEMORY_AND_DISK: at 100 TB this is the artifact
+    // you would checkpoint to the store — it is ~100 bytes/doc (signature
+    // + hash set), orders of magnitude smaller than the corpus.
+    val prepared = preparedIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keyed = prepared
       .select(col("id"), explode(H.lshBands(col("sig"), bands, rows)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
