@@ -225,6 +225,7 @@ object Dedup {
       .distinct()
       .withColumn("rep", col("id"))
       .cache()
+    var cachedHandle = labels
     var changed = true
     var iter = 0
     while (changed && iter < maxIters) {
@@ -232,17 +233,19 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("rep").as("nrep")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("nrep")).as("minNeighbor"))
-      val updated = labels
+      // change detection folded into the update row (one extra boolean per
+      // row, one tiny agg) instead of a second join+count pass
+      val updatedWithFlag = labels
         .join(neighborMin, Seq("id"), "left")
-        .select(col("id"), least(col("rep"), coalesce(col("minNeighbor"), col("rep"))).as("rep"))
+        .select(
+          col("id"),
+          least(col("rep"), coalesce(col("minNeighbor"), col("rep"))).as("newRep"),
+          (coalesce(col("minNeighbor"), col("rep")) < col("rep")).as("chg"))
         .cache()
-      updated.count() // materialize before comparing / unpersisting parent
-      changed = updated.join(labels.withColumnRenamed("rep", "oldRep"), "id")
-        .where(col("rep") =!= col("oldRep"))
-        .limit(1)
-        .count() > 0
-      labels.unpersist()
-      labels = updated
+      changed = updatedWithFlag.agg(max(col("chg"))).head().getBoolean(0)
+      cachedHandle.unpersist()
+      cachedHandle = updatedWithFlag
+      labels = updatedWithFlag.select(col("id"), col("newRep").as("rep"))
       iter += 1
     }
     edges.unpersist()
