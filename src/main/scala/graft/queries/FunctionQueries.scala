@@ -29,6 +29,21 @@ object FunctionQueries {
         .orderBy(col("p_partkey"))
     }),
 
+    "q_string_funcs2" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          regexp_extract(col("p_type"), "([A-Za-z]+)", 1).as("first_word"),
+          translate(col("p_brand"), "#", "-").as("brand_dashed"),
+          expr("split_part(p_type, ' ', 1)").as("type_head"),
+          expr("left(p_name, 4)").as("name_left"),
+          expr("right(p_name, 3)").as("name_right"),
+          repeat(col("p_brand"), 2).as("brand_twice"),
+          col("p_name").startsWith("a").as("starts_a"),
+          col("p_name").contains("green").as("has_green_str"))
+        .orderBy(col("p_partkey"))
+    }),
+
     "q_date_funcs" -> ((s, dir) => {
       t(s, dir, "orders")
         .select(
@@ -174,6 +189,17 @@ object FunctionQueries {
         |  lpad(p_brand, 12, '0') AS brand_padded,
         |  CAST(strpos(p_name, 'a') AS BIGINT) AS first_a,
         |  reverse(p_brand) AS brand_rev
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_string_funcs2" ->
+      """SELECT p_partkey,
+        |  regexp_extract(p_type, '([A-Za-z]+)', 1) AS first_word,
+        |  translate(p_brand, '#', '-') AS brand_dashed,
+        |  split_part(p_type, ' ', 1) AS type_head,
+        |  left(p_name, 4) AS name_left,
+        |  right(p_name, 3) AS name_right,
+        |  repeat(p_brand, 2) AS brand_twice,
+        |  starts_with(p_name, 'a') AS starts_a,
+        |  contains(p_name, 'green') AS has_green_str
         |FROM part ORDER BY p_partkey""".stripMargin,
     "q_date_funcs" ->
       """SELECT o_orderkey,

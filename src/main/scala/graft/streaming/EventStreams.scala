@@ -88,6 +88,33 @@ object EventStreams {
   def dedupWithinWatermark(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream self-join: clicks joined to purchases of the same user
+    * within [0, maxGap] AFTER the click — both sides watermarked, the time
+    * bound lets the state store evict (unbounded stream-stream joins are
+    * rejected by Spark in append mode).
+    */
+  def clickToPurchaseJoin(events: DataFrame, watermark: String = "1 hour", maxGap: String = "30 minutes"): DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    clicks.join(
+      purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $maxGap"),
+      "inner"
+    ).select(col("click_id"), col("purchase_id"), col("user_id"), col("click_ts"), col("purchase_ts"))
+  }
+
+  /** foreachBatch sink: per-micro-batch handler with the batch id — the
+    * escape hatch for idempotent upserts into arbitrary stores.
+    */
+  def writeForeachBatch(df: DataFrame, handler: (DataFrame, Long) => Unit) =
+    df.writeStream.outputMode("append").foreachBatch(handler)
+
   final case class UserRunning(userId: Long, nEvents: Long, totalValue: Double)
 
   /** Custom state: running per-user totals via mapGroupsWithState — the

@@ -63,6 +63,37 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream join == batch twin within the time bound") {
+    val dir = java.nio.file.Files.createTempDirectory("events_ssj")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"), dir.resolve("events.parquet"))
+    val stream = EventStreams.readEventStream(spark, dir.toString)
+    runToMemory(EventStreams.clickToPurchaseJoin(stream), "ssj_out", "append")
+    val streamed = spark.table("ssj_out").select("click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = EventStreams.clickToPurchaseJoin(Tables.events(spark, sf0001))
+      .select("click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batch))
+    assert(streamed.size >= batch.size / 2) // watermark may hold back the tail
+  }
+
+  test("foreachBatch sink receives every micro-batch") {
+    val dir = java.nio.file.Files.createTempDirectory("events_feb")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"), dir.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"), dir.resolve("b.parquet"))
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val stream = EventStreams.readEventStream(spark, dir.toString)
+    val q = EventStreams.writeForeachBatch(stream, (batch, id) => { seen.add((id, batch.count())); () }).start()
+    q.processAllAvailable(); q.stop()
+    val batches = seen.toArray(Array.empty[(Long, Long)])
+    assert(batches.length == 2) // maxFilesPerTrigger=1 → one batch per file
+    assert(batches.map(_._2).sum == 2 * Tables.events(spark, sf0001).count())
+  }
+
   test("stateful running totals via mapGroupsWithState (batch mode)") {
     val events = Tables.events(spark, sf0001).where(col("user_id") < 3)
     val out = EventStreams.runningUserTotals(events).collect()
