@@ -31,6 +31,9 @@ object GraftSession {
       .config("spark.sql.parquet.compression.codec", "zstd")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // typed-Aggregator (udaf) pipelines: keep object hash aggregation in
+      // the hash map instead of sort-based fallback at 128 distinct keys
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
