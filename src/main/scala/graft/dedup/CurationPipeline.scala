@@ -1,0 +1,65 @@
+package graft.dedup
+
+import graft.functions.{TextFunctions => T}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data curation: the composition a 100 TB pretraining
+  * pipeline actually runs, in dependency order chosen for cost:
+  *
+  *  1. quality gate   — scan-local expression filter (cheapest first: cuts
+  *                      volume before anything shuffles),
+  *  2. language gate  — optional scan-local stopword language ID,
+  *  3. exact dedup    — one fingerprint aggregation (removes the mass of
+  *                      byte-identical copies so near-dup LSH buckets stay
+  *                      small),
+  *  4. near dedup     — MinHash+LSH with exact-Jaccard verification and
+  *                      min-label-propagation cluster collapse.
+  *
+  * Each stage only shrinks the data, so the expensive stage (4) sees the
+  * minimum corpus. Returns the surviving rows plus per-stage counts for
+  * observability (the reference's observe/progress analog).
+  */
+object CurationPipeline {
+
+  final case class StageCounts(
+      input: Long,
+      afterQuality: Long,
+      afterLang: Long,
+      afterExact: Long,
+      afterNear: Long)
+
+  final case class Result(survivors: DataFrame, counts: StageCounts)
+
+  /** @param collectStats when true, count every stage (extra jobs that
+    *   re-evaluate the gate lineage — observability mode); when false the
+    *   pipeline stays one lazy plan until the caller's action (production
+    *   mode: stage counts come back as -1).
+    */
+  def run(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      minQuality: Double = 0.5,
+      keepLangs: Option[Seq[String]] = None,
+      nearThreshold: Double = 0.7,
+      collectStats: Boolean = false
+  ): Result = {
+    def n(df: DataFrame): Long = if (collectStats) df.count() else -1L
+
+    val qualityGated = docs.where(T.qualityScore(col(textCol)) >= minQuality)
+    val langGated = keepLangs match {
+      case Some(langs) => qualityGated.where(T.langId(col(textCol)).isin(langs: _*))
+      case None        => qualityGated
+    }
+    // cache the gated corpus: the near-dedup stage consumes it several
+    // times (signatures + anti-join back); this is the one materialization
+    // the pipeline genuinely reuses
+    val exactDeduped = Dedup.exact(langGated, textCol, idCol).cache()
+    val survivors = Dedup.minHashDedup(exactDeduped, textCol, idCol, threshold = nearThreshold)
+
+    Result(
+      survivors,
+      StageCounts(n(docs), n(qualityGated), n(langGated), n(exactDeduped), n(survivors)))
+  }
+}

@@ -75,6 +75,16 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // end-to-end curation: quality gate → exact dedup → near dedup
+    // (rows-only; stage invariants in CurationPipelineSpec)
+    "q_curation_pipeline" -> ((s, dir) => {
+      graft.dedup.CurationPipeline
+        .run(t(s, dir, "documents"), "text", "doc_id", minQuality = 0.3, nearThreshold = 0.6)
+        .survivors
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // text analysis: token counting
     "q_token_count" -> ((s, dir) => {
       t(s, dir, "documents")
