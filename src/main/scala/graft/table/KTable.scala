@@ -52,14 +52,23 @@ final class KTable private (val df: DataFrame) extends Serializable {
   // ---- slice (reference ColumnarVirtualTable.java:211-214) ----
 
   /** Row-range [from, until) in the table's current order.
-    * Compiles to Offset+Limit, which Spark pushes into the scan where
-    * possible; exact slice semantics require a defined order — callers at
-    * the API edge order by row_id / an explicit key (ordering invariant,
-    * SURVEY.md §7).
+    * When the range fits in Int it compiles to Offset+Limit, which Spark
+    * pushes into the scan where possible; beyond 2^31 (row positions past
+    * ~2.1 B — real at 100 TB) it falls back to an exact row-index filter
+    * (narrow zipWithIndex pass, no shuffle). Exact slice semantics require
+    * a defined order — callers at the API edge order by row_id / an
+    * explicit key (ordering invariant, SURVEY.md §7).
     */
   def slice(from: Long, until: Long): KTable = {
     require(from >= 0 && until >= from, s"bad slice [$from,$until)")
-    KTable(df.offset(from.toInt).limit((until - from).toInt))
+    if (until <= Int.MaxValue) KTable(df.offset(from.toInt).limit((until - from).toInt))
+    else {
+      val tmp = "__graft_slice_index"
+      KTable(
+        RowId.withRowIndex(df, tmp)
+          .where(col(tmp) >= from && col(tmp) < until)
+          .drop(tmp))
+    }
   }
 
   // ---- filter (reference ColumnarVirtualTable.java:254-257) ----

@@ -82,21 +82,38 @@ object RowId {
   }
 
   /** Uniquify duplicate RowIDs by suffixing "_dup", "_dup_dup", … like the
-    * reference's retry loop (ColumnarConcatenater.java:275-281), but in one
-    * distributed pass: the n-th occurrence of a key gets n-1 "_dup"
-    * suffixes. Window shuffle on the key; skew-safe for realistic RowID
-    * duplication factors.
+    * reference's retry loop (ColumnarConcatenater.java:275-281). Each pass
+    * is distributed: the n-th occurrence of a key gets n-1 "_dup" suffixes
+    * (window shuffle on the key; skew-safe for realistic duplication
+    * factors). A single pass can itself COLLIDE with pre-existing
+    * "_dup"-suffixed keys (rows "A","A","A_dup" → two "A_dup"), so — like
+    * the reference — we re-check and re-suffix until no duplicates remain.
+    * The common case (no pre-existing "_dup" keys) converges after one
+    * pass + one empty-check job.
     */
   def uniquifyRowIds(df: DataFrame, keyCol: String = RowIdCol): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tmp = "__graft_occurrence"
     val ord = "__graft_order"
-    val ordered = withRowIndex(df, ord)
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(ord))
-    ordered
-      .withColumn(tmp, row_number().over(w) - 1)
-      .withColumn(keyCol, concat(col(keyCol), repeat(lit("_dup"), col(tmp).cast("int"))))
-      .orderBy(col(ord))
-      .drop(tmp, ord)
+    var cur = withRowIndex(df, ord)
+    var iters = 0
+    var done = false
+    while (!done) {
+      val w = Window.partitionBy(col(keyCol)).orderBy(col(ord))
+      cur = cur
+        .withColumn(tmp, row_number().over(w) - 1)
+        .withColumn(keyCol, concat(col(keyCol), repeat(lit("_dup"), col(tmp).cast("int"))))
+        .drop(tmp)
+      iters += 1
+      done = duplicateKeys(cur, keyCol).isEmpty
+      // each pass strictly shrinks the duplicate set (first occurrence of
+      // every key is untouched), so termination is guaranteed; the bound
+      // only guards pathological inputs from unbounded plan growth
+      if (!done && iters >= 20) {
+        cur = cur.localCheckpoint(true)
+        iters = 0
+      }
+    }
+    cur.orderBy(col(ord)).drop(ord)
   }
 }

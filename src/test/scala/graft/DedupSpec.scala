@@ -87,6 +87,17 @@ class DedupSpec extends SparkSpec {
     assert(!out.contains(4L)) // exact dup dropped
   }
 
+  test("clean corpus (no near-duplicates) survives end-to-end — empty pair graph (ADVICE r1)") {
+    val clean = Seq((0L, distinct1), (1L, distinct2)).toDF("doc_id", "text")
+    // used to NPE: agg(max(chg)) over an empty label set returned null
+    val out = Dedup.minHashDedup(clean, "text", "doc_id", threshold = 0.5)
+      .select($"doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(0L, 1L))
+    val reps = Dedup.clusterRepresentatives(
+      Seq.empty[(Long, Long, Double)].toDF("id_a", "id_b", "jaccard_sim"))
+    assert(reps.isEmpty)
+  }
+
   test("embedding pairs: identical and near-identical vectors pair up") {
     val v = (0 until 16).map(_.toFloat / 16f).toArray
     val vNear = v.clone(); vNear(0) = vNear(0) + 0.001f

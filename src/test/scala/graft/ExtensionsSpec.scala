@@ -28,13 +28,33 @@ class ExtensionsSpec extends SparkSpec {
     assert((a & ~((1L << 16) - 1)) == 0) // only low 16 bits set
   }
 
-  test("optimizer rule folds cosine(x, x) to a literal") {
+  test("optimizer rule folds cosine(x, x) to a norm-guarded literal") {
     import spark.implicits._
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(3)
     val df = emb.select(graft.functions.VectorFunctions.cosine($"embedding", $"embedding").as("c"))
     val optimized = df.queryExecution.optimizedPlan.toString
-    assert(!optimized.contains("cosinesim"), optimized)
+    // fold shape: If(norm guard, 1.0, original) — guard present, literal present
+    assert(optimized.contains("l2norm"), optimized)
+    assert(optimized.contains("1.0"), optimized)
     assert(df.collect().forall(r => r.getDouble(0) == 1.0))
+  }
+
+  test("fold preserves zero-vector and null semantics (ADVICE r1)") {
+    import spark.implicits._
+    val df = Seq(
+      (1, Some(Array(0.0, 0.0))), // zero vector: cosine must stay 0.0
+      (2, Some(Array(3.0, 4.0))), // normal: folds to 1.0
+      (3, None)                   // null: stays null
+    ).toDF("id", "v")
+    val out = df
+      .select($"id",
+        graft.functions.VectorFunctions.cosine($"v", $"v").as("c"),
+        graft.functions.VectorFunctions.l2Distance($"v", $"v").as("d"))
+      .orderBy($"id")
+      .collect()
+    assert(out(0).getDouble(1) == 0.0 && out(0).getDouble(2) == 0.0)
+    assert(out(1).getDouble(1) == 1.0 && out(1).getDouble(2) == 0.0)
+    assert(out(2).isNullAt(1) && out(2).isNullAt(2))
   }
 
   test("float vectors accepted (embedding column type)") {

@@ -98,6 +98,21 @@ class KTableSpec extends SparkSpec {
     assert(u.map(_.getString(0)).toSeq == Seq("A", "A_dup", "B", "A_dup_dup"))
   }
 
+  test("uniquifyRowIds re-checks when input already contains _dup keys (ADVICE r1)") {
+    // "A","A","A_dup": single-pass suffixing would emit two "A_dup"s
+    val dup = Seq(("A", 1), ("A", 2), ("A_dup", 3)).toDF("row_id", "v").orderBy($"v")
+    val u = RowId.uniquifyRowIds(dup).select($"row_id").collect().map(_.getString(0))
+    assert(u.length == 3 && u.distinct.length == 3, u.mkString(","))
+    assert(u.forall(k => k == "A" || k.startsWith("A_dup")))
+  }
+
+  test("slice beyond Int range uses the row-index fallback") {
+    val base = KTable(sample.df.orderBy($"num"))
+    val out = base.slice(97L, Int.MaxValue.toLong + 5L).df
+      .select($"num").collect().map(_.getInt(0)).sorted.toSeq
+    assert(out == Seq(97, 98, 99))
+  }
+
   test("duplicateKeys flags only duplicated ids") {
     val dup = Seq("A", "B", "A", "C").toDF("row_id")
     assert(RowId.duplicateKeys(dup).collect().map(_.getString(0)).toSeq == Seq("A"))
