@@ -11,20 +11,20 @@ import org.apache.spark.sql.functions._
   *  - exact: one hash aggregation on a content fingerprint (map-side
   *    partial combine; the only shuffle key is the fingerprint — uniform by
   *    construction, no skew).
-  *  - MinHash+LSH near-dup: signatures are computed by EXPLODING shingles
-  *    and taking k min-aggregates of seeded xxhash64 — everything stays in
-  *    whole-stage-codegen'd hash aggregation (interpreted higher-order
-  *    functions are deliberately avoided in the hot path: Catalyst's
-  *    CollapseProject would inline the shingle expression into each of the
-  *    k signature lanes and re-evaluate it k× per row). The partial
-  *    aggregation collapses shingles to one 64-long signature per doc per
-  *    partition, so the shuffle carries signatures — never document text.
-  *  - candidate generation explodes b band keys per doc (b≈16 ⇒ 16× row
-  *    amplification of (id, key64) pairs only), buckets join on
-  *    (band,bucket) — uniform 64-bit keys; verification re-checks
-  *    candidates with exact Jaccard over the collected shingle-hash sets.
-  *  - SimHash: 64 sign-sum aggregates over exploded tokens (same codegen
-  *    rationale), banded bucketing, Hamming verification.
+  *  - MinHash+LSH near-dup: shingle hashes AND the k-lane signature are
+  *    computed per ROW by fused native expressions
+  *    (graft.expressions.ShingleHashes / MinHashSig — one primitive JVM
+  *    pass per document, no interpreted higher-order functions, no
+  *    explode, no aggregate shuffle). The only wide stages left are the
+  *    LSH bucket join and verification — irreducible at any scale. The
+  *    shuffle carries (id, band, bucket) triples and per-doc hash sets,
+  *    never document text.
+  *  - candidate generation posexplodes b band-bucket hashes per doc
+  *    (b≈16 ⇒ 16× row amplification of (id, key64) pairs only), buckets
+  *    join on (band,bucket) — uniform 64-bit keys; verification re-checks
+  *    candidates with exact Jaccard over the per-doc shingle-hash sets.
+  *  - SimHash: per-row 64-bit fingerprint (fused token-hash + sign-vote
+  *    expression), banded bucketing, Hamming verification.
   *  - embedding near-dup: random-hyperplane LSH buckets, cosine
   *    verification.
   *
@@ -48,27 +48,17 @@ object Dedup {
     docs.join(survivors.withColumnRenamed("__id", idCol), Seq(idCol), "left_semi")
   }
 
-  /** (id, shingle-hash) rows: shingle expression evaluated exactly once per
-    * document by the Generate (explode) operator, then hashed to a Long so
-    * downstream aggregation never carries strings.
+  /** (id, sig, shset) per document, all narrow: the fused shingle-hash
+    * expression runs once per row (shset = distinct shingle hashes for
+    * exact-Jaccard verification), and the k-lane signature is a per-row
+    * pass over that array. The two-step projection keeps the expensive
+    * shingle expression evaluated ONCE (CollapseProject does not inline
+    * non-cheap expressions referenced twice).
     */
-  private def shingleHashes(docs: DataFrame, textCol: String, idCol: String, shingleExpr: Column): DataFrame =
+  private def minHashSignatures(docs: DataFrame, idCol: String, shingleHashExpr: Column, k: Int): DataFrame =
     docs
-      .select(col(idCol).as("id"), explode(shingleExpr).as("sh"))
-      .select(col("id"), xxhash64(col("sh")).as("h"))
-
-  /** MinHash signatures via the single-buffer custom aggregate
-    * (graft.functions.MinHashAggregator — k separate min-agg expressions
-    * would Janino-compile k lanes of generated code). Output: (id, sig
-    * array<long>, shset array<long> — the distinct shingle-hash set for
-    * exact-Jaccard verification).
-    */
-  private def minHashSignatures(shingled: DataFrame, k: Int): DataFrame =
-    shingled
-      .groupBy(col("id"))
-      .agg(
-        graft.functions.MinHashAggregator.signature(col("h"), k).as("sig"),
-        collect_set(col("h")).as("shset"))
+      .select(col(idCol).as("id"), shingleHashExpr.as("shset"))
+      .select(col("id"), H.minHashSigFromHashes(col("shset"), k).as("sig"), col("shset"))
 
   /** Band keys over a Long fingerprint: (band, bucket) structs where
     * bucket = the band-th `width`-bit chunk.
@@ -101,8 +91,7 @@ object Dedup {
     // + hash set), orders of magnitude smaller than the corpus.
     val prepared = preparedIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keyed = prepared
-      .select(col("id"), explode(H.lshBands(col("sig"), bands, rows)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+      .select(col("id"), posexplode(H.bandHashes(col("sig"), bands, rows)).as(Seq("band", "bucket")))
     val cand = keyed.as("a")
       .join(keyed.as("b"), Seq("band", "bucket"))
       .where(col("a.id") < col("b.id"))
@@ -137,8 +126,9 @@ object Dedup {
       threshold: Double = 0.7
   ): DataFrame = {
     require(numHashes % bands == 0)
-    val shingled = shingleHashes(docs, textCol, idCol, T.shingles(col(textCol), shingleSize))
-    lshVerifiedPairs(minHashSignatures(shingled, numHashes), bands, numHashes / bands, threshold)
+    lshVerifiedPairs(
+      minHashSignatures(docs, idCol, T.shingleHashes(col(textCol), shingleSize), numHashes),
+      bands, numHashes / bands, threshold)
   }
 
   /** Character-n-gram Jaccard near-dup pairs (same MinHash machinery over
@@ -154,19 +144,18 @@ object Dedup {
       threshold: Double = 0.5
   ): DataFrame = {
     require(numHashes % bands == 0)
-    val shingled = shingleHashes(docs, textCol, idCol, T.charShingles(col(textCol), n))
-    lshVerifiedPairs(minHashSignatures(shingled, numHashes), bands, numHashes / bands, threshold)
+    lshVerifiedPairs(
+      minHashSignatures(docs, idCol, T.charShingleHashes(col(textCol), n), numHashes),
+      bands, numHashes / bands, threshold)
   }
 
-  /** 64-bit SimHash fingerprints via 64 codegen'd sign-sum aggregates over
-    * exploded tokens. Output: (id, fp).
+  /** 64-bit SimHash fingerprints, fully per-row (fused token-hash + vote
+    * expressions — no explode, no aggregate). Output: (id, fp).
     */
   def simHashFingerprints(docs: DataFrame, textCol: String, idCol: String): DataFrame =
-    docs
-      .select(col(idCol).as("id"), explode(T.tokenize(col(textCol))).as("tok"))
-      .select(col("id"), xxhash64(col("tok")).as("h"))
-      .groupBy(col("id"))
-      .agg(graft.functions.SimHashAggregator.fingerprint(col("h")).as("fp"))
+    docs.select(
+      col(idCol).as("id"),
+      H.simHashFromHashes(T.tokenHashes(col(textCol))).as("fp"))
 
   /** SimHash near-dup candidate pairs within a Hamming radius. */
   def simHashPairs(

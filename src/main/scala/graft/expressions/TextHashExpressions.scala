@@ -1,0 +1,228 @@
+package graft.expressions
+
+import graft.functions.MinHashAggregator.mix64
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused text-hashing expressions — the dedup hot path.
+  *
+  * Rationale (same as VectorExpressions): the expression-composition
+  * formulation (regex normalize → split → n slices zipped by interpreted
+  * `zip_with` lambdas → per-shingle xxhash64) embeds the tokenize chain
+  * once per shifted copy and pays interpreted dispatch per element; at
+  * sf0.1 the shingle projection alone cost ~3 s — more than every shuffle
+  * in the MinHash pipeline combined. These expressions do ONE pass of
+  * primitive JVM code per row: normalize into an ASCII byte buffer, window
+  * over token offsets, hash windows in place (XXH64 over the buffer, seed
+  * 42 = Spark's xxhash64, so values match `xxhash64(shingle_string)`).
+  *
+  * They also unlock per-ROW MinHash/SimHash: with shingle hashes available
+  * as one array<long> per document, the signature is a narrow map-side
+  * computation — no explode, no hash-aggregate shuffle of signature
+  * buffers. At 100 TB the only remaining wide stage in near-dedup is the
+  * LSH bucket join itself, which is irreducible.
+  *
+  * Normalization semantics match TextFunctions.normalizeText/tokenize
+  * (lowercase, [^a-z0-9\s]→space, squeeze, trim) for ASCII; non-ASCII
+  * characters are treated as separators directly (the regex pipeline
+  * lowercases them first and then strips them — same outcome except for
+  * exotic case-mappings into ASCII, e.g. U+212A KELVIN SIGN → 'k').
+  */
+object TextHash {
+
+  /** Normalize into an ASCII byte buffer with single-space separators.
+    * Returns (buffer, length); tokens are the maximal space-free runs.
+    */
+  def normalize(s: String): (Array[Byte], Int) = {
+    val buf = new Array[Byte](s.length)
+    var m = 0
+    var pendingSpace = false
+    var i = 0
+    while (i < s.length) {
+      val c0 = s.charAt(i)
+      val c = if (c0 >= 'A' && c0 <= 'Z') (c0 + 32).toChar else c0
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        if (pendingSpace && m > 0) { buf(m) = ' '; m += 1 }
+        pendingSpace = false
+        buf(m) = c.toByte; m += 1
+      } else pendingSpace = true
+      i += 1
+    }
+    (buf, m)
+  }
+
+  @inline def hashRange(buf: Array[Byte], start: Int, len: Int): Long =
+    XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET + start, len, 42L)
+
+  private[expressions] def checkString(dt: DataType): TypeCheckResult = dt match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expected string, got ${other.simpleString(10)}")
+  }
+
+  private[expressions] def checkLongArray(dt: DataType): TypeCheckResult = dt match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expected array<bigint>, got ${other.simpleString(10)}")
+  }
+}
+
+/** xxhash64 values of the text's n-gram shingles, in one pass.
+  *
+  *  - word level: n consecutive tokens joined by ' ' (byte ranges of the
+  *    normalized buffer — never materialized as strings)
+  *  - char level: n consecutive bytes of the normalized text (spaces
+  *    included), matching `zipShingles(split(normalized, ""), n, "")`
+  *  - `distinct`: set semantics (dedup by hash value, first occurrence
+  *    kept) — what MinHash/Jaccard need; keep false for SimHash token
+  *    multisets.
+  */
+case class ShingleHashes(child: Expression, n: Int, charLevel: Boolean, distinct: Boolean)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, s"shingle size must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = TextHash.checkString(child.dataType)
+
+  override def nullSafeEval(v: Any): Any = {
+    val (buf, len) = TextHash.normalize(v.asInstanceOf[UTF8String].toString)
+    val out = new java.util.ArrayList[Long]()
+    val seen = if (distinct) new java.util.HashSet[Long]() else null
+    if (charLevel) {
+      var i = 0
+      while (i + n <= len) {
+        val h = TextHash.hashRange(buf, i, n)
+        if (seen == null || seen.add(h)) out.add(h)
+        i += 1
+      }
+    } else {
+      // token start offsets (tokens separated by single spaces)
+      val starts = new java.util.ArrayList[Integer]()
+      var i = 0
+      while (i < len) {
+        if (i == 0 || buf(i - 1) == ' ') starts.add(i)
+        i += 1
+      }
+      val t = starts.size()
+      var s = 0
+      while (s + n <= t) {
+        val from = starts.get(s)
+        val until = if (s + n < t) starts.get(s + n) - 1 else len // strip trailing space
+        val h = TextHash.hashRange(buf, from, until - from)
+        if (seen == null || seen.add(h)) out.add(h)
+        s += 1
+      }
+    }
+    val arr = new Array[Any](out.size())
+    var j = 0
+    while (j < arr.length) { arr(j) = out.get(j).longValue(); j += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** k-lane MinHash signature from an array of shingle hashes, per row.
+  * Lane i = min over shingles of splitmix64(h + GOLDEN·(i+1)) — identical
+  * lanes to [[graft.functions.MinHashAggregator]]; empty input → all
+  * Long.MaxValue sentinel (never matches).
+  */
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression with CodegenFallback {
+  require(k >= 1 && k <= 4096, s"k must be in [1,4096], got $k")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = TextHash.checkLongArray(child.dataType)
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val sig = Array.fill(k)(Long.MaxValue)
+    var e = 0
+    val n = a.numElements()
+    while (e < n) {
+      val h = a.getLong(e)
+      var i = 0
+      while (i < k) {
+        val lane = mix64(h + 0x9E3779B97F4A7C15L * (i + 1))
+        if (lane < sig(i)) sig(i) = lane
+        i += 1
+      }
+      e += 1
+    }
+    new GenericArrayData(sig.map(x => x: Any))
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** 64-bit SimHash from an array of token hashes (multiset — duplicates
+  * vote repeatedly), per row. Same vote rule as
+  * [[graft.functions.SimHashAggregator]]: bit j of the fingerprint is set
+  * iff Σ tokens (±1 by token-hash bit j) > 0.
+  */
+case class SimHash(child: Expression) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = TextHash.checkLongArray(child.dataType)
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val counters = new Array[Int](64)
+    var e = 0
+    val n = a.numElements()
+    while (e < n) {
+      val h = a.getLong(e)
+      var j = 0
+      while (j < 64) {
+        counters(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
+        j += 1
+      }
+      e += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 64) {
+      if (counters(j) > 0) fp |= (1L << j)
+      j += 1
+    }
+    fp
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** LSH band bucket hashes from a MinHash signature: element b is a 64-bit
+  * hash of band b's `rows` signature components (XXH64-chained, band index
+  * folded in so identical component values in different bands cannot
+  * collide). Consume with `posexplode` → (band, bucket).
+  */
+case class BandHashes(child: Expression, bands: Int, rows: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(bands >= 1 && rows >= 1)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = TextHash.checkLongArray(child.dataType)
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    require(a.numElements() >= bands * rows,
+      s"signature has ${a.numElements()} components, need ${bands * rows}")
+    val out = new Array[Any](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = XXH64.hashLong(b.toLong, 42L)
+      var j = 0
+      while (j < rows) {
+        acc = XXH64.hashLong(a.getLong(b * rows + j), acc)
+        j += 1
+      }
+      out(b) = acc
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}

@@ -47,6 +47,31 @@ object HashFunctions {
         )
     )
 
+  // Spark 4 Column↔Expression bridge
+  private def col2e(c: Column) = org.apache.spark.sql.graftbridge.Bridge.expression(c)
+  private def e2col(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    org.apache.spark.sql.graftbridge.Bridge.column(e)
+
+  /** Per-row k-lane MinHash signature from pre-hashed shingles (native
+    * expression; lanes identical to MinHashAggregator). With
+    * [[graft.functions.TextFunctions.shingleHashes]] this makes signature
+    * computation a narrow map — no explode, no aggregate shuffle.
+    */
+  def minHashSigFromHashes(shingleHashArr: Column, k: Int): Column =
+    e2col(graft.expressions.MinHashSig(col2e(shingleHashArr), k))
+
+  /** Per-row 64-bit SimHash from pre-hashed tokens (native expression;
+    * votes identical to SimHashAggregator).
+    */
+  def simHashFromHashes(tokenHashArr: Column): Column =
+    e2col(graft.expressions.SimHash(col2e(tokenHashArr)))
+
+  /** Native LSH band bucket hashes (array<long>, element b = hash of band
+    * b's `rows` components). Consume with posexplode → (band, bucket).
+    */
+  def bandHashes(signature: Column, bands: Int, rows: Int): Column =
+    e2col(graft.expressions.BandHashes(col2e(signature), bands, rows))
+
   /** Estimated Jaccard similarity from two MinHash signatures: fraction of
     * agreeing components.
     */

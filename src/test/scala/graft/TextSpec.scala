@@ -27,6 +27,54 @@ class TextSpec extends SparkSpec {
     assert(sh.toSet == Set("abc", "bcd"))
   }
 
+  test("fused ShingleHashes == xxhash64 over string shingles (word + char + tokens)") {
+    import graft.functions.{HashFunctions => H}
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(50)
+      .select($"doc_id", $"text")
+    // extra adversarial rows: empty, punctuation-only, unicode, repeats
+    val extra = Seq((9001L, ""), (9002L, "!!! ??? ..."), (9003L, "Héllo wörld ünïcode"),
+      (9004L, "a a a a a"), (9005L, "  x  ")).toDF("doc_id", "text")
+    val all = docs.unionByName(extra)
+    val cmp = all.select(
+      $"doc_id",
+      array_sort(T.shingleHashes($"text", 3)).as("fused_w"),
+      array_sort(array_distinct(transform(T.shingles($"text", 3), s => xxhash64(s)))).as("ref_w"),
+      array_sort(T.charShingleHashes($"text", 5)).as("fused_c"),
+      array_sort(array_distinct(transform(T.charShingles($"text", 5), s => xxhash64(s)))).as("ref_c"),
+      T.tokenHashes($"text").as("fused_t"),
+      transform(T.tokenize($"text"), t => xxhash64(t)).as("ref_t"))
+      .collect()
+    cmp.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"word shingles differ for doc ${r.getLong(0)}")
+      assert(r.getSeq[Long](3) == r.getSeq[Long](4), s"char shingles differ for doc ${r.getLong(0)}")
+      assert(r.getSeq[Long](5) == r.getSeq[Long](6), s"token hashes differ for doc ${r.getLong(0)}")
+    }
+  }
+
+  test("per-row MinHashSig/SimHash match the aggregator formulations") {
+    import graft.functions.{HashFunctions => H}
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(20)
+    // aggregator path (explode + groupBy + udaf)
+    val aggSig = docs
+      .select($"doc_id".as("id"), explode(T.shingleHashes($"text", 3)).as("h"))
+      .groupBy($"id")
+      .agg(graft.functions.MinHashAggregator.signature($"h", 16).as("sig"))
+    val aggSim = docs
+      .select($"doc_id".as("id"), explode(T.tokenHashes($"text")).as("h"))
+      .groupBy($"id")
+      .agg(graft.functions.SimHashAggregator.fingerprint($"h").as("fp"))
+    // per-row fused path
+    val rowSig = docs.select($"doc_id".as("id"),
+      H.minHashSigFromHashes(T.shingleHashes($"text", 3), 16).as("sig"))
+    val rowSim = docs.select($"doc_id".as("id"),
+      H.simHashFromHashes(T.tokenHashes($"text")).as("fp"))
+    val a = aggSig.join(rowSig.withColumnRenamed("sig", "sig2"), "id").collect()
+    assert(a.nonEmpty)
+    a.foreach(r => assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"sig differs id=${r.get(0)}"))
+    val b = aggSim.join(rowSim.withColumnRenamed("fp", "fp2"), "id").collect()
+    b.foreach(r => assert(r.getLong(1) == r.getLong(2), s"fp differs id=${r.get(0)}"))
+  }
+
   test("langId picks the language with most stopword hits") {
     assert(Seq("the cat and the dog of the house").toDF("t")
       .select(T.langId($"t")).head().getString(0) == "en")
