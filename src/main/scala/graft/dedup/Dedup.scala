@@ -206,6 +206,53 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cosine_sim"))
   }
 
+  /** Duplicated-passage detection (substring-level dedup, the
+    * public-pipeline "exact substring deduplication" shape): spans of `w`
+    * consecutive tokens that appear in at least `minDocs` distinct
+    * documents. Per doc the rolling window hashes come from ONE fused
+    * expression pass (distinct within doc, so per-span counts are document
+    * counts); the only shuffle carries (span_hash, id) pairs — uniform
+    * 64-bit keys, never text. Returns (span_hash, n_docs, min_doc_id).
+    */
+  def duplicatedSpans(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      w: Int = 8,
+      minDocs: Int = 2
+  ): DataFrame =
+    docSpans(docs, textCol, idCol, w)
+      .groupBy(col("span_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("id")).as("min_doc_id"))
+      .where(col("n_docs") >= minDocs)
+
+  /** Per-document duplication profile against the corpus: how many of the
+    * doc's w-token spans also occur in OTHER documents, and the duplicated
+    * fraction — the signal public curation pipelines threshold on to drop
+    * boilerplate-heavy documents. Two uniform-key shuffles (span count,
+    * per-doc re-aggregation).
+    */
+  def spanDupStats(docs: DataFrame, textCol: String, idCol: String, w: Int = 8): DataFrame = {
+    val spans = docSpans(docs, textCol, idCol, w)
+    // span_hash → in how many docs it appears (distinct within doc ⇒ count = doc count)
+    val freq = spans.groupBy(col("span_hash")).agg(count(lit(1)).as("__docs"))
+    spans
+      .join(freq, "span_hash")
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("__docs") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+      .withColumn(
+        "dup_ratio",
+        when(col("n_spans") === 0, lit(0.0))
+          .otherwise(col("n_dup_spans").cast("double") / col("n_spans")))
+  }
+
+  private def docSpans(docs: DataFrame, textCol: String, idCol: String, w: Int): DataFrame =
+    docs.select(
+      col(idCol).as("id"),
+      explode(T.shingleHashes(col(textCol), w)).as("span_hash"))
+
   /** Assign each doc a cluster representative = min id reachable over the
     * pair graph: iterated min-label propagation (distributed connected
     * components, bounded iterations).

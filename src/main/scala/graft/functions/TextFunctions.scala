@@ -25,11 +25,13 @@ object TextFunctions {
   def normalizeText(c: Column): Column =
     trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9\\s]", " "), "\\s+", " "))
 
-  /** Whitespace tokenization over normalized text → array<string>. */
-  def tokenize(c: Column): Column = {
-    val n = normalizeText(c)
-    when(n === "", array().cast("array<string>")).otherwise(split(n, " "))
-  }
+  /** Whitespace tokenization over normalized text → array<string>.
+    * array_remove (codegen'd) handles the empty-string case, so the regex
+    * normalization chain is embedded — and evaluated — exactly once (a
+    * `when(n === "", …).otherwise(split(n, …))` shape embeds it twice).
+    */
+  def tokenize(c: Column): Column =
+    array_remove(split(normalizeText(c), " "), "")
 
   /** Token count: whitespace tokens over normalized text. */
   def tokenCount(c: Column): Column = size(tokenize(c))
@@ -122,6 +124,69 @@ object TextFunctions {
     when(best.getField("hits") <= 0, lit("und")).otherwise(best.getField("lang"))
   }
 
+  /** Remove a language's stopwords from the token stream (duplicates and
+    * order of the remaining tokens preserved — unlike `array_except`,
+    * which dedups). Per-token filter; the hot-path variant would hash
+    * tokens first, but stopword removal is a curation step, not a shuffle
+    * key producer.
+    */
+  def removeStopwords(c: Column, lang: String): Column = {
+    val stops = stopwords.getOrElse(lang, Seq.empty)
+    filter(tokenize(c), t => !t.isInCollection(stops))
+  }
+
+  /** Sentence split on terminal punctuation runs ([.!?]+), trimmed, empty
+    * segments dropped. Operates on the RAW text (normalization would strip
+    * the punctuation the splitter needs).
+    */
+  def sentences(c: Column): Column =
+    filter(transform(split(coalesce(c, lit("")), "[.!?]+"), s => trim(s)), s => s =!= "")
+
+  /** Character-trigram language-ID profiles (common trigrams of each
+    * language over NORMALIZED text — ASCII, single spaces; space-bearing
+    * trigrams like " de" are the most discriminative). Public-knowledge
+    * frequency tables, same spirit as the stopword lists.
+    */
+  private[graft] val trigramProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "ing", "ion", "tio", "ent", "for", "her", " th", "he "),
+    "es" -> Seq("que", " de", "de ", "la ", " la", "cio", "ado", "os ", " co", "ent"),
+    "de" -> Seq("der", "ein", "ich", "sch", "die", "und", "en ", "er ", "ch ", " ge"),
+    "fr" -> Seq("les", " le", "de ", "ent", "que", " pa", "eur", "ais", "ons", " et")
+  )
+
+  /** Language ID via character-trigram profile hits — works on short texts
+    * where whole-stopword matching is sparse. The document's trigram set
+    * comes from the fused [[charShingleHashes]] expression; each profile
+    * is pre-hashed at plan-build time (same XXH64), so the per-row work is
+    * one native pass + four codegen'd array_intersects over 10-element
+    * literal arrays. Tie-break matches [[langId]]: highest hits, then
+    * lexicographically larger code; 'und' when nothing matches.
+    */
+  def langIdNgram(c: Column): Column = {
+    val docTris = charShingleHashes(c, 3)
+    val scored = trigramProfiles.toSeq.sortBy(_._1).map { case (lang, tris) =>
+      val hashes = tris.map { t =>
+        val b = t.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        graft.expressions.TextHash.hashRange(b, 0, b.length)
+      }
+      val hits = size(array_intersect(docTris, typedlit(hashes)))
+      struct(hits.as("hits"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("hits") <= 0, lit("und")).otherwise(best.getField("lang"))
+  }
+
+  /** Per-language trigram hit count (the langIdNgram scores, exposed for
+    * inspection/oracles).
+    */
+  def trigramHits(c: Column, lang: String): Column = {
+    val hashes = trigramProfiles(lang).map { t =>
+      val b = t.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      graft.expressions.TextHash.hashRange(b, 0, b.length)
+    }
+    size(array_intersect(charShingleHashes(c, 3), typedlit(hashes)))
+  }
+
   /** Composite quality score in [0,1]: mean of
     *  - length score  (1 at ≥200 chars, linear below),
     *  - alpha ratio   (alphanumeric+space chars / chars),
@@ -150,11 +215,13 @@ object TextFunctions {
   /** Document fingerprint: md5 of the canonical token stream. Two documents
     * with the same normalized content collide — the exact-dedup key.
     * md5 (not xxhash) so the oracle (DuckDB md5) reproduces it bit-for-bit.
+    * The normalized text IS the tokens joined by single spaces, so no
+    * split/re-join round-trip is needed.
     */
-  def fingerprint(c: Column): Column = md5(concat_ws(" ", tokenize(c)))
+  def fingerprint(c: Column): Column = md5(normalizeText(c))
 
   /** 64-bit rolling-hash fingerprint (xxhash64 over normalized text) —
     * cheaper than md5 when oracle parity is not needed.
     */
-  def fingerprint64(c: Column): Column = xxhash64(concat_ws(" ", tokenize(c)))
+  def fingerprint64(c: Column): Column = xxhash64(normalizeText(c))
 }

@@ -48,4 +48,33 @@ object Skew {
       .groupBy(keyCols.map(col): _*)
       .agg(sum(col("__partial")).as(outName))
   }
+
+  /** Salted equi-join for skewed join keys: every row of the LARGE side
+    * gets a random-but-deterministic salt in [0, salts); the SMALL(er)
+    * side is replicated `salts`× (explode), and the join runs on
+    * (key, salt) — a skewed key's rows now spread over `salts` reducers
+    * instead of one. Use when AQE's skew-join split doesn't apply (e.g.
+    * the skew is in a single key within one partition after other
+    * operators, or deterministic layout is needed). Inner/left joins only
+    * (right/full would need salt-aware null handling on the replicated
+    * side). Cost model: replication multiplies the small side's shuffle
+    * volume by `salts` — pick salts ≈ (largest key count / target rows
+    * per task), keep the replicated side the smaller one.
+    */
+  def saltedJoin(
+      large: DataFrame,
+      small: DataFrame,
+      keys: Seq[String],
+      joinType: String = "inner",
+      salts: Int = 16
+  ): DataFrame = {
+    require(joinType == "inner" || joinType == "left",
+      s"saltedJoin supports inner/left, got $joinType")
+    val saltL = "__graft_salt"
+    // deterministic per-row salt: hash of partition+offset, uniform, no RNG
+    val saltedLarge = large.withColumn(
+      saltL, pmod(xxhash64(spark_partition_id(), monotonically_increasing_id()), lit(salts)).cast("int"))
+    val replicated = small.withColumn(saltL, explode(sequence(lit(0), lit(salts - 1))))
+    saltedLarge.join(replicated, keys :+ saltL, joinType).drop(saltL)
+  }
 }

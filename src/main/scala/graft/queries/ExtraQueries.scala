@@ -159,6 +159,18 @@ object ExtraQueries {
         .orderBy(col("o_orderpriority"), col("rank"))
     }),
 
+    // skew-salted equi-join: result must equal the plain join (salting is
+    // an execution detail), so the oracle is the unsalted SQL join
+    "q_salted_join" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      graft.operators.Skew.saltedJoin(orders, cust, Seq("o_custkey"), salts = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // first/last ordered aggregates via min_by/max_by
     "q_minby_maxby" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -216,6 +228,10 @@ object ExtraQueries {
         |  CAST(CAST(l_extendedprice AS DECIMAL(18,4)) AS VARCHAR) AS price_dec,
         |  CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4)) AS DECIMAL(18,4)) AS VARCHAR) AS total_dec
         |FROM lineitem ORDER BY l_orderkey, l_linenumber, price_dec""".stripMargin,
+    "q_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_union_distinct" ->
       """SELECT nationkey FROM (
         |  SELECT c_nationkey AS nationkey FROM customer

@@ -125,6 +125,59 @@ object LlmQueries {
       Multimodal.decodeImages(docs, "doc_id", "payload")
         .select(col("doc_id"), col("byte_length"), col("content_hash"), round(col("mean_intensity"), 6).as("mean_intensity"))
         .orderBy(col("doc_id"))
+    }),
+
+    // text analysis: stopword removal (duplicates/order preserved)
+    "q_stopword_removal" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          T.tokenCount(col("text")).cast("long").as("n_tokens"),
+          size(T.removeStopwords(col("text"), "en")).cast("long").as("n_content_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // text analysis: sentence split on terminal punctuation
+    "q_sentence_split" -> ((s, dir) => {
+      val sent = T.sentences(col("text"))
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          size(sent).cast("long").as("n_sentences"),
+          coalesce(array_max(transform(sent, x => length(x))), lit(0)).cast("long").as("max_sentence_len"),
+          coalesce(element_at(sent, 1), lit("")).as("first_sentence"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // text analysis: char-trigram language ID (short-text-robust variant)
+    "q_langid_ngram" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          T.trigramHits(col("text"), "en").cast("long").as("h_en"),
+          T.trigramHits(col("text"), "es").cast("long").as("h_es"),
+          T.trigramHits(col("text"), "de").cast("long").as("h_de"),
+          T.trigramHits(col("text"), "fr").cast("long").as("h_fr"),
+          T.langIdNgram(col("text")).as("lang_guess"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // substring-level dedup: per-doc duplicated-passage profile (8-token
+    // spans shared with other docs) — DuckDB oracle reproduces the spans
+    // as strings, Spark carries only their 64-bit hashes
+    "q_span_dedup" -> ((s, dir) => {
+      Dedup.spanDupStats(t(s, dir, "documents"), "text", "doc_id", w = 8)
+        .select(col("id"), col("n_spans"), col("n_dup_spans"), col("dup_ratio"))
+        .orderBy(col("id"))
+    }),
+
+    // sketch-prefiltered ANN with exact re-rank (rows-only; recall
+    // invariant in SimilaritySpec)
+    "q_ann_sketch" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.sketchTopK(emb, emb.where(col("vec_id") < 5), "embedding", "vec_id", k = 5, oversample = 8)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 
@@ -202,6 +255,62 @@ object LlmQueries {
          |      len(list_intersect(list_distinct(toks), $stopFr)) AS h_fr
          |    FROM (SELECT doc_id, $toksSql AS toks FROM documents)
          |  )
+         |) ORDER BY doc_id""".stripMargin,
+    "q_stopword_removal" ->
+      s"""SELECT doc_id,
+         |  CAST(CASE WHEN norm = '' THEN 0 ELSE len(toks) END AS BIGINT) AS n_tokens,
+         |  CAST(CASE WHEN norm = '' THEN 0
+         |       ELSE len(list_filter(toks, t -> NOT list_contains($stopEn, t))) END AS BIGINT) AS n_content_tokens
+         |FROM (SELECT doc_id, $normSql AS norm, $toksSql AS toks FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "q_sentence_split" ->
+      """SELECT doc_id,
+        |  CAST(len(sents) AS BIGINT) AS n_sentences,
+        |  CAST(coalesce(list_max(list_transform(sents, x -> length(x))), 0) AS BIGINT) AS max_sentence_len,
+        |  coalesce(sents[1], '') AS first_sentence
+        |FROM (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(regexp_split_to_array(coalesce(text, ''), '[.!?]+'), x -> trim(x)),
+        |                x -> x <> '') AS sents
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q_langid_ngram" -> {
+      def profile(lang: String): String =
+        graft.functions.TextFunctions.trigramProfiles(lang).map(x => s"'$x'").mkString("[", ",", "]")
+      s"""SELECT doc_id, h_en, h_es, h_de, h_fr,
+         |  CASE WHEN best <= 0 THEN 'und'
+         |       WHEN h_fr = best THEN 'fr'
+         |       WHEN h_es = best THEN 'es'
+         |       WHEN h_en = best THEN 'en'
+         |       ELSE 'de' END AS lang_guess
+         |FROM (
+         |  SELECT doc_id, greatest(h_en, h_es, h_de, h_fr) AS best, h_en, h_es, h_de, h_fr
+         |  FROM (
+         |    SELECT doc_id,
+         |      CAST(len(list_intersect(tris, ${profile("en")})) AS BIGINT) AS h_en,
+         |      CAST(len(list_intersect(tris, ${profile("es")})) AS BIGINT) AS h_es,
+         |      CAST(len(list_intersect(tris, ${profile("de")})) AS BIGINT) AS h_de,
+         |      CAST(len(list_intersect(tris, ${profile("fr")})) AS BIGINT) AS h_fr
+         |    FROM (
+         |      SELECT doc_id,
+         |        list_distinct([substring(norm, i, 3) FOR i IN range(1, greatest(length(norm) - 1, 1))]) AS tris
+         |      FROM (SELECT doc_id, $normSql AS norm FROM documents))
+         |  )
          |) ORDER BY doc_id""".stripMargin
+    },
+    "q_span_dedup" ->
+      s"""WITH spans AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    [array_to_string(toks[i:i+7], ' ') FOR i IN range(1, greatest(len(toks) - 6, 1))])) AS span
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM documents WHERE $normSql <> '')
+         |), freq AS (
+         |  SELECT span, count(*) AS docs FROM spans GROUP BY span
+         |)
+         |SELECT s.doc_id AS id,
+         |  CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(sum(CASE WHEN f.docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+         |  sum(CASE WHEN f.docs > 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE) AS dup_ratio
+         |FROM spans s JOIN freq f USING (span)
+         |GROUP BY s.doc_id ORDER BY id""".stripMargin
   )
 }

@@ -70,6 +70,50 @@ object Similarity {
       .select(col("s.*"))
   }
 
+  /** Sketch-prefiltered top-k with exact re-rank: a 64-bit
+    * random-hyperplane sketch (Charikar bits — cosine-preserving) scores
+    * every corpus vector with ONE xor+popcount instead of a d-dim float
+    * loop; the per-query shortlist of `k × oversample` best sketch matches
+    * is then re-ranked by exact cosine. At 10⁹+ vectors this is the cheap
+    * first pass that makes the exact math affordable: the full-dimension
+    * loop runs on k×oversample rows per query, not the whole corpus (or
+    * the whole probed cell). Compose with IVF by passing a cell-pruned
+    * corpus. Sketches would be precomputed and stored at scale
+    * (`withSketch`).
+    */
+  def withSketch(corpus: DataFrame, vecCol: String, nBits: Int = 64): DataFrame =
+    corpus.withColumn("__sketch", V.lshBits(col(vecCol), nBits))
+
+  def sketchTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      nBits: Int = 64,
+      oversample: Int = 4
+  ): DataFrame = {
+    val c = withSketch(corpus, vecCol, nBits)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"), col("__sketch").as("csk"))
+    val q = withSketch(queries, vecCol, nBits)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"), col("__sketch").as("qsk"))
+    // pass 1: hamming shortlist (xor+popcount per pair — codegen'd)
+    val wSketch = Window.partitionBy(col("query_id"))
+      .orderBy(col("ham").asc, col("neighbor_id"))
+    val shortlist = c
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("ham", bit_count(col("csk").bitwiseXOR(col("qsk"))))
+      .withColumn("srn", row_number().over(wSketch))
+      .where(col("srn") <= k * oversample)
+    // pass 2: exact cosine over the shortlist only
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine_sim").desc, col("neighbor_id"))
+    shortlist
+      .withColumn("cosine_sim", round(V.cosine(col("qvec"), col("cvec")), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine_sim"), col("rank"))
+  }
+
   /** IVF probe: search only the `nprobe` cells nearest to each query —
     * scans ~nprobe/nlist of the corpus instead of all of it.
     */

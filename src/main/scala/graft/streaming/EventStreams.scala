@@ -37,6 +37,22 @@ object EventStreams {
       StructField("props", StringType)
     ))
 
+  /** Switch stateful streaming queries to the RocksDB state store — the
+    * setting that matters once per-shard state outgrows executor heap
+    * (large watermark windows, high-cardinality keys at 100 TB/day):
+    * state lives off-heap in RocksDB with incremental checkpointing,
+    * instead of the default in-memory HDFS-backed map. Takes effect for
+    * queries STARTED after the call; pass `enable = false` to restore the
+    * default provider.
+    */
+  def useRocksDbStateStore(spark: SparkSession, enable: Boolean = true): Unit =
+    if (enable)
+      spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    else
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
   /** Open the events parquet directory as a stream (one-file-per-trigger
     * keeps local tests deterministic).
     */

@@ -98,6 +98,23 @@ class DedupSpec extends SparkSpec {
     assert(reps.isEmpty)
   }
 
+  test("duplicated-passage detection flags shared 8-token spans only") {
+    val passage = "one two three four five six seven eight nine ten"
+    val docs = Seq(
+      (0L, s"intro words here $passage trailing alpha"),
+      (1L, s"different opening text $passage other ending beta"),
+      (2L, "totally unrelated content with enough tokens to have spans of its own here now")
+    ).toDF("doc_id", "text")
+    val stats = Dedup.spanDupStats(docs, "text", "doc_id", w = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(stats(0L)._2 >= 1, s"doc 0 should have dup spans: $stats")   // shared passage
+    assert(stats(1L)._2 >= 1, s"doc 1 should have dup spans: $stats")
+    assert(stats(2L)._2 == 0, s"doc 2 has no shared spans: $stats")
+    val common = Dedup.duplicatedSpans(docs, "text", "doc_id", w = 8)
+      .collect()
+    assert(common.nonEmpty && common.forall(_.getLong(1) == 2)) // each shared span in exactly 2 docs
+  }
+
   test("embedding pairs: identical and near-identical vectors pair up") {
     val v = (0 until 16).map(_.toFloat / 16f).toArray
     val vNear = v.clone(); vNear(0) = vNear(0) + 0.001f

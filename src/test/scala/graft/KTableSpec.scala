@@ -113,6 +113,19 @@ class KTableSpec extends SparkSpec {
     assert(out == Seq(97, 98, 99))
   }
 
+  test("saltedJoin equals plain join (inner and left)") {
+    import graft.operators.Skew
+    val large = Seq((1, "a"), (1, "b"), (2, "c"), (3, "d"), (1, "e")).toDF("k", "v")
+    val small = Seq((1, "X"), (2, "Y"), (9, "Z")).toDF("k", "w")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(canon(Skew.saltedJoin(large, small, Seq("k"), "inner", salts = 4)) ==
+      canon(large.join(small, Seq("k"), "inner")))
+    assert(canon(Skew.saltedJoin(large, small, Seq("k"), "left", salts = 4)) ==
+      canon(large.join(small, Seq("k"), "left")))
+    intercept[IllegalArgumentException](Skew.saltedJoin(large, small, Seq("k"), "right"))
+  }
+
   test("duplicateKeys flags only duplicated ids") {
     val dup = Seq("A", "B", "A", "C").toDF("row_id")
     assert(RowId.duplicateKeys(dup).collect().map(_.getString(0)).toSeq == Seq("A"))

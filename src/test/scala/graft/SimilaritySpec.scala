@@ -41,6 +41,28 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"recall=$recall")
   }
 
+  test("sketch-prefiltered top-k recall vs brute force ≥ 0.5") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val queries = emb.where($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id", 5)
+      .select($"query_id", $"neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.sketchTopK(emb, queries, "embedding", "vec_id", 5, oversample = 8)
+      .select($"query_id", $"neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall=$recall")
+    // exact re-rank: every reported cosine must equal the true cosine
+    val reported = Similarity.sketchTopK(emb, queries.limit(2), "embedding", "vec_id", 3)
+      .select($"query_id", $"neighbor_id", $"cosine_sim").collect()
+    val byId = emb.select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    reported.foreach { r =>
+      val (q, c) = (byId(r.getLong(0)), byId(r.getLong(1)))
+      val dot = q.zip(c).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val exactCos = dot / (math.sqrt(q.map(x => x.toDouble * x).sum) * math.sqrt(c.map(x => x.toDouble * x).sum))
+      assert(math.abs(r.getDouble(2) - exactCos) < 1e-4)
+    }
+  }
+
   test("LSH bits deterministic across evaluations, similar vectors agree") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(5)
     val s1 = emb.select($"vec_id", V.lshBits($"embedding", 16).as("fp")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -36,6 +36,24 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size >= batch.size / 2)
   }
 
+  test("RocksDB state store: stateful agg matches batch twin") {
+    val dir = java.nio.file.Files.createTempDirectory("events_rocksdb")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      dir.resolve("events.parquet"))
+    EventStreams.useRocksDbStateStore(spark)
+    try {
+      val stream = EventStreams.readEventStream(spark, dir.toString)
+      runToMemory(EventStreams.tumblingCounts(stream), "tumbling_rocksdb", "append")
+      val streamed = spark.table("tumbling_rocksdb")
+        .select("window_start", "event_type", "n_events", "sum_value")
+        .collect().map(_.toSeq).toSet
+      val batch = EventStreams.tumblingCounts(Tables.events(spark, sf0001))
+        .collect().map(_.toSeq).toSet
+      assert(streamed.nonEmpty && streamed.subsetOf(batch))
+    } finally EventStreams.useRocksDbStateStore(spark, enable = false)
+  }
+
   test("streaming dedup within watermark drops replayed event_ids") {
     // stage the same file twice: the second micro-batch replays every event
     val dir = java.nio.file.Files.createTempDirectory("events_dedup")

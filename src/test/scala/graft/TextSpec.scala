@@ -27,6 +27,31 @@ class TextSpec extends SparkSpec {
     assert(sh.toSet == Set("abc", "bcd"))
   }
 
+  test("removeStopwords keeps duplicates and order") {
+    val df = Seq("the cat and the dog and the cat").toDF("t")
+    val out = df.select(T.removeStopwords($"t", "en")).head().getSeq[String](0)
+    assert(out == Seq("cat", "dog", "cat"))
+  }
+
+  test("sentences split on terminal punctuation, trimmed, empties dropped") {
+    val df = Seq("First one. Second!  Third?? ", "", "no punctuation at all").toDF("t")
+    val rows = df.select(T.sentences($"t")).collect()
+    assert(rows(0).getSeq[String](0) == Seq("First one", "Second", "Third"))
+    assert(rows(1).getSeq[String](0).isEmpty)
+    assert(rows(2).getSeq[String](0) == Seq("no punctuation at all"))
+  }
+
+  test("langIdNgram identifies language from char trigrams; und on garbage") {
+    val df = Seq(
+      "the thing was for the others and everything",
+      "la casa de la ciudad que con los caminos",
+      "xqz zzz").toDF("t")
+    val out = df.select(T.langIdNgram($"t")).collect().map(_.getString(0))
+    assert(out(0) == "en", out.mkString(","))
+    assert(out(1) == "es", out.mkString(","))
+    assert(out(2) == "und", out.mkString(","))
+  }
+
   test("fused ShingleHashes == xxhash64 over string shingles (word + char + tokens)") {
     import graft.functions.{HashFunctions => H}
     val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(50)
