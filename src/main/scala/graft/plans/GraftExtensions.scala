@@ -47,5 +47,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other =>
             throw new IllegalArgumentException(s"graft_lsh_bits: nBits must be an integer literal, got $other")
         }))
+    def intLit(e: Expression, fn: String, arg: String): Int = e match {
+      case Literal(n: Int, IntegerType) => n
+      case other => throw new IllegalArgumentException(s"$fn: $arg must be an integer literal, got $other")
+    }
+    e.injectFunction(
+      (FunctionIdentifier("graft_shingle_hashes"),
+        info("graft_shingle_hashes",
+          "graft_shingle_hashes(text, n) - distinct xxhash64 values of the word n-gram shingles (fused pass)"),
+        (args: Seq[Expression]) =>
+          ShingleHashes(args(0), intLit(args(1), "graft_shingle_hashes", "n"), charLevel = false, distinct = true)))
+    e.injectFunction(
+      (FunctionIdentifier("graft_char_shingle_hashes"),
+        info("graft_char_shingle_hashes",
+          "graft_char_shingle_hashes(text, n) - distinct xxhash64 values of the char n-gram shingles (fused pass)"),
+        (args: Seq[Expression]) =>
+          ShingleHashes(args(0), intLit(args(1), "graft_char_shingle_hashes", "n"), charLevel = true, distinct = true)))
+    e.injectFunction(
+      (FunctionIdentifier("graft_minhash"),
+        info("graft_minhash", "graft_minhash(shingle_hashes, k) - k-lane MinHash signature, per row"),
+        (args: Seq[Expression]) => MinHashSig(args(0), intLit(args(1), "graft_minhash", "k"))))
+    e.injectFunction(
+      (FunctionIdentifier("graft_simhash64"),
+        info("graft_simhash64", "graft_simhash64(token_hashes) - 64-bit SimHash fingerprint, per row"),
+        (args: Seq[Expression]) => SimHash(args(0))))
   }
 }

@@ -57,6 +57,20 @@ class ExtensionsSpec extends SparkSpec {
     assert(out(2).isNullAt(1) && out(2).isNullAt(2))
   }
 
+  test("graft text-hash functions callable from SQL") {
+    val r = spark.sql(
+      """SELECT
+        |  graft_shingle_hashes('a b c d', 2) AS sh,
+        |  graft_char_shingle_hashes('abcd', 3) AS csh,
+        |  graft_minhash(graft_shingle_hashes('a b c d', 2), 8) AS sig,
+        |  graft_simhash64(graft_shingle_hashes('a b c d', 1)) AS fp
+        |""".stripMargin).head()
+    assert(r.getSeq[Long](0).length == 3) // "a b","b c","c d"
+    assert(r.getSeq[Long](1).length == 2) // "abc","bcd"
+    assert(r.getSeq[Long](2).length == 8)
+    assert(r.get(3).isInstanceOf[Long])
+  }
+
   test("float vectors accepted (embedding column type)") {
     import spark.implicits._
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(1)
