@@ -14,9 +14,12 @@ import org.apache.spark.sql.functions._
   *                      byte-identical copies so near-dup LSH buckets stay
   *                      small),
   *  4. near dedup     — MinHash+LSH with exact-Jaccard verification and
-  *                      min-label-propagation cluster collapse.
+  *                      min-label-propagation cluster collapse,
+  *  5. passage gate   — optional: drop documents whose w-token spans are
+  *                      mostly duplicated elsewhere in the corpus
+  *                      (boilerplate-heavy survivors of 3-4).
   *
-  * Each stage only shrinks the data, so the expensive stage (4) sees the
+  * Each stage only shrinks the data, so the expensive stages see the
   * minimum corpus. Returns the surviving rows plus per-stage counts for
   * observability (the reference's observe/progress analog).
   */
@@ -27,7 +30,8 @@ object CurationPipeline {
       afterQuality: Long,
       afterLang: Long,
       afterExact: Long,
-      afterNear: Long)
+      afterNear: Long,
+      afterPassage: Long)
 
   final case class Result(survivors: DataFrame, counts: StageCounts)
 
@@ -43,6 +47,8 @@ object CurationPipeline {
       minQuality: Double = 0.5,
       keepLangs: Option[Seq[String]] = None,
       nearThreshold: Double = 0.7,
+      maxDupSpanRatio: Option[Double] = None,
+      spanLen: Int = 8,
       collectStats: Boolean = false
   ): Result = {
     def n(df: DataFrame): Long = if (collectStats) df.count() else -1L
@@ -56,10 +62,21 @@ object CurationPipeline {
     // times (signatures + anti-join back); this is the one materialization
     // the pipeline genuinely reuses
     val exactDeduped = Dedup.exact(langGated, textCol, idCol).cache()
-    val survivors = Dedup.minHashDedup(exactDeduped, textCol, idCol, threshold = nearThreshold)
+    val nearDeduped = Dedup.minHashDedup(exactDeduped, textCol, idCol, threshold = nearThreshold)
+    val survivors = maxDupSpanRatio match {
+      case Some(maxRatio) =>
+        // keep docs below the duplicated-span threshold; docs too short to
+        // have any w-token span produce no stats row and are kept
+        val flagged = Dedup.spanDupStats(nearDeduped, textCol, idCol, w = spanLen)
+          .where(col("dup_ratio") > maxRatio)
+          .select(col("id").as(idCol))
+        nearDeduped.join(flagged, Seq(idCol), "left_anti")
+      case None => nearDeduped
+    }
 
     Result(
       survivors,
-      StageCounts(n(docs), n(qualityGated), n(langGated), n(exactDeduped), n(survivors)))
+      StageCounts(
+        n(docs), n(qualityGated), n(langGated), n(exactDeduped), n(nearDeduped), n(survivors)))
   }
 }

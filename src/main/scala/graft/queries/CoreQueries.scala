@@ -157,7 +157,8 @@ object CoreQueries {
       val c = t(s, dir, "customer")
       val left = c.orderBy(col("c_custkey")).select(col("c_custkey"), col("c_name"))
       val right = c.orderBy(col("c_custkey").desc).select(col("c_acctbal"), col("c_mktsegment"))
-      Combine.appendByPosition(left, right).orderBy(col("c_custkey"))
+      // edge orderBy supplies the canonical order — skip the internal sort
+      Combine.appendByPosition(left, right, sortedOutput = false).orderBy(col("c_custkey"))
     }),
 
     // single-pass numeric domain statistics (reference domain/ calculators)

@@ -173,6 +173,49 @@ object FunctionQueries {
           date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
           col("event_type"), col("n_events"), col("sum_value"))
         .orderBy(col("window_start"), col("event_type"))
+    }),
+
+    // URL parsing: Spark's parse_url against a regexp oracle (URLs
+    // synthesized from document columns — well-formed by construction)
+    "q_url_funcs" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("url",
+          concat(lit("https://"), col("source"), lit(".example.com/docs/"),
+            col("doc_id"), lit("?lang="), col("lang"), lit("&sz="), col("n_chars")))
+        .select(
+          col("doc_id"),
+          parse_url(col("url"), lit("HOST")).as("host"),
+          parse_url(col("url"), lit("PATH")).as("path"),
+          parse_url(col("url"), lit("QUERY"), lit("lang")).as("lang_param"),
+          parse_url(col("url"), lit("PROTOCOL")).as("protocol"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // timestamp arithmetic over the events table (micros precision)
+    "q_timestamp_funcs" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(
+          col("event_id"),
+          hour(col("ts")).cast("long").as("ts_hour"),
+          minute(col("ts")).cast("long").as("ts_minute"),
+          unix_timestamp(col("ts")).as("epoch_s"),
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+          date_format(col("ts") + expr("INTERVAL 90 MINUTES"), "yyyy-MM-dd HH:mm:ss").as("ts_plus_90m"))
+        .orderBy(col("event_id"))
+    }),
+
+    // bitwise operators
+    "q_bitwise" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          shiftleft(col("o_orderkey"), 3).as("shl3"),
+          shiftright(col("o_orderkey"), 2).as("shr2"),
+          col("o_orderkey").bitwiseAND(lit(255L)).as("and255"),
+          col("o_orderkey").bitwiseOR(lit(4096L)).as("or4096"),
+          col("o_orderkey").bitwiseXOR(col("o_custkey")).as("xor_cust"),
+          bit_count(col("o_orderkey")).cast("long").as("popcount"))
+        .orderBy(col("o_orderkey"))
     })
   )
 
@@ -271,6 +314,35 @@ object FunctionQueries {
     "q_stream_window_batch" ->
       """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |  event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_url_funcs" ->
+      """SELECT doc_id,
+        |  regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+        |  regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+        |  regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS lang_param,
+        |  regexp_extract(url, '^([a-z]+)://', 1) AS protocol
+        |FROM (
+        |  SELECT doc_id,
+        |    'https://' || source || '.example.com/docs/' || doc_id ||
+        |      '?lang=' || lang || '&sz=' || n_chars AS url
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q_timestamp_funcs" ->
+      """SELECT event_id,
+        |  CAST(hour(ts) AS BIGINT) AS ts_hour,
+        |  CAST(minute(ts) AS BIGINT) AS ts_minute,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS epoch_s,
+        |  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |  strftime(ts + INTERVAL '90 minutes', '%Y-%m-%d %H:%M:%S') AS ts_plus_90m
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_bitwise" ->
+      """SELECT o_orderkey,
+        |  o_orderkey << 3 AS shl3,
+        |  o_orderkey >> 2 AS shr2,
+        |  o_orderkey & 255 AS and255,
+        |  o_orderkey | 4096 AS or4096,
+        |  xor(o_orderkey, o_custkey) AS xor_cust,
+        |  CAST(bit_count(o_orderkey) AS BIGINT) AS popcount
+        |FROM orders ORDER BY o_orderkey""".stripMargin
   )
 }

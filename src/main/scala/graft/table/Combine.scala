@@ -16,25 +16,31 @@ object Combine {
 
   /** Zip two tables of equal row count side-by-side, by position.
     *
-    * Distributed strategy: exact row index on both sides (narrow
-    * zipWithIndex, no shuffle) then an equi-join on the index. With AQE the
-    * join shuffles both sides once on a perfectly uniform Long key — the
-    * scalable analog of the reference's in-process positional zip. Row-count
-    * equality is checked like the reference (appendSize:77-81); name
+    * Distributed strategy: exact row index on both sides (narrow indexing,
+    * no shuffle; the size-equality check required by the reference rides
+    * on the count-partitions job the indexing needs anyway — two passes
+    * per side total, not three) then an equi-join on the index. With AQE
+    * the join shuffles both sides once on a perfectly uniform Long key —
+    * the scalable analog of the reference's in-process positional zip
+    * (appendSize check: reference TableTransformUtils.java:77-81). Name
     * collisions on the right get a "_r" suffix.
+    *
+    * `sortedOutput = false` skips the final range-sort back into
+    * positional order — use it when the caller re-orders at the edge
+    * anyway (a full sort shuffle of the joined payload is the single
+    * largest cost of this operator at scale).
     */
-  def appendByPosition(left: DataFrame, right: DataFrame): DataFrame = {
+  def appendByPosition(left: DataFrame, right: DataFrame, sortedOutput: Boolean = true): DataFrame = {
     val idx = "__graft_zip_idx"
-    val l = RowId.withRowIndex(left, idx)
+    val (l, nl) = RowId.withRowIndexCounted(left, idx)
     val leftNames = left.columns.toSet
     val renamedRight = right.columns.foldLeft(right) { (d, c) =>
       if (leftNames.contains(c)) d.withColumnRenamed(c, c + "_r") else d
     }
-    val r = RowId.withRowIndex(renamedRight, idx)
-    // Equal-row-count check, distributed (one count job per side).
-    val (nl, nr) = (left.count(), right.count())
+    val (r, nr) = RowId.withRowIndexCounted(renamedRight, idx)
     require(nl == nr, s"appendByPosition: row counts differ ($nl vs $nr)")
-    l.join(r, Seq(idx)).orderBy(col(idx)).drop(idx)
+    val joined = l.join(r, Seq(idx))
+    (if (sortedOutput) joined.orderBy(col(idx)) else joined).drop(idx)
   }
 
   /** Least common supertype for concatenation's per-column type merge

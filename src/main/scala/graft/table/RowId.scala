@@ -29,13 +29,28 @@ object RowId {
     * current partition order. Narrow (no shuffle); one extra job to count
     * partition sizes.
     */
-  def withRowIndex(df: DataFrame, name: String = "row_index"): DataFrame = {
+  def withRowIndex(df: DataFrame, name: String = "row_index"): DataFrame =
+    withRowIndexCounted(df, name)._1
+
+  /** [[withRowIndex]] plus the total row count — the count-partitions job
+    * that exact indexing needs anyway yields the total for free, so
+    * callers that must validate sizes (append-by-position's equal-row
+    * check) don't pay a third pass over the data.
+    */
+  def withRowIndexCounted(df: DataFrame, name: String = "row_index"): (DataFrame, Long) = {
     require(!df.columns.contains(name), s"column $name already exists")
     val schema = StructType(df.schema.fields :+ StructField(name, LongType, nullable = false))
-    val rdd = df.rdd.zipWithIndex().map { case (row, idx) =>
-      Row.fromSeq(row.toSeq :+ idx)
+    val rdd = df.rdd
+    val counts = rdd
+      .mapPartitionsWithIndex { case (i, it) => Iterator((i, it.size.toLong)) }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val total = offsets.last
+    val indexed = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var idx = offsets(i)
+      it.map { row => val r = Row.fromSeq(row.toSeq :+ idx); idx += 1; r }
     }
-    df.sparkSession.createDataFrame(rdd, schema)
+    (df.sparkSession.createDataFrame(indexed, schema), total)
   }
 
   /** Exact-order variant: sort by the given columns first, then index.

@@ -35,4 +35,20 @@ class CurationPipelineSpec extends SparkSpec {
     val n = r.survivors.count()
     assert(n > 0 && n <= docs.count())
   }
+
+  test("passage gate drops boilerplate-heavy docs, keeps short docs") {
+    val boiler = "subscribe to our newsletter for updates and follow us on social media channels today"
+    val docs = Seq(
+      (0L, s"$boiler plus little else"), // mostly boilerplate (7 of 10 spans shared)
+      (1L, s"genuinely original article text with many distinct thoughts and phrasings that nobody else uses anywhere $boiler"),
+      (2L, s"another entirely different document about completely unrelated topics with its own unique vocabulary and structure throughout $boiler"),
+      (3L, "short doc") // < w tokens: no spans → kept
+    ).toDF("doc_id", "text")
+    val r = CurationPipeline.run(docs, "text", "doc_id",
+      minQuality = 0.0, nearThreshold = 0.95, maxDupSpanRatio = Some(0.5), collectStats = true)
+    val ids = r.survivors.select($"doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids.contains(3L), s"short doc must survive: $ids")
+    assert(!ids.contains(0L), s"boilerplate-heavy doc must be dropped: $ids")
+    assert(r.counts.afterPassage <= r.counts.afterNear)
+  }
 }
