@@ -2,7 +2,7 @@ package graft.table
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 
 /** RowID + exact row-index semantics.
   *
@@ -16,10 +16,11 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   *     loop (reference ColumnarConcatenater.java:237-292).
   *
   * Spark's `monotonically_increasing_id()` is NOT contiguous across
-  * partitions, so exactness needs `zipWithIndex` — one extra narrow job that
-  * counts partition sizes, then a per-partition offset add. No shuffle: at
-  * 100 TB this is a metadata pass (count per partition) plus a map, which is
-  * the cheapest exact-index strategy available on a distributed engine.
+  * partitions, so exactness needs a per-partition count job first, then a
+  * per-partition offset add (the zipWithIndex strategy, kept in pure SQL so
+  * the data path never leaves Tungsten). At 100 TB this is a metadata pass
+  * (one count row per partition) plus a narrow map — the cheapest exact-index
+  * strategy available on a distributed engine.
   */
 object RowId {
 
@@ -36,21 +37,39 @@ object RowId {
     * that exact indexing needs anyway yields the total for free, so
     * callers that must validate sizes (append-by-position's equal-row
     * check) don't pay a third pass over the data.
+    *
+    * Strategy: stays entirely inside Tungsten/codegen (no `df.rdd`, which
+    * would decode every row to external `Row` objects and re-encode them).
+    * `monotonically_increasing_id()` is `partitionId * 2^33 + posInPartition`,
+    * so the exact contiguous index is `offset(partition) + posInPartition`
+    * where the per-partition offsets come from one tiny aggregation job
+    * (shuffles one row per partition) and rejoin via broadcast-hash-join —
+    * narrow on the data path, O(#partitions) driver memory, scales to any
+    * partition count (no giant literal map in the plan).
     */
   def withRowIndexCounted(df: DataFrame, name: String = "row_index"): (DataFrame, Long) = {
     require(!df.columns.contains(name), s"column $name already exists")
-    val schema = StructType(df.schema.fields :+ StructField(name, LongType, nullable = false))
-    val rdd = df.rdd
-    val counts = rdd
-      .mapPartitionsWithIndex { case (i, it) => Iterator((i, it.size.toLong)) }
-      .collect().sortBy(_._1).map(_._2)
-    val offsets = counts.scanLeft(0L)(_ + _)
-    val total = offsets.last
-    val indexed = rdd.mapPartitionsWithIndex { case (i, it) =>
-      var idx = offsets(i)
-      it.map { row => val r = Row.fromSeq(row.toSeq :+ idx); idx += 1; r }
-    }
-    (df.sparkSession.createDataFrame(indexed, schema), total)
+    val pid = "__graft_pid"
+    val mid = "__graft_mid"
+    val off = "__graft_offset"
+    val tagged = df
+      .withColumn(pid, spark_partition_id())
+      .withColumn(mid, monotonically_increasing_id())
+    val counts = tagged.groupBy(col(pid)).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsetRows = counts.map { case (p, c) => val o = acc; acc += c; Row(p, o) }.toSeq
+    val total = acc
+    val spark = df.sparkSession
+    val offsetsDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsetRows, 1),
+      StructType(Seq(StructField(pid, IntegerType, nullable = false), StructField(off, LongType, nullable = false))))
+    // posInPartition = mid - pid * 2^33 (MonotonicallyIncreasingID layout)
+    val indexed = tagged
+      .join(broadcast(offsetsDf), Seq(pid))
+      .withColumn(name, col(off) + (col(mid) - col(pid).cast(LongType) * lit(1L << 33)))
+      .drop(pid, mid, off)
+    (indexed, total)
   }
 
   /** Exact-order variant: sort by the given columns first, then index.
