@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{CoreQueries, ExtraQueries, FunctionQueries, LlmQueries, RelationalQueries}
+import graft.queries.{CoreQueries, ExtraQueries, FunctionQueries, LlmQueries, RelationalQueries, StatQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -22,9 +22,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ RelationalQueries.queries ++ FunctionQueries.queries ++
-      LlmQueries.queries ++ ExtraQueries.queries
+      LlmQueries.queries ++ ExtraQueries.queries ++ StatQueries.queries
 
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ RelationalQueries.oracles ++ FunctionQueries.oracles ++
-      LlmQueries.oracles ++ ExtraQueries.oracles
+      LlmQueries.oracles ++ ExtraQueries.oracles ++ StatQueries.oracles
 }

@@ -1,0 +1,67 @@
+package graft.dedup
+
+import graft.functions.{TextFunctions => T}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark/eval-set decontamination: remove training documents that
+  * share verbatim w-token spans with a held-out evaluation set — the
+  * standard guard against test-set leakage in large-scale training-data
+  * pipelines (n-gram-overlap decontamination).
+  *
+  * Scale design (100 TB train corpus, eval sets ~10⁴–10⁶ documents):
+  * the eval side is always tiny relative to the corpus, so its distinct
+  * span-hash set (8 bytes/span) is broadcast — the training corpus is
+  * scanned ONCE, narrow except for the final per-doc count aggregation
+  * (uniform doc-id keys). Span hashes come from the fused per-row shingle
+  * expression ([[graft.expressions.ShingleHashes]]); the shuffle carries
+  * (doc_id, span_hash) pairs for matching spans only, never text.
+  */
+object Decontaminate {
+
+  /** Per-training-doc overlap profile against the eval set:
+    * (id, n_spans, n_eval_spans, overlap_ratio) where n_eval_spans counts
+    * the doc's distinct w-token spans that also occur anywhere in `eval`.
+    * Docs shorter than w tokens have no spans and are absent (no overlap
+    * by construction).
+    */
+  def overlapStats(
+      train: DataFrame,
+      eval: DataFrame,
+      textCol: String,
+      idCol: String,
+      w: Int = 8
+  ): DataFrame = {
+    val trainSpans = train.select(
+      col(idCol).as("id"),
+      explode(T.shingleHashes(col(textCol), w)).as("span_hash"))
+    val evalSpans = eval
+      .select(explode(T.shingleHashes(col(textCol), w)).as("span_hash"))
+      .distinct()
+    trainSpans
+      .join(broadcast(evalSpans.withColumn("__hit", lit(1L))), Seq("span_hash"), "left")
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_eval_spans"))
+      .withColumn("overlap_ratio", col("n_eval_spans").cast("double") / col("n_spans"))
+  }
+
+  /** Drop training docs whose eval-span overlap ratio exceeds
+    * `maxOverlap` (0.0 = drop on any shared span). Short docs (< w tokens)
+    * are kept.
+    */
+  def clean(
+      train: DataFrame,
+      eval: DataFrame,
+      textCol: String,
+      idCol: String,
+      w: Int = 8,
+      maxOverlap: Double = 0.0
+  ): DataFrame = {
+    val contaminated = overlapStats(train, eval, textCol, idCol, w)
+      .where(col("overlap_ratio") > maxOverlap)
+      .select(col("id").as(idCol))
+    train.join(contaminated, Seq(idCol), "left_anti")
+  }
+}

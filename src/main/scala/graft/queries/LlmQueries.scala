@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.dedup.Dedup
+import graft.dedup.{Decontaminate, Dedup}
 import graft.functions.{TextFunctions => T}
 import graft.multimodal.Multimodal
 import graft.similarity.Similarity
@@ -178,6 +178,19 @@ object LlmQueries {
       Similarity.sketchTopK(emb, emb.where(col("vec_id") < 5), "embedding", "vec_id", k = 5, oversample = 8)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // eval-set decontamination: training docs (doc_id % 5 != 0) sharing
+    // any 8-token span with the eval slice (doc_id % 5 == 0) — DuckDB
+    // oracle reproduces the spans as strings, Spark carries only hashes
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val evalSet = docs.where(pmod(col("doc_id"), lit(5)) === 0)
+      val train = docs.where(pmod(col("doc_id"), lit(5)) =!= 0)
+      Decontaminate.overlapStats(train, evalSet, "text", "doc_id", w = 8)
+        .where(col("n_eval_spans") > 0)
+        .select(col("id"), col("n_spans"), col("n_eval_spans"), col("overlap_ratio"))
+        .orderBy(col("id"))
     })
   )
 
@@ -298,6 +311,23 @@ object LlmQueries {
          |  )
          |) ORDER BY doc_id""".stripMargin
     },
+    "q_decontaminate" ->
+      s"""WITH spans AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    [array_to_string(toks[i:i+7], ' ') FOR i IN range(1, greatest(len(toks) - 6, 1))])) AS span
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM documents WHERE $normSql <> '')
+         |), ev AS (
+         |  SELECT DISTINCT span FROM spans WHERE doc_id % 5 = 0
+         |)
+         |SELECT s.doc_id AS id,
+         |  CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(sum(CASE WHEN e.span IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_eval_spans,
+         |  sum(CASE WHEN e.span IS NOT NULL THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE) AS overlap_ratio
+         |FROM spans s LEFT JOIN ev e USING (span)
+         |WHERE s.doc_id % 5 <> 0
+         |GROUP BY s.doc_id
+         |HAVING sum(CASE WHEN e.span IS NOT NULL THEN 1 ELSE 0 END) > 0
+         |ORDER BY id""".stripMargin,
     "q_span_dedup" ->
       s"""WITH spans AS (
          |  SELECT doc_id, unnest(list_distinct(

@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** Statistics + sampling wave: exact percentiles, correlation/covariance,
+  * histogram binning, deterministic train/test splitting, stratified
+  * sampling, and PII redaction — the dataset-curation operations a
+  * training-data pipeline layers on top of the relational core.
+  *
+  * Sampling is hash-deterministic (md5 prefix thresholds), NOT seeded
+  * RNG: the same row always lands in the same split on any cluster size,
+  * re-run, or engine — the property that makes splits reproducible and
+  * joins across pipeline stages consistent, and what lets DuckDB oracle
+  * every sampling query exactly. All operators are single-scan,
+  * aggregation-only shapes (no extra shuffles beyond the final group-by).
+  */
+object StatQueries {
+
+  // deterministic hash fraction: first 4 hex chars of md5 compare against
+  // a hex threshold ('cccd' ≈ 0.80, '1999' ≈ 0.10, '8000' = 0.50)
+  private def hashPrefix(c: org.apache.spark.sql.Column) =
+    substring(md5(c.cast("string").cast("binary")), 1, 4)
+
+  val queries: Map[String, Q] = Map(
+    // exact percentiles with linear interpolation, per group (single
+    // shuffle on the 4-value group key; percentile state is per-group
+    // sorted buffer — for 100 TB use approx_percentile, kept exact here
+    // for oracle parity)
+    "q_percentiles" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)"), 4).as("p25_qty"),
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75_price"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // correlation / covariance / dispersion (all single-pass commutative
+    // aggregates with map-side partial combine)
+    "q_corr_stats" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_corr"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("qty_price_covar"),
+          round(stddev_samp(col("l_extendedprice")), 2).as("price_stddev"),
+          round(avg(col("l_extendedprice")), 2).as("price_mean"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // fixed-width histogram: bucket arithmetic is portable (no engine
+    // width_bucket dependency), one aggregation on the bucket id
+    "q_histogram" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(floor(col("l_extendedprice") / 10000).cast("long").as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))
+    }),
+
+    // deterministic 80/20 train/test split: md5(doc_id) prefix < 'cccd'.
+    // Narrow per-row hash + one tiny aggregation; at 100 TB the split is
+    // a filter pushed into every downstream stage, never a materialized
+    // shuffle.
+    "q_train_test_split" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("split",
+          when(hashPrefix(col("doc_id")) < "cccd", "train").otherwise("test"))
+        .groupBy(col("split"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy(col("split"))
+    }),
+
+    // stratified sampling with per-stratum rates (en 10%, others 50%),
+    // hash-deterministic — the reproducible analog of df.stat.sampleBy
+    "q_stratified_sample" -> ((s, dir) => {
+      val h = hashPrefix(col("doc_id"))
+      t(s, dir, "documents")
+        .where(
+          (col("lang") === "en" && h < "1999") ||
+            (col("lang") =!= "en" && h < "8000"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"))
+        .orderBy(col("lang"))
+    }),
+
+    // PII redaction: email + phone patterns → placeholders (synthetic
+    // contact strings built from customer columns so the input provably
+    // contains PII shapes). Pure narrow regexp map, codegen'd.
+    "q_pii_redact" -> ((s, dir) => {
+      val text = concat(
+        col("c_name"), lit(" reachable at "),
+        lower(regexp_replace(col("c_name"), "#", "")), lit("@corp.example.org or +1-555-"),
+        lpad(pmod(col("c_custkey"), lit(10000)).cast("string"), 4, "0"))
+      t(s, dir, "customer")
+        .select(
+          col("c_custkey"),
+          regexp_replace(
+            regexp_replace(text, "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "[EMAIL]"),
+            "\\+1-555-[0-9]{4}", "[PHONE]").as("redacted"))
+        .orderBy(col("c_custkey"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.25), 4) AS p25_qty,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+        |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price,
+        |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_corr_stats" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+        |  round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+        |  round(stddev_samp(l_extendedprice), 2) AS price_stddev,
+        |  round(avg(l_extendedprice), 2) AS price_mean
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT) AS bucket, count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q_train_test_split" ->
+      """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd'
+        |  THEN 'train' ELSE 'test' END AS split,
+        |  count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
+    "q_stratified_sample" ->
+      """SELECT lang, count(*) AS n_sampled FROM documents
+        |WHERE (lang = 'en' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999')
+        |   OR (lang <> 'en' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000')
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_pii_redact" ->
+      """SELECT c_custkey,
+        |  regexp_replace(regexp_replace(
+        |    c_name || ' reachable at ' || lower(replace(c_name, '#', '')) ||
+        |      '@corp.example.org or +1-555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0'),
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+        |    '\+1-555-[0-9]{4}', '[PHONE]', 'g') AS redacted
+        |FROM customer ORDER BY c_custkey""".stripMargin
+  )
+}

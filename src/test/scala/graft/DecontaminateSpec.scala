@@ -1,0 +1,47 @@
+package graft
+
+import graft.dedup.Decontaminate
+import org.apache.spark.sql.functions._
+
+/** Invariant tests for eval-set decontamination: planted verbatim span
+  * overlap must be flagged; clean docs and short docs must survive.
+  */
+class DecontaminateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val leaked =
+    "what is the capital of france the capital of france is paris a city on the seine"
+  private val clean1 =
+    "spark engines shuffle data across partitions with hash exchanges and sort merge joins at scale"
+  private val clean2 =
+    "completely unrelated content about astronomy telescopes galaxies nebulae and the expansion of space"
+
+  private def train = Seq(
+    (0L, s"intro paragraph then $leaked and some trailing commentary"), // contains eval span
+    (1L, clean1),
+    (2L, clean2),
+    (3L, "tiny doc") // < w tokens: no spans
+  ).toDF("doc_id", "text")
+
+  private def evalSet = Seq((100L, leaked)).toDF("doc_id", "text")
+
+  test("overlapStats flags only the doc sharing eval spans") {
+    val stats = Decontaminate.overlapStats(train, evalSet, "text", "doc_id", w = 8)
+    val flagged = stats.where($"n_eval_spans" > 0).select($"id").as[Long].collect().toSet
+    assert(flagged == Set(0L))
+    val row = stats.where($"id" === 0L).head()
+    assert(row.getAs[Long]("n_eval_spans") > 0)
+    assert(row.getAs[Double]("overlap_ratio") > 0 && row.getAs[Double]("overlap_ratio") <= 1.0)
+  }
+
+  test("clean drops contaminated docs, keeps clean and short docs") {
+    val out = Decontaminate.clean(train, evalSet, "text", "doc_id", w = 8)
+    val ids = out.select($"doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L, 3L))
+  }
+
+  test("no eval overlap → everything survives") {
+    val out = Decontaminate.clean(train.where($"doc_id" =!= 0L), evalSet, "text", "doc_id", w = 8)
+    assert(out.count() == 3)
+  }
+}
