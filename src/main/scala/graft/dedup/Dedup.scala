@@ -36,16 +36,20 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact dedup: keep the lowest-id row per identical normalized content.
-    * Returns the survivors (all original columns). Aggregation + semi-join
-    * (two uniform-key shuffles), no window sort.
+    * Returns the survivors (all original columns). ONE scan and ONE
+    * uniform-key shuffle: `min_by` keeps the lowest-id full row per
+    * fingerprint, and the map-side partial aggregation collapses
+    * within-partition duplicates before the exchange — so the shuffle
+    * carries at most one row per (partition, fingerprint), strictly less
+    * than the corpus when duplicates exist. (The agg + semi-join-back
+    * alternative scans the corpus twice and shuffles it twice.)
     */
   def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val survivors = docs
-      .select(T.fingerprint(col(textCol)).as("__fp"), col(idCol).as("__id"))
-      .groupBy(col("__fp"))
-      .agg(min(col("__id")).as("__id"))
-      .select(col("__id"))
-    docs.join(survivors.withColumnRenamed("__id", idCol), Seq(idCol), "left_semi")
+    val cols = docs.columns.toSeq
+    docs
+      .groupBy(T.fingerprint(col(textCol)).as("__fp"))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__row"))
+      .select(col("__row.*"))
   }
 
   /** (id, sig, shset) per document, all narrow: the fused shingle-hash
