@@ -123,6 +123,53 @@ object ExtraQueries {
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("price_dec"))
     }),
 
+    // bucketed range join: equi-join on derived bucket ids + residual
+    // predicate — the fact×fact-scalable rewrite of the broadcast
+    // nested-loop range join (oracle: the plain range-join SQL; bucketing
+    // must be invisible in the result)
+    "q_range_join_bucketed" -> ((s, dir) => {
+      val bands = s.createDataFrame(Seq((0, 0.0, 10.0), (1, 10.0, 20.0), (2, 20.0, 30.0), (3, 30.0, 40.0), (4, 40.0, 51.0)))
+        .toDF("band_id", "lo", "hi")
+      val li = t(s, dir, "lineitem").select(col("l_quantity"))
+      graft.operators.RangeJoin.bucketed(li, bands, "l_quantity", "lo", "hi", bucketWidth = 10.0)
+        .groupBy(col("band_id"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+        .orderBy(col("band_id"))
+    }),
+
+    // gap-based sessionization in batch (30-min inactivity gap): lag →
+    // new-session flag → running sum = session index → per-session agg.
+    // One sort-shuffle on user_id; the streaming twin is
+    // EventStreams.sessionWindows.
+    "q_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("epoch_s"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), unix_timestamp(col("ts")).as("epoch_s"))
+        .withColumn("new_sess",
+          when(col("epoch_s") - lag(col("epoch_s"), 1).over(w) <= 1800, 0L).otherwise(1L))
+        .withColumn("sess_idx", sum(col("new_sess")).over(w))
+        .groupBy(col("user_id"), col("sess_idx"))
+        .agg(
+          min(col("epoch_s")).as("session_start"),
+          max(col("epoch_s")).as("session_end"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"), col("sess_idx"))
+    }),
+
+    // event-time sliding aggregate via a RANGE window frame (last hour
+    // per user, inclusive of peers) — frame semantics parity check
+    "q_window_time_range" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("epoch_s")).rangeBetween(-3600, 0)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), unix_timestamp(col("ts")).as("epoch_s"), col("value"))
+        .withColumn("hour_sum", round(sum(col("value")).over(w), 4))
+        .withColumn("hour_n", count(lit(1)).over(w))
+        .select(col("event_id"), col("user_id"), col("epoch_s"), col("hour_sum"), col("hour_n"))
+        .orderBy(col("event_id"))
+    }),
+
     // union of three tables with distinct (n-ary set op)
     "q_union_distinct" -> ((s, dir) => {
       val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
@@ -183,6 +230,36 @@ object ExtraQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_range_join_bucketed" ->
+      """SELECT band_id, count(*) AS n, round(sum(l_quantity), 2) AS qty
+        |FROM lineitem
+        |JOIN (VALUES (0, 0.0, 10.0), (1, 10.0, 20.0), (2, 20.0, 30.0),
+        |             (3, 30.0, 40.0), (4, 40.0, 51.0)) AS b(band_id, lo, hi)
+        |  ON l_quantity >= lo AND l_quantity < hi
+        |GROUP BY band_id ORDER BY band_id""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS epoch_s FROM events
+        |), f AS (
+        |  SELECT *, CASE WHEN epoch_s - lag(epoch_s) OVER
+        |      (PARTITION BY user_id ORDER BY epoch_s, event_id) <= 1800
+        |    THEN 0 ELSE 1 END AS new_sess FROM e
+        |), g AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY epoch_s, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx FROM f
+        |)
+        |SELECT user_id, CAST(sess_idx AS BIGINT) AS sess_idx,
+        |  min(epoch_s) AS session_start, max(epoch_s) AS session_end, count(*) AS n_events
+        |FROM g GROUP BY user_id, sess_idx ORDER BY user_id, sess_idx""".stripMargin,
+    "q_window_time_range" ->
+      """SELECT event_id, user_id, epoch_s,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_s
+        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4) AS hour_sum,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY epoch_s
+        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS hour_n
+        |FROM (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS epoch_s, value
+        |      FROM events)
+        |ORDER BY event_id""".stripMargin,
     "q_join_chain5" ->
       """SELECT n_name,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,

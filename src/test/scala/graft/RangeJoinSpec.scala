@@ -1,0 +1,34 @@
+package graft
+
+import graft.operators.RangeJoin
+import org.apache.spark.sql.functions._
+
+/** Bucketed range join must be result-identical to the plain non-equi
+  * join — bucketing is an execution detail, never visible in results.
+  */
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def points = (0 until 500).map(i => (i.toLong, (i % 97) * 0.53)).toDF("pid", "v")
+  // overlapping, touching, and wide intervals; boundaries land exactly on
+  // bucket edges (multiples of the 5.0 width) to exercise the edge cases
+  private def intervals = Seq(
+    (0L, 0.0, 5.0), (1L, 5.0, 10.0), (2L, 2.5, 12.5), (3L, 10.0, 10.0), // empty interval
+    (4L, 0.0, 50.99), (5L, 49.0, 51.0), (6L, 20.0, 25.0)
+  ).toDF("iid", "lo", "hi")
+
+  test("bucketed equals plain non-equi join, incl. boundary and wide intervals") {
+    val plain = points.join(intervals, $"v" >= $"lo" && $"v" < $"hi")
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+    val bucketed = RangeJoin.bucketed(points, intervals, "v", "lo", "hi", bucketWidth = 5.0)
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+    assert(bucketed == plain)
+    assert(plain.nonEmpty)
+  }
+
+  test("column collision is rejected") {
+    intercept[IllegalArgumentException] {
+      RangeJoin.bucketed(points.withColumnRenamed("v", "lo"), intervals, "lo", "lo", "hi", 5.0)
+    }
+  }
+}
