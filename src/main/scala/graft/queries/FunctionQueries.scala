@@ -204,6 +204,33 @@ object FunctionQueries {
         .orderBy(col("event_id"))
     }),
 
+    // predicate aggregates + ordered string agg (count_if / bool_and /
+    // bool_or / sorted-set concat)
+    "q_agg_funcs" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count_if(col("o_totalprice") > 100000).as("n_big"),
+          bool_and(col("o_totalprice") > lit(0)).as("all_pos"),
+          bool_or(col("o_orderstatus") === "P").as("any_p"),
+          concat_ws(",", array_sort(collect_set(col("o_orderstatus")))).as("statuses"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // regexp surface: extract / extract-all / count / match flag
+    // (no-match results normalized to NULL on both engines via nullif)
+    "q_regexp_funcs" -> ((s, dir) => {
+      val txt = lower(col("text"))
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          nullif(regexp_extract(txt, "\\b(th[a-z]+)\\b", 1), lit("")).as("first_th"),
+          nullif(concat_ws(",", regexp_extract_all(txt, lit("\\b(th[a-z]+)\\b"), lit(1))), lit("")).as("all_th"),
+          regexp_count(txt, lit("\\bthe\\b")).cast("long").as("n_the"),
+          txt.rlike("[0-9]").as("has_digit"))
+        .orderBy(col("doc_id"))
+    }),
+
     // bitwise operators
     "q_bitwise" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -335,6 +362,20 @@ object FunctionQueries {
         |  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
         |  strftime(ts + INTERVAL '90 minutes', '%Y-%m-%d %H:%M:%S') AS ts_plus_90m
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_agg_funcs" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+        |  bool_and(o_totalprice > 0) AS all_pos,
+        |  bool_or(o_orderstatus = 'P') AS any_p,
+        |  array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',') AS statuses
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_regexp_funcs" ->
+      """SELECT doc_id,
+        |  nullif(regexp_extract(lower(text), '\b(th[a-z]+)\b', 1), '') AS first_th,
+        |  nullif(array_to_string(regexp_extract_all(lower(text), '\b(th[a-z]+)\b', 1), ','), '') AS all_th,
+        |  CAST(len(regexp_extract_all(lower(text), '\bthe\b')) AS BIGINT) AS n_the,
+        |  regexp_matches(lower(text), '[0-9]') AS has_digit
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_bitwise" ->
       """SELECT o_orderkey,
         |  o_orderkey << 3 AS shl3,
