@@ -305,6 +305,80 @@ object Dedup {
     out
   }
 
+  /** Incremental exact dedup: survivors of `batch` against an existing
+    * corpus — batch rows whose content fingerprint is new (not in the
+    * corpus), internally deduped (lowest id wins). The corpus contributes
+    * only its DISTINCT fingerprint set (16 B/doc): at 100 TB that set is
+    * the artifact a pipeline maintains between ingests, so the corpus
+    * text is never rescanned per batch — pass the stored fingerprint
+    * table via `corpusFingerprints` when available.
+    */
+  def exactIncremental(corpus: DataFrame, batch: DataFrame, textCol: String, idCol: String): DataFrame =
+    exactIncrementalAgainst(
+      corpus.select(T.fingerprint(col(textCol)).as("__fp")).distinct(),
+      batch, textCol, idCol)
+
+  /** [[exactIncremental]] with a precomputed corpus fingerprint column
+    * (one column named `__fp`, as produced by `T.fingerprint`).
+    */
+  def exactIncrementalAgainst(corpusFingerprints: DataFrame, batch: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val deduped = exact(batch, textCol, idCol)
+    deduped
+      .join(corpusFingerprints, T.fingerprint(deduped(textCol)) === corpusFingerprints("__fp"), "left_anti")
+  }
+
+  /** Incremental near-dedup: batch docs that are NOT near-duplicates of
+    * any corpus doc nor of a lower-id batch doc. Candidate generation is
+    * batch×(corpus ∪ batch) — the corpus side joins only through its LSH
+    * band keys and signature table (the ~100 B/doc artifact a pipeline
+    * stores between ingests), never corpus×corpus, so per-batch cost
+    * scales with the batch, not the corpus.
+    *
+    * Batch-internal policy is greedy drop-higher-id (a~b drops b): for
+    * chains a~b~c this drops {b, c} like min-label propagation would;
+    * it diverges from full clustering only when a higher-id doc pairs
+    * exclusively with already-dropped docs — acceptable for ingest
+    * batches, which are small relative to the corpus.
+    */
+  def minHashIncremental(
+      corpus: DataFrame,
+      batch: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.7
+  ): DataFrame = {
+    require(numHashes % bands == 0)
+    val rows = numHashes / bands
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val prepC = minHashSignatures(corpus, idCol, T.shingleHashes(col(textCol), shingleSize), numHashes).persist(lvl)
+    val prepB = minHashSignatures(batch, idCol, T.shingleHashes(col(textCol), shingleSize), numHashes).persist(lvl)
+    def keyed(prep: DataFrame) = prep
+      .select(col("id"), posexplode(H.bandHashes(col("sig"), bands, rows)).as(Seq("band", "bucket")))
+    val keyedC = keyed(prepC)
+    val keyedB = keyed(prepB)
+    // batch-vs-corpus candidates (all such pairs kill the batch doc) and
+    // batch-internal candidates (ordered: only the higher id can die)
+    val candCB = keyedB.as("b").join(keyedC.as("c"), Seq("band", "bucket"))
+      .select(col("b.id").as("id_b"), col("c.id").as("id_other")).distinct()
+    val candBB = keyedB.as("a").join(keyedB.as("b"), Seq("band", "bucket"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("b.id").as("id_b"), col("a.id").as("id_other")).distinct()
+    val shC = prepC.select(col("id"), col("shset"))
+    val shB = prepB.select(col("id"), col("shset"))
+    def verified(cand: DataFrame, otherSh: DataFrame) = cand
+      .join(shB.withColumnRenamed("id", "id_b").withColumnRenamed("shset", "sh_b"), "id_b")
+      .join(otherSh.withColumnRenamed("id", "id_other").withColumnRenamed("shset", "sh_o"), "id_other")
+      .where(jaccardSets(col("sh_b"), col("sh_o")) >= threshold)
+      .select(col("id_b"))
+    val losers = verified(candCB, shC).unionAll(verified(candBB, shB)).distinct()
+      .localCheckpoint(true)
+    prepC.unpersist(); prepB.unpersist()
+    batch.join(losers.withColumnRenamed("id_b", idCol), Seq(idCol), "left_anti")
+  }
+
   /** Near-dedup end-to-end: survivors after removing every doc whose
     * cluster representative is a lower id.
     */

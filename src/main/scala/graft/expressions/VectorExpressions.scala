@@ -152,16 +152,35 @@ case class HyperplaneLsh(child: Expression, nBits: Int)
   override def checkInputDataTypes() = checkVec(child.dataType, "child")
   private lazy val cf = isFloatArray(child.dataType)
 
+  // Plane coordinates depend only on (plane, dim index) — memoize them so
+  // the mix64 hash runs once per coordinate per expression instance, not
+  // once per coordinate PER ROW (nBits×dim hashes/row otherwise — 4096 for
+  // a 64-bit sketch of a 64-dim vector). Volatile publish-after-fill keeps
+  // concurrent partition threads safe; a lost race only duplicates work.
+  @transient @volatile private var planeCache: Array[Array[Double]] = _
+
+  private def planesFor(dim: Int): Array[Array[Double]] = {
+    val cached = planeCache
+    if (cached != null && cached(0).length >= dim) cached
+    else {
+      val fresh = Array.tabulate(nBits, dim)((p, j) => HyperplaneLsh.coord(p, j))
+      planeCache = fresh
+      fresh
+    }
+  }
+
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
     val dim = a.numElements()
+    val planes = planesFor(dim)
     var bits = 0L
     var p = 0
     while (p < nBits) {
+      val plane = planes(p)
       var proj = 0.0
       var j = 0
       while (j < dim) {
-        proj += elemAt(a, j, cf) * HyperplaneLsh.coord(p, j)
+        proj += elemAt(a, j, cf) * plane(j)
         j += 1
       }
       if (proj >= 0) bits |= (1L << p)

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Snapshot diff: row-level comparison of two versions of a table keyed
+  * by `keyCols` — the data-versioning primitive behind incremental
+  * pipeline runs (what changed since the last ingest?), audit trails,
+  * and regression checks between dataset releases.
+  *
+  * One sort-merge full-outer join on the key (both sides shuffle once);
+  * non-key columns compare as a single null-safe struct equality, so the
+  * comparison is codegen'd and adding columns never adds join passes.
+  * Keys are assumed unique per snapshot (enforce with
+  * [[graft.table.RowId.duplicateKeys]] upstream).
+  */
+object Diff {
+
+  val StatusCol = "diff_status"
+
+  /** Diff `newSnap` against `oldSnap`. Output: key columns +
+    * `diff_status` ∈ {added, removed, changed, unchanged}. Schemas must
+    * match exactly (same names and order).
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(
+      oldSnap.columns.sameElements(newSnap.columns),
+      s"schema mismatch: ${oldSnap.columns.mkString(",")} vs ${newSnap.columns.mkString(",")}")
+    val nonKey = oldSnap.columns.filterNot(keyCols.contains).toSeq
+    require(!oldSnap.columns.contains(StatusCol), s"column $StatusCol already exists")
+    def side(df: DataFrame, tag: String) = df.select(
+      keyCols.map(col) ++ Seq(
+        struct(nonKey.map(col): _*).as(s"__payload_$tag"),
+        lit(true).as(s"__present_$tag")): _*)
+    side(oldSnap, "o")
+      .join(side(newSnap, "n"), keyCols, "full_outer")
+      .withColumn(
+        StatusCol,
+        when(col("__present_o").isNull, "added")
+          .when(col("__present_n").isNull, "removed")
+          .when(col("__payload_o") <=> col("__payload_n"), "unchanged")
+          .otherwise("changed"))
+      .select(keyCols.map(col) :+ col(StatusCol): _*)
+  }
+}

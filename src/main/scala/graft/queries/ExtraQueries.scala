@@ -170,6 +170,24 @@ object ExtraQueries {
         .orderBy(col("event_id"))
     }),
 
+    // snapshot diff: simulate a new dataset release (some rows deleted,
+    // some prices bumped, some appended) and classify every key
+    "q_snapshot_diff" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      val newSnap = o.where(pmod(col("o_orderkey"), lit(50)) =!= 3)
+        .withColumn("o_totalprice",
+          when(pmod(col("o_orderkey"), lit(10)) === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+        .unionByName(
+          o.where(pmod(col("o_orderkey"), lit(100)) === 7)
+            .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+      graft.operators.Diff.snapshotDiff(o, newSnap, Seq("o_orderkey"))
+        .groupBy(col("diff_status"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("diff_status"))
+    }),
+
     // union of three tables with distinct (n-ary set op)
     "q_union_distinct" -> ((s, dir) => {
       val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
@@ -237,6 +255,27 @@ object ExtraQueries {
         |             (3, 30.0, 40.0), (4, 40.0, 51.0)) AS b(band_id, lo, hi)
         |  ON l_quantity >= lo AND l_quantity < hi
         |GROUP BY band_id ORDER BY band_id""".stripMargin,
+    "q_snapshot_diff" ->
+      """WITH oldt AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+        |), newt AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 50 <> 3
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 100 = 7
+        |)
+        |SELECT CASE
+        |    WHEN o.o_orderkey IS NULL THEN 'added'
+        |    WHEN n.o_orderkey IS NULL THEN 'removed'
+        |    WHEN o.o_custkey IS NOT DISTINCT FROM n.o_custkey
+        |     AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+        |     AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice THEN 'unchanged'
+        |    ELSE 'changed' END AS diff_status,
+        |  count(*) AS n
+        |FROM oldt o FULL OUTER JOIN newt n ON o.o_orderkey = n.o_orderkey
+        |GROUP BY 1 ORDER BY diff_status""".stripMargin,
     "q_sessionize" ->
       """WITH e AS (
         |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS epoch_s FROM events

@@ -180,6 +180,28 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // incremental exact dedup: new batch (doc_id % 3 != 0) against an
+    // existing corpus (doc_id % 3 == 0) — corpus contributes only its
+    // fingerprint set, batch internally deduped
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.where(pmod(col("doc_id"), lit(3)) === 0)
+      val batch = docs.where(pmod(col("doc_id"), lit(3)) =!= 0)
+      Dedup.exactIncremental(corpus, batch, "text", "doc_id")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // incremental near-dedup (rows-only; invariants in DedupSpec)
+    "q_minhash_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.where(pmod(col("doc_id"), lit(3)) === 0)
+      val batch = docs.where(pmod(col("doc_id"), lit(3)) =!= 0)
+      Dedup.minHashIncremental(corpus, batch, "text", "doc_id", threshold = 0.5)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // eval-set decontamination: training docs (doc_id % 5 != 0) sharing
     // any 8-token span with the eval slice (doc_id % 5 == 0) — DuckDB
     // oracle reproduces the spans as strings, Spark carries only hashes
@@ -311,6 +333,17 @@ object LlmQueries {
          |  )
          |) ORDER BY doc_id""".stripMargin
     },
+    "q_dedup_incremental" ->
+      s"""WITH corpus AS (
+         |  SELECT DISTINCT $normSql AS fp FROM documents WHERE doc_id % 3 = 0
+         |), batch AS (
+         |  SELECT doc_id, lang, source, n_chars, $normSql AS fp,
+         |    row_number() OVER (PARTITION BY $normSql ORDER BY doc_id) AS rn
+         |  FROM documents WHERE doc_id % 3 <> 0
+         |)
+         |SELECT doc_id, lang, source, n_chars FROM batch
+         |WHERE rn = 1 AND fp NOT IN (SELECT fp FROM corpus)
+         |ORDER BY doc_id""".stripMargin,
     "q_decontaminate" ->
       s"""WITH spans AS (
          |  SELECT doc_id, unnest(list_distinct(

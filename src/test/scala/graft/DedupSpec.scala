@@ -115,6 +115,31 @@ class DedupSpec extends SparkSpec {
     assert(common.nonEmpty && common.forall(_.getLong(1) == 2)) // each shared span in exactly 2 docs
   }
 
+  test("incremental exact dedup: corpus hits and batch-internal dups dropped, novel kept") {
+    val corpus = Seq((0L, base), (1L, distinct1)).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base),      // exact dup of corpus doc 0 → dropped
+      (11L, distinct2), // novel → kept
+      (12L, distinct2), // batch-internal dup of 11 → dropped
+      (13L, nearDup)    // near but not exact → kept (exact dedup only)
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactIncremental(corpus, batch, "text", "doc_id")
+      .select($"doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(11L, 13L))
+  }
+
+  test("incremental minhash dedup: near-dups of corpus and of lower-id batch docs dropped") {
+    val corpus = Seq((0L, base), (1L, distinct1)).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, nearDup),   // near-dup of corpus doc 0 → dropped
+      (11L, distinct2), // novel → kept
+      (12L, distinct2)  // dup of batch doc 11 → dropped
+    ).toDF("doc_id", "text")
+    val out = Dedup.minHashIncremental(corpus, batch, "text", "doc_id", threshold = 0.5)
+      .select($"doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(11L))
+  }
+
   test("embedding pairs: identical and near-identical vectors pair up") {
     val v = (0 until 16).map(_.toFloat / 16f).toArray
     val vNear = v.clone(); vNear(0) = vNear(0) + 0.001f
