@@ -30,7 +30,11 @@ object Bench {
     "q_asof_join",
     "q_salted_agg",
     "q_stream_window_batch",
-    "q_text_quality"
+    "q_text_quality",
+    "q_sessionize",
+    "q_range_join_bucketed",
+    "q_dedup_incremental",
+    "q_decontaminate"
   )
 
   def main(args: Array[String]): Unit = {
