@@ -32,7 +32,21 @@ object PlanCheck {
     // partial aggregation before the exchange
     Check("q1_agg", mustContain = Seq("partial_sum", "HashAggregate")),
     Check("q_range_join", mustContain = Seq("BroadcastNestedLoopJoin")),
-    Check("q_dedup_exact", mustContain = Seq("partial_min"))
+    Check("q_dedup_exact", mustContain = Seq("partial_min_by")),
+    // the bucketed rewrite must turn the range join into an EQUI join
+    Check(
+      "q_range_join_bucketed",
+      mustContain = Seq("HashJoin"),
+      mustNotContain = Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
+    // eval-side span set broadcast; training spans never shuffle for the join
+    Check("q_decontaminate", mustContain = Seq("BroadcastHashJoin")),
+    // positional zip: offset table broadcast onto the narrow data path
+    Check("q_append_position", mustContain = Seq("BroadcastHashJoin")),
+    // full-outer snapshot diff is a shuffled merge join, single pass per side
+    Check("q_snapshot_diff", mustContain = Seq("FullOuter")),
+    // split/sample stay narrow until the final count aggregation
+    Check("q_train_test_split", mustContain = Seq("partial_count", "HashAggregate")),
+    Check("q_histogram", mustContain = Seq("partial_count"))
   )
 
   def main(args: Array[String]): Unit = {
