@@ -3,7 +3,7 @@ package graft.expressions
 import graft.functions.MinHashAggregator.mix64
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.Platform
@@ -81,14 +81,19 @@ object TextHash {
   *    multisets.
   */
 case class ShingleHashes(child: Expression, n: Int, charLevel: Boolean, distinct: Boolean)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(n >= 1, s"shingle size must be >= 1, got $n")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult = TextHash.checkString(child.dataType)
 
-  override def nullSafeEval(v: Any): Any = {
-    val (buf, len) = TextHash.normalize(v.asInstanceOf[UTF8String].toString)
+  override def nullSafeEval(v: Any): Any = evalHashes(v.asInstanceOf[UTF8String])
+
+  /** Row kernel — public so generated code calls it via an instance
+    * reference (one static-shaped call per row, no boxing).
+    */
+  def evalHashes(str: UTF8String): ArrayData = {
+    val (buf, len) = TextHash.normalize(str.toString)
     val out = new java.util.ArrayList[Long]()
     val seen = if (distinct) new java.util.HashSet[Long]() else null
     if (charLevel) {
@@ -122,6 +127,11 @@ case class ShingleHashes(child: Expression, n: Int, charLevel: Boolean, distinct
     new GenericArrayData(arr)
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleHashes", this, classOf[ShingleHashes].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.evalHashes($a);")
+  }
+
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
@@ -130,14 +140,15 @@ case class ShingleHashes(child: Expression, n: Int, charLevel: Boolean, distinct
   * lanes to [[graft.functions.MinHashAggregator]]; empty input → all
   * Long.MaxValue sentinel (never matches).
   */
-case class MinHashSig(child: Expression, k: Int) extends UnaryExpression with CodegenFallback {
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
   require(k >= 1 && k <= 4096, s"k must be in [1,4096], got $k")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult = TextHash.checkLongArray(child.dataType)
 
-  override def nullSafeEval(v: Any): Any = {
-    val a = v.asInstanceOf[ArrayData]
+  override def nullSafeEval(v: Any): Any = evalSig(v.asInstanceOf[ArrayData])
+
+  def evalSig(a: ArrayData): ArrayData = {
     val sig = Array.fill(k)(Long.MaxValue)
     var e = 0
     val n = a.numElements()
@@ -154,6 +165,11 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression with Co
     new GenericArrayData(sig.map(x => x: Any))
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minHashSig", this, classOf[MinHashSig].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.evalSig($a);")
+  }
+
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
@@ -162,13 +178,14 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression with Co
   * [[graft.functions.SimHashAggregator]]: bit j of the fingerprint is set
   * iff Σ tokens (±1 by token-hash bit j) > 0.
   */
-case class SimHash(child: Expression) extends UnaryExpression with CodegenFallback {
+case class SimHash(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def checkInputDataTypes(): TypeCheckResult = TextHash.checkLongArray(child.dataType)
 
-  override def nullSafeEval(v: Any): Any = {
-    val a = v.asInstanceOf[ArrayData]
+  override def nullSafeEval(v: Any): Any = evalFp(v.asInstanceOf[ArrayData])
+
+  def evalFp(a: ArrayData): Long = {
     val counters = new Array[Int](64)
     var e = 0
     val n = a.numElements()
@@ -190,6 +207,11 @@ case class SimHash(child: Expression) extends UnaryExpression with CodegenFallba
     fp
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simHash", this, classOf[SimHash].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.evalFp($a);")
+  }
+
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
@@ -199,14 +221,15 @@ case class SimHash(child: Expression) extends UnaryExpression with CodegenFallba
   * collide). Consume with `posexplode` → (band, bucket).
   */
 case class BandHashes(child: Expression, bands: Int, rows: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(bands >= 1 && rows >= 1)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult = TextHash.checkLongArray(child.dataType)
 
-  override def nullSafeEval(v: Any): Any = {
-    val a = v.asInstanceOf[ArrayData]
+  override def nullSafeEval(v: Any): Any = evalBands(v.asInstanceOf[ArrayData])
+
+  def evalBands(a: ArrayData): ArrayData = {
     require(a.numElements() >= bands * rows,
       s"signature has ${a.numElements()} components, need ${bands * rows}")
     val out = new Array[Any](bands)
@@ -222,6 +245,11 @@ case class BandHashes(child: Expression, bands: Int, rows: Int)
       b += 1
     }
     new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bandHashes", this, classOf[BandHashes].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.evalBands($a);")
   }
 
   override protected def withNewChildInternal(c: Expression) = copy(child = c)

@@ -1,8 +1,7 @@
 package graft.expressions
 
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -12,11 +11,10 @@ import org.apache.spark.sql.types._
   * Why not `zip_with`/`aggregate` (see graft.functions.VectorFunctions's
   * original formulation): higher-order functions are CodegenFallback and
   * pay interpreted-dispatch PER ELEMENT — ~1k object allocations and
-  * virtual calls per 64-dim cosine. These expressions make one eval call
-  * per ROW and run a primitive JVM loop inside (the loop JIT-compiles), so
-  * the per-element cost is a few ns. CodegenFallback at the row level is
-  * fine — the row-level dispatch is not the bottleneck, the element-level
-  * one was.
+  * virtual calls per 64-dim cosine. These expressions participate in
+  * whole-stage codegen: the generated code makes ONE static call per row
+  * into a precompiled primitive loop ([[VectorOps]]), so there is no
+  * boxing, no interpreted dispatch, and the stage pipeline stays fused.
   */
 object VectorExpressions {
 
@@ -37,102 +35,72 @@ object VectorExpressions {
   }
 }
 
+/** Base for binary double-valued vector expressions dispatching to a
+  * [[VectorOps]] static loop (shared eval + codegen plumbing).
+  */
+abstract class BinaryVectorOp extends BinaryExpression {
+  import VectorExpressions._
+
+  /** VectorOps method name — must take (ArrayData, ArrayData, boolean, boolean). */
+  protected def opName: String
+
+  protected def op(a: ArrayData, b: ArrayData, lf: Boolean, rf: Boolean): Double
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes() = {
+    val l = checkVec(left.dataType, "left")
+    if (l.isFailure) l else checkVec(right.dataType, "right")
+  }
+  @transient protected lazy val lf = isFloatArray(left.dataType)
+  @transient protected lazy val rf = isFloatArray(right.dataType)
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    op(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData], lf, rf)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expressions.VectorOps.$opName($a, $b, $lf, $rf);")
+}
+
 /** Cosine similarity in one pass (dot and both norms in a single loop);
   * 0.0 for zero vectors; null if either side is null. Dimensions compared
   * up to the shorter length.
   */
-case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
-  import VectorExpressions._
-
-  override def dataType: DataType = DoubleType
-  override def checkInputDataTypes() = {
-    val l = checkVec(left.dataType, "left")
-    if (l.isFailure) l else checkVec(right.dataType, "right")
-  }
-  private lazy val lf = isFloatArray(left.dataType)
-  private lazy val rf = isFloatArray(right.dataType)
-
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    while (i < n) {
-      val x = elemAt(a, i, lf); val y = elemAt(b, i, rf)
-      dot += x * y; na += x * x; nb += y * y
-      i += 1
-    }
-    val denom = math.sqrt(na) * math.sqrt(nb)
-    if (denom == 0.0) 0.0 else dot / denom
-  }
-
+case class CosineSim(left: Expression, right: Expression) extends BinaryVectorOp {
+  override protected def opName = "cosine"
+  override protected def op(a: ArrayData, b: ArrayData, lf: Boolean, rf: Boolean) =
+    VectorOps.cosine(a, b, lf, rf)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 
 /** Dot product (computed in double). */
-case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
-  import VectorExpressions._
-  override def dataType: DataType = DoubleType
-  override def checkInputDataTypes() = {
-    val l = checkVec(left.dataType, "left")
-    if (l.isFailure) l else checkVec(right.dataType, "right")
-  }
-  private lazy val lf = isFloatArray(left.dataType)
-  private lazy val rf = isFloatArray(right.dataType)
-
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
-    var dot = 0.0
-    var i = 0
-    while (i < n) { dot += elemAt(a, i, lf) * elemAt(b, i, rf); i += 1 }
-    dot
-  }
+case class DotProduct(left: Expression, right: Expression) extends BinaryVectorOp {
+  override protected def opName = "dot"
+  override protected def op(a: ArrayData, b: ArrayData, lf: Boolean, rf: Boolean) =
+    VectorOps.dot(a, b, lf, rf)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 
 /** Euclidean (L2) distance. */
-case class L2Distance(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
-  import VectorExpressions._
-  override def dataType: DataType = DoubleType
-  override def checkInputDataTypes() = {
-    val l = checkVec(left.dataType, "left")
-    if (l.isFailure) l else checkVec(right.dataType, "right")
-  }
-  private lazy val lf = isFloatArray(left.dataType)
-  private lazy val rf = isFloatArray(right.dataType)
-
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
-    var s = 0.0
-    var i = 0
-    while (i < n) { val d = elemAt(a, i, lf) - elemAt(b, i, rf); s += d * d; i += 1 }
-    math.sqrt(s)
-  }
+case class L2Distance(left: Expression, right: Expression) extends BinaryVectorOp {
+  override protected def opName = "l2dist"
+  override protected def op(a: ArrayData, b: ArrayData, lf: Boolean, rf: Boolean) =
+    VectorOps.l2dist(a, b, lf, rf)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 
 /** L2 norm. */
-case class L2Norm(child: Expression) extends UnaryExpression with CodegenFallback {
+case class L2Norm(child: Expression) extends UnaryExpression {
   import VectorExpressions._
   override def dataType: DataType = DoubleType
   override def checkInputDataTypes() = checkVec(child.dataType, "child")
-  private lazy val cf = isFloatArray(child.dataType)
+  @transient private lazy val cf = isFloatArray(child.dataType)
 
-  override def nullSafeEval(v: Any): Any = {
-    val a = v.asInstanceOf[ArrayData]
-    var s = 0.0
-    var i = 0
-    while (i < a.numElements()) { val x = elemAt(a, i, cf); s += x * x; i += 1 }
-    math.sqrt(s)
-  }
+  override def nullSafeEval(v: Any): Any = VectorOps.l2norm(v.asInstanceOf[ArrayData], cf)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = graft.expressions.VectorOps.l2norm($a, $cf);")
+
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }
 
@@ -143,14 +111,13 @@ case class L2Norm(child: Expression) extends UnaryExpression with CodegenFallbac
   * at small cosine distance agree on most bits (SimHash for vectors,
   * Charikar 2002).
   */
-case class HyperplaneLsh(child: Expression, nBits: Int)
-    extends UnaryExpression with CodegenFallback {
+case class HyperplaneLsh(child: Expression, nBits: Int) extends UnaryExpression {
   import VectorExpressions._
   require(nBits >= 1 && nBits <= 64, s"nBits must be in [1,64], got $nBits")
 
   override def dataType: DataType = LongType
   override def checkInputDataTypes() = checkVec(child.dataType, "child")
-  private lazy val cf = isFloatArray(child.dataType)
+  @transient private lazy val cf = isFloatArray(child.dataType)
 
   // Plane coordinates depend only on (plane, dim index) — memoize them so
   // the mix64 hash runs once per coordinate per expression instance, not
@@ -169,8 +136,10 @@ case class HyperplaneLsh(child: Expression, nBits: Int)
     }
   }
 
-  override def nullSafeEval(v: Any): Any = {
-    val a = v.asInstanceOf[ArrayData]
+  /** Row kernel — public so generated code can call it through a
+    * reference to this instance (keeps the plane cache shared).
+    */
+  def evalBits(a: ArrayData): Long = {
     val dim = a.numElements()
     val planes = planesFor(dim)
     var bits = 0L
@@ -188,6 +157,14 @@ case class HyperplaneLsh(child: Expression, nBits: Int)
     }
     bits
   }
+
+  override def nullSafeEval(v: Any): Any = evalBits(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hyperplaneLsh", this, classOf[HyperplaneLsh].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.evalBits($a);")
+  }
+
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 

@@ -1,0 +1,51 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+
+/** Precompiled primitive loops behind the vector expressions' generated
+  * code. Whole-stage codegen emits a single static call per row (Scala
+  * object methods surface as Java static forwarders, so Janino links
+  * them directly) — the loop itself runs as ordinary JIT-compiled
+  * bytecode, and the generated code never boxes.
+  */
+object VectorOps {
+
+  @inline private def at(a: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+
+  def cosine(a: ArrayData, b: ArrayData, lf: Boolean, rf: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = at(a, i, lf); val y = at(b, i, rf)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  def dot(a: ArrayData, b: ArrayData, lf: Boolean, rf: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += at(a, i, lf) * at(b, i, rf); i += 1 }
+    s
+  }
+
+  def l2dist(a: ArrayData, b: ArrayData, lf: Boolean, rf: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { val d = at(a, i, lf) - at(b, i, rf); s += d * d; i += 1 }
+    math.sqrt(s)
+  }
+
+  def l2norm(a: ArrayData, f: Boolean): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.numElements()) { val x = at(a, i, f); s += x * x; i += 1 }
+    math.sqrt(s)
+  }
+}
