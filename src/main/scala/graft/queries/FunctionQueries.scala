@@ -204,6 +204,20 @@ object FunctionQueries {
         .orderBy(col("event_id"))
     }),
 
+    // edit distance over all name pairs (fuzzy-match primitive; the
+    // quadratic pair space is fine for dimension-sized tables — for
+    // corpus-scale fuzzy dedup use the MinHash/SimHash operators)
+    "q_levenshtein" -> ((s, dir) => {
+      val n = t(s, dir, "nation").select(col("n_name"))
+      val a = n.select(col("n_name").as("name_a"))
+      val b = n.select(col("n_name").as("name_b"))
+      a.crossJoin(b)
+        .where(col("name_a") < col("name_b"))
+        .select(col("name_a"), col("name_b"),
+          levenshtein(col("name_a"), col("name_b")).cast("long").as("edit_dist"))
+        .orderBy(col("name_a"), col("name_b"))
+    }),
+
     // predicate aggregates + ordered string agg (count_if / bool_and /
     // bool_or / sorted-set concat)
     "q_agg_funcs" -> ((s, dir) => {
@@ -362,6 +376,11 @@ object FunctionQueries {
         |  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
         |  strftime(ts + INTERVAL '90 minutes', '%Y-%m-%d %H:%M:%S') AS ts_plus_90m
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_levenshtein" ->
+      """SELECT a.n_name AS name_a, b.n_name AS name_b,
+        |  CAST(levenshtein(a.n_name, b.n_name) AS BIGINT) AS edit_dist
+        |FROM nation a, nation b WHERE a.n_name < b.n_name
+        |ORDER BY name_a, name_b""".stripMargin,
     "q_agg_funcs" ->
       """SELECT o_orderpriority,
         |  count(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
