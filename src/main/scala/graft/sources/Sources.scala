@@ -18,6 +18,15 @@ object Sources {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** ORC — second columnar interchange format (same pushdown/pruning
+    * properties as parquet; for pipelines whose upstream emits ORC).
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** CSV with explicit schema (no inference pass — one scan, not two). */
   def csv(spark: SparkSession, path: String, schema: StructType, header: Boolean = true, delimiter: String = ","): DataFrame =
     spark.read

@@ -52,6 +52,15 @@ class WritePathSpec extends SparkSpec {
     assert(back.orderBy($"id").collect().map(_.toSeq).toSeq == df.orderBy($"id").collect().map(_.toSeq).toSeq)
   }
 
+  test("orc round-trip preserves schema and values") {
+    val df = Seq((1L, "x", 0.5), (2L, "y", 1.5)).toDF("id", "name", "score")
+    val out = tmp("orc")
+    Sources.writeOrc(df, out)
+    val back = Sources.orc(spark, out)
+    assert(back.schema.fieldNames.toSeq == df.schema.fieldNames.toSeq)
+    assert(back.orderBy($"id").collect().map(_.toSeq).toSeq == df.orderBy($"id").collect().map(_.toSeq).toSeq)
+  }
+
   test("json-lines round-trip with explicit schema") {
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("tags", ArrayType(StringType))))
