@@ -17,7 +17,11 @@ import org.apache.spark.sql.functions._
   *                      min-label-propagation cluster collapse,
   *  5. passage gate   — optional: drop documents whose w-token spans are
   *                      mostly duplicated elsewhere in the corpus
-  *                      (boilerplate-heavy survivors of 3-4).
+  *                      (boilerplate-heavy survivors of 3-4),
+  *  6. decontamination — optional: drop documents sharing any w-token span
+  *                      with a held-out eval set (test-set leakage guard;
+  *                      last because it must see the final candidate set
+  *                      and the eval side is tiny/broadcast).
   *
   * Each stage only shrinks the data, so the expensive stages see the
   * minimum corpus. Returns the surviving rows plus per-stage counts for
@@ -31,7 +35,8 @@ object CurationPipeline {
       afterLang: Long,
       afterExact: Long,
       afterNear: Long,
-      afterPassage: Long)
+      afterPassage: Long,
+      afterDecontaminate: Long)
 
   final case class Result(survivors: DataFrame, counts: StageCounts)
 
@@ -49,6 +54,7 @@ object CurationPipeline {
       nearThreshold: Double = 0.7,
       maxDupSpanRatio: Option[Double] = None,
       spanLen: Int = 8,
+      evalSet: Option[DataFrame] = None,
       collectStats: Boolean = false
   ): Result = {
     def n(df: DataFrame): Long = if (collectStats) df.count() else -1L
@@ -63,7 +69,7 @@ object CurationPipeline {
     // the pipeline genuinely reuses
     val exactDeduped = Dedup.exact(langGated, textCol, idCol).cache()
     val nearDeduped = Dedup.minHashDedup(exactDeduped, textCol, idCol, threshold = nearThreshold)
-    val survivors = maxDupSpanRatio match {
+    val passageGated = maxDupSpanRatio match {
       case Some(maxRatio) =>
         // keep docs below the duplicated-span threshold; docs too short to
         // have any w-token span produce no stats row and are kept
@@ -73,10 +79,15 @@ object CurationPipeline {
         nearDeduped.join(flagged, Seq(idCol), "left_anti")
       case None => nearDeduped
     }
+    val survivors = evalSet match {
+      case Some(ev) => Decontaminate.clean(passageGated, ev, textCol, idCol, w = spanLen)
+      case None     => passageGated
+    }
 
     Result(
       survivors,
       StageCounts(
-        n(docs), n(qualityGated), n(langGated), n(exactDeduped), n(nearDeduped), n(survivors)))
+        n(docs), n(qualityGated), n(langGated), n(exactDeduped), n(nearDeduped),
+        n(passageGated), n(survivors)))
   }
 }

@@ -90,6 +90,29 @@ object StatQueries {
         .orderBy(col("lang"))
     }),
 
+    // sequence packing (concat-and-chunk): per language, documents in a
+    // canonical order are concatenated and cut into fixed-size budgets —
+    // chunk id = floor(exclusive-running-size / budget), the standard
+    // pretraining batch-prep shape. One sort-shuffle per stream (lang);
+    // at 100 TB the per-lang streams pack independently per partition
+    // range, so the window never concentrates on one executor beyond a
+    // language's own volume.
+    "q_pack_chunks" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, dir, "documents")
+        .withColumn("cum_excl", coalesce(sum(col("n_chars")).over(w), lit(0L)))
+        .withColumn("chunk_id", floor(col("cum_excl") / 16384).cast("long"))
+        .groupBy(col("lang"), col("chunk_id"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chunk_chars"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("lang"), col("chunk_id"))
+    }),
+
     // PII redaction: email + phone patterns → placeholders (synthetic
     // contact strings built from customer columns so the input provably
     // contains PII shapes). Pure narrow regexp map, codegen'd.
@@ -136,6 +159,17 @@ object StatQueries {
         |WHERE (lang = 'en' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999')
         |   OR (lang <> 'en' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000')
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_pack_chunks" ->
+      """WITH c AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    coalesce(sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+        |  FROM documents
+        |)
+        |SELECT lang, CAST(floor(cum_excl / 16384) AS BIGINT) AS chunk_id,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chunk_chars,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2 ORDER BY lang, chunk_id""".stripMargin,
     "q_pii_redact" ->
       """SELECT c_custkey,
         |  regexp_replace(regexp_replace(

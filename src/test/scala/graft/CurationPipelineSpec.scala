@@ -36,6 +36,20 @@ class CurationPipelineSpec extends SparkSpec {
     assert(n > 0 && n <= docs.count())
   }
 
+  test("decontamination stage drops docs overlapping the eval set") {
+    val leaked = "what is the capital of france the capital of france is paris on the seine river"
+    val docs = Seq(
+      (0L, s"document leaking eval content $leaked plus commentary"),
+      (1L, "genuinely original training text with distinct phrasing and nothing shared at all here")
+    ).toDF("doc_id", "text")
+    val ev = Seq((100L, leaked)).toDF("doc_id", "text")
+    val r = CurationPipeline.run(docs, "text", "doc_id",
+      minQuality = 0.0, nearThreshold = 0.95, evalSet = Some(ev), collectStats = true)
+    val ids = r.survivors.select($"doc_id").collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(1L), s"got $ids")
+    assert(r.counts.afterDecontaminate <= r.counts.afterPassage)
+  }
+
   test("passage gate drops boilerplate-heavy docs, keeps short docs") {
     val boiler = "subscribe to our newsletter for updates and follow us on social media channels today"
     val docs = Seq(
