@@ -91,6 +91,86 @@ object Multimodal {
     df.sparkSession.createDataFrame(rdd, outSchema)
   }
 
+  /** STUB resize: payload→payload transform with metadata update — the
+    * shape of every bytes-to-bytes media op (resize, transcode,
+    * re-encode). The fake output is a deterministic `w*h/256`-byte
+    * digest-expansion of the input so downstream size accounting is
+    * realistic; a real implementation swaps the body for the codec call.
+    * Narrow (scan-local), no shuffle.
+    */
+  def resizeImages(df: DataFrame, payloadCol: String, width: Int, height: Int): DataFrame = {
+    require(width > 0 && height > 0)
+    val outLen = math.max(1, width * height / 256)
+    val resize = udf { (bytes: Array[Byte]) =>
+      if (bytes == null) null
+      else {
+        var h = 1125899906842597L
+        var i = 0
+        while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+        val out = new Array[Byte](outLen)
+        var j = 0
+        var s = h
+        while (j < outLen) {
+          s = s * 6364136223846793005L + 1442695040888963407L
+          out(j) = (s >>> 56).toByte
+          j += 1
+        }
+        out
+      }
+    }
+    df.withColumn(payloadCol, resize(col(payloadCol)))
+      .withColumn(
+        "media_meta",
+        if (df.columns.contains("media_meta"))
+          col("media_meta")
+            .withField("width", lit(width))
+            .withField("height", lit(height))
+        else struct(
+          lit("image").as("media_type"),
+          lit(width).as("width"), lit(height).as("height"),
+          lit(null).cast(IntegerType).as("sample_rate"),
+          lit(null).cast(LongType).as("duration_ms")))
+  }
+
+  val audioFeatureSchema: StructType = StructType(
+    Seq(
+      StructField("byte_length", LongType, nullable = false),
+      StructField("rms", DoubleType, nullable = false),
+      StructField("mfcc_vec", ArrayType(DoubleType, containsNull = false), nullable = false)
+    ))
+
+  /** STUB audio feature extraction (13-dim MFCC-shaped vector + RMS from
+    * the raw bytes). Same per-partition batch contract as
+    * [[decodeImages]].
+    */
+  def audioFeatures(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val idField = df.schema(idCol)
+    val outSchema = StructType(idField +: audioFeatureSchema.fields)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = if (r.isNullAt(payloadIdx)) Array.emptyByteArray else r.getAs[Array[Byte]](payloadIdx)
+        var h = 1125899906842597L
+        var sq = 0.0
+        var i = 0
+        while (i < bytes.length) {
+          h = 31 * h + bytes(i)
+          val v = (bytes(i) & 0xff) / 255.0
+          sq += v * v
+          i += 1
+        }
+        val rms = if (bytes.isEmpty) 0.0 else math.sqrt(sq / bytes.length)
+        val mfcc = (0 until 13).map { j =>
+          val s = h * (j + 1) * 6364136223846793005L
+          ((s >>> 32).toInt.toDouble / Int.MaxValue)
+        }
+        Row.fromSeq(r.get(idIdx) +: Seq(bytes.length.toLong, rms, mfcc))
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
   /** Frame-sample stub for video payloads: emits `n` deterministic frame
     * rows per video (UDTF/generator shape — 1→N rows).
     */

@@ -28,6 +28,28 @@ class MultimodalSpec extends SparkSpec {
     assert(meta == "image/png")
   }
 
+  test("resize stub: payload replaced, metadata dims updated, deterministic") {
+    val df = Multimodal.asMediaTable(
+      Seq((1L, "image-bytes-here".getBytes("UTF-8"))).toDF("id", "payload"), "payload", "image/png")
+    val out = Multimodal.resizeImages(df, "payload", 64, 64)
+    val row = out.head()
+    assert(row.getAs[Array[Byte]]("payload").length == 64 * 64 / 256)
+    val meta = out.select($"media_meta.width", $"media_meta.height").head()
+    assert(meta.getInt(0) == 64 && meta.getInt(1) == 64)
+    val again = Multimodal.resizeImages(df, "payload", 64, 64).head()
+    assert(row.getAs[Array[Byte]]("payload").toSeq == again.getAs[Array[Byte]]("payload").toSeq)
+  }
+
+  test("audio feature stub: schema contract, rms bounds, 13-dim vector") {
+    val df = Seq((1L, "audio-bytes".getBytes("UTF-8")), (2L, Array.emptyByteArray))
+      .toDF("id", "payload")
+    val out = Multimodal.audioFeatures(df, "id", "payload").orderBy($"id").collect()
+    assert(out(0).getAs[scala.collection.Seq[Double]]("mfcc_vec").length == 13)
+    val rms = out(0).getAs[Double]("rms")
+    assert(rms > 0.0 && rms <= 1.0)
+    assert(out(1).getAs[Double]("rms") == 0.0)
+  }
+
   test("frame sampling emits n deterministic rows per input") {
     val df = Seq((1L, "video-bytes".getBytes("UTF-8"))).toDF("id", "payload")
     val frames = Multimodal.sampleFrames(df, "id", "payload", 4)
