@@ -327,6 +327,34 @@ object Dedup {
       .join(corpusFingerprints, T.fingerprint(deduped(textCol)) === corpusFingerprints("__fp"), "left_anti")
   }
 
+  /** [[exactIncrementalAgainst]] with a Bloom prefilter: the corpus
+    * fingerprint set compresses to ~1.2 bytes/doc at 1% fpp (vs 16 B/doc
+    * for the exact set), so the anti-join — the only shuffle touching the
+    * corpus artifact — runs over just the batch rows the filter flags
+    * (true duplicates + fpp false positives) instead of the whole batch.
+    * Rows the filter clears are PROVABLY new (Bloom filters have no false
+    * negatives); flagged rows are re-checked exactly, so the result is
+    * identical to the exact variant. At 10⁹ corpus docs the filter is
+    * ~1.2 GB: build it once per ingest window, not per batch.
+    */
+  def exactIncrementalBloom(
+      corpusFingerprints: DataFrame,
+      batch: DataFrame,
+      textCol: String,
+      idCol: String,
+      expectedCorpusSize: Long,
+      fpp: Double = 0.01
+  ): DataFrame = {
+    val bloom = corpusFingerprints.stat.bloomFilter("__fp", math.max(expectedCorpusSize, 1L), fpp)
+    val mightContain = udf((s: String) => s != null && bloom.mightContainString(s))
+    val deduped = exact(batch, textCol, idCol)
+    val withFp = deduped.withColumn("__fp_b", T.fingerprint(col(textCol)))
+    val cleared = withFp.where(!mightContain(col("__fp_b")))
+    val suspects = withFp.where(mightContain(col("__fp_b")))
+      .join(corpusFingerprints, col("__fp_b") === corpusFingerprints("__fp"), "left_anti")
+    cleared.unionByName(suspects).drop("__fp_b")
+  }
+
   /** Incremental near-dedup: batch docs that are NOT near-duplicates of
     * any corpus doc nor of a lower-id batch doc. Candidate generation is
     * batch×(corpus ∪ batch) — the corpus side joins only through its LSH

@@ -128,6 +128,19 @@ class DedupSpec extends SparkSpec {
     assert(out == Seq(11L, 13L))
   }
 
+  test("bloom-prefiltered incremental dedup result-identical to exact variant") {
+    val corpus = Seq((0L, base), (1L, distinct1)).toDF("doc_id", "text")
+    val corpusFps = corpus.select(T.fingerprint($"text").as("__fp")).distinct()
+    val batch = Seq(
+      (10L, base), (11L, distinct2), (12L, distinct2), (13L, nearDup)
+    ).toDF("doc_id", "text")
+    val viaBloom = Dedup.exactIncrementalBloom(corpusFps, batch, "text", "doc_id", expectedCorpusSize = 2)
+      .select($"doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val viaExact = Dedup.exactIncrementalAgainst(corpusFps, batch, "text", "doc_id")
+      .select($"doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaBloom == viaExact && viaBloom == Seq(11L, 13L))
+  }
+
   test("incremental minhash dedup: near-dups of corpus and of lower-id batch docs dropped") {
     val corpus = Seq((0L, base), (1L, distinct1)).toDF("doc_id", "text")
     val batch = Seq(
