@@ -180,6 +180,17 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // product-quantization ANN: 32×-compressed corpus codes, ADC scoring,
+    // exact re-rank (rows-only; recall invariant in SimilaritySpec)
+    "q_ann_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = Similarity.pqTrain(emb, "embedding", "vec_id", m = 8, k = 16)
+      val encoded = Similarity.pqEncode(emb, "embedding", model)
+      Similarity.pqTopK(encoded, emb.where(col("vec_id") < 5), "embedding", "vec_id", 5, model, oversample = 8)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // incremental exact dedup: new batch (doc_id % 3 != 0) against an
     // existing corpus (doc_id % 3 == 0) — corpus contributes only its
     // fingerprint set, batch internally deduped

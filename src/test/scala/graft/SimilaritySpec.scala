@@ -41,6 +41,22 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"recall=$recall")
   }
 
+  test("PQ ANN: 32× code compression, recall vs brute force ≥ 0.5, exact re-rank") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val queries = emb.where($"vec_id" < 10)
+    val model = Similarity.pqTrain(emb, "embedding", "vec_id", m = 8, k = 16)
+    assert(model.m == 8 && model.k == 16)
+    val encoded = Similarity.pqEncode(emb, "embedding", model)
+    val codes = encoded.select($"pq_codes").head().getSeq[Int](0)
+    assert(codes.length == 8 && codes.forall(c => c >= 0 && c < 16))
+    val exact = Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id", 5)
+      .select($"query_id", $"neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.pqTopK(encoded, queries, "embedding", "vec_id", 5, model, oversample = 8)
+      .select($"query_id", $"neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall=$recall")
+  }
+
   test("sketch-prefiltered top-k recall vs brute force ≥ 0.5") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val queries = emb.where($"vec_id" < 10)
