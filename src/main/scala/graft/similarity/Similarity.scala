@@ -140,6 +140,62 @@ object Similarity {
     PqModel(Array.tabulate(m, seeds.length)((j, c) => seeds(c).slice(j * dsub, (j + 1) * dsub)))
   }
 
+  /** Lloyd refinement of a PQ codebook: `iters` distributed k-means
+    * steps — assign every subvector to its nearest centroid (one narrow
+    * encode pass), recompute centroids as per-(subspace, code) means (one
+    * aggregation shuffling m rows per corpus vector of dsub doubles
+    * each), collect the m×k×dsub result to the driver. Deterministic
+    * (assignment ties break to the lowest code, means are exact
+    * aggregates); empty cells keep their previous centroid. Quantization
+    * error is non-increasing per iteration (the Lloyd guarantee), which
+    * SimilaritySpec asserts.
+    */
+  def pqRefine(corpus: DataFrame, vecCol: String, model: PqModel, iters: Int = 1): PqModel = {
+    var cur = model
+    (0 until iters).foreach { _ =>
+      val m = cur.m; val k = cur.k; val dsub = cur.dsub
+      val codesOf = pqEncode(corpus, vecCol, cur)
+        .select(col(vecCol).cast("array<double>").as("v"), col("pq_codes"))
+        .select(explode(sequence(lit(0), lit(m - 1))).as("j"), col("v"), col("pq_codes"))
+        .select(
+          col("j"), element_at(col("pq_codes"), col("j") + 1).as("c"),
+          slice(col("v"), col("j") * dsub + 1, lit(dsub)).as("sub"))
+      val means = codesOf
+        .groupBy(col("j"), col("c"))
+        .agg(count(lit(1)).as("n"),
+          array((0 until dsub).map(t => sum(element_at(col("sub"), t + 1))): _*).as("sums"))
+        .collect()
+      val next = Array.tabulate(m, k)((j, c) => cur.centroids(j)(c).clone())
+      means.foreach { r =>
+        val j = r.getInt(0); val c = r.getInt(1); val n = r.getLong(2).toDouble
+        val sums = r.getSeq[Double](3)
+        next(j)(c) = sums.map(_ / n).toArray
+      }
+      cur = PqModel(next)
+    }
+    cur
+  }
+
+  /** Mean squared quantization error of a codebook over the corpus (the
+    * Lloyd objective; used to validate refinement).
+    */
+  def pqQuantizationError(corpus: DataFrame, vecCol: String, model: PqModel): Double = {
+    val err = udf { (vec: Seq[Double], codes: Seq[Int]) =>
+      var s = 0.0; var j = 0
+      while (j < codes.length) {
+        val cent = model.centroids(j)(codes(j))
+        val off = j * model.dsub
+        var t = 0
+        while (t < cent.length) { val d = vec(off + t) - cent(t); s += d * d; t += 1 }
+        j += 1
+      }
+      s
+    }
+    pqEncode(corpus, vecCol, model)
+      .select(err(col(vecCol).cast("array<double>"), col("pq_codes")).as("e"))
+      .agg(avg(col("e"))).head().getDouble(0)
+  }
+
   /** Encode the corpus: each vector becomes `m` small codes (nearest
     * centroid per subspace) — ~m bytes/vector vs 4·d for raw floats
     * (32× compression at d=64, m=8). THIS is the representation a 100 TB

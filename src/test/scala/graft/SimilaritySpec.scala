@@ -57,6 +57,19 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall=$recall")
   }
 
+  test("PQ Lloyd refinement: quantization error non-increasing per iteration") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val seeded = Similarity.pqTrain(emb, "embedding", "vec_id", m = 8, k = 16)
+    val e0 = Similarity.pqQuantizationError(emb, "embedding", seeded)
+    val refined1 = Similarity.pqRefine(emb, "embedding", seeded, iters = 1)
+    val e1 = Similarity.pqQuantizationError(emb, "embedding", refined1)
+    val refined2 = Similarity.pqRefine(emb, "embedding", refined1, iters = 1)
+    val e2 = Similarity.pqQuantizationError(emb, "embedding", refined2)
+    assert(e1 <= e0 * (1 + 1e-9), s"e0=$e0 e1=$e1")
+    assert(e2 <= e1 * (1 + 1e-9), s"e1=$e1 e2=$e2")
+    assert(e1 < e0, s"refinement should strictly improve on seeding: e0=$e0 e1=$e1")
+  }
+
   test("sketch-prefiltered top-k recall vs brute force ≥ 0.5") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val queries = emb.where($"vec_id" < 10)
