@@ -26,6 +26,22 @@ class RangeJoinSpec extends SparkSpec {
     assert(plain.nonEmpty)
   }
 
+  test("randomized equivalence incl. negative values, several widths") {
+    val rnd = new scala.util.Random(42)
+    val pts = (0 until 300).map(i => (i.toLong, rnd.nextDouble() * 80 - 40)).toDF("pid", "v")
+    val ivs = (0 until 40).map { i =>
+      val lo = rnd.nextDouble() * 80 - 45
+      (i.toLong, lo, lo + rnd.nextDouble() * 25)
+    }.toDF("iid", "lo", "hi")
+    val plain = pts.join(ivs, $"v" >= $"lo" && $"v" < $"hi")
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+    Seq(0.5, 3.0, 7.7, 100.0).foreach { w =>
+      val bucketed = RangeJoin.bucketed(pts, ivs, "v", "lo", "hi", bucketWidth = w)
+        .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+      assert(bucketed == plain, s"width=$w")
+    }
+  }
+
   test("column collision is rejected") {
     intercept[IllegalArgumentException] {
       RangeJoin.bucketed(points.withColumnRenamed("v", "lo"), intervals, "lo", "lo", "hi", 5.0)
