@@ -29,9 +29,13 @@ object Diff {
       s"schema mismatch: ${oldSnap.columns.mkString(",")} vs ${newSnap.columns.mkString(",")}")
     val nonKey = oldSnap.columns.filterNot(keyCols.contains).toSeq
     require(!oldSnap.columns.contains(StatusCol), s"column $StatusCol already exists")
+    // key-only tables have no payload to compare: presence alone decides
+    // the status (never changed), so compare a constant
+    def payload(): org.apache.spark.sql.Column =
+      if (nonKey.isEmpty) lit(0) else struct(nonKey.map(col): _*)
     def side(df: DataFrame, tag: String) = df.select(
       keyCols.map(col) ++ Seq(
-        struct(nonKey.map(col): _*).as(s"__payload_$tag"),
+        payload().as(s"__payload_$tag"),
         lit(true).as(s"__present_$tag")): _*)
     side(oldSnap, "o")
       .join(side(newSnap, "n"), keyCols, "full_outer")

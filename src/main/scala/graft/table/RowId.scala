@@ -52,6 +52,9 @@ object RowId {
     val pid = "__graft_pid"
     val mid = "__graft_mid"
     val off = "__graft_offset"
+    require(
+      !Seq(pid, mid, off).exists(df.columns.contains),
+      s"reserved column name collision: ${Seq(pid, mid, off).filter(df.columns.contains).mkString(", ")}")
     val tagged = df
       .withColumn(pid, spark_partition_id())
       .withColumn(mid, monotonically_increasing_id())
