@@ -135,6 +135,137 @@ case class ShingleHashes(child: Expression, n: Int, charLevel: Boolean, distinct
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Per-row word-n-gram repetition statistics (the Gopher/C4-style
+  * repetition signals public curation pipelines threshold on), fused into
+  * one pass: counts n-gram multiplicities over the normalized token
+  * stream and returns
+  *
+  *   struct(n_ngrams, n_distinct, max_count, max_count_chars)
+  *
+  * where `max_count` is the multiplicity of the most frequent n-gram and
+  * `max_count_chars` = max over n-grams of multiplicity × non-space char
+  * length (the numerator of "fraction of characters contained in the most
+  * common n-gram"). Per-row and shuffle-free — at 100 TB these metrics
+  * cost one scan, no exchange (the explode+groupBy formulation would
+  * shuffle one row per document n-gram).
+  *
+  * N-gram identity is the xxhash64 of its byte range (collision
+  * probability ~(ngrams² / 2^64) per document — negligible at any real
+  * document length). Tokenization matches [[TextHash.normalize]].
+  */
+case class NgramRepetitionStats(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"n-gram size must be >= 1, got $n")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_ngrams", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("max_count", LongType, nullable = false),
+    StructField("max_count_chars", LongType, nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult = TextHash.checkString(child.dataType)
+
+  override def nullSafeEval(v: Any): Any = evalStats(v.asInstanceOf[UTF8String])
+
+  def evalStats(str: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val (buf, len) = TextHash.normalize(str.toString)
+    // token start offsets (tokens separated by single spaces)
+    val starts = new java.util.ArrayList[Integer]()
+    var i = 0
+    while (i < len) {
+      if (i == 0 || buf(i - 1) == ' ') starts.add(i)
+      i += 1
+    }
+    val t = starts.size()
+    // hash → (count, non-space char length)
+    val counts = new java.util.HashMap[Long, Array[Long]]()
+    var nNgrams = 0L
+    var s = 0
+    while (s + n <= t) {
+      val from = starts.get(s)
+      val until = if (s + n < t) starts.get(s + n) - 1 else len
+      val h = TextHash.hashRange(buf, from, until - from)
+      val entry = counts.get(h)
+      if (entry == null) counts.put(h, Array(1L, (until - from - (n - 1)).toLong))
+      else entry(0) += 1L
+      nNgrams += 1L
+      s += 1
+    }
+    var maxCount = 0L
+    var maxCountChars = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e(0) > maxCount) maxCount = e(0)
+      val cc = e(0) * e(1)
+      if (cc > maxCountChars) maxCountChars = cc
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nNgrams, counts.size().toLong, maxCount, maxCountChars))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ngramRepetitionStats", this, classOf[NgramRepetitionStats].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.evalStats($a);")
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Per-row line-repetition statistics (the duplicate-line signals of
+  * public curation pipelines): lines = the input split on '\n', trimmed,
+  * empty lines dropped; identity is the EXACT trimmed line string (raw
+  * text, not normalized). Returns
+  *
+  *   struct(n_lines, n_distinct, dup_chars, total_chars)
+  *
+  * where `dup_chars` sums length × multiplicity over lines occurring more
+  * than once and `total_chars` over all lines — so
+  * duplicate-line fraction  = (n_lines − n_distinct) / n_lines and
+  * duplicate-char fraction  = dup_chars / total_chars.
+  * Callers that want paragraph/sentence granularity pre-map their
+  * delimiter to '\n'. Per-row, shuffle-free.
+  */
+case class LineRepetitionStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_lines", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("dup_chars", LongType, nullable = false),
+    StructField("total_chars", LongType, nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult = TextHash.checkString(child.dataType)
+
+  override def nullSafeEval(v: Any): Any = evalStats(v.asInstanceOf[UTF8String])
+
+  def evalStats(str: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val counts = new java.util.HashMap[String, Long]()
+    var nLines = 0L
+    var totalChars = 0L
+    val it = str.toString.split('\n').iterator
+    while (it.hasNext) {
+      val line = it.next().trim
+      if (line.nonEmpty) {
+        nLines += 1L
+        totalChars += line.length.toLong
+        counts.merge(line, 1L, (a, b) => a + b)
+      }
+    }
+    var dupChars = 0L
+    val e = counts.entrySet().iterator()
+    while (e.hasNext) {
+      val kv = e.next()
+      if (kv.getValue > 1L) dupChars += kv.getValue * kv.getKey.length.toLong
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nLines, counts.size().toLong, dupChars, totalChars))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lineRepetitionStats", this, classOf[LineRepetitionStats].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.evalStats($a);")
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** k-lane MinHash signature from an array of shingle hashes, per row.
   * Lane i = min over shingles of splitmix64(h + GOLDEN·(i+1)) — identical
   * lanes to [[graft.functions.MinHashAggregator]]; empty input → all

@@ -212,6 +212,48 @@ object TextFunctions {
     (lengthScore + alphaRatio + stopHit + tokLenScore) / lit(4.0)
   }
 
+  /** Word-n-gram repetition statistics, one fused pass per row
+    * (graft.expressions.NgramRepetitionStats):
+    * struct(n_ngrams, n_distinct, max_count, max_count_chars). The
+    * building block of the Gopher/C4-style repetition filters — see
+    * [[repetitionSignals]] for the derived fractions.
+    */
+  def ngramStats(c: Column, n: Int): Column =
+    e2col(graft.expressions.NgramRepetitionStats(col2e(c), n))
+
+  /** Line-repetition statistics over raw text, one fused pass per row
+    * (graft.expressions.LineRepetitionStats):
+    * struct(n_lines, n_distinct, dup_chars, total_chars). Lines = input
+    * split on '\n' (pre-map other delimiters to '\n' for
+    * paragraph/sentence granularity).
+    */
+  def lineStats(c: Column): Column =
+    e2col(graft.expressions.LineRepetitionStats(col2e(c)))
+
+  /** The standard repetition-filter signals as named columns (fractions in
+    * [0,1], 0 for empty/degenerate docs):
+    *  - `top_word_frac`        multiplicity of the most frequent token / token count
+    *  - `top_bigram_char_frac` chars covered by the most frequent word bigram / non-space chars
+    *  - `dup_trigram_frac`     duplicated word trigrams / trigram count
+    * Public pipelines drop documents above thresholds (e.g. Gopher: most
+    * common 2-gram > 0.20 of chars). All per-row, shuffle-free.
+    */
+  def repetitionSignals(c: Column): Seq[(String, Column)] = {
+    val w = ngramStats(c, 1)
+    val bg = ngramStats(c, 2)
+    val tri = ngramStats(c, 3)
+    val nospaceChars = length(regexp_replace(normalizeText(c), " ", "")).cast("double")
+    def frac(num: Column, den: Column): Column =
+      when(den <= 0, lit(0.0)).otherwise(num.cast("double") / den)
+    Seq(
+      "top_word_frac" -> frac(w.getField("max_count"), w.getField("n_ngrams").cast("double")),
+      // overlapping occurrences share characters, so the raw ratio can
+      // exceed 1 ("spam spam spam…"); clamp to the documented [0,1]
+      "top_bigram_char_frac" -> least(frac(bg.getField("max_count_chars"), nospaceChars), lit(1.0)),
+      "dup_trigram_frac" ->
+        frac(tri.getField("n_ngrams") - tri.getField("n_distinct"), tri.getField("n_ngrams").cast("double")))
+  }
+
   /** Document fingerprint: md5 of the canonical token stream. Two documents
     * with the same normalized content collide — the exact-dedup key.
     * md5 (not xxhash) so the oracle (DuckDB md5) reproduces it bit-for-bit.

@@ -213,6 +213,51 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Gopher/C4-style repetition signals (top-word fraction, top-bigram
+    // char fraction, duplicated-trigram fraction) — fused per-row
+    // expression, zero shuffle; DuckDB oracle recomputes over token lists
+    "q_repetition" -> ((s, dir) => {
+      val sig = T.repetitionSignals(col("text")).toMap
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          round(sig("top_word_frac"), 6).as("top_word_frac"),
+          round(sig("top_bigram_char_frac"), 6).as("top_bigram_char_frac"),
+          round(sig("dup_trigram_frac"), 6).as("dup_trigram_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // duplicate-line stats (lines synthesized by mapping ' the ' → '\n' —
+    // the synthetic corpus has no newlines; the operator itself is
+    // delimiter-agnostic)
+    "q_line_repetition" -> ((s, dir) => {
+      val st = T.lineStats(regexp_replace(col("text"), " the ", "\n"))
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          st.getField("n_lines").as("n_lines"),
+          round(
+            when(st.getField("n_lines") <= 0, lit(0.0))
+              .otherwise((st.getField("n_lines") - st.getField("n_distinct")).cast("double")
+                / st.getField("n_lines").cast("double")), 6).as("dup_line_frac"),
+          round(
+            when(st.getField("total_chars") <= 0, lit(0.0))
+              .otherwise(st.getField("dup_chars").cast("double")
+                / st.getField("total_chars").cast("double")), 6).as("dup_char_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // corpus vocabulary: token → frequency, top 100 (explode + count —
+    // map-side partial aggregation absorbs the head-word skew)
+    "q_vocab" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(T.tokenize(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(100)
+    }),
+
     // eval-set decontamination: training docs (doc_id % 5 != 0) sharing
     // any 8-token span with the eval slice (doc_id % 5 == 0) — DuckDB
     // oracle reproduces the spans as strings, Spark carries only hashes
@@ -243,6 +288,45 @@ object LlmQueries {
       "'le','et','les','des','du','une','est','pour','qui','dans']"
 
   val oracles: Map[String, String] = Map(
+    "q_repetition" ->
+      s"""SELECT doc_id,
+         |  round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(maxw AS DOUBLE) / len(toks) END, 6) AS top_word_frac,
+         |  round(CASE WHEN nsch <= 0 THEN 0.0 ELSE least(CAST(maxbg AS DOUBLE) / nsch, 1.0) END, 6) AS top_bigram_char_frac,
+         |  round(CASE WHEN len(tris) = 0 THEN 0.0 ELSE CAST(len(tris) - len(list_distinct(tris)) AS DOUBLE) / len(tris) END, 6) AS dup_trigram_frac
+         |FROM (
+         |  SELECT doc_id, toks, tris,
+         |    coalesce(list_max(list_transform(list_distinct(toks), w -> len(list_filter(toks, x -> x = w)))), 0) AS maxw,
+         |    coalesce(list_max(list_transform(list_distinct(bgs), g -> len(list_filter(bgs, x -> x = g)) * length(replace(g, ' ', '')))), 0) AS maxbg,
+         |    length(replace(norm, ' ', '')) AS nsch
+         |  FROM (
+         |    SELECT doc_id, norm, toks,
+         |      [toks[i] || ' ' || toks[i+1] FOR i IN range(1, greatest(len(toks), 1))] AS bgs,
+         |      [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN range(1, greatest(len(toks) - 1, 1))] AS tris
+         |    FROM (SELECT doc_id, $normSql AS norm, list_filter($toksSql, x -> x <> '') AS toks FROM documents)
+         |  )
+         |) ORDER BY doc_id""".stripMargin,
+    "q_line_repetition" ->
+      """SELECT doc_id,
+        |  CAST(len(lines) AS BIGINT) AS n_lines,
+        |  round(CASE WHEN len(lines) = 0 THEN 0.0
+        |        ELSE CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines) END, 6) AS dup_line_frac,
+        |  round(CASE WHEN totch <= 0 THEN 0.0 ELSE CAST(dupch AS DOUBLE) / totch END, 6) AS dup_char_frac
+        |FROM (
+        |  SELECT doc_id, lines,
+        |    coalesce(list_sum(list_transform(lines, l -> length(l))), 0) AS totch,
+        |    coalesce(list_sum(list_transform(list_distinct(lines), l ->
+        |      CASE WHEN len(list_filter(lines, x -> x = l)) > 1
+        |           THEN len(list_filter(lines, x -> x = l)) * length(l) ELSE 0 END)), 0) AS dupch
+        |  FROM (
+        |    SELECT doc_id,
+        |      list_filter(list_transform(string_split(regexp_replace(text, ' the ', chr(10), 'g'), chr(10)),
+        |                                 x -> trim(x)), x -> x <> '') AS lines
+        |    FROM documents)
+        |) ORDER BY doc_id""".stripMargin,
+    "q_vocab" ->
+      s"""SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |  SELECT unnest(list_filter($toksSql, x -> x <> '')) AS token FROM documents)
+         |GROUP BY token ORDER BY cnt DESC, token LIMIT 100""".stripMargin,
     "q_dedup_exact" ->
       s"""SELECT doc_id, lang, source, n_chars FROM (
          |  SELECT doc_id, lang, source, n_chars,

@@ -129,4 +129,45 @@ class TextSpec extends SparkSpec {
       .select(T.tokenCount($"t"), T.subwordCountEstimate($"t")).head()
     assert(r.getInt(1) >= r.getInt(0))
   }
+
+  test("ngramStats: multiplicities, distinct counts, char-weighted max") {
+    // "cat dog cat dog cat": 5 unigrams {cat×3, dog×2}, 4 bigrams
+    // {"cat dog"×2, "dog cat"×2}, 3 trigrams (all distinct)
+    val df = Seq("cat dog cat dog cat").toDF("t")
+    val w = df.select(T.ngramStats($"t", 1).as("s")).select($"s.*").head()
+    assert((w.getLong(0), w.getLong(1), w.getLong(2)) == ((5L, 2L, 3L)))
+    assert(w.getLong(3) == 3L * 3L) // "cat"×3 × 3 chars
+    val bg = df.select(T.ngramStats($"t", 2).as("s")).select($"s.*").head()
+    assert((bg.getLong(0), bg.getLong(1), bg.getLong(2)) == ((4L, 2L, 2L)))
+    assert(bg.getLong(3) == 2L * 6L) // "cat dog"×2 × 6 non-space chars
+    val tri = df.select(T.ngramStats($"t", 3).as("s")).select($"s.*").head()
+    // trigrams: "cat dog cat"(×2), "dog cat dog" — 3 total, 2 distinct
+    assert((tri.getLong(0), tri.getLong(1), tri.getLong(2)) == ((3L, 2L, 2L)))
+  }
+
+  test("ngramStats: empty and too-short inputs give zeros") {
+    val rows = Seq("", "one").toDF("t").select(T.ngramStats($"t", 2).as("s")).select($"s.*").collect()
+    rows.foreach(r => assert((0 until 4).forall(i => r.getLong(i) == 0L)))
+  }
+
+  test("lineStats: duplicate lines by exact trimmed content") {
+    val text = "alpha\n  beta  \nalpha\n\n   \ngamma\nbeta"
+    // lines: alpha, beta, alpha, gamma, beta → 5 lines, 3 distinct
+    // dup_chars = alpha×2×5 + beta×2×4 = 18; total = 5+4+5+5+4 = 23
+    val r = Seq(text).toDF("t").select(T.lineStats($"t").as("s")).select($"s.*").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((5L, 3L, 18L, 23L)))
+  }
+
+  test("repetitionSignals: repetitive doc scores higher, fractions in [0,1]") {
+    val df = Seq(
+      ("rep", "spam spam spam spam spam spam spam spam"),
+      ("var", "alpha beta gamma delta epsilon zeta eta theta")).toDF("id", "t")
+    val out = df.select(col("id") +: T.repetitionSignals($"t").map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val (rw, rb, rt) = out("rep")
+    val (vw, vb, vt) = out("var")
+    assert(rw == 1.0 && rb == 1.0 && rt > 0.8) // 8 spams → 5 of 6 trigrams duplicated
+    assert(vw < 0.2 && vt == 0.0)
+    Seq(rw, rb, rt, vw, vb, vt).foreach(x => assert(x >= 0.0 && x <= 1.0))
+  }
 }
