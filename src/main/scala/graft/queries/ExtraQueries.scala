@@ -188,6 +188,34 @@ object ExtraQueries {
         .orderBy(col("diff_status"))
     }),
 
+    // upsert (MERGE INTO shape): a source batch of modified orders
+    // replaces its target keys, everything else survives
+    "q_merge_upsert" -> ((s, dir) => {
+      val target = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val source = target
+        .where(pmod(col("o_orderkey"), lit(10)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("o_orderstatus", lit("R"))
+      graft.operators.Merge.upsert(target, source, Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // CDC changelog apply: latest change per key wins (seq desc),
+    // 'D' deletes, 'U' upserts — keys in both streams take the delete
+    "q_changelog_apply" -> ((s, dir) => {
+      val snap = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val updates = snap.where(pmod(col("c_custkey"), lit(7)) === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+        .withColumn("op", lit("U")).withColumn("seq", lit(1L))
+      val deletes = snap.where(pmod(col("c_custkey"), lit(11)) === 0)
+        .withColumn("op", lit("D")).withColumn("seq", lit(2L))
+      graft.operators.Merge
+        .applyChangelog(snap, updates.unionByName(deletes), Seq("c_custkey"), "seq", "op")
+        .orderBy(col("c_custkey"))
+    }),
+
     // union of three tables with distinct (n-ary set op)
     "q_union_distinct" -> ((s, dir) => {
       val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
@@ -276,6 +304,37 @@ object ExtraQueries {
         |  count(*) AS n
         |FROM oldt o FULL OUTER JOIN newt n ON o.o_orderkey = n.o_orderkey
         |GROUP BY 1 ORDER BY diff_status""".stripMargin,
+    "q_merge_upsert" ->
+      """WITH target AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |), source AS (
+        |  SELECT o_orderkey, 'R' AS o_orderstatus, o_totalprice * 2 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 = 0
+        |)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice FROM source
+        |UNION ALL
+        |SELECT t.o_orderkey, t.o_orderstatus, t.o_totalprice
+        |FROM target t WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.o_orderkey = t.o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_changelog_apply" ->
+      """WITH snap AS (
+        |  SELECT c_custkey, c_name, c_acctbal FROM customer
+        |), changes AS (
+        |  SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal, 'U' AS op, 1 AS seq
+        |  FROM customer WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_acctbal, 'D' AS op, 2 AS seq
+        |  FROM customer WHERE c_custkey % 11 = 0
+        |), latest AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY seq DESC, op) AS rn
+        |    FROM changes) WHERE rn = 1
+        |)
+        |SELECT c_custkey, c_name, c_acctbal FROM snap t
+        |WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.c_custkey = t.c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_acctbal FROM latest WHERE op <> 'D'
+        |ORDER BY c_custkey""".stripMargin,
     "q_sessionize" ->
       """WITH e AS (
         |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS epoch_s FROM events
