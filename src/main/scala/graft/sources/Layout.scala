@@ -50,4 +50,52 @@ object Layout {
     */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** Globally-sorted parquet layout: range-repartition on the sort key
+    * (one sampling pass + one shuffle), sort within partitions, write one
+    * file per range. Files then hold DISJOINT key ranges in order, so a
+    * range predicate prunes whole files via parquet min/max row-group
+    * stats — the scan-pruning analog of the reference's batch-offset
+    * random access (reference
+    * org.knime.core.columnar.arrow/.../ArrowBatchStore.java:57-62).
+    * `numFiles` sizes the layout: at 100 TB pick total/128 MiB-ish; the
+    * range exchange is AQE-skew-safe (sampled bounds, not hash).
+    */
+  def writeSorted(df: DataFrame, path: String, sortCols: Seq[String], numFiles: Int): Unit = {
+    require(sortCols.nonEmpty && numFiles >= 1)
+    import org.apache.spark.sql.functions.col
+    val keys = sortCols.map(col)
+    df.repartitionByRange(numFiles, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Per-file min/max of `keyCol` — the layout check for [[writeSorted]]
+    * (disjoint ranges ⇒ file-level pruning works). One aggregation over
+    * the file-name pseudo-column.
+    */
+  def fileKeyRanges(spark: SparkSession, path: String, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(keyCol)).as("key_min"), max(col(keyCol)).as("key_max"), count(lit(1)).as("rows"))
+  }
+
+  /** Compact a parquet directory to ~`targetFileBytes` files (the
+    * small-files maintenance pass every long-lived 100 TB store needs:
+    * streaming ingest and per-batch writes fragment directories; scan
+    * throughput collapses when file count ≫ executor count). File count
+    * is computed from the directory's ACTUAL bytes on disk, not
+    * estimated row widths. Round-robin repartition — contents and schema
+    * are unchanged.
+    */
+  def compact(spark: SparkSession, inPath: String, outPath: String, targetFileBytes: Long): Int = {
+    require(targetFileBytes > 0)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(inPath), spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(inPath)).getLength
+    val n = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    spark.read.parquet(inPath).repartition(n).write.mode("overwrite").parquet(outPath)
+    n
+  }
 }

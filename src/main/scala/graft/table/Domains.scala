@@ -101,6 +101,41 @@ object Domains {
     }
   }
 
+  /** Merge two domain snapshots — the incremental-update path (reference
+    * calculators are initialized from the prior domain and updated batch
+    * by batch, DefaultDomainWritableConfig.java:88-185; at 100 TB this is
+    * how per-ingest statistics combine into table statistics without
+    * rescanning). Exact for min/max/nullCount/nominal (nominal unions,
+    * drops when the union exceeds `nominalCap` — drop is absorbing, like
+    * the reference's drop-on-overflow). `approxDistinct` merges as
+    * max(a, b): a LOWER bound, since HLL registers aren't kept in this
+    * summary — pipelines that need exact unioning keep the sketch itself
+    * (`hll_sketch_agg` + `hll_union`) instead.
+    */
+  def merge(a: Seq[ColumnDomain], b: Seq[ColumnDomain], nominalCap: Int = DefaultNominalCap): Seq[ColumnDomain] = {
+    require(
+      a.map(d => (d.column, d.dataType)) == b.map(d => (d.column, d.dataType)),
+      "domain snapshots cover different schemas")
+    def cmp(x: Any, y: Any): Int = x.asInstanceOf[Comparable[Any]].compareTo(y)
+    def bound(x: Option[Any], y: Option[Any], keepLess: Boolean): Option[Any] = (x, y) match {
+      case (Some(p), Some(q)) => Some(if ((cmp(p, q) <= 0) == keepLess) p else q)
+      case _                  => x.orElse(y)
+    }
+    a.zip(b).map { case (da, db) =>
+      val nominal = (da.nominal, db.nominal) match {
+        // a dropped (overflowed) domain stays dropped — None is absorbing
+        case (Some(na), Some(nb)) => Some((na ++ nb).distinct).filter(_.length <= nominalCap)
+        case _                    => None
+      }
+      da.copy(
+        min = bound(da.min, db.min, keepLess = true),
+        max = bound(da.max, db.max, keepLess = false),
+        nominal = nominal,
+        nullCount = da.nullCount + db.nullCount,
+        approxDistinct = math.max(da.approxDistinct, db.approxDistinct))
+    }
+  }
+
   /** The domain pass as a DataFrame (for the oracle/bench surface): one row
     * per numeric column with min/max/null-count. ONE scan — all statistics
     * in a single aggregation (map-side partial combine), then an unpivot of

@@ -149,6 +149,30 @@ class KTableSpec extends SparkSpec {
     assert(d.nominal.isEmpty) // dropped, reference drop-when-exceeded semantics
   }
 
+  test("domain merge equals recompute over the union (incremental update)") {
+    val a = Seq((Some(1), Some("a")), (None, Some("b"))).toDF("n", "s")
+    val b = Seq((Some(7), Some("c")), (Some(-2), None)).toDF("n", "s")
+    val merged = Domains.merge(Domains.compute(a, 10), Domains.compute(b, 10), 10)
+    val full = Domains.compute(a.unionByName(b), 10)
+    merged.zip(full).foreach { case (m, f) =>
+      assert(m.column == f.column)
+      assert(m.min == f.min && m.max == f.max, s"${m.column} bounds")
+      assert(m.nominal.map(_.sortBy(_.toString)) == f.nominal.map(_.sortBy(_.toString)), s"${m.column} nominal")
+      assert(m.nullCount == f.nullCount, s"${m.column} nulls")
+    }
+  }
+
+  test("domain merge: dropped nominal stays dropped; cap applies to the union") {
+    val small = Seq("x").toDF("s")
+    val big = (0 until 50).map(i => s"v$i").toDF("s")
+    val dropped = Domains.merge(Domains.compute(small, 10), Domains.compute(big, 10), 10).head
+    assert(dropped.nominal.isEmpty)
+    // two small halves whose UNION exceeds the cap also drop
+    val h1 = (0 until 8).map(i => s"a$i").toDF("s")
+    val h2 = (0 until 8).map(i => s"b$i").toDF("s")
+    assert(Domains.merge(Domains.compute(h1, 10), Domains.compute(h2, 10), 10).head.nominal.isEmpty)
+  }
+
   test("slice pushes limits into the plan (no full materialization)") {
     // needs a file-backed source: over local data the optimizer folds the
     // limit into the LocalRelation itself

@@ -34,4 +34,35 @@ class LayoutSpec extends SparkSpec {
     val expected = docs.where($"lang" === "en").count()
     assert(read.count() == expected)
   }
+
+  test("writeSorted: files hold disjoint, ordered key ranges") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val path = java.nio.file.Files.createTempDirectory("layout").resolve("li_sorted").toString
+    Layout.writeSorted(li, path, Seq("l_shipdate"), numFiles = 4)
+    val ranges = Layout.fileKeyRanges(spark, path, "l_shipdate")
+      .collect()
+      .map(r => (r.getAs[java.time.LocalDateTime]("key_min"), r.getAs[java.time.LocalDateTime]("key_max")))
+      .sortBy(_._1)(Ordering.fromLessThan(_ isBefore _))
+    assert(ranges.length == 4)
+    ranges.sliding(2).foreach {
+      case Array((_, prevMax), (curMin, _)) =>
+        assert(!curMin.isBefore(prevMax), s"overlapping file ranges: $prevMax vs $curMin")
+      case _ =>
+    }
+    // contents unchanged
+    assert(spark.read.parquet(path).count() == li.count())
+  }
+
+  test("compact: file count shrinks to ceil(bytes / target), contents unchanged") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val base = java.nio.file.Files.createTempDirectory("layout")
+    val fragmented = base.resolve("frag").toString
+    docs.repartition(32).write.parquet(fragmented) // 32 tiny files
+    val compacted = base.resolve("compacted").toString
+    val n = Layout.compact(spark, fragmented, compacted, targetFileBytes = 1L << 20)
+    val outFiles = new java.io.File(compacted).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(outFiles == n && n < 32, s"expected $n parquet files < 32, found $outFiles")
+    assert(spark.read.parquet(compacted).orderBy($"doc_id").collect().toSeq ==
+      docs.orderBy($"doc_id").collect().toSeq)
+  }
 }
