@@ -34,7 +34,10 @@ object Bench {
     "q_sessionize",
     "q_range_join_bucketed",
     "q_dedup_incremental",
-    "q_decontaminate"
+    "q_decontaminate",
+    "q_repetition",
+    "q_merge_upsert",
+    "q_vocab"
   )
 
   def main(args: Array[String]): Unit = {

@@ -46,7 +46,21 @@ object PlanCheck {
     Check("q_snapshot_diff", mustContain = Seq("FullOuter")),
     // split/sample stay narrow until the final count aggregation
     Check("q_train_test_split", mustContain = Seq("partial_count", "HashAggregate")),
-    Check("q_histogram", mustContain = Seq("partial_count"))
+    Check("q_histogram", mustContain = Seq("partial_count")),
+    // repetition signals are fused per-row expressions: no aggregation, no
+    // join anywhere in the plan (the only exchange is the final order-by)
+    Check(
+      "q_repetition",
+      mustNotContain = Seq("HashAggregate", "Join", "hashpartitioning")),
+    // vocabulary counting combines map-side before the exchange
+    Check("q_vocab", mustContain = Seq("partial_count", "HashAggregate")),
+    // upsert = anti join (target side) + union with the source batch
+    Check("q_merge_upsert", mustContain = Seq("Anti", "Union")),
+    // changelog apply: window compaction over the changelog + anti join;
+    // WindowGroupLimit = Spark pushed the rn=1 filter into a partial
+    // group-limit BEFORE the exchange (only each partition's newest change
+    // per key shuffles)
+    Check("q_changelog_apply", mustContain = Seq("WindowGroupLimit", "Anti"))
   )
 
   def main(args: Array[String]): Unit = {
