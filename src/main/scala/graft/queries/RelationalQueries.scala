@@ -147,6 +147,34 @@ object RelationalQueries {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // distribution/analytic windows: ntile, percent_rank, cume_dist,
+    // nth_value over an explicit frame
+    "q_window_dist" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice"), col("o_orderkey"))
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders")
+        .where(col("o_custkey") < 50)
+        .select(
+          col("o_orderpriority"), col("o_orderkey"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"),
+          nth_value(col("o_orderkey"), 2).over(wFull).as("second_key"))
+        .orderBy(col("o_orderpriority"), col("o_orderkey"))
+    }),
+
+    // unpivot (wide → long reshape): melt three numeric measures into
+    // (measure, value) rows — UDTF-free, codegen'd `stack`
+    "q_unpivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_orderkey") < 100)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          expr("stack(3, 'quantity', l_quantity, 'price', l_extendedprice, 'discount', l_discount)")
+            .as(Seq("measure", "value")))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
+    }),
+
     // top-k: TakeOrdered physical op (no full sort at scale)
     "q_sort_topk" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -282,6 +310,26 @@ object RelationalQueries {
     "q_sort_topk" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 50""".stripMargin,
+    "q_window_dist" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume,
+        |  nth_value(o_orderkey, 2) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_key
+        |FROM orders WHERE o_custkey < 50
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, measure, value FROM (
+        |  SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'price', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem)
+        |WHERE l_orderkey < 100
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
     "q_range_join" ->
       """SELECT band_id, count(*) AS n, round(sum(l_quantity), 2) AS qty
         |FROM lineitem
