@@ -212,6 +212,25 @@ object TextFunctions {
     (lengthScore + alphaRatio + stopHit + tokLenScore) / lit(4.0)
   }
 
+  /** Overlapping token chunks (the RAG/context-window chunking shape):
+    * windows of `chunkSize` tokens starting every `step` tokens, joined by
+    * single spaces; the final windows may be shorter; empty input → no
+    * chunks. `step` < `chunkSize` gives overlap.
+    *
+    * PASS A MATERIALIZED ARRAY COLUMN (select `tokenize` into a column
+    * first): the window lambdas reference `toks` per chunk, and inlining
+    * the tokenize chain here would re-run it once per chunk
+    * (CollapseProject + interpreted HOF — the §scale trap).
+    */
+  def chunkTokens(toks: Column, chunkSize: Int, step: Int): Column = {
+    require(chunkSize >= 1 && step >= 1, s"bad chunking ($chunkSize, $step)")
+    filter(
+      transform(
+        sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(step)),
+        i => array_join(slice(toks, i + 1, lit(chunkSize)), " ")),
+      c => c =!= "")
+  }
+
   /** Word-n-gram repetition statistics, one fused pass per row
     * (graft.expressions.NgramRepetitionStats):
     * struct(n_ngrams, n_distinct, max_count, max_count_chars). The

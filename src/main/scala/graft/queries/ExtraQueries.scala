@@ -216,6 +216,17 @@ object ExtraQueries {
         .orderBy(col("c_custkey"))
     }),
 
+    // null-safe equi-join (<=>): null keys match each other, unlike '='
+    "q_nullsafe_join" -> ((s, dir) => {
+      val n = t(s, dir, "nation").select(
+        col("n_nationkey"),
+        when(pmod(col("n_nationkey"), lit(5)) === 0, lit(null)).otherwise(col("n_regionkey")).as("rk"))
+      n.as("a").join(n.as("b"), col("a.rk") <=> col("b.rk"))
+        .groupBy(col("a.n_nationkey").as("n_nationkey"))
+        .agg(count(lit(1)).as("n_matches"))
+        .orderBy(col("n_nationkey"))
+    }),
+
     // union of three tables with distinct (n-ary set op)
     "q_union_distinct" -> ((s, dir) => {
       val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
@@ -304,6 +315,14 @@ object ExtraQueries {
         |  count(*) AS n
         |FROM oldt o FULL OUTER JOIN newt n ON o.o_orderkey = n.o_orderkey
         |GROUP BY 1 ORDER BY diff_status""".stripMargin,
+    "q_nullsafe_join" ->
+      """WITH n AS (
+        |  SELECT n_nationkey,
+        |    CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_regionkey END AS rk
+        |  FROM nation)
+        |SELECT a.n_nationkey, CAST(count(*) AS BIGINT) AS n_matches
+        |FROM n a JOIN n b ON a.rk IS NOT DISTINCT FROM b.rk
+        |GROUP BY a.n_nationkey ORDER BY a.n_nationkey""".stripMargin,
     "q_merge_upsert" ->
       """WITH target AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders

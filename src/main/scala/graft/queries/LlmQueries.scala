@@ -258,6 +258,46 @@ object LlmQueries {
         .limit(100)
     }),
 
+    // overlapping token chunking (RAG/context-window shape): 16-token
+    // windows every 8 tokens; tokens materialized as a column first so the
+    // window lambdas never re-run the tokenize chain
+    "q_chunk_overlap" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), T.tokenize(col("text")).as("toks"))
+        .select(
+          col("doc_id"),
+          posexplode(T.chunkTokens(col("toks"), chunkSize = 16, step = 8)).as(Seq("chunk_idx", "chunk")))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"), col("chunk"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    // embedding L2 normalization (norm materialized once — the HOF lambda
+    // divides by a column attribute, not a re-evaluated norm expression)
+    "q_embed_normalize" -> ((s, dir) => {
+      import graft.functions.{VectorFunctions => V}
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), V.l2Norm(col("embedding")).as("norm"))
+        .select(
+          col("vec_id"),
+          round(col("norm"), 6).as("norm"),
+          round(element_at(transform(col("embedding"), v => v.cast("double") / col("norm")), 1), 6)
+            .as("first_comp"),
+          round(V.l2Norm(transform(col("embedding"), v => v.cast("double") / col("norm"))), 6)
+            .as("unit_norm"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // per-label centroid in long form: posexplode → (label, dim) mean —
+    // one uniform-key shuffle carrying partial (sum, count) pairs
+    "q_embed_centroid" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "val")))
+        .groupBy(col("label"), col("pos"))
+        .agg(round(avg(col("val")), 6).as("mean_val"), count(lit(1)).as("n"))
+        .select(col("label"), col("pos").cast("long").as("pos"), col("mean_val"), col("n"))
+        .orderBy(col("label"), col("pos"))
+    }),
+
     // eval-set decontamination: training docs (doc_id % 5 != 0) sharing
     // any 8-token span with the eval slice (doc_id % 5 == 0) — DuckDB
     // oracle reproduces the spans as strings, Spark carries only hashes
@@ -327,6 +367,32 @@ object LlmQueries {
       s"""SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM (
          |  SELECT unnest(list_filter($toksSql, x -> x <> '')) AS token FROM documents)
          |GROUP BY token ORDER BY cnt DESC, token LIMIT 100""".stripMargin,
+    "q_chunk_overlap" ->
+      s"""SELECT doc_id,
+         |  CAST(generate_subscripts(chunks, 1) - 1 AS BIGINT) AS chunk_idx,
+         |  unnest(chunks) AS chunk
+         |FROM (
+         |  SELECT doc_id,
+         |    [array_to_string(toks[i:least(i + 15, len(toks))], ' ') FOR i IN range(1, len(toks) + 1, 8)] AS chunks
+         |  FROM (SELECT doc_id, list_filter($toksSql, x -> x <> '') AS toks FROM documents))
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_embed_normalize" ->
+      """SELECT vec_id,
+        |  round(norm, 6) AS norm,
+        |  round(emb[1] / norm, 6) AS first_comp,
+        |  round(sqrt(list_sum(list_transform(emb, x -> (x / norm) * (x / norm)))), 6) AS unit_norm
+        |FROM (
+        |  SELECT vec_id, emb, sqrt(list_sum(list_transform(emb, x -> x * x))) AS norm
+        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings))
+        |ORDER BY vec_id""".stripMargin,
+    "q_embed_centroid" ->
+      """SELECT label, pos, round(avg(val), 6) AS mean_val, CAST(count(*) AS BIGINT) AS n
+        |FROM (
+        |  SELECT label,
+        |    CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS pos,
+        |    unnest(emb) AS val
+        |  FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings))
+        |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
     "q_dedup_exact" ->
       s"""SELECT doc_id, lang, source, n_chars FROM (
          |  SELECT doc_id, lang, source, n_chars,

@@ -130,6 +130,16 @@ class TextSpec extends SparkSpec {
     assert(r.getInt(1) >= r.getInt(0))
   }
 
+  test("chunkTokens: overlap, short tail, empty input") {
+    val df = Seq("a b c d e", "a", "").toDF("t")
+      .select(T.tokenize($"t").as("toks"))
+      .select(T.chunkTokens($"toks", chunkSize = 3, step = 2).as("chunks"))
+    val rows = df.collect().map(_.getSeq[String](0))
+    assert(rows(0) == Seq("a b c", "c d e", "e")) // starts 0,2,4; tail shortens
+    assert(rows(1) == Seq("a"))
+    assert(rows(2).isEmpty)
+  }
+
   test("ngramStats: multiplicities, distinct counts, char-weighted max") {
     // "cat dog cat dog cat": 5 unigrams {cat×3, dog×2}, 4 bigrams
     // {"cat dog"×2, "dog cat"×2}, 3 trigrams (all distinct)
