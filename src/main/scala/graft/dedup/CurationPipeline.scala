@@ -9,7 +9,9 @@ import org.apache.spark.sql.functions._
   *
   *  1. quality gate   — scan-local expression filter (cheapest first: cuts
   *                      volume before anything shuffles),
-  *  2. language gate  — optional scan-local stopword language ID,
+  *  2. repetition gate — optional scan-local Gopher-style repetition caps
+  *                      (fused per-row n-gram stats, zero shuffles),
+  *  3. language gate  — optional scan-local stopword language ID,
   *  3. exact dedup    — one fingerprint aggregation (removes the mass of
   *                      byte-identical copies so near-dup LSH buckets stay
   *                      small),
@@ -29,9 +31,18 @@ import org.apache.spark.sql.functions._
   */
 object CurationPipeline {
 
+  /** Repetition-signal caps (Gopher table A1 spirit: docs exceeding any
+    * cap are dropped). Defaults are the public thresholds' ballpark.
+    */
+  final case class RepetitionGate(
+      maxTopWordFrac: Double = 0.3,
+      maxTopBigramCharFrac: Double = 0.2,
+      maxDupTrigramFrac: Double = 0.6)
+
   final case class StageCounts(
       input: Long,
       afterQuality: Long,
+      afterRepetition: Long,
       afterLang: Long,
       afterExact: Long,
       afterNear: Long,
@@ -50,6 +61,7 @@ object CurationPipeline {
       textCol: String,
       idCol: String,
       minQuality: Double = 0.5,
+      maxRepetition: Option[RepetitionGate] = None,
       keepLangs: Option[Seq[String]] = None,
       nearThreshold: Double = 0.7,
       maxDupSpanRatio: Option[Double] = None,
@@ -60,9 +72,20 @@ object CurationPipeline {
     def n(df: DataFrame): Long = if (collectStats) df.count() else -1L
 
     val qualityGated = docs.where(T.qualityScore(col(textCol)) >= minQuality)
+    val repetitionGated = maxRepetition match {
+      case Some(gate) =>
+        // Gopher-style repetition caps — still scan-local (the signals are
+        // fused per-row expressions, so this stage adds zero shuffles)
+        val sig = T.repetitionSignals(col(textCol)).toMap
+        qualityGated.where(
+          sig("top_word_frac") <= gate.maxTopWordFrac &&
+            sig("top_bigram_char_frac") <= gate.maxTopBigramCharFrac &&
+            sig("dup_trigram_frac") <= gate.maxDupTrigramFrac)
+      case None => qualityGated
+    }
     val langGated = keepLangs match {
-      case Some(langs) => qualityGated.where(T.langId(col(textCol)).isin(langs: _*))
-      case None        => qualityGated
+      case Some(langs) => repetitionGated.where(T.langId(col(textCol)).isin(langs: _*))
+      case None        => repetitionGated
     }
     // cache the gated corpus: the near-dedup stage consumes it several
     // times (signatures + anti-join back); this is the one materialization
@@ -87,7 +110,7 @@ object CurationPipeline {
     Result(
       survivors,
       StageCounts(
-        n(docs), n(qualityGated), n(langGated), n(exactDeduped), n(nearDeduped),
+        n(docs), n(qualityGated), n(repetitionGated), n(langGated), n(exactDeduped), n(nearDeduped),
         n(passageGated), n(survivors)))
   }
 }

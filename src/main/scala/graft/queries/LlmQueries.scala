@@ -272,17 +272,20 @@ object LlmQueries {
     }),
 
     // embedding L2 normalization (norm materialized once — the HOF lambda
-    // divides by a column attribute, not a re-evaluated norm expression)
+    // divides by a column attribute, not a re-evaluated norm expression).
+    // The intermediate norm column must NOT share the output alias "norm":
+    // Spark 4 lateral-column-alias resolution would bind the later lambda
+    // references to the ROUNDED alias (r2 bug: first_comp = e/round(norm))
     "q_embed_normalize" -> ((s, dir) => {
       import graft.functions.{VectorFunctions => V}
       t(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"), V.l2Norm(col("embedding")).as("norm"))
+        .select(col("vec_id"), col("embedding"), V.l2Norm(col("embedding")).as("__norm"))
         .select(
           col("vec_id"),
-          round(col("norm"), 6).as("norm"),
-          round(element_at(transform(col("embedding"), v => v.cast("double") / col("norm")), 1), 6)
+          round(col("__norm"), 6).as("norm"),
+          round(element_at(transform(col("embedding"), v => v.cast("double") / col("__norm")), 1), 6)
             .as("first_comp"),
-          round(V.l2Norm(transform(col("embedding"), v => v.cast("double") / col("norm"))), 6)
+          round(V.l2Norm(transform(col("embedding"), v => v.cast("double") / col("__norm"))), 6)
             .as("unit_norm"))
         .orderBy(col("vec_id"))
     }),

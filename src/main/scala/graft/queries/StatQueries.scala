@@ -113,6 +113,31 @@ object StatQueries {
         .orderBy(col("lang"), col("chunk_id"))
     }),
 
+    // deterministic weighted sampling: P(keep) ∝ document length —
+    // hash-threshold per row (reproducible across runs/engines, narrow,
+    // pushed to the scan; the sampling analog of the md5 split)
+    "q_weighted_sample" -> ((s, dir) => {
+      val hashFrac = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int").cast("double") / 65536.0
+      t(s, dir, "documents")
+        .where(hashFrac < col("n_chars").cast("double") / 600.0)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"))
+    }),
+
+    // deterministic pseudo-shuffle: the training-data ordering pass —
+    // global order by a hash of the key (reproducible epoch order, range
+    // exchange like any global sort; seed change = different hash salt)
+    "q_shuffle_order" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val shuffled = Window.orderBy(md5(concat(lit("epoch1:"), col("doc_id").cast("string"))))
+      t(s, dir, "documents")
+        .select(col("doc_id"), row_number().over(shuffled).cast("long").as("shuffle_pos"))
+        .where(col("shuffle_pos") <= 50)
+        .orderBy(col("shuffle_pos"))
+    }),
+
     // PII redaction: email + phone patterns → placeholders (synthetic
     // contact strings built from customer columns so the input provably
     // contains PII shapes). Pure narrow regexp map, codegen'd.
@@ -132,6 +157,18 @@ object StatQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_weighted_sample" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) / 65536.0
+        |      < n_chars / 600.0
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_shuffle_order" ->
+      """SELECT doc_id, shuffle_pos FROM (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY md5('epoch1:' || CAST(doc_id AS VARCHAR))) AS BIGINT) AS shuffle_pos
+        |  FROM documents)
+        |WHERE shuffle_pos <= 50 ORDER BY shuffle_pos""".stripMargin,
     "q_percentiles" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_quantity, 0.25), 4) AS p25_qty,

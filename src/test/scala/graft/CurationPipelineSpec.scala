@@ -23,10 +23,23 @@ class CurationPipelineSpec extends SparkSpec {
     assert(c.afterQuality == 4) // garbage dropped
     assert(c.afterExact == 3)   // exact dup dropped
     assert(c.afterNear == 2)    // near dup dropped
-    assert(c.input >= c.afterQuality && c.afterQuality >= c.afterLang &&
+    assert(c.input >= c.afterQuality && c.afterQuality >= c.afterRepetition &&
+      c.afterRepetition >= c.afterLang &&
       c.afterLang >= c.afterExact && c.afterExact >= c.afterNear)
     val ids = r.survivors.select($"doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(ids == Seq(0L, 4L))
+  }
+
+  test("repetition gate drops spammy docs, keeps varied text") {
+    val spam = ("buy now " * 40).trim // top bigram dominates
+    val varied =
+      "the quick brown fox jumps over the lazy dog while a cat sleeps on the warm mat near an open door of the old house"
+    val docs = Seq((0L, spam), (1L, varied)).toDF("doc_id", "text")
+    val r = CurationPipeline.run(docs, "text", "doc_id", minQuality = 0.0,
+      maxRepetition = Some(CurationPipeline.RepetitionGate()), collectStats = true)
+    val ids = r.survivors.select($"doc_id").collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(1L), s"got $ids")
+    assert(r.counts.afterRepetition == 1)
   }
 
   test("pipeline runs on the documents table") {
