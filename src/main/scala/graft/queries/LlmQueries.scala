@@ -301,6 +301,16 @@ object LlmQueries {
         .orderBy(col("label"), col("pos"))
     }),
 
+    // out-of-vocabulary rate against the corpus top-20 vocab (vocab
+    // broadcasts; corpus explodes once)
+    "q_oov_rate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.text.Vocab
+        .oovStats(docs, "text", "doc_id", graft.text.Vocab.topTokens(docs, "text", 20))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // eval-set decontamination: training docs (doc_id % 5 != 0) sharing
     // any 8-token span with the eval slice (doc_id % 5 == 0) — DuckDB
     // oracle reproduces the spans as strings, Spark carries only hashes
@@ -370,6 +380,20 @@ object LlmQueries {
       s"""SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM (
          |  SELECT unnest(list_filter($toksSql, x -> x <> '')) AS token FROM documents)
          |GROUP BY token ORDER BY cnt DESC, token LIMIT 100""".stripMargin,
+    "q_oov_rate" ->
+      s"""WITH vocab AS (
+         |  SELECT token FROM (
+         |    SELECT unnest(list_filter($toksSql, x -> x <> '')) AS token FROM documents)
+         |  GROUP BY token ORDER BY count(*) DESC, token LIMIT 20
+         |), tok AS (
+         |  SELECT doc_id, unnest(list_filter($toksSql, x -> x <> '')) AS token FROM documents
+         |)
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |  round(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS oov_ratio
+         |FROM tok LEFT JOIN vocab v USING (token)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_chunk_overlap" ->
       s"""SELECT doc_id,
          |  CAST(generate_subscripts(chunks, 1) - 1 AS BIGINT) AS chunk_idx,

@@ -69,4 +69,25 @@ class PropertySpec extends SparkSpec {
       assert(idx == (0L until 200L), s"parts=$parts")
     }
   }
+
+  test("law: chunkTokens covers every token, in order, with the declared stride") {
+    import graft.functions.{TextFunctions => T}
+    val cases = for {
+      nTok <- Gen.choose(0, 30)
+      size <- Gen.choose(1, 8)
+      step <- Gen.choose(1, 8)
+    } yield (nTok, size, step)
+    samples(cases, 12).foreach { case (nTok, size, step) =>
+      val toks = (0 until nTok).map(i => s"t$i")
+      val chunks = Seq(toks.mkString(" ")).toDF("t")
+        .select(T.tokenize($"t").as("toks"))
+        .select(T.chunkTokens($"toks", size, step).as("c"))
+        .head().getSeq[String](0)
+      val expected = (0 until nTok by step).map(i => toks.slice(i, math.min(i + size, nTok)).mkString(" "))
+      assert(chunks == expected, s"nTok=$nTok size=$size step=$step")
+      // coverage: when step <= size every token appears in some chunk
+      if (step <= size && nTok > 0)
+        assert(chunks.flatMap(_.split(" ")).toSet == toks.toSet)
+    }
+  }
 }
