@@ -138,6 +138,22 @@ object StatQueries {
         .orderBy(col("shuffle_pos"))
     }),
 
+    // per-domain quota (cap docs per source, hash-random survivors):
+    // the domain-balancing pass of public curation pipelines — one
+    // window shuffle on the domain key; WindowGroupLimit keeps only each
+    // partition's first `cap` rows per key ahead of the exchange
+    "q_domain_cap" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") <= 30)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy(col("source"))
+    }),
+
     // PII redaction: email + phone patterns → placeholders (synthetic
     // contact strings built from customer columns so the input provably
     // contains PII shapes). Pure narrow regexp map, codegen'd.
@@ -169,6 +185,16 @@ object StatQueries {
         |    CAST(row_number() OVER (ORDER BY md5('epoch1:' || CAST(doc_id AS VARCHAR))) AS BIGINT) AS shuffle_pos
         |  FROM documents)
         |WHERE shuffle_pos <= 50 ORDER BY shuffle_pos""".stripMargin,
+    "q_domain_cap" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 30
+        |GROUP BY source ORDER BY source""".stripMargin,
     "q_percentiles" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_quantity, 0.25), 4) AS p25_qty,

@@ -112,6 +112,26 @@ class StreamingSpec extends SparkSpec {
     assert(batches.map(_._2).sum == 2 * Tables.events(spark, sf0001).count())
   }
 
+  test("file-sink restart from checkpoint is exactly-once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("fsink_out").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("fsink_ckpt").toString
+    val source = MemoryStream[(Long, String)]
+    def start() = source.toDF.toDF("id", "v").writeStream
+      .format("parquet").option("path", outDir).option("checkpointLocation", ckpt).start()
+    val q1 = start()
+    source.addData((1L, "a"), (2L, "b"))
+    q1.processAllAvailable(); q1.stop()
+    // restart against the same checkpoint; new data only must be appended
+    val q2 = start()
+    source.addData((3L, "c"))
+    q2.processAllAvailable(); q2.stop()
+    val rows = spark.read.parquet(outDir).as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(rows == Seq((1L, "a"), (2L, "b"), (3L, "c")), s"got $rows")
+  }
+
   test("stateful running totals via mapGroupsWithState (batch mode)") {
     val events = Tables.events(spark, sf0001).where(col("user_id") < 3)
     val out = EventStreams.runningUserTotals(events).collect()
