@@ -39,6 +39,28 @@ object Sources {
   def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** JSON-lines with malformed-row capture: bad lines land in
+    * `corruptCol` instead of poisoning the load (PERMISSIVE mode made
+    * explicit). At ingest scale, malformed rows are data to quarantine
+    * and count, not a reason to fail a 100 TB job; pair with an `observe`
+    * counter on `corruptCol IS NOT NULL`.
+    */
+  def jsonLinesQuarantine(
+      spark: SparkSession,
+      path: String,
+      schema: StructType,
+      corruptCol: String = "_corrupt_record"
+  ): DataFrame = {
+    val withCorrupt =
+      if (schema.fieldNames.contains(corruptCol)) schema
+      else schema.add(corruptCol, org.apache.spark.sql.types.StringType, nullable = true)
+    spark.read
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .json(path)
+  }
+
   /** In-memory rows → table (the row-push adapter analog at the API edge:
     * reference ColumnarDataContainerDelegate.addRowToTable — row-at-a-time
     * only ever at boundaries, columnar within).

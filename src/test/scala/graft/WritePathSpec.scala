@@ -72,6 +72,21 @@ class WritePathSpec extends SparkSpec {
     assert(back.count() == 2)
   }
 
+  test("json-lines quarantine: malformed rows captured, good rows parsed") {
+    val schema = StructType(Seq(StructField("id", LongType), StructField("v", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("quarantine")
+    java.nio.file.Files.writeString(
+      dir.resolve("data.json"),
+      """{"id": 1, "v": "ok"}
+        |not json at all {{{
+        |{"id": 2, "v": "fine"}
+        |""".stripMargin)
+    val df = Sources.jsonLinesQuarantine(spark, dir.toString, schema).cache()
+    assert(df.where($"_corrupt_record".isNotNull).count() == 1)
+    assert(df.where($"_corrupt_record".isNull).select($"id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    df.unpersist()
+  }
+
   test("row-push adapter: rows → DataFrame with explicit schema") {
     val schema = StructType(Seq(StructField("row_id", StringType), StructField("v", IntegerType)))
     val rows = (0 until 10).map(i => org.apache.spark.sql.Row(s"Row$i", i))
