@@ -81,6 +81,41 @@ object Layout {
       .agg(min(col(keyCol)).as("key_min"), max(col(keyCol)).as("key_max"), count(lit(1)).as("rows"))
   }
 
+  /** Z-order (Morton-curve) layout: quantize each clustering column to a
+    * 16-bit cell by min/max scaling (one tiny agg job), interleave cells
+    * into one Long sort key (codegen'd [[graft.expressions.ZOrder]]), then
+    * range-partition + sort by it. Files then cover small rectangles of
+    * the multi-dimensional key space, so predicates on ANY clustered
+    * column prune files via parquet min/max stats — where a single-column
+    * sort prunes only its leading column (the OPTIMIZE ZORDER analog;
+    * Morton-curve locality is public knowledge). Linear quantization
+    * assumes roughly-uniform columns; heavily skewed columns should be
+    * pre-transformed (log/rank) by the caller.
+    */
+  def writeZOrdered(df: DataFrame, path: String, cols: Seq[String], numFiles: Int): Unit = {
+    require(cols.size >= 2 && cols.size <= 4, s"z-order takes 2-4 columns, got ${cols.size}")
+    require(numFiles >= 1)
+    import org.apache.spark.sql.functions._
+    val bounds = df.agg(
+      cols.flatMap(c => Seq(min(col(c).cast("double")).as(s"${c}__min"), max(col(c).cast("double")).as(s"${c}__max"))).head,
+      cols.flatMap(c => Seq(min(col(c).cast("double")).as(s"${c}__min"), max(col(c).cast("double")).as(s"${c}__max"))).tail: _*
+    ).head()
+    val cells = cols.map { c =>
+      val lo = bounds.getAs[Double](s"${c}__min")
+      val hi = bounds.getAs[Double](s"${c}__max")
+      val span = if (hi > lo) hi - lo else 1.0
+      ((col(c).cast("double") - lit(lo)) / lit(span) * lit(65535.0)).cast("int")
+    }
+    val zCol = org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expressions.ZOrder(cells.map(org.apache.spark.sql.graftbridge.Bridge.expression)))
+    val tmp = "__graft_z"
+    df.withColumn(tmp, zCol)
+      .repartitionByRange(numFiles, col(tmp))
+      .sortWithinPartitions(col(tmp))
+      .drop(tmp)
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Compact a parquet directory to ~`targetFileBytes` files (the
     * small-files maintenance pass every long-lived 100 TB store needs:
     * streaming ingest and per-batch writes fragment directories; scan

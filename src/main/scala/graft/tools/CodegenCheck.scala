@@ -32,6 +32,13 @@ object CodegenCheck {
       .select(col("cos"), col("dist"), col("lsh"),
         graft.functions.HashFunctions.bandHashes(col("sig"), 4, 2).as("bands"),
         graft.functions.HashFunctions.simHashFromHashes(col("sig")).as("simhash"))
+    val zdf = spark.range(8).select(
+      org.apache.spark.sql.graftbridge.Bridge.column(graft.expressions.ZOrder(Seq(
+        org.apache.spark.sql.graftbridge.Bridge.expression(col("id").cast("int")),
+        org.apache.spark.sql.graftbridge.Bridge.expression((col("id") * 7).cast("int"))))).as("z"))
+    val genZ = org.apache.spark.sql.execution.debug.codegenString(zdf.queryExecution.executedPlan)
+    if (!genZ.contains("interleave")) sys.error("[codegen] ZOrder NOT in generated code")
+    zdf.head()
     val gen = org.apache.spark.sql.execution.debug.codegenString(df.queryExecution.executedPlan)
     val needles = Seq("VectorOps.cosine", "VectorOps.l2dist", "evalBits", "evalHashes", "evalSig", "evalBands", "evalFp")
     val missing = needles.filterNot(gen.contains)

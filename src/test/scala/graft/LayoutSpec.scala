@@ -53,6 +53,46 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == li.count())
   }
 
+  test("zorder expression interleaves bits (Morton order)") {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val z = Bridge.column(graft.expressions.ZOrder(Seq(
+      Bridge.expression(lit(3).cast("int")), // bits {0,1} → positions 0, 2
+      Bridge.expression(lit(1).cast("int"))))) // bit {0} → position 1
+    assert(spark.range(1).select(z.as("z")).head().getLong(0) == 7L)
+    // clamp + null handling
+    val z2 = Bridge.column(graft.expressions.ZOrder(Seq(
+      Bridge.expression(lit(-5).cast("int")),
+      Bridge.expression(lit(null).cast("int")))))
+    assert(spark.range(1).select(z2.as("z")).head().getLong(0) == 0L)
+  }
+
+  test("z-order layout bounds per-file extents on BOTH columns; plain sort only on one") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select($"l_orderkey", $"l_suppkey", $"l_quantity")
+    val base = java.nio.file.Files.createTempDirectory("zorder")
+    val zPath = base.resolve("z").toString
+    val sPath = base.resolve("s").toString
+    Layout.writeZOrdered(li, zPath, Seq("l_orderkey", "l_suppkey"), numFiles = 16)
+    Layout.writeSorted(li, sPath, Seq("l_orderkey"), numFiles = 16)
+
+    def meanExtent(path: String, c: String): Double = {
+      val ex = spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg((max(col(c)) - min(col(c))).cast("double").as("ext"))
+        .agg(avg($"ext")).head().getDouble(0)
+      ex
+    }
+    val globalSupp = li.agg((max($"l_suppkey") - min($"l_suppkey")).cast("double")).head().getDouble(0)
+    // single-column sort leaves the second column unclustered: per-file
+    // extent ≈ global extent
+    assert(meanExtent(sPath, "l_suppkey") > globalSupp * 0.8)
+    // z-order bounds BOTH dimensions: each file covers a fraction of the
+    // second column's range too
+    assert(meanExtent(zPath, "l_suppkey") < globalSupp * 0.6,
+      s"zorder suppkey extent ${meanExtent(zPath, "l_suppkey")} vs global $globalSupp")
+    assert(spark.read.parquet(zPath).count() == li.count())
+  }
+
   test("compact: file count shrinks to ceil(bytes / target), contents unchanged") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val base = java.nio.file.Files.createTempDirectory("layout")
