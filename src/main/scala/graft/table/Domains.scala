@@ -41,8 +41,19 @@ object Domains {
       max: Option[Any],
       nominal: Option[Seq[Any]],
       nullCount: Long,
-      approxDistinct: Long
+      approxDistinct: Long,
+      /** Mergeable HLL sketch bytes (DataSketches, via `hll_sketch_agg`)
+        * for int/long/string/binary columns — the artifact that makes
+        * distinct counts EXACTLY mergeable across ingests ([[merge]]);
+        * None for types `hll_sketch_agg` doesn't take.
+        */
+      distinctSketch: Option[Array[Byte]] = None
   )
+
+  private def sketchable(dt: DataType): Boolean = dt match {
+    case IntegerType | LongType | StringType | BinaryType => true
+    case _                                                => false
+  }
 
   private def isBounded(dt: DataType): Boolean = dt match {
     case _: NumericType | DateType | TimestampType => true
@@ -60,7 +71,7 @@ object Domains {
     val base = Seq(
       count(when(c.isNull, 1)).as(s"${f.name}__nulls"),
       approx_count_distinct(c).as(s"${f.name}__approx_distinct")
-    )
+    ) ++ (if (sketchable(f.dataType)) Seq(hll_sketch_agg(c).as(s"${f.name}__hll")) else Seq.empty)
     val bounds =
       if (isBounded(f.dataType))
         Seq(min(c).as(s"${f.name}__min"), max(c).as(s"${f.name}__max"))
@@ -96,7 +107,10 @@ object Domains {
         max = if (isBounded(f.dataType)) get(s"${f.name}__max") else None,
         nominal = nominal,
         nullCount = get(s"${f.name}__nulls").map(_.asInstanceOf[Long]).getOrElse(0L),
-        approxDistinct = get(s"${f.name}__approx_distinct").map(_.asInstanceOf[Long]).getOrElse(0L)
+        approxDistinct = get(s"${f.name}__approx_distinct").map(_.asInstanceOf[Long]).getOrElse(0L),
+        distinctSketch =
+          if (sketchable(f.dataType)) get(s"${f.name}__hll").map(_.asInstanceOf[Array[Byte]])
+          else None
       )
     }
   }
@@ -107,10 +121,11 @@ object Domains {
     * how per-ingest statistics combine into table statistics without
     * rescanning). Exact for min/max/nullCount/nominal (nominal unions,
     * drops when the union exceeds `nominalCap` — drop is absorbing, like
-    * the reference's drop-on-overflow). `approxDistinct` merges as
-    * max(a, b): a LOWER bound, since HLL registers aren't kept in this
-    * summary — pipelines that need exact unioning keep the sketch itself
-    * (`hll_sketch_agg` + `hll_union`) instead.
+    * the reference's drop-on-overflow). `approxDistinct` merges through
+    * the HLL sketch union when both sides carry one (`distinctSketch`,
+    * DataSketches — union of sketches ≡ sketch of union, so the merged
+    * estimate equals a full recompute's); for non-sketchable types it
+    * falls back to max(a, b), a lower bound.
     */
   def merge(a: Seq[ColumnDomain], b: Seq[ColumnDomain], nominalCap: Int = DefaultNominalCap): Seq[ColumnDomain] = {
     require(
@@ -127,12 +142,24 @@ object Domains {
         case (Some(na), Some(nb)) => Some((na ++ nb).distinct).filter(_.length <= nominalCap)
         case _                    => None
       }
+      val mergedSketch = (da.distinctSketch, db.distinctSketch) match {
+        case (Some(sa), Some(sb)) =>
+          val u = new org.apache.datasketches.hll.Union(12)
+          u.update(org.apache.datasketches.hll.HllSketch.heapify(sa))
+          u.update(org.apache.datasketches.hll.HllSketch.heapify(sb))
+          Some(u.getResult.toCompactByteArray)
+        case _ => None
+      }
+      val mergedDistinct = mergedSketch
+        .map(s => math.round(org.apache.datasketches.hll.HllSketch.heapify(s).getEstimate))
+        .getOrElse(math.max(da.approxDistinct, db.approxDistinct))
       da.copy(
         min = bound(da.min, db.min, keepLess = true),
         max = bound(da.max, db.max, keepLess = false),
         nominal = nominal,
         nullCount = da.nullCount + db.nullCount,
-        approxDistinct = math.max(da.approxDistinct, db.approxDistinct))
+        approxDistinct = mergedDistinct,
+        distinctSketch = mergedSketch)
     }
   }
 

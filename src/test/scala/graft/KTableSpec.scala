@@ -162,6 +162,18 @@ class KTableSpec extends SparkSpec {
     }
   }
 
+  test("domain merge: HLL sketch union gives recompute-grade distinct counts") {
+    // two halves with overlapping keys: naive max() would report 600,
+    // sum would report 1200; the sketch union sees the true 900
+    val a = (0 until 600).map(i => s"k$i").toDF("s")
+    val b = (300 until 900).map(i => s"k$i").toDF("s")
+    val merged = Domains.merge(Domains.compute(a, 10), Domains.compute(b, 10), 10).head
+    assert(merged.distinctSketch.isDefined)
+    assert(math.abs(merged.approxDistinct - 900L) <= 27, s"estimate ${merged.approxDistinct}") // ±3%
+    val recomputed = Domains.compute(a.unionByName(b), 10).head
+    assert(math.abs(merged.approxDistinct - recomputed.approxDistinct) <= 27)
+  }
+
   test("domain merge: dropped nominal stays dropped; cap applies to the union") {
     val small = Seq("x").toDF("s")
     val big = (0 until 50).map(i => s"v$i").toDF("s")
