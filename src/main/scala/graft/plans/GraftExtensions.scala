@@ -71,5 +71,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("graft_simhash64"),
         info("graft_simhash64", "graft_simhash64(token_hashes) - 64-bit SimHash fingerprint, per row"),
         (args: Seq[Expression]) => SimHash(args(0))))
+    e.injectFunction(
+      (FunctionIdentifier("graft_ngram_stats"),
+        info("graft_ngram_stats",
+          "graft_ngram_stats(text, n) - struct(n_ngrams, n_distinct, max_count, max_count_chars) repetition stats (fused pass)"),
+        (args: Seq[Expression]) =>
+          NgramRepetitionStats(args(0), intLit(args(1), "graft_ngram_stats", "n"))))
+    e.injectFunction(
+      (FunctionIdentifier("graft_line_stats"),
+        info("graft_line_stats",
+          "graft_line_stats(text) - struct(n_lines, n_distinct, dup_chars, total_chars) duplicate-line stats"),
+        (args: Seq[Expression]) => LineRepetitionStats(args(0))))
+    e.injectFunction(
+      (FunctionIdentifier("graft_zorder"),
+        info("graft_zorder",
+          "graft_zorder(c1, c2[, c3[, c4]]) - Morton interleave of 2-4 16-bit cell ids into a Long sort key"),
+        (args: Seq[Expression]) => ZOrder(args)))
   }
 }

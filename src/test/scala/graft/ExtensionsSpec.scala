@@ -21,6 +21,20 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getDouble(4) == 5.0)
   }
 
+  test("graft repetition/zorder functions callable from SQL") {
+    val r = spark.sql(
+      """SELECT
+        |  graft_ngram_stats('cat dog cat dog cat', 2) AS bg,
+        |  graft_line_stats('a\nb\na') AS ls,
+        |  graft_zorder(CAST(3 AS INT), CAST(1 AS INT)) AS z
+        |""".stripMargin).head()
+    val bg = r.getStruct(0)
+    assert(bg.getLong(0) == 4L && bg.getLong(1) == 2L && bg.getLong(2) == 2L)
+    val ls = r.getStruct(1)
+    assert(ls.getLong(0) == 3L && ls.getLong(1) == 2L)
+    assert(r.getLong(2) == 7L)
+  }
+
   test("graft_lsh_bits deterministic from SQL, requires literal nBits") {
     val a = spark.sql("SELECT graft_lsh_bits(array(1.0D, 2.0D, 3.0D), 16)").head().getLong(0)
     val b = spark.sql("SELECT graft_lsh_bits(array(1.0D, 2.0D, 3.0D), 16)").head().getLong(0)
