@@ -131,6 +131,70 @@ object EventStreams {
   def writeForeachBatch(df: DataFrame, handler: (DataFrame, Long) => Unit) =
     df.writeStream.outputMode("append").foreachBatch(handler)
 
+  final case class SessionAcc(startMs: Long, endMs: Long, n: Long, sum: Double)
+  final case class ClosedSession(
+      userId: Long,
+      sessionStart: java.sql.Timestamp,
+      sessionEnd: java.sql.Timestamp,
+      nEvents: Long,
+      sumValue: Double)
+
+  /** Custom-state sessionization via flatMapGroupsWithState with
+    * EVENT-TIME timeouts — the fully-controlled twin of
+    * [[sessionCounts]]'s built-in `session_window`, for session logic the
+    * built-in can't express (per-session aggregates beyond counts,
+    * session-end side effects, dynamic gaps). A session CLOSES and is
+    * emitted when (a) a later event for the key arrives beyond `gap`
+    * (closes the old session in-line), or (b) the watermark passes the
+    * session's end + gap (event-time timeout — no more in-gap events can
+    * exist). State per key is one [[SessionAcc]]; the watermark bounds
+    * how long it can live.
+    */
+  def sessionsWithState(events: DataFrame, gap: String = "30 minutes", watermark: String = "2 hours"): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    val gapMillis = gapMs.days * 86400000L + gapMs.microseconds / 1000L
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)], state: GroupState[SessionAcc]) =>
+          if (state.hasTimedOut) {
+            // watermark passed end+gap: the session can no longer grow
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(
+              user, new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.endMs), s.n, s.sum))
+          } else {
+            val sorted = rows.toSeq.sortBy(_._2.getTime)
+            var acc = state.getOption
+            val closed = Seq.newBuilder[ClosedSession]
+            sorted.foreach { case (_, ts, value) =>
+              val t = ts.getTime
+              acc match {
+                case Some(s) if t - s.endMs <= gapMillis =>
+                  acc = Some(SessionAcc(s.startMs, math.max(s.endMs, t), s.n + 1, s.sum + value))
+                case Some(s) =>
+                  closed += ClosedSession(
+                    user, new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.endMs), s.n, s.sum)
+                  acc = Some(SessionAcc(t, t, 1L, value))
+                case None =>
+                  acc = Some(SessionAcc(t, t, 1L, value))
+              }
+            }
+            acc.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.endMs + gapMillis)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   final case class UserRunning(userId: Long, nEvents: Long, totalValue: Double)
 
   /** Custom state: running per-user totals via mapGroupsWithState — the

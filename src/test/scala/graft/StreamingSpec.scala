@@ -132,6 +132,39 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Seq((1L, "a"), (2L, "b"), (3L, "c")), s"got $rows")
   }
 
+  test("flatMapGroupsWithState sessions: gap close + event-time timeout close") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00").getTime
+    def ts(minutes: Long) = new java.sql.Timestamp(t0 + minutes * 60000L)
+    val source = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val sessions = EventStreams.sessionsWithState(
+      source.toDF.toDF("user_id", "ts", "value"), gap = "30 minutes", watermark = "1 hour")
+    val q = sessions.writeStream.format("memory").queryName("fmgws_sessions")
+      .outputMode("append").start()
+    // session A: two events 10 min apart
+    source.addData((1L, ts(0), 1.0), (1L, ts(10), 2.0))
+    q.processAllAvailable()
+    // event 3h later: beyond gap → closes session A in-line, opens B
+    source.addData((1L, ts(180), 5.0))
+    q.processAllAvailable()
+    // other user far in the future: advances the watermark past B's
+    // end+gap → B closes via event-time timeout on a following trigger
+    source.addData((2L, ts(600), 0.0))
+    q.processAllAvailable()
+    source.addData((2L, ts(601), 0.0)) // one more trigger to fire the timeout
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("fmgws_sessions")
+      .as[EventStreams.ClosedSession].collect().filter(_.userId == 1L)
+      .sortBy(_.sessionStart.getTime)
+    assert(out.length == 2, s"got ${out.toSeq}")
+    assert(out(0).nEvents == 2 && out(0).sumValue == 3.0)
+    assert(out(0).sessionStart == ts(0) && out(0).sessionEnd == ts(10))
+    assert(out(1).nEvents == 1 && out(1).sumValue == 5.0)
+  }
+
   test("stateful running totals via mapGroupsWithState (batch mode)") {
     val events = Tables.events(spark, sf0001).where(col("user_id") < 3)
     val out = EventStreams.runningUserTotals(events).collect()
