@@ -311,6 +311,15 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // text KNN without embeddings: hashed-TF sparse cosine join (md5
+    // buckets → DuckDB-reproducible), top-5 neighbors for doc_id < 5
+    "q_text_knn" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.text.TfVectors
+        .cosineTopK(docs, docs.where(col("doc_id") < 5), "text", "doc_id", dim = 256, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // eval-set decontamination: training docs (doc_id % 5 != 0) sharing
     // any 8-token span with the eval slice (doc_id % 5 == 0) — DuckDB
     // oracle reproduces the spans as strings, Spark carries only hashes
@@ -380,6 +389,34 @@ object LlmQueries {
       s"""SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM (
          |  SELECT unnest(list_filter($toksSql, x -> x <> '')) AS token FROM documents)
          |GROUP BY token ORDER BY cnt DESC, token LIMIT 100""".stripMargin,
+    "q_text_knn" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(list_filter($toksSql, x -> x <> '')) AS token FROM documents
+         |), vec AS (
+         |  SELECT doc_id,
+         |    CAST(CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 256 AS INTEGER) AS bucket,
+         |    CAST(count(*) AS BIGINT) AS tf
+         |  FROM tok GROUP BY doc_id, bucket
+         |), norms AS (
+         |  SELECT doc_id, sum(tf * tf) AS n2 FROM vec GROUP BY doc_id
+         |), dots AS (
+         |  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id, sum(q.tf * c.tf) AS dot
+         |  FROM vec q JOIN vec c ON q.bucket = c.bucket AND q.doc_id <> c.doc_id
+         |  WHERE q.doc_id < 5
+         |  GROUP BY q.doc_id, c.doc_id
+         |), sims AS (
+         |  SELECT d.query_id, d.neighbor_id,
+         |    round(CAST(d.dot AS DOUBLE) / sqrt(CAST(nq.n2 * nc.n2 AS DOUBLE)), 6) AS cosine_sim
+         |  FROM dots d
+         |  JOIN norms nq ON nq.doc_id = d.query_id
+         |  JOIN norms nc ON nc.doc_id = d.neighbor_id
+         |)
+         |SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+         |  SELECT query_id, neighbor_id, cosine_sim,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine_sim DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM sims)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q_oov_rate" ->
       s"""WITH vocab AS (
          |  SELECT token FROM (
