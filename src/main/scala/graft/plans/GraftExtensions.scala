@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => SelfSimilarityFold)
+    e.injectOptimizerRule(_ => IntersectNonEmptyToOverlap)
     e.injectFunction(
       (FunctionIdentifier("graft_cosine"),
         info("graft_cosine", "graft_cosine(a, b) - cosine similarity of two dense vectors"),

@@ -21,6 +21,27 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getDouble(4) == 5.0)
   }
 
+  test("intersect-nonempty rewrites to arrays_overlap; null-element arrays left alone") {
+    import org.apache.spark.sql.functions._
+    // literal arrays are containsNull=false → rule fires
+    val df = spark.range(3).select(
+      (size(array_intersect(array(lit("a"), lit("b")), array(concat(lit("a"), col("id").cast("string"))))) > 0).as("hit"))
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("arrays_overlap"), opt)
+    assert(!opt.contains("array_intersect"), opt)
+    // result semantics preserved ("a0" never matches; plain "a" would)
+    assert(df.collect().forall(!_.getBoolean(0)))
+    val hit = spark.range(1).select(
+      (size(array_intersect(array(lit("a"), lit("b")), array(lit("b")))) > 0).as("hit")).head().getBoolean(0)
+    assert(hit)
+    // nullable-element arrays must NOT rewrite (null-element semantics differ)
+    val nullable = spark.range(1).select(
+      (size(array_intersect(
+        array(when(col("id") > 5, "a")), array(when(col("id") > 6, "b")))) > 0).as("hit"))
+    val optN = nullable.queryExecution.optimizedPlan.toString
+    assert(optN.contains("array_intersect"), optN)
+  }
+
   test("graft repetition/zorder functions callable from SQL") {
     val r = spark.sql(
       """SELECT
