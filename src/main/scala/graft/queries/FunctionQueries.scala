@@ -110,6 +110,37 @@ object FunctionQueries {
         .orderBy(col("p_partkey"))
     }),
 
+    // higher-order array functions (transform/filter/exists/forall/
+    // aggregate/zip_with) — interpreted HOFs, fine for coverage queries
+    // (hot paths use the fused expressions instead)
+    "q_array_hof" -> ((s, dir) => {
+      val toks = split(col("p_name"), " ")
+      t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("long").as("total_chars"),
+          size(filter(toks, t => length(t) > 4)).cast("long").as("n_long"),
+          exists(toks, t => t === "green").as("has_green"),
+          forall(toks, t => length(t) >= 3).as("all_ge3"),
+          array_join(zip_with(toks, reverse(toks), (a, b) => concat(a, lit("|"), b)), ",").as("zipped"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // map-valued computation: construction, transform_values, map_filter,
+    // map_concat, key listing (oracle computes the equivalent scalars)
+    "q_map_ops" -> ((s, dir) => {
+      val m = map(lit("qty"), col("l_quantity"), lit("disc"), col("l_discount"))
+      t(s, dir, "lineitem")
+        .where(col("l_orderkey") < 50)
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+          array_join(map_keys(m), ",").as("keys"),
+          element_at(transform_values(m, (_, v) => v * 2), "qty").as("qty2"),
+          size(map_filter(m, (_, v) => v > 0.05)).cast("long").as("n_big"),
+          element_at(map_concat(m, map(lit("one"), lit(1.0))), "one").as("one"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"), col("qty2"))
+    }),
+
     // UDTF/generator analog: explode (reference has none; SURVEY §2.4)
     "q_explode" -> ((s, dir) => {
       t(s, dir, "part")
@@ -328,6 +359,27 @@ object FunctionQueries {
         |  array_to_string(list_sort(list_distinct(string_split(p_name, ' '))), ',') AS distinct_tokens,
         |  array_to_string(string_split(p_name, ' ')[1:2], ' ') AS first_two
         |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_array_hof" ->
+      """SELECT p_partkey,
+        |  CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS total_chars,
+        |  CAST(len(list_filter(toks, t -> length(t) > 4)) AS BIGINT) AS n_long,
+        |  len(list_filter(toks, t -> t = 'green')) > 0 AS has_green,
+        |  len(list_filter(toks, t -> length(t) < 3)) = 0 AS all_ge3,
+        |  array_to_string([toks[i] || '|' || rev[i] FOR i IN range(1, len(toks) + 1)], ',') AS zipped
+        |FROM (
+        |  SELECT p_partkey, string_split(p_name, ' ') AS toks,
+        |    list_reverse(string_split(p_name, ' ')) AS rev
+        |  FROM part)
+        |ORDER BY p_partkey""".stripMargin,
+    "q_map_ops" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |  'qty,disc' AS keys,
+        |  l_quantity * 2 AS qty2,
+        |  CAST((CASE WHEN l_quantity > 0.05 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+        |  1.0 AS one
+        |FROM lineitem WHERE l_orderkey < 50
+        |ORDER BY l_orderkey, l_linenumber, l_extendedprice, qty2""".stripMargin,
     "q_explode" ->
       """SELECT token, count(*) AS n FROM (
         |  SELECT unnest(string_split(p_name, ' ')) AS token FROM part)
