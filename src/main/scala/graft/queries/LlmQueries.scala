@@ -320,6 +320,17 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // binary content dedup (media pipeline shape): payloads keyed by
+    // 64-bit content hash, min-id survivor — oracle checks via exact raw
+    // text equality (identical bytes ⟺ identical text here)
+    "q_media_dedup" -> ((s, dir) => {
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      Multimodal.dedupByContent(media, "doc_id", "payload")
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // eval-set decontamination: training docs (doc_id % 5 != 0) sharing
     // any 8-token span with the eval slice (doc_id % 5 == 0) — DuckDB
     // oracle reproduces the spans as strings, Spark carries only hashes
@@ -389,6 +400,11 @@ object LlmQueries {
       s"""SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM (
          |  SELECT unnest(list_filter($toksSql, x -> x <> '')) AS token FROM documents)
          |GROUP BY token ORDER BY cnt DESC, token LIMIT 100""".stripMargin,
+    "q_media_dedup" ->
+      """SELECT doc_id FROM (
+        |  SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "q_text_knn" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest(list_filter($toksSql, x -> x <> '')) AS token FROM documents

@@ -56,4 +56,26 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.count() == 4)
     assert(frames.select($"frame_index").collect().map(_.getInt(0)).sorted.toSeq == Seq(0, 1, 2, 3))
   }
+
+  test("content dedup keeps lowest id per identical payload") {
+    val df = Seq(
+      (3L, "img-A".getBytes("UTF-8")),
+      (1L, "img-A".getBytes("UTF-8")), // dup of 3 with lower id
+      (2L, "img-B".getBytes("UTF-8"))
+    ).toDF("id", "payload")
+    val out = Multimodal.dedupByContent(df, "id", "payload")
+      .select($"id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(1L, 2L))
+  }
+
+  test("perceptual pairs: identical payloads pair at hamming 0, distinct don't") {
+    val df = Seq(
+      (1L, "same-bytes-same-image".getBytes("UTF-8")),
+      (2L, "same-bytes-same-image".getBytes("UTF-8")),
+      (3L, "completely different content".getBytes("UTF-8"))
+    ).toDF("id", "payload")
+    val pairs = Multimodal.perceptualPairs(df, "id", "payload", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(pairs == Seq((1L, 2L, 0)))
+  }
 }
