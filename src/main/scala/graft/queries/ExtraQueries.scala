@@ -216,6 +216,30 @@ object ExtraQueries {
         .orderBy(col("c_custkey"))
     }),
 
+    // forward-fill imputation (LOCF): nulls planted deterministically,
+    // then carried forward within each customer's order history
+    "q_forward_fill" -> ((s, dir) => {
+      val withGaps = t(s, dir, "orders")
+        .where(col("o_custkey") < 200)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          when(pmod(col("o_orderkey"), lit(3)) === 0, lit(null)).otherwise(col("o_totalprice")).as("price"))
+      graft.operators.Impute.forwardFill(withGaps, Seq("o_custkey"), "o_orderkey", Seq("price"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // decimal aggregation: exact sums at DECIMAL precision, string-cast on
+    // both engines (digit-for-digit compare, canonicalization-free)
+    "q_decimal_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(col("l_extendedprice").cast(DecimalType(18, 4))).cast("string").as("sum_price"),
+          sum(col("l_quantity").cast(DecimalType(18, 4))).cast("string").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // null-safe equi-join (<=>): null keys match each other, unlike '='
     "q_nullsafe_join" -> ((s, dir) => {
       val n = t(s, dir, "nation").select(
@@ -315,6 +339,19 @@ object ExtraQueries {
         |  count(*) AS n
         |FROM oldt o FULL OUTER JOIN newt n ON o.o_orderkey = n.o_orderkey
         |GROUP BY 1 ORDER BY diff_status""".stripMargin,
+    "q_forward_fill" ->
+      """SELECT o_custkey, o_orderkey,
+        |  last_value(CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END IGNORE NULLS)
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS price
+        |FROM orders WHERE o_custkey < 200
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_decimal_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS sum_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_nullsafe_join" ->
       """WITH n AS (
         |  SELECT n_nationkey,
