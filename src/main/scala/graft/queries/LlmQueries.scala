@@ -320,6 +320,31 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // unigram-LM perplexity scoring (CCNet-shape quality filter; the
+    // model table broadcasts, scoring is one uniform-key shuffle)
+    "q_perplexity" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = graft.text.LmScore.unigramModel(docs, "text")
+      graft.text.LmScore.perplexity(docs, "text", "doc_id", model)
+        .select(col("id").as("doc_id"), col("n_tokens"), round(col("perplexity"), 4).as("perplexity"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // embedding-space contamination report: each train doc's nearest
+    // EVAL-SET embedding (vec_id % 5 == 0 held out) and the cosine —
+    // the semantic-dedup twin of the span-based decontamination
+    "q_decontaminate_embedding" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val evalE = emb.where(pmod(col("vec_id"), lit(5)) === 0)
+      val trainE = emb.where(pmod(col("vec_id"), lit(5)) =!= 0)
+      Similarity.bruteForceTopK(evalE, trainE, "embedding", "vec_id", k = 1)
+        .select(
+          col("query_id").as("train_id"),
+          col("neighbor_id").as("nearest_eval_id"),
+          col("cosine_sim"))
+        .orderBy(col("train_id"))
+    }),
+
     // binary content dedup (media pipeline shape): payloads keyed by
     // 64-bit content hash, min-id survivor — oracle checks via exact raw
     // text equality (identical bytes ⟺ identical text here)
@@ -400,6 +425,30 @@ object LlmQueries {
       s"""SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM (
          |  SELECT unnest(list_filter($toksSql, x -> x <> '')) AS token FROM documents)
          |GROUP BY token ORDER BY cnt DESC, token LIMIT 100""".stripMargin,
+    "q_perplexity" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(list_filter($toksSql, x -> x <> '')) AS token FROM documents
+         |), counts AS (
+         |  SELECT token, count(*) AS cnt FROM tok GROUP BY token
+         |), tot AS (
+         |  SELECT sum(cnt) AS total, count(*) AS v FROM counts
+         |), model AS (
+         |  SELECT token, ln((cnt + 1) / CAST(total + v AS DOUBLE)) AS logp FROM counts, tot
+         |)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  round(exp(-avg(m.logp)), 4) AS perplexity
+         |FROM tok LEFT JOIN model m USING (token)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_decontaminate_embedding" ->
+      """SELECT train_id, nearest_eval_id, cosine_sim FROM (
+        |  SELECT t.vec_id AS train_id, e.vec_id AS nearest_eval_id,
+        |    round(list_cosine_similarity(CAST(t.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS cosine_sim,
+        |    row_number() OVER (PARTITION BY t.vec_id
+        |      ORDER BY round(list_cosine_similarity(CAST(t.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) DESC,
+        |               e.vec_id) AS rank
+        |  FROM embeddings t JOIN embeddings e
+        |    ON t.vec_id % 5 <> 0 AND e.vec_id % 5 = 0)
+        |WHERE rank = 1 ORDER BY train_id""".stripMargin,
     "q_media_dedup" ->
       """SELECT doc_id FROM (
         |  SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
