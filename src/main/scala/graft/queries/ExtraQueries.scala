@@ -9,6 +9,17 @@ import Tables._
   * capability-parity surface (SURVEY.md §2 "—absent—" rows + FIXTURES.md
   * A2/A3 type coverage) with DuckDB oracles.
   */
+/** SQL that is literally identical on Spark and DuckDB (the demonstrable
+  * dialect-shared subset — one string, two engines).
+  */
+object SharedSql {
+  val segmentRevenue: String =
+    """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+}
+
 object ExtraQueries {
 
   val queries: Map[String, Q] = Map(
@@ -240,6 +251,15 @@ object ExtraQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // spark.sql text path: the SAME dialect-shared SQL string runs on
+    // both engines (temp views over the parquet tables) — the SQL-first
+    // user surface, exercised end-to-end
+    "q_sql_text" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      s.sql(SharedSql.segmentRevenue)
+    }),
+
     // null-safe equi-join (<=>): null keys match each other, unlike '='
     "q_nullsafe_join" -> ((s, dir) => {
       val n = t(s, dir, "nation").select(
@@ -339,6 +359,7 @@ object ExtraQueries {
         |  count(*) AS n
         |FROM oldt o FULL OUTER JOIN newt n ON o.o_orderkey = n.o_orderkey
         |GROUP BY 1 ORDER BY diff_status""".stripMargin,
+    "q_sql_text" -> SharedSql.segmentRevenue,
     "q_forward_fill" ->
       """SELECT o_custkey, o_orderkey,
         |  last_value(CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END IGNORE NULLS)

@@ -197,6 +197,54 @@ object EventStreams {
 
   final case class UserRunning(userId: Long, nEvents: Long, totalValue: Double)
 
+  /** [[runningUserTotals]] on the transformWithState API (Spark 4's
+    * successor to mapGroupsWithState: typed per-key state handles with
+    * TTL, timers, and multiple state variables per processor). Requires
+    * the RocksDB state store provider when run as a STREAM
+    * ([[useRocksDbStateStore]]); works in batch mode on any provider.
+    */
+  class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Double), UserRunning] {
+    @transient private var totals: org.apache.spark.sql.streaming.ValueState[UserRunning] = _
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      totals = getHandle.getValueState[UserRunning](
+        "totals",
+        org.apache.spark.sql.Encoders.product[UserRunning],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        user: Long,
+        rows: Iterator[(Long, Double)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[UserRunning] = {
+      val prev = if (totals.exists()) totals.get() else UserRunning(user, 0L, 0.0)
+      val (n, v) = rows.foldLeft((prev.nEvents, prev.totalValue)) { case ((cn, cv), (_, value)) =>
+        (cn + 1, cv + value)
+      }
+      val next = UserRunning(user, n, v)
+      totals.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** Drive [[RunningTotalsProcessor]] over an events frame (batch or
+    * stream — same code, the Structured Streaming contract).
+    */
+  def runningUserTotalsTws(events: DataFrame): Dataset[UserRunning] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "value")
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new RunningTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Custom state: running per-user totals via mapGroupsWithState — the
     * KeyValueGroupedDataset stateful escape hatch (analog of the
     * reference's per-row mapper surface, lifted to streams).

@@ -165,6 +165,30 @@ class StreamingSpec extends SparkSpec {
     assert(out(1).nEvents == 1 && out(1).sumValue == 5.0)
   }
 
+  test("transformWithState running totals accumulate across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    EventStreams.useRocksDbStateStore(spark) // TWS streams require RocksDB
+    try {
+      val source = MemoryStream[(Long, Double)]
+      val totals = EventStreams.runningUserTotalsTws(source.toDF.toDF("user_id", "value"))
+      val q = totals.writeStream.format("memory").queryName("tws_totals")
+        .outputMode("update")
+        .option("checkpointLocation", java.nio.file.Files.createTempDirectory("tws_ckpt").toString)
+        .start()
+      source.addData((1L, 2.0), (1L, 3.0), (2L, 10.0))
+      q.processAllAvailable()
+      source.addData((1L, 5.0))
+      q.processAllAvailable()
+      q.stop()
+      val last = spark.table("tws_totals").as[EventStreams.UserRunning].collect()
+        .groupBy(_.userId).map { case (k, rows) => k -> rows.maxBy(_.nEvents) }
+      assert(last(1L).nEvents == 3 && last(1L).totalValue == 10.0)
+      assert(last(2L).nEvents == 1 && last(2L).totalValue == 10.0)
+    } finally EventStreams.useRocksDbStateStore(spark, enable = false)
+  }
+
   test("stateful running totals via mapGroupsWithState (batch mode)") {
     val events = Tables.events(spark, sf0001).where(col("user_id") < 3)
     val out = EventStreams.runningUserTotals(events).collect()
