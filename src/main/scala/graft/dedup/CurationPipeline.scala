@@ -11,7 +11,9 @@ import org.apache.spark.sql.functions._
   *                      volume before anything shuffles),
   *  2. repetition gate — optional scan-local Gopher-style repetition caps
   *                      (fused per-row n-gram stats, zero shuffles),
-  *  3. language gate  — optional scan-local stopword language ID,
+  *  3. perplexity gate — optional CCNet-shape unigram-LM tail drop (one
+  *                      broadcast-model scoring pass),
+  *  4. language gate  — optional scan-local stopword language ID,
   *  3. exact dedup    — one fingerprint aggregation (removes the mass of
   *                      byte-identical copies so near-dup LSH buckets stay
   *                      small),
@@ -43,6 +45,7 @@ object CurationPipeline {
       input: Long,
       afterQuality: Long,
       afterRepetition: Long,
+      afterPerplexity: Long,
       afterLang: Long,
       afterExact: Long,
       afterNear: Long,
@@ -62,6 +65,7 @@ object CurationPipeline {
       idCol: String,
       minQuality: Double = 0.5,
       maxRepetition: Option[RepetitionGate] = None,
+      maxPerplexity: Option[Double] = None,
       keepLangs: Option[Seq[String]] = None,
       nearThreshold: Double = 0.7,
       maxDupSpanRatio: Option[Double] = None,
@@ -83,14 +87,31 @@ object CurationPipeline {
             sig("dup_trigram_frac") <= gate.maxDupTrigramFrac)
       case None => qualityGated
     }
-    val langGated = keepLangs match {
-      case Some(langs) => repetitionGated.where(T.langId(col(textCol)).isin(langs: _*))
-      case None        => repetitionGated
+    val perplexityGated = maxPerplexity match {
+      case Some(maxPpl) =>
+        // CCNet-shape LM gate: unigram model over the (already gated)
+        // corpus, drop the high-perplexity tail. One extra count agg for
+        // the model (broadcasts) + one uniform-key scoring shuffle.
+        val model = graft.text.LmScore.unigramModel(repetitionGated, textCol)
+        // anti-join on the DROP set: token-less docs (unscorable — no
+        // perplexity row exists) pass through rather than vanish
+        val drop = graft.text.LmScore.perplexity(repetitionGated, textCol, idCol, model)
+          .where(col("perplexity") > maxPpl)
+          .select(col("id").as(idCol))
+        repetitionGated.join(drop, Seq(idCol), "left_anti")
+      case None => repetitionGated
     }
-    // cache the gated corpus: the near-dedup stage consumes it several
-    // times (signatures + anti-join back); this is the one materialization
-    // the pipeline genuinely reuses
-    val exactDeduped = Dedup.exact(langGated, textCol, idCol).cache()
+    val langGated = keepLangs match {
+      case Some(langs) => perplexityGated.where(T.langId(col(textCol)).isin(langs: _*))
+      case None        => perplexityGated
+    }
+    // materialize the gated corpus once: the near-dedup stage consumes it
+    // several times (signatures + anti-join back). localCheckpoint, NOT
+    // cache(): blocks release when the result goes unreferenced
+    // (ContextCleaner), so the pipeline never leaks a CacheManager entry
+    // (the r2 cache-hygiene test enforces this for all dedup paths) —
+    // and near-dedup already materializes eagerly, so no laziness is lost
+    val exactDeduped = Dedup.exact(langGated, textCol, idCol).localCheckpoint(true)
     val nearDeduped = Dedup.minHashDedup(exactDeduped, textCol, idCol, threshold = nearThreshold)
     val passageGated = maxDupSpanRatio match {
       case Some(maxRatio) =>
@@ -110,7 +131,7 @@ object CurationPipeline {
     Result(
       survivors,
       StageCounts(
-        n(docs), n(qualityGated), n(repetitionGated), n(langGated), n(exactDeduped), n(nearDeduped),
-        n(passageGated), n(survivors)))
+        n(docs), n(qualityGated), n(repetitionGated), n(perplexityGated), n(langGated),
+        n(exactDeduped), n(nearDeduped), n(passageGated), n(survivors)))
   }
 }

@@ -65,11 +65,13 @@ object LlmQueries {
     }),
 
     // IVF ANN (rows-only; recall-vs-brute-force invariant in SimilaritySpec).
-    // The built index is cached — it is the reusable artifact (at scale:
-    // written out partitioned by cell), probed twice inside ivfTopK.
+    // The built index is materialized once (localCheckpoint — blocks
+    // release with the reference, unlike cache(), which would leak a
+    // CacheManager entry per run) — it is the reusable artifact (at
+    // scale: written out partitioned by cell), probed twice inside ivfTopK.
     "q_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val indexed = Similarity.ivfBuild(emb, "embedding", "vec_id", nlist = 16).cache()
+      val indexed = Similarity.ivfBuild(emb, "embedding", "vec_id", nlist = 16).localCheckpoint(true)
       Similarity.ivfTopK(indexed, emb.where(col("vec_id") < 5), "embedding", "vec_id", k = 5, nlist = 16, nprobe = 4)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy(col("query_id"), col("rank"))

@@ -24,7 +24,7 @@ class CurationPipelineSpec extends SparkSpec {
     assert(c.afterExact == 3)   // exact dup dropped
     assert(c.afterNear == 2)    // near dup dropped
     assert(c.input >= c.afterQuality && c.afterQuality >= c.afterRepetition &&
-      c.afterRepetition >= c.afterLang &&
+      c.afterRepetition >= c.afterPerplexity && c.afterPerplexity >= c.afterLang &&
       c.afterLang >= c.afterExact && c.afterExact >= c.afterNear)
     val ids = r.survivors.select($"doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(ids == Seq(0L, 4L))
@@ -47,6 +47,25 @@ class CurationPipelineSpec extends SparkSpec {
     val r = CurationPipeline.run(docs, "text", "doc_id", minQuality = 0.3, nearThreshold = 0.6)
     val n = r.survivors.count()
     assert(n > 0 && n <= docs.count())
+  }
+
+  test("perplexity gate drops the high-perplexity tail, keeps common-token docs") {
+    // doc 1 repeats corpus-common tokens; doc 0 is all-singletons → max ppl
+    val docs = Seq(
+      (0L, "xylophone quixotic zephyr jabberwocky vortex glyph"),
+      (1L, "common words common words common words common words"),
+      (2L, "common words and a few more common words here")
+    ).toDF("doc_id", "text")
+    val model = graft.text.LmScore.unigramModel(docs, "text")
+    val ppl = graft.text.LmScore.perplexity(docs, "text", "doc_id", model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(ppl(0L) > ppl(1L)) // singleton-token doc scores worse
+    val cutoff = (ppl(0L) + math.max(ppl(1L), ppl(2L))) / 2
+    val r = CurationPipeline.run(docs, "text", "doc_id", minQuality = 0.0,
+      maxPerplexity = Some(cutoff), nearThreshold = 0.99, collectStats = true)
+    val ids = r.survivors.select($"doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L), s"got $ids (ppl=$ppl cutoff=$cutoff)")
+    assert(r.counts.afterPerplexity == 2)
   }
 
   test("decontamination stage drops docs overlapping the eval set") {

@@ -98,6 +98,18 @@ class DedupSpec extends SparkSpec {
     assert(reps.isEmpty)
   }
 
+  test("dedup releases every DataFrame cache it takes (ADVICE r1 leak class)") {
+    // persist()/cache() register in the session CacheManager and leave it
+    // on unpersist(); localCheckpoint blocks do NOT go through it — so an
+    // empty CacheManager after the op proves the MEMORY_AND_DISK entries
+    // (signatures, pair caches, label-propagation iterates) were released
+    assert(spark.sharedState.cacheManager.isEmpty, "pre-existing cache entries — fix the test env")
+    val docs = (0L until 40L).map(i => (i, s"document number $i with some shared words plus token$i"))
+      .toDF("doc_id", "text")
+    Dedup.minHashDedup(docs, "text", "doc_id", threshold = 0.5).count()
+    assert(spark.sharedState.cacheManager.isEmpty, "dedup left DataFrame cache entries registered")
+  }
+
   test("duplicated-passage detection flags shared 8-token spans only") {
     val passage = "one two three four five six seven eight nine ten"
     val docs = Seq(
