@@ -60,7 +60,14 @@ object PlanCheck {
     // WindowGroupLimit = Spark pushed the rn=1 filter into a partial
     // group-limit BEFORE the exchange (only each partition's newest change
     // per key shuffles)
-    Check("q_changelog_apply", mustContain = Seq("WindowGroupLimit", "Anti"))
+    Check("q_changelog_apply", mustContain = Seq("WindowGroupLimit", "Anti")),
+    // vocab / LM model sides must broadcast (small artifacts by design)
+    Check("q_oov_rate", mustContain = Seq("BroadcastHashJoin")),
+    Check("q_perplexity", mustContain = Seq("BroadcastHashJoin")),
+    // per-domain quota: rank filter pushed to a partial group-limit
+    Check("q_domain_cap", mustContain = Seq("WindowGroupLimit")),
+    // sparse-cosine KNN: top-k rank filter group-limited before exchange
+    Check("q_text_knn", mustContain = Seq("WindowGroupLimit"))
   )
 
   def main(args: Array[String]): Unit = {
