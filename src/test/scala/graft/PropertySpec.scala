@@ -70,6 +70,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("law: upsert is idempotent and right-biased") {
+    import graft.operators.Merge
+    val target = (0 until 50).map(i => (i, s"t$i")).toDF("k", "v")
+    samples(Gen.choose(0, 49), 6).foreach { pivot =>
+      val source = (pivot until 50).map(i => (i, s"s$i")).toDF("k", "v")
+      val once = Merge.upsert(target, source, Seq("k"))
+      val twice = Merge.upsert(once, source, Seq("k"))
+      assert(once.orderBy($"k").collect().toSeq == twice.orderBy($"k").collect().toSeq, s"pivot=$pivot")
+      // right-biased: every source key shows the source value
+      val vals = once.orderBy($"k").collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+      (0 until 50).foreach { i =>
+        assert(vals(i) == (if (i >= pivot) s"s$i" else s"t$i"))
+      }
+    }
+  }
+
+  test("AQE coalesces the post-shuffle partition count for small data") {
+    val out = base.groupBy($"label").count()
+    out.count() // materialize so AQE finalizes the plan
+    val parts = out.rdd.getNumPartitions
+    val configured = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    assert(parts < configured, s"AQE left $parts partitions (configured $configured)")
+  }
+
   test("law: chunkTokens covers every token, in order, with the declared stride") {
     import graft.functions.{TextFunctions => T}
     val cases = for {
