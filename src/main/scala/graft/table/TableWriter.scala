@@ -73,13 +73,21 @@ object TableWriter {
 
   /** Persist domains as `_graft_domains.json` inside the table directory
     * (ignored by Spark's parquet reader: underscore prefix = hidden file).
+    * The HLL distinct sketch rides along base64-encoded — it is the
+    * artifact that makes per-ingest statistics MERGEABLE across jobs
+    * ([[Domains.merge]] unions deserialized sketches; see
+    * [[readDistinctSketches]]).
     */
   def persistDomains(path: String, rowCount: Long, domains: Seq[Domains.ColumnDomain]): Unit = {
     val cols = domains.map { d =>
       val nominal = d.nominal.map(_.map(fmt).mkString("[", ",", "]")).getOrElse("null")
+      val sketch = d.distinctSketch
+        .map(b => "\"" + java.util.Base64.getEncoder.encodeToString(b) + "\"")
+        .getOrElse("null")
       s"""{"column":${fmt(d.column)},"type":${fmt(d.dataType.simpleString)},""" +
         s""""min":${d.min.map(fmt).getOrElse("null")},"max":${d.max.map(fmt).getOrElse("null")},""" +
-        s""""nominal":$nominal,"null_count":${d.nullCount},"approx_distinct":${d.approxDistinct}}"""
+        s""""nominal":$nominal,"null_count":${d.nullCount},"approx_distinct":${d.approxDistinct},""" +
+        s""""distinct_sketch":$sketch}"""
     }
     val json = s"""{"row_count":$rowCount,"columns":[${cols.mkString(",")}]}"""
     Files.writeString(Paths.get(path, "_graft_domains.json"), json)
@@ -92,4 +100,21 @@ object TableWriter {
     val p = Paths.get(path, "_graft_domains.json")
     if (Files.exists(p)) Some(Files.readString(p)) else None
   }
+
+  /** Deserialize the per-column HLL sketches from a table's sidecar:
+    * column → sketch bytes (absent for non-sketchable columns / old
+    * sidecars). Regex-scoped parse of the sidecar's own writer format.
+    */
+  def readDistinctSketches(spark: SparkSession, path: String): Map[String, Array[Byte]] =
+    readDomainsJson(spark, path) match {
+      case None => Map.empty
+      case Some(json) =>
+        val entry =
+          """"column":"((?:[^"\\]|\\.)*)".*?"distinct_sketch":(?:"([A-Za-z0-9+/=]+)"|null)""".r
+        entry.findAllMatchIn(json).flatMap { m =>
+          Option(m.group(2)).map(b64 =>
+            m.group(1).replace("\\\"", "\"").replace("\\\\", "\\") ->
+              java.util.Base64.getDecoder.decode(b64))
+        }.toMap
+    }
 }

@@ -87,6 +87,23 @@ class WritePathSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("sketches persisted in the sidecar merge across ingests to recompute-grade estimates") {
+    val a = (0 until 600).map(i => (i.toLong, s"k$i")).toDF("id", "s")
+    val b = (300 until 900).map(i => (i.toLong, s"k$i")).toDF("id", "s")
+    val pa = tmp("ingest_a"); val pb = tmp("ingest_b")
+    val ra = TableWriter.write(a, pa)
+    val rb = TableWriter.write(b, pb)
+    // reload the sketches from DISK (the cross-job path) and graft them
+    // onto the recomputed domain rows before merging
+    val ska = TableWriter.readDistinctSketches(spark, pa)
+    val skb = TableWriter.readDistinctSketches(spark, pb)
+    assert(ska.contains("s") && skb.contains("s"))
+    val da = ra.domains.map(d => d.copy(distinctSketch = ska.get(d.column)))
+    val db = rb.domains.map(d => d.copy(distinctSketch = skb.get(d.column)))
+    val merged = graft.table.Domains.merge(da, db, 10).find(_.column == "s").get
+    assert(math.abs(merged.approxDistinct - 900L) <= 27, s"estimate ${merged.approxDistinct}")
+  }
+
   test("row-push adapter: rows → DataFrame with explicit schema") {
     val schema = StructType(Seq(StructField("row_id", StringType), StructField("v", IntegerType)))
     val rows = (0 until 10).map(i => org.apache.spark.sql.Row(s"Row$i", i))
