@@ -185,6 +185,31 @@ class KTableSpec extends SparkSpec {
     assert(Domains.merge(Domains.compute(h1, 10), Domains.compute(h2, 10), 10).head.nominal.isEmpty)
   }
 
+  test("cooperative cancellation via job groups (reference observer-cancel semantics)") {
+    // the reference cancels a running computation through its observer
+    // (ObserverFactory / progress monitor); Spark's equivalent is the job
+    // group: tag the action's thread, cancel the group from outside
+    val sc = spark.sparkContext
+    import spark.implicits._
+    val slow = udf { (i: Long) => Thread.sleep(2000); i }
+    val failed = new java.util.concurrent.CompletableFuture[Boolean]()
+    val worker = new Thread(() => {
+      try {
+        sc.setJobGroup("graft-cancel-test", "cancellable table materialization", interruptOnCancel = true)
+        // filter (not a pruned projection) so every row actually sleeps
+        spark.range(64).repartition(8).where(slow($"id") >= 0).count()
+        failed.complete(false) // finished uncancelled
+      } catch {
+        case _: Throwable => failed.complete(true)
+      } finally sc.clearJobGroup()
+    })
+    worker.start()
+    Thread.sleep(1500) // let tasks start
+    sc.cancelJobGroup("graft-cancel-test")
+    assert(failed.get(30, java.util.concurrent.TimeUnit.SECONDS), "job was not cancelled")
+    worker.join(30000)
+  }
+
   test("slice pushes limits into the plan (no full materialization)") {
     // needs a file-backed source: over local data the optimizer folds the
     // limit into the LocalRelation itself
