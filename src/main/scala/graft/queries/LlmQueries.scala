@@ -427,6 +427,40 @@ object LlmQueries {
       s"""SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM (
          |  SELECT unnest(list_filter($toksSql, x -> x <> '')) AS token FROM documents)
          |GROUP BY token ORDER BY cnt DESC, token LIMIT 100""".stripMargin,
+    "q_ann_ivf" ->
+      """WITH cent AS (
+        |  SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS centroid
+        |  FROM embeddings WHERE vec_id < 16
+        |), corpus AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+        |), assign AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT c.vec_id, ct.cell,
+        |      row_number() OVER (PARTITION BY c.vec_id
+        |        ORDER BY round(list_cosine_similarity(c.vec, ct.centroid), 6) DESC, ct.cell) AS rn
+        |    FROM corpus c CROSS JOIN cent ct) WHERE rn = 1
+        |), queries AS (
+        |  SELECT vec_id AS query_id, vec AS qvec FROM corpus WHERE vec_id < 5
+        |), probe AS (
+        |  SELECT query_id, cell FROM (
+        |    SELECT q.query_id, ct.cell,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY round(list_cosine_similarity(q.qvec, ct.centroid), 6) DESC, ct.cell) AS rn
+        |    FROM queries q CROSS JOIN cent ct) WHERE rn <= 4
+        |), cand AS (
+        |  SELECT p.query_id, c.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(q.qvec, c.vec), 6) AS cosine_sim
+        |  FROM probe p
+        |  JOIN queries q ON q.query_id = p.query_id
+        |  JOIN assign a ON a.cell = p.cell
+        |  JOIN corpus c ON c.vec_id = a.vec_id
+        |  WHERE c.vec_id <> p.query_id
+        |)
+        |SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS BIGINT) AS rank FROM (
+        |  SELECT query_id, neighbor_id, cosine_sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+        |  FROM cand)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q_perplexity" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest(list_filter($toksSql, x -> x <> '')) AS token FROM documents

@@ -62,7 +62,10 @@ object Similarity {
     val cols = corpus.columns.toSeq
     corpus
       .join(broadcast(centroids))
-      .withColumn("sim", V.cosine(col(vecCol), col("centroid")))
+      // rounded before the argmax: assignment ties then break on cell id,
+      // making the index layout reproducible ACROSS ENGINES and platforms
+      // (raw-double argmax can flip on last-ulp differences)
+      .withColumn("sim", round(V.cosine(col(vecCol), col("centroid")), 6))
       .groupBy(col(idCol).as("__gid"))
       .agg(max_by(
         struct((cols :+ "cell").map(col): _*),
@@ -291,7 +294,7 @@ object Similarity {
     val wq = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cell"))
     val probeCells = q
       .join(broadcast(centroids))
-      .withColumn("csim", V.cosine(col("qvec"), col("centroid")))
+      .withColumn("csim", round(V.cosine(col("qvec"), col("centroid")), 6))
       .withColumn("rn", row_number().over(wq))
       .where(col("rn") <= nprobe)
       .select(col("query_id"), col("qvec"), col("cell"))
