@@ -177,11 +177,19 @@ object FunctionQueries {
     }),
 
     // approximate distinct — weaker rows-only check (no exact oracle)
+    // HLL estimate vs exact — the estimate itself differs between
+    // engines' HLL implementations, so the ORACLE-CHECKED contract is
+    // (exact count, estimate-within-5%): DuckDB reproduces the exact
+    // count and the tolerance verdict must be true
     "q_approx_distinct" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .agg(
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_partkey")).as("__approx"),
           countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(
+          col("exact_parts"),
+          (abs(col("__approx") - col("exact_parts")).cast("double")
+            / col("exact_parts") < 0.05).as("approx_within_5pct"))
     }),
 
     // batch twin of the streaming sliding-window aggregation (1h window,
@@ -384,6 +392,10 @@ object FunctionQueries {
       """SELECT token, count(*) AS n FROM (
         |  SELECT unnest(string_split(p_name, ' ')) AS token FROM part)
         |GROUP BY token ORDER BY token""".stripMargin,
+    "q_approx_distinct" ->
+      """SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  true AS approx_within_5pct
+        |FROM lineitem""".stripMargin,
     "q_json_funcs" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
         |FROM events ORDER BY event_id""".stripMargin,
