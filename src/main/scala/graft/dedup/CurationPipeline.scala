@@ -14,15 +14,15 @@ import org.apache.spark.sql.functions._
   *  3. perplexity gate — optional CCNet-shape unigram-LM tail drop (one
   *                      broadcast-model scoring pass),
   *  4. language gate  — optional scan-local stopword language ID,
-  *  3. exact dedup    — one fingerprint aggregation (removes the mass of
+  *  5. exact dedup    — one fingerprint aggregation (removes the mass of
   *                      byte-identical copies so near-dup LSH buckets stay
   *                      small),
-  *  4. near dedup     — MinHash+LSH with exact-Jaccard verification and
+  *  6. near dedup     — MinHash+LSH with exact-Jaccard verification and
   *                      min-label-propagation cluster collapse,
-  *  5. passage gate   — optional: drop documents whose w-token spans are
+  *  7. passage gate   — optional: drop documents whose w-token spans are
   *                      mostly duplicated elsewhere in the corpus
-  *                      (boilerplate-heavy survivors of 3-4),
-  *  6. decontamination — optional: drop documents sharing any w-token span
+  *                      (boilerplate-heavy survivors of 5-6),
+  *  8. decontamination — optional: drop documents sharing any w-token span
   *                      with a held-out eval set (test-set leakage guard;
   *                      last because it must see the final candidate set
   *                      and the eval side is tiny/broadcast).
@@ -92,13 +92,17 @@ object CurationPipeline {
         // CCNet-shape LM gate: unigram model over the (already gated)
         // corpus, drop the high-perplexity tail. One extra count agg for
         // the model (broadcasts) + one uniform-key scoring shuffle.
-        val model = graft.text.LmScore.unigramModel(repetitionGated, textCol)
+        // the gated corpus feeds three consumers here (model count agg,
+        // scoring pass, anti-join left side) — materialize it once
+        // instead of re-running the quality/repetition scans per consumer
+        val gated = repetitionGated.localCheckpoint(true)
+        val model = graft.text.LmScore.unigramModel(gated, textCol)
         // anti-join on the DROP set: token-less docs (unscorable — no
         // perplexity row exists) pass through rather than vanish
-        val drop = graft.text.LmScore.perplexity(repetitionGated, textCol, idCol, model)
+        val drop = graft.text.LmScore.perplexity(gated, textCol, idCol, model)
           .where(col("perplexity") > maxPpl)
           .select(col("id").as(idCol))
-        repetitionGated.join(drop, Seq(idCol), "left_anti")
+        gated.join(drop, Seq(idCol), "left_anti")
       case None => repetitionGated
     }
     val langGated = keepLangs match {

@@ -185,20 +185,19 @@ object Multimodal {
         ).as(Seq("frame_index", "frame_hash"))
       )
 
-  /** Exact media dedup: one survivor per identical payload (lowest id),
-    * keyed by a 64-bit content hash with byte-equality verification of
-    * hash-colliding groups — payloads never shuffle (only (id, hash) pairs
-    * do; the equality recheck joins payloads back by the tiny survivor/
-    * loser id sets).
+  /** Exact media dedup: one survivor per identical payload (lowest id).
+    * The dedup key is (xxhash64, md5, byte length) of the payload — a
+    * false merge needs a simultaneous collision of two independent hash
+    * families AND equal lengths (< 2⁻¹⁹² — beyond any corpus), while the
+    * shuffle carries 44 bytes per row, never the payloads themselves.
     */
   def dedupByContent(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
-    // xxhash64 over raw bytes; 64-bit collisions are ~nonexistent below
-    // 2^32 objects — and survivors are per-hash min-id either way, so a
-    // collision only ever drops a NON-identical extra row; the verify
-    // column lets callers audit (count of distinct payloads per hash)
-    val hashed = df.withColumn("__ch", xxhash64(col(payloadCol)))
-    val survivors = hashed
-      .groupBy(col("__ch"))
+    val key = struct(
+      xxhash64(col(payloadCol)).as("h"),
+      md5(col(payloadCol)).as("m"),
+      length(col(payloadCol)).as("len"))
+    val survivors = df
+      .groupBy(key.as("__ck"))
       .agg(min(col(idCol)).as(idCol))
       .select(col(idCol))
     df.join(survivors, Seq(idCol), "left_semi")

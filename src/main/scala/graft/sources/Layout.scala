@@ -96,10 +96,9 @@ object Layout {
     require(cols.size >= 2 && cols.size <= 4, s"z-order takes 2-4 columns, got ${cols.size}")
     require(numFiles >= 1)
     import org.apache.spark.sql.functions._
-    val bounds = df.agg(
-      cols.flatMap(c => Seq(min(col(c).cast("double")).as(s"${c}__min"), max(col(c).cast("double")).as(s"${c}__max"))).head,
-      cols.flatMap(c => Seq(min(col(c).cast("double")).as(s"${c}__min"), max(col(c).cast("double")).as(s"${c}__max"))).tail: _*
-    ).head()
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c).cast("double")).as(s"${c}__min"), max(col(c).cast("double")).as(s"${c}__max")))
+    val bounds = df.agg(aggs.head, aggs.tail: _*).head()
     val cells = cols.map { c =>
       val lo = bounds.getAs[Double](s"${c}__min")
       val hi = bounds.getAs[Double](s"${c}__max")

@@ -44,6 +44,14 @@ object Sources {
     * explicit). At ingest scale, malformed rows are data to quarantine
     * and count, not a reason to fail a 100 TB job; pair with an `observe`
     * counter on `corruptCol IS NOT NULL`.
+    *
+    * The returned frame is lazily local-checkpointed: Spark refuses
+    * queries that reference ONLY the internal corrupt-record column of a
+    * raw file scan (`.where(corrupt.isNotNull).count()` — the natural
+    * first query on this reader — throws AnalysisException otherwise).
+    * The checkpoint materializes on first action and its blocks release
+    * with the reference; quarantine reads parse every column anyway, so
+    * no pushdown is lost.
     */
   def jsonLinesQuarantine(
       spark: SparkSession,
@@ -59,6 +67,7 @@ object Sources {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", corruptCol)
       .json(path)
+      .localCheckpoint(false)
   }
 
   /** In-memory rows → table (the row-push adapter analog at the API edge:

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.operators.Merge
-import org.apache.spark.sql.{DataFrame, Row, SaveMode}
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.streaming.DataStreamWriter
 import org.apache.spark.sql.types.StructType
 
@@ -42,6 +42,14 @@ object CdcApply {
 
   /** One micro-batch: fold `batch` into the stored snapshot. Also usable
     * from a batch job (backfill replays a changelog segment).
+    *
+    * Snapshots publish through [[graft.sources.Versioned]] (`v=N` +
+    * `_SUCCESS` commit marker), so a crash mid-write can never destroy
+    * the previous snapshot — readers ([[readSnapshot]]) only ever see
+    * committed versions, and a replayed batch reclaims the uncommitted
+    * leftover. A replay of an already-committed batch writes one extra
+    * version with identical content — harmless; bound history with
+    * [[graft.sources.Versioned.prune]].
     */
   def applyBatch(
       batch: DataFrame,
@@ -52,14 +60,17 @@ object CdcApply {
   ): Unit = {
     val spark = batch.sparkSession
     val payloadSchema = StructType(batch.schema.filterNot(f => f.name == seqCol || f.name == opCol))
-    val snap: DataFrame =
-      try spark.read.parquet(snapshotDir)
-      catch { case _: org.apache.spark.sql.AnalysisException => // first batch: no snapshot yet
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], payloadSchema)
-      }
-    // materialize BEFORE overwriting the directory the plan reads from
+    val snap: DataFrame = graft.sources.Versioned.latestVersion(spark, snapshotDir) match {
+      case Some(v) => graft.sources.Versioned.read(spark, snapshotDir, v)
+      case None    => spark.createDataFrame(spark.sparkContext.emptyRDD[Row], payloadSchema)
+    }
     val next = Merge.applyChangelog(snap, batch, keyCols, seqCol, opCol)
-      .localCheckpoint(true)
-    next.write.mode(SaveMode.Overwrite).parquet(snapshotDir)
+    graft.sources.Versioned.write(next, snapshotDir)
   }
+
+  /** The current committed snapshot (empty-schema-less: throws when no
+    * version has ever committed).
+    */
+  def readSnapshot(spark: org.apache.spark.sql.SparkSession, snapshotDir: String): DataFrame =
+    graft.sources.Versioned.readLatest(spark, snapshotDir)
 }

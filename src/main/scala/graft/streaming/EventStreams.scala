@@ -176,12 +176,22 @@ object EventStreams {
             sorted.foreach { case (_, ts, value) =>
               val t = ts.getTime
               acc match {
-                case Some(s) if t - s.endMs <= gapMillis =>
-                  acc = Some(SessionAcc(s.startMs, math.max(s.endMs, t), s.n + 1, s.sum + value))
-                case Some(s) =>
+                // within gap of the session INTERVAL (out-of-order events
+                // still inside the watermark may precede the session start
+                // — the signed t-end test alone would wrongly merge events
+                // arbitrarily far in the past)
+                case Some(s) if t >= s.startMs - gapMillis && t <= s.endMs + gapMillis =>
+                  acc = Some(SessionAcc(
+                    math.min(s.startMs, t), math.max(s.endMs, t), s.n + 1, s.sum + value))
+                case Some(s) if t > s.endMs + gapMillis =>
                   closed += ClosedSession(
                     user, new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.endMs), s.n, s.sum)
                   acc = Some(SessionAcc(t, t, 1L, value))
+                case Some(_) =>
+                  // beyond gap BEFORE the current session: old data that can
+                  // no longer grow a session of its own — emit it closed
+                  closed += ClosedSession(
+                    user, new java.sql.Timestamp(t), new java.sql.Timestamp(t), 1L, value)
                 case None =>
                   acc = Some(SessionAcc(t, t, 1L, value))
               }

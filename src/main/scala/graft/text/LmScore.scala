@@ -23,13 +23,17 @@ object LmScore {
   def unigramModel(docs: DataFrame, textCol: String): DataFrame = {
     val toks = docs.select(explode(T.tokenize(col(textCol))).as("token"))
     val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-    val Row2 = counts.agg(sum(col("cnt")), count(lit(1))).head()
-    val total = Row2.getLong(0)
-    val vSize = Row2.getLong(1)
+    val totals = counts.agg(sum(col("cnt")), count(lit(1))).head()
+    // empty/token-less corpus: sum aggregates to null — the model is
+    // empty and the smoothed mass degenerates to p=1 (logp 0), so
+    // downstream perplexity is 1 for everything instead of crashing
+    val total = if (totals.isNullAt(0)) 0L else totals.getLong(0)
+    val vSize = totals.getLong(1)
+    val denom = math.max(total + vSize, 1L).toDouble
     counts.select(
       col("token"),
-      log((col("cnt") + 1).cast("double") / lit((total + vSize).toDouble)).as("logp"))
-      .withColumn("__oov_logp", log(lit(1.0) / lit((total + vSize).toDouble)))
+      log((col("cnt") + 1).cast("double") / lit(denom)).as("logp"))
+      .withColumn("__oov_logp", log(lit(1.0) / lit(denom)))
   }
 
   /** Per-document perplexity against `model` ([[unigramModel]] output):
@@ -37,7 +41,9 @@ object LmScore {
     * 1/(total+|V|) mass. Documents with no tokens produce no row.
     */
   def perplexity(docs: DataFrame, textCol: String, idCol: String, model: DataFrame): DataFrame = {
-    val oovLogp = model.select(col("__oov_logp")).head().getDouble(0)
+    // empty model (empty corpus): every token is OOV with p=1 → ppl 1
+    val oovLogp = model.select(col("__oov_logp")).head(1).headOption
+      .map(_.getDouble(0)).getOrElse(0.0)
     docs
       .select(col(idCol).as("id"), explode(T.tokenize(col(textCol))).as("token"))
       .join(broadcast(model.select(col("token"), col("logp"))), Seq("token"), "left")

@@ -60,8 +60,19 @@ object TfVectors {
       k: Int = 5,
       maxDf: Option[Long] = None
   ): DataFrame = {
-    val c = bucketCounts(corpus, textCol, idCol, dim, maxDf)
-    val q = bucketCounts(queries, textCol, idCol, dim, maxDf)
+    // df-pruning is defined by CORPUS document frequency and must drop the
+    // same buckets from BOTH sides (one-sided pruning deflates query norms
+    // and skews every cosine); norms are computed AFTER pruning so the
+    // metric is the exact cosine of the pruned vector space
+    val cAll = bucketCounts(corpus, textCol, idCol, dim)
+    val qAll = bucketCounts(queries, textCol, idCol, dim)
+    val (c, q) = maxDf match {
+      case Some(cap) =>
+        val hot = cAll.groupBy(col("bucket")).agg(count(lit(1)).as("__df"))
+          .where(col("__df") > cap).select(col("bucket"))
+        (cAll.join(hot, Seq("bucket"), "left_anti"), qAll.join(hot, Seq("bucket"), "left_anti"))
+      case None => (cAll, qAll)
+    }
     def norms(v: DataFrame) = v.groupBy(col("id")).agg(sum(col("tf") * col("tf")).as("n2"))
     val dots = q.select(col("id").as("query_id"), col("bucket"), col("tf").as("tf_q"))
       .join(c.select(col("id").as("neighbor_id"), col("bucket"), col("tf").as("tf_c")), Seq("bucket"))

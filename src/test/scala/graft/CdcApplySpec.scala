@@ -31,9 +31,11 @@ class CdcApplySpec extends SparkSpec {
     q.processAllAvailable()
     q.stop()
 
-    val snap = spark.read.parquet(snapDir)
+    val snap = CdcApply.readSnapshot(spark, snapDir)
       .as[(Long, String, Double)].collect().sortBy(_._1)
     assert(snap.toSeq == Seq((1L, "a2", 11.0), (2L, "b2", 21.0), (3L, "c", 30.0)))
+    // one committed version per applied batch, all readable history
+    assert(graft.sources.Versioned.versions(spark, snapDir) == Seq(1, 2, 3))
   }
 
   test("batch backfill replays a changelog segment idempotently") {
@@ -41,9 +43,13 @@ class CdcApplySpec extends SparkSpec {
     val segment = Seq((1L, "a", 1.0, "I", 1L), (2L, "b", 2.0, "I", 2L), (1L, "a", 1.0, "D", 3L))
       .toDF("k", "name", "v", "op", "seq")
     CdcApply.applyBatch(segment, Seq("k"), "seq", "op", snapDir)
-    val once = spark.read.parquet(snapDir).as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    val once = CdcApply.readSnapshot(spark, snapDir).as[(Long, String, Double)].collect().sortBy(_._1).toSeq
     CdcApply.applyBatch(segment, Seq("k"), "seq", "op", snapDir) // replay
-    val twice = spark.read.parquet(snapDir).as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    val twice = CdcApply.readSnapshot(spark, snapDir).as[(Long, String, Double)].collect().sortBy(_._1).toSeq
     assert(once == Seq((2L, "b", 2.0)) && twice == once)
+    // replay appended a new committed version; pruning bounds history
+    assert(graft.sources.Versioned.versions(spark, snapDir) == Seq(1, 2))
+    assert(graft.sources.Versioned.prune(spark, snapDir, keep = 1) == Seq(1))
+    assert(graft.sources.Versioned.versions(spark, snapDir) == Seq(2))
   }
 }

@@ -165,6 +165,30 @@ class StreamingSpec extends SparkSpec {
     assert(out(1).nEvents == 1 && out(1).sumValue == 5.0)
   }
 
+  test("flatMapGroupsWithState sessions: out-of-order event far in the past does NOT merge (review r2)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00").getTime
+    def ts(minutes: Long) = new java.sql.Timestamp(t0 + minutes * 60000L)
+    val source = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val sessions = EventStreams.sessionsWithState(
+      source.toDF.toDF("user_id", "ts", "value"), gap = "30 minutes", watermark = "12 hours")
+    val q = sessions.writeStream.format("memory").queryName("fmgws_ooo")
+      .outputMode("append").start()
+    source.addData((1L, ts(300), 1.0)) // session at 15:00
+    q.processAllAvailable()
+    // out-of-order event hours EARLIER, still inside the 12h watermark:
+    // used to merge into the 15:00 session (signed-gap bug); must emit
+    // as its own closed session instead
+    source.addData((1L, ts(0), 7.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("fmgws_ooo").as[EventStreams.ClosedSession].collect()
+    assert(out.length == 1, s"got ${out.toSeq}")
+    assert(out(0).sessionStart == ts(0) && out(0).nEvents == 1 && out(0).sumValue == 7.0)
+  }
+
   test("transformWithState running totals accumulate across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

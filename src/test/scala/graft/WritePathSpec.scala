@@ -81,10 +81,11 @@ class WritePathSpec extends SparkSpec {
         |not json at all {{{
         |{"id": 2, "v": "fine"}
         |""".stripMargin)
-    val df = Sources.jsonLinesQuarantine(spark, dir.toString, schema).cache()
+    val df = Sources.jsonLinesQuarantine(spark, dir.toString, schema)
+    // corrupt-column-only query works WITHOUT caller-side caching (the
+    // reader checkpoints past Spark's raw-scan corrupt-column restriction)
     assert(df.where($"_corrupt_record".isNotNull).count() == 1)
     assert(df.where($"_corrupt_record".isNull).select($"id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
-    df.unpersist()
   }
 
   test("sketches persisted in the sidecar merge across ingests to recompute-grade estimates") {
