@@ -1,6 +1,6 @@
 package graft.table
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -57,7 +57,43 @@ object Combine {
       val (ia, ib) = (order.indexOf(x), order.indexOf(y))
       if (ia >= 0 && ib >= 0) order(math.max(ia, ib)) else DoubleType
     case (ArrayType(ea, na), ArrayType(eb, nb)) => ArrayType(commonType(ea, eb), na || nb)
+    case (sa: StructType, sb: StructType) =>
+      // recursive union-by-name: first struct's field order, then fields
+      // new in the second; a field missing on either side becomes nullable
+      val bByName = sb.fields.map(f => f.name -> f).toMap
+      val aNames = sa.fieldNames.toSet
+      val merged =
+        sa.fields.map { fa =>
+          bByName.get(fa.name) match {
+            case Some(fb) => StructField(fa.name, commonType(fa.dataType, fb.dataType), fa.nullable || fb.nullable)
+            case None     => fa.copy(nullable = true)
+          }
+        } ++ sb.fields.filterNot(f => aNames.contains(f.name)).map(_.copy(nullable = true))
+      StructType(merged)
     case _ => StringType
+  }
+
+  /** Rebuild a column of type `from` as type `to` (the merged supertype):
+    * plain `cast` cannot widen STRUCTS with differing field sets, so
+    * struct columns are reconstructed field-by-field (missing fields →
+    * typed nulls, shared fields aligned recursively), arrays align their
+    * elements, and everything else casts.
+    */
+  private def align(c: Column, from: DataType, to: DataType): Column = (from, to) match {
+    case (f, t) if f == t => c
+    case (fs: StructType, ts: StructType) =>
+      val byName = fs.fields.map(f => f.name -> f).toMap
+      val rebuilt = struct(ts.fields.toSeq.map { tf =>
+        byName.get(tf.name) match {
+          case Some(ff) => align(c.getField(tf.name), ff.dataType, tf.dataType).as(tf.name)
+          case None     => lit(null).cast(tf.dataType).as(tf.name)
+        }
+      }: _*)
+      // struct() of a null input would yield a struct of nulls, not null
+      when(c.isNull, lit(null).cast(ts)).otherwise(rebuilt)
+    case (ArrayType(fe, _), ArrayType(te, _)) if fe != te =>
+      transform(c, e => align(e, fe, te))
+    case (_, t) => c.cast(t)
   }
 
   /** Union-by-name with full schema reconciliation: per-column common
@@ -80,7 +116,7 @@ object Combine {
       t.select(ordered.map { case (n, dt) =>
         have.get(n) match {
           case Some(`dt`) => col(n)
-          case Some(_)    => col(n).cast(dt).as(n)
+          case Some(ft)   => align(col(n), ft, dt).as(n)
           case None       => lit(null).cast(dt).as(n)
         }
       }: _*)

@@ -70,6 +70,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("concatenate merges STRUCT columns recursively (union-by-name, typed nulls)") {
+    import org.apache.spark.sql.types._
+    val a = spark.createDataFrame(
+      java.util.List.of(
+        org.apache.spark.sql.Row(1L, org.apache.spark.sql.Row("x", 10)),
+        org.apache.spark.sql.Row(2L, null)),
+      StructType(Seq(
+        StructField("id", LongType),
+        StructField("info", StructType(Seq(
+          StructField("name", StringType), StructField("region", IntegerType)))))))
+    val b = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(3L, org.apache.spark.sql.Row("y", 2.5))),
+      StructType(Seq(
+        StructField("id", LongType),
+        StructField("info", StructType(Seq(
+          StructField("name", StringType), StructField("score", DoubleType)))))))
+    val u = Combine.concatenate(Seq(a, b)).orderBy($"id")
+    val it = u.schema("info").dataType.asInstanceOf[StructType]
+    assert(it.fieldNames.toSeq == Seq("name", "region", "score"))
+    val rows = u.select($"info.name", $"info.region", $"info.score", $"info").collect()
+    assert(rows(0).getString(0) == "x" && rows(0).getInt(1) == 10 && rows(0).isNullAt(2))
+    assert(rows(1).isNullAt(3)) // null struct stays null, not struct-of-nulls
+    assert(rows(2).getString(0) == "y" && rows(2).isNullAt(1) && rows(2).getDouble(2) == 2.5)
+  }
+
   test("law: upsert is idempotent and right-biased") {
     import graft.operators.Merge
     val target = (0 until 50).map(i => (i, s"t$i")).toDF("k", "v")
