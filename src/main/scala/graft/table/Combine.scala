@@ -43,6 +43,14 @@ object Combine {
     (if (sortedOutput) joined.orderBy(col(idx)) else joined).drop(idx)
   }
 
+  /** Decimal wide enough to hold each integral type exactly. */
+  private val integralDecimal: PartialFunction[DataType, DecimalType] = {
+    case ByteType  => DecimalType(3, 0)
+    case ShortType => DecimalType(5, 0)
+    case IntegerType => DecimalType(10, 0)
+    case LongType  => DecimalType(20, 0)
+  }
+
   /** Least common supertype for concatenation's per-column type merge
     * (reference merge at ColumnarVirtualTable.java:360-390). Uses numeric
     * widening; otherwise requires equal types or falls back to string.
@@ -51,12 +59,21 @@ object Combine {
     case (x, y) if x == y => x
     case (NullType, y)    => y
     case (x, NullType)    => x
+    case (da: DecimalType, db: DecimalType) =>
+      // widen to cover both ranges: max integral digits + max scale
+      val scale = math.max(da.scale, db.scale)
+      val integral = math.max(da.precision - da.scale, db.precision - db.scale)
+      DecimalType(math.min(integral + scale, DecimalType.MAX_PRECISION), scale)
+    case (d: DecimalType, i) if integralDecimal.isDefinedAt(i) => commonType(d, integralDecimal(i))
+    case (i, d: DecimalType) if integralDecimal.isDefinedAt(i) => commonType(integralDecimal(i), d)
     case (x: NumericType, y: NumericType) =>
       val order: Seq[DataType] =
         Seq(ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType)
       val (ia, ib) = (order.indexOf(x), order.indexOf(y))
       if (ia >= 0 && ib >= 0) order(math.max(ia, ib)) else DoubleType
     case (ArrayType(ea, na), ArrayType(eb, nb)) => ArrayType(commonType(ea, eb), na || nb)
+    case (MapType(ka, va, na), MapType(kb, vb, nb)) =>
+      MapType(commonType(ka, kb), commonType(va, vb), na || nb)
     case (sa: StructType, sb: StructType) =>
       // recursive union-by-name: first struct's field order, then fields
       // new in the second; a field missing on either side becomes nullable

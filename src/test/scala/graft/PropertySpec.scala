@@ -95,6 +95,19 @@ class PropertySpec extends SparkSpec {
     assert(rows(2).getString(0) == "y" && rows(2).isNullAt(1) && rows(2).getDouble(2) == 2.5)
   }
 
+  test("concatenate merges decimal and map column types") {
+    import org.apache.spark.sql.types._
+    val a = Seq((1, BigDecimal("12.345"))).toDF("id", "d")
+      .select($"id", $"d".cast(DecimalType(10, 3)).as("d"), map(lit("k"), lit(1)).as("m"))
+    val b = Seq((2, BigDecimal("99999.99"))).toDF("id", "d")
+      .select($"id", $"d".cast(DecimalType(18, 2)).as("d"), map(lit("k"), lit(2L)).as("m"))
+    val u = Combine.concatenate(Seq(a, b)).orderBy($"id")
+    assert(u.schema("d").dataType == DecimalType(19, 3)) // 16 integral digits + 3 scale
+    assert(u.schema("m").dataType == MapType(StringType, LongType, valueContainsNull = false))
+    val vals = u.select($"d".cast("string")).collect().map(_.getString(0))
+    assert(vals.toSeq == Seq("12.345", "99999.990"))
+  }
+
   test("law: upsert is idempotent and right-biased") {
     import graft.operators.Merge
     val target = (0 until 50).map(i => (i, s"t$i")).toDF("k", "v")
