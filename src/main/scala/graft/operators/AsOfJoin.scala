@@ -13,11 +13,15 @@ import org.apache.spark.sql.functions._
   * shape. Both sides shuffle ONCE on the key, each partition sorts by
   * (time, side-tag), and a running last-non-null carries the right side's
   * packed values forward into each probe row. No per-row range scan, no
-  * broadcast requirement, no quadratic per-key blowup: cost is
+  * broadcast requirement, no quadratic per-key blowup: cost is ONE
   * sort-shuffle of |L|+|R|, the optimum for an unindexed as-of join at
   * 100 TB. Right-side values are packed into one struct so all enriched
   * columns come from the SAME right row (per-column `last` could mix
-  * rows when right values contain nulls).
+  * rows when right values contain nulls); the LEFT row rides the union as
+  * a packed struct too, so the left plan is evaluated exactly once — no
+  * id-based join-back, which would both re-evaluate the left lineage
+  * (corrupting results for nondeterministic inputs) and cost a second
+  * shuffle.
   */
 object AsOfJoin {
 
@@ -32,27 +36,27 @@ object AsOfJoin {
       strict: Boolean = false
   ): DataFrame = {
     require(valueCols.nonEmpty, "asOf: need at least one right value column")
-    val pid = "__graft_asof_pid"
     val t = "__graft_asof_t"
     val probeTag = "__graft_asof_probe"
     val vals = "__graft_asof_vals"
+    val leftRow = "__graft_asof_left"
 
     val valStruct = org.apache.spark.sql.types.StructType(valueCols.map(c => right.schema(c)))
-    val probe = left.withColumn(pid, monotonically_increasing_id())
-    val probeSide = probe.select(
+    val leftStruct = left.schema
+    val probeSide = left.select(
       on.map(col) ++ Seq(
         col(leftTime).as(t),
         // probes sort AFTER right rows at equal time for inclusive (<=),
         // BEFORE for strict (<)
         lit(if (strict) 0 else 1).as(probeTag),
-        col(pid),
+        struct(left.columns.map(col).toSeq: _*).as(leftRow),
         lit(null).cast(valStruct).as(vals)
       ): _*)
     val buildSide = right.select(
       on.map(col) ++ Seq(
         col(rightTime).as(t),
         lit(if (strict) 1 else 0).as(probeTag),
-        lit(null).cast("long").as(pid),
+        lit(null).cast(leftStruct).as(leftRow),
         struct(valueCols.map(col): _*).as(vals)
       ): _*)
 
@@ -61,12 +65,10 @@ object AsOfJoin {
       .orderBy(col(t).asc, col(probeTag).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val matched = probeSide
+    probeSide
       .unionAll(buildSide)
       .withColumn(vals, last(col(vals), ignoreNulls = true).over(w))
-      .where(col(pid).isNotNull)
-      .select(col(pid) +: valueCols.map(c => col(s"$vals.`$c`").as(prefix + c)): _*)
-
-    probe.join(matched, Seq(pid), "left").drop(pid)
+      .where(col(leftRow).isNotNull)
+      .select(col(s"$leftRow.*") +: valueCols.map(c => col(s"$vals.`$c`").as(prefix + c)): _*)
   }
 }

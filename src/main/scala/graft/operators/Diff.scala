@@ -29,10 +29,31 @@ object Diff {
       s"schema mismatch: ${oldSnap.columns.mkString(",")} vs ${newSnap.columns.mkString(",")}")
     val nonKey = oldSnap.columns.filterNot(keyCols.contains).toSeq
     require(!oldSnap.columns.contains(StatusCol), s"column $StatusCol already exists")
+    // <=> cannot compare MAP columns (unorderable); compare a canonical
+    // sorted-entries encoding instead. Maps nested deeper than one level
+    // inside other types are rejected with a clear error.
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+    def containsMap(dt: DataType): Boolean = dt match {
+      case _: MapType      => true
+      case s: StructType   => s.fields.exists(f => containsMap(f.dataType))
+      case ArrayType(e, _) => containsMap(e)
+      case _               => false
+    }
+    def comparable(name: String): org.apache.spark.sql.Column =
+      oldSnap.schema(name).dataType match {
+        case _: MapType =>
+          sort_array(map_entries(col(name)))
+        case dt =>
+          require(
+            !containsMap(dt),
+            s"snapshotDiff: column $name nests a map inside ${dt.simpleString}; " +
+              "flatten or encode it before diffing")
+          col(name)
+      }
     // key-only tables have no payload to compare: presence alone decides
     // the status (never changed), so compare a constant
     def payload(): org.apache.spark.sql.Column =
-      if (nonKey.isEmpty) lit(0) else struct(nonKey.map(col): _*)
+      if (nonKey.isEmpty) lit(0) else struct(nonKey.map(comparable): _*)
     def side(df: DataFrame, tag: String) = df.select(
       keyCols.map(col) ++ Seq(
         payload().as(s"__payload_$tag"),

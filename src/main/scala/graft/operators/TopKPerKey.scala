@@ -28,10 +28,29 @@ object TopKPerKey {
 
     override def zero: Seq[(Double, Long)] = Vector.empty
 
+    private def better(a: (Double, Long), b: (Double, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2) // score desc, id asc
+
+    // buffer invariant: always sorted best-first, length ≤ k. Per-row work
+    // is O(1) for the common case (full buffer, row ranks below the
+    // current worst) and one binary-search insertion otherwise — NOT a
+    // full re-sort per row (10⁹ rows × sort(k) would dominate the very
+    // map-side combine this operator exists to provide).
     private def insert(buf: Seq[(Double, Long)], v: (Double, Long)): Seq[(Double, Long)] = {
-      // descending score, ascending id tiebreak; keep k best
-      val merged = (buf :+ v).sortBy { case (s, id) => (-s, id) }
-      if (merged.length > k) merged.take(k) else merged
+      if (buf.length >= k && !better(v, buf.last)) buf
+      else {
+        val idx = {
+          var lo = 0
+          var hi = buf.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (better(buf(mid), v)) lo = mid + 1 else hi = mid
+          }
+          lo
+        }
+        val grown = buf.patch(idx, Seq(v), 0)
+        if (grown.length > k) grown.take(k) else grown
+      }
     }
 
     override def reduce(buf: Seq[(Double, Long)], v: (Double, Long)): Seq[(Double, Long)] = insert(buf, v)
@@ -41,8 +60,7 @@ object TopKPerKey {
       merged.take(k)
     }
 
-    override def finish(buf: Seq[(Double, Long)]): Seq[(Double, Long)] =
-      buf.sortBy { case (s, id) => (-s, id) }
+    override def finish(buf: Seq[(Double, Long)]): Seq[(Double, Long)] = buf // already sorted
 
     override def bufferEncoder: Encoder[Seq[(Double, Long)]] = ExpressionEncoder[Seq[(Double, Long)]]()
     override def outputEncoder: Encoder[Seq[(Double, Long)]] = ExpressionEncoder[Seq[(Double, Long)]]()

@@ -287,9 +287,14 @@ object Similarity {
       nlist: Int,
       nprobe: Int
   ): DataFrame = {
+    // recover the build-time centroid set; nlist bounds it so a caller
+    // passing a DIFFERENT nlist than the build's cannot silently probe a
+    // larger/skewed centroid set
     val centroids = indexedCorpus
       .where(col(idCol) === col("cell"))
       .select(col("cell"), col(vecCol).as("centroid"))
+      .orderBy(col("cell"))
+      .limit(nlist)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
     val wq = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cell"))
     val probeCells = q

@@ -34,8 +34,19 @@ object Combine {
     val idx = "__graft_zip_idx"
     val (l, nl) = RowId.withRowIndexCounted(left, idx)
     val leftNames = left.columns.toSet
-    val renamedRight = right.columns.foldLeft(right) { (d, c) =>
-      if (leftNames.contains(c)) d.withColumnRenamed(c, c + "_r") else d
+    val renamedRight = {
+      // suffix until the name is fresh on BOTH sides ("x" next to an
+      // existing "x_r" must not produce duplicate "x_r" columns)
+      val taken = scala.collection.mutable.Set.empty[String]
+      taken ++= right.columns
+      right.columns.foldLeft(right) { (d, c) =>
+        if (leftNames.contains(c)) {
+          var fresh = c + "_r"
+          while (leftNames.contains(fresh) || taken.contains(fresh)) fresh += "_r"
+          taken += fresh
+          d.withColumnRenamed(c, fresh)
+        } else d
+      }
     }
     val (r, nr) = RowId.withRowIndexCounted(renamedRight, idx)
     require(nl == nr, s"appendByPosition: row counts differ ($nl vs $nr)")
@@ -110,6 +121,12 @@ object Combine {
       when(c.isNull, lit(null).cast(ts)).otherwise(rebuilt)
     case (ArrayType(fe, _), ArrayType(te, _)) if fe != te =>
       transform(c, e => align(e, fe, te))
+    case (MapType(fk, fv, _), MapType(tk, tv, _)) if fk != tk || fv != tv =>
+      // plain cast rejects maps whose value structs differ in field sets —
+      // rebuild via the key/value transforms (null maps propagate as null)
+      transform_values(
+        transform_keys(c, (k, _) => align(k, fk, tk)),
+        (_, v) => align(v, fv, tv))
     case (_, t) => c.cast(t)
   }
 

@@ -86,9 +86,17 @@ object Domains {
   }
 
   /** Compute all column domains in a single aggregation job. */
-  def compute(df: DataFrame, nominalCap: Int = DefaultNominalCap): Seq[ColumnDomain] = {
-    val exprs = df.schema.fields.flatMap(domainExprs(_, nominalCap))
+  def compute(df: DataFrame, nominalCap: Int = DefaultNominalCap): Seq[ColumnDomain] =
+    computeWithRowCount(df, nominalCap)._1
+
+  /** [[compute]] plus the table row count from the SAME single
+    * aggregation — writers need both and must not pay a second scan.
+    */
+  def computeWithRowCount(df: DataFrame, nominalCap: Int = DefaultNominalCap): (Seq[ColumnDomain], Long) = {
+    val exprs = df.schema.fields.flatMap(domainExprs(_, nominalCap)) :+
+      count(lit(1)).as("__graft_rowcount")
     val row: Row = df.agg(exprs.head, exprs.tail: _*).head()
+    val rowCount = row.getLong(row.fieldIndex("__graft_rowcount"))
     def get(n: String): Option[Any] = {
       val i = row.fieldIndex(n)
       if (row.isNullAt(i)) None else Some(row.get(i))
@@ -112,7 +120,7 @@ object Domains {
           if (sketchable(f.dataType)) get(s"${f.name}__hll").map(_.asInstanceOf[Array[Byte]])
           else None
       )
-    }
+    } -> rowCount
   }
 
   /** Merge two domain snapshots — the incremental-update path (reference

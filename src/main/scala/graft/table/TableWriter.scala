@@ -2,7 +2,7 @@ package graft.table
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Paths}
+
 
 /** The engine's write pipeline — the Spark re-expression of the reference's
   * decorated store stack (reference
@@ -14,9 +14,9 @@ import java.nio.file.{Files, Paths}
   *  - Parquet provides the columnar layout, dictionary encoding,
   *    compression, and footer statistics (the Arrow-file + LZ4 + batch-offset
   *    footer roles).
-  *  - Per-column domains are computed in the SAME pass via
-  *    `Dataset.observe` aggregate metrics (the DomainWritable analog — no
-  *    second scan).
+  *  - Per-column domains AND the row count come from one aggregation over
+  *    the source (the DomainWritable analog) — the written output is
+  *    never re-read.
   *  - RowID uniqueness is checked distributed (the DuplicateCheckWritable
   *    analog) — one aggregation, fails fast before publishing.
   *  - Domains/statistics are persisted as a JSON sidecar next to the data
@@ -24,8 +24,8 @@ import java.nio.file.{Files, Paths}
   *    ColumnarRowContainer / AbstractColumnarContainerTable).
   *
   * At 100 TB: the write is embarrassingly parallel per partition; the only
-  * coordination is the observe-metric reduce (bytes per column) and the
-  * optional dup-check shuffle on the RowID (uniform key).
+  * coordination is the domain aggregation's final reduce and the optional
+  * dup-check shuffle on the RowID (uniform key).
   */
 object TableWriter {
 
@@ -36,10 +36,14 @@ object TableWriter {
   )
 
   /** Write `df` as the canonical store format with write-time statistics.
+    * Two scans of the SOURCE total — the parquet write and the single
+    * domains+row-count aggregation — and none of the written output.
     *
     * @param checkRowIdUnique when true, fails (IllegalArgumentException)
     *   if the RowID column contains duplicates — reference
-    *   DuplicateCheckWritable semantics.
+    *   DuplicateCheckWritable semantics. Requires the column to exist:
+    *   synthesizing fresh ids just to check them would always pass while
+    *   the written table carried no RowID at all.
     */
   def write(
       df: DataFrame,
@@ -47,28 +51,34 @@ object TableWriter {
       checkRowIdUnique: Boolean = false,
       nominalCap: Int = Domains.DefaultNominalCap
   ): WriteResult = {
-    if (checkRowIdUnique) RowId.assertUniqueRowIds(RowId.ensureRowId(df))
-
-    // One pass: the write job itself carries the row-count observe metric;
-    // domains ride the same scan lineage (Spark re-reads the source, but
-    // the parquet write and the domain agg run as one submitted pipeline
-    // when the source is already materialized; for file sources this is
-    // two scans of the SOURCE, never of the written output).
-    val observed = df.observe("graft_write_metrics", count(lit(1)).as("row_count"))
-    observed.write.mode("overwrite").parquet(path)
-
-    val domains = Domains.compute(df, nominalCap)
-    val rowCount = df.sparkSession.read.parquet(path).count()
-    persistDomains(path, rowCount, domains)
+    if (checkRowIdUnique) {
+      require(
+        df.columns.contains(RowId.RowIdCol),
+        s"checkRowIdUnique: no ${RowId.RowIdCol} column to check — add one (RowId.ensureRowId) first")
+      RowId.assertUniqueRowIds(df)
+    }
+    df.write.mode("overwrite").parquet(path)
+    val (domains, rowCount) = Domains.computeWithRowCount(df, nominalCap)
+    persistDomains(df.sparkSession, path, rowCount, domains)
     WriteResult(path, rowCount, domains)
   }
 
+  private def escape(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x" // any other control char
+    case c => c.toString
+  } + "\""
+
   private def fmt(v: Any): String = v match {
     case null => "null"
-    case s: String => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    case s: String => escape(s)
     case b: Boolean => b.toString
     case n: java.lang.Number => n.toString
-    case other => "\"" + other.toString.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    case other => escape(other.toString)
   }
 
   /** Persist domains as `_graft_domains.json` inside the table directory
@@ -78,7 +88,7 @@ object TableWriter {
     * ([[Domains.merge]] unions deserialized sketches; see
     * [[readDistinctSketches]]).
     */
-  def persistDomains(path: String, rowCount: Long, domains: Seq[Domains.ColumnDomain]): Unit = {
+  def persistDomains(spark: SparkSession, path: String, rowCount: Long, domains: Seq[Domains.ColumnDomain]): Unit = {
     val cols = domains.map { d =>
       val nominal = d.nominal.map(_.map(fmt).mkString("[", ",", "]")).getOrElse("null")
       val sketch = d.distinctSketch
@@ -90,15 +100,27 @@ object TableWriter {
         s""""distinct_sketch":$sketch}"""
     }
     val json = s"""{"row_count":$rowCount,"columns":[${cols.mkString(",")}]}"""
-    Files.writeString(Paths.get(path, "_graft_domains.json"), json)
+    // Hadoop FileSystem, not java.nio: the table path may be s3a/hdfs —
+    // the sidecar must land next to the data wherever it lives
+    val p = new org.apache.hadoop.fs.Path(path, "_graft_domains.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Read back the domain sidecar (raw JSON string; structured re-parse is
     * the caller's concern — the engine treats it as table metadata).
     */
   def readDomainsJson(spark: SparkSession, path: String): Option[String] = {
-    val p = Paths.get(path, "_graft_domains.json")
-    if (Files.exists(p)) Some(Files.readString(p)) else None
+    val p = new org.apache.hadoop.fs.Path(path, "_graft_domains.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    }
   }
 
   /** Deserialize the per-column HLL sketches from a table's sidecar:
