@@ -260,6 +260,15 @@ object ExtraQueries {
       s.sql(SharedSql.segmentRevenue)
     }),
 
+    // fuzzy self-join (edit distance ≤ 2) via lossless length blocking —
+    // result must equal the oracle's naive cross-join formulation
+    "q_fuzzy_join" -> ((s, dir) => {
+      graft.operators.FuzzyJoin
+        .selfJoin(t(s, dir, "customer").where(col("c_custkey") < 300), "c_name", "c_custkey", maxDistance = 2)
+        .select(col("id_a"), col("id_b"), col("distance").cast("long").as("distance"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // null-safe equi-join (<=>): null keys match each other, unlike '='
     "q_nullsafe_join" -> ((s, dir) => {
       val n = t(s, dir, "nation").select(
@@ -373,6 +382,13 @@ object ExtraQueries {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS sum_qty,
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_fuzzy_join" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS distance
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE a.c_custkey < 300 AND b.c_custkey < 300
+        |  AND levenshtein(a.c_name, b.c_name) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_nullsafe_join" ->
       """WITH n AS (
         |  SELECT n_nationkey,
