@@ -46,10 +46,16 @@ object Dedup {
     */
   def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val cols = docs.columns.toSeq
-    docs
+    // null-text rows have no content to be duplicates OF — they all pass
+    // through (grouping them would collapse every null row into one
+    // arbitrary survivor; the incremental path's anti-join never matches
+    // null fingerprints either, so the two surfaces now agree)
+    val deduped = docs
+      .where(col(textCol).isNotNull)
       .groupBy(T.fingerprint(col(textCol)).as("__fp"))
       .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__row"))
       .select(col("__row.*"))
+    deduped.unionByName(docs.where(col(textCol).isNull))
   }
 
   /** (id, sig, shset) per document, all narrow: the fused shingle-hash
@@ -64,22 +70,10 @@ object Dedup {
       .select(col(idCol).as("id"), shingleHashExpr.as("shset"))
       .select(col("id"), H.minHashSigFromHashes(col("shset"), k).as("sig"), col("shset"))
 
-  /** Band keys over a Long fingerprint: (band, bucket) structs where
-    * bucket = the band-th `width`-bit chunk.
-    */
-  private def bandKeys(fp: Column, bands: Int, width: Int): Column = {
-    val mask = (1L << width) - 1
-    transform(
-      sequence(lit(0), lit(bands - 1)),
-      b => struct(b.as("band"), call_function("shiftright", fp, b * width).bitwiseAND(mask).as("bucket")))
-  }
-
-  /** Exact Jaccard over two Long-set columns (used for verification). */
-  private def jaccardSets(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    val union = size(array_union(a, b)).cast("double")
-    when(union === 0, lit(0.0)).otherwise(inter / union)
-  }
+  // shared kernels — one implementation for batch/simhash/embedding paths
+  // (HashFunctions.bandKeys64 also owns the width=64 mask-wrap guard)
+  private def bandKeys(fp: Column, bands: Int, width: Int): Column = H.bandKeys64(fp, bands, width)
+  private def jaccardSets(a: Column, b: Column): Column = H.jaccard(a, b)
 
   /** Shared LSH-banding candidate pipeline over MinHash signatures. */
   private def lshVerifiedPairs(
@@ -94,7 +88,11 @@ object Dedup {
     // you would checkpoint to the store — it is ~100 bytes/doc (signature
     // + hash set), orders of magnitude smaller than the corpus.
     val prepared = preparedIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // docs with EMPTY shingle sets never band: their sentinel signatures
+    // are all identical, so banding them would funnel every such doc into
+    // one hot bucket (candidate blowup) for pairs whose true Jaccard is 0
     val keyed = prepared
+      .where(size(col("shset")) > 0)
       .select(col("id"), posexplode(H.bandHashes(col("sig"), bands, rows)).as(Seq("band", "bucket")))
     val cand = keyed.as("a")
       .join(keyed.as("b"), Seq("band", "bucket"))
@@ -105,9 +103,12 @@ object Dedup {
     val verified = cand
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shset", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("shset", "sh_b"), "id_b")
-      .withColumn("jaccard_sim", round(jaccardSets(col("sh_a"), col("sh_b")), 6))
-      .where(col("jaccard_sim") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard_sim"))
+      .withColumn("__j", jaccardSets(col("sh_a"), col("sh_b")))
+      // threshold on the UNROUNDED value (matches minHashIncremental —
+      // rounding first let 0.6999996-pairs sneak past a 0.7 threshold);
+      // round only the reported column
+      .where(col("__j") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("__j"), 6).as("jaccard_sim"))
     // Materialize the (tiny) verified-pair set so the signature cache can be
     // released immediately — otherwise every dedup call leaks a
     // MEMORY_AND_DISK entry for the session lifetime. localCheckpoint blocks
@@ -200,11 +201,18 @@ object Dedup {
       .select(col(idCol).as("id"), col(vecCol).as("vec"), V.lshBits(col(vecCol), nBits).as("fp"))
       .select(col("id"), col("vec"), explode(bandKeys(col("fp"), bands, nBits / bands)).as("bk"))
       .select(col("id"), col("vec"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-    keyed.as("a")
+    // candidate dedup over IDS ONLY (16 B/row through the exchange);
+    // vectors re-join by id for verification — distinct() over rows
+    // carrying both embeddings would shuffle KBs per candidate
+    val cand = keyed.as("a")
       .join(keyed.as("b"), Seq("band", "bucket"))
       .where(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("a.vec").as("va"), col("b.vec").as("vb"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    cand
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("va")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vb")), "id_b")
       .withColumn("cosine_sim", round(V.cosine(col("va"), col("vb")), 6))
       .where(col("cosine_sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine_sim"))
@@ -261,7 +269,7 @@ object Dedup {
     * pair graph: iterated min-label propagation (distributed connected
     * components, bounded iterations).
     */
-  def clusterRepresentatives(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+  def clusterRepresentatives(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -384,6 +392,7 @@ object Dedup {
     val prepC = minHashSignatures(corpus, idCol, T.shingleHashes(col(textCol), shingleSize), numHashes).persist(lvl)
     val prepB = minHashSignatures(batch, idCol, T.shingleHashes(col(textCol), shingleSize), numHashes).persist(lvl)
     def keyed(prep: DataFrame) = prep
+      .where(size(col("shset")) > 0) // empty sets never band (sentinel collision)
       .select(col("id"), posexplode(H.bandHashes(col("sig"), bands, rows)).as(Seq("band", "bucket")))
     val keyedC = keyed(prepC)
     val keyedB = keyed(prepB)
@@ -408,13 +417,16 @@ object Dedup {
   }
 
   /** Near-dedup end-to-end: survivors after removing every doc whose
-    * cluster representative is a lower id.
+    * cluster representative is a lower id. `maxIters` bounds the label
+    * propagation — components whose graph diameter exceeds it keep more
+    * than one representative (under-dedup, never wrong drops); raise it
+    * for corpora with long duplicate chains.
     */
-  def minHashDedup(docs: DataFrame, textCol: String, idCol: String, threshold: Double = 0.7): DataFrame = {
+  def minHashDedup(docs: DataFrame, textCol: String, idCol: String, threshold: Double = 0.7, maxIters: Int = 20): DataFrame = {
     // pairs come back localCheckpoint'ed (materialized, lineage-free), so
     // the multi-consumer reuse below needs no extra cache
     val pairs = minHashPairs(docs, textCol, idCol, threshold = threshold)
-    val reps = clusterRepresentatives(pairs)
+    val reps = clusterRepresentatives(pairs, maxIters)
     val losers = reps.where(col("rep") =!= col("id")).select(col("id"))
     docs.join(losers.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }

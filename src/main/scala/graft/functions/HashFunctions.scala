@@ -17,7 +17,9 @@ object HashFunctions {
     * component is the minimum over the shingle set. Runs entirely inside
     * one `transform` over `sequence(0, k-1)` — per-row cost k·|shingles|
     * hash evaluations, no shuffle, no state. Empty shingle sets get a
-    * sentinel signature of Long.MaxValue components (never matches).
+    * sentinel signature of Long.MaxValue components — note TWO empty-set
+    * sentinels are EQUAL, so filter empty sets out before LSH banding
+    * (the engine's dedup pipelines do; their true Jaccard is 0).
     */
   def minHashSignature(shingleArr: Column, k: Int): Column =
     transform(
@@ -73,7 +75,9 @@ object HashFunctions {
     e2col(graft.expressions.BandHashes(col2e(signature), bands, rows))
 
   /** Estimated Jaccard similarity from two MinHash signatures: fraction of
-    * agreeing components.
+    * agreeing components. Two EMPTY-set sentinel signatures agree on every
+    * lane (estimate 1.0) though their true Jaccard is 0 — exclude empty
+    * shingle sets upstream.
     */
   def minHashJaccard(sigA: Column, sigB: Column): Column =
     aggregate(
@@ -129,9 +133,18 @@ object HashFunctions {
     * chunks; near-dups within Hamming radius (bands-1) share at least one
     * chunk (pigeonhole) → exact-match bucketing candidates.
     */
-  def simHashBands(fp: Column, bands: Int): Column = {
-    val width = 64 / bands
-    val mask = (1L << width) - 1
+  def simHashBands(fp: Column, bands: Int): Column =
+    bandKeys64(fp, bands, 64 / bands)
+
+  /** (band, bucket) keys from a 64-bit fingerprint with an explicit chunk
+    * width — the shared kernel of [[simHashBands]] and embedding-LSH
+    * banding. `width = 64` masks with -1L directly: `1L << 64` WRAPS to 1
+    * on the JVM (shift counts are mod 64), which would silently zero the
+    * mask for the bands=1 case.
+    */
+  def bandKeys64(fp: Column, bands: Int, width: Int): Column = {
+    require(bands >= 1 && width >= 1 && bands * width <= 64, s"bad banding ($bands × $width bits)")
+    val mask = if (width >= 64) -1L else (1L << width) - 1
     transform(
       sequence(lit(0), lit(bands - 1)),
       b => struct(b.as("band"), call_function("shiftright", fp, b * width).bitwiseAND(mask).as("bucket"))

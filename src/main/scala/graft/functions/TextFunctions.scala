@@ -121,7 +121,9 @@ object TextFunctions {
     // array_max on struct picks highest hits, then LAST lang lexicographically;
     // reverse sort order of lang for deterministic preference of earlier code.
     val best = array_max(array(scored: _*))
-    when(best.getField("hits") <= 0, lit("und")).otherwise(best.getField("lang"))
+    // null text: hits are all null, `null <= 0` is null and the guard
+    // would fall through to a language name — null-check first
+    when(c.isNull || best.getField("hits") <= 0, lit("und")).otherwise(best.getField("lang"))
   }
 
   /** Remove a language's stopwords from the token stream (duplicates and
@@ -173,7 +175,7 @@ object TextFunctions {
       struct(hits.as("hits"), lit(lang).as("lang"))
     }
     val best = array_max(array(scored: _*))
-    when(best.getField("hits") <= 0, lit("und")).otherwise(best.getField("lang"))
+    when(c.isNull || best.getField("hits") <= 0, lit("und")).otherwise(best.getField("lang"))
   }
 
   /** Per-language trigram hit count (the langIdNgram scores, exposed for

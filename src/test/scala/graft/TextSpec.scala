@@ -130,6 +130,25 @@ class TextSpec extends SparkSpec {
     assert(r.getInt(1) >= r.getInt(0))
   }
 
+  test("langId variants return 'und' for null and empty text (review r2)") {
+    val df = Seq(Option.empty[String], Some(""), Some("@@@@")).toDF("t")
+    val out = df.select(T.langId($"t"), T.langIdNgram($"t")).collect()
+    out.foreach { r =>
+      assert(r.getString(0) == "und", s"langId: $r")
+      assert(r.getString(1) == "und", s"langIdNgram: $r")
+    }
+  }
+
+  test("geomean: zero input zeroes the mean, negative input is NaN (review r2)") {
+    import graft.functions.GeoMean
+    val z = Seq(0.0, 100.0).toDF("v").agg(GeoMean.asColumn($"v")).head().getDouble(0)
+    assert(z == 0.0)
+    val n = Seq(-1.0, 100.0).toDF("v").agg(GeoMean.asColumn($"v")).head().getDouble(0)
+    assert(n.isNaN)
+    val ok = Seq(4.0, 9.0).toDF("v").agg(GeoMean.asColumn($"v")).head().getDouble(0)
+    assert(math.abs(ok - 6.0) < 1e-9)
+  }
+
   test("chunkTokens: overlap, short tail, empty input") {
     val df = Seq("a b c d e", "a", "").toDF("t")
       .select(T.tokenize($"t").as("toks"))
