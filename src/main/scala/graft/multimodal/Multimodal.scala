@@ -174,7 +174,9 @@ object Multimodal {
   /** Frame-sample stub for video payloads: emits `n` deterministic frame
     * rows per video (UDTF/generator shape — 1→N rows).
     */
-  def sampleFrames(df: DataFrame, idCol: String, payloadCol: String, n: Int): DataFrame =
+  def sampleFrames(df: DataFrame, idCol: String, payloadCol: String, n: Int): DataFrame = {
+    // sequence(0, -1) would DESCEND ([0,-1]) and emit phantom frames
+    require(n >= 1, s"sampleFrames: n must be >= 1, got $n")
     df.select(
         col(idCol),
         posexplode(
@@ -184,6 +186,7 @@ object Multimodal {
           )
         ).as(Seq("frame_index", "frame_hash"))
       )
+  }
 
   /** Exact media dedup: one survivor per identical payload (lowest id).
     * The dedup key is (xxhash64, md5, byte length) of the payload — a
@@ -213,6 +216,9 @@ object Multimodal {
     */
   def perceptualPairs(df: DataFrame, idCol: String, payloadCol: String, maxHamming: Int = 6, bands: Int = 8): DataFrame = {
     import graft.functions.{HashFunctions => H}
+    // banding's pigeonhole recall only covers Hamming ≤ bands-1: a larger
+    // radius would silently miss qualifying pairs
+    require(maxHamming < bands, s"maxHamming ($maxHamming) must be < bands ($bands) for full recall")
     val features = decodeImages(df, idCol, payloadCol)
     // with a real codec the fingerprint is the aHash of the decoded 8×8
     // grid; the stub's "pixels" are content-hash-derived, so its hash bit

@@ -31,13 +31,12 @@ object Layout {
     // overwrite semantics across sessions: an in-memory catalog forgets the
     // table between JVMs while its warehouse directory survives — drop both
     spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
-    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
-    val loc = java.nio.file.Paths.get(warehouse, tableName)
-    if (java.nio.file.Files.exists(loc)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    // stale-location cleanup through the Hadoop FS (the warehouse may be
+    // HDFS/S3 — java.nio would silently miss it and saveAsTable would
+    // fail with "location already exists" forever after)
+    val loc = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"), tableName)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     val w = df.write.mode("overwrite").format("parquet").bucketBy(numBuckets, bucketCol)
     sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(tableName)
   }

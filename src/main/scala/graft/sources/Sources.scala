@@ -45,29 +45,34 @@ object Sources {
     * and count, not a reason to fail a 100 TB job; pair with an `observe`
     * counter on `corruptCol IS NOT NULL`.
     *
-    * The returned frame is lazily local-checkpointed: Spark refuses
-    * queries that reference ONLY the internal corrupt-record column of a
-    * raw file scan (`.where(corrupt.isNotNull).count()` — the natural
-    * first query on this reader — throws AnalysisException otherwise).
-    * The checkpoint materializes on first action and its blocks release
-    * with the reference; quarantine reads parse every column anyway, so
-    * no pushdown is lost.
+    * With `pin = true` (default) the frame is lazily local-checkpointed:
+    * Spark refuses queries that reference ONLY the internal
+    * corrupt-record column of a raw file scan
+    * (`.where(corrupt.isNotNull).count()` — the natural first query on
+    * this reader — throws AnalysisException otherwise). The checkpoint
+    * materializes the parsed data on first action (blocks release with
+    * the reference) — the right trade for quarantine triage. For
+    * straight-through bulk loads at ingest scale pass `pin = false`:
+    * the scan stays lazy/recomputable and costs nothing extra, but
+    * corrupt-column-only queries then need another data column in the
+    * plan.
     */
   def jsonLinesQuarantine(
       spark: SparkSession,
       path: String,
       schema: StructType,
-      corruptCol: String = "_corrupt_record"
+      corruptCol: String = "_corrupt_record",
+      pin: Boolean = true
   ): DataFrame = {
     val withCorrupt =
       if (schema.fieldNames.contains(corruptCol)) schema
       else schema.add(corruptCol, org.apache.spark.sql.types.StringType, nullable = true)
-    spark.read
+    val raw = spark.read
       .schema(withCorrupt)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", corruptCol)
       .json(path)
-      .localCheckpoint(false)
+    if (pin) raw.localCheckpoint(false) else raw
   }
 
   /** In-memory rows → table (the row-push adapter analog at the API edge:

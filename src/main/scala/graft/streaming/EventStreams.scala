@@ -139,68 +139,71 @@ object EventStreams {
       nEvents: Long,
       sumValue: Double)
 
+  final case class SessionSet(sessions: Seq[SessionAcc])
+
   /** Custom-state sessionization via flatMapGroupsWithState with
     * EVENT-TIME timeouts — the fully-controlled twin of
     * [[sessionCounts]]'s built-in `session_window`, for session logic the
     * built-in can't express (per-session aggregates beyond counts,
-    * session-end side effects, dynamic gaps). A session CLOSES and is
-    * emitted when (a) a later event for the key arrives beyond `gap`
-    * (closes the old session in-line), or (b) the watermark passes the
-    * session's end + gap (event-time timeout — no more in-gap events can
-    * exist). State per key is one [[SessionAcc]]; the watermark bounds
-    * how long it can live.
+    * session-end side effects, dynamic gaps).
+    *
+    * Semantics: a session CLOSES only when the WATERMARK passes its
+    * end + gap — a later event alone proves nothing, because an
+    * out-of-order event inside the watermark could still arrive and
+    * bridge or extend any open interval. State per key is therefore a
+    * SET of open session intervals: each event merges every interval it
+    * is within `gap` of (possibly bridging several into one), or opens a
+    * new interval; the event-time timer fires at the earliest
+    * `end + gap`, emitting exactly the intervals the watermark has
+    * sealed. Output equals `session_window` run over the same (in-
+    * watermark) events.
     */
   def sessionsWithState(events: DataFrame, gap: String = "30 minutes", watermark: String = "2 hours"): Dataset[ClosedSession] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val gapMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+    val gapIv = org.apache.spark.sql.catalyst.util.IntervalUtils
       .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
-    val gapMillis = gapMs.days * 86400000L + gapMs.microseconds / 1000L
+    require(gapIv.months == 0, s"sessionsWithState: month/year gaps are not fixed durations: '$gap'")
+    val gapMillis = gapIv.days * 86400000L + gapIv.microseconds / 1000L
+    require(gapMillis > 0, s"sessionsWithState: gap must be positive: '$gap'")
+
+    def close(user: Long, s: SessionAcc) = ClosedSession(
+      user, new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.endMs), s.n, s.sum)
+
     events
       .withWatermark("ts", watermark)
       .select(col("user_id"), col("ts"), col("value"))
       .as[(Long, java.sql.Timestamp, Double)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)], state: GroupState[SessionAcc]) =>
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)], state: GroupState[SessionSet]) =>
           if (state.hasTimedOut) {
-            // watermark passed end+gap: the session can no longer grow
-            val s = state.get
-            state.remove()
-            Iterator.single(ClosedSession(
-              user, new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.endMs), s.n, s.sum))
+            val wm = state.getCurrentWatermarkMs()
+            val (sealed_, open) = state.get.sessions.partition(_.endMs + gapMillis <= wm)
+            if (open.isEmpty) state.remove()
+            else {
+              state.update(SessionSet(open))
+              state.setTimeoutTimestamp(open.map(_.endMs + gapMillis).min)
+            }
+            sealed_.sortBy(_.startMs).map(close(user, _)).iterator
           } else {
-            val sorted = rows.toSeq.sortBy(_._2.getTime)
-            var acc = state.getOption
-            val closed = Seq.newBuilder[ClosedSession]
-            sorted.foreach { case (_, ts, value) =>
+            var sessions = state.getOption.map(_.sessions).getOrElse(Seq.empty)
+            rows.foreach { case (_, ts, value) =>
               val t = ts.getTime
-              acc match {
-                // within gap of the session INTERVAL (out-of-order events
-                // still inside the watermark may precede the session start
-                // — the signed t-end test alone would wrongly merge events
-                // arbitrarily far in the past)
-                case Some(s) if t >= s.startMs - gapMillis && t <= s.endMs + gapMillis =>
-                  acc = Some(SessionAcc(
-                    math.min(s.startMs, t), math.max(s.endMs, t), s.n + 1, s.sum + value))
-                case Some(s) if t > s.endMs + gapMillis =>
-                  closed += ClosedSession(
-                    user, new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.endMs), s.n, s.sum)
-                  acc = Some(SessionAcc(t, t, 1L, value))
-                case Some(_) =>
-                  // beyond gap BEFORE the current session: old data that can
-                  // no longer grow a session of its own — emit it closed
-                  closed += ClosedSession(
-                    user, new java.sql.Timestamp(t), new java.sql.Timestamp(t), 1L, value)
-                case None =>
-                  acc = Some(SessionAcc(t, t, 1L, value))
+              val (touching, rest) = sessions.partition(s =>
+                t >= s.startMs - gapMillis && t <= s.endMs + gapMillis)
+              val merged = touching.foldLeft(SessionAcc(t, t, 1L, value)) { (a, s) =>
+                SessionAcc(
+                  math.min(a.startMs, s.startMs), math.max(a.endMs, s.endMs),
+                  a.n + s.n, a.sum + s.sum)
               }
+              sessions = rest :+ merged
             }
-            acc.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.endMs + gapMillis)
+            if (sessions.nonEmpty) {
+              state.update(SessionSet(sessions))
+              state.setTimeoutTimestamp(sessions.map(_.endMs + gapMillis).min)
             }
-            closed.result().iterator
+            Iterator.empty
           }
       }
   }

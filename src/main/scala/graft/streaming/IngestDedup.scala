@@ -2,29 +2,30 @@ package graft.streaming
 
 import graft.dedup.Dedup
 import graft.functions.{TextFunctions => T}
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
-import org.apache.spark.sql.Row
 
 /** Continuous corpus ingestion with exact dedup against everything seen
   * so far — the streaming twin of [[Dedup.exactIncremental]].
   *
-  * State is NOT a Spark state store: the seen-fingerprint set is a
-  * parquet table (16 B/doc), appended per micro-batch. That choice is
-  * deliberate for 100 TB pipelines: the fingerprint artifact outlives the
-  * stream (restarts, backfills, multiple writers resolve through the
-  * table, and batch jobs share the same artifact via
-  * [[Dedup.exactIncrementalAgainst]]), whereas state-store contents are
-  * private to one query's checkpoint. foreachBatch gives per-batch
-  * exactly-once appends when paired with the stream checkpoint.
-  *
-  * Per micro-batch cost: batch-sized dedup + one scan of the fingerprint
-  * table (columnar, fingerprint-only) — at 10⁹ docs that scan is ~16 GB
-  * across the cluster, and a bloom-filter or bucketed layout on `__fp`
-  * cuts it further; the corpus TEXT is never rescanned.
+  * Durability model: ONE corpus table under `corpusDir/batch=<id>/`,
+  * each micro-batch written to its own `batch=` directory in OVERWRITE
+  * mode. Replays are idempotent (the same batch id rewrites the same
+  * directory), a crash mid-write leaves an uncommitted directory (no
+  * `_SUCCESS`) that readers skip and the replay reclaims — so the
+  * exactly-once contract holds without any second artifact to keep in
+  * step. The fingerprint "store" is the corpus itself: survivors carry a
+  * materialized `__fp` column, and the seen-set read selects ONLY that
+  * column — parquet column pruning makes it the 16 B/doc scan, the
+  * corpus TEXT is never rescanned per batch. At 10⁹ docs that pruned
+  * scan is ~16 GB across the cluster; a bloom filter or bucketed layout
+  * on `__fp` cuts it further.
   */
 object IngestDedup {
+
+  val FingerprintCol = "__fp"
 
   /** Wire a streaming `docs` source into foreachBatch ingestion. Returns
     * the writer (caller sets checkpoint/trigger and starts it).
@@ -33,39 +34,59 @@ object IngestDedup {
       docs: DataFrame,
       textCol: String,
       idCol: String,
-      corpusDir: String,
-      fingerprintDir: String
+      corpusDir: String
   ): DataStreamWriter[Row] =
-    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      ingestBatch(batch, textCol, idCol, corpusDir, fingerprintDir)
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      ingestBatch(batch, textCol, idCol, corpusDir, batchId)
     }
 
+  /** Committed batch directories (contain `_SUCCESS`): partial writes
+    * from crashed batches are invisible to readers.
+    */
+  private def committedBatchDirs(spark: SparkSession, corpusDir: String): Seq[String] = {
+    val p = new Path(corpusDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else
+      fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+        .filter(s => fs.exists(new Path(s.getPath, "_SUCCESS")))
+        .map(_.getPath.toString)
+  }
+
+  /** The deduped corpus so far (committed batches only). */
+  def readCorpus(spark: SparkSession, corpusDir: String): Option[DataFrame] = {
+    val dirs = committedBatchDirs(spark, corpusDir)
+    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
+  }
+
   /** One micro-batch: dedup within the batch, drop docs whose fingerprint
-    * is already in the store, append survivors + their fingerprints.
-    * Also usable directly from a batch job for backfills.
+    * is already in the committed corpus, write survivors (+ fingerprint
+    * column) to this batch's directory. Idempotent per (batch, batchId) —
+    * also usable directly from a batch job for backfills with a caller-
+    * chosen unique id.
     */
   def ingestBatch(
       batch: DataFrame,
       textCol: String,
       idCol: String,
       corpusDir: String,
-      fingerprintDir: String
+      batchId: Long
   ): Unit = {
     val spark = batch.sparkSession
+    // the seen set must EXCLUDE this batch's own directory: a replay of an
+    // already-committed batch would otherwise dedup against its own prior
+    // output and overwrite it with an empty survivor set (data loss)
+    val dirs = committedBatchDirs(spark, corpusDir).filterNot(_.endsWith(s"batch=$batchId"))
     val seen: DataFrame =
-      try spark.read.parquet(fingerprintDir)
-      catch { case _: org.apache.spark.sql.AnalysisException => // first batch: no store yet
+      if (dirs.nonEmpty) spark.read.parquet(dirs: _*).select(col(FingerprintCol))
+      else
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[Row],
           org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("__fp", org.apache.spark.sql.types.StringType))))
-      }
-    // survivors must be materialized BEFORE the fingerprint append below
-    // rewrites what `seen` reads, so pin them with a local checkpoint
-    val survivors = Dedup.exactIncrementalAgainst(seen, batch, textCol, idCol)
-      .localCheckpoint(true)
-    survivors.write.mode(SaveMode.Append).parquet(corpusDir)
-    survivors.select(T.fingerprint(col(textCol)).as("__fp"))
-      .write.mode(SaveMode.Append).parquet(fingerprintDir)
+            org.apache.spark.sql.types.StructField(FingerprintCol, org.apache.spark.sql.types.StringType))))
+    Dedup.exactIncrementalAgainst(seen, batch, textCol, idCol)
+      .withColumn(FingerprintCol, T.fingerprint(col(textCol)))
+      .write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
   }
 }

@@ -66,13 +66,20 @@ object TfVectors {
     // metric is the exact cosine of the pruned vector space
     val cAll = bucketCounts(corpus, textCol, idCol, dim)
     val qAll = bucketCounts(queries, textCol, idCol, dim)
-    val (c, q) = maxDf match {
+    val (cPlan, qPlan) = maxDf match {
       case Some(cap) =>
         val hot = cAll.groupBy(col("bucket")).agg(count(lit(1)).as("__df"))
           .where(col("__df") > cap).select(col("bucket"))
         (cAll.join(hot, Seq("bucket"), "left_anti"), qAll.join(hot, Seq("bucket"), "left_anti"))
       case None => (cAll, qAll)
     }
+    // each side feeds TWO consumers (dot products + its own norms):
+    // persist the pruned sparse vectors so tokenize/explode/count runs
+    // once per side, and release the cache once the (small) top-k result
+    // is materialized
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val c = cPlan.persist(lvl)
+    val q = qPlan.persist(lvl)
     def norms(v: DataFrame) = v.groupBy(col("id")).agg(sum(col("tf") * col("tf")).as("n2"))
     val dots = q.select(col("id").as("query_id"), col("bucket"), col("tf").as("tf_q"))
       .join(c.select(col("id").as("neighbor_id"), col("bucket"), col("tf").as("tf_c")), Seq("bucket"))
@@ -86,9 +93,12 @@ object TfVectors {
       // reproducible across engines (oracle-parity rule)
       .withColumn("cosine_sim", round(col("dot").cast("double") / sqrt((col("n2_q") * col("n2_c")).cast("double")), 6))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine_sim").desc, col("neighbor_id"))
-    sim
+    val out = sim
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine_sim"), col("rank"))
+      .localCheckpoint(true)
+    c.unpersist(); q.unpersist()
+    out
   }
 }

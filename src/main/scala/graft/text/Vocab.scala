@@ -35,7 +35,9 @@ object Vocab {
   def oovStats(docs: DataFrame, textCol: String, idCol: String, vocab: DataFrame): DataFrame =
     docs
       .select(col(idCol).as("id"), explode(T.tokenize(col(textCol))).as("token"))
-      .join(broadcast(vocab.select(col("token"), lit(1).as("__iv"))), Seq("token"), "left")
+      // distinct: an externally-loaded vocab with repeated tokens would
+      // otherwise MULTIPLY matching token rows through the join
+      .join(broadcast(vocab.select(col("token")).distinct().withColumn("__iv", lit(1))), Seq("token"), "left")
       .groupBy(col("id"))
       .agg(
         count(lit(1)).as("n_tokens"),

@@ -5,8 +5,8 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 /** End-to-end continuous-ingest dedup: micro-batches with intra-batch,
   * cross-batch, and corpus-vs-batch duplicates; the corpus must end up
-  * exactly-deduped with earliest ids winning, and the fingerprint store
-  * must track it.
+  * exactly-deduped with earliest ids winning, replays must be
+  * idempotent, and uncommitted (crashed) batch directories invisible.
   */
 class IngestDedupSpec extends SparkSpec {
   import spark.implicits._
@@ -17,11 +17,10 @@ class IngestDedupSpec extends SparkSpec {
 
   test("multi-batch streaming ingest dedups within and across batches") {
     val corpusDir = java.nio.file.Files.createTempDirectory("ingest_corpus").toString + "/t"
-    val fpDir = java.nio.file.Files.createTempDirectory("ingest_fp").toString + "/t"
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[(Long, String)]
     val q = IngestDedup
-      .writer(source.toDF.toDF("doc_id", "text"), "text", "doc_id", corpusDir, fpDir)
+      .writer(source.toDF.toDF("doc_id", "text"), "text", "doc_id", corpusDir)
       .option("checkpointLocation",
         java.nio.file.Files.createTempDirectory("ingest_ckpt").toString)
       .start()
@@ -33,20 +32,35 @@ class IngestDedupSpec extends SparkSpec {
     q.processAllAvailable()
     q.stop()
 
-    val corpus = spark.read.parquet(corpusDir)
+    val corpus = IngestDedup.readCorpus(spark, corpusDir).get
     val rows = corpus.select($"doc_id", $"text").as[(Long, String)].collect().sortBy(_._1)
     assert(rows.map(_._1).toSeq == Seq(0L, 1L, 4L), s"got ${rows.toSeq}")
     assert(rows.map(_._2).toSet == Set(a, b, c))
-    assert(spark.read.parquet(fpDir).distinct().count() == 3)
+    // the fingerprint column IS the store — one per surviving doc
+    assert(corpus.select($"__fp").distinct().count() == 3)
   }
 
-  test("batch backfill through the same artifact sees streamed fingerprints") {
+  test("batch backfill through the same table sees streamed fingerprints") {
     val corpusDir = java.nio.file.Files.createTempDirectory("bf_corpus").toString + "/t"
-    val fpDir = java.nio.file.Files.createTempDirectory("bf_fp").toString + "/t"
-    IngestDedup.ingestBatch(Seq((0L, a)).toDF("doc_id", "text"), "text", "doc_id", corpusDir, fpDir)
+    IngestDedup.ingestBatch(Seq((0L, a)).toDF("doc_id", "text"), "text", "doc_id", corpusDir, batchId = 0L)
     IngestDedup.ingestBatch(
-      Seq((1L, a), (2L, b)).toDF("doc_id", "text"), "text", "doc_id", corpusDir, fpDir)
-    val ids = spark.read.parquet(corpusDir).select($"doc_id").as[Long].collect().sorted.toSeq
+      Seq((1L, a), (2L, b)).toDF("doc_id", "text"), "text", "doc_id", corpusDir, batchId = 1L)
+    val ids = IngestDedup.readCorpus(spark, corpusDir).get
+      .select($"doc_id").as[Long].collect().sorted.toSeq
     assert(ids == Seq(0L, 2L))
+  }
+
+  test("replaying a batch is idempotent; uncommitted batch dirs are invisible") {
+    val corpusDir = java.nio.file.Files.createTempDirectory("replay_corpus").toString + "/t"
+    val batch = Seq((0L, a), (1L, b)).toDF("doc_id", "text")
+    IngestDedup.ingestBatch(batch, "text", "doc_id", corpusDir, batchId = 7L)
+    IngestDedup.ingestBatch(batch, "text", "doc_id", corpusDir, batchId = 7L) // crash-replay
+    val corpus = IngestDedup.readCorpus(spark, corpusDir).get
+    assert(corpus.count() == 2, "replay duplicated the batch")
+    // simulate a crashed batch: directory without _SUCCESS
+    val dead = java.nio.file.Paths.get(corpusDir, "batch=99")
+    java.nio.file.Files.createDirectories(dead)
+    java.nio.file.Files.writeString(dead.resolve("junk.parquet"), "not parquet")
+    assert(IngestDedup.readCorpus(spark, corpusDir).get.count() == 2, "uncommitted batch visible")
   }
 }

@@ -179,14 +179,22 @@ class StreamingSpec extends SparkSpec {
     source.addData((1L, ts(300), 1.0)) // session at 15:00
     q.processAllAvailable()
     // out-of-order event hours EARLIER, still inside the 12h watermark:
-    // used to merge into the 15:00 session (signed-gap bug); must emit
-    // as its own closed session instead
+    // used to merge into the 15:00 session (signed-gap bug); must become
+    // its own open interval, sealed by the watermark like any other
     source.addData((1L, ts(0), 7.0))
+    q.processAllAvailable()
+    // advance the watermark far past both intervals, then one more
+    // trigger to fire the timers
+    source.addData((2L, ts(3000), 0.0))
+    q.processAllAvailable()
+    source.addData((2L, ts(3001), 0.0))
     q.processAllAvailable()
     q.stop()
     val out = spark.table("fmgws_ooo").as[EventStreams.ClosedSession].collect()
-    assert(out.length == 1, s"got ${out.toSeq}")
+      .filter(_.userId == 1L).sortBy(_.sessionStart.getTime)
+    assert(out.length == 2, s"got ${out.toSeq}")
     assert(out(0).sessionStart == ts(0) && out(0).nEvents == 1 && out(0).sumValue == 7.0)
+    assert(out(1).sessionStart == ts(300) && out(1).nEvents == 1 && out(1).sumValue == 1.0)
   }
 
   test("transformWithState running totals accumulate across micro-batches") {
