@@ -154,6 +154,25 @@ object StatQueries {
         .orderBy(col("source"))
     }),
 
+    // consistent (join-compatible) sampling: both tables sampled by the
+    // SAME key-hash threshold, so sample(orders) ⋈ sample(lineitem) ==
+    // sample(orders ⋈ lineitem) — the technique that makes dev-scale
+    // pipeline replicas referentially intact (no dangling foreign keys),
+    // unlike independent Bernoulli samples whose join keeps ~p² of rows
+    "q_consistent_sample" -> ((s, dir) => {
+      def keep(c: org.apache.spark.sql.Column) =
+        substring(md5(c.cast("string")), 1, 2) < "2a" // ~16% of key space
+      val o = t(s, dir, "orders").where(keep(col("o_orderkey")))
+      val li = t(s, dir, "lineitem").where(keep(col("l_orderkey")))
+      o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          countDistinct(col("o_orderkey")).as("n_orders"),
+          round(sum(col("l_quantity")), 2).as("qty"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // PII redaction: email + phone patterns → placeholders (synthetic
     // contact strings built from customer columns so the input provably
     // contains PII shapes). Pure narrow regexp map, codegen'd.
@@ -185,6 +204,14 @@ object StatQueries {
         |    CAST(row_number() OVER (ORDER BY md5('epoch1:' || CAST(doc_id AS VARCHAR))) AS BIGINT) AS shuffle_pos
         |  FROM documents)
         |WHERE shuffle_pos <= 50 ORDER BY shuffle_pos""".stripMargin,
+    "q_consistent_sample" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+        |  round(sum(l_quantity), 2) AS qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '2a'
+        |  AND substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 2) < '2a'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_domain_cap" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
