@@ -43,4 +43,20 @@ class GoldenFileSpec extends SparkSpec {
     val sidecar = TableWriter.readDomainsJson(spark, goldenDir.getAbsolutePath)
     assert(sidecar.exists(_.contains("\"row_count\":3")))
   }
+
+  private val goldenDirV2 = new java.io.File("src/test/resources/golden/all_types_v2")
+
+  test("golden table written by v2 (sketch-bearing sidecar) still reads identically") {
+    if (!goldenDirV2.exists()) {
+      TableWriter.write(referenceDf, goldenDirV2.getAbsolutePath)
+    }
+    val back = spark.read.parquet(goldenDirV2.getAbsolutePath).orderBy($"id")
+    assert(back.count() == 3)
+    // v2 sidecar carries base64 HLL sketches; they must deserialize and
+    // estimate correctly forever after
+    val sketches = TableWriter.readDistinctSketches(spark, goldenDirV2.getAbsolutePath)
+    assert(sketches.contains("s") && sketches.contains("row_id"))
+    val est = org.apache.datasketches.hll.HllSketch.heapify(sketches("row_id")).getEstimate
+    assert(math.round(est) == 3L, s"sketch estimate $est")
+  }
 }
