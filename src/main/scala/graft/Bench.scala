@@ -37,7 +37,12 @@ object Bench {
     "q_decontaminate",
     "q_repetition",
     "q_merge_upsert",
-    "q_vocab"
+    "q_vocab",
+    "q_text_knn",
+    "q_fuzzy_join",
+    "q_changelog_apply",
+    "q_forward_fill",
+    "q_embed_centroid"
   )
 
   def main(args: Array[String]): Unit = {
