@@ -197,6 +197,40 @@ class StreamingSpec extends SparkSpec {
     assert(out(1).sessionStart == ts(300) && out(1).nEvents == 1 && out(1).sumValue == 1.0)
   }
 
+  test("sessionsWithState equals the session_window batch twin on real events") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables.events(spark, sf0001).where(col("user_id") < 20)
+      .select($"user_id", $"ts", $"value")
+      .as[(Long, java.sql.Timestamp, Double)].collect().sortBy(_._2.getTime)
+    val source = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val q = EventStreams.sessionsWithState(
+      source.toDF.toDF("user_id", "ts", "value"), gap = "30 minutes", watermark = "1 hour")
+      .writeStream.format("memory").queryName("fmgws_equiv").outputMode("append").start()
+    // two real batches, then dummy far-future events to seal everything
+    val (b1, b2) = events.splitAt(events.length / 2)
+    source.addData(b1.toSeq); q.processAllAvailable()
+    source.addData(b2.toSeq); q.processAllAvailable()
+    val sealAt = new java.sql.Timestamp(events.last._2.getTime + 30L * 24 * 3600 * 1000)
+    source.addData((9999L, sealAt, 0.0)); q.processAllAvailable()
+    source.addData((9999L, sealAt, 0.0)); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("fmgws_equiv").as[EventStreams.ClosedSession].collect()
+      .filter(_.userId < 20)
+      .map(s => (s.userId, s.sessionStart.getTime, s.nEvents, math.round(s.sumValue * 1e6)))
+      .toSet
+    // batch twin: built-in session_window over the same events
+    val twin = Tables.events(spark, sf0001).where(col("user_id") < 20)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+      .select(col("session_window.start"), col("user_id"), col("n"), col("v"))
+      .collect()
+      .map(r => (r.getLong(1), r.getTimestamp(0).getTime, r.getLong(2), math.round(r.getDouble(3) * 1e6)))
+      .toSet
+    assert(got == twin, s"missing=${twin -- got} extra=${got -- twin}")
+  }
+
   test("transformWithState running totals accumulate across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
