@@ -57,4 +57,41 @@ object RangeJoin {
       .where(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop(b)
   }
+
+  /** Point-in-interval join against a SMALL, sorted, non-overlapping
+    * interval dimension via a plan-embedded binary-search index
+    * ([[graft.expressions.IntervalLookup]]): each point row does ONE
+    * O(log n) codegen'd lookup — no join operator in the plan at all, so
+    * it beats BroadcastNestedLoopJoin's per-row interval scan AND skips
+    * the shuffle of [[bucketed]]. The interval table is collected to the
+    * driver (require it dimension-sized; the engine's 64 MB broadcast
+    * regime applies conceptually) and the intervals must be disjoint —
+    * use [[bucketed]] for overlapping or fact-sized interval tables.
+    * Inner-join semantics: points outside every interval are dropped.
+    */
+  def broadcastIndexed(
+      points: DataFrame,
+      intervals: DataFrame,
+      pointCol: String,
+      loCol: String,
+      hiCol: String
+  ): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val rows = intervals.select(col(loCol).cast("double"), col(hiCol).cast("double"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).sortBy(_._1)
+    val idxCol = "__graft_iv_idx"
+    val lookup = Bridge.column(graft.expressions.IntervalLookup(
+      Bridge.expression(col(pointCol)), rows.map(_._1), rows.map(_._2)))
+    // attach the interval payload by index: the lookup gives each point
+    // its interval ordinal, a broadcast equi-join on that tiny int key
+    // brings in the payload — a BroadcastHashJoin, never a nested loop
+    val sortedIv = intervals.orderBy(col(loCol))
+    val ivWithIdx = graft.table.RowId.withRowIndex(sortedIv, idxCol + "_l")
+      .withColumn(idxCol, col(idxCol + "_l").cast("int")).drop(idxCol + "_l")
+    points
+      .withColumn(idxCol, lookup)
+      .where(col(idxCol).isNotNull)
+      .join(org.apache.spark.sql.functions.broadcast(ivWithIdx), Seq(idxCol))
+      .drop(idxCol)
+  }
 }

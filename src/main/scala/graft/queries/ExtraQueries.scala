@@ -260,6 +260,20 @@ object ExtraQueries {
       s.sql(SharedSql.segmentRevenue)
     }),
 
+    // indexed point-in-interval join: binary-search expression + tiny
+    // broadcast hash join — NO nested-loop operator; oracle is the plain
+    // range-join SQL (the index must be invisible in results)
+    "q_range_join_indexed" -> ((s, dir) => {
+      val bands = s.createDataFrame(Seq(
+        (0, 0.0, 10.0), (1, 10.0, 20.0), (2, 20.0, 30.0), (3, 30.0, 40.0), (4, 40.0, 51.0)))
+        .toDF("band_id", "lo", "hi")
+      val li = t(s, dir, "lineitem").select(col("l_quantity"))
+      graft.operators.RangeJoin.broadcastIndexed(li, bands, "l_quantity", "lo", "hi")
+        .groupBy(col("band_id"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+        .orderBy(col("band_id"))
+    }),
+
     // fuzzy self-join (edit distance ≤ 2) via lossless length blocking —
     // result must equal the oracle's naive cross-join formulation
     "q_fuzzy_join" -> ((s, dir) => {
@@ -382,6 +396,13 @@ object ExtraQueries {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS sum_qty,
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_range_join_indexed" ->
+      """SELECT band_id, count(*) AS n, round(sum(l_quantity), 2) AS qty
+        |FROM lineitem
+        |JOIN (VALUES (0, 0.0, 10.0), (1, 10.0, 20.0), (2, 20.0, 30.0),
+        |             (3, 30.0, 40.0), (4, 40.0, 51.0)) AS b(band_id, lo, hi)
+        |  ON l_quantity >= lo AND l_quantity < hi
+        |GROUP BY band_id ORDER BY band_id""".stripMargin,
     "q_fuzzy_join" ->
       """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
         |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS distance

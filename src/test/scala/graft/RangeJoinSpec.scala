@@ -42,6 +42,26 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("broadcastIndexed equals plain non-equi join on disjoint intervals; plan has no nested loop") {
+    val disjoint = Seq(
+      (0L, 0.0, 5.0), (1L, 5.0, 10.0), (2L, 12.5, 20.0), (3L, 20.0, 25.0), (4L, 40.0, 51.0)
+    ).toDF("iid", "lo", "hi")
+    val plain = points.join(disjoint, $"v" >= $"lo" && $"v" < $"hi")
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+    val indexed = RangeJoin.broadcastIndexed(points, disjoint, "v", "lo", "hi")
+    val got = indexed.select($"pid", $"iid").as[(Long, Long)].collect().toSet
+    assert(got == plain && plain.nonEmpty)
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.linesIterator.take(15).mkString("\n"))
+    assert(plan.contains("BroadcastHashJoin"), plan.linesIterator.take(15).mkString("\n"))
+  }
+
+  test("broadcastIndexed rejects overlapping intervals") {
+    val overlapping = Seq((0L, 0.0, 5.0), (1L, 2.5, 10.0)).toDF("iid", "lo", "hi")
+    intercept[IllegalArgumentException](
+      RangeJoin.broadcastIndexed(points, overlapping, "v", "lo", "hi").collect())
+  }
+
   test("column collision is rejected") {
     intercept[IllegalArgumentException] {
       RangeJoin.bucketed(points.withColumnRenamed("v", "lo"), intervals, "lo", "lo", "hi", 5.0)
