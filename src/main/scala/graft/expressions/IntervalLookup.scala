@@ -30,6 +30,11 @@ case class IntervalLookup(child: Expression, los: Array[Double], his: Array[Doub
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    // DecimalType is numeric but Spark's Decimal is not a java.lang.Number
+    // and `(double) p` does not compile in codegen — reject it at analysis
+    // time; callers cast to double first (RangeJoin.broadcastIndexed does).
+    case _: org.apache.spark.sql.types.DecimalType =>
+      TypeCheckResult.TypeCheckFailure("decimal points are not supported: cast to double first")
     case _: NumericType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(s"expected numeric point, got ${other.simpleString(10)}")
   }

@@ -314,11 +314,19 @@ object LlmQueries {
     }),
 
     // text KNN without embeddings: hashed-TF sparse cosine join (md5
-    // buckets → DuckDB-reproducible), top-5 neighbors for doc_id < 5
+    // buckets → DuckDB-reproducible), top-5 neighbors for doc_id < 5.
+    // Scale-safe config: word-BIGRAM terms (a 31-token synthetic
+    // vocabulary becomes ~930 sparse features; every unigram here is
+    // stopword-grade at df≈78%) + 2048 buckets + default df-pruning
+    // (buckets in >10% of corpus docs dropped from both sides — a no-op
+    // on this uniform corpus, load-bearing on Zipf text) bound the
+    // bucket join fan-out that made the unpruned dim=256 unigram variant
+    // r2's 7.5 s outlier.
     "q_text_knn" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       graft.text.TfVectors
-        .cosineTopK(docs, docs.where(col("doc_id") < 5), "text", "doc_id", dim = 256, k = 5)
+        .cosineTopK(docs, docs.where(col("doc_id") < 5), "text", "doc_id",
+          dim = 2048, k = 5, ngramN = 2)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -491,13 +499,21 @@ object LlmQueries {
         |  FROM documents)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "q_text_knn" ->
-      s"""WITH tok AS (
-         |  SELECT doc_id, unnest(list_filter($toksSql, x -> x <> '')) AS token FROM documents
-         |), vec AS (
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter($toksSql, x -> x <> '') AS t FROM documents
+         |), tok AS (
+         |  SELECT doc_id, unnest([t[i] || ' ' || t[i + 1] FOR i IN range(1, len(t))]) AS term
+         |  FROM toks
+         |), vec0 AS (
          |  SELECT doc_id,
-         |    CAST(CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 256 AS INTEGER) AS bucket,
+         |    CAST(CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % 2048 AS INTEGER) AS bucket,
          |    CAST(count(*) AS BIGINT) AS tf
          |  FROM tok GROUP BY doc_id, bucket
+         |), hot AS (
+         |  SELECT bucket FROM (SELECT bucket, count(*) AS df FROM vec0 GROUP BY bucket)
+         |  WHERE df > (SELECT greatest(1, CAST(floor(count(*) * 0.1) AS BIGINT)) FROM documents)
+         |), vec AS (
+         |  SELECT v.* FROM vec0 v ANTI JOIN hot h ON v.bucket = h.bucket
          |), norms AS (
          |  SELECT doc_id, sum(tf * tf) AS n2 FROM vec GROUP BY doc_id
          |), dots AS (

@@ -199,11 +199,19 @@ object EventStreams {
               }
               sessions = rest :+ merged
             }
-            if (sessions.nonEmpty) {
-              state.update(SessionSet(sessions))
-              state.setTimeoutTimestamp(sessions.map(_.endMs + gapMillis).min)
-            }
-            Iterator.empty
+            // Seal already-expired intervals HERE too: when new data for
+            // this key arrives in the same batch that should have timed it
+            // out, the data path runs instead of the timeout path, and a
+            // stale interval's end + gap is <= the current watermark —
+            // setTimeoutTimestamp would throw (timers must be strictly
+            // beyond the watermark) and kill the query. ADVICE r2.
+            val wm = state.getCurrentWatermarkMs()
+            val (sealed_, open) = sessions.partition(_.endMs + gapMillis <= wm)
+            if (open.nonEmpty) {
+              state.update(SessionSet(open))
+              state.setTimeoutTimestamp(open.map(_.endMs + gapMillis).min)
+            } else if (state.exists) state.remove()
+            sealed_.sortBy(_.startMs).map(close(user, _)).iterator
           }
       }
   }

@@ -55,24 +55,59 @@ object RowId {
     require(
       !Seq(pid, mid, off).exists(df.columns.contains),
       s"reserved column name collision: ${Seq(pid, mid, off).filter(df.columns.contains).mkString(", ")}")
-    val tagged = df
+    // The offsets are derived in one execution and applied in a second, so
+    // the partitioning must be identical across the two. Scan-only
+    // (exchange-free) plans repartition deterministically from the file
+    // listing; anything with a shuffle can be replanned by AQE between the
+    // two jobs → pin it with an eager localCheckpoint first (which also
+    // means the heavy upstream plan executes once, not twice). ADVICE r2.
+    val src = if (hasShuffle(df)) df.localCheckpoint(true) else df
+    val tagged = src
       .withColumn(pid, spark_partition_id())
       .withColumn(mid, monotonically_increasing_id())
     val counts = tagged.groupBy(col(pid)).agg(count(lit(1)).as("cnt"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L
-    val offsetRows = counts.map { case (p, c) => val o = acc; acc += c; Row(p, o) }.toSeq
+    val offsetByPid = counts.map { case (p, c) => val o = acc; acc += c; (p, o) }.toMap
     val total = acc
-    val spark = df.sparkSession
-    val offsetsDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(offsetRows, 1),
-      StructType(Seq(StructField(pid, IntegerType, nullable = false), StructField(off, LongType, nullable = false))))
+    val maxPid = counts.lastOption.map(_._1).getOrElse(-1)
     // posInPartition = mid - pid * 2^33 (MonotonicallyIncreasingID layout)
-    val indexed = tagged
-      .join(broadcast(offsetsDf), Seq(pid))
-      .withColumn(name, col(off) + (col(mid) - col(pid).cast(LongType) * lit(1L << 33)))
-      .drop(pid, mid, off)
+    val pos = col(mid) - col(pid).cast(LongType) * lit(1L << 33)
+    val indexed = if (maxPid < 4096) {
+      // offsets as a dense plan literal indexed by partition id (gaps from
+      // empty partitions carry the running offset; never evaluated): a
+      // narrow projection with NO join stage — the fast path at any
+      // realistic local/executor partition count
+      var run = 0L
+      val dense = (0 to maxPid).map { p => run = offsetByPid.getOrElse(p, run); run }
+      tagged
+        .withColumn(name, element_at(typedLit(dense), col(pid) + 1) + pos)
+        .drop(pid, mid)
+    } else {
+      // degenerate partition counts: broadcast-join the offsets instead of
+      // inlining an enormous literal into the plan/codegen
+      val spark = df.sparkSession
+      val offsetsDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(counts.map { p => Row(p._1, offsetByPid(p._1)) }.toSeq, 1),
+        StructType(Seq(StructField(pid, IntegerType, nullable = false), StructField(off, LongType, nullable = false))))
+      tagged
+        .join(broadcast(offsetsDf), Seq(pid))
+        .withColumn(name, col(off) + pos)
+        .drop(pid, mid, off)
+    }
     (indexed, total)
+  }
+
+  /** True when the optimized plan contains a shuffle-inducing operator
+    * (join/aggregate/sort/window/repartition/set-op) — the cases where
+    * AQE may pick a different partitioning on re-execution.
+    */
+  private def hasShuffle(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    df.queryExecution.optimizedPlan.collectFirst {
+      case p @ (_: Join | _: Aggregate | _: Sort | _: Window | _: Distinct |
+                _: Deduplicate | _: RepartitionOperation | _: GlobalLimit) => p
+    }.isDefined
   }
 
   /** Exact-order variant: sort by the given columns first, then index.
@@ -130,6 +165,12 @@ object RowId {
     */
   def uniquifyRowIds(df: DataFrame, keyCol: String = RowIdCol): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // fail fast on null RowIDs: concat(null, "_dup") stays null, so a null
+    // duplicate group could never be suffixed apart and the retry loop
+    // would spin forever (ADVICE r2). The reference never produces null
+    // RowIDs either — this is invalid input, not a case to paper over.
+    require(df.where(col(keyCol).isNull).limit(1).isEmpty,
+      s"uniquifyRowIds: null values in RowID column '$keyCol'")
     val tmp = "__graft_occurrence"
     val ord = "__graft_order"
     var cur = withRowIndex(df, ord)

@@ -26,10 +26,11 @@ object CodegenCheck {
         V.cosine(col("a"), col("b")).as("cos"),
         V.l2Distance(col("a"), col("b")).as("dist"),
         V.lshBits(col("a"), 16).as("lsh"),
-        T.shingleHashes(col("t"), 3).as("sh"))
-      .select(col("cos"), col("dist"), col("lsh"),
+        T.shingleHashes(col("t"), 3).as("sh"),
+        graft.text.TfVectors.termVector(col("t"), 2, 64).as("tv"))
+      .select(col("cos"), col("dist"), col("lsh"), col("tv"),
         graft.functions.HashFunctions.minHashSigFromHashes(col("sh"), 8).as("sig"))
-      .select(col("cos"), col("dist"), col("lsh"),
+      .select(col("cos"), col("dist"), col("lsh"), col("tv"),
         graft.functions.HashFunctions.bandHashes(col("sig"), 4, 2).as("bands"),
         graft.functions.HashFunctions.simHashFromHashes(col("sig")).as("simhash"))
     val zdf = spark.range(8).select(
@@ -40,7 +41,7 @@ object CodegenCheck {
     if (!genZ.contains("interleave")) sys.error("[codegen] ZOrder NOT in generated code")
     zdf.head()
     val gen = org.apache.spark.sql.execution.debug.codegenString(df.queryExecution.executedPlan)
-    val needles = Seq("VectorOps.cosine", "VectorOps.l2dist", "evalBits", "evalHashes", "evalSig", "evalBands", "evalFp")
+    val needles = Seq("VectorOps.cosine", "VectorOps.l2dist", "evalBits", "evalHashes", "evalVec", "evalSig", "evalBands", "evalFp")
     val missing = needles.filterNot(gen.contains)
     if (missing.nonEmpty) {
       System.err.println(gen.take(6000))
