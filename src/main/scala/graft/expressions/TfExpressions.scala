@@ -36,6 +36,10 @@ case class TermBucketTfs(child: Expression, n: Int, dim: Int, hot: Seq[Int])
     extends UnaryExpression {
   require(n >= 1, s"term n-gram size must be >= 1, got $n")
   require(dim >= 1, s"bucket count must be >= 1, got $dim")
+  // a hot set computed for a different dim would otherwise surface as an
+  // ArrayIndexOutOfBoundsException deep inside executor eval (ADVICE r3)
+  require(hot.forall(b => b >= 0 && b < dim),
+    s"hot bucket ids out of range [0, $dim): ${hot.filterNot(b => b >= 0 && b < dim).take(5).mkString(", ")}")
 
   override def dataType: DataType = TermBucketTfs.schema
   override def checkInputDataTypes(): TypeCheckResult = TextHash.checkString(child.dataType)
@@ -69,34 +73,45 @@ case class TermBucketTfs(child: Expression, n: Int, dim: Int, hot: Seq[Int])
       i += 1
     }
     var nTouched = 0
-    var s = 0
-    while (s + n <= t) {
-      val from = starts(s)
-      val until = if (s + n < t) starts(s + n) - 1 else len // strip trailing space
-      md.reset()
-      md.update(buf, from, until - from)
-      val d = md.digest()
-      val u = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-      val b = (u % dim).toInt
-      if (!hotMask(b)) {
-        if (tfs(b) == 0L) { touched(nTouched) = b; nTouched += 1 }
-        tfs(b) += 1L
+    try {
+      var s = 0
+      while (s + n <= t) {
+        val from = starts(s)
+        val until = if (s + n < t) starts(s + n) - 1 else len // strip trailing space
+        md.reset()
+        md.update(buf, from, until - from)
+        val d = md.digest()
+        val u = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        val b = (u % dim).toInt
+        if (!hotMask(b)) {
+          if (tfs(b) == 0L) { touched(nTouched) = b; nTouched += 1 }
+          tfs(b) += 1L
+        }
+        s += 1
       }
-      s += 1
+      java.util.Arrays.sort(touched, 0, nTouched)
+      var n2 = 0L
+      val pairs = new Array[Any](nTouched)
+      var j = 0
+      while (j < nTouched) {
+        val b = touched(j)
+        val tf = tfs(b)
+        tfs(b) = 0L // reset scratch for the next row
+        n2 += tf * tf
+        pairs(j) = InternalRow(b, tf)
+        j += 1
+      }
+      InternalRow(n2, new GenericArrayData(pairs))
+    } catch {
+      // the thread-local tf accumulator outlives this row: if anything
+      // throws mid-accumulation, later rows on this executor thread would
+      // silently inherit inflated counts — zero every touched bucket
+      // before rethrowing (idempotent with the success-path reset). ADVICE r3.
+      case e: Throwable =>
+        var j = 0
+        while (j < nTouched) { tfs(touched(j)) = 0L; j += 1 }
+        throw e
     }
-    java.util.Arrays.sort(touched, 0, nTouched)
-    var n2 = 0L
-    val pairs = new Array[Any](nTouched)
-    var j = 0
-    while (j < nTouched) {
-      val b = touched(j)
-      val tf = tfs(b)
-      tfs(b) = 0L // reset scratch for the next row
-      n2 += tf * tf
-      pairs(j) = InternalRow(b, tf)
-      j += 1
-    }
-    InternalRow(n2, new GenericArrayData(pairs))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {

@@ -511,7 +511,7 @@ object LlmQueries {
          |  FROM tok GROUP BY doc_id, bucket
          |), hot AS (
          |  SELECT bucket FROM (SELECT bucket, count(*) AS df FROM vec0 GROUP BY bucket)
-         |  WHERE df > (SELECT greatest(1, CAST(floor(count(*) * 0.1) AS BIGINT)) FROM documents)
+         |  WHERE df > (SELECT greatest(1, CAST(floor(count(DISTINCT doc_id) * 0.1) AS BIGINT)) FROM vec0)
          |), vec AS (
          |  SELECT v.* FROM vec0 v ANTI JOIN hot h ON v.bucket = h.bucket
          |), norms AS (

@@ -61,7 +61,7 @@ object RowId {
     // listing; anything with a shuffle can be replanned by AQE between the
     // two jobs → pin it with an eager localCheckpoint first (which also
     // means the heavy upstream plan executes once, not twice). ADVICE r2.
-    val src = if (hasShuffle(df)) df.localCheckpoint(true) else df
+    val src = if (narrowDeterministic(df)) df else df.localCheckpoint(true)
     val tagged = src
       .withColumn(pid, spark_partition_id())
       .withColumn(mid, monotonically_increasing_id())
@@ -98,16 +98,31 @@ object RowId {
     (indexed, total)
   }
 
-  /** True when the optimized plan contains a shuffle-inducing operator
-    * (join/aggregate/sort/window/repartition/set-op) — the cases where
-    * AQE may pick a different partitioning on re-execution.
+  /** True only when the optimized plan is a provably narrow chain over
+    * leaf scans — the cases where partitioning is deterministic across
+    * re-executions (file listing → fixed splits → narrow maps), so the
+    * offsets job and the indexing job are guaranteed to see identical
+    * partitions. Everything else (joins, aggregates, typed group ops,
+    * repartitions, limits — and any operator this allowlist does not
+    * recognize) is pinned with a localCheckpoint first, because AQE or
+    * recomputation may re-plan its partitioning between the two jobs.
+    * Allowlist-inverted per ADVICE r3: unknown operators default to the
+    * safe (checkpointed) path instead of the fast one.
     */
-  private def hasShuffle(df: DataFrame): Boolean = {
+  private def narrowDeterministic(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.catalog.HiveTableRelation
     import org.apache.spark.sql.catalyst.plans.logical._
-    df.queryExecution.optimizedPlan.collectFirst {
-      case p @ (_: Join | _: Aggregate | _: Sort | _: Window | _: Distinct |
-                _: Deduplicate | _: RepartitionOperation | _: GlobalLimit) => p
-    }.isDefined
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    df.queryExecution.optimizedPlan.collect { case p => p }.forall {
+      case _: Project | _: Filter | _: TypedFilter | _: Generate | _: Expand |
+           _: SubqueryAlias | _: Union | _: Sample |
+           _: DeserializeToObject | _: SerializeFromObject | _: MapElements |
+           _: LocalRelation | _: OneRowRelation | _: Range |
+           _: LogicalRelation | _: DataSourceV2ScanRelation | _: HiveTableRelation => true
+      case r: Repartition => !r.shuffle // coalesce: narrow, deterministic
+      case _ => false
+    }
   }
 
   /** Exact-order variant: sort by the given columns first, then index.

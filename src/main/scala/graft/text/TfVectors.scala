@@ -127,16 +127,26 @@ object TfVectors {
     // n2 is then exact over the PRUNED vector space and the main plan has
     // zero pruning joins. Costs one extra corpus scan (stopping at a
     // dim-sized aggregate); pass maxDf/maxDfFraction = None to skip it.
-    val cap: Option[Long] =
-      maxDf.orElse(maxDfFraction.map(f => math.max(1L, (corpus.count() * f).toLong)))
-    val hot: Seq[Int] = cap match {
-      case Some(cp) =>
-        fusedVecs(corpus, textCol, idCol, ngramN, dim, Nil)
-          .groupBy(col("bucket")).agg(count(lit(1)).as("__df"))
-          .where(col("__df") > cp)
-          .select(col("bucket")).collect().map(_.getInt(0)).toSeq
-      case None => Nil
-    }
+    //
+    // The corpus size that resolves `maxDfFraction` rides the SAME
+    // aggregate job as the bucket dfs (rollup grand-total row carrying
+    // count(distinct id)) instead of a separate corpus.count() — one scan,
+    // not two (ADVICE r3). "Corpus size" is therefore the number of
+    // documents with at least one surviving term, which the DuckDB oracle
+    // reproduces as count(DISTINCT doc_id) over the vector rows.
+    val hot: Seq[Int] =
+      if (maxDf.isEmpty && maxDfFraction.isEmpty) Nil
+      else {
+        val agg = fusedVecs(corpus, textCol, idCol, ngramN, dim, Nil)
+          .rollup(col("bucket"))
+          .agg(count(lit(1)).as("__df"), count_distinct(col("id")).as("__docs"))
+          .collect()
+        val cap: Long = maxDf.getOrElse {
+          val docs = agg.collectFirst { case r if r.isNullAt(0) => r.getLong(2) }.getOrElse(0L)
+          math.max(1L, (docs * maxDfFraction.get).toLong)
+        }
+        agg.collect { case r if !r.isNullAt(0) && r.getLong(1) > cap => r.getInt(0) }.toSeq
+      }
     val c = fusedVecs(corpus, textCol, idCol, ngramN, dim, hot)
     val q = fusedVecs(queries, textCol, idCol, ngramN, dim, hot)
     // n2 is functionally dependent on the id, so it rides the group-by as

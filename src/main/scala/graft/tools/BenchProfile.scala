@@ -9,7 +9,8 @@ import graft.{GraftSession, SparkEntry}
   */
 object BenchProfile {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val sfDir = args.headOption.orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
+      .getOrElse(sys.error("usage: BenchProfile <sf-dir> (or set SPARK_GRAFT_SF_DIR)"))
     val reps = if (args.length > 1) args(1).toInt else 3
     val spark = GraftSession.builder("local[32]", 32).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

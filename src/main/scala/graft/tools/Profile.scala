@@ -18,7 +18,8 @@ object Profile {
   }
 
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val dir = args.headOption.orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
+      .getOrElse(sys.error("usage: Profile <sf-dir> (or set SPARK_GRAFT_SF_DIR)"))
     val spark = GraftSession.builder("local[16]", 16).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val docs = spark.read.parquet(s"$dir/documents.parquet")

@@ -70,6 +70,16 @@ class TfVectorsSpec extends SparkSpec {
     }
   }
 
+  test("hot bucket ids outside [0, dim) fail at construction, not in executor eval (ADVICE r3)") {
+    val e = org.apache.spark.sql.graftbridge.Bridge.expression(lit("x"))
+    intercept[IllegalArgumentException] {
+      graft.expressions.TermBucketTfs(e, 1, 64, Seq(64))
+    }
+    intercept[IllegalArgumentException] {
+      graft.expressions.TermBucketTfs(e, 1, 64, Seq(-1))
+    }
+  }
+
   test("maxDf prunes ubiquitous buckets") {
     val spam = docs.withColumn("text", concat(lit("common "), $"text")) // "common" in every doc
     val counts = TfVectors.bucketCounts(spam, "text", "doc_id", dim = 64, maxDf = Some(3L))
