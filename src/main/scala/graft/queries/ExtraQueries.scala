@@ -53,7 +53,9 @@ object ExtraQueries {
     // driver-side collect)
     "q_scalar_subquery" -> ((s, dir) => {
       val o = t(s, dir, "orders")
-      val threshold = o.agg((lit(2) * avg(col("o_totalprice"))).as("__thr"))
+      // 1.5×avg keeps survivors at every SF (2×avg sat above the price
+      // ceiling of the synthetic data → a 0-row gate that cannot fail)
+      val threshold = o.agg((lit(1.5) * avg(col("o_totalprice"))).as("__thr"))
       o.crossJoin(broadcast(threshold))
         .where(col("o_totalprice") > col("__thr"))
         .select(col("o_orderkey"), col("o_totalprice"))
@@ -489,7 +491,7 @@ object ExtraQueries {
         |ORDER BY o_custkey""".stripMargin,
     "q_scalar_subquery" ->
       """SELECT o_orderkey, o_totalprice FROM orders
-        |WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+        |WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
         |ORDER BY o_orderkey""".stripMargin,
     "q_in_subquery" ->
       """SELECT o_orderkey, o_custkey FROM orders

@@ -43,9 +43,17 @@ object LlmQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // embedding cosine near-dup pairs (rows-only)
+    // embedding cosine near-dup pairs. The synthetic corpus's max natural
+    // pairwise cosine is ~0.51, so every threshold that means "near-dup"
+    // gates on an empty result — plant positives instead: re-keyed copies
+    // of the 10 lowest-id vectors (cosine 1.0 to their originals, and
+    // bit-identical LSH sketches → bucketed recall is exact, which is what
+    // makes the brute-force DuckDB oracle sound here).
     "q_dedup_embedding" -> ((s, dir) => {
-      Dedup.embeddingPairs(t(s, dir, "embeddings"), "embedding", "vec_id", threshold = 0.9)
+      val base = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = base.where(col("vec_id") < 10)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+      Dedup.embeddingPairs(base.union(planted), "embedding", "vec_id", threshold = 0.95)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -493,6 +501,22 @@ object LlmQueries {
         |  FROM embeddings t JOIN embeddings e
         |    ON t.vec_id % 5 <> 0 AND e.vec_id % 5 = 0)
         |WHERE rank = 1 ORDER BY train_id""".stripMargin,
+    // sound despite the LSH bucketing: qualifying pairs (cosine ≥ 0.95)
+    // exist only between a vector and its planted copy, whose identical
+    // sketches share every band bucket — so bucketed recall = brute force
+    "q_dedup_embedding" ->
+      """WITH base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), all_v AS (
+        |  SELECT vec_id, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS vec_id, v FROM base WHERE vec_id < 10
+        |)
+        |SELECT id_a, id_b, cosine_sim FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
+        |  FROM all_v a JOIN all_v b ON a.vec_id < b.vec_id)
+        |WHERE cosine_sim >= 0.95 ORDER BY id_a, id_b""".stripMargin,
     "q_media_dedup" ->
       """SELECT doc_id FROM (
         |  SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
@@ -511,7 +535,7 @@ object LlmQueries {
          |  FROM tok GROUP BY doc_id, bucket
          |), hot AS (
          |  SELECT bucket FROM (SELECT bucket, count(*) AS df FROM vec0 GROUP BY bucket)
-         |  WHERE df > (SELECT greatest(1, CAST(floor(count(DISTINCT doc_id) * 0.1) AS BIGINT)) FROM vec0)
+         |  WHERE df > (SELECT greatest(1, CAST(floor(count(*) * 0.1) AS BIGINT)) FROM documents)
          |), vec AS (
          |  SELECT v.* FROM vec0 v ANTI JOIN hot h ON v.bucket = h.bucket
          |), norms AS (

@@ -61,9 +61,12 @@ object RelationalQueries {
         .orderBy(col("c_custkey"))
     }),
 
+    // customers who never placed a high-value order, per segment (the
+    // filter keeps the anti side selective so the gate has survivors —
+    // at any SF virtually every customer has SOME order)
     "q_anti_join" -> ((s, dir) => {
       val c = t(s, dir, "customer")
-      val o = t(s, dir, "orders")
+      val o = t(s, dir, "orders").where(col("o_totalprice") > 250000)
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_customers"))
@@ -87,10 +90,14 @@ object RelationalQueries {
       cn.intersect(sn).orderBy(col("nationkey"))
     }),
 
+    // EXCEPT with guaranteed survivors: customers who placed orders but
+    // never a large one (nationkey-vs-nationkey returned 0 rows at every
+    // SF — both sides cover all 25 nations — a gate that cannot fail)
     "q_except" -> ((s, dir) => {
-      val cn = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
-      val sn = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
-      cn.except(sn).orderBy(col("nationkey"))
+      val o = t(s, dir, "orders")
+      val all = o.select(col("o_custkey").as("custkey"))
+      val big = o.where(col("o_totalprice") > 100000).select(col("o_custkey").as("custkey"))
+      all.except(big).orderBy(col("custkey"))
     }),
 
     "q_distinct" -> ((s, dir) => {
@@ -257,7 +264,8 @@ object RelationalQueries {
         |ORDER BY c_custkey""".stripMargin,
     "q_anti_join" ->
       """SELECT c_mktsegment, count(*) AS n_customers FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 250000)
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_outer_join" ->
       """SELECT c_custkey, c_name,
@@ -271,10 +279,10 @@ object RelationalQueries {
         |SELECT s_nationkey FROM supplier
         |ORDER BY nationkey""".stripMargin,
     "q_except" ->
-      """SELECT c_nationkey AS nationkey FROM customer
+      """SELECT o_custkey AS custkey FROM orders
         |EXCEPT
-        |SELECT s_nationkey FROM supplier
-        |ORDER BY nationkey""".stripMargin,
+        |SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+        |ORDER BY custkey""".stripMargin,
     "q_distinct" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,

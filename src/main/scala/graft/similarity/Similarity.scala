@@ -122,8 +122,9 @@ object Similarity {
     * Deterministic training (subvectors of the `k` lowest-id corpus
     * vectors seed the codebooks — reproducible without an RNG; Lloyd
     * refinement can replace the seeding without changing the layout).
-    * Driver-held and broadcast through UDF closures: m×k×dsub doubles ≈
-    * tens of KB.
+    * Driver-held and shipped inside the codegen'd PQ expressions
+    * (graft.expressions.PqEncode/PqAdcTable/PqAdc): m×k×dsub doubles ≈
+    * tens of KB riding the serialized plan.
     */
   final case class PqModel(centroids: Array[Array[Array[Double]]]) {
     def m: Int = centroids.length
@@ -205,25 +206,16 @@ object Similarity {
     * ANN corpus stores and scans; raw vectors are fetched by id only for
     * the final re-rank. Narrow, no shuffle.
     */
-  def pqEncode(corpus: DataFrame, vecCol: String, model: PqModel): DataFrame = {
-    val enc = udf { (vec: Seq[Double]) =>
-      if (vec == null) null
-      else Array.tabulate(model.m) { j =>
-        val off = j * model.dsub
-        var best = 0; var bestD = Double.MaxValue
-        var c = 0
-        while (c < model.k) {
-          val cent = model.centroids(j)(c)
-          var s = 0.0; var t = 0
-          while (t < cent.length) { val dd = vec(off + t) - cent(t); s += dd * dd; t += 1 }
-          if (s < bestD) { bestD = s; best = c }
-          c += 1
-        }
-        best
-      }
-    }
-    corpus.withColumn("pq_codes", enc(col(vecCol).cast("array<double>")))
-  }
+  private def e2col(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    org.apache.spark.sql.graftbridge.Bridge.column(e)
+  private def col2e(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.graftbridge.Bridge.expression(c)
+
+  def pqEncode(corpus: DataFrame, vecCol: String, model: PqModel): DataFrame =
+    // native codegen'd kernel (array<float> handled in-kernel — no cast,
+    // no per-row Seq boxing): nearest centroid per subspace, ties low
+    corpus.withColumn("pq_codes",
+      e2col(graft.expressions.PqEncode(col2e(col(vecCol)), model.centroids)))
 
   /** PQ top-k with asymmetric-distance (ADC) scoring + exact re-rank:
     * each query precomputes its m×k subspace distance table ONCE; scoring
@@ -241,30 +233,19 @@ object Similarity {
       model: PqModel,
       oversample: Int = 4
   ): DataFrame = {
-    val table = udf { (vec: Seq[Double]) =>
-      Array.tabulate(model.m * model.k) { i =>
-        val j = i / model.k; val c = i % model.k
-        val off = j * model.dsub
-        val cent = model.centroids(j)(c)
-        var s = 0.0; var t = 0
-        while (t < cent.length) { val dd = vec(off + t) - cent(t); s += dd * dd; t += 1 }
-        s
-      }
-    }
-    val adc = udf { (codes: Seq[Int], tab: Seq[Double]) =>
-      var s = 0.0; var j = 0
-      while (j < codes.length) { s += tab(j * model.k + codes(j)); j += 1 }
-      s
-    }
     val q = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-      .withColumn("qtab", table(col("qvec").cast("array<double>")))
+      .withColumn("qtab",
+        e2col(graft.expressions.PqAdcTable(col2e(col("qvec")), model.centroids)))
     val c = encodedCorpus.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("cvec"), col("pq_codes"))
     val wAdc = Window.partitionBy(col("query_id")).orderBy(col("adc").asc, col("neighbor_id"))
     val shortlist = c
       .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("adc", adc(col("pq_codes"), col("qtab")))
+      // codegen'd ADC: m table lookups per (corpus row, query) — the one
+      // per-pair kernel on the compressed scan, now boxing-free
+      .withColumn("adc",
+        e2col(graft.expressions.PqAdc(col2e(col("pq_codes")), col2e(col("qtab")), model.k)))
       .withColumn("srn", row_number().over(wAdc))
       .where(col("srn") <= kNeighbors * oversample)
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine_sim").desc, col("neighbor_id"))

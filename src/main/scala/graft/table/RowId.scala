@@ -114,14 +114,24 @@ object RowId {
     import org.apache.spark.sql.catalyst.plans.logical._
     import org.apache.spark.sql.execution.datasources.LogicalRelation
     import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
-    df.queryExecution.optimizedPlan.collect { case p => p }.forall {
-      case _: Project | _: Filter | _: TypedFilter | _: Generate | _: Expand |
-           _: SubqueryAlias | _: Union | _: Sample |
-           _: DeserializeToObject | _: SerializeFromObject | _: MapElements |
-           _: LocalRelation | _: OneRowRelation | _: Range |
-           _: LogicalRelation | _: DataSourceV2ScanRelation | _: HiveTableRelation => true
-      case r: Repartition => !r.shuffle // coalesce: narrow, deterministic
-      case _ => false
+    df.queryExecution.optimizedPlan.collect { case p => p }.forall { p =>
+      val shapeOk = p match {
+        case _: Project | _: Filter | _: Generate | _: Expand |
+             _: SubqueryAlias | _: Union | _: Sample |
+             _: DeserializeToObject | _: SerializeFromObject | _: MapElements |
+             _: LocalRelation | _: OneRowRelation | _: Range |
+             _: LogicalRelation | _: DataSourceV2ScanRelation | _: HiveTableRelation => true
+        case r: Repartition => !r.shuffle // coalesce: narrow, deterministic
+        case _ => false
+      }
+      // Shape alone is not enough: a nondeterministic expression (rand(),
+      // a UDF marked .asNondeterministic()) inside an otherwise-narrow
+      // Filter/Generate/Project selects or produces different rows between
+      // the offsets job and the indexing job → duplicated or gapped
+      // indices. TypedFilter is excluded from the allowlist outright: its
+      // predicate is an uninspectable closure (MapElements stays — 1:1 and
+      // count-stable regardless of what the closure computes). ADVICE r4.
+      shapeOk && p.expressions.forall(_.deterministic)
     }
   }
 

@@ -128,24 +128,22 @@ object TfVectors {
     // zero pruning joins. Costs one extra corpus scan (stopping at a
     // dim-sized aggregate); pass maxDf/maxDfFraction = None to skip it.
     //
-    // The corpus size that resolves `maxDfFraction` rides the SAME
-    // aggregate job as the bucket dfs (rollup grand-total row carrying
-    // count(distinct id)) instead of a separate corpus.count() — one scan,
-    // not two (ADVICE r3). "Corpus size" is therefore the number of
-    // documents with at least one surviving term, which the DuckDB oracle
-    // reproduces as count(DISTINCT doc_id) over the vector rows.
+    // The fraction's denominator is corpus.count() — on a Parquet source
+    // that is metadata-only (row-group stats), near-free, so it does NOT
+    // pay a second data scan. The `> cap` filter runs inside the aggregate
+    // job, so only the hot buckets (≤ dim rows) ever reach the driver.
     val hot: Seq[Int] =
       if (maxDf.isEmpty && maxDfFraction.isEmpty) Nil
       else {
-        val agg = fusedVecs(corpus, textCol, idCol, ngramN, dim, Nil)
-          .rollup(col("bucket"))
-          .agg(count(lit(1)).as("__df"), count_distinct(col("id")).as("__docs"))
+        val cap: Long = maxDf.getOrElse(
+          math.max(1L, (corpus.count() * maxDfFraction.get).toLong))
+        fusedVecs(corpus, textCol, idCol, ngramN, dim, Nil)
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("__df"))
+          .where(col("__df") > cap)
+          .select(col("bucket"))
           .collect()
-        val cap: Long = maxDf.getOrElse {
-          val docs = agg.collectFirst { case r if r.isNullAt(0) => r.getLong(2) }.getOrElse(0L)
-          math.max(1L, (docs * maxDfFraction.get).toLong)
-        }
-        agg.collect { case r if !r.isNullAt(0) && r.getLong(1) > cap => r.getInt(0) }.toSeq
+          .map(_.getInt(0)).toSeq
       }
     val c = fusedVecs(corpus, textCol, idCol, ngramN, dim, hot)
     val q = fusedVecs(queries, textCol, idCol, ngramN, dim, hot)

@@ -40,6 +40,24 @@ object CodegenCheck {
     val genZ = org.apache.spark.sql.execution.debug.codegenString(zdf.queryExecution.executedPlan)
     if (!genZ.contains("interleave")) sys.error("[codegen] ZOrder NOT in generated code")
     zdf.head()
+    // PQ hot path: encode, ADC table, ADC score (m=3 subspaces, k=2, dsub=1)
+    val b = org.apache.spark.sql.graftbridge.Bridge
+    val cent = Array.tabulate(3, 2)((j, c) => Array((j + c).toDouble))
+    val pqDf = spark.range(8)
+      .select(array(col("id").cast("double"), lit(2.0), lit(3.0)).as("v"))
+      .select(
+        b.column(graft.expressions.PqEncode(b.expression(col("v")), cent)).as("codes"),
+        b.column(graft.expressions.PqAdcTable(b.expression(col("v")), cent)).as("tab"))
+      .select(b.column(graft.expressions.PqAdc(
+        b.expression(col("codes")), b.expression(col("tab")), 2)).as("adc"))
+    val genPq = org.apache.spark.sql.execution.debug.codegenString(pqDf.queryExecution.executedPlan)
+    val pqNeedles = Seq("evalCodes", "evalTable", "PqExpressions.adcScore")
+    val pqMissing = pqNeedles.filterNot(genPq.contains)
+    if (pqMissing.nonEmpty) {
+      System.err.println(genPq.take(6000))
+      sys.error(s"[codegen] PQ kernels NOT in generated code: $pqMissing")
+    }
+    pqDf.head()
     val gen = org.apache.spark.sql.execution.debug.codegenString(df.queryExecution.executedPlan)
     val needles = Seq("VectorOps.cosine", "VectorOps.l2dist", "evalBits", "evalHashes", "evalVec", "evalSig", "evalBands", "evalFp")
     val missing = needles.filterNot(gen.contains)

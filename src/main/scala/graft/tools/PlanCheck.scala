@@ -65,10 +65,16 @@ object PlanCheck {
     Check("q_oov_rate", mustContain = Seq("BroadcastHashJoin")),
     Check("q_perplexity", mustContain = Seq("BroadcastHashJoin")),
     // per-domain quota: rank filter pushed to a partial group-limit
-    // (q_text_knn's identical rank shape is no longer visible here — its
-    // result is eagerly checkpointed inside cosineTopK, so the final plan
-    // is an RDD scan; the interior shape is the same window group-limit)
-    Check("q_domain_cap", mustContain = Seq("WindowGroupLimit"))
+    Check("q_domain_cap", mustContain = Seq("WindowGroupLimit")),
+    // ANN / text-KNN top-k: the rank<=k filter must compile to a partial
+    // WindowGroupLimit (each partition forwards only its k best rows per
+    // query BEFORE the exchange) — the pushdown the 100 TB top-k story
+    // depends on; guarded here against regression
+    Check("q_text_knn", mustContain = Seq("WindowGroupLimit")),
+    Check("q_ann_bruteforce", mustContain = Seq("WindowGroupLimit")),
+    Check("q_ann_ivf", mustContain = Seq("WindowGroupLimit")),
+    Check("q_ann_sketch", mustContain = Seq("WindowGroupLimit")),
+    Check("q_ann_pq", mustContain = Seq("WindowGroupLimit"))
   )
 
   def main(args: Array[String]): Unit = {
