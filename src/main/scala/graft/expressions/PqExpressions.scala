@@ -30,6 +30,12 @@ object PqExpressions {
     */
   def adcScore(codes: ArrayData, tab: ArrayData, k: Int): Double = {
     val m = codes.numElements()
+    // Codes from a mismatched PqModel (wrong m or k) would otherwise index
+    // past the table and silently read garbage off-heap (ADVICE r5).
+    if (tab.numElements() != m * k)
+      throw new IllegalArgumentException(
+        s"ADC table has ${tab.numElements()} entries but codes imply m*k = ${m * k}" +
+          " — codes and table come from different PQ models")
     var s = 0.0
     var j = 0
     while (j < m) { s += tab.getDouble(j * k + codes.getInt(j)); j += 1 }
@@ -37,13 +43,40 @@ object PqExpressions {
   }
 }
 
-/** Shared plumbing for the two codebook-carrying unary kernels. */
+/** Shared plumbing for the two codebook-carrying unary kernels.
+  *
+  * The codebook is validated at construction (non-empty and rectangular)
+  * so a malformed model fails at plan-build time, not mid-scan; and since
+  * Java array equality is reference-based, both kernels override
+  * `equals`/`hashCode` with deep content comparison so Catalyst
+  * canonicalization / common-subexpression elimination recognizes two
+  * plans carrying semantically identical codebooks (ADVICE r5).
+  */
 abstract class PqCodebookExpression extends UnaryExpression {
   def centroids: Array[Array[Array[Double]]]
+
+  /** Called from each concrete subclass body (not here: the superclass
+    * constructor runs before the subclass's `centroids` field is assigned).
+    */
+  protected final def validateCodebook(): Unit = {
+    require(
+      centroids.nonEmpty && centroids(0).nonEmpty && centroids(0)(0).nonEmpty,
+      "PQ codebook must be non-empty (m, k, dsub all >= 1)")
+    require(
+      centroids.forall(sub => sub.length == centroids(0).length &&
+        sub.forall(_.length == centroids(0)(0).length)),
+      "PQ codebook must be rectangular: every subspace needs the same k and dsub")
+  }
 
   protected final def m: Int = centroids.length
   protected final def k: Int = centroids(0).length
   protected final def dsub: Int = centroids(0)(0).length
+
+  protected final def deepCentroidsEqual(other: Array[Array[Array[Double]]]): Boolean =
+    java.util.Arrays.deepEquals(
+      centroids.asInstanceOf[Array[AnyRef]], other.asInstanceOf[Array[AnyRef]])
+  protected final def centroidsHash: Int =
+    java.util.Arrays.deepHashCode(centroids.asInstanceOf[Array[AnyRef]])
 
   override def checkInputDataTypes(): TypeCheckResult =
     VectorExpressions.checkVec(child.dataType, "child")
@@ -56,6 +89,7 @@ abstract class PqCodebookExpression extends UnaryExpression {
   */
 case class PqEncode(child: Expression, centroids: Array[Array[Array[Double]]])
     extends PqCodebookExpression {
+  validateCodebook()
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
@@ -93,6 +127,12 @@ case class PqEncode(child: Expression, centroids: Array[Array[Array[Double]]])
     nullSafeCodeGen(ctx, ev, a => s"${ev.value} = (${classOf[ArrayData].getName}) $ref.evalCodes($a);")
   }
 
+  override def equals(o: Any): Boolean = o match {
+    case that: PqEncode => (that eq this) || (that.child == child && deepCentroidsEqual(that.centroids))
+    case _              => false
+  }
+  override def hashCode(): Int = 31 * child.hashCode() + centroidsHash
+
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
@@ -103,6 +143,7 @@ case class PqEncode(child: Expression, centroids: Array[Array[Array[Double]]])
   */
 case class PqAdcTable(child: Expression, centroids: Array[Array[Array[Double]]])
     extends PqCodebookExpression {
+  validateCodebook()
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
@@ -136,6 +177,12 @@ case class PqAdcTable(child: Expression, centroids: Array[Array[Array[Double]]])
     val ref = ctx.addReferenceObj("pqAdcTable", this, classOf[PqAdcTable].getName)
     nullSafeCodeGen(ctx, ev, a => s"${ev.value} = (${classOf[ArrayData].getName}) $ref.evalTable($a);")
   }
+
+  override def equals(o: Any): Boolean = o match {
+    case that: PqAdcTable => (that eq this) || (that.child == child && deepCentroidsEqual(that.centroids))
+    case _                => false
+  }
+  override def hashCode(): Int = 31 * child.hashCode() + centroidsHash
 
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }

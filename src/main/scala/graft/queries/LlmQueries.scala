@@ -51,9 +51,17 @@ object LlmQueries {
     // makes the brute-force DuckDB oracle sound here).
     "q_dedup_embedding" -> ((s, dir) => {
       val base = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      val planted = base.where(col("vec_id") < 10)
+      // Planted ids live at a fixed +100000 offset, mirrored in the DuckDB
+      // oracle. Guard the invariant instead of trusting the SF: if real
+      // vec_ids ever reached the offset, planted ids would collide with
+      // real ones and silently corrupt pair identities (ADVICE r5).
+      val guarded = base.withColumn("vec_id",
+        when(col("vec_id") < 100000, col("vec_id"))
+          .otherwise(raise_error(lit(
+            "embeddings.vec_id reached the planted-id offset (100000); raise the offset"))))
+      val planted = guarded.where(col("vec_id") < 10)
         .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
-      Dedup.embeddingPairs(base.union(planted), "embedding", "vec_id", threshold = 0.95)
+      Dedup.embeddingPairs(guarded.union(planted), "embedding", "vec_id", threshold = 0.95)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -404,6 +412,14 @@ object LlmQueries {
       "'le','et','les','des','du','une','est','pour','qui','dans']"
 
   val oracles: Map[String, String] = Map(
+    // Full independent oracles for the MinHash/SimHash lanes: DuckDB
+    // recomputes XXH64(seed 42) + splitmix64 from the raw text in HUGEINT
+    // arithmetic (see XxhSql) — no engine-produced inputs anywhere.
+    "q_dedup_minhash" -> XxhSql.minhashPairsSql(charLevel = false, n = 3, k = 64, bands = 16, threshold = 0.5),
+    "q_ngram_jaccard" -> XxhSql.minhashPairsSql(charLevel = true, n = 5, k = 32, bands = 8, threshold = 0.4),
+    "q_dedup_simhash" -> XxhSql.simhashPairsSql(maxHamming = 6, bands = 8),
+    "q_dedup_minhash_survivors" -> XxhSql.minhashSurvivorsSql(n = 3, k = 64, bands = 16, threshold = 0.5),
+    "q_minhash_incremental" -> XxhSql.minhashIncrementalSql(n = 3, k = 64, bands = 16, threshold = 0.5),
     "q_repetition" ->
       s"""SELECT doc_id,
          |  round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(maxw AS DOUBLE) / len(toks) END, 6) AS top_word_frac,

@@ -1,0 +1,321 @@
+package graft.queries
+
+/** DuckDB SQL generation for the engine's 64-bit hash stack — XXH64 with
+  * seed 42 (Spark's `xxhash64`, the shingle/token hash of
+  * [[graft.expressions.ShingleHashes]]) and the splitmix64 lane finalizer
+  * of [[graft.expressions.MinHashSig]] — so the MinHash/SimHash dedup
+  * lanes get FULLY independent DuckDB oracles: the oracle recomputes
+  * shingle hashes, signatures, candidate bands, and verification from the
+  * raw parquet text, with no engine-produced inputs anywhere.
+  *
+  * DuckDB has no wrapping 64-bit arithmetic (BIGINT overflow raises), so
+  * all hash state lives in HUGEINT (int128) in the canonical unsigned
+  * domain [0, 2^64). Multiplication by a constant decomposes into 32-bit
+  * halves (the 128-bit product of two arbitrary 64-bit values would
+  * overflow HUGEINT); rotation splits into disjoint shifted halves whose
+  * sum is the rotated value. `xor`/`>>` work natively on HUGEINT.
+  *
+  * LSH band keys need NO hash emulation: two documents share a band
+  * bucket iff their signatures agree on every component of that band
+  * (the engine's band hash is injective in intent; a 64-bit band-hash
+  * collision would only ever ADD a verified-anyway candidate), so the
+  * oracle joins bands on the raw signature components.
+  */
+object XxhSql {
+  private val M = BigInt(1) << 64
+  private val HALF = BigInt(1) << 63
+  private val MM = s"$M::HUGEINT"
+
+  // standard XXH64 primes (unsigned)
+  private val P1 = BigInt("11400714785074694791")
+  private val P2 = BigInt("14029467366897019727")
+  private val P3 = BigInt("1609587929392839161")
+  private val P4 = BigInt("9650029242287828579")
+  private val P5 = BigInt("2870177450012600261")
+  private val SEED = BigInt(42)
+  /** 0x9E3779B97F4A7C15 — the lane-seed stride of MinHashSig. */
+  private val GOLDEN = BigInt("11400714819323198485")
+
+  // ---- wrapping u64 arithmetic over HUGEINT ----------------------------
+  // All reductions mod 2^64 / 2^32 are bitwise AND with the mask, and the
+  // 32-bit split uses shifts — int128 division/modulo is ~10× slower than
+  // AND in DuckDB and dominated the oracle runtime in the % formulation.
+
+  private val MASK = "18446744073709551615::HUGEINT" // 2^64 - 1
+
+  private def add(a: String, b: String) = s"(($a + $b) & $MASK)"
+
+  /** x * c mod 2^64 via 32-bit halves (x < 2^64, c a compile-time const). */
+  private def mulc(x: String, c: BigInt): String = {
+    val cl = c & 0xFFFFFFFFL
+    val ch = c >> 32
+    s"((($x & 4294967295) * $cl + ((($x & 4294967295) * $ch + ($x >> 32) * $cl) & 4294967295) * 4294967296) & $MASK)"
+  }
+
+  private def xor(a: String, b: String) = s"xor($a, $b)"
+  private def shr(x: String, n: Int) = s"($x >> $n)"
+
+  /** Left-rotate: high part (x·2^r mod 2^64, low r bits zero) + wrapped
+    * top bits (< 2^r) — disjoint bit ranges, so + is |.
+    */
+  private def rotl(x: String, r: Int) =
+    s"((($x * ${BigInt(1) << r}) & $MASK) + ($x >> ${64 - r}))"
+
+  /** Unsigned HUGEINT in [0,2^64) → the engine's signed BIGINT value. */
+  private def toSigned(x: String) =
+    s"(CASE WHEN $x >= $HALF::HUGEINT THEN ($x - $MM)::BIGINT ELSE $x::BIGINT END)"
+
+  // ---- XXH64 pieces ----------------------------------------------------
+
+  /** SQL "let": bind `expr` to lambda variable `v` so `body` references it
+    * by name. Textual duplication in the generated arithmetic otherwise
+    * means literal RE-EVALUATION (DuckDB does no common-subexpression
+    * elimination across an expression tree) — wrapping each fold step's
+    * input/intermediate this way cut the oracle from ~95 s to seconds.
+    */
+  private def let1(expr: String, v: String, body: String) =
+    s"list_transform([$expr], $v -> $body)[1]"
+
+  private def xxhRound(acc: String, inp: String) =
+    let1(inp, "xi", let1(add(acc, mulc("xi", P2)), "xt", mulc(rotl("xt", 31), P1)))
+  private def xxhRound0(inp: String) =
+    let1(mulc(inp, P2), "xr", mulc(rotl("xr", 31), P1))
+  private def mergeRound(acc: String, v: String) =
+    let1(xxhRound0(v), "xm", add(mulc(xor(acc, "xm"), P1), s"$P4"))
+  private def step8(acc: String, inp: String) =
+    let1(inp, "i8", let1(xor(acc, xxhRound0("i8")), "t8", add(mulc(rotl("t8", 27), P1), s"$P4")))
+  private def step4(acc: String, inp: String) =
+    let1(inp, "i4", let1(xor(acc, mulc("i4", P1)), "t4", add(mulc(rotl("t4", 23), P2), s"$P3")))
+  private def step1(acc: String, inp: String) =
+    let1(xor(acc, mulc(inp, P5)), "t1", mulc(rotl("t1", 11), P1))
+
+  /** Little-endian u64 read of bytes `off..off+7` (0-based) from list
+    * column `by` (HUGEINT byte values, 1-based list).
+    */
+  private def le64(off: String) =
+    (0 to 7).map(k => s"by[CAST($off AS INTEGER) + ${k + 1}] * ${BigInt(256).pow(k)}")
+      .mkString("(", " + ", ")")
+  private def le32(off: String) =
+    (0 to 3).map(k => s"by[CAST($off AS INTEGER) + ${k + 1}] * ${BigInt(256).pow(k)}")
+      .mkString("(", " + ", ")")
+
+  /** splitmix64 finalizer, inlined (z0 should be a short expression —
+    * textual duplication is ~70×).
+    */
+  private def mix64(z0: String): String = {
+    val z1 = mulc(xor(z0, shr(z0, 30)), BigInt("BF58476D1CE4E5B9", 16))
+    val z2 = mulc(xor(z1, shr(z1, 27)), BigInt("94D049BB133111EB", 16))
+    xor(z2, shr(z2, 31))
+  }
+
+  /** Wrap `inner` (must expose key columns plus string column `s`,
+    * non-null) with the XXH64(seed 42) pipeline; the result exposes the
+    * key columns plus `hu` (HUGEINT, unsigned hash of `s`'s bytes —
+    * `s` must be pure ASCII, which post-normalization text is).
+    *
+    * Built as a chain of named-column subselects so every stage
+    * references its predecessor by NAME — inlining the whole hash as one
+    * expression would duplicate subtrees multiplicatively.
+    */
+  def xxh64Over(inner: String, keyCols: Seq[String]): String = {
+    val keys = keyCols.mkString(", ")
+    val v1i = (SEED + P1 + P2) % M
+    val v2i = (SEED + P2) % M
+    val v3i = SEED
+    val v4i = (SEED - P1 + M) % M
+    def stripeFold(init: BigInt, lane: Int) =
+      s"""CASE WHEN len >= 32 THEN list_reduce(
+         |  list_prepend($init::HUGEINT, [CAST(i AS HUGEINT) FOR i IN range(0, len // 32)]),
+         |  (acc, i) -> ${xxhRound("acc", le64(s"i*32 + ${8 * lane}"))})
+         |ELSE 0::HUGEINT END""".stripMargin
+    val mergedBase = add(add(rotl("v1", 1), rotl("v2", 7)), add(rotl("v3", 12), rotl("v4", 18)))
+    s"""SELECT $keys, hu FROM (
+       |SELECT $keys, ${xor("a2", shr("a2", 32))} AS hu FROM (
+       |SELECT $keys, a1, ${mulc(xor("a1", shr("a1", 29)), P3)} AS a2 FROM (
+       |SELECT $keys, h4, ${mulc(xor("h4", shr("h4", 33)), P2)} AS a1 FROM (
+       |SELECT $keys, h3, CASE WHEN len - boff = 0 THEN h3 ELSE list_reduce(
+       |    list_prepend(h3, [CAST(j AS HUGEINT) FOR j IN range(0, len - boff)]),
+       |    (acc, j) -> ${step1("acc", "by[CAST(boff + j AS INTEGER) + 1]")}) END AS h4, len, by, boff FROM (
+       |SELECT $keys, h2, CASE WHEN len - toff - n8*8 >= 4 THEN ${step4("h2", le32("toff + n8*8"))} ELSE h2 END AS h3,
+       |  toff + n8*8 + (CASE WHEN len - toff - n8*8 >= 4 THEN 4 ELSE 0 END) AS boff, len, by FROM (
+       |SELECT $keys, h1, CASE WHEN n8 = 0 THEN h1 ELSE list_reduce(
+       |    list_prepend(h1, [CAST(j AS HUGEINT) FOR j IN range(0, n8)]),
+       |    (acc, j) -> ${step8("acc", le64("toff + j*8"))}) END AS h2, toff, n8, len, by FROM (
+       |SELECT $keys, ${add("h0", "len::HUGEINT")} AS h1, (len // 32) * 32 AS toff,
+       |  (len - (len // 32) * 32) // 8 AS n8, len, by FROM (
+       |SELECT $keys, CASE WHEN len >= 32 THEN hm4 ELSE ${(SEED + P5) % M}::HUGEINT END AS h0, len, by FROM (
+       |SELECT $keys, ${mergeRound("hm3", "v4")} AS hm4, len, by FROM (
+       |SELECT $keys, ${mergeRound("hm2", "v3")} AS hm3, v4, len, by FROM (
+       |SELECT $keys, ${mergeRound("hm1", "v2")} AS hm2, v3, v4, len, by FROM (
+       |SELECT $keys, ${mergeRound("hm0", "v1")} AS hm1, v2, v3, v4, len, by FROM (
+       |SELECT $keys, $mergedBase AS hm0, v1, v2, v3, v4, len, by FROM (
+       |SELECT $keys, ${stripeFold(v1i, 0)} AS v1, ${stripeFold(v2i, 1)} AS v2,
+       |  ${stripeFold(v3i, 2)} AS v3, ${stripeFold(v4i, 3)} AS v4, len, by FROM (
+       |SELECT $keys, length(s) AS len,
+       |  [unicode(substr(s, i, 1))::HUGEINT FOR i IN range(1, length(s) + 1)] AS by
+       |FROM ($inner)
+       |)))))))))))))))""".stripMargin
+  }
+
+  /** MinHash signature column over a per-doc list column `hl` of unsigned
+    * HUGEINT hashes: `array<bigint>` of `k` signed lanes, lane i =
+    * min_signed over hashes of splitmix64(h + GOLDEN·(i+1)) — exactly
+    * [[graft.expressions.MinHashSig]].
+    */
+  def sigExpr(k: Int): String = {
+    val lane = mix64(add("h", s"((11400714819323198485::HUGEINT * (i + 1)) % $MM)"))
+    s"list_transform(range(0, $k), i -> list_min(list_transform(hl, h -> ${toSigned(lane)})))"
+  }
+
+  /** Signed 64-bit SimHash fingerprint over a per-doc list column `tl` of
+    * struct(u HUGEINT hash, c BIGINT count) token rows — bit j set iff the
+    * weighted ±1 vote sum is > 0 (exactly [[graft.expressions.SimHash]]).
+    */
+  def simhashExpr: String = {
+    val vote = "list_sum(list_transform(tl, t -> CASE WHEN (t.u >> CAST(j AS INTEGER)) & 1 = 1 THEN t.c ELSE -t.c END))"
+    toSigned(s"coalesce(list_sum(list_transform(range(0, 64), j -> CASE WHEN $vote > 0 THEN (1::HUGEINT << CAST(j AS INTEGER)) ELSE 0::HUGEINT END)), 0::HUGEINT)")
+  }
+
+  /** Unsigned HUGEINT view of a signed BIGINT column. */
+  def toUnsigned(x: String): String =
+    s"(CASE WHEN $x < 0 THEN $x::HUGEINT + $MM ELSE $x::HUGEINT END)"
+
+  // ---- full dedup-lane oracles ------------------------------------------
+
+  private val normSql =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+  private val toksSql = s"string_split($normSql, ' ')"
+
+  /** DISTINCT (doc_id, s) word n-gram shingles from `documents`. */
+  private def wordShingles(n: Int): String = {
+    val join = (0 until n).map(k => s"toks[i + $k]").mkString(" || ' ' || ")
+    s"""SELECT DISTINCT doc_id, sh AS s FROM (
+       |  SELECT doc_id, unnest([$join FOR i IN range(1, greatest(len(toks) - ${n - 2}, 1))]) AS sh
+       |  FROM (SELECT doc_id, list_filter($toksSql, x -> x <> '') AS toks
+       |        FROM documents WHERE text IS NOT NULL))""".stripMargin
+  }
+
+  /** DISTINCT (doc_id, s) character n-gram shingles (spaces included —
+    * matches the charLevel ShingleHashes kernel over the normalized
+    * buffer).
+    */
+  private def charShingles(n: Int): String =
+    s"""SELECT DISTINCT doc_id, sh AS s FROM (
+       |  SELECT doc_id, unnest([substr(norm, i, $n) FOR i IN range(1, greatest(length(norm) - ${n - 2}, 1))]) AS sh
+       |  FROM (SELECT doc_id, $normSql AS norm FROM documents WHERE text IS NOT NULL))""".stripMargin
+
+  /** Shared CTE block: shingles → hashes → signatures → band keys →
+    * verified pairs (exact set-Jaccard over shingle STRING sets, which
+    * equals the engine's hash-set Jaccard absent 64-bit collisions).
+    * Emits CTEs: ssh (doc_id, s), sig (doc_id, sig), cand (id_a, id_b),
+    * ver (id_a, id_b, j).
+    */
+  private def pairCtes(shingleSql: String, k: Int, bands: Int, rows: Int): String = {
+    val bandKeyCols = (1 to rows).map(r => s"sig[b*$rows + $r] AS k$r").mkString(", ")
+    val bandJoin = (1 to rows).map(r => s"a.k$r = b.k$r").mkString(" AND ")
+    s"""ssh AS MATERIALIZED ($shingleSql),
+       |hashed AS MATERIALIZED (${xxh64Over("SELECT doc_id, s FROM ssh", Seq("doc_id"))}),
+       |sigl AS MATERIALIZED (
+       |  SELECT doc_id, lane, min(${toSigned("z3")}) AS mn FROM (
+       |    SELECT doc_id, lane, ${xor("z2", shr("z2", 31))} AS z3 FROM (
+       |    SELECT doc_id, lane, ${mulc(xor("z1", shr("z1", 27)), BigInt("94D049BB133111EB", 16))} AS z2 FROM (
+       |    SELECT doc_id, lane, ${mulc(xor("z0", shr("z0", 30)), BigInt("BF58476D1CE4E5B9", 16))} AS z1 FROM (
+       |    SELECT doc_id, lane, ${add("hu", s"((11400714819323198485::HUGEINT * (lane + 1)) & $MASK)")} AS z0
+       |    FROM hashed, (SELECT unnest(range(0, $k)) AS lane)))))
+       |  GROUP BY doc_id, lane),
+       |sig AS MATERIALIZED (SELECT doc_id, list(mn ORDER BY lane) AS sig FROM sigl GROUP BY doc_id),
+       |bandk AS MATERIALIZED (
+       |  SELECT doc_id, b, $bandKeyCols
+       |  FROM sig, (SELECT unnest(range(0, $bands)) AS b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bandk a JOIN bandk b ON a.b = b.b AND $bandJoin AND a.doc_id < b.doc_id),
+       |ss AS MATERIALIZED (SELECT doc_id, list(s) AS ss FROM ssh GROUP BY doc_id),
+       |ver AS (
+       |  SELECT id_a, id_b,
+       |    CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
+       |      / (len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss))) AS j
+       |  FROM cand JOIN ss sa ON sa.doc_id = cand.id_a JOIN ss sb ON sb.doc_id = cand.id_b)""".stripMargin
+  }
+
+  /** Oracle for [[graft.dedup.Dedup.minHashPairs]] /
+    * [[graft.dedup.Dedup.ngramJaccardPairs]]-shaped queries.
+    */
+  def minhashPairsSql(charLevel: Boolean, n: Int, k: Int, bands: Int, threshold: Double): String = {
+    val sh = if (charLevel) charShingles(n) else wordShingles(n)
+    s"""WITH ${pairCtes(sh, k, bands, k / bands)}
+       |SELECT id_a, id_b, round(j, 6) AS jaccard_sim FROM ver
+       |WHERE j >= $threshold ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Oracle for [[graft.dedup.Dedup.minHashDedup]] survivors: connected
+    * components over the verified pairs via a recursive transitive
+    * closure, drop every doc whose component minimum is a lower id.
+    */
+  def minhashSurvivorsSql(n: Int, k: Int, bands: Int, threshold: Double): String =
+    s"""WITH RECURSIVE ${pairCtes(wordShingles(n), k, bands, k / bands)},
+       |edges AS MATERIALIZED (
+       |  SELECT id_a AS a, id_b AS b FROM ver WHERE j >= $threshold
+       |  UNION SELECT id_b, id_a FROM ver WHERE j >= $threshold),
+       |reach(src, dst) AS (
+       |  SELECT a, b FROM edges
+       |  UNION SELECT reach.src, e.b FROM reach JOIN edges e ON reach.dst = e.a),
+       |losers AS (SELECT src AS id FROM reach GROUP BY src HAVING min(dst) < src)
+       |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id FROM losers)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Oracle for the [[graft.dedup.Dedup.minHashIncremental]] query shape:
+    * corpus = doc_id % 3 = 0, batch = rest; batch docs survive unless a
+    * verified near-dup exists against the corpus or a LOWER-id batch doc
+    * (the engine's greedy drop-higher-id policy).
+    */
+  def minhashIncrementalSql(n: Int, k: Int, bands: Int, threshold: Double): String = {
+    val rows = k / bands
+    val bandJoin = (1 to rows).map(r => s"a.k$r = o.k$r").mkString(" AND ")
+    s"""WITH ${pairCtes(wordShingles(n), k, bands, rows)},
+       |bb AS (SELECT * FROM bandk WHERE doc_id % 3 <> 0),
+       |bc AS (SELECT * FROM bandk WHERE doc_id % 3 = 0),
+       |candi AS (
+       |  SELECT DISTINCT a.doc_id AS id_b, o.doc_id AS id_o
+       |  FROM bb a JOIN bc o ON a.b = o.b AND $bandJoin
+       |  UNION
+       |  SELECT DISTINCT o.doc_id AS id_b, a.doc_id AS id_o
+       |  FROM bb a JOIN bb o ON a.b = o.b AND $bandJoin AND a.doc_id < o.doc_id),
+       |losers AS (
+       |  SELECT DISTINCT id_b FROM candi
+       |  JOIN ss sa ON sa.doc_id = candi.id_b JOIN ss sb ON sb.doc_id = candi.id_o
+       |  WHERE CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
+       |      / (len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss))) >= $threshold)
+       |SELECT doc_id FROM documents
+       |WHERE doc_id % 3 <> 0 AND doc_id NOT IN (SELECT id_b FROM losers)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Oracle for [[graft.dedup.Dedup.simHashPairs]]: token-multiset SimHash
+    * fingerprints, byte-band bucketing, Hamming verification.
+    */
+  def simhashPairsSql(maxHamming: Int, bands: Int): String = {
+    val width = 64 / bands
+    s"""WITH tokc AS MATERIALIZED (
+       |  SELECT doc_id, s, count(*) AS c FROM (
+       |    SELECT doc_id, unnest(list_filter($toksSql, x -> x <> '')) AS s
+       |    FROM documents WHERE text IS NOT NULL)
+       |  GROUP BY doc_id, s),
+       |hashed AS MATERIALIZED (${xxh64Over("SELECT doc_id, c, s FROM tokc", Seq("doc_id", "c"))}),
+       |tl AS (SELECT doc_id, list(struct_pack(u := hu, c := c)) AS tl FROM hashed GROUP BY doc_id),
+       |fp AS MATERIALIZED (
+       |  SELECT doc_id, $simhashExpr AS fp FROM tl
+       |  UNION ALL
+       |  SELECT doc_id, 0::BIGINT AS fp FROM documents
+       |  WHERE text IS NOT NULL AND len(list_filter($toksSql, x -> x <> '')) = 0),
+       |bandk AS MATERIALIZED (
+       |  SELECT doc_id, fp, b, (${toUnsigned("fp")} >> (b*$width)) & ${(BigInt(1) << width) - 1} AS bucket
+       |  FROM fp, (SELECT unnest(range(0, $bands)) AS b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.fp AS fp_a, b.fp AS fp_b
+       |  FROM bandk a JOIN bandk b ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, CAST(bit_count(xor(fp_a, fp_b)) AS INTEGER) AS hamming
+       |FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= $maxHamming
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+}

@@ -128,10 +128,14 @@ object TfVectors {
     // zero pruning joins. Costs one extra corpus scan (stopping at a
     // dim-sized aggregate); pass maxDf/maxDfFraction = None to skip it.
     //
-    // The fraction's denominator is corpus.count() — on a Parquet source
-    // that is metadata-only (row-group stats), near-free, so it does NOT
-    // pay a second data scan. The `> cap` filter runs inside the aggregate
-    // job, so only the hot buckets (≤ dim rows) ever reach the driver.
+    // API note (changed in r4): maxDfFraction's denominator is
+    // corpus.count() — ALL corpus rows, including null/empty-text docs —
+    // not "documents with ≥1 surviving term" as before. count() is
+    // metadata-only (row-group stats) when `corpus` is a bare Parquet
+    // scan; for a filtered/derived frame it is a real job, so callers on
+    // hot paths should pass an absolute maxDf instead. The `> cap` filter
+    // runs inside the aggregate job, so only the hot buckets (≤ dim rows)
+    // ever reach the driver.
     val hot: Seq[Int] =
       if (maxDf.isEmpty && maxDfFraction.isEmpty) Nil
       else {
