@@ -18,6 +18,18 @@ object Sources {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Arrow IPC batch store — the reference's NATIVE on-disk format
+    * (LZ4-frame compressed; OffHeapArrowBatchStore.java:66). Day-one
+    * migration path for existing columnar tables; see [[ArrowIpc]] for
+    * the scale notes (one task per file, no pushdown — migrate to
+    * parquet for repeated analytics).
+    */
+  def arrowIpc(spark: SparkSession, path: String): DataFrame =
+    ArrowIpc.read(spark, path)
+
+  def writeArrowIpc(df: DataFrame, path: String): Unit =
+    ArrowIpc.write(df, path)
+
   /** ORC — second columnar interchange format (same pushdown/pruning
     * properties as parquet; for pipelines whose upstream emits ORC).
     */
