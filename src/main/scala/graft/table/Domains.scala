@@ -47,8 +47,19 @@ object Domains {
         * distinct counts EXACTLY mergeable across ingests ([[merge]]);
         * None for types `hll_sketch_agg` doesn't take.
         */
-      distinctSketch: Option[Array[Byte]] = None
-  )
+      distinctSketch: Option[Array[Byte]] = None,
+      /** Mergeable KLL quantile sketch bytes
+        * ([[graft.functions.KllQuantileAgg]]) for numeric columns —
+        * closes the last non-mergeable gap in the incremental domain
+        * story: [[merge]] unions them with preserved rank-error bounds,
+        * so per-ingest quantile summaries combine without a rescan.
+        */
+      quantileSketch: Option[Array[Byte]] = None
+  ) {
+    /** Quantile readout (numeric columns with a sketch only). */
+    def quantile(q: Double): Option[Double] =
+      quantileSketch.map(graft.functions.KllQuantileAgg.quantile(_, q))
+  }
 
   private def sketchable(dt: DataType): Boolean = dt match {
     case IntegerType | LongType | StringType | BinaryType => true
@@ -71,7 +82,10 @@ object Domains {
     val base = Seq(
       count(when(c.isNull, 1)).as(s"${f.name}__nulls"),
       approx_count_distinct(c).as(s"${f.name}__approx_distinct")
-    ) ++ (if (sketchable(f.dataType)) Seq(hll_sketch_agg(c).as(s"${f.name}__hll")) else Seq.empty)
+    ) ++ (if (sketchable(f.dataType)) Seq(hll_sketch_agg(c).as(s"${f.name}__hll")) else Seq.empty) ++
+      (if (f.dataType.isInstanceOf[NumericType])
+         Seq(graft.functions.KllQuantileAgg.kllSketch(c).as(s"${f.name}__kll"))
+       else Seq.empty)
     val bounds =
       if (isBounded(f.dataType))
         Seq(min(c).as(s"${f.name}__min"), max(c).as(s"${f.name}__max"))
@@ -118,6 +132,9 @@ object Domains {
         approxDistinct = get(s"${f.name}__approx_distinct").map(_.asInstanceOf[Long]).getOrElse(0L),
         distinctSketch =
           if (sketchable(f.dataType)) get(s"${f.name}__hll").map(_.asInstanceOf[Array[Byte]])
+          else None,
+        quantileSketch =
+          if (f.dataType.isInstanceOf[NumericType]) get(s"${f.name}__kll").map(_.asInstanceOf[Array[Byte]])
           else None
       )
     } -> rowCount
@@ -161,13 +178,20 @@ object Domains {
       val mergedDistinct = mergedSketch
         .map(s => math.round(org.apache.datasketches.hll.HllSketch.heapify(s).getEstimate))
         .getOrElse(math.max(da.approxDistinct, db.approxDistinct))
+      // KLL union preserves rank-error bounds — merged quantiles carry the
+      // same guarantee a recompute would (see KllQuantileAgg)
+      val mergedQuantiles = (da.quantileSketch, db.quantileSketch) match {
+        case (Some(qa), Some(qb)) => Some(graft.functions.KllQuantileAgg.mergeBytes(qa, qb))
+        case _                    => None
+      }
       da.copy(
         min = bound(da.min, db.min, keepLess = true),
         max = bound(da.max, db.max, keepLess = false),
         nominal = nominal,
         nullCount = da.nullCount + db.nullCount,
         approxDistinct = mergedDistinct,
-        distinctSketch = mergedSketch)
+        distinctSketch = mergedSketch,
+        quantileSketch = mergedQuantiles)
     }
   }
 

@@ -94,10 +94,13 @@ object TableWriter {
       val sketch = d.distinctSketch
         .map(b => "\"" + java.util.Base64.getEncoder.encodeToString(b) + "\"")
         .getOrElse("null")
+      val qsketch = d.quantileSketch
+        .map(b => "\"" + java.util.Base64.getEncoder.encodeToString(b) + "\"")
+        .getOrElse("null")
       s"""{"column":${fmt(d.column)},"type":${fmt(d.dataType.simpleString)},""" +
         s""""min":${d.min.map(fmt).getOrElse("null")},"max":${d.max.map(fmt).getOrElse("null")},""" +
         s""""nominal":$nominal,"null_count":${d.nullCount},"approx_distinct":${d.approxDistinct},""" +
-        s""""distinct_sketch":$sketch}"""
+        s""""distinct_sketch":$sketch,"quantile_sketch":$qsketch}"""
     }
     val json = s"""{"row_count":$rowCount,"columns":[${cols.mkString(",")}]}"""
     // Hadoop FileSystem, not java.nio: the table path may be s3a/hdfs —

@@ -174,6 +174,37 @@ class KTableSpec extends SparkSpec {
     assert(math.abs(merged.approxDistinct - recomputed.approxDistinct) <= 27)
   }
 
+  test("domain merge: KLL quantile sketches union with recompute-grade error") {
+    // two disjoint uniform halves: any per-half summary alone would put
+    // the median at ~2500 or ~7500; only a true mergeable sketch sees 5000
+    val a = (0 until 5000).map(_.toDouble).toDF("v")
+    val b = (5000 until 10000).map(_.toDouble).toDF("v")
+    val merged = Domains.merge(Domains.compute(a, 10), Domains.compute(b, 10), 10).head
+    assert(merged.quantileSketch.isDefined)
+    // KLL k=200 normalized rank error ~1.65%; allow 3% of n
+    def rankOf(x: Double): Long = math.round(x) // values ARE their ranks here
+    for ((q, want) <- Seq(0.1 -> 1000L, 0.5 -> 5000L, 0.9 -> 9000L)) {
+      val got = merged.quantile(q).get
+      assert(math.abs(rankOf(got) - want) <= 300, s"q=$q got $got want ~$want")
+    }
+    val recomputed = Domains.compute(a.unionByName(b), 10).head
+    for (q <- Seq(0.1, 0.5, 0.9)) {
+      val m = merged.quantile(q).get
+      val r = recomputed.quantile(q).get
+      assert(math.abs(rankOf(m) - rankOf(r)) <= 600, s"merged vs recompute at q=$q: $m vs $r")
+    }
+  }
+
+  test("domain merge: quantile sketch riding the single-pass agg (all numeric types)") {
+    val df = Seq((1, 1L, 1.0f, 1.0), (2, 2L, 2.0f, 2.0), (3, 3L, 3.0f, 3.0))
+      .toDF("i", "l", "f", "d")
+    val ds = Domains.compute(df, 10)
+    ds.foreach { d =>
+      assert(d.quantileSketch.isDefined, s"${d.column} missing quantile sketch")
+      assert(d.quantile(0.5).get == 2.0, s"${d.column} median")
+    }
+  }
+
   test("domain merge: dropped nominal stays dropped; cap applies to the union") {
     val small = Seq("x").toDF("s")
     val big = (0 until 50).map(i => s"v$i").toDF("s")
