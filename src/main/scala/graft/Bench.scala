@@ -42,7 +42,8 @@ object Bench {
     "q_fuzzy_join",
     "q_changelog_apply",
     "q_forward_fill",
-    "q_embed_centroid"
+    "q_embed_centroid",
+    "q_ann_pq"
   )
 
   def main(args: Array[String]): Unit = {
@@ -57,12 +58,20 @@ object Bench {
     // first-query JIT/classloading doesn't dominate the measurements.
     SparkEntry.queries("q_slice")(spark, sfDir).count()
 
+    // Best-of-N per query (default 2): single-run numbers swing ±0.3 s on
+    // launch jitter (JIT, page cache, GC alignment), which masked a real
+    // regression behind noise in r3→r4. The warm minimum is the
+    // reproducible floor and is what BASELINE.md quotes.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val times = (1 to runs).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() }
+          catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1L }
+          (System.nanoTime() - t0) / 1e9
+        }
+        name -> times.min
       }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")

@@ -52,4 +52,53 @@ class CdcApplySpec extends SparkSpec {
     assert(graft.sources.Versioned.prune(spark, snapDir, keep = 1) == Seq(1))
     assert(graft.sources.Versioned.versions(spark, snapDir) == Seq(2))
   }
+
+  test("partitioned apply rewrites ONLY the buckets the batch touches") {
+    import java.nio.file.{Files, Paths}
+    import scala.collection.JavaConverters._
+    val snapDir = Files.createTempDirectory("cdc_part").toString + "/t"
+    val nB = 8
+    // seed: keys spread over many buckets
+    val seed = (0L until 64L).map(k => (k, s"n$k", k * 1.0, "I", k))
+      .toDF("k", "name", "v", "op", "seq")
+    CdcApply.applyBatchPartitioned(seed, Seq("k"), "seq", "op", snapDir, nBuckets = nB)
+    val bucketDirs = Files.list(Paths.get(snapDir)).iterator().asScala
+      .filter(_.getFileName.toString.startsWith(CdcApply.BucketCol + "=")).toSeq
+    assert(bucketDirs.size > 1, "seed should span multiple buckets")
+    def fileState(): Map[String, Long] = bucketDirs.flatMap { d =>
+      Files.walk(d).iterator().asScala.filter(p => p.toString.endsWith(".parquet"))
+        .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis)
+    }.toMap
+    val before = fileState()
+
+    // batch touching exactly one key (one bucket)
+    val batch = Seq((7L, "upd", 99.0, "U", 100L)).toDF("k", "name", "v", "op", "seq")
+    CdcApply.applyBatchPartitioned(batch, Seq("k"), "seq", "op", snapDir, nBuckets = nB)
+    val after = fileState()
+    import org.apache.spark.sql.functions._
+    val touchedBucket = batch.select(pmod(xxhash64(col("k")), lit(nB))).head.getLong(0)
+    val untouchedBefore = before.filterNot(_._1.contains(s"${CdcApply.BucketCol}=$touchedBucket"))
+    val untouchedAfter = after.filterNot(_._1.contains(s"${CdcApply.BucketCol}=$touchedBucket"))
+    // untouched bucket directories: identical files, untouched mtimes
+    assert(untouchedBefore == untouchedAfter, "untouched buckets were rewritten")
+    // touched bucket: actually rewritten
+    assert(before.keySet.filter(_.contains(s"=$touchedBucket")) !=
+      after.keySet.filter(_.contains(s"=$touchedBucket")))
+
+    // content correct: k=7 updated, everything else intact
+    val snap = CdcApply.readSnapshotPartitioned(spark, snapDir)
+      .as[(Long, String, Double)].collect().sortBy(_._1)
+    assert(snap.length == 64)
+    assert(snap.find(_._1 == 7L).get == ((7L, "upd", 99.0)))
+    assert(snap.find(_._1 == 8L).get == ((8L, "n8", 8.0)))
+
+    // deletes drop rows without touching other buckets' files
+    val del = Seq((7L, "x", 0.0, "D", 101L)).toDF("k", "name", "v", "op", "seq")
+    CdcApply.applyBatchPartitioned(del, Seq("k"), "seq", "op", snapDir, nBuckets = nB)
+    val snap2 = CdcApply.readSnapshotPartitioned(spark, snapDir)
+    assert(snap2.count() == 63 && snap2.where($"k" === 7L).isEmpty)
+    // replay of the same batch is idempotent (stream-restart contract)
+    CdcApply.applyBatchPartitioned(del, Seq("k"), "seq", "op", snapDir, nBuckets = nB)
+    assert(CdcApply.readSnapshotPartitioned(spark, snapDir).count() == 63)
+  }
 }
