@@ -411,15 +411,41 @@ object LlmQueries {
       "'der','die','und','das','von','zu','den','mit','ist','im','für','auf','des','ein','nicht'," +
       "'le','et','les','des','du','une','est','pour','qui','dans']"
 
+  /** Unrounded quality score (doc_id, quality) — shared by the
+    * q_text_quality oracle and the curation pipeline's gate (the
+    * threshold classifies identically because the doubles are
+    * bit-identical across engines).
+    */
+  private lazy val qualitySelectSql: String =
+    s"""SELECT doc_id,
+       |  (least(length(coalesce(text,'')) / 200.0, 1.0)
+       |   + CASE WHEN length(coalesce(text,'')) = 0 THEN 0.0
+       |          ELSE length(regexp_replace(coalesce(text,''), '[^A-Za-z0-9 ]', '', 'g'))
+       |               / CAST(length(coalesce(text,'')) AS DOUBLE) END
+       |   + CASE WHEN list_has_any(toks, $stopAll) THEN 1.0 ELSE 0.0 END
+       |   + CASE WHEN mtl >= 2 AND mtl <= 12 THEN 1.0 ELSE 0.0 END) / 4.0 AS quality
+       |FROM (
+       |  SELECT doc_id, text, toks,
+       |    CASE WHEN norm = '' THEN 0.0
+       |         ELSE (SELECT sum(length(tok)) FROM unnest(toks) AS u(tok)) / len(toks) END AS mtl
+       |  FROM (SELECT doc_id, text, $normSql AS norm, $toksSql AS toks FROM documents)
+       |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    // Full independent oracles for the MinHash/SimHash lanes: DuckDB
-    // recomputes XXH64(seed 42) + splitmix64 from the raw text in HUGEINT
-    // arithmetic (see XxhSql) — no engine-produced inputs anywhere.
+    // Full independent oracles for the MinHash/SimHash/sketch lanes:
+    // DuckDB recomputes XXH64(seed 42) + splitmix64 from the raw
+    // text/vectors in HUGEINT arithmetic (see XxhSql) — no
+    // engine-produced inputs anywhere.
     "q_dedup_minhash" -> XxhSql.minhashPairsSql(charLevel = false, n = 3, k = 64, bands = 16, threshold = 0.5),
     "q_ngram_jaccard" -> XxhSql.minhashPairsSql(charLevel = true, n = 5, k = 32, bands = 8, threshold = 0.4),
     "q_dedup_simhash" -> XxhSql.simhashPairsSql(maxHamming = 6, bands = 8),
     "q_dedup_minhash_survivors" -> XxhSql.minhashSurvivorsSql(n = 3, k = 64, bands = 16, threshold = 0.5),
     "q_minhash_incremental" -> XxhSql.minhashIncrementalSql(n = 3, k = 64, bands = 16, threshold = 0.5),
+    "q_curation_pipeline" -> XxhSql.curationPipelineSql(
+      qualitySelectSql, minQuality = 0.3, n = 3, k = 64, bands = 16, threshold = 0.6),
+    "q_multimodal_decode" -> XxhSql.multimodalDecodeSql,
+    "q_ann_sketch" -> XxhSql.annSketchSql(dim = 64, nBits = 64, k = 5, oversample = 8, nQueries = 5),
+    "q_ann_pq" -> XxhSql.annPqSql(d = 64, m = 8, kc = 16, k = 5, oversample = 8, nQueries = 5),
     "q_repetition" ->
       s"""SELECT doc_id,
          |  round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(maxw AS DOUBLE) / len(toks) END, 6) AS top_word_frac,
@@ -641,20 +667,7 @@ object LlmQueries {
       s"""SELECT doc_id,
          |  md5(CASE WHEN $normSql = '' THEN '' ELSE array_to_string($toksSql, ' ') END) AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
-    "q_text_quality" ->
-      s"""SELECT doc_id,
-         |  (least(length(coalesce(text,'')) / 200.0, 1.0)
-         |   + CASE WHEN length(coalesce(text,'')) = 0 THEN 0.0
-         |          ELSE length(regexp_replace(coalesce(text,''), '[^A-Za-z0-9 ]', '', 'g'))
-         |               / CAST(length(coalesce(text,'')) AS DOUBLE) END
-         |   + CASE WHEN list_has_any(toks, $stopAll) THEN 1.0 ELSE 0.0 END
-         |   + CASE WHEN mtl >= 2 AND mtl <= 12 THEN 1.0 ELSE 0.0 END) / 4.0 AS quality
-         |FROM (
-         |  SELECT doc_id, text, toks,
-         |    CASE WHEN norm = '' THEN 0.0
-         |         ELSE (SELECT sum(length(tok)) FROM unnest(toks) AS u(tok)) / len(toks) END AS mtl
-         |  FROM (SELECT doc_id, text, $normSql AS norm, $toksSql AS toks FROM documents)
-         |) ORDER BY doc_id""".stripMargin,
+    "q_text_quality" -> s"$qualitySelectSql ORDER BY doc_id",
     "q_langid" ->
       s"""SELECT doc_id,
          |  CASE WHEN best <= 0 THEN 'und'

@@ -186,13 +186,15 @@ object XxhSql {
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
   private val toksSql = s"string_split($normSql, ' ')"
 
-  /** DISTINCT (doc_id, s) word n-gram shingles from `documents`. */
-  private def wordShingles(n: Int): String = {
+  /** DISTINCT (doc_id, s) word n-gram shingles from relation `src`
+    * (needs doc_id + text columns).
+    */
+  private def wordShingles(n: Int, src: String = "documents"): String = {
     val join = (0 until n).map(k => s"toks[i + $k]").mkString(" || ' ' || ")
     s"""SELECT DISTINCT doc_id, sh AS s FROM (
        |  SELECT doc_id, unnest([$join FOR i IN range(1, greatest(len(toks) - ${n - 2}, 1))]) AS sh
        |  FROM (SELECT doc_id, list_filter($toksSql, x -> x <> '') AS toks
-       |        FROM documents WHERE text IS NOT NULL))""".stripMargin
+       |        FROM $src WHERE text IS NOT NULL))""".stripMargin
   }
 
   /** DISTINCT (doc_id, s) character n-gram shingles (spaces included —
@@ -289,6 +291,143 @@ object XxhSql {
        |SELECT doc_id FROM documents
        |WHERE doc_id % 3 <> 0 AND doc_id NOT IN (SELECT id_b FROM losers)
        |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Oracle for the [[graft.dedup.CurationPipeline]] query shape
+    * (quality gate → exact dedup → MinHash near-dedup survivors).
+    * `qualitySelectSql` must produce (doc_id, quality) with the engine's
+    * UNROUNDED quality score (bit-identical doubles — proven by the
+    * q_text_quality hash match), so thresholding classifies identically.
+    */
+  def curationPipelineSql(qualitySelectSql: String, minQuality: Double, n: Int, k: Int, bands: Int, threshold: Double): String =
+    s"""WITH RECURSIVE curquality AS MATERIALIZED ($qualitySelectSql),
+       |curq AS MATERIALIZED (
+       |  SELECT d.* FROM documents d JOIN curquality q USING (doc_id)
+       |  WHERE q.quality >= $minQuality),
+       |curex AS MATERIALIZED (
+       |  SELECT doc_id, lang, n_chars, text FROM (
+       |    SELECT doc_id, lang, n_chars, text,
+       |      row_number() OVER (PARTITION BY md5($normSql) ORDER BY doc_id) AS rn
+       |    FROM curq WHERE text IS NOT NULL) WHERE rn = 1
+       |  UNION ALL
+       |  SELECT doc_id, lang, n_chars, text FROM curq WHERE text IS NULL),
+       |${pairCtes(wordShingles(n, "curex"), k, bands, k / bands)},
+       |edges AS MATERIALIZED (
+       |  SELECT id_a AS a, id_b AS b FROM ver WHERE j >= $threshold
+       |  UNION SELECT id_b, id_a FROM ver WHERE j >= $threshold),
+       |reach(src, dst) AS (
+       |  SELECT a, b FROM edges
+       |  UNION SELECT reach.src, e.b FROM reach JOIN edges e ON reach.dst = e.a),
+       |losers AS (SELECT src AS id FROM reach GROUP BY src HAVING min(dst) < src)
+       |SELECT doc_id, lang, n_chars FROM curex
+       |WHERE doc_id NOT IN (SELECT id FROM losers) ORDER BY doc_id""".stripMargin
+
+  /** Oracle for the [[graft.multimodal.Multimodal.decodeImages]] query
+    * shape over UTF-8 text payloads: byte length, the 31·h+b rolling hash
+    * over SIGNED bytes (Java byte semantics), unsigned-byte mean.
+    */
+  def multimodalDecodeSql: String = {
+    // acc' = (31·acc + signed(b) + 2^64) & mask — adding 2^64 keeps the
+    // intermediate non-negative for b ∈ [-128,127]
+    val step = s"((((acc << 5) - acc & $MASK) + (CASE WHEN x >= 128 THEN x - 256 ELSE x END) + 18446744073709551616::HUGEINT) & $MASK)"
+    s"""WITH bytes AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS byte_length,
+       |    [CAST(CAST(('0x' || substr(hex(encode(coalesce(text, ''))), 2*i - 1, 2)) AS INTEGER) AS HUGEINT)
+       |     FOR i IN range(1, octet_length(encode(coalesce(text, ''))) + 1)] AS bl
+       |  FROM documents),
+       |hashed AS (
+       |  SELECT doc_id, byte_length,
+       |    ${toSigned("list_reduce(list_prepend(1125899906842597::HUGEINT, bl), (acc, x) -> " + step + ")")} AS content_hash,
+       |    CASE WHEN byte_length = 0 THEN 0.0
+       |         ELSE list_sum(list_transform(bl, b -> b::BIGINT))::DOUBLE / byte_length END AS mi
+       |  FROM bytes)
+       |SELECT doc_id, byte_length, content_hash, round(mi, 6) AS mean_intensity
+       |FROM hashed ORDER BY doc_id""".stripMargin
+  }
+
+  /** Oracle for [[graft.similarity.Similarity.sketchTopK]]: hyperplane-LSH
+    * sketches (splitmix64 plane coordinates, 53-bit-exact doubles,
+    * sequential-fold dot products matching the engine's accumulation
+    * order), Hamming shortlist, exact cosine re-rank.
+    */
+  def annSketchSql(dim: Int, nBits: Int, k: Int, oversample: Int, nQueries: Int): String = {
+    val planeInput = s"((p*1000003 + j + 11400714819323198485::HUGEINT) & $MASK)"
+    s"""WITH planes AS MATERIALIZED (
+       |  SELECT p, j, ((${mix64(planeInput)} >> 11)::DOUBLE / 9007199254740992) * 2 - 1 AS coord
+       |  FROM (SELECT unnest(range(0, $nBits)) AS p), (SELECT unnest(range(0, $dim)) AS j)),
+       |plane_l AS MATERIALIZED (SELECT p, list(coord ORDER BY j) AS pl FROM planes GROUP BY p),
+       |vecs AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |proj AS MATERIALIZED (
+       |  SELECT vec_id, p,
+       |    list_reduce(list_prepend(0.0::DOUBLE, [v[j] * pl[j] FOR j IN range(1, $dim + 1)]), (a, x) -> a + x) AS pr
+       |  FROM vecs, plane_l),
+       |sk AS MATERIALIZED (
+       |  SELECT vec_id, ${toSigned(s"sum(CASE WHEN pr >= 0 THEN (1::HUGEINT << CAST(p AS INTEGER)) ELSE 0::HUGEINT END)")} AS sk
+       |  FROM proj GROUP BY vec_id),
+       |shortlist AS (
+       |  SELECT query_id, neighbor_id, qv, cv FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, qs.v AS qv, cs.v AS cv,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY bit_count(xor(q.sk, c.sk)) ASC, c.vec_id) AS srn
+       |    FROM sk q JOIN sk c ON q.vec_id < $nQueries AND c.vec_id <> q.vec_id
+       |    JOIN vecs qs ON qs.vec_id = q.vec_id JOIN vecs cs ON cs.vec_id = c.vec_id)
+       |  WHERE srn <= ${k * oversample})
+       |SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS BIGINT) AS rank FROM (
+       |  SELECT query_id, neighbor_id,
+       |    round(list_cosine_similarity(qv, cv), 6) AS cosine_sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY round(list_cosine_similarity(qv, cv), 6) DESC, neighbor_id) AS rank
+       |  FROM shortlist)
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Oracle for the [[graft.similarity.Similarity.pqTopK]] query shape
+    * with a seed-trained codebook ([[graft.similarity.Similarity.pqTrain]]
+    * — subvectors of the `kc` lowest-id corpus vectors, no RNG): encode =
+    * argmin squared-L2 per subspace (ties to the lowest code), ADC
+    * shortlist, exact cosine re-rank. Every float reduction is a
+    * sequential fold in the engine's accumulation order, so doubles are
+    * bit-identical.
+    */
+  def annPqSql(d: Int, m: Int, kc: Int, k: Int, oversample: Int, nQueries: Int): String = {
+    val dsub = d / m
+    s"""WITH vecs AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cents AS MATERIALIZED (
+       |  SELECT j, rn - 1 AS c, [v[j*$dsub + t] FOR t IN range(1, ${dsub + 1})] AS cent
+       |  FROM (SELECT v, row_number() OVER (ORDER BY vec_id) AS rn FROM vecs ORDER BY vec_id LIMIT $kc),
+       |       (SELECT unnest(range(0, $m)) AS j)),
+       |subd AS MATERIALIZED (
+       |  SELECT vec_id, j, c,
+       |    list_reduce(list_prepend(0.0::DOUBLE,
+       |      [(v[j*$dsub + t] - cent[t]) * (v[j*$dsub + t] - cent[t]) FOR t IN range(1, ${dsub + 1})]),
+       |      (a, x) -> a + x) AS d2
+       |  FROM vecs, cents),
+       |codes AS MATERIALIZED (
+       |  SELECT vec_id, j, c FROM (
+       |    SELECT vec_id, j, c, row_number() OVER (PARTITION BY vec_id, j ORDER BY d2 ASC, c ASC) AS rn
+       |    FROM subd) WHERE rn = 1),
+       |adcp AS MATERIALIZED (
+       |  SELECT s.vec_id AS query_id, cd.vec_id AS neighbor_id, cd.j, s.d2
+       |  FROM codes cd JOIN subd s ON s.j = cd.j AND s.c = cd.c
+       |  WHERE s.vec_id < $nQueries AND cd.vec_id <> s.vec_id),
+       |adc AS (
+       |  SELECT query_id, neighbor_id,
+       |    list_reduce(list_prepend(0.0::DOUBLE, list(d2 ORDER BY j)), (a, x) -> a + x) AS adc
+       |  FROM adcp GROUP BY query_id, neighbor_id),
+       |short AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, neighbor_id) AS srn
+       |    FROM adc) WHERE srn <= ${k * oversample})
+       |SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS BIGINT) AS rank FROM (
+       |  SELECT query_id, neighbor_id,
+       |    round(list_cosine_similarity(qv.v, nv.v), 6) AS cosine_sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY round(list_cosine_similarity(qv.v, nv.v), 6) DESC, neighbor_id) AS rank
+       |  FROM short JOIN vecs qv ON qv.vec_id = short.query_id
+       |  JOIN vecs nv ON nv.vec_id = short.neighbor_id)
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
   /** Oracle for [[graft.dedup.Dedup.simHashPairs]]: token-multiset SimHash
