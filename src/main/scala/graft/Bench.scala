@@ -65,13 +65,17 @@ object Bench {
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
+        // a failed run must never win the min (a fast failure would read
+        // as a speedup): successes compete, total failure reports -1
         val times = (1 to runs).map { _ =>
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() }
-          catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1L }
-          (System.nanoTime() - t0) / 1e9
+          try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name failed: $e"); Double.PositiveInfinity
+          }
         }
-        name -> times.min
+        name -> (if (times.min.isInfinity) -1.0 else times.min)
       }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")

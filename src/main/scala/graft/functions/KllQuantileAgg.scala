@@ -87,9 +87,14 @@ object KllQuantileAgg {
     Bridge.column(
       KllQuantileAgg(Bridge.expression(c), k).toAggregateExpression(isDistinct = false))
 
-  /** Quantile readout from sketch bytes (driver-side). */
-  def quantile(sketch: Array[Byte], q: Double): Double =
-    KllDoublesSketch.heapify(org.apache.datasketches.memory.Memory.wrap(sketch)).getQuantile(q)
+  /** Quantile readout from sketch bytes (driver-side). None when the
+    * sketch saw no values (all-null column / empty table — getQuantile
+    * throws on an empty sketch).
+    */
+  def quantile(sketch: Array[Byte], q: Double): Option[Double] = {
+    val s = KllDoublesSketch.heapify(org.apache.datasketches.memory.Memory.wrap(sketch))
+    if (s.isEmpty) None else Some(s.getQuantile(q))
+  }
 
   /** Merge sketch byte arrays (union preserves KLL error bounds). */
   def mergeBytes(a: Array[Byte], b: Array[Byte]): Array[Byte] = {

@@ -74,12 +74,20 @@ object ArrowIpc {
         val hp = new HPath(file)
         val hfs = hp.getFileSystem(c)
         val converter = CatalystTypeConverters.createToScalaConverter(schema)
-        new Iterator[Row] {
+        val it = new Iterator[Row] {
           private val alloc = new RootAllocator(Long.MaxValue)
           private val ch = new HadoopSeekableChannel(hfs, hp)
           private val reader = new ArrowFileReader(ch, alloc, CommonsCompressionFactory.INSTANCE)
           private var batch: Iterator[Row] = Iterator.empty
           private var open = true
+          /** Idempotent; also invoked from the task-completion listener so
+            * a partially-drained iterator (limit/take/kill) cannot leak the
+            * off-heap Arrow buffers, allocator, or file handle.
+            */
+          def closeAll(): Unit = if (open) {
+            open = false
+            reader.close(); ch.close(); alloc.close()
+          }
           private def advance(): Unit =
             while (!batch.hasNext && open) {
               if (reader.loadNextBatch()) {
@@ -88,11 +96,14 @@ object ArrowIpc {
                   .map(v => new ArrowColumnVector(v): ColumnVector).toArray
                 val cb = new ColumnarBatch(cols, root.getRowCount)
                 batch = cb.rowIterator().asScala.map(ir => converter(ir).asInstanceOf[Row])
-              } else { reader.close(); ch.close(); alloc.close(); open = false }
+              } else closeAll()
             }
           override def hasNext: Boolean = { advance(); batch.hasNext }
           override def next(): Row = { advance(); batch.next() }
         }
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => it.closeAll()))
+        it
       }
     spark.createDataFrame(rows, schema)
   }
@@ -114,35 +125,53 @@ object ArrowIpc {
     val pathStr = out.toString
     df.rdd.mapPartitionsWithIndex { (pid, it) =>
       val c = confB.value.value
+      // attempt-private temp (dot-prefixed: read() skips it) + rename-on-
+      // success = the minimal commit protocol: a failed/killed attempt
+      // leaves only an ignorable temp file, a zombie attempt writes to its
+      // OWN temp, and the final file appears atomically or not at all
+      val attempt = Option(org.apache.spark.TaskContext.get())
+        .map(_.taskAttemptId()).getOrElse(0L)
       val part = new HPath(pathStr, f"part-$pid%05d.arrow")
+      val tmp = new HPath(pathStr, f".part-$pid%05d-$attempt.arrow.tmp")
       val hfs = part.getFileSystem(c)
       val alloc = new RootAllocator(Long.MaxValue)
       val arrowSchema = new ArrowSchema(schema.map(toArrowField).asJava)
       val root = VectorSchemaRoot.create(arrowSchema, alloc)
-      val os: OutputStream = hfs.create(part, true)
-      val writer = new ArrowFileWriter(
-        root, null, Channels.newChannel(os), null,
-        org.apache.arrow.vector.ipc.message.IpcOption.DEFAULT,
-        CommonsCompressionFactory.INSTANCE, CompressionUtil.CodecType.LZ4_FRAME)
-      writer.start()
-      var n = 0
-      def flush(): Unit = if (n > 0) {
-        root.setRowCount(n); writer.writeBatch(); root.allocateNew(); n = 0
-      }
-      it.foreach { row =>
-        var i = 0
-        while (i < schema.length) {
-          setValue(root.getVector(i), n, row, i, schema(i).dataType)
-          i += 1
+      val os: OutputStream = hfs.create(tmp, true)
+      try {
+        val writer = new ArrowFileWriter(
+          root, null, Channels.newChannel(os), null,
+          org.apache.arrow.vector.ipc.message.IpcOption.DEFAULT,
+          CommonsCompressionFactory.INSTANCE, CompressionUtil.CodecType.LZ4_FRAME)
+        writer.start()
+        var n = 0
+        def flush(): Unit = if (n > 0) {
+          root.setRowCount(n); writer.writeBatch(); root.allocateNew(); n = 0
         }
-        n += 1
-        if (n >= batchRows) flush()
+        it.foreach { row =>
+          var i = 0
+          while (i < schema.length) {
+            setValue(root.getVector(i), n, row, i, schema(i).dataType)
+            i += 1
+          }
+          n += 1
+          if (n >= batchRows) flush()
+        }
+        flush()
+        writer.end(); writer.close(); os.close()
+        hfs.delete(part, false) // replace any prior attempt's commit
+        require(hfs.rename(tmp, part), s"rename $tmp -> $part failed")
+      } finally {
+        root.close(); alloc.close()
+        hfs.delete(tmp, false); () // no-op when renamed
       }
-      flush()
-      writer.end(); writer.close(); os.close(); root.close(); alloc.close()
       Iterator.empty[Int].iterator
     }.count() // trigger
-    ()
+    // job-level marker: a reader (or operator) can check completeness; our
+    // own read() stays lenient because foreign (reference-written) stores
+    // have no such marker
+    val done = fs.create(new HPath(out, "_SUCCESS"), true)
+    done.close()
   }
 
   // ---- schema mapping (core scalar types; the reference's logical types

@@ -111,9 +111,20 @@ object CdcApply {
     val spark = batch.sparkSession
     def bucketOf = pmod(xxhash64(keyCols.map(col): _*), lit(nBuckets))
     val payloadSchema = StructType(batch.schema.filterNot(f => f.name == seqCol || f.name == opCol))
-    val fs = new org.apache.hadoop.fs.Path(snapshotDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val exists = fs.exists(new org.apache.hadoop.fs.Path(snapshotDir))
+    val root = new org.apache.hadoop.fs.Path(snapshotDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(root)
+    // a snapshot is only readable under the nBuckets it was built with: a
+    // mismatched caller would prune the WRONG buckets and write duplicate
+    // keys (same hazard ivfTopK guards for nlist). The layout records its
+    // bucket count in a sidecar; subsequent applies must match it.
+    val bucketsFile = new org.apache.hadoop.fs.Path(root, "_graft_buckets")
+    if (exists && fs.exists(bucketsFile)) {
+      val in = fs.open(bucketsFile)
+      val stored = try new String(in.readAllBytes(), "UTF-8").trim.toInt finally in.close()
+      require(stored == nBuckets,
+        s"snapshot at $snapshotDir was built with nBuckets=$stored, caller passed $nBuckets")
+    }
     // buckets this batch touches — ≤ nBuckets ints, driver-bounded
     val touched = batch.select(bucketOf.as(BucketCol)).distinct()
       .collect().map(_.getLong(0)).sorted
@@ -126,17 +137,31 @@ object CdcApply {
       else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], payloadSchema)
     val next = Merge.applyChangelog(snapTouched, batch, keyCols, seqCol, opCol)
       .withColumn(BucketCol, bucketOf)
-    val mode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // dynamic overwrite only replaces partitions PRESENT in the output:
+      // a touched bucket whose rows were all deleted would otherwise keep
+      // its old files (the delete would be silently lost) — remove such
+      // now-empty buckets explicitly after the write. Idempotent across
+      // replays: the recomputed merge yields the same empty set.
+      val surviving = next.select(col(BucketCol)).distinct()
+        .collect().map(_.getLong(0)).toSet
       next.write
+        // per-writer option — scoped to THIS write; mutating the
+        // session-global conf would race concurrent writers into a
+        // static (whole-table) overwrite
+        .option("partitionOverwriteMode", "dynamic")
         .mode(if (exists) "overwrite" else "errorifexists")
         .partitionBy(BucketCol)
         .parquet(snapshotDir)
-    finally mode match {
-      case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
-      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+      touched.filterNot(surviving).foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, s"$BucketCol=$b"), true)
+      }
+      if (!fs.exists(bucketsFile)) {
+        val out = fs.create(bucketsFile, true)
+        try out.write(nBuckets.toString.getBytes("UTF-8")) finally out.close()
+      }
+    } finally next.unpersist()
   }
 
   /** Streaming wiring for the partitioned layout. */

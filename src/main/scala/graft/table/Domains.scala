@@ -56,9 +56,11 @@ object Domains {
         */
       quantileSketch: Option[Array[Byte]] = None
   ) {
-    /** Quantile readout (numeric columns with a sketch only). */
+    /** Quantile readout — None without a sketch (non-numeric column) or
+      * when the sketch saw no values (all-null column / empty table).
+      */
     def quantile(q: Double): Option[Double] =
-      quantileSketch.map(graft.functions.KllQuantileAgg.quantile(_, q))
+      quantileSketch.flatMap(graft.functions.KllQuantileAgg.quantile(_, q))
   }
 
   private def sketchable(dt: DataType): Boolean = dt match {

@@ -139,4 +139,20 @@ class ArrowIpcSpec extends SparkSpec {
     val df = Seq((1, Seq(1, 2))).toDF("k", "arr")
     intercept[IllegalArgumentException] { ArrowIpc.write(df, tmp("ipc_bad")) }
   }
+
+  test("write commits atomically: _SUCCESS present, no temp files; partial drain safe") {
+    import scala.collection.JavaConverters._
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(sampleRows(2000), 3), schema)
+    val out = tmp("ipc_commit")
+    ArrowIpc.write(df, out, batchRows = 256)
+    val names = Files.list(Paths.get(out)).iterator().asScala.map(_.getFileName.toString).toSeq
+    assert(names.contains("_SUCCESS"))
+    assert(!names.exists(_.endsWith(".tmp")), s"leftover temp files: $names")
+    // partially-drained read (limit) must not break subsequent full reads
+    // (review finding: resources are closed by the task-completion
+    // listener, not only by iterator exhaustion)
+    assert(ArrowIpc.read(spark, out).limit(7).collect().length == 7)
+    assert(ArrowIpc.read(spark, out).count() == 2000)
+  }
 }

@@ -100,5 +100,32 @@ class CdcApplySpec extends SparkSpec {
     // replay of the same batch is idempotent (stream-restart contract)
     CdcApply.applyBatchPartitioned(del, Seq("k"), "seq", "op", snapDir, nBuckets = nB)
     assert(CdcApply.readSnapshotPartitioned(spark, snapDir).count() == 63)
+
+    // a mismatched nBuckets must be rejected, not silently corrupt
+    // (review finding: wrong pruning would duplicate keys)
+    intercept[IllegalArgumentException] {
+      CdcApply.applyBatchPartitioned(del, Seq("k"), "seq", "op", snapDir, nBuckets = nB * 2)
+    }
+  }
+
+  test("partitioned apply: a delete that empties its bucket removes the bucket") {
+    import java.nio.file.{Files, Paths}
+    import scala.collection.JavaConverters._
+    val snapDir = Files.createTempDirectory("cdc_empty").toString + "/t"
+    // one key per bucket region: k=0 and k=1 land in different buckets
+    val seed = Seq((0L, "a", 1.0, "I", 1L), (1L, "b", 2.0, "I", 2L))
+      .toDF("k", "name", "v", "op", "seq")
+    CdcApply.applyBatchPartitioned(seed, Seq("k"), "seq", "op", snapDir, nBuckets = 64)
+    assert(CdcApply.readSnapshotPartitioned(spark, snapDir).count() == 2)
+    // delete the ONLY row of its bucket — dynamic overwrite alone would
+    // leave the old files (review finding: lost delete); the explicit
+    // empty-bucket cleanup must remove them
+    val del = Seq((0L, "a", 1.0, "D", 3L)).toDF("k", "name", "v", "op", "seq")
+    CdcApply.applyBatchPartitioned(del, Seq("k"), "seq", "op", snapDir, nBuckets = 64)
+    val snap = CdcApply.readSnapshotPartitioned(spark, snapDir)
+    assert(snap.count() == 1 && snap.where($"k" === 0L).isEmpty, "delete was lost")
+    // replay stays a no-op
+    CdcApply.applyBatchPartitioned(del, Seq("k"), "seq", "op", snapDir, nBuckets = 64)
+    assert(CdcApply.readSnapshotPartitioned(spark, snapDir).count() == 1)
   }
 }

@@ -205,6 +205,13 @@ class KTableSpec extends SparkSpec {
     }
   }
 
+  test("quantile readout on an all-null numeric column is None, not a throw") {
+    val df = Seq[Option[Double]](None, None).toDF("v")
+    val d = Domains.compute(df, 10).head
+    assert(d.quantileSketch.isDefined) // the sketch exists but saw nothing
+    assert(d.quantile(0.5).isEmpty)
+  }
+
   test("domain merge: dropped nominal stays dropped; cap applies to the union") {
     val small = Seq("x").toDF("s")
     val big = (0 until 50).map(i => s"v$i").toDF("s")
