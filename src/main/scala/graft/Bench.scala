@@ -43,7 +43,8 @@ object Bench {
     "q_changelog_apply",
     "q_forward_fill",
     "q_embed_centroid",
-    "q_ann_pq"
+    "q_ann_pq",
+    "q_ann_ivfpq"
   )
 
   def main(args: Array[String]): Unit = {

@@ -209,6 +209,18 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF × PQ composed ANN: cell-pruned probe over the 32×-compressed
+    // code artifact, exact re-rank — the 100 TB shape (full oracle)
+    "q_ann_ivfpq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val indexed = Similarity.ivfBuild(emb, "embedding", "vec_id", nlist = 16).localCheckpoint(true)
+      val model = Similarity.pqTrain(emb, "embedding", "vec_id", m = 8, k = 16)
+      Similarity.ivfPqTopK(indexed, emb.where(col("vec_id") < 5), "embedding", "vec_id",
+          k = 5, nlist = 16, nprobe = 8, model, oversample = 8)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // incremental exact dedup: new batch (doc_id % 3 != 0) against an
     // existing corpus (doc_id % 3 == 0) — corpus contributes only its
     // fingerprint set, batch internally deduped
@@ -446,6 +458,8 @@ object LlmQueries {
     "q_multimodal_decode" -> XxhSql.multimodalDecodeSql,
     "q_ann_sketch" -> XxhSql.annSketchSql(dim = 64, nBits = 64, k = 5, oversample = 8, nQueries = 5),
     "q_ann_pq" -> XxhSql.annPqSql(d = 64, m = 8, kc = 16, k = 5, oversample = 8, nQueries = 5),
+    "q_ann_ivfpq" -> XxhSql.annIvfPqSql(d = 64, m = 8, kc = 16, k = 5, oversample = 8,
+      nQueries = 5, nlist = 16, nprobe = 8),
     "q_repetition" ->
       s"""SELECT doc_id,
          |  round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(maxw AS DOUBLE) / len(toks) END, 6) AS top_word_frac,

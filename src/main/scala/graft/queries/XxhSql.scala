@@ -390,9 +390,12 @@ object XxhSql {
     * sequential fold in the engine's accumulation order, so doubles are
     * bit-identical.
     */
-  def annPqSql(d: Int, m: Int, kc: Int, k: Int, oversample: Int, nQueries: Int): String = {
+  /** Shared PQ CTE block: vecs, seed codebook, per-subspace distances,
+    * argmin codes (ties to the lowest code).
+    */
+  private def pqCtes(d: Int, m: Int, kc: Int): String = {
     val dsub = d / m
-    s"""WITH vecs AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""vecs AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |cents AS MATERIALIZED (
        |  SELECT j, rn - 1 AS c, [v[j*$dsub + t] FOR t IN range(1, ${dsub + 1})] AS cent
        |  FROM (SELECT v, row_number() OVER (ORDER BY vec_id) AS rn FROM vecs ORDER BY vec_id LIMIT $kc),
@@ -406,16 +409,14 @@ object XxhSql {
        |codes AS MATERIALIZED (
        |  SELECT vec_id, j, c FROM (
        |    SELECT vec_id, j, c, row_number() OVER (PARTITION BY vec_id, j ORDER BY d2 ASC, c ASC) AS rn
-       |    FROM subd) WHERE rn = 1),
-       |adcp AS MATERIALIZED (
-       |  SELECT s.vec_id AS query_id, cd.vec_id AS neighbor_id, cd.j, s.d2
-       |  FROM codes cd JOIN subd s ON s.j = cd.j AND s.c = cd.c
-       |  WHERE s.vec_id < $nQueries AND cd.vec_id <> s.vec_id),
-       |adc AS (
-       |  SELECT query_id, neighbor_id,
-       |    list_reduce(list_prepend(0.0::DOUBLE, list(d2 ORDER BY j)), (a, x) -> a + x) AS adc
-       |  FROM adcp GROUP BY query_id, neighbor_id),
-       |short AS (
+       |    FROM subd) WHERE rn = 1)""".stripMargin
+  }
+
+  /** Shared shortlist → exact-cosine re-rank tail (expects CTEs `adc`
+    * (query_id, neighbor_id, adc) and `vecs`).
+    */
+  private def pqRerankTail(k: Int, oversample: Int): String =
+    s"""short AS (
        |  SELECT query_id, neighbor_id FROM (
        |    SELECT query_id, neighbor_id,
        |      row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, neighbor_id) AS srn
@@ -428,7 +429,52 @@ object XxhSql {
        |  FROM short JOIN vecs qv ON qv.vec_id = short.query_id
        |  JOIN vecs nv ON nv.vec_id = short.neighbor_id)
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
-  }
+
+  def annPqSql(d: Int, m: Int, kc: Int, k: Int, oversample: Int, nQueries: Int): String =
+    s"""WITH ${pqCtes(d, m, kc)},
+       |adcp AS MATERIALIZED (
+       |  SELECT s.vec_id AS query_id, cd.vec_id AS neighbor_id, cd.j, s.d2
+       |  FROM codes cd JOIN subd s ON s.j = cd.j AND s.c = cd.c
+       |  WHERE s.vec_id < $nQueries AND cd.vec_id <> s.vec_id),
+       |adc AS (
+       |  SELECT query_id, neighbor_id,
+       |    list_reduce(list_prepend(0.0::DOUBLE, list(d2 ORDER BY j)), (a, x) -> a + x) AS adc
+       |  FROM adcp GROUP BY query_id, neighbor_id),
+       |${pqRerankTail(k, oversample)}""".stripMargin
+
+  /** Oracle for [[graft.similarity.Similarity.ivfPqTopK]]: IVF assignment
+    * + probe (rounded-cosine argmax, ties to the lowest cell — matching
+    * ivfBuild/ivfTopK), ADC over probed-cell members only, cosine
+    * re-rank.
+    */
+  def annIvfPqSql(d: Int, m: Int, kc: Int, k: Int, oversample: Int, nQueries: Int,
+      nlist: Int, nprobe: Int): String =
+    s"""WITH ${pqCtes(d, m, kc)},
+       |cent AS MATERIALIZED (SELECT vec_id AS cell, v AS centroid FROM vecs WHERE vec_id < $nlist),
+       |assign AS MATERIALIZED (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vv.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY vv.vec_id
+       |        ORDER BY round(list_cosine_similarity(vv.v, c.centroid), 6) DESC, c.cell) AS rn
+       |    FROM vecs vv CROSS JOIN cent c) WHERE rn = 1),
+       |probe AS MATERIALIZED (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.vec_id AS query_id, c.cell,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round(list_cosine_similarity(q.v, c.centroid), 6) DESC, c.cell) AS rn
+       |    FROM vecs q CROSS JOIN cent c WHERE q.vec_id < $nQueries) WHERE rn <= $nprobe),
+       |adcp AS MATERIALIZED (
+       |  SELECT p.query_id, cd.vec_id AS neighbor_id, cd.j, s.d2
+       |  FROM codes cd
+       |  JOIN assign a ON a.vec_id = cd.vec_id
+       |  JOIN probe p ON p.cell = a.cell
+       |  JOIN subd s ON s.vec_id = p.query_id AND s.j = cd.j AND s.c = cd.c
+       |  WHERE cd.vec_id <> p.query_id),
+       |adc AS (
+       |  SELECT query_id, neighbor_id,
+       |    list_reduce(list_prepend(0.0::DOUBLE, list(d2 ORDER BY j)), (a, x) -> a + x) AS adc
+       |  FROM adcp GROUP BY query_id, neighbor_id),
+       |${pqRerankTail(k, oversample)}""".stripMargin
 
   /** Oracle for [[graft.dedup.Dedup.simHashPairs]]: token-multiset SimHash
     * fingerprints, byte-band bucketing, Hamming verification.

@@ -256,6 +256,66 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine_sim"), col("rank"))
   }
 
+  /** IVF × PQ: the composed 100 TB ANN shape. The stored artifact is
+    * (id, cell, pq_codes) — cell-partitioned AND 32×-compressed — so a
+    * probe touches ~nprobe/nlist of the corpus and scans m-byte codes
+    * instead of 4·d-byte vectors: at 10⁹ vectors × d=64 that is ~8 GB of
+    * codes across probed cells versus ~256 GB of floats for a flat scan.
+    * Raw vectors are fetched by id only for the final
+    * `k × oversample`-row re-rank. Probe cells + per-query ADC tables
+    * broadcast; the only wide stage is the shortlist top-k.
+    */
+  def ivfPqTopK(
+      indexedCorpus: DataFrame, // ivfBuild output (cell column present)
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      nlist: Int,
+      nprobe: Int,
+      model: PqModel,
+      oversample: Int = 4
+  ): DataFrame = {
+    // the compressed scan artifact (at scale: written partitioned by cell)
+    val codes = pqEncode(indexedCorpus, vecCol, model)
+      .select(col(idCol).as("neighbor_id"), col("cell"), col("pq_codes"))
+    val centroids = indexedCorpus
+      .where(col(idCol) === col("cell"))
+      .select(col("cell"), col(vecCol).as("centroid"))
+      .orderBy(col("cell"))
+      .limit(nlist)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("qtab",
+        e2col(graft.expressions.PqAdcTable(col2e(col("qvec")), model.centroids)))
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cell"))
+    val probeCells = q
+      .join(broadcast(centroids))
+      .withColumn("csim", round(V.cosine(col("qvec"), col("centroid")), 6))
+      .withColumn("rn", row_number().over(wq))
+      .where(col("rn") <= nprobe)
+      .select(col("query_id"), col("qtab"), col("cell"))
+    val wAdc = Window.partitionBy(col("query_id")).orderBy(col("adc").asc, col("neighbor_id"))
+    val shortlist = codes
+      .join(broadcast(probeCells), Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc",
+        e2col(graft.expressions.PqAdc(col2e(col("pq_codes")), col2e(col("qtab")), model.k)))
+      .withColumn("srn", row_number().over(wAdc))
+      .where(col("srn") <= k * oversample)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact re-rank: vectors fetched BY ID for shortlist rows only
+    val vecs = indexedCorpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine_sim").desc, col("neighbor_id"))
+    shortlist
+      .join(vecs, "neighbor_id")
+      .join(broadcast(qv), "query_id")
+      .withColumn("cosine_sim", round(V.cosine(col("qvec"), col("cvec")), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine_sim"), col("rank"))
+  }
+
   /** IVF probe: search only the `nprobe` cells nearest to each query —
     * scans ~nprobe/nlist of the corpus instead of all of it.
     */

@@ -74,7 +74,8 @@ object PlanCheck {
     Check("q_ann_bruteforce", mustContain = Seq("WindowGroupLimit")),
     Check("q_ann_ivf", mustContain = Seq("WindowGroupLimit")),
     Check("q_ann_sketch", mustContain = Seq("WindowGroupLimit")),
-    Check("q_ann_pq", mustContain = Seq("WindowGroupLimit"))
+    Check("q_ann_pq", mustContain = Seq("WindowGroupLimit")),
+    Check("q_ann_ivfpq", mustContain = Seq("WindowGroupLimit"))
   )
 
   def main(args: Array[String]): Unit = {

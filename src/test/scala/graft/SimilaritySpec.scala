@@ -57,6 +57,41 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall=$recall")
   }
 
+  test("IVF×PQ composed ANN: recall vs brute force ≥ 0.5, shortlist from probed cells only") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val queries = emb.where($"vec_id" < 10)
+    val indexed = Similarity.ivfBuild(emb, "embedding", "vec_id", nlist = 16).localCheckpoint(true)
+    val model = Similarity.pqTrain(emb, "embedding", "vec_id", m = 8, k = 16)
+    val exact = Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id", 5)
+      .select($"query_id", $"neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val out = Similarity.ivfPqTopK(indexed, queries, "embedding", "vec_id",
+      k = 5, nlist = 16, nprobe = 8, model, oversample = 8)
+    val approx = out.select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall=$recall")
+    // every reported neighbor must belong to a cell its query probed
+    // (the cell-pruning invariant the 100 TB cost model rests on)
+    val cellOf = indexed.select($"vec_id", $"cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probed: Map[Long, Set[Long]] = {
+      import org.apache.spark.sql.functions._
+      val cents = indexed.where($"vec_id" === $"cell")
+        .select($"cell", $"embedding".as("centroid"))
+      queries.select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+        .join(cents)
+        .withColumn("csim", round(graft.functions.VectorFunctions.cosine($"qvec", $"centroid"), 6))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"query_id").orderBy($"csim".desc, $"cell")))
+        .where($"rn" <= 8)
+        .select($"query_id", $"cell").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    }
+    approx.foreach { case (q, n) =>
+      assert(probed(q).contains(cellOf(n)), s"neighbor $n of query $q came from an unprobed cell")
+    }
+  }
+
   test("PQ Lloyd refinement: quantization error non-increasing per iteration") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val seeded = Similarity.pqTrain(emb, "embedding", "vec_id", m = 8, k = 16)
