@@ -385,11 +385,44 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.7
+  ): DataFrame =
+    minHashIncrementalAgainst(
+      minHashSignatures(corpus, idCol, T.shingleHashes(col(textCol), shingleSize), numHashes),
+      batch, textCol, idCol, shingleSize, numHashes, bands, threshold)
+
+  /** The (id, sig, shset) signature table for `docs` — the ~100 B/doc
+    * artifact an incremental pipeline stores between ingests (and the
+    * streaming state of [[graft.streaming.StreamingDedup]]). Feed it back
+    * through [[minHashIncrementalAgainst]] so the corpus text is never
+    * rescanned per batch.
+    */
+  def minHashSignatureTable(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64
+  ): DataFrame =
+    minHashSignatures(docs, idCol, T.shingleHashes(col(textCol), shingleSize), numHashes)
+
+  /** [[minHashIncremental]] with a PRECOMPUTED corpus signature table
+    * (schema of [[minHashSignatureTable]]) — per-batch cost touches the
+    * batch and the stored artifact only.
+    */
+  def minHashIncrementalAgainst(
+      corpusSignatures: DataFrame,
+      batch: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.7
   ): DataFrame = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val prepC = minHashSignatures(corpus, idCol, T.shingleHashes(col(textCol), shingleSize), numHashes).persist(lvl)
+    val prepC = corpusSignatures.select(col("id"), col("sig"), col("shset")).persist(lvl)
     val prepB = minHashSignatures(batch, idCol, T.shingleHashes(col(textCol), shingleSize), numHashes).persist(lvl)
     def keyed(prep: DataFrame) = prep
       .where(size(col("shset")) > 0) // empty sets never band (sentinel collision)
