@@ -418,12 +418,32 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.7
+  ): DataFrame =
+    minHashIncrementalSigs(
+      corpusSignatures,
+      minHashSignatures(batch, idCol, T.shingleHashes(col(textCol), shingleSize), numHashes),
+      batch, idCol, numHashes, bands, threshold)
+
+  /** Signature-table core: both sides PRECOMPUTED (schema of
+    * [[minHashSignatureTable]]); batch rows join back by `idCol`. Callers
+    * that already hold the batch's signatures (e.g. the streaming path,
+    * which also persists them as the next batches' state) avoid a second
+    * shingle+hash pass over the batch text.
+    */
+  def minHashIncrementalSigs(
+      corpusSignatures: DataFrame,
+      batchSignatures: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.7
   ): DataFrame = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val prepC = corpusSignatures.select(col("id"), col("sig"), col("shset")).persist(lvl)
-    val prepB = minHashSignatures(batch, idCol, T.shingleHashes(col(textCol), shingleSize), numHashes).persist(lvl)
+    val prepB = batchSignatures.select(col("id"), col("sig"), col("shset")).persist(lvl)
     def keyed(prep: DataFrame) = prep
       .where(size(col("shset")) > 0) // empty sets never band (sentinel collision)
       .select(col("id"), posexplode(H.bandHashes(col("sig"), bands, rows)).as(Seq("band", "bucket")))

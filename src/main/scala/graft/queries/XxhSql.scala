@@ -382,14 +382,6 @@ object XxhSql {
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
-  /** Oracle for the [[graft.similarity.Similarity.pqTopK]] query shape
-    * with a seed-trained codebook ([[graft.similarity.Similarity.pqTrain]]
-    * — subvectors of the `kc` lowest-id corpus vectors, no RNG): encode =
-    * argmin squared-L2 per subspace (ties to the lowest code), ADC
-    * shortlist, exact cosine re-rank. Every float reduction is a
-    * sequential fold in the engine's accumulation order, so doubles are
-    * bit-identical.
-    */
   /** Shared PQ CTE block: vecs, seed codebook, per-subspace distances,
     * argmin codes (ties to the lowest code).
     */
@@ -430,6 +422,14 @@ object XxhSql {
        |  JOIN vecs nv ON nv.vec_id = short.neighbor_id)
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
+  /** Oracle for the [[graft.similarity.Similarity.pqTopK]] query shape
+    * with a seed-trained codebook ([[graft.similarity.Similarity.pqTrain]]
+    * — subvectors of the `kc` lowest-id corpus vectors, no RNG): encode =
+    * argmin squared-L2 per subspace (ties to the lowest code), ADC
+    * shortlist, exact cosine re-rank. Every float reduction is a
+    * sequential fold in the engine's accumulation order, so doubles are
+    * bit-identical.
+    */
   def annPqSql(d: Int, m: Int, kc: Int, k: Int, oversample: Int, nQueries: Int): String =
     s"""WITH ${pqCtes(d, m, kc)},
        |adcp AS MATERIALIZED (

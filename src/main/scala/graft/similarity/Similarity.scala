@@ -256,6 +256,38 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine_sim"), col("rank"))
   }
 
+  /** Recover the build-time centroid set from an [[ivfBuild]] output and
+    * rank each query's `nprobe` nearest cells. Centroids are recovered by
+    * ivfBuild's own DEFINITION — the `nlist` lowest-id rows — not by
+    * `id === cell`: a corpus vector identical to a lower-id centroid gets
+    * assigned to that lower cell, so the `id === cell` filter would
+    * silently drop its centroid and diverge from the build (and from the
+    * DuckDB oracle's fixed centroid set). `nlist` still bounds the set, so
+    * a caller passing a different nlist than the build's cannot probe a
+    * larger one. Returns (query_id, cell).
+    */
+  private def probeCells(
+      indexedCorpus: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      nlist: Int,
+      nprobe: Int
+  ): DataFrame = {
+    val centroids = indexedCorpus
+      .select(col(idCol), col(vecCol))
+      .orderBy(col(idCol))
+      .limit(nlist)
+      .select(col(idCol).as("cell"), col(vecCol).as("centroid"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cell"))
+    q.join(broadcast(centroids))
+      .withColumn("csim", round(V.cosine(col("qvec"), col("centroid")), 6))
+      .withColumn("rn", row_number().over(wq))
+      .where(col("rn") <= nprobe)
+      .select(col("query_id"), col("cell"))
+  }
+
   /** IVF × PQ: the composed 100 TB ANN shape. The stored artifact is
     * (id, cell, pq_codes) — cell-partitioned AND 32×-compressed — so a
     * probe touches ~nprobe/nlist of the corpus and scans m-byte codes
@@ -279,25 +311,20 @@ object Similarity {
     // the compressed scan artifact (at scale: written partitioned by cell)
     val codes = pqEncode(indexedCorpus, vecCol, model)
       .select(col(idCol).as("neighbor_id"), col("cell"), col("pq_codes"))
-    val centroids = indexedCorpus
-      .where(col(idCol) === col("cell"))
-      .select(col("cell"), col(vecCol).as("centroid"))
-      .orderBy(col("cell"))
-      .limit(nlist)
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val probed = probeCells(indexedCorpus, queries, vecCol, idCol, nlist, nprobe)
+    // ADC tables join by query_id SEPARATELY from the probe-cell pairs so
+    // each m·k-double table broadcasts ONCE per query, not once per
+    // (query, cell) — at 10⁵ queries × nprobe=8 that is the difference
+    // between ~100 MB and ~800 MB of broadcast
+    val qtabs = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
       .withColumn("qtab",
         e2col(graft.expressions.PqAdcTable(col2e(col("qvec")), model.centroids)))
-    val wq = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cell"))
-    val probeCells = q
-      .join(broadcast(centroids))
-      .withColumn("csim", round(V.cosine(col("qvec"), col("centroid")), 6))
-      .withColumn("rn", row_number().over(wq))
-      .where(col("rn") <= nprobe)
-      .select(col("query_id"), col("qtab"), col("cell"))
+      .select(col("query_id"), col("qtab"))
     val wAdc = Window.partitionBy(col("query_id")).orderBy(col("adc").asc, col("neighbor_id"))
     val shortlist = codes
-      .join(broadcast(probeCells), Seq("cell"))
+      .join(broadcast(probed), Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
+      .join(broadcast(qtabs), Seq("query_id"))
       .withColumn("adc",
         e2col(graft.expressions.PqAdc(col2e(col("pq_codes")), col2e(col("qtab")), model.k)))
       .withColumn("srn", row_number().over(wAdc))
@@ -328,26 +355,13 @@ object Similarity {
       nlist: Int,
       nprobe: Int
   ): DataFrame = {
-    // recover the build-time centroid set; nlist bounds it so a caller
-    // passing a DIFFERENT nlist than the build's cannot silently probe a
-    // larger/skewed centroid set
-    val centroids = indexedCorpus
-      .where(col(idCol) === col("cell"))
-      .select(col("cell"), col(vecCol).as("centroid"))
-      .orderBy(col("cell"))
-      .limit(nlist)
+    val probed = probeCells(indexedCorpus, queries, vecCol, idCol, nlist, nprobe)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-    val wq = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cell"))
-    val probeCells = q
-      .join(broadcast(centroids))
-      .withColumn("csim", round(V.cosine(col("qvec"), col("centroid")), 6))
-      .withColumn("rn", row_number().over(wq))
-      .where(col("rn") <= nprobe)
-      .select(col("query_id"), col("qvec"), col("cell"))
     val scored = indexedCorpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"), col("cell"))
-      .join(broadcast(probeCells), Seq("cell"))
+      .join(broadcast(probed), Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
       .withColumn("cosine_sim", round(V.cosine(col("qvec"), col("cvec")), 6))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine_sim").desc, col("neighbor_id"))
     scored

@@ -20,9 +20,15 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * Exactly-once across restarts: survivors AND their signatures land in
   * `batch=<id>` subdirectories, so a replayed micro-batch (stream
   * checkpoint behind the last commit) OVERWRITES its own previous output
-  * instead of appending duplicates; batches are deduped against the
-  * signature state as of their first run, which the replay reproduces
-  * (signature reads exclude the replaying batch's own directory).
+  * instead of appending duplicates. Signature reads exclude the replaying
+  * batch's own directory; for the normal restart case (replaying the
+  * LATEST batch) that reproduces the state of its first run exactly. A
+  * backfill replay of an OLDER batch additionally sees signatures of
+  * batches committed after it — still convergent, because band collision
+  * and Jaccard verification are symmetric and deterministic: any later
+  * survivor colliding with the replayed batch's docs would already have
+  * been dropped at ITS admission, so the extra state can only re-confirm,
+  * never flip, the original survivor set.
   */
 object StreamingDedup {
 
@@ -60,26 +66,38 @@ object StreamingDedup {
       bands: Int = 16
   ): Unit = {
     val spark = batch.sparkSession
-    // state as of this batch's FIRST run: every batch directory except our
-    // own (a replay must not dedup the batch against its own signatures)
-    val corpusSigs = readSignatures(spark, sigDir, excludeBatch = Some(batchId))
-    val survivors = (corpusSigs match {
-      case Some(sigs) =>
-        Dedup.minHashIncrementalAgainst(sigs, batch, textCol, idCol,
-          shingleSize, numHashes, bands, threshold)
-      case None => // first batch: dedup only within itself
-        Dedup.minHashIncrementalAgainst(
-          emptySignatures(spark), batch, textCol, idCol,
-          shingleSize, numHashes, bands, threshold)
-    }).localCheckpoint(true)
-    survivors.write.mode("overwrite").parquet(s"$survivorsDir/batch=$batchId")
-    Dedup.minHashSignatureTable(survivors, textCol, idCol, shingleSize, numHashes)
-      .write.mode("overwrite").parquet(s"$sigDir/batch=$batchId")
+    // batch signatures are computed ONCE and reused as both the dedup
+    // input and the persisted state — the batch text is hashed exactly
+    // one time
+    val batchSigs = Dedup.minHashSignatureTable(batch, textCol, idCol, shingleSize, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // prior state: every batch directory except our own (a replay must
+      // not dedup the batch against its own signatures)
+      val corpusSigs = readSignatures(spark, sigDir, excludeBatch = Some(batchId))
+        .getOrElse(emptySignatures(spark))
+      val survivors = Dedup
+        .minHashIncrementalSigs(corpusSigs, batchSigs, batch, idCol, numHashes, bands, threshold)
+        .localCheckpoint(true)
+      survivors.write.mode("overwrite").parquet(s"$survivorsDir/batch=$batchId")
+      batchSigs
+        .join(survivors.select(col(idCol).as("id")), Seq("id"), "left_semi")
+        .write.mode("overwrite").parquet(s"$sigDir/batch=$batchId")
+    } finally batchSigs.unpersist()
   }
 
-  /** All admitted survivors so far. */
-  def readSurvivors(spark: SparkSession, survivorsDir: String): DataFrame =
+  /** All admitted survivors so far. Fails with a clear message before the
+    * first batch commits (the schema is unknowable until then).
+    */
+  def readSurvivors(spark: SparkSession, survivorsDir: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(survivorsDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val any = fs.exists(root) &&
+      fs.listStatus(root).exists(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+    if (!any) throw new IllegalStateException(
+      s"no committed batches under $survivorsDir yet — the stream has not produced output")
     spark.read.option("basePath", survivorsDir).parquet(s"$survivorsDir/batch=*")
+  }
 
   private def emptySignatures(spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.types._
