@@ -265,6 +265,70 @@ object Dedup {
       col(idCol).as("id"),
       explode(T.shingleHashes(col(textCol), w)).as("span_hash"))
 
+  /** Exact substring dedup at character level — the suffix-array
+    * use-case (find text duplicated verbatim across documents, Lee et
+    * al.'s "exact substring deduplication"), re-expressed Spark-native:
+    * every duplicated substring of length ≥ L CONTAINS a duplicated
+    * L-char window (its first L characters), so rolling-hashing all L-char
+    * windows — one fused pass per row, O(chars) total — detects exactly
+    * the documents a suffix array would flag, with no false negatives
+    * (false positives only via 64-bit hash collision). What a suffix
+    * array adds is the maximal extent of each duplicate; the positional
+    * window set recovers the same signal as COVERAGE: the union of
+    * [i, i+L) over duplicated window starts i is precisely the characters
+    * lying inside some cross-document duplicate of length ≥ L.
+    *
+    * Returns per-doc (id, n_windows, n_dup_windows, dup_window_frac,
+    * dup_char_frac) where dup_char_frac is that exact covered-character
+    * fraction — the threshold signal for dropping boilerplate-heavy
+    * documents. Distribution: one fused scan, one (window_hash, doc)
+    * count aggregation (uniform 64-bit keys, map-side combine), one
+    * per-doc sort-window pass; document text never shuffles.
+    */
+  def exactSubstringDupStats(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      minLen: Int = 50,
+      minDocs: Int = 2
+  ): DataFrame = {
+    // (id, pos, h): every L-window hash with its 0-based start offset in
+    // the normalized text; within-doc DISTINCT by first occurrence would
+    // undercount coverage, so all positions are kept
+    val wins = docs.select(
+        col(idCol).as("id"),
+        posexplode(T.charWindowHashes(col(textCol), minLen)).as(Seq("pos", "h")))
+    // windows duplicated ACROSS documents (distinct docs ≥ minDocs);
+    // within-doc repeats alone do not make a window a cross-doc duplicate
+    val dup = wins.select(col("id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("__docs"))
+      .where(col("__docs") >= minDocs)
+      .select(col("h"))
+    // merged-interval coverage: duplicated starts sorted per doc; each
+    // start contributes min(L, gap to the next duplicated start), the
+    // last a full L — the exact union length of overlapping [pos, pos+L)
+    val wNext = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val covered = wins.join(dup, "h")
+      .select(col("id"), col("pos"))
+      .withColumn("__next", lead(col("pos"), 1).over(wNext))
+      .withColumn("__contrib",
+        when(col("__next").isNull, lit(minLen))
+          .otherwise(least(lit(minLen), col("__next") - col("pos"))))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_dup_windows"), sum(col("__contrib")).as("dup_chars"))
+    wins.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_windows"), (max(col("pos")) + minLen).as("__n_chars"))
+      .join(covered, Seq("id"), "left")
+      .select(
+        col("id"),
+        col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        round(coalesce(col("n_dup_windows"), lit(0L)).cast("double") / col("n_windows"), 6)
+          .as("dup_window_frac"),
+        round(coalesce(col("dup_chars"), lit(0L)).cast("double") / col("__n_chars"), 6)
+          .as("dup_char_frac"))
+  }
+
   /** Assign each doc a cluster representative = min id reachable over the
     * pair graph: iterated min-label propagation (distributed connected
     * components, bounded iterations).

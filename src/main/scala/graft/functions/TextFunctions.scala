@@ -94,6 +94,13 @@ object TextFunctions {
   def charShingleHashes(c: Column, n: Int): Column =
     e2col(graft.expressions.ShingleHashes(col2e(c), n, charLevel = true, distinct = true))
 
+  /** ALL character n-gram window hashes in POSITION order (element i =
+    * hash of the window starting at normalized-text offset i) — the
+    * positional form exact-substring dedup needs (fused).
+    */
+  def charWindowHashes(c: Column, n: Int): Column =
+    e2col(graft.expressions.ShingleHashes(col2e(c), n, charLevel = true, distinct = false))
+
   /** xxhash64 values of the token MULTISET (duplicates kept — SimHash
     * voting needs them), fused.
     */

@@ -209,6 +209,15 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // exact substring dedup (the suffix-array use-case, window-hash
+    // re-expression): per-doc duplicated-window and covered-char
+    // fractions for cross-doc verbatim L-char duplicates (full oracle)
+    "q_substring_dedup" -> ((s, dir) => {
+      Dedup.exactSubstringDupStats(t(s, dir, "documents"), "text", "doc_id", minLen = 40, minDocs = 2)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // IVF × PQ composed ANN: cell-pruned probe over the 32×-compressed
     // code artifact, exact re-rank — the 100 TB shape (full oracle)
     "q_ann_ivfpq" -> ((s, dir) => {
@@ -460,6 +469,29 @@ object LlmQueries {
     "q_ann_pq" -> XxhSql.annPqSql(d = 64, m = 8, kc = 16, k = 5, oversample = 8, nQueries = 5),
     "q_ann_ivfpq" -> XxhSql.annIvfPqSql(d = 64, m = 8, kc = 16, k = 5, oversample = 8,
       nQueries = 5, nlist = 16, nprobe = 8),
+    // windows compared as SUBSTRINGS (the engine's xxhash64 identity is
+    // collision-free at this scale, so the sets coincide)
+    "q_substring_dedup" ->
+      s"""WITH wins AS MATERIALIZED (
+         |  SELECT doc_id, u.pos AS pos, u.w AS w FROM (
+         |    SELECT doc_id,
+         |      unnest([{'pos': i - 1, 'w': substr(norm, CAST(i AS INTEGER), 40)}
+         |              FOR i IN range(1, greatest(length(norm) - 38, 1))]) AS u
+         |    FROM (SELECT doc_id, $normSql AS norm FROM documents WHERE text IS NOT NULL))),
+         |dup AS MATERIALIZED (
+         |  SELECT w FROM (SELECT DISTINCT doc_id, w FROM wins) GROUP BY w HAVING count(*) >= 2),
+         |cov AS (
+         |  SELECT doc_id, count(*) AS n_dup_windows, sum(contrib) AS dup_chars FROM (
+         |    SELECT doc_id, CASE WHEN nxt IS NULL THEN 40 ELSE least(40, nxt - pos) END AS contrib FROM (
+         |      SELECT wins.doc_id, pos, lead(pos) OVER (PARTITION BY wins.doc_id ORDER BY pos) AS nxt
+         |      FROM wins JOIN dup USING (w)))
+         |  GROUP BY doc_id),
+         |tot AS (SELECT doc_id, count(*) AS n_windows, max(pos) + 40 AS n_chars FROM wins GROUP BY doc_id)
+         |SELECT tot.doc_id, n_windows,
+         |  CAST(coalesce(n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+         |  round(coalesce(n_dup_windows, 0) / CAST(n_windows AS DOUBLE), 6) AS dup_window_frac,
+         |  round(coalesce(dup_chars, 0) / CAST(n_chars AS DOUBLE), 6) AS dup_char_frac
+         |FROM tot LEFT JOIN cov USING (doc_id) ORDER BY tot.doc_id""".stripMargin,
     "q_repetition" ->
       s"""SELECT doc_id,
          |  round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(maxw AS DOUBLE) / len(toks) END, 6) AS top_word_frac,

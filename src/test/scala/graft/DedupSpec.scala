@@ -175,4 +175,40 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)))
     assert(!pairs.exists(p => p._2 == 2L))
   }
+
+  test("exact substring dedup: any >= L verbatim duplicate is detected, coverage exact") {
+    import org.apache.spark.sql.functions.col
+    // 60 lowercase chars of shared boilerplate (> L = 40) embedded
+    // verbatim in docs 1 and 2 at different offsets; doc 3 is clean
+    val boiler = "shared boilerplate sentence that appears verbatim in two docs"
+    assert(boiler.length == 61)
+    val docs = Seq(
+      (1L, s"alpha unique preamble text here $boiler and a unique alpha tail section"),
+      (2L, s"totally different beta document opening words $boiler closing beta remarks"),
+      (3L, "this third document shares nothing with the others at all in any window of text")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactSubstringDupStats(docs, "text", "doc_id", minLen = 40, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // suffix-array equivalence: the >= L duplicate is found in BOTH docs
+    assert(out(1L).getAs[Long]("n_dup_windows") > 0, "duplicate missed in doc 1")
+    assert(out(2L).getAs[Long]("n_dup_windows") > 0, "duplicate missed in doc 2")
+    assert(out(3L).getAs[Long]("n_dup_windows") == 0, "false positive in clean doc")
+    assert(out(3L).getAs[Double]("dup_char_frac") == 0.0)
+    // coverage: the maximal shared run is " boiler " (the single-space
+    // separators flank it identically in both docs) = |boiler| + 2 chars,
+    // yielding run - L + 1 duplicated windows whose interval union is
+    // exactly `run` chars — merged-interval math must not overcount
+    val run = boiler.length + 2
+    val expectedWindows = run - 40 + 1
+    assert(out(1L).getAs[Long]("n_dup_windows") == expectedWindows,
+      s"doc1 windows: ${out(1L).getAs[Long]("n_dup_windows")} vs $expectedWindows")
+    val normLen1 = out(1L).getAs[Long]("n_windows") + 40 - 1
+    val expectedFrac1 = BigDecimal(run.toDouble / normLen1)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L).getAs[Double]("dup_char_frac") == expectedFrac1,
+      s"doc1 coverage ${out(1L).getAs[Double]("dup_char_frac")} vs $expectedFrac1")
+    // docs shorter than L produce no windows and are absent, not wrong
+    val short = Seq((9L, "tiny")).toDF("doc_id", "text")
+    assert(Dedup.exactSubstringDupStats(short, "text", "doc_id", minLen = 40).count() == 0)
+  }
 }
