@@ -44,7 +44,8 @@ object Bench {
     "q_forward_fill",
     "q_embed_centroid",
     "q_ann_pq",
-    "q_ann_ivfpq"
+    "q_ann_ivfpq",
+    "q_substring_dedup"
   )
 
   def main(args: Array[String]): Unit = {
