@@ -148,11 +148,15 @@ object Similarity {
     * steps — assign every subvector to its nearest centroid (one narrow
     * encode pass), recompute centroids as per-(subspace, code) means (one
     * aggregation shuffling m rows per corpus vector of dsub doubles
-    * each), collect the m×k×dsub result to the driver. Deterministic
-    * (assignment ties break to the lowest code, means are exact
-    * aggregates); empty cells keep their previous centroid. Quantization
-    * error is non-increasing per iteration (the Lloyd guarantee), which
-    * SimilaritySpec asserts.
+    * each), collect the m×k×dsub result to the driver. Assignment ties
+    * break to the lowest code; empty cells keep their previous centroid.
+    * NOTE: the per-cell mean is a floating-point `sum`, whose partial-
+    * combine order depends on partitioning — refined centroids can differ
+    * in final ulps across cluster layouts (assignments rarely flip, but
+    * bit-reproducibility is NOT guaranteed, which is why the oracle-gated
+    * q_ann_pq/q_ann_ivfpq queries use the seed-trained codebook).
+    * Quantization error is non-increasing per iteration (the Lloyd
+    * guarantee), which SimilaritySpec asserts.
     */
   def pqRefine(corpus: DataFrame, vecCol: String, model: PqModel, iters: Int = 1): PqModel = {
     var cur = model
