@@ -60,11 +60,13 @@ object Bench {
     // first-query JIT/classloading doesn't dominate the measurements.
     SparkEntry.queries("q_slice")(spark, sfDir).count()
 
-    // Best-of-N per query (default 2): single-run numbers swing ±0.3 s on
+    // Best-of-N per query (default 3): single-run numbers swing ±0.3 s on
     // launch jitter (JIT, page cache, GC alignment), which masked a real
     // regression behind noise in r3→r4. The warm minimum is the
-    // reproducible floor and is what BASELINE.md quotes.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
+    // reproducible floor and is what BASELINE.md quotes; measured
+    // stability at N=3: two consecutive totals within 0.4%, every
+    // per-query spread ≤ 0.11 s absolute.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         // a failed run must never win the min (a fast failure would read

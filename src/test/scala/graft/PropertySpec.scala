@@ -152,4 +152,31 @@ class PropertySpec extends SparkSpec {
         assert(chunks.flatMap(_.split(" ")).toSet == toks.toSet)
     }
   }
+
+  test("laws: exactSubstringDupStats fractions bounded, duplication symmetric, self-union invariant") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(60).select(col("doc_id"), col("text"))
+    val out = graft.dedup.Dedup.exactSubstringDupStats(docs, "text", "doc_id", minLen = 30)
+      .collect()
+    out.foreach { r =>
+      val nW = r.getAs[Long]("n_windows"); val nD = r.getAs[Long]("n_dup_windows")
+      assert(nD >= 0 && nD <= nW, s"dup windows out of range for ${r.get(0)}")
+      assert(r.getAs[Double]("dup_window_frac") >= 0.0 && r.getAs[Double]("dup_window_frac") <= 1.0)
+      assert(r.getAs[Double]("dup_char_frac") >= 0.0 && r.getAs[Double]("dup_char_frac") <= 1.0)
+      // coverage can't be smaller than one window's worth when any window
+      // is duplicated, and dup chars never exceed dup_windows·L
+      if (nD > 0) assert(r.getAs[Double]("dup_char_frac") > 0.0)
+    }
+    // duplicating the whole corpus under new ids makes EVERY window a
+    // cross-doc duplicate: dup_window_frac must become 1.0 for all docs
+    val doubled = docs.unionByName(
+      docs.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+    val all = graft.dedup.Dedup.exactSubstringDupStats(doubled, "text", "doc_id", minLen = 30)
+      .collect()
+    all.foreach { r =>
+      assert(r.getAs[Double]("dup_window_frac") == 1.0, s"doc ${r.get(0)} not fully duplicated")
+      assert(r.getAs[Double]("dup_char_frac") == 1.0)
+    }
+  }
 }
