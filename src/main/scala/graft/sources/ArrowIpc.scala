@@ -14,10 +14,10 @@ import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.vectorized.{ArrowColumnVector, ColumnarBatch, ColumnVector}
 
-import java.io.{EOFException, OutputStream}
+import java.io.OutputStream
 import java.nio.ByteBuffer
 import java.nio.channels.{Channels, SeekableByteChannel}
-import scala.collection.JavaConverters._
+import scala.jdk.CollectionConverters._
 
 /** Arrow IPC file interop — the reference's native storage format
   * (LZ4-frame-compressed Arrow IPC batch files; reference
@@ -78,6 +78,8 @@ object ArrowIpc {
           private val alloc = new RootAllocator(Long.MaxValue)
           private val ch = new HadoopSeekableChannel(hfs, hp)
           private val reader = new ArrowFileReader(ch, alloc, CommonsCompressionFactory.INSTANCE)
+          /** This file's schema (footer is already loaded — free). */
+          def fileSchema: StructType = fromArrowSchema(reader.getVectorSchemaRoot.getSchema)
           private var batch: Iterator[Row] = Iterator.empty
           private var open = true
           /** Idempotent; also invoked from the task-completion listener so
@@ -103,6 +105,18 @@ object ArrowIpc {
         }
         Option(org.apache.spark.TaskContext.get())
           .foreach(_.addTaskCompletionListener[Unit](_ => it.closeAll()))
+        // store invariant, checked AFTER the cleanup listener is in place
+        // (a construction-time throw must not leak the allocator): a file
+        // whose schema diverges from the directory's fails with the
+        // offending PATH, not a downstream vector-cast error
+        // names + types only: a nullability-flag delta is representable in
+        // the directory schema and not worth failing a scan over
+        if (it.fileSchema.map(f => (f.name, f.dataType)) != schema.map(f => (f.name, f.dataType))) {
+          it.closeAll()
+          throw new IllegalArgumentException(
+            s"Arrow IPC file $file schema ${it.fileSchema.simpleString} differs from " +
+              s"the directory schema ${schema.simpleString}")
+        }
         it
       }
     spark.createDataFrame(rows, schema)

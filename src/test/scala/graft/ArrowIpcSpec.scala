@@ -140,6 +140,24 @@ class ArrowIpcSpec extends SparkSpec {
     intercept[IllegalArgumentException] { ArrowIpc.write(df, tmp("ipc_bad")) }
   }
 
+  test("mixed-schema directory fails with the offending file, not a vector-cast error") {
+    val out = tmp("ipc_mixed")
+    ArrowIpc.write(Seq((1L, "a")).toDF("id", "s").repartition(1), out)
+    // sneak in a second file with a different schema
+    val rogue = Seq((1, 2.0)).toDF("x", "y").repartition(1)
+    val rogueDir = tmp("ipc_rogue")
+    ArrowIpc.write(rogue, rogueDir)
+    import scala.collection.JavaConverters._
+    val rogueFile = Files.list(Paths.get(rogueDir)).iterator().asScala
+      .find(_.toString.endsWith(".arrow")).get
+    Files.copy(rogueFile, Paths.get(out, "zz-rogue.arrow"))
+    val e = intercept[org.apache.spark.SparkException] {
+      ArrowIpc.read(spark, out).count()
+    }
+    assert(e.getMessage.contains("zz-rogue") || Option(e.getCause).exists(_.getMessage.contains("zz-rogue")),
+      s"error does not name the offending file: ${e.getMessage}")
+  }
+
   test("write commits atomically: _SUCCESS present, no temp files; partial drain safe") {
     import scala.collection.JavaConverters._
     val df = spark.createDataFrame(
