@@ -75,7 +75,13 @@ object PlanCheck {
     Check("q_ann_ivf", mustContain = Seq("WindowGroupLimit")),
     Check("q_ann_sketch", mustContain = Seq("WindowGroupLimit")),
     Check("q_ann_pq", mustContain = Seq("WindowGroupLimit")),
-    Check("q_ann_ivfpq", mustContain = Seq("WindowGroupLimit"))
+    Check("q_ann_ivfpq", mustContain = Seq("WindowGroupLimit")),
+    // substring dedup: window counts combine map-side before the exchange;
+    // the only joins are uniform-key hash joins on the dup window set
+    Check(
+      "q_substring_dedup",
+      mustContain = Seq("partial_count", "HashAggregate"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
   )
 
   def main(args: Array[String]): Unit = {
