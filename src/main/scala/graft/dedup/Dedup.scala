@@ -281,9 +281,14 @@ object Dedup {
     * Returns per-doc (id, n_windows, n_dup_windows, dup_window_frac,
     * dup_char_frac) where dup_char_frac is that exact covered-character
     * fraction — the threshold signal for dropping boilerplate-heavy
-    * documents. Distribution: one fused scan, one (window_hash, doc)
-    * count aggregation (uniform 64-bit keys, map-side combine), one
-    * per-doc sort-window pass; document text never shuffles.
+    * documents. Distribution: the window table feeds three consumers
+    * (dup-set aggregation, coverage join, per-doc totals), so it is
+    * persisted and the fused hash pass runs ONCE; the shuffles are a
+    * (window_hash, doc) count aggregation on uniform 64-bit keys
+    * (map-side combine) and one per-doc sort-window pass. Document text
+    * never shuffles. The result is materialized (localCheckpoint) so the
+    * persist releases before returning — no cache entry outlives the
+    * call.
     */
   def exactSubstringDupStats(
       docs: DataFrame,
@@ -298,6 +303,7 @@ object Dedup {
     val wins = docs.select(
         col(idCol).as("id"),
         posexplode(T.charWindowHashes(col(textCol), minLen)).as(Seq("pos", "h")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // windows duplicated ACROSS documents (distinct docs ≥ minDocs);
     // within-doc repeats alone do not make a window a cross-doc duplicate
     val dup = wins.select(col("id"), col("h")).distinct()
@@ -316,7 +322,7 @@ object Dedup {
           .otherwise(least(lit(minLen), col("__next") - col("pos"))))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_dup_windows"), sum(col("__contrib")).as("dup_chars"))
-    wins.groupBy(col("id"))
+    val out = wins.groupBy(col("id"))
       .agg(count(lit(1)).as("n_windows"), (max(col("pos")) + minLen).as("__n_chars"))
       .join(covered, Seq("id"), "left")
       .select(
@@ -327,6 +333,9 @@ object Dedup {
           .as("dup_window_frac"),
         round(coalesce(col("dup_chars"), lit(0L)).cast("double") / col("__n_chars"), 6)
           .as("dup_char_frac"))
+      .localCheckpoint(true)
+    wins.unpersist()
+    out
   }
 
   /** Assign each doc a cluster representative = min id reachable over the

@@ -108,13 +108,15 @@ object ArrowIpc {
         // store invariant, checked AFTER the cleanup listener is in place
         // (a construction-time throw must not leak the allocator): a file
         // whose schema diverges from the directory's fails with the
-        // offending PATH, not a downstream vector-cast error
+        // offending PATH, not a downstream vector-cast error.
         // names + types only: a nullability-flag delta is representable in
-        // the directory schema and not worth failing a scan over
-        if (it.fileSchema.map(f => (f.name, f.dataType)) != schema.map(f => (f.name, f.dataType))) {
+        // the directory schema and not worth failing a scan over.
+        // read the schema BEFORE closeAll — the reader is closed after.
+        val fSchema = it.fileSchema
+        if (fSchema.map(f => (f.name, f.dataType)) != schema.map(f => (f.name, f.dataType))) {
           it.closeAll()
           throw new IllegalArgumentException(
-            s"Arrow IPC file $file schema ${it.fileSchema.simpleString} differs from " +
+            s"Arrow IPC file $file schema ${fSchema.simpleString} differs from " +
               s"the directory schema ${schema.simpleString}")
         }
         it

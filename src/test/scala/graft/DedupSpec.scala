@@ -178,7 +178,7 @@ class DedupSpec extends SparkSpec {
 
   test("exact substring dedup: any >= L verbatim duplicate is detected, coverage exact") {
     import org.apache.spark.sql.functions.col
-    // 60 lowercase chars of shared boilerplate (> L = 40) embedded
+    // 61 lowercase chars of shared boilerplate (> L = 40) embedded
     // verbatim in docs 1 and 2 at different offsets; doc 3 is clean
     val boiler = "shared boilerplate sentence that appears verbatim in two docs"
     assert(boiler.length == 61)

@@ -155,8 +155,10 @@ class PropertySpec extends SparkSpec {
 
   test("laws: exactSubstringDupStats fractions bounded, duplication symmetric, self-union invariant") {
     import org.apache.spark.sql.functions.col
+    // deterministic subset: unordered limit() evaluates independently per
+    // consumer and may pick different rows in the two union branches
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-      .limit(60).select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id")).limit(60).select(col("doc_id"), col("text"))
     val out = graft.dedup.Dedup.exactSubstringDupStats(docs, "text", "doc_id", minLen = 30)
       .collect()
     out.foreach { r =>
@@ -170,8 +172,10 @@ class PropertySpec extends SparkSpec {
     }
     // duplicating the whole corpus under new ids makes EVERY window a
     // cross-doc duplicate: dup_window_frac must become 1.0 for all docs
+    // (offset derived from the data so planted ids can never collide)
+    val offset = docs.agg(org.apache.spark.sql.functions.max(col("doc_id"))).head.getLong(0) + 1
     val doubled = docs.unionByName(
-      docs.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      docs.select((col("doc_id") + offset).as("doc_id"), col("text")))
     val all = graft.dedup.Dedup.exactSubstringDupStats(doubled, "text", "doc_id", minLen = 30)
       .collect()
     all.foreach { r =>
