@@ -282,13 +282,15 @@ object Dedup {
     * dup_char_frac) where dup_char_frac is that exact covered-character
     * fraction — the threshold signal for dropping boilerplate-heavy
     * documents. Distribution: the window table feeds three consumers
-    * (dup-set aggregation, coverage join, per-doc totals), so it is
-    * persisted and the fused hash pass runs ONCE; the shuffles are a
+    * (dup-set aggregation, coverage join, per-doc totals) and is
+    * RECOMPUTED per consumer, deliberately: the fused hash pass is
+    * scan-local codegen'd CPU over compressed parquet, while persisting
+    * the exploded table would materialize ~20 B × corpus characters to
+    * the block store — measured 10× slower at bench scale and the wrong
+    * trade at 100 TB too (cache I/O ≫ re-hash CPU). The shuffles are a
     * (window_hash, doc) count aggregation on uniform 64-bit keys
-    * (map-side combine) and one per-doc sort-window pass. Document text
-    * never shuffles. The result is materialized (localCheckpoint) so the
-    * persist releases before returning — no cache entry outlives the
-    * call.
+    * (map-side combine) and one per-doc sort-window pass; document text
+    * never shuffles.
     */
   def exactSubstringDupStats(
       docs: DataFrame,
@@ -303,7 +305,6 @@ object Dedup {
     val wins = docs.select(
         col(idCol).as("id"),
         posexplode(T.charWindowHashes(col(textCol), minLen)).as(Seq("pos", "h")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // windows duplicated ACROSS documents (distinct docs ≥ minDocs);
     // within-doc repeats alone do not make a window a cross-doc duplicate
     val dup = wins.select(col("id"), col("h")).distinct()
@@ -322,7 +323,7 @@ object Dedup {
           .otherwise(least(lit(minLen), col("__next") - col("pos"))))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_dup_windows"), sum(col("__contrib")).as("dup_chars"))
-    val out = wins.groupBy(col("id"))
+    wins.groupBy(col("id"))
       .agg(count(lit(1)).as("n_windows"), (max(col("pos")) + minLen).as("__n_chars"))
       .join(covered, Seq("id"), "left")
       .select(
@@ -333,9 +334,6 @@ object Dedup {
           .as("dup_window_frac"),
         round(coalesce(col("dup_chars"), lit(0L)).cast("double") / col("__n_chars"), 6)
           .as("dup_char_frac"))
-      .localCheckpoint(true)
-    wins.unpersist()
-    out
   }
 
   /** Assign each doc a cluster representative = min id reachable over the
