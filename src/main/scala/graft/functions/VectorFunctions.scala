@@ -45,4 +45,13 @@ object VectorFunctions {
     * generation.
     */
   def lshBits(vec: Column, nBits: Int): Column = c(HyperplaneLsh(e(vec), nBits))
+
+  /** Symmetric absmax int8 quantization → struct(scale, codes) — the 4×
+    * embedding compression a 100 TB vector store scans (reconstruction
+    * error ≤ scale/2 per element; see QuantizeInt8).
+    */
+  def quantizeInt8(vec: Column): Column = c(graft.expressions.QuantizeInt8(e(vec)))
+
+  /** Inverse of [[quantizeInt8]]: codes·scale as array<double>. */
+  def dequantizeInt8(q: Column): Column = c(graft.expressions.DequantizeInt8(e(q)))
 }

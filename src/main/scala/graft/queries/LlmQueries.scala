@@ -209,6 +209,19 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // int8 embedding quantization: 4× smaller vector storage; per-vector
+    // scale and exact reconstruction L2 error (full oracle)
+    "q_embed_quantize" -> ((s, dir) => {
+      import graft.functions.{VectorFunctions => V}
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), V.quantizeInt8(col("embedding")).as("__q"),
+          col("embedding").cast("array<double>").as("__v"))
+        .select(col("vec_id"),
+          round(col("__q.scale"), 6).as("scale"),
+          round(V.l2Distance(col("__v"), V.dequantizeInt8(col("__q"))), 6).as("l2_err"))
+        .orderBy(col("vec_id"))
+    }),
+
     // exact substring dedup (the suffix-array use-case, window-hash
     // re-expression): per-doc duplicated-window and covered-char
     // fractions for cross-doc verbatim L-char duplicates (full oracle)
@@ -469,6 +482,24 @@ object LlmQueries {
     "q_ann_pq" -> XxhSql.annPqSql(d = 64, m = 8, kc = 16, k = 5, oversample = 8, nQueries = 5),
     "q_ann_ivfpq" -> XxhSql.annIvfPqSql(d = 64, m = 8, kc = 16, k = 5, oversample = 8,
       nQueries = 5, nlist = 16, nprobe = 8),
+    // absmax scaling and floor(x/scale + 0.5) rounding are IEEE-exact in
+    // both engines; the L2 error folds sequentially to match the engine's
+    // accumulation order
+    "q_embed_quantize" ->
+      """WITH q AS MATERIALIZED (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127 AS scale
+        |  FROM embeddings),
+        |c AS MATERIALIZED (
+        |  SELECT vec_id, v, scale,
+        |    [CASE WHEN scale = 0 THEN 0.0 ELSE greatest(-127.0, least(127.0, floor(v[i] / scale + 0.5))) END
+        |     FOR i IN range(1, len(v) + 1)] AS codes
+        |  FROM q)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |  round(sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |    [(v[i] - codes[i] * scale) * (v[i] - codes[i] * scale) FOR i IN range(1, len(v) + 1)]),
+        |    (a, x) -> a + x)), 6) AS l2_err
+        |FROM c ORDER BY vec_id""".stripMargin,
     // windows compared as SUBSTRINGS (the engine's xxhash64 identity is
     // collision-free at this scale, so the sets coincide)
     "q_substring_dedup" ->

@@ -58,6 +58,19 @@ object CodegenCheck {
       sys.error(s"[codegen] PQ kernels NOT in generated code: $pqMissing")
     }
     pqDf.head()
+    // int8 quantize/dequantize round-trip stays codegen'd
+    val qzDf = spark.range(8)
+      .select(array(col("id").cast("double"), lit(-3.5), lit(2.25)).as("v"))
+      .select(graft.functions.VectorFunctions.dequantizeInt8(
+        graft.functions.VectorFunctions.quantizeInt8(col("v"))).as("dq"))
+    val genQz = org.apache.spark.sql.execution.debug.codegenString(qzDf.queryExecution.executedPlan)
+    val qzNeedles = Seq("evalQuant", "evalDequant")
+    val qzMissing = qzNeedles.filterNot(genQz.contains)
+    if (qzMissing.nonEmpty) {
+      System.err.println(genQz.take(6000))
+      sys.error(s"[codegen] int8 quant kernels NOT in generated code: $qzMissing")
+    }
+    qzDf.head()
     val gen = org.apache.spark.sql.execution.debug.codegenString(df.queryExecution.executedPlan)
     val needles = Seq("VectorOps.cosine", "VectorOps.l2dist", "evalBits", "evalHashes", "evalVec", "evalSig", "evalBands", "evalFp")
     val missing = needles.filterNot(gen.contains)

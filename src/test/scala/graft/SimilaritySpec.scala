@@ -92,6 +92,37 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("int8 quantization: per-element error <= scale/2, zero vector safe, ANN recall >= 0.5") {
+    import graft.functions.{VectorFunctions => V}
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val q = emb.select($"vec_id", $"embedding".cast("array<double>").as("v"),
+        V.quantizeInt8($"embedding").as("q"))
+      .select($"vec_id", $"v", $"q.scale".as("scale"), V.dequantizeInt8($"q").as("dq"))
+      .collect()
+    q.foreach { r =>
+      val v = r.getSeq[Double](1); val scale = r.getDouble(2); val dq = r.getSeq[Double](3)
+      assert(v.length == dq.length)
+      v.zip(dq).foreach { case (x, y) =>
+        assert(math.abs(x - y) <= scale / 2 + 1e-12, s"vec ${r.getLong(0)}: |$x - $y| > scale/2 = ${scale / 2}")
+      }
+    }
+    // zero vector: scale 0, codes 0, reconstruction exact
+    val z = Seq((1L, Array.fill(8)(0.0f))).toDF("vec_id", "embedding")
+      .select(V.quantizeInt8($"embedding").as("q"))
+      .select($"q.scale", V.dequantizeInt8($"q")).head
+    assert(z.getDouble(0) == 0.0 && z.getSeq[Double](1).forall(_ == 0.0))
+    // ANN over the 4×-compressed representation keeps useful recall
+    val queries = emb.where($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id", 5)
+      .select($"query_id", $"neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dequantCorpus = emb.select($"vec_id", V.dequantizeInt8(V.quantizeInt8($"embedding")).as("embedding"))
+    val approx = Similarity.bruteForceTopK(dequantCorpus, queries.select($"vec_id", $"embedding".cast("array<double>").as("embedding")), "embedding", "vec_id", 5)
+      .select($"query_id", $"neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"int8 recall=$recall")
+  }
+
   test("PQ Lloyd refinement: quantization error non-increasing per iteration") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val seeded = Similarity.pqTrain(emb, "embedding", "vec_id", m = 8, k = 16)
