@@ -21,6 +21,11 @@ import org.apache.spark.sql.types._
   * oracle uses the same floor formula; `round()` semantics differ
   * between engines exactly on .5 boundaries). Reconstruction error is
   * bounded per element by scale/2, which the spec asserts.
+  *
+  * Precondition: FINITE inputs (embedding pipelines produce them by
+  * construction). NaN/±Inf elements would quantize engine-dependently
+  * (JVM NaN comparisons vs SQL NaN collation disagree) — gate upstream
+  * with `isnan`/`isinf` filters if the source is untrusted.
   */
 case class QuantizeInt8(child: Expression) extends UnaryExpression {
   import VectorExpressions._
