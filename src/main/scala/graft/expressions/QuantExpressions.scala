@@ -78,10 +78,12 @@ case class DequantizeInt8(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StructType(Array(StructField(_, DoubleType, _, _), StructField(_, ArrayType(ByteType, _), _, _))) =>
+    // containsNull = false required: evalDequant's getByte cannot
+    // represent a null element (and QuantizeInt8 never produces one)
+    case StructType(Array(StructField(_, DoubleType, _, _), StructField(_, ArrayType(ByteType, false), _, _))) =>
       TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"expected struct<scale: double, codes: array<tinyint>>, got ${other.simpleString(10)}")
+      s"expected struct<scale: double, codes: array<tinyint> (no nulls)>, got ${other.simpleString(10)}")
   }
 
   def evalDequant(r: InternalRow): ArrayData = {

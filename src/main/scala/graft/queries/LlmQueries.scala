@@ -488,7 +488,7 @@ object LlmQueries {
     "q_embed_quantize" ->
       """WITH q AS MATERIALIZED (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-        |    list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127 AS scale
+        |    coalesce(list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))), 0) / 127 AS scale
         |  FROM embeddings),
         |c AS MATERIALIZED (
         |  SELECT vec_id, v, scale,
