@@ -22,10 +22,13 @@ import org.apache.spark.sql.types._
   * between engines exactly on .5 boundaries). Reconstruction error is
   * bounded per element by scale/2, which the spec asserts.
   *
-  * Precondition: FINITE inputs (embedding pipelines produce them by
-  * construction). NaN/±Inf elements would quantize engine-dependently
-  * (JVM NaN comparisons vs SQL NaN collation disagree) — gate upstream
-  * with `isnan`/`isinf` filters if the source is untrusted.
+  * Inputs must be FINITE: NaN/±Inf elements would quantize
+  * engine-dependently (JVM NaN comparisons vs SQL NaN collation
+  * disagree), so the kernel REJECTS them with an error naming the
+  * offending element — gate upstream with `isnan`/`isinf` filters if
+  * the source is untrusted. The check rides the existing absmax pass
+  * (one comparison per element; NaN fails `v <= Double.MaxValue`,
+  * +Inf fails it too, -Inf flips sign under abs).
   */
 case class QuantizeInt8(child: Expression) extends UnaryExpression {
   import VectorExpressions._
@@ -42,6 +45,10 @@ case class QuantizeInt8(child: Expression) extends UnaryExpression {
     var i = 0
     while (i < n) {
       val v = math.abs(elemAt(a, i, cf))
+      // NaN and ±Inf both fail v <= MaxValue (abs maps -Inf to +Inf)
+      if (!(v <= Double.MaxValue)) throw new IllegalArgumentException(
+        s"quantizeInt8: non-finite element ${elemAt(a, i, cf)} at index $i — " +
+          "filter NaN/Inf upstream (quantization of non-finite values is engine-dependent)")
       if (v > amax) amax = v
       i += 1
     }

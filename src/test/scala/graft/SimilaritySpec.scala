@@ -112,6 +112,16 @@ class SimilaritySpec extends SparkSpec {
       .select(V.quantizeInt8($"embedding").as("q"))
       .select($"q.scale", V.dequantizeInt8($"q")).head
     assert(z.getDouble(0) == 0.0 && z.getSeq[Double](1).forall(_ == 0.0))
+    // non-finite input is rejected, not quantized engine-dependently
+    for (bad <- Seq(Float.NaN, Float.PositiveInfinity, Float.NegativeInfinity)) {
+      val ex = intercept[Exception] {
+        Seq((1L, Array(1.0f, bad, 3.0f))).toDF("vec_id", "embedding")
+          .select(V.quantizeInt8($"embedding")).collect()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+      assert(messages(ex).exists(_.contains("non-finite element")), s"for $bad got: $ex")
+    }
     // ANN over the 4×-compressed representation keeps useful recall
     val queries = emb.where($"vec_id" < 10)
     val exact = Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id", 5)
