@@ -136,8 +136,117 @@ class ArrowIpcSpec extends SparkSpec {
   }
 
   test("unsupported type fails fast at write") {
-    val df = Seq((1, Seq(1, 2))).toDF("k", "arr")
+    // CalendarInterval has no Arrow IPC mapping
+    val df = Seq(Tuple1(1)).toDF("k")
+      .select(expr("make_interval(0, 2)").as("iv"))
     intercept[IllegalArgumentException] { ArrowIpc.write(df, tmp("ipc_bad")) }
+  }
+
+  test("nested round-trip: array<struct>, struct<struct>, map, array<array>") {
+    val df = spark.sql(
+      """SELECT id,
+        |  IF(id % 5 = 0, NULL, array(named_struct('a', id, 'b', CAST(id AS STRING)),
+        |        named_struct('a', id + 1, 'b', CAST(NULL AS STRING)))) AS arst,
+        |  named_struct('inner', named_struct('x', id * 2, 'y', CAST(id AS DOUBLE)),
+        |               'tags', IF(id % 3 = 0, NULL, array('t1', concat('t', id)))) AS st,
+        |  map(concat('k', id), CAST(id AS DOUBLE), 'fixed', CAST(NULL AS DOUBLE)) AS m,
+        |  array(array(id, id + 1), array(), CAST(NULL AS array<bigint>)) AS aa
+        |FROM range(200)""".stripMargin)
+    val out = tmp("ipc_nested")
+    ArrowIpc.write(df.repartition(2), out, batchRows = 64)
+    val back = ArrowIpc.read(spark, out)
+    assert(back.schema.map(f => (f.name, f.dataType)) == df.schema.map(f => (f.name, f.dataType)))
+    val key = (r: Row) => r.getLong(0)
+    val a = df.collect().sortBy(key).map(_.toString).toSeq
+    val b = back.collect().sortBy(key).map(_.toString).toSeq
+    assert(a == b)
+  }
+
+  test("field metadata survives write -> read; logical time64[ns] restores the Arrow type") {
+    val md = new MetadataBuilder()
+      .putString("KNIME:logical", "org.example.ZonedDateTimeValueFactory")
+      .putString(ArrowIpc.LogicalKey, "time64[ns]").build()
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("nanoOfDay", LongType, nullable = true, md)))
+    val rows = (0 until 50).map(i => Row(i.toLong, if (i % 9 == 0) null else i * 1234567891011L % 86400000000000L))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    val out = tmp("ipc_meta")
+    ArrowIpc.write(df, out)
+    // the Arrow field on disk is a real time64[ns] (plain arrow-java view)
+    val file = Files.list(Paths.get(out)).iterator().asScala
+      .find(_.toString.endsWith(".arrow")).get
+    val alloc = new RootAllocator(Long.MaxValue)
+    val ch = Files.newByteChannel(file)
+    val reader = new ArrowFileReader(ch.asInstanceOf[java.nio.channels.SeekableByteChannel],
+      alloc, CommonsCompressionFactory.INSTANCE)
+    val arrowField = reader.getVectorSchemaRoot.getSchema.getFields.get(1)
+    assert(arrowField.getType.isInstanceOf[org.apache.arrow.vector.types.pojo.ArrowType.Time],
+      s"expected time64 on disk, got ${arrowField.getType}")
+    assert(arrowField.getMetadata.get("KNIME:logical") == "org.example.ZonedDateTimeValueFactory")
+    reader.close(); ch.close(); alloc.close()
+    // and the round trip preserves values + metadata
+    val back = ArrowIpc.read(spark, out)
+    val f = back.schema("nanoOfDay")
+    assert(f.dataType == LongType)
+    assert(f.metadata.getString(ArrowIpc.LogicalKey) == "time64[ns]")
+    assert(f.metadata.getString("KNIME:logical") == "org.example.ZonedDateTimeValueFactory")
+    assert(back.orderBy($"id").collect().toSeq == df.orderBy($"id").collect().toSeq)
+  }
+
+  test("dictionary-encoded string column (foreign-written) decodes on read") {
+    import org.apache.arrow.vector.dictionary.{Dictionary, DictionaryEncoder, DictionaryProvider}
+    import org.apache.arrow.vector.types.pojo.{ArrowType, DictionaryEncoding}
+    val dir = tmp("ipc_dict")
+    Files.createDirectories(Paths.get(dir))
+    val file = Paths.get(dir, "dict.arrow")
+    val alloc = new RootAllocator(Long.MaxValue)
+    val words = Array("alpha", "beta", "gamma")
+    val dictVec = new VarCharVector("d", alloc)
+    dictVec.allocateNew()
+    words.zipWithIndex.foreach { case (w, i) => dictVec.setSafe(i, w.getBytes("UTF-8")) }
+    dictVec.setValueCount(words.length)
+    val dictionary = new Dictionary(dictVec,
+      new DictionaryEncoding(7L, false, new ArrowType.Int(32, true)))
+    val raw = new VarCharVector("s", alloc)
+    raw.allocateNew()
+    val n = 50
+    for (i <- 0 until n)
+      if (i % 11 == 5) raw.setNull(i) else raw.setSafe(i, words(i % 3).getBytes("UTF-8"))
+    raw.setValueCount(n)
+    val encoded = DictionaryEncoder.encode(raw, dictionary).asInstanceOf[FieldVector]
+    val idVec = new BigIntVector("id", alloc)
+    idVec.allocateNew()
+    for (i <- 0 until n) idVec.setSafe(i, i.toLong)
+    idVec.setValueCount(n)
+    val root = new VectorSchemaRoot(
+      java.util.List.of(idVec.getField, encoded.getField),
+      java.util.List.of[FieldVector](idVec, encoded))
+    val provider = new DictionaryProvider.MapDictionaryProvider(dictionary)
+    val os = Files.newOutputStream(file)
+    val writer = new ArrowFileWriter(root, provider, Channels.newChannel(os))
+    writer.start(); writer.writeBatch(); writer.end(); writer.close(); os.close()
+    raw.close(); encoded.close(); idVec.close(); dictVec.close(); alloc.close()
+
+    val df = ArrowIpc.read(spark, file.toString)
+    // schema surfaces the VALUE type + the encoding marker
+    val sf = df.schema("s")
+    assert(sf.dataType == StringType)
+    assert(sf.metadata.getString(ArrowIpc.DictKey) == "true")
+    assert(sf.metadata.getString(ArrowIpc.DictWidthKey) == "32")
+    val got = df.orderBy($"id").collect().map(r => Option(r.getString(1))).toSeq
+    val want = (0 until n).map(i => if (i % 11 == 5) None else Some(words(i % 3))).toSeq
+    assert(got == want)
+  }
+
+  test("TimestampNTZ round-trips (lineitem's date columns migrate)") {
+    val df = spark.sql(
+      "SELECT id, timestampadd(HOUR, CAST(id AS INT), TIMESTAMP_NTZ'2024-01-01 00:00:00') AS ts FROM range(100)")
+    val out = tmp("ipc_ntz")
+    ArrowIpc.write(df, out)
+    val back = ArrowIpc.read(spark, out)
+    assert(back.schema("ts").dataType == TimestampNTZType)
+    assert(back.orderBy($"id").collect().toSeq == df.orderBy($"id").collect().toSeq)
   }
 
   test("mixed-schema directory fails with the offending file, not a vector-cast error") {
