@@ -8,11 +8,14 @@ import org.apache.spark.sql.types._
   * `binary` columns with a typed metadata struct alongside, processed by
   * per-partition batch UDFs.
   *
-  * Spark-side plumbing (schema, partitioning, batch shape) is real; the
-  * actual media decode is STUBBED with a deterministic fake (this container
-  * has no image/audio codecs — in production the stub body is replaced by
-  * the codec call; the Python twin of this operator is `mapInPandas` with
-  * the same schema contract).
+  * IMAGE decode is REAL: [[decodeImagesIO]] runs `javax.imageio`
+  * (JDK-built-in, headless-safe — PNG/JPEG/BMP/GIF) and its gate's oracle
+  * checks actual decoded dimensions and pixel means. The byte-level
+  * [[decodeStub]] path remains for media types with no JDK codec
+  * (audio/video feature extraction) — there the Spark-side plumbing
+  * (schema, partitioning, batch shape) is real and the decode body is a
+  * documented deterministic fake (the production swap is `mapInPandas`
+  * with the same schema contract).
   *
   * Scale design: decode is embarrassingly parallel and scan-local — no
   * shuffle. `repartition` the input only to match decoder-core counts;
@@ -130,6 +133,127 @@ object Multimodal {
           lit(width).as("width"), lit(height).as("height"),
           lit(null).cast(IntegerType).as("sample_rate"),
           lit(null).cast(LongType).as("duration_ms")))
+  }
+
+  // =====================================================================
+  // REAL image decode (javax.imageio)
+  // =====================================================================
+
+  val imageDecodeSchema: StructType = StructType(
+    Seq(
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("channels", IntegerType, nullable = false),
+      StructField("mean_intensity", DoubleType, nullable = false)
+    ))
+
+  /** Deterministic grayscale PNG for a row id — a REAL `ImageIO.write`
+    * PNG encode (zlib-compressed, full codec round trip), pixel
+    * (row i, col j) = (id·31 + i·7 + j·13) mod 256, dimensions
+    * (1 + id mod 16) × (1 + ⌊id/16⌋ mod 16). Lets a gate manufacture
+    * genuine image payloads from table ids whose DECODED content a SQL
+    * oracle can recompute arithmetically: PNG is lossless, so only a real
+    * decode reproduces the formula mean.
+    */
+  def syntheticPng(id: Long): Array[Byte] = {
+    require(id >= 0, s"syntheticPng: id must be non-negative, got $id")
+    val w = 1 + (id % 16).toInt
+    val h = 1 + ((id / 16) % 16).toInt
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < h) {
+      var j = 0
+      while (j < w) {
+        raster.setSample(j, i, 0, ((id * 31 + i * 7 + j * 13) % 256).toInt)
+        j += 1
+      }
+      i += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "png", out), "PNG writer missing")
+    out.toByteArray
+  }
+
+  /** REAL image decode: `ImageIO.read` over the payload bytes; None when
+    * the bytes are not a decodable image. mean_intensity averages every
+    * raster sample across all bands (for 8-bit gray that is exactly the
+    * pixel mean; for RGB the mean over the three channels).
+    */
+  private[multimodal] def decodeImageIO(bytes: Array[Byte]): Option[Row] =
+    if (bytes == null || bytes.isEmpty) None
+    else Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))).map { img =>
+      val raster = img.getRaster
+      val w = img.getWidth
+      val h = img.getHeight
+      val bands = raster.getNumBands
+      var sum = 0L
+      var b = 0
+      while (b < bands) {
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { sum += raster.getSample(x, y, b); x += 1 }
+          y += 1
+        }
+        b += 1
+      }
+      Row(w, h, bands, sum.toDouble / (w.toLong * h * bands))
+    }
+
+  /** REAL 8×8 average-hash over the decoded image: box-average the
+    * raster's band-0 samples onto an 8×8 grid (pure integer block sums —
+    * no platform-dependent Graphics2D scaling), threshold by the grid
+    * mean, pack 64 bits row-major (bit = 1 when cell > mean). The
+    * perceptual twin of SimHash for text: near-identical images land
+    * within a few Hamming bits.
+    */
+  def aHash64(bytes: Array[Byte]): Option[Long] =
+    if (bytes == null || bytes.isEmpty) None
+    else Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))).map { img =>
+      val raster = img.getRaster
+      val w = img.getWidth
+      val h = img.getHeight
+      val sums = new Array[Long](64)
+      val counts = new Array[Long](64)
+      var y = 0
+      while (y < h) {
+        val gy = y * 8 / h
+        var x = 0
+        while (x < w) {
+          val gx = x * 8 / w
+          sums(gy * 8 + gx) += raster.getSample(x, y, 0)
+          counts(gy * 8 + gx) += 1
+          x += 1
+        }
+        y += 1
+      }
+      // cells with no pixels (w or h < 8) average as 0
+      val cell = Array.tabulate(64)(k => if (counts(k) == 0) 0.0 else sums(k).toDouble / counts(k))
+      val mean = cell.sum / 64.0
+      var bits = 0L
+      var k = 0
+      while (k < 64) { if (cell(k) > mean) bits |= (1L << k); k += 1 }
+      bits
+    }
+
+  /** Per-partition REAL decode over a payload column: id + decoded
+    * (width, height, channels, mean_intensity). Payloads `ImageIO` cannot
+    * decode are DROPPED (media pipelines filter undecodable rows; count
+    * input vs output to quantify). Scan-local, no shuffle.
+    */
+  def decodeImagesIO(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val idField = df.schema(idCol)
+    val outSchema = StructType(idField +: imageDecodeSchema.fields)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = if (r.isNullAt(payloadIdx)) null else r.getAs[Array[Byte]](payloadIdx)
+        decodeImageIO(bytes).map(f => Row.fromSeq(r.get(idIdx) +: f.toSeq))
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
   }
 
   val audioFeatureSchema: StructType = StructType(

@@ -134,14 +134,29 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // multimodal plumbing: binary payload → deterministic stub features
-    // (rows-only; schema/partitioning real, decode stubbed — no codecs in
-    // this container)
+    // multimodal plumbing: binary payload → deterministic byte-level
+    // features (the codec-less media shape; decode body is the documented
+    // stub, schema/partitioning/batch plumbing real)
     "q_multimodal_decode" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       Multimodal.decodeImages(docs, "doc_id", "payload")
         .select(col("doc_id"), col("byte_length"), col("content_hash"), round(col("mean_intensity"), 6).as("mean_intensity"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // multimodal REAL decode: deterministic grayscale PNGs manufactured
+    // per doc_id (real ImageIO encode), decoded back with the real
+    // ImageIO codec; the oracle recomputes dimensions and the exact
+    // pixel mean arithmetically from doc_id — PNG is lossless, so only a
+    // genuine decode round trip reproduces it
+    "q_image_decode" -> ((s, dir) => {
+      val png = udf((id: Long) => Multimodal.syntheticPng(id))
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), png(col("doc_id")).as("payload"))
+      Multimodal.decodeImagesIO(docs, "doc_id", "payload")
+        .select(col("doc_id"), col("width"), col("height"), col("channels"),
+          round(col("mean_intensity"), 6).as("mean_intensity"))
         .orderBy(col("doc_id"))
     }),
 
@@ -478,6 +493,20 @@ object LlmQueries {
     "q_curation_pipeline" -> XxhSql.curationPipelineSql(
       qualitySelectSql, minQuality = 0.3, n = 3, k = 64, bands = 16, threshold = 0.6),
     "q_multimodal_decode" -> XxhSql.multimodalDecodeSql,
+    // real-codec gate: dims + exact pixel mean recomputed from the
+    // generator formula (pixel(i,j) = (doc_id*31 + i*7 + j*13) mod 256 on
+    // a (1 + doc_id%16) × (1 + (doc_id//16)%16) grayscale grid) — the
+    // engine value went through a genuine PNG encode/decode round trip
+    "q_image_decode" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    CAST(1 + (doc_id % 16) AS INTEGER) AS width,
+        |    CAST(1 + ((doc_id // 16) % 16) AS INTEGER) AS height
+        |  FROM documents)
+        |SELECT doc_id, width, height, CAST(1 AS INTEGER) AS channels,
+        |  round(list_sum([CAST((doc_id * 31 + (k // width) * 7 + (k % width) * 13) % 256 AS BIGINT)
+        |                  FOR k IN range(0, width * height)])::DOUBLE / (width * height), 6) AS mean_intensity
+        |FROM dims ORDER BY doc_id""".stripMargin,
     "q_ann_sketch" -> XxhSql.annSketchSql(dim = 64, nBits = 64, k = 5, oversample = 8, nQueries = 5),
     "q_ann_pq" -> XxhSql.annPqSql(d = 64, m = 8, kc = 16, k = 5, oversample = 8, nQueries = 5),
     "q_ann_ivfpq" -> XxhSql.annIvfPqSql(d = 64, m = 8, kc = 16, k = 5, oversample = 8,

@@ -78,4 +78,65 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
     assert(pairs == Seq((1L, 2L, 0)))
   }
+
+  test("REAL decode: ImageIO round trip reproduces the generator formula exactly") {
+    val ids = Seq(0L, 1L, 17L, 255L, 4096L, 99999L)
+    val df = ids.map(id => (id, Multimodal.syntheticPng(id))).toDF("id", "payload")
+    val out = Multimodal.decodeImagesIO(df, "id", "payload").orderBy($"id").collect()
+    assert(out.length == ids.length)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val w = 1 + (id % 16).toInt
+      val h = 1 + ((id / 16) % 16).toInt
+      assert(r.getInt(1) == w, s"width for $id")
+      assert(r.getInt(2) == h, s"height for $id")
+      assert(r.getInt(3) == 1, s"channels for $id")
+      val want = (for (i <- 0 until h; j <- 0 until w) yield (id * 31 + i * 7 + j * 13) % 256)
+        .sum.toDouble / (w * h)
+      // PNG is lossless: the decoded mean is the formula mean EXACTLY
+      assert(r.getDouble(4) == want, s"mean for $id: ${r.getDouble(4)} != $want")
+    }
+  }
+
+  test("REAL decode: JPEG payloads decode (lossy - dims and channels only); garbage is dropped") {
+    // a real JPEG via ImageIO
+    val img = new java.awt.image.BufferedImage(12, 5, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 5; x <- 0 until 12) img.setRGB(x, y, (x * 20) << 16 | (y * 50) << 8)
+    val jbytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val df = Seq(
+      (1L, jbytes),
+      (2L, "definitely not an image".getBytes("UTF-8")),
+      (3L, Array.emptyByteArray),
+      (4L, null.asInstanceOf[Array[Byte]])).toDF("id", "payload")
+    val out = Multimodal.decodeImagesIO(df, "id", "payload").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L)) // undecodable rows dropped
+    assert(out.head.getInt(1) == 12 && out.head.getInt(2) == 5 && out.head.getInt(3) == 3)
+  }
+
+  test("REAL aHash64: identical images collide, small perturbation stays within a few bits") {
+    def pngOf(pixels: (Int, Int) => Int, w: Int = 32, h: Int = 32): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w) img.getRaster.setSample(x, y, 0, pixels(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val base: (Int, Int) => Int = (x, y) => (x * 8 + y * 3) % 256
+    val h1 = Multimodal.aHash64(pngOf(base)).get
+    val h2 = Multimodal.aHash64(pngOf(base)).get
+    assert(h1 == h2)
+    // perturb ONE pixel slightly: at most a couple of grid cells flip
+    val perturbed: (Int, Int) => Int = (x, y) => if (x == 5 && y == 5) (base(x, y) + 4) % 256 else base(x, y)
+    val h3 = Multimodal.aHash64(pngOf(perturbed)).get
+    assert(java.lang.Long.bitCount(h1 ^ h3) <= 4, s"perturbation moved ${java.lang.Long.bitCount(h1 ^ h3)} bits")
+    // a structurally different image lands far away
+    val other: (Int, Int) => Int = (x, y) => ((x / 4 + y / 4) % 2) * 255
+    val h4 = Multimodal.aHash64(pngOf(other)).get
+    assert(java.lang.Long.bitCount(h1 ^ h4) > 8)
+    assert(Multimodal.aHash64("junk".getBytes("UTF-8")).isEmpty)
+  }
 }
