@@ -224,6 +224,20 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Lloyd-REFINED PQ: one deterministic k-means step on the seed
+    // codebook (sequential id-ordered component folds — bit-reproducible),
+    // then the same encode/ADC/re-rank pipeline; the DuckDB oracle
+    // replicates the refinement arithmetic exactly
+    "q_ann_pq_refined" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val seeded = Similarity.pqTrain(emb, "embedding", "vec_id", m = 8, k = 16)
+      val model = Similarity.pqRefineDeterministic(emb, "embedding", "vec_id", seeded, iters = 1)
+      val encoded = Similarity.pqEncode(emb, "embedding", model)
+      Similarity.pqTopK(encoded, emb.where(col("vec_id") < 5), "embedding", "vec_id", 5, model, oversample = 8)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // int8 embedding quantization: 4× smaller vector storage; per-vector
     // scale and exact reconstruction L2 error (full oracle)
     "q_embed_quantize" -> ((s, dir) => {
@@ -509,6 +523,8 @@ object LlmQueries {
         |FROM dims ORDER BY doc_id""".stripMargin,
     "q_ann_sketch" -> XxhSql.annSketchSql(dim = 64, nBits = 64, k = 5, oversample = 8, nQueries = 5),
     "q_ann_pq" -> XxhSql.annPqSql(d = 64, m = 8, kc = 16, k = 5, oversample = 8, nQueries = 5),
+    "q_ann_pq_refined" -> XxhSql.annPqRefinedSql(d = 64, m = 8, kc = 16, k = 5, oversample = 8,
+      nQueries = 5, iters = 1),
     "q_ann_ivfpq" -> XxhSql.annIvfPqSql(d = 64, m = 8, kc = 16, k = 5, oversample = 8,
       nQueries = 5, nlist = 16, nprobe = 8),
     // absmax scaling and floor(x/scale + 0.5) rounding are IEEE-exact in

@@ -442,6 +442,60 @@ object XxhSql {
        |  FROM adcp GROUP BY query_id, neighbor_id),
        |${pqRerankTail(k, oversample)}""".stripMargin
 
+  /** Oracle for the Lloyd-REFINED PQ query
+    * ([[graft.similarity.Similarity.pqRefineDeterministic]]): starts from
+    * the seed codebook of [[annPqSql]], then per iteration recomputes each
+    * (subspace j, code c) centroid as the mean of its member subvectors
+    * with the component sums folded SEQUENTIALLY in vec-id order — the
+    * exact accumulation order the engine's deterministic refinement uses,
+    * so refined centroids (and therefore codes, ADC distances, and the
+    * final ranking) are bit-identical. Empty cells keep their previous
+    * centroid; assignment ties break to the lowest code.
+    */
+  def annPqRefinedSql(d: Int, m: Int, kc: Int, k: Int, oversample: Int,
+      nQueries: Int, iters: Int): String = {
+    require(iters >= 1)
+    val dsub = d / m
+    val layers = (1 to iters).map { it =>
+      val prevCents = if (it == 1) "cents" else s"cents_${it - 1}"
+      val prevCodes = if (it == 1) "codes" else s"codes_${it - 1}"
+      s"""cellsub_$it AS MATERIALIZED (
+         |  SELECT cd.j, cd.c, count(*) AS n,
+         |    list([vv.v[cd.j*$dsub + t] FOR t IN range(1, ${dsub + 1})] ORDER BY cd.vec_id) AS subs
+         |  FROM $prevCodes cd JOIN vecs vv ON vv.vec_id = cd.vec_id
+         |  GROUP BY cd.j, cd.c),
+         |refc_$it AS (
+         |  SELECT j, c, t,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(subs, s -> s[t])), (a, x) -> a + x) / n AS comp
+         |  FROM cellsub_$it, (SELECT unnest(range(1, ${dsub + 1})) AS t)),
+         |ref_$it AS MATERIALIZED (SELECT j, c, list(comp ORDER BY t) AS cent FROM refc_$it GROUP BY j, c),
+         |cents_$it AS MATERIALIZED (
+         |  SELECT p.j, p.c, coalesce(r.cent, p.cent) AS cent
+         |  FROM $prevCents p LEFT JOIN ref_$it r ON r.j = p.j AND r.c = p.c),
+         |subd_$it AS MATERIALIZED (
+         |  SELECT vec_id, j, c,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      [(v[j*$dsub + t] - cent[t]) * (v[j*$dsub + t] - cent[t]) FOR t IN range(1, ${dsub + 1})]),
+         |      (a, x) -> a + x) AS d2
+         |  FROM vecs, cents_$it),
+         |codes_$it AS MATERIALIZED (
+         |  SELECT vec_id, j, c FROM (
+         |    SELECT vec_id, j, c, row_number() OVER (PARTITION BY vec_id, j ORDER BY d2 ASC, c ASC) AS rn
+         |    FROM subd_$it) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${pqCtes(d, m, kc)},
+       |$layers,
+       |adcp AS MATERIALIZED (
+       |  SELECT s.vec_id AS query_id, cd.vec_id AS neighbor_id, cd.j, s.d2
+       |  FROM codes_$iters cd JOIN subd_$iters s ON s.j = cd.j AND s.c = cd.c
+       |  WHERE s.vec_id < $nQueries AND cd.vec_id <> s.vec_id),
+       |adc AS (
+       |  SELECT query_id, neighbor_id,
+       |    list_reduce(list_prepend(0.0::DOUBLE, list(d2 ORDER BY j)), (a, x) -> a + x) AS adc
+       |  FROM adcp GROUP BY query_id, neighbor_id),
+       |${pqRerankTail(k, oversample)}""".stripMargin
+  }
+
   /** Oracle for [[graft.similarity.Similarity.ivfPqTopK]]: IVF assignment
     * + probe (rounded-cosine argmax, ties to the lowest cell — matching
     * ivfBuild/ivfTopK), ADC over probed-cell members only, cosine

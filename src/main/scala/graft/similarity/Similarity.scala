@@ -184,6 +184,51 @@ object Similarity {
     cur
   }
 
+  /** Bit-reproducible Lloyd refinement: per-(subspace, code) means fold
+    * subvector components SEQUENTIALLY in vec-id order, so the refined
+    * codebook is identical across engines, partitionings, and cluster
+    * layouts — what the cross-engine oracle (q_ann_pq_refined,
+    * XxhSql.annPqRefinedSql) gates. Trade-off vs [[pqRefine]]: each
+    * (j, c) cell materializes its member subvectors (`collect_list` +
+    * sort) instead of streaming a float sum, so per-task memory is
+    * O(largest cell) — use [[pqRefine]] when training at corpus scale and
+    * this variant when reproducibility is the requirement (models are
+    * typically trained on a bounded sample anyway). Assignment ties break
+    * to the lowest code; empty cells keep their previous centroid (same
+    * policy as [[pqRefine]]). The component fold runs as an interpreted
+    * HOF but over only m·k aggregated rows, never per corpus row.
+    */
+  def pqRefineDeterministic(corpus: DataFrame, vecCol: String, idCol: String,
+      model: PqModel, iters: Int = 1): PqModel = {
+    var cur = model
+    (0 until iters).foreach { _ =>
+      val m = cur.m; val k = cur.k; val dsub = cur.dsub
+      val cells = pqEncode(corpus, vecCol, cur)
+        .select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("v"), col("pq_codes"))
+        .select(explode(sequence(lit(0), lit(m - 1))).as("j"), col("__id"), col("v"), col("pq_codes"))
+        .select(
+          col("j"), element_at(col("pq_codes"), col("j") + 1).as("c"),
+          col("__id"), slice(col("v"), col("j") * dsub + 1, lit(dsub)).as("sub"))
+        .groupBy(col("j"), col("c"))
+        .agg(count(lit(1)).as("n"),
+          sort_array(collect_list(struct(col("__id"), col("sub")))).as("subs"))
+        .select(col("j"), col("c"), col("n"),
+          array((0 until dsub).map { t =>
+            aggregate(col("subs"), lit(0.0),
+              (acc, s) => acc + element_at(s.getField("sub"), t + 1))
+          }: _*).as("sums"))
+        .collect()
+      val next = Array.tabulate(m, k)((j, c) => cur.centroids(j)(c).clone())
+      cells.foreach { r =>
+        val j = r.getInt(0); val c = r.getInt(1); val n = r.getLong(2).toDouble
+        val sums = r.getSeq[Double](3)
+        next(j)(c) = sums.map(_ / n).toArray
+      }
+      cur = PqModel(next)
+    }
+    cur
+  }
+
   /** Mean squared quantization error of a codebook over the corpus (the
     * Lloyd objective; used to validate refinement).
     */

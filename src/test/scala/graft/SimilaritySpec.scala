@@ -133,6 +133,19 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"int8 recall=$recall")
   }
 
+  test("deterministic PQ refinement: bit-identical across partitionings, error still improves") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val seeded = Similarity.pqTrain(emb, "embedding", "vec_id", m = 8, k = 16)
+    val a = Similarity.pqRefineDeterministic(emb.repartition(3), "embedding", "vec_id", seeded, iters = 2)
+    val b = Similarity.pqRefineDeterministic(emb.repartition(17), "embedding", "vec_id", seeded, iters = 2)
+    // the whole point vs pqRefine: partitioning cannot change a single bit
+    for (j <- 0 until a.m; c <- 0 until a.k)
+      assert(java.util.Arrays.equals(a.centroids(j)(c), b.centroids(j)(c)), s"cell ($j,$c) differs")
+    val e0 = Similarity.pqQuantizationError(emb, "embedding", seeded)
+    val e1 = Similarity.pqQuantizationError(emb, "embedding", a)
+    assert(e1 < e0, s"deterministic refinement should improve on seeding: e0=$e0 e1=$e1")
+  }
+
   test("PQ Lloyd refinement: quantization error non-increasing per iteration") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val seeded = Similarity.pqTrain(emb, "embedding", "vec_id", m = 8, k = 16)
