@@ -108,6 +108,42 @@ class CdcApplySpec extends SparkSpec {
     }
   }
 
+  test("partitioned snapshot: bucket filter compiles to partition pruning (plan + files read)") {
+    import java.nio.file.{Files, Paths}
+    import scala.collection.JavaConverters._
+    import org.apache.spark.sql.functions._
+    val snapDir = Files.createTempDirectory("cdc_prune").toString + "/t"
+    val nB = 8
+    val seed = (0L until 64L).map(k => (k, s"n$k", k * 1.0, "I", k))
+      .toDF("k", "name", "v", "op", "seq")
+    CdcApply.applyBatchPartitioned(seed, Seq("k"), "seq", "op", snapDir, nBuckets = nB)
+    // the inner read applyBatchPartitioned issues: snapshot scan filtered
+    // to the touched buckets — the plan must show PartitionFilters on
+    // __graft_bucket (pruning at the FILE INDEX, not a post-scan filter)
+    val touched = Seq(0L, 3L)
+    val pruned = spark.read.parquet(snapDir)
+      .where(col(CdcApply.BucketCol).isin(touched: _*))
+    val plan = pruned.queryExecution.executedPlan
+    val planStr = plan.toString
+    assert(planStr.contains("PartitionFilters") && planStr.contains(CdcApply.BucketCol),
+      s"no partition filter on ${CdcApply.BucketCol}:\n${planStr.linesIterator.take(20).mkString("\n")}")
+    // and the physical effect: the scan reads ONLY files under the
+    // touched bucket directories (numFiles metric after execution)
+    pruned.collect()
+    val scan = plan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    val filesRead = scan.metrics("numFiles").value
+    def filesUnder(bucket: Long): Long =
+      Files.walk(Paths.get(snapDir, s"${CdcApply.BucketCol}=$bucket")).iterator().asScala
+        .count(_.toString.endsWith(".parquet")).toLong
+    val expected = touched.map(filesUnder).sum
+    val total = Files.walk(Paths.get(snapDir)).iterator().asScala
+      .count(_.toString.endsWith(".parquet")).toLong
+    assert(filesRead == expected, s"scan read $filesRead files, expected $expected (touched buckets only)")
+    assert(expected < total, "test vacuous: touched buckets hold every file")
+  }
+
   test("partitioned apply: a delete that empties its bucket removes the bucket") {
     import java.nio.file.{Files, Paths}
     import scala.collection.JavaConverters._
