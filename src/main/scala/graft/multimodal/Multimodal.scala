@@ -256,6 +256,105 @@ object Multimodal {
     df.sparkSession.createDataFrame(rdd, outSchema)
   }
 
+  // =====================================================================
+  // REAL audio decode (javax.sound.sampled — WAV/PCM, JDK built-in)
+  // =====================================================================
+
+  val audioDecodeSchema: StructType = StructType(
+    Seq(
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("channels", IntegerType, nullable = false),
+      StructField("bits", IntegerType, nullable = false),
+      StructField("n_frames", LongType, nullable = false),
+      StructField("duration_ms", LongType, nullable = false),
+      StructField("rms", DoubleType, nullable = false)
+    ))
+
+  /** Deterministic mono 16-bit PCM WAV for a row id — a REAL
+    * `AudioSystem.write` WAV encode: sample rate 8000 + (id mod 8)·1000,
+    * 32 + (id mod 32) frames, sample(t) = ((id·31 + t·17) mod 65536) −
+    * 32768. PCM is lossless, so a SQL oracle can recompute the decoded
+    * stream's RMS and duration arithmetically — only a real decode
+    * reproduces them from the container bytes.
+    */
+  def syntheticWav(id: Long): Array[Byte] = {
+    require(id >= 0, s"syntheticWav: id must be non-negative, got $id")
+    val rate = 8000 + (id % 8).toInt * 1000
+    val n = 32 + (id % 32).toInt
+    val raw = new Array[Byte](n * 2)
+    var t = 0
+    while (t < n) {
+      val v = ((id * 31 + t * 17) % 65536).toInt - 32768
+      raw(2 * t) = (v & 0xff).toByte // little-endian int16
+      raw(2 * t + 1) = ((v >> 8) & 0xff).toByte
+      t += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** REAL audio decode: `AudioSystem.getAudioInputStream` over the
+    * payload bytes (WAV/AIFF/AU — whatever the JDK service loader
+    * provides); None when the bytes are not a decodable audio container
+    * or not 16-bit PCM. RMS is over all samples of all channels,
+    * normalized to [-1, 1); duration is integer milliseconds
+    * (frames·1000 / rate).
+    */
+  private[multimodal] def decodeAudio(bytes: Array[Byte]): Option[Row] =
+    if (bytes == null || bytes.isEmpty) None
+    else try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 ||
+          fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
+        else {
+          val frames = ais.getFrameLength
+          val rate = fmt.getSampleRate.toInt
+          val channels = fmt.getChannels
+          val raw = ais.readAllBytes()
+          val nSamples = raw.length / 2
+          var sq = 0.0
+          var i = 0
+          while (i < nSamples) {
+            val lo = raw(2 * i) & 0xff
+            val hi = raw(2 * i + 1) & 0xff
+            val v = (if (fmt.isBigEndian) (lo << 8) | hi else (hi << 8) | lo).toShort.toInt
+            val x = v / 32768.0
+            sq += x * x
+            i += 1
+          }
+          val rms = if (nSamples == 0) 0.0 else math.sqrt(sq / nSamples)
+          Some(Row(rate, channels, 16, frames, frames * 1000L / rate, rms))
+        }
+      } finally ais.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
+  /** Per-partition REAL audio decode: id + [[audioDecodeSchema]] columns;
+    * undecodable payloads dropped (same contract as [[decodeImagesIO]]).
+    */
+  def decodeAudioIO(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val idField = df.schema(idCol)
+    val outSchema = StructType(idField +: audioDecodeSchema.fields)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = if (r.isNullAt(payloadIdx)) null else r.getAs[Array[Byte]](payloadIdx)
+        decodeAudio(bytes).map(f => Row.fromSeq(r.get(idIdx) +: f.toSeq))
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
   val audioFeatureSchema: StructType = StructType(
     Seq(
       StructField("byte_length", LongType, nullable = false),

@@ -160,6 +160,19 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // audio twin of q_image_decode: real WAV payloads (AudioSystem
+    // encode), real javax.sound decode; the oracle recomputes rate /
+    // frames / duration / RMS arithmetically — PCM is lossless
+    "q_audio_decode" -> ((s, dir) => {
+      val wav = udf((id: Long) => Multimodal.syntheticWav(id))
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), wav(col("doc_id")).as("payload"))
+      Multimodal.decodeAudioIO(docs, "doc_id", "payload")
+        .select(col("doc_id"), col("sample_rate"), col("channels"), col("bits"),
+          col("n_frames"), col("duration_ms"), round(col("rms"), 6).as("rms"))
+        .orderBy(col("doc_id"))
+    }),
+
     // text analysis: stopword removal (duplicates/order preserved)
     "q_stopword_removal" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -521,6 +534,23 @@ object LlmQueries {
         |  round(list_sum([CAST((doc_id * 31 + (k // width) * 7 + (k % width) * 13) % 256 AS BIGINT)
         |                  FOR k IN range(0, width * height)])::DOUBLE / (width * height), 6) AS mean_intensity
         |FROM dims ORDER BY doc_id""".stripMargin,
+    // real-codec audio gate: sample(t) = ((doc_id*31 + t*17) mod 65536) -
+    // 32768 over 32 + doc_id%32 frames at 8000 + (doc_id%8)*1000 Hz; RMS
+    // folds the normalized squares sequentially (engine accumulation
+    // order), duration is integer-division milliseconds
+    "q_audio_decode" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(8000 + (doc_id % 8) * 1000 AS INTEGER) AS sample_rate,
+        |    32 + (doc_id % 32) AS n
+        |  FROM documents)
+        |SELECT doc_id, sample_rate, CAST(1 AS INTEGER) AS channels, CAST(16 AS INTEGER) AS bits,
+        |  CAST(n AS BIGINT) AS n_frames,
+        |  (n * 1000) // sample_rate AS duration_ms,
+        |  round(sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |    [list_transform([((doc_id * 31 + t * 17) % 65536 - 32768) / 32768.0], x -> x * x)[1]
+        |     FOR t IN range(0, n)]), (a, x) -> a + x) / n), 6) AS rms
+        |FROM p ORDER BY doc_id""".stripMargin,
     "q_ann_sketch" -> XxhSql.annSketchSql(dim = 64, nBits = 64, k = 5, oversample = 8, nQueries = 5),
     "q_ann_pq" -> XxhSql.annPqSql(d = 64, m = 8, kc = 16, k = 5, oversample = 8, nQueries = 5),
     "q_ann_pq_refined" -> XxhSql.annPqRefinedSql(d = 64, m = 8, kc = 16, k = 5, oversample = 8,

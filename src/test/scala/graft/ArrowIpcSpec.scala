@@ -194,6 +194,28 @@ class ArrowIpcSpec extends SparkSpec {
     assert(back.orderBy($"id").collect().toSeq == df.orderBy($"id").collect().toSeq)
   }
 
+  test("object-column logical type tags survive the IPC round trip (ObjectColumns registry wiring)") {
+    import graft.table.ObjectColumns
+    val df = Seq((1L, "png-ish"), (2L, "more")).toDF("id", "s")
+      .select($"id", expr("encode(s, 'UTF-8')").as("payload"))
+    val tagged = ObjectColumns.tagColumn(df, "payload", "org.example.image.PngValue")
+    val out = tmp("ipc_objcol")
+    ArrowIpc.write(tagged, out)
+    val back = ArrowIpc.read(spark, out)
+    // the §1.2 logical-type registry reads its tag off the migrated table
+    assert(ObjectColumns.logicalTypeOf(back, "payload").contains("org.example.image.PngValue"))
+    // and the tag is real Arrow field metadata, visible to ANY Arrow reader
+    val file = Files.list(Paths.get(out)).iterator().asScala
+      .find(_.toString.endsWith(".arrow")).get
+    val alloc = new RootAllocator(Long.MaxValue)
+    val ch = Files.newByteChannel(file)
+    val reader = new ArrowFileReader(ch.asInstanceOf[java.nio.channels.SeekableByteChannel],
+      alloc, CommonsCompressionFactory.INSTANCE)
+    val md = reader.getVectorSchemaRoot.getSchema.findField("payload").getMetadata
+    assert(md.get(ObjectColumns.LogicalTypeKey) == "org.example.image.PngValue")
+    reader.close(); ch.close(); alloc.close()
+  }
+
   test("dictionary-encoded string column (foreign-written) decodes on read") {
     import org.apache.arrow.vector.dictionary.{Dictionary, DictionaryEncoder, DictionaryProvider}
     import org.apache.arrow.vector.types.pojo.{ArrowType, DictionaryEncoding}

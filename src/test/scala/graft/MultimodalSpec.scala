@@ -117,6 +117,31 @@ class MultimodalSpec extends SparkSpec {
     assert(out.head.getInt(1) == 12 && out.head.getInt(2) == 5 && out.head.getInt(3) == 3)
   }
 
+  test("REAL audio decode: WAV round trip reproduces the PCM formula exactly") {
+    val ids = Seq(0L, 1L, 7L, 31L, 63L, 12345L)
+    val df = ids.map(id => (id, Multimodal.syntheticWav(id))).toDF("id", "payload")
+    val out = Multimodal.decodeAudioIO(df, "id", "payload").orderBy($"id").collect()
+    assert(out.length == ids.length)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val rate = 8000 + (id % 8).toInt * 1000
+      val n = 32 + (id % 32).toInt
+      assert(r.getInt(1) == rate, s"rate for $id")
+      assert(r.getInt(2) == 1 && r.getInt(3) == 16)
+      assert(r.getLong(4) == n, s"frames for $id")
+      assert(r.getLong(5) == n * 1000L / rate, s"duration for $id")
+      val want = math.sqrt((0 until n).map { t =>
+        val x = (((id * 31 + t * 17) % 65536) - 32768) / 32768.0
+        x * x
+      }.foldLeft(0.0)(_ + _) / n)
+      assert(r.getDouble(6) == want, s"rms for $id: ${r.getDouble(6)} != $want")
+    }
+    // garbage / empty / null payloads are dropped, not errors
+    val junk = Seq((1L, "not audio".getBytes("UTF-8")), (2L, Array.emptyByteArray),
+      (3L, null.asInstanceOf[Array[Byte]])).toDF("id", "payload")
+    assert(Multimodal.decodeAudioIO(junk, "id", "payload").isEmpty)
+  }
+
   test("REAL aHash64: identical images collide, small perturbation stays within a few bits") {
     def pngOf(pixels: (Int, Int) => Int, w: Int = 32, h: Int = 32): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
