@@ -45,7 +45,11 @@ object Bench {
     "q_embed_centroid",
     "q_ann_pq",
     "q_ann_ivfpq",
-    "q_substring_dedup"
+    "q_substring_dedup",
+    // round 7: Lloyd-refined PQ and the real-codec media decodes
+    "q_ann_pq_refined",
+    "q_image_decode",
+    "q_audio_decode"
   )
 
   def main(args: Array[String]): Unit = {
