@@ -256,6 +256,64 @@ object Multimodal {
     df.sparkSession.createDataFrame(rdd, outSchema)
   }
 
+  /** REAL image resize: decode (ImageIO), box-average the band-0 raster
+    * onto a `width`×`height` grid with INTEGER arithmetic (per-cell
+    * `sum / count` truncating division — deterministic across platforms,
+    * unlike Graphics2D interpolation, and exactly replicable by a SQL
+    * oracle), re-encode as grayscale PNG. Undecodable payloads pass
+    * through as null payloads. Scan-local, no shuffle — the same
+    * bytes→bytes contract as [[resizeImages]], with a real codec on both
+    * ends.
+    */
+  def resizeImagesIO(df: DataFrame, payloadCol: String, width: Int, height: Int): DataFrame = {
+    require(width > 0 && height > 0)
+    val resize = udf { (bytes: Array[Byte]) =>
+      if (bytes == null || bytes.isEmpty) null
+      else Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))).map { img =>
+        val raster = img.getRaster
+        val w = img.getWidth
+        val h = img.getHeight
+        val sums = new Array[Long](width * height)
+        val counts = new Array[Long](width * height)
+        var y = 0
+        while (y < h) {
+          val gy = y * height / h
+          var x = 0
+          while (x < w) {
+            val gx = x * width / w
+            sums(gy * width + gx) += raster.getSample(x, y, 0)
+            counts(gy * width + gx) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val out = new java.awt.image.BufferedImage(width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        var k = 0
+        while (k < width * height) {
+          // upscaling leaves cells with no source pixel → 0 (documented)
+          val v = if (counts(k) == 0) 0 else (sums(k) / counts(k)).toInt
+          out.getRaster.setSample(k % width, k / width, 0, v)
+          k += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        bos.toByteArray
+      }.orNull
+    }
+    df.withColumn(payloadCol, resize(col(payloadCol)))
+      .withColumn(
+        "media_meta",
+        if (df.columns.contains("media_meta"))
+          col("media_meta")
+            .withField("width", lit(width))
+            .withField("height", lit(height))
+        else struct(
+          lit("image").as("media_type"),
+          lit(width).as("width"), lit(height).as("height"),
+          lit(null).cast(IntegerType).as("sample_rate"),
+          lit(null).cast(LongType).as("duration_ms")))
+  }
+
   // =====================================================================
   // REAL audio decode (javax.sound.sampled — WAV/PCM, JDK built-in)
   // =====================================================================
@@ -438,16 +496,35 @@ object Multimodal {
     * codec swap-in changes only the decode step.
     */
   def perceptualPairs(df: DataFrame, idCol: String, payloadCol: String, maxHamming: Int = 6, bands: Int = 8): DataFrame = {
+    val features = decodeImages(df, idCol, payloadCol)
+    // byte-level fingerprint (content-hash bits): identical payloads
+    // collide; use [[perceptualPairsIO]] for true pixel-space similarity
+    bandedHammingPairs(
+      features.select(col(idCol).as("id"), col("content_hash").as("fp")), maxHamming, bands)
+  }
+
+  /** REAL perceptual near-dup pairs: fingerprints are [[aHash64]] over the
+    * DECODED pixels, so visually-near images (re-encodes, slight noise)
+    * pair even when their bytes differ completely — which no byte-level
+    * hash can do. Undecodable payloads drop out. Same banding/verify
+    * machinery and scale shape as [[perceptualPairs]].
+    */
+  def perceptualPairsIO(df: DataFrame, idCol: String, payloadCol: String, maxHamming: Int = 6, bands: Int = 8): DataFrame = {
+    val ahash = udf((b: Array[Byte]) => aHash64(b))
+    val fps = df.select(col(idCol).as("id"), ahash(col(payloadCol)).as("fp"))
+      .where(col("fp").isNotNull)
+    bandedHammingPairs(fps, maxHamming, bands)
+  }
+
+  /** Shared LSH tail: band the 64-bit fingerprints, bucket-join candidate
+    * pairs, verify by exact Hamming distance. Shuffles (id, band, bucket)
+    * only — fingerprints ride along as 8 bytes, payloads never move.
+    */
+  private def bandedHammingPairs(fps: DataFrame, maxHamming: Int, bands: Int): DataFrame = {
     import graft.functions.{HashFunctions => H}
     // banding's pigeonhole recall only covers Hamming ≤ bands-1: a larger
     // radius would silently miss qualifying pairs
     require(maxHamming < bands, s"maxHamming ($maxHamming) must be < bands ($bands) for full recall")
-    val features = decodeImages(df, idCol, payloadCol)
-    // with a real codec the fingerprint is the aHash of the decoded 8×8
-    // grid; the stub's "pixels" are content-hash-derived, so its hash bit
-    // pattern carries the same information — identical payloads collide,
-    // the banding/verify pipeline downstream is identical either way
-    val fps = features.select(col(idCol).as("id"), col("content_hash").as("fp"))
     val keyed = fps
       .select(col("id"), col("fp"), explode(H.simHashBands(col("fp"), bands)).as("bk"))
       .select(col("id"), col("fp"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))

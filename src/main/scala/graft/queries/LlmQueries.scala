@@ -160,6 +160,20 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // real resize: PNG → decode → integer box-average to 4×4 → re-encode
+    // PNG → decode again; the oracle recomputes each output cell as the
+    // truncating-division block mean of the formula pixels
+    "q_image_resize" -> ((s, dir) => {
+      val png = udf((id: Long) => Multimodal.syntheticPng(id))
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), png(col("doc_id")).as("payload"))
+      val resized = Multimodal.resizeImagesIO(docs, "payload", width = 4, height = 4)
+      Multimodal.decodeImagesIO(resized, "doc_id", "payload")
+        .select(col("doc_id"), col("width"), col("height"), col("channels"),
+          round(col("mean_intensity"), 6).as("mean_intensity"))
+        .orderBy(col("doc_id"))
+    }),
+
     // audio twin of q_image_decode: real WAV payloads (AudioSystem
     // encode), real javax.sound decode; the oracle recomputes rate /
     // frames / duration / RMS arithmetically — PCM is lossless
@@ -534,6 +548,24 @@ object LlmQueries {
         |  round(list_sum([CAST((doc_id * 31 + (k // width) * 7 + (k % width) * 13) % 256 AS BIGINT)
         |                  FOR k IN range(0, width * height)])::DOUBLE / (width * height), 6) AS mean_intensity
         |FROM dims ORDER BY doc_id""".stripMargin,
+    // real-resize gate: output cell (gy,gx) = floor-div block mean of the
+    // source formula pixels mapping to it (gy = i*4//h, gx = j*4//w);
+    // cells no source pixel maps to (upscaling) are 0, so the 4×4 mean is
+    // sum(cell)/16 regardless
+    "q_image_resize" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 1 + (doc_id % 16) AS w, 1 + ((doc_id // 16) % 16) AS h
+        |  FROM documents),
+        |px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS k FROM dims),
+        |cells AS (
+        |  SELECT doc_id,
+        |    sum((doc_id * 31 + (k // w) * 7 + (k % w) * 13) % 256) // count(*) AS cv
+        |  FROM px
+        |  GROUP BY doc_id, (((k // w) * 4) // h) * 4 + (((k % w) * 4) // w))
+        |SELECT doc_id, CAST(4 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+        |  CAST(1 AS INTEGER) AS channels,
+        |  round(sum(cv)::DOUBLE / 16, 6) AS mean_intensity
+        |FROM cells GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // real-codec audio gate: sample(t) = ((doc_id*31 + t*17) mod 65536) -
     // 32768 over 32 + doc_id%32 frames at 8000 + (doc_id%8)*1000 Hz; RMS
     // folds the normalized squares sequentially (engine accumulation

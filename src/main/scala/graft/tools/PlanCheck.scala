@@ -75,6 +75,7 @@ object PlanCheck {
     Check("q_ann_ivf", mustContain = Seq("WindowGroupLimit")),
     Check("q_ann_sketch", mustContain = Seq("WindowGroupLimit")),
     Check("q_ann_pq", mustContain = Seq("WindowGroupLimit")),
+    Check("q_ann_pq_refined", mustContain = Seq("WindowGroupLimit")),
     Check("q_ann_ivfpq", mustContain = Seq("WindowGroupLimit")),
     // substring dedup: window counts combine map-side before the exchange;
     // the only joins are uniform-key hash joins on the dup window set

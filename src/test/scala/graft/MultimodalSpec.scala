@@ -142,6 +142,53 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeAudioIO(junk, "id", "payload").isEmpty)
   }
 
+  test("REAL perceptual pairs: noisy re-encode of the same image pairs, different image doesn't") {
+    def pngOf(pixels: (Int, Int) => Int, w: Int = 32, h: Int = 32): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w) img.getRaster.setSample(x, y, 0, pixels(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val base: (Int, Int) => Int = (x, y) => (x * 8 + y * 3) % 256
+    val noisy: (Int, Int) => Int = (x, y) => math.min(255, base(x, y) + (x + y) % 2) // ±1 noise
+    val other: (Int, Int) => Int = (x, y) => ((x / 4 + y / 4) % 2) * 255
+    // bytes of base vs noisy differ completely; pixels barely do
+    val df = Seq((1L, pngOf(base)), (2L, pngOf(noisy)), (3L, pngOf(other)),
+      (4L, "not an image".getBytes("UTF-8"))).toDF("id", "payload")
+    val pairs = Multimodal.perceptualPairsIO(df, "id", "payload", maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "visually-near pair missed")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "structurally different image paired")
+    // the byte-level variant CANNOT find it (bytes differ) — the real
+    // decode is what buys pixel-space similarity
+    val bytePairs = Multimodal.perceptualPairs(df.where($"id" < 3), "id", "payload", maxHamming = 6)
+      .collect()
+    assert(bytePairs.isEmpty)
+  }
+
+  test("REAL resize: 4x4 box means exact, metadata updated, undecodable passes through null") {
+    val id = 37L
+    val df = Seq((id, Multimodal.syntheticPng(id)), (99L, "junk".getBytes("UTF-8")))
+      .toDF("id", "payload")
+    val resized = Multimodal.resizeImagesIO(df, "payload", width = 4, height = 4)
+    val meta = resized.select($"media_meta.width", $"media_meta.height").head
+    assert(meta.getInt(0) == 4 && meta.getInt(1) == 4)
+    assert(resized.where($"id" === 99L).select($"payload").head.isNullAt(0))
+    val out = Multimodal.decodeImagesIO(resized.where($"id" === id), "id", "payload").head
+    assert(out.getInt(1) == 4 && out.getInt(2) == 4 && out.getInt(3) == 1)
+    // exact expectation: integer box means of the generator formula
+    val w = 1 + (id % 16).toInt; val h = 1 + ((id / 16) % 16).toInt
+    val sums = Array.fill(16)(0L); val counts = Array.fill(16)(0L)
+    for (i <- 0 until h; j <- 0 until w) {
+      val cell = (i * 4 / h) * 4 + (j * 4 / w)
+      sums(cell) += (id * 31 + i * 7 + j * 13) % 256
+      counts(cell) += 1
+    }
+    val want = (0 until 16).map(k => if (counts(k) == 0) 0L else sums(k) / counts(k)).sum / 16.0
+    assert(out.getDouble(4) == want, s"${out.getDouble(4)} != $want")
+  }
+
   test("REAL aHash64: identical images collide, small perturbation stays within a few bits") {
     def pngOf(pixels: (Int, Int) => Int, w: Int = 32, h: Int = 32): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
