@@ -46,9 +46,10 @@ object Bench {
     "q_ann_pq",
     "q_ann_ivfpq",
     "q_substring_dedup",
-    // round 7: Lloyd-refined PQ and the real-codec media decodes
+    // round 7: Lloyd-refined PQ and the real-codec media paths
     "q_ann_pq_refined",
     "q_image_decode",
+    "q_image_resize",
     "q_audio_decode"
   )
 
