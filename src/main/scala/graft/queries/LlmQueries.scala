@@ -187,6 +187,17 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // sequence packing (pre-training concat-and-chunk): documents
+    // concatenate in doc_id order into one token stream, split into
+    // 128-token training sequences; output is the (doc, seq) span table
+    // with intra-document splits — complementary to q_pack_chunks, which
+    // groups WHOLE docs into char-budget chunks without splitting
+    "q_pack_sequences" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.text.Packing.packSequences(docs, "doc_id", T.tokenCount(col("text")), seqLen = 128)
+        .orderBy(col("doc_id"), col("seq_id"))
+    }),
+
     // text analysis: stopword removal (duplicates/order preserved)
     "q_stopword_removal" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -888,6 +899,26 @@ object LlmQueries {
         |                x -> x <> '') AS sents
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    // packing: the window cumulative sum over doc_id order is the
+    // sequential ground truth; all arithmetic is exact integers
+    "q_pack_sequences" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN norm = '' THEN 0 ELSE len(toks) END AS BIGINT) AS n
+         |  FROM (SELECT doc_id, $normSql AS norm, $toksSql AS toks FROM documents)),
+         |c AS (
+         |  -- DuckDB sum(BIGINT) is HUGEINT; range() needs BIGINT
+         |  SELECT doc_id, n,
+         |    CAST(coalesce(sum(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev
+         |  FROM d WHERE n > 0),
+         |s AS (
+         |  SELECT doc_id, n, prev, unnest(range(prev // 128, (prev + n - 1) // 128 + 1)) AS seq_id
+         |  FROM c)
+         |SELECT doc_id, n AS n_toks, CAST(seq_id AS BIGINT) AS seq_id,
+         |  greatest(0, seq_id * 128 - prev) AS doc_offset,
+         |  greatest(0, prev - seq_id * 128) AS seq_offset,
+         |  least(n, (seq_id + 1) * 128 - prev) - greatest(0, seq_id * 128 - prev) AS span_len
+         |FROM s ORDER BY doc_id, seq_id""".stripMargin,
     "q_langid_ngram" -> {
       def profile(lang: String): String =
         graft.functions.TextFunctions.trigramProfiles(lang).map(x => s"'$x'").mkString("[", ",", "]")
