@@ -33,7 +33,8 @@ import scala.jdk.CollectionConverters._
   * ArrowReaderWriterUtils.java:93 footer handling, :229 batch offsets).
   * A user migrating existing columnar tables reads them here directly.
   *
-  * Coverage: all core scalar types plus nested List/Struct/Map columns
+  * Coverage: all core scalar types (incl. Void/all-null columns —
+  * reference ArrowVoidDataFactory) plus nested List/Struct/Map columns
   * (reference ListData.java / StructData.java, schema dispatch
   * OnHeapArrowSchemaMapper.java:105-222), dictionary-encoded columns on
   * read — at any nesting depth, with per-batch dictionary REPLACEMENT as
@@ -327,6 +328,7 @@ object ArrowIpc {
       }
       i => if (v.isNull(i)) null else dictRead(idxOf(i))
     } else v match {
+      case _: NullVector => _ => null // reference Void columns (ArrowVoidDataFactory)
       case x: BitVector => i => if (x.isNull(i)) null else x.get(i) == 1
       case x: TinyIntVector => i => if (x.isNull(i)) null else x.get(i)
       case x: SmallIntVector => i => if (x.isNull(i)) null else x.get(i)
@@ -463,7 +465,9 @@ object ArrowIpc {
     done.close()
   }
 
-  private def setNullSafe(v: FieldVector, idx: Int): Unit = {
+  private def setNullSafe(v: FieldVector, idx: Int): Unit = v match {
+    case _: NullVector => () // inherently null, no buffers
+    case _ =>
     while (idx >= v.getValueCapacity) v.reAlloc()
     v match {
       case x: BaseFixedWidthVector => x.setNull(idx)
@@ -483,6 +487,7 @@ object ArrowIpc {
     */
   private def writerFor(vec: FieldVector, dt: DataType): (Int, SpecializedGetters, Int) => Unit =
     (vec, dt) match {
+      case (_: NullVector, NullType) => (_, _, _) => () // NullVector stores nothing
       case (v: BitVector, BooleanType) => (i, g, o) => v.setSafe(i, if (g.getBoolean(o)) 1 else 0)
       case (v: TinyIntVector, ByteType) => (i, g, o) => v.setSafe(i, g.getByte(o))
       case (v: SmallIntVector, ShortType) => (i, g, o) => v.setSafe(i, g.getShort(o))
@@ -566,6 +571,7 @@ object ArrowIpc {
       new Field(f.name, new FieldType(f.nullable, t, null, arrowMeta),
         if (children.isEmpty) null else children.asJava)
     f.dataType match {
+      case NullType => field(ArrowType.Null.INSTANCE)
       case BooleanType => field(ArrowType.Bool.INSTANCE)
       case ByteType => field(new ArrowType.Int(8, true))
       case ShortType => field(new ArrowType.Int(16, true))
@@ -619,6 +625,7 @@ object ArrowIpc {
       mb.putString(DictWidthKey, enc.getIndexType.getBitWidth.toString)
     }
     val dt: DataType = f.getType match {
+      case _: ArrowType.Null => NullType // reference Void columns
       case _: ArrowType.Bool => BooleanType
       case i: ArrowType.Int if i.getIsSigned => i.getBitWidth match {
         case 8 => ByteType

@@ -261,6 +261,35 @@ class ArrowIpcSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("Void (all-null) columns round-trip — the reference's ArrowVoidDataFactory shape") {
+    val df = spark.sql("SELECT id, NULL AS void_col FROM range(40)")
+    assert(df.schema("void_col").dataType == NullType)
+    val out = tmp("ipc_void")
+    ArrowIpc.write(df, out)
+    val back = ArrowIpc.read(spark, out)
+    assert(back.schema("void_col").dataType == NullType)
+    assert(back.count() == 40)
+    assert(back.where($"void_col".isNull).count() == 40)
+    // and a foreign-written Null column (plain arrow-java) reads too
+    val dir = tmp("ipc_void_foreign")
+    Files.createDirectories(Paths.get(dir))
+    val file = Paths.get(dir, "v.arrow")
+    val alloc = new RootAllocator(Long.MaxValue)
+    val idv = new BigIntVector("id", alloc)
+    idv.allocateNew(); (0 until 5).foreach(i => idv.setSafe(i, i.toLong)); idv.setValueCount(5)
+    val nv = new NullVector("nothing", 5)
+    val root = new VectorSchemaRoot(
+      java.util.List.of(idv.getField, nv.getField),
+      java.util.List.of[FieldVector](idv, nv))
+    val os = Files.newOutputStream(file)
+    val writer = new ArrowFileWriter(root, null, Channels.newChannel(os))
+    writer.start(); writer.writeBatch(); writer.end(); writer.close(); os.close()
+    root.close(); alloc.close()
+    val fdf = ArrowIpc.read(spark, file.toString)
+    assert(fdf.schema("nothing").dataType == NullType)
+    assert(fdf.count() == 5)
+  }
+
   test("TimestampNTZ round-trips (lineitem's date columns migrate)") {
     val df = spark.sql(
       "SELECT id, timestampadd(HOUR, CAST(id AS INT), TIMESTAMP_NTZ'2024-01-01 00:00:00') AS ts FROM range(100)")
