@@ -50,7 +50,9 @@ object Bench {
     "q_ann_pq_refined",
     "q_image_decode",
     "q_image_resize",
-    "q_audio_decode"
+    "q_audio_decode",
+    "q_video_decode",
+    "q_pack_sequences"
   )
 
   def main(args: Array[String]): Unit = {

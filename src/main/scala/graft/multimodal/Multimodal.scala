@@ -10,12 +10,14 @@ import org.apache.spark.sql.types._
   *
   * IMAGE decode is REAL: [[decodeImagesIO]] runs `javax.imageio`
   * (JDK-built-in, headless-safe — PNG/JPEG/BMP/GIF) and its gate's oracle
-  * checks actual decoded dimensions and pixel means. The byte-level
-  * [[decodeStub]] path remains for media types with no JDK codec
-  * (audio/video feature extraction) — there the Spark-side plumbing
-  * (schema, partitioning, batch shape) is real and the decode body is a
-  * documented deterministic fake (the production swap is `mapInPandas`
-  * with the same schema contract).
+  * checks actual decoded dimensions and pixel means. AUDIO decode is REAL
+  * via `javax.sound.sampled` ([[decodeAudioIO]] — WAV/AIFF/AU). VIDEO
+  * decode is REAL via the dependency-free [[Avi]] RIFF reader
+  * ([[decodeVideoIO]], [[sampleFramesIO]] — uncompressed BI_RGB and MJPG
+  * frames; MJPG rides ImageIO per frame). The byte-level [[decodeStub]]
+  * path remains as the codec-less plumbing shape for formats outside
+  * those codecs (the production swap is `mapInPandas` with the same
+  * schema contract).
   *
   * Scale design: decode is embarrassingly parallel and scan-local — no
   * shuffle. `repartition` the input only to match decoder-core counts;
@@ -452,8 +454,117 @@ object Multimodal {
     df.sparkSession.createDataFrame(rdd, outSchema)
   }
 
+  // =====================================================================
+  // REAL video decode (dependency-free AVI/RIFF reader — [[Avi]])
+  // =====================================================================
+
+  val videoDecodeSchema: StructType = StructType(
+    Seq(
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("fps_rate", IntegerType, nullable = false),
+      StructField("fps_scale", IntegerType, nullable = false),
+      StructField("n_frames", LongType, nullable = false),
+      StructField("duration_ms", LongType, nullable = false),
+      StructField("mean_intensity", DoubleType, nullable = false)
+    ))
+
+  /** Deterministic grayscale AVI for a row id — a REAL [[Avi.encode]]
+    * container (uncompressed 24-bit BI_RGB frames, so the round trip is
+    * LOSSLESS): 1 + id mod 6 frames of (1 + id mod 8) × (1 + ⌊id/8⌋ mod 8)
+    * pixels at 5 + id mod 10 fps, frame `f` pixel (row i, col j) =
+    * (id·31 + f·101 + i·7 + j·13) mod 256. As with [[syntheticPng]], the
+    * id-formula is the SQL-checkable ground truth for genuinely decoded
+    * frame content.
+    */
+  def syntheticAvi(id: Long): Array[Byte] = {
+    require(id >= 0, s"syntheticAvi: id must be non-negative, got $id")
+    val w = 1 + (id % 8).toInt
+    val h = 1 + ((id / 8) % 8).toInt
+    val fps = 5 + (id % 10).toInt
+    val nFrames = 1 + (id % 6).toInt
+    val frames = (0 until nFrames).map { f =>
+      Array.tabulate(w * h) { k =>
+        ((id * 31 + f * 101 + (k / w) * 7 + (k % w) * 13) % 256).toByte
+      }
+    }
+    Avi.encode(w, h, fps, frames)
+  }
+
+  /** Per-partition REAL video decode: id + [[videoDecodeSchema]] columns
+    * (container dims, frame-rate fraction, frame count, duration,
+    * all-frame pixel mean). Payloads [[Avi.decode]] cannot open are
+    * DROPPED (same contract as [[decodeImagesIO]]). Scan-local, no
+    * shuffle; features are fixed-width, so the decoded table is tiny
+    * relative to the payload table.
+    */
+  def decodeVideoIO(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val idField = df.schema(idCol)
+    val outSchema = StructType(idField +: videoDecodeSchema.fields)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = if (r.isNullAt(payloadIdx)) null else r.getAs[Array[Byte]](payloadIdx)
+        Avi.decode(bytes).map { v =>
+          var sum = 0L
+          v.frames.foreach { f =>
+            var i = 0
+            while (i < f.length) { sum += (f(i) & 0xff); i += 1 }
+          }
+          val nPx = v.nFrames.toLong * v.width * v.height
+          val mean = if (nPx == 0) 0.0 else sum.toDouble / nPx
+          Row.fromSeq(r.get(idIdx) +: Seq[Any](
+            v.width, v.height, v.fpsRate, v.fpsScale, v.nFrames.toLong, v.durationMs, mean))
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
+  val frameSampleSchema: StructType = StructType(
+    Seq(
+      StructField("sample_idx", IntegerType, nullable = false),
+      StructField("frame_no", IntegerType, nullable = false),
+      StructField("frame_mean", DoubleType, nullable = false)
+    ))
+
+  /** REAL frame sampling (UDTF/generator shape, 1→N rows): decode the
+    * container, pick `min(n, n_frames)` evenly-spaced frames
+    * (`frame_no = sample_idx · n_frames / k` — strictly increasing, no
+    * repeats), emit per-frame pixel means. Undecodable payloads drop out.
+    * Scan-local: the explode happens inside the partition, frames never
+    * shuffle — only the fixed-width per-frame stats do.
+    */
+  def sampleFramesIO(df: DataFrame, idCol: String, payloadCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"sampleFramesIO: n must be >= 1, got $n")
+    val idField = df.schema(idCol)
+    val outSchema = StructType(idField +: frameSampleSchema.fields)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = if (r.isNullAt(payloadIdx)) null else r.getAs[Array[Byte]](payloadIdx)
+        Avi.decode(bytes).toSeq.flatMap { v =>
+          val k = math.min(n, v.nFrames)
+          (0 until k).map { s =>
+            val frameNo = (s.toLong * v.nFrames / k).toInt
+            val f = v.frames(frameNo)
+            var sum = 0L
+            var i = 0
+            while (i < f.length) { sum += (f(i) & 0xff); i += 1 }
+            val mean = if (f.length == 0) 0.0 else sum.toDouble / f.length
+            Row.fromSeq(r.get(idIdx) +: Seq[Any](s, frameNo, mean))
+          }
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
   /** Frame-sample stub for video payloads: emits `n` deterministic frame
-    * rows per video (UDTF/generator shape — 1→N rows).
+    * rows per video (UDTF/generator shape — 1→N rows). Kept as the
+    * codec-less plumbing shape; [[sampleFramesIO]] is the real-codec path.
     */
   def sampleFrames(df: DataFrame, idCol: String, payloadCol: String, n: Int): DataFrame = {
     // sequence(0, -1) would DESCEND ([0,-1]) and emit phantom frames

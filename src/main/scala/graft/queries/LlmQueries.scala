@@ -187,6 +187,33 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // video twin of q_image_decode: real AVI containers ([[Avi.encode]]
+    // BI_RGB — lossless), decoded by the dependency-free RIFF reader; the
+    // oracle recomputes dims / fps / frame count / duration and the exact
+    // all-frame pixel mean arithmetically from the id formula
+    "q_video_decode" -> ((s, dir) => {
+      val avi = udf((id: Long) => Multimodal.syntheticAvi(id))
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), avi(col("doc_id")).as("payload"))
+      Multimodal.decodeVideoIO(docs, "doc_id", "payload")
+        .select(col("doc_id"), col("width"), col("height"), col("fps_rate"), col("fps_scale"),
+          col("n_frames"), col("duration_ms"), round(col("mean_intensity"), 6).as("mean_intensity"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // real frame sampling (1→N generator): 3 evenly-spaced frames per
+    // video, per-frame pixel means — the oracle replays the sampling
+    // arithmetic (frame_no = s·nf/k) and the per-frame formula means
+    "q_video_frames" -> ((s, dir) => {
+      val avi = udf((id: Long) => Multimodal.syntheticAvi(id))
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), avi(col("doc_id")).as("payload"))
+      Multimodal.sampleFramesIO(docs, "doc_id", "payload", n = 3)
+        .select(col("doc_id"), col("sample_idx"), col("frame_no"),
+          round(col("frame_mean"), 6).as("frame_mean"))
+        .orderBy(col("doc_id"), col("sample_idx"))
+    }),
+
     // sequence packing (pre-training concat-and-chunk): documents
     // concatenate in doc_id order into one token stream, split into
     // 128-token training sequences; output is the (doc, seq) span table
@@ -594,6 +621,44 @@ object LlmQueries {
         |    [list_transform([((doc_id * 31 + t * 17) % 65536 - 32768) / 32768.0], x -> x * x)[1]
         |     FOR t IN range(0, n)]), (a, x) -> a + x) / n), 6) AS rms
         |FROM p ORDER BY doc_id""".stripMargin,
+    // real-codec video gate: frame f pixel (i,j) = (doc_id*31 + f*101 +
+    // i*7 + j*13) mod 256 over 1 + doc_id%6 frames of (1 + doc_id%8) ×
+    // (1 + (doc_id//8)%8) at 5 + doc_id%10 fps; BI_RGB is lossless, so
+    // only a genuine container decode reproduces the formula mean
+    "q_video_decode" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(1 + (doc_id % 8) AS INTEGER) AS width,
+        |    CAST(1 + ((doc_id // 8) % 8) AS INTEGER) AS height,
+        |    CAST(5 + (doc_id % 10) AS INTEGER) AS fps_rate,
+        |    1 + (doc_id % 6) AS nf
+        |  FROM documents)
+        |SELECT doc_id, width, height, fps_rate, CAST(1 AS INTEGER) AS fps_scale,
+        |  CAST(nf AS BIGINT) AS n_frames,
+        |  (nf * 1000) // fps_rate AS duration_ms,
+        |  round(list_sum([CAST((doc_id * 31 + (k // (width * height)) * 101
+        |                        + ((k % (width * height)) // width) * 7 + (k % width) * 13) % 256 AS BIGINT)
+        |                  FOR k IN range(0, nf * width * height)])::DOUBLE / (nf * width * height), 6) AS mean_intensity
+        |FROM p ORDER BY doc_id""".stripMargin,
+    // frame sampling: k = least(3, nf) samples, frame_no = (s·nf)//k —
+    // strictly increasing; per-frame mean from the same pixel formula
+    "q_video_frames" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(1 + (doc_id % 8) AS INTEGER) AS w,
+        |    CAST(1 + ((doc_id // 8) % 8) AS INTEGER) AS h,
+        |    1 + (doc_id % 6) AS nf
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, w, h, nf, least(3, nf) AS k,
+        |    unnest(range(0, least(3, nf))) AS sample_idx
+        |  FROM p)
+        |SELECT doc_id, CAST(sample_idx AS INTEGER) AS sample_idx,
+        |  CAST((sample_idx * nf) // k AS INTEGER) AS frame_no,
+        |  round(list_sum([CAST((doc_id * 31 + ((sample_idx * nf) // k) * 101
+        |                        + (px // w) * 7 + (px % w) * 13) % 256 AS BIGINT)
+        |                  FOR px IN range(0, w * h)])::DOUBLE / (w * h), 6) AS frame_mean
+        |FROM s ORDER BY doc_id, sample_idx""".stripMargin,
     "q_ann_sketch" -> XxhSql.annSketchSql(dim = 64, nBits = 64, k = 5, oversample = 8, nQueries = 5),
     "q_ann_pq" -> XxhSql.annPqSql(d = 64, m = 8, kc = 16, k = 5, oversample = 8, nQueries = 5),
     "q_ann_pq_refined" -> XxhSql.annPqRefinedSql(d = 64, m = 8, kc = 16, k = 5, oversample = 8,

@@ -31,6 +31,9 @@ object Packing {
 
   /** Pack `docs` into `seqLen`-token sequences.
     *
+    * @param idCol unique, totally-ordered document id — uniqueness IS the
+    *              determinism guarantee (equal ids would make the
+    *              concatenation order, and thus the packing, ambiguous)
     * @param tokenCount token count expression evaluated against `docs`
     * @return spans: (idCol, n_toks, seq_id, doc_offset, seq_offset,
     *         span_len) — `seq_id` is the global sequence index, the span

@@ -150,7 +150,8 @@ class ArrowIpcSpec extends SparkSpec {
         |  named_struct('inner', named_struct('x', id * 2, 'y', CAST(id AS DOUBLE)),
         |               'tags', IF(id % 3 = 0, NULL, array('t1', concat('t', id)))) AS st,
         |  map(concat('k', id), CAST(id AS DOUBLE), 'fixed', CAST(NULL AS DOUBLE)) AS m,
-        |  array(array(id, id + 1), array(), CAST(NULL AS array<bigint>)) AS aa
+        |  array(array(id, id + 1), array(), CAST(NULL AS array<bigint>)) AS aa,
+        |  IF(id % 7 = 2, NULL, CAST(id AS DECIMAL(18, 6)) * 1.000001) AS dec
         |FROM range(200)""".stripMargin)
     val out = tmp("ipc_nested")
     ArrowIpc.write(df.repartition(2), out, batchRows = 64)

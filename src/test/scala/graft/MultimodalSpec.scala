@@ -211,4 +211,55 @@ class MultimodalSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(h1 ^ h4) > 8)
     assert(Multimodal.aHash64("junk".getBytes("UTF-8")).isEmpty)
   }
+
+  test("REAL video decode: AVI round trip reproduces the generator formula exactly") {
+    val ids = Seq(0L, 1L, 7L, 13L, 47L, 63L)
+    val avi = udf((id: Long) => Multimodal.syntheticAvi(id))
+    val df = ids.toDF("id").select($"id", avi($"id").as("payload"))
+    val out = Multimodal.decodeVideoIO(df, "id", "payload").orderBy($"id").collect()
+    assert(out.length == ids.length)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val w = 1 + (id % 8).toInt; val h = 1 + ((id / 8) % 8).toInt
+      val fps = 5 + (id % 10).toInt; val nf = 1 + (id % 6).toInt
+      assert(r.getInt(1) == w && r.getInt(2) == h)
+      assert(r.getInt(3) == fps && r.getInt(4) == 1)
+      assert(r.getLong(5) == nf)
+      assert(r.getLong(6) == nf.toLong * 1000 / fps)
+      // exact all-frame pixel mean from the formula (lossless BI_RGB)
+      var sum = 0L
+      for (f <- 0 until nf; i <- 0 until h; j <- 0 until w)
+        sum += (id * 31 + f * 101 + i * 7 + j * 13) % 256
+      assert(r.getDouble(7) == sum.toDouble / (nf.toLong * w * h), s"id=$id mean mismatch")
+    }
+    // undecodable payloads drop
+    val mixed = Seq((1L, Multimodal.syntheticAvi(1L)), (2L, "junk".getBytes("UTF-8")))
+      .toDF("id", "payload")
+    assert(Multimodal.decodeVideoIO(mixed, "id", "payload").collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("REAL frame sampling: evenly-spaced distinct frames, per-frame means exact") {
+    val id = 29L // nf = 1 + 29%6 = 6 frames, w = 6, h = 4
+    val df = Seq((id, Multimodal.syntheticAvi(id)), (99L, "junk".getBytes("UTF-8")))
+      .toDF("id", "payload")
+    val nf = 1 + (id % 6).toInt
+    val w = 1 + (id % 8).toInt; val h = 1 + ((id / 8) % 8).toInt
+    // n < nf: k = n samples at strictly increasing frame_no
+    val out = Multimodal.sampleFramesIO(df, "id", "payload", n = 4).orderBy($"sample_idx").collect()
+    assert(out.length == 4 && out.forall(_.getLong(0) == id))
+    val frameNos = out.map(_.getInt(2)).toSeq
+    assert(frameNos == (0 until 4).map(s => s * nf / 4))
+    assert(frameNos.distinct == frameNos)
+    out.foreach { r =>
+      val f = r.getInt(2)
+      var sum = 0L
+      for (i <- 0 until h; j <- 0 until w) sum += (id * 31 + f * 101 + i * 7 + j * 13) % 256
+      assert(r.getDouble(3) == sum.toDouble / (w * h))
+    }
+    // n > nf: capped at nf rows, frame_no = 0..nf-1
+    val all = Multimodal.sampleFramesIO(df.where($"id" === id), "id", "payload", n = 100)
+      .orderBy($"sample_idx").collect()
+    assert(all.length == nf)
+    assert(all.map(_.getInt(2)).toSeq == (0 until nf))
+  }
 }
