@@ -6,9 +6,9 @@ import org.apache.arrow.memory.{ArrowBuf, BufferAllocator, RootAllocator}
 import org.apache.arrow.vector._
 import org.apache.arrow.vector.complex.{LargeListVector, ListVector, MapVector, StructVector}
 import org.apache.arrow.vector.compression.CompressionUtil
-import org.apache.arrow.vector.dictionary.Dictionary
+import org.apache.arrow.vector.dictionary.{Dictionary, DictionaryProvider}
 import org.apache.arrow.vector.ipc.{ArrowFileWriter, SeekableReadChannel}
-import org.apache.arrow.vector.ipc.message.{ArrowBlock, ArrowFooter, ArrowRecordBatch, MessageSerializer}
+import org.apache.arrow.vector.ipc.message.{ArrowBlock, ArrowDictionaryBatch, ArrowFooter, ArrowRecordBatch, IpcOption, MessageSerializer}
 import org.apache.arrow.vector.types.pojo.{ArrowType, DictionaryEncoding, Field, FieldType, Schema => ArrowSchema}
 import org.apache.arrow.vector.types.{DateUnit, FloatingPointPrecision, TimeUnit}
 import org.apache.arrow.vector.util.DictionaryUtility
@@ -39,7 +39,9 @@ import scala.jdk.CollectionConverters._
   * OnHeapArrowSchemaMapper.java:105-222), dictionary-encoded columns on
   * read — at any nesting depth, with per-batch dictionary REPLACEMENT as
   * the reference writes it (OnHeapArrowDictEncodedStringData.java,
-  * DictKeys.java:72-206) — and the reference's LEGACY LZ4-block
+  * DictKeys.java:72-206) and spec-style DELTA dictionaries — and
+  * write-side dictionary encoding for string/binary columns (see
+  * [[write]]), plus the reference's LEGACY LZ4-block
   * compressed stores (see [[FooterSource]]). Arrow field metadata maps
   * into `StructField.metadata` and back, so the reference's logical-type
   * annotations (LogicalTypeExtensionType.java:59) survive a round trip.
@@ -65,8 +67,10 @@ object ArrowIpc {
     * native equivalent for; write() restores the original Arrow type.
     */
   val LogicalKey = "graft.arrow.logical"
-  /** Metadata keys recording that a column arrived dictionary-encoded
-    * (read-side information only — write() emits plain vectors).
+  /** Metadata keys recording that a column arrived dictionary-encoded.
+    * [[write]] consumes the marker: such columns are re-encoded on write
+    * (accumulating file dictionary + delta batches), so a
+    * reference→Spark→IPC round trip keeps its encoding.
     */
   val DictKey = "graft.arrow.dictEncoded"
   val DictWidthKey = "graft.arrow.dictIndexWidth"
@@ -249,17 +253,32 @@ object ArrowIpc {
         while (!batch.hasNext && open) {
           if (!blocks.hasNext) { close() }
           else blocks.next() match {
-            case (blk, true) => // dictionary batch (possibly a replacement)
+            case (blk, true) => // dictionary batch: initial, replacement, or delta
               rch.setPosition(blk.getOffset)
               val db = MessageSerializer.deserializeDictionaryBatch(rch, blk, alloc)
               try {
-                require(!db.isDelta,
-                  "Arrow IPC interop: delta dictionaries are not supported (the reference writes replacements)")
                 val dv = dictionaries.get(db.getDictionaryId).getVector
-                dv.clear()
-                val droot = new VectorSchemaRoot(
-                  java.util.List.of(dv.getField), java.util.List.of[FieldVector](dv))
-                load(db.getDictionary, droot)
+                if (!db.isDelta) {
+                  // full dictionary — REPLACES any previous content (the
+                  // reference re-writes each dictionary id per batch)
+                  dv.clear()
+                  val droot = new VectorSchemaRoot(
+                    java.util.List.of(dv.getField), java.util.List.of[FieldVector](dv))
+                  load(db.getDictionary, droot)
+                } else {
+                  // delta — APPENDS new entries (what our own writer emits;
+                  // also the spec-portable shape pyarrow/Arrow C++ accept)
+                  val tmp = dv.getField.createVector(alloc)
+                  try {
+                    val troot = new VectorSchemaRoot(
+                      java.util.List.of(tmp.getField), java.util.List.of[FieldVector](tmp))
+                    load(db.getDictionary, troot)
+                    val base = dv.getValueCount
+                    var k = 0
+                    while (k < troot.getRowCount) { dv.copyFromSafe(k, base + k, tmp); k += 1 }
+                    dv.setValueCount(base + troot.getRowCount)
+                  } finally tmp.close()
+                }
               } finally db.close()
             case (blk, false) =>
               rch.setPosition(blk.getOffset)
@@ -394,17 +413,87 @@ object ArrowIpc {
   // write
   // =====================================================================
 
+  /** [[ArrowFileWriter]] that lets the caller drive dictionary batches:
+    * the stock writer emits each provider dictionary exactly once, but
+    * dictionary content here accumulates per batch (initial + deltas), so
+    * the default emission is disabled and [[writeDict]] appends batches —
+    * which `endInternal` then records in the footer's dictionary blocks.
+    */
+  private final class DictFileWriter(
+      root: VectorSchemaRoot,
+      provider: DictionaryProvider,
+      ch: java.nio.channels.WritableByteChannel)
+    extends ArrowFileWriter(root, provider, ch, null, IpcOption.DEFAULT,
+      CommonsCompressionFactory.INSTANCE, CompressionUtil.CodecType.LZ4_FRAME) {
+    override protected def ensureDictionariesWritten(
+        p: DictionaryProvider, ids: java.util.Set[java.lang.Long]): Unit = ()
+    def writeDict(b: ArrowDictionaryBatch): Unit = writeDictionaryBatch(b)
+  }
+
+  /** Per-file dictionary accumulator for one dict-encoded column: value →
+    * index (insertion-ordered, so indices are stable across batches),
+    * plus the values not yet emitted in a dictionary batch. Novel values
+    * are cloned on insert (row byte buffers are reused by the scan);
+    * lookups of known values allocate nothing.
+    */
+  private final class DictState(val id: Long, val valueField: Field) {
+    private val index = new java.util.HashMap[Any, Integer]()
+    val pending = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var written = 0
+    def indexOfString(s: UTF8String): Int = {
+      val got = index.get(s)
+      if (got != null) got.intValue()
+      else {
+        val b = s.getBytes.clone()
+        add(UTF8String.fromBytes(b), b)
+      }
+    }
+    def indexOfBytes(b: Array[Byte]): Int = {
+      val got = index.get(ByteBuffer.wrap(b))
+      if (got != null) got.intValue()
+      else {
+        val c = b.clone()
+        add(ByteBuffer.wrap(c), c)
+      }
+    }
+    private def add(key: Any, bytes: Array[Byte]): Int = {
+      val i = index.size()
+      index.put(key, i)
+      pending += bytes
+      i
+    }
+  }
+
   /** Write a DataFrame as LZ4-frame-compressed Arrow IPC files, one per
     * partition (`part-NNNNN.arrow`) — the distributed mirror of the
     * reference's store writer. `batchRows` bounds per-batch memory.
     * Consumes `InternalRow`s directly (no external-Row conversion).
-    * Dictionary-encoded INPUT columns come back as plain vectors (the
-    * `graft.arrow.dictEncoded` marker is informational); `graft.arrow
-    * .logical` markers restore time64[ns]/largeUtf8/largeBinary.
+    * `graft.arrow.logical` markers restore time64[ns]/largeUtf8/largeBinary.
+    *
+    * Dictionary encoding: top-level string/binary columns named in
+    * `dictColumns` — plus columns that ARRIVED dictionary-encoded (the
+    * `graft.arrow.dictEncoded` read marker), so reference→Spark→IPC round
+    * trips keep their encoding — are written as int32-indexed
+    * dictionary-encoded vectors. The dictionary accumulates per FILE and
+    * is emitted incrementally: a full batch before the first record
+    * batch, then DELTA batches carrying only new values — the
+    * spec-portable shape (verified against pyarrow 16 / Arrow C++, which
+    * reject the reference's replacement dictionaries but accept deltas).
+    * Dictionary size is bounded by the column's distinct values per file
+    * — encode low-cardinality columns, which is the point of the format.
     */
-  def write(df: DataFrame, path: String, batchRows: Int = 4096): Unit = {
+  def write(df: DataFrame, path: String, batchRows: Int = 4096,
+      dictColumns: Set[String] = Set.empty): Unit = {
     val schema = df.schema
     schema.foreach(f => toArrowField(f)) // fail fast on unsupported types
+    val dictCols: Set[String] =
+      dictColumns ++ schema.fields.filter(_.metadata.contains(DictKey)).map(_.name)
+    dictCols.foreach { c =>
+      require(schema.fieldNames.contains(c), s"dictColumns: no such column '$c'")
+      val dt = schema(c).dataType
+      require(dt == StringType || dt == BinaryType,
+        s"dictColumns: column '$c' is $dt — only top-level string/binary columns dictionary-encode")
+    }
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val out = new HPath(path)
@@ -424,18 +513,82 @@ object ArrowIpc {
       val tmp = new HPath(pathStr, f".part-$pid%05d-$attempt.arrow.tmp")
       val hfs = part.getFileSystem(c)
       val alloc = new RootAllocator(Long.MaxValue)
-      val arrowSchema = new ArrowSchema(schema.map(toArrowField).asJava)
-      val root = VectorSchemaRoot.create(arrowSchema, alloc)
-      val writers = schema.indices.map(i => writerFor(root.getVector(i), schema(i).dataType)).toArray
+      val plainFields = schema.map(toArrowField)
+      // memory-format root: dict columns are int32 index vectors carrying
+      // a DictionaryEncoding (id = column ordinal); the provider holds a
+      // value-typed vector per dictionary so the writer can derive the
+      // message-format schema (content is emitted via writeDict, not the
+      // provider)
+      val states = new java.util.HashMap[Integer, DictState]()
+      val provider = new DictionaryProvider.MapDictionaryProvider()
+      val schemaVecs = scala.collection.mutable.ArrayBuffer.empty[FieldVector]
+      val memFields = schema.indices.map { i =>
+        val f = plainFields(i)
+        if (!dictCols.contains(schema(i).name)) f
+        else {
+          val enc = new DictionaryEncoding(i.toLong, false, new ArrowType.Int(32, true))
+          val st = new DictState(i.toLong, f)
+          states.put(i, st)
+          val sv = f.createVector(alloc)
+          schemaVecs += sv
+          provider.put(new Dictionary(sv, enc))
+          new Field(f.getName,
+            new FieldType(schema(i).nullable, new ArrowType.Int(32, true), enc, f.getMetadata),
+            null)
+        }
+      }
+      val root = VectorSchemaRoot.create(new ArrowSchema(memFields.asJava), alloc)
+      val writers: Array[(Int, SpecializedGetters, Int) => Unit] =
+        schema.indices.map { i =>
+          val st = states.get(i)
+          if (st == null) writerFor(root.getVector(i), schema(i).dataType)
+          else {
+            val iv = root.getVector(i).asInstanceOf[IntVector]
+            schema(i).dataType match {
+              case StringType => (n: Int, g: SpecializedGetters, o: Int) =>
+                iv.setSafe(n, st.indexOfString(g.getUTF8String(o)))
+              case _ => (n: Int, g: SpecializedGetters, o: Int) =>
+                iv.setSafe(n, st.indexOfBytes(g.getBinary(o)))
+            }
+          }
+        }.toArray
       val os: OutputStream = hfs.create(tmp, true)
       try {
-        val writer = new ArrowFileWriter(
-          root, null, Channels.newChannel(os), null,
-          org.apache.arrow.vector.ipc.message.IpcOption.DEFAULT,
-          CommonsCompressionFactory.INSTANCE, CompressionUtil.CodecType.LZ4_FRAME)
+        val writer = new DictFileWriter(root, provider, Channels.newChannel(os))
         writer.start()
+        val codec = CommonsCompressionFactory.INSTANCE.createCodec(CompressionUtil.CodecType.LZ4_FRAME)
+        // before each record batch: emit the values this batch introduced
+        // (first time: the full-so-far dictionary; after: deltas). A batch
+        // with no novel values emits nothing.
+        def flushDicts(): Unit = states.values().asScala.foreach { st =>
+          if (st.written == 0 || st.pending.nonEmpty) {
+            val vec = st.valueField.createVector(alloc)
+            try {
+              var k = 0
+              st.pending.foreach { b =>
+                vec match {
+                  case v: VarCharVector => v.setSafe(k, b)
+                  case v: LargeVarCharVector => v.setSafe(k, b)
+                  case v: VarBinaryVector => v.setSafe(k, b)
+                  case v: LargeVarBinaryVector => v.setSafe(k, b)
+                  case o => throw new IllegalStateException(s"dict value vector ${o.getClass.getSimpleName}")
+                }
+                k += 1
+              }
+              vec.setValueCount(st.pending.size)
+              val droot = new VectorSchemaRoot(
+                java.util.List.of(vec.getField), java.util.List.of[FieldVector](vec))
+              val rb = new VectorUnloader(droot, true, codec, true).getRecordBatch
+              val db = new ArrowDictionaryBatch(st.id, rb, st.written > 0)
+              try writer.writeDict(db) finally db.close()
+              st.written += st.pending.size
+              st.pending.clear()
+            } finally vec.close()
+          }
+        }
         var n = 0
         def flush(): Unit = if (n > 0) {
+          flushDicts()
           root.setRowCount(n); writer.writeBatch(); root.allocateNew(); n = 0
         }
         it.foreach { row =>
@@ -453,7 +606,7 @@ object ArrowIpc {
         hfs.delete(part, false) // replace any prior attempt's commit
         require(hfs.rename(tmp, part), s"rename $tmp -> $part failed")
       } finally {
-        root.close(); alloc.close()
+        root.close(); schemaVecs.foreach(_.close()); alloc.close()
         hfs.delete(tmp, false); () // no-op when renamed
       }
       Iterator.empty[Int].iterator
@@ -562,8 +715,9 @@ object ArrowIpc {
     val logical =
       if (f.metadata.contains(LogicalKey)) f.metadata.getString(LogicalKey) else ""
     // propagate string-valued Spark metadata into Arrow field metadata so
-    // logical-type annotations survive; drop the read-side dict markers
-    // (write emits plain vectors — claiming dict encoding would lie)
+    // logical-type annotations survive; drop the dict markers from FIELD
+    // metadata (the encoding itself is carried structurally — write()
+    // re-encodes marked columns for real)
     val arrowMeta: java.util.Map[String, String] = GraftSqlInternals.metadataMap(f.metadata)
       .collect { case (k, v: String) if k != DictKey && k != DictWidthKey => k -> v }
       .asJava

@@ -319,6 +319,72 @@ class ArrowIpcSpec extends SparkSpec {
       s"error does not name the offending file: ${e.getMessage}")
   }
 
+  test("write-side dictionary encoding: delta accumulation, round trip, plain arrow-java read") {
+    import org.apache.arrow.vector.dictionary.DictionaryProvider
+    // values sorted so later batches introduce NEW dictionary values →
+    // the writer must emit delta batches, not just one initial dictionary
+    val df = spark.sql(
+      """SELECT id,
+        |  concat('cat_', CAST(id div 100 AS INTEGER)) AS category,
+        |  IF(id % 9 = 4, NULL, encode(concat('b', CAST(id div 200 AS INTEGER)), 'UTF-8')) AS tag
+        |FROM range(1000) ORDER BY id""".stripMargin)
+    val out = tmp("ipc_dictw")
+    ArrowIpc.write(df.repartition(1).sortWithinPartitions($"id"), out,
+      batchRows = 128, dictColumns = Set("category", "tag"))
+
+    // footer shape: >2 dictionary blocks proves deltas were written
+    // (1 initial per column + at least one delta)
+    import scala.collection.JavaConverters._
+    val file = Files.list(Paths.get(out)).iterator().asScala
+      .find(_.toString.endsWith(".arrow")).get
+    val reader = new ArrowFileReader(
+      Files.newByteChannel(file), new RootAllocator(Long.MaxValue), CommonsCompressionFactory.INSTANCE)
+    val dictBlocks = reader.getDictionaryBlocks.size()
+    reader.close()
+    assert(dictBlocks > 2, s"expected initial+delta dictionary batches, got $dictBlocks blocks")
+
+    // engine round trip: values exact, schema surfaces the dict marker
+    val back = ArrowIpc.read(spark, out)
+    assert(back.schema("category").dataType == StringType)
+    assert(back.schema("category").metadata.getString(ArrowIpc.DictKey) == "true")
+    assert(back.schema("tag").dataType == BinaryType)
+    val a = df.orderBy($"id").collect().map(_.toSeq.map {
+      case b: Array[Byte] => b.toSeq; case x => x
+    })
+    val b = back.orderBy($"id").collect().map(_.toSeq.map {
+      case b: Array[Byte] => b.toSeq; case x => x
+    })
+    assert(a.toSeq == b.toSeq)
+
+    // re-write WITHOUT explicit dictColumns: the read marker alone keeps
+    // the encoding (reference→Spark→IPC round trips stay dict-encoded)
+    val out2 = tmp("ipc_dictw2")
+    ArrowIpc.write(back.repartition(1), out2)
+    val file2 = Files.list(Paths.get(out2)).iterator().asScala
+      .find(_.toString.endsWith(".arrow")).get
+    val r2 = new ArrowFileReader(
+      Files.newByteChannel(file2), new RootAllocator(Long.MaxValue), CommonsCompressionFactory.INSTANCE)
+    assert(r2.getDictionaryBlocks.size() >= 2, "dict marker did not re-encode on write")
+    r2.close()
+
+    // non-string/binary dict column fails fast
+    val e = intercept[IllegalArgumentException] {
+      ArrowIpc.write(df, tmp("ipc_dictbad"), dictColumns = Set("id"))
+    }
+    assert(e.getMessage.contains("only top-level string/binary"))
+  }
+
+  test("write-side dict encoding: all-null dict column and single-batch file read back") {
+    val df = spark.sql(
+      "SELECT id, CAST(NULL AS STRING) AS cat, concat('v', CAST(id % 3 AS INTEGER)) AS v FROM range(50)")
+    val out = tmp("ipc_dictnull")
+    ArrowIpc.write(df.repartition(1), out, dictColumns = Set("cat", "v"))
+    val back = ArrowIpc.read(spark, out)
+    assert(back.count() == 50)
+    assert(back.where($"cat".isNull).count() == 50)
+    assert(back.select($"v").distinct().count() == 3)
+  }
+
   test("write commits atomically: _SUCCESS present, no temp files; partial drain safe") {
     import scala.collection.JavaConverters._
     val df = spark.createDataFrame(
