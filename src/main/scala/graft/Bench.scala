@@ -51,6 +51,7 @@ object Bench {
     "q_image_decode",
     "q_image_resize",
     "q_audio_decode",
+    "q_audio_features",
     "q_video_decode",
     "q_pack_sequences"
   )

@@ -415,6 +415,97 @@ object Multimodal {
     df.sparkSession.createDataFrame(rdd, outSchema)
   }
 
+  val audioFeatureIOSchema: StructType = StructType(
+    Seq(
+      StructField("w", IntegerType, nullable = false),
+      StructField("win_rms", DoubleType, nullable = false),
+      StructField("zcr", LongType, nullable = false),
+      StructField("peak", DoubleType, nullable = false),
+      StructField("mean_abs", DoubleType, nullable = false)
+    ))
+
+  /** REAL audio feature extraction over decoded 16-bit PCM (UDTF shape,
+    * 1→`nWindows` rows per decodable payload): per-window RMS plus
+    * whole-stream zero-crossing count, normalized peak, and mean absolute
+    * amplitude. All samples-of-all-channels interleaved order, window `w`
+    * covering samples `[w·n/nWindows, (w+1)·n/nWindows)` with integer
+    * division — every quantity is either integer-exact or a fixed-order
+    * float fold, so a SQL oracle replicates them bit-for-bit. Undecodable
+    * or non-PCM16 payloads drop (same contract as [[decodeAudioIO]]).
+    * Spectral features (MFCC) stay out of scope: no FFT in the JDK, and
+    * transcendental kernels would not be oracle-exact across engines.
+    */
+  def audioFeaturesIO(df: DataFrame, idCol: String, payloadCol: String, nWindows: Int = 4): DataFrame = {
+    require(nWindows >= 1, s"audioFeaturesIO: nWindows must be >= 1, got $nWindows")
+    val idField = df.schema(idCol)
+    val outSchema = StructType(idField +: audioFeatureIOSchema.fields)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = if (r.isNullAt(payloadIdx)) null else r.getAs[Array[Byte]](payloadIdx)
+        pcmSamples(bytes).toSeq.flatMap { s =>
+          val n = s.length
+          var zcr = 0L
+          var peakI = 0
+          var sumAbs = 0L
+          var t = 0
+          while (t < n) {
+            val v = s(t)
+            if (t > 0 && ((s(t - 1) < 0) != (v < 0))) zcr += 1
+            val a = math.abs(v)
+            if (a > peakI) peakI = a
+            sumAbs += a
+            t += 1
+          }
+          val peak = peakI / 32768.0
+          val meanAbs = if (n == 0) 0.0 else (sumAbs.toDouble / 32768.0) / n
+          (0 until nWindows).map { w =>
+            val from = w * n / nWindows
+            val until = (w + 1) * n / nWindows
+            var sq = 0.0
+            var i = from
+            while (i < until) { val x = s(i) / 32768.0; sq += x * x; i += 1 }
+            val cnt = math.max(until - from, 1)
+            Row.fromSeq(r.get(idIdx) +: Seq[Any](w, math.sqrt(sq / cnt), zcr, peak, meanAbs))
+          }
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
+  /** Decode a payload to interleaved 16-bit PCM samples (all channels);
+    * None when not a decodable 16-bit PCM container.
+    */
+  private[multimodal] def pcmSamples(bytes: Array[Byte]): Option[Array[Int]] =
+    if (bytes == null || bytes.isEmpty) None
+    else try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 ||
+          fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
+        else {
+          val raw = ais.readAllBytes()
+          val n = raw.length / 2
+          val out = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            val lo = raw(2 * i) & 0xff
+            val hi = raw(2 * i + 1) & 0xff
+            out(i) = (if (fmt.isBigEndian) (lo << 8) | hi else (hi << 8) | lo).toShort.toInt
+            i += 1
+          }
+          Some(out)
+        }
+      } finally ais.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
   val audioFeatureSchema: StructType = StructType(
     Seq(
       StructField("byte_length", LongType, nullable = false),
@@ -424,7 +515,9 @@ object Multimodal {
 
   /** STUB audio feature extraction (13-dim MFCC-shaped vector + RMS from
     * the raw bytes). Same per-partition batch contract as
-    * [[decodeImages]].
+    * [[decodeImages]]. [[audioFeaturesIO]] is the real-codec path for
+    * everything non-spectral; this stub remains only as the MFCC-shaped
+    * plumbing contract.
     */
   def audioFeatures(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
     val idField = df.schema(idCol)

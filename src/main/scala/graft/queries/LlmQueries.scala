@@ -187,6 +187,20 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // real audio FEATURES (1→4 generator rows): windowed RMS + stream
+    // zero-crossing count / peak / mean-abs over genuinely decoded PCM —
+    // every quantity integer-exact or a fixed-order float fold, so the
+    // oracle replays them from the sample formula
+    "q_audio_features" -> ((s, dir) => {
+      val wav = udf((id: Long) => Multimodal.syntheticWav(id))
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), wav(col("doc_id")).as("payload"))
+      Multimodal.audioFeaturesIO(docs, "doc_id", "payload", nWindows = 4)
+        .select(col("doc_id"), col("w"), round(col("win_rms"), 6).as("win_rms"),
+          col("zcr"), round(col("peak"), 6).as("peak"), round(col("mean_abs"), 6).as("mean_abs"))
+        .orderBy(col("doc_id"), col("w"))
+    }),
+
     // video twin of q_image_decode: real AVI containers ([[Avi.encode]]
     // BI_RGB — lossless), decoded by the dependency-free RIFF reader; the
     // oracle recomputes dims / fps / frame count / duration and the exact
@@ -621,6 +635,30 @@ object LlmQueries {
         |    [list_transform([((doc_id * 31 + t * 17) % 65536 - 32768) / 32768.0], x -> x * x)[1]
         |     FOR t IN range(0, n)]), (a, x) -> a + x) / n), 6) AS rms
         |FROM p ORDER BY doc_id""".stripMargin,
+    // audio features: the same PCM formula as q_audio_decode; zcr/peak/
+    // mean_abs are integer-exact, window RMS folds ascending like the
+    // engine; the w-dependent inner range rides a cross-joined unnest
+    // column (comprehension vars can't nest into inner lambdas)
+    "q_audio_features" ->
+      """WITH p AS (
+        |  SELECT doc_id, 32 + (doc_id % 32) AS n,
+        |    [CAST((doc_id * 31 + t * 17) % 65536 - 32768 AS BIGINT)
+        |     FOR t IN range(0, 32 + (doc_id % 32))] AS smp
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, n, smp,
+        |    CAST(len([1 FOR t IN range(1, n) IF (smp[t] < 0) != (smp[t+1] < 0)]) AS BIGINT) AS zcr,
+        |    round(list_max(list_transform(smp, x -> abs(x))) / 32768.0, 6) AS peak,
+        |    round((list_sum(list_transform(smp, x -> abs(x)))::DOUBLE / 32768.0) / n, 6) AS mean_abs
+        |  FROM p),
+        |wx AS (SELECT doc_id, n, smp, zcr, peak, mean_abs, unnest(range(0, 4)) AS w FROM d)
+        |SELECT doc_id, CAST(w AS INTEGER) AS w,
+        |  round(sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |    [(smp[i+1] / 32768.0) * (smp[i+1] / 32768.0)
+        |     FOR i IN range((w * n) // 4, ((w + 1) * n) // 4)]),
+        |    (a, x) -> a + x) / greatest(((w + 1) * n) // 4 - (w * n) // 4, 1)), 6) AS win_rms,
+        |  zcr, peak, mean_abs
+        |FROM wx ORDER BY doc_id, w""".stripMargin,
     // real-codec video gate: frame f pixel (i,j) = (doc_id*31 + f*101 +
     // i*7 + j*13) mod 256 over 1 + doc_id%6 frames of (1 + doc_id%8) ×
     // (1 + (doc_id//8)%8) at 5 + doc_id%10 fps; BI_RGB is lossless, so

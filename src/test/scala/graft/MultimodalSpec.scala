@@ -212,6 +212,30 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.aHash64("junk".getBytes("UTF-8")).isEmpty)
   }
 
+  test("REAL audio features: zcr/peak/mean_abs/window RMS exact from the PCM formula") {
+    val id = 11L // n = 32 + 11 = 43, rate irrelevant here
+    val df = Seq((id, Multimodal.syntheticWav(id)), (99L, "junk".getBytes("UTF-8")))
+      .toDF("id", "payload")
+    val out = Multimodal.audioFeaturesIO(df, "id", "payload", nWindows = 4)
+      .orderBy($"w").collect()
+    assert(out.length == 4 && out.forall(_.getLong(0) == id))
+    val n = 32 + (id % 32).toInt
+    val s = Array.tabulate(n)(t => ((id * 31 + t * 17) % 65536).toInt - 32768)
+    val zcr = (1 until n).count(t => (s(t - 1) < 0) != (s(t) < 0)).toLong
+    val peak = s.map(math.abs).max / 32768.0
+    val meanAbs = (s.map(v => math.abs(v).toLong).sum.toDouble / 32768.0) / n
+    out.foreach { r =>
+      val w = r.getInt(1)
+      val from = w * n / 4; val until = (w + 1) * n / 4
+      var sq = 0.0
+      (from until until).foreach { i => val x = s(i) / 32768.0; sq += x * x }
+      assert(r.getDouble(2) == math.sqrt(sq / math.max(until - from, 1)))
+      assert(r.getLong(3) == zcr)
+      assert(r.getDouble(4) == peak)
+      assert(r.getDouble(5) == meanAbs)
+    }
+  }
+
   test("REAL video decode: AVI round trip reproduces the generator formula exactly") {
     val ids = Seq(0L, 1L, 7L, 13L, 47L, 63L)
     val avi = udf((id: Long) => Multimodal.syntheticAvi(id))
