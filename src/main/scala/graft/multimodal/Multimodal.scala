@@ -214,30 +214,41 @@ object Multimodal {
     if (bytes == null || bytes.isEmpty) None
     else Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))).map { img =>
       val raster = img.getRaster
-      val w = img.getWidth
-      val h = img.getHeight
-      val sums = new Array[Long](64)
-      val counts = new Array[Long](64)
-      var y = 0
-      while (y < h) {
-        val gy = y * 8 / h
-        var x = 0
-        while (x < w) {
-          val gx = x * 8 / w
-          sums(gy * 8 + gx) += raster.getSample(x, y, 0)
-          counts(gy * 8 + gx) += 1
-          x += 1
-        }
-        y += 1
-      }
-      // cells with no pixels (w or h < 8) average as 0
-      val cell = Array.tabulate(64)(k => if (counts(k) == 0) 0.0 else sums(k).toDouble / counts(k))
-      val mean = cell.sum / 64.0
-      var bits = 0L
-      var k = 0
-      while (k < 64) { if (cell(k) > mean) bits |= (1L << k); k += 1 }
-      bits
+      aHash64Grid(img.getWidth, img.getHeight, (x, y) => raster.getSample(x, y, 0))
     }
+
+  /** The aHash kernel over any (x, y) → sample accessor: box-average onto
+    * the 8×8 grid, threshold by the grid mean (empty cells average 0),
+    * pack 64 bits row-major. Shared by the image ([[aHash64]]) and video
+    * ([[aHash64Frame]]) paths so their fingerprints are comparable.
+    */
+  private def aHash64Grid(w: Int, h: Int, sample: (Int, Int) => Int): Long = {
+    val sums = new Array[Long](64)
+    val counts = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val gy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val gx = x * 8 / w
+        sums(gy * 8 + gx) += sample(x, y)
+        counts(gy * 8 + gx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    // cells with no pixels (w or h < 8) average as 0
+    val cell = Array.tabulate(64)(k => if (counts(k) == 0) 0.0 else sums(k).toDouble / counts(k))
+    val mean = cell.sum / 64.0
+    var bits = 0L
+    var k = 0
+    while (k < 64) { if (cell(k) > mean) bits |= (1L << k); k += 1 }
+    bits
+  }
+
+  /** aHash of one decoded grayscale frame (row-major top-down samples). */
+  def aHash64Frame(frame: Array[Byte], w: Int, h: Int): Long =
+    aHash64Grid(w, h, (x, y) => frame(y * w + x) & 0xff)
 
   /** Per-partition REAL decode over a payload column: id + decoded
     * (width, height, channels, mean_intensity). Payloads `ImageIO` cannot
@@ -653,6 +664,70 @@ object Multimodal {
       }
     }
     df.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
+  val videoHashSchema: StructType = StructType(
+    Seq(
+      StructField("sample_idx", IntegerType, nullable = false),
+      StructField("frame_no", IntegerType, nullable = false),
+      StructField("frame_hash", LongType, nullable = false)
+    ))
+
+  /** Per-frame perceptual fingerprints: decode, sample `min(n, n_frames)`
+    * evenly-spaced frames (same schedule as [[sampleFramesIO]]), aHash
+    * each — the video signature is this small (id, slot, 8-byte hash)
+    * table, which is all later stages ever shuffle.
+    */
+  def videoFrameHashes(df: DataFrame, idCol: String, payloadCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"videoFrameHashes: n must be >= 1, got $n")
+    val idField = df.schema(idCol)
+    val outSchema = StructType(idField +: videoHashSchema.fields)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = if (r.isNullAt(payloadIdx)) null else r.getAs[Array[Byte]](payloadIdx)
+        Avi.decode(bytes).toSeq.flatMap { v =>
+          val k = math.min(n, v.nFrames)
+          (0 until k).map { s =>
+            val frameNo = (s.toLong * v.nFrames / k).toInt
+            val h = aHash64Frame(v.frames(frameNo), v.width, v.height)
+            Row.fromSeq(r.get(idIdx) +: Seq[Any](s, frameNo, h))
+          }
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
+  /** Perceptual video near-dup pairs: sample `n` frames per video, aHash
+    * each, and pair videos whose POSITION-ALIGNED samples are within
+    * `maxHamming` bits on at least `minMatches` slots. Alignment rides
+    * the sample slot (slot joins only compare frame s-of-k against frame
+    * s-of-k), so re-encodes / mild noise pair while different footage
+    * doesn't. Reuses the SimHash banding machinery: the shuffle carries
+    * (id, slot, band, bucket, fp) rows — payloads and frames never move.
+    */
+  def videoPerceptualPairs(df: DataFrame, idCol: String, payloadCol: String,
+      n: Int = 8, maxHamming: Int = 6, bands: Int = 8, minMatches: Int = 4): DataFrame = {
+    import graft.functions.{HashFunctions => H}
+    require(maxHamming < bands, s"maxHamming ($maxHamming) must be < bands ($bands) for full recall")
+    require(minMatches >= 1, s"minMatches must be >= 1, got $minMatches")
+    val fps = videoFrameHashes(df, idCol, payloadCol, n)
+      .select(col(idCol).as("id"), col("sample_idx").as("slot"), col("frame_hash").as("fp"))
+    val keyed = fps
+      .select(col("id"), col("slot"), col("fp"), explode(H.simHashBands(col("fp"), bands)).as("bk"))
+      .select(col("id"), col("slot"), col("fp"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    keyed.as("a")
+      .join(keyed.as("b"), Seq("slot", "band", "bucket"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("slot"), col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
+      .distinct()
+      .where(H.hamming64(col("fp_a"), col("fp_b")) <= maxHamming)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("matched_frames"))
+      .where(col("matched_frames") >= minMatches)
   }
 
   /** Frame-sample stub for video payloads: emits `n` deterministic frame

@@ -228,6 +228,19 @@ object LlmQueries {
         .orderBy(col("doc_id"), col("sample_idx"))
     }),
 
+    // perceptual video fingerprints: 3 sampled frames per video, each
+    // aHash'd over genuinely decoded pixels; the oracle replays the full
+    // aHash kernel (8×8 box means, grid-mean threshold, bit packing)
+    // arithmetically from the frame formula
+    "q_video_phash" -> ((s, dir) => {
+      val avi = udf((id: Long) => Multimodal.syntheticAvi(id))
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), avi(col("doc_id")).as("payload"))
+      Multimodal.videoFrameHashes(docs, "doc_id", "payload", n = 3)
+        .select(col("doc_id"), col("sample_idx"), col("frame_no"), col("frame_hash"))
+        .orderBy(col("doc_id"), col("sample_idx"))
+    }),
+
     // sequence packing (pre-training concat-and-chunk): documents
     // concatenate in doc_id order into one token stream, split into
     // 128-token training sequences; output is the (doc, seq) span table
@@ -697,6 +710,50 @@ object LlmQueries {
         |                        + (px // w) * 7 + (px % w) * 13) % 256 AS BIGINT)
         |                  FOR px IN range(0, w * h)])::DOUBLE / (w * h), 6) AS frame_mean
         |FROM s ORDER BY doc_id, sample_idx""".stripMargin,
+    // aHash kernel replay: per (doc, sample) group pixels into 8×8 grid
+    // cells (gy = i·8//h, gx = j·8//w), cell value = integer sum / count;
+    // the grid mean folds cell values in k-order (zeros from empty cells
+    // don't move a float accumulator, so folding present cells in cell
+    // order equals the engine's 64-element ordered sum); bits pack in
+    // HUGEINT then convert to the engine's signed 64-bit value
+    "q_video_phash" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(1 + (doc_id % 8) AS INTEGER) AS w,
+        |    CAST(1 + ((doc_id // 8) % 8) AS INTEGER) AS h,
+        |    1 + (doc_id % 6) AS nf
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, w, h, nf, least(3, nf) AS k,
+        |    unnest(range(0, least(3, nf))) AS sample_idx
+        |  FROM p),
+        |px AS (
+        |  SELECT doc_id, w, h, sample_idx, (sample_idx * nf) // k AS fno,
+        |    unnest(range(0, w * h)) AS pk
+        |  FROM s),
+        |cells AS (
+        |  SELECT doc_id, sample_idx, fno,
+        |    (((pk // w) * 8) // h) * 8 + ((pk % w) * 8) // w AS cell,
+        |    sum((doc_id * 31 + fno * 101 + (pk // w) * 7 + (pk % w) * 13) % 256)::DOUBLE
+        |      / count(*) AS cv
+        |  FROM px
+        |  GROUP BY doc_id, sample_idx, fno, (((pk // w) * 8) // h) * 8 + ((pk % w) * 8) // w),
+        |frames AS (
+        |  SELECT doc_id, sample_idx, fno,
+        |    list(cv ORDER BY cell) AS cvs, list(cell ORDER BY cell) AS cls,
+        |    list_reduce(list_prepend(0.0::DOUBLE, list(cv ORDER BY cell)), (a, x) -> a + x) / 64.0 AS m
+        |  FROM cells GROUP BY doc_id, sample_idx, fno),
+        |bits AS (
+        |  SELECT doc_id, sample_idx, fno,
+        |    list_reduce(list_prepend(CAST(0 AS HUGEINT),
+        |      [CASE WHEN cvs[i] > m THEN CAST(1 AS HUGEINT) << cls[i] ELSE CAST(0 AS HUGEINT) END
+        |       FOR i IN range(1, len(cvs) + 1)]), (a, x) -> a + x) AS hb
+        |  FROM frames)
+        |SELECT doc_id, CAST(sample_idx AS INTEGER) AS sample_idx, CAST(fno AS INTEGER) AS frame_no,
+        |  CAST(hb - CASE WHEN hb >= CAST(9223372036854775808 AS HUGEINT)
+        |                 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END
+        |       AS BIGINT) AS frame_hash
+        |FROM bits ORDER BY doc_id, sample_idx""".stripMargin,
     "q_ann_sketch" -> XxhSql.annSketchSql(dim = 64, nBits = 64, k = 5, oversample = 8, nQueries = 5),
     "q_ann_pq" -> XxhSql.annPqSql(d = 64, m = 8, kc = 16, k = 5, oversample = 8, nQueries = 5),
     "q_ann_pq_refined" -> XxhSql.annPqRefinedSql(d = 64, m = 8, kc = 16, k = 5, oversample = 8,

@@ -262,6 +262,39 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeVideoIO(mixed, "id", "payload").collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("REAL video perceptual pairs: noisy re-render pairs, different footage doesn't") {
+    import graft.multimodal.Avi
+    val w = 32; val h = 24; val nf = 6
+    def gradient(seed: Int, noise: Int): Seq[Array[Byte]] =
+      (0 until nf).map { f =>
+        Array.tabulate(w * h) { k =>
+          val x = k % w; val y = k / w
+          val base = (x * 8 + y * 3 + f * 11 + seed) % 256
+          val jig = if (noise != 0 && (x + y * w) % 97 == 0) noise else 0
+          ((base + jig) % 256).toByte
+        }
+      }
+    val checker: Seq[Array[Byte]] = (0 until nf).map { f =>
+      Array.tabulate(w * h)(k => ((((k % w) / 4 + (k / w) / 4 + f) % 2) * 255).toByte)
+    }
+    val df = Seq(
+      (1L, Avi.encode(w, h, 10, gradient(0, 0))),
+      (2L, Avi.encode(w, h, 10, gradient(0, 3))), // same footage, slight noise
+      (3L, Avi.encode(w, h, 10, checker)), // structurally different
+      (4L, "junk".getBytes("UTF-8"))
+    ).toDF("id", "payload")
+    val pairs = Multimodal.videoPerceptualPairs(df, "id", "payload", n = 4, minMatches = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "noisy re-render of the same footage missed")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "different footage paired")
+    // per-frame hashes align with the image-path kernel: a flat frame
+    // hashes identically through both entry points
+    val hashes = Multimodal.videoFrameHashes(df.where($"id" === 1L), "id", "payload", n = 4)
+      .collect()
+    assert(hashes.length == 4)
+    assert(hashes.map(_.getInt(1)).distinct.length == 4) // sample_idx 0..3
+  }
+
   test("REAL frame sampling: evenly-spaced distinct frames, per-frame means exact") {
     val id = 29L // nf = 1 + 29%6 = 6 frames, w = 6, h = 4
     val df = Seq((id, Multimodal.syntheticAvi(id)), (99L, "junk".getBytes("UTF-8")))
