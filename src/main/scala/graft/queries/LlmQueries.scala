@@ -228,6 +228,18 @@ object LlmQueries {
         .orderBy(col("doc_id"), col("sample_idx"))
     }),
 
+    // perceptual image fingerprints: aHash64 over genuinely decoded PNG
+    // pixels — the oracle replays the kernel from the pixel formula
+    "q_image_phash" -> ((s, dir) => {
+      val png = udf((id: Long) => Multimodal.syntheticPng(id))
+      val phash = udf((b: Array[Byte]) => Multimodal.aHash64(b))
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), png(col("doc_id")).as("payload"))
+      docs.select(col("doc_id"), phash(col("payload")).as("phash"))
+        .where(col("phash").isNotNull)
+        .orderBy(col("doc_id"))
+    }),
+
     // perceptual video fingerprints: 3 sampled frames per video, each
     // aHash'd over genuinely decoded pixels; the oracle replays the full
     // aHash kernel (8×8 box means, grid-mean threshold, bit packing)
@@ -710,6 +722,37 @@ object LlmQueries {
         |                        + (px // w) * 7 + (px % w) * 13) % 256 AS BIGINT)
         |                  FOR px IN range(0, w * h)])::DOUBLE / (w * h), 6) AS frame_mean
         |FROM s ORDER BY doc_id, sample_idx""".stripMargin,
+    // image aHash replay: same kernel as q_video_phash over the PNG
+    // formula (w = 1 + id%16, h = 1 + (id//16)%16, single frame)
+    "q_image_phash" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(1 + (doc_id % 16) AS INTEGER) AS w,
+        |    CAST(1 + ((doc_id // 16) % 16) AS INTEGER) AS h
+        |  FROM documents),
+        |px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS pk FROM p),
+        |cells AS (
+        |  SELECT doc_id,
+        |    (((pk // w) * 8) // h) * 8 + ((pk % w) * 8) // w AS cell,
+        |    sum((doc_id * 31 + (pk // w) * 7 + (pk % w) * 13) % 256)::DOUBLE / count(*) AS cv
+        |  FROM px
+        |  GROUP BY doc_id, (((pk // w) * 8) // h) * 8 + ((pk % w) * 8) // w),
+        |frames AS (
+        |  SELECT doc_id,
+        |    list(cv ORDER BY cell) AS cvs, list(cell ORDER BY cell) AS cls,
+        |    list_reduce(list_prepend(0.0::DOUBLE, list(cv ORDER BY cell)), (a, x) -> a + x) / 64.0 AS m
+        |  FROM cells GROUP BY doc_id),
+        |bits AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS HUGEINT),
+        |      [CASE WHEN cvs[i] > m THEN CAST(1 AS HUGEINT) << cls[i] ELSE CAST(0 AS HUGEINT) END
+        |       FOR i IN range(1, len(cvs) + 1)]), (a, x) -> a + x) AS hb
+        |  FROM frames)
+        |SELECT doc_id,
+        |  CAST(hb - CASE WHEN hb >= CAST(9223372036854775808 AS HUGEINT)
+        |                 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END
+        |       AS BIGINT) AS phash
+        |FROM bits ORDER BY doc_id""".stripMargin,
     // aHash kernel replay: per (doc, sample) group pixels into 8×8 grid
     // cells (gy = i·8//h, gx = j·8//w), cell value = integer sum / count;
     // the grid mean folds cell values in k-order (zeros from empty cells
