@@ -202,6 +202,13 @@ object Avi {
     var fpsRate = 0
     var fpsScale = 1
     var sawVids = false
+    // streams are numbered by strl order in hdrl; frame chunks carry the
+    // stream number in their fourcc ('00db' = stream 0) — only the FIRST
+    // video stream's frames decode (a second video track would otherwise
+    // interleave frames of foreign geometry)
+    var strlOrdinal = -1
+    var videoStream = -1
+    var inVideoStrl = false
     val frames = Vector.newBuilder[Array[Byte]]
     var lastFrame: Array[Byte] = null
     var nFrames = 0
@@ -218,25 +225,32 @@ object Avi {
           val bodyTo = pos + 8 + size
           if (listType == MOVI) walk(bodyFrom, bodyTo, inMovi = true)
           else if (listType == REC_ && inMovi) walk(bodyFrom, bodyTo, inMovi = true)
-          else if (listType == HDRL || listType == STRL) walk(bodyFrom, bodyTo, inMovi = false)
+          else if (listType == HDRL) walk(bodyFrom, bodyTo, inMovi = false)
+          else if (listType == STRL) {
+            strlOrdinal += 1
+            inVideoStrl = false
+            walk(bodyFrom, bodyTo, inMovi = false)
+          }
           // other lists (INFO, odml…) are metadata: skip
         } else if (id == STRH && size >= 56) {
-          if (buf.getInt(pos + 8) == VIDS) {
+          if (buf.getInt(pos + 8) == VIDS && videoStream < 0) {
             sawVids = true
+            inVideoStrl = true
+            videoStream = math.max(strlOrdinal, 0)
             fpsScale = math.max(1, buf.getInt(pos + 28))
             fpsRate = buf.getInt(pos + 32)
           }
-        } else if (id == STRF && size >= 40 && sawVids && width == 0) {
+        } else if (id == STRF && size >= 40 && inVideoStrl && width == 0) {
           width = buf.getInt(pos + 12)
           height = buf.getInt(pos + 16)
           bitCount = buf.getShort(pos + 22) & 0xffff
           compression = buf.getInt(pos + 24)
-        } else if (inMovi && isVideoFrameChunk(id)) {
+        } else if (inMovi && isFrameChunkOfStream(id, videoStream)) {
           val data = java.util.Arrays.copyOfRange(bytes, pos + 8, pos + 8 + size)
           val gray =
             if (size == 0) {
               // empty chunk = repeat previous frame (dropped-frame convention)
-              if (lastFrame == null) new Array[Byte](math.max(0, width * height))
+              if (lastFrame == null) new Array[Byte](math.max(0, width * math.abs(height)))
               else lastFrame
             } else decodeFrame(data)
           lastFrame = gray
@@ -280,6 +294,13 @@ object Avi {
       val raster = img.getRaster
       val w = img.getWidth
       val h = img.getHeight
+      if (width == 0) { width = w; height = h } // tolerate header-less strf
+      // a frame whose geometry disagrees with the stream header would make
+      // frames.length != width*height — consumers index by the container
+      // dims, so drop the file (throw → decode() → None) instead of
+      // corrupting downstream math
+      require(w == width && h == math.abs(height),
+        s"MJPG frame ${w}x$h disagrees with stream header ${width}x${math.abs(height)}")
       val bands = raster.getNumBands
       val gray = new Array[Byte](w * h)
       var y = 0
@@ -294,7 +315,6 @@ object Avi {
         }
         y += 1
       }
-      if (width == 0) { width = w; height = h } // tolerate header-less strf
       gray
     }
 
@@ -304,13 +324,15 @@ object Avi {
     else Some(Video(width, h, fpsRate, fpsScale, frames.result()))
   }
 
-  private def isVideoFrameChunk(id: Int): Boolean = {
+  private def isFrameChunkOfStream(id: Int, stream: Int): Boolean = {
     // two-digit stream number + 'db' (uncompressed DIB) or 'dc' (compressed)
+    if (stream < 0) return false
     val c0 = id & 0xff
     val c1 = (id >> 8) & 0xff
     val c2 = (id >> 16) & 0xff
     val c3 = (id >> 24) & 0xff
     c0 >= '0' && c0 <= '9' && c1 >= '0' && c1 <= '9' &&
-    c2 == 'd' && (c3 == 'b' || c3 == 'c')
+    c2 == 'd' && (c3 == 'b' || c3 == 'c') &&
+    (c0 - '0') * 10 + (c1 - '0') == stream
   }
 }

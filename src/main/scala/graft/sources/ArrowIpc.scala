@@ -439,7 +439,12 @@ object ArrowIpc {
   private final class DictState(val id: Long, val valueField: Field) {
     private val index = new java.util.HashMap[Any, Integer]()
     val pending = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
-    var written = 0
+    /** whether ANY dictionary batch was emitted yet — not an entry count:
+      * an empty initial batch (first rows all null) must still flip this,
+      * or the next batch would emit a second non-delta batch = dictionary
+      * REPLACEMENT, which the IPC file format forbids
+      */
+    var emitted = false
     def indexOfString(s: UTF8String): Int = {
       val got = index.get(s)
       if (got != null) got.intValue()
@@ -486,14 +491,21 @@ object ArrowIpc {
       dictColumns: Set[String] = Set.empty): Unit = {
     val schema = df.schema
     schema.foreach(f => toArrowField(f)) // fail fast on unsupported types
-    val dictCols: Set[String] =
-      dictColumns ++ schema.fields.filter(_.metadata.contains(DictKey)).map(_.name)
-    dictCols.foreach { c =>
+    // explicit requests must be satisfiable (hard error otherwise); the
+    // read-side marker is best-effort — a dict-encoded int/decimal/...
+    // column read from a foreign file writes PLAIN rather than failing
+    // the whole migration
+    dictColumns.foreach { c =>
       require(schema.fieldNames.contains(c), s"dictColumns: no such column '$c'")
       val dt = schema(c).dataType
       require(dt == StringType || dt == BinaryType,
         s"dictColumns: column '$c' is $dt — only top-level string/binary columns dictionary-encode")
     }
+    val dictCols: Set[String] =
+      dictColumns ++ schema.fields
+        .filter(f => f.metadata.contains(DictKey) &&
+          (f.dataType == StringType || f.dataType == BinaryType))
+        .map(_.name)
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val out = new HPath(path)
@@ -561,7 +573,7 @@ object ArrowIpc {
         // (first time: the full-so-far dictionary; after: deltas). A batch
         // with no novel values emits nothing.
         def flushDicts(): Unit = states.values().asScala.foreach { st =>
-          if (st.written == 0 || st.pending.nonEmpty) {
+          if (!st.emitted || st.pending.nonEmpty) {
             val vec = st.valueField.createVector(alloc)
             try {
               var k = 0
@@ -578,10 +590,17 @@ object ArrowIpc {
               vec.setValueCount(st.pending.size)
               val droot = new VectorSchemaRoot(
                 java.util.List.of(vec.getField), java.util.List.of[FieldVector](vec))
-              val rb = new VectorUnloader(droot, true, codec, true).getRecordBatch
-              val db = new ArrowDictionaryBatch(st.id, rb, st.written > 0)
+              // an EMPTY batch (all-null first rows) goes uncompressed:
+              // arrow-java emits 0-length LZ4 buffers that pyarrow rejects
+              // ("contains less than one frame"); compression is declared
+              // per batch, so mixing is spec-valid
+              val batchCodec =
+                if (st.pending.isEmpty) org.apache.arrow.vector.compression.NoCompressionCodec.INSTANCE
+                else codec
+              val rb = new VectorUnloader(droot, true, batchCodec, true).getRecordBatch
+              val db = new ArrowDictionaryBatch(st.id, rb, st.emitted)
               try writer.writeDict(db) finally db.close()
-              st.written += st.pending.size
+              st.emitted = true
               st.pending.clear()
             } finally vec.close()
           }

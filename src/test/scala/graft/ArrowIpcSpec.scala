@@ -374,6 +374,80 @@ class ArrowIpcSpec extends SparkSpec {
     assert(e.getMessage.contains("only top-level string/binary"))
   }
 
+  test("foreign dict-encoded INT column: read marker does not break re-write (writes plain)") {
+    import org.apache.arrow.vector.dictionary.{Dictionary, DictionaryEncoder, DictionaryProvider}
+    import org.apache.arrow.vector.types.pojo.{ArrowType, DictionaryEncoding}
+    val dir = tmp("ipc_dictint")
+    Files.createDirectories(Paths.get(dir))
+    val file = Paths.get(dir, "d.arrow")
+    val alloc = new RootAllocator(Long.MaxValue)
+    val dictVec = new BigIntVector("d", alloc)
+    dictVec.allocateNew()
+    Seq(100L, 200L, 300L).zipWithIndex.foreach { case (v, i) => dictVec.setSafe(i, v) }
+    dictVec.setValueCount(3)
+    val dictionary = new Dictionary(dictVec,
+      new DictionaryEncoding(5L, false, new ArrowType.Int(32, true)))
+    val raw = new BigIntVector("v", alloc)
+    raw.allocateNew()
+    (0 until 30).foreach(i => raw.setSafe(i, Seq(100L, 200L, 300L)(i % 3)))
+    raw.setValueCount(30)
+    val encoded = DictionaryEncoder.encode(raw, dictionary).asInstanceOf[FieldVector]
+    val root = new VectorSchemaRoot(
+      java.util.List.of(encoded.getField), java.util.List.of[FieldVector](encoded))
+    val provider = new DictionaryProvider.MapDictionaryProvider(dictionary)
+    val os = Files.newOutputStream(file)
+    val writer = new ArrowFileWriter(root, provider, Channels.newChannel(os))
+    writer.start(); writer.writeBatch(); writer.end(); writer.close(); os.close()
+    raw.close(); encoded.close(); dictVec.close(); alloc.close()
+
+    val back = ArrowIpc.read(spark, file.toString)
+    assert(back.schema("v").dataType == LongType)
+    assert(back.schema("v").metadata.getString(ArrowIpc.DictKey) == "true")
+    // the marker is best-effort: a LONG column can't dict-encode, so the
+    // re-write must fall back to plain vectors, not fail the migration
+    val out = tmp("ipc_dictint_rw")
+    ArrowIpc.write(back.repartition(1), out)
+    val rt = ArrowIpc.read(spark, out)
+    assert(rt.select(sum($"v")).head.getLong(0) == back.select(sum($"v")).head.getLong(0))
+  }
+
+  test("dict column with all-null first batch: initial batch once, then deltas (no replacement)") {
+    import org.apache.arrow.vector.ipc.SeekableReadChannel
+    import org.apache.arrow.vector.ipc.message.MessageSerializer
+    // first 64-row batch all null, values appear from batch 2 on — the
+    // empty initial dictionary must still count as emitted
+    val df = spark.sql(
+      """SELECT id, IF(id < 64, NULL, concat('g', CAST(id div 64 AS INTEGER))) AS grp
+        |FROM range(256) ORDER BY id""".stripMargin)
+    val out = tmp("ipc_dictnullfirst")
+    ArrowIpc.write(df.repartition(1).sortWithinPartitions($"id"), out,
+      batchRows = 64, dictColumns = Set("grp"))
+    import scala.collection.JavaConverters._
+    val file = Files.list(Paths.get(out)).iterator().asScala
+      .find(_.toString.endsWith(".arrow")).get
+    val alloc = new RootAllocator(Long.MaxValue)
+    val ch = Files.newByteChannel(file)
+    val reader = new ArrowFileReader(ch, alloc, CommonsCompressionFactory.INSTANCE)
+    reader.getVectorSchemaRoot // force footer read
+    val blocks = reader.getDictionaryBlocks.asScala.toSeq
+    assert(blocks.nonEmpty)
+    val rch = new SeekableReadChannel(ch)
+    val deltaFlags = blocks.map { blk =>
+      rch.setPosition(blk.getOffset)
+      val db = MessageSerializer.deserializeDictionaryBatch(rch, blk, alloc)
+      try db.isDelta finally db.close()
+    }
+    reader.close()
+    assert(deltaFlags.head == false, "first dictionary batch must be the initial (non-delta) one")
+    assert(deltaFlags.tail.forall(identity),
+      s"every later dictionary batch must be a delta, got $deltaFlags — replacement is invalid in IPC files")
+    assert(deltaFlags.size >= 2)
+    // and the values survive the round trip
+    val back = ArrowIpc.read(spark, out)
+    assert(back.where($"grp".isNull).count() == 64)
+    assert(back.select($"grp").distinct().count() == 4) // null + g1..g3
+  }
+
   test("write-side dict encoding: all-null dict column and single-batch file read back") {
     val df = spark.sql(
       "SELECT id, CAST(NULL AS STRING) AS cat, concat('v', CAST(id % 3 AS INTEGER)) AS v FROM range(50)")

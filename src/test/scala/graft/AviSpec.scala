@@ -80,27 +80,29 @@ class AviSpec extends AnyFunSuite {
     assert(Avi.decode(patched).isEmpty)
   }
 
+  // hand-build helpers: published RIFF layout, independent of Avi.encode
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+  private def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+    val padded = if (body.length % 2 == 0) body else body :+ 0.toByte
+    cc(id) ++ le32(body.length) ++ padded
+  }
+  private def list(tpe: String, body: Array[Byte]): Array[Byte] =
+    cc("LIST") ++ le32(body.length + 4) ++ cc(tpe) ++ body
+  private def vidsStrl(w: Int, h: Int, fps: Int, nFrames: Int): Array[Byte] = {
+    val strh = le32Concat(cc("vids"), cc("DIB "), le32(0), le32(0), le32(0),
+      le32(1), le32(fps), le32(0), le32(nFrames), le32(8), le32(-1), le32(0),
+      Array[Byte](0, 0, 0, 0), Array[Byte](w.toByte, 0, h.toByte, 0))
+    val strf = le32Concat(le32(40), le32(w), le32(h), Array[Byte](1, 0, 24, 0),
+      le32(0), le32(8), le32(0), le32(0), le32(0), le32(0))
+    list("strl", chunk("strh", strh) ++ chunk("strf", strf))
+  }
+
   test("hand-built AVI with rec-list nesting and empty repeat-frame chunk reads per spec") {
-    // built from the published RIFF layout, independent of Avi.encode:
     // 2×1 BI_RGB, fps 10/1, frames: [10,20], empty chunk (= repeat), both
     // wrapped in a 'rec ' grouping list inside 'movi'
-    def le32(v: Int): Array[Byte] =
-      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
-    def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
-    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
-      val padded = if (body.length % 2 == 0) body else body :+ 0.toByte
-      cc(id) ++ le32(body.length) ++ padded
-    }
-    def list(tpe: String, body: Array[Byte]): Array[Byte] =
-      cc("LIST") ++ le32(body.length + 4) ++ cc(tpe) ++ body
-
-    val strh = le32Concat(cc("vids"), cc("DIB "), le32(0), le32(0), le32(0),
-      le32(1), le32(10), le32(0), le32(2), le32(8), le32(-1), le32(0),
-      Array[Byte](0, 0, 0, 0), Array[Byte](2, 0, 1, 0))
-    val strf = le32Concat(le32(40), le32(2), le32(1), Array[Byte](1, 0, 24, 0),
-      le32(0), le32(8), le32(0), le32(0), le32(0), le32(0))
-    val hdrl = list("hdrl", chunk("avih", new Array[Byte](56)) ++
-      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val hdrl = list("hdrl", chunk("avih", new Array[Byte](56)) ++ vidsStrl(2, 1, 10, 2))
     // one DIB frame: 2×1 px gray values 10,20 → BGR bytes + 2 stride-pad bytes (stride 8)
     val dib = Array[Byte](10, 10, 10, 20, 20, 20, 0, 0)
     val movi = list("movi",
@@ -114,6 +116,38 @@ class AviSpec extends AnyFunSuite {
     assert(v.nFrames == 2)
     assert(v.frames(0).toSeq == Seq(10.toByte, 20.toByte))
     assert(v.frames(1).toSeq == v.frames(0).toSeq) // empty chunk repeats previous
+  }
+
+  test("second video stream's frames are NOT interleaved into stream 0") {
+    // two video strls: stream 0 is 2×1, stream 1 is 1×1; movi carries a
+    // 00db frame, a 01db frame (foreign geometry), then another 00db —
+    // only the stream-0 frames may decode
+    val hdrl = list("hdrl", chunk("avih", new Array[Byte](56)) ++
+      vidsStrl(2, 1, 10, 2) ++ vidsStrl(1, 1, 10, 1))
+    val dib0a = Array[Byte](10, 10, 10, 20, 20, 20, 0, 0) // 2×1, stride 8
+    val dib0b = Array[Byte](30, 30, 30, 40, 40, 40, 0, 0)
+    val dib1 = Array[Byte](99, 99, 99, 0) // 1×1, stride 4
+    val movi = list("movi",
+      chunk("00db", dib0a) ++ chunk("01db", dib1) ++ chunk("00db", dib0b))
+    val payload = hdrl ++ movi
+    val file = cc("RIFF") ++ le32(payload.length + 4) ++ cc("AVI ") ++ payload
+    val v = Avi.decode(file).get
+    assert(v.width == 2 && v.height == 1)
+    assert(v.nFrames == 2, s"stream-1 frame leaked in: ${v.nFrames} frames")
+    assert(v.frames(0).toSeq == Seq(10.toByte, 20.toByte))
+    assert(v.frames(1).toSeq == Seq(30.toByte, 40.toByte))
+  }
+
+  test("MJPG frame whose dims disagree with the stream header drops the file") {
+    val frames = formulaFrames(5L, 16, 8, 2)
+    val good = Avi.encode(16, 8, 10, frames, mjpeg = true)
+    assert(Avi.decode(good).isDefined)
+    // patch strf biWidth 16 → 8: the embedded JPEGs are still 16×8
+    val idx = indexOfFourcc(good, "strf")
+    val patched = good.clone()
+    java.lang.System.arraycopy(le32(8), 0, patched, idx + 8 + 4, 4)
+    assert(Avi.decode(patched).isEmpty,
+      "mismatched MJPG geometry must drop the file, not emit corrupt frames")
   }
 
   test("bottom-up vs top-down (negative height) DIB orientation") {
