@@ -1,0 +1,160 @@
+package graft.streaming
+
+import graft.functions.{HashFunctions => H}
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** Continuous PERCEPTUAL media dedup: a video-payload stream filtered so
+  * each micro-batch admits only videos that are not visual near-dups of
+  * previously-ADMITTED ones (nor of lower-id peers in the same batch) —
+  * the media twin of [[StreamingDedup]], built on
+  * [[Multimodal.videoFrameHashes]] (decoded-pixel aHash per sampled
+  * frame) with the same slot-aligned match rule as
+  * [[Multimodal.videoPerceptualPairs]].
+  *
+  * The only persistent state is the admitted videos' fingerprint table
+  * (id + sample slot + 8-byte aHash ≈ 20 B per sampled frame, so ~160 B
+  * per video at n=8) — payload bytes are decoded exactly once at
+  * admission time and NEVER stored or rescanned. At continuous-ingest
+  * scale the per-batch cost is batch × (stored fingerprints via banded
+  * join on (slot, band, bucket)), not batch × corpus payloads.
+  *
+  * Exactly-once across restarts: identical protocol to
+  * [[StreamingDedup]] — survivors and their fingerprints land in
+  * `batch=<id>` subdirectories, a replayed micro-batch overwrites its own
+  * previous output, and fingerprint reads exclude the replaying batch's
+  * own directory. The convergence argument carries over unchanged because
+  * banded-Hamming matching is symmetric and deterministic.
+  */
+object StreamingMediaDedup {
+
+  /** Wire a media stream (id + video payload column) into continuous
+    * perceptual dedup. Caller sets checkpoint/trigger and starts the
+    * writer. Survivors land under `survivorsDir/batch=N/`, fingerprints
+    * under `fpDir/batch=N/`.
+    */
+  def writer(
+      media: DataFrame,
+      payloadCol: String,
+      idCol: String,
+      survivorsDir: String,
+      fpDir: String,
+      n: Int = 8,
+      maxHamming: Int = 6,
+      bands: Int = 8,
+      minMatches: Int = 4
+  ): DataStreamWriter[Row] =
+    media.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      applyBatch(batch, batchId, payloadCol, idCol, survivorsDir, fpDir,
+        n, maxHamming, bands, minMatches)
+    }
+
+  /** One micro-batch (also usable for batch backfill replays). */
+  def applyBatch(
+      batch: DataFrame,
+      batchId: Long,
+      payloadCol: String,
+      idCol: String,
+      survivorsDir: String,
+      fpDir: String,
+      n: Int = 8,
+      maxHamming: Int = 6,
+      bands: Int = 8,
+      minMatches: Int = 4
+  ): Unit = {
+    val spark = batch.sparkSession
+    // payloads decode ONCE: the per-frame fingerprints are both the dedup
+    // input and the persisted state
+    val batchFps = Multimodal.videoFrameHashes(batch, idCol, payloadCol, n)
+      .select(col(idCol).as("id"), col("sample_idx").as("slot"), col("frame_hash").as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val corpusFps = readFingerprints(spark, fpDir, excludeBatch = Some(batchId))
+        .getOrElse(emptyFingerprints(spark))
+      val survivors = incrementalFps(corpusFps, batchFps, batch, idCol,
+        maxHamming, bands, minMatches).localCheckpoint(true)
+      survivors.write.mode("overwrite").parquet(s"$survivorsDir/batch=$batchId")
+      batchFps
+        .join(survivors.select(col(idCol).as("id")), Seq("id"), "left_semi")
+        .write.mode("overwrite").parquet(s"$fpDir/batch=$batchId")
+    } finally batchFps.unpersist()
+  }
+
+  /** Admit batch videos not perceptually matching the corpus fingerprints
+    * (those kill the batch doc outright) or a LOWER-id batch peer. Match
+    * rule = [[Multimodal.videoPerceptualPairs]]: ≥ `minMatches` sample
+    * slots within `maxHamming` bits. Undecodable payloads produce no
+    * fingerprints, so they are admitted untouched (count input vs
+    * fingerprinted to quantify) — dropping them is a policy for a filter
+    * stage, not the dedup.
+    */
+  def incrementalFps(
+      corpusFps: DataFrame,
+      batchFps: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      maxHamming: Int,
+      bands: Int,
+      minMatches: Int
+  ): DataFrame = {
+    require(maxHamming < bands, s"maxHamming ($maxHamming) must be < bands ($bands) for full recall")
+    require(minMatches >= 1, s"minMatches must be >= 1, got $minMatches")
+    def keyed(fps: DataFrame) = fps
+      .select(col("id"), col("slot"), col("fp"), explode(H.simHashBands(col("fp"), bands)).as("bk"))
+      .select(col("id"), col("slot"), col("fp"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val keyedC = keyed(corpusFps)
+    val keyedB = keyed(batchFps)
+    // batch-vs-corpus candidates (any match kills the batch doc) and
+    // batch-internal candidates (ordered: only the higher id can die)
+    def losers(cand: DataFrame): DataFrame = cand
+      .distinct()
+      .where(H.hamming64(col("fp_b"), col("fp_o")) <= maxHamming)
+      .groupBy(col("id_b"), col("id_other"))
+      .agg(count(lit(1)).as("m"))
+      .where(col("m") >= minMatches)
+      .select(col("id_b"))
+    val candCB = keyedB.as("b").join(keyedC.as("c"), Seq("slot", "band", "bucket"))
+      .select(col("b.id").as("id_b"), col("c.id").as("id_other"), col("slot"),
+        col("b.fp").as("fp_b"), col("c.fp").as("fp_o"))
+    val candBB = keyedB.as("a").join(keyedB.as("b"), Seq("slot", "band", "bucket"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("b.id").as("id_b"), col("a.id").as("id_other"), col("slot"),
+        col("b.fp").as("fp_b"), col("a.fp").as("fp_o"))
+    val allLosers = losers(candCB).unionAll(losers(candBB)).distinct()
+    batch.join(allLosers.withColumnRenamed("id_b", idCol), Seq(idCol), "left_anti")
+  }
+
+  /** All admitted survivors so far. Fails with a clear message before the
+    * first batch commits (the schema is unknowable until then).
+    */
+  def readSurvivors(spark: SparkSession, survivorsDir: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(survivorsDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val any = fs.exists(root) &&
+      fs.listStatus(root).exists(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+    if (!any) throw new IllegalStateException(
+      s"no committed batches under $survivorsDir yet — the stream has not produced output")
+    spark.read.option("basePath", survivorsDir).parquet(s"$survivorsDir/batch=*")
+  }
+
+  private def emptyFingerprints(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Seq(
+      StructField("id", LongType), StructField("slot", IntegerType),
+      StructField("fp", LongType))))
+  }
+
+  private def readFingerprints(spark: SparkSession, fpDir: String, excludeBatch: Option[Long]): Option[DataFrame] = {
+    val root = new org.apache.hadoop.fs.Path(fpDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return None
+    val dirs = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .filterNot(s => excludeBatch.exists(b => s.getPath.getName == s"batch=$b"))
+      .map(_.getPath.toString)
+    if (dirs.isEmpty) None
+    else Some(spark.read.option("basePath", fpDir).parquet(dirs: _*).select("id", "slot", "fp"))
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import graft.multimodal.Avi
+import graft.streaming.StreamingMediaDedup
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Continuous perceptual media dedup: admitted-set semantics across
+  * micro-batches, fingerprint-only state, idempotent replay — the media
+  * twin of StreamingDedupSpec, with REAL decoded-pixel fingerprints.
+  */
+class StreamingMediaDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val w = 32; private val h = 24; private val nf = 6
+
+  /** Gradient footage: `seed` selects the content, `noise` jiggles a
+    * sparse subset of pixels (a re-render), leaving the visuals intact.
+    */
+  private def footage(seed: Int, noise: Int): Array[Byte] =
+    Avi.encode(w, h, 10, (0 until nf).map { f =>
+      Array.tabulate(w * h) { k =>
+        val x = k % w; val y = k / w
+        val base = (x * 8 + y * 3 + f * 11 + seed) % 256
+        val jig = if (noise != 0 && (x + y * w) % 97 == 0) noise else 0
+        ((base + jig) % 256).toByte
+      }
+    })
+
+  private def checker(phase: Int): Array[Byte] =
+    Avi.encode(w, h, 10, (0 until nf).map { f =>
+      Array.tabulate(w * h)(k => ((((k % w) / 4 + (k / w) / 4 + f + phase) % 2) * 255).toByte)
+    })
+
+  test("stream admits first-seen videos, drops perceptual near-dups, replay is idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("smdedup").toString
+    val (survDir, fpDir) = (s"$dir/surv", s"$dir/fps")
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Array[Byte])]
+    val q = StreamingMediaDedup
+      .writer(source.toDF.toDF("vid_id", "payload"), "payload", "vid_id", survDir, fpDir,
+        n = 4, minMatches = 3)
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+
+    // batch 0: original footage + different footage + an in-batch
+    // re-render of the original (higher id dies)
+    source.addData((1L, footage(0, 0)), (2L, checker(0)), (3L, footage(0, 3)))
+    q.processAllAvailable()
+    // batch 1: a re-render of ADMITTED footage (cross-batch drop), new
+    // footage, and an undecodable payload (admitted untouched — policy
+    // for a filter stage, not the dedup)
+    source.addData((4L, footage(0, 5)), (5L, footage(77, 0)), (6L, "junk".getBytes("UTF-8")))
+    q.processAllAvailable()
+    q.stop()
+
+    val survivors = StreamingMediaDedup.readSurvivors(spark, survDir)
+      .select($"vid_id").as[Long].collect().sorted.toSeq
+    assert(survivors == Seq(1L, 2L, 5L, 6L),
+      s"expected {1,2,5,6} (3 re-renders 1 in-batch, 4 re-renders 1 cross-batch), got $survivors")
+
+    // state is fingerprints only — no payload bytes in the stored artifact
+    val fpCols = spark.read.parquet(s"$fpDir/batch=0").columns.toSet
+    assert(fpCols == Set("id", "slot", "fp"), s"state carries $fpCols")
+    // ~per-video state: n=4 slots per decodable admitted video
+    val fpCount = spark.read.option("basePath", fpDir).parquet(s"$fpDir/batch=*").count()
+    assert(fpCount == 12, s"expected 3 decodable survivors x 4 slots, got $fpCount")
+
+    // replay of a committed batch overwrites its own output
+    val batch1 = Seq((4L, footage(0, 5)), (5L, footage(77, 0)), (6L, "junk".getBytes("UTF-8")))
+      .toDF("vid_id", "payload")
+    StreamingMediaDedup.applyBatch(batch1, 1L, "payload", "vid_id", survDir, fpDir,
+      n = 4, minMatches = 3)
+    val replayed = StreamingMediaDedup.readSurvivors(spark, survDir)
+      .select($"vid_id").as[Long].collect().sorted.toSeq
+    assert(replayed == Seq(1L, 2L, 5L, 6L), s"replay changed survivors: $replayed")
+  }
+}
