@@ -228,6 +228,25 @@ object LlmQueries {
         .orderBy(col("doc_id"), col("sample_idx"))
     }),
 
+    // BPE vocabulary induction: 8 merge rounds over the word-frequency
+    // dict (one corpus pass, then dict-only rounds); the oracle replays
+    // the full trainer as 8 chained SQL stages — both engines share the
+    // (count desc, pair asc) total order and left-to-right
+    // non-overlapping replace semantics, so the merge table is exact
+    "q_bpe_train" -> ((s, dir) => {
+      graft.text.Bpe.trainTable(t(s, dir, "documents"), col("text"), merges = 8)
+        .orderBy(col("step"))
+    }),
+
+    // apply the learned merges: per-doc subword counts via a broadcast
+    // join of corpus tokens against the segmented dictionary
+    "q_bpe_segment" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.text.Bpe.train(docs, col("text"), merges = 8)
+      graft.text.Bpe.segment(docs, "doc_id", col("text"), merges)
+        .orderBy(col("doc_id"))
+    }),
+
     // perceptual image fingerprints: aHash64 over genuinely decoded PNG
     // pixels — the oracle replays the kernel from the pixel formula
     "q_image_phash" -> ((s, dir) => {
@@ -567,6 +586,54 @@ object LlmQueries {
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
   private val toksSql = s"string_split($normSql, ' ')"
 
+  /** K-stage BPE oracle: w0 = the word-frequency dict as spaced symbol
+    * strings; each stage picks the (max weighted count, lexicographically
+    * smallest) adjacent pair and applies it as a left-to-right
+    * non-overlapping string replace — the same total order and the same
+    * replace semantics as [[graft.text.Bpe]], so the merge sequence is
+    * reproducible exactly. Returns (ctes, lastWordStage).
+    */
+  private def bpeCtes(merges: Int): (String, String) = {
+    val w0 =
+      s"""w0 AS MATERIALIZED (
+         |  SELECT w, ' ' || array_to_string([w[i] FOR i IN range(1, len(w) + 1)], ' ') || ' ' AS s, cnt
+         |  FROM (SELECT w, count(*) AS cnt FROM (
+         |          SELECT unnest(list_filter($toksSql, x -> x <> '')) AS w FROM documents)
+         |        GROUP BY w))""".stripMargin
+    val stages = (1 to merges).map { i =>
+      val prev = s"w${i - 1}"
+      s"""b$i AS MATERIALIZED (
+         |  SELECT $i AS step, p AS pair, replace(p, ' ', '') AS merged, c FROM (
+         |    SELECT p, sum(cnt) AS c FROM (
+         |      SELECT cnt, unnest([toks[i] || ' ' || toks[i + 1] FOR i IN range(1, len(toks))]) AS p
+         |      FROM (SELECT string_split(trim(s), ' ') AS toks, cnt FROM $prev))
+         |    GROUP BY p)
+         |  ORDER BY c DESC, p LIMIT 1),
+         |w$i AS MATERIALIZED (
+         |  SELECT w, replace(s, ' ' || (SELECT pair FROM b$i) || ' ',
+         |                       ' ' || (SELECT merged FROM b$i) || ' ') AS s, cnt
+         |  FROM $prev)""".stripMargin
+    }
+    ((w0 +: stages).mkString(",\n"), s"w$merges")
+  }
+
+  private def bpeTrainSql(merges: Int): String = {
+    val (ctes, _) = bpeCtes(merges)
+    val union = (1 to merges).map(i => s"SELECT * FROM b$i").mkString(" UNION ALL ")
+    s"""WITH $ctes
+       |SELECT step, pair, merged, CAST(c AS BIGINT) AS cnt FROM ($union) ORDER BY step""".stripMargin
+  }
+
+  private def bpeSegmentSql(merges: Int): String = {
+    val (ctes, last) = bpeCtes(merges)
+    s"""WITH $ctes
+       |SELECT doc_id, count(*) AS n_tokens,
+       |  CAST(sum(len(string_split(trim(s), ' '))) AS BIGINT) AS n_subwords
+       |FROM (SELECT doc_id, unnest(list_filter($toksSql, x -> x <> '')) AS w FROM documents) t
+       |JOIN $last USING (w)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   // DuckDB twins of TextFunctions' stopword lists (same order-insensitive sets)
   private val stopEn = "['the','and','of','to','in','is','that','it','for','with','was','on','are','as','at']"
   private val stopEs = "['el','la','de','que','y','en','los','del','las','un','por','con','una','su','para']"
@@ -722,6 +789,8 @@ object LlmQueries {
         |                        + (px // w) * 7 + (px % w) * 13) % 256 AS BIGINT)
         |                  FOR px IN range(0, w * h)])::DOUBLE / (w * h), 6) AS frame_mean
         |FROM s ORDER BY doc_id, sample_idx""".stripMargin,
+    "q_bpe_train" -> bpeTrainSql(8),
+    "q_bpe_segment" -> bpeSegmentSql(8),
     // image aHash replay: same kernel as q_video_phash over the PNG
     // formula (w = 1 + id%16, h = 1 + (id//16)%16, single frame)
     "q_image_phash" ->
