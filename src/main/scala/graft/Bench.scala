@@ -53,7 +53,8 @@ object Bench {
     "q_audio_decode",
     "q_audio_features",
     "q_video_decode",
-    "q_pack_sequences"
+    "q_pack_sequences",
+    "q_bpe_train"
   )
 
   def main(args: Array[String]): Unit = {
