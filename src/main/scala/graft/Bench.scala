@@ -54,7 +54,8 @@ object Bench {
     "q_audio_features",
     "q_video_decode",
     "q_pack_sequences",
-    "q_bpe_train"
+    "q_bpe_train",
+    "q_audio_mfcc"
   )
 
   def main(args: Array[String]): Unit = {

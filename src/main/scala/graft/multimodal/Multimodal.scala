@@ -443,8 +443,7 @@ object Multimodal {
     * division — every quantity is either integer-exact or a fixed-order
     * float fold, so a SQL oracle replicates them bit-for-bit. Undecodable
     * or non-PCM16 payloads drop (same contract as [[decodeAudioIO]]).
-    * Spectral features (MFCC) stay out of scope: no FFT in the JDK, and
-    * transcendental kernels would not be oracle-exact across engines.
+    * Spectral features live in [[mfccIO]] (own radix-2 FFT — [[Dsp]]).
     */
   def audioFeaturesIO(df: DataFrame, idCol: String, payloadCol: String, nWindows: Int = 4): DataFrame = {
     require(nWindows >= 1, s"audioFeaturesIO: nWindows must be >= 1, got $nWindows")
@@ -510,6 +509,113 @@ object Multimodal {
             i += 1
           }
           Some(out)
+        }
+      } finally ais.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
+  /** Deterministic mono 16-bit PCM WAV long enough for framed spectral
+    * analysis: FIXED sample rate 8000 Hz (so one mel filterbank covers
+    * every fixture — rate variety is [[syntheticWav]]'s job), `64 +
+    * (id mod 160)` frames (1–3 full 64-sample analysis frames), sample
+    * formula identical to [[syntheticWav]]:
+    * `((id·31 + t·17) mod 65536) − 32768`.
+    */
+  def syntheticWavLong(id: Long): Array[Byte] = {
+    require(id >= 0, s"syntheticWavLong: id must be non-negative, got $id")
+    val n = 64 + (id % 160).toInt
+    val raw = new Array[Byte](n * 2)
+    var t = 0
+    while (t < n) {
+      val v = ((id * 31 + t * 17) % 65536).toInt - 32768
+      raw(2 * t) = (v & 0xff).toByte // little-endian int16
+      raw(2 * t + 1) = ((v >> 8) & 0xff).toByte
+      t += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  def mfccIOSchema(nCoef: Int): StructType = StructType(
+    StructField("frame", IntegerType, nullable = false) +:
+      ((0 until nCoef).map(j => StructField(s"c$j", DoubleType, nullable = false)) :+
+        StructField("log_energy", DoubleType, nullable = false)))
+
+  /** REAL MFCC over decoded 16-bit PCM (UDTF shape, 1 row per full
+    * `frameLen`-sample analysis frame): Hann window → radix-2 FFT
+    * ([[Dsp.fft]] — own implementation, the JDK ships none) → one-sided
+    * power spectrum → triangular mel filterbank → `ln(e + 1e-10)` →
+    * DCT-II, plus the frame's total log-energy. Frames tile the
+    * interleaved sample stream with hop = `frameLen`; a trailing partial
+    * frame drops. Multichannel payloads are processed as the interleaved
+    * stream (downmix upstream if that matters). Undecodable or non-PCM16
+    * payloads drop (same contract as [[decodeAudioIO]]).
+    *
+    * Every float op is a fixed-order fold over embedded-constant tables,
+    * so [[graft.queries.DspSql.mfccSql]] reproduces the coefficients
+    * bit-for-bit in SQL — the FFT itself is oracle-exact; only the final
+    * `ln` rides the (empirically ulp-level) libm parity, absorbed by the
+    * gate's round-6. Scale: scan-local per-row compute, tables built
+    * once per partition per sample rate; no shuffle.
+    */
+  def mfccIO(df: DataFrame, idCol: String, payloadCol: String,
+             frameLen: Int = 64, nMels: Int = 8, nCoef: Int = 4): DataFrame = {
+    require(frameLen > 0 && (frameLen & (frameLen - 1)) == 0, s"mfccIO: frameLen must be a power of two, got $frameLen")
+    require(nMels >= 1 && nCoef >= 1 && nCoef <= nMels, s"mfccIO: need 1 <= nCoef <= nMels, got nCoef=$nCoef nMels=$nMels")
+    val idField = df.schema(idCol)
+    val outSchema = StructType(idField +: mfccIOSchema(nCoef).fields)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      val hw = Dsp.hann(frameLen)
+      val tables = Dsp.twiddles(frameLen)
+      val dct = Dsp.dctTable(nMels, nCoef)
+      // mel weights depend on the decoded sample rate — memoized per partition
+      val weightsByRate = scala.collection.mutable.HashMap.empty[Int, Array[Array[Double]]]
+      rows.flatMap { r =>
+        val bytes = if (r.isNullAt(payloadIdx)) null else r.getAs[Array[Byte]](payloadIdx)
+        pcmSamplesWithRate(bytes).toSeq.flatMap { case (s, rate) =>
+          val weights = weightsByRate.getOrElseUpdate(rate, Dsp.melWeights(frameLen, rate, nMels))
+          val nFrames = s.length / frameLen
+          (0 until nFrames).map { f =>
+            val frame = java.util.Arrays.copyOfRange(s, f * frameLen, (f + 1) * frameLen)
+            val (coeffs, logEnergy) = Dsp.mfccFrame(frame, hw, tables, weights, dct)
+            Row.fromSeq(r.get(idIdx) +: (f +: (coeffs.toSeq :+ logEnergy)))
+          }
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
+  /** [[pcmSamples]] plus the container's sample rate (Hz). */
+  private[multimodal] def pcmSamplesWithRate(bytes: Array[Byte]): Option[(Array[Int], Int)] =
+    if (bytes == null || bytes.isEmpty) None
+    else try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 ||
+          fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
+        else {
+          val raw = ais.readAllBytes()
+          val n = raw.length / 2
+          val out = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            val lo = raw(2 * i) & 0xff
+            val hi = raw(2 * i + 1) & 0xff
+            out(i) = (if (fmt.isBigEndian) (lo << 8) | hi else (hi << 8) | lo).toShort.toInt
+            i += 1
+          }
+          Some((out, fmt.getSampleRate.toInt))
         }
       } finally ais.close()
     } catch {

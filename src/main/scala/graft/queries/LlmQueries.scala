@@ -201,6 +201,22 @@ object LlmQueries {
         .orderBy(col("doc_id"), col("w"))
     }),
 
+    // REAL spectral features: own radix-2 FFT (graft.multimodal.Dsp — the
+    // JDK ships none) over real WAV decodes; the oracle replays the same
+    // windowed-FFT → mel → log → DCT op sequence in SQL with embedded
+    // constant tables, so everything up to the final ln is bit-exact
+    // across engines (round-6 absorbs the ln's libm ulp parity)
+    "q_audio_mfcc" -> ((s, dir) => {
+      val wav = udf((id: Long) => Multimodal.syntheticWavLong(id))
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), wav(col("doc_id")).as("payload"))
+      Multimodal.mfccIO(docs, "doc_id", "payload", frameLen = 64, nMels = 8, nCoef = 4)
+        .select(col("doc_id") +: col("frame") +:
+          ((0 until 4).map(j => round(col(s"c$j"), 6).as(s"c$j")) :+
+            round(col("log_energy"), 6).as("log_energy")): _*)
+        .orderBy(col("doc_id"), col("frame"))
+    }),
+
     // video twin of q_image_decode: real AVI containers ([[Avi.encode]]
     // BI_RGB — lossless), decoded by the dependency-free RIFF reader; the
     // oracle recomputes dims / fps / frame count / duration and the exact
@@ -751,6 +767,10 @@ object LlmQueries {
         |    (a, x) -> a + x) / greatest(((w + 1) * n) // 4 - (w * n) // 4, 1)), 6) AS win_rms,
         |  zcr, peak, mean_abs
         |FROM wx ORDER BY doc_id, w""".stripMargin,
+    // the generated SQL replays Dsp's windowed FFT → mel → log → DCT with
+    // embedded constant tables — see graft.queries.DspSql for the
+    // bit-exactness argument
+    "q_audio_mfcc" -> DspSql.mfccSql(frameLen = 64, nMels = 8, nCoef = 4),
     // real-codec video gate: frame f pixel (i,j) = (doc_id*31 + f*101 +
     // i*7 + j*13) mod 256 over 1 + doc_id%6 frames of (1 + doc_id%8) ×
     // (1 + (doc_id//8)%8) at 5 + doc_id%10 fps; BI_RGB is lossless, so
