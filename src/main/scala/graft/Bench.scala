@@ -55,7 +55,8 @@ object Bench {
     "q_video_decode",
     "q_pack_sequences",
     "q_bpe_train",
-    "q_audio_mfcc"
+    "q_audio_mfcc",
+    "q_semdedup"
   )
 
   def main(args: Array[String]): Unit = {

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.dedup.{Decontaminate, Dedup}
+import graft.dedup.{Decontaminate, Dedup, SemDedup}
 import graft.functions.{TextFunctions => T}
 import graft.multimodal.Multimodal
 import graft.similarity.Similarity
@@ -361,6 +361,26 @@ object LlmQueries {
       Similarity.pqTopK(encoded, emb.where(col("vec_id") < 5), "embedding", "vec_id", 5, model, oversample = 8)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // SemDeDup (Abbas et al. 2023): deterministic full-vector k-means
+    // (= PQ with m = 1), then intra-cluster cosine pruning — the oracle
+    // replays clustering AND pruning exactly via the shared Lloyd layers.
+    // The synthetic embeddings have no natural near-dup pairs (max pair
+    // cosine ≈ 0.48), so exact copies are planted at the same +100000
+    // offset q_dedup_embedding uses (identical vectors assign to the
+    // same cluster and cosine 1.0 trips the prune)
+    "q_semdedup" -> ((s, dir) => {
+      val base = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val guarded = base.withColumn("vec_id",
+        when(col("vec_id") < 100000, col("vec_id"))
+          .otherwise(raise_error(lit(
+            "embeddings.vec_id reached the planted-id offset (100000); raise the offset"))))
+      val planted = guarded.where(col("vec_id") < 10)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+      SemDedup.semDedup(guarded.union(planted), "vec_id", "embedding",
+          k = 16, iters = 1, tau = 0.9)
+        .orderBy(col("vec_id"))
     }),
 
     // Lloyd-REFINED PQ: one deterministic k-means step on the seed
@@ -890,6 +910,7 @@ object LlmQueries {
     "q_ann_pq" -> XxhSql.annPqSql(d = 64, m = 8, kc = 16, k = 5, oversample = 8, nQueries = 5),
     "q_ann_pq_refined" -> XxhSql.annPqRefinedSql(d = 64, m = 8, kc = 16, k = 5, oversample = 8,
       nQueries = 5, iters = 1),
+    "q_semdedup" -> XxhSql.semDedupSql(d = 64, kc = 16, iters = 1, tau = 0.9),
     "q_ann_ivfpq" -> XxhSql.annIvfPqSql(d = 64, m = 8, kc = 16, k = 5, oversample = 8,
       nQueries = 5, nlist = 16, nprobe = 8),
     // absmax scaling and floor(x/scale + 0.5) rounding are IEEE-exact in

@@ -385,9 +385,74 @@ object XxhSql {
   /** Shared PQ CTE block: vecs, seed codebook, per-subspace distances,
     * argmin codes (ties to the lowest code).
     */
-  private def pqCtes(d: Int, m: Int, kc: Int): String = {
+  /** Lloyd-refinement CTE layers shared by [[annPqRefinedSql]] and
+    * [[semDedupSql]]: per iteration, recompute each (j, c) centroid as
+    * the mean of its member subvectors with component sums folded
+    * SEQUENTIALLY in vec-id order (the engine's deterministic
+    * accumulation order), then re-assign. Expects the [[pqCtes]] CTEs
+    * (`vecs`, `cents`, `codes`); produces `cents_N` / `codes_N`.
+    */
+  private def refineLayers(dsub: Int, iters: Int): String =
+    (1 to iters).map { it =>
+      val prevCents = if (it == 1) "cents" else s"cents_${it - 1}"
+      val prevCodes = if (it == 1) "codes" else s"codes_${it - 1}"
+      s"""cellsub_$it AS MATERIALIZED (
+         |  SELECT cd.j, cd.c, count(*) AS n,
+         |    list([vv.v[cd.j*$dsub + t] FOR t IN range(1, ${dsub + 1})] ORDER BY cd.vec_id) AS subs
+         |  FROM $prevCodes cd JOIN vecs vv ON vv.vec_id = cd.vec_id
+         |  GROUP BY cd.j, cd.c),
+         |refc_$it AS (
+         |  SELECT j, c, t,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(subs, s -> s[t])), (a, x) -> a + x) / n AS comp
+         |  FROM cellsub_$it, (SELECT unnest(range(1, ${dsub + 1})) AS t)),
+         |ref_$it AS MATERIALIZED (SELECT j, c, list(comp ORDER BY t) AS cent FROM refc_$it GROUP BY j, c),
+         |cents_$it AS MATERIALIZED (
+         |  SELECT p.j, p.c, coalesce(r.cent, p.cent) AS cent
+         |  FROM $prevCents p LEFT JOIN ref_$it r ON r.j = p.j AND r.c = p.c),
+         |subd_$it AS MATERIALIZED (
+         |  SELECT vec_id, j, c,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      [(v[j*$dsub + t] - cent[t]) * (v[j*$dsub + t] - cent[t]) FOR t IN range(1, ${dsub + 1})]),
+         |      (a, x) -> a + x) AS d2
+         |  FROM vecs, cents_$it),
+         |codes_$it AS MATERIALIZED (
+         |  SELECT vec_id, j, c FROM (
+         |    SELECT vec_id, j, c, row_number() OVER (PARTITION BY vec_id, j ORDER BY d2 ASC, c ASC) AS rn
+         |    FROM subd_$it) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+
+  /** Oracle for [[graft.dedup.SemDedup.semDedup]]: full-vector k-means is
+    * PQ with m = 1 (one subspace = the whole vector), so clustering
+    * reuses [[pqCtes]] + [[refineLayers]] verbatim; the pruning pass then
+    * joins same-cluster id-ordered pairs and drops the higher id of any
+    * pair with rounded cosine ≥ `tau` — exactly the engine's verdict.
+    */
+  def semDedupSql(d: Int, kc: Int, iters: Int, tau: Double): String = {
+    require(iters >= 1)
+    // the gate plants exact copies of the 10 lowest ids at +100000 (the
+    // q_dedup_embedding offset) — mirror the union, then point pqCtes at it
+    s"""WITH embx AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id < 10
+       |),
+       |${pqCtes(d, 1, kc, src = "embx")},
+       |${refineLayers(d, iters)},
+       |assign AS MATERIALIZED (SELECT vec_id, c AS cluster FROM codes_$iters),
+       |dropped AS MATERIALIZED (
+       |  SELECT DISTINCT b.vec_id AS b_id
+       |  FROM assign a JOIN assign b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  JOIN vecs va ON va.vec_id = a.vec_id
+       |  JOIN vecs vb ON vb.vec_id = b.vec_id
+       |  WHERE round(list_cosine_similarity(va.v, vb.v), 6) >= $tau)
+       |SELECT s.vec_id, CAST(s.cluster AS INTEGER) AS cluster, (p.b_id IS NULL) AS kept
+       |FROM assign s LEFT JOIN dropped p ON p.b_id = s.vec_id
+       |ORDER BY s.vec_id""".stripMargin
+  }
+
+  private def pqCtes(d: Int, m: Int, kc: Int, src: String = "embeddings"): String = {
     val dsub = d / m
-    s"""vecs AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""vecs AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $src),
        |cents AS MATERIALIZED (
        |  SELECT j, rn - 1 AS c, [v[j*$dsub + t] FOR t IN range(1, ${dsub + 1})] AS cent
        |  FROM (SELECT v, row_number() OVER (ORDER BY vec_id) AS rn FROM vecs ORDER BY vec_id LIMIT $kc),
@@ -455,34 +520,7 @@ object XxhSql {
   def annPqRefinedSql(d: Int, m: Int, kc: Int, k: Int, oversample: Int,
       nQueries: Int, iters: Int): String = {
     require(iters >= 1)
-    val dsub = d / m
-    val layers = (1 to iters).map { it =>
-      val prevCents = if (it == 1) "cents" else s"cents_${it - 1}"
-      val prevCodes = if (it == 1) "codes" else s"codes_${it - 1}"
-      s"""cellsub_$it AS MATERIALIZED (
-         |  SELECT cd.j, cd.c, count(*) AS n,
-         |    list([vv.v[cd.j*$dsub + t] FOR t IN range(1, ${dsub + 1})] ORDER BY cd.vec_id) AS subs
-         |  FROM $prevCodes cd JOIN vecs vv ON vv.vec_id = cd.vec_id
-         |  GROUP BY cd.j, cd.c),
-         |refc_$it AS (
-         |  SELECT j, c, t,
-         |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(subs, s -> s[t])), (a, x) -> a + x) / n AS comp
-         |  FROM cellsub_$it, (SELECT unnest(range(1, ${dsub + 1})) AS t)),
-         |ref_$it AS MATERIALIZED (SELECT j, c, list(comp ORDER BY t) AS cent FROM refc_$it GROUP BY j, c),
-         |cents_$it AS MATERIALIZED (
-         |  SELECT p.j, p.c, coalesce(r.cent, p.cent) AS cent
-         |  FROM $prevCents p LEFT JOIN ref_$it r ON r.j = p.j AND r.c = p.c),
-         |subd_$it AS MATERIALIZED (
-         |  SELECT vec_id, j, c,
-         |    list_reduce(list_prepend(0.0::DOUBLE,
-         |      [(v[j*$dsub + t] - cent[t]) * (v[j*$dsub + t] - cent[t]) FOR t IN range(1, ${dsub + 1})]),
-         |      (a, x) -> a + x) AS d2
-         |  FROM vecs, cents_$it),
-         |codes_$it AS MATERIALIZED (
-         |  SELECT vec_id, j, c FROM (
-         |    SELECT vec_id, j, c, row_number() OVER (PARTITION BY vec_id, j ORDER BY d2 ASC, c ASC) AS rn
-         |    FROM subd_$it) WHERE rn = 1)""".stripMargin
-    }.mkString(",\n")
+    val layers = refineLayers(d / m, iters)
     s"""WITH ${pqCtes(d, m, kc)},
        |$layers,
        |adcp AS MATERIALIZED (

@@ -82,6 +82,11 @@ object PlanCheck {
     Check(
       "q_substring_dedup",
       mustContain = Seq("partial_count", "HashAggregate"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // SemDeDup: the pair pass must be an equi-join on the cluster id
+    // (the cluster bound IS the scale story) — never a cartesian
+    Check(
+      "q_semdedup",
       mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
   )
 
