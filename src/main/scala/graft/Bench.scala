@@ -56,7 +56,8 @@ object Bench {
     "q_pack_sequences",
     "q_bpe_train",
     "q_audio_mfcc",
-    "q_semdedup"
+    "q_semdedup",
+    "q_dsir_weights"
   )
 
   def main(args: Array[String]): Unit = {

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.dedup.{Decontaminate, Dedup, SemDedup}
+import graft.text.Dsir
 import graft.functions.{TextFunctions => T}
 import graft.multimodal.Multimodal
 import graft.similarity.Similarity
@@ -63,6 +64,25 @@ object LlmQueries {
         .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
       Dedup.embeddingPairs(guarded.union(planted), "embedding", "vec_id", threshold = 0.95)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // DSIR importance weighting (Xie et al. 2023): hashed unigram+bigram
+    // log-likelihood ratios against a target domain; integer-exact counts
+    // and md5 bucketing, weight rounded at the aggregate edge (float-sum
+    // order is partition-dependent — the q_perplexity precedent)
+    "q_dsir_weights" -> ((s, dir) => {
+      Dsir.importanceWeights(t(s, dir, "documents"), "text", "doc_id",
+          col("source") === "src13", dim = 2048, alpha = 1.0)
+        .select(col("doc_id"), col("n_terms"), round(col("weight"), 4).as("weight"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // DSIR selection: top-k raw-pool docs by rounded weight (target rows
+    // excluded — they are the reference distribution, not candidates)
+    "q_dsir_select" -> ((s, dir) => {
+      Dsir.selectTopK(t(s, dir, "documents"), "text", "doc_id",
+          col("source") === "src13", k = 50, dim = 2048, alpha = 1.0)
+        .select(col("doc_id"), col("n_terms"), col("weight"))
     }),
 
     // end-to-end near-dedup: survivors after cluster-representative removal
@@ -622,6 +642,34 @@ object LlmQueries {
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
   private val toksSql = s"string_split($normSql, ' ')"
 
+  /** Shared DSIR CTEs (`feat`: per-occurrence hashed unigram+bigram
+    * buckets with the target flag; `lam`: the dim-bounded smoothed
+    * log-likelihood-ratio table — mirrors
+    * [[graft.text.Dsir.featureLogRatios]] with target `source = 'src13'`,
+    * dim 2048, α = 1), prepended to a query-specific tail.
+    */
+  private def dsirSql(tail: String): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, (source = 'src13') AS tgt, list_filter($toksSql, x -> x <> '') AS t FROM documents
+       |), term AS (
+       |  SELECT doc_id, tgt, unnest(t) AS term FROM toks
+       |  UNION ALL
+       |  SELECT doc_id, tgt, unnest([t[i] || ' ' || t[i + 1] FOR i IN range(1, len(t))]) AS term FROM toks
+       |), feat AS MATERIALIZED (
+       |  SELECT doc_id, tgt,
+       |    CAST(CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % 2048 AS INTEGER) AS bucket
+       |  FROM term
+       |), cnt AS MATERIALIZED (
+       |  SELECT bucket, count(*) AS raw_cnt, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS tgt_cnt
+       |  FROM feat GROUP BY bucket
+       |), tot AS (SELECT sum(raw_cnt) AS r, sum(tgt_cnt) AS tt FROM cnt),
+       |lam AS MATERIALIZED (
+       |  SELECT bucket,
+       |    ln((CAST(tgt_cnt AS DOUBLE) + 1.0) / (CAST(tt AS DOUBLE) + 2048.0)) -
+       |    ln((CAST(raw_cnt AS DOUBLE) + 1.0) / (CAST(r AS DOUBLE) + 2048.0)) AS lam
+       |  FROM cnt, tot)
+       |$tail""".stripMargin
+
   /** K-stage BPE oracle: w0 = the word-frequency dict as spaced symbol
     * strings; each stage picks the (max weighted count, lexicographically
     * smallest) adjacent pair and applies it as a left-to-right
@@ -1108,6 +1156,19 @@ object LlmQueries {
          |      ORDER BY cosine_sim DESC, neighbor_id) AS BIGINT) AS rank
          |  FROM sims)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // DSIR: counts and md5 bucketing are integer-exact; ln and the tf·λ
+    // sum are rounded at the edge (accumulation order differs)
+    "q_dsir_weights" -> dsirSql(
+      """SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_terms, round(sum(l.lam), 4) AS weight
+        |FROM feat f JOIN lam l USING (bucket)
+        |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin),
+    "q_dsir_select" -> dsirSql(
+      """SELECT w.doc_id, w.n_terms, w.weight FROM (
+        |  SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_terms, round(sum(l.lam), 6) AS weight
+        |  FROM feat f JOIN lam l USING (bucket) GROUP BY f.doc_id) w
+        |JOIN documents d ON d.doc_id = w.doc_id
+        |WHERE d.source <> 'src13'
+        |ORDER BY w.weight DESC, w.doc_id LIMIT 50""".stripMargin),
     "q_oov_rate" ->
       s"""WITH vocab AS (
          |  SELECT token FROM (

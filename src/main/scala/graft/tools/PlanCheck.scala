@@ -87,7 +87,9 @@ object PlanCheck {
     // (the cluster bound IS the scale story) — never a cartesian
     Check(
       "q_semdedup",
-      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // DSIR: the dim-bounded λ table must broadcast to the scoring join
+    Check("q_dsir_weights", mustContain = Seq("BroadcastHashJoin"))
   )
 
   def main(args: Array[String]): Unit = {
