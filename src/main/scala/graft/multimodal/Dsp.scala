@@ -135,14 +135,12 @@ object Dsp {
   def dctTable(nMels: Int, nCoef: Int): Array[Array[Double]] =
     Array.tabulate(nCoef)(j => Array.tabulate(nMels)(m => math.cos(math.Pi * j * (m + 0.5) / nMels)))
 
-  /** MFCC of one windowed frame: power spectrum of the Hann-windowed
-    * normalized samples, mel energies as fixed-order folds over all
-    * bins, `ln(e + 1e-10)`, DCT-II. Returns `(coeffs, logEnergy)`.
-    * `samples` are raw int16 values; every float op's order matches
-    * [[graft.queries.DspSql.mfccSql]] exactly.
+  /** One-sided power spectrum of a Hann-windowed int16 frame — the
+    * shared front half of [[mfccFrame]] and [[spectralFrame]]; op order
+    * is the cross-engine spec (window product, FFT stages, `re² + im²`).
     */
-  def mfccFrame(samples: Array[Int], hw: Array[Double], tables: Array[(Array[Double], Array[Double])],
-                weights: Array[Array[Double]], dct: Array[Array[Double]]): (Array[Double], Double) = {
+  def powerSpectrum(samples: Array[Int], hw: Array[Double],
+      tables: Array[(Array[Double], Array[Double])]): Array[Double] = {
     val n = samples.length
     val re0 = new Array[Double](n)
     var t = 0
@@ -152,8 +150,72 @@ object Dsp {
     val power = new Array[Double](nBins)
     var k = 0
     while (k < nBins) { power(k) = re(k) * re(k) + im(k) * im(k); k += 1 }
-    var energy = 0.0
+    power
+  }
+
+  /** Spectral shape features of one frame's power spectrum: centroid
+    * (power-weighted mean frequency), bandwidth (power-weighted std dev
+    * around the centroid), rolloff (lowest bin frequency where the
+    * cumulative power reaches 85% of the total), flatness
+    * (geometric / arithmetic mean ratio over `p + 1e-12`). All folds run
+    * in ascending bin order — the SQL oracle's accumulation order
+    * ([[graft.queries.DspSql.spectralSql]]); zero-power frames yield
+    * all-zero centroid/bandwidth/rolloff.
+    */
+  def spectralFrame(power: Array[Double], sampleRate: Int, frameLen: Int): (Double, Double, Double, Double) = {
+    val nBins = power.length
+    var total = 0.0
+    var k = 0
+    while (k < nBins) { total += power(k); k += 1 }
+    var wsum = 0.0
     k = 0
+    while (k < nBins) { wsum += (k.toDouble * sampleRate / frameLen) * power(k); k += 1 }
+    val centroid = if (total > 0.0) wsum / total else 0.0
+    var vsum = 0.0
+    k = 0
+    while (k < nBins) {
+      val f = k.toDouble * sampleRate / frameLen
+      vsum += power(k) * ((f - centroid) * (f - centroid))
+      k += 1
+    }
+    val bandwidth = if (total > 0.0) math.sqrt(vsum / total) else 0.0
+    val thresh = 0.85 * total
+    var rolloff = 0.0
+    if (total > 0.0) {
+      var cum = 0.0
+      var found = false
+      k = 0
+      while (k < nBins && !found) {
+        cum += power(k)
+        if (cum >= thresh) { rolloff = k.toDouble * sampleRate / frameLen; found = true }
+        k += 1
+      }
+    }
+    var lsum = 0.0
+    var asum = 0.0
+    k = 0
+    while (k < nBins) {
+      lsum += math.log(power(k) + 1e-12)
+      asum += power(k) + 1e-12
+      k += 1
+    }
+    val flatness = math.exp(lsum / nBins) / (asum / nBins)
+    (centroid, bandwidth, rolloff, flatness)
+  }
+
+  /** MFCC of one windowed frame: power spectrum of the Hann-windowed
+    * normalized samples, mel energies as fixed-order folds over all
+    * bins, `ln(e + 1e-10)`, DCT-II. Returns `(coeffs, logEnergy)`.
+    * `samples` are raw int16 values; every float op's order matches
+    * [[graft.queries.DspSql.mfccSql]] exactly.
+    */
+  def mfccFrame(samples: Array[Int], hw: Array[Double], tables: Array[(Array[Double], Array[Double])],
+                weights: Array[Array[Double]], dct: Array[Array[Double]]): (Array[Double], Double) = {
+    val n = samples.length
+    val power = powerSpectrum(samples, hw, tables)
+    val nBins = n / 2 + 1
+    var energy = 0.0
+    var k = 0
     while (k < nBins) { energy += power(k); k += 1 }
     val logEnergy = math.log(energy + 1e-10)
     val nMels = weights.length

@@ -594,6 +594,47 @@ object Multimodal {
     df.sparkSession.createDataFrame(rdd, outSchema)
   }
 
+  val spectralIOSchema: StructType = StructType(
+    Seq(
+      StructField("frame", IntegerType, nullable = false),
+      StructField("centroid", DoubleType, nullable = false),
+      StructField("bandwidth", DoubleType, nullable = false),
+      StructField("rolloff", DoubleType, nullable = false),
+      StructField("flatness", DoubleType, nullable = false)
+    ))
+
+  /** REAL spectral-shape features over decoded 16-bit PCM (same framing
+    * contract as [[mfccIO]]): per `frameLen`-sample frame, the power
+    * spectrum's centroid, bandwidth, 85% rolloff frequency, and
+    * flatness ([[Dsp.spectralFrame]]). Scan-local, no shuffle;
+    * undecodable payloads drop.
+    */
+  def spectralFeaturesIO(df: DataFrame, idCol: String, payloadCol: String,
+      frameLen: Int = 64): DataFrame = {
+    require(frameLen > 0 && (frameLen & (frameLen - 1)) == 0, s"spectralFeaturesIO: frameLen must be a power of two, got $frameLen")
+    val idField = df.schema(idCol)
+    val outSchema = StructType(idField +: spectralIOSchema.fields)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      val hw = Dsp.hann(frameLen)
+      val tables = Dsp.twiddles(frameLen)
+      rows.flatMap { r =>
+        val bytes = if (r.isNullAt(payloadIdx)) null else r.getAs[Array[Byte]](payloadIdx)
+        pcmSamplesWithRate(bytes).toSeq.flatMap { case (s, rate) =>
+          val nFrames = s.length / frameLen
+          (0 until nFrames).map { f =>
+            val frame = java.util.Arrays.copyOfRange(s, f * frameLen, (f + 1) * frameLen)
+            val power = Dsp.powerSpectrum(frame, hw, tables)
+            val (centroid, bandwidth, rolloff, flatness) = Dsp.spectralFrame(power, rate, frameLen)
+            Row.fromSeq(r.get(idIdx) +: Seq[Any](f, centroid, bandwidth, rolloff, flatness))
+          }
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
   /** [[pcmSamples]] plus the container's sample rate (Hz). */
   private[multimodal] def pcmSamplesWithRate(bytes: Array[Byte]): Option[(Array[Int], Int)] =
     if (bytes == null || bytes.isEmpty) None

@@ -2,10 +2,11 @@ package graft.queries
 
 import graft.multimodal.Dsp
 
-/** DuckDB SQL generator for the MFCC oracle (q_audio_mfcc): replays
-  * [[graft.multimodal.Dsp]]'s windowed radix-2 FFT → power spectrum →
-  * mel filterbank → log → DCT-II pipeline bit-for-bit over the
-  * `syntheticWavLong` fixture reconstructed arithmetically from row ids.
+/** DuckDB SQL generators for the spectral-audio oracles (q_audio_mfcc,
+  * q_audio_spectral): replay [[graft.multimodal.Dsp]]'s windowed radix-2
+  * FFT → power spectrum pipeline bit-for-bit over the `syntheticWavLong`
+  * fixture reconstructed arithmetically from row ids, then the
+  * query-specific feature tail.
   *
   * Exactness argument: every constant table (Hann window, bit-reversal,
   * per-stage twiddles, mel weights, DCT basis) is computed by the SAME
@@ -14,13 +15,13 @@ import graft.multimodal.Dsp
   * DECIMAL); every float op is then the identical IEEE-754 sequence in
   * both engines — per-index butterflies (one product + one add each,
   * no reassociation) and `list_prepend(0.0)` left folds matching the
-  * engine's accumulation order. The FFT/mel/DCT stages are therefore
-  * bitwise reproducible; only the final `ln` leans on libm-vs-Math ulp
-  * parity, absorbed by the gate's round-6 (the q_perplexity precedent).
-  * Note the engine computes the tables at runtime via `java.lang.Math`,
-  * so cross-JVM bitwise identity assumes one JVM/arch — true for
-  * local[*] and this harness; a heterogeneous cluster would pin tables
-  * via broadcast instead.
+  * engine's accumulation order. The FFT/mel/DCT/centroid stages are
+  * therefore bitwise reproducible; only `ln`/`exp` lean on libm-vs-Math
+  * ulp parity, absorbed by the gates' round-6 (the q_perplexity
+  * precedent). Note the engine computes the tables at runtime via
+  * `java.lang.Math`, so cross-JVM bitwise identity assumes one JVM/arch
+  * — true for local[*] and this harness; a heterogeneous cluster would
+  * pin tables via broadcast instead.
   *
   * Oracle-authoring rules applied (see verify skill notes): constants
   * live in one `AS MATERIALIZED` CTE cross-joined per stage (no textual
@@ -44,22 +45,18 @@ object DspSql {
 
   private def iList(vs: Array[Int]): String = vs.mkString("[", ", ", "]")
 
-  /** SQL for the q_audio_mfcc gate over the `documents` table: payload =
-    * `syntheticWavLong(doc_id)` (8000 Hz mono, `64 + doc_id mod 160`
-    * samples), frames of `frameLen` with hop `frameLen` (partial tail
-    * drops), output `(doc_id, frame, c0..c{nCoef-1}, log_energy)`
-    * rounded to 6 at the aggregate edge only.
+  /** The shared FFT pipeline over the `syntheticWavLong(doc_id)` fixture
+    * (8000 Hz mono, `64 + doc_id mod 160` samples, frames of `n` with
+    * hop `n`, partial tail drops): CTEs `consts` … `sp`, where `sp` is
+    * `(doc_id, frame, pw)` with the one-sided power spectrum.
     */
-  def mfccSql(frameLen: Int = 64, nMels: Int = 8, nCoef: Int = 4): String = {
-    require(frameLen > 0 && (frameLen & (frameLen - 1)) == 0, s"mfccSql: frameLen must be a power of two, got $frameLen")
-    val n = frameLen
+  private def fftCtes(n: Int): String = {
+    require(n > 0 && (n & (n - 1)) == 0, s"fftCtes: frameLen must be a power of two, got $n")
     val nBins = n / 2 + 1
     val stages = java.lang.Integer.numberOfTrailingZeros(n)
     val hw = Dsp.hann(n)
     val brev = Dsp.bitrev(n)
     val tw = Dsp.twiddles(n)
-    val weights = Dsp.melWeights(n, 8000, nMels)
-    val dct = Dsp.dctTable(nMels, nCoef)
 
     val constCols =
       s"""    ${dList(hw)}::DOUBLE[] AS hw,
@@ -89,18 +86,7 @@ object DspSql {
 
     val fr = s"re$stages"; val fi = s"im$stages"
 
-    val melExprs = (0 until nMels).map { m =>
-      s"""    ln(list_reduce(list_prepend(0.0E0,
-         |      [(${dList(weights(m))}::DOUBLE[])[k+1] * pw[k+1] FOR k IN range(0, $nBins)]),
-         |      (a, x) -> a + x) + 1e-10) AS lm$m""".stripMargin
-    }.mkString(",\n")
-
-    val dctExprs = (0 until nCoef).map { j =>
-      val terms = (0 until nMels).map(m => s"${fmtD(dct(j)(m))} * lm$m").mkString("[", ", ", "]")
-      s"  round(list_reduce(list_prepend(0.0E0, $terms), (a, x) -> a + x), 6) AS c$j"
-    }.mkString(",\n")
-
-    s"""WITH consts AS MATERIALIZED (
+    s"""consts AS MATERIALIZED (
        |  SELECT
        |$constCols
        |), p AS (
@@ -123,7 +109,31 @@ object DspSql {
        |  SELECT doc_id, frame,
        |    [$fr[k+1] * $fr[k+1] + $fi[k+1] * $fi[k+1] FOR k IN range(0, $nBins)] AS pw
        |  FROM st$stages
-       |), mels AS (
+       |)""".stripMargin
+  }
+
+  /** SQL for the q_audio_mfcc gate: [[fftCtes]] then mel filterbank →
+    * `ln(e + 1e-10)` → DCT-II, output
+    * `(doc_id, frame, c0..c{nCoef-1}, log_energy)` rounded to 6 at the
+    * aggregate edge only.
+    */
+  def mfccSql(frameLen: Int = 64, nMels: Int = 8, nCoef: Int = 4): String = {
+    val nBins = frameLen / 2 + 1
+    val weights = Dsp.melWeights(frameLen, 8000, nMels)
+    val dct = Dsp.dctTable(nMels, nCoef)
+
+    val melExprs = (0 until nMels).map { m =>
+      s"""    ln(list_reduce(list_prepend(0.0E0,
+         |      [(${dList(weights(m))}::DOUBLE[])[k+1] * pw[k+1] FOR k IN range(0, $nBins)]),
+         |      (a, x) -> a + x) + 1e-10) AS lm$m""".stripMargin
+    }.mkString(",\n")
+
+    val dctExprs = (0 until nCoef).map { j =>
+      val terms = (0 until nMels).map(m => s"${fmtD(dct(j)(m))} * lm$m").mkString("[", ", ", "]")
+      s"  round(list_reduce(list_prepend(0.0E0, $terms), (a, x) -> a + x), 6) AS c$j"
+    }.mkString(",\n")
+
+    s"""WITH ${fftCtes(frameLen)}, mels AS (
        |  SELECT doc_id, frame,
        |    round(ln(list_reduce(list_prepend(0.0E0, pw), (a, x) -> a + x) + 1e-10), 6) AS log_energy,
        |$melExprs
@@ -133,5 +143,46 @@ object DspSql {
        |$dctExprs,
        |  log_energy
        |FROM mels ORDER BY doc_id, frame""".stripMargin
+  }
+
+  /** SQL for the q_audio_spectral gate: [[fftCtes]] then spectral
+    * centroid / bandwidth / 85% rolloff / flatness with the exact fold
+    * orders of [[graft.multimodal.Dsp.spectralFrame]]. Bin `k`'s
+    * frequency is `k * 8000.0 / frameLen` (the fixture's fixed rate);
+    * the rolloff scan re-derives each prefix sum as a fold — a prefix of
+    * the same left fold is bitwise the engine's running sum.
+    */
+  def spectralSql(frameLen: Int = 64): String = {
+    val nBins = frameLen / 2 + 1
+    val freq = s"CAST(k AS DOUBLE) * 8000.0E0 / $frameLen"
+    s"""WITH ${fftCtes(frameLen)}, tot AS (
+       |  SELECT doc_id, frame, pw,
+       |    list_reduce(list_prepend(0.0E0, pw), (a, x) -> a + x) AS total,
+       |    list_reduce(list_prepend(0.0E0,
+       |      [($freq) * pw[k+1] FOR k IN range(0, $nBins)]), (a, x) -> a + x) AS wsum
+       |  FROM sp
+       |), cen AS (
+       |  SELECT doc_id, frame, pw, total,
+       |    CASE WHEN total > 0.0E0 THEN wsum / total ELSE 0.0E0 END AS centroid
+       |  FROM tot
+       |), shape AS (
+       |  SELECT doc_id, frame, total, centroid,
+       |    CASE WHEN total > 0.0E0 THEN sqrt(list_reduce(list_prepend(0.0E0,
+       |      [pw[k+1] * ((($freq) - centroid) * (($freq) - centroid)) FOR k IN range(0, $nBins)]),
+       |      (a, x) -> a + x) / total) ELSE 0.0E0 END AS bandwidth,
+       |    CASE WHEN total > 0.0E0 THEN coalesce(list_filter(
+       |      [CASE WHEN list_reduce(list_prepend(0.0E0, pw[1:k+1]), (a, x) -> a + x) >= 0.85E0 * total
+       |         THEN ($freq) ELSE NULL END FOR k IN range(0, $nBins)],
+       |      x -> x IS NOT NULL)[1], 0.0E0) ELSE 0.0E0 END AS rolloff,
+       |    exp(list_reduce(list_prepend(0.0E0,
+       |      [ln(pw[k+1] + 1e-12) FOR k IN range(0, $nBins)]), (a, x) -> a + x) / $nBins) /
+       |    (list_reduce(list_prepend(0.0E0,
+       |      [pw[k+1] + 1e-12 FOR k IN range(0, $nBins)]), (a, x) -> a + x) / $nBins) AS flatness
+       |  FROM cen
+       |)
+       |SELECT doc_id, CAST(frame AS INTEGER) AS frame,
+       |  round(centroid, 6) AS centroid, round(bandwidth, 6) AS bandwidth,
+       |  round(rolloff, 6) AS rolloff, round(flatness, 6) AS flatness
+       |FROM shape ORDER BY doc_id, frame""".stripMargin
   }
 }

@@ -237,6 +237,19 @@ object LlmQueries {
         .orderBy(col("doc_id"), col("frame"))
     }),
 
+    // spectral shape features over the same FFT pipeline: centroid,
+    // bandwidth, 85% rolloff, flatness — all fixed-order folds
+    "q_audio_spectral" -> ((s, dir) => {
+      val wav = udf((id: Long) => Multimodal.syntheticWavLong(id))
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), wav(col("doc_id")).as("payload"))
+      Multimodal.spectralFeaturesIO(docs, "doc_id", "payload", frameLen = 64)
+        .select(col("doc_id"), col("frame"),
+          round(col("centroid"), 6).as("centroid"), round(col("bandwidth"), 6).as("bandwidth"),
+          round(col("rolloff"), 6).as("rolloff"), round(col("flatness"), 6).as("flatness"))
+        .orderBy(col("doc_id"), col("frame"))
+    }),
+
     // video twin of q_image_decode: real AVI containers ([[Avi.encode]]
     // BI_RGB — lossless), decoded by the dependency-free RIFF reader; the
     // oracle recomputes dims / fps / frame count / duration and the exact
@@ -839,6 +852,7 @@ object LlmQueries {
     // embedded constant tables — see graft.queries.DspSql for the
     // bit-exactness argument
     "q_audio_mfcc" -> DspSql.mfccSql(frameLen = 64, nMels = 8, nCoef = 4),
+    "q_audio_spectral" -> DspSql.spectralSql(frameLen = 64),
     // real-codec video gate: frame f pixel (i,j) = (doc_id*31 + f*101 +
     // i*7 + j*13) mod 256 over 1 + doc_id%6 frames of (1 + doc_id%8) ×
     // (1 + (doc_id//8)%8) at 5 + doc_id%10 fps; BI_RGB is lossless, so

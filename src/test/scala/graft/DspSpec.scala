@@ -101,6 +101,40 @@ class DspSpec extends SparkSpec {
       .forall(r => (0 until 5).forall(i => !r.getDouble(i).isNaN && !r.getDouble(i).isInfinite)))
   }
 
+  test("spectralFrame: pure tone centers the centroid on its bin, tight bandwidth") {
+    val n = 64
+    val hw = Array.fill(n)(1.0) // rectangular window keeps the tone in one bin
+    val tables = Dsp.twiddles(n)
+    // bin-8 tone at rate 8000 -> 1000 Hz, int16-scaled
+    val samples = Array.tabulate(n)(t => (math.cos(2.0 * math.Pi * 8 * t / n) * 16384).toInt)
+    val power = Dsp.powerSpectrum(samples, hw, tables)
+    val (centroid, bandwidth, rolloff, flatness) = Dsp.spectralFrame(power, 8000, n)
+    assert(math.abs(centroid - 1000.0) < 1.0, s"centroid=$centroid")
+    assert(bandwidth < 50.0, s"bandwidth=$bandwidth")
+    assert(math.abs(rolloff - 1000.0) < 1e-9, s"rolloff=$rolloff")
+    assert(flatness < 0.01, s"tone must have near-zero flatness: $flatness")
+    // white-ish flat spectrum: flatness near 1
+    val flatPower = Array.fill(n / 2 + 1)(2.5)
+    val f2 = Dsp.spectralFrame(flatPower, 8000, n)._4
+    assert(math.abs(f2 - 1.0) < 1e-9, s"flat spectrum flatness=$f2")
+    // all-zero frame: zeroed shape features
+    val z = Dsp.spectralFrame(Array.fill(n / 2 + 1)(0.0), 8000, n)
+    assert(z._1 == 0.0 && z._2 == 0.0 && z._3 == 0.0)
+  }
+
+  test("spectralFeaturesIO frames like mfccIO and drops undecodable payloads") {
+    val df = Seq(
+      (100L, Multimodal.syntheticWavLong(100L)), // 164 samples -> 2 frames
+      (7L, "not audio".getBytes("UTF-8"))
+    ).toDF("id", "payload")
+    val out = Multimodal.spectralFeaturesIO(df, "id", "payload", frameLen = 64)
+    assert(out.columns.toSeq == Seq("id", "frame", "centroid", "bandwidth", "rolloff", "flatness"))
+    val rows = out.orderBy($"frame").collect()
+    assert(rows.length == 2 && rows.forall(_.getLong(0) == 100L))
+    assert(rows.forall(r => (2 to 5).forall(i => !r.getDouble(i).isNaN)))
+    assert(rows.forall(r => r.getDouble(4) >= 0.0 && r.getDouble(4) <= 4000.0), "rolloff within Nyquist")
+  }
+
   test("mfccIO is bit-identical across partitionings") {
     val ids = (0L until 40L).map(i => (i, Multimodal.syntheticWavLong(i)))
     val a = Multimodal.mfccIO(ids.toDF("id", "payload").repartition(3), "id", "payload")
