@@ -475,17 +475,22 @@ object ArrowIpc {
     * Consumes `InternalRow`s directly (no external-Row conversion).
     * `graft.arrow.logical` markers restore time64[ns]/largeUtf8/largeBinary.
     *
-    * Dictionary encoding: top-level string/binary columns named in
-    * `dictColumns` — plus columns that ARRIVED dictionary-encoded (the
-    * `graft.arrow.dictEncoded` read marker), so reference→Spark→IPC round
-    * trips keep their encoding — are written as int32-indexed
-    * dictionary-encoded vectors. The dictionary accumulates per FILE and
-    * is emitted incrementally: a full batch before the first record
-    * batch, then DELTA batches carrying only new values — the
-    * spec-portable shape (verified against pyarrow 16 / Arrow C++, which
-    * reject the reference's replacement dictionaries but accept deltas).
-    * Dictionary size is bounded by the column's distinct values per file
-    * — encode low-cardinality columns, which is the point of the format.
+    * Dictionary encoding: string/binary leaves at ANY depth named in
+    * `dictColumns` (dotted paths — struct field names, `element` for
+    * array elements, `key`/`value` for map sides; a bare name is the
+    * top-level column) — plus fields that ARRIVED dictionary-encoded
+    * (the `graft.arrow.dictEncoded` read marker, at top level or on
+    * nested struct fields; array/map element markers have no metadata
+    * slot in Spark's type tree, so those re-encode only when named
+    * explicitly) — are written as int32-indexed dictionary-encoded
+    * vectors, one dictionary id per leaf. Each dictionary accumulates
+    * per FILE and is emitted incrementally: a full batch before the
+    * first record batch, then DELTA batches carrying only new values —
+    * the spec-portable shape (verified against pyarrow 16 / Arrow C++,
+    * which reject the reference's replacement dictionaries but accept
+    * deltas; nested-dict files re-verified the same way). Dictionary
+    * size is bounded by the leaf's distinct values per file — encode
+    * low-cardinality columns, which is the point of the format.
     */
   def write(df: DataFrame, path: String, batchRows: Int = 4096,
       dictColumns: Set[String] = Set.empty): Unit = {
@@ -494,18 +499,16 @@ object ArrowIpc {
     // explicit requests must be satisfiable (hard error otherwise); the
     // read-side marker is best-effort — a dict-encoded int/decimal/...
     // column read from a foreign file writes PLAIN rather than failing
-    // the whole migration
+    // the whole migration. Requests are dotted paths: struct field names,
+    // `element` for array elements, `key`/`value` for map sides.
     dictColumns.foreach { c =>
-      require(schema.fieldNames.contains(c), s"dictColumns: no such column '$c'")
-      val dt = schema(c).dataType
-      require(dt == StringType || dt == BinaryType,
-        s"dictColumns: column '$c' is $dt — only top-level string/binary columns dictionary-encode")
+      resolveDictPath(schema, c) match {
+        case None => throw new IllegalArgumentException(s"dictColumns: no such column path '$c'")
+        case Some(dt) => require(dt == StringType || dt == BinaryType,
+          s"dictColumns: path '$c' is $dt — only string/binary leaves dictionary-encode")
+      }
     }
-    val dictCols: Set[String] =
-      dictColumns ++ schema.fields
-        .filter(f => f.metadata.contains(DictKey) &&
-          (f.dataType == StringType || f.dataType == BinaryType))
-        .map(_.name)
+    val dictCols: Set[String] = dictColumns ++ markedDictPaths(schema)
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val out = new HPath(path)
@@ -526,43 +529,31 @@ object ArrowIpc {
       val hfs = part.getFileSystem(c)
       val alloc = new RootAllocator(Long.MaxValue)
       val plainFields = schema.map(toArrowField)
-      // memory-format root: dict columns are int32 index vectors carrying
-      // a DictionaryEncoding (id = column ordinal); the provider holds a
-      // value-typed vector per dictionary so the writer can derive the
-      // message-format schema (content is emitted via writeDict, not the
-      // provider)
-      val states = new java.util.HashMap[Integer, DictState]()
+      // memory-format root: dict-encoded leaves (any depth) are int32
+      // index vectors carrying a DictionaryEncoding (ids allocated in
+      // tree order); the provider holds a value-typed vector per
+      // dictionary so the writer can derive the message-format schema
+      // (content is emitted via writeDict, not the provider)
+      val states = new java.util.HashMap[String, DictState]()
       val provider = new DictionaryProvider.MapDictionaryProvider()
       val schemaVecs = scala.collection.mutable.ArrayBuffer.empty[FieldVector]
+      var dictIdCounter = -1L
+      val nextId = () => { dictIdCounter += 1; dictIdCounter }
       val memFields = schema.indices.map { i =>
-        val f = plainFields(i)
-        if (!dictCols.contains(schema(i).name)) f
-        else {
-          val enc = new DictionaryEncoding(i.toLong, false, new ArrowType.Int(32, true))
-          val st = new DictState(i.toLong, f)
-          states.put(i, st)
-          val sv = f.createVector(alloc)
+        val sf = schema(i)
+        encodeDictFields(sf, plainFields(i), sf.name, dictCols, nextId, (path, id, vf) => {
+          states.put(path, new DictState(id, vf))
+          val sv = vf.createVector(alloc)
           schemaVecs += sv
-          provider.put(new Dictionary(sv, enc))
-          new Field(f.getName,
-            new FieldType(schema(i).nullable, new ArrowType.Int(32, true), enc, f.getMetadata),
-            null)
-        }
+          provider.put(new Dictionary(sv,
+            new DictionaryEncoding(id, false, new ArrowType.Int(32, true))))
+        })
       }
+      val statesByPath: Map[String, DictState] = states.asScala.toMap
       val root = VectorSchemaRoot.create(new ArrowSchema(memFields.asJava), alloc)
       val writers: Array[(Int, SpecializedGetters, Int) => Unit] =
         schema.indices.map { i =>
-          val st = states.get(i)
-          if (st == null) writerFor(root.getVector(i), schema(i).dataType)
-          else {
-            val iv = root.getVector(i).asInstanceOf[IntVector]
-            schema(i).dataType match {
-              case StringType => (n: Int, g: SpecializedGetters, o: Int) =>
-                iv.setSafe(n, st.indexOfString(g.getUTF8String(o)))
-              case _ => (n: Int, g: SpecializedGetters, o: Int) =>
-                iv.setSafe(n, st.indexOfBytes(g.getBinary(o)))
-            }
-          }
+          writerFor(root.getVector(i), schema(i).dataType, schema(i).name, statesByPath)
         }.toArray
       val os: OutputStream = hfs.create(tmp, true)
       try {
@@ -652,13 +643,102 @@ object ArrowIpc {
     }
   }
 
+  /** Resolve a dotted dictionary path against a Spark schema: segments
+    * are struct field names, `element` for array elements, `key`/`value`
+    * for map sides (the Arrow child-naming convention [[toArrowField]]
+    * uses). Returns the leaf type, or None when the path doesn't exist.
+    * Column names containing '.' are not addressable (document, don't
+    * guess).
+    */
+  private[sources] def resolveDictPath(schema: StructType, path: String): Option[DataType] = {
+    def walk(dt: DataType, parts: List[String]): Option[DataType] = parts match {
+      case Nil => Some(dt)
+      case p :: rest => dt match {
+        case st: StructType => st.fields.find(_.name == p).flatMap(f => walk(f.dataType, rest))
+        case ArrayType(et, _) if p == "element" => walk(et, rest)
+        case MapType(kt, _, _) if p == "key" => walk(kt, rest)
+        case MapType(_, vt, _) if p == "value" => walk(vt, rest)
+        case _ => None
+      }
+    }
+    walk(schema, path.split('.').toList)
+  }
+
+  /** Paths of string/binary fields that ARRIVED dictionary-encoded (the
+    * read marker), at top level or nested in structs. Array elements and
+    * map sides have no metadata slot in Spark's type tree, so a foreign
+    * file's dict-encoded list element re-writes plain unless the caller
+    * names its path explicitly.
+    */
+  private def markedDictPaths(schema: StructType): Set[String] = {
+    def walk(prefix: String, f: StructField): Seq[String] = {
+      val here =
+        if (f.metadata.contains(DictKey) && (f.dataType == StringType || f.dataType == BinaryType))
+          Seq(prefix + f.name)
+        else Nil
+      here ++ (f.dataType match {
+        case st: StructType => st.fields.toSeq.flatMap(walk(s"$prefix${f.name}.", _))
+        case _ => Nil
+      })
+    }
+    schema.fields.toSeq.flatMap(walk("", _)).toSet
+  }
+
+  /** Memory-format field for `sf`'s Arrow tree with every `dictPaths`
+    * leaf replaced by an int32 index field carrying a
+    * [[DictionaryEncoding]]; `register` is called with each encoded
+    * leaf's (id, value field).
+    */
+  private def encodeDictFields(sf: StructField, af: Field, path: String, dictPaths: Set[String],
+      nextId: () => Long, register: (String, Long, Field) => Unit): Field =
+    if (dictPaths.contains(path)) {
+      val id = nextId()
+      register(path, id, af)
+      new Field(af.getName,
+        new FieldType(af.isNullable, new ArrowType.Int(32, true),
+          new DictionaryEncoding(id, false, new ArrowType.Int(32, true)), af.getMetadata),
+        null)
+    } else sf.dataType match {
+      case st: StructType =>
+        val kids = st.fields.toSeq.zipWithIndex.map { case (cf, k) =>
+          encodeDictFields(cf, af.getChildren.get(k), s"$path.${cf.name}", dictPaths, nextId, register)
+        }
+        new Field(af.getName, af.getFieldType, kids.asJava)
+      case ArrayType(et, cn) =>
+        val child = encodeDictFields(StructField("element", et, cn), af.getChildren.get(0),
+          s"$path.element", dictPaths, nextId, register)
+        new Field(af.getName, af.getFieldType, java.util.List.of(child))
+      case MapType(kt, vt, vcn) =>
+        val entries = af.getChildren.get(0)
+        val k0 = encodeDictFields(StructField(MapVector.KEY_NAME, kt, nullable = false),
+          entries.getChildren.get(0), s"$path.key", dictPaths, nextId, register)
+        val v0 = encodeDictFields(StructField(MapVector.VALUE_NAME, vt, vcn),
+          entries.getChildren.get(1), s"$path.value", dictPaths, nextId, register)
+        val e2 = new Field(entries.getName, entries.getFieldType, java.util.List.of(k0, v0))
+        new Field(af.getName, af.getFieldType, java.util.List.of(e2))
+      case _ => af
+    }
+
   /** Recursive Catalyst-value → Arrow-vector writer: (vector index, row
     * or array/struct getters, ordinal in those getters) → write. Null
     * handling for NESTED values lives inside each composite writer; the
-    * TOP-LEVEL null check lives in the write loop.
+    * TOP-LEVEL null check lives in the write loop. `states` maps dotted
+    * paths to dictionary accumulators — a mapped string/binary leaf
+    * writes int32 indices into its per-file dictionary instead of values
+    * (at any nesting depth).
     */
-  private def writerFor(vec: FieldVector, dt: DataType): (Int, SpecializedGetters, Int) => Unit =
-    (vec, dt) match {
+  private def writerFor(vec: FieldVector, dt: DataType, path: String,
+      states: Map[String, DictState]): (Int, SpecializedGetters, Int) => Unit =
+    states.get(path) match {
+      case Some(st) =>
+        val iv = vec.asInstanceOf[IntVector]
+        dt match {
+          case StringType => (i, g, o) => iv.setSafe(i, st.indexOfString(g.getUTF8String(o)))
+          case BinaryType => (i, g, o) => iv.setSafe(i, st.indexOfBytes(g.getBinary(o)))
+          case other => throw new IllegalArgumentException(
+            s"dictionary path '$path' resolves to $other — only string/binary leaves dictionary-encode")
+        }
+      case None => (vec, dt) match {
       case (_: NullVector, NullType) => (_, _, _) => () // NullVector stores nothing
       case (v: BitVector, BooleanType) => (i, g, o) => v.setSafe(i, if (g.getBoolean(o)) 1 else 0)
       case (v: TinyIntVector, ByteType) => (i, g, o) => v.setSafe(i, g.getByte(o))
@@ -680,7 +760,8 @@ object ArrowIpc {
         (i, g, o) => v.setSafe(i, g.getDecimal(o, d.precision, d.scale).toJavaBigDecimal)
       case (v: StructVector, st: StructType) =>
         val children = v.getChildrenFromFields
-        val ws = st.fields.indices.map(k => writerFor(children.get(k), st.fields(k).dataType)).toArray
+        val ws = st.fields.indices.map(k =>
+          writerFor(children.get(k), st.fields(k).dataType, s"$path.${st.fields(k).name}", states)).toArray
         (i, g, o) => {
           val struct = g.getStruct(o, st.length)
           v.setIndexDefined(i)
@@ -694,8 +775,8 @@ object ArrowIpc {
         val entries = v.getDataVector.asInstanceOf[StructVector]
         val keyVec = entries.getChildrenFromFields.get(0)
         val valVec = entries.getChildrenFromFields.get(1)
-        val kw = writerFor(keyVec, kt)
-        val vw = writerFor(valVec, vt)
+        val kw = writerFor(keyVec, kt, s"$path.key", states)
+        val vw = writerFor(valVec, vt, s"$path.value", states)
         (i, g, o) => {
           val m = g.getMap(o)
           val keys = m.keyArray(); val vals = m.valueArray()
@@ -711,7 +792,7 @@ object ArrowIpc {
         }
       case (v: ListVector, ArrayType(et, _)) =>
         val child = v.getDataVector
-        val ew = writerFor(child, et)
+        val ew = writerFor(child, et, s"$path.element", states)
         (i, g, o) => {
           val arr = g.getArray(o)
           val start = v.startNewValue(i)
@@ -724,6 +805,7 @@ object ArrowIpc {
         }
       case (v, t) => throw new IllegalArgumentException(
         s"Arrow IPC interop: unsupported write type $t for vector ${v.getClass.getSimpleName}")
+      }
     }
 
   // =====================================================================

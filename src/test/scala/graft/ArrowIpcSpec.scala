@@ -371,7 +371,81 @@ class ArrowIpcSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       ArrowIpc.write(df, tmp("ipc_dictbad"), dictColumns = Set("id"))
     }
-    assert(e.getMessage.contains("only top-level string/binary"))
+    assert(e.getMessage.contains("only string/binary leaves"))
+  }
+
+  test("NESTED dictionary encoding on write: list element, struct field, map value") {
+    // low-cardinality string leaves inside list/struct/map; values shift
+    // across batches so deltas are exercised at depth too
+    val df = spark.sql(
+      """SELECT id,
+        |  array(concat('t_', CAST(id div 100 AS INTEGER)), concat('t_', CAST(id div 50 AS INTEGER))) AS tags,
+        |  named_struct('name', concat('n_', CAST(id div 150 AS INTEGER)), 'score', CAST(id AS DOUBLE)) AS meta,
+        |  map('k', concat('v_', CAST(id div 80 AS INTEGER))) AS props
+        |FROM range(600) ORDER BY id""".stripMargin)
+    val out = tmp("ipc_dictn")
+    ArrowIpc.write(df.repartition(1).sortWithinPartitions($"id"), out,
+      batchRows = 100,
+      dictColumns = Set("tags.element", "meta.name", "props.value"))
+
+    // the file's schema must carry the encodings at depth, and dictionary
+    // blocks must include deltas (values change across the 6 batches)
+    import scala.collection.JavaConverters._
+    val file = Files.list(Paths.get(out)).iterator().asScala
+      .find(_.toString.endsWith(".arrow")).get
+    val reader = new ArrowFileReader(
+      Files.newByteChannel(file), new RootAllocator(Long.MaxValue), CommonsCompressionFactory.INSTANCE)
+    val sch = reader.getVectorSchemaRoot.getSchema
+    def fieldByName(n: String) = sch.getFields.asScala.find(_.getName == n).get
+    assert(fieldByName("tags").getChildren.get(0).getDictionary != null, "list element not dict-encoded")
+    assert(fieldByName("meta").getChildren.asScala.find(_.getName == "name").get.getDictionary != null,
+      "struct field not dict-encoded")
+    assert(fieldByName("props").getChildren.get(0).getChildren.asScala
+      .find(_.getName == "value").get.getDictionary != null, "map value not dict-encoded")
+    // distinct ids per encoded leaf
+    val ids = Seq(
+      fieldByName("tags").getChildren.get(0).getDictionary.getId,
+      fieldByName("meta").getChildren.asScala.find(_.getName == "name").get.getDictionary.getId,
+      fieldByName("props").getChildren.get(0).getChildren.asScala
+        .find(_.getName == "value").get.getDictionary.getId)
+    assert(ids.distinct.size == 3, s"dictionary ids must be unique: $ids")
+    val dictBlocks = reader.getDictionaryBlocks.size()
+    reader.close()
+    assert(dictBlocks > 3, s"expected initial+delta dictionary batches at depth, got $dictBlocks")
+
+    // round trip through our own reader: values exact at every depth
+    val back = ArrowIpc.read(spark, out)
+    val norm = (r: org.apache.spark.sql.Row) => r.toSeq.map {
+      case m: scala.collection.Map[_, _] => m.toSeq.toString
+      case x => x
+    }
+    assert(back.orderBy($"id").collect().map(norm).toSeq ==
+      df.orderBy($"id").collect().map(norm).toSeq)
+
+    // nested struct-field dict marker survives the round trip and
+    // re-encodes on a marker-only re-write
+    val metaField = back.schema("meta").dataType.asInstanceOf[StructType]("name")
+    assert(metaField.metadata.getString(ArrowIpc.DictKey) == "true")
+    val out2 = tmp("ipc_dictn2")
+    ArrowIpc.write(back.repartition(1), out2)
+    val file2 = Files.list(Paths.get(out2)).iterator().asScala
+      .find(_.toString.endsWith(".arrow")).get
+    val r2 = new ArrowFileReader(
+      Files.newByteChannel(file2), new RootAllocator(Long.MaxValue), CommonsCompressionFactory.INSTANCE)
+    val metaName2 = r2.getVectorSchemaRoot.getSchema.getFields.asScala
+      .find(_.getName == "meta").get.getChildren.asScala.find(_.getName == "name").get
+    assert(metaName2.getDictionary != null, "nested struct marker did not re-encode on write")
+    r2.close()
+
+    // bad paths fail fast
+    val e1 = intercept[IllegalArgumentException] {
+      ArrowIpc.write(df, tmp("ipc_dictn_bad"), dictColumns = Set("meta.score"))
+    }
+    assert(e1.getMessage.contains("only string/binary leaves"))
+    val e2 = intercept[IllegalArgumentException] {
+      ArrowIpc.write(df, tmp("ipc_dictn_bad2"), dictColumns = Set("tags.nope"))
+    }
+    assert(e2.getMessage.contains("no such column path"))
   }
 
   test("foreign dict-encoded INT column: read marker does not break re-write (writes plain)") {
