@@ -57,7 +57,8 @@ object Bench {
     "q_bpe_train",
     "q_audio_mfcc",
     "q_semdedup",
-    "q_dsir_weights"
+    "q_dsir_weights",
+    "q_pca_project"
   )
 
   def main(args: Array[String]): Unit = {

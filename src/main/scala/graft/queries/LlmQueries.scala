@@ -4,7 +4,7 @@ import graft.dedup.{Decontaminate, Dedup, SemDedup}
 import graft.text.Dsir
 import graft.functions.{TextFunctions => T}
 import graft.multimodal.Multimodal
-import graft.similarity.Similarity
+import graft.similarity.{Pca, Similarity}
 import org.apache.spark.sql.functions._
 import Tables._
 
@@ -414,6 +414,29 @@ object LlmQueries {
       SemDedup.semDedup(guarded.union(planted), "vec_id", "embedding",
           k = 16, iters = 1, tau = 0.9)
         .orderBy(col("vec_id"))
+    }),
+
+    // deterministic PCA (power iteration, id-ordered folds — the
+    // pqRefineDeterministic discipline): per-vector projection on the
+    // top principal component, bit-reproducible across engines
+    "q_pca_project" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val (mu, pc) = Pca.fit(emb, "embedding", "vec_id", iters = 3)
+      Pca.project(emb, "embedding", "vec_id", mu, pc)
+        .select(col("vec_id"), round(col("pc_score"), 6).as("pc_score"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // the learned component itself (rounded through Spark's round so the
+    // compare shares rounding semantics with the oracle)
+    "q_pca_component" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val (_, pc) = Pca.fit(emb, "embedding", "vec_id", iters = 3)
+      import s.implicits._
+      pc.zipWithIndex.map { case (l, i) => (i.toLong, l) }.toSeq
+        .toDF("dim", "loading")
+        .select(col("dim"), round(col("loading"), 6).as("loading"))
+        .orderBy(col("dim"))
     }),
 
     // Lloyd-REFINED PQ: one deterministic k-means step on the seed
@@ -973,6 +996,8 @@ object LlmQueries {
     "q_ann_pq_refined" -> XxhSql.annPqRefinedSql(d = 64, m = 8, kc = 16, k = 5, oversample = 8,
       nQueries = 5, iters = 1),
     "q_semdedup" -> XxhSql.semDedupSql(d = 64, kc = 16, iters = 1, tau = 0.9),
+    "q_pca_project" -> XxhSql.pcaProjectSql(d = 64, iters = 3),
+    "q_pca_component" -> XxhSql.pcaComponentSql(d = 64, iters = 3),
     "q_ann_ivfpq" -> XxhSql.annIvfPqSql(d = 64, m = 8, kc = 16, k = 5, oversample = 8,
       nQueries = 5, nlist = 16, nprobe = 8),
     // absmax scaling and floor(x/scale + 0.5) rounding are IEEE-exact in

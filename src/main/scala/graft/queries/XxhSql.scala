@@ -450,6 +450,62 @@ object XxhSql {
        |ORDER BY s.vec_id""".stripMargin
   }
 
+  /** Oracle CTEs for [[graft.similarity.Pca]]: mean and every
+    * power-iteration step as id-ordered sequential folds (per
+    * dimension), per-row dots as component-order folds — the engine's
+    * exact accumulation orders, so the learned component and all
+    * projections are bit-identical. Produces `vecs`, `mu` (`m` list) and
+    * `p_$iters` (`p` list).
+    */
+  private def pcaCtes(d: Int, iters: Int): String = {
+    require(iters >= 1)
+    val v0 = {
+      // same start vector the engine computes (1/sqrt(d)), shortest
+      // round-trip E-notation so DuckDB parses DOUBLE
+      val s = java.lang.Double.toString(1.0 / math.sqrt(d.toDouble))
+      if (s.indexOf('E') >= 0) s else s + "E0"
+    }
+    val layers = (1 to iters).map { it =>
+      val prev = if (it == 1) "p0" else s"p_${it - 1}"
+      s"""dot_$it AS MATERIALIZED (
+         |  SELECT vec_id, list_reduce(list_prepend(0.0::DOUBLE,
+         |    [(v[t] - m[t]) * p[t] FOR t IN range(1, ${d + 1})]), (a, x) -> a + x) AS dot
+         |  FROM vecs, mu, $prev),
+         |nv_$it AS MATERIALIZED (
+         |  SELECT t, list_reduce(list_prepend(0.0::DOUBLE,
+         |      list((v[t] - m[t]) * dot ORDER BY vec_id)), (a, x) -> a + x) AS comp
+         |  FROM vecs JOIN dot_$it USING (vec_id), mu, dims GROUP BY t),
+         |nrm_$it AS (
+         |  SELECT sqrt(list_reduce(list_prepend(0.0::DOUBLE, list(comp * comp ORDER BY t)),
+         |    (a, x) -> a + x)) AS nrm FROM nv_$it),
+         |p_$it AS MATERIALIZED (SELECT list(comp / nrm ORDER BY t) AS p FROM nv_$it, nrm_$it)""".stripMargin
+    }.mkString(",\n")
+    s"""vecs AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |dims AS (SELECT unnest(range(1, ${d + 1})) AS t),
+       |mu0 AS MATERIALIZED (
+       |  SELECT t, list_reduce(list_prepend(0.0::DOUBLE, list(v[t] ORDER BY vec_id)),
+       |    (a, x) -> a + x) / (SELECT count(*) FROM vecs) AS comp
+       |  FROM vecs, dims GROUP BY t),
+       |mu AS MATERIALIZED (SELECT list(comp ORDER BY t) AS m FROM mu0),
+       |p0 AS (SELECT [$v0 FOR i IN range(0, $d)] AS p),
+       |$layers""".stripMargin
+  }
+
+  /** Oracle for q_pca_project: per-vector `(x−μ)·pc` after `iters` power
+    * steps, rounded at the edge.
+    */
+  def pcaProjectSql(d: Int, iters: Int): String =
+    s"""WITH ${pcaCtes(d, iters)}
+       |SELECT vec_id, round(list_reduce(list_prepend(0.0::DOUBLE,
+       |    [(v[t] - m[t]) * p[t] FOR t IN range(1, ${d + 1})]), (a, x) -> a + x), 6) AS pc_score
+       |FROM vecs, mu, p_$iters ORDER BY vec_id""".stripMargin
+
+  /** Oracle for q_pca_component: the learned loadings (0-based dim). */
+  def pcaComponentSql(d: Int, iters: Int): String =
+    s"""WITH ${pcaCtes(d, iters)}
+       |SELECT CAST(t - 1 AS BIGINT) AS dim, round(p[t], 6) AS loading
+       |FROM p_$iters, dims ORDER BY dim""".stripMargin
+
   private def pqCtes(d: Int, m: Int, kc: Int, src: String = "embeddings"): String = {
     val dsub = d / m
     s"""vecs AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $src),
