@@ -221,6 +221,44 @@ object TextFunctions {
     (lengthScore + alphaRatio + stopHit + tokLenScore) / lit(4.0)
   }
 
+  /** Gopher-style rule battery (Rae et al. 2021, arXiv:2112.11446 —
+    * public paper): per-document filter verdicts as a struct of exact
+    * stats and booleans — word count bounds, mean word length bounds,
+    * distinct-word (repetition) floor, minimum distinct-stopword count,
+    * and the conjunction `passes`. Every stat is an integer count or a
+    * ratio of exact integers, so verdicts are bit-identical across
+    * engines with NO rounding anywhere.
+    *
+    * PASS A MATERIALIZED ARRAY COLUMN (select `tokenize` into a column
+    * first) — same CollapseProject trap as [[chunks]].
+    */
+  def gopherRules(toks: Column,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      minDistinctRatio: Double = 0.3, minStopwords: Int = 2): Column = {
+    val nWords = size(toks).cast("long")
+    val meanLen = when(size(toks) === 0, lit(0.0))
+      .otherwise(aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double") / size(toks))
+    val distinctRatio = when(size(toks) === 0, lit(0.0))
+      .otherwise(size(array_distinct(toks)).cast("double") / size(toks))
+    val allStops = array(stopwords.values.flatten.toSeq.distinct.map(lit): _*)
+    val nStop = size(array_intersect(toks, allStops)).cast("long")
+    val rWords = nWords >= minWords && nWords <= maxWords
+    val rMeanLen = meanLen >= minMeanLen && meanLen <= maxMeanLen
+    val rRepetition = distinctRatio >= minDistinctRatio
+    val rStop = nStop >= minStopwords
+    struct(
+      nWords.as("n_words"),
+      meanLen.as("mean_word_len"),
+      distinctRatio.as("distinct_ratio"),
+      nStop.as("n_stop"),
+      rWords.as("r_word_count"),
+      rMeanLen.as("r_mean_word_len"),
+      rRepetition.as("r_repetition"),
+      rStop.as("r_stop"),
+      (rWords && rMeanLen && rRepetition && rStop).as("passes"))
+  }
+
   /** Overlapping token chunks (the RAG/context-window chunking shape):
     * windows of `chunkSize` tokens starting every `step` tokens, joined by
     * single spaces; the final windows may be shorter; empty input → no

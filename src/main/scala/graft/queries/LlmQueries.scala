@@ -140,6 +140,16 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Gopher rule battery (Rae et al. 2021): integer counts and exact
+    // ratios only — verdicts bit-identical across engines, no rounding
+    "q_gopher_rules" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), T.tokenize(col("text")).as("toks"))
+        .select(col("doc_id"), T.gopherRules(col("toks"), minStopwords = 1).as("g"))
+        .select(col("doc_id"), col("g.*"))
+        .orderBy(col("doc_id"))
+    }),
+
     // text analysis: language ID (stopword heuristic)
     "q_langid" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1276,6 +1286,26 @@ object LlmQueries {
          |  md5(CASE WHEN $normSql = '' THEN '' ELSE array_to_string($toksSql, ' ') END) AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q_text_quality" -> s"$qualitySelectSql ORDER BY doc_id",
+    "q_gopher_rules" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, list_filter($toksSql, x -> x <> '') AS toks FROM documents
+         |), st AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_words,
+         |    CASE WHEN len(toks) = 0 THEN 0.0
+         |         ELSE CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) END AS mean_word_len,
+         |    CASE WHEN len(toks) = 0 THEN 0.0
+         |         ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END AS distinct_ratio,
+         |    CAST(len(list_filter(list_distinct(toks), t -> list_contains($stopAll, t))) AS BIGINT) AS n_stop
+         |  FROM tk)
+         |SELECT doc_id, n_words, mean_word_len, distinct_ratio, n_stop,
+         |  (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+         |  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS r_mean_word_len,
+         |  (distinct_ratio >= 0.3) AS r_repetition,
+         |  (n_stop >= 1) AS r_stop,
+         |  ((n_words >= 50 AND n_words <= 100000) AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+         |   AND (distinct_ratio >= 0.3) AND (n_stop >= 1)) AS passes
+         |FROM st ORDER BY doc_id""".stripMargin,
     "q_langid" ->
       s"""SELECT doc_id,
          |  CASE WHEN best <= 0 THEN 'und'

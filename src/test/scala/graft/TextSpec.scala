@@ -14,6 +14,29 @@ class TextSpec extends SparkSpec {
     assert(rows(2).getString(0) == "" && rows(2).getInt(1) == 0)
   }
 
+  test("gopherRules: exact stats, per-rule verdicts, empty-input zeroes") {
+    val good = "the " + (0 until 59).map(i => s"word$i").mkString(" ") // 60 words, 60 distinct, has 'the'
+    val short = "the cat"                                            // fails word count
+    val repetitive = "the " + ("word " * 60).trim                    // distinct_ratio 2/61
+    val noStop = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6).trim
+    val df = Seq((0L, good), (1L, short), (2L, repetitive), (3L, noStop), (4L, ""))
+      .toDF("id", "t")
+    val out = df.select($"id", T.tokenize($"t").as("toks"))
+      .select($"id", T.gopherRules($"toks", minStopwords = 1).as("g"))
+      .select($"id", $"g.*").orderBy($"id").collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId(0L).getAs[Boolean]("passes"), s"good doc must pass: ${byId(0L)}")
+    assert(!byId(1L).getAs[Boolean]("r_word_count") && !byId(1L).getAs[Boolean]("passes"))
+    assert(!byId(2L).getAs[Boolean]("r_repetition"), s"${byId(2L)}")
+    assert(!byId(3L).getAs[Boolean]("r_stop") && byId(3L).getAs[Boolean]("r_word_count"))
+    assert(byId(4L).getAs[Long]("n_words") == 0L && byId(4L).getAs[Double]("mean_word_len") == 0.0)
+    // exact stats on the short doc: 2 words, mean len (3+3)/2, ratio 1.0, 1 stopword
+    assert(byId(1L).getAs[Long]("n_words") == 2L)
+    assert(byId(1L).getAs[Double]("mean_word_len") == 3.0)
+    assert(byId(1L).getAs[Double]("distinct_ratio") == 1.0)
+    assert(byId(1L).getAs[Long]("n_stop") == 1L)
+  }
+
   test("shingles: n consecutive tokens, deduped") {
     val df = Seq("a b c d").toDF("t")
     val sh = df.select(T.shingles($"t", 2)).head().getSeq[String](0)
