@@ -58,7 +58,8 @@ object Bench {
     "q_audio_mfcc",
     "q_semdedup",
     "q_dsir_weights",
-    "q_pca_project"
+    "q_pca_project",
+    "q_bm25"
   )
 
   def main(args: Array[String]): Unit = {

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.dedup.{Decontaminate, Dedup, SemDedup}
-import graft.text.Dsir
+import graft.text.{Bm25, Dsir}
 import graft.functions.{TextFunctions => T}
 import graft.multimodal.Multimodal
 import graft.similarity.{Pca, Similarity}
@@ -138,6 +138,15 @@ object LlmQueries {
       t(s, dir, "documents")
         .select(col("doc_id"), T.qualityScore(col("text")).as("quality"))
         .orderBy(col("doc_id"))
+    }),
+
+    // BM25 lexical retrieval: exact-term inverted index, df-pruned IDF
+    // broadcast; score sums round at the edge (accumulation order)
+    "q_bm25" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Bm25.topK(docs, docs.where(col("doc_id") < 5), "text", "doc_id", k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
     }),
 
     // Gopher rule battery (Rae et al. 2021): integer counts and exact
@@ -1286,6 +1295,37 @@ object LlmQueries {
          |  md5(CASE WHEN $normSql = '' THEN '' ELSE array_to_string($toksSql, ' ') END) AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q_text_quality" -> s"$qualitySelectSql ORDER BY doc_id",
+    // BM25: mirrors Bm25.topK term-for-term — integer tf/df/len, the
+    // scalar (N, avgLen) pair recomputed the same way, the exact
+    // contribution expression order, round-4 at the score sum
+    "q_bm25" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, list_filter($toksSql, x -> x <> '') AS toks FROM documents
+         |), st AS (SELECT count(*) AS n, sum(len(toks)) AS s FROM tk),
+         |tf AS MATERIALIZED (
+         |  SELECT doc_id, term, count(*) AS tf, max(len) AS len FROM (
+         |    SELECT doc_id, len(toks) AS len, unnest(toks) AS term FROM tk)
+         |  GROUP BY doc_id, term
+         |), dfc AS MATERIALIZED (
+         |  SELECT term, count(*) AS df FROM tf GROUP BY term
+         |), idf AS MATERIALIZED (
+         |  SELECT term, ln(((n - df + 0.5E0) / (df + 0.5E0)) + 1.0E0) AS idf
+         |  FROM dfc, st WHERE df <= greatest(1, CAST(floor(n * 0.5E0) AS BIGINT))
+         |), qt AS (
+         |  SELECT DISTINCT doc_id AS query_id, unnest(toks) AS term FROM tk WHERE doc_id < 5
+         |), contrib AS (
+         |  SELECT q.query_id, f.doc_id,
+         |    i.idf * (f.tf * (1.2E0 + 1.0E0)) /
+         |      (f.tf + 1.2E0 * ((1.0E0 - 0.75E0) + 0.75E0 * f.len / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))) AS c
+         |  FROM qt q JOIN tf f USING (term) JOIN idf i USING (term), st
+         |  WHERE f.doc_id <> q.query_id
+         |), scored AS (
+         |  SELECT query_id, doc_id, round(sum(c), 4) AS score FROM contrib GROUP BY query_id, doc_id
+         |)
+         |SELECT query_id, doc_id, score, CAST(rank AS BIGINT) AS rank FROM (
+         |  SELECT query_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+         |  FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q_gopher_rules" ->
       s"""WITH tk AS (
          |  SELECT doc_id, list_filter($toksSql, x -> x <> '') AS toks FROM documents

@@ -89,7 +89,10 @@ object PlanCheck {
       "q_semdedup",
       mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
     // DSIR: the dim-bounded λ table must broadcast to the scoring join
-    Check("q_dsir_weights", mustContain = Seq("BroadcastHashJoin"))
+    Check("q_dsir_weights", mustContain = Seq("BroadcastHashJoin")),
+    // BM25: vocabulary-sized IDF broadcasts; top-k compiles to a partial
+    // group limit before the exchange
+    Check("q_bm25", mustContain = Seq("BroadcastHashJoin", "WindowGroupLimit"))
   )
 
   def main(args: Array[String]): Unit = {
