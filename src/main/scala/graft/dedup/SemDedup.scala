@@ -63,8 +63,12 @@ object SemDedup {
       k: Int = 16, iters: Int = 1, tau: Double = 0.9): DataFrame = {
     require(tau > -1.0 && tau <= 1.0, s"semDedup: tau must be in (-1, 1], got $tau")
     val cents = kmeansDeterministic(corpus, vecCol, idCol, k, iters)
+    // materialize the assignment once: it feeds both pair-join sides AND
+    // the verdict join — without the checkpoint the scan + encode kernel
+    // would run three times (deterministically, but wastefully)
     val asg = assignClusters(corpus, vecCol, cents)
       .select(col(idCol), col(vecCol), col("cluster"))
+      .localCheckpoint(true)
     val a = asg.select(col("cluster"), col(idCol).as("__a_id"), col(vecCol).as("__va"))
     val b = asg.select(col("cluster"), col(idCol).as("__b_id"), col(vecCol).as("__vb"))
     // ids-only artifact out of the pair join — vectors never leave their

@@ -489,32 +489,7 @@ object Multimodal {
     * None when not a decodable 16-bit PCM container.
     */
   private[multimodal] def pcmSamples(bytes: Array[Byte]): Option[Array[Int]] =
-    if (bytes == null || bytes.isEmpty) None
-    else try {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      try {
-        val fmt = ais.getFormat
-        if (fmt.getSampleSizeInBits != 16 ||
-          fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
-        else {
-          val raw = ais.readAllBytes()
-          val n = raw.length / 2
-          val out = new Array[Int](n)
-          var i = 0
-          while (i < n) {
-            val lo = raw(2 * i) & 0xff
-            val hi = raw(2 * i + 1) & 0xff
-            out(i) = (if (fmt.isBigEndian) (lo << 8) | hi else (hi << 8) | lo).toShort.toInt
-            i += 1
-          }
-          Some(out)
-        }
-      } finally ais.close()
-    } catch {
-      case _: javax.sound.sampled.UnsupportedAudioFileException => None
-      case _: java.io.IOException => None
-    }
+    pcmSamplesWithRate(bytes).map(_._1)
 
   /** Deterministic mono 16-bit PCM WAV long enough for framed spectral
     * analysis: FIXED sample rate 8000 Hz (so one mel filterbank covers

@@ -36,10 +36,11 @@ object Pca {
   def fit(corpus: DataFrame, vecCol: String, idCol: String, iters: Int = 3): (Array[Double], Array[Double]) = {
     require(iters >= 1, s"Pca.fit: iters must be >= 1, got $iters")
     val base = corpus.select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
-    val first = base.select(size(col("__v"))).head()
-    val d = first.getInt(0)
+    // count BEFORE head(): head() on an empty frame throws
+    // NoSuchElementException and would shadow the clear empty-corpus error
     val n = base.count()
     require(n > 0, "Pca.fit: empty corpus")
+    val d = base.select(size(col("__v"))).head().getInt(0)
 
     // mean: per-dimension id-ordered sequential fold, then / n
     val mu = foldPerDim(

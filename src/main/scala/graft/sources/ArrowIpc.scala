@@ -665,23 +665,29 @@ object ArrowIpc {
   }
 
   /** Paths of string/binary fields that ARRIVED dictionary-encoded (the
-    * read marker), at top level or nested in structs. Array elements and
-    * map sides have no metadata slot in Spark's type tree, so a foreign
-    * file's dict-encoded list element re-writes plain unless the caller
+    * read marker), wherever a StructField exists to carry metadata: top
+    * level, struct fields at any depth, INCLUDING structs nested under
+    * arrays/maps. Array ELEMENTS and map sides themselves have no
+    * metadata slot in Spark's type tree, so a foreign file's
+    * dict-encoded bare list element re-writes plain unless the caller
     * names its path explicitly.
     */
   private def markedDictPaths(schema: StructType): Set[String] = {
-    def walk(prefix: String, f: StructField): Seq[String] = {
+    def walkType(prefix: String, dt: DataType): Seq[String] = dt match {
+      case st: StructType => st.fields.toSeq.flatMap(walkField(prefix, _))
+      case ArrayType(et, _) => walkType(s"$prefix.element", et)
+      case MapType(kt, vt, _) => walkType(s"$prefix.key", kt) ++ walkType(s"$prefix.value", vt)
+      case _ => Nil
+    }
+    def walkField(prefix: String, f: StructField): Seq[String] = {
+      val path = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
       val here =
         if (f.metadata.contains(DictKey) && (f.dataType == StringType || f.dataType == BinaryType))
-          Seq(prefix + f.name)
+          Seq(path)
         else Nil
-      here ++ (f.dataType match {
-        case st: StructType => st.fields.toSeq.flatMap(walk(s"$prefix${f.name}.", _))
-        case _ => Nil
-      })
+      here ++ walkType(path, f.dataType)
     }
-    schema.fields.toSeq.flatMap(walk("", _)).toSet
+    schema.fields.toSeq.flatMap(walkField("", _)).toSet
   }
 
   /** Memory-format field for `sf`'s Arrow tree with every `dictPaths`

@@ -89,15 +89,8 @@ object StreamingDedup {
   /** All admitted survivors so far. Fails with a clear message before the
     * first batch commits (the schema is unknowable until then).
     */
-  def readSurvivors(spark: SparkSession, survivorsDir: String): DataFrame = {
-    val root = new org.apache.hadoop.fs.Path(survivorsDir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val any = fs.exists(root) &&
-      fs.listStatus(root).exists(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-    if (!any) throw new IllegalStateException(
-      s"no committed batches under $survivorsDir yet — the stream has not produced output")
-    spark.read.option("basePath", survivorsDir).parquet(s"$survivorsDir/batch=*")
-  }
+  def readSurvivors(spark: SparkSession, survivorsDir: String): DataFrame =
+    BatchDirs.readAllOrFail(spark, survivorsDir)
 
   private def emptySignatures(spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.types._
@@ -106,15 +99,6 @@ object StreamingDedup {
       StructField("shset", ArrayType(LongType, containsNull = false)))))
   }
 
-  private def readSignatures(spark: SparkSession, sigDir: String, excludeBatch: Option[Long]): Option[DataFrame] = {
-    val root = new org.apache.hadoop.fs.Path(sigDir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return None
-    val dirs = fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-      .filterNot(s => excludeBatch.exists(b => s.getPath.getName == s"batch=$b"))
-      .map(_.getPath.toString)
-    if (dirs.isEmpty) None
-    else Some(spark.read.option("basePath", sigDir).parquet(dirs: _*))
-  }
+  private def readSignatures(spark: SparkSession, sigDir: String, excludeBatch: Option[Long]): Option[DataFrame] =
+    BatchDirs.read(spark, sigDir, excludeBatch)
 }

@@ -65,7 +65,7 @@ object StreamingSemDedup {
       tau: Double
   ): Unit = {
     val spark = batch.sparkSession
-    // assign ONCE; the assigned batch is both the dedup input and the
+    // assign ONCE; the assigned shape is both the dedup input and the
     // persisted state of its survivors
     val assigned = SemDedup.assignClusters(batch, vecCol, centroids)
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"), col("cluster"))
@@ -84,30 +84,26 @@ object StreamingSemDedup {
         .where(round(V.cosine(col("a.vec"), col("b.vec")), 6) >= tau)
         .select(col("b.id").as("drop_id"))
       val dropped = vsState.unionAll(inBatch).distinct()
-      val survivors = assigned
-        .join(dropped, assigned("id") === dropped("drop_id"), "left_anti")
+        .withColumnRenamed("drop_id", idCol)
+      // survivors = the ORIGINAL batch rows (all payload columns, caller's
+      // column names) — the twins' contract
+      val survivors = batch
+        .join(dropped, Seq(idCol), "left_anti")
         .localCheckpoint(true)
       survivors.write.mode("overwrite").parquet(s"$survivorsDir/batch=$batchId")
-      // state = the survivors' (id, cluster, vec) rows — already exactly
-      // the survivors DataFrame; written separately so state layout can
-      // evolve independently of the survivor payload
-      survivors.select(col("id"), col("cluster"), col("vec"))
+      // state = the survivors' (id, cluster, vec) rows only
+      assigned
+        .join(survivors.select(col(idCol).as("id")), Seq("id"), "left_semi")
+        .select(col("id"), col("cluster"), col("vec"))
         .write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
     } finally assigned.unpersist()
   }
 
-  /** All admitted survivors so far. Fails with a clear message before
-    * the first batch commits.
+  /** All admitted survivors so far (original input rows). Fails with a
+    * clear message before the first batch commits.
     */
-  def readSurvivors(spark: SparkSession, survivorsDir: String): DataFrame = {
-    val root = new org.apache.hadoop.fs.Path(survivorsDir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val any = fs.exists(root) &&
-      fs.listStatus(root).exists(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-    if (!any) throw new IllegalStateException(
-      s"no committed batches under $survivorsDir yet — the stream has not produced output")
-    spark.read.option("basePath", survivorsDir).parquet(s"$survivorsDir/batch=*")
-  }
+  def readSurvivors(spark: SparkSession, survivorsDir: String): DataFrame =
+    BatchDirs.readAllOrFail(spark, survivorsDir)
 
   private def emptyState(spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.types._
@@ -117,16 +113,7 @@ object StreamingSemDedup {
       StructField("vec", ArrayType(DoubleType)))))
   }
 
-  private def readState(spark: SparkSession, stateDir: String, excludeBatch: Option[Long]): Option[DataFrame] = {
-    val root = new org.apache.hadoop.fs.Path(stateDir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return None
-    val dirs = fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-      .filterNot(s => excludeBatch.exists(b => s.getPath.getName == s"batch=$b"))
-      .map(_.getPath.toString)
-    if (dirs.isEmpty) None
-    else Some(spark.read.option("basePath", stateDir).parquet(dirs: _*)
-      .select(col("id"), col("cluster"), col("vec")))
-  }
+  private def readState(spark: SparkSession, stateDir: String, excludeBatch: Option[Long]): Option[DataFrame] =
+    BatchDirs.read(spark, stateDir, excludeBatch)
+      .map(_.select(col("id"), col("cluster"), col("vec")))
 }

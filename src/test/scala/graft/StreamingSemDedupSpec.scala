@@ -41,7 +41,7 @@ class StreamingSemDedupSpec extends SparkSpec {
     q.stop()
 
     val survivors = StreamingSemDedup.readSurvivors(spark, survDir)
-      .select($"id").as[Long].collect().sorted.toSeq
+      .select($"vec_id").as[Long].collect().sorted.toSeq
     assert(survivors == Seq(1L, 2L, 6L),
       s"expected {1,2,6} (3 in-batch dup, 4+5 cross-batch dups), got $survivors")
 
@@ -54,7 +54,7 @@ class StreamingSemDedupSpec extends SparkSpec {
     StreamingSemDedup.applyBatch(batch1, 1L, "vec_id", "embedding",
       survDir, stateDir, centroids, tau = 0.95)
     val replayed = StreamingSemDedup.readSurvivors(spark, survDir)
-      .select($"id").as[Long].collect().sorted.toSeq
+      .select($"vec_id").as[Long].collect().sorted.toSeq
     assert(replayed == Seq(1L, 2L, 6L), s"replay changed survivors: $replayed")
   }
 
@@ -70,7 +70,7 @@ class StreamingSemDedupSpec extends SparkSpec {
     StreamingSemDedup.applyBatch(batch, 0L, "vec_id", "embedding",
       s"$dir/surv", s"$dir/state", centroids, tau = 0.95)
     val surv = StreamingSemDedup.readSurvivors(spark, s"$dir/surv")
-      .select($"id").as[Long].collect().sorted.toSeq
+      .select($"vec_id").as[Long].collect().sorted.toSeq
     assert(surv == Seq(10L, 11L),
       s"cross-cluster near-dups must both survive (the SemDeDup trade-off): $surv")
   }
