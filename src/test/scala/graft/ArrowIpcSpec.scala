@@ -437,6 +437,26 @@ class ArrowIpcSpec extends SparkSpec {
     assert(metaName2.getDictionary != null, "nested struct marker did not re-encode on write")
     r2.close()
 
+    // marker on a struct field NESTED UNDER AN ARRAY also re-encodes
+    // (struct fields have metadata slots wherever they sit)
+    val df3 = spark.sql(
+      """SELECT id, array(named_struct('tag', concat('t_', CAST(id div 100 AS INTEGER)))) AS items
+        |FROM range(300) ORDER BY id""".stripMargin)
+    val out3a = tmp("ipc_dictn3a")
+    ArrowIpc.write(df3.repartition(1), out3a, dictColumns = Set("items.element.tag"))
+    val back3 = ArrowIpc.read(spark, out3a)
+    val out3b = tmp("ipc_dictn3b")
+    ArrowIpc.write(back3.repartition(1), out3b) // marker-only re-write
+    val file3 = Files.list(Paths.get(out3b)).iterator().asScala
+      .find(_.toString.endsWith(".arrow")).get
+    val r3 = new ArrowFileReader(
+      Files.newByteChannel(file3), new RootAllocator(Long.MaxValue), CommonsCompressionFactory.INSTANCE)
+    val tag3 = r3.getVectorSchemaRoot.getSchema.getFields.asScala
+      .find(_.getName == "items").get.getChildren.get(0).getChildren.asScala
+      .find(_.getName == "tag").get
+    assert(tag3.getDictionary != null, "array-nested struct marker did not re-encode on write")
+    r3.close()
+
     // bad paths fail fast
     val e1 = intercept[IllegalArgumentException] {
       ArrowIpc.write(df, tmp("ipc_dictn_bad"), dictColumns = Set("meta.score"))
