@@ -149,6 +149,20 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // incremental index maintenance: the corpus indexed as two disjoint
+    // segments (Lucene-style), merged, then scored — the oracle rebuilds
+    // from the FULL corpus in one shot, so the gate proves merge ≡
+    // rebuild end-to-end (df re-capped at score time, stats re-added)
+    "q_bm25_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idx = Bm25.mergeIndex(
+        Bm25.buildIndex(docs.where(col("doc_id") % 5 =!= 0), "text", "doc_id"),
+        Bm25.buildIndex(docs.where(col("doc_id") % 5 === 0), "text", "doc_id"))
+      Bm25.scoreTopK(idx, docs.where(col("doc_id") >= 5 && col("doc_id") < 10), "text", "doc_id", k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Gopher rule battery (Rae et al. 2021): integer counts and exact
     // ratios only — verdicts bit-identical across engines, no rounding
     "q_gopher_rules" -> ((s, dir) => {
@@ -1313,6 +1327,38 @@ object LlmQueries {
          |  FROM dfc, st WHERE df <= greatest(1, CAST(floor(n * 0.5E0) AS BIGINT))
          |), qt AS (
          |  SELECT DISTINCT doc_id AS query_id, unnest(toks) AS term FROM tk WHERE doc_id < 5
+         |), contrib AS (
+         |  SELECT q.query_id, f.doc_id,
+         |    i.idf * (f.tf * (1.2E0 + 1.0E0)) /
+         |      (f.tf + 1.2E0 * ((1.0E0 - 0.75E0) + 0.75E0 * f.len / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))) AS c
+         |  FROM qt q JOIN tf f USING (term) JOIN idf i USING (term), st
+         |  WHERE f.doc_id <> q.query_id
+         |), scored AS (
+         |  SELECT query_id, doc_id, round(sum(c), 4) AS score FROM contrib GROUP BY query_id, doc_id
+         |)
+         |SELECT query_id, doc_id, score, CAST(rank AS BIGINT) AS rank FROM (
+         |  SELECT query_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+         |  FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // same pipeline as q_bm25 rebuilt from the FULL corpus — the engine
+    // side answers from a two-segment merged index, so equality proves
+    // incremental maintenance
+    "q_bm25_incremental" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, list_filter($toksSql, x -> x <> '') AS toks FROM documents
+         |), st AS (SELECT count(*) AS n, sum(len(toks)) AS s FROM tk),
+         |tf AS MATERIALIZED (
+         |  SELECT doc_id, term, count(*) AS tf, max(len) AS len FROM (
+         |    SELECT doc_id, len(toks) AS len, unnest(toks) AS term FROM tk)
+         |  GROUP BY doc_id, term
+         |), dfc AS MATERIALIZED (
+         |  SELECT term, count(*) AS df FROM tf GROUP BY term
+         |), idf AS MATERIALIZED (
+         |  SELECT term, ln(((n - df + 0.5E0) / (df + 0.5E0)) + 1.0E0) AS idf
+         |  FROM dfc, st WHERE df <= greatest(1, CAST(floor(n * 0.5E0) AS BIGINT))
+         |), qt AS (
+         |  SELECT DISTINCT doc_id AS query_id, unnest(toks) AS term FROM tk
+         |  WHERE doc_id >= 5 AND doc_id < 10
          |), contrib AS (
          |  SELECT q.query_id, f.doc_id,
          |    i.idf * (f.tf * (1.2E0 + 1.0E0)) /

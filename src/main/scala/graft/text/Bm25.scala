@@ -1,7 +1,7 @@
 package graft.text
 
 import graft.functions.{TextFunctions => T}
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -21,6 +21,16 @@ import org.apache.spark.sql.functions._
   * all-pairs workloads that's the quadratic trap, so pruning defaults
   * ON at 0.5.
   *
+  * The index is a first-class ARTIFACT ([[Bm25.Index]]): postings +
+  * unpruned df sidecar + scalar corpus stats. [[buildIndex]] makes one,
+  * [[mergeIndex]] folds a new segment in (the Lucene-style segment-merge
+  * shape: postings union — no shuffle if both sides are written
+  * term-bucketed — plus a vocabulary-sized df outer-join and a scalar
+  * add), and [[scoreTopK]] queries one. Df pruning happens at SCORE
+  * time, because the cap `floor(n·f)` depends on the corpus size n,
+  * which merging changes — pruning at build time would make merged
+  * segments irrecoverably wrong.
+  *
   * Determinism: tf/df/lengths are integer-exact; IDF and the score sum
   * are floats whose accumulation order is partition-dependent, so
   * callers rank on the ROUNDED score (ties to doc id) — the
@@ -28,36 +38,64 @@ import org.apache.spark.sql.functions._
   */
 object Bm25 {
 
-  /** Top-`k` corpus docs per query doc. Queries are rows of `queries`
-    * (same schema as `corpus`); a query never matches itself. Output:
-    * (query_id, doc_id, score, rank) with `score` rounded to 4.
+  /** Inverted-index artifact.
+    *
+    * @param postings (doc_id, term, tf, len) — the corpus-scale table;
+    *                 at scale, write it out bucketed by `term`.
+    * @param dfTab    (term, df) — vocabulary-sized, UNPRUNED document
+    *                 frequencies (pruning is score-time, see above).
+    * @param nDocs    corpus document count.
+    * @param sumLen   total token count (for avgLen).
     */
-  def topK(corpus: DataFrame, queries: DataFrame, textCol: String, idCol: String,
+  final case class Index(postings: DataFrame, dfTab: DataFrame, nDocs: Long, sumLen: Long)
+
+  /** Build the index for a corpus. One explode + one (doc_id, term)
+    * aggregation; the doc length rides each posting row (constant per
+    * doc — max() is a free map-side carry that avoids a corpus-sized
+    * join at score time).
+    */
+  def buildIndex(corpus: DataFrame, textCol: String, idCol: String): Index = {
+    val toks = corpus.select(col(idCol).as("doc_id"), T.tokenize(col(textCol)).as("toks"))
+    val stats = toks.select(size(col("toks")).as("len"))
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("len")), lit(0L)).as("s")).head()
+    val tf = toks
+      .select(col("doc_id"), size(col("toks")).as("len"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"), max(col("len")).as("len"))
+    Index(tf, tf.groupBy(col("term")).agg(count(lit(1)).as("df")), stats.getLong(0), stats.getLong(1))
+  }
+
+  /** Merge a new segment into an existing index. Caller contract: the
+    * two sides index DISJOINT doc-id sets (re-indexing an updated doc
+    * means delete + add, as in any segment architecture); overlapping
+    * ids would double-count df and corpus stats. Cost at scale: postings
+    * union is a metadata op, the df merge is vocabulary-sized, the stats
+    * add is free — nothing touches the old corpus text.
+    */
+  def mergeIndex(a: Index, b: Index): Index = {
+    val df = a.dfTab.select(col("term"), col("df").as("df_a"))
+      .join(b.dfTab.select(col("term"), col("df").as("df_b")), Seq("term"), "full_outer")
+      .select(col("term"), (coalesce(col("df_a"), lit(0L)) + coalesce(col("df_b"), lit(0L))).as("df"))
+    Index(a.postings.unionByName(b.postings), df, a.nDocs + b.nDocs, a.sumLen + b.sumLen)
+  }
+
+  /** Top-`k` indexed docs per query doc, from an [[Index]]. A query
+    * never matches itself. Output: (query_id, doc_id, score, rank) with
+    * `score` rounded to 4.
+    */
+  def scoreTopK(index: Index, queries: DataFrame, textCol: String, idCol: String,
       k: Int = 5, k1: Double = 1.2, b: Double = 0.75,
       maxDfFraction: Option[Double] = Some(0.5)): DataFrame = {
-    val toks = corpus.select(col(idCol).as("doc_id"), T.tokenize(col(textCol)).as("toks"))
-    // N and avgLen: two scalar aggregates
-    val stats = toks.select(size(col("toks")).as("len"))
-      .agg(count(lit(1)).as("n"), sum(col("len")).as("s")).head()
-    val nDocs = stats.getLong(0)
-    require(nDocs > 0, "Bm25.topK: empty corpus")
-    val avgLen = stats.getLong(1).toDouble / nDocs.toDouble
-    // inverted index: (doc_id, term, tf) with the doc length riding each
-    // row (constant per doc — max() is a free map-side carry, and it
-    // avoids a corpus-sized join or broadcast later)
-    val tf = toks.select(col("doc_id"), size(col("toks")).as("len"), explode(col("toks")).as("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"), max(col("len")).as("len"))
-    // df + idf: vocabulary-sized, broadcast
+    val nDocs = index.nDocs
+    require(nDocs > 0, "Bm25.scoreTopK: empty index")
+    val avgLen = index.sumLen.toDouble / nDocs.toDouble
     val dfCap = maxDfFraction.map(f => math.max(1L, math.floor(nDocs * f).toLong))
-    val dfTab0 = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val dfTab = dfCap.fold(dfTab0)(cap => dfTab0.where(col("df") <= cap))
+    val dfTab = dfCap.fold(index.dfTab)(cap => index.dfTab.where(col("df") <= cap))
     val idf = dfTab.select(col("term"),
       log(((lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5))) + lit(1.0)).as("idf"))
-    // query terms: DISTINCT terms per query doc
     val qTerms = queries.select(col(idCol).as("query_id"), T.tokenize(col(textCol)).as("qt"))
       .select(col("query_id"), explode(col("qt")).as("term")).distinct()
     val contrib = qTerms
-      .join(tf, Seq("term"))
+      .join(index.postings, Seq("term"))
       .where(col("doc_id") =!= col("query_id"))
       .join(broadcast(idf), Seq("term"))
       .select(col("query_id"), col("doc_id"),
@@ -70,4 +108,12 @@ object Bm25 {
       .where(col("rank") <= k)
       .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
   }
+
+  /** Top-`k` corpus docs per query doc — one-shot convenience over
+    * [[buildIndex]] + [[scoreTopK]].
+    */
+  def topK(corpus: DataFrame, queries: DataFrame, textCol: String, idCol: String,
+      k: Int = 5, k1: Double = 1.2, b: Double = 0.75,
+      maxDfFraction: Option[Double] = Some(0.5)): DataFrame =
+    scoreTopK(buildIndex(corpus, textCol, idCol), queries, textCol, idCol, k, k1, b, maxDfFraction)
 }

@@ -49,4 +49,35 @@ class Bm25Spec extends SparkSpec {
       .orderBy($"query_id", $"rank").collect().map(_.toSeq)
     assert(run(2).toSeq == run(7).toSeq)
   }
+
+  test("incremental merge == full rebuild (postings, df, stats, and scores)") {
+    val old = corpus().where($"doc_id" % 2 === 0)
+    val batch = corpus().where($"doc_id" % 2 === 1)
+    val merged = Bm25.mergeIndex(
+      Bm25.buildIndex(old, "text", "doc_id"),
+      Bm25.buildIndex(batch, "text", "doc_id"))
+    val full = Bm25.buildIndex(corpus(), "text", "doc_id")
+    assert(merged.nDocs == full.nDocs && merged.sumLen == full.sumLen)
+    assert(merged.dfTab.orderBy($"term").collect().toSeq ==
+      full.dfTab.orderBy($"term").collect().toSeq)
+    assert(merged.postings.orderBy($"doc_id", $"term").collect().toSeq ==
+      full.postings.orderBy($"doc_id", $"term").collect().toSeq)
+    val q = corpus().where($"doc_id" < 2)
+    assert(
+      Bm25.scoreTopK(merged, q, "text", "doc_id", k = 5)
+        .orderBy($"query_id", $"rank").collect().toSeq ==
+      Bm25.topK(corpus(), q, "text", "doc_id", k = 5)
+        .orderBy($"query_id", $"rank").collect().toSeq)
+  }
+
+  test("merge of a vocabulary-disjoint segment keeps both vocabularies scoreable") {
+    val extra = Seq((6L, "quokka quokka sighting report")).toDF("doc_id", "text")
+    val merged = Bm25.mergeIndex(
+      Bm25.buildIndex(corpus(), "text", "doc_id"),
+      Bm25.buildIndex(extra, "text", "doc_id"))
+    val q = Seq((100L, "zebra quokka")).toDF("doc_id", "text")
+    val hit = Bm25.scoreTopK(merged, q, "text", "doc_id", k = 10)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(Set(1L, 2L, 6L).subsetOf(hit), s"got $hit")
+  }
 }
