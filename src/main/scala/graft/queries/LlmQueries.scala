@@ -4,7 +4,7 @@ import graft.dedup.{Decontaminate, Dedup, SemDedup}
 import graft.text.{Bm25, Dsir}
 import graft.functions.{TextFunctions => T}
 import graft.multimodal.Multimodal
-import graft.similarity.{Pca, Similarity}
+import graft.similarity.{Evaluation, Pca, Similarity}
 import org.apache.spark.sql.functions._
 import Tables._
 
@@ -109,6 +109,43 @@ object LlmQueries {
       val emb = t(s, dir, "embeddings")
       val indexed = Similarity.ivfBuild(emb, "embedding", "vec_id", nlist = 16).localCheckpoint(true)
       Similarity.ivfTopK(indexed, emb.where(col("vec_id") < 5), "embedding", "vec_id", k = 5, nlist = 16, nprobe = 4)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // index-quality evaluation: per-query recall@10 of the IVF probe
+    // against exact ground truth — the oracle recomputes BOTH sides
+    // (brute force and the full IVF assign/probe pipeline) from raw
+    // parquet, so the measurement itself is verified, not self-checked
+    "q_ann_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 50)
+      val exact = Similarity.bruteForceTopK(emb, q, "embedding", "vec_id", k = 10)
+      val indexed = Similarity.ivfBuild(emb, "embedding", "vec_id", nlist = 16).localCheckpoint(true)
+      val approx = Similarity.ivfTopK(indexed, q, "embedding", "vec_id", k = 10, nlist = 16, nprobe = 4)
+      Evaluation.recallAtK(exact, approx, k = 10).orderBy(col("query_id"))
+    }),
+
+    // embedding-quality probe: k-NN majority-vote label prediction over
+    // the labeled eval slice (every vector classified by its 5 cosine
+    // neighbors, self excluded; vote counts integer-exact)
+    "q_knn_classify" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Evaluation.knnClassify(emb, emb, "embedding", "vec_id", "label", k = 5)
+        .orderBy(col("query_id"))
+    }),
+
+    // hybrid retrieval: reciprocal-rank fusion of BM25 (exact terms over
+    // documents.text) and dense cosine (embeddings) rankings for the
+    // same query ids — the standard lexical+vector RAG retrieval shape
+    "q_hybrid_retrieval" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val lexical = Bm25.topK(docs, docs.where(col("doc_id") < 5), "text", "doc_id", k = 10)
+        .select(col("query_id"), col("doc_id").as("item_id"), col("rank"))
+      val dense = Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 5), "embedding", "vec_id", k = 10)
+        .select(col("query_id"), col("neighbor_id").as("item_id"), col("rank"))
+      Evaluation.rrfFuse(Seq(lexical, dense), k = 5)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -1147,6 +1184,76 @@ object LlmQueries {
         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
         |  FROM cand)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // recomputes BOTH the exact ground truth and the full IVF
+    // assign/probe pipeline from raw parquet, then the recall join —
+    // verifying the measurement itself, not trusting either side
+    "q_ann_recall" ->
+      """WITH corpus AS MATERIALIZED (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+        |), queries AS MATERIALIZED (
+        |  SELECT vec_id AS query_id, vec AS qvec FROM corpus WHERE vec_id < 50
+        |), exact AS MATERIALIZED (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.query_id, c.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY round(list_cosine_similarity(q.qvec, c.vec), 6) DESC, c.vec_id) AS rn
+        |    FROM queries q JOIN corpus c ON c.vec_id <> q.query_id) WHERE rn <= 10
+        |), cent AS MATERIALIZED (
+        |  SELECT vec_id AS cell, vec AS centroid FROM corpus WHERE vec_id < 16
+        |), assign AS MATERIALIZED (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT c.vec_id, ct.cell,
+        |      row_number() OVER (PARTITION BY c.vec_id
+        |        ORDER BY round(list_cosine_similarity(c.vec, ct.centroid), 6) DESC, ct.cell) AS rn
+        |    FROM corpus c CROSS JOIN cent ct) WHERE rn = 1
+        |), probe AS MATERIALIZED (
+        |  SELECT query_id, cell FROM (
+        |    SELECT q.query_id, ct.cell,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY round(list_cosine_similarity(q.qvec, ct.centroid), 6) DESC, ct.cell) AS rn
+        |    FROM queries q CROSS JOIN cent ct) WHERE rn <= 4
+        |), approx AS MATERIALIZED (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT cand.query_id, cand.neighbor_id,
+        |      row_number() OVER (PARTITION BY cand.query_id
+        |        ORDER BY cand.cosine_sim DESC, cand.neighbor_id) AS rn
+        |    FROM (
+        |      SELECT p.query_id, c.vec_id AS neighbor_id,
+        |        round(list_cosine_similarity(q.qvec, c.vec), 6) AS cosine_sim
+        |      FROM probe p
+        |      JOIN queries q ON q.query_id = p.query_id
+        |      JOIN assign a ON a.cell = p.cell
+        |      JOIN corpus c ON c.vec_id = a.vec_id
+        |      WHERE c.vec_id <> p.query_id) cand) WHERE rn <= 10
+        |)
+        |SELECT e.query_id, CAST(count(ap.neighbor_id) AS BIGINT) AS hits,
+        |  CAST(count(ap.neighbor_id) AS BIGINT) / 10.0E0 AS recall
+        |FROM exact e LEFT JOIN approx ap
+        |  ON ap.query_id = e.query_id AND ap.neighbor_id = e.neighbor_id
+        |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin,
+    "q_knn_classify" ->
+      """WITH corpus AS MATERIALIZED (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec, label FROM embeddings
+        |), nn AS MATERIALIZED (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY round(list_cosine_similarity(q.vec, c.vec), 6) DESC, c.vec_id) AS rn
+        |    FROM corpus q JOIN corpus c ON c.vec_id <> q.vec_id) WHERE rn <= 5
+        |), votes AS (
+        |  SELECT n.query_id, l.label, count(*) AS cnt
+        |  FROM nn n JOIN corpus l ON l.vec_id = n.neighbor_id
+        |  GROUP BY n.query_id, l.label
+        |), pred AS (
+        |  SELECT query_id, label AS predicted_label FROM (
+        |    SELECT query_id, label,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY cnt DESC, label) AS rn
+        |    FROM votes) WHERE rn = 1
+        |)
+        |SELECT p.query_id, p.predicted_label, t.label AS true_label,
+        |  CAST(CASE WHEN p.predicted_label = t.label THEN 1 ELSE 0 END AS BIGINT) AS correct
+        |FROM pred p JOIN corpus t ON t.vec_id = p.query_id
+        |ORDER BY p.query_id""".stripMargin,
     "q_perplexity" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest(list_filter($toksSql, x -> x <> '')) AS token FROM documents
@@ -1372,6 +1479,57 @@ object LlmQueries {
          |  SELECT query_id, doc_id, score,
          |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
          |  FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // reciprocal-rank fusion of the BM25 pipeline (k=10) and the dense
+    // cosine ranking (k=10): score = Σ 1/(60+rank), a fixed two-term
+    // row-wise sum (order-exact across engines), ties on item_id
+    "q_hybrid_retrieval" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, list_filter($toksSql, x -> x <> '') AS toks FROM documents
+         |), st AS (SELECT count(*) AS n, sum(len(toks)) AS s FROM tk),
+         |tf AS MATERIALIZED (
+         |  SELECT doc_id, term, count(*) AS tf, max(len) AS len FROM (
+         |    SELECT doc_id, len(toks) AS len, unnest(toks) AS term FROM tk)
+         |  GROUP BY doc_id, term
+         |), dfc AS MATERIALIZED (
+         |  SELECT term, count(*) AS df FROM tf GROUP BY term
+         |), idf AS MATERIALIZED (
+         |  SELECT term, ln(((n - df + 0.5E0) / (df + 0.5E0)) + 1.0E0) AS idf
+         |  FROM dfc, st WHERE df <= greatest(1, CAST(floor(n * 0.5E0) AS BIGINT))
+         |), qt AS (
+         |  SELECT DISTINCT doc_id AS query_id, unnest(toks) AS term FROM tk WHERE doc_id < 5
+         |), contrib AS (
+         |  SELECT q.query_id, f.doc_id,
+         |    i.idf * (f.tf * (1.2E0 + 1.0E0)) /
+         |      (f.tf + 1.2E0 * ((1.0E0 - 0.75E0) + 0.75E0 * f.len / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))) AS c
+         |  FROM qt q JOIN tf f USING (term) JOIN idf i USING (term), st
+         |  WHERE f.doc_id <> q.query_id
+         |), scored AS (
+         |  SELECT query_id, doc_id, round(sum(c), 4) AS score FROM contrib GROUP BY query_id, doc_id
+         |), lex AS MATERIALIZED (
+         |  SELECT query_id, doc_id AS item_id, rank FROM (
+         |    SELECT query_id, doc_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+         |    FROM scored) WHERE rank <= 10
+         |), dense AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id AS item_id, rank FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) DESC,
+         |                 c.vec_id) AS rank
+         |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         |    WHERE q.vec_id < 5) WHERE rank <= 10
+         |), fused AS (
+         |  SELECT coalesce(l.query_id, d.query_id) AS query_id,
+         |    coalesce(l.item_id, d.item_id) AS item_id,
+         |    round(coalesce(1.0E0 / (60.0E0 + l.rank), 0.0E0)
+         |        + coalesce(1.0E0 / (60.0E0 + d.rank), 0.0E0), 6) AS score
+         |  FROM lex l FULL OUTER JOIN dense d
+         |    ON d.query_id = l.query_id AND d.item_id = l.item_id
+         |)
+         |SELECT query_id, item_id, score, CAST(rank AS BIGINT) AS rank FROM (
+         |  SELECT query_id, item_id, score,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, item_id) AS rank
+         |  FROM fused) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q_gopher_rules" ->
       s"""WITH tk AS (
          |  SELECT doc_id, list_filter($toksSql, x -> x <> '') AS toks FROM documents

@@ -1,0 +1,93 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Retrieval / classification evaluation over neighbor lists — the
+  * measurement half of the ANN and lexical-retrieval stack: recall@k of
+  * an approximate index against exact ground truth, reciprocal-rank
+  * fusion of heterogeneous rankings (hybrid lexical+dense retrieval),
+  * and k-NN label prediction accuracy over an embedding column.
+  *
+  * Scale shape (100 TB): every input here is a RANKING — (queries × k)
+  * rows, not corpus-sized — so all joins key on (query_id, item) and
+  * the heavy lifting stays inside the producers ([[Similarity]],
+  * [[graft.text.Bm25]]), which own the corpus-scale passes. The one
+  * corpus-sized input, [[knnClassify]]'s label table, joins on the
+  * neighbor id exactly once (at scale: labels ride the ANN index
+  * artifact, so that join is co-partitioned with the index).
+  */
+object Evaluation {
+
+  /** Per-query recall@k: |approx ∩ exact| / k. Inputs are neighbor
+    * lists with (query_id, neighbor_id) columns (extra columns are
+    * ignored) — `exact` must hold the ground-truth top-k, `approx` the
+    * candidate list under evaluation. Every ground-truth query appears
+    * in the output (0 hits → recall 0.0). `hits/k` divides two exact
+    * small integers, so the double is engine-portable bit-for-bit.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "Evaluation.recallAtK: k must be positive")
+    val e = exact.select(col("query_id"), col("neighbor_id"))
+    val a = approx.select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+    e.join(a, Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy(col("query_id"))
+      .agg(count(col("__hit")).as("hits"))
+      .select(col("query_id"), col("hits"),
+        (col("hits").cast("double") / lit(k.toDouble)).as("recall"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009): each input ranking
+    * contributes `1/(c + rank)` for the items it ranked; items missing
+    * from a ranking contribute 0 from it. Inputs need (query_id,
+    * item_id, rank) columns. Output: (query_id, item_id, score, rank)
+    * with `score` rounded to 6 and the fused rank tie-broken on item_id.
+    *
+    * Determinism: the fused score is a FIXED left-to-right sum of one
+    * double per system (a row-wise expression after the outer joins,
+    * not an aggregation), so its bits don't depend on partitioning.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "Evaluation.rrfFuse: need at least one ranking")
+    val scored = rankings.zipWithIndex.map { case (r, i) =>
+      r.select(col("query_id"), col("item_id"),
+        (lit(1.0) / (lit(c.toDouble) + col("rank").cast("double"))).as(s"__s$i"))
+    }
+    val joined = scored.reduce((l, r) => l.join(r, Seq("query_id", "item_id"), "full_outer"))
+    val total = scored.indices.map(i => coalesce(col(s"__s$i"), lit(0.0))).reduce(_ + _)
+    val fused = joined.select(col("query_id"), col("item_id"), round(total, 6).as("score"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("item_id"))
+    fused.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("item_id"), col("score"), col("rank"))
+  }
+
+  /** k-NN label prediction over an embedding column: each vector is
+    * classified by the majority label of its k nearest neighbors
+    * (cosine, self excluded), ties on the smaller label. Output:
+    * (query_id, predicted_label, true_label, correct) — one row per
+    * query, `correct` ∈ {0,1}. This is the standard embedding-quality
+    * probe for a labeled eval slice; eval sets are small by nature, so
+    * `queries` rides [[Similarity.bruteForceTopK]]'s broadcast-queries
+    * design (corpus never shuffles).
+    */
+  def knnClassify(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, labelCol: String, k: Int): DataFrame = {
+    val labels = corpus.select(col(idCol).as("__lid"), col(labelCol).as("__label"))
+    val nn = Similarity.bruteForceTopK(corpus, queries, vecCol, idCol, k)
+    val votes = nn
+      .join(labels.withColumnRenamed("__lid", "neighbor_id"), Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("__label"))
+      .agg(count(lit(1)).as("__cnt"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("__cnt").desc, col("__label"))
+    val pred = votes.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col("query_id"), col("__label").as("predicted_label"))
+    pred
+      .join(labels.withColumnRenamed("__lid", "query_id"), Seq("query_id"))
+      .select(col("query_id"), col("predicted_label"),
+        col("__label").as("true_label"),
+        when(col("predicted_label") === col("__label"), 1L).otherwise(0L).as("correct"))
+  }
+}

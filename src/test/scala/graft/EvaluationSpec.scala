@@ -1,0 +1,76 @@
+package graft
+
+import graft.similarity.Evaluation
+import org.apache.spark.sql.functions._
+
+class EvaluationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranking(rows: (Long, Long, Int)*) =
+    rows.toDF("query_id", "neighbor_id", "rank")
+
+  test("recallAtK: identical lists give 1.0, disjoint give 0.0, partial counts hits") {
+    val exact = ranking((0L, 10L, 1), (0L, 11L, 2), (1L, 20L, 1), (1L, 21L, 2), (2L, 30L, 1), (2L, 31L, 2))
+    val same = Evaluation.recallAtK(exact, exact, k = 2)
+      .orderBy($"query_id").collect()
+    assert(same.forall(r => r.getLong(1) == 2L && r.getDouble(2) == 1.0))
+    // approx misses query 2 entirely and gets 1 of 2 for query 1
+    val approx = ranking((0L, 10L, 1), (0L, 11L, 2), (1L, 20L, 1), (1L, 99L, 2))
+    val out = Evaluation.recallAtK(exact, approx, k = 2)
+      .orderBy($"query_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq((0L, 2L, 1.0), (1L, 1L, 0.5), (2L, 0L, 0.0)))
+  }
+
+  test("rrfFuse: item ranked by both systems beats single-system items; ties on item_id") {
+    val a = ranking((0L, 1L, 1), (0L, 2L, 2)).withColumnRenamed("neighbor_id", "item_id")
+    val b = ranking((0L, 1L, 2), (0L, 3L, 1)).withColumnRenamed("neighbor_id", "item_id")
+    val out = Evaluation.rrfFuse(Seq(a, b), k = 10).orderBy($"rank").collect()
+    // item 1: 1/61 + 1/62 ≈ 0.0325 beats item 3 (1/61) and item 2 (1/62)
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 3L, 2L), out.mkString(","))
+    // same rank in both systems → same score → smaller item id first
+    val t1 = ranking((0L, 5L, 1)).withColumnRenamed("neighbor_id", "item_id")
+    val t2 = ranking((0L, 4L, 1)).withColumnRenamed("neighbor_id", "item_id")
+    val tie = Evaluation.rrfFuse(Seq(t1, t2), k = 10).orderBy($"rank").collect()
+    assert(tie.map(_.getLong(1)).toSeq == Seq(4L, 5L))
+  }
+
+  test("rrfFuse is identical across partitionings") {
+    val a = ranking((0L, 1L, 1), (0L, 2L, 2), (1L, 3L, 1)).withColumnRenamed("neighbor_id", "item_id")
+    val b = ranking((0L, 2L, 1), (1L, 4L, 1), (1L, 3L, 2)).withColumnRenamed("neighbor_id", "item_id")
+    def run(p: Int) = Evaluation.rrfFuse(Seq(a.repartition(p), b.repartition(p)), k = 5)
+      .orderBy($"query_id", $"rank").collect().map(_.toSeq).toSeq
+    assert(run(2) == run(7))
+  }
+
+  test("knnClassify: planted separable clusters classify perfectly; planted outlier fails") {
+    // two tight clusters along orthogonal axes + one mislabeled vector
+    // sitting inside cluster 0 — its neighbors all vote label 0
+    val rows = (0 until 8).map { i =>
+      val base = if (i < 4) Array(1f, 0f, 0.1f * i) else Array(0f, 1f, 0.1f * (i - 4))
+      (i.toLong, base.toSeq, if (i < 4) 0 else 1)
+    } :+ (8L, Seq(1f, 0f, 0.05f), 7)
+    val df = rows.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val out = Evaluation.knnClassify(df, df, "embedding", "vec_id", "label", k = 3)
+      .orderBy($"query_id").collect()
+    val byId = out.map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getLong(3))).toMap
+    (0L to 3L).foreach(i => assert(byId(i) == ((0, 0, 1L)), s"vec $i: ${byId(i)}"))
+    (4L to 7L).foreach(i => assert(byId(i) == ((1, 1, 1L)), s"vec $i: ${byId(i)}"))
+    assert(byId(8L) == ((0, 7, 0L)), s"outlier: ${byId(8L)}")
+  }
+
+  test("knnClassify majority tie breaks to the smaller label") {
+    // query 0 with k=2: one neighbor labeled 2, one labeled 1, both at
+    // identical distance shape -> 1-1 tie -> predict 1
+    val df = Seq(
+      (0L, Seq(1f, 0f), 9),
+      (1L, Seq(1f, 0.1f), 2),
+      (2L, Seq(1f, -0.1f), 1)
+    ).toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val out = Evaluation.knnClassify(df, df.where($"vec_id" === 0), "embedding", "vec_id", "label", k = 2)
+      .collect()
+    assert(out.length == 1 && out(0).getInt(1) == 1, out.mkString(","))
+  }
+}
