@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.dedup.{Decontaminate, Dedup, SemDedup}
-import graft.text.{Bm25, Dsir}
+import graft.text.{Bm25, Dsir, Mixture}
 import graft.functions.{TextFunctions => T}
 import graft.multimodal.Multimodal
 import graft.similarity.{Evaluation, Pca, Similarity}
@@ -198,6 +198,16 @@ object LlmQueries {
       Bm25.scoreTopK(idx, docs.where(col("doc_id") >= 5 && col("doc_id") < 10), "text", "doc_id", k = 5)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // temperature-based domain mixture: √p token-share flattening over
+    // the source dimension, budgeted rates computed driver-side from a
+    // source-granularity aggregate, corpus kept via scan-local id-hash
+    // filter (never shuffled); Z folds in ascending source order so the
+    // oracle reproduces the float bit-for-bit
+    "q_domain_mixture" -> ((s, dir) => {
+      Mixture.sampleSummary(t(s, dir, "documents"), "text", "doc_id", "source", budgetFraction = 0.25)
+        .orderBy(col("source"))
     }),
 
     // Gopher rule battery (Rae et al. 2021): integer counts and exact
@@ -1530,6 +1540,37 @@ object LlmQueries {
          |  SELECT query_id, item_id, score,
          |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, item_id) AS rank
          |  FROM fused) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // mirrors Mixture.sampleSummary: the Z fold is list_reduce over
+    // sqrt shares in ascending source order (the engine's driver-side
+    // fold order), rates are single-application IEEE ops, and the keep
+    // hash is the shared md5 16-bit idiom — all floats bit-exact
+    "q_domain_mixture" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, source, len(list_filter($toksSql, x -> x <> '')) AS ntok FROM documents
+         |), src AS MATERIALIZED (
+         |  SELECT source, CAST(sum(ntok) AS BIGINT) AS tokens FROM tk GROUP BY source
+         |), tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total FROM src),
+         |zc AS (
+         |  SELECT list_reduce(list_prepend(0.0E0,
+         |    list(sqrt(tokens / CAST(total AS DOUBLE)) ORDER BY source)), (a, x) -> a + x) AS z
+         |  FROM src, tot
+         |), rates AS MATERIALIZED (
+         |  SELECT source, tokens,
+         |    CASE WHEN tokens = 0 THEN 0.0E0
+         |         ELSE least(1.0E0, (0.25E0 * CAST(total AS DOUBLE))
+         |                * (sqrt(tokens / CAST(total AS DOUBLE)) / z) / CAST(tokens AS DOUBLE))
+         |    END AS rate
+         |  FROM src, tot, zc
+         |), kept AS (
+         |  SELECT t.source, CAST(count(*) AS BIGINT) AS n_kept, CAST(sum(t.ntok) AS BIGINT) AS tokens_kept
+         |  FROM tk t JOIN rates r USING (source)
+         |  WHERE CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 4)) AS INTEGER) / 65536.0E0 < r.rate
+         |  GROUP BY t.source
+         |)
+         |SELECT r.source, r.tokens, r.rate,
+         |  coalesce(k.n_kept, 0) AS n_kept, coalesce(k.tokens_kept, 0) AS tokens_kept
+         |FROM rates r LEFT JOIN kept k USING (source)
+         |ORDER BY r.source""".stripMargin,
     "q_gopher_rules" ->
       s"""WITH tk AS (
          |  SELECT doc_id, list_filter($toksSql, x -> x <> '') AS toks FROM documents

@@ -1,0 +1,109 @@
+package graft.text
+
+import graft.functions.{TextFunctions => T}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Temperature-based domain-mixture sampling — the data-mixing pass of a
+  * training-data pipeline: given a corpus tagged with a source/domain
+  * column and a total token budget, allocate the budget across sources
+  * by TEMPERATURE-FLATTENED token shares (w_s ∝ p_s^(1/T); T=2 i.e.
+  * √p_s here — the public multilingual-sampling rule from the mBERT /
+  * XLM-R line of work), then keep each document via a deterministic
+  * per-id hash threshold at its source's sampling rate.
+  *
+  * Scale shape (100 TB): pass 1 is ONE map-side-combined aggregation to
+  * source granularity (output rows = #sources, a bounded dimension —
+  * require'd here); the rate table is computed on the driver and
+  * broadcast; pass 2 is a scan-local hash filter — the corpus is never
+  * shuffled and no row is materialized twice.
+  *
+  * Determinism: token counts are integer-exact; the normalizer
+  * Z = Σ_s √p_s is a DRIVER-SIDE left fold over sources in ascending
+  * source order, so its bits are independent of partitioning and
+  * reproducible by the oracle's `list_reduce(list(… ORDER BY source))`
+  * fold; √ is IEEE-correctly-rounded in both engines, and the remaining
+  * ops are single +,*,/,min applications in a fixed order. The keep
+  * decision hashes the document ID (md5 16-bit fraction, the
+  * q_weighted_sample idiom) — stable under re-partitioning, re-runs,
+  * and engine choice.
+  */
+object Mixture {
+
+  /** Per-source sampling rate: `tokens` from pass 1, `rate` =
+    * min(1, budget·w_s / tokens_s) with w_s = √p_s / Z.
+    */
+  final case class SourceRate(source: String, tokens: Long, rate: Double)
+
+  private val MaxSources = 100000
+
+  /** Pass 1 + driver-side rate computation. `budgetFraction` is the
+    * target total-token budget as a fraction of the corpus (0.25 = keep
+    * about a quarter of all tokens, redistributed toward small sources).
+    */
+  def sourceRates(docs: DataFrame, textCol: String, sourceCol: String,
+      budgetFraction: Double): Seq[SourceRate] = {
+    require(budgetFraction > 0, "Mixture: budgetFraction must be positive")
+    val perSource = docs
+      .groupBy(col(sourceCol).cast("string").as("source"))
+      .agg(sum(T.tokenCount(col(textCol)).cast("long")).as("tokens"))
+      .collect()
+    require(perSource.length <= MaxSources,
+      s"Mixture: ${perSource.length} sources exceed the bounded-dimension cap $MaxSources")
+    val bySource: Seq[(String, Long)] = perSource.iterator
+      .map { case Row(s: String, t: Long) => (s, t) }.toSeq.sortBy(_._1)
+    val total = bySource.iterator.map(_._2).sum
+    require(total > 0, "Mixture: corpus has no tokens")
+    // Z: ascending-source left fold, mirrored exactly by the oracle
+    val z = bySource.foldLeft(0.0) { case (acc, (_, tk)) =>
+      acc + math.sqrt(tk.toDouble / total.toDouble)
+    }
+    val budget = budgetFraction * total.toDouble
+    bySource.map { case (s, tk) =>
+      val rate =
+        if (tk == 0L) 0.0
+        else math.min(1.0, budget * (math.sqrt(tk.toDouble / total.toDouble) / z) / tk.toDouble)
+      SourceRate(s, tk, rate)
+    }
+  }
+
+  /** md5 16-bit id fraction in [0,1) — the shared deterministic-sampling
+    * hash (q_weighted_sample / q_train_test_split idiom).
+    */
+  private def hashFrac(id: org.apache.spark.sql.Column) =
+    conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("int").cast("double") / 65536.0
+
+  /** Pass 2: the sampled corpus (all original columns), kept iff
+    * hashFrac(id) < rate(source).
+    */
+  def temperatureSample(docs: DataFrame, textCol: String, idCol: String,
+      sourceCol: String, budgetFraction: Double): DataFrame = {
+    val rates = sourceRates(docs, textCol, sourceCol, budgetFraction)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rateDf = rates.map(r => (r.source, r.rate)).toDF("__mix_source", "__mix_rate")
+    docs
+      .join(broadcast(rateDf), col(sourceCol).cast("string") === col("__mix_source"), "inner")
+      .where(hashFrac(col(idCol)) < col("__mix_rate"))
+      .drop("__mix_source", "__mix_rate")
+  }
+
+  /** Gate-friendly per-source summary of a [[temperatureSample]] run:
+    * (source, tokens, rate, n_kept, tokens_kept) — every source appears
+    * even if nothing survived its rate.
+    */
+  def sampleSummary(docs: DataFrame, textCol: String, idCol: String,
+      sourceCol: String, budgetFraction: Double): DataFrame = {
+    val rates = sourceRates(docs, textCol, sourceCol, budgetFraction)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rateDf = rates.map(r => (r.source, r.tokens, r.rate)).toDF("source", "tokens", "rate")
+    val kept = temperatureSample(docs, textCol, idCol, sourceCol, budgetFraction)
+      .groupBy(col(sourceCol).cast("string").as("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(T.tokenCount(col(textCol)).cast("long")).as("tokens_kept"))
+    rateDf.join(kept, Seq("source"), "left_outer")
+      .select(col("source"), col("tokens"), col("rate"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"))
+  }
+}
