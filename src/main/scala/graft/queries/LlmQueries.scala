@@ -135,6 +135,33 @@ object LlmQueries {
         .orderBy(col("query_id"))
     }),
 
+    // label-level error structure of the same classifier: which labels
+    // get confused with which (the eval artifact a training run reads)
+    "q_knn_confusion" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Evaluation.knnClassify(emb, emb, "embedding", "vec_id", "label", k = 5)
+        .groupBy(col("true_label"), col("predicted_label"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("true_label"), col("predicted_label"))
+    }),
+
+    // contrastive-training data prep: per query the closest vectors of a
+    // DIFFERENT label (boundary negatives), label filter before ranking
+    "q_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Evaluation.hardNegatives(emb, emb.where(col("vec_id") < 20), "embedding", "vec_id", "label", k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // per-vector margin: best same-label minus best other-label cosine —
+    // negative margin flags boundary/mislabeled vectors
+    "q_sim_margin" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Evaluation.similarityMargin(emb, emb.where(col("vec_id") < 100), "embedding", "vec_id", "label")
+        .orderBy(col("query_id"))
+    }),
+
     // hybrid retrieval: reciprocal-rank fusion of BM25 (exact terms over
     // documents.text) and dense cosine (embeddings) rankings for the
     // same query ids — the standard lexical+vector RAG retrieval shape
@@ -1264,6 +1291,52 @@ object LlmQueries {
         |  CAST(CASE WHEN p.predicted_label = t.label THEN 1 ELSE 0 END AS BIGINT) AS correct
         |FROM pred p JOIN corpus t ON t.vec_id = p.query_id
         |ORDER BY p.query_id""".stripMargin,
+    "q_knn_confusion" ->
+      """WITH corpus AS MATERIALIZED (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec, label FROM embeddings
+        |), nn AS MATERIALIZED (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY round(list_cosine_similarity(q.vec, c.vec), 6) DESC, c.vec_id) AS rn
+        |    FROM corpus q JOIN corpus c ON c.vec_id <> q.vec_id) WHERE rn <= 5
+        |), votes AS (
+        |  SELECT n.query_id, l.label, count(*) AS cnt
+        |  FROM nn n JOIN corpus l ON l.vec_id = n.neighbor_id
+        |  GROUP BY n.query_id, l.label
+        |), pred AS (
+        |  SELECT query_id, label AS predicted_label FROM (
+        |    SELECT query_id, label,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY cnt DESC, label) AS rn
+        |    FROM votes) WHERE rn = 1
+        |)
+        |SELECT t.label AS true_label, p.predicted_label, CAST(count(*) AS BIGINT) AS n
+        |FROM pred p JOIN corpus t ON t.vec_id = p.query_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_hard_negatives" ->
+      """SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS BIGINT) AS rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS cosine_sim,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) DESC,
+        |               c.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings c
+        |    ON q.vec_id <> c.vec_id AND q.label <> c.label
+        |  WHERE q.vec_id < 20)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_sim_margin" ->
+      """WITH sims AS (
+        |  SELECT q.vec_id AS query_id, q.label AS qlabel, c.label AS clabel,
+        |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS sim
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 100
+        |)
+        |SELECT query_id,
+        |  max(CASE WHEN clabel = qlabel THEN sim END) AS best_pos,
+        |  max(CASE WHEN clabel <> qlabel THEN sim END) AS best_neg,
+        |  max(CASE WHEN clabel = qlabel THEN sim END)
+        |    - max(CASE WHEN clabel <> qlabel THEN sim END) AS margin
+        |FROM sims GROUP BY query_id ORDER BY query_id""".stripMargin,
     "q_perplexity" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest(list_filter($toksSql, x -> x <> '')) AS token FROM documents

@@ -63,6 +63,53 @@ object Evaluation {
       .select(col("query_id"), col("item_id"), col("score"), col("rank"))
   }
 
+  /** Hard-negative mining for contrastive training: per query, the k
+    * most cosine-similar corpus vectors whose label DIFFERS from the
+    * query's — the negatives that sit closest to the decision boundary.
+    * Output: (query_id, neighbor_id, cosine_sim, rank). Same scale shape
+    * as [[Similarity.bruteForceTopK]] (queries broadcast, corpus scans
+    * once, top-k per partition then global); the label filter runs
+    * BEFORE ranking, so rank counts negatives only.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, labelCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+      col(labelCol).as("__clabel"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      col(labelCol).as("__qlabel"))
+    val scored = c
+      .join(broadcast(q),
+        col("query_id") =!= col("neighbor_id") && col("__clabel") =!= col("__qlabel"))
+      .withColumn("cosine_sim", round(graft.functions.VectorFunctions.cosine(col("qvec"), col("cvec")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine_sim"), col("rank"))
+  }
+
+  /** Per-query similarity margin: best same-label cosine (self excluded)
+    * minus best different-label cosine — the embedding-space analogue of
+    * a classifier margin; negative margin flags vectors whose nearest
+    * neighbor crosses the label boundary (mislabeled or genuinely hard).
+    * Output: (query_id, best_pos, best_neg, margin); the difference of
+    * two 6-rounded maxima is engine-portable bit-for-bit.
+    */
+  def similarityMargin(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, labelCol: String): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+      col(labelCol).as("__clabel"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      col(labelCol).as("__qlabel"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("__sim", round(graft.functions.VectorFunctions.cosine(col("qvec"), col("cvec")), 6))
+      .groupBy(col("query_id"))
+      .agg(
+        max(when(col("__clabel") === col("__qlabel"), col("__sim"))).as("best_pos"),
+        max(when(col("__clabel") =!= col("__qlabel"), col("__sim"))).as("best_neg"))
+      .select(col("query_id"), col("best_pos"), col("best_neg"),
+        (col("best_pos") - col("best_neg")).as("margin"))
+  }
+
   /** k-NN label prediction over an embedding column: each vector is
     * classified by the majority label of its k nearest neighbors
     * (cosine, self excluded), ties on the smaller label. Output:

@@ -60,6 +60,38 @@ class EvaluationSpec extends SparkSpec {
     assert(byId(8L) == ((0, 7, 0L)), s"outlier: ${byId(8L)}")
   }
 
+  test("hardNegatives only returns other-label vectors, ranked among negatives") {
+    // cluster 0 along x, cluster 1 along y; vec 4 is a label-1 vector
+    // placed INSIDE cluster 0 — it must be everyone-in-cluster-0's top
+    // hard negative, while same-label vectors never appear
+    val df = Seq(
+      (0L, Seq(1f, 0f), 0), (1L, Seq(1f, 0.01f), 0), (2L, Seq(1f, -0.01f), 0),
+      (3L, Seq(0f, 1f), 1), (4L, Seq(1f, 0.02f), 1)
+    ).toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val out = Evaluation.hardNegatives(df, df.where($"vec_id" < 3), "embedding", "vec_id", "label", k = 2)
+      .orderBy($"query_id", $"rank").collect()
+    assert(out.forall(r => Set(3L, 4L).contains(r.getLong(1))), out.mkString(","))
+    val top = out.filter(_.getInt(3) == 1).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(top == Map(0L -> 4L, 1L -> 4L, 2L -> 4L), top.toString)
+  }
+
+  test("similarityMargin is negative exactly when the nearest neighbor crosses labels") {
+    val df = Seq(
+      (0L, Seq(1f, 0f), 0), (1L, Seq(0.9f, 0.1f), 0),
+      (2L, Seq(0f, 1f), 1), (3L, Seq(0.1f, 0.9f), 1),
+      (4L, Seq(0.95f, 0.05f), 1) // label-1 planted inside cluster 0
+    ).toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val out = Evaluation.similarityMargin(df, df, "embedding", "vec_id", "label")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(4L) < 0, s"planted boundary vector must have negative margin: ${out(4L)}")
+    assert(out(2L) > 0 && out(3L) > 0, s"clean cluster-1 vectors: $out")
+    // margin must equal best_pos - best_neg exactly (difference of rounded maxima)
+    val full = Evaluation.similarityMargin(df, df, "embedding", "vec_id", "label").collect()
+    full.foreach(r => assert(r.getDouble(3) == r.getDouble(1) - r.getDouble(2)))
+  }
+
   test("knnClassify majority tie breaks to the smaller label") {
     // query 0 with k=2: one neighbor labeled 2, one labeled 1, both at
     // identical distance shape -> 1-1 tie -> predict 1
