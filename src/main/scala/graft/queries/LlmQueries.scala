@@ -741,6 +741,18 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // bigram-LM perplexity, trained on 90% of the corpus and scoring ALL
+    // docs — held-out docs exercise the smoothed out-of-model mass (one
+    // uniform add-one formula, no OOV branch)
+    "q_perplexity_bigram" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = graft.text.LmScore.bigramModel(docs.where(col("doc_id") % 10 =!= 0), "text")
+      graft.text.LmScore.bigramPerplexity(docs, "text", "doc_id", model)
+        .select(col("id").as("doc_id"), col("n_transitions"),
+          round(col("perplexity"), 4).as("perplexity"))
+        .orderBy(col("doc_id"))
+    }),
+
     // embedding-space contamination report: each train doc's nearest
     // EVAL-SET embedding (vec_id % 5 == 0 held out) and the cosine —
     // the semantic-dedup twin of the span-based decontamination
@@ -1351,6 +1363,29 @@ object LlmQueries {
          |  round(exp(-avg(m.logp)), 4) AS perplexity
          |FROM tok LEFT JOIN model m USING (token)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // bigram pairs via per-row unnest(range) indexing; model counts from
+    // the 90% training slice; the single smoothed formula covers
+    // in-model and out-of-model transitions alike
+    "q_perplexity_bigram" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, list_filter($toksSql, x -> x <> '') AS toks FROM documents
+         |), bg AS MATERIALIZED (
+         |  SELECT doc_id, toks[CAST(g AS INTEGER) + 1] AS w1, toks[CAST(g AS INTEGER) + 2] AS w2
+         |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 1)) AS g FROM tk)
+         |), c12 AS MATERIALIZED (
+         |  SELECT w1, w2, count(*) AS c FROM bg WHERE doc_id % 10 <> 0 GROUP BY 1, 2
+         |), c1 AS MATERIALIZED (
+         |  SELECT w1, CAST(sum(c) AS BIGINT) AS c FROM c12 GROUP BY 1
+         |), v AS (
+         |  SELECT count(DISTINCT token) AS v FROM (
+         |    SELECT unnest(toks) AS token FROM tk WHERE doc_id % 10 <> 0)
+         |)
+         |SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_transitions,
+         |  round(exp(-avg(ln((coalesce(m.c, 0) + 1) / CAST(coalesce(k.c, 0) + v.v AS DOUBLE)))), 4) AS perplexity
+         |FROM bg
+         |LEFT JOIN c12 m ON m.w1 = bg.w1 AND m.w2 = bg.w2
+         |LEFT JOIN c1 k ON k.w1 = bg.w1, v
+         |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin,
     "q_decontaminate_embedding" ->
       """SELECT train_id, nearest_eval_id, cosine_sim FROM (
         |  SELECT t.vec_id AS train_id, e.vec_id AS nearest_eval_id,

@@ -36,6 +36,63 @@ object LmScore {
       .withColumn("__oov_logp", log(lit(1.0) / lit(denom)))
   }
 
+  /** Bigram LM with add-one smoothing: p(w₂|w₁) =
+    * (c(w₁w₂)+1) / (c(w₁)+|V|), where c(w₁) counts w₁ as a bigram
+    * CONTEXT (so the conditional sums to 1 over the vocab) and |V| is
+    * the training corpus' distinct-token count. Counts are stored, not
+    * log-probs — scoring applies ONE uniform formula with
+    * coalesce(c,0), so out-of-model transitions need no branch.
+    *
+    * Scale shape: both tables are model-sized (distinct bigrams /
+    * contexts), broadcast at score time; a production KenLM would prune
+    * low-count n-grams first — that's a `where(c >= minCount)` on
+    * `bigrams` and changes nothing else.
+    */
+  final case class BigramModel(bigrams: DataFrame, contexts: DataFrame, vocabSize: Long)
+
+  /** Consecutive-token pairs of a `toks` array column, as a zipped
+    * struct array — codegen'd slice/zip, no higher-order lambdas.
+    */
+  private def zippedPairs(toks: org.apache.spark.sql.Column) = arrays_zip(
+    slice(toks, lit(1), greatest(size(toks) - 1, lit(0))).as("w1"),
+    slice(toks, lit(2), greatest(size(toks) - 1, lit(0))).as("w2"))
+
+  private def bigramPairs(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), T.tokenize(col(textCol)).as("toks"))
+      .select(col("doc_id"), explode(zippedPairs(col("toks"))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+
+  def bigramModel(docs: DataFrame, textCol: String): BigramModel = {
+    val bg = docs.select(T.tokenize(col(textCol)).as("toks"))
+      .select(explode(zippedPairs(col("toks"))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__c12"))
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("__c12")).as("__c1"))
+    val v = docs.select(explode(T.tokenize(col(textCol))).as("token"))
+      .agg(countDistinct(col("token"))).head().getLong(0)
+    BigramModel(c12, c1, v)
+  }
+
+  /** Per-document bigram perplexity: exp(−mean log p(w₂|w₁)) over the
+    * document's len−1 transitions. Documents with fewer than 2 tokens
+    * have no transitions and produce no row. Transitions outside the
+    * model take the smoothed 1/(c(w₁)+|V|) (or 1/|V|) mass via the same
+    * formula. Output: (id, n_transitions, perplexity).
+    */
+  def bigramPerplexity(docs: DataFrame, textCol: String, idCol: String,
+      model: BigramModel): DataFrame = {
+    val logp = log((coalesce(col("__c12"), lit(0L)) + lit(1L)).cast("double") /
+      (coalesce(col("__c1"), lit(0L)) + lit(model.vocabSize)).cast("double"))
+    bigramPairs(docs, textCol, idCol)
+      .join(broadcast(model.bigrams), Seq("w1", "w2"), "left")
+      .join(broadcast(model.contexts), Seq("w1"), "left")
+      .groupBy(col("doc_id").as("id"))
+      .agg(
+        count(lit(1)).as("n_transitions"),
+        exp(-avg(logp)).as("perplexity"))
+  }
+
   /** Per-document perplexity against `model` ([[unigramModel]] output):
     * ppl = exp(−mean log p(token)), OOV tokens take the smoothed
     * 1/(total+|V|) mass. Documents with no tokens produce no row.
