@@ -154,6 +154,17 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // clustering-quality probe: per-cluster label purity of the
+    // deterministic k-means (the SemDeDup clustering reused as an
+    // unsupervised-structure evaluation against the labeled slice)
+    "q_cluster_purity" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = SemDedup.kmeansDeterministic(emb, "embedding", "vec_id", k = 16, iters = 1)
+      val assigned = SemDedup.assignClusters(emb, "embedding", cents)
+        .select(col("cluster").cast("int").as("cluster"), col("label"))
+      Evaluation.clusterPurity(assigned, "cluster", "label").orderBy(col("cluster"))
+    }),
+
     // per-vector margin: best same-label minus best other-label cosine —
     // negative margin flags boundary/mislabeled vectors
     "q_sim_margin" -> ((s, dir) => {
@@ -1115,6 +1126,7 @@ object LlmQueries {
     "q_ann_pq_refined" -> XxhSql.annPqRefinedSql(d = 64, m = 8, kc = 16, k = 5, oversample = 8,
       nQueries = 5, iters = 1),
     "q_semdedup" -> XxhSql.semDedupSql(d = 64, kc = 16, iters = 1, tau = 0.9),
+    "q_cluster_purity" -> XxhSql.clusterPuritySql(d = 64, kc = 16, iters = 1),
     "q_pca_project" -> XxhSql.pcaProjectSql(d = 64, iters = 3),
     "q_pca_component" -> XxhSql.pcaComponentSql(d = 64, iters = 3),
     "q_ann_ivfpq" -> XxhSql.annIvfPqSql(d = 64, m = 8, kc = 16, k = 5, oversample = 8,

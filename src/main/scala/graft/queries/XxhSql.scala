@@ -421,6 +421,32 @@ object XxhSql {
          |    FROM subd_$it) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
 
+  /** Oracle for cluster purity over [[graft.dedup.SemDedup]]'s
+    * deterministic k-means: the same clustering CTEs as [[semDedupSql]],
+    * then per-cluster majority label (ties to the smaller label) joined
+    * against `embeddings.label` — purity is two exact integers divided.
+    */
+  def clusterPuritySql(d: Int, kc: Int, iters: Int): String = {
+    require(iters >= 1)
+    s"""WITH ${pqCtes(d, 1, kc)},
+       |${refineLayers(d, iters)},
+       |assign AS MATERIALIZED (SELECT vec_id, c AS cluster FROM codes_$iters),
+       |cl AS MATERIALIZED (
+       |  SELECT a.cluster, e.label, count(*) AS n
+       |  FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id
+       |  GROUP BY 1, 2),
+       |members AS (SELECT cluster, CAST(sum(n) AS BIGINT) AS n_members FROM cl GROUP BY 1),
+       |top AS (
+       |  SELECT cluster, label AS majority_label, CAST(n AS BIGINT) AS n_majority FROM (
+       |    SELECT cluster, label, n,
+       |      row_number() OVER (PARTITION BY cluster ORDER BY n DESC, label) AS rn
+       |    FROM cl) WHERE rn = 1)
+       |SELECT CAST(t.cluster AS INTEGER) AS cluster, m.n_members, t.majority_label, t.n_majority,
+       |  t.n_majority / CAST(m.n_members AS DOUBLE) AS purity
+       |FROM top t JOIN members m USING (cluster)
+       |ORDER BY cluster""".stripMargin
+  }
+
   /** Oracle for [[graft.dedup.SemDedup.semDedup]]: full-vector k-means is
     * PQ with m = 1 (one subspace = the whole vector), so clustering
     * reuses [[pqCtes]] + [[refineLayers]] verbatim; the pruning pass then

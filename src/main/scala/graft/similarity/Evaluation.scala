@@ -63,6 +63,25 @@ object Evaluation {
       .select(col("query_id"), col("item_id"), col("score"), col("rank"))
   }
 
+  /** Per-cluster purity of a cluster assignment against ground-truth
+    * labels: (cluster, n_members, majority_label, n_majority, purity)
+    * with the majority tie broken to the smaller label. Purity divides
+    * two exact integers, so the double is engine-portable; the corpus-
+    * sized input reduces to (cluster × label) cells in one aggregation.
+    */
+  def clusterPurity(assigned: DataFrame, clusterCol: String, labelCol: String): DataFrame = {
+    val cl = assigned.groupBy(col(clusterCol).as("cluster"), col(labelCol).as("label"))
+      .agg(count(lit(1)).as("__n"))
+    val members = cl.groupBy(col("cluster")).agg(sum(col("__n")).as("n_members"))
+    val w = Window.partitionBy(col("cluster")).orderBy(col("__n").desc, col("label"))
+    cl.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col("cluster"), col("label").as("majority_label"), col("__n").as("n_majority"))
+      .join(members, Seq("cluster"))
+      .select(col("cluster"), col("n_members"), col("majority_label"), col("n_majority"),
+        (col("n_majority").cast("double") / col("n_members").cast("double")).as("purity"))
+  }
+
   /** Hard-negative mining for contrastive training: per query, the k
     * most cosine-similar corpus vectors whose label DIFFERS from the
     * query's — the negatives that sit closest to the decision boundary.

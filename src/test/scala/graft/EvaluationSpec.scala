@@ -92,6 +92,20 @@ class EvaluationSpec extends SparkSpec {
     full.foreach(r => assert(r.getDouble(3) == r.getDouble(1) - r.getDouble(2)))
   }
 
+  test("clusterPurity computes majority labels, tie to the smaller label, exact purity") {
+    val assigned = Seq(
+      (0, 5), (0, 5), (0, 5), (0, 9),      // cluster 0: 3/4 label 5
+      (1, 2), (1, 3),                      // cluster 1: 1-1 tie -> label 2
+      (2, 7)                               // singleton
+    ).toDF("cluster", "label")
+    val out = Evaluation.clusterPurity(assigned, "cluster", "label")
+      .orderBy($"cluster").collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getInt(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(0) == ((4L, 5, 3L, 0.75)))
+    assert(out(1) == ((2L, 2, 1L, 0.5)))
+    assert(out(2) == ((1L, 7, 1L, 1.0)))
+  }
+
   test("knnClassify majority tie breaks to the smaller label") {
     // query 0 with k=2: one neighbor labeled 2, one labeled 1, both at
     // identical distance shape -> 1-1 tie -> predict 1
