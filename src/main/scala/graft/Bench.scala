@@ -59,7 +59,11 @@ object Bench {
     "q_semdedup",
     "q_dsir_weights",
     "q_pca_project",
-    "q_bm25"
+    "q_bm25",
+    // round 7 late session: retrieval evaluation + data mixing
+    "q_hybrid_retrieval",
+    "q_domain_mixture",
+    "q_bm25_incremental"
   )
 
   def main(args: Array[String]): Unit = {

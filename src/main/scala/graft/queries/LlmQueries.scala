@@ -154,6 +154,22 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // LSH parameter evaluation on a bounded slice: exact all-pairs
+    // Jaccard vs the production banding pipeline — found=false isolates
+    // banding misses (how you pick numHashes/bands empirically). The
+    // corpus' own near-dups are all J ≥ 0.9 (banding always hits), so
+    // the gate PLANTS a half-prefix variant per doc at +200000: J ≈ 0.5
+    // is the regime where 16×4 banding misses ~35% of true pairs
+    "q_lsh_recall" -> ((s, dir) => {
+      val base = t(s, dir, "documents").where(col("doc_id") < 250)
+        .select(col("doc_id"), col("text"))
+      val planted = base.select((col("doc_id") + 200000).as("doc_id"),
+        substr(col("text"), lit(1), floor(length(col("text")) / 2).cast("int")).as("text"))
+      Evaluation.lshRecall(base.union(planted),
+          "text", "doc_id", shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.35)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // clustering-quality probe: per-cluster label purity of the
     // deterministic k-means (the SemDeDup clustering reused as an
     // unsupervised-structure evaluation against the labeled slice)
@@ -1127,6 +1143,7 @@ object LlmQueries {
       nQueries = 5, iters = 1),
     "q_semdedup" -> XxhSql.semDedupSql(d = 64, kc = 16, iters = 1, tau = 0.9),
     "q_cluster_purity" -> XxhSql.clusterPuritySql(d = 64, kc = 16, iters = 1),
+    "q_lsh_recall" -> XxhSql.lshRecallSql(n = 3, k = 64, bands = 16, threshold = 0.35, idMax = 250),
     "q_pca_project" -> XxhSql.pcaProjectSql(d = 64, iters = 3),
     "q_pca_component" -> XxhSql.pcaComponentSql(d = 64, iters = 3),
     "q_ann_ivfpq" -> XxhSql.annIvfPqSql(d = 64, m = 8, kc = 16, k = 5, oversample = 8,

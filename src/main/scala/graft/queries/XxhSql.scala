@@ -250,6 +250,39 @@ object XxhSql {
        |WHERE j >= $threshold ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Oracle for [[graft.similarity.Evaluation.lshRecall]]: exact
+    * all-pairs Jaccard over the slice's shingle STRING sets (inverted-
+    * index join — a pair above any positive threshold must share a
+    * shingle) left-joined with the full banding pipeline's verified
+    * pairs, both computed from the same slice-restricted `ssh` CTE.
+    */
+  def lshRecallSql(n: Int, k: Int, bands: Int, threshold: Double, idMax: Int): String = {
+    // the gate plants a half-prefix variant of every slice doc at
+    // +200000: J(doc, variant) ≈ 0.5, the regime where 16×4 banding
+    // genuinely misses (~35% per pair) — without them the synthetic
+    // corpus only contains J ≥ 0.9 near-dups and `found` is vacuous
+    val src =
+      s"""(SELECT doc_id, text FROM documents WHERE doc_id < $idMax
+         |      UNION ALL
+         |      SELECT doc_id + 200000 AS doc_id,
+         |        substr(text, 1, CAST(floor(length(text) / 2) AS INTEGER)) AS text
+         |      FROM documents WHERE doc_id < $idMax) sl""".stripMargin
+    s"""WITH ${pairCtes(wordShingles(n, src), k, bands, k / bands)},
+       |inter AS MATERIALIZED (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+       |  FROM ssh a JOIN ssh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sz AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM ssh GROUP BY doc_id),
+       |exact AS MATERIALIZED (
+       |  SELECT id_a, id_b, CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) AS j
+       |  FROM inter JOIN sz sa ON sa.doc_id = inter.id_a JOIN sz sb ON sb.doc_id = inter.id_b)
+       |SELECT e.id_a, e.id_b, round(e.j, 6) AS jaccard_sim, (v.id_a IS NOT NULL) AS found
+       |FROM exact e LEFT JOIN (SELECT id_a, id_b FROM ver WHERE j >= $threshold) v
+       |  ON v.id_a = e.id_a AND v.id_b = e.id_b
+       |WHERE e.j >= $threshold
+       |ORDER BY e.id_a, e.id_b""".stripMargin
+  }
+
   /** Oracle for [[graft.dedup.Dedup.minHashDedup]] survivors: connected
     * components over the verified pairs via a recursive transitive
     * closure, drop every doc whose component minimum is a lower id.

@@ -63,6 +63,42 @@ object Evaluation {
       .select(col("query_id"), col("item_id"), col("score"), col("rank"))
   }
 
+  /** LSH banding recall on a bounded eval slice: exact all-pairs
+    * shingle-set Jaccard (via the shingle inverted index — genuinely
+    * quadratic, hence EVAL SLICES ONLY) left-joined with the production
+    * MinHash+LSH pipeline's verified pairs at the same threshold, so
+    * `found = false` isolates exactly the pairs the BANDING missed
+    * (verification Jaccard is identical on both sides). This is how you
+    * pick (numHashes, bands) empirically instead of trusting the
+    * formula. Output: (id_a, id_b, jaccard_sim, found).
+    */
+  def lshRecall(docs: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    import graft.dedup.Dedup
+    import graft.functions.{TextFunctions => T}
+    val sh = docs
+      .select(col(idCol).as("id"), explode(T.shingleHashes(col(textCol), shingleSize)).as("h"))
+      .distinct()
+    val sz = sh.groupBy(col("id")).agg(count(lit(1)).as("__sz"))
+    val inter = sh.as("a").join(sh.as("b"), Seq("h"))
+      .where(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("__ni"))
+    val exact = inter
+      .join(sz.select(col("id").as("id_a"), col("__sz").as("__sa")), Seq("id_a"))
+      .join(sz.select(col("id").as("id_b"), col("__sz").as("__sb")), Seq("id_b"))
+      .withColumn("__j", col("__ni").cast("double") / (col("__sa") + col("__sb") - col("__ni")))
+      .where(col("__j") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("__j"), 6).as("jaccard_sim"))
+    val lsh = Dedup
+      .minHashPairs(docs, textCol, idCol, shingleSize, numHashes, bands, threshold)
+      .select(col("id_a"), col("id_b"), lit(true).as("__found"))
+    exact.join(lsh, Seq("id_a", "id_b"), "left_outer")
+      .select(col("id_a"), col("id_b"), col("jaccard_sim"),
+        coalesce(col("__found"), lit(false)).as("found"))
+  }
+
   /** Per-cluster purity of a cluster assignment against ground-truth
     * labels: (cluster, n_members, majority_label, n_majority, purity)
     * with the majority tie broken to the smaller label. Purity divides

@@ -92,6 +92,29 @@ class EvaluationSpec extends SparkSpec {
     full.foreach(r => assert(r.getDouble(3) == r.getDouble(1) - r.getDouble(2)))
   }
 
+  test("lshRecall: exact Jaccard is right, identical docs are always found, lsh ⊆ exact") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (0L, a),
+      (1L, a),                                       // J = 1 with doc 0
+      (2L, "alpha beta gamma delta epsilon zeta different tail words here entirely"),
+      (3L, "totally unrelated content with no shared trigrams at all present")
+    ).toDF("doc_id", "text")
+    val out = graft.similarity.Evaluation
+      .lshRecall(docs, "text", "doc_id", threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    // identical pair: J=1, banding cannot miss it
+    assert(out((0L, 1L)) == ((1.0, true)), out.toString)
+    // doc 3 shares no trigram with anyone -> absent from the exact side
+    assert(!out.keySet.exists { case (x, y) => x == 3L || y == 3L })
+    // hand-check one Jaccard: the 6-token common prefix gives 4 shared
+    // trigrams; doc 0 has 8 distinct trigrams, doc 2 has 9 -> 4/13
+    val j02 = out((0L, 2L))._1
+    assert(math.abs(j02 - 4.0 / 13.0) < 1e-6, s"J(0,2)=$j02")
+    // every reported pair meets the threshold
+    assert(out.values.forall(_._1 >= 0.2))
+  }
+
   test("clusterPurity computes majority labels, tie to the smaller label, exact purity") {
     val assigned = Seq(
       (0, 5), (0, 5), (0, 5), (0, 9),      // cluster 0: 3/4 label 5
