@@ -92,7 +92,28 @@ object PlanCheck {
     Check("q_dsir_weights", mustContain = Seq("BroadcastHashJoin")),
     // BM25: vocabulary-sized IDF broadcasts; top-k compiles to a partial
     // group limit before the exchange
-    Check("q_bm25", mustContain = Seq("BroadcastHashJoin", "WindowGroupLimit"))
+    Check("q_bm25", mustContain = Seq("BroadcastHashJoin", "WindowGroupLimit")),
+    // the merged-index path must keep the same score-time shape
+    Check("q_bm25_incremental", mustContain = Seq("BroadcastHashJoin", "WindowGroupLimit")),
+    // hybrid fusion: BM25's broadcast IDF survives composition; the fused
+    // top-k still partial-group-limits before the exchange
+    Check("q_hybrid_retrieval", mustContain = Seq("BroadcastHashJoin", "WindowGroupLimit")),
+    // eval ops ride the ANN top-k shape (vote/rank rn<=k pushed down)
+    Check("q_knn_classify", mustContain = Seq("WindowGroupLimit")),
+    Check("q_hard_negatives", mustContain = Seq("WindowGroupLimit")),
+    // mixture: the driver-computed rate table must broadcast; the corpus
+    // path stays narrow (no corpus shuffle before the summary agg)
+    Check(
+      "q_domain_mixture",
+      mustContain = Seq("BroadcastHashJoin"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // recall eval: inverted-index equi joins only, never a cross product
+    Check(
+      "q_lsh_recall",
+      mustContain = Seq("partial_count"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // bigram LM: both model tables broadcast to the scoring join
+    Check("q_perplexity_bigram", mustContain = Seq("BroadcastHashJoin"))
   )
 
   def main(args: Array[String]): Unit = {
