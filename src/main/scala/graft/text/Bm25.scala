@@ -56,12 +56,20 @@ object Bm25 {
     */
   def buildIndex(corpus: DataFrame, textCol: String, idCol: String): Index = {
     val toks = corpus.select(col(idCol).as("doc_id"), T.tokenize(col(textCol)).as("toks"))
-    val stats = toks.select(size(col("toks")).as("len"))
-      .agg(count(lit(1)).as("n"), coalesce(sum(col("len")), lit(0L)).as("s")).head()
     val tf = toks
       .select(col("doc_id"), size(col("toks")).as("len"), explode(col("toks")).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"), max(col("len")).as("len"))
-    Index(tf, tf.groupBy(col("term")).agg(count(lit(1)).as("df")), stats.getLong(0), stats.getLong(1))
+      .localCheckpoint(true)
+    // corpus stats WITHOUT a second tokenize pass over the text: nDocs is
+    // a tokenize-free count (empty docs included, matching the oracle's
+    // count(*)), sumLen folds the per-doc len already riding the postings
+    // (empty docs contribute 0 there by construction). The postings are
+    // checkpointed because they feed three consumers (stats, df, scoring)
+    // — without it the tokenize+explode+agg pipeline would run thrice.
+    val nDocs = corpus.count()
+    val sumLen = tf.groupBy(col("doc_id")).agg(max(col("len")).as("len"))
+      .agg(coalesce(sum(col("len")), lit(0L))).head().getLong(0)
+    Index(tf, tf.groupBy(col("term")).agg(count(lit(1)).as("df")), nDocs, sumLen)
   }
 
   /** Merge a new segment into an existing index. Caller contract: the
