@@ -181,6 +181,17 @@ object LlmQueries {
       Evaluation.clusterPurity(assigned, "cluster", "label").orderBy(col("cluster"))
     }),
 
+    // chance-corrected clustering agreement: exact-integer pair counts,
+    // one fixed-order float division at the edge — bit-exact without
+    // transcendentals (the ARI companion to q_cluster_purity)
+    "q_cluster_ari" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = SemDedup.kmeansDeterministic(emb, "embedding", "vec_id", k = 16, iters = 1)
+      val assigned = SemDedup.assignClusters(emb, "embedding", cents)
+        .select(col("cluster").cast("int").as("cluster"), col("label"))
+      Evaluation.adjustedRandIndex(assigned, "cluster", "label")
+    }),
+
     // per-vector margin: best same-label minus best other-label cosine —
     // negative margin flags boundary/mislabeled vectors
     "q_sim_margin" -> ((s, dir) => {
@@ -1144,6 +1155,7 @@ object LlmQueries {
     "q_semdedup" -> XxhSql.semDedupSql(d = 64, kc = 16, iters = 1, tau = 0.9),
     "q_cluster_purity" -> XxhSql.clusterPuritySql(d = 64, kc = 16, iters = 1),
     "q_lsh_recall" -> XxhSql.lshRecallSql(n = 3, k = 64, bands = 16, threshold = 0.35, idMax = 250),
+    "q_cluster_ari" -> XxhSql.clusterAriSql(d = 64, kc = 16, iters = 1),
     "q_pca_project" -> XxhSql.pcaProjectSql(d = 64, iters = 3),
     "q_pca_component" -> XxhSql.pcaComponentSql(d = 64, iters = 3),
     "q_ann_ivfpq" -> XxhSql.annIvfPqSql(d = 64, m = 8, kc = 16, k = 5, oversample = 8,

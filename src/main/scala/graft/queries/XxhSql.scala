@@ -480,6 +480,42 @@ object XxhSql {
        |ORDER BY cluster""".stripMargin
   }
 
+  /** Oracle for [[graft.similarity.Evaluation.adjustedRandIndex]] over
+    * the deterministic k-means assignment: every term is an exact
+    * integer pair count; the final arithmetic mirrors the engine's
+    * fixed operation order so the double matches bit-for-bit.
+    */
+  def clusterAriSql(d: Int, kc: Int, iters: Int): String = {
+    require(iters >= 1)
+    s"""WITH ${pqCtes(d, 1, kc)},
+       |${refineLayers(d, iters)},
+       |assign AS MATERIALIZED (SELECT vec_id, c AS cluster FROM codes_$iters),
+       |cells AS MATERIALIZED (
+       |  SELECT a.cluster, e.label, count(*) AS n
+       |  FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id
+       |  GROUP BY 1, 2),
+       |s AS (SELECT
+       |  (SELECT CAST(sum(n) AS BIGINT) FROM cells) AS n_items,
+       |  (SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT) FROM cells) AS sum_cl,
+       |  (SELECT CAST(sum(na * (na - 1) // 2) AS BIGINT) FROM
+       |     (SELECT sum(n) AS na FROM cells GROUP BY cluster)) AS sum_c,
+       |  (SELECT CAST(sum(nb * (nb - 1) // 2) AS BIGINT) FROM
+       |     (SELECT sum(n) AS nb FROM cells GROUP BY label)) AS sum_l)
+       |SELECT n_items, sum_cl, sum_c, sum_l,
+       |  CASE WHEN (CAST(sum_c AS DOUBLE) + CAST(sum_l AS DOUBLE)) / 2.0E0
+       |            - CAST(sum_c AS DOUBLE) * CAST(sum_l AS DOUBLE)
+       |              / CAST(n_items * (n_items - 1) // 2 AS DOUBLE) = 0.0E0
+       |       THEN 1.0E0
+       |       ELSE (CAST(sum_cl AS DOUBLE)
+       |             - CAST(sum_c AS DOUBLE) * CAST(sum_l AS DOUBLE)
+       |               / CAST(n_items * (n_items - 1) // 2 AS DOUBLE))
+       |          / ((CAST(sum_c AS DOUBLE) + CAST(sum_l AS DOUBLE)) / 2.0E0
+       |             - CAST(sum_c AS DOUBLE) * CAST(sum_l AS DOUBLE)
+       |               / CAST(n_items * (n_items - 1) // 2 AS DOUBLE))
+       |  END AS ari
+       |FROM s""".stripMargin
+  }
+
   /** Oracle for [[graft.dedup.SemDedup.semDedup]]: full-vector k-means is
     * PQ with m = 1 (one subspace = the whole vector), so clustering
     * reuses [[pqCtes]] + [[refineLayers]] verbatim; the pruning pass then

@@ -118,6 +118,41 @@ object Evaluation {
         (col("n_majority").cast("double") / col("n_members").cast("double")).as("purity"))
   }
 
+  /** Adjusted Rand Index between a cluster assignment and ground-truth
+    * labels — the chance-corrected pair-counting agreement. Every term
+    * is an exact integer (pair counts C(n,2)); only the final
+    * expected/denominator arithmetic is floating point, in a fixed
+    * single-application order, so the score is engine-portable
+    * bit-for-bit with no transcendentals (unlike NMI's logs). The
+    * corpus reduces to bounded (cluster × label) cells in one
+    * aggregation; the cell table is folded on the driver (bounded
+    * dimension, require'd). Output row:
+    * (n_items, sum_cl, sum_c, sum_l, ari); identical partitions (or a
+    * degenerate single cell) define ari = 1.0.
+    */
+  def adjustedRandIndex(assigned: DataFrame, clusterCol: String, labelCol: String): DataFrame = {
+    val cells = assigned.groupBy(col(clusterCol).as("c"), col(labelCol).as("l"))
+      .agg(count(lit(1)).as("n")).collect()
+    require(cells.length <= 1000000,
+      s"adjustedRandIndex: ${cells.length} (cluster × label) cells exceed the bounded-dimension cap")
+    val ns = cells.map(_.getLong(2))
+    def pairs(n: Long) = n * (n - 1) / 2
+    val sumCl = ns.map(pairs).sum
+    val byC = cells.groupBy(_.get(0)).view.mapValues(_.map(_.getLong(2)).sum)
+    val byL = cells.groupBy(_.get(1)).view.mapValues(_.map(_.getLong(2)).sum)
+    val sumC = byC.values.map(pairs).sum
+    val sumL = byL.values.map(pairs).sum
+    val nItems = ns.sum
+    val nPairs = pairs(nItems)
+    val expected = sumC.toDouble * sumL.toDouble / nPairs.toDouble
+    val denom = (sumC.toDouble + sumL.toDouble) / 2.0 - expected
+    val ari = if (denom == 0.0) 1.0 else (sumCl.toDouble - expected) / denom
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    Seq((nItems, sumCl, sumC, sumL, ari))
+      .toDF("n_items", "sum_cl", "sum_c", "sum_l", "ari")
+  }
+
   /** Hard-negative mining for contrastive training: per query, the k
     * most cosine-similar corpus vectors whose label DIFFERS from the
     * query's — the negatives that sit closest to the decision boundary.

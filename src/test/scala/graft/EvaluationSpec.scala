@@ -129,6 +129,23 @@ class EvaluationSpec extends SparkSpec {
     assert(out(2) == ((1L, 7, 1L, 1.0)))
   }
 
+  test("adjustedRandIndex: 1.0 for identical partitions (up to relabeling), ~0 for independent") {
+    import graft.similarity.Evaluation
+    def ari(rows: Seq[(Int, Int)]) =
+      Evaluation.adjustedRandIndex(rows.toDF("cluster", "label"), "cluster", "label")
+        .collect().head.getDouble(4)
+    val perfect = Seq((0, 7), (0, 7), (0, 7), (1, 3), (1, 3), (2, 9))
+    assert(ari(perfect) == 1.0, "identical partitions under relabeling must score 1")
+    // single cluster against an even label split: chance-corrected to 0
+    val indep = Seq((0, 0), (0, 1), (0, 0), (0, 1))
+    assert(math.abs(ari(indep)) < 1e-12)
+    // hand-computed: clusters {a,a,b,b}, labels {0,1,0,1} ->
+    // sum_cl = 0, sum_c = sum_l = 2, nPairs = 6, exp = 4/6
+    // ari = (0 - 2/3) / (2 - 2/3) = -0.5
+    val anti = Seq((0, 0), (0, 1), (1, 0), (1, 1))
+    assert(math.abs(ari(anti) - (-0.5)) < 1e-12, s"got ${ari(anti)}")
+  }
+
   test("knnClassify majority tie breaks to the smaller label") {
     // query 0 with k=2: one neighbor labeled 2, one labeled 1, both at
     // identical distance shape -> 1-1 tie -> predict 1
