@@ -136,6 +136,27 @@ object Dedup {
       bands, numHashes / bands, threshold)
   }
 
+  /** ALL banded candidate pairs with their exact shingle-set Jaccard —
+    * [[minHashPairs]] without the verification threshold (a threshold of
+    * 0 keeps every candidate, since set Jaccard is never negative).
+    * This is the banding's raw output, the input to precision analysis:
+    * candidates that fail verification are the wasted verification work
+    * a (numHashes, bands) choice costs.
+    */
+  def minHashCandidatePairs(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16
+  ): DataFrame = {
+    require(numHashes % bands == 0)
+    lshVerifiedPairs(
+      minHashSignatures(docs, idCol, T.shingleHashes(col(textCol), shingleSize), numHashes),
+      bands, numHashes / bands, threshold = 0.0)
+  }
+
   /** Character-n-gram Jaccard near-dup pairs (same MinHash machinery over
     * char shingles).
     */

@@ -170,6 +170,19 @@ object LlmQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // the precision companion: every banded candidate with its exact
+    // Jaccard and a pass flag — passed=false rows are the verification
+    // work the banding wastes (same planted slice as q_lsh_recall)
+    "q_lsh_precision" -> ((s, dir) => {
+      val base = t(s, dir, "documents").where(col("doc_id") < 250)
+        .select(col("doc_id"), col("text"))
+      val planted = base.select((col("doc_id") + 200000).as("doc_id"),
+        substr(col("text"), lit(1), floor(length(col("text")) / 2).cast("int")).as("text"))
+      Evaluation.lshPrecision(base.union(planted),
+          "text", "doc_id", shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // clustering-quality probe: per-cluster label purity of the
     // deterministic k-means (the SemDeDup clustering reused as an
     // unsupervised-structure evaluation against the labeled slice)
@@ -1156,6 +1169,7 @@ object LlmQueries {
     "q_cluster_purity" -> XxhSql.clusterPuritySql(d = 64, kc = 16, iters = 1),
     "q_lsh_recall" -> XxhSql.lshRecallSql(n = 3, k = 64, bands = 16, threshold = 0.35, idMax = 250),
     "q_cluster_ari" -> XxhSql.clusterAriSql(d = 64, kc = 16, iters = 1),
+    "q_lsh_precision" -> XxhSql.lshPrecisionSql(n = 3, k = 64, bands = 16, threshold = 0.5, idMax = 250),
     "q_pca_project" -> XxhSql.pcaProjectSql(d = 64, iters = 3),
     "q_pca_component" -> XxhSql.pcaComponentSql(d = 64, iters = 3),
     "q_ann_ivfpq" -> XxhSql.annIvfPqSql(d = 64, m = 8, kc = 16, k = 5, oversample = 8,

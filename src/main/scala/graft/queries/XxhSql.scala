@@ -283,6 +283,24 @@ object XxhSql {
        |ORDER BY e.id_a, e.id_b""".stripMargin
   }
 
+  /** Oracle for [[graft.similarity.Evaluation.lshPrecision]]: every
+    * banded candidate pair (the `ver` CTE unfiltered) with a pass flag
+    * on the ROUNDED Jaccard — same planted half-prefix slice as
+    * [[lshRecallSql]].
+    */
+  def lshPrecisionSql(n: Int, k: Int, bands: Int, threshold: Double, idMax: Int): String = {
+    val src =
+      s"""(SELECT doc_id, text FROM documents WHERE doc_id < $idMax
+         |      UNION ALL
+         |      SELECT doc_id + 200000 AS doc_id,
+         |        substr(text, 1, CAST(floor(length(text) / 2) AS INTEGER)) AS text
+         |      FROM documents WHERE doc_id < $idMax) sl""".stripMargin
+    s"""WITH ${pairCtes(wordShingles(n, src), k, bands, k / bands)}
+       |SELECT id_a, id_b, round(j, 6) AS jaccard_sim,
+       |  round(j, 6) >= $threshold AS passed
+       |FROM ver ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** Oracle for [[graft.dedup.Dedup.minHashDedup]] survivors: connected
     * components over the verified pairs via a recursive transitive
     * closure, drop every doc whose component minimum is a lower id.

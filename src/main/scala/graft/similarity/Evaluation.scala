@@ -99,6 +99,21 @@ object Evaluation {
         coalesce(col("__found"), lit(false)).as("found"))
   }
 
+  /** LSH banding precision companion to [[lshRecall]]: every banded
+    * candidate pair with its exact Jaccard and whether it passes the
+    * verification threshold — `passed = false` rows are the wasted
+    * verification work of a (numHashes, bands) choice. The flag
+    * thresholds the ROUNDED Jaccard on both engine and oracle sides
+    * (it's a report, not the dedup verdict, which thresholds raw).
+    */
+  def lshPrecision(docs: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5): DataFrame =
+    graft.dedup.Dedup
+      .minHashCandidatePairs(docs, textCol, idCol, shingleSize, numHashes, bands)
+      .select(col("id_a"), col("id_b"), col("jaccard_sim"),
+        (col("jaccard_sim") >= threshold).as("passed"))
+
   /** Per-cluster purity of a cluster assignment against ground-truth
     * labels: (cluster, n_members, majority_label, n_majority, purity)
     * with the majority tie broken to the smaller label. Purity divides

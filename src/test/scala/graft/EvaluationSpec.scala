@@ -115,6 +115,24 @@ class EvaluationSpec extends SparkSpec {
     assert(out.values.forall(_._1 >= 0.2))
   }
 
+  test("lshPrecision: candidates ⊇ verified pairs; passed flag matches the threshold") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (0L, a), (1L, a),
+      (2L, "alpha beta gamma delta epsilon zeta different tail words here entirely")
+    ).toDF("doc_id", "text")
+    val cand = graft.similarity.Evaluation
+      .lshPrecision(docs, "text", "doc_id", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    assert(cand((0L, 1L)) == ((1.0, true)))
+    cand.foreach { case (_, (j, p)) => assert(p == (j >= 0.9), s"flag mismatch at $j") }
+    // every pair the production dedup verifies at 0.9 must be a candidate
+    val verified = graft.dedup.Dedup.minHashPairs(docs, "text", "doc_id", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified.subsetOf(cand.keySet))
+    assert(verified.forall(p => cand(p)._2), "verified pairs must carry passed=true")
+  }
+
   test("clusterPurity computes majority labels, tie to the smaller label, exact purity") {
     val assigned = Seq(
       (0, 5), (0, 5), (0, 5), (0, 9),      // cluster 0: 3/4 label 5
