@@ -288,6 +288,15 @@ object LlmQueries {
         .orderBy(col("source"))
     }),
 
+    // model-based quality classifier (fastText/CCNet inference shape):
+    // fixed weights over exact-ratio features, sigmoid rounded at the
+    // edge, keep verdict on the rounded score — one narrow codegen'd
+    // expression, no UDF, no shuffle
+    "q_quality_lr" -> ((s, dir) => {
+      graft.text.QualityLr.score(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy(col("id"))
+    }),
+
     // Gopher rule battery (Rae et al. 2021): integer counts and exact
     // ratios only — verdicts bit-identical across engines, no rounding
     "q_gopher_rules" -> ((s, dir) => {
@@ -1734,6 +1743,26 @@ object LlmQueries {
          |  coalesce(k.n_kept, 0) AS n_kept, coalesce(k.tokens_kept, 0) AS tokens_kept
          |FROM rates r LEFT JOIN kept k USING (source)
          |ORDER BY r.source""".stripMargin,
+    // exact-ratio features; the logit is the engine's left-to-right
+    // multiply-add chain verbatim; sigmoid rounded to 4 (exp parity per
+    // the q_perplexity precedent), keep thresholds the rounded score
+    "q_quality_lr" ->
+      s"""SELECT id, n_tokens, avg_len, ttr, score, score >= 0.5E0 AS keep FROM (
+         |  SELECT id, n_tokens,
+         |    nchars / CAST(n_tokens AS DOUBLE) AS avg_len,
+         |    ndist / CAST(n_tokens AS DOUBLE) AS ttr,
+         |    round(1.0E0 / (1.0E0 + exp(-(-3.0E0
+         |      + 1.2E0 * (CAST(n_tokens AS DOUBLE) / 100.0E0)
+         |      + 0.4E0 * (nchars / CAST(n_tokens AS DOUBLE))
+         |      + 1.5E0 * (ndist / CAST(n_tokens AS DOUBLE))))), 4) AS score
+         |  FROM (
+         |    SELECT doc_id AS id,
+         |      CAST(len(list_filter($toksSql, x -> x <> '')) AS BIGINT) AS n_tokens,
+         |      length(replace($normSql, ' ', '')) AS nchars,
+         |      len(list_distinct(list_filter($toksSql, x -> x <> ''))) AS ndist
+         |    FROM documents)
+         |  WHERE n_tokens > 0)
+         |ORDER BY id""".stripMargin,
     "q_gopher_rules" ->
       s"""WITH tk AS (
          |  SELECT doc_id, list_filter($toksSql, x -> x <> '') AS toks FROM documents
