@@ -205,6 +205,19 @@ object LlmQueries {
       Evaluation.adjustedRandIndex(assigned, "cluster", "label")
     }),
 
+    // information-theoretic clustering agreement: MI / entropies as
+    // fixed-order folds of (count ratio)·ln(count ratio) terms over the
+    // bounded cell table, round-6 at the edge (ln ulp parity), nmi
+    // computed FROM the rounded components — the NMI companion closing
+    // the purity/ARI/NMI evaluation triad
+    "q_cluster_nmi" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = SemDedup.kmeansDeterministic(emb, "embedding", "vec_id", k = 16, iters = 1)
+      val assigned = SemDedup.assignClusters(emb, "embedding", cents)
+        .select(col("cluster").cast("int").as("cluster"), col("label"))
+      Evaluation.normalizedMutualInfo(assigned, "cluster", "label")
+    }),
+
     // per-vector margin: best same-label minus best other-label cosine —
     // negative margin flags boundary/mislabeled vectors
     "q_sim_margin" -> ((s, dir) => {
@@ -1178,6 +1191,7 @@ object LlmQueries {
     "q_cluster_purity" -> XxhSql.clusterPuritySql(d = 64, kc = 16, iters = 1),
     "q_lsh_recall" -> XxhSql.lshRecallSql(n = 3, k = 64, bands = 16, threshold = 0.35, idMax = 250),
     "q_cluster_ari" -> XxhSql.clusterAriSql(d = 64, kc = 16, iters = 1),
+    "q_cluster_nmi" -> XxhSql.clusterNmiSql(d = 64, kc = 16, iters = 1),
     "q_lsh_precision" -> XxhSql.lshPrecisionSql(n = 3, k = 64, bands = 16, threshold = 0.5, idMax = 250),
     "q_pca_project" -> XxhSql.pcaProjectSql(d = 64, iters = 3),
     "q_pca_component" -> XxhSql.pcaComponentSql(d = 64, iters = 3),

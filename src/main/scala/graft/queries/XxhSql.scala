@@ -534,6 +534,56 @@ object XxhSql {
        |FROM s""".stripMargin
   }
 
+  /** Oracle for [[graft.similarity.Evaluation.normalizedMutualInfo]]
+    * over the deterministic k-means assignment: MI and the entropies
+    * are `list_reduce` left folds over (count ratio)·ln(count ratio)
+    * terms in ascending (cluster, label) VARCHAR order — exactly the
+    * engine's driver-side fold — each rounded to 6 (ln ulp parity, the
+    * q_audio_mfcc precedent); nmi recombines the ROUNDED components so
+    * sqrt/divide see engine-identical inputs.
+    */
+  def clusterNmiSql(d: Int, kc: Int, iters: Int): String = {
+    require(iters >= 1)
+    s"""WITH ${pqCtes(d, 1, kc)},
+       |${refineLayers(d, iters)},
+       |assign AS MATERIALIZED (SELECT vec_id, c AS cluster FROM codes_$iters),
+       |cells AS MATERIALIZED (
+       |  SELECT a.cluster, e.label, count(*) AS n
+       |  FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id
+       |  GROUP BY 1, 2),
+       |cagg AS MATERIALIZED (SELECT cluster, CAST(sum(n) AS BIGINT) AS nc FROM cells GROUP BY cluster),
+       |lagg AS MATERIALIZED (SELECT label, CAST(sum(n) AS BIGINT) AS nl FROM cells GROUP BY label),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM cells),
+       |mi AS (
+       |  SELECT round(list_reduce(list_prepend(0.0E0,
+       |    list((CAST(c.n AS DOUBLE) / CAST(t.nt AS DOUBLE))
+       |         * ln((CAST(t.nt AS DOUBLE) * CAST(c.n AS DOUBLE))
+       |               / (CAST(ca.nc AS DOUBLE) * CAST(la.nl AS DOUBLE)))
+       |      ORDER BY CAST(c.cluster AS VARCHAR), CAST(c.label AS VARCHAR))),
+       |    (acc, x) -> acc + x), 6) AS mi
+       |  FROM cells c JOIN cagg ca USING (cluster) JOIN lagg la USING (label), tot t),
+       |hc AS (
+       |  SELECT round(-list_reduce(list_prepend(0.0E0,
+       |    list((CAST(nc AS DOUBLE) / CAST(t.nt AS DOUBLE))
+       |         * ln(CAST(nc AS DOUBLE) / CAST(t.nt AS DOUBLE))
+       |      ORDER BY CAST(cluster AS VARCHAR))),
+       |    (acc, x) -> acc + x), 6) AS h_cluster
+       |  FROM cagg, tot t),
+       |hl AS (
+       |  SELECT round(-list_reduce(list_prepend(0.0E0,
+       |    list((CAST(nl AS DOUBLE) / CAST(t.nt AS DOUBLE))
+       |         * ln(CAST(nl AS DOUBLE) / CAST(t.nt AS DOUBLE))
+       |      ORDER BY CAST(label AS VARCHAR))),
+       |    (acc, x) -> acc + x), 6) AS h_label
+       |  FROM lagg, tot t)
+       |SELECT t.nt AS n_items, mi.mi, hc.h_cluster, hl.h_label,
+       |  CASE WHEN hc.h_cluster = 0.0E0 AND hl.h_label = 0.0E0 THEN 1.0E0
+       |       WHEN hc.h_cluster = 0.0E0 OR hl.h_label = 0.0E0 THEN 0.0E0
+       |       ELSE round(mi.mi / sqrt(hc.h_cluster * hl.h_label), 6)
+       |  END AS nmi
+       |FROM tot t, mi, hc, hl""".stripMargin
+  }
+
   /** Oracle for [[graft.dedup.SemDedup.semDedup]]: full-vector k-means is
     * PQ with m = 1 (one subspace = the whole vector), so clustering
     * reuses [[pqCtes]] + [[refineLayers]] verbatim; the pruning pass then

@@ -168,6 +168,66 @@ object Evaluation {
       .toDF("n_items", "sum_cl", "sum_c", "sum_l", "ari")
   }
 
+  /** Normalized mutual information between a cluster assignment and
+    * ground-truth labels — the information-theoretic companion to
+    * [[clusterPurity]] (which ignores non-majority structure) and
+    * [[adjustedRandIndex]] (pair counting). MI and the two entropies
+    * are sums of `(count ratio) · ln(count ratio)` terms over the
+    * bounded (cluster × label) cell table; unlike ARI they involve a
+    * transcendental, so portability needs two measures (both already
+    * proven in this repo): every ln argument is a ratio of EXACT
+    * integers, each float chain is a fixed-order driver-side fold over
+    * cells in ascending (cluster, label) STRING order (the
+    * [[graft.text.Mixture]] normalizer idiom — reproducible by the
+    * oracle's `list_reduce(list(… ORDER BY …))`), and each sum rounds
+    * to 6 at the edge (the q_audio_mfcc precedent: round-6 absorbs the
+    * libm ulp gap between `Math.log` and DuckDB `ln`). `nmi` is then
+    * computed FROM the rounded components — sqrt/divide/round of
+    * engine-identical inputs — so every output bit matches.
+    *
+    * Output row: (n_items, mi, h_cluster, h_label, nmi) with
+    * nmi = mi / √(h_cluster·h_label); a degenerate side (single
+    * cluster or single label → zero entropy) defines nmi = 0.0, or
+    * 1.0 when BOTH sides are degenerate (the 1×1 partition agrees with
+    * itself). The corpus reduces to cells in one aggregation, exactly
+    * as [[adjustedRandIndex]].
+    */
+  def normalizedMutualInfo(assigned: DataFrame, clusterCol: String, labelCol: String): DataFrame = {
+    val cells = assigned.groupBy(col(clusterCol).as("c"), col(labelCol).as("l"))
+      .agg(count(lit(1)).as("n")).collect()
+    require(cells.length <= 1000000,
+      s"normalizedMutualInfo: ${cells.length} (cluster × label) cells exceed the bounded-dimension cap")
+    require(cells.nonEmpty, "normalizedMutualInfo: no rows")
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byCell = cells.map(r => (r.get(0).toString, r.get(1).toString, r.getLong(2)))
+    val nTot = byCell.map(_._3).sum.toDouble
+    val byC = byCell.groupBy(_._1).view.mapValues(_.map(_._3).sum).toSeq.sortBy(_._1)
+    val byL = byCell.groupBy(_._2).view.mapValues(_.map(_._3).sum).toSeq.sortBy(_._1)
+    val ncMap = byC.toMap
+    val nlMap = byL.toMap
+    // ascending (cluster, label) string order — mirrored by the oracle's list(… ORDER BY …)
+    val mi = round6(byCell.sortBy(t => (t._1, t._2)).foldLeft(0.0) { case (acc, (c, l, n)) =>
+      val nD = n.toDouble
+      acc + (nD / nTot) * math.log((nTot * nD) / (ncMap(c).toDouble * nlMap(l).toDouble))
+    })
+    def entropy(sums: Seq[(String, Long)]): Double =
+      round6(-sums.foldLeft(0.0) { case (acc, (_, n)) =>
+        val nD = n.toDouble
+        acc + (nD / nTot) * math.log(nD / nTot)
+      })
+    val hC = entropy(byC)
+    val hL = entropy(byL)
+    val nmi =
+      if (hC == 0.0 && hL == 0.0) 1.0
+      else if (hC == 0.0 || hL == 0.0) 0.0
+      else round6(mi / math.sqrt(hC * hL))
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    Seq((nTot.toLong, mi, hC, hL, nmi))
+      .toDF("n_items", "mi", "h_cluster", "h_label", "nmi")
+  }
+
   /** Hard-negative mining for contrastive training: per query, the k
     * most cosine-similar corpus vectors whose label DIFFERS from the
     * query's — the negatives that sit closest to the decision boundary.

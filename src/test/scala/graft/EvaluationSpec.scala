@@ -164,6 +164,36 @@ class EvaluationSpec extends SparkSpec {
     assert(math.abs(ari(anti) - (-0.5)) < 1e-12, s"got ${ari(anti)}")
   }
 
+  test("normalizedMutualInfo: 1.0 for identical partitions, 0.0 for independent, degenerate cases") {
+    import graft.similarity.Evaluation
+    def nmi(rows: Seq[(Int, Int)]) =
+      Evaluation.normalizedMutualInfo(rows.toDF("cluster", "label"), "cluster", "label")
+        .collect().head
+    // identical partitions under relabeling: MI = H_c = H_l -> nmi 1
+    val perfect = nmi(Seq((0, 7), (0, 7), (0, 7), (1, 3), (1, 3), (2, 9)))
+    assert(perfect.getDouble(4) == 1.0, s"got $perfect")
+    // single cluster vs even label split: MI = 0, H_c = 0 -> nmi 0 by convention
+    val oneCluster = nmi(Seq((0, 0), (0, 1), (0, 0), (0, 1)))
+    assert(oneCluster.getDouble(1) == 0.0 && oneCluster.getDouble(2) == 0.0)
+    assert(oneCluster.getDouble(4) == 0.0)
+    // 1x1: both entropies zero -> nmi 1 (a partition agrees with itself)
+    assert(nmi(Seq((5, 5), (5, 5))).getDouble(4) == 1.0)
+    // hand-computed independent 2x2: MI = 0 exactly (uniform product table)
+    val indep = nmi(Seq((0, 0), (0, 1), (1, 0), (1, 1)))
+    assert(indep.getDouble(1) == 0.0 && indep.getDouble(4) == 0.0, s"got $indep")
+    // hand-computed diagonal-heavy 2x2 {3,1;1,3}: check against direct formula
+    val skew = nmi(Seq.fill(3)((0, 0)) ++ Seq((0, 1), (1, 0)) ++ Seq.fill(3)((1, 1)))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // same accumulation order as the engine fold: cells (0,0),(0,1),(1,0),(1,1)
+    val t3 = (3.0 / 8.0) * math.log((8.0 * 3.0) / (4.0 * 4.0))
+    val t1 = (1.0 / 8.0) * math.log((8.0 * 1.0) / (4.0 * 4.0))
+    val miExp = r6(0.0 + t3 + t1 + t1 + t3)
+    val hExp = r6(math.log(2.0))
+    assert(skew.getDouble(1) == miExp, s"mi ${skew.getDouble(1)} vs $miExp")
+    assert(skew.getDouble(2) == hExp && skew.getDouble(3) == hExp)
+    assert(skew.getDouble(4) == r6(miExp / math.sqrt(hExp * hExp)))
+  }
+
   test("knnClassify majority tie breaks to the smaller label") {
     // query 0 with k=2: one neighbor labeled 2, one labeled 1, both at
     // identical distance shape -> 1-1 tie -> predict 1
