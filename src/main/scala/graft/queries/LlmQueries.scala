@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.dedup.{Decontaminate, Dedup, SemDedup}
-import graft.text.{Bm25, Dsir, Mixture}
+import graft.text.{Bm25, Curriculum, Dsir, Mixture}
 import graft.functions.{TextFunctions => T}
 import graft.multimodal.Multimodal
 import graft.similarity.{Evaluation, Pca, Similarity}
@@ -299,6 +299,16 @@ object LlmQueries {
     "q_domain_mixture" -> ((s, dir) => {
       Mixture.sampleSummary(t(s, dir, "documents"), "text", "doc_id", "source", budgetFraction = 0.25)
         .orderBy(col("source"))
+    }),
+
+    // curriculum ordering: ntile difficulty buckets (from the global
+    // rank via the exact ntile formula — no single-partition window),
+    // easy-to-hard epoch schedule, epoch-salted reproducible shuffle;
+    // only (id, score) pairs enter any exchange
+    "q_curriculum" -> ((s, dir) => {
+      Curriculum.epochOrder(t(s, dir, "documents"), "doc_id",
+          col("n_chars"), nBuckets = 8, epochs = 4)
+        .orderBy(col("epoch"), col("pos"))
     }),
 
     // model-based quality classifier (fastText/CCNet inference shape):
@@ -1757,6 +1767,20 @@ object LlmQueries {
          |  coalesce(k.n_kept, 0) AS n_kept, coalesce(k.tokens_kept, 0) AS tokens_kept
          |FROM rates r LEFT JOIN kept k USING (source)
          |ORDER BY r.source""".stripMargin,
+    // curriculum: buckets are DuckDB's own ntile over the identical
+    // total order; the schedule and the epoch-salted md5 shuffle are
+    // integer/string-exact, so rows match hash-for-hash
+    "q_curriculum" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, CAST(ntile(8) OVER (ORDER BY n_chars, doc_id) AS INTEGER) AS bucket
+        |  FROM documents
+        |), sched AS (SELECT CAST(unnest(range(1, 5)) AS INTEGER) AS epoch)
+        |SELECT doc_id, bucket, epoch,
+        |  CAST(row_number() OVER (PARTITION BY epoch
+        |    ORDER BY md5('epoch' || CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)), doc_id)
+        |    AS BIGINT) AS pos
+        |FROM ranked JOIN sched ON bucket <= (epoch * 8 + 3) // 4
+        |ORDER BY epoch, pos""".stripMargin,
     // exact-ratio features; the logit is the engine's left-to-right
     // multiply-add chain verbatim; sigmoid rounded to 4 (exp parity per
     // the q_perplexity precedent), keep thresholds the rounded score
