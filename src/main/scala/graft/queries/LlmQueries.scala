@@ -301,6 +301,19 @@ object LlmQueries {
         .orderBy(col("source"))
     }),
 
+    // epoch-frozen mixture: rates computed ONCE from the epoch-start
+    // snapshot (doc_id < 250), then applied unchanged to the whole
+    // corpus — the q_domain_mixture keep rule with the rate table
+    // decoupled from the filtered data (the StreamingMixture batch twin:
+    // a doc's verdict is identical whenever it arrives)
+    "q_mixture_epoch" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val rates = Mixture.sourceRates(
+        docs.where(col("doc_id") < 250), "text", "source", budgetFraction = 0.25)
+      Mixture.summaryWithRates(docs, "text", "doc_id", "source", rates)
+        .orderBy(col("source"))
+    }),
+
     // curriculum ordering: ntile difficulty buckets (from the global
     // rank via the exact ntile formula — no single-partition window),
     // easy-to-hard epoch schedule, epoch-salted reproducible shuffle;
@@ -1745,6 +1758,36 @@ object LlmQueries {
          |  SELECT doc_id, source, len(list_filter($toksSql, x -> x <> '')) AS ntok FROM documents
          |), src AS MATERIALIZED (
          |  SELECT source, CAST(sum(ntok) AS BIGINT) AS tokens FROM tk GROUP BY source
+         |), tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total FROM src),
+         |zc AS (
+         |  SELECT list_reduce(list_prepend(0.0E0,
+         |    list(sqrt(tokens / CAST(total AS DOUBLE)) ORDER BY source)), (a, x) -> a + x) AS z
+         |  FROM src, tot
+         |), rates AS MATERIALIZED (
+         |  SELECT source, tokens,
+         |    CASE WHEN tokens = 0 THEN 0.0E0
+         |         ELSE least(1.0E0, (0.25E0 * CAST(total AS DOUBLE))
+         |                * (sqrt(tokens / CAST(total AS DOUBLE)) / z) / CAST(tokens AS DOUBLE))
+         |    END AS rate
+         |  FROM src, tot, zc
+         |), kept AS (
+         |  SELECT t.source, CAST(count(*) AS BIGINT) AS n_kept, CAST(sum(t.ntok) AS BIGINT) AS tokens_kept
+         |  FROM tk t JOIN rates r USING (source)
+         |  WHERE CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 4)) AS INTEGER) / 65536.0E0 < r.rate
+         |  GROUP BY t.source
+         |)
+         |SELECT r.source, r.tokens, r.rate,
+         |  coalesce(k.n_kept, 0) AS n_kept, coalesce(k.tokens_kept, 0) AS tokens_kept
+         |FROM rates r LEFT JOIN kept k USING (source)
+         |ORDER BY r.source""".stripMargin,
+    // epoch-frozen mixture: identical to q_domain_mixture except the
+    // rate pipeline (src/tot/zc/rates) reads only the snapshot slice
+    // while kept filters the full corpus
+    "q_mixture_epoch" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, source, len(list_filter($toksSql, x -> x <> '')) AS ntok FROM documents
+         |), src AS MATERIALIZED (
+         |  SELECT source, CAST(sum(ntok) AS BIGINT) AS tokens FROM tk WHERE doc_id < 250 GROUP BY source
          |), tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total FROM src),
          |zc AS (
          |  SELECT list_reduce(list_prepend(0.0E0,

@@ -37,21 +37,16 @@ object Mixture {
 
   private val MaxSources = 100000
 
-  /** Pass 1 + driver-side rate computation. `budgetFraction` is the
-    * target total-token budget as a fraction of the corpus (0.25 = keep
-    * about a quarter of all tokens, redistributed toward small sources).
+  /** Rate computation from per-source token totals — the pure driver-side
+    * core, shared by [[sourceRates]] (one-shot batch) and
+    * [[graft.streaming.StreamingMixture]] (refreeze from accumulated
+    * per-batch stats: token totals are sums, so merge ≡ recompute).
     */
-  def sourceRates(docs: DataFrame, textCol: String, sourceCol: String,
-      budgetFraction: Double): Seq[SourceRate] = {
+  def ratesFromTokenCounts(perSource: Seq[(String, Long)], budgetFraction: Double): Seq[SourceRate] = {
     require(budgetFraction > 0, "Mixture: budgetFraction must be positive")
-    val perSource = docs
-      .groupBy(col(sourceCol).cast("string").as("source"))
-      .agg(sum(T.tokenCount(col(textCol)).cast("long")).as("tokens"))
-      .collect()
     require(perSource.length <= MaxSources,
       s"Mixture: ${perSource.length} sources exceed the bounded-dimension cap $MaxSources")
-    val bySource: Seq[(String, Long)] = perSource.iterator
-      .map { case Row(s: String, t: Long) => (s, t) }.toSeq.sortBy(_._1)
+    val bySource = perSource.sortBy(_._1)
     val total = bySource.iterator.map(_._2).sum
     require(total > 0, "Mixture: corpus has no tokens")
     // Z: ascending-source left fold, mirrored exactly by the oracle
@@ -67,18 +62,34 @@ object Mixture {
     }
   }
 
+  /** Pass 1 + driver-side rate computation. `budgetFraction` is the
+    * target total-token budget as a fraction of the corpus (0.25 = keep
+    * about a quarter of all tokens, redistributed toward small sources).
+    */
+  def sourceRates(docs: DataFrame, textCol: String, sourceCol: String,
+      budgetFraction: Double): Seq[SourceRate] = {
+    val perSource = docs
+      .groupBy(col(sourceCol).cast("string").as("source"))
+      .agg(sum(T.tokenCount(col(textCol)).cast("long")).as("tokens"))
+      .collect()
+      .map { case Row(s: String, t: Long) => (s, t) }.toSeq
+    ratesFromTokenCounts(perSource, budgetFraction)
+  }
+
   /** md5 16-bit id fraction in [0,1) — the shared deterministic-sampling
     * hash (q_weighted_sample / q_train_test_split idiom).
     */
   private def hashFrac(id: org.apache.spark.sql.Column) =
     conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("int").cast("double") / 65536.0
 
-  /** Pass 2: the sampled corpus (all original columns), kept iff
-    * hashFrac(id) < rate(source).
+  /** Apply a GIVEN rate table — the epoch-frozen path: keep decisions
+    * depend only on (id, source, rates), so any slice of the corpus —
+    * a micro-batch, a backfill, the whole table — filters identically
+    * no matter when it arrives. Sources absent from the rate table are
+    * dropped (the mixture admits only budgeted sources).
     */
-  def temperatureSample(docs: DataFrame, textCol: String, idCol: String,
-      sourceCol: String, budgetFraction: Double): DataFrame = {
-    val rates = sourceRates(docs, textCol, sourceCol, budgetFraction)
+  def applyRates(docs: DataFrame, idCol: String, sourceCol: String,
+      rates: Seq[SourceRate]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val rateDf = rates.map(r => (r.source, r.rate)).toDF("__mix_source", "__mix_rate")
@@ -88,17 +99,32 @@ object Mixture {
       .drop("__mix_source", "__mix_rate")
   }
 
+  /** Pass 2: the sampled corpus (all original columns), kept iff
+    * hashFrac(id) < rate(source).
+    */
+  def temperatureSample(docs: DataFrame, textCol: String, idCol: String,
+      sourceCol: String, budgetFraction: Double): DataFrame =
+    applyRates(docs, idCol, sourceCol, sourceRates(docs, textCol, sourceCol, budgetFraction))
+
   /** Gate-friendly per-source summary of a [[temperatureSample]] run:
     * (source, tokens, rate, n_kept, tokens_kept) — every source appears
     * even if nothing survived its rate.
     */
   def sampleSummary(docs: DataFrame, textCol: String, idCol: String,
-      sourceCol: String, budgetFraction: Double): DataFrame = {
-    val rates = sourceRates(docs, textCol, sourceCol, budgetFraction)
+      sourceCol: String, budgetFraction: Double): DataFrame =
+    summaryWithRates(docs, textCol, idCol, sourceCol,
+      sourceRates(docs, textCol, sourceCol, budgetFraction))
+
+  /** [[sampleSummary]] against a GIVEN rate table (the epoch-frozen
+    * path): `tokens` reports the rate table's token stat — the snapshot
+    * the rates were frozen from, not necessarily `docs`.
+    */
+  def summaryWithRates(docs: DataFrame, textCol: String, idCol: String,
+      sourceCol: String, rates: Seq[SourceRate]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val rateDf = rates.map(r => (r.source, r.tokens, r.rate)).toDF("source", "tokens", "rate")
-    val kept = temperatureSample(docs, textCol, idCol, sourceCol, budgetFraction)
+    val kept = applyRates(docs, idCol, sourceCol, rates)
       .groupBy(col(sourceCol).cast("string").as("source"))
       .agg(count(lit(1)).as("n_kept"), sum(T.tokenCount(col(textCol)).cast("long")).as("tokens_kept"))
     rateDf.join(kept, Seq("source"), "left_outer")
