@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.dedup.{Decontaminate, Dedup, SemDedup}
-import graft.text.{Bm25, Curriculum, Dsir, Mixture}
+import graft.text.{Bm25, Curriculum, Dsir, Mixture, Sharding}
 import graft.functions.{TextFunctions => T}
 import graft.multimodal.Multimodal
 import graft.similarity.{Evaluation, Pca, Similarity}
@@ -299,6 +299,23 @@ object LlmQueries {
     "q_domain_mixture" -> ((s, dir) => {
       Mixture.sampleSummary(t(s, dir, "documents"), "text", "doc_id", "source", budgetFraction = 0.25)
         .orderBy(col("source"))
+    }),
+
+    // balanced output sharding: sorted round-robin (rank by weight desc,
+    // shard = rank mod N) bounds shard spread by the largest single item
+    // — only (id, weight) pairs enter the rank exchange
+    "q_shard_assign" -> ((s, dir) => {
+      Sharding.assignShards(t(s, dir, "documents"), "doc_id",
+          T.tokenCount(col("text")).cast("long"), nShards = 8)
+        .orderBy(col("doc_id"))
+    }),
+
+    // the balance report over the same assignment: near-equal totals is
+    // the operator's whole contract, so gate the per-shard aggregates
+    "q_shard_balance" -> ((s, dir) => {
+      Sharding.shardSummary(Sharding.assignShards(t(s, dir, "documents"), "doc_id",
+          T.tokenCount(col("text")).cast("long"), nShards = 8))
+        .orderBy(col("shard"))
     }),
 
     // epoch-frozen mixture: rates computed ONCE from the epoch-start
@@ -1780,6 +1797,22 @@ object LlmQueries {
          |  coalesce(k.n_kept, 0) AS n_kept, coalesce(k.tokens_kept, 0) AS tokens_kept
          |FROM rates r LEFT JOIN kept k USING (source)
          |ORDER BY r.source""".stripMargin,
+    "q_shard_assign" ->
+      s"""SELECT doc_id, ntok AS weight, CAST((rn - 1) % 8 AS INTEGER) AS shard FROM (
+         |  SELECT doc_id, ntok, row_number() OVER (ORDER BY ntok DESC, doc_id) AS rn
+         |  FROM (SELECT doc_id, CAST(len(list_filter($toksSql, x -> x <> '')) AS BIGINT) AS ntok
+         |        FROM documents))
+         |ORDER BY doc_id""".stripMargin,
+    "q_shard_balance" ->
+      s"""SELECT CAST((rn - 1) % 8 AS INTEGER) AS shard,
+         |  CAST(count(*) AS BIGINT) AS n_items,
+         |  CAST(sum(ntok) AS BIGINT) AS total_weight,
+         |  CAST(max(ntok) AS BIGINT) AS max_weight
+         |FROM (
+         |  SELECT doc_id, ntok, row_number() OVER (ORDER BY ntok DESC, doc_id) AS rn
+         |  FROM (SELECT doc_id, CAST(len(list_filter($toksSql, x -> x <> '')) AS BIGINT) AS ntok
+         |        FROM documents))
+         |GROUP BY 1 ORDER BY shard""".stripMargin,
     // epoch-frozen mixture: identical to q_domain_mixture except the
     // rate pipeline (src/tot/zc/rates) reads only the snapshot slice
     // while kept filters the full corpus
