@@ -301,6 +301,16 @@ object LlmQueries {
         .orderBy(col("source"))
     }),
 
+    // upsampling mixture: uncapped √p rates — rate > 1 repeats a doc
+    // floor(rate) times plus a hash-decided extra, so expected copies =
+    // rate exactly; rate table broadcast, repeat is a narrow explode
+    "q_mixture_upsample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Mixture.temperatureExpand(docs, "text", "doc_id", "source", budgetFraction = 1.5)
+        .select(col("doc_id"), col("source"), col("copy").cast("long").as("copy"))
+        .orderBy(col("doc_id"), col("copy"))
+    }),
+
     // balanced output sharding: sorted round-robin (rank by weight desc,
     // shard = rank mod N) bounds shard spread by the largest single item
     // — only (id, weight) pairs enter the rank exchange
@@ -1797,6 +1807,34 @@ object LlmQueries {
          |  coalesce(k.n_kept, 0) AS n_kept, coalesce(k.tokens_kept, 0) AS tokens_kept
          |FROM rates r LEFT JOIN kept k USING (source)
          |ORDER BY r.source""".stripMargin,
+    // upsample: same rate pipeline as q_domain_mixture minus the least()
+    // cap; n_copies = floor(rate) + hash-fraction extra, rows unnested
+    "q_mixture_upsample" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, source, len(list_filter($toksSql, x -> x <> '')) AS ntok FROM documents
+         |), src AS MATERIALIZED (
+         |  SELECT source, CAST(sum(ntok) AS BIGINT) AS tokens FROM tk GROUP BY source
+         |), tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total FROM src),
+         |zc AS (
+         |  SELECT list_reduce(list_prepend(0.0E0,
+         |    list(sqrt(tokens / CAST(total AS DOUBLE)) ORDER BY source)), (a, x) -> a + x) AS z
+         |  FROM src, tot
+         |), rates AS MATERIALIZED (
+         |  SELECT source,
+         |    CASE WHEN tokens = 0 THEN 0.0E0
+         |         ELSE (1.5E0 * CAST(total AS DOUBLE))
+         |                * (sqrt(tokens / CAST(total AS DOUBLE)) / z) / CAST(tokens AS DOUBLE)
+         |    END AS rate
+         |  FROM src, tot, zc
+         |), copies AS (
+         |  SELECT t.doc_id, t.source,
+         |    CAST(floor(r.rate) AS BIGINT)
+         |      + CASE WHEN CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 4)) AS INTEGER) / 65536.0E0
+         |                  < r.rate - floor(r.rate) THEN 1 ELSE 0 END AS n_copies
+         |  FROM tk t JOIN rates r USING (source)
+         |)
+         |SELECT doc_id, source, CAST(unnest(range(n_copies)) AS BIGINT) AS copy
+         |FROM copies ORDER BY doc_id, copy""".stripMargin,
     "q_shard_assign" ->
       s"""SELECT doc_id, ntok AS weight, CAST((rn - 1) % 8 AS INTEGER) AS shard FROM (
          |  SELECT doc_id, ntok, row_number() OVER (ORDER BY ntok DESC, doc_id) AS rn

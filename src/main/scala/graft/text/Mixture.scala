@@ -42,7 +42,8 @@ object Mixture {
     * [[graft.streaming.StreamingMixture]] (refreeze from accumulated
     * per-batch stats: token totals are sums, so merge ≡ recompute).
     */
-  def ratesFromTokenCounts(perSource: Seq[(String, Long)], budgetFraction: Double): Seq[SourceRate] = {
+  def ratesFromTokenCounts(perSource: Seq[(String, Long)], budgetFraction: Double,
+      capAtOne: Boolean = true): Seq[SourceRate] = {
     require(budgetFraction > 0, "Mixture: budgetFraction must be positive")
     require(perSource.length <= MaxSources,
       s"Mixture: ${perSource.length} sources exceed the bounded-dimension cap $MaxSources")
@@ -55,10 +56,10 @@ object Mixture {
     }
     val budget = budgetFraction * total.toDouble
     bySource.map { case (s, tk) =>
-      val rate =
+      val raw =
         if (tk == 0L) 0.0
-        else math.min(1.0, budget * (math.sqrt(tk.toDouble / total.toDouble) / z) / tk.toDouble)
-      SourceRate(s, tk, rate)
+        else budget * (math.sqrt(tk.toDouble / total.toDouble) / z) / tk.toDouble
+      SourceRate(s, tk, if (capAtOne) math.min(1.0, raw) else raw)
     }
   }
 
@@ -67,13 +68,13 @@ object Mixture {
     * about a quarter of all tokens, redistributed toward small sources).
     */
   def sourceRates(docs: DataFrame, textCol: String, sourceCol: String,
-      budgetFraction: Double): Seq[SourceRate] = {
+      budgetFraction: Double, capAtOne: Boolean = true): Seq[SourceRate] = {
     val perSource = docs
       .groupBy(col(sourceCol).cast("string").as("source"))
       .agg(sum(T.tokenCount(col(textCol)).cast("long")).as("tokens"))
       .collect()
       .map { case Row(s: String, t: Long) => (s, t) }.toSeq
-    ratesFromTokenCounts(perSource, budgetFraction)
+    ratesFromTokenCounts(perSource, budgetFraction, capAtOne)
   }
 
   /** md5 16-bit id fraction in [0,1) — the shared deterministic-sampling
@@ -105,6 +106,40 @@ object Mixture {
   def temperatureSample(docs: DataFrame, textCol: String, idCol: String,
       sourceCol: String, budgetFraction: Double): DataFrame =
     applyRates(docs, idCol, sourceCol, sourceRates(docs, textCol, sourceCol, budgetFraction))
+
+  /** Expand by UNCAPPED rates — real temperature mixing UPSAMPLES
+    * under-represented sources (rate > 1 → each doc repeats): a doc
+    * gets `floor(rate)` guaranteed copies plus one more iff
+    * hashFrac(id) < frac(rate), so expected copies = rate exactly and
+    * the whole expansion is a pure function of (id, source, rates).
+    * Output: all original columns plus `copy` (0-based repeat index);
+    * rate < 1 downsamples as in [[applyRates]] (n_copies ∈ {0, 1}).
+    *
+    * Scale shape: the rate table is broadcast and the repeat is a
+    * narrow explode — ≤ ⌈rate⌉ output rows per input row, no shuffle;
+    * the per-source aggregation of pass 1 is the only exchange.
+    */
+  def expandWithRates(docs: DataFrame, idCol: String, sourceCol: String,
+      rates: Seq[SourceRate]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rateDf = rates
+      .map(r => (r.source, math.floor(r.rate).toLong, r.rate - math.floor(r.rate)))
+      .toDF("__mix_source", "__mix_base", "__mix_frac")
+    val n = (col("__mix_base") +
+      when(hashFrac(col(idCol)) < col("__mix_frac"), 1L).otherwise(0L)).cast("int")
+    val out = docs.columns.map(col)
+    docs
+      .join(broadcast(rateDf), col(sourceCol).cast("string") === col("__mix_source"), "inner")
+      .select(out :+ posexplode(array_repeat(lit(true), n)): _*)
+      .select(out :+ col("pos").as("copy"): _*)
+  }
+
+  /** [[expandWithRates]] with rates computed from `docs` itself. */
+  def temperatureExpand(docs: DataFrame, textCol: String, idCol: String,
+      sourceCol: String, budgetFraction: Double): DataFrame =
+    expandWithRates(docs, idCol, sourceCol,
+      sourceRates(docs, textCol, sourceCol, budgetFraction, capAtOne = false))
 
   /** Gate-friendly per-source summary of a [[temperatureSample]] run:
     * (source, tokens, rate, n_kept, tokens_kept) — every source appears

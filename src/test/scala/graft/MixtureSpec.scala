@@ -57,4 +57,33 @@ class MixtureSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(out == Map("big" -> 256L, "small" -> 16L))
   }
+
+  test("temperatureExpand upsamples small sources: rate > 1 repeats docs, expectation = rate") {
+    val rates = Mixture.sourceRates(corpus(), "text", "source", budgetFraction = 0.8, capAtOne = false)
+      .map(r => r.source -> r.rate).toMap
+    // 16x skew + sqrt flattening: the small source's uncapped rate exceeds 1
+    assert(rates("small") > 1.0 && rates("big") < 1.0, s"rates $rates")
+    val out = Mixture.temperatureExpand(corpus(), "text", "doc_id", "source", budgetFraction = 0.8)
+      .groupBy($"source").agg(count(lit(1)).as("n"), countDistinct($"doc_id").as("d"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // every small doc appears floor(rate) or floor(rate)+1 times
+    val (nSmall, dSmall) = out("small")
+    assert(dSmall == 4L, "rate > 1 must keep every doc at least once")
+    val lo = 4L * math.floor(rates("small")).toLong
+    assert(nSmall >= lo && nSmall <= lo + 4, s"small copies $nSmall outside [$lo, ${lo + 4}]")
+    // big is downsampled, never repeated
+    val (nBig, dBig) = out("big")
+    assert(nBig == dBig && nBig < 64L, s"big must downsample without repeats, got $out")
+    // copy indices are contiguous 0..n-1 per doc
+    val copies = Mixture.temperatureExpand(corpus(), "text", "doc_id", "source", budgetFraction = 0.8)
+      .groupBy($"doc_id").agg(count(lit(1)).as("n"), min($"copy").as("mn"), max($"copy").as("mx"))
+      .collect()
+    copies.foreach(r => assert(r.getInt(2) == 0 && r.getInt(3) == r.getLong(1).toInt - 1, r.toString))
+    // deterministic under repartitioning
+    val a = Mixture.temperatureExpand(corpus(), "text", "doc_id", "source", 0.8)
+      .select($"doc_id", $"copy").collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    val b = Mixture.temperatureExpand(corpus().repartition(9), "text", "doc_id", "source", 0.8)
+      .select($"doc_id", $"copy").collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(a == b)
+  }
 }
