@@ -47,6 +47,48 @@ object Decontaminate {
       .withColumn("overlap_ratio", col("n_eval_spans").cast("double") / col("n_spans"))
   }
 
+  /** The benchmark auditor's direction — per EVAL doc, how much of it
+    * leaked into the training corpus: (eval_id, n_spans, n_hit_spans,
+    * n_train_docs, contamination_ratio) where n_hit_spans counts the
+    * eval doc's distinct spans found anywhere in `train` and
+    * n_train_docs the distinct training docs carrying at least one of
+    * them. [[overlapStats]] answers "which TRAINING docs must go";
+    * this answers "which EVAL items are compromised" — the report a
+    * benchmark run needs even when nothing is dropped. Eval docs
+    * shorter than w tokens have no spans and are absent.
+    *
+    * Same scale shape: eval spans broadcast, corpus scanned once; the
+    * shuffle carries (eval_id, span_hash, train_id) for MATCHING spans
+    * only, and both aggregations key on the tiny eval-id domain.
+    */
+  def evalContamination(
+      train: DataFrame,
+      eval: DataFrame,
+      textCol: String,
+      idCol: String,
+      w: Int = 8
+  ): DataFrame = {
+    val evalSpans = eval.select(
+      col(idCol).as("eval_id"),
+      explode(T.shingleHashes(col(textCol), w)).as("span_hash"))
+    val trainSpans = train.select(
+      col(idCol).as("train_id"),
+      explode(T.shingleHashes(col(textCol), w)).as("span_hash"))
+    val hits = trainSpans
+      .join(broadcast(evalSpans), Seq("span_hash"))
+      .groupBy(col("eval_id"))
+      .agg(
+        countDistinct(col("span_hash")).as("n_hit_spans"),
+        countDistinct(col("train_id")).as("n_train_docs"))
+    evalSpans.groupBy(col("eval_id")).agg(count(lit(1)).as("n_spans"))
+      .join(hits, Seq("eval_id"), "left")
+      .select(col("eval_id"), col("n_spans"),
+        coalesce(col("n_hit_spans"), lit(0L)).as("n_hit_spans"),
+        coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),
+        (coalesce(col("n_hit_spans"), lit(0L)).cast("double") / col("n_spans"))
+          .as("contamination_ratio"))
+  }
+
   /** Drop training docs whose eval-span overlap ratio exceeds
     * `maxOverlap` (0.0 = drop on any shared span). Short docs (< w tokens)
     * are kept.

@@ -913,6 +913,17 @@ object LlmQueries {
         .where(col("n_eval_spans") > 0)
         .select(col("id"), col("n_spans"), col("n_eval_spans"), col("overlap_ratio"))
         .orderBy(col("id"))
+    }),
+
+    // the auditor's direction: per EVAL doc, how much leaked into the
+    // training corpus and how many training docs carry it — the report
+    // a benchmark run needs even when nothing is dropped
+    "q_contamination_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val evalSet = docs.where(pmod(col("doc_id"), lit(5)) === 0)
+      val train = docs.where(pmod(col("doc_id"), lit(5)) =!= 0)
+      Decontaminate.evalContamination(train, evalSet, "text", "doc_id", w = 8)
+        .orderBy(col("eval_id"))
     })
   )
 
@@ -2043,6 +2054,31 @@ object LlmQueries {
          |GROUP BY s.doc_id
          |HAVING sum(CASE WHEN e.span IS NOT NULL THEN 1 ELSE 0 END) > 0
          |ORDER BY id""".stripMargin,
+    // same span model as q_decontaminate, aggregated per eval doc with
+    // distinct-train-doc counts; zero-hit eval docs stay (left join)
+    "q_contamination_report" ->
+      s"""WITH spans AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    [array_to_string(toks[i:i+7], ' ') FOR i IN range(1, greatest(len(toks) - 6, 1))])) AS span
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM documents WHERE $normSql <> '')
+         |), ev AS (
+         |  SELECT doc_id AS eval_id, span FROM spans WHERE doc_id % 5 = 0
+         |), tr AS (
+         |  SELECT doc_id AS train_id, span FROM spans WHERE doc_id % 5 <> 0
+         |), hits AS (
+         |  SELECT e.eval_id,
+         |    CAST(count(DISTINCT e.span) AS BIGINT) AS n_hit_spans,
+         |    CAST(count(DISTINCT t.train_id) AS BIGINT) AS n_train_docs
+         |  FROM ev e JOIN tr t USING (span) GROUP BY e.eval_id
+         |), tot AS (
+         |  SELECT eval_id, CAST(count(*) AS BIGINT) AS n_spans FROM ev GROUP BY eval_id
+         |)
+         |SELECT t.eval_id, t.n_spans,
+         |  coalesce(h.n_hit_spans, 0) AS n_hit_spans,
+         |  coalesce(h.n_train_docs, 0) AS n_train_docs,
+         |  coalesce(h.n_hit_spans, 0) / CAST(t.n_spans AS DOUBLE) AS contamination_ratio
+         |FROM tot t LEFT JOIN hits h USING (eval_id)
+         |ORDER BY t.eval_id""".stripMargin,
     "q_span_dedup" ->
       s"""WITH spans AS (
          |  SELECT doc_id, unnest(list_distinct(

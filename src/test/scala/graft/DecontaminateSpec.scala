@@ -34,6 +34,25 @@ class DecontaminateSpec extends SparkSpec {
     assert(row.getAs[Double]("overlap_ratio") > 0 && row.getAs[Double]("overlap_ratio") <= 1.0)
   }
 
+  test("evalContamination reports the leak from the eval side; zero-hit eval docs stay") {
+    val evalTwo = evalSet.union(Seq((101L, clean2 + " extra tail words here")).toDF("doc_id", "text"))
+    val out = Decontaminate.evalContamination(train, evalTwo, "text", "doc_id", w = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // eval 100 is fully contained in train doc 0: every span hits, one train doc
+    val (n100, hit100, docs100, ratio100) = out(100L)
+    assert(hit100 == n100 && ratio100 == 1.0 && docs100 == 1L, s"got ${out(100L)}")
+    // eval 101 shares spans with train doc 2 (clean2 is a prefix of it)
+    val (n101, hit101, docs101, ratio101) = out(101L)
+    assert(hit101 > 0 && hit101 < n101 && docs101 == 1L && ratio101 < 1.0, s"got ${out(101L)}")
+    // an eval doc with no overlap at all still appears, zero-filled
+    val lone = Decontaminate.evalContamination(train,
+        Seq((102L, "eleven totally novel words that never appear anywhere in the training corpus at all")).toDF("doc_id", "text"),
+        "text", "doc_id", w = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    assert(lone == Seq((102L, 0L, 0L, 0.0)), s"got $lone")
+  }
+
   test("clean drops contaminated docs, keeps clean and short docs") {
     val out = Decontaminate.clean(train, evalSet, "text", "doc_id", w = 8)
     val ids = out.select($"doc_id").as[Long].collect().toSet
