@@ -301,6 +301,15 @@ object LlmQueries {
         .orderBy(col("source"))
     }),
 
+    // per-domain percentile filter (CCNet shape): each source keeps its
+    // top half by classifier score — per-domain thresholds, one window
+    // shuffle on the bounded source dimension
+    "q_quality_percentile" -> ((s, dir) => {
+      graft.text.QualityLr.keepTopPerSource(
+          t(s, dir, "documents"), "text", "doc_id", "source", frac = 0.5)
+        .orderBy(col("id"))
+    }),
+
     // upsampling mixture: uncapped √p rates — rate > 1 repeats a doc
     // floor(rate) times plus a hash-decided extra, so expected copies =
     // rate exactly; rate table broadcast, repeat is a narrow explode
@@ -1818,6 +1827,31 @@ object LlmQueries {
          |  coalesce(k.n_kept, 0) AS n_kept, coalesce(k.tokens_kept, 0) AS tokens_kept
          |FROM rates r LEFT JOIN kept k USING (source)
          |ORDER BY r.source""".stripMargin,
+    // percentile filter: the q_quality_lr score pipeline with source
+    // carried through, ranked per source, kept iff rank <= ceil(n/2)
+    "q_quality_percentile" ->
+      s"""WITH scored AS (
+         |  SELECT id, source,
+         |    round(1.0E0 / (1.0E0 + exp(-(-3.0E0
+         |      + 1.2E0 * (CAST(n_tokens AS DOUBLE) / 100.0E0)
+         |      + 0.4E0 * (nchars / CAST(n_tokens AS DOUBLE))
+         |      + 1.5E0 * (ndist / CAST(n_tokens AS DOUBLE))))), 4) AS score
+         |  FROM (
+         |    SELECT doc_id AS id, source,
+         |      CAST(len(list_filter($toksSql, x -> x <> '')) AS BIGINT) AS n_tokens,
+         |      length(replace($normSql, ' ', '')) AS nchars,
+         |      len(list_distinct(list_filter($toksSql, x -> x <> ''))) AS ndist
+         |    FROM documents)
+         |  WHERE n_tokens > 0
+         |), ranked AS (
+         |  SELECT id, source, score,
+         |    CAST(row_number() OVER (PARTITION BY source ORDER BY score DESC, id) AS BIGINT) AS rank,
+         |    count(*) OVER (PARTITION BY source) AS n
+         |  FROM scored
+         |)
+         |SELECT id, source, score, rank FROM ranked
+         |WHERE rank <= ceil(0.5E0 * CAST(n AS DOUBLE))
+         |ORDER BY id""".stripMargin,
     // upsample: same rate pipeline as q_domain_mixture minus the least()
     // cap; n_copies = floor(rate) + hash-fraction extra, rows unnested
     "q_mixture_upsample" ->

@@ -33,21 +33,26 @@ object QualityLr {
     */
   val defaultWeights: Weights = Weights(bias = -3.0, wTokens = 1.2, wAvgLen = 0.4, wTtr = 1.5)
 
-  /** Per-document scores: (id, n_tokens, avg_len, ttr, score, keep).
-    * Token-less documents are excluded (their ratio features are
-    * undefined — the upstream length gate owns that verdict).
+  /** Per-document scores: (id, [passthrough...,] n_tokens, avg_len,
+    * ttr, score, keep). Token-less documents are excluded (their ratio
+    * features are undefined — the upstream length gate owns that
+    * verdict). `passthrough` columns of `docs` ride along unchanged so
+    * downstream group-wise filters ([[keepTopPerSource]]) need no
+    * re-join against the corpus.
     */
   def score(docs: DataFrame, textCol: String, idCol: String,
-      w: Weights = defaultWeights, threshold: Double = 0.5): DataFrame = {
+      w: Weights = defaultWeights, threshold: Double = 0.5,
+      passthrough: Seq[String] = Nil): DataFrame = {
     val toks = T.tokenize(col(textCol))
+    val pt = passthrough.map(col)
     val scored = docs
-      .select(col(idCol).as("id"), toks.as("__toks"),
-        length(regexp_replace(T.normalizeText(col(textCol)), " ", "")).as("__chars"))
+      .select(Seq(col(idCol).as("id"), toks.as("__toks"),
+        length(regexp_replace(T.normalizeText(col(textCol)), " ", "")).as("__chars")) ++ pt: _*)
       .where(size(col("__toks")) > 0)
-      .select(col("id"),
+      .select(Seq(col("id"),
         size(col("__toks")).cast("long").as("n_tokens"),
         (col("__chars").cast("double") / size(col("__toks")).cast("double")).as("avg_len"),
-        (size(array_distinct(col("__toks"))).cast("double") / size(col("__toks")).cast("double")).as("ttr"))
+        (size(array_distinct(col("__toks"))).cast("double") / size(col("__toks")).cast("double")).as("ttr")) ++ pt: _*)
     val logit = lit(w.bias) +
       lit(w.wTokens) * (col("n_tokens").cast("double") / lit(100.0)) +
       lit(w.wAvgLen) * col("avg_len") +
@@ -55,5 +60,31 @@ object QualityLr {
     scored
       .withColumn("score", round(lit(1.0) / (lit(1.0) + exp(-logit)), 4))
       .withColumn("keep", col("score") >= threshold)
+  }
+
+  /** Per-domain percentile filter (the CCNet shape): keep each source's
+    * top `frac` of documents by classifier score — a per-domain
+    * threshold, so a uniformly weaker domain is not wiped out by a
+    * global cutoff. The kept count is ⌈frac · n_source⌉ exactly (ties
+    * break by score desc, id), making the verdict a pure function of
+    * (ids, scores, frac). Output: (id, sourceCol, score, rank).
+    *
+    * Scale shape: one shuffle on the bounded source dimension; the
+    * rank and the per-source count share that single window exchange.
+    * A pathologically hot domain sorts within its partitions like any
+    * skewed window — salt the source key upstream if one domain is
+    * most of the corpus.
+    */
+  def keepTopPerSource(docs: DataFrame, textCol: String, idCol: String,
+      sourceCol: String, frac: Double, w: Weights = defaultWeights): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, s"frac must be in (0, 1], got $frac")
+    import org.apache.spark.sql.expressions.Window
+    val scored = score(docs, textCol, idCol, w, passthrough = Seq(sourceCol))
+    val win = Window.partitionBy(col(sourceCol)).orderBy(col("score").desc, col("id"))
+    scored
+      .withColumn("__rn", row_number().over(win).cast("long"))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(sourceCol))))
+      .where(col("__rn") <= ceil(lit(frac) * col("__n").cast("double")))
+      .select(col("id"), col(sourceCol), col("score"), col("__rn").as("rank"))
   }
 }
