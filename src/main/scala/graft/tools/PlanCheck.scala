@@ -113,7 +113,40 @@ object PlanCheck {
       mustContain = Seq("partial_count"),
       mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
     // bigram LM: both model tables broadcast to the scoring join
-    Check("q_perplexity_bigram", mustContain = Seq("BroadcastHashJoin"))
+    Check("q_perplexity_bigram", mustContain = Seq("BroadcastHashJoin")),
+    // curriculum: the per-(partition, epoch) offset table broadcasts onto
+    // the narrow data path; the schedule join is a bounded BNLJ by design
+    // but a cartesian anywhere is a bug
+    Check(
+      "q_curriculum",
+      mustContain = Seq("BroadcastHashJoin"),
+      mustNotContain = Seq("CartesianProduct")),
+    // sharding: rank rides a range exchange of (id, weight) pairs; no
+    // join of any kind belongs in this plan
+    Check(
+      "q_shard_assign",
+      mustContain = Seq("rangepartitioning"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    Check("q_shard_balance", mustContain = Seq("partial_count")),
+    // epoch-frozen / upsampling mixture: rate table broadcasts, corpus
+    // stays narrow — same contract as q_domain_mixture
+    Check(
+      "q_mixture_epoch",
+      mustContain = Seq("BroadcastHashJoin"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    Check(
+      "q_mixture_upsample",
+      mustContain = Seq("BroadcastHashJoin"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // eval-side contamination: eval spans broadcast; the corpus span
+    // stream never shuffles for the match join
+    Check("q_contamination_report", mustContain = Seq("BroadcastHashJoin")),
+    // per-domain percentile: one window exchange on the source key, no
+    // corpus re-join
+    Check(
+      "q_quality_percentile",
+      mustContain = Seq("Window"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"))
   )
 
   def main(args: Array[String]): Unit = {
