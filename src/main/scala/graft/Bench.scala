@@ -63,7 +63,12 @@ object Bench {
     // round 7 late session: retrieval evaluation + data mixing
     "q_hybrid_retrieval",
     "q_domain_mixture",
-    "q_bm25_incremental"
+    "q_bm25_incremental",
+    // round 7 final session: epoch construction + layout + audit
+    "q_curriculum",
+    "q_shard_assign",
+    "q_mixture_upsample",
+    "q_contamination_report"
   )
 
   def main(args: Array[String]): Unit = {
