@@ -357,6 +357,62 @@ object Dedup {
           .as("dup_char_frac"))
   }
 
+  /** Global unit-level dedup with document REWRITE — the C4/Dolma
+    * "deduplicate paragraphs, keep the first occurrence, emit the cleaned
+    * corpus" operator. The prior span/substring operators REPORT
+    * duplication; this one rewrites the text. Units are non-overlapping
+    * `w`-token chunks of the normalized text (this corpus has no line
+    * structure; swap the chunker for a line split where documents have
+    * one). A chunk survives only at its globally first occurrence —
+    * lowest (id, chunk_idx) — including within-document repeats; each
+    * document is re-emitted with its surviving chunks joined by single
+    * spaces.
+    *
+    * Returns (id, clean_text, n_chunks, n_dropped).
+    *
+    * 100 TB shape: document text never enters an exchange. The unit table
+    * shuffles (chunk_hash, id, idx) triples (~24 B/chunk, uniform 64-bit
+    * keys, map-side min combine for the winner agg); the drop list —
+    * (id, sorted idx array) for AFFECTED documents only — is
+    * duplicate-proportional and joins back to the corpus (AQE broadcasts
+    * it when small; under pathological duplication it degrades to a
+    * doc-id shuffle of id-sized rows, still never text). Untouched
+    * documents pass through scan-local with a null drop list. The chunk
+    * array is recomputed on the rewrite pass rather than persisted —
+    * the substring-dedup measurement (persist 10× worse) applies
+    * unchanged: fused scan-local chunking is cheaper than block-store
+    * round-trips of exploded text.
+    */
+  def chunkDedupRewrite(docs: DataFrame, textCol: String, idCol: String, w: Int = 8): DataFrame = {
+    require(w >= 1, s"chunkDedupRewrite: bad chunk width $w")
+    // materialized token + chunk arrays (CollapseProject/HOF trap — see
+    // TextFunctions.chunkTokens scaladoc)
+    val chunked = docs
+      .withColumn("__toks", T.tokenize(col(textCol)))
+      .withColumn("__chunks", T.chunkTokens(col("__toks"), w, w))
+    val units = chunked
+      .select(col(idCol).as("id"), posexplode(col("__chunks")).as(Seq("idx", "__chunk")))
+      .select(col("id"), col("idx").cast("long").as("idx"), xxhash64(col("__chunk")).as("__h"))
+    // first global occurrence per chunk hash; min over (id, idx) structs
+    // combines map-side
+    val winners = units.groupBy(col("__h"))
+      .agg(min(struct(col("id"), col("idx"))).as("__win"))
+    val drops = units.join(winners, "__h")
+      .where(col("id") =!= col("__win.id") || col("idx") =!= col("__win.idx"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("idx"))).as("__drop"), count(lit(1)).as("__n_dropped"))
+      .withColumnRenamed("id", "__drop_id")
+    chunked
+      .join(drops, col(idCol) === col("__drop_id"), "left")
+      .select(
+        col(idCol).as("id"),
+        array_join(
+          filter(col("__chunks"), (_, i) => !coalesce(array_contains(col("__drop"), i.cast("long")), lit(false))),
+          " ").as("clean_text"),
+        size(col("__chunks")).cast("long").as("n_chunks"),
+        coalesce(col("__n_dropped"), lit(0L)).as("n_dropped"))
+  }
+
   /** Assign each doc a cluster representative = min id reachable over the
     * pair graph: iterated min-label propagation (distributed connected
     * components, bounded iterations).

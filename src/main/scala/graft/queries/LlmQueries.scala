@@ -615,6 +615,15 @@ object LlmQueries {
         .orderBy(col("id"))
     }),
 
+    // global chunk-level dedup with document REWRITE (C4/Dolma "dedupe
+    // paragraphs" shape): keep the first global occurrence of every
+    // 8-token chunk, emit the cleaned corpus — the oracle dedups on the
+    // chunk STRINGS where the engine uses their 64-bit hashes
+    "q_dedup_rewrite" -> ((s, dir) => {
+      Dedup.chunkDedupRewrite(t(s, dir, "documents"), "text", "doc_id", w = 8)
+        .orderBy(col("id"))
+    }),
+
     // sketch-prefiltered ANN with exact re-rank (rows-only; recall
     // invariant in SimilaritySpec)
     "q_ann_sketch" -> ((s, dir) => {
@@ -1308,6 +1317,29 @@ object LlmQueries {
          |  round(coalesce(n_dup_windows, 0) / CAST(n_windows AS DOUBLE), 6) AS dup_window_frac,
          |  round(coalesce(dup_chars, 0) / CAST(n_chars AS DOUBLE), 6) AS dup_char_frac
          |FROM tot LEFT JOIN cov USING (doc_id) ORDER BY tot.doc_id""".stripMargin,
+    // chunks compared as STRINGS (the engine's xxhash64 chunk identity is
+    // collision-free at this scale, so keep-first verdicts coincide);
+    // string_agg skips the NULLed dropped chunks, ORDER BY idx matches the
+    // engine's in-array chunk order
+    "q_dedup_rewrite" ->
+      s"""WITH d2 AS MATERIALIZED (
+         |  SELECT doc_id, list_filter($toksSql, x -> x <> '') AS toks FROM documents),
+         |u AS MATERIALIZED (
+         |  SELECT doc_id, u.idx AS idx, u.chunk AS chunk FROM (
+         |    SELECT doc_id, unnest([{'idx': CAST(s // 8 AS BIGINT),
+         |                            'chunk': array_to_string(toks[CAST(s+1 AS INTEGER):CAST(s+8 AS INTEGER)], ' ')}
+         |                           FOR s IN range(0, len(toks), 8)]) AS u
+         |    FROM d2)),
+         |k AS (
+         |  SELECT doc_id, idx, chunk,
+         |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+         |  FROM u)
+         |SELECT d2.doc_id AS id,
+         |  coalesce(string_agg(CASE WHEN k.rn = 1 THEN k.chunk END, ' ' ORDER BY k.idx), '') AS clean_text,
+         |  CAST(count(k.chunk) AS BIGINT) AS n_chunks,
+         |  CAST(coalesce(sum(CASE WHEN k.rn > 1 THEN 1 END), 0) AS BIGINT) AS n_dropped
+         |FROM d2 LEFT JOIN k ON d2.doc_id = k.doc_id
+         |GROUP BY d2.doc_id ORDER BY d2.doc_id""".stripMargin,
     "q_repetition" ->
       s"""SELECT doc_id,
          |  round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(maxw AS DOUBLE) / len(toks) END, 6) AS top_word_frac,

@@ -146,7 +146,13 @@ object PlanCheck {
     Check(
       "q_quality_percentile",
       mustContain = Seq("Window"),
-      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"))
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin")),
+    // chunk rewrite: keep-first winner agg must combine map-side (the
+    // (id, idx) struct min); nothing in the rewrite may go cartesian
+    Check(
+      "q_dedup_rewrite",
+      mustContain = Seq("partial_min"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
   )
 
   def main(args: Array[String]): Unit = {

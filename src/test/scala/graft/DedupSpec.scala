@@ -211,4 +211,33 @@ class DedupSpec extends SparkSpec {
     val short = Seq((9L, "tiny")).toDF("doc_id", "text")
     assert(Dedup.exactSubstringDupStats(short, "text", "doc_id", minLen = 40).count() == 0)
   }
+
+  test("chunk dedup rewrite: global keep-first, within-doc repeats, empty docs") {
+    val d = Seq(
+      (0L, "a b c d"),       // chunks [a b][c d] — all first occurrences
+      (1L, "a b x y"),       // [a b] loses to (0,0) → "x y"
+      (2L, "p q p q p q"),   // within-doc repeats: keep first [p q] only
+      (3L, ""),              // no chunks
+      (4L, "c d a b"),       // both chunks lose → fully emptied
+      (5L, "z z z")          // [z z][z] — distinct units, both kept
+    ).toDF("doc_id", "text")
+    val out = Dedup.chunkDedupRewrite(d, "text", "doc_id", w = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getString(1) == "a b c d" && out(0L).getLong(3) == 0)
+    assert(out(1L).getString(1) == "x y" && out(1L).getLong(3) == 1)
+    assert(out(2L).getString(1) == "p q" && out(2L).getLong(2) == 3 && out(2L).getLong(3) == 2)
+    assert(out(3L).getString(1) == "" && out(3L).getLong(2) == 0 && out(3L).getLong(3) == 0)
+    assert(out(4L).getString(1) == "" && out(4L).getLong(3) == 2)
+    assert(out(5L).getString(1) == "z z z" && out(5L).getLong(2) == 2 && out(5L).getLong(3) == 0)
+    // kept chunks preserve original order (not dedup-winner order)
+    val d2 = Seq((0L, "m n o p"), (1L, "q r m n s t")).toDF("doc_id", "text")
+    val r1 = Dedup.chunkDedupRewrite(d2, "text", "doc_id", w = 2)
+      .where($"id" === 1L).head()
+    assert(r1.getString(1) == "q r s t")
+    // partition independence: the verdicts are a pure function of content
+    val shuffled = Dedup.chunkDedupRewrite(d.repartition(7), "text", "doc_id", w = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val straight = out.values.map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(shuffled == straight)
+  }
 }
