@@ -218,6 +218,19 @@ object LlmQueries {
       Evaluation.normalizedMutualInfo(assigned, "cluster", "label")
     }),
 
+    // snapshot drift: per-source PSI of the n_chars distribution between
+    // the md5-split halves of the corpus (the monitoring op between crawl
+    // refreshes) — bounded (source × bin) cells, driver fold (NMI pattern)
+    "q_drift_psi" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val isRef = substring(md5(col("doc_id").cast("string")), 1, 4) < "8000"
+      Evaluation.populationStability(
+          docs.where(isRef), docs.where(!isRef), "n_chars", "source",
+          lo = 0.0, width = 100.0, nBins = 8)
+        .withColumnRenamed("group", "source")
+        .orderBy(col("source"))
+    }),
+
     // per-vector margin: best same-label minus best other-label cosine —
     // negative margin flags boundary/mislabeled vectors
     "q_sim_margin" -> ((s, dir) => {
@@ -1340,6 +1353,37 @@ object LlmQueries {
          |  CAST(coalesce(sum(CASE WHEN k.rn > 1 THEN 1 END), 0) AS BIGINT) AS n_dropped
          |FROM d2 LEFT JOIN k ON d2.doc_id = k.doc_id
          |GROUP BY d2.doc_id ORDER BY d2.doc_id""".stripMargin,
+    // PSI: add-one-smoothed probabilities are exact-integer ratios; the
+    // per-source fold runs in ascending bin order on both sides (list
+    // ORDER BY bin here, the driver's while-loop there), round-6 on the
+    // sum only; top bin by |term| desc with lowest-bin tie-break
+    "q_drift_psi" ->
+      """WITH s AS MATERIALIZED (
+        |  SELECT source,
+        |    CAST(least(greatest(floor(n_chars / 100.0), 0), 7) AS INTEGER) AS bin,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000' AS is_ref
+        |  FROM documents),
+        |g AS MATERIALIZED (
+        |  SELECT source, bin,
+        |    CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS r,
+        |    CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |  FROM s GROUP BY source, bin),
+        |tot AS (SELECT source, CAST(sum(r) AS BIGINT) AS nr, CAST(sum(c) AS BIGINT) AS nc
+        |        FROM g GROUP BY source),
+        |cell AS (
+        |  SELECT tot.source, CAST(b.b AS INTEGER) AS bin, tot.nr, tot.nc,
+        |    coalesce(g.r, 0) AS r, coalesce(g.c, 0) AS c
+        |  FROM tot CROSS JOIN unnest(range(0, 8)) AS b(b)
+        |  LEFT JOIN g ON g.source = tot.source AND g.bin = CAST(b.b AS INTEGER)),
+        |term AS (
+        |  SELECT source, bin, nr, nc,
+        |    ((r + 1.0) / (nr + 8.0) - (c + 1.0) / (nc + 8.0))
+        |      * ln(((r + 1.0) / (nr + 8.0)) / ((c + 1.0) / (nc + 8.0))) AS t
+        |  FROM cell)
+        |SELECT source, CAST(max(nr) AS BIGINT) AS n_ref, CAST(max(nc) AS BIGINT) AS n_cur,
+        |  round(list_reduce(list_prepend(0.0, list(t ORDER BY bin)), (a, x) -> a + x), 6) AS psi,
+        |  CAST(list(bin ORDER BY abs(t) DESC, bin)[1] AS BIGINT) AS top_shift_bin
+        |FROM term GROUP BY source ORDER BY source""".stripMargin,
     "q_repetition" ->
       s"""SELECT doc_id,
          |  round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(maxw AS DOUBLE) / len(toks) END, 6) AS top_word_frac,

@@ -302,4 +302,70 @@ object Evaluation {
         col("__label").as("true_label"),
         when(col("predicted_label") === col("__label"), 1L).otherwise(0L).as("correct"))
   }
+
+  /** Population Stability Index drift report between two corpus
+    * snapshots — the training-data monitoring op run between crawl
+    * refreshes: per group (e.g. source), how far the distribution of a
+    * numeric feature has shifted. Values bin into `nBins` fixed-width
+    * bins over [lo, lo + nBins·width) (clamped at both ends); per group,
+    * PSI = Σ_b (p_b − q_b)·ln(p_b/q_b) with add-one smoothing
+    * (p = (ref_b+1)/(n_ref+nBins)), so empty bins are defined and the
+    * probabilities are exact-integer ratios. Output:
+    * (group, n_ref, n_cur, psi, top_shift_bin) — psi rounded to 6, the
+    * usual alert thresholds being 0.1 (drifting) / 0.25 (shifted);
+    * top_shift_bin is the bin with the largest |contribution| (ties →
+    * lowest bin), the "where did it move" pointer.
+    *
+    * Scale shape: each snapshot reduces to (group × bin) counts in one
+    * map-side-combined aggregation — the collected cell table is
+    * config-bounded (capped), and the fold runs driver-side in
+    * ascending bin order (mirrored by the oracle's ordered list fold,
+    * the [[normalizedMutualInfo]] portability pattern). Corpus text and
+    * vectors never move.
+    */
+  def populationStability(ref: DataFrame, cur: DataFrame, valueCol: String,
+      groupCol: String, lo: Double, width: Double, nBins: Int): DataFrame = {
+    require(nBins >= 2, s"populationStability: nBins $nBins < 2")
+    require(width > 0, s"populationStability: width $width <= 0")
+    def cells(df: DataFrame): Array[(String, Int, Long)] = df
+      .select(
+        col(groupCol).cast("string").as("g"),
+        least(
+          greatest(floor((col(valueCol).cast("double") - lit(lo)) / lit(width)), lit(0.0)),
+          lit((nBins - 1).toDouble)).cast("int").as("bin"))
+      .groupBy(col("g"), col("bin")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val rCells = cells(ref)
+    val cCells = cells(cur)
+    require(rCells.length + cCells.length <= 1000000,
+      s"populationStability: ${rCells.length + cCells.length} (group × bin) cells exceed the bounded-dimension cap")
+    def byGroup(cs: Array[(String, Int, Long)]): Map[String, Map[Int, Long]] =
+      cs.groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    val rm = byGroup(rCells)
+    val cm = byGroup(cCells)
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = (rm.keySet ++ cm.keySet).toSeq.sorted.map { g =>
+      val rb = rm.getOrElse(g, Map.empty[Int, Long])
+      val cb = cm.getOrElse(g, Map.empty[Int, Long])
+      val nR = rb.values.sum
+      val nC = cb.values.sum
+      var psi = 0.0
+      var topBin = 0
+      var topAbs = -1.0
+      var b = 0
+      while (b < nBins) {
+        val p = (rb.getOrElse(b, 0L) + 1.0) / (nR + nBins.toDouble)
+        val q = (cb.getOrElse(b, 0L) + 1.0) / (nC + nBins.toDouble)
+        val term = (p - q) * math.log(p / q)
+        psi += term
+        if (math.abs(term) > topAbs) { topAbs = math.abs(term); topBin = b }
+        b += 1
+      }
+      (g, nR, nC, round6(psi), topBin.toLong)
+    }
+    val spark = ref.sparkSession
+    import spark.implicits._
+    rows.toDF("group", "n_ref", "n_cur", "psi", "top_shift_bin")
+  }
 }

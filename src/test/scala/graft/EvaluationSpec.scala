@@ -207,4 +207,38 @@ class EvaluationSpec extends SparkSpec {
       .collect()
     assert(out.length == 1 && out(0).getInt(1) == 1, out.mkString(","))
   }
+
+  test("populationStability: identical snapshots give psi 0; a planted shift is flagged at its bin") {
+    def snap(rows: (String, Long)*) = rows.toDF("src", "v")
+    val ref = snap(("a", 10L), ("a", 110L), ("a", 110L), ("a", 210L), ("b", 10L), ("b", 10L))
+    val same = Evaluation.populationStability(ref, ref, "v", "src", lo = 0.0, width = 100.0, nBins = 4)
+      .orderBy($"group").collect()
+    assert(same.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq ==
+      Seq(("a", 4L, 4L, 0.0), ("b", 2L, 2L, 0.0)))
+    // current snapshot moves all of a's mass into bin 3 (clamped top bin)
+    val cur = snap(("a", 310L), ("a", 500L), ("a", 390L), ("a", 320L), ("b", 10L), ("b", 10L))
+    val shifted = Evaluation.populationStability(ref, cur, "v", "src", lo = 0.0, width = 100.0, nBins = 4)
+      .orderBy($"group").collect()
+    val a = shifted.find(_.getString(0) == "a").get
+    assert(a.getDouble(3) > 0.25, s"shifted psi ${a.getDouble(3)} not above the alert threshold")
+    assert(a.getLong(4) == 3L, s"top_shift_bin ${a.getLong(4)} != 3")
+    assert(shifted.find(_.getString(0) == "b").get.getDouble(3) == 0.0)
+  }
+
+  test("populationStability: hand-computed two-bin case and one-sided groups") {
+    // ref a: [3, 1] cur a: [1, 3]; smoothed p = (4/6, 2/6), q = (2/6, 4/6)
+    val ref = Seq(("a", 0L), ("a", 0L), ("a", 0L), ("a", 5L), ("only_ref", 0L)).toDF("src", "v")
+    val cur = Seq(("a", 0L), ("a", 5L), ("a", 5L), ("a", 5L)).toDF("src", "v")
+    val out = Evaluation.populationStability(ref, cur, "v", "src", lo = 0.0, width = 5.0, nBins = 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val expected = {
+      val t0 = (4.0 / 6 - 2.0 / 6) * math.log((4.0 / 6) / (2.0 / 6))
+      val t1 = (2.0 / 6 - 4.0 / 6) * math.log((2.0 / 6) / (4.0 / 6))
+      BigDecimal(t0 + t1).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(out("a").getDouble(3) == expected, s"${out("a").getDouble(3)} != $expected")
+    // a group with no current rows still reports (all-smoothing psi)
+    val or = out("only_ref")
+    assert(or.getLong(1) == 1L && or.getLong(2) == 0L && or.getDouble(3) > 0.0)
+  }
 }
