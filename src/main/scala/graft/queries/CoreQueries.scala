@@ -18,6 +18,22 @@ object CoreQueries {
 
   val queries: Map[String, Q] = Map(
     // §7.1 minimum slice: scan → filter → project → slice.
+    // row provenance attach: Spark's hidden _metadata struct surfaces the
+    // physical (file, row-offset) identity of every row — the audit /
+    // lineage twin of the logical RowId machinery (graft.table.RowId).
+    // The oracle recovers the same offsets from the data's write order
+    // (doc_id-ordered files — a property this gate also pins down);
+    // file_name is the constant lane proving the source identity plumbs
+    // through
+    "q_provenance" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          col("_metadata.file_name").as("file_name"),
+          col("_metadata.row_index").as("row_pos"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_scan_filter_project_slice" -> ((s, dir) => {
       KTable(t(s, dir, "lineitem"))
         .filterRows(col("l_quantity") > 30 && col("l_discount") <= 0.05)
@@ -229,6 +245,13 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // physical row offsets recovered from the id-ordered write order of
+    // the test files (probed to hold at every SF); file_name pins the
+    // source identity
+    "q_provenance" ->
+      """SELECT doc_id, 'documents.parquet' AS file_name,
+        |  row_number() OVER (ORDER BY doc_id) - 1 AS row_pos
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_scan_filter_project_slice" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem WHERE l_quantity > 30 AND l_discount <= 0.05

@@ -548,6 +548,28 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // tokenizer fertility: per source, subwords-per-word under the
+    // learned BPE — the tokenizer-efficiency report run before committing
+    // a vocab (high-fertility sources tokenize expensively). Rides the
+    // broadcast segmented dictionary; the corpus reduces to per-source
+    // sums
+    "q_token_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.text.Bpe.train(docs, col("text"), merges = 8)
+      val seg = graft.text.Bpe.segment(docs, "doc_id", col("text"), merges)
+      docs.select(col("doc_id"), col("source"))
+        .join(seg, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          coalesce(sum(col("n_tokens")), lit(0L)).as("n_words"),
+          coalesce(sum(col("n_subwords")), lit(0L)).as("n_subwords"))
+        .withColumn("fertility",
+          when(col("n_words") === 0, lit(0.0))
+            .otherwise(round(col("n_subwords").cast("double") / col("n_words"), 6)))
+        .orderBy(col("source"))
+    }),
+
     // perceptual image fingerprints: aHash64 over genuinely decoded PNG
     // pixels — the oracle replays the kernel from the pixel formula
     "q_image_phash" -> ((s, dir) => {
@@ -1038,6 +1060,24 @@ object LlmQueries {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  private def tokenFertilitySql(merges: Int): String = {
+    val (ctes, last) = bpeCtes(merges)
+    s"""WITH $ctes,
+       |seg AS (
+       |  SELECT doc_id, count(*) AS n_tokens,
+       |    CAST(sum(len(string_split(trim(s), ' '))) AS BIGINT) AS n_subwords
+       |  FROM (SELECT doc_id, unnest(list_filter($toksSql, x -> x <> '')) AS w FROM documents) t
+       |  JOIN $last USING (w)
+       |  GROUP BY doc_id)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(coalesce(sum(seg.n_tokens), 0) AS BIGINT) AS n_words,
+       |  CAST(coalesce(sum(seg.n_subwords), 0) AS BIGINT) AS n_subwords,
+       |  CASE WHEN coalesce(sum(seg.n_tokens), 0) = 0 THEN 0.0
+       |       ELSE round(coalesce(sum(seg.n_subwords), 0) / CAST(sum(seg.n_tokens) AS DOUBLE), 6) END AS fertility
+       |FROM documents LEFT JOIN seg USING (doc_id)
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
   // DuckDB twins of TextFunctions' stopword lists (same order-insensitive sets)
   private val stopEn = "['the','and','of','to','in','is','that','it','for','with','was','on','are','as','at']"
   private val stopEs = "['el','la','de','que','y','en','los','del','las','un','por','con','una','su','para']"
@@ -1200,6 +1240,7 @@ object LlmQueries {
         |FROM s ORDER BY doc_id, sample_idx""".stripMargin,
     "q_bpe_train" -> bpeTrainSql(8),
     "q_bpe_segment" -> bpeSegmentSql(8),
+    "q_token_fertility" -> tokenFertilitySql(8),
     // image aHash replay: same kernel as q_video_phash over the PNG
     // formula (w = 1 + id%16, h = 1 + (id//16)%16, single frame)
     "q_image_phash" ->
