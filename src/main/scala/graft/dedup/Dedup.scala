@@ -385,25 +385,79 @@ object Dedup {
     */
   def chunkDedupRewrite(docs: DataFrame, textCol: String, idCol: String, w: Int = 8): DataFrame = {
     require(w >= 1, s"chunkDedupRewrite: bad chunk width $w")
-    // materialized token + chunk arrays (CollapseProject/HOF trap — see
-    // TextFunctions.chunkTokens scaladoc)
-    val chunked = docs
-      .withColumn("__toks", T.tokenize(col(textCol)))
-      .withColumn("__chunks", T.chunkTokens(col("__toks"), w, w))
-    val units = chunked
-      .select(col(idCol).as("id"), posexplode(col("__chunks")).as(Seq("idx", "__chunk")))
-      .select(col("id"), col("idx").cast("long").as("idx"), xxhash64(col("__chunk")).as("__h"))
+    val chunked = chunkPrep(docs, textCol, w)
+    val units = chunkUnits(chunked, idCol)
     // first global occurrence per chunk hash; min over (id, idx) structs
     // combines map-side
     val winners = units.groupBy(col("__h"))
       .agg(min(struct(col("id"), col("idx"))).as("__win"))
     val drops = units.join(winners, "__h")
       .where(col("id") =!= col("__win.id") || col("idx") =!= col("__win.idx"))
+    rewriteWithDrops(chunked, idCol, drops)
+  }
+
+  /** [[chunkDedupRewrite]] against a PRIOR admitted-chunk state (one `h`
+    * column of 64-bit chunk hashes — the artifact
+    * [[admittedChunkHashes]] emits): a chunk occurrence survives only if
+    * it is its batch's first occurrence AND its hash is not already
+    * admitted. The incremental/streaming form of the rewrite — prior
+    * state is hash-sized (8 B/chunk), never text, so the per-batch cost
+    * is batch × state, not batch × corpus.
+    */
+  def chunkDedupRewriteAgainst(priorHashes: DataFrame, docs: DataFrame,
+      textCol: String, idCol: String, w: Int = 8): DataFrame = {
+    require(w >= 1, s"chunkDedupRewriteAgainst: bad chunk width $w")
+    val chunked = chunkPrep(docs, textCol, w)
+    val units = chunkUnits(chunked, idCol)
+    val admitted = batchAdmitted(units, priorHashes)
+    // drop every occurrence that is not an admitted winner occurrence
+    val drops = units.join(admitted, Seq("__h"), "left")
+      .where(col("__win").isNull ||
+        col("id") =!= col("__win.id") || col("idx") =!= col("__win.idx"))
+    rewriteWithDrops(chunked, idCol, drops)
+  }
+
+  /** The chunk hashes `docs` newly admits over `priorHashes` — the state
+    * delta a streaming rewrite persists per batch (schema: `h` long).
+    */
+  def admittedChunkHashes(priorHashes: DataFrame, docs: DataFrame,
+      textCol: String, idCol: String, w: Int = 8): DataFrame =
+    batchAdmitted(chunkUnits(chunkPrep(docs, textCol, w), idCol), priorHashes)
+      .select(col("__h").as("h"))
+
+  // materialized token + chunk arrays (CollapseProject/HOF trap — see
+  // TextFunctions.chunkTokens scaladoc)
+  private def chunkPrep(docs: DataFrame, textCol: String, w: Int): DataFrame =
+    docs
+      .withColumn("__toks", T.tokenize(col(textCol)))
+      .withColumn("__chunks", T.chunkTokens(col("__toks"), w, w))
+
+  private def chunkUnits(chunked: DataFrame, idCol: String): DataFrame =
+    chunked
+      .select(col(idCol).as("id"), posexplode(col("__chunks")).as(Seq("idx", "__chunk")))
+      .select(col("id"), col("idx").cast("long").as("idx"), xxhash64(col("__chunk")).as("__h"))
+
+  /** Within-batch winners whose hash is not already in the prior state:
+    * (__h, __win struct(id, idx)).
+    */
+  private def batchAdmitted(units: DataFrame, priorHashes: DataFrame): DataFrame =
+    units.groupBy(col("__h"))
+      .agg(min(struct(col("id"), col("idx"))).as("__win"))
+      .join(priorHashes.select(col("h").as("__h")), Seq("__h"), "left_anti")
+
+  /** Re-emit every document with its dropped chunk positions removed.
+    * `drops` rows carry (id, idx) of occurrences to remove; affected
+    * docs' sorted drop lists join back (broadcast when small — the
+    * duplicate-proportional case), untouched docs pass through with a
+    * null list.
+    */
+  private def rewriteWithDrops(chunked: DataFrame, idCol: String, drops: DataFrame): DataFrame = {
+    val dropLists = drops
       .groupBy(col("id"))
       .agg(sort_array(collect_list(col("idx"))).as("__drop"), count(lit(1)).as("__n_dropped"))
       .withColumnRenamed("id", "__drop_id")
     chunked
-      .join(drops, col(idCol) === col("__drop_id"), "left")
+      .join(dropLists, col(idCol) === col("__drop_id"), "left")
       .select(
         col(idCol).as("id"),
         array_join(
