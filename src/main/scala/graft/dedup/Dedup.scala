@@ -417,6 +417,27 @@ object Dedup {
     rewriteWithDrops(chunked, idCol, drops)
   }
 
+  /** Boilerplate removal with document rewrite — the C4 "line appears in
+    * ≥ N documents → remove it EVERYWHERE" rule (template/navigation text
+    * is noise in every copy, so unlike [[chunkDedupRewrite]] no first
+    * occurrence survives). Same unit machinery and scale shape: the
+    * distinct (hash, id) projection aggregates to document frequencies on
+    * uniform 64-bit keys, the boilerplate hash set is df-bounded, and
+    * text only moves on the per-affected-doc drop-list join-back.
+    */
+  def boilerplateRewrite(docs: DataFrame, textCol: String, idCol: String,
+      w: Int = 8, minDocs: Int = 3): DataFrame = {
+    require(w >= 1, s"boilerplateRewrite: bad chunk width $w")
+    require(minDocs >= 2, s"boilerplateRewrite: minDocs $minDocs < 2")
+    val chunked = chunkPrep(docs, textCol, w)
+    val units = chunkUnits(chunked, idCol)
+    val common = units.select(col("__h"), col("id")).distinct()
+      .groupBy(col("__h")).agg(count(lit(1)).as("__docs"))
+      .where(col("__docs") >= minDocs)
+      .select(col("__h"))
+    rewriteWithDrops(chunked, idCol, units.join(common, "__h"))
+  }
+
   /** The chunk hashes `docs` newly admits over `priorHashes` — the state
     * delta a streaming rewrite persists per batch (schema: `h` long).
     */

@@ -659,6 +659,14 @@ object LlmQueries {
         .orderBy(col("id"))
     }),
 
+    // boilerplate removal: chunks in >= 3 distinct docs are template
+    // text — removed EVERYWHERE (no surviving copy), unlike the
+    // keep-first rewrite above
+    "q_boilerplate_rewrite" -> ((s, dir) => {
+      Dedup.boilerplateRewrite(t(s, dir, "documents"), "text", "doc_id", w = 8, minDocs = 3)
+        .orderBy(col("id"))
+    }),
+
     // sketch-prefiltered ANN with exact re-rank (rows-only; recall
     // invariant in SimilaritySpec)
     "q_ann_sketch" -> ((s, dir) => {
@@ -1392,6 +1400,29 @@ object LlmQueries {
          |  coalesce(string_agg(CASE WHEN k.rn = 1 THEN k.chunk END, ' ' ORDER BY k.idx), '') AS clean_text,
          |  CAST(count(k.chunk) AS BIGINT) AS n_chunks,
          |  CAST(coalesce(sum(CASE WHEN k.rn > 1 THEN 1 END), 0) AS BIGINT) AS n_dropped
+         |FROM d2 LEFT JOIN k ON d2.doc_id = k.doc_id
+         |GROUP BY d2.doc_id ORDER BY d2.doc_id""".stripMargin,
+    // boilerplate chunks resolved as STRINGS (same collision argument as
+    // q_dedup_rewrite); df counts distinct docs per chunk
+    "q_boilerplate_rewrite" ->
+      s"""WITH d2 AS MATERIALIZED (
+         |  SELECT doc_id, list_filter($toksSql, x -> x <> '') AS toks FROM documents),
+         |u AS MATERIALIZED (
+         |  SELECT doc_id, u.idx AS idx, u.chunk AS chunk FROM (
+         |    SELECT doc_id, unnest([{'idx': CAST(s // 8 AS BIGINT),
+         |                            'chunk': array_to_string(toks[CAST(s+1 AS INTEGER):CAST(s+8 AS INTEGER)], ' ')}
+         |                           FOR s IN range(0, len(toks), 8)]) AS u
+         |    FROM d2)),
+         |cm AS MATERIALIZED (
+         |  SELECT chunk FROM (SELECT DISTINCT doc_id, chunk FROM u)
+         |  GROUP BY chunk HAVING count(*) >= 3),
+         |k AS (
+         |  SELECT u.doc_id, u.idx, u.chunk, (cm.chunk IS NOT NULL) AS is_bp
+         |  FROM u LEFT JOIN cm USING (chunk))
+         |SELECT d2.doc_id AS id,
+         |  coalesce(string_agg(CASE WHEN NOT k.is_bp THEN k.chunk END, ' ' ORDER BY k.idx), '') AS clean_text,
+         |  CAST(count(k.chunk) AS BIGINT) AS n_chunks,
+         |  CAST(coalesce(sum(CASE WHEN k.is_bp THEN 1 END), 0) AS BIGINT) AS n_dropped
          |FROM d2 LEFT JOIN k ON d2.doc_id = k.doc_id
          |GROUP BY d2.doc_id ORDER BY d2.doc_id""".stripMargin,
     // PSI: add-one-smoothed probabilities are exact-integer ratios; the

@@ -152,6 +152,11 @@ object PlanCheck {
     Check(
       "q_dedup_rewrite",
       mustContain = Seq("partial_min"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // boilerplate: the df aggregation must combine map-side too
+    Check(
+      "q_boilerplate_rewrite",
+      mustContain = Seq("partial_count"),
       mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
   )
 

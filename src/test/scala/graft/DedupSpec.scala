@@ -240,4 +240,24 @@ class DedupSpec extends SparkSpec {
     val straight = out.values.map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
     assert(shuffled == straight)
   }
+
+  test("boilerplate rewrite removes every copy at the df threshold; within-doc repeats count once") {
+    val d = Seq(
+      (0L, "a b c d"), // [a b] in docs {0,1,2} → boilerplate everywhere
+      (1L, "a b x y"), // [x y] in docs {1,3} only → df 2 < 3, survives
+      (2L, "a b a b e f"), // within-doc repeat still counts doc 2 ONCE toward df
+      (3L, "x y g h")
+    ).toDF("doc_id", "text")
+    val out = Dedup.boilerplateRewrite(d, "text", "doc_id", w = 2, minDocs = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getString(1) == "c d" && out(0L).getLong(3) == 1)
+    assert(out(1L).getString(1) == "x y" && out(1L).getLong(3) == 1)
+    // doc 2: BOTH [a b] copies removed (no keep-first here)
+    assert(out(2L).getString(1) == "e f" && out(2L).getLong(3) == 2)
+    assert(out(3L).getString(1) == "x y g h" && out(3L).getLong(3) == 0)
+    // below the threshold nothing is boilerplate: df([a b]) = 3 < 4
+    val none = Dedup.boilerplateRewrite(d, "text", "doc_id", w = 2, minDocs = 4)
+      .agg(sum($"n_dropped")).head().getLong(0)
+    assert(none == 0L)
+  }
 }
