@@ -659,6 +659,16 @@ object LlmQueries {
         .orderBy(col("id"))
     }),
 
+    // token-budget selection: keep the best-quality documents until a
+    // 10k-token budget (greedy prefix over the exact global running sum —
+    // the RowId offsets pattern generalized to sums)
+    "q_token_budget" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.text.Budget.tokenBudgetSelect(
+          docs, "doc_id", T.qualityScore(col("text")), T.tokenCount(col("text")), budget = 10000L)
+        .orderBy(col("doc_id"))
+    }),
+
     // boilerplate removal: chunks in >= 3 distinct docs are template
     // text — removed EVERYWHERE (no surviving copy), unlike the
     // keep-first rewrite above
@@ -1402,6 +1412,21 @@ object LlmQueries {
          |  CAST(coalesce(sum(CASE WHEN k.rn > 1 THEN 1 END), 0) AS BIGINT) AS n_dropped
          |FROM d2 LEFT JOIN k ON d2.doc_id = k.doc_id
          |GROUP BY d2.doc_id ORDER BY d2.doc_id""".stripMargin,
+    // the unrounded quality doubles are bit-identical across engines
+    // (q_text_quality precedent), so the DESC ordering — and therefore
+    // the running sum and the budget cut — coincide exactly
+    "q_token_budget" ->
+      s"""WITH q AS ($qualitySelectSql),
+         |t0 AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter($toksSql, x -> x <> '')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT q.doc_id, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY quality DESC, q.doc_id) AS BIGINT) AS cum_tokens
+         |  FROM q JOIN t0 USING (doc_id))
+         |SELECT doc_id, n_tokens, cum_tokens FROM c
+         |WHERE cum_tokens <= 10000 ORDER BY doc_id""".stripMargin,
     // boilerplate chunks resolved as STRINGS (same collision argument as
     // q_dedup_rewrite); df counts distinct docs per chunk
     "q_boilerplate_rewrite" ->

@@ -157,7 +157,14 @@ object PlanCheck {
     Check(
       "q_boilerplate_rewrite",
       mustContain = Seq("partial_count"),
-      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // token budget: the global order is a range exchange of id/score/count
+    // triples; the running sum windows per PARTITION (never a global
+    // single-partition window), offsets ride a plan literal
+    Check(
+      "q_token_budget",
+      mustContain = Seq("rangepartitioning"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin", "SinglePartition"))
   )
 
   def main(args: Array[String]): Unit = {
