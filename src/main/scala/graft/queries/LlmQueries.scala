@@ -5,6 +5,7 @@ import graft.text.{Bm25, Curriculum, Dsir, Mixture, Sharding}
 import graft.functions.{TextFunctions => T}
 import graft.multimodal.Multimodal
 import graft.similarity.{Evaluation, Pca, Similarity}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Tables._
 
@@ -657,6 +658,41 @@ object LlmQueries {
     "q_dedup_rewrite" -> ((s, dir) => {
       Dedup.chunkDedupRewrite(t(s, dir, "documents"), "text", "doc_id", w = 8)
         .orderBy(col("id"))
+    }),
+
+    // dataset card: the per-source release report — size, token mass,
+    // quality, dominant language, and duplication profile in one row per
+    // source. Every lane is exact-integer (or a rounded exact ratio /
+    // threshold on bit-identical doubles), so the whole card hash-matches
+    "q_dataset_card" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = docs.select(
+        col("source"), col("lang"), col("doc_id"),
+        T.tokenCount(col("text")).cast("long").as("__nt"),
+        T.qualityScore(col("text")).as("__q"))
+      val stats = base.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__nt")).as("n_tokens"),
+        sum(when(col("__q") >= 0.5, 1L).otherwise(0L)).as("n_hi_quality"))
+      val langW = Window.partitionBy(col("source"))
+        .orderBy(col("__lc").desc, col("lang"))
+      val topLang = base.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("__lc"))
+        .withColumn("__rn", row_number().over(langW))
+        .where(col("__rn") === 1)
+        .select(col("source"), col("lang").as("top_lang"), col("__lc").as("top_lang_docs"))
+      val dupDocs = Dedup.chunkDedupRewrite(docs, "text", "doc_id", w = 8)
+        .where(col("n_dropped") > 0)
+        .join(docs.select(col("doc_id").as("id"), col("source")), Seq("id"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_dup_docs"))
+      stats.join(topLang, Seq("source"))
+        .join(dupDocs, Seq("source"), "left")
+        .select(
+          col("source"), col("n_docs"), col("n_tokens"),
+          round(col("n_tokens").cast("double") / col("n_docs"), 6).as("avg_doc_tokens"),
+          col("n_hi_quality"), col("top_lang"), col("top_lang_docs"),
+          coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"))
+        .orderBy(col("source"))
     }),
 
     // token-budget selection: keep the best-quality documents until a
@@ -1412,6 +1448,45 @@ object LlmQueries {
          |  CAST(coalesce(sum(CASE WHEN k.rn > 1 THEN 1 END), 0) AS BIGINT) AS n_dropped
          |FROM d2 LEFT JOIN k ON d2.doc_id = k.doc_id
          |GROUP BY d2.doc_id ORDER BY d2.doc_id""".stripMargin,
+    // dataset card: all-exact lanes (counts, a rounded exact ratio, a
+    // threshold on the bit-identical quality doubles, keep-first chunk
+    // verdicts on chunk strings)
+    "q_dataset_card" ->
+      s"""WITH q AS ($qualitySelectSql),
+         |t0 AS (
+         |  SELECT doc_id, source, lang,
+         |    CAST(len(list_filter($toksSql, x -> x <> '')) AS BIGINT) AS nt
+         |  FROM documents),
+         |stats AS (
+         |  SELECT t0.source, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens,
+         |    CAST(sum(CASE WHEN q.quality >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi_quality
+         |  FROM t0 JOIN q USING (doc_id) GROUP BY t0.source),
+         |lc AS (
+         |  SELECT source, lang, count(*) AS c,
+         |    row_number() OVER (PARTITION BY source ORDER BY count(*) DESC, lang) AS rn
+         |  FROM t0 GROUP BY source, lang),
+         |d2 AS MATERIALIZED (
+         |  SELECT doc_id, list_filter($toksSql, x -> x <> '') AS toks FROM documents),
+         |u AS MATERIALIZED (
+         |  SELECT doc_id, u.idx AS idx, u.chunk AS chunk FROM (
+         |    SELECT doc_id, unnest([{'idx': CAST(s // 8 AS BIGINT),
+         |                            'chunk': array_to_string(toks[CAST(s+1 AS INTEGER):CAST(s+8 AS INTEGER)], ' ')}
+         |                           FOR s IN range(0, len(toks), 8)]) AS u
+         |    FROM d2)),
+         |k AS (
+         |  SELECT doc_id, row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+         |  FROM u),
+         |dup AS (
+         |  SELECT t0.source, count(DISTINCT k.doc_id) AS n_dup_docs
+         |  FROM k JOIN t0 ON k.doc_id = t0.doc_id WHERE k.rn > 1 GROUP BY t0.source)
+         |SELECT stats.source, n_docs, n_tokens,
+         |  round(n_tokens / CAST(n_docs AS DOUBLE), 6) AS avg_doc_tokens,
+         |  n_hi_quality, lc.lang AS top_lang, CAST(lc.c AS BIGINT) AS top_lang_docs,
+         |  CAST(coalesce(dup.n_dup_docs, 0) AS BIGINT) AS n_dup_docs
+         |FROM stats
+         |JOIN lc ON lc.source = stats.source AND lc.rn = 1
+         |LEFT JOIN dup ON dup.source = stats.source
+         |ORDER BY stats.source""".stripMargin,
     // the unrounded quality doubles are bit-identical across engines
     // (q_text_quality precedent), so the DESC ordering — and therefore
     // the running sum and the budget cut — coincide exactly
