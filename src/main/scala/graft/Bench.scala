@@ -68,7 +68,11 @@ object Bench {
     "q_curriculum",
     "q_shard_assign",
     "q_mixture_upsample",
-    "q_contamination_report"
+    "q_contamination_report",
+    // round 7 closing session: corpus hygiene + selection + reporting
+    "q_dedup_rewrite",
+    "q_token_budget",
+    "q_dataset_card"
   )
 
   def main(args: Array[String]): Unit = {
