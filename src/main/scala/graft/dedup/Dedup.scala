@@ -388,9 +388,15 @@ object Dedup {
     val chunked = chunkPrep(docs, textCol, w)
     val units = chunkUnits(chunked, idCol)
     // first global occurrence per chunk hash; min over (id, idx) structs
-    // combines map-side
+    // combines map-side. Only hashes with >= 2 occurrences can produce a
+    // drop, so the join's build side is DUPLICATE-proportional (and AQE-
+    // broadcastable at realistic duplication rates) rather than one row
+    // per distinct chunk in the corpus — single-occurrence units simply
+    // don't join and the drops set is identical.
     val winners = units.groupBy(col("__h"))
-      .agg(min(struct(col("id"), col("idx"))).as("__win"))
+      .agg(min(struct(col("id"), col("idx"))).as("__win"), count(lit(1)).as("__n"))
+      .where(col("__n") > 1)
+      .select(col("__h"), col("__win"))
     val drops = units.join(winners, "__h")
       .where(col("id") =!= col("__win.id") || col("idx") =!= col("__win.idx"))
     rewriteWithDrops(chunked, idCol, drops)

@@ -327,18 +327,23 @@ object Evaluation {
       groupCol: String, lo: Double, width: Double, nBins: Int): DataFrame = {
     require(nBins >= 2, s"populationStability: nBins $nBins < 2")
     require(width > 0, s"populationStability: width $width <= 0")
-    def cells(df: DataFrame): Array[(String, Int, Long)] = df
+    // both snapshots aggregate in ONE union job (they usually derive
+    // from the same scan — a split corpus — and two collect jobs would
+    // read it twice)
+    def binned(df: DataFrame, isRef: Boolean): DataFrame = df
       .select(
         col(groupCol).cast("string").as("g"),
         least(
           greatest(floor((col(valueCol).cast("double") - lit(lo)) / lit(width)), lit(0.0)),
-          lit((nBins - 1).toDouble)).cast("int").as("bin"))
-      .groupBy(col("g"), col("bin")).agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
-    val rCells = cells(ref)
-    val cCells = cells(cur)
-    require(rCells.length + cCells.length <= 1000000,
-      s"populationStability: ${rCells.length + cCells.length} (group × bin) cells exceed the bounded-dimension cap")
+          lit((nBins - 1).toDouble)).cast("int").as("bin"),
+        lit(isRef).as("__ref"))
+    val allCells = binned(ref, isRef = true).unionByName(binned(cur, isRef = false))
+      .groupBy(col("g"), col("bin"), col("__ref")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getBoolean(2), r.getLong(3)))
+    val rCells = allCells.filter(_._3).map(t => (t._1, t._2, t._4))
+    val cCells = allCells.filterNot(_._3).map(t => (t._1, t._2, t._4))
+    require(allCells.length <= 1000000,
+      s"populationStability: ${allCells.length} (group × bin) cells exceed the bounded-dimension cap")
     def byGroup(cs: Array[(String, Int, Long)]): Map[String, Map[Int, Long]] =
       cs.groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
     val rm = byGroup(rCells)

@@ -32,6 +32,14 @@ object Budget {
   def tokenBudgetSelect(docs: DataFrame, idCol: String, scoreCol: Column,
       tokens: Column, budget: Long): DataFrame = {
     require(budget >= 0, s"tokenBudgetSelect: negative budget $budget")
+    // same reserved-name discipline as RowId.withRowIndexCounted (this is
+    // that machinery with counts generalized to sums; kept separate
+    // because the count path has a narrow-deterministic fast path and the
+    // epoch variant restarts per epoch — see RowId.scala / Curriculum.scala).
+    // The opening select projects every other input column away, so the
+    // only possible clash is the id column itself.
+    require(!Seq("__score", "__pid", "__offset", "n_tokens", "cum_tokens").contains(idCol),
+      s"tokenBudgetSelect: id column name $idCol is reserved")
     val sorted = docs
       .select(col(idCol), scoreCol.as("__score"), tokens.cast("long").as("n_tokens"))
       .orderBy(col("__score").desc, col(idCol))

@@ -158,12 +158,14 @@ object PlanCheck {
       "q_boilerplate_rewrite",
       mustContain = Seq("partial_count"),
       mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
-    // token budget: the global order is a range exchange of id/score/count
-    // triples; the running sum windows per PARTITION (never a global
-    // single-partition window), offsets ride a plan literal
+    // token budget: the selection sort runs INSIDE the eager
+    // localCheckpoint (invisible here — the visible plan starts at a
+    // LogicalRDD scan), so the live assertion is about what runs after
+    // it: the running sum must be a per-__pid Window with NO
+    // single-partition exchange anywhere in the plan
     Check(
       "q_token_budget",
-      mustContain = Seq("rangepartitioning"),
+      mustContain = Seq("Window"),
       mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin", "SinglePartition"))
   )
 
