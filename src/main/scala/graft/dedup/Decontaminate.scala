@@ -89,6 +89,56 @@ object Decontaminate {
           .as("contamination_ratio"))
   }
 
+  /** Transitive contamination closure: starting from the directly-
+    * contaminated seed ids, walk `maxHops` steps through a near-duplicate
+    * pair graph — a near-duplicate of a leaked document carries the leak
+    * even when its own text no longer matches any eval span verbatim
+    * (paraphrased or perturbed copies), so span-level decontamination
+    * alone under-drops. Returns (id, hop) with hop = MINIMUM hops from
+    * any seed (0 = directly contaminated); multi-source BFS, all-integer,
+    * so verdicts are bit-exact and partition-independent.
+    *
+    * Scale shape: each iteration is one (frontier × edges) equi-join plus
+    * an anti-join against the reached set — everything id-sized; the
+    * frontier never re-expands visited nodes, and iterations stop early
+    * on an empty frontier. Bounded by `maxHops` (contamination chains in
+    * practice are short; an unbounded closure is [[Dedup.clusterRepresentatives]]).
+    */
+  def transitiveContamination(pairs: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"transitiveContamination: negative maxHops $maxHops")
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .cache()
+    var reached = seeds.select(col("id"), lit(0).as("hop")).cache()
+    var cachedHandle = reached
+    var reachedCount = reached.count()
+    var frontier = reached.select(col("id"))
+    var hop = 1
+    var done = maxHops == 0
+    while (!done) {
+      val next = frontier.join(edges, col("id") === col("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(reached.select(col("id")), Seq("id"), "left_anti")
+        .withColumn("hop", lit(hop))
+      val grown = reached.unionAll(next).cache()
+      // loop control needs the iteration materialized anyway; its count
+      // also detects the empty frontier (no growth → converged)
+      val grownCount = grown.count()
+      cachedHandle.unpersist()
+      cachedHandle = grown
+      done = grownCount == reachedCount || hop == maxHops
+      reachedCount = grownCount
+      frontier = next.select(col("id"))
+      reached = grown
+      hop += 1
+    }
+    val out = reached.localCheckpoint(true)
+    cachedHandle.unpersist()
+    edges.unpersist()
+    out
+  }
+
   /** Drop training docs whose eval-span overlap ratio exceeds
     * `maxOverlap` (0.0 = drop on any shared span). Short docs (< w tokens)
     * are kept.

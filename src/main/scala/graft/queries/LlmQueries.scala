@@ -1022,6 +1022,50 @@ object LlmQueries {
         .orderBy(col("id"))
     }),
 
+    // transitive contamination: BFS through the near-dup graph from the
+    // directly-contaminated docs — a near-duplicate of a leaked doc
+    // carries the leak even when its own text matches no eval span
+    // verbatim. The corpus' own near-dup families are all directly
+    // contaminated together (shared spans), so the gate PLANTS perturbed
+    // copies (+300000, every 8th token replaced by a positional junk
+    // token): zero shared 8-spans (never a seed), ~0.45 shingle Jaccard
+    // (reachable at hop 1). Planted-id guard per the ADVICE-r5 pattern.
+    "q_transitive_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val evalSet = docs.where(pmod(col("doc_id"), lit(5)) === 0)
+      val trainBase = docs.where(pmod(col("doc_id"), lit(5)) =!= 0)
+        .withColumn("doc_id",
+          when(col("doc_id") < 300000, col("doc_id"))
+            .otherwise(raise_error(lit(
+              "documents.doc_id reached the planted-id offset (300000); raise the offset"))))
+      val toks = T.tokenize(col("text"))
+      val planted = trainBase.select(
+        (col("doc_id") + 300000).as("doc_id"),
+        array_join(
+          transform(toks, (tok, i) =>
+            when(pmod(i, lit(8)) === 0, concat(lit("qq"), i.cast("string"))).otherwise(tok)),
+          " ").as("text"))
+      // second generation (+600000): junk at BOTH offsets — ~0.45 Jaccard
+      // to its first-generation variant, ~0.17 to the original, so it is
+      // reachable only at hop 2 (keeps the deepest lane live)
+      val planted2 = trainBase.select(
+        (col("doc_id") + 600000).as("doc_id"),
+        array_join(
+          transform(toks, (tok, i) =>
+            when(pmod(i, lit(8)) === 0, concat(lit("qq"), i.cast("string")))
+              .when(pmod(i, lit(8)) === 4, concat(lit("rr"), i.cast("string")))
+              .otherwise(tok)),
+          " ").as("text"))
+      val train = trainBase.select(col("doc_id"), col("text"))
+        .unionByName(planted).unionByName(planted2)
+      val seeds = Decontaminate.overlapStats(train, evalSet, "text", "doc_id", w = 8)
+        .where(col("n_eval_spans") > 0).select(col("id"))
+      val pairs = Dedup.minHashPairs(train, "text", "doc_id", threshold = 0.4)
+      Decontaminate.transitiveContamination(pairs, seeds, maxHops = 2)
+        .withColumn("hop", col("hop").cast("long"))
+        .orderBy(col("id"))
+    }),
+
     // the auditor's direction: per EVAL doc, how much leaked into the
     // training corpus and how many training docs carry it — the report
     // a benchmark run needs even when nothing is dropped
@@ -1173,6 +1217,7 @@ object LlmQueries {
     "q_dedup_simhash" -> XxhSql.simhashPairsSql(maxHamming = 6, bands = 8),
     "q_dedup_minhash_survivors" -> XxhSql.minhashSurvivorsSql(n = 3, k = 64, bands = 16, threshold = 0.5),
     "q_minhash_incremental" -> XxhSql.minhashIncrementalSql(n = 3, k = 64, bands = 16, threshold = 0.5),
+    "q_transitive_contamination" -> XxhSql.transitiveContaminationSql(n = 3, k = 64, bands = 16, threshold = 0.4),
     "q_curation_pipeline" -> XxhSql.curationPipelineSql(
       qualitySelectSql, minQuality = 0.3, n = 3, k = 64, bands = 16, threshold = 0.6),
     "q_multimodal_decode" -> XxhSql.multimodalDecodeSql,

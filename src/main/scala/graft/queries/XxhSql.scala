@@ -240,6 +240,59 @@ object XxhSql {
        |  FROM cand JOIN ss sa ON sa.doc_id = cand.id_a JOIN ss sb ON sb.doc_id = cand.id_b)""".stripMargin
   }
 
+  /** Oracle for q_transitive_contamination
+    * ([[graft.dedup.Decontaminate.transitiveContamination]]): BFS closure
+    * over the banding near-dup graph of the train+planted corpus, seeded
+    * by direct 8-token-span overlap with the eval slice, hops unrolled
+    * (maxHops = 2). Planted docs (+300000) replace every 8th token with a
+    * positional 'qq<i>' junk token: zero shared 8-spans with anything
+    * (never a seed) but ~0.45 3-shingle Jaccard with their original —
+    * reachable only transitively. Banding misses at J≈0.45 are identical
+    * on both sides (same signatures), so the graphs coincide exactly.
+    */
+  def transitiveContaminationSql(n: Int, k: Int, bands: Int, threshold: Double): String = {
+    def trainSrc(alias: String) =
+      s"""(SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0
+         |      UNION ALL
+         |      SELECT doc_id + 300000 AS doc_id,
+         |        array_to_string([CASE WHEN (i - 1) % 8 = 0 THEN 'qq' || CAST(i - 1 AS VARCHAR) ELSE toks[i] END
+         |                         FOR i IN range(1, len(toks) + 1)], ' ') AS text
+         |      FROM (SELECT doc_id, list_filter($toksSql, x -> x <> '') AS toks
+         |            FROM documents WHERE doc_id % 5 <> 0 AND text IS NOT NULL)
+         |      UNION ALL
+         |      SELECT doc_id + 600000 AS doc_id,
+         |        array_to_string([CASE WHEN (i - 1) % 8 = 0 THEN 'qq' || CAST(i - 1 AS VARCHAR)
+         |                              WHEN (i - 1) % 8 = 4 THEN 'rr' || CAST(i - 1 AS VARCHAR)
+         |                              ELSE toks[i] END
+         |                         FOR i IN range(1, len(toks) + 1)], ' ') AS text
+         |      FROM (SELECT doc_id, list_filter($toksSql, x -> x <> '') AS toks
+         |            FROM documents WHERE doc_id % 5 <> 0 AND text IS NOT NULL)) $alias""".stripMargin
+    s"""WITH ${pairCtes(wordShingles(n, trainSrc("tr")), k, bands, k / bands)},
+       |pe AS MATERIALIZED (SELECT id_a, id_b FROM ver WHERE j >= $threshold),
+       |edges AS MATERIALIZED (
+       |  SELECT id_a AS src, id_b AS dst FROM pe UNION ALL SELECT id_b AS src, id_a AS dst FROM pe),
+       |tsp AS MATERIALIZED (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    [array_to_string(toks[i:i+7], ' ') FOR i IN range(1, greatest(len(toks) - 6, 1))])) AS span
+       |  FROM (SELECT doc_id, $toksSql AS toks FROM ${trainSrc("tr2")} WHERE $normSql <> '')),
+       |esp AS MATERIALIZED (
+       |  SELECT DISTINCT span FROM (
+       |    SELECT unnest(list_distinct(
+       |      [array_to_string(toks[i:i+7], ' ') FOR i IN range(1, greatest(len(toks) - 6, 1))])) AS span
+       |    FROM (SELECT $toksSql AS toks FROM documents WHERE doc_id % 5 = 0 AND $normSql <> ''))),
+       |seeds AS MATERIALIZED (SELECT DISTINCT tsp.doc_id AS id FROM tsp JOIN esp USING (span)),
+       |h1 AS MATERIALIZED (
+       |  SELECT DISTINCT dst AS id FROM edges JOIN seeds ON edges.src = seeds.id
+       |  WHERE dst NOT IN (SELECT id FROM seeds)),
+       |h2 AS (
+       |  SELECT DISTINCT dst AS id FROM edges JOIN h1 ON edges.src = h1.id
+       |  WHERE dst NOT IN (SELECT id FROM seeds) AND dst NOT IN (SELECT id FROM h1))
+       |SELECT id, CAST(0 AS BIGINT) AS hop FROM seeds
+       |UNION ALL SELECT id, CAST(1 AS BIGINT) AS hop FROM h1
+       |UNION ALL SELECT id, CAST(2 AS BIGINT) AS hop FROM h2
+       |ORDER BY id""".stripMargin
+  }
+
   /** Oracle for [[graft.dedup.Dedup.minHashPairs]] /
     * [[graft.dedup.Dedup.ngramJaccardPairs]]-shaped queries.
     */

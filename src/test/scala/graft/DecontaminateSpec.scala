@@ -63,4 +63,30 @@ class DecontaminateSpec extends SparkSpec {
     val out = Decontaminate.clean(train.where($"doc_id" =!= 0L), evalSet, "text", "doc_id", w = 8)
     assert(out.count() == 3)
   }
+
+  test("transitive contamination: min-hop BFS, bounded hops, early stop, isolated seeds") {
+    def pairs(rows: (Long, Long)*) = rows.toDF("id_a", "id_b")
+    def seeds(ids: Long*) = ids.toDF("id")
+    // chain 1-2-3-4 cut at maxHops 2: doc 4 stays out
+    val chain = Decontaminate.transitiveContamination(
+        pairs((1L, 2L), (2L, 3L), (3L, 4L)), seeds(1L), maxHops = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(chain == Map(1L -> 0, 2L -> 1, 3L -> 2))
+    // diamond 1-2, 1-3, 2-4, 3-4: hop of 4 is the MINIMUM (2), one row
+    val diamond = Decontaminate.transitiveContamination(
+        pairs((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)), seeds(1L), maxHops = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(diamond == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2))
+    // an isolated seed (not in the graph) stays at hop 0; edges touching
+    // no seed contribute nothing; convergence stops before maxHops
+    val iso = Decontaminate.transitiveContamination(
+        pairs((7L, 8L)), seeds(5L), maxHops = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(iso == Map(5L -> 0))
+    // maxHops 0 = direct contamination only
+    val direct = Decontaminate.transitiveContamination(
+        pairs((1L, 2L)), seeds(1L), maxHops = 0)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(direct == Map(1L -> 0))
+  }
 }
