@@ -402,6 +402,25 @@ object Dedup {
     rewriteWithDrops(chunked, idCol, drops)
   }
 
+  /** Lineage of the keep-first rewrite: for every chunk occurrence
+    * [[chunkDedupRewrite]] drops, the surviving occurrence it
+    * deduplicated against — the "where did my content go" audit table
+    * (id, idx, winner_id, winner_idx). Same unit machinery; the output
+    * is duplicate-proportional, id-sized.
+    */
+  def chunkDropAttribution(docs: DataFrame, textCol: String, idCol: String, w: Int = 8): DataFrame = {
+    require(w >= 1, s"chunkDropAttribution: bad chunk width $w")
+    val units = chunkUnits(chunkPrep(docs, textCol, w), idCol)
+    val winners = units.groupBy(col("__h"))
+      .agg(min(struct(col("id"), col("idx"))).as("__win"), count(lit(1)).as("__n"))
+      .where(col("__n") > 1)
+      .select(col("__h"), col("__win"))
+    units.join(winners, "__h")
+      .where(col("id") =!= col("__win.id") || col("idx") =!= col("__win.idx"))
+      .select(col("id"), col("idx"),
+        col("__win.id").as("winner_id"), col("__win.idx").as("winner_idx"))
+  }
+
   /** [[chunkDedupRewrite]] against a PRIOR admitted-chunk state (one `h`
     * column of 64-bit chunk hashes — the artifact
     * [[admittedChunkHashes]] emits): a chunk occurrence survives only if

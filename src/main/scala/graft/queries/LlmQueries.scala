@@ -705,6 +705,14 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // rewrite lineage: every dropped chunk occurrence with the surviving
+    // occurrence it deduplicated against (the "where did my content go"
+    // audit for q_dedup_rewrite)
+    "q_rewrite_attribution" -> ((s, dir) => {
+      Dedup.chunkDropAttribution(t(s, dir, "documents"), "text", "doc_id", w = 8)
+        .orderBy(col("id"), col("idx"))
+    }),
+
     // boilerplate removal: chunks in >= 3 distinct docs are template
     // text — removed EVERYWHERE (no surviving copy), unlike the
     // keep-first rewrite above
@@ -1547,6 +1555,26 @@ object LlmQueries {
          |  FROM q JOIN t0 USING (doc_id))
          |SELECT doc_id, n_tokens, cum_tokens FROM c
          |WHERE cum_tokens <= 10000 ORDER BY doc_id""".stripMargin,
+    // attribution joins every occurrence of a duplicated chunk to its
+    // string-identical first occurrence
+    "q_rewrite_attribution" ->
+      s"""WITH d2 AS MATERIALIZED (
+         |  SELECT doc_id, list_filter($toksSql, x -> x <> '') AS toks FROM documents),
+         |u AS MATERIALIZED (
+         |  SELECT doc_id, u.idx AS idx, u.chunk AS chunk FROM (
+         |    SELECT doc_id, unnest([{'idx': CAST(s // 8 AS BIGINT),
+         |                            'chunk': array_to_string(toks[CAST(s+1 AS INTEGER):CAST(s+8 AS INTEGER)], ' ')}
+         |                           FOR s IN range(0, len(toks), 8)]) AS u
+         |    FROM d2)),
+         |w1 AS (
+         |  SELECT chunk, doc_id AS winner_id, idx AS winner_idx,
+         |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+         |  FROM u),
+         |winners AS (SELECT chunk, winner_id, winner_idx FROM w1 WHERE rn = 1)
+         |SELECT u.doc_id AS id, u.idx, winner_id, winner_idx
+         |FROM u JOIN winners USING (chunk)
+         |WHERE u.doc_id <> winner_id OR u.idx <> winner_idx
+         |ORDER BY id, idx""".stripMargin,
     // boilerplate chunks resolved as STRINGS (same collision argument as
     // q_dedup_rewrite); df counts distinct docs per chunk
     "q_boilerplate_rewrite" ->

@@ -241,6 +241,19 @@ class DedupSpec extends SparkSpec {
     assert(shuffled == straight)
   }
 
+  test("drop attribution points every dropped occurrence at the global first occurrence") {
+    val d = Seq((0L, "a b c d"), (1L, "a b x y"), (2L, "p q p q")).toDF("doc_id", "text")
+    val attr = Dedup.chunkDropAttribution(d, "text", "doc_id", w = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // doc 1's [a b] lost to (0,0); doc 2's second [p q] lost to its own idx 0
+    assert(attr == Set((1L, 0L, 0L, 0L), (2L, 1L, 2L, 0L)))
+    // consistency: attribution rows == the rewrite's dropped counts per doc
+    val byDoc = attr.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val rewrite = Dedup.chunkDedupRewrite(d, "text", "doc_id", w = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(rewrite.forall { case (id, n) => byDoc.getOrElse(id, 0L) == n })
+  }
+
   test("boilerplate rewrite removes every copy at the df threshold; within-doc repeats count once") {
     val d = Seq(
       (0L, "a b c d"), // [a b] in docs {0,1,2} → boilerplate everywhere
