@@ -49,8 +49,10 @@ object Decontaminate {
 
   /** The benchmark auditor's direction — per EVAL doc, how much of it
     * leaked into the training corpus: (eval_id, n_spans, n_hit_spans,
-    * n_train_docs, contamination_ratio) where n_hit_spans counts the
-    * eval doc's distinct spans found anywhere in `train` and
+    * n_train_docs, contamination_ratio) where n_spans counts the eval
+    * doc's DISTINCT w-token spans, n_hit_spans those of them found
+    * anywhere in `train` (same distinct basis, so a fully-leaked doc
+    * reports ratio 1.0 even with internally repeated spans) and
     * n_train_docs the distinct training docs carrying at least one of
     * them. [[overlapStats]] answers "which TRAINING docs must go";
     * this answers "which EVAL items are compromised" — the report a
@@ -80,7 +82,10 @@ object Decontaminate {
       .agg(
         countDistinct(col("span_hash")).as("n_hit_spans"),
         countDistinct(col("train_id")).as("n_train_docs"))
-    evalSpans.groupBy(col("eval_id")).agg(count(lit(1)).as("n_spans"))
+    // DISTINCT spans, matching n_hit_spans' basis — with occurrence
+    // counts here, an eval doc containing any repeated w-token span could
+    // never report contamination_ratio 1.0 even when fully leaked
+    evalSpans.groupBy(col("eval_id")).agg(countDistinct(col("span_hash")).as("n_spans"))
       .join(hits, Seq("eval_id"), "left")
       .select(col("eval_id"), col("n_spans"),
         coalesce(col("n_hit_spans"), lit(0L)).as("n_hit_spans"),

@@ -1118,17 +1118,20 @@ object LlmQueries {
        |  FROM cnt, tot)
        |$tail""".stripMargin
 
-  /** K-stage BPE oracle: w0 = the word-frequency dict as spaced symbol
-    * strings; each stage picks the (max weighted count, lexicographically
-    * smallest) adjacent pair and applies it as a left-to-right
-    * non-overlapping string replace — the same total order and the same
-    * replace semantics as [[graft.text.Bpe]], so the merge sequence is
-    * reproducible exactly. Returns (ctes, lastWordStage).
+  /** K-stage BPE oracle: w0 = the word-frequency dict as DOUBLE-spaced
+    * symbol strings with single-space bounds (" t  h  e "); each stage
+    * picks the (max weighted count, lexicographically smallest) adjacent
+    * pair and applies it as a left-to-right non-overlapping string
+    * replace with single-space-bounded pattern ' l  r ' — the doubled
+    * separator makes one replace pass equal greedy BPE (adjacent
+    * occurrences don't share a delimiter), the same total order and the
+    * same replace semantics as [[graft.text.Bpe]], so the merge sequence
+    * is reproducible exactly. Returns (ctes, lastWordStage).
     */
   private def bpeCtes(merges: Int): (String, String) = {
     val w0 =
       s"""w0 AS MATERIALIZED (
-         |  SELECT w, ' ' || array_to_string([w[i] FOR i IN range(1, len(w) + 1)], ' ') || ' ' AS s, cnt
+         |  SELECT w, ' ' || array_to_string([w[i] FOR i IN range(1, len(w) + 1)], '  ') || ' ' AS s, cnt
          |  FROM (SELECT w, count(*) AS cnt FROM (
          |          SELECT unnest(list_filter($toksSql, x -> x <> '')) AS w FROM documents)
          |        GROUP BY w))""".stripMargin
@@ -1138,11 +1141,11 @@ object LlmQueries {
          |  SELECT $i AS step, p AS pair, replace(p, ' ', '') AS merged, c FROM (
          |    SELECT p, sum(cnt) AS c FROM (
          |      SELECT cnt, unnest([toks[i] || ' ' || toks[i + 1] FOR i IN range(1, len(toks))]) AS p
-         |      FROM (SELECT string_split(trim(s), ' ') AS toks, cnt FROM $prev))
+         |      FROM (SELECT string_split(trim(s), '  ') AS toks, cnt FROM $prev))
          |    GROUP BY p)
          |  ORDER BY c DESC, p LIMIT 1),
          |w$i AS MATERIALIZED (
-         |  SELECT w, replace(s, ' ' || (SELECT pair FROM b$i) || ' ',
+         |  SELECT w, replace(s, ' ' || replace((SELECT pair FROM b$i), ' ', '  ') || ' ',
          |                       ' ' || (SELECT merged FROM b$i) || ' ') AS s, cnt
          |  FROM $prev)""".stripMargin
     }
@@ -1160,7 +1163,7 @@ object LlmQueries {
     val (ctes, last) = bpeCtes(merges)
     s"""WITH $ctes
        |SELECT doc_id, count(*) AS n_tokens,
-       |  CAST(sum(len(string_split(trim(s), ' '))) AS BIGINT) AS n_subwords
+       |  CAST(sum(len(string_split(trim(s), '  '))) AS BIGINT) AS n_subwords
        |FROM (SELECT doc_id, unnest(list_filter($toksSql, x -> x <> '')) AS w FROM documents) t
        |JOIN $last USING (w)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
@@ -1171,7 +1174,7 @@ object LlmQueries {
     s"""WITH $ctes,
        |seg AS (
        |  SELECT doc_id, count(*) AS n_tokens,
-       |    CAST(sum(len(string_split(trim(s), ' '))) AS BIGINT) AS n_subwords
+       |    CAST(sum(len(string_split(trim(s), '  '))) AS BIGINT) AS n_subwords
        |  FROM (SELECT doc_id, unnest(list_filter($toksSql, x -> x <> '')) AS w FROM documents) t
        |  JOIN $last USING (w)
        |  GROUP BY doc_id)

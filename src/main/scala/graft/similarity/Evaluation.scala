@@ -20,6 +20,21 @@ import org.apache.spark.sql.functions._
   */
 object Evaluation {
 
+  /** Bounded-dimension cap for the driver-side cell folds (ARI / NMI /
+    * PSI). Enforced BEFORE the collect: the pull itself is `limit(cap+1)`,
+    * so a degenerate key choice (e.g. cluster = doc id) fails fast with
+    * the cap message instead of materializing n corpus rows on the
+    * driver first.
+    */
+  private val CellCap = 1000000
+
+  private def collectCapped(df: DataFrame, what: String): Array[org.apache.spark.sql.Row] = {
+    val rows = df.limit(CellCap + 1).collect()
+    require(rows.length <= CellCap,
+      s"$what: more than $CellCap cells exceed the bounded-dimension cap")
+    rows
+  }
+
   /** Per-query recall@k: |approx ∩ exact| / k. Inputs are neighbor
     * lists with (query_id, neighbor_id) columns (extra columns are
     * ignored) — `exact` must hold the ground-truth top-k, `approx` the
@@ -146,10 +161,10 @@ object Evaluation {
     * degenerate single cell) define ari = 1.0.
     */
   def adjustedRandIndex(assigned: DataFrame, clusterCol: String, labelCol: String): DataFrame = {
-    val cells = assigned.groupBy(col(clusterCol).as("c"), col(labelCol).as("l"))
-      .agg(count(lit(1)).as("n")).collect()
-    require(cells.length <= 1000000,
-      s"adjustedRandIndex: ${cells.length} (cluster × label) cells exceed the bounded-dimension cap")
+    val cells = collectCapped(
+      assigned.groupBy(col(clusterCol).as("c"), col(labelCol).as("l"))
+        .agg(count(lit(1)).as("n")),
+      "adjustedRandIndex: (cluster × label)")
     val ns = cells.map(_.getLong(2))
     def pairs(n: Long) = n * (n - 1) / 2
     val sumCl = ns.map(pairs).sum
@@ -159,9 +174,16 @@ object Evaluation {
     val sumL = byL.values.map(pairs).sum
     val nItems = ns.sum
     val nPairs = pairs(nItems)
-    val expected = sumC.toDouble * sumL.toDouble / nPairs.toDouble
-    val denom = (sumC.toDouble + sumL.toDouble) / 2.0 - expected
-    val ari = if (denom == 0.0) 1.0 else (sumCl.toDouble - expected) / denom
+    // nPairs == 0 (empty or single-item input) would otherwise produce
+    // NaN through expected/denom — a 0- or 1-item partition agrees with
+    // itself, same convention as the denom == 0.0 branch
+    val ari =
+      if (nPairs == 0L) 1.0
+      else {
+        val expected = sumC.toDouble * sumL.toDouble / nPairs.toDouble
+        val denom = (sumC.toDouble + sumL.toDouble) / 2.0 - expected
+        if (denom == 0.0) 1.0 else (sumCl.toDouble - expected) / denom
+      }
     val spark = assigned.sparkSession
     import spark.implicits._
     Seq((nItems, sumCl, sumC, sumL, ari))
@@ -193,10 +215,10 @@ object Evaluation {
     * as [[adjustedRandIndex]].
     */
   def normalizedMutualInfo(assigned: DataFrame, clusterCol: String, labelCol: String): DataFrame = {
-    val cells = assigned.groupBy(col(clusterCol).as("c"), col(labelCol).as("l"))
-      .agg(count(lit(1)).as("n")).collect()
-    require(cells.length <= 1000000,
-      s"normalizedMutualInfo: ${cells.length} (cluster × label) cells exceed the bounded-dimension cap")
+    val cells = collectCapped(
+      assigned.groupBy(col(clusterCol).as("c"), col(labelCol).as("l"))
+        .agg(count(lit(1)).as("n")),
+      "normalizedMutualInfo: (cluster × label)")
     require(cells.nonEmpty, "normalizedMutualInfo: no rows")
     def round6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -337,13 +359,13 @@ object Evaluation {
           greatest(floor((col(valueCol).cast("double") - lit(lo)) / lit(width)), lit(0.0)),
           lit((nBins - 1).toDouble)).cast("int").as("bin"),
         lit(isRef).as("__ref"))
-    val allCells = binned(ref, isRef = true).unionByName(binned(cur, isRef = false))
-      .groupBy(col("g"), col("bin"), col("__ref")).agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getString(0), r.getInt(1), r.getBoolean(2), r.getLong(3)))
+    val allCells = collectCapped(
+      binned(ref, isRef = true).unionByName(binned(cur, isRef = false))
+        .groupBy(col("g"), col("bin"), col("__ref")).agg(count(lit(1)).as("n")),
+      "populationStability: (group × bin)")
+      .map(r => (r.getString(0), r.getInt(1), r.getBoolean(2), r.getLong(3)))
     val rCells = allCells.filter(_._3).map(t => (t._1, t._2, t._4))
     val cCells = allCells.filterNot(_._3).map(t => (t._1, t._2, t._4))
-    require(allCells.length <= 1000000,
-      s"populationStability: ${allCells.length} (group × bin) cells exceed the bounded-dimension cap")
     def byGroup(cs: Array[(String, Int, Long)]): Map[String, Map[Int, Long]] =
       cs.groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
     val rm = byGroup(rCells)

@@ -341,7 +341,9 @@ object ArrowIpc {
         case x: TinyIntVector => x.get(_).toInt
         case x: SmallIntVector => x.get(_).toInt
         case x: IntVector => x.get
-        case x: BigIntVector => i => x.get(i).toInt
+        // toIntExact: a corrupt/foreign file with a 64-bit index above
+        // Int.MaxValue must fail loudly, not silently wrap to a wrong entry
+        case x: BigIntVector => i => Math.toIntExact(x.get(i))
         case o => throw new IllegalArgumentException(
           s"unsupported dictionary index vector ${o.getClass.getSimpleName}")
       }

@@ -16,11 +16,17 @@ import org.apache.spark.sql.functions._
   * Determinism: the best pair each round is (max weighted count, then
   * lexicographically smallest pair) — a total order, so the merge
   * sequence is a pure function of the corpus. Words are represented as
-  * space-joined symbol strings (" t h e "), and a merge is a plain
-  * left-to-right non-overlapping string replace of " l r " with " lr " —
-  * semantics shared bit-for-bit by Spark's `replace` and DuckDB's
-  * `replace`, which makes the whole trainer SQL-oracle-checkable
-  * (q_bpe_train / q_bpe_segment).
+  * DOUBLE-space-joined symbol strings with single-space bounds
+  * (" t  h  e "), and a merge is a left-to-right non-overlapping string
+  * replace of " l  r " with " lr ". The doubled separator is what makes
+  * one replace pass equal greedy BPE: the pattern keeps a SINGLE space
+  * on each side, so a match consumes only one space of each doubled
+  * boundary and the next adjacent occurrence still starts with its own
+  * space (" a  b  a  b " → " ab  ab " in one pass — a single-space
+  * representation under-merges here because consecutive matches share
+  * the delimiter). Replace semantics are shared bit-for-bit by Spark's
+  * `replace` and DuckDB's `replace`, which makes the whole trainer
+  * SQL-oracle-checkable (q_bpe_train / q_bpe_segment).
   */
 object Bpe {
 
@@ -37,7 +43,7 @@ object Bpe {
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .select(
         col("w"),
-        concat(lit(" "), array_join(array_remove(split(col("w"), ""), ""), " "), lit(" ")).as("s"),
+        concat(lit(" "), array_join(array_remove(split(col("w"), ""), ""), "  "), lit(" ")).as("s"),
         col("cnt"))
 
   /** Adjacent symbol pairs of a spaced word, as "l r" strings — total
@@ -45,7 +51,7 @@ object Bpe {
     * sequence).
     */
   private def pairsOf(s: Column): Column = {
-    val toks = split(trim(s), " ")
+    val toks = split(trim(s), "  ")
     zip_with(
       slice(toks, lit(1), size(toks) - 1),
       slice(toks, lit(2), size(toks) - 1),
@@ -76,8 +82,11 @@ object Bpe {
         val c = top(0).getLong(1)
         val merged = pair.replace(" ", "")
         out += Merge(step, pair, merged, c)
+        // pair is stored single-spaced ("l r"); the search string doubles
+        // the internal separator to match the word representation
         words = words.withColumn("s",
-          call_function("replace", col("s"), lit(s" $pair "), lit(s" $merged ")))
+          call_function("replace", col("s"),
+            lit(" " + pair.replace(" ", "  ") + " "), lit(s" $merged ")))
         step += 1
       }
     }
@@ -100,9 +109,10 @@ object Bpe {
     val dict = merges
       .foldLeft(wordDict(docs, textCol)) { (d, m) =>
         d.withColumn("s",
-          call_function("replace", col("s"), lit(s" ${m.pair} "), lit(s" ${m.merged} ")))
+          call_function("replace", col("s"),
+            lit(" " + m.pair.replace(" ", "  ") + " "), lit(s" ${m.merged} ")))
       }
-      .select(col("w"), size(split(trim(col("s")), " ")).as("n_sub"))
+      .select(col("w"), size(split(trim(col("s")), "  ")).as("n_sub"))
     docs.select(col(idCol), explode(T.tokenize(textCol)).as("w"))
       .join(broadcast(dict), Seq("w"))
       .groupBy(col(idCol))

@@ -102,6 +102,23 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("adjacent occurrences of the winning pair all merge (doubled-separator)") {
+    // "papapa" has three consecutive (p,a) adjacencies — a single-space
+    // representation under-merges because consecutive matches share the
+    // delimiter space (" p a p a " → " pa p a "); the doubled-separator
+    // representation merges greedily left-to-right in one replace pass
+    val docs = Seq((1L, "papapa papa ba")).toDF("doc_id", "text")
+    val got = Bpe.train(docs, col("text"), merges = 3)
+      .map(m => (m.step, m.pair, m.merged, m.count))
+    val want = refBpe(Map("papapa" -> 1L, "papa" -> 1L, "ba" -> 1L), 3)
+    assert(got == want, s"\nengine: $got\nref:    $want")
+    // after merging (p,a) then (pa,pa): papapa → [papa, pa] (2 subwords)
+    val seg = Bpe.segment(docs, "doc_id", col("text"),
+        Bpe.train(docs, col("text"), merges = 2))
+      .collect()
+    assert(seg.head.getLong(2) == 2 + 1 + 2) // papa+pa, papa, b+a
+  }
+
   test("single-char and exhausted-corpus edges") {
     val tiny = Seq((1L, "a b a b")).toDF("doc_id", "text")
     // only pair ever available is none (all words single-symbol) after 0 merges:

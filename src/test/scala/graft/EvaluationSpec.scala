@@ -164,6 +164,39 @@ class EvaluationSpec extends SparkSpec {
     assert(math.abs(ari(anti) - (-0.5)) < 1e-12, s"got ${ari(anti)}")
   }
 
+  test("adjustedRandIndex: empty and single-item inputs define ari = 1.0, never NaN") {
+    import graft.similarity.Evaluation
+    def ari(rows: Seq[(Int, Int)]) =
+      Evaluation.adjustedRandIndex(rows.toDF("cluster", "label"), "cluster", "label")
+        .collect().head.getDouble(4)
+    assert(ari(Seq((0, 7))) == 1.0, "single item: nPairs = 0 must not divide")
+    assert(ari(Seq.empty[(Int, Int)]) == 1.0, "empty input: nPairs = 0 must not divide")
+  }
+
+  test("bounded-dimension caps fail fast on degenerate keys BEFORE pulling the cell table") {
+    import graft.similarity.Evaluation
+    // cluster = item id: (cluster × label) cells = n rows — the degenerate
+    // choice the cap exists for; the collect itself is limit(cap+1), so
+    // this fails with the cap message instead of materializing n rows
+    val degenerate = spark.range(1000001L)
+      .selectExpr("id AS cluster", "CAST(id % 7 AS INT) AS label")
+    val e1 = intercept[IllegalArgumentException] {
+      Evaluation.adjustedRandIndex(degenerate, "cluster", "label")
+    }
+    assert(e1.getMessage.contains("bounded-dimension cap"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Evaluation.normalizedMutualInfo(degenerate, "cluster", "label")
+    }
+    assert(e2.getMessage.contains("bounded-dimension cap"), e2.getMessage)
+    val refSnap = spark.range(1000001L)
+      .selectExpr("id AS g", "CAST(id % 10 AS DOUBLE) AS v")
+    val e3 = intercept[IllegalArgumentException] {
+      Evaluation.populationStability(refSnap, refSnap.limit(0), "v", "g",
+        lo = 0.0, width = 1.0, nBins = 10)
+    }
+    assert(e3.getMessage.contains("bounded-dimension cap"), e3.getMessage)
+  }
+
   test("normalizedMutualInfo: 1.0 for identical partitions, 0.0 for independent, degenerate cases") {
     import graft.similarity.Evaluation
     def nmi(rows: Seq[(Int, Int)]) =
