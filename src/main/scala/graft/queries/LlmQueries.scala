@@ -11,11 +11,13 @@ import Tables._
 
 /** LLM-training-data pipeline operators over the `documents` and
   * `embeddings` tables: dedup (exact / MinHash / SimHash / n-gram /
-  * embedding), similarity search (brute force + IVF), text analysis, and
-  * multimodal plumbing. Oracle-checked where DuckDB can express the
-  * computation; hash-based operators (xxhash64 MinHash/SimHash) get the
-  * driver's weaker rows-only check plus ScalaTest invariants (planted
-  * near-duplicates must pair up — see DedupSpec).
+  * embedding), similarity search, text analysis, and multimodal
+  * plumbing. EVERY query here is full-oracle checked (rows + schema +
+  * hash against DuckDB) — including the hash-based operators (xxhash64
+  * MinHash/SimHash/LSH/PQ), whose oracles reproduce the engine's hash
+  * pipelines bit-for-bit in SQL via [[XxhSql]] (since round 6); ScalaTest
+  * invariants (planted near-duplicates must pair up — see DedupSpec)
+  * cover the properties SQL can't express.
   */
 object LlmQueries {
 
