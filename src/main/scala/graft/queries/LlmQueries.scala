@@ -603,6 +603,16 @@ object LlmQueries {
     // 128-token training sequences; output is the (doc, seq) span table
     // with intra-document splits — complementary to q_pack_chunks, which
     // groups WHOLE docs into char-budget chunks without splitting
+    // packing-efficiency report: per-source padding waste / utilization /
+    // doc fragmentation at seqLen=128 — the trade-off curve sample that
+    // decides a seqLen; grouped offsets pattern, no single-partition window
+    "q_pack_efficiency" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.text.Packing.packEfficiency(docs, "doc_id", T.tokenCount(col("text")),
+          "source", seqLen = 128)
+        .orderBy(col("source"))
+    }),
+
     "q_pack_sequences" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       graft.text.Packing.packSequences(docs, "doc_id", T.tokenCount(col("text")), seqLen = 128)
@@ -2342,6 +2352,31 @@ object LlmQueries {
         |                x -> x <> '') AS sents
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    // packing efficiency: per-source cumulative sum is the sequential
+    // ground truth; all lanes are exact integers or ratios of exact
+    // integers <= 2^53 (portable doubles, no rounding)
+    "q_pack_efficiency" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |    CAST(CASE WHEN norm = '' THEN 0 ELSE len(toks) END AS BIGINT) AS n
+         |  FROM (SELECT doc_id, source, $normSql AS norm, $toksSql AS toks FROM documents)),
+         |c AS (
+         |  SELECT doc_id, source, n,
+         |    CAST(coalesce(sum(n) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev
+         |  FROM d WHERE n > 0),
+         |g AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n) AS BIGINT) AS n_tokens,
+         |    CAST(sum(CASE WHEN prev // 128 <> (prev + n - 1) // 128 THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs,
+         |    CAST((sum(n) + 127) // 128 AS BIGINT) AS n_sequences
+         |  FROM c GROUP BY source)
+         |SELECT source, n_docs, n_tokens, n_sequences,
+         |  n_sequences * 128 - n_tokens AS pad_tokens,
+         |  n_tokens / CAST(n_sequences * 128 AS DOUBLE) AS utilization,
+         |  n_split_docs,
+         |  n_split_docs / CAST(n_docs AS DOUBLE) AS split_ratio
+         |FROM g ORDER BY source""".stripMargin,
     // packing: the window cumulative sum over doc_id order is the
     // sequential ground truth; all arithmetic is exact integers
     "q_pack_sequences" ->

@@ -1,8 +1,8 @@
 package graft.text
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, IntegerType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, IntegerType, StringType, StructField, StructType}
 
 /** Sequence packing — the pre-training data-prep step that concatenates a
   * document stream into one token stream and splits it into fixed-length
@@ -81,5 +81,89 @@ object Packing {
         greatest(lit(0L), col("__prev") - col("seq_id") * L).as("seq_offset"),
         (least(col("n_toks"), (col("seq_id") + 1) * L - col("__prev")) -
           greatest(lit(0L), col("seq_id") * L - col("__prev"))).as("span_len"))
+  }
+
+  /** Packing-efficiency report — the numbers that decide a seqLen before
+    * committing a corpus to it. Each group's documents (groups = sources
+    * in practice: per-source streams are packed independently so mixture
+    * weights stay adjustable at sequence granularity) are concatenated in
+    * ascending `idCol` order and chunked at `seqLen`, exactly as
+    * [[packSequences]] would; the report aggregates what that packing
+    * costs, per group:
+    *
+    *  - `n_sequences` = ceil(n_tokens/seqLen), `pad_tokens` = the
+    *    unfilled tail of the group's last sequence, `utilization` =
+    *    n_tokens/(n_sequences·seqLen) — the padding-waste axis;
+    *  - `n_split_docs` / `split_ratio` = documents crossing a sequence
+    *    boundary — the fragmentation/attention-contamination axis.
+    *    Larger seqLen wastes less padding but splits more documents; this
+    *    report is the trade-off curve's sample at one seqLen.
+    *
+    * Zero-token documents pack to nothing and are excluded (as in
+    * [[packSequences]]). All lanes are exact integers or ratios of exact
+    * integers ≤ 2^53, so the doubles are engine-portable bit-for-bit.
+    *
+    * Scale shape: only (group, id, n_toks) triples enter the one range
+    * exchange; per-(partition, group) subtotals collect to the driver —
+    * groups are CONTIGUOUS under the (group, id) range partitioning, so
+    * that table is O(#partitions + #groups) rows regardless of corpus
+    * size — and come back as a broadcast offset join + per-partition
+    * window (the [[packSequences]] offsets pattern, grouped). No
+    * single-partition window, no per-group driver loop.
+    */
+  def packEfficiency(docs: DataFrame, idCol: String, tokenCount: Column,
+      groupCol: String, seqLen: Int): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val pid = "__graft_pid"
+    val off = "__graft_offset"
+    val spark = docs.sparkSession
+    val pairs = docs
+      .select(col(groupCol).cast(StringType).as("__grp"), col(idCol).as("__id"),
+        tokenCount.cast(LongType).as("n_toks"))
+      .where(col("n_toks") > 0)
+      .repartitionByRange(col("__grp"), col("__id"))
+      .sortWithinPartitions("__grp", "__id")
+      .localCheckpoint(true) // pin sampled range boundaries across the two jobs
+    val tagged = pairs.withColumn(pid, spark_partition_id())
+    val sums = tagged.groupBy(col(pid), col("__grp")).agg(sum(col("n_toks")).as("s"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    // per-group running prefix in partition order = each (partition, group)
+    // cell's global token offset within its group's stream
+    val acc = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val offsets = sums.sortBy(t => (t._2, t._1)).map { case (p, g, s) =>
+      val o = acc(g); acc(g) = o + s; (p, g, o)
+    }
+    val offsetsDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsets.map { case (p, g, o) => Row(p, g, o) }.toSeq, 1),
+      StructType(Seq(
+        StructField(pid, IntegerType, nullable = false),
+        StructField("__grp", StringType, nullable = false),
+        StructField(off, LongType, nullable = false))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(pid), col("__grp")).orderBy(col("__id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val prev = coalesce(sum(col("n_toks")).over(w), lit(0L)) + col(off)
+    val L = lit(seqLen.toLong)
+    tagged
+      .join(broadcast(offsetsDf), Seq(pid, "__grp"))
+      .withColumn("__prev", prev)
+      .withColumn("__split",
+        (expr(s"__prev div $seqLen") =!= expr(s"(__prev + n_toks - 1) div $seqLen")).cast(LongType))
+      .groupBy(col("__grp"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(col("__split")).as("n_split_docs"))
+      .withColumn("n_sequences", expr(s"(n_tokens + ${seqLen - 1}) div $seqLen"))
+      .select(
+        col("__grp").as(groupCol),
+        col("n_docs"),
+        col("n_tokens"),
+        col("n_sequences"),
+        (col("n_sequences") * L - col("n_tokens")).as("pad_tokens"),
+        (col("n_tokens").cast("double") / (col("n_sequences") * L).cast("double"))
+          .as("utilization"),
+        col("n_split_docs"),
+        (col("n_split_docs").cast("double") / col("n_docs").cast("double")).as("split_ratio"))
   }
 }

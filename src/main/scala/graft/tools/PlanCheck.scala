@@ -166,6 +166,12 @@ object PlanCheck {
     Check(
       "q_token_budget",
       mustContain = Seq("Window"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin", "SinglePartition")),
+    // packing efficiency: grouped offsets broadcast onto the per-partition
+    // window; like q_token_budget, no single-partition exchange anywhere
+    Check(
+      "q_pack_efficiency",
+      mustContain = Seq("Window", "BroadcastHashJoin"),
       mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin", "SinglePartition"))
   )
 

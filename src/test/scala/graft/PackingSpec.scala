@@ -66,4 +66,32 @@ class PackingSpec extends SparkSpec {
     val b = spans(d.repartition(17)).orderBy($"id", $"seq_id").collect().map(_.toSeq)
     assert(a.toSeq == b.toSeq)
   }
+
+  test("packEfficiency agrees with per-group packSequences and is partition-independent") {
+    val d = docs(300).withColumn("src", concat(lit("s"), $"id" % 3))
+    val eff = Packing.packEfficiency(d, "id", col("n"), "src", seqLen = L)
+      .orderBy($"src").collect()
+    assert(eff.length == 3)
+    // reference: pack each group alone and derive the same metrics from spans
+    eff.foreach { r =>
+      val g = r.getAs[String]("src")
+      val grp = d.where($"src" === g)
+      val sp = Packing.packSequences(grp, "id", col("n"), seqLen = L)
+        .collect()
+      val nDocs = sp.map(_.getLong(0)).distinct.length.toLong
+      val nTokens = sp.map(_.getAs[Long]("span_len")).sum
+      val nSeq = sp.map(_.getAs[Long]("seq_id")).max + 1
+      val nSplit = sp.groupBy(_.getLong(0)).count(_._2.length > 1).toLong
+      assert(r.getAs[Long]("n_docs") == nDocs, s"$g n_docs")
+      assert(r.getAs[Long]("n_tokens") == nTokens, s"$g n_tokens")
+      assert(r.getAs[Long]("n_sequences") == nSeq, s"$g n_sequences")
+      assert(r.getAs[Long]("pad_tokens") == nSeq * L - nTokens, s"$g pad_tokens")
+      assert(r.getAs[Long]("n_split_docs") == nSplit, s"$g n_split_docs")
+      assert(r.getAs[Double]("utilization") == nTokens.toDouble / (nSeq * L), s"$g utilization")
+      assert(r.getAs[Double]("split_ratio") == nSplit.toDouble / nDocs, s"$g split_ratio")
+    }
+    val again = Packing.packEfficiency(d.repartition(13), "id", col("n"), "src", seqLen = L)
+      .orderBy($"src").collect()
+    assert(eff.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
 }
