@@ -619,6 +619,43 @@ object LlmQueries {
         .orderBy(col("doc_id"), col("seq_id"))
     }),
 
+    // training-data export (graft.sources.Export): per-shard manifest over
+    // the packed-sequence span table — sequence/token/pad counts and the
+    // contributing doc-id range, computed WITHOUT materializing tokens
+    "q_export_manifest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val spans = graft.text.Packing.packSequences(docs, "doc_id", T.tokenCount(col("text")), seqLen = 128)
+      graft.sources.Export.packedManifest(spans, "doc_id", seqLen = 128, nShards = 4)
+        .orderBy(col("shard"))
+    }),
+
+    // export manifest's source-mix lane: per (shard, source) token counts
+    // attributing each packed span to its document's source
+    "q_export_source_mix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val spans = graft.text.Packing.packSequences(docs, "doc_id", T.tokenCount(col("text")), seqLen = 128)
+      graft.sources.Export.sourceMix(spans, docs, "doc_id", "source", nShards = 4)
+        .orderBy(col("shard"), col("source"))
+    }),
+
+    // the materialization itself: every training token's (seq_id, seq_pos,
+    // token_id) identity — exploded from the packed sequences so padding
+    // positions (token_id = 0) are pinned too
+    "q_export_pack" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.sources.Export.packTokens(docs, "doc_id", "text", "source", seqLen = 128, nShards = 4)
+        .select(col("shard"), col("seq_id"), posexplode(col("tokens")).as(Seq("seq_pos", "token_id")))
+        .select(col("shard"), col("seq_id"), col("seq_pos").cast("long").as("seq_pos"), col("token_id"))
+        .orderBy(col("seq_id"), col("seq_pos"))
+    }),
+
+    // JSONL export manifest: weight-balanced shard assignment (sorted
+    // round-robin on token count) aggregated per shard
+    "q_export_jsonl" -> ((s, dir) => {
+      graft.sources.Export.jsonlManifest(t(s, dir, "documents"), "doc_id", "text", nShards = 4)
+        .orderBy(col("shard"))
+    }),
+
     // text analysis: stopword removal (duplicates/order preserved)
     "q_stopword_removal" -> ((s, dir) => {
       t(s, dir, "documents")

@@ -1,0 +1,215 @@
+package graft.sources
+
+import graft.functions.{TextFunctions => T}
+import graft.table.RowId
+import graft.text.{Packing, Sharding}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** Training-data export — the pipeline's last mile: turn a curated corpus
+  * into the artifact a trainer actually consumes.
+  *
+  * Two shapes, both sharded with a per-shard manifest sidecar:
+  *
+  *  - '''packed token shards''': every sequence is exactly `seqLen` token
+  *    ids (concat-and-chunk over ascending doc id, zero-padded tail), one
+  *    parquet directory per shard, each row carrying its provenance spans
+  *    so any training token traces back to (doc, offset);
+  *  - '''JSONL shards''': one JSON document per line, weight-balanced
+  *    across shards ([[graft.text.Sharding]] sorted round-robin).
+  *
+  * The manifest is the footer-metadata analog of the reference's batch
+  * store (reference org.knime.core.columnar.arrow/…/ArrowReaderWriterUtils.java:93,229
+  * — batch offsets + schema metadata appended as file footer): per shard
+  * it records sequence/token/padding counts, the contributing doc-id
+  * range, and the source mix — everything a loader needs to plan an epoch
+  * without scanning data files, and everything an audit needs to tie a
+  * shard back to its sources.
+  *
+  * Scale shape (100 TB): text never shuffles. The packing plan shuffles
+  * (id, n_toks) pairs only ([[Packing.packSequences]]); the one
+  * data-sized exchange is the unavoidable materialization shuffle, and it
+  * moves token IDS (ints), not text — `(seq_id, seq_pos, token_id)`
+  * triples partitioned by the uniform key `seq_id`. The manifest is
+  * computed from the span table (never the token stream) and is
+  * O(shards × sources). Vocabulary ids come from the [[RowId]] offset
+  * pattern — no single-partition window even for web-scale vocabularies.
+  */
+object Export {
+
+  /** Deterministic vocabulary: distinct corpus tokens, id = 1-based
+    * lexicographic rank (0 is reserved for padding). A pure function of
+    * the corpus token SET — independent of partitioning and engine
+    * (oracle: `row_number() OVER (ORDER BY token)`).
+    */
+  def vocabulary(docs: DataFrame, textCol: String): DataFrame = {
+    val toks = docs.select(explode(T.tokenize(col(textCol))).as("token")).distinct()
+    val (ranked, _) = RowId.withRowIndexCounted(toks.orderBy(col("token")), "__rank0")
+    ranked.select(col("token"), (col("__rank0") + 1L).as("token_id"))
+  }
+
+  /** Materialize `seqLen`-token training sequences with provenance.
+    *
+    * Output: one row per sequence —
+    * `(shard, seq_id, n_real, tokens, provenance)` where `tokens` is
+    * exactly `seqLen` long (vocabulary ids, 0-padded tail), `n_real`
+    * counts the non-pad tokens, and `provenance` lists the contributing
+    * `(doc_id, doc_offset, seq_offset, span_len)` spans in sequence
+    * order. `shard = seq_id mod nShards`: packed sequences are
+    * uniform-weight by construction, so round-robin IS the balanced
+    * assignment (no rank pass needed, unlike variable-weight JSONL).
+    *
+    * Deterministic end to end: ascending-id concatenation
+    * ([[Packing.packSequences]]), lexicographic vocabulary, and
+    * `array_sort` assembly (collect order never matters).
+    */
+  def packTokens(docs: DataFrame, idCol: String, textCol: String, sourceCol: String,
+      seqLen: Int, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val spans = Packing.packSequences(docs, idCol, T.tokenCount(col(textCol)), seqLen)
+    val vocab = vocabulary(docs, textCol)
+    // (id, pos, token_id) — ints only from here on; AQE broadcasts the
+    // vocab side when it is small, shuffles on `token` when it is not
+    val tokIds = docs
+      .select(col(idCol), posexplode(T.tokenize(col(textCol))).as(Seq("pos", "token")))
+      .join(vocab, Seq("token"))
+      .select(col(idCol), col("pos").cast(LongType).as("pos"), col("token_id"))
+    // span × token equi-join on id, range-filtered to the span's slice;
+    // re-key every token by its global (seq_id, seq_pos)
+    val seqToks = spans
+      .join(tokIds, Seq(idCol))
+      .where(col("pos") >= col("doc_offset") && col("pos") < col("doc_offset") + col("span_len"))
+      .select(col("seq_id"),
+        (col("seq_offset") + col("pos") - col("doc_offset")).as("seq_pos"),
+        col("token_id"))
+    val seqs = seqToks
+      .groupBy(col("seq_id"))
+      .agg(array_sort(collect_list(struct(col("seq_pos"), col("token_id")))).as("__st"))
+      .select(col("seq_id"),
+        expr("transform(__st, x -> x.token_id)").as("__toks"))
+      .select(col("seq_id"),
+        size(col("__toks")).cast(LongType).as("n_real"),
+        concat(col("__toks"),
+          array_repeat(lit(0L), (lit(seqLen) - size(col("__toks"))).cast(IntegerType))).as("tokens"))
+    val prov = spans
+      .groupBy(col("seq_id"))
+      .agg(array_sort(collect_list(struct(col("seq_offset"), col(idCol).as("doc_id"),
+        col("doc_offset"), col("span_len")))).as("__sp"))
+      .select(col("seq_id"),
+        expr("transform(__sp, x -> struct(x.doc_id as doc_id, x.doc_offset as doc_offset, " +
+          "x.seq_offset as seq_offset, x.span_len as span_len))").as("provenance"))
+    seqs.join(prov, Seq("seq_id"))
+      .select(pmod(col("seq_id"), lit(nShards.toLong)).cast(IntegerType).as("shard"),
+        col("seq_id"), col("n_real"), col("tokens"), col("provenance"))
+  }
+
+  /** Per-shard manifest over a [[Packing.packSequences]] span table —
+    * computed WITHOUT materializing tokens (span rows are ~32 B/doc·seq):
+    * `(shard, n_sequences, n_tokens, pad_tokens, n_docs, min_doc_id,
+    * max_doc_id, min_seq_id, max_seq_id)`. `pad_tokens` counts the
+    * zero-filled tail of each shard's sequences (only the corpus's last
+    * sequence is ever short, but the manifest derives it per shard rather
+    * than assuming it).
+    */
+  def packedManifest(spans: DataFrame, idCol: String, seqLen: Int, nShards: Int): DataFrame =
+    spans
+      .groupBy(pmod(col("seq_id"), lit(nShards.toLong)).cast(IntegerType).as("shard"))
+      .agg(
+        countDistinct(col("seq_id")).as("n_sequences"),
+        sum(col("span_len")).as("n_tokens"),
+        (countDistinct(col("seq_id")) * seqLen - sum(col("span_len"))).as("pad_tokens"),
+        countDistinct(col(idCol)).as("n_docs"),
+        min(col(idCol)).as("min_doc_id"),
+        max(col(idCol)).as("max_doc_id"),
+        min(col("seq_id")).as("min_seq_id"),
+        max(col("seq_id")).as("max_seq_id"))
+
+  /** Per-(shard, source) token mix — the manifest lane that makes a
+    * shard's mixture auditable (and an epoch's mixture re-weightable
+    * without re-reading data files). Token counts attribute each span to
+    * its document's source.
+    */
+  def sourceMix(spans: DataFrame, docs: DataFrame, idCol: String, sourceCol: String,
+      nShards: Int): DataFrame =
+    spans
+      .join(docs.select(col(idCol), col(sourceCol)), Seq(idCol))
+      .groupBy(pmod(col("seq_id"), lit(nShards.toLong)).cast(IntegerType).as("shard"),
+        col(sourceCol))
+      .agg(
+        sum(col("span_len")).as("n_tokens"),
+        countDistinct(col(idCol)).as("n_docs"))
+
+  /** Write packed sequences as one parquet directory per shard
+    * (`shard=K/`) plus a `_manifest.jsonl` sidecar at the root: one JSON
+    * line per shard joining [[packedManifest]] with its [[sourceMix]]
+    * (sources nested as a sorted array). The sidecar is written through
+    * the Hadoop FS (works on HDFS/S3, not just local disk) AFTER the data
+    * commit, so a manifest's presence certifies its shards are complete —
+    * the same commit-ordering contract as the reference's footer write
+    * (metadata last, reference ArrowReaderWriterUtils.java:229).
+    */
+  def writePackedShards(packed: DataFrame, spans: DataFrame, docs: DataFrame,
+      idCol: String, sourceCol: String, seqLen: Int, nShards: Int, outDir: String): Unit = {
+    packed.write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    val mix = sourceMix(spans, docs, idCol, sourceCol, nShards)
+      .groupBy(col("shard"))
+      .agg(array_sort(collect_list(struct(col(sourceCol).as("source"), col("n_tokens"),
+        col("n_docs")))).as("sources"))
+    val manifest = packedManifest(spans, idCol, seqLen, nShards)
+      .join(mix, Seq("shard"))
+      .withColumn("seq_len", lit(seqLen))
+      .orderBy(col("shard"))
+    val lines = manifest.toJSON.collect() // nShards lines — driver-bounded
+    val path = new org.apache.hadoop.fs.Path(outDir, "_manifest.jsonl")
+    val fs = path.getFileSystem(packed.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(path, true)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Read a [[writePackedShards]] directory back (shard column restored
+    * from the partition path).
+    */
+  def readPackedShards(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+
+  /** Read the `_manifest.jsonl` sidecar of a packed-shard directory. */
+  def readManifest(spark: SparkSession, dir: String): DataFrame =
+    spark.read.json(new org.apache.hadoop.fs.Path(dir, "_manifest.jsonl").toString)
+
+  /** Per-shard JSONL manifest: weight-balanced shard assignment
+    * ([[Sharding.assignShards]] on token count) joined back to the corpus
+    * — `(shard, n_docs, n_tokens, n_chars, min_doc_id, max_doc_id)`.
+    */
+  def jsonlManifest(docs: DataFrame, idCol: String, textCol: String, nShards: Int): DataFrame = {
+    val assigned = Sharding.assignShards(docs, idCol, T.tokenCount(col(textCol)).cast(LongType), nShards)
+    assigned
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("weight")).as("n_tokens"),
+        min(col(idCol)).as("min_doc_id"),
+        max(col(idCol)).as("max_doc_id"))
+  }
+
+  /** Write the corpus as weight-balanced JSONL shards (`shard=K/` text
+    * directories, one JSON object per line) plus the [[jsonlManifest]]
+    * sidecar. The write shuffles each doc once — by its shard, the
+    * unavoidable placement exchange.
+    */
+  def writeJsonlShards(docs: DataFrame, idCol: String, textCol: String,
+      nShards: Int, outDir: String): Unit = {
+    val spark = docs.sparkSession
+    val assigned = Sharding.assignShards(docs, idCol, T.tokenCount(col(textCol)).cast(LongType), nShards)
+    docs.join(assigned.select(col(idCol), col("shard")), Seq(idCol))
+      .repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard").json(outDir)
+    val lines = jsonlManifest(docs, idCol, textCol, nShards).orderBy(col("shard")).toJSON.collect()
+    val path = new org.apache.hadoop.fs.Path(outDir, "_manifest.jsonl")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(path, true)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+}
