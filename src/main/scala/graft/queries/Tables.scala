@@ -7,17 +7,26 @@ object Tables {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(s, dir) else s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet stores TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects (no nanosecond timestamp type). Read nanos as Long
-    * (legacy.parquet.nanosAsLong) and convert to microsecond timestamps —
-    * the same truncation DuckDB applies, so oracle comparisons line up.
+  /** events.parquet has shipped with two physical `ts` layouts across
+    * driver generations: TIMESTAMP(NANOS), which Spark's parquet reader
+    * rejects (no nanosecond type) unless read as Long via
+    * legacy.parquet.nanosAsLong, and TIMESTAMP(MICROS) without UTC
+    * adjustment, which Spark reads as TIMESTAMP_NTZ. Dispatch on the
+    * loaded type so both generations land on the same session-local
+    * TimestampType micros (the session time zone is UTC, so the NTZ cast
+    * is wall-clock- and micros-preserving; the nanos path truncates to
+    * micros exactly like DuckDB, keeping oracle comparisons aligned).
     */
   def events(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read
-      .parquet(s"$dir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType)) // TIMESTAMP_NTZ
+    }
   }
 
   type Q = (SparkSession, String) => DataFrame

@@ -23,14 +23,16 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** On-disk schema: ts is TIMESTAMP(NANOS) which Spark reads as Long only
-    * (legacy.parquet.nanosAsLong); converted to microsecond timestamps on
-    * ingest.
+  /** On-disk schema across driver generations: ts has shipped as
+    * TIMESTAMP(NANOS) (readable only as Long via
+    * legacy.parquet.nanosAsLong) and as TIMESTAMP(MICROS) without UTC
+    * adjustment (reads as TIMESTAMP_NTZ). `tsType` selects the variant;
+    * both are converted to session-local micros on ingest.
     */
-  val eventSchemaRaw: StructType = StructType(
+  def eventSchemaRaw(tsType: org.apache.spark.sql.types.DataType = LongType): StructType = StructType(
     Seq(
       StructField("event_id", LongType),
-      StructField("ts", LongType),
+      StructField("ts", tsType),
       StructField("user_id", LongType),
       StructField("event_type", StringType),
       StructField("value", DoubleType),
@@ -58,11 +60,18 @@ object EventStreams {
     */
   def readEventStream(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventSchemaRaw)
+    // a stream needs a declared schema; probe the existing files once
+    // (batch footer read) to pick the generation's ts layout
+    val tsType = spark.read.parquet(path).schema("ts").dataType
+    val raw = spark.readStream
+      .schema(eventSchemaRaw(tsType))
       .option("maxFilesPerTrigger", 1)
       .parquet(path)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    tsType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   /** Tumbling-window aggregation with watermark (works batch & stream). */
