@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.dedup.{Decontaminate, Dedup, SemDedup}
-import graft.text.{Bm25, Curriculum, Dsir, Mixture, Sharding}
+import graft.text.{Bm25, Curriculum, Dsir, LinkGraph, Mixture, Sharding}
 import graft.functions.{TextFunctions => T}
 import graft.multimodal.Multimodal
 import graft.similarity.{Evaluation, Pca, Similarity}
@@ -598,6 +598,18 @@ object LlmQueries {
         .orderBy(col("doc_id"), col("sample_idx"))
     }),
 
+    // MP4 container indexing (no frame decoding — Mp4 class doc): per
+    // sample byte range / chunk / timing / keyframe from real stbl
+    // parsing of a real Mp4.encode container; the oracle replays the
+    // generator's sample-table arithmetic
+    "q_video_index" -> ((s, dir) => {
+      val mp4 = udf((id: Long) => Multimodal.syntheticMp4(id))
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), mp4(col("doc_id")).as("payload"))
+      Multimodal.indexVideoMp4(docs, "doc_id", "payload")
+        .orderBy(col("doc_id"), col("sample_no"))
+    }),
+
     // sequence packing (pre-training concat-and-chunk): documents
     // concatenate in doc_id order into one token stream, split into
     // 128-token training sequences; output is the (doc, seq) span table
@@ -1132,6 +1144,18 @@ object LlmQueries {
       val train = docs.where(pmod(col("doc_id"), lit(5)) =!= 0)
       Decontaminate.evalContamination(train, evalSet, "text", "doc_id", w = 8)
         .orderBy(col("eval_id"))
+    }),
+
+    // link-graph quality scoring: bounded-hop neighborhood centrality
+    // over the shared-span document graph (w=4 shingles, df cap 32 drops
+    // boilerplate hubs). All-integer min-distance BFS — bit-exact,
+    // unlike float PageRank; harmonic is a fixed-order expression over
+    // the integer hop counts
+    "q_link_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val edges = LinkGraph.sharedSpanEdges(docs, "doc_id", "text", w = 4, maxDf = 32)
+      LinkGraph.centrality(docs.select(col("doc_id")), "doc_id", edges, maxHops = 3)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1475,6 +1499,35 @@ object LlmQueries {
         |                 THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END
         |       AS BIGINT) AS frame_hash
         |FROM bits ORDER BY doc_id, sample_idx""".stripMargin,
+    // MP4 sample-table index: replay the syntheticMp4 generator
+    // arithmetic — n = 1 + id mod 7 samples, size 50 + (id·13 + s·7) mod
+    // 200 packed contiguously from byte 32 (24-byte ftyp + 8-byte mdat
+    // header), delta 100 + (id mod 9)·10, timescale 600·(1 + id mod 4)
+    "q_video_index" ->
+      """WITH g AS (
+        |  SELECT doc_id, CAST(unnest(range(1 + doc_id % 7)) AS BIGINT) AS s
+        |  FROM documents),
+        |sz AS (
+        |  SELECT doc_id, s,
+        |    50 + (doc_id * 13 + s * 7) % 200 AS size,
+        |    100 + (doc_id % 9) * 10 AS delta,
+        |    600 * (1 + doc_id % 4) AS timescale
+        |  FROM g),
+        |o AS (
+        |  SELECT doc_id, s, size, delta, timescale,
+        |    CAST(32 + coalesce(sum(size) OVER (PARTITION BY doc_id ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+        |  FROM sz)
+        |SELECT doc_id, s AS sample_no, CAST(s // 2 AS BIGINT) AS chunk_no, "offset",
+        |  CAST(size AS BIGINT) AS size,
+        |  CAST(s * delta AS BIGINT) AS dts,
+        |  CAST(delta AS BIGINT) AS duration_ticks,
+        |  CAST((s * delta * 1000) // timescale AS BIGINT) AS time_ms,
+        |  (s % 3 = 0) AS keyframe,
+        |  CAST(timescale AS BIGINT) AS timescale,
+        |  CAST(16 * (1 + doc_id % 8) AS INTEGER) AS width,
+        |  CAST(16 * (1 + (doc_id // 8) % 8) AS INTEGER) AS height
+        |FROM o ORDER BY doc_id, sample_no""".stripMargin,
     "q_ann_sketch" -> XxhSql.annSketchSql(dim = 64, nBits = 64, k = 5, oversample = 8, nQueries = 5),
     "q_ann_pq" -> XxhSql.annPqSql(d = 64, m = 8, kc = 16, k = 5, oversample = 8, nQueries = 5),
     "q_ann_pq_refined" -> XxhSql.annPqRefinedSql(d = 64, m = 8, kc = 16, k = 5, oversample = 8,
@@ -2434,6 +2487,139 @@ object LlmQueries {
          |  greatest(0, prev - seq_id * 128) AS seq_offset,
          |  least(n, (seq_id + 1) * 128 - prev) - greatest(0, seq_id * 128 - prev) AS span_len
          |FROM s ORDER BY doc_id, seq_id""".stripMargin,
+    // export manifest: aggregate the q_pack_sequences span table per
+    // shard (= seq_id mod 4); all lanes exact integers
+    "q_export_manifest" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN norm = '' THEN 0 ELSE len(toks) END AS BIGINT) AS n
+         |  FROM (SELECT doc_id, $normSql AS norm, $toksSql AS toks FROM documents)),
+         |c AS (
+         |  SELECT doc_id, n,
+         |    CAST(coalesce(sum(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev
+         |  FROM d WHERE n > 0),
+         |s AS (
+         |  SELECT doc_id, n, prev, unnest(range(prev // 128, (prev + n - 1) // 128 + 1)) AS seq_id
+         |  FROM c),
+         |sp AS (
+         |  SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+         |    least(n, (seq_id + 1) * 128 - prev) - greatest(0, seq_id * 128 - prev) AS span_len
+         |  FROM s)
+         |SELECT CAST(seq_id % 4 AS INTEGER) AS shard,
+         |  CAST(count(DISTINCT seq_id) AS BIGINT) AS n_sequences,
+         |  CAST(sum(span_len) AS BIGINT) AS n_tokens,
+         |  CAST(count(DISTINCT seq_id) * 128 - sum(span_len) AS BIGINT) AS pad_tokens,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+         |  min(seq_id) AS min_seq_id, max(seq_id) AS max_seq_id
+         |FROM sp GROUP BY 1 ORDER BY shard""".stripMargin,
+    // export source mix: the same span table joined back to each doc's
+    // source, aggregated per (shard, source)
+    "q_export_source_mix" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN norm = '' THEN 0 ELSE len(toks) END AS BIGINT) AS n
+         |  FROM (SELECT doc_id, $normSql AS norm, $toksSql AS toks FROM documents)),
+         |c AS (
+         |  SELECT doc_id, n,
+         |    CAST(coalesce(sum(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev
+         |  FROM d WHERE n > 0),
+         |s AS (
+         |  SELECT doc_id, n, prev, unnest(range(prev // 128, (prev + n - 1) // 128 + 1)) AS seq_id
+         |  FROM c),
+         |sp AS (
+         |  SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+         |    least(n, (seq_id + 1) * 128 - prev) - greatest(0, seq_id * 128 - prev) AS span_len
+         |  FROM s)
+         |SELECT CAST(seq_id % 4 AS INTEGER) AS shard, source,
+         |  CAST(sum(span_len) AS BIGINT) AS n_tokens,
+         |  CAST(count(DISTINCT sp.doc_id) AS BIGINT) AS n_docs
+         |FROM sp JOIN documents USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY shard, source""".stripMargin,
+    // export pack: every training token's (shard, seq_id, seq_pos,
+    // token_id) identity. Vocabulary id = 1-based lexicographic rank of
+    // the distinct corpus tokens (0 = padding); gpos = global stream
+    // position over ascending doc_id; only the stream's tail pads
+    "q_export_pack" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, list_filter($toksSql, x -> x <> '') AS toks FROM documents),
+         |d2 AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM d),
+         |c AS MATERIALIZED (
+         |  SELECT doc_id, toks, n,
+         |    CAST(coalesce(sum(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev
+         |  FROM d2 WHERE n > 0),
+         |vocab AS MATERIALIZED (
+         |  SELECT token, CAST(row_number() OVER (ORDER BY token) AS BIGINT) AS token_id
+         |  FROM (SELECT DISTINCT unnest(toks) AS token FROM d)),
+         |tok AS (
+         |  SELECT prev + i AS gpos, toks[CAST(i AS INTEGER) + 1] AS token
+         |  FROM (SELECT prev, toks, unnest(range(n)) AS i FROM c)),
+         |real AS (
+         |  SELECT gpos // 128 AS seq_id, gpos % 128 AS seq_pos, v.token_id
+         |  FROM tok JOIN vocab v USING (token)),
+         |tot AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS total FROM c),
+         |pad AS (
+         |  SELECT g // 128 AS seq_id, g % 128 AS seq_pos, CAST(0 AS BIGINT) AS token_id
+         |  FROM (SELECT unnest(range(total, ((total + 127) // 128) * 128)) AS g FROM tot))
+         |SELECT CAST(seq_id % 4 AS INTEGER) AS shard, CAST(seq_id AS BIGINT) AS seq_id,
+         |  CAST(seq_pos AS BIGINT) AS seq_pos, token_id
+         |FROM (SELECT * FROM real UNION ALL SELECT * FROM pad)
+         |ORDER BY seq_id, seq_pos""".stripMargin,
+    // export JSONL manifest: sorted round-robin on token count (the
+    // q_shard_assign rank) aggregated per shard, nShards = 4
+    "q_export_jsonl" ->
+      s"""SELECT CAST((rn - 1) % 4 AS INTEGER) AS shard,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+         |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+         |FROM (
+         |  SELECT doc_id, ntok, row_number() OVER (ORDER BY ntok DESC, doc_id) AS rn
+         |  FROM (SELECT doc_id, CAST(len(list_filter($toksSql, x -> x <> '')) AS BIGINT) AS ntok
+         |        FROM documents))
+         |GROUP BY 1 ORDER BY shard""".stripMargin,
+    // link-graph centrality: shared-span edges (w=4, df in [2,32]), then
+    // min-distance within 3 hops via unrolled path joins + min(d); the
+    // harmonic lane mirrors the engine's left-to-right expression order
+    "q_link_score" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, list_filter($toksSql, x -> x <> '') AS toks FROM documents),
+         |sp0 AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id,
+         |    unnest([array_to_string(toks[i:i+3], ' ') FOR i IN range(1, greatest(len(toks) - 2, 1))]) AS span
+         |  FROM tk),
+         |rare AS MATERIALIZED (
+         |  SELECT span FROM sp0 GROUP BY span HAVING count(*) BETWEEN 2 AND 32),
+         |sp AS MATERIALIZED (SELECT doc_id, span FROM sp0 JOIN rare USING (span)),
+         |r1 AS MATERIALIZED (
+         |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+         |  FROM sp a JOIN sp b ON a.span = b.span AND a.doc_id <> b.doc_id),
+         |r2 AS MATERIALIZED (
+         |  SELECT DISTINCT a.src, b.dst FROM r1 a JOIN r1 b ON a.dst = b.src
+         |  WHERE b.dst <> a.src),
+         |r3 AS MATERIALIZED (
+         |  SELECT DISTINCT a.src, b.dst FROM r2 a JOIN r1 b ON a.dst = b.src
+         |  WHERE b.dst <> a.src),
+         |md AS (
+         |  SELECT src, dst, min(d) AS d FROM (
+         |    SELECT src, dst, 1 AS d FROM r1
+         |    UNION ALL SELECT src, dst, 2 FROM r2
+         |    UNION ALL SELECT src, dst, 3 FROM r3)
+         |  GROUP BY src, dst),
+         |ct AS (
+         |  SELECT src AS doc_id,
+         |    CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hop_1,
+         |    CAST(sum(CASE WHEN d = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_hop_2,
+         |    CAST(sum(CASE WHEN d = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_hop_3
+         |  FROM md GROUP BY src)
+         |SELECT d.doc_id,
+         |  coalesce(n_hop_1, 0) AS n_hop_1,
+         |  coalesce(n_hop_2, 0) AS n_hop_2,
+         |  coalesce(n_hop_3, 0) AS n_hop_3,
+         |  coalesce(n_hop_1, 0) + coalesce(n_hop_2, 0) + coalesce(n_hop_3, 0) AS reach,
+         |  CAST(coalesce(n_hop_1, 0) AS DOUBLE) / 1.0
+         |    + CAST(coalesce(n_hop_2, 0) AS DOUBLE) / 2.0
+         |    + CAST(coalesce(n_hop_3, 0) AS DOUBLE) / 3.0 AS harmonic
+         |FROM documents d LEFT JOIN ct USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     "q_langid_ngram" -> {
       def profile(lang: String): String =
         graft.functions.TextFunctions.trigramProfiles(lang).map(x => s"'$x'").mkString("[", ",", "]")

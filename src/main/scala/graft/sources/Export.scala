@@ -174,13 +174,25 @@ object Export {
   def readPackedShards(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
 
-  /** Read the `_manifest.jsonl` sidecar of a packed-shard directory. */
-  def readManifest(spark: SparkSession, dir: String): DataFrame =
-    spark.read.json(new org.apache.hadoop.fs.Path(dir, "_manifest.jsonl").toString)
+  /** Read the `_manifest.jsonl` sidecar of a packed-shard directory.
+    * The `_` prefix keeps the sidecar out of Spark's data-file listing
+    * (Hadoop treats `_`-prefixed files as metadata), so it is read
+    * directly through the FS — one line per shard, driver-bounded.
+    */
+  def readManifest(spark: SparkSession, dir: String): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(dir, "_manifest.jsonl")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(path)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    import spark.implicits._
+    spark.read.json(text.split('\n').toSeq.filter(_.nonEmpty).toDS())
+  }
 
   /** Per-shard JSONL manifest: weight-balanced shard assignment
     * ([[Sharding.assignShards]] on token count) joined back to the corpus
-    * — `(shard, n_docs, n_tokens, n_chars, min_doc_id, max_doc_id)`.
+    * — `(shard, n_docs, n_tokens, min_doc_id, max_doc_id)`.
     */
   def jsonlManifest(docs: DataFrame, idCol: String, textCol: String, nShards: Int): DataFrame = {
     val assigned = Sharding.assignShards(docs, idCol, T.tokenCount(col(textCol)).cast(LongType), nShards)
