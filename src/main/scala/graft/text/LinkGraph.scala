@@ -1,0 +1,109 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph quality scoring — neighborhood centrality over a
+  * (src, dst) edge table, the graph signal a pretraining pipeline feeds
+  * into document quality weights (well-connected pages/domains rank
+  * above orphans; PageRank-family scores are the classic form).
+  *
+  * Design choice: BOUNDED-HOP centrality, all-integer BFS — not float
+  * PageRank. Power-iteration PageRank accumulates floating-point sums
+  * whose value depends on partition order, so two runs (or two engines)
+  * disagree in final ulps and no bit-exact oracle exists. Min-distance
+  * hop counts are integers: `harmonic` below is a FIXED-ORDER expression
+  * over those integers (n₁/1 + n₂/2 + … evaluated left-to-right), so
+  * results are bit-identical across engines, runs, and partitionings —
+  * the same determinism contract as the rest of the engine. Bounded-hop
+  * harmonic centrality also matches how web-quality signals are used in
+  * practice: influence beyond a few hops is noise, and the bound is what
+  * makes the computation tractable at all on a 100 TB corpus graph.
+  *
+  * Scale shape: iteration d is one (frontier ⨝ edges) equi-join plus an
+  * anti-join against the reached set — the [[graft.dedup.Decontaminate.transitiveContamination]]
+  * frontier machinery run from ALL roots at once. Everything that
+  * shuffles is (root, id) integer pairs; the reached set's size is
+  * Σ_root |B_d(root)| — the output's own size, inherent to all-pairs
+  * centrality, kept linear-ish by the hop bound and by capping hub
+  * degree upstream (see the df cap in the q_link_score edge builder:
+  * a span shared by thousands of documents is boilerplate, not signal,
+  * and would otherwise make the pair join quadratic).
+  */
+object LinkGraph {
+
+  /** Per-node bounded-hop centrality: `(idCol, n_hop_1 … n_hop_maxHops,
+    * reach, harmonic)` where `n_hop_d` counts nodes at MIN distance
+    * exactly `d`, `reach` their sum, and `harmonic` = Σ_d n_hop_d / d
+    * (fixed evaluation order, see class doc). Nodes absent from `edges`
+    * report all-zero lanes (harmonic 0.0). Directed: follow `src → dst`;
+    * pass both directions for an undirected graph.
+    */
+  def centrality(nodes: DataFrame, idCol: String, edges: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"LinkGraph.centrality: maxHops $maxHops < 1")
+    val e = edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst")).distinct().cache()
+    // reached: (root, id, d) with d = min hops root → id; seed d = 0 rows
+    // keep every node present in the output even when isolated
+    var reached = nodes.select(col(idCol).as("root"), col(idCol).as("id"),
+      lit(0).as("d")).cache()
+    var cachedHandle = reached
+    var reachedCount = reached.count()
+    var frontier = reached.select(col("root"), col("id"))
+    var d = 1
+    var done = false
+    while (!done) {
+      val next = frontier.join(e, col("id") === col("src"))
+        .select(col("root"), col("dst").as("id")).distinct()
+        .join(reached.select(col("root"), col("id")), Seq("root", "id"), "left_anti")
+        .withColumn("d", lit(d))
+      val grown = reached.unionAll(next).cache()
+      // loop control materializes the iteration; the count doubles as
+      // empty-frontier detection (no growth → converged before maxHops)
+      val grownCount = grown.count()
+      cachedHandle.unpersist()
+      cachedHandle = grown
+      done = grownCount == reachedCount || d == maxHops
+      reachedCount = grownCount
+      frontier = next.select(col("root"), col("id"))
+      reached = grown
+      d += 1
+    }
+    val pinned = reached.localCheckpoint(true)
+    cachedHandle.unpersist()
+    e.unpersist()
+    val hopAggs = (1 to maxHops).map(i =>
+      sum(when(col("d") === i, 1L).otherwise(0L)).as(s"n_hop_$i"))
+    val agg = pinned.groupBy(col("root").as(idCol))
+      .agg(hopAggs.head, hopAggs.tail: _*)
+    val reach = (1 to maxHops).map(i => col(s"n_hop_$i")).reduce(_ + _)
+    val harmonic = (1 to maxHops)
+      .map(i => col(s"n_hop_$i").cast("double") / lit(i.toDouble))
+      .reduce(_ + _)
+    agg.withColumn("reach", reach).withColumn("harmonic", harmonic)
+  }
+
+  /** Shared-span document graph: symmetric (src, dst) edges between
+    * documents sharing at least one w-token shingle whose document
+    * frequency lies in [2, maxDf]. The df cap drops boilerplate spans —
+    * they carry no linkage signal and are exactly the spans that would
+    * make the pair join quadratic (same hygiene as LSH bucket caps).
+    */
+  def sharedSpanEdges(docs: DataFrame, idCol: String, textCol: String,
+      w: Int, maxDf: Int): DataFrame = {
+    import graft.functions.{TextFunctions => T}
+    val spans = docs.select(col(idCol).as("__id"),
+      explode(T.shingleHashes(col(textCol), w)).as("__h"))
+    val rare = spans.groupBy(col("__h"))
+      .agg(countDistinct(col("__id")).as("__df"))
+      .where(col("__df") >= 2 && col("__df") <= maxDf)
+      .select(col("__h"))
+    val sp = spans.join(rare, Seq("__h"))
+    val pairs = sp.select(col("__h"), col("__id").as("id_a"))
+      .join(sp.select(col("__h"), col("__id").as("id_b")), Seq("__h"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import graft.text.LinkGraph
+import org.apache.spark.sql.functions._
+
+/** Centrality laws on hand-built graphs: exact hop counts on a path,
+  * zero lanes for isolated nodes, early convergence, and partition
+  * independence; sharedSpanEdges' df cap must drop boilerplate hubs.
+  */
+class LinkGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def nodes(ids: Long*) = ids.toDF("id")
+
+  private def edgesOf(pairs: (Long, Long)*) = {
+    val p = pairs.toDF("src", "dst")
+    p.unionAll(p.select($"dst".as("src"), $"src".as("dst")))
+  }
+
+  test("path graph 1-2-3-4-5: exact per-hop counts and harmonic") {
+    val out = LinkGraph.centrality(nodes(1, 2, 3, 4, 5), "id",
+      edgesOf((1, 2), (2, 3), (3, 4), (4, 5)), maxHops = 3)
+      .orderBy($"id").collect()
+    // node 1: d1={2}, d2={3}, d3={4}
+    assert(out(0).getAs[Long]("n_hop_1") == 1)
+    assert(out(0).getAs[Long]("n_hop_2") == 1)
+    assert(out(0).getAs[Long]("n_hop_3") == 1)
+    assert(out(0).getAs[Long]("reach") == 3)
+    assert(out(0).getAs[Double]("harmonic") == 1.0 + 0.5 + 1.0 / 3.0)
+    // node 3 (center): d1={2,4}, d2={1,5}
+    assert(out(2).getAs[Long]("n_hop_1") == 2)
+    assert(out(2).getAs[Long]("n_hop_2") == 2)
+    assert(out(2).getAs[Long]("n_hop_3") == 0)
+  }
+
+  test("min distance wins: triangle plus pendant reports shortest hops") {
+    // 1-2, 2-3, 1-3 (triangle), 3-4: node 1 sees 4 at d=2 (via 3), not 3
+    val out = LinkGraph.centrality(nodes(1, 2, 3, 4), "id",
+      edgesOf((1, 2), (2, 3), (1, 3), (3, 4)), maxHops = 3)
+      .orderBy($"id").collect()
+    assert(out(0).getAs[Long]("n_hop_1") == 2)
+    assert(out(0).getAs[Long]("n_hop_2") == 1)
+    assert(out(0).getAs[Long]("n_hop_3") == 0)
+  }
+
+  test("isolated nodes report all-zero lanes and stay in the output") {
+    val out = LinkGraph.centrality(nodes(1, 2, 9), "id",
+      edgesOf((1, 2)), maxHops = 2).orderBy($"id").collect()
+    assert(out.length == 3)
+    assert(out(2).getAs[Long]("reach") == 0)
+    assert(out(2).getAs[Double]("harmonic") == 0.0)
+  }
+
+  test("converges before maxHops on a small-diameter graph") {
+    val out = LinkGraph.centrality(nodes(1, 2, 3), "id",
+      edgesOf((1, 2), (2, 3), (1, 3)), maxHops = 10).orderBy($"id").collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_hop_1") == 2)
+      assert(r.getAs[Long]("reach") == 2)
+    }
+  }
+
+  test("partition-independent: identical rows at repartition(2) vs repartition(13)") {
+    val n = (0L until 60L).toDF("id")
+    val e = edgesOf((0L until 59L).map(i => (i, i + 1)): _*)
+    val a = LinkGraph.centrality(n.repartition(2), "id", e.repartition(3), maxHops = 3)
+      .orderBy($"id").collect().map(_.toSeq)
+    val b = LinkGraph.centrality(n.repartition(13), "id", e.repartition(7), maxHops = 3)
+      .orderBy($"id").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("sharedSpanEdges links shared rare spans and drops over-df hubs") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta unique tail zero"),
+      (1L, "alpha beta gamma delta other words here"),
+      (2L, "totally different text with no overlap at all"),
+      // every doc below shares the hub span, df = 4 > maxDf = 3
+      (3L, "hub one two three x"),
+      (4L, "hub one two three y"),
+      (5L, "hub one two three z"),
+      (6L, "hub one two three w")
+    ).toDF("doc_id", "text")
+    val e = LinkGraph.sharedSpanEdges(docs, "doc_id", "text", w = 4, maxDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(e.contains((0L, 1L)) && e.contains((1L, 0L)), "shared rare span links 0-1")
+    assert(!e.exists { case (s, d) => s >= 3L || d >= 3L }, s"hub spans must be dropped: $e")
+  }
+}
