@@ -788,6 +788,75 @@ object Multimodal {
     df.sparkSession.createDataFrame(rdd, outSchema)
   }
 
+  /** Deterministic one-track MP4 for a row id — a REAL [[Mp4.encode]]
+    * container whose sample tables a SQL oracle can replay from the id:
+    * n = 1 + id mod 7 samples, sample `s` size = 50 + (id·13 + s·7) mod
+    * 200 with opaque filler bytes, per-sample duration 100 + (id mod 9)·10
+    * ticks at timescale 600·(1 + id mod 4), keyframes every 3rd sample,
+    * chunks of 2 samples, dimensions 16·(1 + id mod 8) ×
+    * 16·(1 + ⌊id/8⌋ mod 8). The fixed `ftyp` prefix puts the first
+    * sample at byte 32 and chunks pack contiguously, so every offset is
+    * 32 + a prefix sum of the size formula.
+    */
+  def syntheticMp4(id: Long): Array[Byte] = {
+    require(id >= 0, s"syntheticMp4: id must be non-negative, got $id")
+    val w = 16 * (1 + (id % 8).toInt)
+    val h = 16 * (1 + ((id / 8) % 8).toInt)
+    val timescale = 600L * (1 + (id % 4))
+    val delta = 100L + (id % 9) * 10L
+    val n = 1 + (id % 7).toInt
+    val samples = (0 until n).map { s =>
+      val size = 50 + ((id * 13 + s * 7) % 200).toInt
+      Array.tabulate(size)(k => ((id + s * 31 + k) % 256).toByte)
+    }
+    val keyframes = (0 until n).filter(_ % 3 == 0)
+    Mp4.encode(w, h, timescale, delta, samples, keyframes, samplesPerChunk = 2)
+  }
+
+  val videoIndexSchema: StructType = StructType(
+    Seq(
+      StructField("sample_no", LongType, nullable = false),
+      StructField("chunk_no", LongType, nullable = false),
+      StructField("offset", LongType, nullable = false),
+      StructField("size", LongType, nullable = false),
+      StructField("dts", LongType, nullable = false),
+      StructField("duration_ticks", LongType, nullable = false),
+      StructField("time_ms", LongType, nullable = false),
+      StructField("keyframe", BooleanType, nullable = false),
+      StructField("timescale", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false)
+    ))
+
+  /** Per-partition MP4 container indexing (1 row per sample): id +
+    * [[videoIndexSchema]] — byte range, chunk, timing (ticks and derived
+    * integer milliseconds = dts·1000 / timescale), keyframe flag, and
+    * track constants. NO frame decoding ([[Mp4]] class doc); payloads
+    * [[Mp4.index]] cannot parse are DROPPED (same contract as
+    * [[decodeImagesIO]]). Scan-local per row, no shuffle; the index rows
+    * are fixed-width and tiny relative to the payload.
+    */
+  def indexVideoMp4(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val idField = df.schema(idCol)
+    val outSchema = StructType(idField +: videoIndexSchema.fields)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = if (r.isNullAt(payloadIdx)) null else r.getAs[Array[Byte]](payloadIdx)
+        Mp4.index(bytes).toSeq.flatMap { ix =>
+          ix.samples.map { s =>
+            val timeMs = if (ix.timescale <= 0) 0L else s.dts * 1000L / ix.timescale
+            Row.fromSeq(r.get(idIdx) +: Seq[Any](
+              s.sampleNo.toLong, s.chunkNo.toLong, s.offset, s.size, s.dts,
+              s.duration, timeMs, s.keyframe, ix.timescale, ix.width, ix.height))
+          }
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
   val videoHashSchema: StructType = StructType(
     Seq(
       StructField("sample_idx", IntegerType, nullable = false),
