@@ -88,27 +88,7 @@ object Dedup {
     // you would checkpoint to the store — it is ~100 bytes/doc (signature
     // + hash set), orders of magnitude smaller than the corpus.
     val prepared = preparedIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // docs with EMPTY shingle sets never band: their sentinel signatures
-    // are all identical, so banding them would funnel every such doc into
-    // one hot bucket (candidate blowup) for pairs whose true Jaccard is 0
-    val keyed = prepared
-      .where(size(col("shset")) > 0)
-      .select(col("id"), posexplode(H.bandHashes(col("sig"), bands, rows)).as(Seq("band", "bucket")))
-    val cand = keyed.as("a")
-      .join(keyed.as("b"), Seq("band", "bucket"))
-      .where(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    val sh = prepared.select(col("id"), col("shset"))
-    val verified = cand
-      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shset", "sh_a"), "id_a")
-      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("shset", "sh_b"), "id_b")
-      .withColumn("__j", jaccardSets(col("sh_a"), col("sh_b")))
-      // threshold on the UNROUNDED value (matches minHashIncremental —
-      // rounding first let 0.6999996-pairs sneak past a 0.7 threshold);
-      // round only the reported column
-      .where(col("__j") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("__j"), 6).as("jaccard_sim"))
+    val verified = lshVerifiedPairsPlan(prepared, bands, rows, threshold)
     // Materialize the (tiny) verified-pair set so the signature cache can be
     // released immediately — otherwise every dedup call leaks a
     // MEMORY_AND_DISK entry for the session lifetime. localCheckpoint blocks
@@ -118,8 +98,79 @@ object Dedup {
     out
   }
 
-  /** Candidate near-duplicate pairs (id_a < id_b) via word-shingle MinHash +
-    * LSH banding, verified with exact shingle-set Jaccard ≥ threshold.
+  /** The un-pinned pair plan behind [[lshVerifiedPairs]] — split out so
+    * [[graft.tools.PlanCheck]] can assert the collapse/join shapes that
+    * the production path's localCheckpoint hides from the executed plan.
+    */
+  private[graft] def lshVerifiedPairsPlan(
+      prepared: DataFrame, // (id, sig, shset)
+      bands: Int,
+      rows: Int,
+      threshold: Double
+  ): DataFrame = {
+    // docs with EMPTY shingle sets never band: their sentinel signatures
+    // are all identical, so banding them would funnel every such doc into
+    // one hot bucket (candidate blowup) for pairs whose true Jaccard is 0
+    val nonEmpty = prepared.where(size(col("shset")) > 0)
+    // SIGNATURE-GROUP COLLAPSE — the giant-duplicate-cluster guard. A
+    // corpus with one text repeated m times (boilerplate pages — the
+    // common case at web scale, and the sf1skew stress input) puts all m
+    // docs in every band bucket: the clique join is O(m²·bands), 160×
+    // measured blowup at m = 10k. Docs with IDENTICAL full signatures
+    // collapse to their min-id representative: within a group, emit the
+    // (rep, member) STAR — O(m) pairs, each still exact-Jaccard-verified
+    // (identical text → J = 1.0, so star edges always survive) — and only
+    // representatives enter the band self-join. The pair set is a
+    // CONNECTIVITY CERTIFICATE: same connected components as the full
+    // clique (every consumer — survivors, cluster reps, contamination
+    // BFS — consumes components, not cliques), linear in duplicate count.
+    val reps = nonEmpty.groupBy(col("sig")).agg(min(col("id")).as("rep"))
+    val withRep = nonEmpty.join(reps, Seq("sig"))
+    val starCand = withRep.where(col("id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("id").as("id_b")) // rep = group min, so id_a < id_b
+    val keyed = withRep
+      .where(col("id") === col("rep"))
+      .select(col("id"), posexplode(H.bandHashes(col("sig"), bands, rows)).as(Seq("band", "bucket")))
+    val crossCand = keyed.as("a")
+      .join(keyed.as("b"), Seq("band", "bucket"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val cand = starCand.unionAll(crossCand).distinct()
+    val sh = prepared.select(col("id"), col("shset"))
+    cand
+      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shset", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("shset", "sh_b"), "id_b")
+      .withColumn("__j", jaccardSets(col("sh_a"), col("sh_b")))
+      // threshold on the UNROUNDED value (matches minHashIncremental —
+      // rounding first let 0.6999996-pairs sneak past a 0.7 threshold);
+      // round only the reported column
+      .where(col("__j") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("__j"), 6).as("jaccard_sim"))
+  }
+
+  /** Plan-audit twin of [[minHashPairs]]: same pipeline, no persist or
+    * checkpoint pin, so the full shape is visible to plan assertions.
+    */
+  private[graft] def minHashPairsPlan(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.7
+  ): DataFrame =
+    lshVerifiedPairsPlan(
+      minHashSignatures(docs, idCol, T.shingleHashes(col(textCol), shingleSize), numHashes),
+      bands, numHashes / bands, threshold)
+
+  /** Near-duplicate pairs (id_a < id_b) via word-shingle MinHash + LSH
+    * banding, verified with exact shingle-set Jaccard ≥ threshold.
+    * Identical-signature groups are collapsed to min-id representatives
+    * (star pairs within, banding between — see [[lshVerifiedPairs]]), so
+    * the output is a connectivity certificate of the near-dup graph:
+    * identical connected components to the full clique set, linear (not
+    * quadratic) in duplicate-cluster size.
     */
   def minHashPairs(
       docs: DataFrame,

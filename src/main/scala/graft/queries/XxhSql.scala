@@ -209,7 +209,12 @@ object XxhSql {
   /** Shared CTE block: shingles → hashes → signatures → band keys →
     * verified pairs (exact set-Jaccard over shingle STRING sets, which
     * equals the engine's hash-set Jaccard absent 64-bit collisions).
-    * Emits CTEs: ssh (doc_id, s), sig (doc_id, sig), cand (id_a, id_b),
+    * Mirrors the engine's signature-group collapse
+    * ([[graft.dedup.Dedup]] lshVerifiedPairs): identical signatures
+    * shrink to their min-id representative — star pairs within a group,
+    * banding (`bandr`) between representatives only. Emits CTEs:
+    * ssh (doc_id, s), sig (doc_id, sig), bandk (ALL docs — the
+    * incremental oracle keys corpus probes off it), cand (id_a, id_b),
     * ver (id_a, id_b, j).
     */
   private def pairCtes(shingleSql: String, k: Int, bands: Int, rows: Int): String = {
@@ -226,12 +231,19 @@ object XxhSql {
        |    FROM hashed, (SELECT unnest(range(0, $k)) AS lane)))))
        |  GROUP BY doc_id, lane),
        |sig AS MATERIALIZED (SELECT doc_id, list(mn ORDER BY lane) AS sig FROM sigl GROUP BY doc_id),
+       |srep AS MATERIALIZED (SELECT sig, min(doc_id) AS rep FROM sig GROUP BY sig),
+       |swr AS MATERIALIZED (SELECT s.doc_id, s.sig, r.rep FROM sig s JOIN srep r ON s.sig = r.sig),
        |bandk AS MATERIALIZED (
        |  SELECT doc_id, b, $bandKeyCols
        |  FROM sig, (SELECT unnest(range(0, $bands)) AS b)),
+       |bandr AS MATERIALIZED (
+       |  SELECT bandk.* FROM bandk JOIN srep ON bandk.doc_id = srep.rep),
        |cand AS (
-       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM bandk a JOIN bandk b ON a.b = b.b AND $bandJoin AND a.doc_id < b.doc_id),
+       |  SELECT DISTINCT id_a, id_b FROM (
+       |    SELECT rep AS id_a, doc_id AS id_b FROM swr WHERE doc_id <> rep
+       |    UNION ALL
+       |    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |    FROM bandr a JOIN bandr b ON a.b = b.b AND $bandJoin AND a.doc_id < b.doc_id)),
        |ss AS MATERIALIZED (SELECT doc_id, list(s) AS ss FROM ssh GROUP BY doc_id),
        |ver AS (
        |  SELECT id_a, id_b,
