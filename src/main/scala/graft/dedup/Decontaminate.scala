@@ -134,7 +134,9 @@ object Decontaminate {
       cachedHandle = grown
       done = grownCount == reachedCount || hop == maxHops
       reachedCount = grownCount
-      frontier = next.select(col("id"))
+      // read the next frontier back out of the cached union — deriving it
+      // from `next` would re-execute the whole join chain next iteration
+      frontier = grown.where(col("hop") === hop).select(col("id"))
       reached = grown
       hop += 1
     }

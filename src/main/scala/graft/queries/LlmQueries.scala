@@ -1147,13 +1147,15 @@ object LlmQueries {
     }),
 
     // link-graph quality scoring: bounded-hop neighborhood centrality
-    // over the shared-span document graph (w=4 shingles, df cap 32 drops
-    // boilerplate hubs). All-integer min-distance BFS — bit-exact,
-    // unlike float PageRank; harmonic is a fixed-order expression over
-    // the integer hop counts
+    // over the shared-span document graph (w=5 shingles, df cap 32 drops
+    // boilerplate hubs; w=4 over the synthetic 31-word vocabulary is
+    // collision-dense enough to make the 3-hop closure quadratic — the
+    // measured difference is 78k vs 3k edges at sf0.1). All-integer
+    // min-distance BFS — bit-exact, unlike float PageRank; harmonic is a
+    // fixed-order expression over the integer hop counts
     "q_link_score" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val edges = LinkGraph.sharedSpanEdges(docs, "doc_id", "text", w = 4, maxDf = 32)
+      val edges = LinkGraph.sharedSpanEdges(docs, "doc_id", "text", w = 5, maxDf = 32)
       LinkGraph.centrality(docs.select(col("doc_id")), "doc_id", edges, maxHops = 3)
         .orderBy(col("doc_id"))
     })
@@ -2577,7 +2579,7 @@ object LlmQueries {
          |  FROM (SELECT doc_id, CAST(len(list_filter($toksSql, x -> x <> '')) AS BIGINT) AS ntok
          |        FROM documents))
          |GROUP BY 1 ORDER BY shard""".stripMargin,
-    // link-graph centrality: shared-span edges (w=4, df in [2,32]), then
+    // link-graph centrality: shared-span edges (w=5, df in [2,32]), then
     // min-distance within 3 hops via unrolled path joins + min(d); the
     // harmonic lane mirrors the engine's left-to-right expression order
     "q_link_score" ->
@@ -2585,7 +2587,7 @@ object LlmQueries {
          |  SELECT doc_id, list_filter($toksSql, x -> x <> '') AS toks FROM documents),
          |sp0 AS MATERIALIZED (
          |  SELECT DISTINCT doc_id,
-         |    unnest([array_to_string(toks[i:i+3], ' ') FOR i IN range(1, greatest(len(toks) - 2, 1))]) AS span
+         |    unnest([array_to_string(toks[i:i+4], ' ') FOR i IN range(1, greatest(len(toks) - 3, 1))]) AS span
          |  FROM tk),
          |rare AS MATERIALIZED (
          |  SELECT span FROM sp0 GROUP BY span HAVING count(*) BETWEEN 2 AND 32),

@@ -48,6 +48,7 @@ object LinkGraph {
     var reached = nodes.select(col(idCol).as("root"), col(idCol).as("id"),
       lit(0).as("d")).cache()
     var cachedHandle = reached
+    var staleHandle: Option[org.apache.spark.sql.DataFrame] = None
     var reachedCount = reached.count()
     var frontier = reached.select(col("root"), col("id"))
     var d = 1
@@ -58,18 +59,31 @@ object LinkGraph {
         .join(reached.select(col("root"), col("id")), Seq("root", "id"), "left_anti")
         .withColumn("d", lit(d))
       val grown = reached.unionAll(next).cache()
-      // loop control materializes the iteration; the count doubles as
-      // empty-frontier detection (no growth → converged before maxHops)
-      val grownCount = grown.count()
-      cachedHandle.unpersist()
-      cachedHandle = grown
-      done = grownCount == reachedCount || d == maxHops
-      reachedCount = grownCount
-      frontier = next.select(col("root"), col("id"))
+      if (d == maxHops) {
+        // the final iteration terminates unconditionally: skip its
+        // convergence count and let the closing localCheckpoint do the
+        // one materialization. The previous cache must stay live until
+        // then — `grown`'s lineage still reads it
+        staleHandle = Some(cachedHandle)
+        cachedHandle = grown
+        done = true
+      } else {
+        // loop control materializes the iteration; the count doubles as
+        // empty-frontier detection (no growth → converged early)
+        val grownCount = grown.count()
+        cachedHandle.unpersist()
+        cachedHandle = grown
+        done = grownCount == reachedCount
+        reachedCount = grownCount
+      }
+      // read the next frontier back out of the cached union — deriving it
+      // from `next` would re-execute the whole join chain next iteration
+      frontier = grown.where(col("d") === d).select(col("root"), col("id"))
       reached = grown
       d += 1
     }
     val pinned = reached.localCheckpoint(true)
+    staleHandle.foreach(_.unpersist())
     cachedHandle.unpersist()
     e.unpersist()
     val hopAggs = (1 to maxHops).map(i =>
