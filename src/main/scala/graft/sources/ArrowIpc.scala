@@ -518,7 +518,15 @@ object ArrowIpc {
     fs.mkdirs(out)
     val confB = spark.sparkContext.broadcast(new SerializableWritable(conf))
     val pathStr = out.toString
-    df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
+    // a zero-partition RDD (empty LocalRelation) would write no files at
+    // all, making the store unreadable; pad to one empty partition so the
+    // directory always holds a schema-carrying file (fuzz-found)
+    val rowRdd = df.queryExecution.toRdd match {
+      case r if r.getNumPartitions == 0 =>
+        spark.sparkContext.parallelize(Seq.empty[org.apache.spark.sql.catalyst.InternalRow], 1)
+      case r => r
+    }
+    rowRdd.mapPartitionsWithIndex { (pid, it) =>
       val c = confB.value.value
       // attempt-private temp (dot-prefixed: read() skips it) + rename-on-
       // success = the minimal commit protocol: a failed/killed attempt
