@@ -172,7 +172,82 @@ object PlanCheck {
     Check(
       "q_pack_efficiency",
       mustContain = Seq("Window", "BroadcastHashJoin"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin", "SinglePartition")),
+    // minhash near-dup gate (plan pinned by localCheckpoint — the
+    // collapse shape is asserted un-pinned in the build checks below)
+    Check(
+      "q_dedup_minhash",
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // link-graph gate: hop-count aggregation combines map-side over the
+    // checkpointed BFS table (the per-iteration join shapes are asserted
+    // by the build checks below — the checkpoint hides them here)
+    Check(
+      "q_link_score",
+      mustContain = Seq("partial_sum"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin", "SinglePartition")),
+    // MP4 indexing is scan-local row work: no join, no aggregation; the
+    // only exchange is the output order-by
+    Check(
+      "q_video_index",
+      mustNotContain = Seq("Join", "HashAggregate", "CartesianProduct")),
+    // export manifest/pack: packSequences' running sum must keep the
+    // token-budget shape — per-partition window, never a global one
+    Check(
+      "q_export_manifest",
+      mustContain = Seq("Window"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin", "SinglePartition")),
+    Check(
+      "q_export_pack",
+      mustContain = Seq("Window"),
       mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin", "SinglePartition"))
+  )
+
+  /** Plan checks for operator INTERNALS the gate plans hide behind
+    * localCheckpoint pins: built directly from the operator API.
+    */
+  private case class BuildCheck(
+      name: String,
+      build: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+      mustContain: Seq[String] = Seq.empty,
+      mustNotContain: Seq[String] = Seq.empty)
+
+  import org.apache.spark.sql.functions.col
+
+  private val buildChecks = Seq(
+    // shared-span edge builder: the df-cap aggregation combines map-side
+    // and the span self-join is an equi join — a span shared by thousands
+    // of docs (boilerplate) must be dropped BEFORE pairing, never joined
+    BuildCheck(
+      "link_edges(sharedSpanEdges)",
+      (s, dir) => graft.text.LinkGraph.sharedSpanEdges(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", w = 5, maxDf = 32),
+      mustContain = Seq("HashAggregate"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // one BFS iteration (the shape centrality repeats per hop): frontier
+    // ⨝ edges is an equi join on id=src, the visited filter a left anti —
+    // all-integer (root, id) pairs, nothing quadratic
+    BuildCheck(
+      "link_bfs_iteration",
+      (s, dir) => {
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val edges = graft.text.LinkGraph.sharedSpanEdges(docs, "doc_id", "text", w = 5, maxDf = 32)
+        val seed = docs.select(col("doc_id").as("root"), col("doc_id").as("id"))
+        seed.join(edges, col("id") === col("src"))
+          .select(col("root"), col("dst").as("id")).distinct()
+          .join(seed, Seq("root", "id"), "left_anti")
+      },
+      mustContain = Seq("Anti"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // minhash pair pipeline un-pinned: the signature-group collapse must
+    // survive — the per-signature representative is a partial_min
+    // groupBy(sig), the giant-duplicate-cluster guard that keeps LSH
+    // banding linear in cluster size (476 s → 10.6 s at sf1skew)
+    BuildCheck(
+      "minhash_pairs(unpinned)",
+      (s, dir) => graft.dedup.Dedup.minHashPairsPlan(
+        s.read.parquet(s"$dir/documents.parquet"), "text", "doc_id"),
+      mustContain = Seq("partial_min"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
   )
 
   def main(args: Array[String]): Unit = {
@@ -180,18 +255,24 @@ object PlanCheck {
     val spark = GraftSession.builder("local[8]", 8).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     var failures = 0
-    checks.foreach { c =>
-      val df = SparkEntry.queries(c.name)(spark, dir)
+    def audit(name: String, df: org.apache.spark.sql.DataFrame,
+        mustContain: Seq[String], mustNotContain: Seq[String]): Unit = {
       val plan = df.queryExecution.executedPlan.toString
-      val missing = c.mustContain.filterNot(plan.contains)
-      val present = c.mustNotContain.filter(plan.contains)
+      val missing = mustContain.filterNot(plan.contains)
+      val present = mustNotContain.filter(plan.contains)
       if (missing.isEmpty && present.isEmpty) {
-        System.err.println("[plan] OK " + c.name)
+        System.err.println("[plan] OK " + name)
       } else {
         failures += 1
-        System.err.println(s"[plan] FAIL ${c.name}: missing=$missing unexpected=$present")
+        System.err.println(s"[plan] FAIL $name: missing=$missing unexpected=$present")
         System.err.println(plan.linesIterator.take(40).mkString("\n"))
       }
+    }
+    checks.foreach { c =>
+      audit(c.name, SparkEntry.queries(c.name)(spark, dir), c.mustContain, c.mustNotContain)
+    }
+    buildChecks.foreach { c =>
+      audit(c.name, c.build(spark, dir), c.mustContain, c.mustNotContain)
     }
     // detailed dump for manual inspection when a query name is passed
     args.drop(1).foreach { q =>
