@@ -72,7 +72,12 @@ object Bench {
     // round 7 closing session: corpus hygiene + selection + reporting
     "q_dedup_rewrite",
     "q_token_budget",
-    "q_dataset_card"
+    "q_dataset_card",
+    // round 8: export last mile, link-graph scoring, MP4 indexing
+    "q_export_pack",
+    "q_link_score",
+    "q_video_index",
+    "q_pack_efficiency"
   )
 
   def main(args: Array[String]): Unit = {
