@@ -234,7 +234,13 @@ object Dedup {
       col(idCol).as("id"),
       H.simHashFromHashes(T.tokenHashes(col(textCol))).as("fp"))
 
-  /** SimHash near-dup candidate pairs within a Hamming radius. */
+  /** SimHash near-dup pairs within a Hamming radius. Identical
+    * fingerprints collapse to their min-id representative before banding
+    * (the [[lshVerifiedPairsPlan]] giant-cluster guard — an identical fp
+    * is exactly an identical band-key set): members pair with their rep
+    * at Hamming 0, representatives band against each other. Connected
+    * components match the full clique set at O(cluster) cost.
+    */
   def simHashPairs(
       docs: DataFrame,
       textCol: String,
@@ -243,10 +249,15 @@ object Dedup {
       bands: Int = 8
   ): DataFrame = {
     val fp = simHashFingerprints(docs, textCol, idCol)
-    val keyed = fp
+    val reps = fp.groupBy(col("fp")).agg(min(col("id")).as("rep"))
+    val withRep = fp.join(reps, Seq("fp"))
+    val star = withRep.where(col("id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("id").as("id_b"),
+        lit(0).cast("int").as("hamming")) // identical fp → Hamming 0
+    val keyed = withRep.where(col("id") === col("rep"))
       .select(col("id"), col("fp"), explode(H.simHashBands(col("fp"), bands)).as("bk"))
       .select(col("id"), col("fp"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-    keyed.as("a")
+    val cross = keyed.as("a")
       .join(keyed.as("b"), Seq("band", "bucket"))
       .where(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
@@ -254,10 +265,16 @@ object Dedup {
       .withColumn("hamming", H.hamming64(col("fp_a"), col("fp_b")))
       .where(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+    star.unionAll(cross)
   }
 
   /** Embedding cosine near-dup pairs via random-hyperplane LSH bucketing +
-    * cosine verification.
+    * cosine verification. Bit-identical vectors (exact-dup content
+    * re-embedded — the giant-cluster case for embeddings) collapse to
+    * their min-id representative before bucketing: members pair with
+    * their rep (cosine 1, always ≥ threshold), representatives band.
+    * Components match the clique set at O(cluster) cost; the group key
+    * is the raw vector, so the collapse is exact (no hash caveat).
     */
   def embeddingPairs(
       emb: DataFrame,
@@ -269,8 +286,14 @@ object Dedup {
   ): DataFrame = {
     import graft.functions.{VectorFunctions => V}
     require(nBits % bands == 0)
-    val keyed = emb
-      .select(col(idCol).as("id"), col(vecCol).as("vec"), V.lshBits(col(vecCol), nBits).as("fp"))
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val reps = base.groupBy(col("vec")).agg(min(col("id")).as("rep"))
+    val withRep = base.join(reps, Seq("vec"))
+    val star = withRep.where(col("id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("id").as("id_b"))
+    val keyed = withRep
+      .where(col("id") === col("rep"))
+      .select(col("id"), col("vec"), V.lshBits(col("vec"), nBits).as("fp"))
       .select(col("id"), col("vec"), explode(bandKeys(col("fp"), bands, nBits / bands)).as("bk"))
       .select(col("id"), col("vec"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
     // candidate dedup over IDS ONLY (16 B/row through the exchange);
@@ -281,6 +304,7 @@ object Dedup {
       .where(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+      .unionAll(star)
     val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
     cand
       .join(vecs.select(col("id").as("id_a"), col("vec").as("va")), "id_a")
@@ -743,18 +767,36 @@ object Dedup {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val prepC = corpusSignatures.select(col("id"), col("sig"), col("shset")).persist(lvl)
     val prepB = batchSignatures.select(col("id"), col("sig"), col("shset")).persist(lvl)
-    def keyed(prep: DataFrame) = prep
-      .where(size(col("shset")) > 0) // empty sets never band (sentinel collision)
+    // SIDE-LOCAL signature-group collapse (the [[lshVerifiedPairsPlan]]
+    // giant-cluster guard, applied per side): only group representatives
+    // band. A batch member collides with exactly the buckets its rep
+    // collides with (identical signature → identical band keys), so the
+    // rep's corpus verdict covers the group, and the member itself dies
+    // against its rep via the star candidate below — the same (lower id
+    // survives) outcome the full clique produced, at O(cluster) cost.
+    def collapse(prep: DataFrame) = {
+      val ne = prep.where(size(col("shset")) > 0) // empty sets never band (sentinel collision)
+      ne.join(ne.groupBy(col("sig")).agg(min(col("id")).as("rep")), Seq("sig"))
+    }
+    val wrC = collapse(prepC)
+    val wrB = collapse(prepB)
+    def keyed(wr: DataFrame) = wr
+      .where(col("id") === col("rep"))
       .select(col("id"), posexplode(H.bandHashes(col("sig"), bands, rows)).as(Seq("band", "bucket")))
-    val keyedC = keyed(prepC)
-    val keyedB = keyed(prepB)
+    val keyedC = keyed(wrC)
+    val keyedB = keyed(wrB)
     // batch-vs-corpus candidates (all such pairs kill the batch doc) and
-    // batch-internal candidates (ordered: only the higher id can die)
+    // batch-internal candidates (ordered: only the higher id can die);
+    // batch members of an identical-signature group die against their
+    // group rep (star — verified like every other candidate)
+    val starBB = wrB.where(col("id") =!= col("rep"))
+      .select(col("id").as("id_b"), col("rep").as("id_other"))
     val candCB = keyedB.as("b").join(keyedC.as("c"), Seq("band", "bucket"))
       .select(col("b.id").as("id_b"), col("c.id").as("id_other")).distinct()
     val candBB = keyedB.as("a").join(keyedB.as("b"), Seq("band", "bucket"))
       .where(col("a.id") < col("b.id"))
       .select(col("b.id").as("id_b"), col("a.id").as("id_other")).distinct()
+      .unionAll(starBB)
     val shC = prepC.select(col("id"), col("shset"))
     val shB = prepB.select(col("id"), col("shset"))
     def verified(cand: DataFrame, otherSh: DataFrame) = cand

@@ -853,7 +853,10 @@ object XxhSql {
        |${pqRerankTail(k, oversample)}""".stripMargin
 
   /** Oracle for [[graft.dedup.Dedup.simHashPairs]]: token-multiset SimHash
-    * fingerprints, byte-band bucketing, Hamming verification.
+    * fingerprints, byte-band bucketing, Hamming verification. Mirrors the
+    * engine's fingerprint-group collapse: identical fps shrink to their
+    * min-id representative — members pair with their rep at Hamming 0,
+    * only representatives band.
     */
   def simhashPairsSql(maxHamming: Int, bands: Int): String = {
     val width = 64 / bands
@@ -869,12 +872,17 @@ object XxhSql {
        |  UNION ALL
        |  SELECT doc_id, 0::BIGINT AS fp FROM documents
        |  WHERE text IS NOT NULL AND len(list_filter($toksSql, x -> x <> '')) = 0),
+       |frep AS MATERIALIZED (SELECT fp AS gfp, min(doc_id) AS rep FROM fp GROUP BY fp),
        |bandk AS MATERIALIZED (
        |  SELECT doc_id, fp, b, (${toUnsigned("fp")} >> (b*$width)) & ${(BigInt(1) << width) - 1} AS bucket
-       |  FROM fp, (SELECT unnest(range(0, $bands)) AS b)),
+       |  FROM (SELECT f.doc_id, f.fp FROM fp f JOIN frep r ON f.fp = r.gfp AND f.doc_id = r.rep) fp,
+       |       (SELECT unnest(range(0, $bands)) AS b)),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.fp AS fp_a, b.fp AS fp_b
        |  FROM bandk a JOIN bandk b ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+       |SELECT rep AS id_a, doc_id AS id_b, 0 AS hamming
+       |FROM fp JOIN frep ON fp.fp = frep.gfp WHERE doc_id <> rep
+       |UNION ALL
        |SELECT id_a, id_b, CAST(bit_count(xor(fp_a, fp_b)) AS INTEGER) AS hamming
        |FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= $maxHamming
        |ORDER BY id_a, id_b""".stripMargin

@@ -178,6 +178,20 @@ object PlanCheck {
     Check(
       "q_dedup_minhash",
       mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // simhash / embedding near-dup: the fingerprint-/vector-group
+    // collapse (partial_min groupBy) must survive — no checkpoint hides
+    // these plans
+    Check(
+      "q_dedup_simhash",
+      mustContain = Seq("partial_min"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    Check(
+      "q_dedup_embedding",
+      mustContain = Seq("partial_min"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    Check(
+      "q_minhash_incremental",
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
     // link-graph gate: hop-count aggregation combines map-side over the
     // checkpointed BFS table (the per-iteration join shapes are asserted
     // by the build checks below — the checkpoint hides them here)

@@ -273,4 +273,66 @@ class DedupSpec extends SparkSpec {
       .agg(sum($"n_dropped")).head().getLong(0)
     assert(none == 0L)
   }
+
+  // --- giant-duplicate-cluster collapse (the sf1skew guard, SCALE.md):
+  // identical signatures/fingerprints/vectors emit a STAR anchored at the
+  // min id, never a clique — linear in cluster size, same components
+
+  test("minhash giant cluster: star pairs only, connectivity to outside docs preserved") {
+    val m = 60
+    val all = ((100L until 100L + m).map(i => (i, base)) ++
+      Seq((500L, distinct1), (501L, distinct2), (502L, nearDup))).toDF("doc_id", "text")
+    val pairs = Dedup.minHashPairs(all, "text", "doc_id", threshold = 0.5)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val inCluster = (x: Long) => x >= 100L && x < 100L + m
+    val intra = pairs.filter(p => inCluster(p._1) && inCluster(p._2))
+    assert(intra.length == m - 1, s"expected ${m - 1} star pairs, got ${intra.length}")
+    assert(intra.forall(_._1 == 100L)) // all anchored at the representative
+    // the near-dup attaches to the cluster through the representative
+    assert(pairs.exists(p => p == ((100L, 502L)) || p == ((502L, 100L))))
+    // distinct docs stay isolated
+    assert(!pairs.exists(p => Set(p._1, p._2).exists(x => x == 500L || x == 501L)))
+  }
+
+  test("simhash giant cluster: star pairs at hamming 0, anchored at min id") {
+    val m = 40
+    val all = ((100L until 100L + m).map(i => (i, base)) ++ Seq((500L, distinct1)))
+      .toDF("doc_id", "text")
+    val rows = Dedup.simHashPairs(all, "text", "doc_id", maxHamming = 3).collect()
+    val intra = rows.filter(r => r.getLong(0) >= 100L && r.getLong(1) < 100L + m)
+    assert(intra.length == m - 1)
+    assert(intra.forall(r => r.getLong(0) == 100L && r.getInt(2) == 0))
+  }
+
+  test("embedding giant cluster: identical vectors star to min id, verdict partition-independent") {
+    val v = (0 until 16).map(_.toFloat / 16f).toSeq
+    val vFar = (0 until 16).map(i => ((i * 37) % 16).toFloat / 16f - 0.5f).toSeq
+    val emb = ((0L until 40L).map(i => (i, v)) ++ Seq((100L, vFar))).toDF("vec_id", "embedding")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Dedup.embeddingPairs(df, "embedding", "vec_id", threshold = 0.95)
+        .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pairs = run(emb)
+    assert(pairs.size == 39 && pairs.forall(_._1 == 0L))
+    assert(run(emb.repartition(7)) == pairs)
+  }
+
+  test("incremental minhash giant batch cluster: all dups of the corpus die, novel survives") {
+    val corpus = Seq((0L, base), (1L, distinct1)).toDF("doc_id", "text")
+    val m = 50
+    val batch = ((10L until 10L + m).map(i => (i, base)) ++ Seq((200L, distinct2)))
+      .toDF("doc_id", "text")
+    val out = Dedup.minHashIncremental(corpus, batch, "text", "doc_id", threshold = 0.5)
+      .select($"doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(200L))
+  }
+
+  test("incremental minhash batch-internal giant cluster with NO corpus hit: rep survives, members die") {
+    val corpus = Seq((0L, distinct1)).toDF("doc_id", "text")
+    val m = 30
+    val batch = ((10L until 10L + m).map(i => (i, base)) ++ Seq((200L, distinct2)))
+      .toDF("doc_id", "text")
+    val out = Dedup.minHashIncremental(corpus, batch, "text", "doc_id", threshold = 0.5)
+      .select($"doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(10L, 200L)) // 10 = min-id rep of the cluster
+  }
 }
