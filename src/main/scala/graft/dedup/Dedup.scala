@@ -240,14 +240,24 @@ object Dedup {
     * is exactly an identical band-key set): members pair with their rep
     * at Hamming 0, representatives band against each other. Connected
     * components match the full clique set at O(cluster) cost.
+    *
+    * Recall is exact when `maxHamming < bands` (pigeonhole: some band is
+    * untouched). Keep bands TIGHT to that bound: band width is 64/bands
+    * bits and a random-fp pair collides in a band with probability
+    * 2^-(64/bands) — the quadratic term at corpus scale. The (3, 4)
+    * default is the classic 64-bit near-dup setting: 16-bit buckets,
+    * ~512× fewer spurious candidates than 8-bit (3, 8) banding at the
+    * same recall guarantee (SCALE.md quantifies on the 50k-doc skew
+    * tier).
     */
   def simHashPairs(
       docs: DataFrame,
       textCol: String,
       idCol: String,
       maxHamming: Int = 3,
-      bands: Int = 8
+      bands: Int = 4
   ): DataFrame = {
+    require(maxHamming < bands, s"maxHamming ($maxHamming) must be < bands ($bands) for full recall")
     val fp = simHashFingerprints(docs, textCol, idCol)
     val reps = fp.groupBy(col("fp")).agg(min(col("id")).as("rep"))
     val withRep = fp.join(reps, Seq("fp"))
@@ -275,12 +285,19 @@ object Dedup {
     * their rep (cosine 1, always ≥ threshold), representatives band.
     * Components match the clique set at O(cluster) cost; the group key
     * is the raw vector, so the collapse is exact (no hash caveat).
+    *
+    * Bucket width is nBits/bands hyperplane signs; random-vector pairs
+    * collide in a band with probability ~2^-(nBits/bands), the quadratic
+    * term at corpus scale — 64/4 (16-bit buckets) keeps a 10⁵-vector
+    * tier tractable where 16/4 (4-bit, 16 buckets) saturates
+    * (SCALE.md). Identical vectors sketch identically at any width, so
+    * exact-duplicate recall is unaffected by nBits.
     */
   def embeddingPairs(
       emb: DataFrame,
       vecCol: String,
       idCol: String,
-      nBits: Int = 16,
+      nBits: Int = 64,
       bands: Int = 4,
       threshold: Double = 0.95
   ): DataFrame = {

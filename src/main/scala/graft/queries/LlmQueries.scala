@@ -36,8 +36,11 @@ object LlmQueries {
     }),
 
     // SimHash near-dup pairs (rows-only)
+    // hamming ≤ 3 on 64-bit fps with 4×16-bit bands — the classic
+    // near-dup setting; wider hamming radii force narrow bands whose
+    // bucket space saturates quadratically at corpus scale (SCALE.md)
     "q_dedup_simhash" -> ((s, dir) => {
-      Dedup.simHashPairs(t(s, dir, "documents"), "text", "doc_id", maxHamming = 6)
+      Dedup.simHashPairs(t(s, dir, "documents"), "text", "doc_id", maxHamming = 3, bands = 4)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -1300,7 +1303,7 @@ object LlmQueries {
     // engine-produced inputs anywhere.
     "q_dedup_minhash" -> XxhSql.minhashPairsSql(charLevel = false, n = 3, k = 64, bands = 16, threshold = 0.5),
     "q_ngram_jaccard" -> XxhSql.minhashPairsSql(charLevel = true, n = 5, k = 32, bands = 8, threshold = 0.4),
-    "q_dedup_simhash" -> XxhSql.simhashPairsSql(maxHamming = 6, bands = 8),
+    "q_dedup_simhash" -> XxhSql.simhashPairsSql(maxHamming = 3, bands = 4),
     "q_dedup_minhash_survivors" -> XxhSql.minhashSurvivorsSql(n = 3, k = 64, bands = 16, threshold = 0.5),
     "q_minhash_incremental" -> XxhSql.minhashIncrementalSql(n = 3, k = 64, bands = 16, threshold = 0.5),
     "q_transitive_contamination" -> XxhSql.transitiveContaminationSql(n = 3, k = 64, bands = 16, threshold = 0.4),

@@ -52,7 +52,7 @@ object Profile {
     }
     time("simhash")(docs.select(H.simHash64(T.tokenize(col("text")))).count())
     time("simhash_agg")(Dedup.simHashFingerprints(docs, "text", "doc_id").count())
-    time("simhash_pairs")(Dedup.simHashPairs(docs, "text", "doc_id", maxHamming = 6).count())
+    time("simhash_pairs")(Dedup.simHashPairs(docs, "text", "doc_id", maxHamming = 3).count())
     time("ngram_pairs")(Dedup.ngramJaccardPairs(docs, "text", "doc_id", threshold = 0.4).count())
     time("minhash_dedup_e2e")(Dedup.minHashDedup(docs, "text", "doc_id", threshold = 0.5).count())
     time("langid")(docs.select(T.langId(col("text"))).count())
