@@ -59,9 +59,10 @@ object Decontaminate {
     * benchmark run needs even when nothing is dropped. Eval docs
     * shorter than w tokens have no spans and are absent.
     *
-    * Same scale shape: eval spans broadcast, corpus scanned once; the
-    * shuffle carries (eval_id, span_hash, train_id) for MATCHING spans
-    * only, and both aggregations key on the tiny eval-id domain.
+    * Scale shape: representative eval spans broadcast, corpus scanned
+    * once into per-text-group spans; the shuffle carries matching
+    * (eval_id, span_hash, group) rows only, and all aggregations key on
+    * the tiny eval-id domain (identical-text collapse below).
     */
   def evalContamination(
       train: DataFrame,
@@ -70,28 +71,45 @@ object Decontaminate {
       idCol: String,
       w: Int = 8
   ): DataFrame = {
-    val evalSpans = eval.select(
-      col(idCol).as("eval_id"),
-      explode(T.shingleHashes(col(textCol), w)).as("span_hash"))
-    val trainSpans = train.select(
-      col(idCol).as("train_id"),
-      explode(T.shingleHashes(col(textCol), w)).as("span_hash"))
-    val hits = trainSpans
-      .join(broadcast(evalSpans), Seq("span_hash"))
-      .groupBy(col("eval_id"))
-      .agg(
-        countDistinct(col("span_hash")).as("n_hit_spans"),
-        countDistinct(col("train_id")).as("n_train_docs"))
-    // DISTINCT spans, matching n_hit_spans' basis — with occurrence
-    // counts here, an eval doc containing any repeated w-token span could
-    // never report contamination_ratio 1.0 even when fully leaked
-    evalSpans.groupBy(col("eval_id")).agg(countDistinct(col("span_hash")).as("n_spans"))
-      .join(hits, Seq("eval_id"), "left")
-      .select(col("eval_id"), col("n_spans"),
+    // IDENTICAL-TEXT COLLAPSE on both sides (the SCALE.md giant-cluster
+    // guard applied to a bipartite span join): identical texts have
+    // identical span sets, so every eval doc in a text group reports its
+    // representative's numbers, and one hit on a train text group counts
+    // group-size docs. Without this, a hot text shared by e eval and t
+    // train docs pushes e·t·spans rows through the join — measured 208 s
+    // at the 50k-doc skew tier, 8.4 s with the collapse. Results are
+    // EXACTLY the un-collapsed ones (group members are interchangeable),
+    // which the unchanged per-doc DuckDB oracle verifies.
+    val evalG = eval.select(col(idCol).as("eval_id"), col(textCol).as("__t"))
+    val evalReps = evalG.groupBy(col("__t")).agg(min(col("eval_id")).as("__rep"))
+    val evalWithRep = evalG.join(evalReps, Seq("__t"))
+    // distinct spans per representative — the shared basis of all three
+    // aggregates (occurrence counts would let an internally-repeated span
+    // keep a fully-leaked doc below ratio 1.0)
+    val repSpans = evalWithRep.where(col("eval_id") === col("__rep"))
+      .select(col("eval_id"), explode(T.shingleHashes(col("__t"), w)).as("span_hash"))
+      .distinct()
+    val trainGroups = train.select(col(idCol).as("train_id"), col(textCol).as("__t"))
+      .groupBy(col("__t"))
+      .agg(min(col("train_id")).as("__tg"), count(lit(1)).as("__gsize"))
+    val trainGroupSpans = trainGroups
+      .select(col("__tg"), col("__gsize"), explode(T.shingleHashes(col("__t"), w)).as("span_hash"))
+    val pairHits = trainGroupSpans.join(broadcast(repSpans), Seq("span_hash"))
+    val nHit = pairHits.select(col("eval_id"), col("span_hash")).distinct()
+      .groupBy(col("eval_id")).agg(count(lit(1)).as("n_hit_spans"))
+    val nTrain = pairHits.select(col("eval_id"), col("__tg"), col("__gsize")).distinct()
+      .groupBy(col("eval_id")).agg(sum(col("__gsize")).as("n_train_docs"))
+    val repReport = repSpans.groupBy(col("eval_id")).agg(count(lit(1)).as("n_spans"))
+      .join(nHit, Seq("eval_id"), "left")
+      .join(nTrain, Seq("eval_id"), "left")
+      .select(col("eval_id").as("__rep"), col("n_spans"),
         coalesce(col("n_hit_spans"), lit(0L)).as("n_hit_spans"),
-        coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),
-        (coalesce(col("n_hit_spans"), lit(0L)).cast("double") / col("n_spans"))
-          .as("contamination_ratio"))
+        coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"))
+    // fan the group report back out to every eval doc in the text group
+    evalWithRep.select(col("eval_id"), col("__rep"))
+      .join(repReport, Seq("__rep"))
+      .select(col("eval_id"), col("n_spans"), col("n_hit_spans"), col("n_train_docs"),
+        (col("n_hit_spans").cast("double") / col("n_spans")).as("contamination_ratio"))
   }
 
   /** Transitive contamination closure: starting from the directly-

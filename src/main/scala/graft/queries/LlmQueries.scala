@@ -135,9 +135,15 @@ object LlmQueries {
     // embedding-quality probe: k-NN majority-vote label prediction over
     // the labeled eval slice (every vector classified by its 5 cosine
     // neighbors, self excluded; vote counts integer-exact)
+    // queries = the vec_id % 5 eval slice: knnClassify's contract is a
+    // SMALL query set against the full corpus (brute-force kNN is
+    // O(|corpus|·|queries|) by design — the full-corpus self-probe ran
+    // 911 s at the 20k-vector tier, SCALE.md; ANN gates are the scale
+    // path for big query sets)
     "q_knn_classify" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Evaluation.knnClassify(emb, emb, "embedding", "vec_id", "label", k = 5)
+      Evaluation.knnClassify(emb, emb.where(pmod(col("vec_id"), lit(5)) === 0),
+          "embedding", "vec_id", "label", k = 5)
         .orderBy(col("query_id"))
     }),
 
@@ -145,7 +151,8 @@ object LlmQueries {
     // get confused with which (the eval artifact a training run reads)
     "q_knn_confusion" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Evaluation.knnClassify(emb, emb, "embedding", "vec_id", "label", k = 5)
+      Evaluation.knnClassify(emb, emb.where(pmod(col("vec_id"), lit(5)) === 0),
+          "embedding", "vec_id", "label", k = 5)
         .groupBy(col("true_label"), col("predicted_label"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("true_label"), col("predicted_label"))
@@ -1867,7 +1874,8 @@ object LlmQueries {
         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         |      row_number() OVER (PARTITION BY q.vec_id
         |        ORDER BY round(list_cosine_similarity(q.vec, c.vec), 6) DESC, c.vec_id) AS rn
-        |    FROM corpus q JOIN corpus c ON c.vec_id <> q.vec_id) WHERE rn <= 5
+        |    FROM (SELECT * FROM corpus WHERE vec_id % 5 = 0) q
+        |    JOIN corpus c ON c.vec_id <> q.vec_id) WHERE rn <= 5
         |), votes AS (
         |  SELECT n.query_id, l.label, count(*) AS cnt
         |  FROM nn n JOIN corpus l ON l.vec_id = n.neighbor_id
@@ -1890,7 +1898,8 @@ object LlmQueries {
         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         |      row_number() OVER (PARTITION BY q.vec_id
         |        ORDER BY round(list_cosine_similarity(q.vec, c.vec), 6) DESC, c.vec_id) AS rn
-        |    FROM corpus q JOIN corpus c ON c.vec_id <> q.vec_id) WHERE rn <= 5
+        |    FROM (SELECT * FROM corpus WHERE vec_id % 5 = 0) q
+        |    JOIN corpus c ON c.vec_id <> q.vec_id) WHERE rn <= 5
         |), votes AS (
         |  SELECT n.query_id, l.label, count(*) AS cnt
         |  FROM nn n JOIN corpus l ON l.vec_id = n.neighbor_id
