@@ -111,7 +111,11 @@ object Bench {
               System.err.println(s"[bench] $name failed: $e"); Double.PositiveInfinity
           }
         }
-        name -> (if (times.min.isInfinity) -1.0 else times.min)
+        val best = if (times.min.isInfinity) -1.0 else times.min
+        // progress to stderr (the JSON line lands only at the end; a
+        // silent 15-minute sf1 run is indistinguishable from a hang)
+        System.err.println(f"[bench] $name%-28s best-of-$runs $best%.3f s")
+        name -> best
       }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
