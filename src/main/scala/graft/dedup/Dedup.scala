@@ -111,21 +111,32 @@ object Dedup {
     // docs with EMPTY shingle sets never band: their sentinel signatures
     // are all identical, so banding them would funnel every such doc into
     // one hot bucket (candidate blowup) for pairs whose true Jaccard is 0
-    val nonEmpty = prepared.where(size(col("shset")) > 0)
-    // SIGNATURE-GROUP COLLAPSE — the giant-duplicate-cluster guard. A
-    // corpus with one text repeated m times (boilerplate pages — the
-    // common case at web scale, and the sf1skew stress input) puts all m
-    // docs in every band bucket: the clique join is O(m²·bands), 160×
-    // measured blowup at m = 10k. Docs with IDENTICAL full signatures
-    // collapse to their min-id representative: within a group, emit the
-    // (rep, member) STAR — O(m) pairs, each still exact-Jaccard-verified
-    // (identical text → J = 1.0, so star edges always survive) — and only
+    //
+    // SET-GROUP COLLAPSE — the giant-duplicate-cluster guard. A corpus
+    // with one text repeated m times (boilerplate pages — the common case
+    // at web scale, and the sf1skew stress input) puts all m docs in
+    // every band bucket: the clique join is O(m²·bands), 160× measured
+    // blowup at m = 10k. Docs with IDENTICAL shingle SETS collapse to
+    // their min-id representative: within a group, emit the (rep, member)
+    // STAR — O(m) pairs, each still exact-Jaccard-verified (identical
+    // set → J = 1.0, so star edges always survive) — and only
     // representatives enter the band self-join. The pair set is a
     // CONNECTIVITY CERTIFICATE: same connected components as the full
     // clique (every consumer — survivors, cluster reps, contamination
     // BFS — consumes components, not cliques), linear in duplicate count.
-    val reps = nonEmpty.groupBy(col("sig")).agg(min(col("id")).as("rep"))
-    val withRep = nonEmpty.join(reps, Seq("sig"))
+    //
+    // The group key is xxhash64 over the SORTED shingle-hash set — the
+    // exact set identity (up to the engine-wide 64-bit-hash caveat), NOT
+    // the MinHash signature: a superset-by-one doc keeps an identical
+    // 64-lane signature with probability (n/(n+1))^64 ≈ 0.5 at n = 100,
+    // so signature grouping would routinely fold near-identical-but-
+    // distinct sets together and lose threshold-straddling (x, member)
+    // pairs that verify while (x, rep) fails. The 8-byte set key also
+    // shuffles 64× less than the 512-byte signature it replaced.
+    val nonEmpty = prepared.where(size(col("shset")) > 0)
+      .withColumn("__sk", xxhash64(array_sort(col("shset"))))
+    val reps = nonEmpty.groupBy(col("__sk")).agg(min(col("id")).as("rep"))
+    val withRep = nonEmpty.join(reps, Seq("__sk"))
     val starCand = withRep.where(col("id") =!= col("rep"))
       .select(col("rep").as("id_a"), col("id").as("id_b")) // rep = group min, so id_a < id_b
     val keyed = withRep
@@ -166,11 +177,12 @@ object Dedup {
 
   /** Near-duplicate pairs (id_a < id_b) via word-shingle MinHash + LSH
     * banding, verified with exact shingle-set Jaccard ≥ threshold.
-    * Identical-signature groups are collapsed to min-id representatives
+    * Identical-shingle-set groups are collapsed to min-id representatives
     * (star pairs within, banding between — see [[lshVerifiedPairs]]), so
     * the output is a connectivity certificate of the near-dup graph:
-    * identical connected components to the full clique set, linear (not
-    * quadratic) in duplicate-cluster size.
+    * identical connected components to the full clique set (up to 64-bit
+    * hash collision, the engine-wide shingle-identity caveat), linear
+    * (not quadratic) in duplicate-cluster size.
     */
   def minHashPairs(
       docs: DataFrame,
@@ -244,20 +256,27 @@ object Dedup {
     * Recall is exact when `maxHamming < bands` (pigeonhole: some band is
     * untouched). Keep bands TIGHT to that bound: band width is 64/bands
     * bits and a random-fp pair collides in a band with probability
-    * 2^-(64/bands) — the quadratic term at corpus scale. The (3, 4)
-    * default is the classic 64-bit near-dup setting: 16-bit buckets,
-    * ~512× fewer spurious candidates than 8-bit (3, 8) banding at the
-    * same recall guarantee (SCALE.md quantifies on the 50k-doc skew
-    * tier).
+    * 2^-(64/bands) — the quadratic term at corpus scale. `bands <= 0`
+    * (the default) derives the tightest compliant banding — the smallest
+    * divisor of 64 exceeding `maxHamming` — so any maxHamming works
+    * without the caller knowing the pigeonhole rule (maxHamming=3 → 4
+    * bands, the classic 16-bit-bucket setting; maxHamming=6 → 8). An
+    * EXPLICIT bands still `require`s `maxHamming < bands`: silently
+    * widening a stated banding would change its collision cost behind
+    * the caller's back.
     */
   def simHashPairs(
       docs: DataFrame,
       textCol: String,
       idCol: String,
       maxHamming: Int = 3,
-      bands: Int = 4
+      bands: Int = 0
   ): DataFrame = {
-    require(maxHamming < bands, s"maxHamming ($maxHamming) must be < bands ($bands) for full recall")
+    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming ($maxHamming) out of [0, 64)")
+    val b =
+      if (bands > 0) bands
+      else Seq(1, 2, 4, 8, 16, 32, 64).find(_ > maxHamming).get
+    require(maxHamming < b, s"maxHamming ($maxHamming) must be < bands ($b) for full recall")
     val fp = simHashFingerprints(docs, textCol, idCol)
     val reps = fp.groupBy(col("fp")).agg(min(col("id")).as("rep"))
     val withRep = fp.join(reps, Seq("fp"))
@@ -265,7 +284,7 @@ object Dedup {
       .select(col("rep").as("id_a"), col("id").as("id_b"),
         lit(0).cast("int").as("hamming")) // identical fp → Hamming 0
     val keyed = withRep.where(col("id") === col("rep"))
-      .select(col("id"), col("fp"), explode(H.simHashBands(col("fp"), bands)).as("bk"))
+      .select(col("id"), col("fp"), explode(H.simHashBands(col("fp"), b)).as("bk"))
       .select(col("id"), col("fp"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
     val cross = keyed.as("a")
       .join(keyed.as("b"), Seq("band", "bucket"))
@@ -784,16 +803,19 @@ object Dedup {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val prepC = corpusSignatures.select(col("id"), col("sig"), col("shset")).persist(lvl)
     val prepB = batchSignatures.select(col("id"), col("sig"), col("shset")).persist(lvl)
-    // SIDE-LOCAL signature-group collapse (the [[lshVerifiedPairsPlan]]
+    // SIDE-LOCAL set-group collapse (the [[lshVerifiedPairsPlan]]
     // giant-cluster guard, applied per side): only group representatives
-    // band. A batch member collides with exactly the buckets its rep
-    // collides with (identical signature → identical band keys), so the
-    // rep's corpus verdict covers the group, and the member itself dies
-    // against its rep via the star candidate below — the same (lower id
-    // survives) outcome the full clique produced, at O(cluster) cost.
+    // band. Groups key on the exact sorted shingle set (not the MinHash
+    // signature — see lshVerifiedPairsPlan for why signature grouping
+    // folds distinct sets together), so a member shares its rep's set,
+    // hence its signature and band keys: the rep's corpus verdict
+    // genuinely covers the group, and the member itself dies against its
+    // rep via the star candidate below — the same (lower id survives)
+    // outcome the full clique produced, at O(cluster) cost.
     def collapse(prep: DataFrame) = {
       val ne = prep.where(size(col("shset")) > 0) // empty sets never band (sentinel collision)
-      ne.join(ne.groupBy(col("sig")).agg(min(col("id")).as("rep")), Seq("sig"))
+        .withColumn("__sk", xxhash64(array_sort(col("shset"))))
+      ne.join(ne.groupBy(col("__sk")).agg(min(col("id")).as("rep")), Seq("__sk"))
     }
     val wrC = collapse(prepC)
     val wrB = collapse(prepB)

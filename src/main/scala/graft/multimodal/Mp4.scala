@@ -198,6 +198,28 @@ object Mp4 {
   private def u64(b: Array[Byte], at: Int): Long =
     ByteBuffer.wrap(b, at, 8).order(ByteOrder.BIG_ENDIAN).getLong
 
+  /** Sanity cap on any declared table entry count: well past real media
+    * (10M samples ≈ 46h at 60fps) but small enough that a crafted count
+    * can never trigger a multi-GB allocation.
+    */
+  private val MaxTableEntries = 10_000_000L
+
+  /** A table box's declared entry count, VALIDATED before any
+    * allocation: the unsigned count must be under [[MaxTableEntries]]
+    * and the entry array must lie inside the box's byte range (a count
+    * whose high bit is set would otherwise go negative via `.toInt` and
+    * crash `Array.tabulate` with NegativeArraySizeException; a count
+    * exceeding the box would silently read the following boxes' bytes).
+    * All arithmetic in Long — no overflow path.
+    */
+  private def tableCount(b: Array[Byte], box: Box, countAt: Int, entriesAt: Int, entrySize: Int): Option[Int] = {
+    if (box.start + countAt + 4 > box.end) return None
+    val n = u32(b, box.start + countAt)
+    if (n > MaxTableEntries) None
+    else if (box.start.toLong + entriesAt + n * entrySize > box.end) None
+    else Some(n.toInt)
+  }
+
   /** Parse the first video track's sample tables into a full per-sample
     * index. Returns None for anything that is not a well-formed
     * one-or-more-track MP4 with a video track.
@@ -236,18 +258,21 @@ object Mp4 {
       } yield s
       val st = stbl.getOrElse(return None)
 
-      // stsz: sample sizes
+      // stsz: sample sizes (uniform-size tables carry no entry array, so
+      // their count validates against entrySize 0 — range-checked either way)
       val stsz = child(bytes, st, "stsz").getOrElse(return None)
       val uniformSize = u32(bytes, stsz.start + 4)
-      val nSamples = u32(bytes, stsz.start + 8).toInt
-      if (nSamples <= 0 || nSamples > 10_000_000) return None
+      val nSamples = tableCount(bytes, stsz, countAt = 8, entriesAt = 12,
+        entrySize = if (uniformSize != 0) 0 else 4).getOrElse(return None)
+      if (nSamples <= 0) return None
       val sizes: Array[Long] =
         if (uniformSize != 0) Array.fill(nSamples)(uniformSize)
         else Array.tabulate(nSamples)(i => u32(bytes, stsz.start + 12 + 4 * i))
 
       // stts: decode deltas as (count, delta) runs
       val stts = child(bytes, st, "stts").getOrElse(return None)
-      val nRuns = u32(bytes, stts.start + 4).toInt
+      val nRuns = tableCount(bytes, stts, countAt = 4, entriesAt = 8, entrySize = 8)
+        .getOrElse(return None)
       val durations = new Array[Long](nSamples)
       var s = 0
       var run = 0
@@ -264,7 +289,8 @@ object Mp4 {
       val keyframes: Int => Boolean = child(bytes, st, "stss") match {
         case None => _ => true
         case Some(ss) =>
-          val n = u32(bytes, ss.start + 4).toInt
+          val n = tableCount(bytes, ss, countAt = 4, entriesAt = 8, entrySize = 4)
+            .getOrElse(return None)
           val set = (0 until n).map(i => u32(bytes, ss.start + 8 + 4 * i).toInt).toSet
           (sampleNo: Int) => set.contains(sampleNo + 1) // stss is 1-based
       }
@@ -272,17 +298,20 @@ object Mp4 {
       // stco/co64: chunk offsets
       val chunkOffsets: Array[Long] = child(bytes, st, "stco") match {
         case Some(co) =>
-          val n = u32(bytes, co.start + 4).toInt
+          val n = tableCount(bytes, co, countAt = 4, entriesAt = 8, entrySize = 4)
+            .getOrElse(return None)
           Array.tabulate(n)(i => u32(bytes, co.start + 8 + 4 * i))
         case None =>
           val co = child(bytes, st, "co64").getOrElse(return None)
-          val n = u32(bytes, co.start + 4).toInt
+          val n = tableCount(bytes, co, countAt = 4, entriesAt = 8, entrySize = 8)
+            .getOrElse(return None)
           Array.tabulate(n)(i => u64(bytes, co.start + 8 + 8 * i))
       }
 
       // stsc: (first_chunk, samples_per_chunk) runs → per-sample chunk
       val stsc = child(bytes, st, "stsc").getOrElse(return None)
-      val nScRuns = u32(bytes, stsc.start + 4).toInt
+      val nScRuns = tableCount(bytes, stsc, countAt = 4, entriesAt = 8, entrySize = 12)
+        .getOrElse(return None)
       val scRuns = (0 until nScRuns).map { i =>
         (u32(bytes, stsc.start + 8 + 12 * i).toInt, // first_chunk, 1-based
           u32(bytes, stsc.start + 12 + 12 * i).toInt) // samples_per_chunk
@@ -314,7 +343,12 @@ object Mp4 {
       val _ = tkhdVersion // v1 tkhd has the same trailing dims layout
       Some(Index(width, height, timescale, samples.result()))
     } catch {
-      case _: IndexOutOfBoundsException | _: IllegalArgumentException => None
+      // NegativeArraySizeException is unreachable now that every table
+      // count validates through tableCount, but the defensive-parse
+      // contract ("malformed returns None, never a task crash") keeps it
+      // in the net as belt and braces
+      case _: IndexOutOfBoundsException | _: IllegalArgumentException |
+          _: NegativeArraySizeException => None
     }
   }
 }

@@ -209,13 +209,16 @@ object XxhSql {
   /** Shared CTE block: shingles → hashes → signatures → band keys →
     * verified pairs (exact set-Jaccard over shingle STRING sets, which
     * equals the engine's hash-set Jaccard absent 64-bit collisions).
-    * Mirrors the engine's signature-group collapse
-    * ([[graft.dedup.Dedup]] lshVerifiedPairs): identical signatures
-    * shrink to their min-id representative — star pairs within a group,
-    * banding (`bandr`) between representatives only. Emits CTEs:
-    * ssh (doc_id, s), sig (doc_id, sig), bandk (ALL docs — the
-    * incremental oracle keys corpus probes off it), cand (id_a, id_b),
-    * ver (id_a, id_b, j).
+    * Mirrors the engine's set-group collapse ([[graft.dedup.Dedup]]
+    * lshVerifiedPairs): docs with an identical SORTED SHINGLE SET shrink
+    * to their min-id representative — star pairs within a group, banding
+    * (`bandr`) between representatives only. The engine keys the group
+    * on xxhash64 of the sorted hash set; the oracle groups on the sorted
+    * string set directly — identical partitioning absent 64-bit
+    * collisions, the same caveat the verification Jaccard already
+    * carries. Emits CTEs: ssh (doc_id, s), sig (doc_id, sig), bandk
+    * (ALL docs — the incremental oracle keys corpus probes off it),
+    * cand (id_a, id_b), ver (id_a, id_b, j).
     */
   private def pairCtes(shingleSql: String, k: Int, bands: Int, rows: Int): String = {
     val bandKeyCols = (1 to rows).map(r => s"sig[b*$rows + $r] AS k$r").mkString(", ")
@@ -231,8 +234,10 @@ object XxhSql {
        |    FROM hashed, (SELECT unnest(range(0, $k)) AS lane)))))
        |  GROUP BY doc_id, lane),
        |sig AS MATERIALIZED (SELECT doc_id, list(mn ORDER BY lane) AS sig FROM sigl GROUP BY doc_id),
-       |srep AS MATERIALIZED (SELECT sig, min(doc_id) AS rep FROM sig GROUP BY sig),
-       |swr AS MATERIALIZED (SELECT s.doc_id, s.sig, r.rep FROM sig s JOIN srep r ON s.sig = r.sig),
+       |ss AS MATERIALIZED (SELECT doc_id, list(s) AS ss FROM ssh GROUP BY doc_id),
+       |setk AS MATERIALIZED (SELECT doc_id, list_sort(ss) AS sk FROM ss),
+       |srep AS MATERIALIZED (SELECT sk, min(doc_id) AS rep FROM setk GROUP BY sk),
+       |swr AS MATERIALIZED (SELECT s.doc_id, r.rep FROM setk s JOIN srep r ON s.sk = r.sk),
        |bandk AS MATERIALIZED (
        |  SELECT doc_id, b, $bandKeyCols
        |  FROM sig, (SELECT unnest(range(0, $bands)) AS b)),
@@ -244,7 +249,6 @@ object XxhSql {
        |    UNION ALL
        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b
        |    FROM bandr a JOIN bandr b ON a.b = b.b AND $bandJoin AND a.doc_id < b.doc_id)),
-       |ss AS MATERIALIZED (SELECT doc_id, list(s) AS ss FROM ssh GROUP BY doc_id),
        |ver AS (
        |  SELECT id_a, id_b,
        |    CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)

@@ -305,9 +305,25 @@ object Evaluation {
     * probe for a labeled eval slice; eval sets are small by nature, so
     * `queries` rides [[Similarity.bruteForceTopK]]'s broadcast-queries
     * design (corpus never shuffles).
+    *
+    * The eval-slice contract is ENFORCED, not conventional: the query
+    * side must hold at most `maxQueries` rows (counted with a
+    * `limit(cap+1)` probe — the check never scans past the cap), because
+    * cost is |queries| × |corpus| distance kernels and the query side
+    * broadcasts whole. A full-corpus self-probe at the 50k-doc tier
+    * measured 911 s where the contract slice runs in seconds; fail fast
+    * with the formula instead. Raise `maxQueries` explicitly to accept
+    * the cost knowingly.
     */
   def knnClassify(corpus: DataFrame, queries: DataFrame, vecCol: String,
-      idCol: String, labelCol: String, k: Int): DataFrame = {
+      idCol: String, labelCol: String, k: Int, maxQueries: Int = 10000): DataFrame = {
+    require(maxQueries >= 1, s"Evaluation.knnClassify: maxQueries $maxQueries < 1")
+    val nQ = queries.select(col(idCol)).limit(maxQueries + 1).count()
+    require(nQ <= maxQueries,
+      s"Evaluation.knnClassify: query side exceeds maxQueries = $maxQueries. " +
+        s"Cost is |queries| x |corpus| distance kernels (the query side also " +
+        s"broadcasts whole) - pass a bounded eval SLICE, or raise maxQueries " +
+        s"explicitly to accept the cost.")
     val labels = corpus.select(col(idCol).as("__lid"), col(labelCol).as("__label"))
     val nn = Similarity.bruteForceTopK(corpus, queries, vecCol, idCol, k)
     val votes = nn

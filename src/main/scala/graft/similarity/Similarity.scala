@@ -22,6 +22,19 @@ object Similarity {
 
   /** Brute-force cosine top-k: for every query vector, the k most similar
     * corpus vectors. Output: (query_id, neighbor_id, cosine_sim, rank).
+    *
+    * COST FORMULA (this is the exact recall baseline, quadratic BY
+    * DESIGN — budget before calling): |queries| × |corpus| × d
+    * multiply-adds for the distance pass, plus a per-query top-k whose
+    * shuffled intermediate is k rows × partitions × queries; the query
+    * side (id + d floats per row) broadcasts whole to every executor.
+    * Rule of thumb at d = 64: ~10⁹ pair-kernels ≈ 10 s of one core —
+    * 10³ queries × 10⁶ corpus rows is seconds across a cluster, while a
+    * corpus×corpus self-probe at 5·10⁴ docs measured 911 s on 32 cores.
+    * Keep |queries| a bounded eval slice here; [[Evaluation.knnClassify]]
+    * enforces that contract with its `maxQueries` require, and the ANN
+    * variants ([[ivfTopK]], [[sketchTopK]], [[ivfPqTopK]]) are the scale
+    * path when the query side is corpus-sized.
     */
   def bruteForceTopK(
       corpus: DataFrame,

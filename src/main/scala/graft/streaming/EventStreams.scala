@@ -58,11 +58,18 @@ object EventStreams {
   /** Open the events parquet directory as a stream (one-file-per-trigger
     * keeps local tests deterministic).
     */
-  def readEventStream(spark: SparkSession, path: String): DataFrame = {
+  def readEventStream(spark: SparkSession, path: String, tsTypeHint: Option[org.apache.spark.sql.types.DataType] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // a stream needs a declared schema; probe the existing files once
-    // (batch footer read) to pick the generation's ts layout
-    val tsType = spark.read.parquet(path).schema("ts").dataType
+    // (batch footer read) to pick the generation's ts layout. An empty or
+    // not-yet-populated directory (producers haven't written — the normal
+    // stream-starts-first deployment) can't be probed: fall back to the
+    // legacy LongType layout rather than failing stream startup, or let
+    // the caller pin the layout via `tsTypeHint`.
+    val tsType = tsTypeHint.getOrElse {
+      try spark.read.parquet(path).schema("ts").dataType
+      catch { case _: org.apache.spark.sql.AnalysisException => LongType }
+    }
     val raw = spark.readStream
       .schema(eventSchemaRaw(tsType))
       .option("maxFilesPerTrigger", 1)

@@ -252,10 +252,11 @@ object PlanCheck {
       },
       mustContain = Seq("Anti"),
       mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
-    // minhash pair pipeline un-pinned: the signature-group collapse must
-    // survive — the per-signature representative is a partial_min
-    // groupBy(sig), the giant-duplicate-cluster guard that keeps LSH
-    // banding linear in cluster size (476 s → 10.6 s at sf1skew)
+    // minhash pair pipeline un-pinned: the set-group collapse must
+    // survive — the per-group representative is a partial_min groupBy
+    // over the sorted-shingle-set key, the giant-duplicate-cluster guard
+    // that keeps LSH banding linear in cluster size (476 s → 10.6 s at
+    // sf1skew)
     BuildCheck(
       "minhash_pairs(unpinned)",
       (s, dir) => graft.dedup.Dedup.minHashPairsPlan(

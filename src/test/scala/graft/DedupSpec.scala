@@ -64,6 +64,21 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((0L, 4L)))
   }
 
+  test("simhash pairs derives a compliant banding from maxHamming alone") {
+    // maxHamming = 6 under the old fixed default (4 bands) violated the
+    // pigeonhole bound and threw; the auto default derives the smallest
+    // divisor of 64 exceeding maxHamming (here 8) instead
+    val pairs = Dedup.simHashPairs(docs, "text", "doc_id", maxHamming = 6)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 4L)))
+    // an EXPLICIT non-compliant banding still fails fast (silently
+    // widening a stated banding would change its collision cost)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simHashPairs(docs, "text", "doc_id", maxHamming = 6, bands = 4)
+    }
+    assert(e.getMessage.contains("full recall"), e.getMessage)
+  }
+
   test("ngram jaccard pairs finds near-dup") {
     val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", threshold = 0.5)
       .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

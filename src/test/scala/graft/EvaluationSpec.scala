@@ -60,6 +60,24 @@ class EvaluationSpec extends SparkSpec {
     assert(byId(8L) == ((0, 7, 0L)), s"outlier: ${byId(8L)}")
   }
 
+  test("knnClassify rejects an over-cap query side fast (bounded-queries contract)") {
+    // a full-corpus self-probe is the measured 911 s footgun: the guard
+    // must fail BEFORE any distance work, from a limit(cap+1) count only
+    val df = spark.range(0, 60)
+      .select(col("id").as("vec_id"),
+        array(col("id").cast("float"), lit(1f)).as("embedding"),
+        (col("id") % 2).cast("int").as("label"))
+    val e = intercept[IllegalArgumentException] {
+      Evaluation.knnClassify(df, df, "embedding", "vec_id", "label", k = 3, maxQueries = 50)
+    }
+    assert(e.getMessage.contains("maxQueries"), e.getMessage)
+    assert(e.getMessage.contains("eval SLICE"), e.getMessage)
+    // an explicit raise accepts the cost knowingly — same call succeeds
+    val out = Evaluation.knnClassify(df, df, "embedding", "vec_id", "label",
+      k = 3, maxQueries = 60)
+    assert(out.count() == 60)
+  }
+
   test("hardNegatives only returns other-label vectors, ranked among negatives") {
     // cluster 0 along x, cluster 1 along y; vec 4 is a label-1 vector
     // placed INSIDE cluster 0 — it must be everyone-in-cluster-0's top

@@ -64,6 +64,48 @@ class Mp4Spec extends AnyFunSuite {
     assert(Mp4.index(bad).isEmpty)
   }
 
+  test("table counts with the high bit set or exceeding the box return None, not a crash") {
+    val good = Mp4.encode(16, 16, 600, 100, samplesOf(Seq(64, 64, 64)), Seq(0))
+    def boxAt(tpe: String): Int = {
+      // depth-first scan for the first box of the given type
+      def scan(from: Int, until: Int): Int = {
+        var p = from
+        while (p + 8 <= until) {
+          val size = java.nio.ByteBuffer.wrap(good, p, 4).getInt
+          val t = new String(good, p + 4, 4, "US-ASCII")
+          if (t == tpe) return p
+          if (Set("moov", "trak", "mdia", "minf", "stbl").contains(t)) {
+            val inner = scan(p + 8, p + size)
+            if (inner >= 0) return inner
+          }
+          p += size
+        }
+        -1
+      }
+      scan(0, good.length)
+    }
+    // each corruption targets one table's entry-count field (payload
+    // starts at box+8, count position per table layout)
+    val cases = Seq(
+      ("stco", 12), // count at payload+4
+      ("stsc", 12),
+      ("stts", 12),
+      ("stss", 12),
+      ("stsz", 16)) // count at payload+8
+    cases.foreach { case (tpe, countOff) =>
+      val at = boxAt(tpe)
+      assert(at >= 0, s"$tpe present in fixture")
+      // high bit set: would go negative via .toInt pre-fix (NegativeArraySizeException)
+      val neg = good.clone()
+      neg(at + countOff) = 0x80.toByte
+      assert(Mp4.index(neg).isEmpty, s"$tpe high-bit count")
+      // plausible-but-oversized count: entries would read past the box end
+      val big = good.clone()
+      big(at + countOff + 2) = 0x10.toByte // count += 4096
+      assert(Mp4.index(big).isEmpty, s"$tpe oversized count")
+    }
+  }
+
   test("syntheticMp4 arithmetic matches the documented formulas") {
     for (id <- Seq(0L, 1L, 7L, 12L, 63L, 499L)) {
       val ix = Mp4.index(Multimodal.syntheticMp4(id)).getOrElse(fail(s"id $id"))

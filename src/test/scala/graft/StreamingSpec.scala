@@ -36,6 +36,20 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size >= batch.size / 2)
   }
 
+  test("readEventStream starts against an empty directory (legacy-layout fallback)") {
+    // producers often start AFTER the stream in a deployed pipeline: an
+    // unpopulated directory can't be schema-probed, so startup falls back
+    // to the legacy LongType layout instead of throwing
+    val dir = java.nio.file.Files.createTempDirectory("events_empty")
+    val stream = EventStreams.readEventStream(spark, dir.toString)
+    assert(stream.isStreaming)
+    assert(stream.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    // an explicit hint pins the layout without any probe
+    val hinted = EventStreams.readEventStream(spark, dir.toString,
+      tsTypeHint = Some(org.apache.spark.sql.types.LongType))
+    assert(hinted.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+  }
+
   test("RocksDB state store: stateful agg matches batch twin") {
     val dir = java.nio.file.Files.createTempDirectory("events_rocksdb")
     java.nio.file.Files.copy(
