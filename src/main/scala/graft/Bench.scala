@@ -77,7 +77,10 @@ object Bench {
     "q_export_pack",
     "q_link_score",
     "q_video_index",
-    "q_pack_efficiency"
+    "q_pack_efficiency",
+    // round 9: fragmented (moof/trun) MP4 indexing + epoch export
+    "q_video_index_frag",
+    "q_export_epoch"
   )
 
   def main(args: Array[String]): Unit = {

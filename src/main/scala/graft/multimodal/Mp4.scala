@@ -122,23 +122,20 @@ object Mp4 {
       if (keyframes.isEmpty) Array.emptyByteArray
       else box("stss", concat(be32(0, keyframes.length),
         be32(keyframes.map(_ + 1): _*))) // stss is 1-based
-    // minimal generic visual sample entry ('mp4v'): 8 reserved+index,
-    // 16 predefined, dims, resolution, frame count, compressor, depth
-    val sampleEntry = {
-      val b = ByteBuffer.allocate(86).order(ByteOrder.BIG_ENDIAN)
-      b.putInt(86); b.put("mp4v".getBytes("US-ASCII"))
-      b.put(new Array[Byte](6)); b.putShort(1) // data_reference_index
-      b.put(new Array[Byte](16))
-      b.putShort(width.toShort); b.putShort(height.toShort)
-      b.putInt(0x00480000); b.putInt(0x00480000) // 72 dpi
-      b.putInt(0); b.putShort(1) // frame_count
-      b.put(new Array[Byte](32)) // compressorname
-      b.putShort(24); b.putShort(-1) // depth, pre_defined
-      b.array()
-    }
-    val stsd = box("stsd", concat(be32(0, 1), sampleEntry))
-    val stbl = box("stbl", concat(stsd, stts, stss, stsc, stsz, stco))
+    val stsd = box("stsd", concat(be32(0, 1), visualSampleEntry(width, height)))
+    val moov = moovBox(width, height, timescale, duration,
+      concat(stsd, stts, stss, stsc, stsz, stco), Array.emptyByteArray)
+    concat(ftyp, mdat, moov)
+  }
 
+  // ------------------------------------------------------- fragmented write
+
+  /** Shared moov builder: full sample tables for progressive files, empty
+    * tables (+ `mvex/trex` defaults) for fragmented ones.
+    */
+  private def moovBox(width: Int, height: Int, timescale: Long, duration: Long,
+      stblChildren: Array[Byte], mvex: Array[Byte]): Array[Byte] = {
+    val stbl = box("stbl", stblChildren)
     val dref = box("dref", concat(be32(0, 1), box("url ", be32(1))))
     val dinf = box("dinf", dref)
     val vmhd = box("vmhd", concat(be32(1), new Array[Byte](8)))
@@ -167,8 +164,124 @@ object Mp4 {
       be32(0x00010000, 0x01000000), new Array[Byte](10 + 36 - 8),
       be32(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000),
       new Array[Byte](24), be32(2)))
-    val moov = box("moov", concat(mvhd, trak))
-    concat(ftyp, mdat, moov)
+    box("moov", concat(mvhd, trak, mvex))
+  }
+
+  private def visualSampleEntry(width: Int, height: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(86).order(ByteOrder.BIG_ENDIAN)
+    b.putInt(86); b.put("mp4v".getBytes("US-ASCII"))
+    b.put(new Array[Byte](6)); b.putShort(1) // data_reference_index
+    b.put(new Array[Byte](16))
+    b.putShort(width.toShort); b.putShort(height.toShort)
+    b.putInt(0x00480000); b.putInt(0x00480000) // 72 dpi
+    b.putInt(0); b.putShort(1) // frame_count
+    b.put(new Array[Byte](32)) // compressorname
+    b.putShort(24); b.putShort(-1) // depth, pre_defined
+    b.array()
+  }
+
+  /** sample_flags value: bit 16 = sample_is_non_sync_sample; keyframes
+    * additionally mark sample_depends_on = 2 (independent).
+    */
+  private def sampleFlags(keyframe: Boolean): Int =
+    if (keyframe) 0x02000000 else 0x01010000
+
+  /** Encode a one-track FRAGMENTED MP4 (fMP4 — the layout of DASH/HLS
+    * captures and most web-crawled streaming video): `ftyp` + `moov`
+    * whose sample tables are EMPTY (`mvex/trex` carries the track
+    * defaults) + one `moof`+`mdat` pair per fragment of
+    * `samplesPerFragment` samples. Each `moof` holds `mfhd` (sequence
+    * number), `tfhd` (default-base-is-moof), `tfdt` (v1 base decode
+    * time) and one `trun` with explicit per-sample duration/size/flags
+    * and a data offset pointing into its own `mdat`.
+    *
+    * With `useDefaults = true` the `trun` carries sizes only: durations
+    * come from tfhd's default-sample-duration, flags from tfhd's
+    * default-sample-flags (non-sync) with trun first-sample-flags
+    * marking each fragment's first sample as sync — the compact encoding
+    * real muxers emit for constant-rate streams (keyframes must then lie
+    * on fragment starts).
+    */
+  def encodeFragmented(
+      width: Int,
+      height: Int,
+      timescale: Long,
+      delta: Long,
+      samples: Seq[Array[Byte]],
+      keyframes: Seq[Int],
+      samplesPerFragment: Int = 2,
+      useDefaults: Boolean = false): Array[Byte] = {
+    require(width > 0 && height > 0, "encodeFragmented: non-positive dimensions")
+    require(timescale > 0 && delta > 0, "encodeFragmented: non-positive timing")
+    require(samples.nonEmpty, "encodeFragmented: need at least one sample")
+    require(samplesPerFragment >= 1, "encodeFragmented: samplesPerFragment < 1")
+    val n = samples.length
+    val keys = keyframes.toSet
+    if (useDefaults)
+      require(keys.forall(_ % samplesPerFragment == 0),
+        "encodeFragmented(useDefaults): keyframes must lie on fragment starts")
+    val duration = n.toLong * delta
+
+    val ftyp = box("ftyp", concat(
+      "iso5".getBytes("US-ASCII"), be32(512),
+      "iso5".getBytes("US-ASCII"), "iso6".getBytes("US-ASCII")))
+    // empty sample tables: a parser must fall through to the fragments
+    val emptyStbl = concat(
+      box("stsd", concat(be32(0, 1), visualSampleEntry(width, height))),
+      box("stts", be32(0, 0)),
+      box("stsc", be32(0, 0)),
+      box("stsz", be32(0, 0, 0)),
+      box("stco", be32(0, 0)))
+    val trex = box("trex", concat(be32(0), // version/flags
+      be32(1, 1), // track id, default sample description index
+      be32(delta.toInt, 0, sampleFlags(keyframe = false)))) // dur, size, flags
+    val moov = moovBox(width, height, timescale, duration,
+      emptyStbl, box("mvex", trex))
+
+    val out = new ByteArrayOutputStream()
+    out.write(ftyp); out.write(moov)
+    val fragments = samples.zipWithIndex.grouped(samplesPerFragment).toSeq
+    fragments.zipWithIndex.foreach { case (frag, f) =>
+      val nf = frag.length
+      val first = frag.head._2
+      val mfhd = box("mfhd", concat(be32(0), be32(f + 1)))
+      val tfhdFlags = 0x020000 | (if (useDefaults) 0x8 | 0x20 else 0)
+      val tfhd = box("tfhd", concat(be32(tfhdFlags), be32(1),
+        if (useDefaults) be32(delta.toInt, sampleFlags(keyframe = false))
+        else Array.emptyByteArray))
+      val tfdt = {
+        val b = ByteBuffer.allocate(12).order(ByteOrder.BIG_ENDIAN)
+        b.putInt(0x01000000) // version 1
+        b.putLong(first.toLong * delta)
+        box("tfdt", b.array())
+      }
+      val trunFlags =
+        if (useDefaults) 0x1 | 0x4 | 0x200 // data-offset, first-sample-flags, sizes
+        else 0x1 | 0x100 | 0x200 | 0x400 // data-offset, durations, sizes, flags
+      val perSample = if (useDefaults) 4 else 12
+      val trunLen = 8 + 4 + 4 + 4 + (if (useDefaults) 4 else 0) + nf * perSample
+      val trafLen = 8 + tfhd.length + tfdt.length + trunLen
+      val moofLen = 8 + mfhd.length + trafLen
+      val trun = {
+        val b = ByteBuffer.allocate(trunLen - 8).order(ByteOrder.BIG_ENDIAN)
+        b.putInt(trunFlags)
+        b.putInt(nf)
+        b.putInt(moofLen + 8) // data offset: from moof start to mdat body
+        if (useDefaults) b.putInt(sampleFlags(keyframe = keys.contains(first)))
+        frag.foreach { case (payload, s) =>
+          if (!useDefaults) b.putInt(delta.toInt)
+          b.putInt(payload.length)
+          if (!useDefaults) b.putInt(sampleFlags(keys.contains(s)))
+        }
+        box("trun", b.array())
+      }
+      val traf = box("traf", concat(tfhd, tfdt, trun))
+      val moof = box("moof", concat(mfhd, traf))
+      assert(moof.length == moofLen, s"moof size arithmetic: ${moof.length} vs $moofLen")
+      out.write(moof)
+      out.write(box("mdat", concat(frag.map(_._1): _*)))
+    }
+    out.toByteArray
   }
 
   // ----------------------------------------------------------------- read
@@ -258,90 +371,102 @@ object Mp4 {
       } yield s
       val st = stbl.getOrElse(return None)
 
-      // stsz: sample sizes (uniform-size tables carry no entry array, so
-      // their count validates against entrySize 0 — range-checked either way)
-      val stsz = child(bytes, st, "stsz").getOrElse(return None)
-      val uniformSize = u32(bytes, stsz.start + 4)
-      val nSamples = tableCount(bytes, stsz, countAt = 8, entriesAt = 12,
-        entrySize = if (uniformSize != 0) 0 else 4).getOrElse(return None)
-      if (nSamples <= 0) return None
-      val sizes: Array[Long] =
-        if (uniformSize != 0) Array.fill(nSamples)(uniformSize)
-        else Array.tabulate(nSamples)(i => u32(bytes, stsz.start + 12 + 4 * i))
+      // ---- progressive samples from stbl (an fMP4 init keeps these
+      // tables EMPTY — zero samples here falls through to the fragments)
+      val progSamples: Vector[Sample] = {
+        // stsz: sample sizes (uniform-size tables carry no entry array,
+        // so their count validates against entrySize 0)
+        val stsz = child(bytes, st, "stsz").getOrElse(return None)
+        val uniformSize = u32(bytes, stsz.start + 4)
+        val nSamples = tableCount(bytes, stsz, countAt = 8, entriesAt = 12,
+          entrySize = if (uniformSize != 0) 0 else 4).getOrElse(return None)
+        if (nSamples == 0) Vector.empty
+        else {
+          val sizes: Array[Long] =
+            if (uniformSize != 0) Array.fill(nSamples)(uniformSize)
+            else Array.tabulate(nSamples)(i => u32(bytes, stsz.start + 12 + 4 * i))
 
-      // stts: decode deltas as (count, delta) runs
-      val stts = child(bytes, st, "stts").getOrElse(return None)
-      val nRuns = tableCount(bytes, stts, countAt = 4, entriesAt = 8, entrySize = 8)
-        .getOrElse(return None)
-      val durations = new Array[Long](nSamples)
-      var s = 0
-      var run = 0
-      while (run < nRuns && s < nSamples) {
-        val cnt = u32(bytes, stts.start + 8 + 8 * run).toInt
-        val del = u32(bytes, stts.start + 12 + 8 * run)
-        var k = 0
-        while (k < cnt && s < nSamples) { durations(s) = del; s += 1; k += 1 }
-        run += 1
-      }
-      if (s != nSamples) return None
-
-      // stss: sync samples (absent box = every sample is sync)
-      val keyframes: Int => Boolean = child(bytes, st, "stss") match {
-        case None => _ => true
-        case Some(ss) =>
-          val n = tableCount(bytes, ss, countAt = 4, entriesAt = 8, entrySize = 4)
+          // stts: decode deltas as (count, delta) runs
+          val stts = child(bytes, st, "stts").getOrElse(return None)
+          val nRuns = tableCount(bytes, stts, countAt = 4, entriesAt = 8, entrySize = 8)
             .getOrElse(return None)
-          val set = (0 until n).map(i => u32(bytes, ss.start + 8 + 4 * i).toInt).toSet
-          (sampleNo: Int) => set.contains(sampleNo + 1) // stss is 1-based
-      }
+          val durations = new Array[Long](nSamples)
+          var s = 0
+          var run = 0
+          while (run < nRuns && s < nSamples) {
+            val cnt = u32(bytes, stts.start + 8 + 8 * run).toInt
+            val del = u32(bytes, stts.start + 12 + 8 * run)
+            var k = 0
+            while (k < cnt && s < nSamples) { durations(s) = del; s += 1; k += 1 }
+            run += 1
+          }
+          if (s != nSamples) return None
 
-      // stco/co64: chunk offsets
-      val chunkOffsets: Array[Long] = child(bytes, st, "stco") match {
-        case Some(co) =>
-          val n = tableCount(bytes, co, countAt = 4, entriesAt = 8, entrySize = 4)
+          // stss: sync samples (absent box = every sample is sync)
+          val keyframes: Int => Boolean = child(bytes, st, "stss") match {
+            case None => _ => true
+            case Some(ss) =>
+              val n = tableCount(bytes, ss, countAt = 4, entriesAt = 8, entrySize = 4)
+                .getOrElse(return None)
+              val set = (0 until n).map(i => u32(bytes, ss.start + 8 + 4 * i).toInt).toSet
+              (sampleNo: Int) => set.contains(sampleNo + 1) // stss is 1-based
+          }
+
+          // stco/co64: chunk offsets
+          val chunkOffsets: Array[Long] = child(bytes, st, "stco") match {
+            case Some(co) =>
+              val n = tableCount(bytes, co, countAt = 4, entriesAt = 8, entrySize = 4)
+                .getOrElse(return None)
+              Array.tabulate(n)(i => u32(bytes, co.start + 8 + 4 * i))
+            case None =>
+              val co = child(bytes, st, "co64").getOrElse(return None)
+              val n = tableCount(bytes, co, countAt = 4, entriesAt = 8, entrySize = 8)
+                .getOrElse(return None)
+              Array.tabulate(n)(i => u64(bytes, co.start + 8 + 8 * i))
+          }
+
+          // stsc: (first_chunk, samples_per_chunk) runs → per-sample chunk
+          val stsc = child(bytes, st, "stsc").getOrElse(return None)
+          val nScRuns = tableCount(bytes, stsc, countAt = 4, entriesAt = 8, entrySize = 12)
             .getOrElse(return None)
-          Array.tabulate(n)(i => u32(bytes, co.start + 8 + 4 * i))
-        case None =>
-          val co = child(bytes, st, "co64").getOrElse(return None)
-          val n = tableCount(bytes, co, countAt = 4, entriesAt = 8, entrySize = 8)
-            .getOrElse(return None)
-          Array.tabulate(n)(i => u64(bytes, co.start + 8 + 8 * i))
-      }
+          val scRuns = (0 until nScRuns).map { i =>
+            (u32(bytes, stsc.start + 8 + 12 * i).toInt, // first_chunk, 1-based
+              u32(bytes, stsc.start + 12 + 12 * i).toInt) // samples_per_chunk
+          }
+          if (scRuns.isEmpty || chunkOffsets.isEmpty) return None
 
-      // stsc: (first_chunk, samples_per_chunk) runs → per-sample chunk
-      val stsc = child(bytes, st, "stsc").getOrElse(return None)
-      val nScRuns = tableCount(bytes, stsc, countAt = 4, entriesAt = 8, entrySize = 12)
-        .getOrElse(return None)
-      val scRuns = (0 until nScRuns).map { i =>
-        (u32(bytes, stsc.start + 8 + 12 * i).toInt, // first_chunk, 1-based
-          u32(bytes, stsc.start + 12 + 12 * i).toInt) // samples_per_chunk
-      }
-      if (scRuns.isEmpty || chunkOffsets.isEmpty) return None
-
-      // expand chunk layout → per-sample (chunkNo, offset)
-      val samples = Vector.newBuilder[Sample]
-      var dts = 0L
-      var sampleNo = 0
-      var chunk = 0
-      while (sampleNo < nSamples && chunk < chunkOffsets.length) {
-        val runIdx = scRuns.lastIndexWhere(_._1 <= chunk + 1)
-        if (runIdx < 0) return None
-        val perChunk = scRuns(runIdx)._2
-        var within = 0
-        var off = chunkOffsets(chunk)
-        while (within < perChunk && sampleNo < nSamples) {
-          samples += Sample(sampleNo, chunk, off, sizes(sampleNo), dts,
-            durations(sampleNo), keyframes(sampleNo))
-          off += sizes(sampleNo)
-          dts += durations(sampleNo)
-          sampleNo += 1
-          within += 1
+          // expand chunk layout → per-sample (chunkNo, offset)
+          val samples = Vector.newBuilder[Sample]
+          var dts = 0L
+          var sampleNo = 0
+          var chunk = 0
+          while (sampleNo < nSamples && chunk < chunkOffsets.length) {
+            val runIdx = scRuns.lastIndexWhere(_._1 <= chunk + 1)
+            if (runIdx < 0) return None
+            val perChunk = scRuns(runIdx)._2
+            var within = 0
+            var off = chunkOffsets(chunk)
+            while (within < perChunk && sampleNo < nSamples) {
+              samples += Sample(sampleNo, chunk, off, sizes(sampleNo), dts,
+                durations(sampleNo), keyframes(sampleNo))
+              off += sizes(sampleNo)
+              dts += durations(sampleNo)
+              sampleNo += 1
+              within += 1
+            }
+            chunk += 1
+          }
+          if (sampleNo != nSamples) return None
+          samples.result()
         }
-        chunk += 1
       }
-      if (sampleNo != nSamples) return None
+
+      val fragSamples = parseFragments(bytes, top, moov, videoTrak, progSamples)
+        .getOrElse(return None)
+      val all = progSamples ++ fragSamples
+      if (all.isEmpty) return None
       val _ = tkhdVersion // v1 tkhd has the same trailing dims layout
-      Some(Index(width, height, timescale, samples.result()))
+      Some(Index(width, height, timescale, all))
     } catch {
       // NegativeArraySizeException is unreachable now that every table
       // count validates through tableCount, but the defensive-parse
@@ -350,5 +475,130 @@ object Mp4 {
       case _: IndexOutOfBoundsException | _: IllegalArgumentException |
           _: NegativeArraySizeException => None
     }
+  }
+
+  private def i32(b: Array[Byte], at: Int): Int =
+    ByteBuffer.wrap(b, at, 4).order(ByteOrder.BIG_ENDIAN).getInt
+
+  /** Fragmented-MP4 samples: walk every top-level `moof`, matching `traf`
+    * boxes for the video track, and expand their `trun` sample runs with
+    * the ISO 14496-12 defaulting chain (trun per-sample field → tfhd
+    * default → mvex/trex default). Sample numbering and the decode clock
+    * continue from the progressive samples (a file may carry both — the
+    * progressive head plus appended fragments); each moof is one chunk.
+    * Returns None for structurally-broken fragment tables — absent
+    * fragments return an empty vector (plain progressive file).
+    */
+  private def parseFragments(
+      bytes: Array[Byte],
+      top: Vector[Box],
+      moov: Box,
+      videoTrak: Box,
+      progSamples: Vector[Sample]): Option[Vector[Sample]] = {
+    val moofs = top.filter(_.tpe == "moof")
+    if (moofs.isEmpty) return Some(Vector.empty)
+
+    val tkhd = child(bytes, videoTrak, "tkhd").getOrElse(return None)
+    val tkhdVer = bytes(tkhd.start) & 0xff
+    val trackId =
+      if (tkhdVer == 1) u32(bytes, tkhd.start + 20) else u32(bytes, tkhd.start + 12)
+
+    // mvex/trex: movie-level fragment defaults for this track
+    // (duration, size, flags) — the bottom of the defaulting chain
+    val trexDefaults: Option[(Long, Long, Long)] = for {
+      mvex <- child(bytes, moov, "mvex")
+      trex <- scanBoxes(bytes, mvex.start, mvex.end)
+        .find(b => b.tpe == "trex" && b.end - b.start >= 24 && u32(bytes, b.start + 4) == trackId)
+    } yield (u32(bytes, trex.start + 12), u32(bytes, trex.start + 16), u32(bytes, trex.start + 20))
+
+    val out = Vector.newBuilder[Sample]
+    var sampleNo = progSamples.length
+    var chunkNo = progSamples.lastOption.map(_.chunkNo + 1).getOrElse(0)
+    var dts = progSamples.lastOption.map(s => s.dts + s.duration).getOrElse(0L)
+
+    moofs.foreach { moof =>
+      val moofStart = moof.start - 8L // box start includes the 8-byte header
+      var sawTrack = false
+      scanBoxes(bytes, moof.start, moof.end).filter(_.tpe == "traf").foreach { traf =>
+        val tfhd = child(bytes, traf, "tfhd").getOrElse(return None)
+        if (tfhd.end - tfhd.start < 8) return None
+        val tfFlags = u32(bytes, tfhd.start) & 0xffffff
+        if (u32(bytes, tfhd.start + 4) == trackId) {
+          sawTrack = true
+          // tfhd optional fields, in flag order
+          var p = tfhd.start + 8
+          var baseOffset = moofStart // default-base-is-moof AND the first-traf default
+          if ((tfFlags & 0x1) != 0) { // explicit base-data-offset
+            if (p + 8 > tfhd.end) return None
+            baseOffset = u64(bytes, p); p += 8
+          }
+          if ((tfFlags & 0x2) != 0) p += 4 // sample-description-index
+          var defDur = trexDefaults.map(_._1)
+          if ((tfFlags & 0x8) != 0) {
+            if (p + 4 > tfhd.end) return None
+            defDur = Some(u32(bytes, p)); p += 4
+          }
+          var defSize = trexDefaults.map(_._2)
+          if ((tfFlags & 0x10) != 0) {
+            if (p + 4 > tfhd.end) return None
+            defSize = Some(u32(bytes, p)); p += 4
+          }
+          var defFlags = trexDefaults.map(_._3)
+          if ((tfFlags & 0x20) != 0) {
+            if (p + 4 > tfhd.end) return None
+            defFlags = Some(u32(bytes, p)); p += 4
+          }
+          if (p > tfhd.end) return None
+
+          // tfdt: absolute base decode time resets the running clock
+          child(bytes, traf, "tfdt").foreach { td =>
+            val ver = bytes(td.start) & 0xff
+            dts =
+              if (ver == 1) { if (td.start + 12 > td.end) return None; u64(bytes, td.start + 4) }
+              else { if (td.start + 8 > td.end) return None; u32(bytes, td.start + 4) }
+          }
+
+          var runOffset = baseOffset
+          scanBoxes(bytes, traf.start, traf.end).filter(_.tpe == "trun").foreach { trun =>
+            val trFlags = u32(bytes, trun.start) & 0xffffff
+            val perSample =
+              4 * java.lang.Long.bitCount(trFlags & (0x100L | 0x200L | 0x400L | 0x800L))
+            val headLen = 8 +
+              (if ((trFlags & 0x1) != 0) 4 else 0) +
+              (if ((trFlags & 0x4) != 0) 4 else 0)
+            val cnt = tableCount(bytes, trun, countAt = 4, entriesAt = headLen,
+              entrySize = perSample).getOrElse(return None)
+            if (sampleNo.toLong + cnt > MaxTableEntries) return None
+            var p2 = trun.start + 8
+            if ((trFlags & 0x1) != 0) { // signed data offset from the base
+              runOffset = baseOffset + i32(bytes, p2); p2 += 4
+            }
+            var firstFlags: Option[Long] = None
+            if ((trFlags & 0x4) != 0) { firstFlags = Some(u32(bytes, p2)); p2 += 4 }
+            var k = 0
+            while (k < cnt) {
+              var dur = defDur
+              if ((trFlags & 0x100) != 0) { dur = Some(u32(bytes, p2)); p2 += 4 }
+              var size = defSize
+              if ((trFlags & 0x200) != 0) { size = Some(u32(bytes, p2)); p2 += 4 }
+              var flags = if (k == 0 && firstFlags.isDefined) firstFlags else defFlags
+              if ((trFlags & 0x400) != 0) { flags = Some(u32(bytes, p2)); p2 += 4 }
+              if ((trFlags & 0x800) != 0) p2 += 4 // composition offset: not indexed
+              val sz = size.getOrElse(return None) // no size source anywhere → broken
+              val d = dur.getOrElse(0L)
+              // bit 16 = sample_is_non_sync_sample
+              val keyframe = (flags.getOrElse(0L) & 0x10000L) == 0L
+              out += Sample(sampleNo, chunkNo, runOffset, sz, dts, d, keyframe)
+              runOffset += sz
+              dts += d
+              sampleNo += 1
+              k += 1
+            }
+          }
+        }
+      }
+      if (sawTrack) chunkNo += 1
+    }
+    Some(out.result())
   }
 }

@@ -813,6 +813,32 @@ object Multimodal {
     Mp4.encode(w, h, timescale, delta, samples, keyframes, samplesPerChunk = 2)
   }
 
+  /** Fragmented twin of [[syntheticMp4]]: the SAME per-sample formulas
+    * (sizes, timing, keyframes, dimensions) laid out as a real
+    * [[Mp4.encodeFragmented]] fMP4 — `moov` with empty sample tables,
+    * samples in per-fragment `moof/trun` boxes of 2 samples each. Offsets
+    * are fully arithmetic for the oracle: the `ftyp+moov` header is a
+    * CONSTANT 625 bytes (all init boxes are fixed-size; Mp4Spec pins it),
+    * fragment g of nf samples occupies `(88 + 12·nf) + 8 + Σ sizes`
+    * bytes (moof + mdat header + payload), and sample s of fragment f
+    * sits after f's moof+mdat header plus its within-fragment
+    * predecessor.
+    */
+  def syntheticFragMp4(id: Long): Array[Byte] = {
+    require(id >= 0, s"syntheticFragMp4: id must be non-negative, got $id")
+    val w = 16 * (1 + (id % 8).toInt)
+    val h = 16 * (1 + ((id / 8) % 8).toInt)
+    val timescale = 600L * (1 + (id % 4))
+    val delta = 100L + (id % 9) * 10L
+    val n = 1 + (id % 7).toInt
+    val samples = (0 until n).map { s =>
+      val size = 50 + ((id * 13 + s * 7) % 200).toInt
+      Array.tabulate(size)(k => ((id + s * 31 + k) % 256).toByte)
+    }
+    val keyframes = (0 until n).filter(_ % 3 == 0)
+    Mp4.encodeFragmented(w, h, timescale, delta, samples, keyframes, samplesPerFragment = 2)
+  }
+
   val videoIndexSchema: StructType = StructType(
     Seq(
       StructField("sample_no", LongType, nullable = false),

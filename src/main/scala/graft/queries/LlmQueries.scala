@@ -620,6 +620,20 @@ object LlmQueries {
         .orderBy(col("doc_id"), col("sample_no"))
     }),
 
+    // FRAGMENTED MP4 indexing (moof/traf/trun — the fMP4 layout of
+    // DASH/HLS captures, which dominates web-crawled video): same
+    // per-sample formulas as q_video_index laid out as real fragments;
+    // the oracle replays the per-fragment byte arithmetic (constant
+    // 625-byte init header + 88+12·nf moof + 8-byte mdat header per
+    // fragment — Mp4Spec pins the constants)
+    "q_video_index_frag" -> ((s, dir) => {
+      val mp4 = udf((id: Long) => Multimodal.syntheticFragMp4(id))
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), mp4(col("doc_id")).as("payload"))
+      Multimodal.indexVideoMp4(docs, "doc_id", "payload")
+        .orderBy(col("doc_id"), col("sample_no"))
+    }),
+
     // sequence packing (pre-training concat-and-chunk): documents
     // concatenate in doc_id order into one token stream, split into
     // 128-token training sequences; output is the (doc, seq) span table
@@ -1531,6 +1545,44 @@ object LlmQueries {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
         |  FROM sz)
         |SELECT doc_id, s AS sample_no, CAST(s // 2 AS BIGINT) AS chunk_no, "offset",
+        |  CAST(size AS BIGINT) AS size,
+        |  CAST(s * delta AS BIGINT) AS dts,
+        |  CAST(delta AS BIGINT) AS duration_ticks,
+        |  CAST((s * delta * 1000) // timescale AS BIGINT) AS time_ms,
+        |  (s % 3 = 0) AS keyframe,
+        |  CAST(timescale AS BIGINT) AS timescale,
+        |  CAST(16 * (1 + doc_id % 8) AS INTEGER) AS width,
+        |  CAST(16 * (1 + (doc_id // 8) % 8) AS INTEGER) AS height
+        |FROM o ORDER BY doc_id, sample_no""".stripMargin,
+    // fragmented MP4 index: same sample formulas, fMP4 byte layout —
+    // constant 625-byte ftyp+moov init, then per fragment g of nf
+    // samples: (88 + 12·nf) moof + 8 mdat header + payload bytes
+    "q_video_index_frag" ->
+      """WITH g AS (
+        |  SELECT doc_id, CAST(unnest(range(1 + doc_id % 7)) AS BIGINT) AS s
+        |  FROM documents),
+        |sz AS (
+        |  SELECT doc_id, s,
+        |    50 + (doc_id * 13 + s * 7) % 200 AS size,
+        |    100 + (doc_id % 9) * 10 AS delta,
+        |    600 * (1 + doc_id % 4) AS timescale,
+        |    s // 2 AS f
+        |  FROM g),
+        |fr AS (
+        |  SELECT doc_id, f, count(*) AS nf, sum(size) AS body
+        |  FROM sz GROUP BY doc_id, f),
+        |fo AS (
+        |  SELECT doc_id, f, nf,
+        |    625 + coalesce(sum(88 + 12 * nf + 8 + body) OVER (PARTITION BY doc_id ORDER BY f
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS frag_start
+        |  FROM fr),
+        |o AS (
+        |  SELECT sz.doc_id, sz.s, sz.size, sz.delta, sz.timescale, sz.f,
+        |    CAST(fo.frag_start + 88 + 12 * fo.nf + 8 +
+        |      coalesce(sum(sz.size) OVER (PARTITION BY sz.doc_id, sz.f ORDER BY sz.s
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+        |  FROM sz JOIN fo ON sz.doc_id = fo.doc_id AND sz.f = fo.f)
+        |SELECT doc_id, s AS sample_no, CAST(f AS BIGINT) AS chunk_no, "offset",
         |  CAST(size AS BIGINT) AS size,
         |  CAST(s * delta AS BIGINT) AS dts,
         |  CAST(delta AS BIGINT) AS duration_ticks,

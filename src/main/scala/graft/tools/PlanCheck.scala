@@ -204,6 +204,10 @@ object PlanCheck {
     Check(
       "q_video_index",
       mustNotContain = Seq("Join", "HashAggregate", "CartesianProduct")),
+    // fragmented-MP4 indexing has the identical scan-local shape
+    Check(
+      "q_video_index_frag",
+      mustNotContain = Seq("Join", "HashAggregate", "CartesianProduct")),
     // export manifest/pack: packSequences' running sum must keep the
     // token-budget shape — per-partition window, never a global one
     Check(
