@@ -65,16 +65,30 @@ object Export {
     * `array_sort` assembly (collect order never matters).
     */
   def packTokens(docs: DataFrame, idCol: String, textCol: String, sourceCol: String,
-      seqLen: Int, nShards: Int): DataFrame = {
+      seqLen: Int, nShards: Int): DataFrame =
+    packTokensWithVocab(docs, idCol, textCol,
+      vocabulary(docs, textCol), seqLen, nShards)
+
+  /** [[packTokens]] against a FROZEN vocabulary (schema of
+    * [[vocabulary]]: token, token_id) — the incremental/streaming form:
+    * a trained tokenizer is fixed before export, so token ids stay
+    * consistent across epochs/batches that never see each other. Tokens
+    * absent from the vocabulary map to token_id = -1 (an explicit OOV
+    * sentinel, distinct from the 0 pad id) rather than silently
+    * dropping — sequence shapes stay exactly what the span table
+    * declares.
+    */
+  def packTokensWithVocab(docs: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, seqLen: Int, nShards: Int): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
     val spans = Packing.packSequences(docs, idCol, T.tokenCount(col(textCol)), seqLen)
-    val vocab = vocabulary(docs, textCol)
     // (id, pos, token_id) — ints only from here on; AQE broadcasts the
     // vocab side when it is small, shuffles on `token` when it is not
     val tokIds = docs
       .select(col(idCol), posexplode(T.tokenize(col(textCol))).as(Seq("pos", "token")))
-      .join(vocab, Seq("token"))
-      .select(col(idCol), col("pos").cast(LongType).as("pos"), col("token_id"))
+      .join(vocab, Seq("token"), "left")
+      .select(col(idCol), col("pos").cast(LongType).as("pos"),
+        coalesce(col("token_id"), lit(-1L)).as("token_id"))
     // span × token equi-join on id, range-filtered to the span's slice;
     // re-key every token by its global (seq_id, seq_pos)
     val seqToks = spans
@@ -152,20 +166,89 @@ object Export {
   def writePackedShards(packed: DataFrame, spans: DataFrame, docs: DataFrame,
       idCol: String, sourceCol: String, seqLen: Int, nShards: Int, outDir: String): Unit = {
     packed.write.mode("overwrite").partitionBy("shard").parquet(outDir)
-    val mix = sourceMix(spans, docs, idCol, sourceCol, nShards)
-      .groupBy(col("shard"))
-      .agg(array_sort(collect_list(struct(col(sourceCol).as("source"), col("n_tokens"),
-        col("n_docs")))).as("sources"))
-    val manifest = packedManifest(spans, idCol, seqLen, nShards)
-      .join(mix, Seq("shard"))
-      .withColumn("seq_len", lit(seqLen))
-      .orderBy(col("shard"))
-    val lines = manifest.toJSON.collect() // nShards lines — driver-bounded
+    val lines = manifestDf(spans, docs, idCol, sourceCol, seqLen, nShards)
+      .toJSON.collect() // nShards lines — driver-bounded
     val path = new org.apache.hadoop.fs.Path(outDir, "_manifest.jsonl")
     val fs = path.getFileSystem(packed.sparkSession.sparkContext.hadoopConfiguration)
     val out = fs.create(path, true)
     try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
+  }
+
+  /** The per-shard manifest rows a packed write certifies:
+    * [[packedManifest]] joined with its [[sourceMix]] (sources nested as
+    * a sorted array), ordered by shard.
+    */
+  private def manifestDf(spans: DataFrame, docs: DataFrame, idCol: String,
+      sourceCol: String, seqLen: Int, nShards: Int): DataFrame = {
+    val mix = sourceMix(spans, docs, idCol, sourceCol, nShards)
+      .groupBy(col("shard"))
+      .agg(array_sort(collect_list(struct(col(sourceCol).as("source"), col("n_tokens"),
+        col("n_docs")))).as("sources"))
+    packedManifest(spans, idCol, seqLen, nShards)
+      .join(mix, Seq("shard"))
+      .withColumn("seq_len", lit(seqLen))
+      .orderBy(col("shard"))
+  }
+
+  private val EpochLineRe = """"epoch"\s*:\s*(\d+)""".r
+
+  /** Incremental export: write ONE epoch of packed shards under
+    * `outDir/epoch=<epoch>/shard=K/` and merge the root
+    * `_manifest.jsonl` — the reference's append-batches-then-rewrite-
+    * the-footer lifecycle (reference ArrowReaderWriterUtils.java:229)
+    * applied across export runs:
+    *
+    *  - '''data first''': the epoch directory is overwritten whole, so
+    *    re-exporting a failed epoch is idempotent (a partial previous
+    *    attempt leaves no trace);
+    *  - '''manifest last''': the merged manifest — every OTHER epoch's
+    *    surviving lines plus this epoch's, sorted by epoch — is written
+    *    to a temp file and renamed over the old one. A crash anywhere
+    *    before the rename leaves the previous manifest intact, so the
+    *    manifest can UNDER-certify (an epoch's data present but not yet
+    *    listed — rerun the epoch) but never over-certify: a listed
+    *    epoch's shards are always complete on disk.
+    *
+    * Lines without an epoch field (a flat [[writePackedShards]] manifest
+    * from a different layout) are dropped rather than merged — the epoch
+    * layout owns its manifest.
+    */
+  def writePackedShardsEpoch(packed: DataFrame, spans: DataFrame, docs: DataFrame,
+      idCol: String, sourceCol: String, seqLen: Int, nShards: Int, outDir: String,
+      epoch: Int): Unit = {
+    require(epoch >= 0, s"writePackedShardsEpoch: epoch $epoch < 0")
+    val spark = packed.sparkSession
+    packed.write.mode("overwrite").partitionBy("shard").parquet(s"$outDir/epoch=$epoch")
+    val newLines = manifestDf(spans, docs, idCol, sourceCol, seqLen, nShards)
+      .withColumn("epoch", lit(epoch))
+      .toJSON.collect()
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val path = new org.apache.hadoop.fs.Path(outDir, "_manifest.jsonl")
+    val kept: Seq[String] =
+      if (!fs.exists(path)) Seq.empty
+      else {
+        val in = fs.open(path)
+        val text =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        text.split('\n').toSeq.filter(_.nonEmpty).filter { line =>
+          EpochLineRe.findFirstMatchIn(line).exists(_.group(1).toInt != epoch)
+        }
+      }
+    def epochOf(line: String): Int =
+      EpochLineRe.findFirstMatchIn(line).map(_.group(1).toInt).getOrElse(Int.MaxValue)
+    val merged = (kept ++ newLines).sortBy(epochOf) // stable: shard order survives
+    val tmp = new org.apache.hadoop.fs.Path(outDir, "_manifest.jsonl.tmp")
+    val out = fs.create(tmp, true)
+    try out.write((merged.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    // rename is the commit point; the delete-to-rename window shows
+    // readers a MISSING manifest (nothing certified), never a wrong one
+    if (fs.exists(path)) fs.delete(path, false)
+    if (!fs.rename(tmp, path))
+      throw new java.io.IOException(s"manifest commit failed: $tmp -> $path")
   }
 
   /** Read a [[writePackedShards]] directory back (shard column restored

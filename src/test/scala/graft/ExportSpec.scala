@@ -92,6 +92,91 @@ class ExportSpec extends SparkSpec {
     }
   }
 
+  private def writeEpoch(dir: String, d: org.apache.spark.sql.DataFrame, ep: Int): Unit = {
+    val spans = Packing.packSequences(d, "doc_id", T.tokenCount($"text"), seqLen = L)
+    val packed = Export.packTokens(d, "doc_id", "text", "source", seqLen = L, nShards = 3)
+    Export.writePackedShardsEpoch(packed, spans, d, "doc_id", "source", seqLen = L,
+      nShards = 3, outDir = dir, epoch = ep)
+  }
+
+  test("epoch export appends: data under epoch=K, manifest merged across epochs") {
+    val dir = Files.createTempDirectory("graft_epoch").toString
+    val d0 = docs.where($"doc_id" % 2 === 0)
+    val d1 = docs.where($"doc_id" % 2 === 1)
+    writeEpoch(dir, d0, 0)
+    writeEpoch(dir, d1, 1)
+    val back = Export.readPackedShards(spark, dir)
+    assert(back.select($"epoch").distinct().collect().map(_.getInt(0)).sorted.toSeq == Seq(0, 1))
+    val man = Export.readManifest(spark, dir)
+    val epochs = man.select($"epoch").distinct().collect().map(_.getLong(0)).sorted.toSeq
+    assert(epochs == Seq(0L, 1L))
+    // per-epoch certificate matches per-epoch data
+    Seq(0, 1).foreach { ep =>
+      val manTok = man.where($"epoch" === ep).collect().map(_.getAs[Long]("n_tokens")).sum
+      val dataTok = back.where($"epoch" === ep).agg(sum($"n_real")).head.getLong(0)
+      assert(manTok == dataTok, s"epoch $ep tokens")
+    }
+  }
+
+  test("epoch re-export is idempotent: same epoch overwrites data AND its manifest lines") {
+    val dir = Files.createTempDirectory("graft_epoch_re").toString
+    writeEpoch(dir, docs.where($"doc_id" % 2 === 0), 0)
+    writeEpoch(dir, docs.where($"doc_id" % 2 === 1), 1)
+    // re-export epoch 1 with DIFFERENT content (one doc dropped)
+    writeEpoch(dir, docs.where($"doc_id" % 2 === 1 && $"doc_id" =!= 5L), 1)
+    val man = Export.readManifest(spark, dir).collect()
+    // exactly one generation of epoch-1 lines survives
+    val ep1 = man.filter(_.getAs[Long]("epoch") == 1L)
+    val back = Export.readPackedShards(spark, dir)
+    val dataTok = back.where($"epoch" === 1).agg(sum($"n_real")).head.getLong(0)
+    assert(ep1.map(_.getAs[Long]("n_tokens")).sum == dataTok, "re-exported certificate")
+    // epoch 0 lines untouched
+    val ep0Tok = man.filter(_.getAs[Long]("epoch") == 0L).map(_.getAs[Long]("n_tokens")).sum
+    val data0 = back.where($"epoch" === 0).agg(sum($"n_real")).head.getLong(0)
+    assert(ep0Tok == data0)
+  }
+
+  test("crash before manifest commit: certificate never covers the dead epoch") {
+    val dir = Files.createTempDirectory("graft_epoch_crash").toString
+    writeEpoch(dir, docs.where($"doc_id" % 2 === 0), 0)
+    // simulate a crash mid-epoch-1: data lands, manifest write never runs
+    // (manifest-last ordering means this is the ONLY possible partial state)
+    val d1 = docs.where($"doc_id" % 2 === 1)
+    Export.packTokens(d1, "doc_id", "text", "source", seqLen = L, nShards = 3)
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$dir/epoch=1")
+    val man = Export.readManifest(spark, dir)
+    assert(man.select($"epoch").distinct().collect().map(_.getLong(0)).toSeq == Seq(0L),
+      "manifest under-certifies after a crash, never over-certifies")
+    // recovery: rerun the failed epoch end-to-end → now certified
+    writeEpoch(dir, d1, 1)
+    val man2 = Export.readManifest(spark, dir)
+    assert(man2.select($"epoch").distinct().collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L))
+    val back = Export.readPackedShards(spark, dir)
+    val manTok = man2.where($"epoch" === 1).collect().map(_.getAs[Long]("n_tokens")).sum
+    assert(manTok == back.where($"epoch" === 1).agg(sum($"n_real")).head.getLong(0))
+  }
+
+  test("packTokensWithVocab: frozen vocabulary keeps ids stable; OOV maps to -1") {
+    val vocab = Export.vocabulary(docs.where($"doc_id" =!= 4L), "text")
+    val packed = Export.packTokensWithVocab(docs, "doc_id", "text", vocab, seqLen = L, nShards = 3)
+      .orderBy($"seq_id").collect()
+    // doc 4's tokens are absent from the frozen vocab → -1 sentinels, and
+    // sequence shapes still match the span table exactly
+    val flat = packed.flatMap(r => r.getSeq[Long](r.fieldIndex("tokens"))
+      .take(r.getAs[Long]("n_real").toInt))
+    assert(flat.contains(-1L), "OOV sentinel present")
+    val corpusN = docs.select(T.tokenCount($"text").cast("long")).collect().map(_.getLong(0)).sum
+    assert(flat.length.toLong == corpusN, "every real token position survives")
+    // in-vocab ids equal the self-vocab run on the shared prefix
+    val self = Export.packTokens(docs.where($"doc_id" < 4L), "doc_id", "text", "source", L, 3)
+      .orderBy($"seq_id").collect()
+    val frozenPrefix = Export.packTokensWithVocab(docs.where($"doc_id" < 4L), "doc_id", "text",
+      vocab, L, 3).orderBy($"seq_id").collect()
+    // same docs, vocab trained on a superset that shares these tokens'
+    // ranks only if token sets coincide — here compare shapes + n_real
+    assert(self.map(_.getAs[Long]("n_real")).toSeq == frozenPrefix.map(_.getAs[Long]("n_real")).toSeq)
+  }
+
   test("writeJsonlShards round-trips docs and balances token weight") {
     val dir = Files.createTempDirectory("graft_jsonl").toString
     Export.writeJsonlShards(docs, "doc_id", "text", nShards = 2, outDir = dir)
