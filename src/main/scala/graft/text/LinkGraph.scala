@@ -39,7 +39,29 @@ object LinkGraph {
     * report all-zero lanes (harmonic 0.0). Directed: follow `src → dst`;
     * pass both directions for an undirected graph.
     */
-  def centrality(nodes: DataFrame, idCol: String, edges: DataFrame, maxHops: Int): DataFrame = {
+  def centrality(nodes: DataFrame, idCol: String, edges: DataFrame, maxHops: Int): DataFrame =
+    centralityImpl(nodes, idCol, edges, maxHops, maxReachPerRoot = None)
+
+  /** [[centrality]] with a per-root BALL-SIZE cap — the BFS analog of the
+    * edge builder's df cap, for graphs with supernode components: a root
+    * whose reached ball exceeds `maxReachPerRoot` after a hop stops
+    * expanding (its frontier is dropped), so one pathological component
+    * cannot blow the (root, id) table up to |component|² while every
+    * healthy root still computes exactly. Capped roots report their
+    * PARTIAL hop lanes with `capped = true` — a flagged lower bound, not
+    * a silent wrong answer; uncapped roots carry `capped = false` and
+    * values identical to [[centrality]]. Costs one extra per-root count
+    * aggregation per hop (map-side combined, (root, cnt) rows only).
+    */
+  def centralityCapped(nodes: DataFrame, idCol: String, edges: DataFrame, maxHops: Int,
+      maxReachPerRoot: Long): DataFrame = {
+    require(maxReachPerRoot >= 1,
+      s"LinkGraph.centralityCapped: maxReachPerRoot $maxReachPerRoot < 1")
+    centralityImpl(nodes, idCol, edges, maxHops, Some(maxReachPerRoot))
+  }
+
+  private def centralityImpl(nodes: DataFrame, idCol: String, edges: DataFrame,
+      maxHops: Int, maxReachPerRoot: Option[Long]): DataFrame = {
     require(maxHops >= 1, s"LinkGraph.centrality: maxHops $maxHops < 1")
     val e = edges.select(col("src"), col("dst"))
       .where(col("src") =!= col("dst")).distinct().cache()
@@ -51,6 +73,10 @@ object LinkGraph {
     var staleHandle: Option[org.apache.spark.sql.DataFrame] = None
     var reachedCount = reached.count()
     var frontier = reached.select(col("root"), col("id"))
+    // roots stopped by the ball cap (None = unlimited); cumulative, and
+    // always re-derived from the CACHED reached table so checking it
+    // never re-executes the join chain
+    var cappedRoots: Option[DataFrame] = None
     var d = 1
     var done = false
     while (!done) {
@@ -75,14 +101,26 @@ object LinkGraph {
         cachedHandle = grown
         done = grownCount == reachedCount
         reachedCount = grownCount
+        // ball-size check AFTER the hop materialized: roots over the cap
+        // expand no further (their reached rows stay — flagged partial).
+        // Reach only grows, so the latest check subsumes earlier ones.
+        maxReachPerRoot.foreach { cap =>
+          cappedRoots = Some(grown.groupBy(col("root"))
+            .agg(count(lit(1)).as("__n"))
+            .where(col("__n") > cap)
+            .select(col("root")))
+        }
       }
       // read the next frontier back out of the cached union — deriving it
       // from `next` would re-execute the whole join chain next iteration
       frontier = grown.where(col("d") === d).select(col("root"), col("id"))
+      cappedRoots.foreach(cr => frontier = frontier.join(cr, Seq("root"), "left_anti"))
       reached = grown
       d += 1
     }
     val pinned = reached.localCheckpoint(true)
+    // pin the capped set too before releasing the caches its plan reads
+    val cappedPinned = cappedRoots.map(_.localCheckpoint(true))
     staleHandle.foreach(_.unpersist())
     cachedHandle.unpersist()
     e.unpersist()
@@ -94,7 +132,18 @@ object LinkGraph {
     val harmonic = (1 to maxHops)
       .map(i => col(s"n_hop_$i").cast("double") / lit(i.toDouble))
       .reduce(_ + _)
-    agg.withColumn("reach", reach).withColumn("harmonic", harmonic)
+    val base = agg.withColumn("reach", reach).withColumn("harmonic", harmonic)
+    cappedPinned match {
+      case Some(cr) =>
+        base.join(cr.select(col("root").as(idCol), lit(true).as("__capped")),
+            Seq(idCol), "left")
+          .withColumn("capped", coalesce(col("__capped"), lit(false)))
+          .drop("__capped")
+      case None if maxReachPerRoot.isDefined =>
+        // maxHops == 1 never truncates (the single hop always completes)
+        base.withColumn("capped", lit(false))
+      case None => base
+    }
   }
 
   /** Shared-span document graph: symmetric (src, dst) edges between

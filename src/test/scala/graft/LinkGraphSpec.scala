@@ -70,6 +70,43 @@ class LinkGraphSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("centralityCapped: supernode root reports a flagged partial ball, healthy roots exact") {
+    // hub 0 touches 1..10 (ball blows up immediately); a disjoint path
+    // 20-21-22-23 is the healthy component
+    val hubEdges = (1L to 10L).map(i => (0L, i))
+    val pathEdges = Seq((20L, 21L), (21L, 22L), (22L, 23L))
+    val n = nodes((Seq(0L) ++ (1L to 10L) ++ Seq(20L, 21L, 22L, 23L)): _*)
+    val e = edgesOf((hubEdges ++ pathEdges): _*)
+    val capped = LinkGraph.centralityCapped(n, "id", e, maxHops = 3, maxReachPerRoot = 5)
+      .orderBy($"id").collect()
+    val exact = LinkGraph.centrality(n, "id", e, maxHops = 3)
+      .orderBy($"id").collect()
+    val byId = capped.map(r => r.getAs[Long]("id") -> r).toMap
+    // the hub blew the cap after hop 1 (reach 10 > 5): flagged, expansion
+    // stopped — its hop-1 lane is complete, deeper lanes truncated
+    assert(byId(0L).getAs[Boolean]("capped"), "hub root must be flagged")
+    assert(byId(0L).getAs[Long]("n_hop_1") == 10, "the materialized hop stays")
+    // spoke roots reach {hub} + 9 siblings = 10 > 5 after hop 2 → flagged
+    assert(byId(1L).getAs[Boolean]("capped"))
+    // healthy path roots: unflagged and IDENTICAL to the uncapped run
+    val exactById = exact.map(r => r.getAs[Long]("id") -> r).toMap
+    Seq(20L, 21L, 22L, 23L).foreach { id =>
+      assert(!byId(id).getAs[Boolean]("capped"), s"path root $id")
+      assert(byId(id).getAs[Long]("reach") == exactById(id).getAs[Long]("reach"))
+      assert(byId(id).getAs[Double]("harmonic") == exactById(id).getAs[Double]("harmonic"))
+    }
+    // capped lanes are a LOWER BOUND, never an overcount
+    capped.foreach { r =>
+      val id = r.getAs[Long]("id")
+      assert(r.getAs[Long]("reach") <= exactById(id).getAs[Long]("reach"), s"root $id")
+    }
+    // a generous cap reproduces the uncapped result with capped = false
+    val loose = LinkGraph.centralityCapped(n, "id", e, maxHops = 3, maxReachPerRoot = 1000)
+      .orderBy($"id").collect()
+    assert(loose.forall(!_.getAs[Boolean]("capped")))
+    assert(loose.map(_.toSeq.dropRight(1)).toSeq == exact.map(_.toSeq).toSeq)
+  }
+
   test("sharedSpanEdges links shared rare spans and drops over-df hubs") {
     val docs = Seq(
       (0L, "alpha beta gamma delta unique tail zero"),
