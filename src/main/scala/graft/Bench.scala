@@ -103,7 +103,11 @@ object Bench {
     // stability at N=3: two consecutive totals within 0.4%, every
     // per-query spread ≤ 0.11 s absolute.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
-    val results = headline.flatMap { name =>
+    // optional comma-separated subset for focused scale-ladder runs (the
+    // full set at a 100x tier would run for hours); the driver's default
+    // invocation sets neither env var and benches everything
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val results = headline.filter(n => only.forall(_.contains(n))).flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         // a failed run must never win the min (a fast failure would read
         // as a speedup): successes compete, total failure reports -1
