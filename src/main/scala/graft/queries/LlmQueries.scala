@@ -132,6 +132,20 @@ object LlmQueries {
       Evaluation.recallAtK(exact, approx, k = 10).orderBy(col("query_id"))
     }),
 
+    // ranked-retrieval metrics over the same exact-vs-IVF pair: per-query
+    // reciprocal rank + NDCG@10 with graded relevance (k - exact_rank + 1)
+    // — recall@k says WHETHER the index finds the truth, NDCG says how
+    // well it ORDERS it. The oracle recomputes both rankings from raw
+    // parquet and replays the rank-ordered DCG fold
+    "q_retrieval_metrics" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 50)
+      val exact = Similarity.bruteForceTopK(emb, q, "embedding", "vec_id", k = 10)
+      val indexed = Similarity.ivfBuild(emb, "embedding", "vec_id", nlist = 16).localCheckpoint(true)
+      val approx = Similarity.ivfTopK(indexed, q, "embedding", "vec_id", k = 10, nlist = 16, nprobe = 4)
+      Evaluation.rankingMetrics(exact, approx, k = 10).orderBy(col("query_id"))
+    }),
+
     // embedding-quality probe: k-NN majority-vote label prediction over
     // the labeled eval slice (every vector classified by its 5 cosine
     // neighbors, self excluded; vote counts integer-exact)
@@ -1942,6 +1956,69 @@ object LlmQueries {
         |FROM exact e LEFT JOIN approx ap
         |  ON ap.query_id = e.query_id AND ap.neighbor_id = e.neighbor_id
         |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin,
+    // same recomputed exact + IVF rankings as q_ann_recall, ranks kept;
+    // the DCG fold replays the engine's rank-ordered left fold
+    // (list_reduce over list(... ORDER BY arank)) and IDCG is the same
+    // left-to-right constant sum the engine writes
+    "q_retrieval_metrics" ->
+      """WITH corpus AS MATERIALIZED (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+        |), queries AS MATERIALIZED (
+        |  SELECT vec_id AS query_id, vec AS qvec FROM corpus WHERE vec_id < 50
+        |), exact AS MATERIALIZED (
+        |  SELECT query_id, neighbor_id, rn FROM (
+        |    SELECT q.query_id, c.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY round(list_cosine_similarity(q.qvec, c.vec), 6) DESC, c.vec_id) AS rn
+        |    FROM queries q JOIN corpus c ON c.vec_id <> q.query_id) WHERE rn <= 10
+        |), cent AS MATERIALIZED (
+        |  SELECT vec_id AS cell, vec AS centroid FROM corpus WHERE vec_id < 16
+        |), assign AS MATERIALIZED (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT c.vec_id, ct.cell,
+        |      row_number() OVER (PARTITION BY c.vec_id
+        |        ORDER BY round(list_cosine_similarity(c.vec, ct.centroid), 6) DESC, ct.cell) AS rn
+        |    FROM corpus c CROSS JOIN cent ct) WHERE rn = 1
+        |), probe AS MATERIALIZED (
+        |  SELECT query_id, cell FROM (
+        |    SELECT q.query_id, ct.cell,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY round(list_cosine_similarity(q.qvec, ct.centroid), 6) DESC, ct.cell) AS rn
+        |    FROM queries q CROSS JOIN cent ct) WHERE rn <= 4
+        |), approx AS MATERIALIZED (
+        |  SELECT query_id, neighbor_id, rn AS arank FROM (
+        |    SELECT cand.query_id, cand.neighbor_id,
+        |      row_number() OVER (PARTITION BY cand.query_id
+        |        ORDER BY cand.cosine_sim DESC, cand.neighbor_id) AS rn
+        |    FROM (
+        |      SELECT p.query_id, c.vec_id AS neighbor_id,
+        |        round(list_cosine_similarity(q.qvec, c.vec), 6) AS cosine_sim
+        |      FROM probe p
+        |      JOIN queries q ON q.query_id = p.query_id
+        |      JOIN assign a ON a.cell = p.cell
+        |      JOIN corpus c ON c.vec_id = a.vec_id
+        |      WHERE c.vec_id <> p.query_id) cand) WHERE rn <= 10
+        |), lanes AS (
+        |  SELECT ap.query_id, ap.arank, COALESCE(11 - e.rn, 0) AS rel
+        |  FROM approx ap LEFT JOIN exact e
+        |    ON e.query_id = ap.query_id AND e.neighbor_id = ap.neighbor_id
+        |), agg AS (
+        |  SELECT query_id,
+        |    min(CASE WHEN rel > 0 THEN arank END) AS firstrel,
+        |    list_reduce(list_prepend(0.0E0, list(rel / log2(arank + 1.0E0) ORDER BY arank)),
+        |      (a, x) -> a + x) AS dcg_raw
+        |  FROM lanes GROUP BY query_id
+        |)
+        |SELECT q.query_id,
+        |  CAST(COALESCE(g.firstrel, 0) AS BIGINT) AS first_rel_rank,
+        |  COALESCE(1.0E0 / g.firstrel, 0.0E0) AS reciprocal_rank,
+        |  round(COALESCE(g.dcg_raw, 0.0E0), 6) AS dcg,
+        |  round(COALESCE(g.dcg_raw, 0.0E0) /
+        |    (10/log2(2.0E0) + 9/log2(3.0E0) + 8/log2(4.0E0) + 7/log2(5.0E0) + 6/log2(6.0E0)
+        |     + 5/log2(7.0E0) + 4/log2(8.0E0) + 3/log2(9.0E0) + 2/log2(10.0E0) + 1/log2(11.0E0)), 6) AS ndcg
+        |FROM (SELECT DISTINCT query_id FROM exact) q
+        |LEFT JOIN agg g ON g.query_id = q.query_id
+        |ORDER BY q.query_id""".stripMargin,
     "q_knn_classify" ->
       """WITH corpus AS MATERIALIZED (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec, label FROM embeddings

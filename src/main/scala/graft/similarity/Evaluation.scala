@@ -53,6 +53,57 @@ object Evaluation {
         (col("hits").cast("double") / lit(k.toDouble)).as("recall"))
   }
 
+  /** Ranked-retrieval quality of an approximate ranking against exact
+    * ground truth: per-query reciprocal rank of the first relevant hit
+    * (MRR's per-query term) and NDCG@k with graded relevance
+    * `rel(d) = k - exact_rank(d) + 1` (top exact neighbor most
+    * relevant; items outside the exact top-k contribute 0). Inputs are
+    * rankings with (query_id, neighbor_id, rank) columns; every exact
+    * query appears in the output, and a query whose approx list hits
+    * nothing relevant scores 0 across the board. Output:
+    * (query_id, first_rel_rank, reciprocal_rank, dcg, ndcg).
+    *
+    * Determinism: DCG is a LEFT FOLD over the approx lanes in rank
+    * order (sort_array + aggregate — k lanes per query, never
+    * corpus-sized), so its bits don't depend on partitioning;
+    * `reciprocal_rank` divides exact small integers (engine-portable
+    * raw). dcg/ndcg round to 6 — log2 ulps are engine-specific, and
+    * IDCG is the closed-form constant Σ_{r=1..k} (k-r+1)/log2(r+1)
+    * summed in the same left-to-right order the oracle writes.
+    *
+    * Scale shape (100 TB): both inputs are rankings (queries × k rows);
+    * the single join keys on (query_id, neighbor_id) and everything
+    * after operates on per-query arrays of k lanes.
+    */
+  def rankingMetrics(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "Evaluation.rankingMetrics: k must be positive")
+    val e = exact.select(col("query_id"), col("neighbor_id"),
+      col("rank").cast("int").as("__erank"))
+    val a = approx.select(col("query_id"), col("neighbor_id"),
+      col("rank").cast("int").as("__arank"))
+    val lanes = a.join(e, Seq("query_id", "neighbor_id"), "left_outer")
+      .select(col("query_id"), col("__arank"),
+        coalesce(lit(k + 1) - col("__erank"), lit(0)).as("__rel"))
+    val perQuery = lanes.groupBy(col("query_id")).agg(
+      min(when(col("__rel") > 0, col("__arank"))).as("__firstrel"),
+      sort_array(collect_list(struct(col("__arank").as("r"), col("__rel").as("g"))))
+        .as("__lanes"))
+    val dcgRaw = aggregate(col("__lanes"), lit(0.0),
+      (acc, x) => acc + x.getField("g").cast("double") /
+        log2(x.getField("r").cast("double") + lit(1.0)))
+    // ideal DCG: all k exact items retrieved in exact order — a constant
+    // left-to-right sum (the oracle writes the same textual sum)
+    val idcg = (1 to k).map(r =>
+      (k - r + 1).toDouble / (StrictMath.log(r + 1.0) / StrictMath.log(2.0))).sum
+    exact.select(col("query_id")).distinct()
+      .join(perQuery, Seq("query_id"), "left_outer")
+      .select(col("query_id"),
+        coalesce(col("__firstrel").cast("long"), lit(0L)).as("first_rel_rank"),
+        coalesce(lit(1.0) / col("__firstrel").cast("double"), lit(0.0)).as("reciprocal_rank"),
+        round(coalesce(dcgRaw, lit(0.0)), 6).as("dcg"),
+        round(coalesce(dcgRaw, lit(0.0)) / lit(idcg), 6).as("ndcg"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009): each input ranking
     * contributes `1/(c + rank)` for the items it ranked; items missing
     * from a ranking contribute 0 from it. Inputs need (query_id,

@@ -22,6 +22,23 @@ class EvaluationSpec extends SparkSpec {
       Seq((0L, 2L, 1.0), (1L, 1L, 0.5), (2L, 0L, 0.0)))
   }
 
+  test("rankingMetrics: perfect ranking gives ndcg 1.0, a swap pays the discount, misses zero out") {
+    val exact = ranking((0L, 10L, 1), (0L, 11L, 2), (1L, 20L, 1), (1L, 21L, 2), (2L, 30L, 1), (2L, 31L, 2))
+    // query 0 perfect, query 1 swapped, query 2 missed entirely
+    val approx = ranking((0L, 10L, 1), (0L, 11L, 2), (1L, 21L, 1), (1L, 20L, 2), (2L, 99L, 1), (2L, 98L, 2))
+    val out = Evaluation.rankingMetrics(exact, approx, k = 2)
+      .orderBy($"query_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    val l2 = (x: Double) => StrictMath.log(x) / StrictMath.log(2.0)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val idcg = 2.0 / l2(2.0) + 1.0 / l2(3.0)
+    assert(out(0) == ((0L, 1L, 1.0, r6(idcg), 1.0)))
+    // swapped order: rel 1 at rank 1, rel 2 discounted by log2(3)
+    val swapped = 1.0 / l2(2.0) + 2.0 / l2(3.0)
+    assert(out(1) == ((1L, 1L, 1.0, r6(swapped), r6(swapped / idcg))))
+    assert(out(2) == ((2L, 0L, 0.0, 0.0, 0.0)))
+  }
+
   test("rrfFuse: item ranked by both systems beats single-system items; ties on item_id") {
     val a = ranking((0L, 1L, 1), (0L, 2L, 2)).withColumnRenamed("neighbor_id", "item_id")
     val b = ranking((0L, 1L, 2), (0L, 3L, 1)).withColumnRenamed("neighbor_id", "item_id")
