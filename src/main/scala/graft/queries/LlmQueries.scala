@@ -730,6 +730,25 @@ object LlmQueries {
         .orderBy(col("epoch"), col("shard"))
     }),
 
+    // the certification CONSUMER end to end: a 2-epoch export audited
+    // against its own manifest — certified vs actual counts cross the
+    // full write→merge→read-back→recount path, and the oracle recomputes
+    // what BOTH sides must say from the raw table (an intact export
+    // audits 'ok' with counts equal on both lanes)
+    "q_export_audit" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val out = java.nio.file.Files.createTempDirectory("graft_export_audit").toString
+      (0 to 1).foreach { ep =>
+        val d = docs.where(pmod(col("doc_id"), lit(2)) === ep)
+        val spans = graft.text.Packing.packSequences(d, "doc_id", T.tokenCount(col("text")), seqLen = 128)
+        val packed = graft.sources.Export.packTokens(d, "doc_id", "text", "source", seqLen = 128, nShards = 4)
+        graft.sources.Export.writePackedShardsEpoch(packed, spans, d, "doc_id", "source",
+          seqLen = 128, nShards = 4, out, epoch = ep)
+      }
+      graft.sources.Export.auditPackedShards(s, out)
+        .orderBy(col("epoch"), col("shard"))
+    }),
+
     // text analysis: stopword removal (duplicates/order preserved)
     "q_stopword_removal" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -2773,6 +2792,33 @@ object LlmQueries {
          |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
          |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
          |  min(seq_id) AS min_seq_id, max(seq_id) AS max_seq_id
+         |FROM sp GROUP BY 1, 2 ORDER BY epoch, shard""".stripMargin,
+    // audit of an intact 2-epoch export: both the certificate AND the
+    // data recount must equal the recomputed packing counts, status 'ok'
+    "q_export_audit" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, doc_id % 2 AS epoch,
+         |    CAST(CASE WHEN norm = '' THEN 0 ELSE len(toks) END AS BIGINT) AS n
+         |  FROM (SELECT doc_id, $normSql AS norm, $toksSql AS toks FROM documents)),
+         |c AS (
+         |  SELECT doc_id, epoch, n,
+         |    CAST(coalesce(sum(n) OVER (PARTITION BY epoch ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev
+         |  FROM d WHERE n > 0),
+         |s AS (
+         |  SELECT doc_id, epoch, n, prev,
+         |    unnest(range(prev // 128, (prev + n - 1) // 128 + 1)) AS seq_id
+         |  FROM c),
+         |sp AS (
+         |  SELECT doc_id, epoch, CAST(seq_id AS BIGINT) AS seq_id,
+         |    least(n, (seq_id + 1) * 128 - prev) - greatest(0, seq_id * 128 - prev) AS span_len
+         |  FROM s)
+         |SELECT CAST(epoch AS BIGINT) AS epoch, CAST(seq_id % 4 AS BIGINT) AS shard,
+         |  CAST(count(DISTINCT seq_id) AS BIGINT) AS cert_sequences,
+         |  CAST(count(DISTINCT seq_id) AS BIGINT) AS actual_sequences,
+         |  CAST(sum(span_len) AS BIGINT) AS cert_tokens,
+         |  CAST(sum(span_len) AS BIGINT) AS actual_tokens,
+         |  'ok' AS status
          |FROM sp GROUP BY 1, 2 ORDER BY epoch, shard""".stripMargin,
     // link-graph centrality: shared-span edges (w=5, df in [2,32]), then
     // min-distance within 3 hops via unrolled path joins + min(d); the

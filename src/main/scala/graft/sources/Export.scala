@@ -273,6 +273,55 @@ object Export {
     spark.read.json(text.split('\n').toSeq.filter(_.nonEmpty).toDS())
   }
 
+  /** Audit a packed-shard export root (flat [[writePackedShards]] or
+    * epoch [[writePackedShardsEpoch]] layout) against its own
+    * `_manifest.jsonl` — the certification CONSUMER: per (epoch, shard),
+    * certified sequence/token counts vs what the data files actually
+    * hold, with a status verdict:
+    *
+    *  - `ok` — certified and data agree;
+    *  - `mismatch` — both present, counts differ (data corruption or a
+    *    foreign write — never this layer's own crash, which the
+    *    manifest-last protocol keeps off this branch);
+    *  - `missing_data` — certified but no data on disk (someone deleted
+    *    shards after commit);
+    *  - `uncertified_data` — data on disk with no manifest line (a crash
+    *    between data write and manifest rename — rerun that epoch).
+    *
+    * Flat-layout rows report `epoch = -1`. Scale shape: the data side
+    * reads ONLY `n_real` + partition columns (column pruning keeps the
+    * token arrays unread) and reduces to one row per (epoch, shard); the
+    * manifest side is the driver-bounded sidecar.
+    */
+  def auditPackedShards(spark: SparkSession, dir: String): DataFrame = {
+    val manifest = readManifest(spark, dir)
+    val m = manifest.select(
+      (if (manifest.columns.contains("epoch")) col("epoch") else lit(-1L))
+        .cast(LongType).as("epoch"),
+      col("shard").cast(LongType).as("shard"),
+      col("n_sequences").cast(LongType).as("cert_sequences"),
+      col("n_tokens").cast(LongType).as("cert_tokens"))
+    val data = readPackedShards(spark, dir)
+    val d = data.select(
+      (if (data.columns.contains("epoch")) col("epoch") else lit(-1L))
+        .cast(LongType).as("epoch"),
+      col("shard").cast(LongType).as("shard"),
+      col("n_real"))
+      .groupBy(col("epoch"), col("shard"))
+      .agg(count(lit(1)).as("actual_sequences"),
+        sum(col("n_real")).cast(LongType).as("actual_tokens"))
+    m.join(d, Seq("epoch", "shard"), "full_outer")
+      .select(col("epoch"), col("shard"),
+        col("cert_sequences"), col("actual_sequences"),
+        col("cert_tokens"), col("actual_tokens"),
+        when(col("cert_sequences").isNull, lit("uncertified_data"))
+          .when(col("actual_sequences").isNull, lit("missing_data"))
+          .when(col("cert_sequences") === col("actual_sequences") &&
+            col("cert_tokens") === col("actual_tokens"), lit("ok"))
+          .otherwise(lit("mismatch")).as("status"))
+      .orderBy(col("epoch"), col("shard"))
+  }
+
   /** Per-shard JSONL manifest: weight-balanced shard assignment
     * ([[Sharding.assignShards]] on token count) joined back to the corpus
     * — `(shard, n_docs, n_tokens, min_doc_id, max_doc_id)`.

@@ -80,6 +80,49 @@ object Layout {
       .agg(min(col(keyCol)).as("key_min"), max(col(keyCol)).as("key_max"), count(lit(1)).as("rows"))
   }
 
+  /** Per-file scan-parallelism diagnostic: (file, bytes, row_groups,
+    * rows) from the parquet FOOTERS (no data read), plus the fact the
+    * split planner cannot see — the number of concurrent readers a scan
+    * of this table can actually use is `Σ row_groups`, NOT the byte-range
+    * split count. A file written as one giant row group yields exactly
+    * one working task no matter how small `maxPartitionBytes` goes: the
+    * split containing the row-group start reads everything, every other
+    * split reads nothing. Caught live at the 100× scale tier, where a
+    * single-row-group 500 k-doc table serialized every compute-dense
+    * pipeline (tokenize / MinHash / codec UDFs) on one core while 13
+    * empty splits reported healthy parallelism — SCALE.md round 9.
+    *
+    * Footers are read on the driver (this is an ops diagnostic for
+    * tables with a bounded file count; at fleet scale, sample the files).
+    * The fix at write time: size row groups for compute density
+    * (`parquet.block.size`, or many files), the discipline
+    * [[writeSorted]]/[[compact]] inherit from Spark's one-file-per-task
+    * writers.
+    */
+  def scanParallelism(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val it = fs.listFiles(root, true)
+    val files = Iterator.continually(it)
+      .takeWhile(_.hasNext).map(_.next())
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .toSeq
+    val rows = files.map { s =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromStatus(s, conf))
+      try {
+        val blocks = reader.getFooter.getBlocks
+        (s.getPath.toString, s.getLen, blocks.size().toLong,
+          (0 until blocks.size()).map(blocks.get(_).getRowCount).sum)
+      } finally reader.close()
+    }
+    import spark.implicits._
+    rows.toDF("file", "bytes", "row_groups", "rows")
+  }
+
   /** Z-order (Morton-curve) layout: quantize each clustering column to a
     * 16-bit cell by min/max scaling (one tiny agg job), interleave cells
     * into one Long sort key (codegen'd [[graft.expressions.ZOrder]]), then

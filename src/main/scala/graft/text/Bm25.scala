@@ -102,10 +102,18 @@ object Bm25 {
       log(((lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5))) + lit(1.0)).as("idf"))
     val qTerms = queries.select(col(idCol).as("query_id"), T.tokenize(col(textCol)).as("qt"))
       .select(col("query_id"), explode(col("qt")).as("term")).distinct()
+    // df-prune BEFORE the posting fan-out: `idf` already excludes
+    // stopword-grade terms (df > cap), so joining it against the query
+    // terms FIRST keeps those terms' corpus-sized posting lists out of
+    // the (query × posting) exchange entirely. Inner joins commute —
+    // results are identical — but the old order paid the full stopword
+    // fan-out and only then dropped the rows: at the 500k-doc tier
+    // (fixed synthetic vocabulary → every term stopword-grade) that was
+    // the difference between a quadratic exchange and a no-op.
     val contrib = qTerms
+      .join(broadcast(idf), Seq("term"))
       .join(index.postings, Seq("term"))
       .where(col("doc_id") =!= col("query_id"))
-      .join(broadcast(idf), Seq("term"))
       .select(col("query_id"), col("doc_id"),
         (col("idf") * (col("tf") * lit(k1 + 1.0)) /
           (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("len") / lit(avgLen)))).as("c"))

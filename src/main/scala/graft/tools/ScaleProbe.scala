@@ -1,0 +1,95 @@
+package graft.tools
+
+import graft.queries.Tables
+import graft.text.LinkGraph
+import org.apache.spark.sql.functions._
+
+/** Scale-ladder probe harness (methodology tool, not a gate): isolates
+  * the parameter/shape alternatives SCALE.md discusses for operators
+  * whose GATE parameters hit synthetic-data pathologies at the 100×
+  * tier, so the report can quote measured numbers for the scale paths
+  * instead of extrapolating.
+  *
+  * Modes (args: <sfDir> <mode>):
+  *  - `link_edges`  — shared-span edge counts at w = 5/6/7 with the
+  *    gate's df cap: how much the fixed 31-word synthetic vocabulary
+  *    densifies the graph at each span width (real vocabularies grow
+  *    with the corpus; this one cannot).
+  *  - `link_capped` — all-roots capped centrality at w = 5,
+  *    maxReachPerRoot = 10k: the supernode guard's cost at the tier
+  *    where uncapped all-roots centrality exhausts disk.
+  *  - `link_sampled` — 1% sampled roots, uncapped, w = 6: the
+  *    "centrality of a candidate set" shape a curation pass actually
+  *    runs at corpus scale.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, mode) = args.take(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.GraftSession
+      .builder(master = s"local[$cpus]", shufflePartitions = cpus.toInt)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = Tables.t(spark, sfDir, "documents")
+    def timed[A](what: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(f"[probe] $what%-28s ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+    mode match {
+      case "link_edges" =>
+        Seq(5, 6, 7).foreach { w =>
+          val n = timed(s"edges w=$w") {
+            LinkGraph.sharedSpanEdges(docs, "doc_id", "text", w = w, maxDf = 32).count()
+          }
+          println(s"""{"mode":"link_edges","w":$w,"edges":$n}""")
+        }
+      case "link_capped" =>
+        val edges = LinkGraph.sharedSpanEdges(docs, "doc_id", "text", w = 5, maxDf = 32)
+        val out = timed("capped centrality w=5") {
+          LinkGraph.centralityCapped(docs.select(col("doc_id")), "doc_id", edges,
+            maxHops = 3, maxReachPerRoot = 10000L)
+        }
+        val nCapped = out.where(col("capped")).count()
+        println(s"""{"mode":"link_capped","rows":${out.count()},"capped_roots":$nCapped}""")
+      case "link_sampled" =>
+        val edges = LinkGraph.sharedSpanEdges(docs, "doc_id", "text", w = 6, maxDf = 32)
+        val roots = docs.select(col("doc_id")).where(pmod(col("doc_id"), lit(100)) === 0)
+        val out = timed("sampled centrality w=6") {
+          LinkGraph.centrality(roots, "doc_id", edges, maxHops = 3)
+        }
+        println(s"""{"mode":"link_sampled","rows":${out.count()}}""")
+      case "pack_scan" =>
+        // isolates the token-count scan from the packing offsets
+        // machinery: one pass, no exchange
+        import graft.functions.{TextFunctions => T}
+        val s1 = timed("tokenCount scan") {
+          docs.select(T.tokenCount(col("text")).as("n")).agg(sum(col("n"))).head().getLong(0)
+        }
+        val s2 = timed("packSequences") {
+          graft.text.Packing.packSequences(docs, "doc_id",
+            T.tokenCount(col("text")), seqLen = 128).count()
+        }
+        println(s"""{"mode":"pack_scan","sum_tokens":$s1,"spans":$s2}""")
+      case "scan_parts" =>
+        // how many concurrent readers each table's layout actually allows
+        Seq("documents", "embeddings", "events", "lineitem", "orders").foreach { t =>
+          val df = Tables.t(spark, sfDir, t)
+          println(s"""{"mode":"scan_parts","table":"$t","parts":${df.rdd.getNumPartitions}}""")
+        }
+      case "minhash_stages" =>
+        // stage-level timing of the minhash dedup pipeline at this tier
+        import graft.functions.{TextFunctions => T}
+        val sh = timed("shingle explode count") {
+          docs.select(col("doc_id"), explode(T.shingleHashes(col("text"), 3)).as("h")).count()
+        }
+        val pairs = timed("verified pairs") {
+          graft.dedup.Dedup.minHashPairs(docs, "text", "doc_id", 3, 64, 16, 0.5).count()
+        }
+        println(s"""{"mode":"minhash_stages","shingle_rows":$sh,"pairs":$pairs}""")
+      case other => sys.error(s"unknown probe mode: $other")
+    }
+    spark.stop()
+  }
+}

@@ -156,6 +156,43 @@ class ExportSpec extends SparkSpec {
     assert(manTok == back.where($"epoch" === 1).agg(sum($"n_real")).head.getLong(0))
   }
 
+  test("auditPackedShards: intact export is all ok; missing / uncertified / mismatched flagged") {
+    val dir = Files.createTempDirectory("graft_audit").toString
+    writeEpoch(dir, docs.where($"doc_id" % 2 === 0), 0)
+    writeEpoch(dir, docs.where($"doc_id" % 2 === 1), 1)
+    val intact = Export.auditPackedShards(spark, dir)
+    assert(intact.where($"status" =!= "ok").count() == 0, "intact export must audit clean")
+    assert(intact.count() == Export.readManifest(spark, dir).count())
+
+    // 1) delete a certified shard directory → missing_data
+    val gone = new java.io.File(s"$dir/epoch=0/shard=0")
+    assert(gone.exists(), "fixture: epoch=0/shard=0 must exist")
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(): Unit
+    }
+    rmrf(gone)
+    // 2) data with no manifest line (crash before rename) → uncertified_data
+    Export.packTokens(docs.where($"doc_id" === 4L), "doc_id", "text", "source",
+        seqLen = L, nShards = 3)
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$dir/epoch=7")
+    // 3) silently duplicate a certified shard's sequence → mismatch
+    val victim = s"$dir/epoch=0/shard=1"
+    val vSchema = spark.read.parquet(victim).schema
+    val vRows = spark.read.parquet(victim).collect().toSeq
+    assert(vRows.nonEmpty)
+    spark.createDataFrame(spark.sparkContext.parallelize(vRows ++ vRows, 1), vSchema)
+      .write.mode("overwrite").parquet(victim)
+
+    val audit = Export.auditPackedShards(spark, dir).collect()
+      .map(r => ((r.getAs[Long]("epoch"), r.getAs[Long]("shard")), r.getAs[String]("status")))
+      .toMap
+    assert(audit((0L, 0L)) == "missing_data", s"audit: $audit")
+    assert(audit((0L, 1L)) == "mismatch", s"audit: $audit")
+    assert(audit.collect { case ((7L, _), s) => s }.toSet == Set("uncertified_data"), s"audit: $audit")
+    // everything untouched still audits ok
+    assert(audit((0L, 2L)) == "ok" && audit((1L, 0L)) == "ok", s"audit: $audit")
+  }
+
   test("packTokensWithVocab: frozen vocabulary keeps ids stable; OOV maps to -1") {
     val vocab = Export.vocabulary(docs.where($"doc_id" =!= 4L), "text")
     val packed = Export.packTokensWithVocab(docs, "doc_id", "text", vocab, seqLen = L, nShards = 3)

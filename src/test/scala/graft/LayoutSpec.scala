@@ -93,6 +93,25 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(zPath).count() == li.count())
   }
 
+  test("scanParallelism: row-group counts from footers expose the single-row-group trap") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_scanpar").toString
+    val df = spark.range(0, 50000).select($"id", ($"id" * 2).as("v"))
+    // one task → one file; default block size → ONE row group
+    df.coalesce(1).write.mode("overwrite").parquet(s"$dir/fat")
+    // small parquet.block.size → many row groups in the same one file
+    df.coalesce(1).write.mode("overwrite")
+      .option("parquet.block.size", (64 * 1024).toString)
+      .parquet(s"$dir/split")
+    val fat = Layout.scanParallelism(spark, s"$dir/fat").collect()
+    assert(fat.length == 1 && fat.head.getAs[Long]("row_groups") == 1L,
+      s"fat: ${fat.mkString(",")}")
+    assert(fat.head.getAs[Long]("rows") == 50000L)
+    val split = Layout.scanParallelism(spark, s"$dir/split").collect()
+    assert(split.length == 1 && split.head.getAs[Long]("row_groups") > 4L,
+      s"split: ${split.mkString(",")}")
+    assert(split.head.getAs[Long]("rows") == 50000L)
+  }
+
   test("compact: file count shrinks to ceil(bytes / target), contents unchanged") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val base = java.nio.file.Files.createTempDirectory("layout")

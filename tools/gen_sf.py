@@ -25,8 +25,16 @@ REF = "/root/testdata/sf0.1"
 
 def write(outdir, name, table):
     path = os.path.join(outdir, f"{name}.parquet")
-    pq.write_table(table, path, version="2.6", coerce_timestamps=None)
-    print(f"[gen] {name}: {table.num_rows} rows -> {path}", flush=True)
+    # Row groups are the unit of scan parallelism: a single-row-group file
+    # caps the whole map side at ONE reader no matter how many cores the
+    # cluster has (measured: the 500k-doc single-row-group documents table
+    # serialized every compute-dense pipeline at the 100x tier — SCALE.md).
+    # Size groups so even the smallest interesting table splits ~256 ways,
+    # the same discipline a real ingest layer applies when writing.
+    rgs = max(8192, table.num_rows // 256)
+    pq.write_table(table, path, version="2.6", coerce_timestamps=None,
+                   row_group_size=rgs)
+    print(f"[gen] {name}: {table.num_rows} rows ({rgs}/group) -> {path}", flush=True)
 
 
 def main():
