@@ -78,10 +78,13 @@ object Bench {
     "q_link_score",
     "q_video_index",
     "q_pack_efficiency",
-    // round 9: fragmented (moof/trun) MP4 indexing (q_export_epoch stays
-    // a correctness-only gate: its cost is the parquet write itself,
-    // which q_export_pack's materialization already represents)
-    "q_video_index_frag"
+    // round 9: fragmented (moof/trun) MP4 indexing (q_export_epoch and
+    // q_export_audit stay correctness-only gates: their cost is the
+    // parquet write itself, which q_export_pack's materialization
+    // already represents), plus ranked-retrieval metrics (exact + IVF
+    // rankings -> MRR/NDCG)
+    "q_video_index_frag",
+    "q_retrieval_metrics"
   )
 
   def main(args: Array[String]): Unit = {

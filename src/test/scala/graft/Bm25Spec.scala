@@ -43,6 +43,24 @@ class Bm25Spec extends SparkSpec {
     assert(out(0).getDouble(2) < 2.0 * out(1).getDouble(2))
   }
 
+  test("df-pruned IDF joins the query terms BEFORE the posting fan-out (plan shape)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    val df = Bm25.topK(corpus(), corpus().where($"doc_id" === 0), "text", "doc_id", k = 5)
+    val joins = df.queryExecution.optimizedPlan.collect { case j: LJoin => j }
+    // the join that touches the postings (the only side carrying `tf`)
+    // must see `idf` (and the query ids) already on its other side — the
+    // stopword-pruned term set gates the fan-out, instead of the old
+    // shape where (query x posting) exploded first and idf pruned after
+    def names(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      p.output.map(_.name).toSet
+    val gated = joins.exists { j =>
+      val (l, r) = (names(j.left), names(j.right))
+      (l.contains("tf") && !l.contains("query_id") && r.contains("query_id") && r.contains("idf")) ||
+        (r.contains("tf") && !r.contains("query_id") && l.contains("query_id") && l.contains("idf"))
+    }
+    assert(gated, s"posting fan-out is not idf-gated:\n${df.queryExecution.optimizedPlan}")
+  }
+
   test("rounded scores are identical across partitionings") {
     def run(p: Int) = Bm25.topK(corpus().repartition(p),
         corpus().where($"doc_id" < 2), "text", "doc_id", k = 5)
