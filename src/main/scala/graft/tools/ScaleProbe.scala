@@ -46,10 +46,15 @@ object ScaleProbe {
           println(s"""{"mode":"link_edges","w":$w,"edges":$n}""")
         }
       case "link_capped" =>
+        // all roots, tight ball cap: the supernode guard's cost profile.
+        // NOTE the cap stops EXPANSION after the hop that crossed it — a
+        // dense graph still pays that hop's join in full, so on a
+        // quadratic-edge graph (this synthetic tier at w=5) the bound is
+        // "one dense hop", not "free"; maxHops=2 keeps the probe honest
         val edges = LinkGraph.sharedSpanEdges(docs, "doc_id", "text", w = 5, maxDf = 32)
-        val out = timed("capped centrality w=5") {
+        val out = timed("capped centrality w=5 hops=2") {
           LinkGraph.centralityCapped(docs.select(col("doc_id")), "doc_id", edges,
-            maxHops = 3, maxReachPerRoot = 10000L)
+            maxHops = 2, maxReachPerRoot = 500L)
         }
         val nCapped = out.where(col("capped")).count()
         println(s"""{"mode":"link_capped","rows":${out.count()},"capped_roots":$nCapped}""")
