@@ -47,6 +47,88 @@ object Decontaminate {
       .withColumn("overlap_ratio", col("n_eval_spans").cast("double") / col("n_spans"))
   }
 
+  /** [[overlapStats]] for eval sets too big to broadcast as an exact
+    * span set: a Bloom filter over the eval spans is built ON the eval
+    * side (Catalyst `bloom_filter_agg`, partial-merged like any
+    * aggregate), embedded in the plan as a binary literal, and tested
+    * scan-side with the codegen'd `might_contain` — so the corpus span
+    * stream is filtered BEFORE any exchange, and only Bloom survivors
+    * (true hits + fpp of the corpus) enter the exact verification join.
+    * Results are bit-identical to [[overlapStats]] (a Bloom has no false
+    * negatives; false positives are discarded by the exact join), which
+    * the unchanged DuckDB oracle verifies.
+    *
+    * Scale shape (100 TB corpus, 10⁶-doc eval set ≈ 10⁸ spans): the
+    * exact distinct span set at 8 B/span is multi-GB — past broadcast
+    * range — while the Bloom at 1% fpp is ~1.2 bytes/span, and the
+    * exact join downstream shuffles only candidates. Per-doc totals
+    * (`n_spans`) come scan-locally from the fused shingle expression,
+    * so the only full-corpus exchanges are the two output-sized per-doc
+    * aggregations. Driver memory is bounded by the serialized Bloom
+    * (`numBits/8`, capped by
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` — raise that
+    * conf alongside `expectedEvalSpans` for eval sets beyond ~4M spans).
+    *
+    * Reference scope: decontamination itself is an LLM-pipeline
+    * extension (the reference engine stores tables; see SURVEY §2 LLM
+    * rows); the Bloom-prefilter mirrors its keep-the-small-artifact
+    * design (domain sidecars, not data rescans).
+    */
+  def overlapStatsBloom(
+      train: DataFrame,
+      eval: DataFrame,
+      textCol: String,
+      idCol: String,
+      w: Int = 8,
+      fpp: Double = 0.01,
+      expectedEvalSpans: Long = 0L
+  ): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"overlapStatsBloom: fpp $fpp out of (0,1)")
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.types.BinaryType
+
+    val evalSpans = eval
+      .select(explode(T.shingleHashes(col(textCol), w)).as("span_hash"))
+      .distinct()
+    // estimated size drives the Bloom's bit budget; when the caller can't
+    // supply it, one count job on the (small) eval side is the honest way
+    val nItems = math.max(1L, if (expectedEvalSpans > 0) expectedEvalSpans else evalSpans.count())
+    val nBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(nItems, fpp)
+    val bloomAgg = new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+      Bridge.expression(col("span_hash")), Literal(nItems), Literal(nBits))
+    val bloomBytes = evalSpans
+      .select(Bridge.column(bloomAgg.toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+
+    val trainArr = train
+      .select(col(idCol).as("id"), T.shingleHashes(col(textCol), w).as("__spans"))
+      .where(size(col("__spans")) > 0)
+    val nSpans = trainArr.select(col("id"), size(col("__spans")).cast("long").as("n_spans"))
+    // empty eval set → null bloom from the zero-row aggregate → no span can hit
+    val hits =
+      if (bloomBytes == null) {
+        nSpans.select(col("id"), lit(0L).as("n_eval_spans")).limit(0)
+      } else {
+        val mightContain = Bridge.column(new BloomFilterMightContain(
+          Literal.create(bloomBytes, BinaryType), Bridge.expression(col("span_hash"))))
+        trainArr
+          .select(col("id"), explode(col("__spans")).as("span_hash"))
+          .where(mightContain)
+          .join(evalSpans, Seq("span_hash"))
+          .groupBy(col("id"))
+          .agg(count(lit(1)).as("n_eval_spans"))
+      }
+    nSpans
+      .join(hits, Seq("id"), "left")
+      .select(
+        col("id"),
+        col("n_spans"),
+        coalesce(col("n_eval_spans"), lit(0L)).as("n_eval_spans"),
+        (coalesce(col("n_eval_spans"), lit(0L)).cast("double") / col("n_spans"))
+          .as("overlap_ratio"))
+  }
+
   /** The benchmark auditor's direction — per EVAL doc, how much of it
     * leaked into the training corpus: (eval_id, n_spans, n_hit_spans,
     * n_train_docs, contamination_ratio) where n_spans counts the eval

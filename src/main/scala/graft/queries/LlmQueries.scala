@@ -1172,6 +1172,20 @@ object LlmQueries {
         .orderBy(col("id"))
     }),
 
+    // same report computed through the Bloom-prefilter path (the shape
+    // for eval sets past broadcast range): bloom_filter_agg on the eval
+    // side, codegen'd might_contain scan-side, exact join on survivors —
+    // bit-identical to q_decontaminate, which the shared oracle verifies
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val evalSet = docs.where(pmod(col("doc_id"), lit(5)) === 0)
+      val train = docs.where(pmod(col("doc_id"), lit(5)) =!= 0)
+      Decontaminate.overlapStatsBloom(train, evalSet, "text", "doc_id", w = 8, fpp = 0.01)
+        .where(col("n_eval_spans") > 0)
+        .select(col("id"), col("n_spans"), col("n_eval_spans"), col("overlap_ratio"))
+        .orderBy(col("id"))
+    }),
+
     // transitive contamination: BFS through the near-dup graph from the
     // directly-contaminated docs — a near-duplicate of a leaked doc
     // carries the leak even when its own text matches no eval span
@@ -2899,6 +2913,25 @@ object LlmQueries {
          |WHERE rn = 1 AND fp NOT IN (SELECT fp FROM corpus)
          |ORDER BY doc_id""".stripMargin,
     "q_decontaminate" ->
+      s"""WITH spans AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    [array_to_string(toks[i:i+7], ' ') FOR i IN range(1, greatest(len(toks) - 6, 1))])) AS span
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM documents WHERE $normSql <> '')
+         |), ev AS (
+         |  SELECT DISTINCT span FROM spans WHERE doc_id % 5 = 0
+         |)
+         |SELECT s.doc_id AS id,
+         |  CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(sum(CASE WHEN e.span IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_eval_spans,
+         |  sum(CASE WHEN e.span IS NOT NULL THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE) AS overlap_ratio
+         |FROM spans s LEFT JOIN ev e USING (span)
+         |WHERE s.doc_id % 5 <> 0
+         |GROUP BY s.doc_id
+         |HAVING sum(CASE WHEN e.span IS NOT NULL THEN 1 ELSE 0 END) > 0
+         |ORDER BY id""".stripMargin,
+    // Bloom-prefilter path returns bit-identical results (no false
+    // negatives; false positives die in the exact join) — same oracle
+    "q_decontaminate_bloom" ->
       s"""WITH spans AS (
          |  SELECT doc_id, unnest(list_distinct(
          |    [array_to_string(toks[i:i+7], ' ') FOR i IN range(1, greatest(len(toks) - 6, 1))])) AS span

@@ -40,6 +40,10 @@ object PlanCheck {
       mustNotContain = Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
     // eval-side span set broadcast; training spans never shuffle for the join
     Check("q_decontaminate", mustContain = Seq("BroadcastHashJoin")),
+    // Bloom path: the codegen'd might_contain must sit scan-side (corpus
+    // spans filtered BEFORE any exchange); the verification join then only
+    // sees Bloom survivors
+    Check("q_decontaminate_bloom", mustContain = Seq("might_contain")),
     // positional zip: offset table broadcast onto the narrow data path
     Check("q_append_position", mustContain = Seq("BroadcastHashJoin")),
     // full-outer snapshot diff is a shuffled merge join, single pass per side

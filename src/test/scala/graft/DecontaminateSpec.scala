@@ -34,6 +34,26 @@ class DecontaminateSpec extends SparkSpec {
     assert(row.getAs[Double]("overlap_ratio") > 0 && row.getAs[Double]("overlap_ratio") <= 1.0)
   }
 
+  test("overlapStatsBloom ≡ overlapStats (bit-identical rows); empty eval set → zero hits") {
+    val exact = Decontaminate.overlapStats(train, evalSet, "text", "doc_id", w = 8)
+      .orderBy($"id").collect().toSeq
+    val bloom = Decontaminate.overlapStatsBloom(train, evalSet, "text", "doc_id", w = 8)
+      .orderBy($"id").collect().toSeq
+    assert(bloom == exact, s"bloom=$bloom exact=$exact")
+    // a saturated-fpp bloom (tiny bit budget) may pass extra candidates to
+    // the exact join but must never change the result
+    val coarse = Decontaminate.overlapStatsBloom(train, evalSet, "text", "doc_id", w = 8, fpp = 0.5)
+      .orderBy($"id").collect().toSeq
+    assert(coarse == exact)
+    // empty eval set: the zero-row bloom aggregate yields a null sketch —
+    // every doc reports zero hits instead of the operator throwing
+    val none = Decontaminate.overlapStatsBloom(
+        train, evalSet.where($"doc_id" < 0), "text", "doc_id", w = 8)
+      .orderBy($"id").collect()
+    assert(none.forall(r => r.getAs[Long]("n_eval_spans") == 0L && r.getAs[Double]("overlap_ratio") == 0.0))
+    assert(none.map(_.getAs[Long]("id")).toSet == Set(0L, 1L, 2L)) // short doc 3 has no spans
+  }
+
   test("evalContamination reports the leak from the eval side; zero-hit eval docs stay") {
     val evalTwo = evalSet.union(Seq((101L, clean2 + " extra tail words here")).toDF("doc_id", "text"))
     val out = Decontaminate.evalContamination(train, evalTwo, "text", "doc_id", w = 8)
