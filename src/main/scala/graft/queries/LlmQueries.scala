@@ -1253,6 +1253,20 @@ object LlmQueries {
       val edges = LinkGraph.sharedSpanEdges(docs, "doc_id", "text", w = 5, maxDf = 32)
       LinkGraph.centrality(docs.select(col("doc_id")), "doc_id", edges, maxHops = 3)
         .orderBy(col("doc_id"))
+    }),
+
+    // the CORPUS-SCALE centrality shape (SCALE.md r9 finding 2): sampled
+    // candidate roots + sparser spans. All-roots closures are inherently
+    // Σ|ball| — at web scale a curation pass scores a candidate set, it
+    // does not materialize all-pairs distance; measured 44 s at sf10
+    // where the all-roots gate exhausts disk. Deterministic 1% root
+    // sample (doc_id % 100) keeps the full-oracle check.
+    "q_link_score_sampled" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val edges = LinkGraph.sharedSpanEdges(docs, "doc_id", "text", w = 6, maxDf = 32)
+      val roots = docs.select(col("doc_id")).where(pmod(col("doc_id"), lit(100)) === 0)
+      LinkGraph.centrality(roots, "doc_id", edges, maxHops = 3)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2877,6 +2891,50 @@ object LlmQueries {
          |    + CAST(coalesce(n_hop_2, 0) AS DOUBLE) / 2.0
          |    + CAST(coalesce(n_hop_3, 0) AS DOUBLE) / 3.0 AS harmonic
          |FROM documents d LEFT JOIN ct USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // sampled-roots variant: w = 6 spans, BFS expanded only from the 1%
+    // root sample (r1s seeds the closure; hops 2-3 still walk ALL edges)
+    "q_link_score_sampled" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, list_filter($toksSql, x -> x <> '') AS toks FROM documents),
+         |sp0 AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id,
+         |    unnest([array_to_string(toks[i:i+5], ' ') FOR i IN range(1, greatest(len(toks) - 4, 1))]) AS span
+         |  FROM tk),
+         |rare AS MATERIALIZED (
+         |  SELECT span FROM sp0 GROUP BY span HAVING count(*) BETWEEN 2 AND 32),
+         |sp AS MATERIALIZED (SELECT doc_id, span FROM sp0 JOIN rare USING (span)),
+         |r1 AS MATERIALIZED (
+         |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+         |  FROM sp a JOIN sp b ON a.span = b.span AND a.doc_id <> b.doc_id),
+         |r1s AS MATERIALIZED (SELECT src, dst FROM r1 WHERE src % 100 = 0),
+         |r2 AS MATERIALIZED (
+         |  SELECT DISTINCT a.src, b.dst FROM r1s a JOIN r1 b ON a.dst = b.src
+         |  WHERE b.dst <> a.src),
+         |r3 AS MATERIALIZED (
+         |  SELECT DISTINCT a.src, b.dst FROM r2 a JOIN r1 b ON a.dst = b.src
+         |  WHERE b.dst <> a.src),
+         |md AS (
+         |  SELECT src, dst, min(d) AS d FROM (
+         |    SELECT src, dst, 1 AS d FROM r1s
+         |    UNION ALL SELECT src, dst, 2 FROM r2
+         |    UNION ALL SELECT src, dst, 3 FROM r3)
+         |  GROUP BY src, dst),
+         |ct AS (
+         |  SELECT src AS doc_id,
+         |    CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hop_1,
+         |    CAST(sum(CASE WHEN d = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_hop_2,
+         |    CAST(sum(CASE WHEN d = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_hop_3
+         |  FROM md GROUP BY src)
+         |SELECT d.doc_id,
+         |  coalesce(n_hop_1, 0) AS n_hop_1,
+         |  coalesce(n_hop_2, 0) AS n_hop_2,
+         |  coalesce(n_hop_3, 0) AS n_hop_3,
+         |  coalesce(n_hop_1, 0) + coalesce(n_hop_2, 0) + coalesce(n_hop_3, 0) AS reach,
+         |  CAST(coalesce(n_hop_1, 0) AS DOUBLE) / 1.0
+         |    + CAST(coalesce(n_hop_2, 0) AS DOUBLE) / 2.0
+         |    + CAST(coalesce(n_hop_3, 0) AS DOUBLE) / 3.0 AS harmonic
+         |FROM documents d LEFT JOIN ct USING (doc_id)
+         |WHERE d.doc_id % 100 = 0 ORDER BY d.doc_id""".stripMargin,
     "q_langid_ngram" -> {
       def profile(lang: String): String =
         graft.functions.TextFunctions.trigramProfiles(lang).map(x => s"'$x'").mkString("[", ",", "]")
