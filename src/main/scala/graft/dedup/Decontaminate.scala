@@ -74,6 +74,31 @@ object Decontaminate {
     * rows); the Bloom-prefilter mirrors its keep-the-small-artifact
     * design (domain sidecars, not data rescans).
     */
+  /** Distributed Bloom build over a LongType column: Catalyst
+    * `bloom_filter_agg` (partial-merged like any aggregate), returning
+    * the serialized sketch — or null for an empty input (no aggregate
+    * rows). Driver memory is bounded by `numBits/8`.
+    */
+  private[graft] def bloomBytes(spans: DataFrame, hashCol: String, nItems: Long, fpp: Double): Array[Byte] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graftbridge.Bridge
+    val n = math.max(1L, nItems)
+    val nBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(n, fpp)
+    val agg = new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+      Bridge.expression(col(hashCol)), Literal(n), Literal(nBits))
+    spans.select(Bridge.column(agg.toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+  }
+
+  /** Codegen'd scan-side membership test against a serialized Bloom. */
+  private[graft] def mightContain(bloom: Array[Byte], c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.types.BinaryType
+    Bridge.column(new BloomFilterMightContain(
+      Literal.create(bloom, BinaryType), Bridge.expression(c)))
+  }
+
   def overlapStatsBloom(
       train: DataFrame,
       eval: DataFrame,
@@ -84,22 +109,13 @@ object Decontaminate {
       expectedEvalSpans: Long = 0L
   ): DataFrame = {
     require(fpp > 0 && fpp < 1, s"overlapStatsBloom: fpp $fpp out of (0,1)")
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.graftbridge.Bridge
-    import org.apache.spark.sql.types.BinaryType
-
     val evalSpans = eval
       .select(explode(T.shingleHashes(col(textCol), w)).as("span_hash"))
       .distinct()
     // estimated size drives the Bloom's bit budget; when the caller can't
     // supply it, one count job on the (small) eval side is the honest way
-    val nItems = math.max(1L, if (expectedEvalSpans > 0) expectedEvalSpans else evalSpans.count())
-    val nBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(nItems, fpp)
-    val bloomAgg = new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-      Bridge.expression(col("span_hash")), Literal(nItems), Literal(nBits))
-    val bloomBytes = evalSpans
-      .select(Bridge.column(bloomAgg.toAggregateExpression()).as("bf"))
-      .head().getAs[Array[Byte]](0)
+    val nItems = if (expectedEvalSpans > 0) expectedEvalSpans else evalSpans.count()
+    val bloom = bloomBytes(evalSpans, "span_hash", nItems, fpp)
 
     val trainArr = train
       .select(col(idCol).as("id"), T.shingleHashes(col(textCol), w).as("__spans"))
@@ -107,14 +123,12 @@ object Decontaminate {
     val nSpans = trainArr.select(col("id"), size(col("__spans")).cast("long").as("n_spans"))
     // empty eval set → null bloom from the zero-row aggregate → no span can hit
     val hits =
-      if (bloomBytes == null) {
+      if (bloom == null) {
         nSpans.select(col("id"), lit(0L).as("n_eval_spans")).limit(0)
       } else {
-        val mightContain = Bridge.column(new BloomFilterMightContain(
-          Literal.create(bloomBytes, BinaryType), Bridge.expression(col("span_hash"))))
         trainArr
           .select(col("id"), explode(col("__spans")).as("span_hash"))
-          .where(mightContain)
+          .where(mightContain(bloom, col("span_hash")))
           .join(evalSpans, Seq("span_hash"))
           .groupBy(col("id"))
           .agg(count(lit(1)).as("n_eval_spans"))
