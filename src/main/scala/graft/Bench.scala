@@ -84,7 +84,12 @@ object Bench {
     // already represents), plus ranked-retrieval metrics (exact + IVF
     // rankings -> MRR/NDCG)
     "q_video_index_frag",
-    "q_retrieval_metrics"
+    "q_retrieval_metrics",
+    // round 9 late: the Bloom decontamination path benched against its
+    // exact-broadcast sibling, and the corpus-scale sampled-roots
+    // centrality shape
+    "q_decontaminate_bloom",
+    "q_link_score_sampled"
   )
 
   def main(args: Array[String]): Unit = {

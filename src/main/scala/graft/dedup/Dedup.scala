@@ -863,4 +863,36 @@ object Dedup {
     val losers = reps.where(col("rep") =!= col("id")).select(col("id"))
     docs.join(losers.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }
+
+  /** [[minHashDedup]] with a SURVIVOR POLICY: each duplicate cluster
+    * keeps its best-scoring member (highest `score`, ties to lowest id)
+    * instead of the lowest id. The policy real curation passes want —
+    * "keep the longest / highest-quality copy" — min-id keeps whichever
+    * copy happened to be crawled first. `score` is any deterministic
+    * per-doc expression over `docs` (token count for keep-longest, a
+    * quality-model score, …); integer scores keep the selection
+    * bit-exact across engines.
+    *
+    * Scale shape: identical to [[minHashDedup]] (pairs + label
+    * propagation) plus one component-keyed `max_by` aggregation and one
+    * id-sized join — everything after the pair stage moves
+    * (id, rep, score) rows only. The tie-break struct `(score, -id)` is
+    * totally ordered (ids unique), so the keeper never depends on
+    * partitioning.
+    */
+  def minHashDedupKeepBest(docs: DataFrame, textCol: String, idCol: String,
+      score: org.apache.spark.sql.Column, threshold: Double = 0.7,
+      maxIters: Int = 20): DataFrame = {
+    val pairs = minHashPairs(docs, textCol, idCol, threshold = threshold)
+    val reps = clusterRepresentatives(pairs, maxIters)
+    // only docs IN a component can lose; everyone else never joins in
+    val scored = docs.select(col(idCol).as("id"), score.as("__sc")).join(reps, Seq("id"))
+    val losers = scored
+      .groupBy(col("rep"))
+      .agg(max_by(col("id"), struct(col("__sc"), (-col("id")).as("__tie"))).as("__keep"))
+      .join(scored.select(col("id"), col("rep")), Seq("rep"))
+      .where(col("id") =!= col("__keep"))
+      .select(col("id"))
+    docs.join(losers.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+  }
 }

@@ -98,6 +98,17 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // survivor POLICY: each near-dup cluster keeps its LONGEST member
+    // (token count, ties to lowest id) — what curation actually wants;
+    // min-id keeps whichever copy was crawled first
+    "q_dedup_keep_longest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.minHashDedupKeepBest(docs, "text", "doc_id",
+          T.tokenCount(col("text")).cast("long"), threshold = 0.5)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // brute-force cosine top-k ANN (DuckDB list_cosine_similarity oracle)
     "q_ann_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1411,6 +1422,7 @@ object LlmQueries {
     "q_ngram_jaccard" -> XxhSql.minhashPairsSql(charLevel = true, n = 5, k = 32, bands = 8, threshold = 0.4),
     "q_dedup_simhash" -> XxhSql.simhashPairsSql(maxHamming = 3, bands = 4),
     "q_dedup_minhash_survivors" -> XxhSql.minhashSurvivorsSql(n = 3, k = 64, bands = 16, threshold = 0.5),
+    "q_dedup_keep_longest" -> XxhSql.minhashKeepBestSql(n = 3, k = 64, bands = 16, threshold = 0.5),
     "q_minhash_incremental" -> XxhSql.minhashIncrementalSql(n = 3, k = 64, bands = 16, threshold = 0.5),
     "q_transitive_contamination" -> XxhSql.transitiveContaminationSql(n = 3, k = 64, bands = 16, threshold = 0.4),
     "q_curation_pipeline" -> XxhSql.curationPipelineSql(

@@ -386,6 +386,33 @@ object XxhSql {
        |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id FROM losers)
        |ORDER BY doc_id""".stripMargin
 
+  /** Oracle for [[graft.dedup.Dedup.minHashDedupKeepBest]] with
+    * score = token count: component labels from the full transitive
+    * closure, keeper = highest token count (ties to lowest id).
+    */
+  def minhashKeepBestSql(n: Int, k: Int, bands: Int, threshold: Double): String =
+    s"""WITH RECURSIVE ${pairCtes(wordShingles(n), k, bands, k / bands)},
+       |edges AS MATERIALIZED (
+       |  SELECT id_a AS a, id_b AS b FROM ver WHERE j >= $threshold
+       |  UNION SELECT id_b, id_a FROM ver WHERE j >= $threshold),
+       |reach(src, dst) AS (
+       |  SELECT a, b FROM edges
+       |  UNION SELECT reach.src, e.b FROM reach JOIN edges e ON reach.dst = e.a),
+       |labels AS (SELECT src AS id, least(src, min(dst)) AS rep FROM reach GROUP BY src),
+       |score AS (
+       |  SELECT doc_id AS id,
+       |    CAST(CASE WHEN $normSql = '' THEN 0 ELSE len($toksSql) END AS BIGINT) AS sc
+       |  FROM documents),
+       |keep AS (
+       |  SELECT rep, id AS keeper FROM (
+       |    SELECT l.rep, l.id,
+       |      row_number() OVER (PARTITION BY l.rep ORDER BY s.sc DESC, l.id ASC) AS rn
+       |    FROM labels l JOIN score s USING (id)) WHERE rn = 1),
+       |losers AS (
+       |  SELECT l.id FROM labels l JOIN keep k ON l.rep = k.rep AND l.id <> k.keeper)
+       |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id FROM losers)
+       |ORDER BY doc_id""".stripMargin
+
   /** Oracle for the [[graft.dedup.Dedup.minHashIncremental]] query shape:
     * corpus = doc_id % 3 = 0, batch = rest; batch docs survive unless a
     * verified near-dup exists against the corpus or a LOWER-id batch doc

@@ -102,6 +102,30 @@ class DedupSpec extends SparkSpec {
     assert(!out.contains(4L)) // exact dup dropped
   }
 
+  test("keep-best survivor policy: longest cluster member wins, ties to lowest id") {
+    // cluster {0, 1, 4}: doc 1 (nearDup) same length as base; doc 5 is
+    // base with an extra tail — the LONGEST member and NOT the min id
+    val longer = base + " and a longer trailing sentence follows here"
+    val d = Seq(
+      (0L, base), (1L, nearDup), (2L, distinct1), (3L, distinct2), (4L, base), (5L, longer)
+    ).toDF("doc_id", "text")
+    val best = Dedup.minHashDedupKeepBest(d, "text", "doc_id",
+        T.tokenCount($"text").cast("long"), threshold = 0.5)
+      .select($"doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(best == Seq(2L, 3L, 5L), s"longest member must win the cluster: $best")
+    // min-id policy on the same corpus keeps 0 instead — the policies differ
+    val minId = Dedup.minHashDedup(d, "text", "doc_id", threshold = 0.5)
+      .select($"doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(minId == Seq(0L, 2L, 3L), s"min-id baseline: $minId")
+    // equal scores everywhere → tie-break reduces to min id: same verdicts
+    val tied = Dedup.minHashDedupKeepBest(docs, "text", "doc_id",
+        lit(7L), threshold = 0.5)
+      .select($"doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val baseline = Dedup.minHashDedup(docs, "text", "doc_id", threshold = 0.5)
+      .select($"doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(tied == baseline, s"tied=$tied baseline=$baseline")
+  }
+
   test("clean corpus (no near-duplicates) survives end-to-end — empty pair graph (ADVICE r1)") {
     val clean = Seq((0L, distinct1), (1L, distinct2)).toDF("doc_id", "text")
     // used to NPE: agg(max(chg)) over an empty label set returned null
