@@ -84,6 +84,19 @@ object Decontaminate {
     import org.apache.spark.sql.graftbridge.Bridge
     val n = math.max(1L, nItems)
     val nBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(n, fpp)
+    // bloom_filter_agg CLAMPS numBits to the runtime-filter conf cap
+    // (probed: 10M items / 96M optimal bits → an 8 MB / 67M-bit sketch,
+    // no error). Results stay exact either way — the exact join discards
+    // false positives — but a silently-degraded fpp costs shuffle volume,
+    // so surface it instead of letting the candidate stream quietly grow.
+    val capBits = spans.sparkSession.conf
+      .getOption("spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
+      .map(_.toLong).getOrElse(67108864L)
+    if (nBits > capBits)
+      System.err.println(
+        s"[graft] bloom: optimal $nBits bits for $n items clamped to $capBits by " +
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumBits - raise it to keep fpp; " +
+        "results remain exact, only the candidate volume grows")
     val agg = new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
       Bridge.expression(col(hashCol)), Literal(n), Literal(nBits))
     spans.select(Bridge.column(agg.toAggregateExpression()).as("bf"))
