@@ -179,6 +179,34 @@ object Decontaminate {
       textCol: String,
       idCol: String,
       w: Int = 8
+  ): DataFrame = evalContaminationImpl(train, eval, textCol, idCol, w, bloomFpp = None)
+
+  /** [[evalContamination]] through the Bloom-prefilter path (see
+    * [[overlapStatsBloom]]): the representative eval span set rides as a
+    * Bloom literal instead of an exact broadcast, corpus group-spans are
+    * gated scan-side, and the exact join sees survivors only. Results
+    * are bit-identical (no false negatives; false positives die in the
+    * exact join) — the shape for eval sets past broadcast range.
+    */
+  def evalContaminationBloom(
+      train: DataFrame,
+      eval: DataFrame,
+      textCol: String,
+      idCol: String,
+      w: Int = 8,
+      fpp: Double = 0.01
+  ): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"evalContaminationBloom: fpp $fpp out of (0,1)")
+    evalContaminationImpl(train, eval, textCol, idCol, w, bloomFpp = Some(fpp))
+  }
+
+  private def evalContaminationImpl(
+      train: DataFrame,
+      eval: DataFrame,
+      textCol: String,
+      idCol: String,
+      w: Int,
+      bloomFpp: Option[Double]
   ): DataFrame = {
     // IDENTICAL-TEXT COLLAPSE on both sides (the SCALE.md giant-cluster
     // guard applied to a bipartite span join): identical texts have
@@ -203,7 +231,19 @@ object Decontaminate {
       .agg(min(col("train_id")).as("__tg"), count(lit(1)).as("__gsize"))
     val trainGroupSpans = trainGroups
       .select(col("__tg"), col("__gsize"), explode(T.shingleHashes(col("__t"), w)).as("span_hash"))
-    val pairHits = trainGroupSpans.join(broadcast(repSpans), Seq("span_hash"))
+    val pairHits = bloomFpp match {
+      case None => trainGroupSpans.join(broadcast(repSpans), Seq("span_hash"))
+      case Some(fpp) =>
+        // one count job on the (small) eval side sizes the bit budget;
+        // a null bloom (empty eval span set) admits nothing, matching
+        // the exact join's empty result
+        val hashes = repSpans.select(col("span_hash")).distinct()
+        val bloom = bloomBytes(hashes, "span_hash", hashes.count(), fpp)
+        if (bloom == null) trainGroupSpans.join(repSpans, Seq("span_hash")).limit(0)
+        else trainGroupSpans
+          .where(mightContain(bloom, col("span_hash")))
+          .join(repSpans, Seq("span_hash"))
+    }
     val nHit = pairHits.select(col("eval_id"), col("span_hash")).distinct()
       .groupBy(col("eval_id")).agg(count(lit(1)).as("n_hit_spans"))
     val nTrain = pairHits.select(col("eval_id"), col("__tg"), col("__gsize")).distinct()

@@ -513,6 +513,35 @@ object Dedup {
     rewriteWithDrops(chunked, idCol, drops)
   }
 
+  /** [[chunkDedupRewrite]] with CONTENT-DEFINED chunk boundaries
+    * ([[graft.functions.TextFunctions.cdcChunks]]): the rsync/FastCDC
+    * idea applied to corpus dedup. Fixed w-token chunks lose every match
+    * after an insertion/deletion (all downstream boundaries shift); CDC
+    * boundaries derive from the text's own rolling hash, so an edit
+    * re-chunks only its local neighborhood and the rest of the document
+    * still deduplicates against its other copies. Expected chunk length
+    * ≈ 2^maskBits tokens clamped to [minTokens, maxTokens].
+    *
+    * Downstream is the shared unit machinery: keep-first global winner
+    * per chunk, duplicate-proportional drop lists, text moves only on
+    * the per-affected-doc join-back — same 100 TB shape as
+    * [[chunkDedupRewrite]], same persist-vs-recompute trade (the fused
+    * chunker is re-run per consumer rather than materialized).
+    */
+  def cdcDedupRewrite(docs: DataFrame, textCol: String, idCol: String,
+      hashW: Int = 8, maskBits: Int = 3, minTokens: Int = 4, maxTokens: Int = 16): DataFrame = {
+    val chunked = docs.withColumn("__chunks",
+      T.cdcChunks(col(textCol), hashW, maskBits, minTokens, maxTokens))
+    val units = chunkUnits(chunked, idCol)
+    val winners = units.groupBy(col("__h"))
+      .agg(min(struct(col("id"), col("idx"))).as("__win"), count(lit(1)).as("__n"))
+      .where(col("__n") > 1)
+      .select(col("__h"), col("__win"))
+    val drops = units.join(winners, "__h")
+      .where(col("id") =!= col("__win.id") || col("idx") =!= col("__win.idx"))
+    rewriteWithDrops(chunked, idCol, drops)
+  }
+
   /** Lineage of the keep-first rewrite: for every chunk occurrence
     * [[chunkDedupRewrite]] drops, the surviving occurrence it
     * deduplicated against — the "where did my content go" audit table

@@ -385,3 +385,80 @@ case class BandHashes(child: Expression, bands: Int, rows: Int)
 
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
+
+/** Content-defined chunking over the normalized token stream — the
+  * rsync/LBFS/FastCDC boundary idea applied to text dedup: chunk
+  * boundaries are placed where the content's own rolling hash satisfies
+  * a mask test, so an insertion or deletion only re-chunks its local
+  * neighborhood while FIXED chunking shifts every downstream chunk and
+  * destroys all dedup matches past the edit point. (The reference engine
+  * has no chunking at all — this extends the LLM-pipeline chunk-dedup
+  * family; see graft.dedup.Dedup.cdcDedupRewrite.)
+  *
+  * Semantics (deterministic, engine-independent — the DuckDB oracle
+  * replays it exactly):
+  *   - normalize as [[TextHash.normalize]]; tokens are space-free runs;
+  *   - a chunk ENDS before token index `i` (0-based) iff
+  *     `i - chunkStart >= minTokens` and the xxhash64 (seed 42) of the
+  *     `hashW` normalized chars starting at token i's first char has its
+  *     low `maskBits` bits all zero (window must fit inside the text) —
+  *     the FIRST such `i`, else the chunk is force-cut at `maxTokens`;
+  *   - each chunk is its tokens joined by ' ' (so the downstream unit /
+  *     keep-first / rewrite machinery is shared with fixed chunking).
+  *
+  * Expected chunk length ≈ 2^maskBits tokens between the min/max clamps.
+  * One pass of primitive JVM code per row, scan-local, codegen'd.
+  */
+case class CdcChunks(child: Expression, hashW: Int, maskBits: Int,
+    minTokens: Int, maxTokens: Int) extends UnaryExpression {
+  require(hashW >= 1, s"cdcChunks: hashW $hashW < 1")
+  require(maskBits >= 0 && maskBits < 63, s"cdcChunks: maskBits $maskBits out of [0, 63)")
+  require(minTokens >= 1, s"cdcChunks: minTokens $minTokens < 1")
+  require(maxTokens >= minTokens, s"cdcChunks: maxTokens $maxTokens < minTokens $minTokens")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = TextHash.checkString(child.dataType)
+
+  override def nullSafeEval(v: Any): Any = evalChunks(v.asInstanceOf[UTF8String])
+
+  def evalChunks(str: UTF8String): ArrayData = {
+    val (buf, len) = TextHash.normalize(str.toString)
+    if (len == 0) return new GenericArrayData(Array.empty[Any])
+    // token start offsets (tokens separated by single spaces)
+    val starts = new java.util.ArrayList[Integer]()
+    var i = 0
+    while (i < len) {
+      if (i == 0 || buf(i - 1) == ' ') starts.add(i)
+      i += 1
+    }
+    val t = starts.size()
+    val mask = (1L << maskBits) - 1L
+    val out = new java.util.ArrayList[UTF8String]()
+    var b = 0
+    while (b < t) {
+      val hardCut = math.min(b + maxTokens, t)
+      var cut = hardCut
+      var j = b + minTokens
+      while (j < hardCut && cut == hardCut) {
+        val s = starts.get(j)
+        if (s + hashW <= len && (TextHash.hashRange(buf, s, hashW) & mask) == 0L) cut = j
+        j += 1
+      }
+      val from = starts.get(b)
+      val until = if (cut < t) starts.get(cut) - 1 else len // strip separator space
+      out.add(UTF8String.fromBytes(java.util.Arrays.copyOfRange(buf, from, until)))
+      b = cut
+    }
+    val arr = new Array[Any](out.size())
+    var k = 0
+    while (k < arr.length) { arr(k) = out.get(k); k += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cdcChunks", this, classOf[CdcChunks].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.evalChunks($a);")
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}

@@ -101,6 +101,15 @@ object TextFunctions {
   def charWindowHashes(c: Column, n: Int): Column =
     e2col(graft.expressions.ShingleHashes(col2e(c), n, charLevel = true, distinct = false))
 
+  /** Content-defined chunks of the normalized token stream (fused; see
+    * [[graft.expressions.CdcChunks]]): boundaries where the text's own
+    * rolling hash passes the mask test, clamped to [minTokens,
+    * maxTokens] — edit-robust chunking for dedup (an insertion re-chunks
+    * only its neighborhood; fixed chunking shifts everything after it).
+    */
+  def cdcChunks(c: Column, hashW: Int, maskBits: Int, minTokens: Int, maxTokens: Int): Column =
+    e2col(graft.expressions.CdcChunks(col2e(c), hashW, maskBits, minTokens, maxTokens))
+
   /** xxhash64 values of the token MULTISET (duplicates kept — SimHash
     * voting needs them), fused.
     */

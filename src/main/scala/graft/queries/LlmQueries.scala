@@ -813,6 +813,16 @@ object LlmQueries {
         .orderBy(col("id"))
     }),
 
+    // content-defined chunk boundaries (FastCDC-style): edit-robust
+    // dedup — an insertion re-chunks its neighborhood only, where the
+    // fixed-w rewrite above loses every match past the edit point.
+    // Expected chunk ≈ 2^3 = 8 tokens, clamped to [4, 16]
+    "q_cdc_rewrite" -> ((s, dir) => {
+      Dedup.cdcDedupRewrite(t(s, dir, "documents"), "text", "doc_id",
+          hashW = 8, maskBits = 3, minTokens = 4, maxTokens = 16)
+        .orderBy(col("id"))
+    }),
+
     // dataset card: the per-source release report — size, token mass,
     // quality, dominant language, and duplication profile in one row per
     // source. Every lane is exact-integer (or a rounded exact ratio /
@@ -1252,6 +1262,16 @@ object LlmQueries {
         .orderBy(col("eval_id"))
     }),
 
+    // report direction through the Bloom path — bit-identical to
+    // q_contamination_report (shared oracle), eval-set-past-broadcast shape
+    "q_contamination_report_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val evalSet = docs.where(pmod(col("doc_id"), lit(5)) === 0)
+      val train = docs.where(pmod(col("doc_id"), lit(5)) =!= 0)
+      Decontaminate.evalContaminationBloom(train, evalSet, "text", "doc_id", w = 8)
+        .orderBy(col("eval_id"))
+    }),
+
     // link-graph quality scoring: bounded-hop neighborhood centrality
     // over the shared-span document graph (w=5 shingles, df cap 32 drops
     // boilerplate hubs; w=4 over the synthetic 31-word vocabulary is
@@ -1423,6 +1443,7 @@ object LlmQueries {
     "q_dedup_simhash" -> XxhSql.simhashPairsSql(maxHamming = 3, bands = 4),
     "q_dedup_minhash_survivors" -> XxhSql.minhashSurvivorsSql(n = 3, k = 64, bands = 16, threshold = 0.5),
     "q_dedup_keep_longest" -> XxhSql.minhashKeepBestSql(n = 3, k = 64, bands = 16, threshold = 0.5),
+    "q_cdc_rewrite" -> XxhSql.cdcRewriteSql(hashW = 8, maskBits = 3, minT = 4, maxT = 16),
     "q_minhash_incremental" -> XxhSql.minhashIncrementalSql(n = 3, k = 64, bands = 16, threshold = 0.5),
     "q_transitive_contamination" -> XxhSql.transitiveContaminationSql(n = 3, k = 64, bands = 16, threshold = 0.4),
     "q_curation_pipeline" -> XxhSql.curationPipelineSql(
@@ -3021,6 +3042,30 @@ object LlmQueries {
     // same span model as q_decontaminate, aggregated per eval doc with
     // distinct-train-doc counts; zero-hit eval docs stay (left join)
     "q_contamination_report" ->
+      s"""WITH spans AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    [array_to_string(toks[i:i+7], ' ') FOR i IN range(1, greatest(len(toks) - 6, 1))])) AS span
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM documents WHERE $normSql <> '')
+         |), ev AS (
+         |  SELECT doc_id AS eval_id, span FROM spans WHERE doc_id % 5 = 0
+         |), tr AS (
+         |  SELECT doc_id AS train_id, span FROM spans WHERE doc_id % 5 <> 0
+         |), hits AS (
+         |  SELECT e.eval_id,
+         |    CAST(count(DISTINCT e.span) AS BIGINT) AS n_hit_spans,
+         |    CAST(count(DISTINCT t.train_id) AS BIGINT) AS n_train_docs
+         |  FROM ev e JOIN tr t USING (span) GROUP BY e.eval_id
+         |), tot AS (
+         |  SELECT eval_id, CAST(count(*) AS BIGINT) AS n_spans FROM ev GROUP BY eval_id
+         |)
+         |SELECT t.eval_id, t.n_spans,
+         |  coalesce(h.n_hit_spans, 0) AS n_hit_spans,
+         |  coalesce(h.n_train_docs, 0) AS n_train_docs,
+         |  coalesce(h.n_hit_spans, 0) / CAST(t.n_spans AS DOUBLE) AS contamination_ratio
+         |FROM tot t LEFT JOIN hits h USING (eval_id)
+         |ORDER BY t.eval_id""".stripMargin,
+    // Bloom path is bit-identical to the exact path — same oracle
+    "q_contamination_report_bloom" ->
       s"""WITH spans AS (
          |  SELECT doc_id, unnest(list_distinct(
          |    [array_to_string(toks[i:i+7], ' ') FOR i IN range(1, greatest(len(toks) - 6, 1))])) AS span

@@ -386,6 +386,72 @@ object XxhSql {
        |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id FROM losers)
        |ORDER BY doc_id""".stripMargin
 
+  /** Oracle for [[graft.dedup.Dedup.cdcDedupRewrite]]: replay the
+    * content-defined boundary walk exactly — token start offsets by
+    * cumulative token length, window eligibility by the replayed
+    * xxhash64 of the `hashW`-char substring at each token start (low
+    * `maskBits` bits zero), the sequential min/max-clamped cut loop as a
+    * recursive CTE over a precomputed next-eligible-index table, then
+    * the shared keep-first rewrite tail.
+    */
+  def cdcRewriteSql(hashW: Int, maskBits: Int, minT: Int, maxT: Int): String = {
+    val mask = (1L << maskBits) - 1L
+    s"""WITH RECURSIVE d2 AS MATERIALIZED (
+       |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS nt, array_to_string(toks, ' ') AS norm
+       |  FROM (SELECT doc_id, list_filter($toksSql, x -> x <> '') AS toks FROM documents)),
+       |tokpos AS MATERIALIZED (
+       |  SELECT doc_id, u.i AS i, u.spos AS spos FROM (
+       |    SELECT doc_id, unnest([{'i': CAST(i - 1 AS BIGINT),
+       |                            'spos': CAST(1 + len(array_to_string(toks[1:CAST(i - 1 AS INTEGER)], ' '))
+       |                                    + (CASE WHEN i > 1 THEN 1 ELSE 0 END) AS BIGINT)}
+       |                           FOR i IN range(1, len(toks) + 1)]) AS u
+       |    FROM d2)),
+       |wstr AS MATERIALIZED (
+       |  SELECT t.doc_id, t.i, substr(d.norm, CAST(t.spos AS INTEGER), $hashW) AS s,
+       |    (t.spos + $hashW - 1 <= len(d.norm)) AS fits
+       |  FROM tokpos t JOIN d2 d USING (doc_id)),
+       |wh AS MATERIALIZED (
+       |  ${xxh64Over("SELECT doc_id, i, s FROM wstr WHERE fits", Seq("doc_id", "i"))}),
+       |eligt AS MATERIALIZED (
+       |  SELECT w.doc_id, w.i,
+       |    coalesce(w.fits AND (h.hu & $mask::HUGEINT) = 0::HUGEINT, FALSE) AS elig
+       |  FROM wstr w LEFT JOIN wh h ON w.doc_id = h.doc_id AND w.i = h.i),
+       |nextc AS MATERIALIZED (
+       |  SELECT doc_id, i,
+       |    min(CASE WHEN elig THEN i END) OVER (
+       |      PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nc
+       |  FROM eligt),
+       |cuts AS (
+       |  SELECT doc_id, CAST(0 AS BIGINT) AS b FROM d2 WHERE nt > 0
+       |  UNION ALL
+       |  SELECT c.doc_id,
+       |    CASE WHEN n.nc IS NOT NULL AND n.nc < least(c.b + $maxT, d.nt) THEN n.nc
+       |         ELSE least(c.b + $maxT, d.nt) END AS b
+       |  FROM cuts c
+       |  JOIN d2 d ON d.doc_id = c.doc_id
+       |  LEFT JOIN nextc n ON n.doc_id = c.doc_id AND n.i = c.b + $minT
+       |  WHERE c.b < d.nt),
+       |u AS (
+       |  SELECT ch.doc_id,
+       |    row_number() OVER (PARTITION BY ch.doc_id ORDER BY ch.b) - 1 AS idx,
+       |    array_to_string(d.toks[CAST(ch.b + 1 AS INTEGER):CAST(ch.e AS INTEGER)], ' ') AS chunk
+       |  FROM (
+       |    SELECT doc_id, b, lead(b) OVER (PARTITION BY doc_id ORDER BY b) AS e
+       |    FROM cuts) ch
+       |  JOIN d2 d USING (doc_id) WHERE ch.e IS NOT NULL),
+       |k AS (
+       |  SELECT doc_id, idx, chunk,
+       |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+       |  FROM u)
+       |SELECT d2.doc_id AS id,
+       |  coalesce(string_agg(CASE WHEN k.rn = 1 THEN k.chunk END, ' ' ORDER BY k.idx), '') AS clean_text,
+       |  CAST(count(k.chunk) AS BIGINT) AS n_chunks,
+       |  CAST(coalesce(sum(CASE WHEN k.rn > 1 THEN 1 END), 0) AS BIGINT) AS n_dropped
+       |FROM d2 LEFT JOIN k ON d2.doc_id = k.doc_id
+       |GROUP BY d2.doc_id ORDER BY d2.doc_id""".stripMargin
+  }
+
   /** Oracle for [[graft.dedup.Dedup.minHashDedupKeepBest]] with
     * score = token count: component labels from the full transitive
     * closure, keeper = highest token count (ties to lowest id).

@@ -54,6 +54,19 @@ class DecontaminateSpec extends SparkSpec {
     assert(none.map(_.getAs[Long]("id")).toSet == Set(0L, 1L, 2L)) // short doc 3 has no spans
   }
 
+  test("evalContaminationBloom ≡ evalContamination; empty eval set handled") {
+    val evalTwo = evalSet.union(Seq((101L, clean2 + " extra tail words here")).toDF("doc_id", "text"))
+    val exact = Decontaminate.evalContamination(train, evalTwo, "text", "doc_id", w = 8)
+      .orderBy($"eval_id").collect().toSeq
+    val bloom = Decontaminate.evalContaminationBloom(train, evalTwo, "text", "doc_id", w = 8)
+      .orderBy($"eval_id").collect().toSeq
+    assert(bloom == exact, s"bloom=$bloom exact=$exact")
+    val none = Decontaminate.evalContaminationBloom(
+        train, evalSet.where($"doc_id" < 0), "text", "doc_id", w = 8)
+      .collect()
+    assert(none.isEmpty, "no eval docs → empty report")
+  }
+
   test("evalContamination reports the leak from the eval side; zero-hit eval docs stay") {
     val evalTwo = evalSet.union(Seq((101L, clean2 + " extra tail words here")).toDF("doc_id", "text"))
     val out = Decontaminate.evalContamination(train, evalTwo, "text", "doc_id", w = 8)
