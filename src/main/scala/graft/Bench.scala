@@ -89,7 +89,8 @@ object Bench {
     // exact-broadcast sibling, and the corpus-scale sampled-roots
     // centrality shape
     "q_decontaminate_bloom",
-    "q_link_score_sampled"
+    "q_link_score_sampled",
+    "q_cdc_rewrite"
   )
 
   def main(args: Array[String]): Unit = {

@@ -157,6 +157,11 @@ object PlanCheck {
       "q_dedup_rewrite",
       mustContain = Seq("partial_min"),
       mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // CDC rewrite shares the keep-first machinery: same assertions
+    Check(
+      "q_cdc_rewrite",
+      mustContain = Seq("partial_min"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
     // boilerplate: the df aggregation must combine map-side too
     Check(
       "q_boilerplate_rewrite",
