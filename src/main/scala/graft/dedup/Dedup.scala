@@ -530,8 +530,7 @@ object Dedup {
     */
   def cdcDedupRewrite(docs: DataFrame, textCol: String, idCol: String,
       hashW: Int = 8, maskBits: Int = 3, minTokens: Int = 4, maxTokens: Int = 16): DataFrame = {
-    val chunked = docs.withColumn("__chunks",
-      T.cdcChunks(col(textCol), hashW, maskBits, minTokens, maxTokens))
+    val chunked = cdcPrep(docs, textCol, hashW, maskBits, minTokens, maxTokens)
     val units = chunkUnits(chunked, idCol)
     val winners = units.groupBy(col("__h"))
       .agg(min(struct(col("id"), col("idx"))).as("__win"), count(lit(1)).as("__n"))
@@ -610,6 +609,39 @@ object Dedup {
       textCol: String, idCol: String, w: Int = 8): DataFrame =
     batchAdmitted(chunkUnits(chunkPrep(docs, textCol, w), idCol), priorHashes)
       .select(col("__h").as("h"))
+
+  /** [[chunkDedupRewriteAgainst]] with content-defined boundaries — the
+    * incremental form of [[cdcDedupRewrite]]. Prior state is the same
+    * 8 B/chunk hash artifact; chunk identity is content-defined, so a
+    * re-ingested near-duplicate with a local edit still drops everything
+    * outside the edited neighborhood against state admitted epochs ago.
+    */
+  def cdcDedupRewriteAgainst(priorHashes: DataFrame, docs: DataFrame,
+      textCol: String, idCol: String, hashW: Int = 8, maskBits: Int = 3,
+      minTokens: Int = 4, maxTokens: Int = 16): DataFrame = {
+    val chunked = cdcPrep(docs, textCol, hashW, maskBits, minTokens, maxTokens)
+    val units = chunkUnits(chunked, idCol)
+    val admitted = batchAdmitted(units, priorHashes)
+    val drops = units.join(admitted, Seq("__h"), "left")
+      .where(col("__win").isNull ||
+        col("id") =!= col("__win.id") || col("idx") =!= col("__win.idx"))
+    rewriteWithDrops(chunked, idCol, drops)
+  }
+
+  /** The CDC chunk hashes `docs` newly admits over `priorHashes`
+    * (schema: `h` long) — state delta twin of [[admittedChunkHashes]].
+    */
+  def admittedCdcChunkHashes(priorHashes: DataFrame, docs: DataFrame,
+      textCol: String, idCol: String, hashW: Int = 8, maskBits: Int = 3,
+      minTokens: Int = 4, maxTokens: Int = 16): DataFrame =
+    batchAdmitted(
+      chunkUnits(cdcPrep(docs, textCol, hashW, maskBits, minTokens, maxTokens), idCol),
+      priorHashes)
+      .select(col("__h").as("h"))
+
+  private def cdcPrep(docs: DataFrame, textCol: String, hashW: Int, maskBits: Int,
+      minTokens: Int, maxTokens: Int): DataFrame =
+    docs.withColumn("__chunks", T.cdcChunks(col(textCol), hashW, maskBits, minTokens, maxTokens))
 
   // materialized token + chunk arrays (CollapseProject/HOF trap — see
   // TextFunctions.chunkTokens scaladoc)

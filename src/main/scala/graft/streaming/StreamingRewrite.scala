@@ -67,6 +67,53 @@ object StreamingRewrite {
       .write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
   }
 
+  /** Content-defined-boundary parameters for the CDC stream variant. */
+  final case class CdcParams(hashW: Int = 8, maskBits: Int = 3,
+      minTokens: Int = 4, maxTokens: Int = 16)
+
+  /** [[writer]] with CONTENT-DEFINED chunk boundaries
+    * ([[Dedup.cdcDedupRewriteAgainst]]): a re-ingested near-duplicate
+    * with a local edit drops everything outside the edited neighborhood
+    * against state admitted batches ago — the property fixed-w chunks
+    * lose the moment an upstream source inserts a byte. Same state
+    * artifact (8 B/chunk), same [[BatchDirs]] replay protocol; the
+    * replay-convergence argument is chunker-independent (one batch owns
+    * each admitted hash).
+    */
+  def cdcWriter(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      outDir: String,
+      stateDir: String,
+      p: CdcParams = CdcParams()
+  ): DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      applyCdcBatch(batch, batchId, textCol, idCol, outDir, stateDir, p)
+    }
+
+  /** One CDC micro-batch (also usable for batch backfill replays). */
+  def applyCdcBatch(
+      batch: DataFrame,
+      batchId: Long,
+      textCol: String,
+      idCol: String,
+      outDir: String,
+      stateDir: String,
+      p: CdcParams = CdcParams()
+  ): Unit = {
+    val spark = batch.sparkSession
+    val prior = BatchDirs.read(spark, stateDir, excludeBatch = Some(batchId))
+      .getOrElse(emptyHashes(spark))
+      .select(col("h"))
+    Dedup.cdcDedupRewriteAgainst(prior, batch, textCol, idCol,
+        p.hashW, p.maskBits, p.minTokens, p.maxTokens)
+      .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    Dedup.admittedCdcChunkHashes(prior, batch, textCol, idCol,
+        p.hashW, p.maskBits, p.minTokens, p.maxTokens)
+      .write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
+  }
+
   /** Every rewritten document committed so far. Fails with a clear
     * message before the first batch commits.
     */

@@ -64,4 +64,48 @@ class StreamingRewriteSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
     assert(replayed == batch, s"replay changed the corpus: $replayed")
   }
+
+  test("CDC stream: a later near-duplicate with a local edit drops all but the edited neighborhood") {
+    val words = Array("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet", "kilo", "lima")
+    val rnd = new scala.util.Random(11)
+    val original = Seq.fill(300)(words(rnd.nextInt(words.length))).mkString(" ")
+    val toks = original.split(" ")
+    val edited = (toks.take(150) ++ Array("edited") ++ toks.drop(150)).mkString(" ")
+
+    val dir = java.nio.file.Files.createTempDirectory("srewritecdc").toString
+    val (outDir, stateDir) = (s"$dir/out", s"$dir/state")
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, String)]
+    val q = StreamingRewrite
+      .cdcWriter(source.toDF.toDF("doc_id", "text"), "text", "doc_id", outDir, stateDir)
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    source.addData((1L, original))
+    q.processAllAvailable()
+    source.addData((2L, edited))
+    q.processAllAvailable()
+    q.stop()
+
+    val byId = StreamingRewrite.readRewritten(spark, outDir)
+      .select($"id", $"clean_text", $"n_chunks", $"n_dropped")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(byId(1L)._1 == original && byId(1L)._3 == 0L, "first copy untouched")
+    val (_, n2, d2) = byId(2L)
+    assert(d2.toDouble / n2 > 0.6 && d2 < n2,
+      s"cross-batch CDC must drop all but the edited neighborhood: dropped $d2 of $n2")
+
+    // stream ≡ batch: cdcDedupRewrite over the ordered union gives the
+    // same verdicts, and replay of batch 1 is idempotent
+    val all = Seq((1L, original), (2L, edited)).toDF("doc_id", "text")
+    val batchTruth = Dedup.cdcDedupRewrite(all, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(byId == batchTruth, s"stream $byId != batch $batchTruth")
+    StreamingRewrite.applyCdcBatch(Seq((2L, edited)).toDF("doc_id", "text"),
+      1L, "text", "doc_id", outDir, stateDir)
+    val replayed = StreamingRewrite.readRewritten(spark, outDir)
+      .select($"id", $"clean_text", $"n_chunks", $"n_dropped")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(replayed == batchTruth, s"replay changed the corpus: $replayed")
+  }
 }
