@@ -130,6 +130,21 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // the persisted-index path: build → save partitioned by cell → load
+    // → probe. Same verdicts as q_ann_ivf (shared oracle); the on-disk
+    // layout buys dynamic partition pruning, so a probe reads ~nprobe/
+    // nlist of the index (IvfPersistSpec asserts the pruning subquery)
+    "q_ann_ivf_persisted" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val indexed = Similarity.ivfBuild(emb, "embedding", "vec_id", nlist = 16)
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+      Similarity.saveIvfIndex(indexed, idxDir)
+      val loaded = Similarity.loadIvfIndex(s, idxDir)
+      Similarity.ivfTopK(loaded, emb.where(col("vec_id") < 5), "embedding", "vec_id", k = 5, nlist = 16, nprobe = 4)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // index-quality evaluation: per-query recall@10 of the IVF probe
     // against exact ground truth — the oracle recomputes BOTH sides
     // (brute force and the full IVF assign/probe pipeline) from raw
@@ -1433,7 +1448,16 @@ object LlmQueries {
        |  FROM (SELECT doc_id, text, $normSql AS norm, $toksSql AS toks FROM documents)
        |)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  // lazy: baseOracles is defined below in source order
+  lazy val oracles: Map[String, String] = withAliases(baseOracles)
+
+  /** The persisted-index probe is verdict-identical to the in-memory one
+    * — it shares q_ann_ivf's oracle verbatim.
+    */
+  private def withAliases(m: Map[String, String]): Map[String, String] =
+    m + ("q_ann_ivf_persisted" -> m("q_ann_ivf"))
+
+  private val baseOracles: Map[String, String] = Map(
     // Full independent oracles for the MinHash/SimHash/sketch lanes:
     // DuckDB recomputes XXH64(seed 42) + splitmix64 from the raw
     // text/vectors in HUGEINT arithmetic (see XxhSql) — no
@@ -1989,6 +2013,8 @@ object LlmQueries {
         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
         |  FROM cand)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // the persisted path returns the in-memory path's exact verdicts —
+    // alias the same oracle by map lookup below
     // recomputes BOTH the exact ground truth and the full IVF
     // assign/probe pipeline from raw parquet, then the recall join —
     // verifying the measurement itself, not trusting either side

@@ -86,6 +86,29 @@ object Similarity {
       .select(col("s.*"))
   }
 
+  /** Persist an IVF index as the on-disk artifact probes reuse across
+    * jobs: the indexed corpus written PARTITIONED BY cell. The payoff at
+    * scale is dynamic partition pruning — [[ivfTopK]]'s broadcast join
+    * on `cell` lets Spark prune the scan to the probed cells' partitions
+    * at runtime, so a probe reads ~nprobe/nlist of the index instead of
+    * all of it (IvfPersistSpec asserts the pruning subquery in the
+    * plan). Build once, probe many — the index maintenance story the
+    * reference applies to its own stored tables (footer-certified
+    * artifacts, reread cheaply; ArrowReaderWriterUtils.java:229).
+    */
+  def saveIvfIndex(indexed: DataFrame, dir: String): Unit =
+    indexed.write.mode("overwrite").partitionBy("cell").parquet(dir)
+
+  /** Read a [[saveIvfIndex]] artifact back. The partition column comes
+    * back via directory inference (int for small ids) — recast to long
+    * so probe joins and verdicts are type-identical to the in-memory
+    * index.
+    */
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val df = spark.read.parquet(dir)
+    df.withColumn("cell", col("cell").cast("long"))
+  }
+
   /** Sketch-prefiltered top-k with exact re-rank: a 64-bit
     * random-hyperplane sketch (Charikar bits — cosine-preserving) scores
     * every corpus vector with ONE xor+popcount instead of a d-dim float
