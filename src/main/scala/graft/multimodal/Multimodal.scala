@@ -177,14 +177,39 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** ImageIO decode hardened for corpus data (fuzz-found, round 9):
+    *
+    *  - a PNG whose corrupted IHDR declares a huge geometry costs
+    *    SECONDS of allocate-and-inflate per row before the decoder
+    *    notices (measured 11 s on one mutated fixture) — a decode bomb;
+    *    the IHDR width/height are pre-checked against `maxPixels`
+    *    before any decoder runs;
+    *  - JDK readers throw IIOException AND runtime faults
+    *    (ArrayIndexOutOfBounds in the JPEG reader) on truncated
+    *    streams — mapped to None so one corrupt row drops instead of
+    *    failing the whole task (the documented decode contract).
+    */
+  private[multimodal] def readImageSafe(bytes: Array[Byte],
+      maxPixels: Long = 1L << 26): Option[java.awt.image.BufferedImage] = {
+    if (bytes == null || bytes.isEmpty) return None
+    if (bytes.length >= 24 &&
+      (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G') {
+      val w = java.nio.ByteBuffer.wrap(bytes, 16, 4).getInt
+      val h = java.nio.ByteBuffer.wrap(bytes, 20, 4).getInt
+      if (w <= 0 || h <= 0 || w.toLong * h > maxPixels) return None
+    }
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      .filter(i => i.getWidth.toLong * i.getHeight <= maxPixels && i.getWidth > 0 && i.getHeight > 0)
+    catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** REAL image decode: `ImageIO.read` over the payload bytes; None when
     * the bytes are not a decodable image. mean_intensity averages every
     * raster sample across all bands (for 8-bit gray that is exactly the
     * pixel mean; for RGB the mean over the three channels).
     */
   private[multimodal] def decodeImageIO(bytes: Array[Byte]): Option[Row] =
-    if (bytes == null || bytes.isEmpty) None
-    else Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))).map { img =>
+    readImageSafe(bytes).map { img =>
       val raster = img.getRaster
       val w = img.getWidth
       val h = img.getHeight
@@ -211,8 +236,7 @@ object Multimodal {
     * within a few Hamming bits.
     */
   def aHash64(bytes: Array[Byte]): Option[Long] =
-    if (bytes == null || bytes.isEmpty) None
-    else Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))).map { img =>
+    readImageSafe(bytes).map { img =>
       val raster = img.getRaster
       aHash64Grid(img.getWidth, img.getHeight, (x, y) => raster.getSample(x, y, 0))
     }
@@ -281,8 +305,7 @@ object Multimodal {
   def resizeImagesIO(df: DataFrame, payloadCol: String, width: Int, height: Int): DataFrame = {
     require(width > 0 && height > 0)
     val resize = udf { (bytes: Array[Byte]) =>
-      if (bytes == null || bytes.isEmpty) null
-      else Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))).map { img =>
+      readImageSafe(bytes).map { img =>
         val raster = img.getRaster
         val w = img.getWidth
         val h = img.getHeight
@@ -375,6 +398,18 @@ object Multimodal {
     * normalized to [-1, 1); duration is integer milliseconds
     * (frames·1000 / rate).
     */
+  /** Header sanity gate applied BEFORE any stream read (fuzz-found):
+    * a corrupted channel-count field can declare a frame size larger
+    * than `readAllBytes`'s internal buffer, making `AudioInputStream
+    * .read` return 0 forever (it refuses partial frames) — the JDK's
+    * `readAllBytes` then SPINS, hanging the task instead of failing it.
+    * A zero sample rate would likewise divide-by-zero downstream.
+    */
+  private def saneFormat(fmt: javax.sound.sampled.AudioFormat): Boolean =
+    fmt.getChannels >= 1 && fmt.getChannels <= 64 &&
+      fmt.getFrameSize >= 1 && fmt.getFrameSize <= 4096 &&
+      fmt.getSampleRate >= 1f && fmt.getSampleRate <= 1e7f
+
   private[multimodal] def decodeAudio(bytes: Array[Byte]): Option[Row] =
     if (bytes == null || bytes.isEmpty) None
     else try {
@@ -383,7 +418,8 @@ object Multimodal {
       try {
         val fmt = ais.getFormat
         if (fmt.getSampleSizeInBits != 16 ||
-          fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
+          fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          !saneFormat(fmt)) None
         else {
           val frames = ais.getFrameLength
           val rate = fmt.getSampleRate.toInt
@@ -619,7 +655,8 @@ object Multimodal {
       try {
         val fmt = ais.getFormat
         if (fmt.getSampleSizeInBits != 16 ||
-          fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
+          fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          !saneFormat(fmt)) None
         else {
           val raw = ais.readAllBytes()
           val n = raw.length / 2
