@@ -462,3 +462,31 @@ case class CdcChunks(child: Expression, hashW: Int, maskBits: Int,
 
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
+
+/** `splitmix64(a·131071 + b)` over two long children — the deterministic
+  * per-(sequence, block) mask key of the span-corruption export
+  * (graft.sources.Export.maskSpans). JVM wrapping arithmetic on purpose:
+  * a SQL-level multiply would overflow-throw under ANSI mode, while the
+  * key is DEFINED on the wrapped 64-bit ring (the DuckDB oracle replays
+  * it in mod-2^64 HUGEINT arithmetic).
+  */
+case class SplitMixKey(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(s"expected (bigint, bigint), got $other")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    mix64(a.asInstanceOf[Long] * 131071L + b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.MinHashAggregator.mix64($a * 131071L + $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}

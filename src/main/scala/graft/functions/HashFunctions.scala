@@ -54,6 +54,13 @@ object HashFunctions {
   private def e2col(e: org.apache.spark.sql.catalyst.expressions.Expression) =
     org.apache.spark.sql.graftbridge.Bridge.column(e)
 
+  /** `splitmix64(a·131071 + b)` — the deterministic (sequence, block)
+    * mask key of the span-corruption export; see
+    * [[graft.expressions.SplitMixKey]].
+    */
+  def splitmixKey(a: Column, b: Column): Column =
+    e2col(graft.expressions.SplitMixKey(col2e(a), col2e(b)))
+
   /** Per-row k-lane MinHash signature from pre-hashed shingles (native
     * expression; lanes identical to MinHashAggregator). With
     * [[graft.functions.TextFunctions.shingleHashes]] this makes signature

@@ -725,6 +725,25 @@ object LlmQueries {
         .orderBy(col("seq_id"), col("seq_pos"))
     }),
 
+    // span-corruption (denoising-objective) export: deterministic block
+    // masking over the packed sequences — input stream with sentinel-
+    // replaced blocks + target stream of (sentinel, original block)
+    // pairs. Pure function of (seq_id, block): the oracle replays every
+    // masked position through the splitmix64 key in HUGEINT arithmetic
+    "q_export_masked" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val packed = graft.sources.Export.packTokens(docs, "doc_id", "text", "source", seqLen = 128, nShards = 4)
+      val m = graft.sources.Export.maskSpans(packed, blockLen = 16, maskNum = 3, maskDen = 20,
+        sentinelBase = 1000000L)
+      val inp = m.select(col("seq_id"), lit("input").as("stream"),
+        posexplode(col("input_tokens")).as(Seq("pos", "token_id")))
+      val tgt = m.select(col("seq_id"), lit("target").as("stream"),
+        posexplode(col("target_tokens")).as(Seq("pos", "token_id")))
+      inp.unionAll(tgt)
+        .select(col("seq_id"), col("stream"), col("pos").cast("long").as("pos"), col("token_id"))
+        .orderBy(col("seq_id"), col("stream"), col("pos"))
+    }),
+
     // JSONL export manifest: weight-balanced shard assignment (sorted
     // round-robin on token count) aggregated per shard
     "q_export_jsonl" -> ((s, dir) => {
@@ -1468,6 +1487,8 @@ object LlmQueries {
     "q_dedup_minhash_survivors" -> XxhSql.minhashSurvivorsSql(n = 3, k = 64, bands = 16, threshold = 0.5),
     "q_dedup_keep_longest" -> XxhSql.minhashKeepBestSql(n = 3, k = 64, bands = 16, threshold = 0.5),
     "q_cdc_rewrite" -> XxhSql.cdcRewriteSql(hashW = 8, maskBits = 3, minT = 4, maxT = 16),
+    "q_export_masked" -> XxhSql.maskedExportSql(seqLen = 128, blockLen = 16,
+      maskNum = 3, maskDen = 20, sentinelBase = 1000000L),
     "q_minhash_incremental" -> XxhSql.minhashIncrementalSql(n = 3, k = 64, bands = 16, threshold = 0.5),
     "q_transitive_contamination" -> XxhSql.transitiveContaminationSql(n = 3, k = 64, bands = 16, threshold = 0.4),
     "q_curation_pipeline" -> XxhSql.curationPipelineSql(

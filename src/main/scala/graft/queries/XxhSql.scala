@@ -386,6 +386,71 @@ object XxhSql {
        |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id FROM losers)
        |ORDER BY doc_id""".stripMargin
 
+  /** Oracle for [[graft.sources.Export.maskSpans]] over the packed token
+    * stream: the pack pipeline (global-position packing, lexicographic
+    * vocabulary — mirrors the q_export_pack oracle), then the block-mask
+    * replay — key = splitmix64((seq_id·131071 + b) mod 2^64) in HUGEINT
+    * arithmetic, signed pmod threshold — and the input/target stream
+    * reconstruction with row_number positions.
+    */
+  def maskedExportSql(seqLen: Int, blockLen: Int, maskNum: Int, maskDen: Int,
+      sentinelBase: Long): String = {
+    val keySql = toSigned(let1(
+      s"((CAST(seq_id AS HUGEINT) * 131071 + CAST(b AS HUGEINT)) & $MASK)", "z0", mix64("z0")))
+    s"""WITH d AS (
+       |  SELECT doc_id, list_filter($toksSql, x -> x <> '') AS toks FROM documents),
+       |d2 AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM d),
+       |c AS MATERIALIZED (
+       |  SELECT doc_id, toks, n,
+       |    CAST(coalesce(sum(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev
+       |  FROM d2 WHERE n > 0),
+       |vocab AS MATERIALIZED (
+       |  SELECT token, CAST(row_number() OVER (ORDER BY token) AS BIGINT) AS token_id
+       |  FROM (SELECT DISTINCT unnest(toks) AS token FROM d)),
+       |tok AS (
+       |  SELECT prev + i AS gpos, toks[CAST(i AS INTEGER) + 1] AS token
+       |  FROM (SELECT prev, toks, unnest(range(n)) AS i FROM c)),
+       |real AS MATERIALIZED (
+       |  SELECT CAST(gpos // $seqLen AS BIGINT) AS seq_id,
+       |    CAST(gpos % $seqLen AS BIGINT) AS seq_pos, v.token_id
+       |  FROM tok JOIN vocab v USING (token)),
+       |nr AS (SELECT seq_id, CAST(count(*) AS BIGINT) AS n_real FROM real GROUP BY seq_id),
+       |blocks AS (
+       |  SELECT seq_id, CAST(unnest(range((n_real + ${blockLen - 1}) // $blockLen)) AS BIGINT) AS b
+       |  FROM nr),
+       |mk AS MATERIALIZED (
+       |  SELECT seq_id, b,
+       |    ((($keySql) % $maskDen) + $maskDen) % $maskDen < $maskNum AS masked
+       |  FROM blocks),
+       |maskedb AS MATERIALIZED (
+       |  SELECT seq_id, b,
+       |    row_number() OVER (PARTITION BY seq_id ORDER BY b) - 1 AS mrank
+       |  FROM mk WHERE masked),
+       |inp_raw AS (
+       |  SELECT k.seq_id, t.seq_pos AS sk, t.token_id
+       |  FROM mk k JOIN real t ON t.seq_id = k.seq_id AND t.seq_pos // $blockLen = k.b
+       |  WHERE NOT k.masked
+       |  UNION ALL
+       |  SELECT seq_id, CAST(b * $blockLen AS BIGINT), $sentinelBase + mrank FROM maskedb),
+       |inp AS (
+       |  SELECT seq_id, 'input' AS stream,
+       |    row_number() OVER (PARTITION BY seq_id ORDER BY sk) - 1 AS pos, token_id
+       |  FROM inp_raw),
+       |tgt_raw AS (
+       |  SELECT seq_id, CAST(b * $blockLen * 2 AS BIGINT) AS sk, $sentinelBase + mrank AS token_id
+       |  FROM maskedb
+       |  UNION ALL
+       |  SELECT m.seq_id, CAST(t.seq_pos * 2 + 1 AS BIGINT), t.token_id
+       |  FROM maskedb m JOIN real t ON t.seq_id = m.seq_id AND t.seq_pos // $blockLen = m.b),
+       |tgt AS (
+       |  SELECT seq_id, 'target' AS stream,
+       |    row_number() OVER (PARTITION BY seq_id ORDER BY sk) - 1 AS pos, token_id
+       |  FROM tgt_raw)
+       |SELECT seq_id, stream, CAST(pos AS BIGINT) AS pos, token_id
+       |FROM (SELECT * FROM inp UNION ALL SELECT * FROM tgt)
+       |ORDER BY seq_id, stream, pos""".stripMargin
+  }
+
   /** Oracle for [[graft.dedup.Dedup.cdcDedupRewrite]]: replay the
     * content-defined boundary walk exactly — token start offsets by
     * cumulative token length, window eligibility by the replayed

@@ -3,7 +3,7 @@ package graft.sources
 import graft.functions.{TextFunctions => T}
 import graft.table.RowId
 import graft.text.{Packing, Sharding}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
@@ -116,6 +116,62 @@ object Export {
     seqs.join(prov, Seq("seq_id"))
       .select(pmod(col("seq_id"), lit(nShards.toLong)).cast(IntegerType).as("shard"),
         col("seq_id"), col("n_real"), col("tokens"), col("provenance"))
+  }
+
+  /** Span-corruption masking over packed sequences — the denoising-
+    * objective (T5/UL2-style) export form: deterministic BLOCK masking,
+    * where block `b` of sequence `s` is masked iff
+    * `pmod(splitmix64(s·131071 + b), maskDen) < maskNum` (expected mask
+    * rate maskNum/maskDen). Per sequence the real token stream (pad tail
+    * excluded) is re-emitted as
+    *
+    *  - `input_tokens`: each masked block replaced by ONE sentinel id
+    *    (`sentinelBase + k` for the sequence's k-th masked block),
+    *    unmasked blocks verbatim;
+    *  - `target_tokens`: for each masked block in order, its sentinel
+    *    followed by the original block tokens.
+    *
+    * No RNG anywhere: the mask is a pure function of (seq_id, block), so
+    * re-exports are reproducible and the DuckDB oracle replays every
+    * masked position exactly. Scan-local per row (array expressions over
+    * the already-packed tokens — no exchange at all); block masking is
+    * the parallel-friendly form of span corruption (content-independent
+    * boundaries, mean span = blockLen).
+    */
+  def maskSpans(packed: DataFrame, blockLen: Int, maskNum: Int, maskDen: Int,
+      sentinelBase: Long): DataFrame = {
+    require(blockLen >= 1, s"maskSpans: blockLen $blockLen < 1")
+    require(maskDen >= 1 && maskNum >= 0 && maskNum <= maskDen,
+      s"maskSpans: mask rate $maskNum/$maskDen out of [0, 1]")
+    import graft.functions.{HashFunctions => H}
+    val bl = lit(blockLen.toLong)
+    val real = slice(col("tokens"), lit(1), col("n_real").cast(IntegerType))
+    val nBlocks = ((col("n_real") + (blockLen - 1)) / blockLen).cast(LongType)
+    val blockSeq = sequence(lit(0L), nBlocks - 1)
+    val maskedArr = filter(blockSeq, b =>
+      pmod(H.splitmixKey(col("seq_id"), b), lit(maskDen.toLong)) < lit(maskNum.toLong))
+    def blockSlice(toks: Column, b: Column) =
+      slice(toks, (b * bl + 1).cast(IntegerType),
+        least(bl, col("n_real") - b * bl).cast(IntegerType))
+    packed
+      .withColumn("__real", real)
+      .withColumn("__masked", maskedArr)
+      .withColumn("input_tokens",
+        flatten(transform(blockSeq, b =>
+          when(array_contains(col("__masked"), b),
+            array(lit(sentinelBase) + (array_position(col("__masked"), b) - 1)))
+            .otherwise(blockSlice(col("__real"), b)))))
+      .withColumn("target_tokens",
+        // sequence(0, -1) would run DESCENDING — an empty mask set needs
+        // an explicit empty array
+        when(size(col("__masked")) === 0, array().cast("array<bigint>"))
+          .otherwise(flatten(transform(
+            sequence(lit(0L), size(col("__masked")).cast(LongType) - 1), k =>
+              concat(
+                array(lit(sentinelBase) + k),
+                blockSlice(col("__real"), element_at(col("__masked"), (k + 1).cast(IntegerType))))))))
+      .select(col("shard"), col("seq_id"), col("n_real"),
+        col("input_tokens"), col("target_tokens"))
   }
 
   /** Per-shard manifest over a [[Packing.packSequences]] span table —

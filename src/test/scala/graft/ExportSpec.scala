@@ -193,6 +193,54 @@ class ExportSpec extends SparkSpec {
     assert(audit((0L, 2L)) == "ok" && audit((1L, 0L)) == "ok", s"audit: $audit")
   }
 
+  test("maskSpans: demasking reconstructs the original stream; sentinels rank in order; deterministic") {
+    val packed = Export.packTokens(docs, "doc_id", "text", "source", seqLen = L, nShards = 3)
+      .localCheckpoint(true)
+    val sent = 1000000L
+    val bl = 4
+    val m = Export.maskSpans(packed, blockLen = bl, maskNum = 1, maskDen = 3, sentinelBase = sent)
+      .collect().map(r => r.getAs[Long]("seq_id") ->
+        ((r.getAs[Long]("n_real"), r.getSeq[Long](3), r.getSeq[Long](4)))).toMap
+    val orig = packed.collect()
+      .map(r => r.getAs[Long]("seq_id") -> r.getSeq[Long](3).take(r.getAs[Long]("n_real").toInt)).toMap
+    assert(m.keySet == orig.keySet)
+    var sawMask = false
+    var sawClean = false
+    for ((sid, (nReal, inp, tgt)) <- m) {
+      val real = orig(sid)
+      assert(nReal == real.length)
+      // demask: walk input; a sentinel splices in its target span
+      val spans = {
+        // target = sentinel k, span k tokens, sentinel k+1, ... — split on sentinels
+        val idxs = tgt.zipWithIndex.collect { case (t, i) if t >= sent => i }
+        idxs.zipAll(idxs.drop(1).map(Some(_)), -1, None).collect {
+          case (a, b) if a >= 0 => tgt.slice(a + 1, b.getOrElse(tgt.length))
+        }
+      }
+      val rebuilt = inp.flatMap(t => if (t >= sent) spans((t - sent).toInt) else Seq(t))
+      assert(rebuilt == real, s"seq $sid: demask must reconstruct the stream")
+      // sentinels appear in rank order in BOTH streams
+      val inpSent = inp.filter(_ >= sent)
+      assert(inpSent == inpSent.sorted && inpSent.distinct == inpSent)
+      assert(tgt.filter(_ >= sent) == inpSent, "same sentinel set, same order")
+      if (inpSent.nonEmpty) sawMask = true else sawClean = true
+      // masked fraction of tokens is bounded away from everything/nothing
+      assert(inp.length + (tgt.length - inpSent.length) == real.length + inpSent.length)
+    }
+    assert(sawMask, "fixture must exercise at least one masked block")
+    // deterministic: a second run is identical
+    val m2 = Export.maskSpans(packed, blockLen = bl, maskNum = 1, maskDen = 3, sentinelBase = sent)
+      .collect().map(r => r.getAs[Long]("seq_id") ->
+        ((r.getAs[Long]("n_real"), r.getSeq[Long](3), r.getSeq[Long](4)))).toMap
+    assert(m2 == m)
+    // maskNum = 0 → no masking anywhere: input == real stream, empty targets
+    val none = Export.maskSpans(packed, blockLen = bl, maskNum = 0, maskDen = 3, sentinelBase = sent)
+      .collect().map(r => r.getAs[Long]("seq_id") -> ((r.getSeq[Long](3), r.getSeq[Long](4)))).toMap
+    for ((sid, (inp, tgt)) <- none) {
+      assert(inp == orig(sid) && tgt.isEmpty, s"seq $sid must pass through unmasked")
+    }
+  }
+
   test("packTokensWithVocab: frozen vocabulary keeps ids stable; OOV maps to -1") {
     val vocab = Export.vocabulary(docs.where($"doc_id" =!= 4L), "text")
     val packed = Export.packTokensWithVocab(docs, "doc_id", "text", vocab, seqLen = L, nShards = 3)
