@@ -643,12 +643,17 @@ object Dedup {
       minTokens: Int, maxTokens: Int): DataFrame =
     docs.withColumn("__chunks", T.cdcChunks(col(textCol), hashW, maskBits, minTokens, maxTokens))
 
-  // materialized token + chunk arrays (CollapseProject/HOF trap — see
-  // TextFunctions.chunkTokens scaladoc)
+  // FUSED fixed-w chunking: the degenerate CDC case (minTokens ==
+  // maxTokens == w forces a cut every w tokens; the mask never fires on
+  // an empty scan range), so one codegen'd pass replaces the interpreted
+  // transform/slice/array_join HOF chain of TextFunctions.chunkTokens —
+  // measured 5× on the rewrite family at sf1skew (43.9 s → CDC-path
+  // speed; SCALE.md round 9). Chunk strings are identical for the
+  // engine's ASCII normalization (the same fused-normalize semantics
+  // every other text op already uses).
   private def chunkPrep(docs: DataFrame, textCol: String, w: Int): DataFrame =
-    docs
-      .withColumn("__toks", T.tokenize(col(textCol)))
-      .withColumn("__chunks", T.chunkTokens(col("__toks"), w, w))
+    docs.withColumn("__chunks",
+      T.cdcChunks(col(textCol), hashW = 1, maskBits = 0, minTokens = w, maxTokens = w))
 
   private def chunkUnits(chunked: DataFrame, idCol: String): DataFrame =
     chunked
