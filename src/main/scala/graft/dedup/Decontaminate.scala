@@ -73,6 +73,15 @@ object Decontaminate {
     * extension (the reference engine stores tables; see SURVEY §2 LLM
     * rows); the Bloom-prefilter mirrors its keep-the-small-artifact
     * design (domain sidecars, not data rescans).
+    *
+    * When to prefer which (measured, SCALE.md round 9): the Bloom path
+    * wins when eval-hit density is LOW — the normal case (1.2-1.4×
+    * at the 10×/100× tiers) — and when the exact span set is past
+    * broadcast range (where it is the only shape). When most corpus
+    * spans are expected to HIT the eval set (e.g. a corpus dominated
+    * by eval-matching boilerplate), the filter discards nothing and
+    * [[overlapStats]]' exact broadcast is cheaper (10.6 vs 13.5 s at
+    * sf10skew's saturated planted cluster).
     */
   /** Distributed Bloom build over a LongType column: Catalyst
     * `bloom_filter_agg` (partial-merged like any aggregate), returning
