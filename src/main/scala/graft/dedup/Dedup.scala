@@ -930,6 +930,34 @@ object Dedup {
     docs.join(losers.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }
 
+  /** LEAKAGE-SAFE train/test split: hash-split by each document's
+    * near-duplicate CLUSTER representative instead of its own id, so a
+    * near-duplicate pair can never straddle the split — the doc-level
+    * hash split silently leaks test content into training whenever the
+    * corpus has near-dups (it almost always does), which inflates eval
+    * scores exactly like decontamination failure. Unclustered docs
+    * split by their own id, so with no near-dups this IS the plain
+    * hash split. Returns (idCol, split_key, split); the side is
+    * `md5(split_key) prefix < trainPrefix` — the same deterministic
+    * predicate as the doc-level split, evaluated on the cluster key.
+    *
+    * Scale shape: the pair stage is [[minHashPairs]] (collapse-guarded);
+    * everything after is one id-sized left join and a per-row hash.
+    */
+  def leakageSafeSplit(docs: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.7, maxIters: Int = 20,
+      trainPrefix: String = "cccd"): DataFrame = {
+    val pairs = minHashPairs(docs, textCol, idCol, threshold = threshold)
+    val reps = clusterRepresentatives(pairs, maxIters)
+    docs.select(col(idCol))
+      .join(reps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("split_key", coalesce(col("rep"), col(idCol)))
+      .withColumn("split",
+        when(substring(md5(col("split_key").cast("string")), 1, 4) < trainPrefix,
+          "train").otherwise("test"))
+      .select(col(idCol), col("split_key"), col("split"))
+  }
+
   /** [[minHashDedup]] with a SURVIVOR POLICY: each duplicate cluster
     * keeps its best-scoring member (highest `score`, ties to lowest id)
     * instead of the lowest id. The policy real curation passes want —

@@ -98,6 +98,16 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // leakage-safe split: hash-split by near-dup cluster representative
+    // — a near-duplicate pair can never straddle train/test (the
+    // doc-level split leaks test content through near-dups); unclustered
+    // docs split by their own id (same md5 predicate as
+    // q_train_test_split, evaluated on the cluster key)
+    "q_split_leakage_safe" -> ((s, dir) => {
+      Dedup.leakageSafeSplit(t(s, dir, "documents"), "text", "doc_id", threshold = 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
     // survivor POLICY: each near-dup cluster keeps its LONGEST member
     // (token count, ties to lowest id) — what curation actually wants;
     // min-id keeps whichever copy was crawled first
@@ -1486,6 +1496,8 @@ object LlmQueries {
     "q_dedup_simhash" -> XxhSql.simhashPairsSql(maxHamming = 3, bands = 4),
     "q_dedup_minhash_survivors" -> XxhSql.minhashSurvivorsSql(n = 3, k = 64, bands = 16, threshold = 0.5),
     "q_dedup_keep_longest" -> XxhSql.minhashKeepBestSql(n = 3, k = 64, bands = 16, threshold = 0.5),
+    "q_split_leakage_safe" -> XxhSql.leakageSafeSplitSql(n = 3, k = 64, bands = 16,
+      threshold = 0.5, trainPrefix = "cccd"),
     "q_cdc_rewrite" -> XxhSql.cdcRewriteSql(hashW = 8, maskBits = 3, minT = 4, maxT = 16),
     "q_export_masked" -> XxhSql.maskedExportSql(seqLen = 128, blockLen = 16,
       maskNum = 3, maskDen = 20, sentinelBase = 1000000L),

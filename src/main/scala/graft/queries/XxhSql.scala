@@ -517,6 +517,26 @@ object XxhSql {
        |GROUP BY d2.doc_id ORDER BY d2.doc_id""".stripMargin
   }
 
+  /** Oracle for [[graft.dedup.Dedup.leakageSafeSplit]]: closure labels
+    * over the verified pair graph, split by md5 prefix of the cluster
+    * representative (own id when unclustered).
+    */
+  def leakageSafeSplitSql(n: Int, k: Int, bands: Int, threshold: Double,
+      trainPrefix: String): String =
+    s"""WITH RECURSIVE ${pairCtes(wordShingles(n), k, bands, k / bands)},
+       |edges AS MATERIALIZED (
+       |  SELECT id_a AS a, id_b AS b FROM ver WHERE j >= $threshold
+       |  UNION SELECT id_b, id_a FROM ver WHERE j >= $threshold),
+       |reach(src, dst) AS (
+       |  SELECT a, b FROM edges
+       |  UNION SELECT reach.src, e.b FROM reach JOIN edges e ON reach.dst = e.a),
+       |labels AS (SELECT src AS id, least(src, min(dst)) AS rep FROM reach GROUP BY src)
+       |SELECT d.doc_id, coalesce(l.rep, d.doc_id) AS split_key,
+       |  CASE WHEN substr(md5(CAST(coalesce(l.rep, d.doc_id) AS VARCHAR)), 1, 4) < '$trainPrefix'
+       |    THEN 'train' ELSE 'test' END AS split
+       |FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   /** Oracle for [[graft.dedup.Dedup.minHashDedupKeepBest]] with
     * score = token count: component labels from the full transitive
     * closure, keeper = highest token count (ties to lowest id).

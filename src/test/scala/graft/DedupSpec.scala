@@ -126,6 +126,27 @@ class DedupSpec extends SparkSpec {
     assert(tied == baseline, s"tied=$tied baseline=$baseline")
   }
 
+  test("leakage-safe split: near-dup clusters never straddle the split; clean docs match the plain split") {
+    val out = Dedup.leakageSafeSplit(docs, "text", "doc_id", threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // the {0, 1, 4} cluster shares one key (the min id 0) and one side
+    assert(Seq(0L, 1L, 4L).map(out(_)._1).distinct == Seq(0L), "cluster shares split_key 0")
+    assert(Seq(0L, 1L, 4L).map(out(_)._2).distinct.size == 1, "cluster lands on one side")
+    // unclustered docs keep their own key and the plain md5 predicate
+    for (id <- Seq(2L, 3L)) {
+      assert(out(id)._1 == id)
+      val expect = if (java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes).map("%02x".format(_)).mkString.take(4) < "cccd")
+        "train" else "test"
+      assert(out(id)._2 == expect, s"doc $id plain-split side")
+    }
+    // without near-dups the operator IS the plain doc-level split
+    val clean = Seq((10L, distinct1), (11L, distinct2)).toDF("doc_id", "text")
+    val plain = Dedup.leakageSafeSplit(clean, "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(plain == Seq((10L, 10L), (11L, 11L)))
+  }
+
   test("clean corpus (no near-duplicates) survives end-to-end — empty pair graph (ADVICE r1)") {
     val clean = Seq((0L, distinct1), (1L, distinct2)).toDF("doc_id", "text")
     // used to NPE: agg(max(chg)) over an empty label set returned null
