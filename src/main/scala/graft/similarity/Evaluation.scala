@@ -462,4 +462,35 @@ object Evaluation {
     import spark.implicits._
     rows.toDF("group", "n_ref", "n_cur", "psi", "top_shift_bin")
   }
+
+  /** Reliability table for a probabilistic scorer — the per-bin form of
+    * Expected Calibration Error: scores binned into `nBins` equal-width
+    * bins, each bin reporting its count, mean score (confidence), label
+    * rate (accuracy), and |gap|. `ECE = Σ (n_b / N) · gap_b` falls out of
+    * the table; the table itself is what a model card shows. Quality
+    * scorers gate millions of training documents — an over-confident
+    * scorer silently skews the kept corpus, and this is the standard
+    * check (Guo et al. 2017's binned calibration).
+    *
+    * Determinism: counts and label rates are exact integers/ratios; the
+    * mean score and gap are rounded to 6 (sum order's ulp noise
+    * absorbed — the engine-wide aggregate-rounding convention). Scores
+    * at exactly 1.0 fold into the top bin. One groupBy on the tiny bin
+    * domain — map-side combined, no other exchange.
+    */
+  def calibration(scored: DataFrame, scoreCol: String, labelCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 1, s"calibration: nBins $nBins < 1")
+    val bin = least(floor(col(scoreCol) * nBins), lit(nBins - 1)).cast("long")
+    scored
+      .select(bin.as("bin"), col(scoreCol).as("__s"),
+        col(labelCol).cast("boolean").cast("int").as("__y"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("__s")), 6).as("mean_score"),
+        (sum(col("__y")).cast("double") / count(lit(1))).as("label_rate"))
+      .withColumn("gap", round(abs(col("label_rate") - col("mean_score")), 6))
+      .orderBy(col("bin"))
+  }
 }
