@@ -968,11 +968,14 @@ object Dedup {
     * bit-exact across engines.
     *
     * Scale shape: identical to [[minHashDedup]] (pairs + label
-    * propagation) plus one component-keyed `max_by` aggregation and one
-    * id-sized join — everything after the pair stage moves
-    * (id, rep, score) rows only. The tie-break struct `(score, -id)` is
-    * totally ordered (ids unique), so the keeper never depends on
-    * partitioning.
+    * propagation) plus two component-keyed aggregations and one id-sized
+    * join — everything after the pair stage moves (id, rep, score) rows
+    * only. The keeper is picked in two exact passes — max score per
+    * component, then MIN id among the max-score members — so the
+    * tie-break needs no arithmetic negation and works for ANY orderable
+    * id type (a `-id` trick would throw on string ids under ANSI mode
+    * and silently cast them to null otherwise, making the keeper
+    * partition-dependent); selection never depends on partitioning.
     */
   def minHashDedupKeepBest(docs: DataFrame, textCol: String, idCol: String,
       score: org.apache.spark.sql.Column, threshold: Double = 0.7,
@@ -981,9 +984,10 @@ object Dedup {
     val reps = clusterRepresentatives(pairs, maxIters)
     // only docs IN a component can lose; everyone else never joins in
     val scored = docs.select(col(idCol).as("id"), score.as("__sc")).join(reps, Seq("id"))
-    val losers = scored
-      .groupBy(col("rep"))
-      .agg(max_by(col("id"), struct(col("__sc"), (-col("id")).as("__tie"))).as("__keep"))
+    val best = scored.groupBy(col("rep")).agg(max(col("__sc")).as("__best"))
+    val losers = scored.join(best, Seq("rep"))
+      .where(col("__sc") === col("__best"))
+      .groupBy(col("rep")).agg(min(col("id")).as("__keep"))
       .join(scored.select(col("id"), col("rep")), Seq("rep"))
       .where(col("id") =!= col("__keep"))
       .select(col("id"))

@@ -177,13 +177,18 @@ object Multimodal {
     out.toByteArray
   }
 
-  /** ImageIO decode hardened for corpus data (fuzz-found, round 9):
+  /** ImageIO decode hardened for corpus data (fuzz-found, round 9;
+    * widened to all formats in round 10):
     *
-    *  - a PNG whose corrupted IHDR declares a huge geometry costs
-    *    SECONDS of allocate-and-inflate per row before the decoder
-    *    notices (measured 11 s on one mutated fixture) — a decode bomb;
-    *    the IHDR width/height are pre-checked against `maxPixels`
-    *    before any decoder runs;
+    *  - an image whose corrupted header declares a huge geometry costs
+    *    SECONDS of allocate-and-decode per row before the post-decode
+    *    filter runs (measured 11 s on one mutated PNG fixture) — a
+    *    decode bomb. The format's own reader parses the DECLARED
+    *    width/height from the header (`ImageReader.getWidth/getHeight`
+    *    read metadata only, no pixel allocation) and rejects against
+    *    `maxPixels` BEFORE any `BufferedImage` is allocated — for every
+    *    installed format (PNG, GIF, BMP, JPEG, TIFF, WBMP), not just the
+    *    hand-parsed PNG IHDR this check started as;
     *  - JDK readers throw IIOException AND runtime faults
     *    (ArrayIndexOutOfBounds in the JPEG reader) on truncated
     *    streams — mapped to None so one corrupt row drops instead of
@@ -192,15 +197,26 @@ object Multimodal {
   private[multimodal] def readImageSafe(bytes: Array[Byte],
       maxPixels: Long = 1L << 26): Option[java.awt.image.BufferedImage] = {
     if (bytes == null || bytes.isEmpty) return None
-    if (bytes.length >= 24 &&
-      (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G') {
-      val w = java.nio.ByteBuffer.wrap(bytes, 16, 4).getInt
-      val h = java.nio.ByteBuffer.wrap(bytes, 20, 4).getInt
-      if (w <= 0 || h <= 0 || w.toLong * h > maxPixels) return None
-    }
-    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-      .filter(i => i.getWidth.toLong * i.getHeight <= maxPixels && i.getWidth > 0 && i.getHeight > 0)
-    catch { case scala.util.control.NonFatal(_) => None }
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (readers == null || !readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          val w = reader.getWidth(0)
+          val h = reader.getHeight(0)
+          if (w <= 0 || h <= 0 || w.toLong * h > maxPixels) None
+          else Option(reader.read(0))
+            // post-decode re-check stays: a lying header that under-declares
+            // must not smuggle an oversized raster past the budget
+            .filter(i => i.getWidth.toLong * i.getHeight <= maxPixels &&
+              i.getWidth > 0 && i.getHeight > 0)
+        } finally reader.dispose()
+      } finally if (iis != null) iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** REAL image decode: `ImageIO.read` over the payload bytes; None when

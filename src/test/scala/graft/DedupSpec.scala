@@ -126,6 +126,22 @@ class DedupSpec extends SparkSpec {
     assert(tied == baseline, s"tied=$tied baseline=$baseline")
   }
 
+  test("keep-best works with STRING ids (tie-break has no arithmetic negation)") {
+    // same corpus keyed by strings; ties everywhere → min (string) id wins
+    val longer = base + " and a longer trailing sentence follows here"
+    val d = Seq(
+      ("a0", base), ("a1", nearDup), ("b2", distinct1), ("b3", distinct2),
+      ("a4", base), ("a5", longer)
+    ).toDF("doc_id", "text")
+    val best = Dedup.minHashDedupKeepBest(d, "text", "doc_id",
+        T.tokenCount($"text").cast("long"), threshold = 0.5)
+      .select($"doc_id").collect().map(_.getString(0)).sorted.toSeq
+    assert(best == Seq("a5", "b2", "b3"), s"longest member wins with string ids: $best")
+    val tied = Dedup.minHashDedupKeepBest(d, "text", "doc_id", lit(1L), threshold = 0.5)
+      .select($"doc_id").collect().map(_.getString(0)).sorted.toSeq
+    assert(tied == Seq("a0", "b2", "b3"), s"all-tied falls back to min string id: $tied")
+  }
+
   test("leakage-safe split: near-dup clusters never straddle the split; clean docs match the plain split") {
     val out = Dedup.leakageSafeSplit(docs, "text", "doc_id", threshold = 0.5)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap

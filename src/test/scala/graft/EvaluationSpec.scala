@@ -309,4 +309,29 @@ class EvaluationSpec extends SparkSpec {
     val or = out("only_ref")
     assert(or.getLong(1) == 1L && or.getLong(2) == 0L && or.getDouble(3) > 0.0)
   }
+
+  test("calibration: hand-computed bins, score 1.0 folds into the top bin") {
+    // bin 0: scores .00/.05, labels F/T → n=2, mean .025, rate .5
+    // bin 9: scores .95/1.0/1.0, labels T/T/F → n=3 (1.0 FOLDS IN), rate 2/3
+    // bin 5: single score .55 label F → gap = mean_score
+    val scored = Seq(
+      (0.00, false), (0.05, true),
+      (0.95, true), (1.0, true), (1.0, false),
+      (0.55, false)).toDF("score", "label")
+    val out = Evaluation.calibration(scored, "score", "label", nBins = 10)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(0L, 5L, 9L), s"bins ${out.keySet}")
+    assert(out(0L).getLong(1) == 2L && out(0L).getDouble(2) == 0.025 &&
+      out(0L).getDouble(3) == 0.5)
+    assert(out(9L).getLong(1) == 3L, "score 1.0 must fold into bin nBins-1")
+    assert(out(9L).getDouble(2) == 0.983333) // (0.95+1+1)/3 rounded HALF_UP at 6
+    assert(math.abs(out(9L).getDouble(3) - 2.0 / 3) < 1e-15)
+    assert(out(9L).getDouble(4) == BigDecimal(2.0 / 3 - 0.983333)
+      .abs.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out(5L).getLong(1) == 1L && out(5L).getDouble(3) == 0.0 &&
+      out(5L).getDouble(4) == 0.55)
+    // ECE folds out of the table: Σ (n_b/N)·gap_b
+    val ece = out.values.map(r => r.getLong(1) * r.getDouble(4)).sum / 6
+    assert(ece > 0.0 && ece < 1.0)
+  }
 }
