@@ -32,15 +32,45 @@ import org.apache.spark.sql.functions._
   */
 object LinkGraph {
 
+  /** Default [[centrality]] density-guard bound: ~10⁹ (root, id) rows ≈
+    * tens of GB of closure state — past this, an uncapped all-roots BFS
+    * is a cluster-killer, not a query (measured: 80 GB of spill and an
+    * aborted job at the 100× tier, SCALE.md round 9 finding 2).
+    */
+  val DefaultMaxEstimatedReach: Long = 1L << 30
+
   /** Per-node bounded-hop centrality: `(idCol, n_hop_1 … n_hop_maxHops,
     * reach, harmonic)` where `n_hop_d` counts nodes at MIN distance
     * exactly `d`, `reach` their sum, and `harmonic` = Σ_d n_hop_d / d
     * (fixed evaluation order, see class doc). Nodes absent from `edges`
     * report all-zero lanes (harmonic 0.0). Directed: follow `src → dst`;
     * pass both directions for an undirected graph.
+    *
+    * DENSITY GUARD (fail-fast, same pattern as simHashPairs'
+    * `maxHamming < bands` and knnClassify's `maxQueries`): before the
+    * closure starts, one aggregation over the already-materialized edge
+    * table probes |E| and the mean out-degree, and the geometric reach
+    * estimate `Σ_d |roots| · avgDeg^d` must stay under
+    * `maxEstimatedReach` ([[DefaultMaxEstimatedReach]]). The estimate
+    * ignores ball saturation, so it over-counts on dense graphs —
+    * exactly the cases that must fail fast; sparse real link graphs pass
+    * with orders of magnitude to spare. Overrides, in preference order:
+    * sample the roots (the corpus-scale shape — see q_link_score_sampled),
+    * bound the balls with [[centralityCapped]], or raise/disable the
+    * bound explicitly (`maxEstimatedReach = Long.MaxValue`) when the
+    * closure size is a measured, accepted cost.
     */
   def centrality(nodes: DataFrame, idCol: String, edges: DataFrame, maxHops: Int): DataFrame =
-    centralityImpl(nodes, idCol, edges, maxHops, maxReachPerRoot = None)
+    centrality(nodes, idCol, edges, maxHops, DefaultMaxEstimatedReach)
+
+  /** [[centrality]] with an explicit density-guard bound (see above). */
+  def centrality(nodes: DataFrame, idCol: String, edges: DataFrame, maxHops: Int,
+      maxEstimatedReach: Long): DataFrame = {
+    require(maxEstimatedReach >= 1,
+      s"LinkGraph.centrality: maxEstimatedReach $maxEstimatedReach < 1")
+    centralityImpl(nodes, idCol, edges, maxHops, maxReachPerRoot = None,
+      maxEstimatedReach = maxEstimatedReach)
+  }
 
   /** [[centrality]] with a per-root BALL-SIZE cap — the BFS analog of the
     * edge builder's df cap, for graphs with supernode components: a root
@@ -57,11 +87,12 @@ object LinkGraph {
       maxReachPerRoot: Long): DataFrame = {
     require(maxReachPerRoot >= 1,
       s"LinkGraph.centralityCapped: maxReachPerRoot $maxReachPerRoot < 1")
-    centralityImpl(nodes, idCol, edges, maxHops, Some(maxReachPerRoot))
+    centralityImpl(nodes, idCol, edges, maxHops, Some(maxReachPerRoot),
+      maxEstimatedReach = Long.MaxValue)
   }
 
   private def centralityImpl(nodes: DataFrame, idCol: String, edges: DataFrame,
-      maxHops: Int, maxReachPerRoot: Option[Long]): DataFrame = {
+      maxHops: Int, maxReachPerRoot: Option[Long], maxEstimatedReach: Long): DataFrame = {
     require(maxHops >= 1, s"LinkGraph.centrality: maxHops $maxHops < 1")
     val e = edges.select(col("src"), col("dst"))
       .where(col("src") =!= col("dst")).distinct().cache()
@@ -72,6 +103,32 @@ object LinkGraph {
     var cachedHandle = reached
     var staleHandle: Option[org.apache.spark.sql.DataFrame] = None
     var reachedCount = reached.count()
+    // density guard for the UNCAPPED closure (capped runs are bounded by
+    // construction): one cheap aggregation over the cached edges, then
+    // fail fast BEFORE any closure state accumulates. The probe rides on
+    // data the loop needs cached anyway; see the [[centrality]] scaladoc.
+    if (maxReachPerRoot.isEmpty && maxEstimatedReach < Long.MaxValue) {
+      val probe = e.agg(count(lit(1)).as("m"), countDistinct(col("src")).as("s")).head()
+      val m = probe.getLong(0)
+      val avgDeg = m.toDouble / math.max(1L, probe.getLong(1))
+      var est = 0.0
+      var term = reachedCount.toDouble
+      var i = 0
+      while (i < maxHops && est <= maxEstimatedReach.toDouble) {
+        term *= avgDeg; est += term; i += 1
+      }
+      if (est > maxEstimatedReach.toDouble) {
+        cachedHandle.unpersist() // fail-fast must not leak the seed/edge caches
+        e.unpersist()
+        throw new IllegalArgumentException(
+          f"LinkGraph.centrality: estimated closure size $est%.3g (root, id) rows " +
+            f"(${reachedCount} roots x avg out-degree $avgDeg%.1f over $maxHops hops, " +
+            s"$m edges) exceeds maxEstimatedReach $maxEstimatedReach - an uncapped " +
+            "all-roots BFS at this density is a measured disk-exhaustion footgun. " +
+            "Sample the roots, use centralityCapped(maxReachPerRoot), or pass " +
+            "centrality(..., maxEstimatedReach) explicitly to accept the cost.")
+      }
+    }
     var frontier = reached.select(col("root"), col("id"))
     // roots stopped by the ball cap (None = unlimited); cumulative, and
     // always re-derived from the CACHED reached table so checking it

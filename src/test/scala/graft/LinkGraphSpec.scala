@@ -123,4 +123,30 @@ class LinkGraphSpec extends SparkSpec {
     assert(e.contains((0L, 1L)) && e.contains((1L, 0L)), "shared rare span links 0-1")
     assert(!e.exists { case (s, d) => s >= 3L || d >= 3L }, s"hub spans must be dropped: $e")
   }
+
+  test("density guard: a dense all-roots closure fails fast with the guard message") {
+    // complete graph on 20 nodes: avg out-degree 19, geometric 3-hop
+    // estimate 20·(19 + 19² + 19³) ≈ 1.4e5 — over a small explicit bound
+    val ids = (1L to 20L)
+    val clique = edgesOf(ids.flatMap(a => ids.filter(_ > a).map(a -> _)): _*)
+    val n = nodes(ids: _*)
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val ex = intercept[IllegalArgumentException] {
+      LinkGraph.centrality(n, "id", clique, maxHops = 3, maxEstimatedReach = 1000L)
+    }
+    assert(ex.getMessage.contains("maxEstimatedReach") &&
+      ex.getMessage.contains("disk-exhaustion"), ex.getMessage)
+    // the guard must not leak cached state when it fires
+    assert(spark.sparkContext.getPersistentRDDs.keySet == cachedBefore,
+      "fail-fast leaked a cache entry")
+    // the same closure runs when the caller accepts the cost explicitly,
+    // and the default bound passes sparse graphs untouched
+    val accepted = LinkGraph.centrality(n, "id", clique, maxHops = 3,
+      maxEstimatedReach = Long.MaxValue).orderBy($"id").collect()
+    assert(accepted.forall(r => r.getAs[Long]("n_hop_1") == 19 && r.getAs[Long]("reach") == 19))
+    val default = LinkGraph.centrality(n, "id", clique, maxHops = 3)
+      .orderBy($"id").collect()
+    assert(default.map(_.toSeq).toSeq == accepted.map(_.toSeq).toSeq,
+      "default bound admits a 20-node clique and matches the explicit run")
+  }
 }
