@@ -157,6 +157,61 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Layout REMEDIATION for foreign parquet (the fix for the
+    * [[scanParallelism]] diagnosis): rewrite a directory whose row-group
+    * layout starves the scan into `targetParallelism` files of
+    * row groups no larger than `maxRowGroupBytes` — so a subsequent scan
+    * can run ≥ `targetParallelism` concurrent readers regardless of
+    * `maxPartitionBytes`. This is the one-off fix users apply to
+    * ingested parquet they didn't write: pyarrow's defaults put ≤1M-row
+    * tables in ONE row group, which serializes every compute-dense pass
+    * (tokenize / MinHash / codec UDFs) on one core while the byte-range
+    * split planner reports healthy-looking empty splits (SCALE.md
+    * round 9 finding 0; the reference sizes batches on rewrite for the
+    * same reason — BatchSizeRecorder in its store layer). Round-robin
+    * repartition: contents and schema unchanged; returns the file count.
+    *
+    * Cost: one full read + shuffle + write of the directory — worth it
+    * exactly when the table is re-scanned by compute-dense work. For a
+    * ONE-SHOT pipeline, skip the rewrite and use
+    * [[repartitionForCompute]] inside the query instead.
+    */
+  def rewriteForCompute(spark: SparkSession, inPath: String, outPath: String,
+      targetParallelism: Int, maxRowGroupBytes: Long = 128L << 20): Int = {
+    require(targetParallelism >= 1, s"rewriteForCompute: targetParallelism $targetParallelism < 1")
+    require(maxRowGroupBytes >= (1L << 16),
+      s"rewriteForCompute: maxRowGroupBytes $maxRowGroupBytes below parquet's useful minimum")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(inPath), spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(inPath)).getLength
+    // enough files that each holds ≥1 row group at the target size even
+    // if the writer never splits within a file; block.size bounds groups
+    // inside big files on top of that
+    val n = math.max(targetParallelism,
+      math.ceil(totalBytes.toDouble / maxRowGroupBytes).toInt)
+    spark.read.parquet(inPath)
+      .repartition(n)
+      .write.mode("overwrite")
+      .option("parquet.block.size", maxRowGroupBytes.toString)
+      .parquet(outPath)
+    n
+  }
+
+  /** In-query remediation twin of [[rewriteForCompute]]: one round-robin
+    * exchange that breaks a row-group-bound scan's parallelism ceiling
+    * for the COMPUTE that follows (the scan itself stays serialized —
+    * only a rewrite fixes that — but everything downstream of the
+    * exchange fans out to `partitions`). Use when the expensive pass is
+    * one-shot and a full directory rewrite isn't worth it; defaults to
+    * 2 waves per core so AQE/stragglers still balance.
+    */
+  def repartitionForCompute(df: DataFrame, partitions: Int = 0): DataFrame = {
+    val n =
+      if (partitions > 0) partitions
+      else 2 * df.sparkSession.sparkContext.defaultParallelism
+    df.repartition(n)
+  }
+
   /** Compact a parquet directory to ~`targetFileBytes` files (the
     * small-files maintenance pass every long-lived 100 TB store needs:
     * streaming ingest and per-batch writes fragment directories; scan

@@ -124,4 +124,32 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(compacted).orderBy($"doc_id").collect().toSeq ==
       docs.orderBy($"doc_id").collect().toSeq)
   }
+
+  test("rewriteForCompute: single-row-group table rises to ~target scan parallelism, contents unchanged") {
+    val base = java.nio.file.Files.createTempDirectory("layout_rw")
+    val df = spark.range(0, 40000).select($"id", ($"id" % 97).cast("string").as("s"))
+    val starved = base.resolve("starved").toString
+    df.coalesce(1).write.mode("overwrite").parquet(starved) // the pyarrow-default trap
+    val before = Layout.scanParallelism(spark, starved).collect()
+    assert(before.map(_.getAs[Long]("row_groups")).sum == 1L, "fixture must be one row group")
+
+    val fixed = base.resolve("fixed").toString
+    val n = Layout.rewriteForCompute(spark, starved, fixed, targetParallelism = 8)
+    assert(n == 8, s"small table: file count == targetParallelism, got $n")
+    val after = Layout.scanParallelism(spark, fixed).collect()
+    assert(after.map(_.getAs[Long]("row_groups")).sum >= 8L,
+      s"scan parallelism must rise to >= target: ${after.mkString(",")}")
+    assert(after.map(_.getAs[Long]("rows")).sum == 40000L)
+    assert(spark.read.parquet(fixed).orderBy($"id").collect().toSeq ==
+      df.orderBy($"id").collect().toSeq, "round-robin rewrite preserves contents")
+  }
+
+  test("repartitionForCompute: downstream parallelism no longer bound by one input split") {
+    val df = spark.range(0, 1000).toDF("id").coalesce(1)
+    assert(df.rdd.getNumPartitions == 1)
+    val fanned = Layout.repartitionForCompute(df)
+    assert(fanned.rdd.getNumPartitions == 2 * spark.sparkContext.defaultParallelism)
+    assert(Layout.repartitionForCompute(df, 7).rdd.getNumPartitions == 7)
+    assert(fanned.agg(sum($"id")).head().getLong(0) == 499500L)
+  }
 }
