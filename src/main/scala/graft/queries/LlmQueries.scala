@@ -181,6 +181,28 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // incremental index maintenance: build on the low-id 80%, APPEND the
+    // rest batch-wise (assigned against the persisted centroid sidecar,
+    // per-cell partition files appended, manifest counts refreshed last),
+    // probe the merged artifact. Oracle = q_ann_ivf's full-corpus build:
+    // append must be bit-identical to a rebuild on the concatenated corpus
+    "q_ann_ivf_append" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idxDir = ivfIndexDirs.computeIfAbsent(dir + "#append", _ => {
+        val d = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
+        val base = emb.where(col("vec_id") < 400)
+        Similarity.saveIvfIndexAppendable(
+          Similarity.ivfBuild(base, "embedding", "vec_id", nlist = 16),
+          d, "embedding", "vec_id", nlist = 16)
+        Similarity.appendToIvfIndex(emb.where(col("vec_id") >= 400), "embedding", "vec_id", d)
+        d
+      })
+      val loaded = Similarity.loadIvfIndex(s, idxDir)
+      Similarity.ivfTopK(loaded, emb.where(col("vec_id") < 5), "embedding", "vec_id", k = 5, nlist = 16, nprobe = 4)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // index-quality evaluation: per-query recall@10 of the IVF probe
     // against exact ground truth — the oracle recomputes BOTH sides
     // (brute force and the full IVF assign/probe pipeline) from raw
@@ -1520,10 +1542,15 @@ object LlmQueries {
   lazy val oracles: Map[String, String] = withAliases(baseOracles)
 
   /** The persisted-index probe is verdict-identical to the in-memory one
-    * — it shares q_ann_ivf's oracle verbatim.
+    * — it shares q_ann_ivf's oracle verbatim. So is the incrementally-
+    * APPENDED index: append assigns with the build's own kernel against
+    * the build's own centroids, so base+append ≡ one build over the
+    * concatenated corpus, and the probe result is the same rows — the
+    * shared oracle IS the append-equals-rebuild proof.
     */
   private def withAliases(m: Map[String, String]): Map[String, String] =
-    m + ("q_ann_ivf_persisted" -> m("q_ann_ivf"))
+    m + ("q_ann_ivf_persisted" -> m("q_ann_ivf")) +
+      ("q_ann_ivf_append" -> m("q_ann_ivf"))
 
   private val baseOracles: Map[String, String] = Map(
     // Full independent oracles for the MinHash/SimHash/sketch lanes:

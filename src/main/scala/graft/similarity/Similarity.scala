@@ -67,11 +67,19 @@ object Similarity {
       .select(col(idCol).as("cell"), col(vecCol).as("centroid"))
       .orderBy(col("cell"))
       .limit(nlist)
-    // Nearest-cell assignment via max_by aggregation, NOT a window: the
-    // broadcast join fans each row out nlist× locally, and the partial
-    // (map-side) max_by collapses it back to one row per id before any
-    // shuffle — so the exchange carries corpus-sized data, never
-    // corpus×nlist, and there is no per-partition sort.
+    assignCells(corpus, vecCol, idCol, centroids)
+  }
+
+  /** Nearest-cell assignment — the ONE definition [[ivfBuild]] and
+    * [[appendToIvfIndex]] share, so appended vectors land in exactly the
+    * cell a full rebuild would give them. Via max_by aggregation, NOT a
+    * window: the broadcast join fans each row out nlist× locally, and
+    * the partial (map-side) max_by collapses it back to one row per id
+    * before any shuffle — so the exchange carries corpus-sized data,
+    * never corpus×nlist, and there is no per-partition sort.
+    */
+  private def assignCells(corpus: DataFrame, vecCol: String, idCol: String,
+      centroids: DataFrame): DataFrame = {
     val cols = corpus.columns.toSeq
     corpus
       .join(broadcast(centroids))
@@ -98,6 +106,99 @@ object Similarity {
     */
   def saveIvfIndex(indexed: DataFrame, dir: String): Unit =
     indexed.write.mode("overwrite").partitionBy("cell").parquet(dir)
+
+  /** [[saveIvfIndex]] plus the `_centroids` sidecar that makes the
+    * artifact APPENDABLE: (cell, centroid, n_rows) — the build-time
+    * centroid set (recovered by ivfBuild's own definition, the `nlist`
+    * lowest-`idCol` rows) and per-cell row counts for audit. Write
+    * ordering is data-first / sidecar-last (the Export manifest
+    * discipline): a crash between the two leaves data present but the
+    * sidecar stale/absent — an UNDER-certified index a re-run repairs —
+    * never a sidecar describing data that isn't on disk. The underscore
+    * prefix hides the sidecar from the data scan, so [[loadIvfIndex]]
+    * is unchanged.
+    */
+  def saveIvfIndexAppendable(indexed: DataFrame, dir: String, vecCol: String,
+      idCol: String, nlist: Int): Unit = {
+    indexed.write.mode("overwrite").partitionBy("cell").parquet(dir)
+    val centroids = indexed.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(nlist)
+      .select(col(idCol).cast("long").as("cell"), col(vecCol).as("centroid"))
+    val counts = indexed.groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n_rows"))
+    writeIvfSidecar(
+      centroids.join(counts, Seq("cell"), "left")
+        .withColumn("n_rows", coalesce(col("n_rows"), lit(0L))),
+      dir)
+  }
+
+  private def writeIvfSidecar(rows: DataFrame, dir: String): Unit =
+    rows.select(col("cell"), col("centroid"), col("n_rows"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_centroids")
+
+  /** The `_centroids` sidecar of a [[saveIvfIndexAppendable]] artifact:
+    * (cell, centroid, n_rows).
+    */
+  def loadIvfCentroids(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/_centroids")
+
+  /** Incremental IVF index maintenance: assign `newVectors` to the
+    * EXISTING centroids (the same [[assignCells]] kernel as the build,
+    * so each vector lands in exactly the cell a full rebuild would give
+    * it) and APPEND per-cell partition files — no index rebuild, no
+    * rewrite of existing data; dynamic partition pruning on probes is
+    * untouched because cells only gain files. The result is
+    * bit-identical to rebuilding over the concatenated corpus
+    * (IvfPersistSpec + the q_ann_ivf_append oracle prove it), PROVIDED
+    * the build's centroid recovery is stable — hence the require: every
+    * appended id must sort ABOVE every centroid cell id, or the
+    * "nlist lowest-id rows" recovery in [[ivfTopK]]'s probe would start
+    * returning appended vectors as centroids. Ordering is data-first /
+    * sidecar-last, same as the build.
+    *
+    * Scale shape: one broadcast of the (tiny) sidecar centroids, one
+    * map-side-combined assignment over the new batch only, one
+    * partitioned append — cost proportional to the BATCH, not the index,
+    * which is the point of incremental maintenance at 10⁹+ vectors.
+    */
+  def appendToIvfIndex(newVectors: DataFrame, vecCol: String, idCol: String,
+      dir: String): Unit = {
+    val spark = newVectors.sparkSession
+    // pin the sidecar BEFORE any write: the refreshed sidecar overwrites
+    // the very files this plan would otherwise lazily re-read
+    val sidecar = loadIvfCentroids(spark, dir).localCheckpoint(true)
+    try {
+      require(sidecar.count() > 0, s"appendToIvfIndex: no _centroids sidecar under " +
+        s"$dir - build with saveIvfIndexAppendable")
+      val maxCell = sidecar.agg(max(col("cell"))).head().getLong(0)
+      val bounds = newVectors.agg(
+        min(col(idCol).cast("long")).as("lo"), count(lit(1)).as("n")).head()
+      if (bounds.getLong(1) == 0L) return // empty batch: nothing to append
+      require(bounds.getLong(0) > maxCell,
+        s"appendToIvfIndex: new ids start at ${bounds.getLong(0)} but the centroid set " +
+          s"reaches cell $maxCell - appended ids must sort above every centroid id so " +
+          "the probe-time centroid recovery (nlist lowest-id rows) stays the build's")
+      val assigned = assignCells(newVectors, vecCol, idCol,
+        sidecar.select(col("cell"), col("centroid")))
+        .localCheckpoint(true) // consumed twice: the data write + the count refresh
+      try {
+        // schema discipline: the appended files must carry the index's columns
+        val want = spark.read.parquet(dir).columns.toSet
+        val have = assigned.columns.toSet
+        require(have == want, s"appendToIvfIndex: batch columns $have != index columns $want")
+        assigned.write.mode("append").partitionBy("cell").parquet(dir)
+        // sidecar last: centroids unchanged by construction (appended ids
+        // sort above them); counts = old sidecar + batch — a crash before
+        // this line leaves counts stale-low, never over-certified
+        val batchCounts = assigned.groupBy(col("cell").cast("long").as("cell"))
+          .agg(count(lit(1)).as("__add"))
+        writeIvfSidecar(
+          sidecar.join(batchCounts, Seq("cell"), "left")
+            .withColumn("n_rows", col("n_rows") + coalesce(col("__add"), lit(0L))),
+          dir)
+      } finally assigned.unpersist()
+    } finally sidecar.unpersist()
+  }
 
   /** Read a [[saveIvfIndex]] artifact back. The partition column comes
     * back via directory inference (int for small ids) — recast to long

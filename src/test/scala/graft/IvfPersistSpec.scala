@@ -44,4 +44,55 @@ class IvfPersistSpec extends SparkSpec {
     assert(plan.contains("dynamicpruning"),
       s"expected a dynamicpruning subquery on the partitioned scan; plan:\n${plan.take(2000)}")
   }
+
+  test("append == full rebuild on the concatenated corpus; sidecar counts truthful; pruning intact") {
+    val emb = vecs
+    val base = emb.where($"vec_id" < 150)
+    val extra = emb.where($"vec_id" >= 150)
+    val dir = java.nio.file.Files.createTempDirectory("ivfapp").toString
+    Similarity.saveIvfIndexAppendable(
+      Similarity.ivfBuild(base, "embedding", "vec_id", nlist = 8),
+      dir, "embedding", "vec_id", nlist = 8)
+    Similarity.appendToIvfIndex(extra, "embedding", "vec_id", dir)
+
+    // merged artifact row-for-row equals one build over everything
+    val appended = Similarity.loadIvfIndex(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>"), $"cell")
+      .orderBy($"vec_id").collect().toSeq
+    val rebuilt = Similarity.ivfBuild(emb, "embedding", "vec_id", nlist = 8)
+      .select($"vec_id", $"embedding".cast("array<double>"), $"cell")
+      .orderBy($"vec_id").collect().toSeq
+    assert(appended == rebuilt, "append must be bit-identical to a full rebuild")
+
+    // sidecar: same centroid set as the build, counts = merged per-cell rows
+    val side = Similarity.loadIvfCentroids(spark, dir)
+    assert(side.count() == 8)
+    assert(side.agg(sum($"n_rows")).head().getLong(0) == 200L, "manifest counts cover the merge")
+    val perCell = Similarity.loadIvfIndex(spark, dir).groupBy($"cell").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    side.collect().foreach { r =>
+      assert(r.getLong(2) == perCell.getOrElse(r.getLong(0), 0L),
+        s"cell ${r.getLong(0)} sidecar=${r.getLong(2)} actual=${perCell.get(r.getLong(0))}")
+    }
+
+    // probes on the merged artifact still get dynamic partition pruning
+    val plan = Similarity.ivfTopK(Similarity.loadIvfIndex(spark, dir),
+        emb.where($"vec_id" < 3), "embedding", "vec_id", k = 5, nlist = 8, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), s"pruning lost after append:\n${plan.take(2000)}")
+
+    // contract: ids at-or-below the centroid range are rejected up front
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndex(emb.where($"vec_id" === 3), "embedding", "vec_id", dir)
+    }
+    assert(ex.getMessage.contains("sort above every centroid id"), ex.getMessage)
+    // a plain (sidecar-less) index refuses append instead of corrupting
+    val plainDir = java.nio.file.Files.createTempDirectory("ivfplain").toString
+    Similarity.saveIvfIndex(Similarity.ivfBuild(base, "embedding", "vec_id", nlist = 8), plainDir)
+    val ex2 = intercept[Exception] {
+      Similarity.appendToIvfIndex(extra, "embedding", "vec_id", plainDir)
+    }
+    assert(ex2.getMessage.contains("_centroids") || ex2.getMessage.contains("PATH_NOT_FOUND")
+      || ex2.getMessage.toLowerCase.contains("path does not exist"), ex2.getMessage)
+  }
 }
