@@ -247,7 +247,22 @@ object Export {
       .orderBy(col("shard"))
   }
 
-  private val EpochLineRe = """"epoch"\s*:\s*(\d+)""".r
+  // readTree is thread-safe; one mapper for all manifest parsing
+  private lazy val manifestMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** The top-level integer `epoch` field of one manifest JSON line — a
+    * real JSON parse, not a regex: a STRING VALUE containing the text
+    * `"epoch": 9` must not be mistaken for the field. None for non-JSON
+    * lines or a missing / non-integral epoch (such lines are foreign to
+    * the epoch layout and get dropped on merge, per the scaladoc below).
+    */
+  private def epochField(line: String): Option[Int] =
+    try {
+      val node = manifestMapper.readTree(line)
+      val e = if (node != null && node.isObject) node.get("epoch") else null
+      if (e != null && e.isIntegralNumber && e.canConvertToInt) Some(e.intValue)
+      else None
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Incremental export: write ONE epoch of packed shards under
     * `outDir/epoch=<epoch>/shard=K/` and merge the root
@@ -290,11 +305,10 @@ object Export {
           try scala.io.Source.fromInputStream(in, "UTF-8").mkString
           finally in.close()
         text.split('\n').toSeq.filter(_.nonEmpty).filter { line =>
-          EpochLineRe.findFirstMatchIn(line).exists(_.group(1).toInt != epoch)
+          epochField(line).exists(_ != epoch)
         }
       }
-    def epochOf(line: String): Int =
-      EpochLineRe.findFirstMatchIn(line).map(_.group(1).toInt).getOrElse(Int.MaxValue)
+    def epochOf(line: String): Int = epochField(line).getOrElse(Int.MaxValue)
     val merged = (kept ++ newLines).sortBy(epochOf) // stable: shard order survives
     val tmp = new org.apache.hadoop.fs.Path(outDir, "_manifest.jsonl.tmp")
     val out = fs.create(tmp, true)

@@ -136,6 +136,38 @@ class ExportSpec extends SparkSpec {
     assert(ep0Tok == data0)
   }
 
+  test("manifest epoch parsing is real JSON: a string value containing \"epoch\": 9 can't shadow the field") {
+    val dir = Files.createTempDirectory("graft_epoch_adv").toString
+    writeEpoch(dir, docs.where($"doc_id" % 2 === 0), 0)
+    writeEpoch(dir, docs.where($"doc_id" % 2 === 1), 3)
+    // adversarial rewrite: epoch-3 lines gain a leading STRING field whose
+    // value embeds the text "epoch": 9 — a regex scan would read epoch 9
+    // for these lines and fail to replace them on re-export
+    val manPath = java.nio.file.Paths.get(dir, "_manifest.jsonl")
+    val doctored = new String(java.nio.file.Files.readAllBytes(manPath), "UTF-8")
+      .split('\n').filter(_.nonEmpty).map { line =>
+        if (line.contains("\"epoch\":3") || line.contains("\"epoch\": 3"))
+          line.replaceFirst("\\{", """{"note":"contains \\"epoch\\": 9 in a string",""")
+        else line
+      }.mkString("", "\n", "\n")
+    java.nio.file.Files.write(manPath, doctored.getBytes("UTF-8"))
+    // the raw rewrite invalidates Hadoop LocalFileSystem's checksum sidecar
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, "._manifest.jsonl.crc"))
+    // re-export epoch 3: the doctored lines must be REPLACED, not duplicated
+    writeEpoch(dir, docs.where($"doc_id" % 2 === 1 && $"doc_id" =!= 5L), 3)
+    val lines = new String(java.nio.file.Files.readAllBytes(manPath), "UTF-8")
+      .split('\n').filter(_.nonEmpty)
+    assert(!lines.exists(_.contains("\"note\"")), "old epoch-3 generation survived the merge")
+    val man = Export.readManifest(spark, dir).collect()
+    val ep3 = man.filter(_.getAs[Long]("epoch") == 3L)
+    val back = Export.readPackedShards(spark, dir)
+    assert(ep3.map(_.getAs[Long]("n_tokens")).sum ==
+      back.where($"epoch" === 3).agg(sum($"n_real")).head.getLong(0),
+      "exactly one certified generation of epoch 3")
+    assert(man.count(_.getAs[Long]("epoch") == 0L) > 0, "epoch 0 untouched")
+  }
+
   test("crash before manifest commit: certificate never covers the dead epoch") {
     val dir = Files.createTempDirectory("graft_epoch_crash").toString
     writeEpoch(dir, docs.where($"doc_id" % 2 === 0), 0)
