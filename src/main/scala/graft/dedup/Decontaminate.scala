@@ -165,6 +165,92 @@ object Decontaminate {
           .as("overlap_ratio"))
   }
 
+  /** The [[overlapStatsAuto]] policy verdict: which path was chosen and
+    * the two probe measurements that drove it.
+    */
+  final case class DecontPolicy(path: String, nEvalSpans: Long, estHitDensity: Double)
+
+  /** Measure what [[overlapStatsAuto]] decides on, without running the
+    * stats: the eval side's distinct-span count (vs the session's
+    * broadcast threshold at 8 B/span) and the estimated hit density from
+    * a bounded, deterministic train-side sample against the exact eval
+    * set. Exposed for tests and capacity planning.
+    */
+  private[graft] def probePolicy(
+      train: DataFrame,
+      eval: DataFrame,
+      textCol: String,
+      idCol: String,
+      w: Int,
+      probeDocs: Int,
+      densityCutoff: Double): DecontPolicy = {
+    val spark = train.sparkSession
+    val evalSpans = eval
+      .select(explode(T.shingleHashes(col(textCol), w)).as("span_hash"))
+      .distinct().localCheckpoint(true) // consumed twice: count + probe join
+    val nEvalSpans = evalSpans.count()
+    val bcastBytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
+    val path =
+      if (bcastBytes >= 0 && nEvalSpans * 8L > bcastBytes)
+        // past broadcast range: the Bloom prefilter is the only shape
+        DecontPolicy("bloom", nEvalSpans, -1.0)
+      else {
+        val probe = train.limit(probeDocs)
+          .select(explode(T.shingleHashes(col(textCol), w)).as("span_hash"))
+          .join(broadcast(evalSpans.withColumn("__hit", lit(1L))), Seq("span_hash"), "left")
+          .agg(count(lit(1)).as("n"), sum(coalesce(col("__hit"), lit(0L))).as("h"))
+          .head()
+        val n = probe.getLong(0)
+        val density = if (n == 0) 0.0 else probe.getLong(1).toDouble / n
+        DecontPolicy(if (density > densityCutoff) "exact" else "bloom", nEvalSpans, density)
+      }
+    evalSpans.unpersist()
+    path
+  }
+
+  /** [[overlapStats]] with the Bloom-vs-exact choice made FROM DATA — the
+    * measured crossover (SCALE.md round 9) turned into a policy instead
+    * of scaladoc guidance. Decision, in order:
+    *
+    *  1. eval span set past the session broadcast threshold (8 B/span vs
+    *     `spark.sql.autoBroadcastJoinThreshold`) → '''bloom''' — the
+    *     exact broadcast isn't available at that size;
+    *  2. otherwise probe the hit density of a bounded deterministic
+    *     train sample (`probeDocs` docs, one narrow pass) against the
+    *     exact eval set: density above `densityCutoff` → '''exact'''
+    *     (a saturated corpus defeats the prefilter — measured 10.6 vs
+    *     13.5 s at the skewed 100× tier), else → '''bloom''' (the normal
+    *     low-density case — measured 1.2-1.4× faster at 10×/100×).
+    *
+    * The choice is logged to stderr; both paths return BIT-IDENTICAL
+    * results (the Bloom has no false negatives and false positives die
+    * in the exact join), so the policy can never change answers — only
+    * cost. The probe itself is one count on the eval side (the Bloom
+    * path needs it for bit sizing anyway) plus one sample-sized pass.
+    */
+  def overlapStatsAuto(
+      train: DataFrame,
+      eval: DataFrame,
+      textCol: String,
+      idCol: String,
+      w: Int = 8,
+      fpp: Double = 0.01,
+      probeDocs: Int = 1000,
+      densityCutoff: Double = 0.5
+  ): DataFrame = {
+    require(probeDocs >= 1, s"overlapStatsAuto: probeDocs $probeDocs < 1")
+    require(densityCutoff >= 0 && densityCutoff <= 1,
+      s"overlapStatsAuto: densityCutoff $densityCutoff out of [0,1]")
+    val p = probePolicy(train, eval, textCol, idCol, w, probeDocs, densityCutoff)
+    System.err.println(
+      f"[graft] decontaminateAuto: chose ${p.path} path (${p.nEvalSpans} eval spans, " +
+        f"est. hit density ${p.estHitDensity}%.3f, cutoff $densityCutoff)")
+    if (p.path == "exact") overlapStats(train, eval, textCol, idCol, w)
+    else overlapStatsBloom(train, eval, textCol, idCol, w, fpp,
+      expectedEvalSpans = p.nEvalSpans)
+  }
+
   /** The benchmark auditor's direction — per EVAL doc, how much of it
     * leaked into the training corpus: (eval_id, n_spans, n_hit_spans,
     * n_train_docs, contamination_ratio) where n_spans counts the eval

@@ -54,6 +54,37 @@ class DecontaminateSpec extends SparkSpec {
     assert(none.map(_.getAs[Long]("id")).toSet == Set(0L, 1L, 2L)) // short doc 3 has no spans
   }
 
+  test("overlapStatsAuto: both branches fire on the right corpora and match the exact path bit-identically") {
+    val exact = Decontaminate.overlapStats(train, evalSet, "text", "doc_id", w = 8)
+      .orderBy($"id").collect().toSeq
+    // saturated corpus (every train doc IS the eval doc) → exact path
+    val hot = Seq((0L, leaked), (1L, leaked), (2L, leaked)).toDF("doc_id", "text")
+    val pHot = Decontaminate.probePolicy(hot, evalSet, "text", "doc_id",
+      w = 8, probeDocs = 1000, densityCutoff = 0.5)
+    assert(pHot.path == "exact" && pHot.estHitDensity == 1.0, pHot.toString)
+    // normal low-density corpus → bloom path
+    val pCold = Decontaminate.probePolicy(train, evalSet, "text", "doc_id",
+      w = 8, probeDocs = 1000, densityCutoff = 0.5)
+    assert(pCold.path == "bloom" && pCold.estHitDensity < 0.5, pCold.toString)
+    // eval span set past the broadcast threshold → bloom, no density probe
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64")
+      val pBig = Decontaminate.probePolicy(train, evalSet, "text", "doc_id",
+        w = 8, probeDocs = 1000, densityCutoff = 0.5)
+      assert(pBig.path == "bloom" && pBig.estHitDensity == -1.0, pBig.toString)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    // whatever the policy picks, results are the exact path's rows
+    val viaBloom = Decontaminate.overlapStatsAuto(train, evalSet, "text", "doc_id", w = 8)
+      .orderBy($"id").collect().toSeq
+    assert(viaBloom == exact, s"auto(bloom)=$viaBloom exact=$exact")
+    val hotExact = Decontaminate.overlapStats(hot, evalSet, "text", "doc_id", w = 8)
+      .orderBy($"id").collect().toSeq
+    val viaExact = Decontaminate.overlapStatsAuto(hot, evalSet, "text", "doc_id", w = 8)
+      .orderBy($"id").collect().toSeq
+    assert(viaExact == hotExact)
+  }
+
   test("evalContaminationBloom ≡ evalContamination; empty eval set handled") {
     val evalTwo = evalSet.union(Seq((101L, clean2 + " extra tail words here")).toDF("doc_id", "text"))
     val exact = Decontaminate.evalContamination(train, evalTwo, "text", "doc_id", w = 8)
