@@ -90,7 +90,12 @@ object Bench {
     // centrality shape
     "q_decontaminate_bloom",
     "q_link_score_sampled",
-    "q_cdc_rewrite"
+    "q_cdc_rewrite",
+    // round 10: WebM/Matroska container indexing (the second web video
+    // container; same scan-local shape as the MP4 lanes) and the
+    // incrementally-maintained IVF index probe
+    "q_video_index_webm",
+    "q_ann_ivf_append"
   )
 
   def main(args: Array[String]): Unit = {

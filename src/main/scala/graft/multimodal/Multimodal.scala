@@ -892,6 +892,32 @@ object Multimodal {
     Mp4.encodeFragmented(w, h, timescale, delta, samples, keyframes, samplesPerFragment = 2)
   }
 
+  /** WebM twin of [[syntheticMp4]]: the SAME per-sample size/keyframe/
+    * dimension formulas laid out as a real [[Webm.encode]] Matroska file
+    * (clusters of 2 SimpleBlocks). The clock is Matroska's native
+    * millisecond tick (TimestampScale = 1 ms → timescale 1000), with
+    * `delta` ms per frame, so `time_ms == dts`. Offsets are fully
+    * arithmetic for the oracle: a CONSTANT [[Webm.HeaderBytes]]-byte
+    * header, then cluster g of nf blocks occupies
+    * `23 + 13·nf + Σ sizes` bytes, and block s of cluster f sits after
+    * f's 23-byte cluster head plus its within-cluster predecessors'
+    * `13 + size` bytes plus its own 13-byte block head (WebmSpec pins
+    * the constants).
+    */
+  def syntheticWebm(id: Long): Array[Byte] = {
+    require(id >= 0, s"syntheticWebm: id must be non-negative, got $id")
+    val w = 16 * (1 + (id % 8).toInt)
+    val h = 16 * (1 + ((id / 8) % 8).toInt)
+    val delta = 100L + (id % 9) * 10L
+    val n = 1 + (id % 7).toInt
+    val samples = (0 until n).map { s =>
+      val size = 50 + ((id * 13 + s * 7) % 200).toInt
+      Array.tabulate(size)(k => ((id + s * 31 + k) % 256).toByte)
+    }
+    val keyframes = (0 until n).filter(_ % 3 == 0)
+    Webm.encode(w, h, delta, samples, keyframes, samplesPerCluster = 2)
+  }
+
   val videoIndexSchema: StructType = StructType(
     Seq(
       StructField("sample_no", LongType, nullable = false),
@@ -915,7 +941,20 @@ object Multimodal {
     * [[decodeImagesIO]]). Scan-local per row, no shuffle; the index rows
     * are fixed-width and tiny relative to the payload.
     */
-  def indexVideoMp4(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+  def indexVideoMp4(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    indexVideoWith(df, idCol, payloadCol, Mp4.index)
+
+  /** [[indexVideoMp4]] for WebM/Matroska payloads ([[Webm]] class doc):
+    * identical unified schema, so MP4 and WebM corpora union into one
+    * frame-index table. `duration_ticks` comes from the track's
+    * DefaultDuration (0 when the file doesn't declare one — Matroska
+    * blocks carry no per-frame duration).
+    */
+  def indexVideoWebm(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    indexVideoWith(df, idCol, payloadCol, Webm.index)
+
+  private def indexVideoWith(df: DataFrame, idCol: String, payloadCol: String,
+      parser: Array[Byte] => Option[Mp4.Index]): DataFrame = {
     val idField = df.schema(idCol)
     val outSchema = StructType(idField +: videoIndexSchema.fields)
     val idIdx = df.schema.fieldIndex(idCol)
@@ -923,7 +962,7 @@ object Multimodal {
     val rdd = df.rdd.mapPartitions { rows =>
       rows.flatMap { r =>
         val bytes = if (r.isNullAt(payloadIdx)) null else r.getAs[Array[Byte]](payloadIdx)
-        Mp4.index(bytes).toSeq.flatMap { ix =>
+        parser(bytes).toSeq.flatMap { ix =>
           ix.samples.map { s =>
             val timeMs = if (ix.timescale <= 0) 0L else s.dts * 1000L / ix.timescale
             Row.fromSeq(r.get(idIdx) +: Seq[Any](

@@ -1,0 +1,369 @@
+package graft.multimodal
+
+import java.io.ByteArrayOutputStream
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Minimal, dependency-free WebM/Matroska (EBML) container codec for
+  * frame INDEXING — not frame decoding; the [[Mp4]] pattern applied to
+  * the web's OTHER dominant video container. Web-crawled video is
+  * MP4 + WebM; Matroska's public EBML structure (RFC 8794 EBML framing,
+  * the public Matroska element registry) exposes per-frame byte ranges,
+  * timestamps, and keyframe flags as pure arithmetic: `Segment → Tracks`
+  * declares the video track (dimensions, default frame duration),
+  * `Segment → Cluster → SimpleBlock/BlockGroup` carries one frame per
+  * block with a cluster-relative timestamp and a keyframe bit. That
+  * index is what a 100 TB video-curation pass needs first — duration /
+  * fps / keyframe-density stats, clip boundary planning, byte-range
+  * extraction for downstream GPU decoders — all scan-local per row.
+  *
+  * Write side emits a valid one-video-track WebM whose block payloads
+  * are opaque bytes, with FIXED-WIDTH EBML encodings throughout (EBML
+  * explicitly allows longer-than-minimal VINTs): every element size is
+  * an 8-byte VINT and every integer value a fixed width, so the whole
+  * byte layout is closed-form arithmetic a SQL oracle can replay —
+  * the header is a constant [[HeaderBytes]] bytes and each cluster of
+  * nf blocks costs `23 + 13·nf + Σ payload` (WebmSpec pins both).
+  * Results share [[Mp4.Index]]/[[Mp4.Sample]] so MP4 and WebM corpora
+  * index into ONE unified schema. Parsing is defensive: minimal or
+  * fixed-width VINTs, unknown-size Segments, Block-in-BlockGroup, and
+  * anything malformed returns None (media pipelines drop and count
+  * undecodable rows — same contract as [[Mp4.index]]).
+  */
+object Webm {
+
+  // ------------------------------------------------------------ EBML ids
+  private val IdEbml = Array(0x1a, 0x45, 0xdf, 0xa3).map(_.toByte)
+  private val IdSegment = Array(0x18, 0x53, 0x80, 0x67).map(_.toByte)
+  private val IdInfo = Array(0x15, 0x49, 0xa9, 0x66).map(_.toByte)
+  private val IdTracks = Array(0x16, 0x54, 0xae, 0x6b).map(_.toByte)
+  private val IdCluster = Array(0x1f, 0x43, 0xb6, 0x75).map(_.toByte)
+
+  private val EbmlL: Long = 0x1a45dfa3L
+  private val SegmentL: Long = 0x18538067L
+  private val InfoL: Long = 0x1549a966L
+  private val TracksL: Long = 0x1654ae6bL
+  private val ClusterL: Long = 0x1f43b675L
+  private val TimestampScaleL: Long = 0x2ad7b1L
+  private val TrackEntryL: Long = 0xaeL
+  private val TrackNumberL: Long = 0xd7L
+  private val TrackTypeL: Long = 0x83L
+  private val DefaultDurationL: Long = 0x23e383L
+  private val VideoL: Long = 0xe0L
+  private val PixelWidthL: Long = 0xb0L
+  private val PixelHeightL: Long = 0xbaL
+  private val TimestampL: Long = 0xe7L
+  private val SimpleBlockL: Long = 0xa3L
+  private val BlockGroupL: Long = 0xa0L
+  private val BlockL: Long = 0xa1L
+  private val ReferenceBlockL: Long = 0xfbL
+
+  /** Constant byte length of the encoder's `EBML header + Segment header
+    * + Info + Tracks` prefix — everything before the first Cluster.
+    * Closed-form from the fixed-width encodings; WebmSpec pins it
+    * against real encoder output.
+    */
+  val HeaderBytes: Int = 92 + 12 + 27 + 112
+
+  /** Per-cluster overhead before payload bytes: Cluster id+size (12) +
+    * Timestamp element (11); each block adds [[BlockOverhead]] + payload.
+    */
+  val ClusterOverhead: Int = 23
+
+  /** SimpleBlock id (1) + 8-byte size VINT + track VINT (1) + int16
+    * relative timestamp (2) + flags (1).
+    */
+  val BlockOverhead: Int = 13
+
+  // ---------------------------------------------------------------- write
+
+  /** 8-byte VINT: leading 0x01 marker + 7 payload bytes (values to
+    * 2^56-2). Non-minimal on purpose — fixed widths make the layout
+    * arithmetic.
+    */
+  private def vint8(v: Long): Array[Byte] = {
+    require(v >= 0 && v < (1L << 56) - 1, s"vint8 out of range: $v")
+    val b = ByteBuffer.allocate(8).order(ByteOrder.BIG_ENDIAN)
+    b.putLong(v).array().updated(0, 0x01.toByte)
+  }
+
+  private def elem(id: Array[Byte], payload: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(id); out.write(vint8(payload.length.toLong)); out.write(payload)
+    out.toByteArray
+  }
+
+  private def id1(v: Int): Array[Byte] = Array(v.toByte)
+  private def id2(v: Int): Array[Byte] = Array((v >> 8).toByte, v.toByte)
+  private def id3(v: Int): Array[Byte] = Array((v >> 16).toByte, (v >> 8).toByte, v.toByte)
+
+  /** Unsigned-integer element with a FIXED value width. */
+  private def uintElem(id: Array[Byte], v: Long, width: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(8).order(ByteOrder.BIG_ENDIAN)
+    b.putLong(v)
+    elem(id, b.array().takeRight(width))
+  }
+
+  private def concat(parts: Array[Byte]*): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    parts.foreach(out.write)
+    out.toByteArray
+  }
+
+  /** Encode a one-video-track WebM: blocks of `samplesPerCluster` frames
+    * per Cluster, cluster Timestamp = its first frame's time, SimpleBlock
+    * relative timestamps, keyframe bit 0x80 on `keyframes` (0-based frame
+    * numbers). `delta` is the per-frame duration in MILLISECONDS (the
+    * Matroska default clock: TimestampScale = 1,000,000 ns); payload
+    * bytes are caller-provided opaque data.
+    */
+  def encode(
+      width: Int,
+      height: Int,
+      delta: Long,
+      samples: Seq[Array[Byte]],
+      keyframes: Seq[Int],
+      samplesPerCluster: Int = 2): Array[Byte] = {
+    require(width > 0 && height > 0, "encode: non-positive dimensions")
+    require(delta > 0, "encode: non-positive frame duration")
+    require(samples.nonEmpty, "encode: need at least one sample")
+    require(samplesPerCluster >= 1, "encode: samplesPerCluster < 1")
+    val keys = keyframes.toSet
+
+    val ebmlHeader = elem(IdEbml, concat(
+      uintElem(id2(0x4286), 1, 1), // EBMLVersion
+      uintElem(id2(0x42f7), 1, 1), // EBMLReadVersion
+      uintElem(id2(0x42f2), 4, 1), // EBMLMaxIDLength
+      uintElem(id2(0x42f3), 8, 1), // EBMLMaxSizeLength
+      elem(id2(0x4282), "webm".getBytes("US-ASCII")), // DocType
+      uintElem(id2(0x4287), 2, 1), // DocTypeVersion
+      uintElem(id2(0x4285), 2, 1))) // DocTypeReadVersion
+
+    val info = elem(IdInfo,
+      uintElem(id3(0x2ad7b1), 1000000L, 4)) // TimestampScale: 1 ms ticks
+
+    val trackEntry = elem(id1(0xae), concat(
+      uintElem(id1(0xd7), 1, 1), // TrackNumber
+      uintElem(id2(0x73c5), 1, 1), // TrackUID
+      uintElem(id1(0x83), 1, 1), // TrackType: video
+      elem(id1(0x86), "V_VP8".getBytes("US-ASCII")), // CodecID
+      uintElem(id3(0x23e383), delta * 1000000L, 4), // DefaultDuration (ns)
+      elem(id1(0xe0), concat( // Video
+        uintElem(id1(0xb0), width.toLong, 2), // PixelWidth
+        uintElem(id1(0xba), height.toLong, 2))))) // PixelHeight
+    val tracks = elem(IdTracks, trackEntry)
+
+    val clusters = samples.zipWithIndex.grouped(samplesPerCluster).map { frag =>
+      val clusterTs = frag.head._2.toLong * delta
+      val blocks = frag.map { case (payload, s) =>
+        val rel = s.toLong * delta - clusterTs
+        require(rel >= 0 && rel <= Short.MaxValue, s"relative timestamp $rel out of int16")
+        val head = ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN)
+        head.put(0x81.toByte) // track number 1 as minimal VINT
+        head.putShort(rel.toShort)
+        head.put((if (keys.contains(s)) 0x80 else 0x00).toByte) // flags: keyframe, no lacing
+        elem(id1(0xa3), concat(head.array(), payload)) // SimpleBlock
+      }
+      elem(IdCluster, concat(uintElem(id1(0xe7), clusterTs, 2) +: blocks: _*))
+    }.toSeq
+
+    val segmentPayload = concat(info +: tracks +: clusters: _*)
+    concat(ebmlHeader, IdSegment, vint8(segmentPayload.length.toLong), segmentPayload)
+  }
+
+  // ----------------------------------------------------------------- read
+
+  /** Parsed EBML element: id value, payload byte range; end == -1 marks
+    * unknown size (only tolerated where the walk can bound it).
+    */
+  private final case class El(id: Long, start: Int, end: Int)
+
+  /** Read one VINT id at `p` (marker kept — ids compare against the full
+    * class value). Returns (idValue, bytesConsumed) or null on malformed.
+    */
+  private def readId(b: Array[Byte], p: Int, until: Int): (Long, Int) = {
+    if (p >= until) return null
+    val first = b(p) & 0xff
+    if (first == 0) return null
+    val len = Integer.numberOfLeadingZeros(first) - 23 // 1..8 for 8-bit values
+    if (len < 1 || len > 4 || p + len > until) return null
+    var v = 0L
+    var i = 0
+    while (i < len) { v = (v << 8) | (b(p + i) & 0xffL); i += 1 }
+    (v, len)
+  }
+
+  /** Read one VINT size at `p` (marker stripped). Returns
+    * (value, bytesConsumed) with value == -1 for the all-ones "unknown
+    * size", or null on malformed.
+    */
+  private def readSize(b: Array[Byte], p: Int, until: Int): (Long, Int) = {
+    if (p >= until) return null
+    val first = b(p) & 0xff
+    if (first == 0) return null
+    val len = Integer.numberOfLeadingZeros(first) - 23
+    if (len < 1 || len > 8 || p + len > until) return null
+    var v = (first & (0xff >>> len)).toLong
+    var i = 1
+    while (i < len) { v = (v << 8) | (b(p + i) & 0xffL); i += 1 }
+    val allOnes = (1L << (7 * len)) - 1
+    (if (v == allOnes) -1L else v, len)
+  }
+
+  /** Scan the children of [from, until); unknown-size children other than
+    * the ones `allowUnknown` admits abort the scan (null).
+    */
+  private def scanChildren(b: Array[Byte], from: Int, until: Int,
+      allowUnknownFor: Long => Boolean): Vector[El] = {
+    val out = Vector.newBuilder[El]
+    var p = from
+    while (p < until) {
+      val id = readId(b, p, until)
+      if (id == null) return null
+      val sz = readSize(b, p + id._2, until)
+      if (sz == null) return null
+      val start = p + id._2 + sz._2
+      if (sz._1 == -1L) {
+        if (!allowUnknownFor(id._1)) return null
+        // unknown size: element runs to the end of the enclosing range
+        out += El(id._1, start, until)
+        return out.result()
+      }
+      if (sz._1 > until - start) return null // truncated/lying size
+      out += El(id._1, start, start + sz._1.toInt)
+      p = start + sz._1.toInt
+    }
+    out.result()
+  }
+
+  private def uintOf(b: Array[Byte], el: El): Long = {
+    var v = 0L
+    var i = el.start
+    val n = el.end - el.start
+    if (n > 8) return -1L
+    while (i < el.end) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
+    v
+  }
+
+  /** Hard cap on indexed blocks — same DoS hygiene as
+    * [[Mp4]]'s table-count validation.
+    */
+  private val MaxBlocks = 10000000
+
+  /** Parse the first video track's frame index. Timescale is derived as
+    * ticks-per-second from TimestampScale (`1e9 / TimestampScale`; the
+    * Matroska-default 1,000,000 ns gives 1000 — millisecond ticks), so
+    * the output schema is unit-compatible with [[Mp4.Index]]. Frame
+    * duration comes from the track's DefaultDuration (0 when absent —
+    * Matroska blocks carry no per-frame duration). Returns None for
+    * anything that is not a well-formed WebM/Matroska file with a video
+    * track and at least one frame.
+    */
+  def index(bytes: Array[Byte]): Option[Mp4.Index] = {
+    if (bytes == null || bytes.length < 16) return None
+    try {
+      val top = scanChildren(bytes, 0, bytes.length, allowUnknownFor = _ == SegmentL)
+      if (top == null) return None
+      val ebml = top.find(_.id == EbmlL).getOrElse(return None)
+      // DocType must say matroska/webm when present (defensive identity)
+      val ebmlKids = scanChildren(bytes, ebml.start, ebml.end, _ => false)
+      if (ebmlKids == null) return None
+      ebmlKids.find(_.id == 0x4282L).foreach { dt =>
+        val s = new String(bytes, dt.start, dt.end - dt.start, "US-ASCII")
+        if (s != "webm" && s != "matroska") return None
+      }
+      val segment = top.find(_.id == SegmentL).getOrElse(return None)
+      val kids = scanChildren(bytes, segment.start, segment.end, _ => false)
+      if (kids == null) return None
+
+      val tsScale = (for {
+        info <- kids.find(_.id == InfoL)
+        infoKids = scanChildren(bytes, info.start, info.end, _ => false)
+        if infoKids != null
+        ts <- infoKids.find(_.id == TimestampScaleL)
+      } yield uintOf(bytes, ts)).getOrElse(1000000L)
+      if (tsScale <= 0) return None
+      val timescale = 1000000000L / tsScale
+      if (timescale <= 0) return None
+
+      // first VIDEO TrackEntry: number, dims, default duration
+      val tracks = kids.find(_.id == TracksL).getOrElse(return None)
+      val entries = scanChildren(bytes, tracks.start, tracks.end, _ => false)
+      if (entries == null) return None
+      var trackNum = -1L
+      var w = 0
+      var h = 0
+      var defDurTicks = 0L
+      entries.filter(_.id == TrackEntryL).foreach { te =>
+        if (trackNum == -1L) {
+          val tk = scanChildren(bytes, te.start, te.end, _ => false)
+          if (tk == null) return None
+          val isVideo = tk.find(_.id == TrackTypeL).exists(uintOf(bytes, _) == 1L)
+          if (isVideo) {
+            trackNum = tk.find(_.id == TrackNumberL).map(uintOf(bytes, _)).getOrElse(-1L)
+            tk.find(_.id == DefaultDurationL).foreach { dd =>
+              defDurTicks = uintOf(bytes, dd) / tsScale
+            }
+            tk.find(_.id == VideoL).foreach { v =>
+              val vk = scanChildren(bytes, v.start, v.end, _ => false)
+              if (vk == null) return None
+              w = vk.find(_.id == PixelWidthL).map(uintOf(bytes, _).toInt).getOrElse(0)
+              h = vk.find(_.id == PixelHeightL).map(uintOf(bytes, _).toInt).getOrElse(0)
+            }
+          }
+        }
+      }
+      if (trackNum <= 0 || w <= 0 || h <= 0) return None
+
+      val out = Vector.newBuilder[Mp4.Sample]
+      var sampleNo = 0
+      var chunkNo = 0
+      kids.filter(_.id == ClusterL).foreach { cl =>
+        val ck = scanChildren(bytes, cl.start, cl.end, _ => false)
+        if (ck == null) return None
+        val clusterTs = ck.find(_.id == TimestampL).map(uintOf(bytes, _)).getOrElse(0L)
+        if (clusterTs < 0) return None // over-wide uint: malformed
+        var sawBlock = false
+        ck.foreach { el =>
+          // a SimpleBlock, or a BlockGroup wrapping a Block (keyframe =
+          // the group carries NO ReferenceBlock — Matroska semantics)
+          val blockEl: Option[(El, Boolean, Boolean)] = el.id match {
+            case SimpleBlockL => Some((el, true, false))
+            case BlockGroupL =>
+              val gk = scanChildren(bytes, el.start, el.end, _ => false)
+              if (gk == null) return None
+              gk.find(_.id == BlockL).map { bl =>
+                (bl, false, gk.exists(_.id == ReferenceBlockL))
+              }
+            case _ => None
+          }
+          blockEl.foreach { case (bl, simple, hasRef) =>
+            if (sampleNo >= MaxBlocks) return None
+            // block payload: track VINT, int16 relative ts, flags byte
+            val tn = readSize(bytes, bl.start, bl.end) // track number is a plain VINT
+            if (tn == null || tn._1 == -1L) return None
+            if (tn._1 == trackNum) {
+              val p = bl.start + tn._2
+              if (p + 3 > bl.end) return None
+              val rel = ByteBuffer.wrap(bytes, p, 2).order(ByteOrder.BIG_ENDIAN).getShort.toLong
+              val flags = bytes(p + 2) & 0xff
+              if ((flags & 0x06) != 0) return None // laced blocks: unsupported
+              val dataStart = p + 3
+              val keyframe = if (simple) (flags & 0x80) != 0 else !hasRef
+              out += Mp4.Sample(sampleNo, chunkNo, dataStart.toLong,
+                (bl.end - dataStart).toLong, clusterTs + rel, defDurTicks, keyframe)
+              sampleNo += 1
+              sawBlock = true
+            }
+          }
+        }
+        if (sawBlock) chunkNo += 1
+      }
+      val samples = out.result()
+      if (samples.isEmpty) None
+      else Some(Mp4.Index(w, h, timescale, samples))
+    } catch {
+      case _: IndexOutOfBoundsException | _: IllegalArgumentException |
+          _: NegativeArraySizeException => None
+    }
+  }
+}

@@ -745,6 +745,21 @@ object LlmQueries {
         .orderBy(col("doc_id"), col("sample_no"))
     }),
 
+    // WebM/Matroska container indexing (EBML cluster/SimpleBlock walk —
+    // the web's other dominant video container): same per-sample formulas
+    // as q_video_index in Matroska's native millisecond clock, laid out
+    // as real clusters of 2 blocks; the oracle replays the fixed-width
+    // EBML byte arithmetic (constant 243-byte header + 23 + 13·nf per
+    // cluster — WebmSpec pins the constants). One unified index schema
+    // with the MP4 lanes
+    "q_video_index_webm" -> ((s, dir) => {
+      val webm = udf((id: Long) => Multimodal.syntheticWebm(id))
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), webm(col("doc_id")).as("payload"))
+      Multimodal.indexVideoWebm(docs, "doc_id", "payload")
+        .orderBy(col("doc_id"), col("sample_no"))
+    }),
+
     // sequence packing (pre-training concat-and-chunk): documents
     // concatenate in doc_id order into one token stream, split into
     // 128-token training sequences; output is the (doc, seq) span table
@@ -1849,6 +1864,44 @@ object LlmQueries {
         |  CAST(sum(y) AS DOUBLE) / count(*) AS label_rate,
         |  round(abs(CAST(sum(y) AS DOUBLE) / count(*) - round(avg(sc), 6)), 6) AS gap
         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+    // WebM index: same sample formulas in the millisecond clock
+    // (timescale 1000, dts = time_ms), fixed-width EBML byte layout —
+    // constant 243-byte header, then per cluster f of nf blocks:
+    // 23-byte cluster head + per block 13-byte head + payload
+    "q_video_index_webm" ->
+      """WITH g AS (
+        |  SELECT doc_id, CAST(unnest(range(1 + doc_id % 7)) AS BIGINT) AS s
+        |  FROM documents),
+        |sz AS (
+        |  SELECT doc_id, s,
+        |    50 + (doc_id * 13 + s * 7) % 200 AS size,
+        |    100 + (doc_id % 9) * 10 AS delta,
+        |    s // 2 AS f
+        |  FROM g),
+        |fr AS (
+        |  SELECT doc_id, f, count(*) AS nf, sum(size) AS body
+        |  FROM sz GROUP BY doc_id, f),
+        |fo AS (
+        |  SELECT doc_id, f, nf,
+        |    243 + coalesce(sum(23 + 13 * nf + body) OVER (PARTITION BY doc_id ORDER BY f
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS frag_start
+        |  FROM fr),
+        |o AS (
+        |  SELECT sz.doc_id, sz.s, sz.size, sz.delta, sz.f,
+        |    CAST(fo.frag_start + 23 +
+        |      coalesce(sum(13 + sz.size) OVER (PARTITION BY sz.doc_id, sz.f ORDER BY sz.s
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 13 AS BIGINT) AS "offset"
+        |  FROM sz JOIN fo ON sz.doc_id = fo.doc_id AND sz.f = fo.f)
+        |SELECT doc_id, s AS sample_no, CAST(f AS BIGINT) AS chunk_no, "offset",
+        |  CAST(size AS BIGINT) AS size,
+        |  CAST(s * delta AS BIGINT) AS dts,
+        |  CAST(delta AS BIGINT) AS duration_ticks,
+        |  CAST(s * delta AS BIGINT) AS time_ms,
+        |  (s % 3 = 0) AS keyframe,
+        |  CAST(1000 AS BIGINT) AS timescale,
+        |  CAST(16 * (1 + doc_id % 8) AS INTEGER) AS width,
+        |  CAST(16 * (1 + (doc_id // 8) % 8) AS INTEGER) AS height
+        |FROM o ORDER BY doc_id, sample_no""".stripMargin,
     "q_ann_sketch" -> XxhSql.annSketchSql(dim = 64, nBits = 64, k = 5, oversample = 8, nQueries = 5),
     "q_ann_pq" -> XxhSql.annPqSql(d = 64, m = 8, kc = 16, k = 5, oversample = 8, nQueries = 5),
     "q_ann_pq_refined" -> XxhSql.annPqRefinedSql(d = 64, m = 8, kc = 16, k = 5, oversample = 8,

@@ -217,6 +217,10 @@ object PlanCheck {
     Check(
       "q_video_index_frag",
       mustNotContain = Seq("Join", "HashAggregate", "CartesianProduct")),
+    // WebM/EBML indexing: same scan-local contract as the MP4 lanes
+    Check(
+      "q_video_index_webm",
+      mustNotContain = Seq("Join", "HashAggregate", "CartesianProduct")),
     // export manifest/pack: packSequences' running sum must keep the
     // token-budget shape — per-partition window, never a global one
     Check(

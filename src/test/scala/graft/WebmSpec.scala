@@ -1,0 +1,174 @@
+package graft
+
+import graft.multimodal.{Mp4, Multimodal, Webm}
+
+/** WebM/Matroska container indexing: encode → index round trips, the
+  * pinned arithmetic layout constants the DuckDB oracle replays,
+  * minimal-VINT + BlockGroup parsing (the wild-Matroska shapes the
+  * fixed-width encoder never emits), and the defensive-parse contract.
+  */
+class WebmSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  private def samplesOf(sizes: Seq[Int]): Seq[Array[Byte]] =
+    sizes.zipWithIndex.map { case (n, s) =>
+      Array.tabulate(n)(k => ((7 + s * 31 + k) % 256).toByte)
+    }
+
+  test("encode → index round-trips sizes, offsets, timing, keyframes") {
+    val sizes = Seq(64, 80, 64, 96, 64)
+    val bytes = Webm.encode(32, 24, 40, samplesOf(sizes), Seq(0, 3), samplesPerCluster = 2)
+    val ix = Webm.index(bytes).getOrElse(fail("index returned None"))
+    assert(ix.width == 32 && ix.height == 24)
+    assert(ix.timescale == 1000, "1 ms TimestampScale => 1000 ticks/s")
+    assert(ix.samples.length == 5)
+    ix.samples.zipWithIndex.foreach { case (s, i) =>
+      assert(s.sampleNo == i)
+      assert(s.chunkNo == i / 2, s"block $i cluster")
+      assert(s.size == sizes(i).toLong)
+      assert(s.dts == i.toLong * 40)
+      assert(s.duration == 40L, "DefaultDuration round-trips in ticks")
+      assert(s.keyframe == (i == 0 || i == 3))
+      // offsets point at the REAL payload bytes
+      val payload = bytes.slice(s.offset.toInt, (s.offset + s.size).toInt)
+      assert(payload.toSeq == samplesOf(sizes)(i).toSeq, s"payload $i")
+    }
+  }
+
+  test("layout constants: header size and per-cluster arithmetic are the pinned formulas") {
+    val sizes = Seq(10, 20, 30, 40, 50)
+    val bytes = Webm.encode(16, 16, 100, samplesOf(sizes), Seq(0), samplesPerCluster = 2)
+    // the first Cluster id starts exactly at HeaderBytes
+    assert((bytes(Webm.HeaderBytes) & 0xff) == 0x1f &&
+      (bytes(Webm.HeaderBytes + 1) & 0xff) == 0x43, "Cluster id at HeaderBytes")
+    val ix = Webm.index(bytes).get
+    // block s of cluster f: H + Σ_{g<f}(23 + 13·nf_g + body_g) + 23 +
+    // Σ_{within}(13 + size) + 13
+    var expected = Webm.HeaderBytes.toLong
+    val grouped = sizes.zipWithIndex.grouped(2).toSeq
+    val offsets = grouped.flatMap { frag =>
+      var p = expected + Webm.ClusterOverhead
+      val offs = frag.map { case (sz, _) =>
+        val o = p + Webm.BlockOverhead
+        p = o + sz
+        o
+      }
+      expected += Webm.ClusterOverhead + frag.map(f => Webm.BlockOverhead + f._1).sum
+      offs
+    }
+    assert(ix.samples.map(_.offset).toSeq == offsets, "closed-form offsets")
+    assert(bytes.length.toLong == Webm.HeaderBytes +
+      grouped.map(f => Webm.ClusterOverhead + f.map(x => Webm.BlockOverhead + x._1).sum).sum)
+  }
+
+  test("syntheticWebm matches the documented generator formulas") {
+    for (id <- Seq(0L, 3L, 17L, 40L, 123L)) {
+      val ix = Webm.index(Multimodal.syntheticWebm(id)).getOrElse(fail(s"id $id"))
+      val n = 1 + (id % 7).toInt
+      val delta = 100L + (id % 9) * 10L
+      assert(ix.width == 16 * (1 + (id % 8).toInt))
+      assert(ix.height == 16 * (1 + ((id / 8) % 8).toInt))
+      assert(ix.timescale == 1000L)
+      assert(ix.samples.length == n)
+      ix.samples.zipWithIndex.foreach { case (s, i) =>
+        assert(s.size == 50 + ((id * 13 + i * 7) % 200))
+        assert(s.dts == i * delta && s.duration == delta)
+        assert(s.keyframe == (i % 3 == 0))
+        assert(s.chunkNo == i / 2)
+      }
+    }
+  }
+
+  // --- hand-rolled minimal-VINT encoding: the shapes real muxers emit ---
+
+  private def minVint(v: Long): Array[Byte] = {
+    var len = 1
+    while (v >= (1L << (7 * len)) - 1) len += 1 // all-ones reserved for unknown
+    val out = new Array[Byte](len)
+    var i = len - 1
+    var rest = v
+    while (i >= 0) { out(i) = (rest & 0xff).toByte; rest >>= 8; i -= 1 }
+    out(0) = (out(0) | (0x100 >> len)).toByte
+    out
+  }
+
+  private def el(id: Array[Byte], payload: Array[Byte]): Array[Byte] =
+    id ++ minVint(payload.length.toLong) ++ payload
+
+  private def uint(id: Array[Byte], v: Long): Array[Byte] = {
+    var len = 1
+    while (v >= (1L << (8 * len))) len += 1
+    el(id, Array.tabulate(len)(i => ((v >> (8 * (len - 1 - i))) & 0xff).toByte))
+  }
+
+  private def idb(bs: Int*): Array[Byte] = bs.map(_.toByte).toArray
+
+  test("minimal-VINT file with BlockGroups: keyframe = no ReferenceBlock; minimal sizes parse") {
+    val payloadA = Array.tabulate(12)(_.toByte)
+    val payloadB = Array.tabulate(9)(i => (i + 64).toByte)
+    def block(payload: Array[Byte], rel: Int): Array[Byte] =
+      el(idb(0xa1), Array(0x81.toByte, (rel >> 8).toByte, rel.toByte, 0x00.toByte) ++ payload)
+    val groupKey = el(idb(0xa0), block(payloadA, 0)) // no ReferenceBlock → keyframe
+    val groupDelta = el(idb(0xa0),
+      block(payloadB, 25) ++ el(idb(0xfb), Array((-1 & 0xff).toByte))) // ReferenceBlock → delta frame
+    val cluster = el(idb(0x1f, 0x43, 0xb6, 0x75), uint(idb(0xe7), 1000L) ++ groupKey ++ groupDelta)
+    val info = el(idb(0x15, 0x49, 0xa9, 0x66), uint(idb(0x2a, 0xd7, 0xb1), 1000000L))
+    val video = el(idb(0xe0), uint(idb(0xb0), 640L) ++ uint(idb(0xba), 480L))
+    val trackEntry = el(idb(0xae),
+      uint(idb(0xd7), 1L) ++ uint(idb(0x83), 1L) ++ video)
+    val tracks = el(idb(0x16, 0x54, 0xae, 0x6b), trackEntry)
+    val ebml = el(idb(0x1a, 0x45, 0xdf, 0xa3),
+      el(idb(0x42, 0x82), "matroska".getBytes("US-ASCII")))
+    val segment = el(idb(0x18, 0x53, 0x80, 0x67), info ++ tracks ++ cluster)
+    val bytes = ebml ++ segment
+
+    val ix = Webm.index(bytes).getOrElse(fail("minimal-vint file must parse"))
+    assert(ix.width == 640 && ix.height == 480 && ix.timescale == 1000)
+    assert(ix.samples.length == 2)
+    val Seq(a, b) = ix.samples.toSeq
+    assert(a.keyframe && !b.keyframe, "BlockGroup keyframe = absence of ReferenceBlock")
+    assert(a.dts == 1000L && b.dts == 1025L)
+    assert(a.duration == 0L, "no DefaultDuration declared")
+    assert(bytes.slice(a.offset.toInt, (a.offset + a.size).toInt).toSeq == payloadA.toSeq)
+    assert(bytes.slice(b.offset.toInt, (b.offset + b.size).toInt).toSeq == payloadB.toSeq)
+  }
+
+  test("unknown-size Segment (live-mux shape) parses to end of file") {
+    val good = Webm.encode(16, 16, 50, samplesOf(Seq(30, 40)), Seq(0))
+    // rewrite the Segment's 8-byte size VINT to the all-ones unknown marker
+    val segSizeAt = 92 + 4
+    val mutated = good.clone()
+    mutated(segSizeAt) = 0x01.toByte
+    for (i <- 1 until 8) mutated(segSizeAt + i) = 0xff.toByte
+    val ix = Webm.index(mutated).getOrElse(fail("unknown-size segment must parse"))
+    assert(ix.samples.length == 2)
+    assert(ix.samples.map(_.size).toSeq == Seq(30L, 40L))
+  }
+
+  test("malformed containers return None") {
+    assert(Webm.index(null).isEmpty)
+    assert(Webm.index(Array.emptyByteArray).isEmpty)
+    assert(Webm.index("not a webm at all, just text".getBytes).isEmpty)
+    val good = Webm.encode(16, 16, 50, samplesOf(Seq(30, 40)), Seq(0))
+    assert(Webm.index(good.take(Webm.HeaderBytes / 2)).isEmpty, "truncated header")
+    // wrong DocType: flip "webm" → "webx"
+    val docTyped = good.clone()
+    val dt = "webm".getBytes("US-ASCII")
+    val at = good.indexOfSlice(dt)
+    docTyped(at + 3) = 'x'.toByte
+    assert(Webm.index(docTyped).isEmpty, "foreign DocType")
+    val lacing = good.clone()
+    // set lacing bits in the first SimpleBlock's flags byte
+    val firstFlags = Webm.HeaderBytes + Webm.ClusterOverhead + Webm.BlockOverhead - 1
+    lacing(firstFlags) = (lacing(firstFlags) | 0x06).toByte
+    assert(Webm.index(lacing).isEmpty, "laced blocks are unsupported → None")
+  }
+
+  test("MP4 and WebM indexes union into one schema (unified Sample/Index types)") {
+    val mp4Ix: Option[Mp4.Index] = Mp4.index(Multimodal.syntheticMp4(5L))
+    val webmIx: Option[Mp4.Index] = Webm.index(Multimodal.syntheticWebm(5L))
+    assert(mp4Ix.isDefined && webmIx.isDefined)
+    assert(mp4Ix.get.samples.length == webmIx.get.samples.length,
+      "same generator formulas → same frame count")
+    assert(mp4Ix.get.width == webmIx.get.width && mp4Ix.get.height == webmIx.get.height)
+  }
+}
