@@ -1418,6 +1418,18 @@ object LlmQueries {
       val roots = docs.select(col("doc_id")).where(pmod(col("doc_id"), lit(100)) === 0)
       LinkGraph.centrality(roots, "doc_id", edges, maxHops = 3)
         .orderBy(col("doc_id"))
+    }),
+
+    // second parameterization of the sampled-roots protocol (pins the
+    // sampling itself, not one lucky configuration): denser ~2.7% root
+    // sample, the all-roots gate's w=5 edge graph, and a DIFFERENT hop
+    // bound (2) so the bound handling is exercised at both depths
+    "q_link_score_sampled2" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val edges = LinkGraph.sharedSpanEdges(docs, "doc_id", "text", w = 5, maxDf = 32)
+      val roots = docs.select(col("doc_id")).where(pmod(col("doc_id"), lit(37)) === 1)
+      LinkGraph.centrality(roots, "doc_id", edges, maxHops = 2)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -3162,6 +3174,42 @@ object LlmQueries {
          |    + CAST(coalesce(n_hop_3, 0) AS DOUBLE) / 3.0 AS harmonic
          |FROM documents d LEFT JOIN ct USING (doc_id)
          |WHERE d.doc_id % 100 = 0 ORDER BY d.doc_id""".stripMargin,
+    // second sampled parameterization: w = 5 spans, ~2.7% roots, 2 hops
+    "q_link_score_sampled2" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, list_filter($toksSql, x -> x <> '') AS toks FROM documents),
+         |sp0 AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id,
+         |    unnest([array_to_string(toks[i:i+4], ' ') FOR i IN range(1, greatest(len(toks) - 3, 1))]) AS span
+         |  FROM tk),
+         |rare AS MATERIALIZED (
+         |  SELECT span FROM sp0 GROUP BY span HAVING count(*) BETWEEN 2 AND 32),
+         |sp AS MATERIALIZED (SELECT doc_id, span FROM sp0 JOIN rare USING (span)),
+         |r1 AS MATERIALIZED (
+         |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+         |  FROM sp a JOIN sp b ON a.span = b.span AND a.doc_id <> b.doc_id),
+         |r1s AS MATERIALIZED (SELECT src, dst FROM r1 WHERE src % 37 = 1),
+         |r2 AS MATERIALIZED (
+         |  SELECT DISTINCT a.src, b.dst FROM r1s a JOIN r1 b ON a.dst = b.src
+         |  WHERE b.dst <> a.src),
+         |md AS (
+         |  SELECT src, dst, min(d) AS d FROM (
+         |    SELECT src, dst, 1 AS d FROM r1s
+         |    UNION ALL SELECT src, dst, 2 FROM r2)
+         |  GROUP BY src, dst),
+         |ct AS (
+         |  SELECT src AS doc_id,
+         |    CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hop_1,
+         |    CAST(sum(CASE WHEN d = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_hop_2
+         |  FROM md GROUP BY src)
+         |SELECT d.doc_id,
+         |  coalesce(n_hop_1, 0) AS n_hop_1,
+         |  coalesce(n_hop_2, 0) AS n_hop_2,
+         |  coalesce(n_hop_1, 0) + coalesce(n_hop_2, 0) AS reach,
+         |  CAST(coalesce(n_hop_1, 0) AS DOUBLE) / 1.0
+         |    + CAST(coalesce(n_hop_2, 0) AS DOUBLE) / 2.0 AS harmonic
+         |FROM documents d LEFT JOIN ct USING (doc_id)
+         |WHERE d.doc_id % 37 = 1 ORDER BY d.doc_id""".stripMargin,
     "q_langid_ngram" -> {
       def profile(lang: String): String =
         graft.functions.TextFunctions.trigramProfiles(lang).map(x => s"'$x'").mkString("[", ",", "]")
