@@ -953,6 +953,22 @@ object Multimodal {
   def indexVideoWebm(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
     indexVideoWith(df, idCol, payloadCol, Webm.index)
 
+  /** Container-agnostic indexing for MIXED corpora (web crawls carry
+    * MP4 and WebM side by side): each payload dispatches on its own
+    * magic bytes — EBML's 0x1A45DFA3 → [[Webm.index]], anything else →
+    * [[Mp4.index]] with a WebM fallback (both parsers fail cheap and
+    * defensively, so a wrong first guess costs a header scan, never a
+    * crash). One unified index schema out.
+    */
+  def indexVideoAuto(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    indexVideoWith(df, idCol, payloadCol, parseVideoAuto)
+
+  private[multimodal] def parseVideoAuto(bytes: Array[Byte]): Option[Mp4.Index] =
+    if (bytes != null && bytes.length >= 4 &&
+      (bytes(0) & 0xff) == 0x1a && (bytes(1) & 0xff) == 0x45 &&
+      (bytes(2) & 0xff) == 0xdf && (bytes(3) & 0xff) == 0xa3) Webm.index(bytes)
+    else Mp4.index(bytes).orElse(Webm.index(bytes))
+
   private def indexVideoWith(df: DataFrame, idCol: String, payloadCol: String,
       parser: Array[Byte] => Option[Mp4.Index]): DataFrame = {
     val idField = df.schema(idCol)

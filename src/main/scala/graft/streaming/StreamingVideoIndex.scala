@@ -6,8 +6,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 
 /** Continuous video-ingest indexing: a video-payload stream indexed per
-  * micro-batch through [[Multimodal.indexVideoMp4]] (progressive AND
-  * fragmented MP4 — the container layouts of [[graft.multimodal.Mp4]]),
+  * micro-batch through [[Multimodal.indexVideoAuto]] (progressive AND
+  * fragmented MP4, plus WebM/Matroska — per-payload magic-byte dispatch,
+  * since real crawls mix containers in one stream),
   * with undecodable payloads quarantined instead of dropped silently —
   * the media twin of the curation streams, for the first pass a video
   * corpus needs before any frame ever decodes: WHERE every sample lives
@@ -64,7 +65,7 @@ object StreamingVideoIndex {
   ): Unit = {
     // payloads parse ONCE; the index is both the output and the basis of
     // the quarantine anti-join and the stats line
-    val index = Multimodal.indexVideoMp4(batch, idCol, payloadCol)
+    val index = Multimodal.indexVideoAuto(batch, idCol, payloadCol)
       .localCheckpoint(true)
     index.write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
     val quarantined = batch

@@ -83,6 +83,33 @@ object ScaleProbe {
           val df = Tables.t(spark, sfDir, t)
           println(s"""{"mode":"scan_parts","table":"$t","parts":${df.rdd.getNumPartitions}}""")
         }
+      case "layout_rewrite" =>
+        // SCALE round-9 finding 0 turned into a measured fix: the same
+        // compute-dense pass (fused tokenCount scan) over a ONE-row-group
+        // copy of documents vs the same bytes after rewriteForCompute
+        import graft.functions.{TextFunctions => T}
+        def secs[A](f: => A): (A, Double) = {
+          val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+        }
+        val base = java.nio.file.Files.createTempDirectory("graft_layout").toString
+        val starved = s"$base/starved"
+        val fixed = s"$base/fixed"
+        docs.coalesce(1).write.mode("overwrite")
+          .option("parquet.block.size", Int.MaxValue.toString).parquet(starved)
+        def rowGroups(p: String): Long = graft.sources.Layout.scanParallelism(spark, p)
+          .agg(sum(col("row_groups"))).head().getLong(0)
+        def compute(p: String): Long = spark.read.parquet(p)
+          .select(T.tokenCount(col("text")).as("n")).agg(sum(col("n"))).head().getLong(0)
+        val gS = rowGroups(starved)
+        val (vS, tS) = secs(compute(starved))
+        val ((nFiles, tRw), _) =
+          (secs(graft.sources.Layout.rewriteForCompute(spark, starved, fixed, cpus.toInt)), ())
+        val gF = rowGroups(fixed)
+        val (vF, tF) = secs(compute(fixed))
+        require(vS == vF, s"rewrite changed the answer: $vS vs $vF")
+        println(s"""{"mode":"layout_rewrite","row_groups_before":$gS,""" +
+          s""""row_groups_after":$gF,"files_after":$nFiles,""" +
+          f""""compute_before_s":$tS%.2f,"compute_after_s":$tF%.2f,"rewrite_s":$tRw%.2f}""")
       case "minhash_stages" =>
         // stage-level timing of the minhash dedup pipeline at this tier
         import graft.functions.{TextFunctions => T}

@@ -73,6 +73,31 @@ class StreamingVideoIndexSpec extends SparkSpec {
     assert(StreamingVideoIndex.readStats(spark, stDir).count() == 2)
   }
 
+  test("mixed-container batch: MP4, fMP4 and WebM index side by side via auto dispatch") {
+    val webm = graft.multimodal.Webm.encode(64, 48, 40,
+      (0 until 4).map(i => Array.fill(10 + i)(i.toByte)), Seq(0, 2), samplesPerCluster = 2)
+    val batch = Seq(
+      (1L, progressive(4)), (2L, fragmented(4)), (3L, webm),
+      (4L, "garbage bytes, no container".getBytes("UTF-8"))
+    ).toDF("vid_id", "payload")
+    val dir = java.nio.file.Files.createTempDirectory("svindex_mix").toString
+    StreamingVideoIndex.applyBatch(batch, 0L, "payload", "vid_id",
+      s"$dir/ix", s"$dir/q", s"$dir/st")
+    val ix = spark.read.parquet(s"$dir/ix/batch=0")
+    assert(ix.select($"vid_id").distinct().as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L),
+      "all three container layouts index in one stream")
+    // the WebM rows carry the same unified schema and facts
+    val w = ix.where($"vid_id" === 3L)
+      .select($"sample_no", $"size", $"keyframe", $"width", $"timescale")
+      .as[(Long, Long, Boolean, Int, Long)].collect().sortBy(_._1).toSeq
+    assert(w.map(_._2) == Seq(10L, 11L, 12L, 13L))
+    assert(w.collect { case (n, _, true, _, _) => n } == Seq(0L, 2L))
+    assert(w.forall(r => r._4 == 64 && r._5 == 1000L))
+    val quarantined = spark.read.parquet(s"$dir/q/batch=0")
+      .select($"vid_id").as[Long].collect().toSeq
+    assert(quarantined == Seq(4L))
+  }
+
   test("batch indexing of the synthetic gate payloads matches the direct operator") {
     val docs = Seq(0L, 1L, 2L).toDF("doc_id")
       .select($"doc_id", org.apache.spark.sql.functions.udf(
