@@ -121,6 +121,17 @@ object Similarity {
   def saveIvfIndexAppendable(indexed: DataFrame, dir: String, vecCol: String,
       idCol: String, nlist: Int): Unit = {
     indexed.write.mode("overwrite").partitionBy("cell").parquet(dir)
+    writeIvfSidecarFor(indexed, dir, vecCol, idCol, nlist)
+  }
+
+  /** Derive and write the `_centroids` sidecar from a built index —
+    * shared by [[saveIvfIndexAppendable]] and the streaming twin's
+    * per-batch layout ([[graft.streaming.StreamingAnnIndex]]), whose
+    * data lands under a different subdirectory but certifies through the
+    * same root sidecar.
+    */
+  private[graft] def writeIvfSidecarFor(indexed: DataFrame, dir: String,
+      vecCol: String, idCol: String, nlist: Int): Unit = {
     val centroids = indexed.select(col(idCol), col(vecCol))
       .orderBy(col(idCol)).limit(nlist)
       .select(col(idCol).cast("long").as("cell"), col(vecCol).as("centroid"))
@@ -161,26 +172,41 @@ object Similarity {
     * partitioned append — cost proportional to the BATCH, not the index,
     * which is the point of incremental maintenance at 10⁹+ vectors.
     */
+  /** Assign a batch of new vectors to the EXISTING centroids of a
+    * persisted appendable index ([[assignCells]] — the build's own
+    * kernel), enforcing the append contract (every new id above every
+    * centroid cell id). Returns null for an empty batch. The pinned
+    * sidecar rides back for callers that update counts; callers own
+    * unpersisting both returned frames. Shared by the batch
+    * [[appendToIvfIndex]] and the streaming twin
+    * ([[graft.streaming.StreamingAnnIndex]]).
+    */
+  private[graft] def assignAgainstSidecar(newVectors: DataFrame, vecCol: String,
+      idCol: String, dir: String): (DataFrame, DataFrame) = {
+    val spark = newVectors.sparkSession
+    // pin the sidecar BEFORE any write: a refreshed sidecar overwrites
+    // the very files this plan would otherwise lazily re-read
+    val sidecar = loadIvfCentroids(spark, dir).localCheckpoint(true)
+    require(sidecar.count() > 0, s"ivf append: no _centroids sidecar under " +
+      s"$dir - build with saveIvfIndexAppendable")
+    val maxCell = sidecar.agg(max(col("cell"))).head().getLong(0)
+    val bounds = newVectors.agg(
+      min(col(idCol).cast("long")).as("lo"), count(lit(1)).as("n")).head()
+    if (bounds.getLong(1) == 0L) return (null, sidecar) // empty batch
+    require(bounds.getLong(0) > maxCell,
+      s"ivf append: new ids start at ${bounds.getLong(0)} but the centroid set " +
+        s"reaches cell $maxCell - appended ids must sort above every centroid id so " +
+        "the probe-time centroid recovery (nlist lowest-id rows) stays the build's")
+    (assignCells(newVectors, vecCol, idCol,
+      sidecar.select(col("cell"), col("centroid"))).localCheckpoint(true), sidecar)
+  }
+
   def appendToIvfIndex(newVectors: DataFrame, vecCol: String, idCol: String,
       dir: String): Unit = {
     val spark = newVectors.sparkSession
-    // pin the sidecar BEFORE any write: the refreshed sidecar overwrites
-    // the very files this plan would otherwise lazily re-read
-    val sidecar = loadIvfCentroids(spark, dir).localCheckpoint(true)
+    val (assigned, sidecar) = assignAgainstSidecar(newVectors, vecCol, idCol, dir)
     try {
-      require(sidecar.count() > 0, s"appendToIvfIndex: no _centroids sidecar under " +
-        s"$dir - build with saveIvfIndexAppendable")
-      val maxCell = sidecar.agg(max(col("cell"))).head().getLong(0)
-      val bounds = newVectors.agg(
-        min(col(idCol).cast("long")).as("lo"), count(lit(1)).as("n")).head()
-      if (bounds.getLong(1) == 0L) return // empty batch: nothing to append
-      require(bounds.getLong(0) > maxCell,
-        s"appendToIvfIndex: new ids start at ${bounds.getLong(0)} but the centroid set " +
-          s"reaches cell $maxCell - appended ids must sort above every centroid id so " +
-          "the probe-time centroid recovery (nlist lowest-id rows) stays the build's")
-      val assigned = assignCells(newVectors, vecCol, idCol,
-        sidecar.select(col("cell"), col("centroid")))
-        .localCheckpoint(true) // consumed twice: the data write + the count refresh
+      if (assigned == null) return // empty batch: nothing to append
       try {
         // schema discipline: the appended files must carry the index's columns
         val want = spark.read.parquet(dir).columns.toSet
