@@ -108,7 +108,12 @@ object LinkGraph {
     // fail fast BEFORE any closure state accumulates. The probe rides on
     // data the loop needs cached anyway; see the [[centrality]] scaladoc.
     if (maxReachPerRoot.isEmpty && maxEstimatedReach < Long.MaxValue) {
-      val probe = e.agg(count(lit(1)).as("m"), countDistinct(col("src")).as("s")).head()
+      // approx_count_distinct, not exact: the probe must stay one
+      // map-side-combined pass even on a 10⁹-edge table (an exact
+      // distinct is itself a full shuffle), and a ±2% HLL error cannot
+      // flip a guard whose failure mode is orders of magnitude
+      val probe = e.agg(count(lit(1)).as("m"),
+        approx_count_distinct(col("src")).as("s")).head()
       val m = probe.getLong(0)
       val avgDeg = m.toDouble / math.max(1L, probe.getLong(1))
       var est = 0.0
