@@ -59,6 +59,34 @@ object TextHash {
   @inline def hashRange(buf: Array[Byte], start: Int, len: Int): Long =
     XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET + start, len, 42L)
 
+  /** Byte-level twin of [[normalize]]: scans the UTF-8 bytes directly —
+    * no String materialization, no char decoding. Correctness rides on
+    * UTF-8's self-synchronization: every byte of a multi-byte sequence
+    * has its high bit set, so it can never collide with ASCII
+    * `[A-Za-z0-9]`; each such byte reads as a separator and the run
+    * collapses to the same single space the char scan produces — the
+    * outputs are identical for ALL inputs.
+    */
+  def normalizeUtf8(s: UTF8String): (Array[Byte], Int) = {
+    val in = s.getBytes
+    val buf = new Array[Byte](in.length)
+    var m = 0
+    var pendingSpace = false
+    var i = 0
+    while (i < in.length) {
+      val b0 = in(i)
+      val b = if (b0 >= 'A' && b0 <= 'Z') (b0 + 32).toByte else b0
+      if ((b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')) {
+        if (pendingSpace && m > 0) { buf(m) = ' '; m += 1 }
+        pendingSpace = false
+        buf(m) = b
+        m += 1
+      } else pendingSpace = true
+      i += 1
+    }
+    (buf, m)
+  }
+
   private[expressions] def checkString(dt: DataType): TypeCheckResult = dt match {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(s"expected string, got ${other.simpleString(10)}")
@@ -80,6 +108,183 @@ object TextHash {
   *    kept) — what MinHash/Jaccard need; keep false for SimHash token
   *    multisets.
   */
+/** Fused char-scan text normalization (lowercase ASCII, non-alnum runs →
+  * one space, trim) — the [[TextHash.normalizeUtf8]] kernel as a column.
+  * Replaces the two-`regexp_replace` chain wherever normalized TEXT (not
+  * just its hashes) is needed. Two reasons this is the scale path:
+  * one pass over the raw bytes instead of two full regex rewrites, and
+  * `java.util.regex.Matcher.replaceAll` is a measured thread-scalability
+  * hazard (2% parallel efficiency at 32 threads on the reference VM —
+  * SCALE.md round 10 finding; the char scan is allocation-light and
+  * scales with cores).
+  */
+case class NormalizeText(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult = TextHash.checkString(child.dataType)
+
+  override def nullSafeEval(v: Any): Any = evalNorm(v.asInstanceOf[UTF8String])
+
+  def evalNorm(s: UTF8String): UTF8String = {
+    val (buf, m) = TextHash.normalizeUtf8(s)
+    UTF8String.fromBytes(buf, 0, m)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("normalizeText", this, classOf[NormalizeText].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.evalNorm($a);")
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Whitespace tokens of the normalized text as `array<string>` — the
+  * char-scan twin of `array_remove(split(normalize, " "), "")` (see
+  * [[NormalizeText]] for why not regex).
+  */
+case class TokenizeText(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = TextHash.checkString(child.dataType)
+
+  override def nullSafeEval(v: Any): Any = evalTokens(v.asInstanceOf[UTF8String])
+
+  def evalTokens(s: UTF8String): ArrayData = {
+    val (buf, m) = TextHash.normalizeUtf8(s)
+    if (m == 0) return new GenericArrayData(Array.empty[Any])
+    var n = 1
+    var i = 0
+    while (i < m) { if (buf(i) == ' ') n += 1; i += 1 }
+    val out = new Array[Any](n)
+    var t = 0
+    var start = 0
+    i = 0
+    while (i <= m) {
+      if (i == m || buf(i) == ' ') {
+        out(t) = UTF8String.fromBytes(buf, start, i - start)
+        t += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokenizeText", this, classOf[TokenizeText].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.evalTokens($a);")
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Token count without materializing tokens OR the normalized buffer:
+  * one zero-allocation scan counting alnum-run starts. The hot kernel of
+  * token budgeting / packing / fertility at corpus scale.
+  */
+case class TokenCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult = TextHash.checkString(child.dataType)
+
+  override def nullSafeEval(v: Any): Any = evalCount(v.asInstanceOf[UTF8String])
+
+  def evalCount(s: UTF8String): Int = {
+    val in = s.getBytes
+    var cnt = 0
+    var inRun = false
+    var i = 0
+    while (i < in.length) {
+      val b0 = in(i)
+      val b = if (b0 >= 'A' && b0 <= 'Z') (b0 + 32).toByte else b0
+      if ((b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')) {
+        if (!inRun) cnt += 1
+        inRun = true
+      } else inRun = false
+      i += 1
+    }
+    cnt
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokenCount", this, classOf[TokenCount].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.evalCount($a);")
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Count of ASCII `[A-Za-z0-9 ]` bytes in the RAW text — the alpha-ratio
+  * numerator of the quality score, as one zero-allocation scan instead of
+  * a `regexp_replace` strip (see [[NormalizeText]] for the regex hazard).
+  * Multi-byte UTF-8 sequences have every byte ≥ 0x80, so they are never
+  * miscounted.
+  */
+case class AsciiAlnumSpaceCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult = TextHash.checkString(child.dataType)
+
+  override def nullSafeEval(v: Any): Any = evalCount(v.asInstanceOf[UTF8String])
+
+  def evalCount(s: UTF8String): Int = {
+    val in = s.getBytes
+    var cnt = 0
+    var i = 0
+    while (i < in.length) {
+      val b = in(i)
+      if ((b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
+        (b >= '0' && b <= '9') || b == ' ') cnt += 1
+      i += 1
+    }
+    cnt
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("alnumSpaceCount", this, classOf[AsciiAlnumSpaceCount].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.evalCount($a);")
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Sentence split as one byte scan: pieces between runs of `[.!?]`,
+  * each trimmed of ASCII spaces, empties dropped — exactly
+  * `filter(transform(split(text, "[.!?]+"), trim), _ != "")` without the
+  * per-row regex (see [[NormalizeText]] for why that matters). Splitting
+  * on ASCII bytes never lands inside a multi-byte UTF-8 sequence.
+  */
+case class SentenceSplit(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = TextHash.checkString(child.dataType)
+
+  override def nullSafeEval(v: Any): Any = evalSentences(v.asInstanceOf[UTF8String])
+
+  def evalSentences(s: UTF8String): ArrayData = {
+    val in = s.getBytes
+    val out = new java.util.ArrayList[Any]()
+    var start = 0
+    var i = 0
+    while (i <= in.length) {
+      val isDelim = i == in.length || in(i) == '.' || in(i) == '!' || in(i) == '?'
+      if (isDelim) {
+        // trim ASCII spaces (the exact semantics of Spark's trim())
+        var a = start
+        var b = i
+        while (a < b && in(a) == ' ') a += 1
+        while (b > a && in(b - 1) == ' ') b -= 1
+        if (b > a) out.add(UTF8String.fromBytes(in, a, b - a))
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sentenceSplit", this, classOf[SentenceSplit].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.evalSentences($a);")
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 case class ShingleHashes(child: Expression, n: Int, charLevel: Boolean, distinct: Boolean)
     extends UnaryExpression {
   require(n >= 1, s"shingle size must be >= 1, got $n")

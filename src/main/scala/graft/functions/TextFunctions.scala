@@ -23,18 +23,24 @@ object TextFunctions {
     * fingerprinting.
     */
   def normalizeText(c: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9\\s]", " "), "\\s+", " "))
+    e2col(graft.expressions.NormalizeText(col2e(c)))
 
   /** Whitespace tokenization over normalized text → array<string>.
-    * array_remove (codegen'd) handles the empty-string case, so the regex
-    * normalization chain is embedded — and evaluated — exactly once (a
-    * `when(n === "", …).otherwise(split(n, …))` shape embeds it twice).
+    * Char-scan kernel ([[graft.expressions.TokenizeText]]): one fused
+    * pass over the raw bytes. The regex formulation this replaced
+    * (`array_remove(split(two-regexp-chain, " "), "")`) was both more
+    * work per row and a measured thread-scalability hazard —
+    * `Matcher.replaceAll` ran at 2% parallel efficiency across 32 cores
+    * on the reference VM, serializing every tokenizing operator no
+    * matter how well the scan partitioned (SCALE.md round 10).
     */
   def tokenize(c: Column): Column =
-    array_remove(split(normalizeText(c), " "), "")
+    e2col(graft.expressions.TokenizeText(col2e(c)))
 
-  /** Token count: whitespace tokens over normalized text. */
-  def tokenCount(c: Column): Column = size(tokenize(c))
+  /** Token count: whitespace tokens over normalized text — the
+    * zero-allocation counting kernel (never materializes tokens).
+    */
+  def tokenCount(c: Column): Column = e2col(graft.expressions.TokenCount(col2e(c)))
 
   /** BPE-ish subword count estimate: word-boundary pieces plus an extra
     * piece per 4 chars of long words (a public rule-of-thumb approximation
@@ -158,7 +164,7 @@ object TextFunctions {
     * the punctuation the splitter needs).
     */
   def sentences(c: Column): Column =
-    filter(transform(split(coalesce(c, lit("")), "[.!?]+"), s => trim(s)), s => s =!= "")
+    e2col(graft.expressions.SentenceSplit(col2e(coalesce(c, lit("")))))
 
   /** Character-trigram language-ID profiles (common trigrams of each
     * language over NORMALIZED text — ASCII, single spaces; space-bearing
@@ -217,7 +223,8 @@ object TextFunctions {
     val raw = coalesce(c, lit(""))
     val len = length(raw).cast("double")
     val lengthScore = least(len / lit(200.0), lit(1.0))
-    val alphaCount = length(regexp_replace(raw, "[^A-Za-z0-9 ]", "")).cast("double")
+    val alphaCount =
+      e2col(graft.expressions.AsciiAlnumSpaceCount(col2e(raw))).cast("double")
     val alphaRatio = when(len === 0, lit(0.0)).otherwise(alphaCount / len)
     val toks = tokenize(c)
     val allStops = array(stopwords.values.flatten.toSeq.distinct.map(lit): _*)
@@ -317,7 +324,10 @@ object TextFunctions {
     val w = ngramStats(c, 1)
     val bg = ngramStats(c, 2)
     val tri = ngramStats(c, 3)
-    val nospaceChars = length(regexp_replace(normalizeText(c), " ", "")).cast("double")
+    // normalized text has exactly (tokens-1) single spaces: the non-space
+    // char count is pure arithmetic, no regex strip needed
+    val nospaceChars =
+      (length(normalizeText(c)) - greatest(tokenCount(c) - 1, lit(0))).cast("double")
     def frac(num: Column, den: Column): Column =
       when(den <= 0, lit(0.0)).otherwise(num.cast("double") / den)
     Seq(

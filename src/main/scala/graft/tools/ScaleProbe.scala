@@ -98,8 +98,26 @@ object ScaleProbe {
           .option("parquet.block.size", Int.MaxValue.toString).parquet(starved)
         def rowGroups(p: String): Long = graft.sources.Layout.scanParallelism(spark, p)
           .agg(sum(col("row_groups"))).head().getLong(0)
-        def compute(p: String): Long = spark.read.parquet(p)
-          .select(T.tokenCount(col("text")).as("n")).agg(sum(col("n"))).head().getLong(0)
+        // the compute pass runs with maxPartitionBytes sized for COMPUTE
+        // density (the r9 finding: against one row group this setting
+        // plans empty splits and does nothing; the rewrite is what makes
+        // it effective — so the probe measures exactly that pairing, and
+        // without the small-split conf Spark would bin-pack the rewritten
+        // files right back into a handful of byte-bounded partitions)
+        def compute(p: String): Long = {
+          val saved = spark.conf.get("spark.sql.files.maxPartitionBytes")
+          try {
+            spark.conf.set("spark.sql.files.maxPartitionBytes", (4L << 20).toString)
+            val df = spark.read.parquet(p)
+            System.err.println(s"[probe] $p scan partitions: ${df.rdd.getNumPartitions}")
+            df.select(T.tokenCount(col("text")).as("n")).agg(sum(col("n"))).head().getLong(0)
+          } finally spark.conf.set("spark.sql.files.maxPartitionBytes", saved)
+        }
+        // reference floor: the tier's native multi-row-group layout
+        val (vN, tN) = secs {
+          docs.select(T.tokenCount(col("text")).as("n")).agg(sum(col("n"))).head().getLong(0)
+        }
+        System.err.println(f"[probe] native layout: $tN%.2f s ($vN tokens)")
         val gS = rowGroups(starved)
         val (vS, tS) = secs(compute(starved))
         val ((nFiles, tRw), _) =
@@ -110,6 +128,50 @@ object ScaleProbe {
         println(s"""{"mode":"layout_rewrite","row_groups_before":$gS,""" +
           s""""row_groups_after":$gF,"files_after":$nFiles,""" +
           f""""compute_before_s":$tS%.2f,"compute_after_s":$tF%.2f,"rewrite_s":$tRw%.2f}""")
+      case "layout_debug" =>
+        // task-level truth for the layout_rewrite numbers: where does the
+        // wall time go when the scan has N partitions?
+        import graft.functions.{TextFunctions => T}
+        val taskStats = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long, Long)]()
+        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            val m = t.taskMetrics
+            taskStats.add((t.stageId, t.taskInfo.duration,
+              if (m == null) -1L else m.executorRunTime,
+              if (m == null) -1L else m.executorCpuTime / 1000000L))
+          }
+        })
+        val base = java.nio.file.Files.createTempDirectory("graft_layout_dbg").toString
+        val fixed = s"$base/fixed"
+        docs.repartition(32).write.mode("overwrite").parquet(fixed)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", (4L << 20).toString)
+        def report(what: String): Unit = {
+          import scala.jdk.CollectionConverters._
+          val byStage = taskStats.asScala.toSeq.groupBy(_._1)
+          byStage.toSeq.sortBy(_._1).foreach { case (st, ts) =>
+            val ds = ts.map(_._2)
+            val run = ts.map(_._3)
+            val cpu = ts.map(_._4)
+            System.err.println(f"[dbg] $what stage $st: n=${ds.size} sum=${ds.sum}ms " +
+              f"max=${ds.max}ms run=${run.sum}ms cpu=${cpu.sum}ms")
+          }
+          taskStats.clear()
+        }
+        def pass(what: String, c: org.apache.spark.sql.Column): Unit = {
+          val df = spark.read.parquet(fixed).coalesce(8)
+          val t0 = System.nanoTime()
+          val v = df.select(c.cast("long").as("n")).agg(sum(col("n"))).head().getLong(0)
+          System.err.println(f"[dbg] $what wall ${(System.nanoTime() - t0) / 1e9}%.2f s ($v)")
+          Thread.sleep(500) // let the listener bus drain
+          report(what)
+        }
+        pass("warmup", T.tokenCount(col("text")))
+        pass("length", length(col("text")))
+        pass("lower", length(lower(col("text"))))
+        pass("regex1", length(regexp_replace(lower(col("text")), "[^a-z0-9\\s]", " ")))
+        pass("normalize", length(T.normalizeText(col("text"))))
+        pass("split_size", size(split(T.normalizeText(col("text")), " ")))
+        pass("tokenize", T.tokenCount(col("text")))
       case "minhash_stages" =>
         // stage-level timing of the minhash dedup pipeline at this tier
         import graft.functions.{TextFunctions => T}
