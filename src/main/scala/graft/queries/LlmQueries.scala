@@ -355,6 +355,17 @@ object LlmQueries {
       Evaluation.calibration(scored, "score", "label", nBins = 10)
     }),
 
+    // scalar calibration summary: ECE (fixed ascending-bin fold of the
+    // table's rounded gaps) + Brier score — the model-card numbers
+    "q_calibration_summary" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = docs.select(
+        when(col("doc_id") % 101 === 0, lit(1.0))
+          .otherwise((col("doc_id") % 1009).cast("double") / 1009.0).as("score"),
+        (col("doc_id") % 3 === 0).as("label"))
+      Evaluation.calibrationSummary(scored, "score", "label", nBins = 10)
+    }),
+
     // per-vector margin: best same-label minus best other-label cosine —
     // negative margin flags boundary/mislabeled vectors
     "q_sim_margin" -> ((s, dir) => {
@@ -1876,6 +1887,27 @@ object LlmQueries {
         |  CAST(sum(y) AS DOUBLE) / count(*) AS label_rate,
         |  round(abs(CAST(sum(y) AS DOUBLE) / count(*) - round(avg(sc), 6)), 6) AS gap
         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+    // ECE: left fold of (n_b/N)·gap_b over ascending bins with the
+    // table's rounded gaps; Brier: round-6 mean squared error
+    "q_calibration_summary" ->
+      """WITH s AS (
+        |  SELECT CASE WHEN doc_id % 101 = 0 THEN CAST(1 AS DOUBLE)
+        |              ELSE CAST(doc_id % 1009 AS DOUBLE) / 1009 END AS sc,
+        |         CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |b AS MATERIALIZED (
+        |  SELECT CAST(least(floor(sc * 10), 9) AS BIGINT) AS bin, sc, y FROM s),
+        |t AS MATERIALIZED (
+        |  SELECT bin, count(*) AS nb,
+        |    round(abs(CAST(sum(y) AS DOUBLE) / count(*) - round(avg(sc), 6)), 6) AS gap
+        |  FROM b GROUP BY bin),
+        |tot AS (SELECT CAST(sum(nb) AS BIGINT) AS n FROM t),
+        |terms AS (
+        |  SELECT list(CAST(nb AS DOUBLE) / (SELECT n FROM tot) * gap ORDER BY bin) AS l
+        |  FROM t)
+        |SELECT (SELECT n FROM tot) AS n,
+        |  round(list_reduce(list_prepend(0.0, (SELECT l FROM terms)), (a, x) -> a + x), 6) AS ece,
+        |  (SELECT round(avg((sc - y) * (sc - y)), 6) FROM b) AS brier""".stripMargin,
     // WebM index: same sample formulas in the millisecond clock
     // (timescale 1000, dts = time_ms), fixed-width EBML byte layout —
     // constant 243-byte header, then per cluster f of nf blocks:

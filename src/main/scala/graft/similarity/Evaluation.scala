@@ -478,6 +478,33 @@ object Evaluation {
     * at exactly 1.0 fold into the top bin. One groupBy on the tiny bin
     * domain — map-side combined, no other exchange.
     */
+  /** Scalar calibration summary over the [[calibration]] table: Expected
+    * Calibration Error `Σ (n_b/N)·gap_b` plus the Brier score
+    * `mean((score - label)²)` — the two numbers a model card quotes next
+    * to the reliability table. ECE recombines the table's ROUNDED
+    * per-bin gaps through a fixed ascending-bin driver fold (the NMI
+    * discipline — bit-exact across engines); Brier's per-row square is
+    * exact arithmetic, rounded at 6 as an aggregate. One tiny-domain
+    * aggregation + one scan; no other exchange.
+    */
+  def calibrationSummary(scored: DataFrame, scoreCol: String, labelCol: String,
+      nBins: Int = 10): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val bins = calibration(scored, scoreCol, labelCol, nBins)
+      .select(col("bin"), col("n"), col("gap")).collect().sortBy(_.getLong(0))
+    val n = bins.map(_.getLong(1)).sum
+    var ece = 0.0
+    bins.foreach(r => ece += r.getLong(1).toDouble / n * r.getDouble(2))
+    // plain multiply, not pow(x, 2): Math.pow can differ from x*x in the
+    // last ulp, and the oracle squares by multiplication
+    val diff = col(scoreCol) - col(labelCol).cast("boolean").cast("int")
+    val brier = scored.agg(round(avg(diff * diff), 6)).head().getDouble(0)
+    Seq((n, round6(ece), brier)).toDF("n", "ece", "brier")
+  }
+
   def calibration(scored: DataFrame, scoreCol: String, labelCol: String,
       nBins: Int = 10): DataFrame = {
     require(nBins >= 1, s"calibration: nBins $nBins < 1")

@@ -333,5 +333,19 @@ class EvaluationSpec extends SparkSpec {
     // ECE folds out of the table: Σ (n_b/N)·gap_b
     val ece = out.values.map(r => r.getLong(1) * r.getDouble(4)).sum / 6
     assert(ece > 0.0 && ece < 1.0)
+
+    // the summary reproduces the hand fold + the exact Brier mean
+    val sm = Evaluation.calibrationSummary(scored, "score", "label", nBins = 10).head()
+    assert(sm.getLong(0) == 6L)
+    val expectEce = {
+      val terms = Seq(0L, 5L, 9L).map(b => out(b).getLong(1).toDouble / 6 * out(b).getDouble(4))
+      BigDecimal(terms.sum).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(sm.getDouble(1) == expectEce, s"ece ${sm.getDouble(1)} != $expectEce")
+    val expectBrier = {
+      val sq = Seq(0.0 - 0, 0.05 - 1, 0.95 - 1, 1.0 - 1, 1.0 - 0, 0.55 - 0).map(d => d * d)
+      BigDecimal(sq.sum / 6).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(sm.getDouble(2) == expectBrier, s"brier ${sm.getDouble(2)} != $expectBrier")
   }
 }
