@@ -203,6 +203,32 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // index maintenance, part 2: REBALANCE. Appends accumulate into
+    // fixed cells; cells over budget (here 9n/128 ≈ 1.125× the mean —
+    // hot at every SF) split deterministically (new centroid = the
+    // member farthest from the old one; members re-argmaxed between the
+    // two), hot partitions rewritten via dynamic partition overwrite,
+    // sidecar refreshed last. The probe then uses the SIDECAR centroids
+    // (ivfTopKPersisted) — the lowest-id recovery no longer holds. The
+    // oracle replays the whole chain: assign → hot → split → re-assign
+    // → sidecar-centroid probe
+    "q_ann_ivf_rebalance" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idxDir = ivfIndexDirs.computeIfAbsent(dir + "#rebal", _ => {
+        val d = java.nio.file.Files.createTempDirectory("graft_ivf_rebal").toString
+        Similarity.saveIvfIndexAppendable(
+          Similarity.ivfBuild(emb, "embedding", "vec_id", nlist = 16),
+          d, "embedding", "vec_id", nlist = 16)
+        val n = emb.count()
+        Similarity.rebalanceIvfIndex(s, d, "embedding", "vec_id", maxCellRows = 9L * n / 128L)
+        d
+      })
+      Similarity.ivfTopKPersisted(s, idxDir, emb.where(col("vec_id") < 5),
+          "embedding", "vec_id", k = 5, nprobe = 4)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // index-quality evaluation: per-query recall@10 of the IVF probe
     // against exact ground truth — the oracle recomputes BOTH sides
     // (brute force and the full IVF assign/probe pipeline) from raw
@@ -2224,6 +2250,73 @@ object LlmQueries {
         |  SELECT query_id, neighbor_id, cosine_sim,
         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
         |  FROM cand)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // the rebalance chain replayed end-to-end: build assignment, hot
+    // cells at the same 9n/128 budget (BIGINT // = floor, matching the
+    // engine's long division), farthest-member split centroids
+    // (min rounded cosine, ties to min id), constrained re-argmax
+    // inside each hot cell (ties to the LOWER candidate cell id — the
+    // engine's max_by on (sim, -cell)), then the probe over the FINAL
+    // centroid set (original 16 + one per split)
+    "q_ann_ivf_rebalance" ->
+      """WITH cent AS MATERIALIZED (
+        |  SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS centroid
+        |  FROM embeddings WHERE vec_id < 16
+        |), corpus AS MATERIALIZED (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+        |), assign AS MATERIALIZED (
+        |  SELECT vec_id, vec, cell FROM (
+        |    SELECT c.vec_id, c.vec, ct.cell,
+        |      row_number() OVER (PARTITION BY c.vec_id
+        |        ORDER BY round(list_cosine_similarity(c.vec, ct.centroid), 6) DESC, ct.cell) AS rn
+        |    FROM corpus c CROSS JOIN cent ct) WHERE rn = 1
+        |), hot AS MATERIALIZED (
+        |  SELECT cell FROM assign GROUP BY cell
+        |  HAVING count(*) > (SELECT 9 * count(*) // 128 FROM corpus)
+        |), newcent AS MATERIALIZED (
+        |  SELECT old_cell, vec_id AS new_cell, vec AS centroid FROM (
+        |    SELECT a.cell AS old_cell, a.vec_id, a.vec,
+        |      row_number() OVER (PARTITION BY a.cell
+        |        ORDER BY round(list_cosine_similarity(a.vec, ct.centroid), 6) ASC, a.vec_id) AS rn
+        |    FROM assign a JOIN cent ct ON ct.cell = a.cell
+        |    WHERE a.cell IN (SELECT cell FROM hot)) WHERE rn = 1
+        |), cand AS MATERIALIZED (
+        |  SELECT n.old_cell, n.old_cell AS cand_cell, ct.centroid
+        |  FROM newcent n JOIN cent ct ON ct.cell = n.old_cell
+        |  UNION ALL
+        |  SELECT old_cell, new_cell AS cand_cell, centroid FROM newcent
+        |), resplit AS MATERIALIZED (
+        |  SELECT vec_id, vec, cand_cell AS cell FROM (
+        |    SELECT a.vec_id, a.vec, cd.cand_cell,
+        |      row_number() OVER (PARTITION BY a.vec_id
+        |        ORDER BY round(list_cosine_similarity(a.vec, cd.centroid), 6) DESC, cd.cand_cell) AS rn
+        |    FROM assign a JOIN cand cd ON cd.old_cell = a.cell) WHERE rn = 1
+        |), final AS MATERIALIZED (
+        |  SELECT vec_id, vec, cell FROM assign WHERE cell NOT IN (SELECT cell FROM hot)
+        |  UNION ALL SELECT vec_id, vec, cell FROM resplit
+        |), fcent AS MATERIALIZED (
+        |  SELECT cell, centroid FROM cent
+        |  UNION ALL SELECT new_cell, centroid FROM newcent
+        |), queries AS (
+        |  SELECT vec_id AS query_id, vec AS qvec FROM corpus WHERE vec_id < 5
+        |), probe AS (
+        |  SELECT query_id, cell FROM (
+        |    SELECT q.query_id, ct.cell,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY round(list_cosine_similarity(q.qvec, ct.centroid), 6) DESC, ct.cell) AS rn
+        |    FROM queries q CROSS JOIN fcent ct) WHERE rn <= 4
+        |), candq AS (
+        |  SELECT p.query_id, f.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(q.qvec, f.vec), 6) AS cosine_sim
+        |  FROM probe p
+        |  JOIN queries q ON q.query_id = p.query_id
+        |  JOIN final f ON f.cell = p.cell
+        |  WHERE f.vec_id <> p.query_id
+        |)
+        |SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS BIGINT) AS rank FROM (
+        |  SELECT query_id, neighbor_id, cosine_sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+        |  FROM candq)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // the persisted path returns the in-memory path's exact verdicts —
     // alias the same oracle by map lookup below

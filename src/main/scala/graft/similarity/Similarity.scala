@@ -236,6 +236,115 @@ object Similarity {
     df.withColumn("cell", col("cell").cast("long"))
   }
 
+  /** Hot-cell rebalance of a persisted appendable index — the maintenance
+    * pass that completes [[appendToIvfIndex]]'s story: appends accumulate
+    * into FIXED cells, so a skewed ingest stream grows a few cells until
+    * every probe that touches them scans far more than corpus/nlist rows.
+    * This operator SPLITS each cell whose sidecar count exceeds
+    * `maxCellRows` in two, deterministically and without an RNG (the
+    * ivfBuild discipline): the new centroid is the cell member FARTHEST
+    * from the old centroid (lowest rounded cosine, ties to the lowest
+    * id — its own id becomes the new cell id), and the cell's members are
+    * re-assigned between the two centroids by the same rounded-argmax
+    * rule as [[ivfBuild]]'s assignment. Untouched cells are not read,
+    * not rewritten: the hot cells' partitions are replaced via dynamic
+    * partition overwrite and the new cells' partitions created, so the
+    * rewrite cost is proportional to the HOT data, not the index —
+    * at 10⁹+ vectors that is the difference between a maintenance pass
+    * and a rebuild. Ordering is data-first / sidecar-last as everywhere.
+    *
+    * After a rebalance the centroid set is no longer "the nlist
+    * lowest-id rows", so probe with [[ivfTopKPersisted]] (sidecar
+    * centroids), not [[ivfTopK]]'s recovery; and future
+    * [[appendToIvfIndex]] batches must carry ids above the NEW max cell
+    * id (the split centroids' member ids) — the append's existing
+    * require enforces exactly that from the refreshed sidecar.
+    */
+  def rebalanceIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      vecCol: String, idCol: String, maxCellRows: Long): Unit = {
+    require(maxCellRows >= 2, s"rebalanceIvfIndex: maxCellRows $maxCellRows < 2 " +
+      "- a 1-row cell cannot split")
+    // pin the sidecar BEFORE any write (it will be overwritten below)
+    val sidecar = loadIvfCentroids(spark, dir).localCheckpoint(true)
+    try {
+      val hot = sidecar.where(col("n_rows") > maxCellRows)
+        .select(col("cell")).collect().map(_.getLong(0)).sorted
+      if (hot.isEmpty) return // nothing over budget: no-op, artifact untouched
+      // static partition pruning: only the hot cells' files are read
+      val members = loadIvfIndex(spark, dir).where(col("cell").isInCollection(hot))
+      val dataCols = members.columns.filterNot(_ == "cell").toSeq
+      val hotCents = sidecar.where(col("cell").isInCollection(hot))
+        .select(col("cell"), col("centroid"))
+      // the split centroid: farthest member from the old centroid
+      // (lowest rounded cosine, ties to the lowest id) — deterministic
+      // across engines, same rounding discipline as the assignment
+      val newCents = members
+        .join(broadcast(hotCents), Seq("cell"))
+        .withColumn("__sim", round(V.cosine(col(vecCol), col("centroid")), 6))
+        .groupBy(col("cell").as("old_cell"))
+        .agg(min_by(
+          struct(col(idCol).cast("long").as("new_cell"), col(vecCol).as("__cent")),
+          struct(col("__sim"), col(idCol))).as("s"))
+        .select(col("old_cell"), col("s.new_cell"), col("s.__cent").as("centroid"))
+      // pinned: the candidate set (2 rows per hot cell) is re-read when
+      // the sidecar refreshes BELOW the data overwrite — left lazy it
+      // would re-scan the very files the overwrite just replaced
+      val cands = hotCents
+        .select(col("cell").as("old_cell"), col("cell").as("cand_cell"), col("centroid"))
+        .unionByName(newCents
+          .select(col("old_cell"), col("new_cell").as("cand_cell"), col("centroid")))
+        .localCheckpoint(true)
+      // re-assign hot members between their cell's two candidates — the
+      // assignCells kernel constrained to the member's own old cell
+      // (join on old_cell, not a cross), map-side-combined argmax
+      val reassigned = members
+        .join(broadcast(cands), col("cell") === col("old_cell"))
+        .withColumn("__sim", round(V.cosine(col(vecCol), col("centroid")), 6))
+        .groupBy(col(idCol).as("__gid"))
+        .agg(max_by(
+          struct(dataCols.map(col) :+ col("cand_cell").as("cell"): _*),
+          struct(col("__sim"), (-col("cand_cell")).cast("long").as("tb"))).as("s"))
+        .select(col("s.*"))
+        // pin before the overwrite: the write replaces the very
+        // partitions this plan reads
+        .localCheckpoint(true)
+      try {
+        val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try reassigned.write.mode("overwrite").partitionBy("cell").parquet(dir)
+        finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+        // sidecar last: untouched cells keep their rows; hot cells and
+        // their splits get recounted from the rewritten data
+        val counts = reassigned.groupBy(col("cell").cast("long").as("cell"))
+          .agg(count(lit(1)).as("n_rows"))
+        val refreshed = sidecar.where(!col("cell").isInCollection(hot))
+          .select(col("cell"), col("centroid"), col("n_rows"))
+          .unionByName(cands
+            .select(col("cand_cell").as("cell"), col("centroid"))
+            .join(counts, Seq("cell"), "left")
+            .withColumn("n_rows", coalesce(col("n_rows"), lit(0L))))
+        writeIvfSidecar(refreshed, dir)
+      } finally { reassigned.unpersist(); cands.unpersist() }
+    } finally sidecar.unpersist()
+  }
+
+  /** Probe a persisted appendable index with its SIDECAR centroids —
+    * the probe that stays correct across the artifact's whole
+    * maintenance lifecycle (build → append → [[rebalanceIvfIndex]]),
+    * where [[ivfTopK]]'s lowest-id centroid recovery only holds for a
+    * freshly built index. nlist is implicit: the sidecar rows ARE the
+    * centroid set. Dynamic partition pruning on the probed cells is
+    * identical to [[ivfTopK]] — the scan reads ~nprobe/|cells| of the
+    * index.
+    */
+  def ivfTopKPersisted(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, vecCol: String, idCol: String, k: Int, nprobe: Int): DataFrame = {
+    val index = loadIvfIndex(spark, dir)
+    val centroids = loadIvfCentroids(spark, dir).select(col("cell"), col("centroid"))
+    val probed = probeCellsWith(centroids, queries, vecCol, idCol, nprobe)
+    scoreProbed(index, probed, queries, vecCol, idCol, k)
+  }
+
   /** Sketch-prefiltered top-k with exact re-rank: a 64-bit
     * random-hyperplane sketch (Charikar bits — cosine-preserving) scores
     * every corpus vector with ONE xor+popcount instead of a d-dim float
@@ -491,6 +600,20 @@ object Similarity {
       .orderBy(col(idCol))
       .limit(nlist)
       .select(col(idCol).as("cell"), col(vecCol).as("centroid"))
+    probeCellsWith(centroids, queries, vecCol, idCol, nprobe)
+  }
+
+  /** [[probeCells]] against an EXPLICIT (cell, centroid) set — the
+    * sidecar-driven variant [[ivfTopKPersisted]] needs once a rebalance
+    * has retired the lowest-id recovery convention.
+    */
+  private def probeCellsWith(
+      centroids: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      nprobe: Int
+  ): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
     val wq = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cell"))
     q.join(broadcast(centroids))
@@ -568,6 +691,16 @@ object Similarity {
       nprobe: Int
   ): DataFrame = {
     val probed = probeCells(indexedCorpus, queries, vecCol, idCol, nlist, nprobe)
+    scoreProbed(indexedCorpus, probed, queries, vecCol, idCol, k)
+  }
+
+  /** The shared IVF scoring stage: members of probed cells scored by
+    * exact cosine, per-query top-k. Probed pairs and queries broadcast;
+    * the corpus-side scan stays partition-pruned when the index is the
+    * cell-partitioned artifact.
+    */
+  private def scoreProbed(indexedCorpus: DataFrame, probed: DataFrame,
+      queries: DataFrame, vecCol: String, idCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
     val scored = indexedCorpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"), col("cell"))

@@ -95,4 +95,66 @@ class IvfPersistSpec extends SparkSpec {
     assert(ex2.getMessage.contains("_centroids") || ex2.getMessage.contains("PATH_NOT_FOUND")
       || ex2.getMessage.toLowerCase.contains("path does not exist"), ex2.getMessage)
   }
+
+  test("rebalance splits hot cells, keeps the artifact truthful, stays probe-correct") {
+    val emb = vecs
+    val dir = java.nio.file.Files.createTempDirectory("ivfrebal").toString
+    Similarity.saveIvfIndexAppendable(
+      Similarity.ivfBuild(emb, "embedding", "vec_id", nlist = 4),
+      dir, "embedding", "vec_id", nlist = 4)
+    val before = Similarity.loadIvfCentroids(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val budget = 55L // mean is 50; at seed 5 at least one of 4 cells exceeds 55
+    assert(before.values.exists(_ > budget), s"fixture not skewed: $before")
+    val hotBefore = before.filter(_._2 > budget).keySet
+
+    Similarity.rebalanceIvfIndex(spark, dir, "embedding", "vec_id", maxCellRows = budget)
+
+    // sidecar grew by one centroid per hot cell; counts match the data;
+    // every former hot cell is now split under (or at worst near) budget
+    val side = Similarity.loadIvfCentroids(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(side.size == before.size + hotBefore.size, s"before=$before after=$side")
+    val perCell = Similarity.loadIvfIndex(spark, dir).groupBy($"cell").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(side == perCell, s"sidecar=$side actual=$perCell")
+    assert(side.values.sum == 200L, "rebalance must not add or drop rows")
+    hotBefore.foreach { c =>
+      assert(side(c) < before(c), s"hot cell $c did not shrink: ${before(c)} -> ${side(c)}")
+    }
+    // untouched cells keep their exact counts
+    (before.keySet -- hotBefore).foreach { c => assert(side(c) == before(c), s"cold cell $c changed") }
+
+    // probe correctness: with every cell probed, the sidecar-centroid
+    // probe must equal brute force — the rebalance moved rows between
+    // cells but may not lose or duplicate any
+    val queries = emb.where($"vec_id" < 3)
+    val full = Similarity.ivfTopKPersisted(spark, dir, queries, "embedding", "vec_id",
+        k = 5, nprobe = side.size)
+      .orderBy($"query_id", $"rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val brute = Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id", k = 5)
+      .orderBy($"query_id", $"rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(full == brute, s"probe=$full brute=$brute")
+
+    // pruning survives the rewrite, and appends after a rebalance are
+    // held to the REFRESHED contract (ids above the split centroids too)
+    val plan = Similarity.ivfTopKPersisted(spark, dir, queries, "embedding", "vec_id",
+        k = 5, nprobe = 2).queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), s"pruning lost after rebalance:\n${plan.take(2000)}")
+    val newMax = side.keys.max
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndex(
+        emb.where($"vec_id" === (newMax - 1)), "embedding", "vec_id", dir)
+    }
+    assert(ex.getMessage.contains("sort above every centroid id"), ex.getMessage)
+
+    // a rebalance with nothing over budget is a byte-level no-op
+    val filesBefore = new java.io.File(dir).listFiles().map(_.getName).toSet
+    Similarity.rebalanceIvfIndex(spark, dir, "embedding", "vec_id", maxCellRows = 1000L)
+    assert(Similarity.loadIvfCentroids(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap == side)
+    assert(new java.io.File(dir).listFiles().map(_.getName).toSet == filesBefore)
+  }
 }
