@@ -143,7 +143,7 @@ object Similarity {
       dir)
   }
 
-  private def writeIvfSidecar(rows: DataFrame, dir: String): Unit =
+  private[graft] def writeIvfSidecar(rows: DataFrame, dir: String): Unit =
     rows.select(col("cell"), col("centroid"), col("n_rows"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/_centroids")
 
