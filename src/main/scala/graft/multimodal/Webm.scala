@@ -25,9 +25,10 @@ import java.nio.{ByteBuffer, ByteOrder}
   * nf blocks costs `23 + 13·nf + Σ payload` (WebmSpec pins both).
   * Results share [[Mp4.Index]]/[[Mp4.Sample]] so MP4 and WebM corpora
   * index into ONE unified schema. Parsing is defensive: minimal or
-  * fixed-width VINTs, unknown-size Segments, Block-in-BlockGroup, and
-  * anything malformed returns None (media pipelines drop and count
-  * undecodable rows — same contract as [[Mp4.index]]).
+  * fixed-width VINTs, unknown-size Segments, Block-in-BlockGroup, all
+  * three lacing modes (Xiph / fixed / EBML — one Sample per laced
+  * frame), and anything malformed returns None (media pipelines drop
+  * and count undecodable rows — same contract as [[Mp4.index]]).
   */
 object Webm {
 
@@ -249,6 +250,91 @@ object Webm {
     */
   private val MaxBlocks = 10000000
 
+  /** Signed lace-delta VINT (EBML lacing): unsigned VINT minus the
+    * per-width bias `2^(7·len-1) - 1`. No unknown-size mapping — every
+    * bit pattern is a value here.
+    */
+  private def readLaceDelta(b: Array[Byte], p: Int, until: Int): (Long, Int) = {
+    if (p >= until) return null
+    val first = b(p) & 0xff
+    if (first == 0) return null
+    val len = Integer.numberOfLeadingZeros(first) - 23
+    if (len < 1 || len > 8 || p + len > until) return null
+    var v = (first & (0xff >>> len)).toLong
+    var i = 1
+    while (i < len) { v = (v << 8) | (b(p + i) & 0xffL); i += 1 }
+    (v - ((1L << (7 * len - 1)) - 1), len)
+  }
+
+  /** Decode a block's lace header at [from, until): per-frame
+    * (offset, size) pairs. `lacing` is the flag field's bits 1-2:
+    * 1 = Xiph (255-run byte sums for the first n-1 sizes), 2 = fixed
+    * (payload divided evenly), 3 = EBML (first size a plain VINT, then
+    * signed-VINT deltas). The last frame's size is always the remainder
+    * (fixed: the even share). Returns None for any malformed header,
+    * size overrun, or uneven fixed split — the whole block (and file)
+    * is then rejected, per the defensive-parse contract.
+    */
+  private def laceFrames(b: Array[Byte], from: Int, until: Int,
+      lacing: Int): Option[Vector[(Long, Long)]] = {
+    if (from >= until) return None
+    val n = (b(from) & 0xff) + 1
+    var q = from + 1
+    val sizes = new Array[Long](n)
+    lacing match {
+      case 1 =>
+        var i = 0
+        while (i < n - 1) {
+          var s = 0L
+          var last = 0xff
+          while (last == 0xff) {
+            if (q >= until) return None
+            last = b(q) & 0xff; q += 1; s += last
+            if (s > until - from) return None // size can't exceed the block
+          }
+          sizes(i) = s; i += 1
+        }
+      case 2 =>
+        val total = (until - q).toLong
+        if (total % n != 0) return None
+        var i = 0
+        while (i < n) { sizes(i) = total / n; i += 1 }
+      case 3 =>
+        if (n > 1) {
+          val fst = readSize(b, q, until)
+          if (fst == null || fst._1 < 0) return None
+          sizes(0) = fst._1
+          q += fst._2
+          var i = 1
+          while (i < n - 1) {
+            val d = readLaceDelta(b, q, until)
+            if (d == null) return None
+            sizes(i) = sizes(i - 1) + d._1
+            if (sizes(i) < 0 || sizes(i) > until - from) return None
+            q += d._2; i += 1
+          }
+        }
+      case _ => return None
+    }
+    if (lacing != 2) {
+      var declared = 0L
+      var i = 0
+      while (i < n - 1) { declared += sizes(i); i += 1 }
+      val lastSz = (until - q).toLong - declared
+      if (lastSz < 0) return None
+      sizes(n - 1) = lastSz
+    }
+    val out = Vector.newBuilder[(Long, Long)]
+    var off = q.toLong
+    var i = 0
+    while (i < n) {
+      if (off + sizes(i) > until) return None
+      out += ((off, sizes(i)))
+      off += sizes(i); i += 1
+    }
+    Some(out.result())
+  }
+
   /** Parse the first video track's frame index. Timescale is derived as
     * ticks-per-second from TimestampScale (`1e9 / TimestampScale`; the
     * Matroska-default 1,000,000 ns gives 1000 — millisecond ticks), so
@@ -346,12 +432,26 @@ object Webm {
               if (p + 3 > bl.end) return None
               val rel = ByteBuffer.wrap(bytes, p, 2).order(ByteOrder.BIG_ENDIAN).getShort.toLong
               val flags = bytes(p + 2) & 0xff
-              if ((flags & 0x06) != 0) return None // laced blocks: unsupported
               val dataStart = p + 3
               val keyframe = if (simple) (flags & 0x80) != 0 else !hasRef
-              out += Mp4.Sample(sampleNo, chunkNo, dataStart.toLong,
-                (bl.end - dataStart).toLong, clusterTs + rel, defDurTicks, keyframe)
-              sampleNo += 1
+              // laced blocks carry several frames behind one timestamp:
+              // frame i's time is blockTs + i·DefaultDuration (only the
+              // first frame's time is coded — Matroska lacing semantics),
+              // and the block's keyframe verdict applies to every frame
+              // (lacing is the audio/all-key shape in practice)
+              val lacing = (flags >> 1) & 0x03
+              val frames: Vector[(Long, Long)] =
+                if (lacing == 0) Vector((dataStart.toLong, (bl.end - dataStart).toLong))
+                else laceFrames(bytes, dataStart, bl.end, lacing).getOrElse(return None)
+              val blockTs = clusterTs + rel
+              var fi = 0
+              while (fi < frames.length) {
+                if (sampleNo >= MaxBlocks) return None
+                val (off, len) = frames(fi)
+                out += Mp4.Sample(sampleNo, chunkNo, off, len,
+                  blockTs + fi * defDurTicks, defDurTicks, keyframe)
+                sampleNo += 1; fi += 1
+              }
               sawBlock = true
             }
           }

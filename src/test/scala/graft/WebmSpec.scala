@@ -132,6 +132,68 @@ class WebmSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(bytes.slice(b.offset.toInt, (b.offset + b.size).toInt).toSeq == payloadB.toSeq)
   }
 
+  test("laced SimpleBlocks: Xiph, fixed, and EBML lacing emit one sample per frame") {
+    // Xiph: 3 frames of 300, 13, 7 bytes — first two sizes 255-run coded
+    val xp = samplesOf(Seq(300, 13, 7))
+    val xiph = el(idb(0xa3),
+      Array[Byte](0x81.toByte, 0, 0, (0x80 | 0x02).toByte, 2, 0xff.toByte, 45, 13) ++
+        xp(0) ++ xp(1) ++ xp(2))
+    // fixed: 4 frames, payload divided evenly (4 × 11)
+    val fp = samplesOf(Seq(11, 11, 11, 11))
+    val fixed = el(idb(0xa3),
+      Array[Byte](0x81.toByte, 0, 40, (0x80 | 0x04).toByte, 3) ++ fp.flatten)
+    // EBML: 3 frames of 16, 20, 9 — first size a plain VINT (0x90 = 16),
+    // then one signed delta (+4 → raw 67 → 0xc3), last = remainder
+    val ep = samplesOf(Seq(16, 20, 9))
+    val ebmlLaced = el(idb(0xa3),
+      Array[Byte](0x81.toByte, 0, 80, 0x06.toByte, 2, 0x90.toByte, 0xc3.toByte) ++
+        ep.flatten)
+    val cluster = el(idb(0x1f, 0x43, 0xb6, 0x75),
+      uint(idb(0xe7), 1000L) ++ xiph ++ fixed ++ ebmlLaced)
+    val info = el(idb(0x15, 0x49, 0xa9, 0x66), uint(idb(0x2a, 0xd7, 0xb1), 1000000L))
+    val video = el(idb(0xe0), uint(idb(0xb0), 320L) ++ uint(idb(0xba), 240L))
+    val trackEntry = el(idb(0xae),
+      uint(idb(0xd7), 1L) ++ uint(idb(0x83), 1L) ++
+        uint(idb(0x23, 0xe3, 0x83), 40L * 1000000L) ++ video) // DefaultDuration 40 ms
+    val tracks = el(idb(0x16, 0x54, 0xae, 0x6b), trackEntry)
+    val ebml = el(idb(0x1a, 0x45, 0xdf, 0xa3),
+      el(idb(0x42, 0x82), "webm".getBytes("US-ASCII")))
+    val segment = el(idb(0x18, 0x53, 0x80, 0x67), info ++ tracks ++ cluster)
+    val bytes = ebml ++ segment
+
+    val ix = Webm.index(bytes).getOrElse(fail("laced file must parse"))
+    assert(ix.samples.length == 10, s"got ${ix.samples.length} samples")
+    assert(ix.samples.map(_.size).toSeq ==
+      Seq(300L, 13L, 7L, 11L, 11L, 11L, 11L, 16L, 20L, 9L))
+    // payload bytes round-trip exactly through the lace offsets
+    ix.samples.zip(xp ++ fp ++ ep).foreach { case (s, p) =>
+      assert(bytes.slice(s.offset.toInt, (s.offset + s.size).toInt).toSeq == p.toSeq,
+        s"sample ${s.sampleNo} bytes differ")
+    }
+    // laced timestamps advance by DefaultDuration from the block's time;
+    // the block's keyframe verdict covers every laced frame
+    assert(ix.samples.map(_.dts).toSeq ==
+      Seq(1000L, 1040L, 1080L, 1040L, 1080L, 1120L, 1160L, 1080L, 1120L, 1160L))
+    assert(ix.samples.take(7).forall(_.keyframe) && ix.samples.drop(7).forall(!_.keyframe),
+      "keyframe bit must cover the whole laced block")
+    assert(ix.samples.forall(_.chunkNo == 0))
+
+    // an uneven fixed split is malformed, not mis-sized
+    val oddFixed = el(idb(0xa3),
+      Array[Byte](0x81.toByte, 0, 0, (0x80 | 0x04).toByte, 2) ++ Array.fill(10)(1.toByte))
+    val badCluster = el(idb(0x1f, 0x43, 0xb6, 0x75), uint(idb(0xe7), 0L) ++ oddFixed)
+    val bad = ebml ++ el(idb(0x18, 0x53, 0x80, 0x67), info ++ tracks ++ badCluster)
+    assert(Webm.index(bad).isEmpty, "3-way split of 10 bytes must reject")
+
+    // fuzz the lacing paths: random mutations never throw
+    val rnd = new scala.util.Random(77)
+    (0 until 400).foreach { _ =>
+      val m = bytes.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      Webm.index(m) // may be None or Some; must not throw
+    }
+  }
+
   test("unknown-size Segment (live-mux shape) parses to end of file") {
     val good = Webm.encode(16, 16, 50, samplesOf(Seq(30, 40)), Seq(0))
     // rewrite the Segment's 8-byte size VINT to the all-ones unknown marker
