@@ -182,6 +182,101 @@ object ScaleProbe {
           graft.dedup.Dedup.minHashPairs(docs, "text", "doc_id", 3, 64, 16, 0.5).count()
         }
         println(s"""{"mode":"minhash_stages","shingle_rows":$sh,"pairs":$pairs}""")
+      case "ivf_maintain" =>
+        // the IVF maintenance lifecycle at this tier: build 80%, append
+        // 20%, hot-cell rebalance, vs the full-rebuild floor — the claim
+        // under test is that append ∝ batch and rebalance ∝ hot data,
+        // while rebuild pays the whole corpus every time
+        import graft.similarity.Similarity
+        val emb = Tables.t(spark, sfDir, "embeddings")
+        val n = emb.count()
+        val cut = n * 8 / 10
+        val nlist = 64
+        def secs[A](f: => A): (A, Double) = {
+          val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+        }
+        val base = java.nio.file.Files.createTempDirectory("graft_ivf_scale").toString
+        val dir = s"$base/idx"
+        val (_, tBuild) = secs {
+          Similarity.saveIvfIndexAppendable(
+            Similarity.ivfBuild(emb.where(col("vec_id") < cut), "embedding", "vec_id", nlist),
+            dir, "embedding", "vec_id", nlist)
+        }
+        val (_, tAppend) = secs {
+          Similarity.appendToIvfIndex(emb.where(col("vec_id") >= cut), "embedding", "vec_id", dir)
+        }
+        val budget = 9L * n / (8L * nlist) // 1.125× the mean cell size
+        val hotSide = Similarity.loadIvfCentroids(spark, dir).where(col("n_rows") > budget)
+        val (hotCells, hotRows) = {
+          val r = hotSide.agg(count(lit(1)), coalesce(sum(col("n_rows")), lit(0L))).head()
+          (r.getLong(0), r.getLong(1))
+        }
+        val (_, tRebal) = secs {
+          Similarity.rebalanceIvfIndex(spark, dir, "embedding", "vec_id", budget)
+        }
+        val (_, tRebuild) = secs {
+          Similarity.saveIvfIndexAppendable(
+            Similarity.ivfBuild(emb, "embedding", "vec_id", nlist),
+            s"$base/rebuilt", "embedding", "vec_id", nlist)
+        }
+        val (probed, tProbe) = secs {
+          Similarity.ivfTopKPersisted(spark, dir, emb.where(col("vec_id") < 100),
+            "embedding", "vec_id", k = 10, nprobe = 8).count()
+        }
+        println(s"""{"mode":"ivf_maintain","n":$n,"nlist":$nlist,"budget":$budget,""" +
+          s""""hot_cells":$hotCells,"hot_rows":$hotRows,"probe_rows":$probed,""" +
+          f""""build_s":$tBuild%.2f,"append_s":$tAppend%.2f,"rebalance_s":$tRebal%.2f,""" +
+          f""""rebuild_s":$tRebuild%.2f,"probe_s":$tProbe%.2f}""")
+      case "ann_compact" =>
+        // streamed-batch shard accumulation vs the compacted base: the
+        // per-file probe overhead compact() exists to remove
+        import graft.similarity.Similarity
+        import graft.streaming.StreamingAnnIndex
+        val emb = Tables.t(spark, sfDir, "embeddings")
+        val n = emb.count()
+        val cut = n / 2
+        val nBatches = 40
+        def secs[A](f: => A): (A, Double) = {
+          val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+        }
+        val baseDir = java.nio.file.Files.createTempDirectory("graft_ann_scale").toString
+        val (ixDir, stDir) = (s"$baseDir/index", s"$baseDir/stats")
+        StreamingAnnIndex.initialize(emb.where(col("vec_id") < cut),
+          "embedding", "vec_id", nlist = 64, ixDir)
+        val per = (n - cut) / nBatches
+        val (_, tBatches) = secs {
+          (0 until nBatches).foreach { b =>
+            val lo = cut + b * per
+            val hi = if (b == nBatches - 1) n else cut + (b + 1) * per
+            StreamingAnnIndex.applyBatch(
+              emb.where(col("vec_id") >= lo && col("vec_id") < hi), b.toLong,
+              "embedding", "vec_id", ixDir, stDir)
+          }
+        }
+        def files(): Long = {
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            new java.net.URI(ixDir), spark.sparkContext.hadoopConfiguration)
+          val it = fs.listFiles(new org.apache.hadoop.fs.Path(ixDir), true)
+          var c = 0L
+          while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) c += 1 }
+          c
+        }
+        def probe(): (Long, Double) = secs {
+          Similarity.ivfTopKPersisted(spark, ixDir, emb.where(col("vec_id") < 100),
+            "embedding", "vec_id", k = 10, nprobe = 8).count()
+        }
+        val fBefore = files()
+        val (p1, tBefore) = probe()
+        val (_, tCompact) = secs {
+          StreamingAnnIndex.compact(spark, ixDir, stDir, upToBatch = nBatches.toLong)
+        }
+        val fAfter = files()
+        val (p2, tAfter) = probe()
+        require(p1 == p2, s"compaction changed probe results: $p1 vs $p2")
+        println(s"""{"mode":"ann_compact","n":$n,"batches":$nBatches,""" +
+          s""""files_before":$fBefore,"files_after":$fAfter,""" +
+          f""""ingest_s":$tBatches%.2f,"compact_s":$tCompact%.2f,""" +
+          f""""probe_before_s":$tBefore%.2f,"probe_after_s":$tAfter%.2f}""")
       case other => sys.error(s"unknown probe mode: $other")
     }
     spark.stop()
