@@ -229,6 +229,38 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // index maintenance, part 3: the STREAMED ingest folded back. Base
+    // build on the low-id 80% under batch=0, two micro-batches appended
+    // via the streaming twin's exactly-once per-batch layout, then
+    // COMPACT folds everything into a one-file-per-cell base (marker-last
+    // roll-forward). Oracle = q_ann_ivf's full-corpus build: the probe
+    // over the folded artifact must be bit-identical to a rebuild — the
+    // shared oracle is the stream+compact ≡ rebuild proof, closing the
+    // lifecycle (build → append → rebalance → streamed fold) as oracle-
+    // verified end to end
+    "q_ann_stream_compact" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val baseDir = ivfIndexDirs.computeIfAbsent(dir + "#stream", _ => {
+        val d = java.nio.file.Files.createTempDirectory("graft_ann_stream").toString
+        val (ix, st) = (s"$d/index", s"$d/stats")
+        graft.streaming.StreamingAnnIndex.initialize(
+          emb.where(col("vec_id") < 400), "embedding", "vec_id", nlist = 16, ix)
+        graft.streaming.StreamingAnnIndex.applyBatch(
+          emb.where(col("vec_id") >= 400 && col("vec_id") < 450), 0L,
+          "embedding", "vec_id", ix, st)
+        graft.streaming.StreamingAnnIndex.applyBatch(
+          emb.where(col("vec_id") >= 450), 1L, "embedding", "vec_id", ix, st)
+        graft.streaming.StreamingAnnIndex.compact(s, ix, st, upToBatch = 2L)
+        d
+      })
+      val loaded = graft.streaming.StreamingAnnIndex
+        .readIndex(s, s"$baseDir/index").drop("batch")
+      Similarity.ivfTopK(loaded, emb.where(col("vec_id") < 5),
+          "embedding", "vec_id", k = 5, nlist = 16, nprobe = 4)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // index-quality evaluation: per-query recall@10 of the IVF probe
     // against exact ground truth — the oracle recomputes BOTH sides
     // (brute force and the full IVF assign/probe pipeline) from raw
@@ -1614,7 +1646,8 @@ object LlmQueries {
     */
   private def withAliases(m: Map[String, String]): Map[String, String] =
     m + ("q_ann_ivf_persisted" -> m("q_ann_ivf")) +
-      ("q_ann_ivf_append" -> m("q_ann_ivf"))
+      ("q_ann_ivf_append" -> m("q_ann_ivf")) +
+      ("q_ann_stream_compact" -> m("q_ann_ivf"))
 
   private val baseOracles: Map[String, String] = Map(
     // Full independent oracles for the MinHash/SimHash/sketch lanes:
