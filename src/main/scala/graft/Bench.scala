@@ -95,7 +95,12 @@ object Bench {
     // container; same scan-local shape as the MP4 lanes) and the
     // incrementally-maintained IVF index probe
     "q_video_index_webm",
-    "q_ann_ivf_append"
+    "q_ann_ivf_append",
+    // round 10 late: the rest of the index-maintenance lifecycle (hot-cell
+    // rebalance probe, streamed-ingest fold) and the calibration report
+    "q_ann_ivf_rebalance",
+    "q_ann_stream_compact",
+    "q_calibration"
   )
 
   def main(args: Array[String]): Unit = {
