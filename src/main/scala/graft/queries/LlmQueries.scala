@@ -829,6 +829,21 @@ object LlmQueries {
         .orderBy(col("doc_id"), col("sample_no"))
     }),
 
+    // MIXED-container corpus through the magic-byte dispatch (web crawls
+    // carry MP4 and WebM side by side): even doc_ids get an MP4 payload,
+    // odd ones a WebM, one indexVideoAuto pass over the blend. The
+    // oracle unions the two byte-layout replays split by the same
+    // parity — verifying both the per-container arithmetic AND that the
+    // dispatcher sent every payload to the right parser
+    "q_video_index_auto" -> ((s, dir) => {
+      val payload = udf((id: Long) =>
+        if (id % 2 == 0) Multimodal.syntheticMp4(id) else Multimodal.syntheticWebm(id))
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), payload(col("doc_id")).as("payload"))
+      Multimodal.indexVideoAuto(docs, "doc_id", "payload")
+        .orderBy(col("doc_id"), col("sample_no"))
+    }),
+
     // sequence packing (pre-training concat-and-chunk): documents
     // concatenate in doc_id order into one token stream, split into
     // 128-token training sequences; output is the (doc, seq) span table
@@ -2005,6 +2020,62 @@ object LlmQueries {
         |  CAST(16 * (1 + doc_id % 8) AS INTEGER) AS width,
         |  CAST(16 * (1 + (doc_id // 8) % 8) AS INTEGER) AS height
         |FROM o ORDER BY doc_id, sample_no""".stripMargin,
+    // mixed-container auto dispatch: MP4 replay for even doc_ids, WebM
+    // replay for odd — the same arithmetic as q_video_index /
+    // q_video_index_webm, parity-split and unioned
+    "q_video_index_auto" ->
+      """WITH g AS (
+        |  SELECT doc_id, CAST(unnest(range(1 + doc_id % 7)) AS BIGINT) AS s
+        |  FROM documents),
+        |sz AS (
+        |  SELECT doc_id, s,
+        |    50 + (doc_id * 13 + s * 7) % 200 AS size,
+        |    100 + (doc_id % 9) * 10 AS delta,
+        |    600 * (1 + doc_id % 4) AS timescale,
+        |    s // 2 AS f
+        |  FROM g),
+        |m AS (
+        |  SELECT doc_id, s, size, delta, timescale,
+        |    CAST(32 + coalesce(sum(size) OVER (PARTITION BY doc_id ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+        |  FROM sz WHERE doc_id % 2 = 0),
+        |fr AS (
+        |  SELECT doc_id, f, count(*) AS nf, sum(size) AS body
+        |  FROM sz WHERE doc_id % 2 = 1 GROUP BY doc_id, f),
+        |fo AS (
+        |  SELECT doc_id, f, nf,
+        |    243 + coalesce(sum(23 + 13 * nf + body) OVER (PARTITION BY doc_id ORDER BY f
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS frag_start
+        |  FROM fr),
+        |w AS (
+        |  SELECT sz.doc_id, sz.s, sz.size, sz.delta, sz.f,
+        |    CAST(fo.frag_start + 23 +
+        |      coalesce(sum(13 + sz.size) OVER (PARTITION BY sz.doc_id, sz.f ORDER BY sz.s
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 13 AS BIGINT) AS "offset"
+        |  FROM sz JOIN fo ON sz.doc_id = fo.doc_id AND sz.f = fo.f)
+        |SELECT * FROM (
+        |  SELECT doc_id, s AS sample_no, CAST(s // 2 AS BIGINT) AS chunk_no, "offset",
+        |    CAST(size AS BIGINT) AS size,
+        |    CAST(s * delta AS BIGINT) AS dts,
+        |    CAST(delta AS BIGINT) AS duration_ticks,
+        |    CAST((s * delta * 1000) // timescale AS BIGINT) AS time_ms,
+        |    (s % 3 = 0) AS keyframe,
+        |    CAST(timescale AS BIGINT) AS timescale,
+        |    CAST(16 * (1 + doc_id % 8) AS INTEGER) AS width,
+        |    CAST(16 * (1 + (doc_id // 8) % 8) AS INTEGER) AS height
+        |  FROM m
+        |  UNION ALL
+        |  SELECT doc_id, s AS sample_no, CAST(f AS BIGINT) AS chunk_no, "offset",
+        |    CAST(size AS BIGINT) AS size,
+        |    CAST(s * delta AS BIGINT) AS dts,
+        |    CAST(delta AS BIGINT) AS duration_ticks,
+        |    CAST(s * delta AS BIGINT) AS time_ms,
+        |    (s % 3 = 0) AS keyframe,
+        |    CAST(1000 AS BIGINT) AS timescale,
+        |    CAST(16 * (1 + doc_id % 8) AS INTEGER) AS width,
+        |    CAST(16 * (1 + (doc_id // 8) % 8) AS INTEGER) AS height
+        |  FROM w)
+        |ORDER BY doc_id, sample_no""".stripMargin,
     "q_ann_sketch" -> XxhSql.annSketchSql(dim = 64, nBits = 64, k = 5, oversample = 8, nQueries = 5),
     "q_ann_pq" -> XxhSql.annPqSql(d = 64, m = 8, kc = 16, k = 5, oversample = 8, nQueries = 5),
     "q_ann_pq_refined" -> XxhSql.annPqRefinedSql(d = 64, m = 8, kc = 16, k = 5, oversample = 8,
