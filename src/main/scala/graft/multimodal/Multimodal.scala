@@ -918,6 +918,32 @@ object Multimodal {
     Webm.encode(w, h, delta, samples, keyframes, samplesPerCluster = 2)
   }
 
+  /** Xiph-laced twin of [[syntheticWebm]]: the same per-sample formulas
+    * laid out via [[Webm.encodeLaced]] — each cluster's 2 frames behind
+    * ONE laced SimpleBlock. Matroska lacing semantics make two outputs
+    * differ from the unlaced twin, both arithmetic for the oracle:
+    * every laced frame inherits the BLOCK's keyframe flag (= the
+    * cluster's first frame, sample 2f), and frame offsets shift by the
+    * lace header (count byte + one size byte per leading frame — all
+    * synthetic sizes < 255): cluster f of nf frames occupies
+    * `36 + nf + Σ sizes` bytes after the constant 243-byte header, and
+    * frame s sits at `frag_start + 36 + nf +` its in-cluster
+    * predecessors' sizes (WebmSpec pins the constants).
+    */
+  def syntheticWebmLaced(id: Long): Array[Byte] = {
+    require(id >= 0, s"syntheticWebmLaced: id must be non-negative, got $id")
+    val w = 16 * (1 + (id % 8).toInt)
+    val h = 16 * (1 + ((id / 8) % 8).toInt)
+    val delta = 100L + (id % 9) * 10L
+    val n = 1 + (id % 7).toInt
+    val samples = (0 until n).map { s =>
+      val size = 50 + ((id * 13 + s * 7) % 200).toInt
+      Array.tabulate(size)(k => ((id + s * 31 + k) % 256).toByte)
+    }
+    val keyframes = (0 until n).filter(_ % 3 == 0)
+    Webm.encodeLaced(w, h, delta, samples, keyframes, samplesPerCluster = 2)
+  }
+
   val videoIndexSchema: StructType = StructType(
     Seq(
       StructField("sample_no", LongType, nullable = false),

@@ -130,6 +130,80 @@ object Webm {
     require(samplesPerCluster >= 1, "encode: samplesPerCluster < 1")
     val keys = keyframes.toSet
 
+    val (ebmlHeader, info, tracks) = headerParts(width, height, delta)
+
+    val clusters = samples.zipWithIndex.grouped(samplesPerCluster).map { frag =>
+      val clusterTs = frag.head._2.toLong * delta
+      val blocks = frag.map { case (payload, s) =>
+        val rel = s.toLong * delta - clusterTs
+        require(rel >= 0 && rel <= Short.MaxValue, s"relative timestamp $rel out of int16")
+        val head = ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN)
+        head.put(0x81.toByte) // track number 1 as minimal VINT
+        head.putShort(rel.toShort)
+        head.put((if (keys.contains(s)) 0x80 else 0x00).toByte) // flags: keyframe, no lacing
+        elem(id1(0xa3), concat(head.array(), payload)) // SimpleBlock
+      }
+      elem(IdCluster, concat(uintElem(id1(0xe7), clusterTs, 2) +: blocks: _*))
+    }.toSeq
+
+    val segmentPayload = concat(info +: tracks +: clusters: _*)
+    concat(ebmlHeader, IdSegment, vint8(segmentPayload.length.toLong), segmentPayload)
+  }
+
+  /** [[encode]] with XIPH LACING: all `samplesPerCluster` frames of a
+    * cluster packed behind ONE SimpleBlock (the audio/all-key shape the
+    * lacing feature exists for). Block timestamp = the first frame's
+    * time; readers recover frame i's time as blockTs + i·DefaultDuration
+    * and apply the block's keyframe flag (taken here from the cluster's
+    * FIRST frame) to every laced frame — Matroska lacing semantics, the
+    * exact contract [[index]] implements. Lace header: count byte
+    * (nf−1), then the first nf−1 sizes as 255-run sums.
+    */
+  def encodeLaced(
+      width: Int,
+      height: Int,
+      delta: Long,
+      samples: Seq[Array[Byte]],
+      keyframes: Seq[Int],
+      samplesPerCluster: Int = 2): Array[Byte] = {
+    require(width > 0 && height > 0, "encodeLaced: non-positive dimensions")
+    require(delta > 0, "encodeLaced: non-positive frame duration")
+    require(samples.nonEmpty, "encodeLaced: need at least one sample")
+    require(samplesPerCluster >= 1 && samplesPerCluster <= 256,
+      s"encodeLaced: samplesPerCluster $samplesPerCluster outside 1..256 (count byte)")
+    val keys = keyframes.toSet
+
+    val (ebmlHeader, info, tracks) = headerParts(width, height, delta)
+
+    val clusters = samples.zipWithIndex.grouped(samplesPerCluster).map { frag =>
+      val clusterTs = frag.head._2.toLong * delta
+      val head = ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN)
+      head.put(0x81.toByte) // track number 1 as minimal VINT
+      head.putShort(0.toShort) // block ts = cluster ts (first frame)
+      // flags: first frame's keyframe bit + Xiph lacing (bits 1-2 = 01)
+      head.put(((if (keys.contains(frag.head._2)) 0x80 else 0x00) | 0x02).toByte)
+      val lace = new ByteArrayOutputStream()
+      lace.write(frag.length - 1)
+      frag.dropRight(1).foreach { case (payload, _) =>
+        var s = payload.length
+        while (s >= 255) { lace.write(255); s -= 255 }
+        lace.write(s)
+      }
+      val block = elem(id1(0xa3),
+        concat(head.array() +: lace.toByteArray +: frag.map(_._1): _*))
+      elem(IdCluster, concat(uintElem(id1(0xe7), clusterTs, 2), block))
+    }.toSeq
+
+    val segmentPayload = concat(info +: tracks +: clusters: _*)
+    concat(ebmlHeader, IdSegment, vint8(segmentPayload.length.toLong), segmentPayload)
+  }
+
+  /** The fixed 243-byte prelude shared by [[encode]] and [[encodeLaced]]:
+    * EBML header, segment Info (millisecond TimestampScale), one VP8
+    * video TrackEntry with DefaultDuration = `delta` ms.
+    */
+  private def headerParts(width: Int, height: Int,
+      delta: Long): (Array[Byte], Array[Byte], Array[Byte]) = {
     val ebmlHeader = elem(IdEbml, concat(
       uintElem(id2(0x4286), 1, 1), // EBMLVersion
       uintElem(id2(0x42f7), 1, 1), // EBMLReadVersion
@@ -152,23 +226,7 @@ object Webm {
         uintElem(id1(0xb0), width.toLong, 2), // PixelWidth
         uintElem(id1(0xba), height.toLong, 2))))) // PixelHeight
     val tracks = elem(IdTracks, trackEntry)
-
-    val clusters = samples.zipWithIndex.grouped(samplesPerCluster).map { frag =>
-      val clusterTs = frag.head._2.toLong * delta
-      val blocks = frag.map { case (payload, s) =>
-        val rel = s.toLong * delta - clusterTs
-        require(rel >= 0 && rel <= Short.MaxValue, s"relative timestamp $rel out of int16")
-        val head = ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN)
-        head.put(0x81.toByte) // track number 1 as minimal VINT
-        head.putShort(rel.toShort)
-        head.put((if (keys.contains(s)) 0x80 else 0x00).toByte) // flags: keyframe, no lacing
-        elem(id1(0xa3), concat(head.array(), payload)) // SimpleBlock
-      }
-      elem(IdCluster, concat(uintElem(id1(0xe7), clusterTs, 2) +: blocks: _*))
-    }.toSeq
-
-    val segmentPayload = concat(info +: tracks +: clusters: _*)
-    concat(ebmlHeader, IdSegment, vint8(segmentPayload.length.toLong), segmentPayload)
+    (ebmlHeader, info, tracks)
   }
 
   // ----------------------------------------------------------------- read

@@ -829,6 +829,21 @@ object LlmQueries {
         .orderBy(col("doc_id"), col("sample_no"))
     }),
 
+    // LACED WebM: each cluster's 2 frames behind one Xiph-laced
+    // SimpleBlock — the audio/all-key shape lacing exists for. Two
+    // deliberate divergences from the unlaced twin, both Matroska
+    // semantics the parser implements and the oracle replays: every
+    // laced frame inherits the BLOCK's keyframe flag (the cluster's
+    // first frame, sample 2f), and offsets shift by the lace header
+    // (count byte + one size byte per leading frame)
+    "q_video_index_webm_laced" -> ((s, dir) => {
+      val webm = udf((id: Long) => Multimodal.syntheticWebmLaced(id))
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), webm(col("doc_id")).as("payload"))
+      Multimodal.indexVideoWebm(docs, "doc_id", "payload")
+        .orderBy(col("doc_id"), col("sample_no"))
+    }),
+
     // MIXED-container corpus through the magic-byte dispatch (web crawls
     // carry MP4 and WebM side by side): even doc_ids get an MP4 payload,
     // odd ones a WebM, one indexVideoAuto pass over the blend. The
@@ -2016,6 +2031,46 @@ object LlmQueries {
         |  CAST(delta AS BIGINT) AS duration_ticks,
         |  CAST(s * delta AS BIGINT) AS time_ms,
         |  (s % 3 = 0) AS keyframe,
+        |  CAST(1000 AS BIGINT) AS timescale,
+        |  CAST(16 * (1 + doc_id % 8) AS INTEGER) AS width,
+        |  CAST(16 * (1 + (doc_id // 8) % 8) AS INTEGER) AS height
+        |FROM o ORDER BY doc_id, sample_no""".stripMargin,
+    // laced WebM: one Xiph-laced SimpleBlock per cluster — cluster f of
+    // nf frames occupies 36 + nf + body bytes after the constant
+    // 243-byte header (23 cluster head + 9 SimpleBlock head + 4 block
+    // head + 1 lace count + (nf-1) one-byte sizes), frame s sits at
+    // frag_start + 36 + nf + its in-cluster predecessors' sizes, and
+    // every laced frame takes the BLOCK keyframe = sample 2f's verdict
+    "q_video_index_webm_laced" ->
+      """WITH g AS (
+        |  SELECT doc_id, CAST(unnest(range(1 + doc_id % 7)) AS BIGINT) AS s
+        |  FROM documents),
+        |sz AS (
+        |  SELECT doc_id, s,
+        |    50 + (doc_id * 13 + s * 7) % 200 AS size,
+        |    100 + (doc_id % 9) * 10 AS delta,
+        |    s // 2 AS f
+        |  FROM g),
+        |fr AS (
+        |  SELECT doc_id, f, count(*) AS nf, sum(size) AS body
+        |  FROM sz GROUP BY doc_id, f),
+        |fo AS (
+        |  SELECT doc_id, f, nf,
+        |    243 + coalesce(sum(36 + nf + body) OVER (PARTITION BY doc_id ORDER BY f
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS frag_start
+        |  FROM fr),
+        |o AS (
+        |  SELECT sz.doc_id, sz.s, sz.size, sz.delta, sz.f,
+        |    CAST(fo.frag_start + 36 + fo.nf +
+        |      coalesce(sum(sz.size) OVER (PARTITION BY sz.doc_id, sz.f ORDER BY sz.s
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+        |  FROM sz JOIN fo ON sz.doc_id = fo.doc_id AND sz.f = fo.f)
+        |SELECT doc_id, s AS sample_no, CAST(f AS BIGINT) AS chunk_no, "offset",
+        |  CAST(size AS BIGINT) AS size,
+        |  CAST(s * delta AS BIGINT) AS dts,
+        |  CAST(delta AS BIGINT) AS duration_ticks,
+        |  CAST(s * delta AS BIGINT) AS time_ms,
+        |  ((2 * f) % 3 = 0) AS keyframe,
         |  CAST(1000 AS BIGINT) AS timescale,
         |  CAST(16 * (1 + doc_id % 8) AS INTEGER) AS width,
         |  CAST(16 * (1 + (doc_id // 8) % 8) AS INTEGER) AS height

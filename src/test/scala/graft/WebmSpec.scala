@@ -60,6 +60,47 @@ class WebmSpec extends org.scalatest.funsuite.AnyFunSuite {
       grouped.map(f => Webm.ClusterOverhead + f.map(x => Webm.BlockOverhead + x._1).sum).sum)
   }
 
+  test("encodeLaced: Xiph-laced clusters round-trip with the pinned 36+nf arithmetic") {
+    val sizes = Seq(64, 80, 100, 96, 50)
+    val bytes = Webm.encodeLaced(32, 24, 40, samplesOf(sizes), Seq(0, 3), samplesPerCluster = 2)
+    val ix = Webm.index(bytes).getOrElse(fail("index returned None"))
+    assert(ix.samples.length == 5)
+    // cluster f of nf frames: 23 cluster head + 9 SimpleBlock head +
+    // 4 block head + 1 lace count + (nf-1) size bytes + body
+    var fragStart = Webm.HeaderBytes.toLong
+    val grouped = sizes.zipWithIndex.grouped(2).toSeq
+    val offsets = grouped.flatMap { frag =>
+      val nf = frag.length
+      var o = fragStart + 36 + nf
+      val offs = frag.map { case (sz, _) => val r = o; o += sz; r }
+      fragStart += 36 + nf + frag.map(_._1).sum
+      offs
+    }
+    assert(ix.samples.map(_.offset).toSeq == offsets, "laced closed-form offsets")
+    assert(bytes.length.toLong == fragStart, "total length closes the arithmetic")
+    ix.samples.zipWithIndex.foreach { case (s, i) =>
+      assert(s.size == sizes(i).toLong)
+      assert(s.dts == i.toLong * 40, "laced frame i at blockTs + i*DefaultDuration")
+      // the BLOCK's keyframe (its first frame's verdict) applies to both
+      // laced frames: clusters start at samples 0, 2, 4; keys = {0, 3}
+      assert(s.keyframe == ((i / 2) * 2 == 0), s"laced keyframe $i")
+      val payload = bytes.slice(s.offset.toInt, (s.offset + s.size).toInt)
+      assert(payload.toSeq == samplesOf(sizes)(i).toSeq, s"payload $i")
+    }
+  }
+
+  test("encodeLaced: a ≥255-byte leading frame takes a 255-run size and still round-trips") {
+    val sizes = Seq(300, 40)
+    val bytes = Webm.encodeLaced(16, 16, 100, samplesOf(sizes), Seq(0), samplesPerCluster = 2)
+    val ix = Webm.index(bytes).getOrElse(fail("index returned None"))
+    assert(ix.samples.map(_.size).toSeq == Seq(300L, 40L))
+    // lace header = count byte + TWO size bytes (255 + 45) for frame 0
+    assert(ix.samples.head.offset == Webm.HeaderBytes + 23 + 9 + 4 + 1 + 2)
+    val payload0 = bytes.slice(ix.samples.head.offset.toInt,
+      (ix.samples.head.offset + 300).toInt)
+    assert(payload0.toSeq == samplesOf(sizes).head.toSeq)
+  }
+
   test("syntheticWebm matches the documented generator formulas") {
     for (id <- Seq(0L, 3L, 17L, 40L, 123L)) {
       val ix = Webm.index(Multimodal.syntheticWebm(id)).getOrElse(fail(s"id $id"))
