@@ -261,6 +261,20 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // the REFINED coarse quantizer: centroids trained by deterministic
+    // k-means (lowest-id seeds, id-ordered Lloyd folds — the fix for the
+    // cell skew id-seeding leaves, measured at 19/64 hot cells on the
+    // sf10 ladder), assignment and probe on the same rounded-cosine
+    // kernel as every other IVF lane. The oracle replays the whole
+    // chain: Lloyd refinement, cosine assignment, probe, exact scoring
+    "q_ann_ivf_refined" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfRefinedTopK(emb, emb.where(col("vec_id") < 5),
+          "embedding", "vec_id", k = 5, nlist = 16, nprobe = 4, iters = 1)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // index-quality evaluation: per-query recall@10 of the IVF probe
     // against exact ground truth — the oracle recomputes BOTH sides
     // (brute force and the full IVF assign/probe pipeline) from raw
@@ -2145,6 +2159,8 @@ object LlmQueries {
     "q_pca_component" -> XxhSql.pcaComponentSql(d = 64, iters = 3),
     "q_ann_ivfpq" -> XxhSql.annIvfPqSql(d = 64, m = 8, kc = 16, k = 5, oversample = 8,
       nQueries = 5, nlist = 16, nprobe = 8),
+    "q_ann_ivf_refined" -> XxhSql.annIvfRefinedSql(d = 64, nlist = 16, iters = 1,
+      k = 5, nprobe = 4, nQueries = 5),
     // absmax scaling and floor(x/scale + 0.5) rounding are IEEE-exact in
     // both engines; the L2 error folds sequentially to match the engine's
     // accumulation order

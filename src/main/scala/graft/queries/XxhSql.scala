@@ -1034,6 +1034,48 @@ object XxhSql {
        |  FROM adcp GROUP BY query_id, neighbor_id),
        |${pqRerankTail(k, oversample)}""".stripMargin
 
+  /** Oracle for [[graft.similarity.Similarity.ivfRefinedTopK]]: the
+    * Lloyd-refined coarse quantizer (the [[refineLayers]] k-means replay,
+    * m = 1 so codes span full vectors), then the q_ann_ivf probe shape
+    * against the REFINED centroid set — assignment and probe both by
+    * rounded cosine (ties to the lower cell ordinal), exact member
+    * scoring, per-query top-k.
+    */
+  def annIvfRefinedSql(d: Int, nlist: Int, iters: Int, k: Int, nprobe: Int,
+      nQueries: Int): String = {
+    require(iters >= 1)
+    s"""WITH ${pqCtes(d, 1, nlist)},
+       |${refineLayers(d, iters)},
+       |cent AS MATERIALIZED (SELECT c AS cell, cent AS centroid FROM cents_$iters),
+       |assign AS MATERIALIZED (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vv.vec_id, ct.cell,
+       |      row_number() OVER (PARTITION BY vv.vec_id
+       |        ORDER BY round(list_cosine_similarity(vv.v, ct.centroid), 6) DESC, ct.cell) AS rn
+       |    FROM vecs vv CROSS JOIN cent ct) WHERE rn = 1),
+       |queries AS MATERIALIZED (
+       |  SELECT vec_id AS query_id, v AS qvec FROM vecs WHERE vec_id < $nQueries),
+       |probe AS MATERIALIZED (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.query_id, ct.cell,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY round(list_cosine_similarity(q.qvec, ct.centroid), 6) DESC, ct.cell) AS rn
+       |    FROM queries q CROSS JOIN cent ct) WHERE rn <= $nprobe),
+       |cand AS (
+       |  SELECT p.query_id, c.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(q.qvec, c.v), 6) AS cosine_sim
+       |  FROM probe p
+       |  JOIN queries q ON q.query_id = p.query_id
+       |  JOIN assign a ON a.cell = p.cell
+       |  JOIN vecs c ON c.vec_id = a.vec_id
+       |  WHERE c.vec_id <> p.query_id)
+       |SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS BIGINT) AS rank FROM (
+       |  SELECT query_id, neighbor_id, cosine_sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+       |  FROM cand)
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Oracle for [[graft.dedup.Dedup.simHashPairs]]: token-multiset SimHash
     * fingerprints, byte-band bucketing, Hamming verification. Mirrors the
     * engine's fingerprint-group collapse: identical fps shrink to their

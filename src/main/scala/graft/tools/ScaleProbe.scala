@@ -227,6 +227,55 @@ object ScaleProbe {
           s""""hot_cells":$hotCells,"hot_rows":$hotRows,"probe_rows":$probed,""" +
           f""""build_s":$tBuild%.2f,"append_s":$tAppend%.2f,"rebalance_s":$tRebal%.2f,""" +
           f""""rebuild_s":$tRebuild%.2f,"probe_s":$tProbe%.2f}""")
+      case "ivf_refined" =>
+        // the claim under test: Lloyd refinement flattens the cell-size
+        // skew id-seeding produces, and the flatter index probes faster
+        import graft.similarity.Similarity
+        val emb = Tables.t(spark, sfDir, "embeddings")
+        val n = emb.count()
+        val nlist = 64
+        def secs[A](f: => A): (A, Double) = {
+          val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+        }
+        def stats(ix: org.apache.spark.sql.DataFrame): (Long, Long, Double) = {
+          val c = ix.groupBy(col("cell")).count()
+          val r = c.agg(max(col("count")), count(lit(1)),
+            coalesce(avg(col("count")), lit(0.0))).head()
+          (r.getLong(0), r.getLong(1), r.getDouble(2))
+        }
+        val (idSeeded, tBuildId) = secs {
+          Similarity.ivfBuild(emb, "embedding", "vec_id", nlist).localCheckpoint(true)
+        }
+        val (refined, tBuildRef) = secs {
+          Similarity.ivfBuildRefined(emb, "embedding", "vec_id", nlist, iters = 2)
+            .localCheckpoint(true)
+        }
+        val (maxId, cellsId, _) = stats(idSeeded)
+        val (maxRef, cellsRef, _) = stats(refined)
+        val q = emb.where(col("vec_id") % 997 === 0) // ~n/1000 spread queries
+        def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+          df.select(col("query_id"), col("neighbor_id")).collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val exact = pairs(Similarity.bruteForceTopK(emb, q, "embedding", "vec_id", 10))
+        val (aId, tProbeId) = secs {
+          pairs(Similarity.ivfTopK(idSeeded, q, "embedding", "vec_id", 10, nlist, 8))
+        }
+        // refined cells retire the lowest-id centroid recovery — probe
+        // the persisted artifact's sidecar-centroid path
+        val dirRef = java.nio.file.Files.createTempDirectory("graft_ivf_ref").toString
+        Similarity.saveIvfIndexRefined(emb, dirRef, "embedding", "vec_id", nlist, 2)
+        val (aRefP, tProbeRefP) = secs {
+          pairs(Similarity.ivfTopKPersisted(spark, dirRef, q, "embedding", "vec_id",
+            k = 10, nprobe = 8))
+        }
+        def recall(a: Set[(Long, Long)]): Double =
+          if (exact.isEmpty) 0.0 else (exact & a).size.toDouble / exact.size
+        println(s"""{"mode":"ivf_refined","n":$n,"nlist":$nlist,"n_queries":${q.count()},""" +
+          s""""max_cell_id":$maxId,"max_cell_refined":$maxRef,""" +
+          s""""cells_id":$cellsId,"cells_refined":$cellsRef,""" +
+          f""""build_id_s":$tBuildId%.2f,"build_refined_s":$tBuildRef%.2f,""" +
+          f""""probe_id_s":$tProbeId%.2f,"probe_refined_s":$tProbeRefP%.2f,""" +
+          f""""recall_id":${recall(aId)}%.4f,"recall_refined":${recall(aRefP)}%.4f}""")
       case "ann_compact" =>
         // streamed-batch shard accumulation vs the compacted base: the
         // per-file probe overhead compact() exists to remove

@@ -41,6 +41,43 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"recall=$recall")
   }
 
+  test("refined IVF: recall not below the id-seeded build, artifact lifecycle-compatible") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val queries = emb.where($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id", 5)
+      .select($"query_id", $"neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val refined = Similarity.ivfBuildRefined(emb, "embedding", "vec_id", nlist = 16, iters = 2)
+    assert(refined.count() == emb.count(), "every vector assigned to exactly one cell")
+    assert(refined.select($"cell").distinct().count() <= 16)
+
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val a = df.select($"query_id", $"neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact & a).size.toDouble / exact.size
+    }
+    val recall = recallOf(Similarity.ivfRefinedTopK(emb, queries, "embedding", "vec_id",
+      k = 5, nlist = 16, nprobe = 4, iters = 2))
+    // the quantizer's point is recall at a fixed probe budget AT SCALE
+    // (0.66 → 0.86 on the sf10 ladder); on this 500-vector fixture the
+    // two builds are within noise of each other (0.94 vs 0.90), so only
+    // the floor is asserted here
+    assert(recall >= 0.6, s"refined recall=$recall")
+
+    // the persisted artifact probes IDENTICALLY via the sidecar kernel
+    val dir = java.nio.file.Files.createTempDirectory("ivfrefined").toString
+    Similarity.saveIvfIndexRefined(emb, dir, "embedding", "vec_id", nlist = 16, iters = 2)
+    val persisted = Similarity.ivfTopKPersisted(spark, dir, queries,
+        "embedding", "vec_id", k = 5, nprobe = 4)
+      .select($"query_id", $"neighbor_id", $"cosine_sim", $"rank")
+      .collect().map(_.toSeq).toSet
+    val inMem = Similarity.ivfRefinedTopK(emb, queries, "embedding", "vec_id",
+        k = 5, nlist = 16, nprobe = 4, iters = 2)
+      .select($"query_id", $"neighbor_id", $"cosine_sim", $"rank")
+      .collect().map(_.toSeq).toSet
+    assert(persisted == inMem, "persisted refined probe == in-memory refined probe")
+  }
+
   test("PQ ANN: 32× code compression, recall vs brute force ≥ 0.5, exact re-rank") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val queries = emb.where($"vec_id" < 10)
