@@ -100,7 +100,12 @@ object Bench {
     // rebalance probe, streamed-ingest fold) and the calibration report
     "q_ann_ivf_rebalance",
     "q_ann_stream_compact",
-    "q_calibration"
+    "q_calibration",
+    // round 10 latest: the Lloyd-refined quantizer (k-means build + probe),
+    // laced-WebM indexing, and the mixed-container dispatch
+    "q_ann_ivf_refined",
+    "q_video_index_webm_laced",
+    "q_video_index_auto"
   )
 
   def main(args: Array[String]): Unit = {
