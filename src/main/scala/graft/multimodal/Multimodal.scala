@@ -944,6 +944,26 @@ object Multimodal {
     Webm.encodeLaced(w, h, delta, samples, keyframes, samplesPerCluster = 2)
   }
 
+  /** [[syntheticWebm]] with a Cues seek table ([[Webm.encodeWithCues]]):
+    * identical frames, every cluster shifted by the constant
+    * `Webm.cuesBytes(⌈n/2⌉) = 12 + 58·⌈n/2⌉` bytes the seek table
+    * occupies between Tracks and the first Cluster — still closed-form
+    * for the oracle.
+    */
+  def syntheticWebmCues(id: Long): Array[Byte] = {
+    require(id >= 0, s"syntheticWebmCues: id must be non-negative, got $id")
+    val w = 16 * (1 + (id % 8).toInt)
+    val h = 16 * (1 + ((id / 8) % 8).toInt)
+    val delta = 100L + (id % 9) * 10L
+    val n = 1 + (id % 7).toInt
+    val samples = (0 until n).map { s =>
+      val size = 50 + ((id * 13 + s * 7) % 200).toInt
+      Array.tabulate(size)(k => ((id + s * 31 + k) % 256).toByte)
+    }
+    val keyframes = (0 until n).filter(_ % 3 == 0)
+    Webm.encodeWithCues(w, h, delta, samples, keyframes, samplesPerCluster = 2)
+  }
+
   val videoIndexSchema: StructType = StructType(
     Seq(
       StructField("sample_no", LongType, nullable = false),
@@ -988,6 +1008,19 @@ object Multimodal {
     */
   def indexVideoAuto(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
     indexVideoWith(df, idCol, payloadCol, parseVideoAuto)
+
+  /** Clip indexing for WebM payloads ([[Webm.indexClip]]): the samples
+    * with `fromTicks <= dts < toTicks` per video, numbered from 0 within
+    * the clip. Files carrying a Cues seek table are SEEKED — the walk
+    * starts at the cue-pointed cluster covering `fromTicks`, so a
+    * clip-extraction pass over long videos parses ~clip/duration of each
+    * file's cluster bodies instead of all of them; files without Cues
+    * (or with a broken table) take the full walk and return the same
+    * rows. Videos with no frame in range drop, like unparseable payloads.
+    */
+  def clipVideoWebm(df: DataFrame, idCol: String, payloadCol: String,
+      fromTicks: Long, toTicks: Long): DataFrame =
+    indexVideoWith(df, idCol, payloadCol, Webm.indexClip(_, fromTicks, toTicks))
 
   private[multimodal] def parseVideoAuto(bytes: Array[Byte]): Option[Mp4.Index] =
     if (bytes != null && bytes.length >= 4 &&

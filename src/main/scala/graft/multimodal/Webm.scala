@@ -57,6 +57,13 @@ object Webm {
   private val BlockGroupL: Long = 0xa0L
   private val BlockL: Long = 0xa1L
   private val ReferenceBlockL: Long = 0xfbL
+  private val IdCues = Array(0x1c, 0x53, 0xbb, 0x6b).map(_.toByte)
+  private val CuesL: Long = 0x1c53bb6bL
+  private val CuePointL: Long = 0xbbL
+  private val CueTimeL: Long = 0xb3L
+  private val CueTrackPositionsL: Long = 0xb7L
+  private val CueTrackL: Long = 0xf7L
+  private val CueClusterPositionL: Long = 0xf1L
 
   /** Constant byte length of the encoder's `EBML header + Segment header
     * + Info + Tracks` prefix — everything before the first Cluster.
@@ -74,6 +81,14 @@ object Webm {
     * relative timestamp (2) + flags (1).
     */
   val BlockOverhead: Int = 13
+
+  /** Byte length of the Cues element [[encodeWithCues]] emits for
+    * `nClusters` clusters: Cues id (4) + 8-byte size VINT + one 58-byte
+    * CuePoint per cluster (CueTime 13 + CueTrackPositions 36 behind a
+    * 9-byte point head) — fixed-width encodings throughout, so seek-table
+    * offsets stay closed-form arithmetic (WebmSpec pins it).
+    */
+  def cuesBytes(nClusters: Int): Int = 12 + 58 * nClusters
 
   // ---------------------------------------------------------------- write
 
@@ -131,8 +146,19 @@ object Webm {
     val keys = keyframes.toSet
 
     val (ebmlHeader, info, tracks) = headerParts(width, height, delta)
+    val clusters = buildClusters(delta, samples, keys, samplesPerCluster).map(_._1)
 
-    val clusters = samples.zipWithIndex.grouped(samplesPerCluster).map { frag =>
+    val segmentPayload = concat(info +: tracks +: clusters: _*)
+    concat(ebmlHeader, IdSegment, vint8(segmentPayload.length.toLong), segmentPayload)
+  }
+
+  /** The unlaced cluster sequence shared by [[encode]] and
+    * [[encodeWithCues]]: (cluster bytes, cluster timestamp) per group of
+    * `samplesPerCluster` frames.
+    */
+  private def buildClusters(delta: Long, samples: Seq[Array[Byte]], keys: Set[Int],
+      samplesPerCluster: Int): Seq[(Array[Byte], Long)] =
+    samples.zipWithIndex.grouped(samplesPerCluster).map { frag =>
       val clusterTs = frag.head._2.toLong * delta
       val blocks = frag.map { case (payload, s) =>
         val rel = s.toLong * delta - clusterTs
@@ -143,10 +169,52 @@ object Webm {
         head.put((if (keys.contains(s)) 0x80 else 0x00).toByte) // flags: keyframe, no lacing
         elem(id1(0xa3), concat(head.array(), payload)) // SimpleBlock
       }
-      elem(IdCluster, concat(uintElem(id1(0xe7), clusterTs, 2) +: blocks: _*))
+      (elem(IdCluster, concat(uintElem(id1(0xe7), clusterTs, 2) +: blocks: _*)), clusterTs)
     }.toSeq
 
-    val segmentPayload = concat(info +: tracks +: clusters: _*)
+  /** [[encode]] plus a Cues seek table — the element real muxers write so
+    * a player (or a clip-extraction pass) can jump to the cluster covering
+    * a time without walking every preceding cluster. One CuePoint per
+    * cluster: CueTime = the cluster's timestamp, CueTrackPositions →
+    * CueTrack 1 + CueClusterPosition = the Cluster element's byte offset
+    * RELATIVE TO THE SEGMENT PAYLOAD START (Matroska's convention). Cues
+    * sits between Tracks and the first Cluster, so every cluster shifts by
+    * the constant [[cuesBytes]](nClusters) relative to [[encode]]'s layout
+    * — still closed-form for the oracle. [[index]] ignores the element
+    * (full walks don't need it); [[indexClip]] seeks with it.
+    */
+  def encodeWithCues(
+      width: Int,
+      height: Int,
+      delta: Long,
+      samples: Seq[Array[Byte]],
+      keyframes: Seq[Int],
+      samplesPerCluster: Int = 2): Array[Byte] = {
+    require(width > 0 && height > 0, "encodeWithCues: non-positive dimensions")
+    require(delta > 0, "encodeWithCues: non-positive frame duration")
+    require(samples.nonEmpty, "encodeWithCues: need at least one sample")
+    require(samplesPerCluster >= 1, "encodeWithCues: samplesPerCluster < 1")
+    val keys = keyframes.toSet
+
+    val (ebmlHeader, info, tracks) = headerParts(width, height, delta)
+    val clusters = buildClusters(delta, samples, keys, samplesPerCluster)
+
+    // segment-relative cluster positions: info + tracks + cues precede
+    val base = info.length + tracks.length + cuesBytes(clusters.length)
+    val positions = clusters.map(_._1.length.toLong)
+      .scanLeft(base.toLong)(_ + _).dropRight(1)
+    val points = clusters.zip(positions).map { case ((_, ts), pos) =>
+      elem(id1(0xbb), concat( // CuePoint
+        uintElem(id1(0xb3), ts, 4), // CueTime
+        elem(id1(0xb7), concat( // CueTrackPositions
+          uintElem(id1(0xf7), 1, 1), // CueTrack
+          uintElem(id1(0xf1), pos, 8))))) // CueClusterPosition
+    }
+    val cues = elem(IdCues, concat(points: _*))
+    require(cues.length == cuesBytes(clusters.length),
+      s"cues layout drifted: ${cues.length} != ${cuesBytes(clusters.length)}")
+
+    val segmentPayload = concat(info +: tracks +: cues +: clusters.map(_._1): _*)
     concat(ebmlHeader, IdSegment, vint8(segmentPayload.length.toLong), segmentPayload)
   }
 
@@ -393,132 +461,279 @@ object Webm {
     Some(out.result())
   }
 
+  /** Everything [[index]] and [[indexClip]] need before touching a
+    * cluster: the Segment element, its scanned children, the derived
+    * tick rate, and the first video track's constants.
+    */
+  private final case class Header(segment: El, kids: Vector[El], timescale: Long,
+      trackNum: Long, w: Int, h: Int, defDurTicks: Long)
+
+  /** EBML identity check + Segment scan + Info/Tracks parse — null on
+    * anything malformed (internal null-on-fail style of the scanners).
+    */
+  private def parseHeader(bytes: Array[Byte]): Header = {
+    if (bytes == null || bytes.length < 16) return null
+    val top = scanChildren(bytes, 0, bytes.length, allowUnknownFor = _ == SegmentL)
+    if (top == null) return null
+    val ebml = top.find(_.id == EbmlL).getOrElse(return null)
+    // DocType must say matroska/webm when present (defensive identity)
+    val ebmlKids = scanChildren(bytes, ebml.start, ebml.end, _ => false)
+    if (ebmlKids == null) return null
+    ebmlKids.find(_.id == 0x4282L).foreach { dt =>
+      val s = new String(bytes, dt.start, dt.end - dt.start, "US-ASCII")
+      if (s != "webm" && s != "matroska") return null
+    }
+    val segment = top.find(_.id == SegmentL).getOrElse(return null)
+    val kids = scanChildren(bytes, segment.start, segment.end, _ => false)
+    if (kids == null) return null
+
+    val tsScale = (for {
+      info <- kids.find(_.id == InfoL)
+      infoKids = scanChildren(bytes, info.start, info.end, _ => false)
+      if infoKids != null
+      ts <- infoKids.find(_.id == TimestampScaleL)
+    } yield uintOf(bytes, ts)).getOrElse(1000000L)
+    if (tsScale <= 0) return null
+    val timescale = 1000000000L / tsScale
+    if (timescale <= 0) return null
+
+    // first VIDEO TrackEntry: number, dims, default duration
+    val tracks = kids.find(_.id == TracksL).getOrElse(return null)
+    val entries = scanChildren(bytes, tracks.start, tracks.end, _ => false)
+    if (entries == null) return null
+    var trackNum = -1L
+    var w = 0
+    var h = 0
+    var defDurTicks = 0L
+    entries.filter(_.id == TrackEntryL).foreach { te =>
+      if (trackNum == -1L) {
+        val tk = scanChildren(bytes, te.start, te.end, _ => false)
+        if (tk == null) return null
+        val isVideo = tk.find(_.id == TrackTypeL).exists(uintOf(bytes, _) == 1L)
+        if (isVideo) {
+          trackNum = tk.find(_.id == TrackNumberL).map(uintOf(bytes, _)).getOrElse(-1L)
+          tk.find(_.id == DefaultDurationL).foreach { dd =>
+            defDurTicks = uintOf(bytes, dd) / tsScale
+          }
+          tk.find(_.id == VideoL).foreach { v =>
+            val vk = scanChildren(bytes, v.start, v.end, _ => false)
+            if (vk == null) return null
+            w = vk.find(_.id == PixelWidthL).map(uintOf(bytes, _).toInt).getOrElse(0)
+            h = vk.find(_.id == PixelHeightL).map(uintOf(bytes, _).toInt).getOrElse(0)
+          }
+        }
+      }
+    }
+    if (trackNum <= 0 || w <= 0 || h <= 0) return null
+    Header(segment, kids, timescale, trackNum, w, h, defDurTicks)
+  }
+
+  /** One cluster's frames for the header's track, in block order:
+    * (dts, offset, size, keyframe). Null on any malformed structure —
+    * block head, lace header, over-wide uint (the callers' None).
+    */
+  private def clusterSamples(bytes: Array[Byte], cl: El,
+      hdr: Header): Vector[(Long, Long, Long, Boolean)] = {
+    val ck = scanChildren(bytes, cl.start, cl.end, _ => false)
+    if (ck == null) return null
+    val clusterTs = ck.find(_.id == TimestampL).map(uintOf(bytes, _)).getOrElse(0L)
+    if (clusterTs < 0) return null // over-wide uint: malformed
+    val out = Vector.newBuilder[(Long, Long, Long, Boolean)]
+    var n = 0
+    ck.foreach { el =>
+      // a SimpleBlock, or a BlockGroup wrapping a Block (keyframe =
+      // the group carries NO ReferenceBlock — Matroska semantics)
+      val blockEl: Option[(El, Boolean, Boolean)] = el.id match {
+        case SimpleBlockL => Some((el, true, false))
+        case BlockGroupL =>
+          val gk = scanChildren(bytes, el.start, el.end, _ => false)
+          if (gk == null) return null
+          gk.find(_.id == BlockL).map { bl =>
+            (bl, false, gk.exists(_.id == ReferenceBlockL))
+          }
+        case _ => None
+      }
+      blockEl.foreach { case (bl, simple, hasRef) =>
+        if (n >= MaxBlocks) return null
+        // block payload: track VINT, int16 relative ts, flags byte
+        val tn = readSize(bytes, bl.start, bl.end) // track number is a plain VINT
+        if (tn == null || tn._1 == -1L) return null
+        if (tn._1 == hdr.trackNum) {
+          val p = bl.start + tn._2
+          if (p + 3 > bl.end) return null
+          val rel = ByteBuffer.wrap(bytes, p, 2).order(ByteOrder.BIG_ENDIAN).getShort.toLong
+          val flags = bytes(p + 2) & 0xff
+          val dataStart = p + 3
+          val keyframe = if (simple) (flags & 0x80) != 0 else !hasRef
+          // laced blocks carry several frames behind one timestamp:
+          // frame i's time is blockTs + i·DefaultDuration (only the
+          // first frame's time is coded — Matroska lacing semantics),
+          // and the block's keyframe verdict applies to every frame
+          // (lacing is the audio/all-key shape in practice)
+          val lacing = (flags >> 1) & 0x03
+          val frames: Vector[(Long, Long)] =
+            if (lacing == 0) Vector((dataStart.toLong, (bl.end - dataStart).toLong))
+            else laceFrames(bytes, dataStart, bl.end, lacing).getOrElse(return null)
+          val blockTs = clusterTs + rel
+          var fi = 0
+          while (fi < frames.length) {
+            if (n >= MaxBlocks) return null
+            val (off, len) = frames(fi)
+            out += ((blockTs + fi * hdr.defDurTicks, off, len, keyframe))
+            n += 1; fi += 1
+          }
+        }
+      }
+    }
+    out.result()
+  }
+
   /** Parse the first video track's frame index. Timescale is derived as
     * ticks-per-second from TimestampScale (`1e9 / TimestampScale`; the
     * Matroska-default 1,000,000 ns gives 1000 — millisecond ticks), so
     * the output schema is unit-compatible with [[Mp4.Index]]. Frame
     * duration comes from the track's DefaultDuration (0 when absent —
-    * Matroska blocks carry no per-frame duration). Returns None for
-    * anything that is not a well-formed WebM/Matroska file with a video
-    * track and at least one frame.
+    * Matroska blocks carry no per-frame duration). A Cues seek table is
+    * skipped like any other non-Cluster element — full walks don't need
+    * it. Returns None for anything that is not a well-formed
+    * WebM/Matroska file with a video track and at least one frame.
     */
   def index(bytes: Array[Byte]): Option[Mp4.Index] = {
-    if (bytes == null || bytes.length < 16) return None
     try {
-      val top = scanChildren(bytes, 0, bytes.length, allowUnknownFor = _ == SegmentL)
-      if (top == null) return None
-      val ebml = top.find(_.id == EbmlL).getOrElse(return None)
-      // DocType must say matroska/webm when present (defensive identity)
-      val ebmlKids = scanChildren(bytes, ebml.start, ebml.end, _ => false)
-      if (ebmlKids == null) return None
-      ebmlKids.find(_.id == 0x4282L).foreach { dt =>
-        val s = new String(bytes, dt.start, dt.end - dt.start, "US-ASCII")
-        if (s != "webm" && s != "matroska") return None
+      val hdr = parseHeader(bytes)
+      if (hdr == null) return None
+      val out = Vector.newBuilder[Mp4.Sample]
+      var sampleNo = 0
+      var chunkNo = 0
+      hdr.kids.filter(_.id == ClusterL).foreach { cl =>
+        val cs = clusterSamples(bytes, cl, hdr)
+        if (cs == null) return None
+        if (sampleNo + cs.length > MaxBlocks) return None
+        cs.foreach { case (dts, off, len, keyframe) =>
+          out += Mp4.Sample(sampleNo, chunkNo, off, len, dts, hdr.defDurTicks, keyframe)
+          sampleNo += 1
+        }
+        if (cs.nonEmpty) chunkNo += 1
       }
-      val segment = top.find(_.id == SegmentL).getOrElse(return None)
-      val kids = scanChildren(bytes, segment.start, segment.end, _ => false)
-      if (kids == null) return None
+      val samples = out.result()
+      if (samples.isEmpty) None
+      else Some(Mp4.Index(hdr.w, hdr.h, hdr.timescale, samples))
+    } catch {
+      case _: IndexOutOfBoundsException | _: IllegalArgumentException |
+          _: NegativeArraySizeException => None
+    }
+  }
 
-      val tsScale = (for {
-        info <- kids.find(_.id == InfoL)
-        infoKids = scanChildren(bytes, info.start, info.end, _ => false)
-        if infoKids != null
-        ts <- infoKids.find(_.id == TimestampScaleL)
-      } yield uintOf(bytes, ts)).getOrElse(1000000L)
-      if (tsScale <= 0) return None
-      val timescale = 1000000000L / tsScale
-      if (timescale <= 0) return None
-
-      // first VIDEO TrackEntry: number, dims, default duration
-      val tracks = kids.find(_.id == TracksL).getOrElse(return None)
-      val entries = scanChildren(bytes, tracks.start, tracks.end, _ => false)
-      if (entries == null) return None
-      var trackNum = -1L
-      var w = 0
-      var h = 0
-      var defDurTicks = 0L
-      entries.filter(_.id == TrackEntryL).foreach { te =>
-        if (trackNum == -1L) {
-          val tk = scanChildren(bytes, te.start, te.end, _ => false)
-          if (tk == null) return None
-          val isVideo = tk.find(_.id == TrackTypeL).exists(uintOf(bytes, _) == 1L)
-          if (isVideo) {
-            trackNum = tk.find(_.id == TrackNumberL).map(uintOf(bytes, _)).getOrElse(-1L)
-            tk.find(_.id == DefaultDurationL).foreach { dd =>
-              defDurTicks = uintOf(bytes, dd) / tsScale
-            }
-            tk.find(_.id == VideoL).foreach { v =>
-              val vk = scanChildren(bytes, v.start, v.end, _ => false)
-              if (vk == null) return None
-              w = vk.find(_.id == PixelWidthL).map(uintOf(bytes, _).toInt).getOrElse(0)
-              h = vk.find(_.id == PixelHeightL).map(uintOf(bytes, _).toInt).getOrElse(0)
-            }
-          }
+  /** The Segment's Cues seek table as (CueTime ticks, ABSOLUTE byte
+    * offset of the pointed Cluster element), video-track entries only,
+    * sorted by time. None when the Segment has no Cues or any CuePoint
+    * is structurally malformed — callers fall back to the linear walk
+    * (Cues are an optimization hint, not data; a missing/broken seek
+    * table must never change results).
+    */
+  private def parseCues(bytes: Array[Byte], hdr: Header): Option[Vector[(Long, Long)]] = {
+    val cues = hdr.kids.find(_.id == CuesL).getOrElse(return None)
+    val points = scanChildren(bytes, cues.start, cues.end, _ => false)
+    if (points == null) return None
+    val out = Vector.newBuilder[(Long, Long)]
+    points.filter(_.id == CuePointL).foreach { cp =>
+      val pk = scanChildren(bytes, cp.start, cp.end, _ => false)
+      if (pk == null) return None
+      val time = pk.find(_.id == CueTimeL).map(uintOf(bytes, _)).getOrElse(return None)
+      if (time < 0) return None
+      pk.filter(_.id == CueTrackPositionsL).foreach { ctp =>
+        val tk = scanChildren(bytes, ctp.start, ctp.end, _ => false)
+        if (tk == null) return None
+        val track = tk.find(_.id == CueTrackL).map(uintOf(bytes, _)).getOrElse(hdr.trackNum)
+        if (track == hdr.trackNum) {
+          val pos = tk.find(_.id == CueClusterPositionL).map(uintOf(bytes, _))
+            .getOrElse(return None)
+          if (pos < 0) return None
+          out += ((time, hdr.segment.start + pos))
         }
       }
-      if (trackNum <= 0 || w <= 0 || h <= 0) return None
+    }
+    val v = out.result().sortBy(_._1)
+    if (v.isEmpty) None else Some(v)
+  }
+
+  /** Clip index: the samples with `fromTicks <= dts < toTicks`, numbered
+    * from 0 in walk order (`chunk_no` likewise renumbers the clusters
+    * that contributed at least one in-range frame). When the file carries
+    * a Cues seek table, the walk STARTS at the cue-pointed cluster with
+    * the greatest CueTime <= fromTicks — the preceding clusters' blocks
+    * are never parsed, which is the point of the element: a
+    * clip-extraction pass over hour-long videos touches ~clip/duration of
+    * each file's cluster bodies instead of all of them. A seek target
+    * that does not parse as a Cluster, or a structurally broken Cues,
+    * falls back to the full linear walk — a seek table is a hint and can
+    * never change results (WebmSpec proves clip == filtered full index
+    * both ways). Early exit once cluster timestamps pass
+    * `toTicks + 32767` (block-relative timestamps are int16, so no later
+    * cluster can reach back into range; cluster timestamps are
+    * non-decreasing in any real mux — ours included). Assumes block times
+    * >= their cluster's Timestamp when seeking, the standard muxing shape
+    * ([[encode]]'s rel >= 0 require). None for malformed files or an
+    * empty clip — same drop-and-count contract as [[index]].
+    */
+  def indexClip(bytes: Array[Byte], fromTicks: Long, toTicks: Long): Option[Mp4.Index] = {
+    require(fromTicks <= toTicks, s"indexClip: from $fromTicks > to $toTicks")
+    try {
+      val hdr = parseHeader(bytes)
+      if (hdr == null) return None
+
+      // seek: greatest cue time <= fromTicks whose target parses as a
+      // Cluster element boundary; anything less → linear walk over the
+      // already-scanned Segment children
+      val clusters: Vector[El] = {
+        val linear = hdr.kids.filter(_.id == ClusterL)
+        parseCues(bytes, hdr) match {
+          case Some(cues) =>
+            val at = cues.filter(_._1 <= fromTicks).lastOption.map(_._2)
+            at match {
+              case Some(pos) if pos >= 0 && pos < hdr.segment.end =>
+                val seeked = scanChildren(bytes, pos.toInt, hdr.segment.end, _ => false)
+                if (seeked != null && seeked.nonEmpty && seeked.head.id == ClusterL)
+                  seeked.filter(_.id == ClusterL)
+                else linear
+              case Some(_) => linear
+              case None => linear // every cue is past fromTicks: walk all
+            }
+          case None => linear
+        }
+      }
 
       val out = Vector.newBuilder[Mp4.Sample]
       var sampleNo = 0
       var chunkNo = 0
-      kids.filter(_.id == ClusterL).foreach { cl =>
+      var i = 0
+      var done = false
+      while (i < clusters.length && !done) {
+        val cl = clusters(i)
         val ck = scanChildren(bytes, cl.start, cl.end, _ => false)
         if (ck == null) return None
         val clusterTs = ck.find(_.id == TimestampL).map(uintOf(bytes, _)).getOrElse(0L)
-        if (clusterTs < 0) return None // over-wide uint: malformed
-        var sawBlock = false
-        ck.foreach { el =>
-          // a SimpleBlock, or a BlockGroup wrapping a Block (keyframe =
-          // the group carries NO ReferenceBlock — Matroska semantics)
-          val blockEl: Option[(El, Boolean, Boolean)] = el.id match {
-            case SimpleBlockL => Some((el, true, false))
-            case BlockGroupL =>
-              val gk = scanChildren(bytes, el.start, el.end, _ => false)
-              if (gk == null) return None
-              gk.find(_.id == BlockL).map { bl =>
-                (bl, false, gk.exists(_.id == ReferenceBlockL))
-              }
-            case _ => None
-          }
-          blockEl.foreach { case (bl, simple, hasRef) =>
-            if (sampleNo >= MaxBlocks) return None
-            // block payload: track VINT, int16 relative ts, flags byte
-            val tn = readSize(bytes, bl.start, bl.end) // track number is a plain VINT
-            if (tn == null || tn._1 == -1L) return None
-            if (tn._1 == trackNum) {
-              val p = bl.start + tn._2
-              if (p + 3 > bl.end) return None
-              val rel = ByteBuffer.wrap(bytes, p, 2).order(ByteOrder.BIG_ENDIAN).getShort.toLong
-              val flags = bytes(p + 2) & 0xff
-              val dataStart = p + 3
-              val keyframe = if (simple) (flags & 0x80) != 0 else !hasRef
-              // laced blocks carry several frames behind one timestamp:
-              // frame i's time is blockTs + i·DefaultDuration (only the
-              // first frame's time is coded — Matroska lacing semantics),
-              // and the block's keyframe verdict applies to every frame
-              // (lacing is the audio/all-key shape in practice)
-              val lacing = (flags >> 1) & 0x03
-              val frames: Vector[(Long, Long)] =
-                if (lacing == 0) Vector((dataStart.toLong, (bl.end - dataStart).toLong))
-                else laceFrames(bytes, dataStart, bl.end, lacing).getOrElse(return None)
-              val blockTs = clusterTs + rel
-              var fi = 0
-              while (fi < frames.length) {
-                if (sampleNo >= MaxBlocks) return None
-                val (off, len) = frames(fi)
-                out += Mp4.Sample(sampleNo, chunkNo, off, len,
-                  blockTs + fi * defDurTicks, defDurTicks, keyframe)
-                sampleNo += 1; fi += 1
-              }
-              sawBlock = true
+        if (clusterTs < 0) return None
+        if (clusterTs > toTicks + Short.MaxValue.toLong) done = true // int16 rel bound
+        else {
+          val cs = clusterSamples(bytes, cl, hdr)
+          if (cs == null) return None
+          if (sampleNo + cs.length > MaxBlocks) return None
+          var emitted = false
+          cs.foreach { case (dts, off, len, keyframe) =>
+            if (dts >= fromTicks && dts < toTicks) {
+              out += Mp4.Sample(sampleNo, chunkNo, off, len, dts, hdr.defDurTicks, keyframe)
+              sampleNo += 1
+              emitted = true
             }
           }
+          if (emitted) chunkNo += 1
         }
-        if (sawBlock) chunkNo += 1
+        i += 1
       }
       val samples = out.result()
       if (samples.isEmpty) None
-      else Some(Mp4.Index(w, h, timescale, samples))
+      else Some(Mp4.Index(hdr.w, hdr.h, hdr.timescale, samples))
     } catch {
       case _: IndexOutOfBoundsException | _: IllegalArgumentException |
           _: NegativeArraySizeException => None

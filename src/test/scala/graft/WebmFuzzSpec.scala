@@ -65,4 +65,41 @@ class WebmFuzzSpec extends org.scalatest.funsuite.AnyFunSuite {
     val ix = Webm.index(valid)
     assert(ix.isDefined && ix.get.samples.length == 5)
   }
+
+  private val cued =
+    Webm.encodeWithCues(32, 24, 40, samplesOf(Seq(64, 80, 64, 96, 64)), Seq(0, 3),
+      samplesPerCluster = 2)
+
+  test("indexClip never throws on mutations of a Cues-bearing file, and never invents samples") {
+    for (i <- 0 until 400) {
+      val b = cued.clone()
+      val nMut = 1 + rnd.nextInt(4)
+      for (_ <- 0 until nMut) b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      val from = rnd.nextInt(300).toLong
+      val to = from + rnd.nextInt(300)
+      try {
+        // lying Cues may seek into garbage (→ fallback or None) but a
+        // returned clip must stay inside the byte range and the window
+        Webm.indexClip(b, from, to).foreach { ix =>
+          ix.samples.foreach { s =>
+            assert(s.offset >= 0 && s.offset + s.size <= b.length, s"clip #$i bounds")
+            assert(s.dts >= from && s.dts < to, s"clip #$i window")
+          }
+        }
+      } catch {
+        case e: Throwable =>
+          fail(s"clip mutation #$i: threw ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+    }
+  }
+
+  test("every truncation point of a Cues-bearing file never throws under indexClip") {
+    for (n <- 0 until cued.length) {
+      try Webm.indexClip(cued.take(n), 100L, 300L)
+      catch {
+        case e: Throwable =>
+          fail(s"clip truncated at $n: threw ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+    }
+  }
 }

@@ -274,4 +274,104 @@ class WebmSpec extends org.scalatest.funsuite.AnyFunSuite {
       "same generator formulas → same frame count")
     assert(mp4Ix.get.width == webmIx.get.width && mp4Ix.get.height == webmIx.get.height)
   }
+
+  // ------------------------------------------------------------------ Cues
+
+  test("encodeWithCues: the pinned 12+58·nc shift, and the full walk skips the table") {
+    val sizes = Seq(10, 20, 30, 40, 50)
+    val plain = Webm.encode(16, 16, 100, samplesOf(sizes), Seq(0), samplesPerCluster = 2)
+    val cued = Webm.encodeWithCues(16, 16, 100, samplesOf(sizes), Seq(0), samplesPerCluster = 2)
+    val nc = 3 // ⌈5/2⌉ clusters
+    assert(cued.length == plain.length + Webm.cuesBytes(nc), "total length shift")
+    // Cues element sits right after the constant header prefix
+    assert((cued(Webm.HeaderBytes) & 0xff) == 0x1c && (cued(Webm.HeaderBytes + 1) & 0xff) == 0x53,
+      "Cues id at HeaderBytes")
+    val pix = Webm.index(plain).get
+    val cix = Webm.index(cued).get
+    assert(cix.samples.map(s => (s.sampleNo, s.chunkNo, s.size, s.dts, s.keyframe)) ==
+      pix.samples.map(s => (s.sampleNo, s.chunkNo, s.size, s.dts, s.keyframe)),
+      "Cues are invisible to the full walk")
+    assert(cix.samples.map(_.offset) ==
+      pix.samples.map(_.offset + Webm.cuesBytes(nc)), "every cluster shifts by the constant")
+    // offsets still point at the real payload bytes
+    cix.samples.zipWithIndex.foreach { case (s, i) =>
+      assert(cued.slice(s.offset.toInt, (s.offset + s.size).toInt).toSeq ==
+        samplesOf(sizes)(i).toSeq, s"payload $i")
+    }
+  }
+
+  /** indexClip(from, to) must equal the full index filtered to
+    * [from, to) with sample/chunk numbers renumbered densely from 0.
+    */
+  private def assertClipEq(bytes: Array[Byte], from: Long, to: Long): Unit = {
+    val full = Webm.index(bytes).getOrElse(fail("full index None"))
+    val expected = full.samples.filter(s => s.dts >= from && s.dts < to)
+    val clip = Webm.indexClip(bytes, from, to)
+    if (expected.isEmpty) assert(clip.isEmpty, s"empty clip [$from,$to) must drop")
+    else {
+      val cs = clip.getOrElse(fail(s"clip [$from,$to) None")).samples
+      assert(cs.map(s => (s.offset, s.size, s.dts, s.keyframe)) ==
+        expected.map(s => (s.offset, s.size, s.dts, s.keyframe)), s"clip [$from,$to) content")
+      assert(cs.map(_.sampleNo) == cs.indices, s"clip [$from,$to) sample_no renumbers")
+      // chunk_no renumbers the contributing clusters densely, preserving boundaries
+      assert(cs.map(_.chunkNo) ==
+        expected.map(_.chunkNo).foldLeft(Vector.empty[Int]) { (acc, c) =>
+          if (acc.isEmpty) acc :+ 0
+          else acc :+ (acc.last + (if (c == expected(acc.length - 1).chunkNo) 0 else 1))
+        }, s"clip [$from,$to) chunk_no renumbers")
+    }
+  }
+
+  test("indexClip equals the filtered full index — with Cues (seek) and without (linear)") {
+    val sizes = Seq(64, 80, 64, 96, 64, 50, 70)
+    for (enc <- Seq[Seq[Array[Byte]] => Array[Byte]](
+        Webm.encode(32, 24, 100, _, Seq(0, 3), 2),
+        Webm.encodeWithCues(32, 24, 100, _, Seq(0, 3), 2),
+        Webm.encodeLaced(32, 24, 100, _, Seq(0, 3), 2))) {
+      val bytes = enc(samplesOf(sizes))
+      for ((from, to) <- Seq((0L, 10000L), (200L, 500L), (150L, 450L), (400L, 401L),
+          (650L, 9000L), (700L, 800L), (0L, 0L)))
+        assertClipEq(bytes, from, to)
+    }
+  }
+
+  test("Cues seek starts at the cue-pointed cluster: earlier clusters are never parsed") {
+    val sizes = Seq(10, 20, 30, 40, 50, 60)
+    val cued = Webm.encodeWithCues(16, 16, 100, samplesOf(sizes), Seq(0), samplesPerCluster = 2)
+    // corrupt cluster 0's Timestamp element id (first child of the first
+    // cluster, 12 bytes into the cluster element) — the segment-level
+    // scan still walks element heads, but parsing cluster 0's CHILDREN
+    // now fails
+    val mutated = cued.clone()
+    val cluster0 = Webm.HeaderBytes + Webm.cuesBytes(3)
+    assert((mutated(cluster0) & 0xff) == 0x1f, "cluster 0 where the arithmetic says")
+    mutated(cluster0 + 12) = 0x00.toByte
+    assert(Webm.index(mutated).isEmpty, "the full walk must parse cluster 0 → None")
+    // the clip seeks to the cue for t=400 (cluster 2) and never touches it
+    val clip = Webm.indexClip(mutated, 400L, 700L).getOrElse(fail("seek must skip cluster 0"))
+    assert(clip.samples.map(_.size) == Seq(50L, 60L))
+    assert(clip.samples.map(_.dts) == Seq(400L, 500L))
+    assert(clip.samples.map(_.sampleNo) == Seq(0, 1))
+  }
+
+  test("a broken Cues table falls back to the linear walk, same results") {
+    val sizes = Seq(10, 20, 30, 40, 50, 60)
+    val cued = Webm.encodeWithCues(16, 16, 100, samplesOf(sizes), Seq(0), samplesPerCluster = 2)
+    val mutated = cued.clone()
+    mutated(Webm.HeaderBytes + 12) = 0x00.toByte // first CuePoint id → garbage
+    assert(Webm.index(mutated).isDefined, "full walk unaffected (skips Cues by size)")
+    assertClipEq(mutated, 400L, 700L)
+  }
+
+  test("syntheticWebmCues: the unlaced twin shifted by the seek table") {
+    for (id <- Seq(0L, 3L, 17L, 40L, 123L)) {
+      val plain = Webm.index(Multimodal.syntheticWebm(id)).getOrElse(fail(s"id $id"))
+      val cued = Webm.index(Multimodal.syntheticWebmCues(id)).getOrElse(fail(s"id $id cues"))
+      val n = 1 + (id % 7).toInt
+      val shift = Webm.cuesBytes((n + 1) / 2)
+      assert(cued.samples.map(_.offset) == plain.samples.map(_.offset + shift), s"id $id shift")
+      assert(cued.samples.map(s => (s.sampleNo, s.chunkNo, s.size, s.dts, s.keyframe)) ==
+        plain.samples.map(s => (s.sampleNo, s.chunkNo, s.size, s.dts, s.keyframe)), s"id $id")
+    }
+  }
 }
