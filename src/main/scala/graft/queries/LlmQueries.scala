@@ -275,6 +275,27 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // refined build → hot-cell rebalance → sidecar probe on ONE
+    // artifact: the composition the refined quantizer's scaladoc
+    // promises (k-means buys recall, rebalance restores balance — they
+    // must not invalidate each other). The oracle replays the whole
+    // chain: Lloyd folds → cosine assignment → budgeted farthest-member
+    // split → constrained re-argmax → probe over the final centroid set
+    "q_ann_ivf_refined_rebalance" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idxDir = ivfIndexDirs.computeIfAbsent(dir + "#refrebal", _ => {
+        val d = java.nio.file.Files.createTempDirectory("graft_ivf_refrebal").toString
+        Similarity.saveIvfIndexRefined(emb, d, "embedding", "vec_id", nlist = 16, iters = 1)
+        val n = emb.count()
+        Similarity.rebalanceIvfIndex(s, d, "embedding", "vec_id", maxCellRows = 9L * n / 128L)
+        d
+      })
+      Similarity.ivfTopKPersisted(s, idxDir, emb.where(col("vec_id") < 5),
+          "embedding", "vec_id", k = 5, nprobe = 4)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // index-quality evaluation: per-query recall@10 of the IVF probe
     // against exact ground truth — the oracle recomputes BOTH sides
     // (brute force and the full IVF assign/probe pipeline) from raw
@@ -855,6 +876,34 @@ object LlmQueries {
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), webm(col("doc_id")).as("payload"))
       Multimodal.indexVideoWebm(docs, "doc_id", "payload")
+        .orderBy(col("doc_id"), col("sample_no"))
+    }),
+
+    // Cues-bearing WebM: the same frames behind a real seek table —
+    // every cluster shifts by the constant 12 + 58·⌈n/2⌉ bytes the Cues
+    // element occupies between Tracks and the first Cluster. The full
+    // walk must skip the element (Cues are a hint, not data); the oracle
+    // replays the shifted byte arithmetic
+    "q_video_index_webm_cues" -> ((s, dir) => {
+      val webm = udf((id: Long) => Multimodal.syntheticWebmCues(id))
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), webm(col("doc_id")).as("payload"))
+      Multimodal.indexVideoWebm(docs, "doc_id", "payload")
+        .orderBy(col("doc_id"), col("sample_no"))
+    }),
+
+    // clip extraction through the Cues seek: samples with dts in
+    // [400, 700) ticks, walked from the cue-pointed cluster covering 400
+    // (clusters before it are never block-parsed — the reason muxers
+    // write Cues), renumbered from 0 within the clip. Docs whose frames
+    // all fall outside the range drop. The oracle filters the shifted
+    // layout replay by the same dts window and renumbers with
+    // row_number/dense_rank
+    "q_video_clip_webm" -> ((s, dir) => {
+      val webm = udf((id: Long) => Multimodal.syntheticWebmCues(id))
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), webm(col("doc_id")).as("payload"))
+      Multimodal.clipVideoWebm(docs, "doc_id", "payload", fromTicks = 400L, toTicks = 700L)
         .orderBy(col("doc_id"), col("sample_no"))
     }),
 
@@ -2089,6 +2138,86 @@ object LlmQueries {
         |  CAST(16 * (1 + doc_id % 8) AS INTEGER) AS width,
         |  CAST(16 * (1 + (doc_id // 8) % 8) AS INTEGER) AS height
         |FROM o ORDER BY doc_id, sample_no""".stripMargin,
+    // Cues-bearing WebM: the q_video_index_webm replay with every
+    // cluster shifted by the 12 + 58·⌈n/2⌉-byte seek table (⌈n/2⌉
+    // clusters at 2 frames each), i.e. frag_start base 243 → 255 + 58·nc
+    "q_video_index_webm_cues" ->
+      """WITH g AS (
+        |  SELECT doc_id, CAST(unnest(range(1 + doc_id % 7)) AS BIGINT) AS s
+        |  FROM documents),
+        |sz AS (
+        |  SELECT doc_id, s,
+        |    50 + (doc_id * 13 + s * 7) % 200 AS size,
+        |    100 + (doc_id % 9) * 10 AS delta,
+        |    s // 2 AS f
+        |  FROM g),
+        |fr AS (
+        |  SELECT doc_id, f, count(*) AS nf, sum(size) AS body
+        |  FROM sz GROUP BY doc_id, f),
+        |fo AS (
+        |  SELECT doc_id, f, nf,
+        |    255 + 58 * (count(*) OVER (PARTITION BY doc_id)) +
+        |    coalesce(sum(23 + 13 * nf + body) OVER (PARTITION BY doc_id ORDER BY f
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS frag_start
+        |  FROM fr),
+        |o AS (
+        |  SELECT sz.doc_id, sz.s, sz.size, sz.delta, sz.f,
+        |    CAST(fo.frag_start + 23 +
+        |      coalesce(sum(13 + sz.size) OVER (PARTITION BY sz.doc_id, sz.f ORDER BY sz.s
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 13 AS BIGINT) AS "offset"
+        |  FROM sz JOIN fo ON sz.doc_id = fo.doc_id AND sz.f = fo.f)
+        |SELECT doc_id, s AS sample_no, CAST(f AS BIGINT) AS chunk_no, "offset",
+        |  CAST(size AS BIGINT) AS size,
+        |  CAST(s * delta AS BIGINT) AS dts,
+        |  CAST(delta AS BIGINT) AS duration_ticks,
+        |  CAST(s * delta AS BIGINT) AS time_ms,
+        |  (s % 3 = 0) AS keyframe,
+        |  CAST(1000 AS BIGINT) AS timescale,
+        |  CAST(16 * (1 + doc_id % 8) AS INTEGER) AS width,
+        |  CAST(16 * (1 + (doc_id // 8) % 8) AS INTEGER) AS height
+        |FROM o ORDER BY doc_id, sample_no""".stripMargin,
+    // the clip: the same shifted replay filtered to 400 <= s·delta < 700,
+    // sample_no/chunk_no renumbered from 0 within each doc's clip
+    "q_video_clip_webm" ->
+      """WITH g AS (
+        |  SELECT doc_id, CAST(unnest(range(1 + doc_id % 7)) AS BIGINT) AS s
+        |  FROM documents),
+        |sz AS (
+        |  SELECT doc_id, s,
+        |    50 + (doc_id * 13 + s * 7) % 200 AS size,
+        |    100 + (doc_id % 9) * 10 AS delta,
+        |    s // 2 AS f
+        |  FROM g),
+        |fr AS (
+        |  SELECT doc_id, f, count(*) AS nf, sum(size) AS body
+        |  FROM sz GROUP BY doc_id, f),
+        |fo AS (
+        |  SELECT doc_id, f, nf,
+        |    255 + 58 * (count(*) OVER (PARTITION BY doc_id)) +
+        |    coalesce(sum(23 + 13 * nf + body) OVER (PARTITION BY doc_id ORDER BY f
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS frag_start
+        |  FROM fr),
+        |o AS (
+        |  SELECT sz.doc_id, sz.s, sz.size, sz.delta, sz.f,
+        |    CAST(fo.frag_start + 23 +
+        |      coalesce(sum(13 + sz.size) OVER (PARTITION BY sz.doc_id, sz.f ORDER BY sz.s
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 13 AS BIGINT) AS "offset"
+        |  FROM sz JOIN fo ON sz.doc_id = fo.doc_id AND sz.f = fo.f),
+        |clip AS (
+        |  SELECT * FROM o WHERE s * delta >= 400 AND s * delta < 700)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS BIGINT) AS sample_no,
+        |  CAST(dense_rank() OVER (PARTITION BY doc_id ORDER BY f) - 1 AS BIGINT) AS chunk_no,
+        |  "offset",
+        |  CAST(size AS BIGINT) AS size,
+        |  CAST(s * delta AS BIGINT) AS dts,
+        |  CAST(delta AS BIGINT) AS duration_ticks,
+        |  CAST(s * delta AS BIGINT) AS time_ms,
+        |  (s % 3 = 0) AS keyframe,
+        |  CAST(1000 AS BIGINT) AS timescale,
+        |  CAST(16 * (1 + doc_id % 8) AS INTEGER) AS width,
+        |  CAST(16 * (1 + (doc_id // 8) % 8) AS INTEGER) AS height
+        |FROM clip ORDER BY doc_id, sample_no""".stripMargin,
     // mixed-container auto dispatch: MP4 replay for even doc_ids, WebM
     // replay for odd — the same arithmetic as q_video_index /
     // q_video_index_webm, parity-split and unioned
@@ -2161,6 +2290,8 @@ object LlmQueries {
       nQueries = 5, nlist = 16, nprobe = 8),
     "q_ann_ivf_refined" -> XxhSql.annIvfRefinedSql(d = 64, nlist = 16, iters = 1,
       k = 5, nprobe = 4, nQueries = 5),
+    "q_ann_ivf_refined_rebalance" -> XxhSql.annIvfRefinedRebalanceSql(d = 64, nlist = 16,
+      iters = 1, k = 5, nprobe = 4, nQueries = 5, budgetNum = 9, budgetDen = 128),
     // absmax scaling and floor(x/scale + 0.5) rounding are IEEE-exact in
     // both engines; the L2 error folds sequentially to match the engine's
     // accumulation order

@@ -1076,6 +1076,75 @@ object XxhSql {
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Oracle for the refined-build → [[graft.similarity.Similarity
+    * .rebalanceIvfIndex]] → persisted-probe composition: the
+    * [[annIvfRefinedSql]] quantizer replay feeding the rebalance chain
+    * (hot cells at the `budgetNum·n // budgetDen` budget,
+    * farthest-member split centroids, constrained re-argmax), then the
+    * probe over the FINAL centroid set — proving the two maintenance
+    * operators compose on one artifact end to end.
+    */
+  def annIvfRefinedRebalanceSql(d: Int, nlist: Int, iters: Int, k: Int, nprobe: Int,
+      nQueries: Int, budgetNum: Int, budgetDen: Int): String = {
+    require(iters >= 1)
+    s"""WITH ${pqCtes(d, 1, nlist)},
+       |${refineLayers(d, iters)},
+       |cent AS MATERIALIZED (SELECT c AS cell, cent AS centroid FROM cents_$iters),
+       |assign AS MATERIALIZED (
+       |  SELECT vec_id, vec, cell FROM (
+       |    SELECT vv.vec_id, vv.v AS vec, ct.cell,
+       |      row_number() OVER (PARTITION BY vv.vec_id
+       |        ORDER BY round(list_cosine_similarity(vv.v, ct.centroid), 6) DESC, ct.cell) AS rn
+       |    FROM vecs vv CROSS JOIN cent ct) WHERE rn = 1),
+       |hot AS MATERIALIZED (
+       |  SELECT cell FROM assign GROUP BY cell
+       |  HAVING count(*) > (SELECT $budgetNum * count(*) // $budgetDen FROM vecs)),
+       |newcent AS MATERIALIZED (
+       |  SELECT old_cell, vec_id AS new_cell, vec AS centroid FROM (
+       |    SELECT a.cell AS old_cell, a.vec_id, a.vec,
+       |      row_number() OVER (PARTITION BY a.cell
+       |        ORDER BY round(list_cosine_similarity(a.vec, ct.centroid), 6) ASC, a.vec_id) AS rn
+       |    FROM assign a JOIN cent ct ON ct.cell = a.cell
+       |    WHERE a.cell IN (SELECT cell FROM hot)) WHERE rn = 1),
+       |cand AS MATERIALIZED (
+       |  SELECT n.old_cell, n.old_cell AS cand_cell, ct.centroid
+       |  FROM newcent n JOIN cent ct ON ct.cell = n.old_cell
+       |  UNION ALL
+       |  SELECT old_cell, new_cell AS cand_cell, centroid FROM newcent),
+       |resplit AS MATERIALIZED (
+       |  SELECT vec_id, vec, cand_cell AS cell FROM (
+       |    SELECT a.vec_id, a.vec, cd.cand_cell,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY round(list_cosine_similarity(a.vec, cd.centroid), 6) DESC, cd.cand_cell) AS rn
+       |    FROM assign a JOIN cand cd ON cd.old_cell = a.cell) WHERE rn = 1),
+       |final AS MATERIALIZED (
+       |  SELECT vec_id, vec, cell FROM assign WHERE cell NOT IN (SELECT cell FROM hot)
+       |  UNION ALL SELECT vec_id, vec, cell FROM resplit),
+       |fcent AS MATERIALIZED (
+       |  SELECT cell, centroid FROM cent
+       |  UNION ALL SELECT new_cell, centroid FROM newcent),
+       |queries AS (
+       |  SELECT vec_id AS query_id, v AS qvec FROM vecs WHERE vec_id < $nQueries),
+       |probe AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.query_id, ct.cell,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY round(list_cosine_similarity(q.qvec, ct.centroid), 6) DESC, ct.cell) AS rn
+       |    FROM queries q CROSS JOIN fcent ct) WHERE rn <= $nprobe),
+       |candq AS (
+       |  SELECT p.query_id, f.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(q.qvec, f.vec), 6) AS cosine_sim
+       |  FROM probe p
+       |  JOIN queries q ON q.query_id = p.query_id
+       |  JOIN final f ON f.cell = p.cell
+       |  WHERE f.vec_id <> p.query_id)
+       |SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS BIGINT) AS rank FROM (
+       |  SELECT query_id, neighbor_id, cosine_sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+       |  FROM candq)
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Oracle for [[graft.dedup.Dedup.simHashPairs]]: token-multiset SimHash
     * fingerprints, byte-band bucketing, Hamming verification. Mirrors the
     * engine's fingerprint-group collapse: identical fps shrink to their

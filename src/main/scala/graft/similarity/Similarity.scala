@@ -379,6 +379,22 @@ object Similarity {
         .unionByName(newCents
           .select(col("old_cell"), col("new_cell").as("cand_cell"), col("centroid")))
         .localCheckpoint(true)
+      // fail fast BEFORE any write: a split id that collides with an
+      // existing cell would smash that cell's partition in the dynamic
+      // overwrite below. Possible whenever the id space overlaps the
+      // cell-id space — e.g. a REFINED artifact's ordinal cells 0..nlist-1
+      // vs member ids — and unrecoverable after the write, so it must be
+      // a require, not a corruption. Reads the tiny checkpointed
+      // candidate set (2 rows per hot cell), no extra scan of members.
+      val splitIds = cands.where(col("cand_cell") =!= col("old_cell"))
+        .select(col("cand_cell")).collect().map(_.getLong(0))
+      val existing = sidecar.select(col("cell")).collect().map(_.getLong(0)).toSet
+      require(splitIds.length == hot.length && // == its own old cell is a collision too
+        splitIds.distinct.length == splitIds.length &&
+        !splitIds.exists(existing.contains),
+        s"rebalanceIvfIndex: split cell id(s) ${splitIds.filter(existing.contains).toSeq}" +
+          " collide with existing cells (member-id space overlaps the cell-id space);" +
+          " rebuild the index instead of rebalancing")
       // re-assign hot members between their cell's two candidates — the
       // assignCells kernel constrained to the member's own old cell
       // (join on old_cell, not a cross), map-side-combined argmax

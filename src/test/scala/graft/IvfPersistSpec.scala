@@ -157,4 +157,30 @@ class IvfPersistSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap == side)
     assert(new java.io.File(dir).listFiles().map(_.getName).toSet == filesBefore)
   }
+
+  test("rebalance fails fast when a split id would collide with an existing cell") {
+    // a REFINED artifact's cells are ORDINALS 0..nlist-1 — the same number
+    // space as member ids, so "the farthest member's own id becomes the
+    // new cell id" can collide. Crafted so cell 0's farthest member IS
+    // vec 0: the dynamic partition overwrite would smash cell 0 in place;
+    // the require must fire BEFORE any write and leave the artifact whole
+    val emb = (Seq(
+      (0L, Array(1f, 0f)), // seed 0; ends up the farthest member of its own cell
+      (1L, Array(0f, 1f)) // seed 1; a singleton cell
+    ) ++ (2L until 10L).map(i => (i, Array(1f, 0.1f * (i - 1))))).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfcollide").toString
+    Similarity.saveIvfIndexRefined(emb, dir, "embedding", "vec_id", nlist = 2, iters = 1)
+    val before = Similarity.loadIvfCentroids(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(before.keySet == Set(0L, 1L) && before(0L) > 2L, s"fixture drifted: $before")
+
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.rebalanceIvfIndex(spark, dir, "embedding", "vec_id", maxCellRows = 2L)
+    }
+    assert(ex.getMessage.contains("collide with existing cells"), ex.getMessage)
+    // artifact untouched: sidecar and data exactly as built
+    assert(Similarity.loadIvfCentroids(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap == before)
+    assert(Similarity.loadIvfIndex(spark, dir).count() == 10L)
+  }
 }
