@@ -114,10 +114,21 @@ object Webm {
 
   /** Unsigned-integer element with a FIXED value width. */
   private def uintElem(id: Array[Byte], v: Long, width: Int): Array[Byte] = {
+    require(width == 8 || (v >>> (8 * width)) == 0,
+      s"uintElem: value $v does not fit $width bytes")
     val b = ByteBuffer.allocate(8).order(ByteOrder.BIG_ENDIAN)
     b.putLong(v)
     elem(id, b.array().takeRight(width))
   }
+
+  /** Cluster Timestamp element: the pinned 2-byte width while the value
+    * fits (every oracle-replayed synthetic does — [[ClusterOverhead]]
+    * stays 23), 8 bytes past 65 535 ticks so videos longer than ~65 s
+    * encode their real timestamps instead of silently truncating (found
+    * by the webm_clip scale probe's 6-minute fixtures).
+    */
+  private def tsElem(clusterTs: Long): Array[Byte] =
+    uintElem(id1(0xe7), clusterTs, if (clusterTs <= 0xffffL) 2 else 8)
 
   private def concat(parts: Array[Byte]*): Array[Byte] = {
     val out = new ByteArrayOutputStream()
@@ -169,7 +180,7 @@ object Webm {
         head.put((if (keys.contains(s)) 0x80 else 0x00).toByte) // flags: keyframe, no lacing
         elem(id1(0xa3), concat(head.array(), payload)) // SimpleBlock
       }
-      (elem(IdCluster, concat(uintElem(id1(0xe7), clusterTs, 2) +: blocks: _*)), clusterTs)
+      (elem(IdCluster, concat(tsElem(clusterTs) +: blocks: _*)), clusterTs)
     }.toSeq
 
   /** [[encode]] plus a Cues seek table — the element real muxers write so
@@ -259,7 +270,7 @@ object Webm {
       }
       val block = elem(id1(0xa3),
         concat(head.array() +: lace.toByteArray +: frag.map(_._1): _*))
-      elem(IdCluster, concat(uintElem(id1(0xe7), clusterTs, 2), block))
+      elem(IdCluster, concat(tsElem(clusterTs), block))
     }.toSeq
 
     val segmentPayload = concat(info +: tracks +: clusters: _*)

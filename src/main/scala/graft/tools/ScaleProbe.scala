@@ -326,6 +326,64 @@ object ScaleProbe {
           s""""files_before":$fBefore,"files_after":$fAfter,""" +
           f""""ingest_s":$tBatches%.2f,"compact_s":$tCompact%.2f,""" +
           f""""probe_before_s":$tBefore%.2f,"probe_after_s":$tAfter%.2f}""")
+      case "webm_clip" =>
+        // what the Cues seek table buys at realistic video lengths: the
+        // gate's ≤7-frame synthetics can't show it, so this probe builds
+        // LONG videos (PROBE_VIDS × PROBE_FRAMES frames, 30-frame
+        // clusters at 33 ms — the 1 s GOP shape) once on disk, then
+        // measures a 3-second clip near the END of each video three
+        // ways: full index (what a pass pays with no clip pushdown),
+        // cue-seeked clip, and the linear-walk clip on a Cues-less twin
+        // (which must parse every cluster body up to the window)
+        import graft.multimodal.{Multimodal, Webm}
+        val nVids = sys.env.getOrElse("PROBE_VIDS", "2000").toInt
+        val nFrames = sys.env.getOrElse("PROBE_FRAMES", "1800").toInt
+        def gen(cues: Boolean) = udf((id: Long) => {
+          val samples = (0 until nFrames).map { s =>
+            Array.tabulate(150 + ((id + s) % 100).toInt)(k => ((id + s + k) % 256).toByte)
+          }
+          val keys = 0 until nFrames by 30
+          if (cues) Webm.encodeWithCues(320, 240, 33, samples, keys, samplesPerCluster = 30)
+          else Webm.encode(320, 240, 33, samples, keys, samplesPerCluster = 30)
+        })
+        val base = java.nio.file.Files.createTempDirectory("graft_webm_clip").toString
+        def secs[A](f: => A): (A, Double) = {
+          val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+        }
+        Seq(true, false).foreach { cues =>
+          val dir = s"$base/${if (cues) "cued" else "plain"}"
+          spark.range(nVids.toLong).select(col("id").as("doc_id"),
+              gen(cues)(col("id")).as("payload"))
+            .write.mode("overwrite").parquet(dir)
+        }
+        val cued = spark.read.parquet(s"$base/cued")
+        val plain = spark.read.parquet(s"$base/plain")
+        // clip window: 3 s starting at 90% of the video; best-of-2 per
+        // lane (the full pass allocates millions of Sample rows and the
+        // first run after it reads GC-poisoned — the notes' fresh-JVM rule)
+        def best2[A](f: => A): (A, Double) = {
+          // GC fence: the full-index lane materializes millions of Row
+          // objects; without it the NEXT lane reads 5× slow (the poisoned
+          // -JVM effect from the builder notes, reproduced here)
+          System.gc()
+          val (r, t1) = secs(f); val (_, t2) = secs(f); (r, math.min(t1, t2))
+        }
+        val from = (nFrames * 33L * 9) / 10
+        val to = from + 3000L
+        // clip lanes FIRST — measurement isolation from the heavy lane
+        val (nSeek, tSeek) = best2 {
+          Multimodal.clipVideoWebm(cued, "doc_id", "payload", from, to).count()
+        }
+        val (nLin, tLin) = best2 {
+          Multimodal.clipVideoWebm(plain, "doc_id", "payload", from, to).count()
+        }
+        val (nFull, tFull) = best2 {
+          Multimodal.indexVideoWebm(cued, "doc_id", "payload").count()
+        }
+        require(nSeek == nLin, s"seek and linear clips disagree: $nSeek vs $nLin")
+        println(s"""{"mode":"webm_clip","vids":$nVids,"frames":$nFrames,""" +
+          s""""clip_rows":$nSeek,"full_rows":$nFull,""" +
+          f""""full_s":$tFull%.2f,"clip_seek_s":$tSeek%.2f,"clip_linear_s":$tLin%.2f}""")
       case other => sys.error(s"unknown probe mode: $other")
     }
     spark.stop()

@@ -363,6 +363,23 @@ class WebmSpec extends org.scalatest.funsuite.AnyFunSuite {
     assertClipEq(mutated, 400L, 700L)
   }
 
+  test("cluster timestamps past 65535 ticks take the wide element and round-trip exactly") {
+    // 2200 frames at 33 ms → last cluster timestamp 71,610 > 0xffff; the
+    // 2-byte width would silently truncate (found by the webm_clip probe)
+    val n = 2200
+    val samples = (0 until n).map(s => Array.tabulate(3)(k => ((s + k) % 256).toByte))
+    val wantDts = (0 until n).map(_.toLong * 33)
+    for (bytes <- Seq(Webm.encode(16, 16, 33, samples, Seq(0), samplesPerCluster = 30),
+        Webm.encodeWithCues(16, 16, 33, samples, Seq(0), samplesPerCluster = 30))) {
+      val ix = Webm.index(bytes).getOrElse(fail("long video must index"))
+      assert(ix.samples.length == n)
+      assert(ix.samples.map(_.dts) == wantDts, "no truncation anywhere")
+    }
+    val cued = Webm.encodeWithCues(16, 16, 33, samples, Seq(0), samplesPerCluster = 30)
+    val clip = Webm.indexClip(cued, 70000L, 71000L).getOrElse(fail("clip in the wide region"))
+    assert(clip.samples.map(_.dts) == wantDts.filter(t => t >= 70000L && t < 71000L))
+  }
+
   test("syntheticWebmCues: the unlaced twin shifted by the seek table") {
     for (id <- Seq(0L, 3L, 17L, 40L, 123L)) {
       val plain = Webm.index(Multimodal.syntheticWebm(id)).getOrElse(fail(s"id $id"))
