@@ -288,15 +288,30 @@ object Mp4 {
 
   private final case class Box(tpe: String, start: Int, end: Int)
 
+  /** ISO-BMFF box walk, all three header shapes: the common 32-bit size,
+    * `size == 1` + 64-bit largesize (how real muxers frame `mdat` past
+    * 4 GB — the box-header analog of `co64`), and `size == 0` = "extends
+    * to the end of the enclosing space" (the last-box shape live captures
+    * write). Truncated or lying sizes stop the walk — the defensive-parse
+    * contract.
+    */
   private def scanBoxes(b: Array[Byte], from: Int, until: Int): Vector[Box] = {
     val out = Vector.newBuilder[Box]
     var p = from
     while (p + 8 <= until) {
-      val buf = ByteBuffer.wrap(b, p, 8).order(ByteOrder.BIG_ENDIAN)
-      val size = buf.getInt.toLong & 0xffffffffL
+      val size32 = u32(b, p)
       val tpe = new String(b, p + 4, 4, "US-ASCII")
-      if (size < 8 || p + size > until) return out.result() // truncated/corrupt: stop
-      out += Box(tpe, p + 8, p + size.toInt)
+      if (size32 == 0L) { // to the end of the enclosing range; nothing follows
+        out += Box(tpe, p + 8, until)
+        return out.result()
+      }
+      val (size, hdr) =
+        if (size32 == 1L) {
+          if (p + 16 > until) return out.result()
+          (u64(b, p + 8), 16)
+        } else (size32, 8)
+      if (size < hdr || size > until - p) return out.result() // truncated/corrupt: stop
+      out += Box(tpe, p + hdr, p + size.toInt)
       p += size.toInt
     }
     out.result()

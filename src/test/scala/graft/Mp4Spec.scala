@@ -270,4 +270,33 @@ class Mp4Spec extends AnyFunSuite {
       }
     }
   }
+
+  test("64-bit largesize and size==0 box headers parse (the >4GB / live-capture shapes)") {
+    val sizes = Seq(100, 57, 211, 90, 33)
+    val bytes = Mp4.encode(320, 240, timescale = 1200, delta = 160,
+      samples = samplesOf(sizes), keyframes = Seq(0, 3), samplesPerChunk = 2)
+    val want = Mp4.index(bytes).get
+    val moovAt = bytes.indexOfSlice("moov".getBytes("US-ASCII")) - 4
+    val moovSize = java.nio.ByteBuffer.wrap(bytes, moovAt, 4).getInt
+
+    // moov is the LAST box, so reframing it moves no sample offset.
+    // largesize: size field 1, 64-bit size after the type (8 bytes wider)
+    val big = java.nio.ByteBuffer.allocate(bytes.length + 8)
+    big.put(bytes, 0, moovAt)
+    big.putInt(1).put("moov".getBytes("US-ASCII")).putLong(moovSize.toLong + 8)
+    big.put(bytes, moovAt + 8, bytes.length - moovAt - 8)
+    val large = Mp4.index(big.array()).getOrElse(fail("largesize moov must parse"))
+    assert(large.samples == want.samples && large.width == want.width)
+
+    // size == 0: the box runs to the end of the file
+    val zero = bytes.clone()
+    java.nio.ByteBuffer.wrap(zero, moovAt, 4).putInt(0)
+    val toEof = Mp4.index(zero).getOrElse(fail("size==0 moov must parse"))
+    assert(toEof.samples == want.samples && toEof.width == want.width)
+
+    // a lying largesize (past the file) stops cleanly: no moov → None
+    val lying = big.array().clone()
+    java.nio.ByteBuffer.wrap(lying, moovAt + 8, 8).putLong(Long.MaxValue)
+    assert(Mp4.index(lying).isEmpty)
+  }
 }
