@@ -348,6 +348,33 @@ object Mp4 {
     else Some(n.toInt)
   }
 
+  /** Clip an already-parsed index to the samples whose
+    * `time_ms = dts·1000/timescale` falls in [fromMs, toMs), renumbered
+    * from 0 ([[graft.multimodal.Webm.indexClip]]'s contract). MP4 needs
+    * no byte-level seek — the moov sample tables ARE the seek index, so
+    * a clip is a filter over the (tiny) parsed table; the payload bytes
+    * the retained offsets point at are untouched. None when the window
+    * is empty — clip-less videos drop like unparseable ones.
+    */
+  def clipMs(ix: Index, fromMs: Long, toMs: Long): Option[Index] = {
+    require(fromMs <= toMs, s"clipMs: from $fromMs > to $toMs")
+    if (ix == null || ix.timescale <= 0) return None
+    val picked = ix.samples.filter { s =>
+      val ms = s.dts * 1000L / ix.timescale
+      ms >= fromMs && ms < toMs
+    }
+    if (picked.isEmpty) None
+    else {
+      var lastChunk = Int.MinValue
+      var chunk = -1
+      val renum = picked.zipWithIndex.map { case (s, i) =>
+        if (s.chunkNo != lastChunk) { chunk += 1; lastChunk = s.chunkNo }
+        s.copy(sampleNo = i, chunkNo = chunk)
+      }
+      Some(ix.copy(samples = renum))
+    }
+  }
+
   /** Parse the first video track's sample tables into a full per-sample
     * index. Returns None for anything that is not a well-formed
     * one-or-more-track MP4 with a video track.

@@ -1022,6 +1022,28 @@ object Multimodal {
       fromTicks: Long, toTicks: Long): DataFrame =
     indexVideoWith(df, idCol, payloadCol, Webm.indexClip(_, fromTicks, toTicks))
 
+  /** Container-agnostic clip extraction in MILLISECONDS of wall time —
+    * the unified window a curation pass thinks in, whatever each file's
+    * tick rate: samples with `time_ms ∈ [fromMs, toMs)`, renumbered from
+    * 0 within the clip. Per-container mechanics differ and each gets its
+    * cheap path: MP4's moov sample tables ARE the seek index (clip =
+    * filter over the parsed table, [[Mp4.clipMs]]); WebM walks from the
+    * Cues-seeked cluster ([[Webm.indexClipMs]], ms→tick ceil-division
+    * preimage). Same magic-byte dispatch as [[indexVideoAuto]].
+    */
+  def clipVideoAuto(df: DataFrame, idCol: String, payloadCol: String,
+      fromMs: Long, toMs: Long): DataFrame =
+    indexVideoWith(df, idCol, payloadCol, clipAutoMs(_, fromMs, toMs))
+
+  private[graft] def clipAutoMs(bytes: Array[Byte], fromMs: Long,
+      toMs: Long): Option[Mp4.Index] =
+    if (bytes != null && bytes.length >= 4 &&
+      (bytes(0) & 0xff) == 0x1a && (bytes(1) & 0xff) == 0x45 &&
+      (bytes(2) & 0xff) == 0xdf && (bytes(3) & 0xff) == 0xa3)
+      Webm.indexClipMs(bytes, fromMs, toMs)
+    else Mp4.index(bytes).flatMap(Mp4.clipMs(_, fromMs, toMs))
+      .orElse(Webm.indexClipMs(bytes, fromMs, toMs))
+
   private[multimodal] def parseVideoAuto(bytes: Array[Byte]): Option[Mp4.Index] =
     if (bytes != null && bytes.length >= 4 &&
       (bytes(0) & 0xff) == 0x1a && (bytes(1) & 0xff) == 0x45 &&

@@ -692,7 +692,36 @@ object Webm {
     try {
       val hdr = parseHeader(bytes)
       if (hdr == null) return None
+      clipCore(bytes, hdr, fromTicks, toTicks)
+    } catch {
+      case _: IndexOutOfBoundsException | _: IllegalArgumentException |
+          _: NegativeArraySizeException => None
+    }
+  }
 
+  /** [[indexClip]] with the window in MILLISECONDS of wall time, whatever
+    * the file's TimestampScale: selects exactly the samples whose
+    * `time_ms = dts·1000/timescale` falls in [fromMs, toMs) — the
+    * container-agnostic clip contract [[Mp4]] corpora share (floor-exact:
+    * the tick window is the ceil-division preimage of the ms window).
+    * Under the Matroska-default millisecond clock this is [[indexClip]].
+    */
+  def indexClipMs(bytes: Array[Byte], fromMs: Long, toMs: Long): Option[Mp4.Index] = {
+    require(fromMs <= toMs, s"indexClipMs: from $fromMs > to $toMs")
+    try {
+      val hdr = parseHeader(bytes)
+      if (hdr == null) return None
+      def ceilTicks(ms: Long): Long = (ms * hdr.timescale + 999L) / 1000L
+      clipCore(bytes, hdr, ceilTicks(fromMs), ceilTicks(toMs))
+    } catch {
+      case _: IndexOutOfBoundsException | _: IllegalArgumentException |
+          _: NegativeArraySizeException => None
+    }
+  }
+
+  private def clipCore(bytes: Array[Byte], hdr: Header,
+      fromTicks: Long, toTicks: Long): Option[Mp4.Index] = {
+    {
       // seek: greatest cue time <= fromTicks whose target parses as a
       // Cluster element boundary; anything less → linear walk over the
       // already-scanned Segment children
@@ -745,9 +774,6 @@ object Webm {
       val samples = out.result()
       if (samples.isEmpty) None
       else Some(Mp4.Index(hdr.w, hdr.h, hdr.timescale, samples))
-    } catch {
-      case _: IndexOutOfBoundsException | _: IllegalArgumentException |
-          _: NegativeArraySizeException => None
     }
   }
 }

@@ -922,6 +922,22 @@ object LlmQueries {
         .orderBy(col("doc_id"), col("sample_no"))
     }),
 
+    // container-agnostic clip extraction in WALL MILLISECONDS over the
+    // mixed corpus: MP4 clips by filtering its parsed sample table (the
+    // moov IS the seek index), WebM by the Cues-seeked cluster walk —
+    // one [400, 700) ms window despite per-file tick rates. The oracle
+    // unions the two byte-layout replays filtered by each container's
+    // time_ms arithmetic ((s·delta·1000)//timescale vs s·delta) and
+    // renumbers within the clip
+    "q_video_clip_auto" -> ((s, dir) => {
+      val payload = udf((id: Long) =>
+        if (id % 2 == 0) Multimodal.syntheticMp4(id) else Multimodal.syntheticWebmCues(id))
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), payload(col("doc_id")).as("payload"))
+      Multimodal.clipVideoAuto(docs, "doc_id", "payload", fromMs = 400L, toMs = 700L)
+        .orderBy(col("doc_id"), col("sample_no"))
+    }),
+
     // sequence packing (pre-training concat-and-chunk): documents
     // concatenate in doc_id order into one token stream, split into
     // 128-token training sequences; output is the (doc, seq) span table
@@ -2218,6 +2234,64 @@ object LlmQueries {
         |  CAST(16 * (1 + doc_id % 8) AS INTEGER) AS width,
         |  CAST(16 * (1 + (doc_id // 8) % 8) AS INTEGER) AS height
         |FROM clip ORDER BY doc_id, sample_no""".stripMargin,
+    // mixed-container ms-window clip: the auto replay's two branches
+    // (MP4 plain layout, WebM cues-shifted layout) filtered by each
+    // container's integer time_ms arithmetic, then renumbered from 0
+    // within each doc's clip
+    "q_video_clip_auto" ->
+      """WITH g AS (
+        |  SELECT doc_id, CAST(unnest(range(1 + doc_id % 7)) AS BIGINT) AS s
+        |  FROM documents),
+        |sz AS (
+        |  SELECT doc_id, s,
+        |    50 + (doc_id * 13 + s * 7) % 200 AS size,
+        |    100 + (doc_id % 9) * 10 AS delta,
+        |    600 * (1 + doc_id % 4) AS timescale,
+        |    s // 2 AS f
+        |  FROM g),
+        |m AS (
+        |  SELECT doc_id, s, size, delta, timescale, f,
+        |    CAST(32 + coalesce(sum(size) OVER (PARTITION BY doc_id ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+        |  FROM sz WHERE doc_id % 2 = 0),
+        |fr AS (
+        |  SELECT doc_id, f, count(*) AS nf, sum(size) AS body
+        |  FROM sz WHERE doc_id % 2 = 1 GROUP BY doc_id, f),
+        |fo AS (
+        |  SELECT doc_id, f, nf,
+        |    255 + 58 * (count(*) OVER (PARTITION BY doc_id)) +
+        |    coalesce(sum(23 + 13 * nf + body) OVER (PARTITION BY doc_id ORDER BY f
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS frag_start
+        |  FROM fr),
+        |w AS (
+        |  SELECT sz.doc_id, sz.s, sz.size, sz.delta, sz.f,
+        |    CAST(fo.frag_start + 23 +
+        |      coalesce(sum(13 + sz.size) OVER (PARTITION BY sz.doc_id, sz.f ORDER BY sz.s
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 13 AS BIGINT) AS "offset"
+        |  FROM sz JOIN fo ON sz.doc_id = fo.doc_id AND sz.f = fo.f),
+        |u AS (
+        |  SELECT doc_id, s, f, "offset", CAST(size AS BIGINT) AS size,
+        |    CAST(s * delta AS BIGINT) AS dts, CAST(delta AS BIGINT) AS duration_ticks,
+        |    CAST((s * delta * 1000) // timescale AS BIGINT) AS time_ms,
+        |    (s % 3 = 0) AS keyframe, CAST(timescale AS BIGINT) AS timescale,
+        |    CAST(16 * (1 + doc_id % 8) AS INTEGER) AS width,
+        |    CAST(16 * (1 + (doc_id // 8) % 8) AS INTEGER) AS height
+        |  FROM m
+        |  WHERE (s * delta * 1000) // timescale >= 400 AND (s * delta * 1000) // timescale < 700
+        |  UNION ALL
+        |  SELECT doc_id, s, f, "offset", CAST(size AS BIGINT) AS size,
+        |    CAST(s * delta AS BIGINT) AS dts, CAST(delta AS BIGINT) AS duration_ticks,
+        |    CAST(s * delta AS BIGINT) AS time_ms,
+        |    (s % 3 = 0) AS keyframe, CAST(1000 AS BIGINT) AS timescale,
+        |    CAST(16 * (1 + doc_id % 8) AS INTEGER) AS width,
+        |    CAST(16 * (1 + (doc_id // 8) % 8) AS INTEGER) AS height
+        |  FROM w
+        |  WHERE s * delta >= 400 AND s * delta < 700)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS BIGINT) AS sample_no,
+        |  CAST(dense_rank() OVER (PARTITION BY doc_id ORDER BY f) - 1 AS BIGINT) AS chunk_no,
+        |  "offset", size, dts, duration_ticks, time_ms, keyframe, timescale, width, height
+        |FROM u ORDER BY doc_id, sample_no""".stripMargin,
     // mixed-container auto dispatch: MP4 replay for even doc_ids, WebM
     // replay for odd — the same arithmetic as q_video_index /
     // q_video_index_webm, parity-split and unioned

@@ -271,6 +271,21 @@ class Mp4Spec extends AnyFunSuite {
     }
   }
 
+  test("clipMs filters by wall ms and renumbers within the clip; offsets untouched") {
+    val sizes = Seq(100, 57, 211, 90, 33, 40)
+    val bytes = Mp4.encode(320, 240, timescale = 1200, delta = 160,
+      samples = samplesOf(sizes), keyframes = Seq(0, 3), samplesPerChunk = 2)
+    val ix = Mp4.index(bytes).get
+    // time_ms = s·160·1000/1200 = 0,133,266,400,533,666 → [400,700) picks 3,4,5
+    val clip = Mp4.clipMs(ix, 400L, 700L).getOrElse(fail("clip empty"))
+    assert(clip.samples.map(_.size) == Vector(90L, 33L, 40L))
+    assert(clip.samples.map(_.sampleNo) == Vector(0, 1, 2))
+    assert(clip.samples.map(_.chunkNo) == Vector(0, 1, 1), "chunks 1,2,2 renumber densely")
+    assert(clip.samples.map(_.offset) == ix.samples.drop(3).map(_.offset),
+      "offsets still point at the same payload bytes")
+    assert(Mp4.clipMs(ix, 5000L, 6000L).isEmpty, "empty window drops")
+  }
+
   test("64-bit largesize and size==0 box headers parse (the >4GB / live-capture shapes)") {
     val sizes = Seq(100, 57, 211, 90, 33)
     val bytes = Mp4.encode(320, 240, timescale = 1200, delta = 160,

@@ -380,6 +380,21 @@ class WebmSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(clip.samples.map(_.dts) == wantDts.filter(t => t >= 70000L && t < 71000L))
   }
 
+  test("indexClipMs == indexClip under the default ms clock; clipAutoMs dispatches both ways") {
+    val cued = Webm.encodeWithCues(16, 16, 100, samplesOf(Seq(10, 20, 30, 40, 50, 60)), Seq(0),
+      samplesPerCluster = 2)
+    for ((from, to) <- Seq((0L, 9999L), (150L, 450L), (400L, 700L)))
+      assert(Webm.indexClipMs(cued, from, to).map(_.samples) ==
+        Webm.indexClip(cued, from, to).map(_.samples), s"[$from,$to)")
+    // the auto dispatch routes by magic bytes and clips in wall ms
+    val mp4 = Multimodal.syntheticMp4(9L)
+    assert(Multimodal.clipAutoMs(mp4, 0L, 1000000L).map(_.samples.length) ==
+      Mp4.index(mp4).map(_.samples.length), "mp4 route, full window")
+    assert(Multimodal.clipAutoMs(cued, 150L, 450L).map(_.samples) ==
+      Webm.indexClipMs(cued, 150L, 450L).map(_.samples), "webm route")
+    assert(Multimodal.clipAutoMs("not a video".getBytes, 0L, 100L).isEmpty)
+  }
+
   test("syntheticWebmCues: the unlaced twin shifted by the seek table") {
     for (id <- Seq(0L, 3L, 17L, 40L, 123L)) {
       val plain = Webm.index(Multimodal.syntheticWebm(id)).getOrElse(fail(s"id $id"))
