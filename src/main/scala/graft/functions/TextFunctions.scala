@@ -83,6 +83,39 @@ object TextFunctions {
   def charShingles(c: Column, n: Int): Column =
     zipShingles(split(normalizeText(c), ""), n, "")
 
+  /** Email redaction — `regexp_replace(c, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', repl)`
+    * as a codegen char scan (bit-compatible; see
+    * [[graft.expressions.PiiScan]] for the regex thread-scalability
+    * hazard this sidesteps).
+    */
+  def redactEmails(c: Column, repl: String = "[EMAIL]"): Column =
+    e2col(graft.expressions.RedactEmails(col2e(c), repl))
+
+  /** Dashed-phone redaction (`\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}`) — see
+    * [[redactEmails]].
+    */
+  def redactPhones(c: Column, repl: String = "[PHONE]"): Column =
+    e2col(graft.expressions.RedactPhones(col2e(c), repl))
+
+  /** IPv4-shape redaction (`[0-9]{1,3}(\.[0-9]{1,3}){3}`) — see
+    * [[redactEmails]].
+    */
+  def redactIpv4(c: Column, repl: String = "[IP]"): Column =
+    e2col(graft.expressions.RedactIpv4(col2e(c), repl))
+
+  /** Full PII redaction pass: emails, then phones, then IPv4 shapes —
+    * sequential-rewrite semantics identical to the nested
+    * `regexp_replace` chain, one fused codegen stage instead of three
+    * serialized regex passes.
+    */
+  def piiRedact(c: Column): Column = redactIpv4(redactPhones(redactEmails(c)))
+
+  /** Per-row PII match counts over the raw text:
+    * `struct<n_emails, n_phones, n_ips>` (independent per-class counts —
+    * the audit/reporting contract).
+    */
+  def piiCounts(c: Column): Column = e2col(graft.expressions.PiiCounts(col2e(c)))
+
   // Spark 4 Column↔Expression bridge
   private def col2e(c: Column) = org.apache.spark.sql.graftbridge.Bridge.expression(c)
   private def e2col(e: org.apache.spark.sql.catalyst.expressions.Expression) =

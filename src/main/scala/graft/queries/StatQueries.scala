@@ -173,21 +173,48 @@ object StatQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
-    // PII redaction: email + phone patterns → placeholders (synthetic
-    // contact strings built from customer columns so the input provably
-    // contains PII shapes). Pure narrow regexp map, codegen'd.
+    // PII redaction: email + dashed-phone + IPv4 shapes → placeholders
+    // (synthetic contact strings built from customer columns so the input
+    // provably contains every PII shape). Rides the PiiScan char-scan
+    // kernels — bit-compatible with the nested regexp_replace chain the
+    // oracle runs, but parallel-scalable (java.util.regex serializes
+    // across threads on this VM class — SCALE.md round 10).
     "q_pii_redact" -> ((s, dir) => {
       val text = concat(
         col("c_name"), lit(" reachable at "),
         lower(regexp_replace(col("c_name"), "#", "")), lit("@corp.example.org or +1-555-"),
-        lpad(pmod(col("c_custkey"), lit(10000)).cast("string"), 4, "0"))
+        lpad(pmod(col("c_custkey"), lit(10000)).cast("string"), 4, "0"),
+        lit(" via 10."), pmod(col("c_custkey"), lit(256)).cast("string"),
+        lit("."), pmod(col("c_custkey"), lit(100)).cast("string"), lit(".7"))
       t(s, dir, "customer")
         .select(
           col("c_custkey"),
-          regexp_replace(
-            regexp_replace(text, "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "[EMAIL]"),
-            "\\+1-555-[0-9]{4}", "[PHONE]").as("redacted"))
+          graft.functions.TextFunctions.piiRedact(text).as("redacted"))
         .orderBy(col("c_custkey"))
+    }),
+
+    // PII audit stats: independent per-class match counts over synthetic
+    // contact-bearing text, rolled up per source — the "how much PII is
+    // in this corpus" report that precedes any redaction pass. One fused
+    // scan per row (PiiCounts), one group-by shuffle.
+    "q_pii_stats" -> ((s, dir) => {
+      val txt = concat(
+        col("text"), lit(" u"), col("doc_id").cast("string"), lit("@ex.com"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit(" +"), (pmod(col("doc_id"), lit(90)) + 1).cast("string"), lit("-555-1234")))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(lit(" 192.168.0."), pmod(col("doc_id"), lit(256)).cast("string")))
+          .otherwise(lit("")))
+      t(s, dir, "documents")
+        .select(col("source"), graft.functions.TextFunctions.piiCounts(txt).as("pii"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("pii.n_emails")).as("n_emails"),
+          sum(col("pii.n_phones")).as("n_phones"),
+          sum(col("pii.n_ips")).as("n_ips"))
+        .orderBy(col("source"))
     })
   )
 
@@ -262,11 +289,28 @@ object StatQueries {
         |FROM c GROUP BY 1, 2 ORDER BY lang, chunk_id""".stripMargin,
     "q_pii_redact" ->
       """SELECT c_custkey,
-        |  regexp_replace(regexp_replace(
+        |  regexp_replace(regexp_replace(regexp_replace(
         |    c_name || ' reachable at ' || lower(replace(c_name, '#', '')) ||
-        |      '@corp.example.org or +1-555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0'),
+        |      '@corp.example.org or +1-555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ||
+        |      ' via 10.' || CAST(c_custkey % 256 AS VARCHAR) || '.' ||
+        |      CAST(c_custkey % 100 AS VARCHAR) || '.7',
         |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
-        |    '\+1-555-[0-9]{4}', '[PHONE]', 'g') AS redacted
-        |FROM customer ORDER BY c_custkey""".stripMargin
+        |    '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '[IP]', 'g') AS redacted
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_pii_stats" ->
+      """WITH p AS (
+        |  SELECT source,
+        |    text || ' u' || CAST(doc_id AS VARCHAR) || '@ex.com' ||
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN ' +' || CAST(doc_id % 90 + 1 AS VARCHAR) || '-555-1234' ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 0
+        |      THEN ' 192.168.0.' || CAST(doc_id % 256 AS VARCHAR) ELSE '' END AS t
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))) AS BIGINT) AS n_emails,
+        |  CAST(sum(len(regexp_extract_all(t, '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}'))) AS BIGINT) AS n_phones,
+        |  CAST(sum(len(regexp_extract_all(t, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))) AS BIGINT) AS n_ips
+        |FROM p GROUP BY source ORDER BY source""".stripMargin
   )
 }
