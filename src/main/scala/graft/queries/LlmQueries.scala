@@ -1608,8 +1608,34 @@ object LlmQueries {
       val roots = docs.select(col("doc_id")).where(pmod(col("doc_id"), lit(37)) === 1)
       LinkGraph.centrality(roots, "doc_id", edges, maxHops = 2)
         .orderBy(col("doc_id"))
+    }),
+
+    // blocklist report: per-term occurrences + containing-doc counts via
+    // ONE Aho–Corasick pass per document (vs one scan per term — the
+    // difference between 1 and |blocklist| corpus passes at 100 TB)
+    "q_blocklist" -> ((s, dir) => {
+      graft.text.Blocklist.report(t(s, dir, "documents"), "text", BlocklistTerms)
+        .orderBy(col("term"))
+    }),
+
+    // the filter stage: keep docs with <= 2 blocklisted occurrences,
+    // rolled up per source (narrow scan filter, no extra shuffle)
+    "q_blocklist_filter" -> ((s, dir) => {
+      graft.text.Blocklist
+        .filterClean(t(s, dir, "documents"), "text", BlocklistFilterTerms, maxHits = 2)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("source"))
     })
   )
+
+  /** Blocklist-gate term sets (substring semantics over raw text; the
+    * synthetic corpus vocabulary makes these dense enough to exercise
+    * overlapping and multi-word patterns).
+    */
+  private val BlocklistTerms =
+    Seq("spark", "join", "batch batch", "merge line", "qu", "the fast")
+  private val BlocklistFilterTerms = Seq("batch batch", "merge line", "the fast")
 
   private val normSql =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
@@ -1758,7 +1784,46 @@ object LlmQueries {
       ("q_ann_ivf_append" -> m("q_ann_ivf")) +
       ("q_ann_stream_compact" -> m("q_ann_ivf"))
 
+  /** Exact all-occurrences oracle for the blocklist lanes: every start
+    * position × every term, substring-compared — O(chars · terms), the
+    * brute force the AC automaton replaces.
+    */
+  private def blocklistTermsSql(terms: Seq[String]): String =
+    terms.map(t => s"('${t.replace("'", "''")}')").mkString(", ")
+
+  private def blocklistReportSql(terms: Seq[String]): String =
+    s"""WITH terms(term) AS (VALUES ${blocklistTermsSql(terms)}),
+       |pos AS (
+       |  SELECT d.doc_id, t.term, length(t.term) AS tl, d.text,
+       |    unnest(range(1, greatest(length(d.text) - length(t.term) + 2, 1))) AS i
+       |  FROM documents d CROSS JOIN terms t),
+       |hits AS (
+       |  SELECT doc_id, term,
+       |    sum(CASE WHEN substr(text, CAST(i AS INTEGER), CAST(tl AS INTEGER)) = term
+       |      THEN 1 ELSE 0 END) AS n
+       |  FROM pos GROUP BY doc_id, term)
+       |SELECT term, CAST(sum(n) AS BIGINT) AS n_hits,
+       |  CAST(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs
+       |FROM hits GROUP BY term ORDER BY term""".stripMargin
+
+  private def blocklistFilterSql(terms: Seq[String], maxHits: Int): String =
+    s"""WITH terms(term) AS (VALUES ${blocklistTermsSql(terms)}),
+       |pos AS (
+       |  SELECT d.doc_id, d.source, d.n_chars, t.term, length(t.term) AS tl, d.text,
+       |    unnest(range(1, greatest(length(d.text) - length(t.term) + 2, 1))) AS i
+       |  FROM documents d CROSS JOIN terms t),
+       |tot AS (
+       |  SELECT doc_id, any_value(source) AS source, any_value(n_chars) AS n_chars,
+       |    sum(CASE WHEN substr(text, CAST(i AS INTEGER), CAST(tl AS INTEGER)) = term
+       |      THEN 1 ELSE 0 END) AS n
+       |  FROM pos GROUP BY doc_id)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       |FROM tot WHERE n <= $maxHits GROUP BY source ORDER BY source""".stripMargin
+
   private val baseOracles: Map[String, String] = Map(
+    "q_blocklist" -> blocklistReportSql(BlocklistTerms),
+    "q_blocklist_filter" -> blocklistFilterSql(BlocklistFilterTerms, maxHits = 2),
     // Full independent oracles for the MinHash/SimHash/sketch lanes:
     // DuckDB recomputes XXH64(seed 42) + splitmix64 from the raw
     // text/vectors in HUGEINT arithmetic (see XxhSql) — no
