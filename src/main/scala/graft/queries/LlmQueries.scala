@@ -1626,6 +1626,17 @@ object LlmQueries {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"))
         .orderBy(col("source"))
+    }),
+
+    // fixed-point PageRank over the shared-span graph: the PageRank-
+    // family quality signal the centrality class doc deferred, made
+    // bit-deterministic (integer mass units; see LinkGraph.pageRank) —
+    // per-iteration cost is linear in |E| at any scale, no closure state
+    "q_pagerank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val edges = LinkGraph.sharedSpanEdges(docs, "doc_id", "text", w = 5, maxDf = 32)
+      LinkGraph.pageRank(docs.select(col("doc_id")), "doc_id", edges, iters = 3)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1821,9 +1832,52 @@ object LlmQueries {
        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
        |FROM tot WHERE n <= $maxHits GROUP BY source ORDER BY source""".stripMargin
 
+  /** Fixed-point PageRank oracle: the q_link_score edge CTEs (span
+    * strings instead of hashes — injective modulo 64-bit collisions),
+    * then `iters` unrolled BIGINT power-iteration stages mirroring
+    * [[graft.text.LinkGraph.pageRank]]'s integer formula exactly
+    * (DuckDB `//` floors, Spark `div` truncates — identical on the
+    * all-positive mass values).
+    */
+  private def pageRankSql(w: Int, iters: Int, scale: Long, dNum: Int, dDen: Int): String = {
+    val sl = w - 1
+    val iterCtes = (1 to iters).map { k =>
+      val prev = if (k == 1) "p0" else s"p${k - 1}"
+      s"""c$k AS (
+         |  SELECT e.dst AS id, CAST(sum(p.r // d.deg) AS BIGINT) AS s
+         |  FROM r1 e JOIN $prev p ON e.src = p.id JOIN deg d ON e.src = d.src
+         |  GROUP BY e.dst),
+         |p$k AS MATERIALIZED (
+         |  SELECT doc_id AS id,
+         |    CAST(tp.tp + coalesce(($dNum * c$k.s) // $dDen, 0) AS BIGINT) AS r
+         |  FROM documents CROSS JOIN tp LEFT JOIN c$k ON documents.doc_id = c$k.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tk AS (
+       |  SELECT doc_id, list_filter($toksSql, x -> x <> '') AS toks FROM documents),
+       |sp0 AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id,
+       |    unnest([array_to_string(toks[i:i+$sl], ' ') FOR i IN range(1, greatest(len(toks) - ${sl - 1}, 1))]) AS span
+       |  FROM tk),
+       |rare AS MATERIALIZED (
+       |  SELECT span FROM sp0 GROUP BY span HAVING count(*) BETWEEN 2 AND 32),
+       |sp AS MATERIALIZED (SELECT doc_id, span FROM sp0 JOIN rare USING (span)),
+       |r1 AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+       |  FROM sp a JOIN sp b ON a.span = b.span AND a.doc_id <> b.doc_id),
+       |deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM r1 GROUP BY src),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       |tp AS (SELECT CAST(((${dDen - dNum} * $scale) // $dDen) // n AS BIGINT) AS tp FROM nn),
+       |p0 AS MATERIALIZED (
+       |  SELECT doc_id AS id, CAST($scale // n AS BIGINT) AS r FROM documents CROSS JOIN nn),
+       |$iterCtes
+       |SELECT id AS doc_id, r AS rank_fp, CAST(r AS DOUBLE) / $scale.0 AS score
+       |FROM p$iters ORDER BY doc_id""".stripMargin
+  }
+
   private val baseOracles: Map[String, String] = Map(
     "q_blocklist" -> blocklistReportSql(BlocklistTerms),
     "q_blocklist_filter" -> blocklistFilterSql(BlocklistFilterTerms, maxHits = 2),
+    "q_pagerank" -> pageRankSql(w = 5, iters = 3, scale = 1000000000000L, dNum = 85, dDen = 100),
     // Full independent oracles for the MinHash/SimHash/sketch lanes:
     // DuckDB recomputes XXH64(seed 42) + splitmix64 from the raw
     // text/vectors in HUGEINT arithmetic (see XxhSql) — no

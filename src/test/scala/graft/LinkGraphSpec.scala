@@ -149,4 +149,41 @@ class LinkGraphSpec extends SparkSpec {
     assert(default.map(_.toSeq).toSeq == accepted.map(_.toSeq).toSeq,
       "default bound admits a 20-node clique and matches the explicit run")
   }
+
+  test("pageRank: hand-computed fixed-point iteration on a path + isolated node") {
+    // path 1-2-3 (symmetric) + isolated 4; N=4, scale 1e12:
+    //   r0 = 250e9 each, teleport = (15e12/100)/4 = 37.5e9
+    //   deg: 1→1, 2→2, 3→1
+    //   contrib into 1: r0(2)/2 = 125e9 → r1(1) = 37.5e9 + 85·125e9/100 = 143.75e9
+    //   contrib into 2: r0(1)+r0(3) = 500e9 → r1(2) = 37.5e9 + 425e9 = 462.5e9
+    //   isolated 4 keeps teleport only
+    val e = edgesOf((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+    val out = LinkGraph.pageRank(nodes(1L, 2L, 3L, 4L), "id", e, iters = 1)
+      .orderBy($"id").collect()
+    val ranks = out.map(r => r.getAs[Long]("id") -> r.getAs[Long]("rank_fp")).toMap
+    assert(ranks == Map(1L -> 143750000000L, 2L -> 462500000000L,
+      3L -> 143750000000L, 4L -> 37500000000L), s"got $ranks")
+    assert(out.forall(r =>
+      r.getAs[Double]("score") == r.getAs[Long]("rank_fp").toDouble / 1e12))
+    // mass is conserved up to deterministic truncation (never exceeds scale)
+    assert(ranks.values.sum <= 1000000000000L)
+  }
+
+  test("pageRank: bit-identical across partitionings and edge duplication") {
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(60)((rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))
+      .filter(p => p._1 != p._2).flatMap(p => Seq(p, p.swap)).distinct
+    val n = nodes((0L until 15L): _*)
+    val a = LinkGraph.pageRank(n, "id", edgesOf(pairs: _*), iters = 3)
+      .orderBy($"id").collect().map(_.toSeq).toSeq
+    // different partitioning + duplicated edge rows (pageRank distincts)
+    val dupEdges = edgesOf((pairs ++ pairs): _*).repartition(7)
+    val b = LinkGraph.pageRank(n.repartition(3), "id", dupEdges, iters = 3)
+      .orderBy($"id").collect().map(_.toSeq).toSeq
+    assert(a == b, "fixed-point PageRank must be partition-invariant")
+    // more iterations stay within total mass and move toward stationarity
+    val r5 = LinkGraph.pageRank(n, "id", edgesOf(pairs: _*), iters = 5)
+      .agg(org.apache.spark.sql.functions.sum($"rank_fp")).head().getLong(0)
+    assert(r5 <= 1000000000000L && r5 > 0L)
+  }
 }
