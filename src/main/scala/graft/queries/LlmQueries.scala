@@ -1628,6 +1628,17 @@ object LlmQueries {
         .orderBy(col("source"))
     }),
 
+    // MMR-diversified retrieval: top-10 cosine candidates per query,
+    // greedily re-ranked to 5 picks trading relevance against
+    // max-similarity-to-already-selected (the classic diversification
+    // re-ranker; sequential only WITHIN a query's bounded candidate list)
+    "q_mmr_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Evaluation.mmrRerank(emb, emb.where(col("vec_id") < 5), "embedding", "vec_id",
+          nCandidates = 10, k = 5)
+        .orderBy(col("query_id"), col("mmr_rank"))
+    }),
+
     // fixed-point PageRank over the shared-span graph: the PageRank-
     // family quality signal the centrality class doc deferred, made
     // bit-deterministic (integer mass units; see LinkGraph.pageRank) —
@@ -1874,10 +1885,61 @@ object LlmQueries {
        |FROM p$iters ORDER BY doc_id""".stripMargin
   }
 
+  /** Greedy-MMR oracle: candidate/pair CTEs (6-rounded cosines — the
+    * doubles are bitwise equal across engines, so the `lam·rel − pen·max`
+    * arithmetic is too), then k−1 unrolled selection steps, each an
+    * argmax over the not-yet-selected candidates with a max-sim join to
+    * the running selection. `lam`/`pen` are passed as SQL literal TEXT so
+    * both engines parse the identical double.
+    */
+  private def mmrSql(nQ: Int, nCand: Int, k: Int, lam: String, pen: String): String = {
+    val steps = (2 to k).map { i =>
+      s"""sc$i AS (
+         |  SELECT c.query_id, c.id, $lam * c.rel - $pen * pn.mx AS score
+         |  FROM cands c
+         |  JOIN (SELECT p.query_id, p.ia AS id, max(p.s) AS mx
+         |        FROM ps p JOIN sel${i - 1} s ON p.query_id = s.query_id AND p.ib = s.id
+         |        GROUP BY p.query_id, p.ia) pn
+         |    ON c.query_id = pn.query_id AND c.id = pn.id
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} s2
+         |                    WHERE s2.query_id = c.query_id AND s2.id = c.id)),
+         |pk$i AS (
+         |  SELECT query_id, id, score, $i AS mmr_rank FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS rn
+         |    FROM sc$i) WHERE rn = 1),
+         |sel$i AS MATERIALIZED (SELECT * FROM sel${i - 1} UNION ALL SELECT * FROM pk$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < $nQ),
+       |c0 AS (
+       |  SELECT q.query_id, e.vec_id AS id,
+       |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS rel
+       |  FROM embeddings e JOIN q ON e.vec_id <> q.query_id),
+       |cands AS MATERIALIZED (
+       |  SELECT query_id, id, rel FROM (
+       |    SELECT query_id, id, rel,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, id) AS rn
+       |    FROM c0) WHERE rn <= $nCand),
+       |ps AS MATERIALIZED (
+       |  SELECT a.query_id, a.id AS ia, b.id AS ib,
+       |    round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])), 6) AS s
+       |  FROM cands a JOIN cands b ON a.query_id = b.query_id AND a.id <> b.id
+       |  JOIN embeddings ea ON ea.vec_id = a.id
+       |  JOIN embeddings eb ON eb.vec_id = b.id),
+       |sel1 AS MATERIALIZED (
+       |  SELECT query_id, id, $lam * rel - $pen * 0.0 AS score, 1 AS mmr_rank FROM (
+       |    SELECT query_id, id, rel,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, id) AS rn
+       |    FROM cands) WHERE rn = 1),
+       |$steps
+       |SELECT query_id, id AS neighbor_id, CAST(mmr_rank AS INTEGER) AS mmr_rank, score
+       |FROM sel$k ORDER BY query_id, mmr_rank""".stripMargin
+  }
+
   private val baseOracles: Map[String, String] = Map(
     "q_blocklist" -> blocklistReportSql(BlocklistTerms),
     "q_blocklist_filter" -> blocklistFilterSql(BlocklistFilterTerms, maxHits = 2),
     "q_pagerank" -> pageRankSql(w = 5, iters = 3, scale = 1000000000000L, dNum = 85, dDen = 100),
+    "q_mmr_rerank" -> mmrSql(nQ = 5, nCand = 10, k = 5, lam = "0.7", pen = "0.3"),
     // Full independent oracles for the MinHash/SimHash/sketch lanes:
     // DuckDB recomputes XXH64(seed 42) + splitmix64 from the raw
     // text/vectors in HUGEINT arithmetic (see XxhSql) — no

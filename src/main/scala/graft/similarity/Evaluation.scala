@@ -505,6 +505,56 @@ object Evaluation {
     Seq((n, round6(ece), brier)).toDF("n", "ece", "brier")
   }
 
+  /** MMR-diversified top-k: retrieve `nCandidates` per query by cosine
+    * ([[Similarity.bruteForceTopK]] — swap in an IVF probe at scale),
+    * then greedily re-rank to `k` picks per query maximizing
+    * `lam·rel − penWeight·max-sim-to-selected`
+    * ([[graft.expressions.MmrSelect]], which holds the algorithm +
+    * determinism contract). Distribution shape: candidate generation and
+    * the candidate-pair similarity matrix are broadcast joins over
+    * (queries × nCandidates) rows; the sequential greedy loop runs
+    * per-query over collected arrays of that bounded size — queries
+    * parallelize, no driver loop. Output:
+    * `(query_id, neighbor_id, mmr_rank, score)`.
+    *
+    * `lam` and `penWeight` are independent (NOT forced to sum to 1):
+    * deriving `1 − lam` in double arithmetic would yield literals no SQL
+    * oracle can spell (0.7 → 0.30000000000000004).
+    */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, nCandidates: Int, k: Int,
+      lam: Double = 0.7, penWeight: Double = 0.3): DataFrame = {
+    require(k >= 1 && nCandidates >= k,
+      s"mmrRerank: need nCandidates $nCandidates >= k $k >= 1")
+    val cands = Similarity.bruteForceTopK(corpus, queries, vecCol, idCol, nCandidates)
+      .select(col("query_id"), col("neighbor_id"), col("cosine_sim"))
+    // candidate vectors: the (queries × nCandidates) id list broadcasts
+    // against the corpus — corpus never shuffles
+    val cwv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__v"))
+      .join(broadcast(cands), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cosine_sim"), col("__v"))
+    val pairs = cwv.as("a").join(cwv.as("b"),
+        col("a.query_id") === col("b.query_id") &&
+          col("a.neighbor_id") < col("b.neighbor_id"))
+      .select(col("a.query_id").as("query_id"),
+        col("a.neighbor_id").as("ia"), col("b.neighbor_id").as("ib"),
+        round(graft.functions.VectorFunctions.cosine(col("a.__v"), col("b.__v")), 6).as("s"))
+    val candArr = cands.groupBy(col("query_id")).agg(collect_list(
+      struct(col("neighbor_id").as("id"), col("cosine_sim").as("rel"))).as("__c"))
+    val pairArr = pairs.groupBy(col("query_id"))
+      .agg(collect_list(struct(col("ia"), col("ib"), col("s"))).as("__p"))
+    val emptyPairs = expr("CAST(array() AS array<struct<ia:bigint,ib:bigint,s:double>>)")
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val sel = bridge.column(graft.expressions.MmrSelect(
+      bridge.expression(col("__c")),
+      bridge.expression(coalesce(col("__p"), emptyPairs)),
+      k, lam, penWeight))
+    candArr.join(pairArr, Seq("query_id"), "left")
+      .select(col("query_id"), explode(sel).as("__m"))
+      .select(col("query_id"), col("__m.neighbor_id"), col("__m.mmr_rank"),
+        col("__m.score"))
+  }
+
   def calibration(scored: DataFrame, scoreCol: String, labelCol: String,
       nBins: Int = 10): DataFrame = {
     require(nBins >= 1, s"calibration: nBins $nBins < 1")

@@ -348,4 +348,31 @@ class EvaluationSpec extends SparkSpec {
     }
     assert(sm.getDouble(2) == expectBrier, s"brier ${sm.getDouble(2)} != $expectBrier")
   }
+
+  test("mmrRerank: diversification flips the near-duplicate out of slot 2") {
+    import spark.implicits._
+    // query (1,0); 1=(0.8,0.6) rel .8; 2=(1.6,1.2) SAME direction as 1
+    // (rel .8, sim 1.0); 3=(0.6,-0.8) rel .6 but orthogonal to 1 (sim 0)
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.8f, 0.6f)),
+      (2L, Seq(1.6f, 1.2f)),
+      (3L, Seq(0.6f, -0.8f))).toDF("vec_id", "embedding")
+    val out = Evaluation.mmrRerank(corpus, corpus.where($"vec_id" === 0),
+        "embedding", "vec_id", nCandidates = 3, k = 2)
+      .orderBy($"mmr_rank").collect()
+    // pick 1: rel tie .8/.8 between ids 1,2 → smaller id; score .7·.8
+    assert(out(0).getLong(1) == 1L && out(0).getInt(2) == 1)
+    assert(math.abs(out(0).getDouble(3) - 0.56) < 1e-9)
+    // pick 2: near-dup 2 scores .7·.8−.3·1.0=.26 < orthogonal 3's
+    // .7·.6−.3·0=.42 — pure top-k would keep 2, MMR flips to 3
+    assert(out(1).getLong(1) == 3L && out(1).getInt(2) == 2)
+    assert(math.abs(out(1).getDouble(3) - 0.42) < 1e-9)
+    // k > candidates truncates gracefully; single-candidate query works
+    val solo = Evaluation.mmrRerank(
+      Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.5f, 0.5f))).toDF("vec_id", "embedding"),
+      Seq((0L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding"),
+      "embedding", "vec_id", nCandidates = 5, k = 5).collect()
+    assert(solo.length == 1 && solo(0).getInt(2) == 1)
+  }
 }
