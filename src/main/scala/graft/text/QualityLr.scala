@@ -47,7 +47,10 @@ object QualityLr {
     val pt = passthrough.map(col)
     val scored = docs
       .select(Seq(col(idCol).as("id"), toks.as("__toks"),
-        length(regexp_replace(T.normalizeText(col(textCol)), " ", "")).as("__chars")) ++ pt: _*)
+        // translate (char-map delete), not regexp_replace: the last
+        // regex in an operator hot path — java.util.regex serializes
+        // across threads on this VM class (SCALE.md round 10)
+        length(translate(T.normalizeText(col(textCol)), " ", "")).as("__chars")) ++ pt: _*)
       .where(size(col("__toks")) > 0)
       .select(Seq(col("id"),
         size(col("__toks")).cast("long").as("n_tokens"),

@@ -230,7 +230,29 @@ object PlanCheck {
     Check(
       "q_export_pack",
       mustContain = Seq("Window"),
-      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin", "SinglePartition"))
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin", "SinglePartition")),
+    // PII redaction is a pure narrow map: no join, no aggregate, no hash
+    // exchange anywhere (the only exchange is the final order-by range)
+    Check(
+      "q_pii_redact",
+      mustNotContain = Seq("HashAggregate", "Join", "hashpartitioning")),
+    // blocklist filter: one AC scan + map-side-combined rollup, no join
+    Check(
+      "q_blocklist_filter",
+      mustContain = Seq("partial_count", "HashAggregate"),
+      mustNotContain = Seq("Join")),
+    // MMR: candidate generation broadcasts the query side and the top-k
+    // compiles to a partial group limit; candidate-pair sims broadcast too
+    Check(
+      "q_mmr_rerank",
+      mustContain = Seq("BroadcastHashJoin", "WindowGroupLimit"),
+      mustNotContain = Seq("CartesianProduct")),
+    // PageRank iterations are equi joins on src — never a cartesian; the
+    // localCheckpoint pins hide the loop, so the visible plan is the last
+    // rank read (BuildCheck below audits one un-pinned iteration)
+    Check(
+      "q_pagerank",
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
   )
 
   /** Plan checks for operator INTERNALS the gate plans hide behind
@@ -279,6 +301,25 @@ object PlanCheck {
       (s, dir) => graft.dedup.Dedup.minHashPairsPlan(
         s.read.parquet(s"$dir/documents.parquet"), "text", "doc_id"),
       mustContain = Seq("partial_min"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // one PageRank iteration un-pinned (the gate plan hides the loop
+    // behind localCheckpoint): contributions are an equi join on src with
+    // a map-side-combined sum — |E| rows shuffle, nothing quadratic
+    BuildCheck(
+      "pagerank_iteration",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val edges = graft.text.LinkGraph.sharedSpanEdges(docs, "doc_id", "text", w = 5, maxDf = 32)
+          .where(col("src") =!= col("dst")).distinct()
+        val ewd = edges.join(
+          edges.groupBy(col("src")).agg(count(lit(1)).as("__deg")), Seq("src"))
+        val ranks = docs.select(col("doc_id").as("id")).withColumn("r", lit(1000000L))
+        ranks.join(ewd, col("id") === col("src"))
+          .select(col("dst").as("id"), expr("r div __deg").as("__c"))
+          .groupBy(col("id")).agg(sum(col("__c")).as("__s"))
+      },
+      mustContain = Seq("partial_sum"),
       mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
   )
 

@@ -384,6 +384,85 @@ object ScaleProbe {
         println(s"""{"mode":"webm_clip","vids":$nVids,"frames":$nFrames,""" +
           s""""clip_rows":$nSeek,"full_rows":$nFull,""" +
           f""""full_s":$tFull%.2f,"clip_seek_s":$tSeek%.2f,"clip_linear_s":$tLin%.2f}""")
+      case "pii" =>
+        // regex chain vs PiiScan kernels on contact-bearing text (the
+        // q_pii_stats synthesis): same output bytes, measured wall —
+        // quantifies the java.util.regex thread-serialization tax at
+        // this tier (SCALE.md round 10 finding)
+        import graft.functions.{TextFunctions => T}
+        val txt = concat(
+          col("text"), lit(" u"), col("doc_id").cast("string"), lit("@ex.com"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit(" +"), (pmod(col("doc_id"), lit(90)) + 1).cast("string"), lit("-555-1234")))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(4)) === 0,
+            concat(lit(" 192.168.0."), pmod(col("doc_id"), lit(256)).cast("string")))
+            .otherwise(lit("")))
+        def secsP[A](f: => A): (A, Double) = {
+          val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+        }
+        def best2P[A](f: => A): (A, Double) = {
+          val (r, t1) = secsP(f); val (_, t2) = secsP(f); (r, math.min(t1, t2))
+        }
+        val (kernelSum, tKernel) = best2P {
+          docs.select(sum(length(T.piiRedact(txt))).as("s")).head().getLong(0)
+        }
+        val regexChain = regexp_replace(regexp_replace(regexp_replace(txt,
+          "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "[EMAIL]"),
+          "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}", "[PHONE]"),
+          "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "[IP]")
+        val (regexSum, tRegex) = best2P {
+          docs.select(sum(length(regexChain)).as("s")).head().getLong(0)
+        }
+        require(kernelSum == regexSum, s"kernel/regex disagree: $kernelSum vs $regexSum")
+        println(s"""{"mode":"pii","sum_len":$kernelSum,""" +
+          f""""kernel_s":$tKernel%.2f,"regex_s":$tRegex%.2f}""")
+      case "blocklist" =>
+        // one Aho–Corasick pass vs |terms| literal-replace passes (the
+        // naive per-term formulation) over the same 62-term blocklist
+        val vocab = Seq("spark", "join", "batch", "stream", "filter", "merge", "sort",
+          "query", "table", "scan", "hash", "group", "order", "window", "line",
+          "data", "row", "key", "fast", "slow", "small", "big", "agg", "value",
+          "part", "customer", "column", "the")
+        val terms = vocab ++ vocab.sliding(2).map(_.mkString(" ")).toSeq ++
+          Seq("batch batch", "merge line", "the fast", "qu", "stream spark", "row data", "a f")
+        val distinctTerms = terms.distinct
+        def secsB[A](f: => A): (A, Double) = {
+          val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+        }
+        def best2B[A](f: => A): (A, Double) = {
+          val (r, t1) = secsB(f); val (_, t2) = secsB(f); (r, math.min(t1, t2))
+        }
+        val (acTotal, tAc) = best2B {
+          docs.select(sum(graft.text.Blocklist.totalHits(col("text"), distinctTerms).cast("long")))
+            .head().getLong(0)
+        }
+        // naive baseline: per-term non-overlapping counts via literal
+        // replace — |terms| full passes over the column (and slightly
+        // weaker semantics: AC counts self-overlapping occurrences too)
+        val naiveCols = distinctTerms.map(tm =>
+          ((length(col("text")) - length(expr(s"replace(text, '${tm.replace("'", "''")}', '')")))
+            / lit(tm.length)).cast("long"))
+        val (naiveTotal, tNaive) = best2B {
+          docs.select(sum(naiveCols.reduce(_ + _))).head().getLong(0)
+        }
+        println(s"""{"mode":"blocklist","terms":${distinctTerms.length},""" +
+          s""""ac_hits":$acTotal,"naive_hits":$naiveTotal,""" +
+          f""""ac_s":$tAc%.2f,"naive_s":$tNaive%.2f}""")
+      case "pagerank" =>
+        // fixed-point PageRank at the tier: per-iteration cost is one
+        // |E| contribution shuffle — confirm linear behavior on the
+        // w=6 graph (the corpus-scale span width from q_link_score_sampled)
+        val t0 = System.nanoTime()
+        val edges = LinkGraph.sharedSpanEdges(docs, "doc_id", "text", w = 6, maxDf = 32)
+        val nEdges = edges.count()
+        val tEdges = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val pr = LinkGraph.pageRank(docs.select(col("doc_id")), "doc_id", edges, iters = 3)
+        val mass = pr.agg(sum(col("rank_fp"))).head().getLong(0)
+        val tPr = (System.nanoTime() - t1) / 1e9
+        println(s"""{"mode":"pagerank","edges":$nEdges,"mass":$mass,""" +
+          f""""edges_s":$tEdges%.1f,"pagerank_s":$tPr%.1f}""")
       case other => sys.error(s"unknown probe mode: $other")
     }
     spark.stop()
