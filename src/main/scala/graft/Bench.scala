@@ -105,7 +105,13 @@ object Bench {
     // laced-WebM indexing, and the mixed-container dispatch
     "q_ann_ivf_refined",
     "q_video_index_webm_laced",
-    "q_video_index_auto"
+    "q_video_index_auto",
+    // round 11: char-scan PII redaction, Aho–Corasick blocklist report,
+    // fixed-point PageRank, MMR-diversified retrieval
+    "q_pii_redact",
+    "q_blocklist",
+    "q_pagerank",
+    "q_mmr_rerank"
   )
 
   def main(args: Array[String]): Unit = {

@@ -77,7 +77,8 @@ object Blocklist {
   * after construction — safe to share across threads with no locking
   * (the property java.util.regex lacks in practice on this VM class).
   */
-final class AcAutomaton(patternsIn: Seq[Array[Byte]]) extends Serializable {
+final class AcAutomaton(patternsIn: Seq[Array[Byte]],
+    maxNodes: Int = AcAutomaton.MaxTrieNodes) extends Serializable {
   require(patternsIn.nonEmpty, "AcAutomaton: empty pattern list")
   require(patternsIn.forall(_.nonEmpty), "AcAutomaton: empty pattern")
 
@@ -97,6 +98,20 @@ final class AcAutomaton(patternsIn: Seq[Array[Byte]]) extends Serializable {
       while (i < p.length) {
         val c = p(i) & 0xff
         if (buf(s)(c) < 0) {
+          // fail fast on automaton size (the simHashPairs/knnClassify
+          // guard pattern): the flat 256-wide DFA costs ~2 KB of executor
+          // heap per trie node (goto row + flattened transition row), and
+          // the automaton may be rebuilt per task — a megabyte-scale
+          // pattern set silently allocating gigabytes must be a measured
+          // decision (a goto-hashmap variant), not a surprise. The check
+          // runs DURING the build, before the fat arrays grow past the
+          // bound; the default (128k nodes ≈ 256 MB peak) admits 10k+
+          // phrase curation blocklists — raise `maxNodes` explicitly to
+          // accept more.
+          if (buf.length >= maxNodes) throw new IllegalArgumentException(
+            s"AcAutomaton: pattern set needs more than $maxNodes trie nodes " +
+              s"(~2 KB heap each, ~${maxNodes.toLong * 2048 / (1 << 20)} MB) - " +
+              "pass a larger maxNodes to accept the memory cost knowingly")
           val fresh = new Array[Int](256)
           java.util.Arrays.fill(fresh, -1)
           buf += fresh
@@ -171,4 +186,11 @@ final class AcAutomaton(patternsIn: Seq[Array[Byte]]) extends Serializable {
     }
     c
   }
+}
+
+object AcAutomaton {
+  /** Default trie-node bound (~256 MB peak executor heap) — see the
+    * in-build guard.
+    */
+  val MaxTrieNodes: Int = 131072
 }

@@ -63,6 +63,20 @@ class BlocklistSpec extends SparkSpec {
     intercept[IllegalArgumentException](new AcAutomaton(Nil))
   }
 
+  test("size guard: a pattern set past the node bound fails fast, a realistic one builds") {
+    // one chain pattern = one node per byte → a tiny explicit bound trips
+    val big = Array.fill(200)('a'.toByte)
+    val ex = intercept[IllegalArgumentException](
+      new AcAutomaton(Seq(big), maxNodes = 100))
+    assert(ex.getMessage.contains("maxNodes"), ex.getMessage)
+    // a 10k-phrase blocklist (realistic curation scale) builds and matches
+    val terms = (0 until 10000).map(i => s"badphrase$i ")
+    val ac = new AcAutomaton(terms.map(_.getBytes("UTF-8")))
+    val out = new Array[Int](terms.length)
+    ac.countsInto("x badphrase7 y badphrase42 badphrase42 z".getBytes, out)
+    assert(out(7) == 1 && out(42) == 2 && out.sum == 3)
+  }
+
   test("report + filterClean over a DataFrame") {
     val docs = Seq(
       (0L, "s0", "clean text here"),
