@@ -78,6 +78,35 @@ object CodegenCheck {
       System.err.println(gen.take(6000))
       sys.error(s"[codegen] expressions NOT in generated code: $missing")
     }
+    // round-11 kernels: PII scans, blocklist automaton, MMR selection
+    val txtDf = spark.range(8)
+      .select(concat(lit("a"), col("id"), lit("@b.co +1-555-0042 10.0.0."), col("id")).as("t"))
+      .select(
+        T.piiRedact(col("t")).as("red"),
+        T.piiCounts(col("t")).as("pc"),
+        graft.text.Blocklist.hits(col("t"), Seq("555", "@b")).as("bh"),
+        graft.text.Blocklist.totalHits(col("t"), Seq("555", "@b")).as("bt"))
+    val genTxt = org.apache.spark.sql.execution.debug.codegenString(txtDf.queryExecution.executedPlan)
+    val txtNeedles = Seq("evalRedact", "evalCounts", "evalHits", "evalCount")
+    val txtMissing = txtNeedles.filterNot(genTxt.contains)
+    if (txtMissing.nonEmpty) {
+      System.err.println(genTxt.take(6000))
+      sys.error(s"[codegen] round-11 text kernels NOT in generated code: $txtMissing")
+    }
+    txtDf.head()
+    val mmrDf = spark.range(8)
+      .select(
+        array(struct(col("id").as("id"), (col("id") * 0.1).as("rel")),
+          struct((col("id") + 100).as("id"), lit(0.5).as("rel"))).as("c"),
+        expr("CAST(array() AS array<struct<ia:bigint,ib:bigint,s:double>>)").as("p"))
+      .select(b.column(graft.expressions.MmrSelect(
+        b.expression(col("c")), b.expression(col("p")), 2, 0.7, 0.3)).as("sel"))
+    val genMmr = org.apache.spark.sql.execution.debug.codegenString(mmrDf.queryExecution.executedPlan)
+    if (!genMmr.contains("evalMmr")) {
+      System.err.println(genMmr.take(6000))
+      sys.error("[codegen] MmrSelect NOT in generated code")
+    }
+    mmrDf.head()
     val row = df.head()
     System.err.println(s"[codegen] OK — all custom kernels present in generated code; sample row: $row")
     spark.stop()
