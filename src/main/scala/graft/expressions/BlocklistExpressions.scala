@@ -40,6 +40,34 @@ case class BlocklistHits(child: Expression, terms: Seq[String]) extends UnaryExp
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Non-overlapping redaction of every blocklisted term —
+  * `regexp_replace(text, 't1|t2|…', repl)`-compatible (leftmost start,
+  * pattern-order priority; see [[graft.text.AcAutomaton.redact]]) in one
+  * automaton pass instead of an alternation regex.
+  */
+case class BlocklistRedact(child: Expression, terms: Seq[String], repl: String)
+    extends UnaryExpression {
+  require(terms.nonEmpty && terms.forall(_.nonEmpty), "BlocklistRedact: empty term")
+
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult = TextHash.checkString(child.dataType)
+
+  @transient private lazy val ac = new AcAutomaton(terms.map(_.getBytes("UTF-8")))
+  @transient private lazy val replBytes = repl.getBytes("UTF-8")
+
+  override def nullSafeEval(v: Any): Any = evalRedactBl(v.asInstanceOf[UTF8String])
+
+  def evalRedactBl(s: UTF8String): UTF8String =
+    UTF8String.fromBytes(ac.redact(s.getBytes, replBytes))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("blocklistRedact", this, classOf[BlocklistRedact].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.evalRedactBl($a);")
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Total occurrence count across all terms (the filter threshold). */
 case class BlocklistCount(child: Expression, terms: Seq[String]) extends UnaryExpression {
   require(terms.nonEmpty && terms.forall(_.nonEmpty), "BlocklistCount: empty term")

@@ -1628,6 +1628,26 @@ object LlmQueries {
         .orderBy(col("source"))
     }),
 
+    // weighted PageRank: link strength = # shared spans, contribution
+    // (rank·w)/W(src) — same fixed-point determinism contract; w=6 keeps
+    // the second PageRank lane on the sparser corpus-scale span width
+    "q_pagerank_weighted" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val edges = LinkGraph.sharedSpanEdgesWeighted(docs, "doc_id", "text", w = 6, maxDf = 32)
+      LinkGraph.pageRankWeighted(docs.select(col("doc_id")), "doc_id", edges, iters = 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // blocklist redaction: mask the terms instead of dropping the doc
+    // (regexp_replace-alternation semantics in one automaton pass)
+    "q_blocklist_redact" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.text.Blocklist.redactTerms(col("text"), BlocklistFilterTerms, "[BLOCKED]")
+            .as("redacted"))
+        .orderBy(col("doc_id"))
+    }),
+
     // MMR-diversified retrieval: top-10 cosine candidates per query,
     // greedily re-ranked to 5 picks trading relevance against
     // max-similarity-to-already-selected (the classic diversification
@@ -1850,12 +1870,17 @@ object LlmQueries {
     * (DuckDB `//` floors, Spark `div` truncates — identical on the
     * all-positive mass values).
     */
-  private def pageRankSql(w: Int, iters: Int, scale: Long, dNum: Int, dDen: Int): String = {
+  private def pageRankSql(w: Int, iters: Int, scale: Long, dNum: Int, dDen: Int,
+      weighted: Boolean = false): String = {
     val sl = w - 1
+    // weighted: edge weight = # shared spans, contribution (r·w)/W(src);
+    // unweighted: r/outdeg — both replayed in BIGINT exactly
+    val contribExpr =
+      if (weighted) "sum((p.r * e.w) // d.deg)" else "sum(p.r // d.deg)"
     val iterCtes = (1 to iters).map { k =>
       val prev = if (k == 1) "p0" else s"p${k - 1}"
       s"""c$k AS (
-         |  SELECT e.dst AS id, CAST(sum(p.r // d.deg) AS BIGINT) AS s
+         |  SELECT e.dst AS id, CAST($contribExpr AS BIGINT) AS s
          |  FROM r1 e JOIN $prev p ON e.src = p.id JOIN deg d ON e.src = d.src
          |  GROUP BY e.dst),
          |p$k AS MATERIALIZED (
@@ -1863,6 +1888,18 @@ object LlmQueries {
          |    CAST(tp.tp + coalesce(($dNum * c$k.s) // $dDen, 0) AS BIGINT) AS r
          |  FROM documents CROSS JOIN tp LEFT JOIN c$k ON documents.doc_id = c$k.id)""".stripMargin
     }.mkString(",\n")
+    val edgeCtes =
+      if (weighted)
+        s"""r1 AS MATERIALIZED (
+           |  SELECT a.doc_id AS src, b.doc_id AS dst, CAST(count(*) AS BIGINT) AS w
+           |  FROM sp a JOIN sp b ON a.span = b.span AND a.doc_id <> b.doc_id
+           |  GROUP BY a.doc_id, b.doc_id),
+           |deg AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS deg FROM r1 GROUP BY src),""".stripMargin
+      else
+        s"""r1 AS MATERIALIZED (
+           |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+           |  FROM sp a JOIN sp b ON a.span = b.span AND a.doc_id <> b.doc_id),
+           |deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM r1 GROUP BY src),""".stripMargin
     s"""WITH tk AS (
        |  SELECT doc_id, list_filter($toksSql, x -> x <> '') AS toks FROM documents),
        |sp0 AS MATERIALIZED (
@@ -1872,10 +1909,7 @@ object LlmQueries {
        |rare AS MATERIALIZED (
        |  SELECT span FROM sp0 GROUP BY span HAVING count(*) BETWEEN 2 AND 32),
        |sp AS MATERIALIZED (SELECT doc_id, span FROM sp0 JOIN rare USING (span)),
-       |r1 AS MATERIALIZED (
-       |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
-       |  FROM sp a JOIN sp b ON a.span = b.span AND a.doc_id <> b.doc_id),
-       |deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM r1 GROUP BY src),
+       |$edgeCtes
        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
        |tp AS (SELECT CAST(((${dDen - dNum} * $scale) // $dDen) // n AS BIGINT) AS tp FROM nn),
        |p0 AS MATERIALIZED (
@@ -1939,7 +1973,15 @@ object LlmQueries {
     "q_blocklist" -> blocklistReportSql(BlocklistTerms),
     "q_blocklist_filter" -> blocklistFilterSql(BlocklistFilterTerms, maxHits = 2),
     "q_pagerank" -> pageRankSql(w = 5, iters = 3, scale = 1000000000000L, dNum = 85, dDen = 100),
+    "q_pagerank_weighted" -> pageRankSql(w = 6, iters = 3, scale = 1000000000000L,
+      dNum = 85, dDen = 100, weighted = true),
     "q_mmr_rerank" -> mmrSql(nQ = 5, nCand = 10, k = 5, lam = "0.7", pen = "0.3"),
+    // alternation-regex twin of the AC redaction (terms are regex-inert:
+    // alphanumerics + spaces; alternation order = term-list order)
+    "q_blocklist_redact" ->
+      s"""SELECT doc_id,
+         |  regexp_replace(text, '${BlocklistFilterTerms.mkString("|")}', '[BLOCKED]', 'g') AS redacted
+         |FROM documents ORDER BY doc_id""".stripMargin,
     // Full independent oracles for the MinHash/SimHash/sketch lanes:
     // DuckDB recomputes XXH64(seed 42) + splitmix64 from the raw
     // text/vectors in HUGEINT arithmetic (see XxhSql) — no

@@ -42,6 +42,14 @@ object Blocklist {
   def totalHits(c: Column, terms: Seq[String]): Column =
     e2col(graft.expressions.BlocklistCount(col2e(c), terms))
 
+  /** Redact every blocklisted term (non-overlapping, leftmost-start,
+    * pattern-order priority — `regexp_replace(c, 't1|t2|…', repl)`
+    * semantics in one automaton pass). The softer sibling of
+    * [[filterClean]] for terms that should be masked, not drop the doc.
+    */
+  def redactTerms(c: Column, terms: Seq[String], repl: String = "[BLOCKED]"): Column =
+    e2col(graft.expressions.BlocklistRedact(col2e(c), terms, repl))
+
   /** Corpus-level blocklist report: per term, total occurrences and the
     * number of documents containing it. One scan + one shuffle on the
     * (tiny) term dimension.
@@ -185,6 +193,56 @@ final class AcAutomaton(patternsIn: Seq[Array[Byte]],
       i += 1
     }
     c
+  }
+
+  private val lens: Array[Int] = patternsIn.map(_.length).toArray
+
+  /** Non-overlapping redaction, bit-compatible with
+    * `Matcher.replaceAll` over the alternation `t1|t2|…` (both
+    * java.util.regex and RE2 use leftmost-start, PATTERN-ORDER-priority
+    * alternation semantics — NOT longest-match): collect every AC match,
+    * sort by (start, pattern index) — one packed Long comparison — then
+    * greedily take the first match at or after the cursor and resume at
+    * its end. Terms must therefore be listed in the same order as the
+    * oracle's alternation.
+    */
+  def redact(text: Array[Byte], repl: Array[Byte]): Array[Byte] = {
+    // collect packed (start << 32 | patternIdx); starts and idx are
+    // non-negative so Long order == (start, idx) lexicographic order
+    var ms: Array[Long] = new Array[Long](8)
+    var nMs = 0
+    var s = 0
+    var i = 0
+    while (i < text.length) {
+      s = delta(s * 256 + (text(i) & 0xff))
+      var u = if (term(s) >= 0) s else dictLink(s)
+      while (u > 0) {
+        val idx = term(u)
+        val start = i - lens(idx) + 1
+        if (nMs == ms.length) ms = java.util.Arrays.copyOf(ms, nMs * 2)
+        ms(nMs) = (start.toLong << 32) | idx.toLong
+        nMs += 1
+        u = dictLink(u)
+      }
+      i += 1
+    }
+    if (nMs == 0) return text
+    java.util.Arrays.sort(ms, 0, nMs)
+    val out = new java.io.ByteArrayOutputStream(text.length + 16)
+    var cursor = 0
+    var m = 0
+    while (m < nMs) {
+      val start = (ms(m) >>> 32).toInt
+      if (start >= cursor) {
+        val idx = (ms(m) & 0xffffffffL).toInt
+        out.write(text, cursor, start - cursor)
+        out.write(repl, 0, repl.length)
+        cursor = start + lens(idx)
+      }
+      m += 1
+    }
+    out.write(text, cursor, text.length - cursor)
+    out.toByteArray
   }
 }
 

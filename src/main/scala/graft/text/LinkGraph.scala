@@ -274,6 +274,69 @@ object LinkGraph {
       (col("r").cast("double") / lit(scale.toDouble)).as("score"))
   }
 
+  /** [[pageRank]] with per-edge Long weights (`edges: (src, dst,
+    * weight)`) — contribution `(rank·w) / W(src)` instead of
+    * `rank / outdeg`, all integer, same bit-determinism contract.
+    * Duplicate (src, dst) rows are weight-SUMMED (one |E| aggregation
+    * per call, not per iteration). Two fail-fast overflow guards ride
+    * the same aggregation: per-source total weight `W(src)` and the
+    * `scale · maxWeight` product must fit the damping multiply — probed
+    * before any iteration starts, with the formula in the message.
+    */
+  def pageRankWeighted(nodes: DataFrame, idCol: String, edges: DataFrame, iters: Int,
+      scale: Long = 1000000000000L, dampNum: Int = 85, dampDen: Int = 100,
+      maxSourceWeight: Long = 1000000L): DataFrame = {
+    require(iters >= 1, s"LinkGraph.pageRankWeighted: iters $iters < 1")
+    require(dampNum > 0 && dampNum < dampDen,
+      s"LinkGraph.pageRankWeighted: damping $dampNum/$dampDen")
+    require(scale >= 1 && scale <= Long.MaxValue / dampDen,
+      s"LinkGraph.pageRankWeighted: scale $scale would overflow the damping multiply")
+    val ids = nodes.select(col(idCol).as("id"))
+    val e = edges.select(col("src"), col("dst"), col("weight").cast("long").as("weight"))
+      .where(col("src") =!= col("dst") && col("weight") > 0)
+      .groupBy(col("src"), col("dst")).agg(sum(col("weight")).as("weight"))
+    val ewd = e.join(
+        e.groupBy(col("src")).agg(sum(col("weight")).as("__wsum")), Seq("src"))
+      .cache()
+    // overflow guard (fail fast, riding the cached edge table): the
+    // per-edge product rank·weight is bounded by scale·maxW, which must
+    // stay under Long.MaxValue with headroom for the damping multiply
+    val maxW = ewd.agg(max(col("__wsum"))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    if (maxW > maxSourceWeight) {
+      ewd.unpersist()
+      throw new IllegalArgumentException(
+        s"LinkGraph.pageRankWeighted: max per-source weight $maxW exceeds " +
+          s"maxSourceWeight $maxSourceWeight - rank*weight products at scale $scale " +
+          s"could overflow 64-bit (bound: scale*maxW <= ${Long.MaxValue}). Rescale " +
+          "the weights (only ratios within a source matter) or raise maxSourceWeight " +
+          "explicitly after checking the product bound.")
+    }
+    require(maxW == 0 || scale <= Long.MaxValue / maxW,
+      s"LinkGraph.pageRankWeighted: scale $scale * max weight $maxW overflows 64-bit")
+    val n = ids.count()
+    require(n > 0, "LinkGraph.pageRankWeighted: empty node set")
+    val teleport = ((dampDen - dampNum).toLong * scale / dampDen) / n
+    var ranks = ids.withColumn("r", lit(scale / n))
+    var i = 0
+    while (i < iters) {
+      val contrib = ranks.join(ewd, col("id") === col("src"))
+        .select(col("dst").as("id"), expr("(r * weight) div __wsum").as("__c"))
+        .groupBy(col("id")).agg(sum(col("__c")).as("__s"))
+      ranks = ids.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(teleport) +
+            coalesce(expr(s"(${dampNum}L * __s) div ${dampDen}L"), lit(0L))).as("r"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    ewd.unpersist()
+    ranks.select(col("id").as(idCol), col("r").as("rank_fp"),
+      (col("r").cast("double") / lit(scale.toDouble)).as("score"))
+  }
+
   /** Shared-span document graph: symmetric (src, dst) edges between
     * documents sharing at least one w-token shingle whose document
     * frequency lies in [2, maxDf]. The df cap drops boilerplate spans —
@@ -296,5 +359,30 @@ object LinkGraph {
       .select(col("id_a"), col("id_b")).distinct()
     pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+  }
+
+  /** [[sharedSpanEdges]] with the edge weight = number of DISTINCT rare
+    * spans the two documents share (the natural link strength for
+    * [[pageRankWeighted]]): same pair join, `count` instead of
+    * `distinct` (shingle hashes are already per-document distinct).
+    * Weights are bounded by spans-per-document, far under the
+    * [[pageRankWeighted]] overflow guard.
+    */
+  def sharedSpanEdgesWeighted(docs: DataFrame, idCol: String, textCol: String,
+      w: Int, maxDf: Int): DataFrame = {
+    import graft.functions.{TextFunctions => T}
+    val spans = docs.select(col(idCol).as("__id"),
+      explode(T.shingleHashes(col(textCol), w)).as("__h"))
+    val rare = spans.groupBy(col("__h"))
+      .agg(countDistinct(col("__id")).as("__df"))
+      .where(col("__df") >= 2 && col("__df") <= maxDf)
+      .select(col("__h"))
+    val sp = spans.join(rare, Seq("__h"))
+    val pairs = sp.select(col("__h"), col("__id").as("id_a"))
+      .join(sp.select(col("__h"), col("__id").as("id_b")), Seq("__h"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("weight"))
+    pairs.select(col("id_a").as("src"), col("id_b").as("dst"), col("weight"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst"), col("weight")))
   }
 }

@@ -77,6 +77,37 @@ class BlocklistSpec extends SparkSpec {
     assert(out(7) == 1 && out(42) == 2 && out.sum == 3)
   }
 
+  test("redact: bit-compatible with alternation-regex replaceAll (fuzz)") {
+    def regexRedact(s: String, terms: Seq[String], repl: String): String =
+      java.util.regex.Pattern.compile(terms.map(java.util.regex.Pattern.quote).mkString("|"))
+        .matcher(s).replaceAll(java.util.regex.Matcher.quoteReplacement(repl))
+    def acRedact(s: String, terms: Seq[String], repl: String): String = {
+      val ac = new AcAutomaton(terms.map(_.getBytes("UTF-8")))
+      new String(ac.redact(s.getBytes("UTF-8"), repl.getBytes("UTF-8")), "UTF-8")
+    }
+    // hand-picked: priority vs length, suffix/prefix nesting, overlap
+    val cases = Seq(
+      ("bad phrase", Seq("bad", "bad phrase")),   // shorter listed first wins
+      ("bad phrase", Seq("bad phrase", "bad")),   // longer listed first wins
+      ("ab", Seq("b", "ab")),                     // leftmost start beats priority
+      ("aaaa", Seq("aa", "aaa")),
+      ("xabcx", Seq("abc", "bc", "c")),
+      ("the catcat sat", Seq("catcat", "cat")),
+      ("", Seq("a")), ("no hits", Seq("zz")))
+    for ((s, ts) <- cases)
+      assert(acRedact(s, ts, "[X]") == regexRedact(s, ts, "[X]"), s"<$s> $ts")
+    val rnd = new scala.util.Random(11)
+    val alpha = "ab c"
+    for (_ <- 0 until 2500) {
+      val text = Seq.fill(rnd.nextInt(50))(alpha(rnd.nextInt(alpha.length))).mkString
+      val terms = Iterator.continually(
+        Seq.fill(1 + rnd.nextInt(4))(alpha(rnd.nextInt(alpha.length))).mkString)
+        .distinct.take(1 + rnd.nextInt(4)).toSeq
+      assert(acRedact(text, terms, "[X]") == regexRedact(text, terms, "[X]"),
+        s"<$text> $terms")
+    }
+  }
+
   test("report + filterClean over a DataFrame") {
     val docs = Seq(
       (0L, "s0", "clean text here"),

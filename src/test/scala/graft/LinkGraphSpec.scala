@@ -169,6 +169,38 @@ class LinkGraphSpec extends SparkSpec {
     assert(ranks.values.sum <= 1000000000000L)
   }
 
+  test("pageRankWeighted: hand-computed weighted contributions + guards") {
+    import org.apache.spark.sql.functions._
+    // edges (src,dst,w): 1→2 w1, 1→3 w3 (W(1)=4), 2→1 w2, 3→1 w1
+    // N=3, r0 = 1e12/3 = 333333333333, teleport = 50e9
+    //   into 1: r0·2/2 + r0·1/1 = 666666666666 → 50e9 + 85·x/100 = 616666666666
+    //   into 2: r0·1/4 = 83333333333   → 50e9 + 70833333333  = 120833333333
+    //   into 3: r0·3/4 = 249999999999  → 50e9 + 212499999999 = 262499999999
+    val e = Seq((1L, 2L, 1L), (1L, 3L, 3L), (2L, 1L, 2L), (3L, 1L, 1L))
+      .toDF("src", "dst", "weight")
+    val out = LinkGraph.pageRankWeighted(nodes(1L, 2L, 3L), "id", e, iters = 1)
+      .orderBy($"id").collect()
+    val ranks = out.map(r => r.getAs[Long]("id") -> r.getAs[Long]("rank_fp")).toMap
+    assert(ranks == Map(1L -> 616666666666L, 2L -> 120833333333L, 3L -> 262499999999L),
+      s"got $ranks")
+    // duplicate (src,dst) rows are weight-summed: splitting w3 into 1+2 is identical
+    val eSplit = Seq((1L, 2L, 1L), (1L, 3L, 1L), (1L, 3L, 2L), (2L, 1L, 2L), (3L, 1L, 1L))
+      .toDF("src", "dst", "weight")
+    val out2 = LinkGraph.pageRankWeighted(nodes(1L, 2L, 3L), "id", eSplit, iters = 1)
+      .orderBy($"id").collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rank_fp")).toMap
+    assert(out2 == ranks)
+    // overflow guard: a source weight past the bound fails fast with the formula
+    val heavy = Seq((1L, 2L, 2000000L)).toDF("src", "dst", "weight")
+    val ex = intercept[IllegalArgumentException] {
+      LinkGraph.pageRankWeighted(nodes(1L, 2L), "id", heavy, iters = 1)
+    }
+    assert(ex.getMessage.contains("maxSourceWeight"), ex.getMessage)
+    // ...and runs when raised explicitly (products still checked)
+    val ok = LinkGraph.pageRankWeighted(nodes(1L, 2L), "id", heavy, iters = 1,
+      maxSourceWeight = 3000000L).collect()
+    assert(ok.length == 2)
+  }
+
   test("pageRank: bit-identical across partitionings and edge duplication") {
     val rnd = new scala.util.Random(7)
     val pairs = Seq.fill(60)((rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))
