@@ -1628,6 +1628,24 @@ object LlmQueries {
         .orderBy(col("source"))
     }),
 
+    // HyperBall: approximate all-roots ball sizes in O(hops·|E|) —
+    // the 100×-scale answer to exact all-pairs centrality's measured
+    // disk-exhaustion (registers exact vs DuckDB; estimate bit-portable)
+    "q_reach_estimate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val edges = LinkGraph.sharedSpanEdges(docs, "doc_id", "text", w = 5, maxDf = 32)
+      graft.text.HyperBall
+        .neighborhoodEstimate(docs.select(col("doc_id")), "doc_id", edges, maxHops = 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // span-novelty profile: unique / shared / boilerplate span counts
+    // per doc (the no-pair-join inverse of the link graph)
+    "q_span_novelty" -> ((s, dir) => {
+      LinkGraph.spanNovelty(t(s, dir, "documents"), "doc_id", "text", w = 5, maxDf = 32)
+        .orderBy(col("doc_id"))
+    }),
+
     // weighted PageRank: link strength = # shared spans, contribution
     // (rank·w)/W(src) — same fixed-point determinism contract; w=6 keeps
     // the second PageRank lane on the sparser corpus-scale span width
@@ -1975,7 +1993,29 @@ object LlmQueries {
     "q_pagerank" -> pageRankSql(w = 5, iters = 3, scale = 1000000000000L, dNum = 85, dDen = 100),
     "q_pagerank_weighted" -> pageRankSql(w = 6, iters = 3, scale = 1000000000000L,
       dNum = 85, dDen = 100, weighted = true),
+    "q_reach_estimate" -> XxhSql.hyperBallSql(w = 5, hops = 3),
     "q_mmr_rerank" -> mmrSql(nQ = 5, nCand = 10, k = 5, lam = "0.7", pen = "0.3"),
+    // span df-band counts per document (distinct spans, df over sp0)
+    "q_span_novelty" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, list_filter($toksSql, x -> x <> '') AS toks FROM documents),
+         |sp0 AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id,
+         |    unnest([array_to_string(toks[i:i+4], ' ') FOR i IN range(1, greatest(len(toks) - 3, 1))]) AS span
+         |  FROM tk),
+         |df AS MATERIALIZED (SELECT span, count(*) AS df FROM sp0 GROUP BY span),
+         |ct AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |    CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+         |    CAST(sum(CASE WHEN df BETWEEN 2 AND 32 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+         |    CAST(sum(CASE WHEN df > 32 THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate
+         |  FROM sp0 JOIN df USING (span) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(n_spans, 0) AS n_spans, coalesce(n_unique, 0) AS n_unique,
+         |  coalesce(n_shared, 0) AS n_shared, coalesce(n_boilerplate, 0) AS n_boilerplate,
+         |  CASE WHEN coalesce(n_spans, 0) = 0 THEN 0.0
+         |    ELSE CAST(n_unique AS DOUBLE) / CAST(n_spans AS DOUBLE) END AS novelty
+         |FROM documents d LEFT JOIN ct USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     // alternation-regex twin of the AC redaction (terms are regex-inert:
     // alphanumerics + spaces; alternation order = term-list order)
     "q_blocklist_redact" ->

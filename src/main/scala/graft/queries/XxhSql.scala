@@ -197,6 +197,67 @@ object XxhSql {
        |        FROM $src WHERE text IS NOT NULL))""".stripMargin
   }
 
+  /** HyperBall oracle ([[graft.text.HyperBall.neighborhoodEstimate]]):
+    * because max-merge is idempotent, d rounds of register propagation
+    * equal the elementwise max over the EXACT d-hop ball — so the oracle
+    * computes ball membership explicitly (the q_link_score hop-join
+    * chain), replays each node's splitmix64 register (HUGEINT mixer +
+    * integer-only trailing-zero rho via bit_count — no float logs), and
+    * folds the estimate in pinned register order. Every value including
+    * the double estimate is bit-exact across engines.
+    */
+  def hyperBallSql(w: Int, hops: Int): String = {
+    require(hops >= 1)
+    val sl = w - 1
+    val hopCtes = (2 to hops).map { d =>
+      s"""r$d AS MATERIALIZED (
+         |  SELECT DISTINCT a.src, b.dst FROM r${d - 1} a JOIN r1 b ON a.dst = b.src
+         |  WHERE b.dst <> a.src),""".stripMargin
+    }.mkString("\n")
+    val memUnion = (1 to hops).map(d => s"SELECT src, dst FROM r$d").mkString(" UNION ALL ")
+    val hvSql = let1(s"(CAST(doc_id AS HUGEINT) & $MASK)", "z0", mix64("z0"))
+    s"""WITH tk AS (
+       |  SELECT doc_id, list_filter($toksSql, x -> x <> '') AS toks FROM documents),
+       |sp0 AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id,
+       |    unnest([array_to_string(toks[i:i+$sl], ' ') FOR i IN range(1, greatest(len(toks) - ${sl - 1}, 1))]) AS span
+       |  FROM tk),
+       |rare AS MATERIALIZED (
+       |  SELECT span FROM sp0 GROUP BY span HAVING count(*) BETWEEN 2 AND 32),
+       |sp AS MATERIALIZED (SELECT doc_id, span FROM sp0 JOIN rare USING (span)),
+       |r1 AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+       |  FROM sp a JOIN sp b ON a.span = b.span AND a.doc_id <> b.doc_id),
+       |$hopCtes
+       |mem AS MATERIALIZED (SELECT DISTINCT src, dst FROM ($memUnion)),
+       |ball AS (SELECT src AS root, dst AS member FROM mem
+       |         UNION ALL SELECT doc_id, doc_id FROM documents),
+       |h2 AS MATERIALIZED (
+       |  SELECT member, hv, (hv >> 6) AS wv FROM (
+       |    SELECT doc_id AS member, $hvSql AS hv FROM documents)),
+       |reg0 AS MATERIALIZED (
+       |  SELECT member, CAST(hv & 63 AS INTEGER) AS idx,
+       |    CASE WHEN wv = 0 THEN 59
+       |      ELSE 1 + bit_count(CAST((wv & (xor(wv, $MASK) + 1)) AS BIGINT) - 1) END AS rho
+       |  FROM h2),
+       |ballreg AS MATERIALIZED (
+       |  SELECT b.root, r.idx, max(r.rho) AS m
+       |  FROM ball b JOIN reg0 r ON r.member = b.member GROUP BY b.root, r.idx),
+       |full0 AS (
+       |  SELECT d.doc_id AS root, j.j, coalesce(br.m, 0) AS m
+       |  FROM documents d
+       |  CROSS JOIN (SELECT unnest(range(0, 64)) AS j) j
+       |  LEFT JOIN ballreg br ON br.root = d.doc_id AND br.idx = j.j),
+       |fold AS (
+       |  SELECT root,
+       |    list_reduce(list_prepend(0.0, list(1.0 / CAST(1::BIGINT << m AS DOUBLE) ORDER BY j)),
+       |      (a, x) -> a + x) AS s,
+       |    CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS INTEGER) AS n_zero
+       |  FROM full0 GROUP BY root)
+       |SELECT root AS doc_id, CAST(0.709 AS DOUBLE) * 4096.0 / s AS est_ball, n_zero
+       |FROM fold ORDER BY doc_id""".stripMargin
+  }
+
   /** DISTINCT (doc_id, s) character n-gram shingles (spaces included —
     * matches the charLevel ShingleHashes kernel over the normalized
     * buffer).

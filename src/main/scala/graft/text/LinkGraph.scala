@@ -361,6 +361,42 @@ object LinkGraph {
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
   }
 
+  /** Per-document span-novelty profile — the inverse signal of the link
+    * graph: how much of a document is UNIQUE vs shared vs boilerplate.
+    * For each document's distinct w-token spans, counts them by corpus
+    * document frequency: `n_unique` (df = 1), `n_shared` (2 ≤ df ≤
+    * maxDf — the linkage band), `n_boilerplate` (df > maxDf), plus the
+    * ratios. High boilerplate fraction = template/spam page; high
+    * novelty = original content — the standard span-level curation
+    * signal. One span explode + one df aggregation + one per-doc rollup
+    * (all map-side combined); no pair join anywhere, so unlike the edge
+    * builder this stays cheap on ANY df distribution.
+    */
+  def spanNovelty(docs: DataFrame, idCol: String, textCol: String,
+      w: Int, maxDf: Int): DataFrame = {
+    import graft.functions.{TextFunctions => T}
+    val spans = docs.select(col(idCol).as("__id"),
+      explode(T.shingleHashes(col(textCol), w)).as("__h"))
+    val df = spans.groupBy(col("__h"))
+      .agg(countDistinct(col("__id")).as("__df"))
+    val counts = spans.join(df, Seq("__h"))
+      .groupBy(col("__id").as(idCol))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("__df") === 1, 1L).otherwise(0L)).as("n_unique"),
+        sum(when(col("__df") >= 2 && col("__df") <= maxDf, 1L).otherwise(0L)).as("n_shared"),
+        sum(when(col("__df") > maxDf, 1L).otherwise(0L)).as("n_boilerplate"))
+    docs.select(col(idCol)).join(counts, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        coalesce(col("n_boilerplate"), lit(0L)).as("n_boilerplate"),
+        when(coalesce(col("n_spans"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("n_unique").cast("double") / col("n_spans").cast("double"))
+          .as("novelty"))
+  }
+
   /** [[sharedSpanEdges]] with the edge weight = number of DISTINCT rare
     * spans the two documents share (the natural link strength for
     * [[pageRankWeighted]]): same pair join, `count` instead of

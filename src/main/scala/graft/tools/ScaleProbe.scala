@@ -449,6 +449,19 @@ object ScaleProbe {
         println(s"""{"mode":"blocklist","terms":${distinctTerms.length},""" +
           s""""ac_hits":$acTotal,"naive_hits":$naiveTotal,""" +
           f""""ac_s":$tAc%.2f,"naive_s":$tNaive%.2f}""")
+      case "hyperball" =>
+        // the all-roots shape at the tier where exact all-pairs BFS
+        // exhausts disk (80 GB spill, aborted — SCALE.md r9 finding 2):
+        // register propagation is O(hops·|E|), ball-size independent
+        val t0h = System.nanoTime()
+        val edges = LinkGraph.sharedSpanEdges(docs, "doc_id", "text", w = 5, maxDf = 32)
+        val est = graft.text.HyperBall.neighborhoodEstimate(
+          docs.select(col("doc_id")), "doc_id", edges, maxHops = 3)
+        val agg = est.agg(count(lit(1)).as("n"), sum(col("est_ball")).as("s"),
+          max(col("est_ball")).as("mx")).head()
+        val tH = (System.nanoTime() - t0h) / 1e9
+        println(s"""{"mode":"hyperball","nodes":${agg.getLong(0)},""" +
+          f""""sum_est":${agg.getDouble(1)}%.1f,"max_est":${agg.getDouble(2)}%.1f,"total_s":$tH%.1f}""")
       case "pagerank" =>
         // fixed-point PageRank at the tier: per-iteration cost is one
         // |E| contribution shuffle — confirm linear behavior on the
