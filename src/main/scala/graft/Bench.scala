@@ -111,7 +111,11 @@ object Bench {
     "q_pii_redact",
     "q_blocklist",
     "q_pagerank",
-    "q_mmr_rerank"
+    "q_mmr_rerank",
+    // round 11 late: HyperBall all-roots reach estimation (the 100×
+    // centrality scale path) and the span-novelty profile
+    "q_reach_estimate",
+    "q_span_novelty"
   )
 
   def main(args: Array[String]): Unit = {

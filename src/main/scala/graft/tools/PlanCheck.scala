@@ -252,6 +252,20 @@ object PlanCheck {
     // rank read (BuildCheck below audits one un-pinned iteration)
     Check(
       "q_pagerank",
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    Check(
+      "q_pagerank_weighted",
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // HyperBall readout: register state pinned per round; no cartesian
+    Check(
+      "q_reach_estimate",
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // span novelty: df agg + per-doc rollup, both map-side combined —
+    // and NO pair join anywhere (the property that keeps it cheap on
+    // any df distribution, unlike the edge builder)
+    Check(
+      "q_span_novelty",
+      mustContain = Seq("partial_count", "HashAggregate"),
       mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
   )
 
