@@ -1639,6 +1639,17 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // HyperBall neighborhood function: per-hop ball estimates + the
+    // approximate harmonic centrality readout (fixed-order double sum —
+    // bit-portable, like the exact harmonic lane)
+    "q_reach_harmonic" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val edges = LinkGraph.sharedSpanEdges(docs, "doc_id", "text", w = 5, maxDf = 32)
+      graft.text.HyperBall
+        .neighborhoodFunction(docs.select(col("doc_id")), "doc_id", edges, maxHops = 3)
+        .orderBy(col("doc_id"))
+    }),
+
     // span-novelty profile: unique / shared / boilerplate span counts
     // per doc (the no-pair-join inverse of the link graph)
     "q_span_novelty" -> ((s, dir) => {
@@ -1994,6 +2005,7 @@ object LlmQueries {
     "q_pagerank_weighted" -> pageRankSql(w = 6, iters = 3, scale = 1000000000000L,
       dNum = 85, dDen = 100, weighted = true),
     "q_reach_estimate" -> XxhSql.hyperBallSql(w = 5, hops = 3),
+    "q_reach_harmonic" -> XxhSql.hyperBallHarmonicSql(w = 5, hops = 3),
     "q_mmr_rerank" -> mmrSql(nQ = 5, nCand = 10, k = 5, lam = "0.7", pen = "0.3"),
     // span df-band counts per document (distinct spans, df over sp0)
     "q_span_novelty" ->

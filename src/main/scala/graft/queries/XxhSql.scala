@@ -206,17 +206,44 @@ object XxhSql {
     * folds the estimate in pinned register order. Every value including
     * the double estimate is bit-exact across engines.
     */
-  def hyperBallSql(w: Int, hops: Int): String = {
-    require(hops >= 1)
+  /** Shared CTE prefix of the HyperBall oracles: the edge/hop chain,
+    * the HUGEINT register replay (idx, rho per node), and, per hop
+    * depth `d` in `depths`, a `fold$d` CTE holding each root's
+    * pinned-order `Σ 2^-m` over its exact ≤d-hop ball (`fold0` = the
+    * singleton ball) and the zero-register count.
+    */
+  private def hyperBallCtes(w: Int, hops: Int, depths: Seq[Int]): String = {
     val sl = w - 1
     val hopCtes = (2 to hops).map { d =>
       s"""r$d AS MATERIALIZED (
          |  SELECT DISTINCT a.src, b.dst FROM r${d - 1} a JOIN r1 b ON a.dst = b.src
          |  WHERE b.dst <> a.src),""".stripMargin
     }.mkString("\n")
-    val memUnion = (1 to hops).map(d => s"SELECT src, dst FROM r$d").mkString(" UNION ALL ")
     val hvSql = let1(s"(CAST(doc_id AS HUGEINT) & $MASK)", "z0", mix64("z0"))
-    s"""WITH tk AS (
+    val foldCtes = depths.map { d =>
+      val ball =
+        if (d == 0) "SELECT doc_id AS root, doc_id AS member FROM documents"
+        else {
+          val memUnion = (1 to d).map(i => s"SELECT src, dst FROM r$i").mkString(" UNION ALL ")
+          s"""SELECT src AS root, dst AS member FROM (SELECT DISTINCT src, dst FROM ($memUnion))
+             |   UNION ALL SELECT doc_id, doc_id FROM documents""".stripMargin
+        }
+      s"""ballreg$d AS MATERIALIZED (
+         |  SELECT b.root, r.idx, max(r.rho) AS m
+         |  FROM ($ball) b JOIN reg0 r ON r.member = b.member GROUP BY b.root, r.idx),
+         |regfull$d AS (
+         |  SELECT d.doc_id AS root, j.j, coalesce(br.m, 0) AS m
+         |  FROM documents d
+         |  CROSS JOIN (SELECT unnest(range(0, 64)) AS j) j
+         |  LEFT JOIN ballreg$d br ON br.root = d.doc_id AND br.idx = j.j),
+         |fold$d AS MATERIALIZED (
+         |  SELECT root,
+         |    list_reduce(list_prepend(0.0, list(1.0 / CAST(1::BIGINT << m AS DOUBLE) ORDER BY j)),
+         |      (a, x) -> a + x) AS s,
+         |    CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS INTEGER) AS n_zero
+         |  FROM regfull$d GROUP BY root),""".stripMargin
+    }.mkString("\n")
+    s"""tk AS (
        |  SELECT doc_id, list_filter($toksSql, x -> x <> '') AS toks FROM documents),
        |sp0 AS MATERIALIZED (
        |  SELECT DISTINCT doc_id,
@@ -229,9 +256,6 @@ object XxhSql {
        |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
        |  FROM sp a JOIN sp b ON a.span = b.span AND a.doc_id <> b.doc_id),
        |$hopCtes
-       |mem AS MATERIALIZED (SELECT DISTINCT src, dst FROM ($memUnion)),
-       |ball AS (SELECT src AS root, dst AS member FROM mem
-       |         UNION ALL SELECT doc_id, doc_id FROM documents),
        |h2 AS MATERIALIZED (
        |  SELECT member, hv, (hv >> 6) AS wv FROM (
        |    SELECT doc_id AS member, $hvSql AS hv FROM documents)),
@@ -240,22 +264,33 @@ object XxhSql {
        |    CASE WHEN wv = 0 THEN 59
        |      ELSE 1 + bit_count(CAST((wv & (xor(wv, $MASK) + 1)) AS BIGINT) - 1) END AS rho
        |  FROM h2),
-       |ballreg AS MATERIALIZED (
-       |  SELECT b.root, r.idx, max(r.rho) AS m
-       |  FROM ball b JOIN reg0 r ON r.member = b.member GROUP BY b.root, r.idx),
-       |full0 AS (
-       |  SELECT d.doc_id AS root, j.j, coalesce(br.m, 0) AS m
-       |  FROM documents d
-       |  CROSS JOIN (SELECT unnest(range(0, 64)) AS j) j
-       |  LEFT JOIN ballreg br ON br.root = d.doc_id AND br.idx = j.j),
-       |fold AS (
-       |  SELECT root,
-       |    list_reduce(list_prepend(0.0, list(1.0 / CAST(1::BIGINT << m AS DOUBLE) ORDER BY j)),
-       |      (a, x) -> a + x) AS s,
-       |    CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS INTEGER) AS n_zero
-       |  FROM full0 GROUP BY root)
+       |$foldCtes""".stripMargin
+  }
+
+  def hyperBallSql(w: Int, hops: Int): String = {
+    require(hops >= 1)
+    s"""WITH ${hyperBallCtes(w, hops, Seq(hops))}
+       |unused AS (SELECT 1)
        |SELECT root AS doc_id, CAST(0.709 AS DOUBLE) * 4096.0 / s AS est_ball, n_zero
-       |FROM fold ORDER BY doc_id""".stripMargin
+       |FROM fold$hops ORDER BY doc_id""".stripMargin
+  }
+
+  /** Neighborhood-function oracle: per-hop estimates + the left-to-right
+    * harmonic readout `Σ_d (est_d − est_(d−1)) / d` (est_0 = singleton),
+    * mirroring [[graft.text.HyperBall.neighborhoodFunction]] exactly.
+    */
+  def hyperBallHarmonicSql(w: Int, hops: Int): String = {
+    require(hops >= 1)
+    val joins = (0 to hops).map(d =>
+      if (d == 0) "fold0 f0" else s"JOIN fold$d f$d ON f$d.root = f0.root").mkString(" ")
+    val ests = (0 to hops).map(d =>
+      s"(CAST(0.709 AS DOUBLE) * 4096.0) / f$d.s AS e$d").mkString(", ")
+    val harmonic = (1 to hops).map(d => s"(e$d - e${d - 1}) / $d.0").mkString(" + ")
+    val estCols = (1 to hops).map(d => s"e$d AS est_$d").mkString(", ")
+    s"""WITH ${hyperBallCtes(w, hops, 0 to hops)}
+       |ests AS (SELECT f0.root, $ests FROM $joins)
+       |SELECT root AS doc_id, $estCols, $harmonic AS harmonic_est
+       |FROM ests ORDER BY doc_id""".stripMargin
   }
 
   /** DISTINCT (doc_id, s) character n-gram shingles (spaces included —

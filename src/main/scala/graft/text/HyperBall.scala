@@ -54,13 +54,46 @@ object HyperBall {
     */
   def neighborhoodEstimate(nodes: DataFrame, idCol: String, edges: DataFrame,
       maxHops: Int): DataFrame = {
-    require(maxHops >= 1, s"HyperBall.neighborhoodEstimate: maxHops $maxHops < 1")
+    val regs = propagate(nodes, idCol, edges, maxHops, perHop = false)
+    regs.select(col("id").as(idCol), estimate(col("reg")).as("__e"))
+      .select(col(idCol), col("__e.est_ball").as("est_ball"), col("__e.n_zero").as("n_zero"))
+  }
+
+  /** The approximate NEIGHBORHOOD FUNCTION readout — HyperBall's
+    * original purpose: per-hop ball estimates `est_1 … est_maxHops`
+    * plus the approximate harmonic centrality
+    * `Σ_d (est_d − est_(d−1)) / d` (est_0 = the singleton-ball
+    * estimate), evaluated left-to-right — the same fixed-order
+    * expression contract as [[LinkGraph.centrality]]'s exact harmonic
+    * lane, so the doubles are bit-portable and the DuckDB oracle
+    * replays them exactly. Per-hop register snapshots ride the same
+    * pinned loop (one extra narrow readout per hop, no extra shuffle).
+    */
+  def neighborhoodFunction(nodes: DataFrame, idCol: String, edges: DataFrame,
+      maxHops: Int): DataFrame = {
+    val hops = propagate(nodes, idCol, edges, maxHops, perHop = true)
+    val perHopCols = (1 to maxHops).map(d =>
+      estimate(col(s"__reg$d")).getField("est_ball").as(s"est_$d"))
+    val base = hops.select(col("id") +: perHopCols: _*)
+      .withColumn("__e0", estimate(initRegisters(col("id"))).getField("est_ball"))
+    val harmonic = (1 to maxHops)
+      .map(d => (col(s"est_$d") - col(if (d == 1) "__e0" else s"est_${d - 1}")) / lit(d.toDouble))
+      .reduce(_ + _)
+    base.select(
+      (col("id").as(idCol) +: (1 to maxHops).map(d => col(s"est_$d"))) :+
+        harmonic.as("harmonic_est"): _*)
+  }
+
+  private def propagate(nodes: DataFrame, idCol: String, edges: DataFrame,
+      maxHops: Int, perHop: Boolean): DataFrame = {
+    require(maxHops >= 1, s"HyperBall: maxHops $maxHops < 1")
     val ids = nodes.select(col(idCol).as("id"))
     val e = edges.select(col("src"), col("dst"))
       .where(col("src") =!= col("dst")).distinct().cache()
     val regMax = udaf(RegisterMaxAggregator(M))
     var regs = ids.select(col("id"), initRegisters(col("id")).as("reg"))
       .localCheckpoint(true)
+    var snapshots = regs.select(col("id"))
     var d = 0
     while (d < maxHops) {
       // ball(v) ⊇ ball(u) for every edge v → u: v pulls u's registers
@@ -70,9 +103,10 @@ object HyperBall {
         .groupBy(col("id")).agg(regMax(col("reg")).as("reg"))
         .localCheckpoint(true)
       d += 1
+      if (perHop) snapshots = snapshots.join(
+        regs.select(col("id"), col("reg").as(s"__reg$d")), Seq("id"))
     }
     e.unpersist()
-    regs.select(col("id").as(idCol), estimate(col("reg")).as("__e"))
-      .select(col(idCol), col("__e.est_ball").as("est_ball"), col("__e.n_zero").as("n_zero"))
+    if (perHop) snapshots else regs
   }
 }

@@ -79,6 +79,25 @@ class HyperBallSpec extends SparkSpec {
     }
   }
 
+  test("neighborhoodFunction: per-hop estimates match per-hop balls; harmonic is the pinned fold") {
+    val rnd = new scala.util.Random(3)
+    val pairs = Seq.fill(80)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter(p => p._1 != p._2).distinct
+    val adj = pairs.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val out = HyperBall.neighborhoodFunction(
+        (0L until 25L).toDF("id"), "id", pairs.toDF("src", "dst"), maxHops = 3)
+      .orderBy($"id").collect()
+    for (r <- out) {
+      val id = r.getLong(0)
+      val ests = (1 to 3).map(d => bruteEstimate(ball(adj, id, d))._1)
+      assert((1 to 3).forall(d => r.getDouble(d) == ests(d - 1)),
+        s"node $id per-hop: ${(1 to 3).map(r.getDouble)} vs $ests")
+      val e0 = bruteEstimate(Set(id))._1
+      val expect = ((ests(0) - e0) / 1.0 + (ests(1) - ests(0)) / 2.0) + (ests(2) - ests(1)) / 3.0
+      assert(r.getDouble(4) == expect, s"node $id harmonic")
+    }
+  }
+
   test("estimator accuracy stays within the m=64 error regime on a 200-ball") {
     // one hub connected to 199 leaves: ball(hub, 1) has 200 members
     val pairs = (1L to 199L).map(i => (0L, i))
