@@ -18,6 +18,7 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Per-term occurrence counts (`array<int>`, aligned with `terms`). */
 case class BlocklistHits(child: Expression, terms: Seq[String]) extends UnaryExpression {
   require(terms.nonEmpty && terms.forall(_.nonEmpty), "BlocklistHits: empty term")
+  require(terms.distinct.size == terms.size, "BlocklistHits: duplicate terms")
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult = TextHash.checkString(child.dataType)
@@ -48,6 +49,7 @@ case class BlocklistHits(child: Expression, terms: Seq[String]) extends UnaryExp
 case class BlocklistRedact(child: Expression, terms: Seq[String], repl: String)
     extends UnaryExpression {
   require(terms.nonEmpty && terms.forall(_.nonEmpty), "BlocklistRedact: empty term")
+  require(terms.distinct.size == terms.size, "BlocklistRedact: duplicate terms")
 
   override def dataType: DataType = StringType
   override def checkInputDataTypes(): TypeCheckResult = TextHash.checkString(child.dataType)
@@ -71,6 +73,7 @@ case class BlocklistRedact(child: Expression, terms: Seq[String], repl: String)
 /** Total occurrence count across all terms (the filter threshold). */
 case class BlocklistCount(child: Expression, terms: Seq[String]) extends UnaryExpression {
   require(terms.nonEmpty && terms.forall(_.nonEmpty), "BlocklistCount: empty term")
+  require(terms.distinct.size == terms.size, "BlocklistCount: duplicate terms")
 
   override def dataType: DataType = IntegerType
   override def checkInputDataTypes(): TypeCheckResult = TextHash.checkString(child.dataType)
