@@ -115,7 +115,11 @@ object Bench {
     // round 11 late: HyperBall all-roots reach estimation (the 100×
     // centrality scale path) and the span-novelty profile
     "q_reach_estimate",
-    "q_span_novelty"
+    "q_span_novelty",
+    // round 11 session 3: alternating-star connected components and
+    // degree-ordered triangle counting over the shared-span graph
+    "q_components",
+    "q_triangles"
   )
 
   def main(args: Array[String]): Unit = {

@@ -704,8 +704,7 @@ object Dedup {
       .select(col("src").as("id"))
       .distinct()
       .withColumn("rep", col("id"))
-      .cache()
-    var cachedHandle = labels
+      .localCheckpoint(true)
     var changed = true
     var iter = 0
     while (changed && iter < maxIters) {
@@ -714,28 +713,27 @@ object Dedup {
         .groupBy(col("src").as("id"))
         .agg(min(col("nrep")).as("minNeighbor"))
       // change detection folded into the update row (one extra boolean per
-      // row, one tiny agg) instead of a second join+count pass
+      // row, one tiny agg) instead of a second join+count pass.
+      // localCheckpoint (eager — it IS the iteration's materialization),
+      // not cache: `labels` feeds this plan TWICE (neighborMin + the
+      // update join), so an uncut lineage doubles per iteration — a
+      // 2^diameter logical plan that OOMs the DRIVER on chain-shaped
+      // components (~20 hops) long before any executor sees data
       val updatedWithFlag = labels
         .join(neighborMin, Seq("id"), "left")
         .select(
           col("id"),
           least(col("rep"), coalesce(col("minNeighbor"), col("rep"))).as("newRep"),
           (coalesce(col("minNeighbor"), col("rep")) < col("rep")).as("chg"))
-        .cache()
+        .localCheckpoint(true)
       // coalesce: max over an EMPTY label set (no near-duplicate pairs at
       // all — the common clean-corpus case) aggregates to null, not false
       changed = updatedWithFlag.agg(coalesce(max(col("chg")), lit(false))).head().getBoolean(0)
-      cachedHandle.unpersist()
-      cachedHandle = updatedWithFlag
       labels = updatedWithFlag.select(col("id"), col("newRep").as("rep"))
       iter += 1
     }
-    // materialize the final (small: one row per node of the pair graph)
-    // labels so every intermediate cache can be dropped before returning
-    val out = labels.localCheckpoint(true)
-    cachedHandle.unpersist()
     edges.unpersist()
-    out
+    labels
   }
 
   /** Incremental exact dedup: survivors of `batch` against an existing

@@ -1697,6 +1697,55 @@ object LlmQueries {
       val edges = LinkGraph.sharedSpanEdges(docs, "doc_id", "text", w = 5, maxDf = 32)
       LinkGraph.pageRank(docs.select(col("doc_id")), "doc_id", edges, iters = 3)
         .orderBy(col("doc_id"))
+    }),
+
+    // connected components over the shared-span graph: alternating
+    // large-star/small-star (O(log n) rounds at ANY component diameter —
+    // the cluster-labeling primitive min-propagation can't afford on
+    // chain-shaped components at corpus scale); rep = component min id
+    "q_components" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val edges = LinkGraph.sharedSpanEdges(docs, "doc_id", "text", w = 5, maxDf = 32)
+      LinkGraph.connectedComponents(docs.select(col("doc_id")), "doc_id", edges)
+        .orderBy(col("doc_id"))
+    }),
+
+    // per-doc triangle counts + clustering coefficient: degree-ordered
+    // wedge join (each triangle counted once from its lowest-degree
+    // corner — hub-proof), the template-family/mirror-farm density signal
+    "q_triangles" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val edges = LinkGraph.sharedSpanEdges(docs, "doc_id", "text", w = 5, maxDf = 32)
+      LinkGraph.triangleStats(docs.select(col("doc_id")), "doc_id", edges)
+        .orderBy(col("doc_id"))
+    }),
+
+    // incremental components: half the edges labeled first, the other
+    // half folded in through the prior labels' star contraction — the
+    // oracle is the FULL-graph closure, so the gate IS the
+    // append ≡ rebuild proof (same contract as q_ann_ivf_append)
+    "q_components_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      // pin: both halves must slice the SAME materialized edge set (and
+      // the pair join shouldn't run twice)
+      val edges = LinkGraph.sharedSpanEdges(docs, "doc_id", "text", w = 5, maxDf = 32)
+        .localCheckpoint(true)
+      val seen = edges.where(pmod(col("src") + col("dst"), lit(2)) === 0)
+      val fresh = edges.where(pmod(col("src") + col("dst"), lit(2)) === 1)
+      val prior = LinkGraph.connectedComponents(docs.select(col("doc_id")), "doc_id", seen)
+      LinkGraph.connectedComponentsIncremental(docs.select(col("doc_id")), "doc_id",
+          prior, fresh)
+        .orderBy(col("doc_id"))
+    }),
+
+    // exact 2-core: iterative peel to the fixed point — tendrils and
+    // pendant chains drop, cyclically-embedded docs stay (the
+    // spam-farm-interlink signal next to q_triangles)
+    "q_kcore" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val edges = LinkGraph.sharedSpanEdges(docs, "doc_id", "text", w = 5, maxDf = 32)
+      LinkGraph.kCore(docs.select(col("doc_id")), "doc_id", edges, k = 2)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -3910,6 +3959,146 @@ object LlmQueries {
          |    + CAST(coalesce(n_hop_2, 0) AS DOUBLE) / 2.0
          |    + CAST(coalesce(n_hop_3, 0) AS DOUBLE) / 3.0 AS harmonic
          |FROM documents d LEFT JOIN ct USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // connected components: the q_link_score edge CTEs, then
+    // min-reachable-id via a recursive closure (DuckDB enumerates the
+    // full reach set; the engine contracts in O(log n) star rounds —
+    // identical labels either way), sizes counted per representative
+    "q_components" ->
+      s"""WITH RECURSIVE tk AS (
+         |  SELECT doc_id, list_filter($toksSql, x -> x <> '') AS toks FROM documents),
+         |sp0 AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id,
+         |    unnest([array_to_string(toks[i:i+4], ' ') FOR i IN range(1, greatest(len(toks) - 3, 1))]) AS span
+         |  FROM tk),
+         |rare AS MATERIALIZED (
+         |  SELECT span FROM sp0 GROUP BY span HAVING count(*) BETWEEN 2 AND 32),
+         |sp AS MATERIALIZED (SELECT doc_id, span FROM sp0 JOIN rare USING (span)),
+         |r1 AS MATERIALIZED (
+         |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+         |  FROM sp a JOIN sp b ON a.span = b.span AND a.doc_id <> b.doc_id),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM r1
+         |  UNION
+         |  SELECT r1.src, reach.r FROM r1 JOIN reach ON r1.dst = reach.id),
+         |lbl AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+         |sz AS (SELECT rep, count(*) AS n FROM lbl GROUP BY rep)
+         |SELECT d.doc_id, coalesce(l.rep, d.doc_id) AS rep,
+         |  CAST(coalesce(s.n, 1) AS BIGINT) AS component_size
+         |FROM documents d
+         |LEFT JOIN lbl l ON l.id = d.doc_id
+         |LEFT JOIN sz s ON s.rep = l.rep
+         |ORDER BY d.doc_id""".stripMargin,
+    // triangles: same edge CTEs, id-ordered 3-way join (x < y < z — the
+    // engine's degree-ordered orientation counts the same unordered
+    // triangle set); clustering replays the exact (2.0·t)/(d·(d−1)) order
+    "q_triangles" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, list_filter($toksSql, x -> x <> '') AS toks FROM documents),
+         |sp0 AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id,
+         |    unnest([array_to_string(toks[i:i+4], ' ') FOR i IN range(1, greatest(len(toks) - 3, 1))]) AS span
+         |  FROM tk),
+         |rare AS MATERIALIZED (
+         |  SELECT span FROM sp0 GROUP BY span HAVING count(*) BETWEEN 2 AND 32),
+         |sp AS MATERIALIZED (SELECT doc_id, span FROM sp0 JOIN rare USING (span)),
+         |r1 AS MATERIALIZED (
+         |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+         |  FROM sp a JOIN sp b ON a.span = b.span AND a.doc_id <> b.doc_id),
+         |und AS MATERIALIZED (
+         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM r1),
+         |deg AS (
+         |  SELECT id, count(*) AS d FROM (
+         |    SELECT a AS id FROM und UNION ALL SELECT b FROM und)
+         |  GROUP BY id),
+         |tri AS MATERIALIZED (
+         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM und e1
+         |  JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+         |  JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+         |corners AS (
+         |  SELECT id, count(*) AS t FROM (
+         |    SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+         |    UNION ALL SELECT z FROM tri)
+         |  GROUP BY id)
+         |SELECT d0.doc_id,
+         |  CAST(coalesce(deg.d, 0) AS BIGINT) AS degree,
+         |  CAST(coalesce(c.t, 0) AS BIGINT) AS triangles,
+         |  CASE WHEN coalesce(deg.d, 0) >= 2
+         |    THEN 2.0 * coalesce(c.t, 0) / (deg.d * (deg.d - 1))
+         |    ELSE 0.0 END AS clustering
+         |FROM documents d0
+         |LEFT JOIN deg ON deg.id = d0.doc_id
+         |LEFT JOIN corners c ON c.id = d0.doc_id
+         |ORDER BY d0.doc_id""".stripMargin,
+    // incremental components: the engine folds half the edges into the
+    // other half's labels through the star contraction — connectivity-
+    // equivalent, so the oracle is simply the FULL-graph closure (the
+    // very same SQL as q_components): matching it IS the append ≡
+    // rebuild proof
+    "q_components_incremental" ->
+      s"""WITH RECURSIVE tk AS (
+         |  SELECT doc_id, list_filter($toksSql, x -> x <> '') AS toks FROM documents),
+         |sp0 AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id,
+         |    unnest([array_to_string(toks[i:i+4], ' ') FOR i IN range(1, greatest(len(toks) - 3, 1))]) AS span
+         |  FROM tk),
+         |rare AS MATERIALIZED (
+         |  SELECT span FROM sp0 GROUP BY span HAVING count(*) BETWEEN 2 AND 32),
+         |sp AS MATERIALIZED (SELECT doc_id, span FROM sp0 JOIN rare USING (span)),
+         |r1 AS MATERIALIZED (
+         |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+         |  FROM sp a JOIN sp b ON a.span = b.span AND a.doc_id <> b.doc_id),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM r1
+         |  UNION
+         |  SELECT r1.src, reach.r FROM r1 JOIN reach ON r1.dst = reach.id),
+         |lbl AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+         |sz AS (SELECT rep, count(*) AS n FROM lbl GROUP BY rep)
+         |SELECT d.doc_id, coalesce(l.rep, d.doc_id) AS rep,
+         |  CAST(coalesce(s.n, 1) AS BIGINT) AS component_size
+         |FROM documents d
+         |LEFT JOIN lbl l ON l.id = d.doc_id
+         |LEFT JOIN sz s ON s.rep = l.rep
+         |ORDER BY d.doc_id""".stripMargin,
+    // exact 2-core: the peel unrolled 12 rounds — peeling is monotone and
+    // a stable set is a fixed point, so any unroll depth ≥ the true peel
+    // depth reproduces the engine's exact fixpoint (rounds past
+    // stabilization are no-ops); 12 leaves generous margin over the
+    // measured depth at every tier
+    "q_kcore" -> {
+      val peelRounds = (0 until 12).map { i =>
+        s"""d$i AS (SELECT id, count(*) AS d FROM (
+           |  SELECT a AS id FROM a$i UNION ALL SELECT b FROM a$i) GROUP BY id),
+           |w$i AS (SELECT id FROM d$i WHERE d < 2),
+           |a${i + 1} AS MATERIALIZED (
+           |  SELECT a, b FROM a$i
+           |  WHERE a NOT IN (SELECT id FROM w$i) AND b NOT IN (SELECT id FROM w$i)),""".stripMargin
+      }.mkString("\n")
+      s"""WITH tk AS (
+         |  SELECT doc_id, list_filter($toksSql, x -> x <> '') AS toks FROM documents),
+         |sp0 AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id,
+         |    unnest([array_to_string(toks[i:i+4], ' ') FOR i IN range(1, greatest(len(toks) - 3, 1))]) AS span
+         |  FROM tk),
+         |rare AS MATERIALIZED (
+         |  SELECT span FROM sp0 GROUP BY span HAVING count(*) BETWEEN 2 AND 32),
+         |sp AS MATERIALIZED (SELECT doc_id, span FROM sp0 JOIN rare USING (span)),
+         |r1 AS MATERIALIZED (
+         |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+         |  FROM sp a JOIN sp b ON a.span = b.span AND a.doc_id <> b.doc_id),
+         |a0 AS MATERIALIZED (
+         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM r1),
+         |$peelRounds
+         |cd AS (
+         |  SELECT id, count(*) AS n FROM (
+         |    SELECT a AS id FROM a12 UNION ALL SELECT b FROM a12) GROUP BY id)
+         |SELECT doc.doc_id,
+         |  cd.id IS NOT NULL AS in_core,
+         |  CAST(coalesce(cd.n, 0) AS BIGINT) AS core_degree
+         |FROM documents doc
+         |LEFT JOIN cd ON cd.id = doc.doc_id
+         |ORDER BY doc.doc_id""".stripMargin
+    },
     // sampled-roots variant: w = 6 spans, BFS expanded only from the 1%
     // root sample (r1s seeds the closure; hops 2-3 still walk ALL edges)
     "q_link_score_sampled" ->

@@ -397,6 +397,289 @@ object LinkGraph {
           .as("novelty"))
   }
 
+  /** Connected components via the alternating large-star / small-star
+    * algorithm (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC 2014 — public): each node is labeled with the MINIMUM
+    * id reachable in its component, plus the component size. Undirected:
+    * edge direction is ignored (pass either or both directions).
+    *
+    * Why a second components implementation next to
+    * [[graft.dedup.Dedup.clusterRepresentatives]]: min-label propagation
+    * converges in O(diameter) rounds — fine for near-dup graphs (star-ish
+    * cliques, diameter ≲ 3) but pathological on CHAIN-shaped components
+    * (template drift over time, CDC-chunk overlap chains, crawl-path
+    * link graphs), where a length-10⁴ chain costs 10⁴ shuffles. The
+    * alternating star algorithm contracts components in O(log n) rounds
+    * regardless of diameter (proven O(log² n) worst case; single-digit
+    * rounds in practice), with per-round cost linear in |E| — the right
+    * default for a 100 TB corpus graph whose component shapes are
+    * unknown. Per round: large-star hangs every node's strictly-larger
+    * neighbors off the neighborhood minimum (cutting tall trees into
+    * broad ones), small-star re-points not-larger neighbors at it
+    * (contracting them) — both single join+agg passes over canonical
+    * (hi > lo) edge pairs, pinned per round so round k reads materialized
+    * edges, not the k-deep join lineage.
+    *
+    * Convergence is detected STRUCTURALLY (exact, not a hash heuristic):
+    * the edge set is a fixed point iff every `hi` maps to exactly one
+    * distinct `lo` and no `lo` appears as a `hi` — which forces each
+    * component to be a star rooted at its minimum (a root that were not
+    * the component min would appear on both sides). Two node-sized
+    * aggregations per round, short-circuited with `limit(1)`.
+    *
+    * Returns `(idCol, rep, component_size)` for every node in `nodes`;
+    * isolated nodes report `rep = id, component_size = 1`. Works for any
+    * orderable id type (numeric, string). Bit-deterministic: min/star
+    * operations are exact set transforms, no floats anywhere.
+    */
+  def connectedComponents(nodes: DataFrame, idCol: String, edges: DataFrame,
+      maxRounds: Int = 30): DataFrame = {
+    require(maxRounds >= 1, s"LinkGraph.connectedComponents: maxRounds $maxRounds < 1")
+    var e = edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("hi"),
+        least(col("src"), col("dst")).as("lo"))
+      .distinct()
+      .localCheckpoint(true)
+    var rounds = 0
+    var converged = isStarSet(e)
+    while (!converged && rounds < maxRounds) {
+      // each star pass is consumed twice (its own min-agg + join), so pin
+      // both — otherwise the per-round plan executes the pass twice
+      e = smallStar(largeStar(e).localCheckpoint(true)).localCheckpoint(true)
+      converged = isStarSet(e)
+      rounds += 1
+    }
+    // the alternation provably converges in O(log² n) rounds; a graph
+    // that exhausts maxRounds means a bound set far too low — fail fast
+    // rather than return a partially-contracted (wrong) labeling
+    if (!converged) throw new IllegalStateException(
+      s"LinkGraph.connectedComponents: not converged after $maxRounds rounds - " +
+        "the alternating algorithm needs O(log^2 n) rounds; raise maxRounds " +
+        "(default 30 covers any graph that fits on disk).")
+    // at the fixed point each component is a star (root = component min):
+    // leaves read their label off their single edge, roots label themselves
+    val lbl = e.select(col("hi").as("id"), col("lo").as("rep"))
+      .unionAll(e.select(col("lo").as("id"), col("lo").as("rep")).distinct())
+    val sized = lbl.join(
+      lbl.groupBy(col("rep")).agg(count(lit(1)).as("component_size")), Seq("rep"))
+    nodes.select(col(idCol))
+      .join(sized.select(col("id").as(idCol), col("rep"), col("component_size")),
+        Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("rep"), col(idCol)).as("rep"),
+        coalesce(col("component_size"), lit(1L)).as("component_size"))
+  }
+
+  /** Incremental [[connectedComponents]]: fold a batch of NEW edges into
+    * an existing labeling without revisiting the already-seen edge set.
+    * A component's star edges (id → rep for every non-representative
+    * member) are a connectivity-EQUIVALENT contraction of all prior
+    * edges, so running the alternation over (prior star edges ∪ new
+    * edges) yields labels identical to a full recompute over the
+    * concatenated edge sets — the same append ≡ rebuild contract as
+    * [[graft.similarity.Similarity]]'s IVF index append, at
+    * O(nodes + new edges) instead of O(all edges ever): exactly the
+    * artifact shape a continuously-ingesting 100 TB pipeline maintains
+    * between batches (labels table in, labels table out).
+    *
+    * `priorLabels` is a previous output of this or [[connectedComponents]]
+    * (`(idCol, rep, …)` — extra columns ignored); `nodes` is the FULL
+    * node set the output should cover (old ∪ new).
+    */
+  def connectedComponentsIncremental(nodes: DataFrame, idCol: String,
+      priorLabels: DataFrame, newEdges: DataFrame, maxRounds: Int = 30): DataFrame = {
+    val starE = priorLabels.select(col(idCol), col("rep"))
+      .where(col(idCol) =!= col("rep"))
+      .select(col(idCol).as("src"), col("rep").as("dst"))
+    connectedComponents(nodes, idCol,
+      starE.unionAll(newEdges.select(col("src"), col("dst"))), maxRounds)
+  }
+
+  /** Exact k-core: the maximal subgraph in which every node has degree
+    * ≥ k, computed by iterative peeling (drop nodes with degree < k,
+    * recompute, repeat to the fixed point — the standard degeneracy
+    * decomposition step). The k-core separates structurally-embedded
+    * pages from tendrils/pendants in a shared-span graph: spam farms
+    * interlink densely (high-k cores), organic content hangs off the
+    * periphery — the usual companion signal to [[triangleStats]].
+    *
+    * Returns `(idCol, in_core, core_degree)` for every node in `nodes`
+    * (`core_degree` = degree inside the surviving subgraph; 0 and
+    * `in_core = false` for peeled/isolated nodes). Each peel round is a
+    * degree aggregation + two anti joins, pinned per round (the same
+    * linear-plan discipline as [[connectedComponents]]); rounds needed =
+    * peel depth ≤ number of nodes, in practice single-digit. Exceeding
+    * `maxRounds` fails fast rather than returning a half-peeled set.
+    */
+  def kCore(nodes: DataFrame, idCol: String, edges: DataFrame, k: Int,
+      maxRounds: Int = 100): DataFrame = {
+    require(k >= 1, s"LinkGraph.kCore: k $k < 1")
+    require(maxRounds >= 1, s"LinkGraph.kCore: maxRounds $maxRounds < 1")
+    var active = edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    var stable = false
+    var rounds = 0
+    while (!stable && rounds < maxRounds) {
+      val deg = active.select(col("a").as("id")).unionAll(active.select(col("b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("__d"))
+      val weak = deg.where(col("__d") < k).select(col("id")).localCheckpoint(true)
+      if (weak.isEmpty) stable = true
+      else {
+        active = active
+          .join(weak.select(col("id").as("a")), Seq("a"), "left_anti")
+          .join(weak.select(col("id").as("b")), Seq("b"), "left_anti")
+          .localCheckpoint(true)
+        rounds += 1
+      }
+    }
+    if (!stable) throw new IllegalStateException(
+      s"LinkGraph.kCore: peel did not stabilize within $maxRounds rounds - " +
+        "raise maxRounds (the peel depth is bounded by the node count).")
+    val coreDeg = active.select(col("a").as("id")).unionAll(active.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("core_degree"))
+    nodes.select(col(idCol))
+      .join(coreDeg.select(col("id").as(idCol), col("core_degree")), Seq(idCol), "left")
+      .select(col(idCol),
+        col("core_degree").isNotNull.as("in_core"),
+        coalesce(col("core_degree"), lit(0L)).as("core_degree"))
+  }
+
+  /** One large-star pass over canonical (hi > lo) edges: for each node u
+    * (both endpoints act as centers), every strictly-larger neighbor v
+    * is re-pointed at m(u) = min(Γ(u) ∪ {u}). Output is canonical again
+    * (v > u ≥ m), self-loop-free by construction.
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("hi").as("u"), col("lo").as("v"))
+      .unionAll(e.select(col("lo").as("u"), col("hi").as("v")))
+    val m = sym.groupBy(col("u"))
+      .agg(min(col("v")).as("__mn"))
+      .select(col("u"), least(col("u"), col("__mn")).as("__m"))
+    sym.join(m, Seq("u"))
+      .where(col("v") > col("u"))
+      .select(col("v").as("hi"), col("__m").as("lo"))
+      .distinct()
+  }
+
+  /** One small-star pass: for each center u (the hi endpoint of canonical
+    * edges), its strictly-smaller neighbors N(u) re-point at
+    * m = min(N(u)) — emit (v, m) for v ∈ N(u) \ {m} plus (u, m). All
+    * outputs stay canonical (v > m since m is the strict min; u > m).
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val m = e.groupBy(col("hi")).agg(min(col("lo")).as("__m"))
+    val moved = e.join(m, Seq("hi"))
+      .where(col("lo") =!= col("__m"))
+      .select(col("lo").as("hi"), col("__m").as("lo"))
+    moved.unionAll(m.select(col("hi"), col("__m").as("lo"))).distinct()
+  }
+
+  /** Exact star-fixpoint test (see [[connectedComponents]] scaladoc):
+    * every hi has exactly one distinct lo, and no lo is also a hi.
+    */
+  private def isStarSet(e: DataFrame): Boolean = {
+    val multi = e.groupBy(col("hi")).agg(countDistinct(col("lo")).as("__n"))
+      .where(col("__n") > 1).limit(1).count() > 0
+    if (multi) false
+    else e.select(col("lo")).distinct().as("l")
+      .join(e.select(col("hi")).distinct().as("h"), col("l.lo") === col("h.hi"), "left_semi")
+      .limit(1).count() == 0L
+  }
+
+  /** Default [[triangleStats]] wedge-count bound — ~10⁹ candidate wedge
+    * rows is tens of GB of join state; past that the caller should
+    * sparsify (df caps upstream) or accept the cost explicitly.
+    */
+  val DefaultMaxEstimatedWedges: Long = 1L << 30
+
+  /** Per-node triangle counts and local clustering coefficient —
+    * `(idCol, degree, triangles, clustering)` over the UNDIRECTED graph
+    * (direction ignored, duplicates collapsed). The density companion to
+    * [[spanNovelty]]: tightly-clustered neighborhoods in a shared-span
+    * graph are template families / mirror farms (high clustering), while
+    * genuine topical linkage is sparse-triangled — the classic
+    * spam-vs-organic structural signal.
+    *
+    * Scale shape: edges are oriented by `(degree, id)` — each triangle is
+    * counted exactly once from its lowest-degree corner, and the wedge
+    * join's fan-out per node is bounded by O(√|E|) on ANY degree
+    * distribution (a hub's wedges are charged to its low-degree
+    * neighbors), the standard compact-forward orientation that keeps hub
+    * nodes from going quadratic. Wedge volume Σ outdeg² is still the
+    * inherent cost of triangle counting, so it is probed (one map-side
+    * aggregation over the oriented edges, which are pinned anyway) and
+    * fail-fasted against `maxEstimatedWedges` — same pattern as
+    * [[centrality]]'s density guard.
+    *
+    * `clustering` = (2.0 · triangles) / (degree · (degree − 1)) in that
+    * exact evaluation order (0.0 when degree < 2): one IEEE multiply and
+    * divide over exact integers, bit-identical across engines.
+    */
+  def triangleStats(nodes: DataFrame, idCol: String, edges: DataFrame,
+      maxEstimatedWedges: Long = DefaultMaxEstimatedWedges): DataFrame = {
+    require(maxEstimatedWedges >= 1,
+      s"LinkGraph.triangleStats: maxEstimatedWedges $maxEstimatedWedges < 1")
+    // canonical undirected edge set, pinned: consumed by the degree agg,
+    // the orientation join, and the wedge-closing join
+    val und = edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = und.select(col("a").as("id")).unionAll(und.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val oriented = und
+      .join(deg.select(col("id").as("a"), col("deg").as("__da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("deg").as("__db")), Seq("b"))
+      .select(
+        when(col("__da") < col("__db") ||
+            (col("__da") === col("__db") && col("a") < col("b")),
+          struct(col("a").as("s"), col("b").as("d")))
+          .otherwise(struct(col("b").as("s"), col("a").as("d"))).as("__e"))
+      .select(col("__e.s").as("s"), col("__e.d").as("d"))
+      .localCheckpoint(true)
+    // wedge-volume guard: Σ outdeg² is exactly the candidate row count of
+    // the join below — probe it on the pinned edges and fail fast
+    val wedgeEst = oriented.groupBy(col("s")).agg(count(lit(1)).as("__od"))
+      .agg(sum(col("__od") * col("__od"))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    if (wedgeEst > maxEstimatedWedges) throw new IllegalArgumentException(
+      s"LinkGraph.triangleStats: the oriented wedge join would produce $wedgeEst " +
+        s"candidate rows, over maxEstimatedWedges $maxEstimatedWedges - triangle " +
+        "counting at this density is a shuffle-explosion footgun. Sparsify the " +
+        "edges upstream (tighter df caps) or raise maxEstimatedWedges explicitly " +
+        "to accept the cost.")
+    val wedges = oriented.select(col("s").as("u"), col("d").as("v"))
+      .join(oriented.select(col("s").as("u"), col("d").as("w")), Seq("u"))
+      .where(col("v") =!= col("w"))
+    // only one of (v, w)/(w, v) closes against an oriented edge, so each
+    // triangle survives exactly once
+    val tri = wedges.join(oriented.select(col("s").as("v"), col("d").as("w")),
+      Seq("v", "w"))
+    val corners = tri.select(col("u").as("id"))
+      .unionAll(tri.select(col("v").as("id")))
+      .unionAll(tri.select(col("w").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("triangles"))
+    nodes.select(col(idCol))
+      .join(deg.select(col("id").as(idCol), col("deg")), Seq(idCol), "left")
+      .join(corners.select(col("id").as(idCol), col("triangles")), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("deg"), lit(0L)).as("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(coalesce(col("deg"), lit(0L)) >= 2,
+          lit(2.0) * coalesce(col("triangles"), lit(0L)).cast("double") /
+            (col("deg") * (col("deg") - 1)).cast("double"))
+          .otherwise(lit(0.0)).as("clustering"))
+  }
+
   /** [[sharedSpanEdges]] with the edge weight = number of DISTINCT rare
     * spans the two documents share (the natural link strength for
     * [[pageRankWeighted]]): same pair join, `count` instead of

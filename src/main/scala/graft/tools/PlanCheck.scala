@@ -266,6 +266,26 @@ object PlanCheck {
     Check(
       "q_span_novelty",
       mustContain = Seq("partial_count", "HashAggregate"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // connected components: star rounds pinned per iteration; the visible
+    // label/size readout is equi joins + map-side-combined counts only
+    Check(
+      "q_components",
+      mustContain = Seq("HashAggregate"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // triangles: the wedge join and its closing join are equi joins over
+    // the pinned oriented edges; corner counts combine map-side
+    Check(
+      "q_triangles",
+      mustContain = Seq("partial_count"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // incremental components / k-core: same pinned-round discipline —
+    // the visible readout must stay equi-join + map-side-combined aggs
+    Check(
+      "q_components_incremental",
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    Check(
+      "q_kcore",
       mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
   )
 
@@ -334,6 +354,29 @@ object PlanCheck {
           .groupBy(col("id")).agg(sum(col("__c")).as("__s"))
       },
       mustContain = Seq("partial_sum"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // one large-star round un-pinned (connectedComponents pins each round
+    // behind localCheckpoint): neighborhood minimum is a map-side-combined
+    // min over the symmetric view, re-pointing is an equi join on the
+    // center — |E| rows per round, nothing quadratic
+    BuildCheck(
+      "components_large_star",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val e = graft.text.LinkGraph.sharedSpanEdges(docs, "doc_id", "text", w = 5, maxDf = 32)
+          .where(col("src") =!= col("dst"))
+          .select(greatest(col("src"), col("dst")).as("hi"),
+            least(col("src"), col("dst")).as("lo"))
+          .distinct()
+        val sym = e.select(col("hi").as("u"), col("lo").as("v"))
+          .unionAll(e.select(col("lo").as("u"), col("hi").as("v")))
+        val m = sym.groupBy(col("u")).agg(min(col("v")).as("__mn"))
+          .select(col("u"), least(col("u"), col("__mn")).as("__m"))
+        sym.join(m, Seq("u")).where(col("v") > col("u"))
+          .select(col("v").as("hi"), col("__m").as("lo")).distinct()
+      },
+      mustContain = Seq("partial_min"),
       mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
   )
 

@@ -476,6 +476,59 @@ object ScaleProbe {
         val tPr = (System.nanoTime() - t1) / 1e9
         println(s"""{"mode":"pagerank","edges":$nEdges,"mass":$mass,""" +
           f""""edges_s":$tEdges%.1f,"pagerank_s":$tPr%.1f}""")
+      case "components" =>
+        // alternating-star components at the tier: rounds are O(log n)
+        // regardless of diameter; also time the min-propagation loop on
+        // the same graph for the head-to-head (its rounds = diameter)
+        val t0 = System.nanoTime()
+        val edges = LinkGraph.sharedSpanEdges(docs, "doc_id", "text", w = 6, maxDf = 32)
+          .localCheckpoint(true)
+        val nEdges = edges.count()
+        val tEdges = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val cc = LinkGraph.connectedComponents(docs.select(col("doc_id")), "doc_id", edges)
+        val aggC = cc.agg(count(lit(1)).as("n"),
+          countDistinct(col("rep")).as("comps"), max(col("component_size")).as("mx")).head()
+        val tStar = (System.nanoTime() - t1) / 1e9
+        val t2 = System.nanoTime()
+        val pairs = edges.where(col("src") < col("dst"))
+          .select(col("src").as("id_a"), col("dst").as("id_b"))
+        val mp = graft.dedup.Dedup.clusterRepresentatives(pairs, maxIters = 100)
+        val nMp = mp.select(countDistinct(col("rep"))).head().getLong(0)
+        val tMinProp = (System.nanoTime() - t2) / 1e9
+        println(s"""{"mode":"components","edges":$nEdges,"nodes":${aggC.getLong(0)},""" +
+          s""""components":${aggC.getLong(1)},"max_size":${aggC.getLong(2)},""" +
+          s""""minprop_components_with_edges":$nMp,""" +
+          f""""edges_s":$tEdges%.1f,"star_s":$tStar%.1f,"minprop_s":$tMinProp%.1f}""")
+      case "components_chain" =>
+        // the diameter pathology isolated: a synthetic 100k-node chain —
+        // min-propagation would need 10⁵ rounds (not attempted); the
+        // star alternation must stay in the tens
+        import spark.implicits._
+        val n = 100000L
+        val chain = (0L until n - 1).toDF("src")
+          .select(col("src"), (col("src") + 1L).as("dst"))
+          .repartition(32)
+        val nodes = (0L until n).toDF("doc_id")
+        val t0 = System.nanoTime()
+        val cc = LinkGraph.connectedComponents(nodes, "doc_id", chain, maxRounds = 40)
+        val ok = cc.where(col("rep") =!= 0L).count() == 0L &&
+          cc.count() == n
+        val tStar = (System.nanoTime() - t0) / 1e9
+        println(s"""{"mode":"components_chain","nodes":$n,"all_labeled_min":$ok,""" +
+          f""""star_s":$tStar%.1f}""")
+      case "triangles" =>
+        // degree-ordered triangle counting at the tier: wedge volume is
+        // the inherent cost — report it next to the runtime
+        val t0 = System.nanoTime()
+        val edges = LinkGraph.sharedSpanEdges(docs, "doc_id", "text", w = 6, maxDf = 32)
+        val ts = LinkGraph.triangleStats(docs.select(col("doc_id")), "doc_id", edges,
+          maxEstimatedWedges = Long.MaxValue)
+        val agg = ts.agg(sum(col("triangles")).as("t3"), max(col("triangles")).as("mx"),
+          avg(col("clustering")).as("cc")).head()
+        val tTri = (System.nanoTime() - t0) / 1e9
+        println(s"""{"mode":"triangles","sum_corner_triangles":${agg.getLong(0)},""" +
+          f""""max_per_node":${agg.getLong(1)},"avg_clustering":${agg.getDouble(2)}%.4f,"total_s":$tTri%.1f}""")
       case other => sys.error(s"unknown probe mode: $other")
     }
     spark.stop()

@@ -201,6 +201,177 @@ class LinkGraphSpec extends SparkSpec {
     assert(ok.length == 2)
   }
 
+  test("connectedComponents: long path labels in O(log n) rounds, min-id rep") {
+    // a 301-node chain is the diameter pathology: min-label propagation
+    // needs 300 rounds; the alternating star algorithm must land well
+    // inside the default 30-round bound
+    val ids = (0L to 300L)
+    val e = edgesOf(ids.dropRight(1).map(i => (i, i + 1)): _*)
+    val out = LinkGraph.connectedComponents(nodes(ids: _*), "id", e)
+      .collect()
+    assert(out.length == 301)
+    assert(out.forall(_.getAs[Long]("rep") == 0L), "chain rep must be the min id")
+    assert(out.forall(_.getAs[Long]("component_size") == 301L))
+  }
+
+  test("connectedComponents: maxRounds too low fails fast instead of mislabeling") {
+    val ids = (0L to 64L)
+    val e = edgesOf(ids.dropRight(1).map(i => (i, i + 1)): _*)
+    val ex = intercept[IllegalStateException] {
+      LinkGraph.connectedComponents(nodes(ids: _*), "id", e, maxRounds = 1)
+    }
+    assert(ex.getMessage.contains("maxRounds"), ex.getMessage)
+  }
+
+  test("connectedComponents: matches clusterRepresentatives on a random graph") {
+    val rnd = new scala.util.Random(11)
+    val pairs = Seq.fill(80)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(p => p._1 != p._2).distinct
+    val e = edgesOf(pairs: _*)
+    val cc = LinkGraph.connectedComponents(nodes((0L until 60L): _*), "id", e)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rep")).toMap
+    val pairDf = pairs.toDF("id_a", "id_b")
+    val mp = graft.dedup.Dedup.clusterRepresentatives(pairDf, maxIters = 100)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rep")).toMap
+    // clusterRepresentatives covers only nodes present in pairs; the star
+    // labeling must agree there, and label everything else a singleton
+    mp.foreach { case (id, rep) => assert(cc(id) == rep, s"node $id: $rep vs ${cc(id)}") }
+    (0L until 60L).filterNot(mp.contains).foreach(id => assert(cc(id) == id))
+  }
+
+  test("connectedComponents: singletons, per-component sizes, string ids") {
+    // components {1,2,3} (rep 1), {7,8} (rep 7); 9 isolated
+    val out = LinkGraph.connectedComponents(nodes(1, 2, 3, 7, 8, 9), "id",
+      edgesOf((2, 1), (2, 3), (8, 7))).collect()
+      .map(r => r.getAs[Long]("id") -> (r.getAs[Long]("rep"), r.getAs[Long]("component_size")))
+      .toMap
+    assert(out == Map(1L -> (1L, 3L), 2L -> (1L, 3L), 3L -> (1L, 3L),
+      7L -> (7L, 2L), 8L -> (7L, 2L), 9L -> (9L, 1L)))
+    val sOut = LinkGraph.connectedComponents(
+      Seq("a", "b", "c", "z").toDF("id"), "id",
+      Seq(("b", "a"), ("b", "c")).toDF("src", "dst")).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getAs[Long]("component_size"))).toMap
+    assert(sOut == Map("a" -> ("a", 3L), "b" -> ("a", 3L), "c" -> ("a", 3L),
+      "z" -> ("z", 1L)))
+  }
+
+  test("connectedComponents: partition-invariant and duplicate-edge-proof") {
+    val rnd = new scala.util.Random(23)
+    val pairs = Seq.fill(70)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(p => p._1 != p._2)
+    val n = nodes((0L until 40L): _*)
+    val a = LinkGraph.connectedComponents(n.repartition(2), "id",
+        edgesOf(pairs: _*).repartition(3))
+      .orderBy($"id").collect().map(_.toSeq).toSeq
+    val b = LinkGraph.connectedComponents(n.repartition(13), "id",
+        edgesOf((pairs ++ pairs): _*).repartition(7))
+      .orderBy($"id").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
+  test("connectedComponentsIncremental: fold-in equals full recompute, new nodes join") {
+    val rnd = new scala.util.Random(41)
+    val pairs = Seq.fill(70)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter(p => p._1 != p._2).distinct
+    val (half1, half2) = pairs.partition(p => (p._1 + p._2) % 2 == 0)
+    val n = nodes((0L until 50L): _*)
+    val prior = LinkGraph.connectedComponents(n, "id", edgesOf(half1: _*))
+    val inc = LinkGraph.connectedComponentsIncremental(n, "id", prior, edgesOf(half2: _*))
+      .orderBy($"id").collect().map(_.toSeq).toSeq
+    val full = LinkGraph.connectedComponents(n, "id", edgesOf(pairs: _*))
+      .orderBy($"id").collect().map(_.toSeq).toSeq
+    assert(inc == full, "incremental fold-in must equal the full recompute")
+    // a batch introducing brand-new nodes (50, 51) bridging two components
+    val prior2 = LinkGraph.connectedComponents(nodes(1, 2, 7, 8), "id",
+      edgesOf((1, 2), (7, 8)))
+    val out = LinkGraph.connectedComponentsIncremental(
+      nodes(1, 2, 7, 8, 50, 51), "id", prior2, edgesOf((2, 50), (50, 7), (51, 51 + 0)))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rep")).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 7L -> 1L, 8L -> 1L, 50L -> 1L, 51L -> 51L))
+  }
+
+  test("kCore: peel drops pendant chains, keeps cycles, exact core degrees") {
+    // triangle {1,2,3} with a chain 3-4-5 hanging off: 2-core = triangle
+    val out = LinkGraph.kCore(nodes(1, 2, 3, 4, 5, 9), "id",
+      edgesOf((1, 2), (2, 3), (1, 3), (3, 4), (4, 5)), k = 2).collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Boolean]("in_core"), r.getAs[Long]("core_degree")))).toMap
+    assert(out(1L) == ((true, 2L)) && out(2L) == ((true, 2L)) && out(3L) == ((true, 2L)))
+    assert(out(4L) == ((false, 0L)) && out(5L) == ((false, 0L)) && out(9L) == ((false, 0L)))
+    // K4 + pendant at k=3: the clique survives with degree 3, pendant drops
+    val ids = (1L to 4L)
+    val k4p = edgesOf((ids.flatMap(a => ids.filter(_ > a).map(a -> _)) :+ (4L, 5L)): _*)
+    val out3 = LinkGraph.kCore(nodes((1L to 5L): _*), "id", k4p, k = 3).collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Boolean]("in_core"), r.getAs[Long]("core_degree")))).toMap
+    assert((1L to 4L).forall(i => out3(i) == ((true, 3L))) && out3(5L) == ((false, 0L)))
+    // k=1 keeps every non-isolated node; a cascading chain peels fully at k=2
+    val chain = edgesOf((1L, 2L), (2L, 3L), (3L, 4L))
+    val k1 = LinkGraph.kCore(nodes(1, 2, 3, 4), "id", chain, k = 1).collect()
+    assert(k1.forall(_.getAs[Boolean]("in_core")))
+    val k2 = LinkGraph.kCore(nodes(1, 2, 3, 4), "id", chain, k = 2).collect()
+    assert(k2.forall(!_.getAs[Boolean]("in_core")), "an open chain has no 2-core")
+    // maxRounds too low fails fast (chain needs 2 cascading peel rounds)
+    val ex = intercept[IllegalStateException] {
+      LinkGraph.kCore(nodes(1, 2, 3, 4), "id", chain, k = 2, maxRounds = 1)
+    }
+    assert(ex.getMessage.contains("maxRounds"), ex.getMessage)
+  }
+
+  test("triangleStats: hand-counted triangles, coefficient, isolated nodes") {
+    // triangle {1,2,3} + pendant 3-4; 9 isolated
+    val out = LinkGraph.triangleStats(nodes(1, 2, 3, 4, 9), "id",
+      edgesOf((1, 2), (2, 3), (1, 3), (3, 4))).collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("degree"), r.getAs[Long]("triangles"), r.getAs[Double]("clustering"))))
+      .toMap
+    assert(out(1L) == ((2L, 1L, 1.0)))
+    assert(out(2L) == ((2L, 1L, 1.0)))
+    assert(out(3L) == ((3L, 1L, 2.0 * 1.0 / 6.0)))
+    assert(out(4L) == ((1L, 0L, 0.0)))
+    assert(out(9L) == ((0L, 0L, 0.0)))
+    // two triangles sharing edge 2-3: each shared node sees both
+    val out2 = LinkGraph.triangleStats(nodes(1, 2, 3, 4), "id",
+      edgesOf((1, 2), (2, 3), (1, 3), (2, 4), (3, 4))).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("triangles")).toMap
+    assert(out2 == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+    // K4: every node in 3 triangles, coefficient exactly 1.0
+    val ids = (1L to 4L)
+    val k4 = LinkGraph.triangleStats(nodes(ids: _*), "id",
+      edgesOf(ids.flatMap(a => ids.filter(_ > a).map(a -> _)): _*)).collect()
+    assert(k4.forall(r => r.getAs[Long]("triangles") == 3L &&
+      r.getAs[Double]("clustering") == 1.0))
+  }
+
+  test("triangleStats: partition-invariant, duplicate- and direction-proof") {
+    val rnd = new scala.util.Random(31)
+    val pairs = Seq.fill(90)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(p => p._1 != p._2)
+    val n = nodes((0L until 30L): _*)
+    val a = LinkGraph.triangleStats(n.repartition(2), "id",
+        pairs.toDF("src", "dst").repartition(3))
+      .orderBy($"id").collect().map(_.toSeq).toSeq
+    // symmetric + duplicated edge rows, different partitioning
+    val b = LinkGraph.triangleStats(n.repartition(11), "id",
+        edgesOf((pairs ++ pairs): _*).repartition(7))
+      .orderBy($"id").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
+  test("triangleStats: wedge-volume guard fails fast on dense graphs") {
+    val ids = (1L to 20L)
+    val clique = edgesOf(ids.flatMap(a => ids.filter(_ > a).map(a -> _)): _*)
+    val ex = intercept[IllegalArgumentException] {
+      LinkGraph.triangleStats(nodes(ids: _*), "id", clique, maxEstimatedWedges = 100L)
+    }
+    assert(ex.getMessage.contains("maxEstimatedWedges"), ex.getMessage)
+    // accepted explicitly: K20 has C(20,3) = 1140 triangles, C(19,2) = 171 per node
+    val ok = LinkGraph.triangleStats(nodes(ids: _*), "id", clique,
+      maxEstimatedWedges = 1000000L).collect()
+    assert(ok.forall(r => r.getAs[Long]("triangles") == 171L &&
+      r.getAs[Double]("clustering") == 1.0))
+  }
+
   test("pageRank: bit-identical across partitionings and edge duplication") {
     val rnd = new scala.util.Random(7)
     val pairs = Seq.fill(60)((rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))
