@@ -116,10 +116,11 @@ object Bench {
     // centrality scale path) and the span-novelty profile
     "q_reach_estimate",
     "q_span_novelty",
-    // round 11 session 3: alternating-star connected components and
-    // degree-ordered triangle counting over the shared-span graph
+    // round 11 session 3: alternating-star connected components,
+    // degree-ordered triangle counting, fused HTML→text extraction
     "q_components",
-    "q_triangles"
+    "q_triangles",
+    "q_html_extract"
   )
 
   def main(args: Array[String]): Unit = {

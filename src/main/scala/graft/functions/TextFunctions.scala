@@ -116,6 +116,20 @@ object TextFunctions {
     */
   def piiCounts(c: Column): Column = e2col(graft.expressions.PiiCounts(col2e(c)))
 
+  /** Markup → text extraction: script/style blocks and comments dropped,
+    * tags → single space, the standard named entities decoded — one
+    * fused codegen scan whose semantics are pinned to an explicit
+    * regexp_replace + replace chain the oracle replays verbatim (see
+    * [[graft.expressions.HtmlScan]] for the chain and the regex
+    * thread-scalability hazard this sidesteps).
+    */
+  def htmlToText(c: Column): Column = e2col(graft.expressions.HtmlToText(col2e(c)))
+
+  /** Count of `<[^>]*>` tag matches over the RAW markup — the markup-
+    * density audit lane (`len(regexp_extract_all(s, '<[^>]*>'))`).
+    */
+  def htmlTagCount(c: Column): Column = e2col(graft.expressions.HtmlTagCount(col2e(c)))
+
   // Spark 4 Column↔Expression bridge
   private def col2e(c: Column) = org.apache.spark.sql.graftbridge.Bridge.expression(c)
   private def e2col(e: org.apache.spark.sql.catalyst.expressions.Expression) =

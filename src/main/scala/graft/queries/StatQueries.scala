@@ -215,6 +215,31 @@ object StatQueries {
           sum(col("pii.n_phones")).as("n_phones"),
           sum(col("pii.n_ips")).as("n_ips"))
         .orderBy(col("source"))
+    }),
+
+    // HTML → text extraction: synthetic markup wrapped around each doc
+    // (script/style/comment branches + entities + an unclosed-script
+    // shape) stripped by the fused HtmlScan chain — the web-corpus
+    // ingestion step before any quality/dedup/tokenize pass; n_tags is
+    // the markup-density audit on the RAW markup
+    "q_html_extract" -> ((s, dir) => {
+      val markup = concat(
+        lit("<html><head><title>t</title><style>p {color: red}</style></head><body onload=\"go()\">"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit("<script type=\"text/javascript\">var x = 1 < 2; // "),
+            col("doc_id").cast("string"), lit("</script>")))
+          .otherwise(lit("<!-- hidden <b>comment</b> -->")),
+        lit("<p>"), col("text"),
+        lit("</p><div>tail &amp; &lt;raw&gt; &nbsp;&amp;lt;</div>"),
+        when(pmod(col("doc_id"), lit(5)) === 0, lit("<script>unclosed"))
+          .otherwise(lit("")),
+        lit("</body></html>"))
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          graft.functions.TextFunctions.htmlToText(markup).as("clean"),
+          graft.functions.TextFunctions.htmlTagCount(markup).cast("long").as("n_tags"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -311,6 +336,30 @@ object StatQueries {
         |  CAST(sum(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))) AS BIGINT) AS n_emails,
         |  CAST(sum(len(regexp_extract_all(t, '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}'))) AS BIGINT) AS n_phones,
         |  CAST(sum(len(regexp_extract_all(t, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))) AS BIGINT) AS n_ips
-        |FROM p GROUP BY source ORDER BY source""".stripMargin
+        |FROM p GROUP BY source ORDER BY source""".stripMargin,
+    // the exact 5-step chain HtmlScan pins (RE2 replays the same
+    // patterns; entity decodes are literal replace()s, amp last)
+    "q_html_extract" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>t</title><style>p {color: red}</style></head><body onload="go()">' ||
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN '<script type="text/javascript">var x = 1 < 2; // ' || CAST(doc_id AS VARCHAR) || '</script>'
+        |      ELSE '<!-- hidden <b>comment</b> -->' END ||
+        |    '<p>' || text || '</p><div>tail &amp; &lt;raw&gt; &nbsp;&amp;lt;</div>' ||
+        |    CASE WHEN doc_id % 5 = 0 THEN '<script>unclosed' ELSE '' END ||
+        |    '</body></html>' AS h
+        |  FROM documents)
+        |SELECT doc_id,
+        |  replace(replace(replace(replace(replace(replace(replace(
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(h,
+        |      '(?is)<script\b[^>]*>.*?</script>', '', 'g'),
+        |      '(?is)<style\b[^>]*>.*?</style>', '', 'g'),
+        |      '(?s)<!--.*?-->', '', 'g'),
+        |      '<[^>]*>', ' ', 'g'),
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''),
+        |    '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS clean,
+        |  CAST(len(regexp_extract_all(h, '<[^>]*>')) AS BIGINT) AS n_tags
+        |FROM m ORDER BY doc_id""".stripMargin
   )
 }

@@ -94,6 +94,17 @@ object CodegenCheck {
       sys.error(s"[codegen] round-11 text kernels NOT in generated code: $txtMissing")
     }
     txtDf.head()
+    // HTML extraction kernels (round-11 session 3)
+    val htmlDf = spark.range(8)
+      .select(concat(lit("<p a=\"x\">n"), col("id"), lit("</p><script>s</script> &amp;")).as("h"))
+      .select(T.htmlToText(col("h")).as("clean"), T.htmlTagCount(col("h")).as("nt"))
+    val genHtml = org.apache.spark.sql.execution.debug.codegenString(htmlDf.queryExecution.executedPlan)
+    val htmlMissing = Seq("evalHtml", "HtmlTagCount").filterNot(genHtml.contains)
+    if (htmlMissing.nonEmpty) {
+      System.err.println(genHtml.take(6000))
+      sys.error(s"[codegen] HTML kernels NOT in generated code: $htmlMissing")
+    }
+    htmlDf.head()
     val mmrDf = spark.range(8)
       .select(
         array(struct(col("id").as("id"), (col("id") * 0.1).as("rel")),

@@ -286,7 +286,12 @@ object PlanCheck {
       mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
     Check(
       "q_kcore",
-      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // HTML extraction is a pure fused scan: no join, no aggregation —
+    // the only exchange is the final order-by
+    Check(
+      "q_html_extract",
+      mustNotContain = Seq("HashAggregate", "Join", "hashpartitioning"))
   )
 
   /** Plan checks for operator INTERNALS the gate plans hide behind

@@ -476,6 +476,54 @@ object ScaleProbe {
         val tPr = (System.nanoTime() - t1) / 1e9
         println(s"""{"mode":"pagerank","edges":$nEdges,"mass":$mass,""" +
           f""""edges_s":$tEdges%.1f,"pagerank_s":$tPr%.1f}""")
+      case "html" =>
+        // fused HtmlScan chain vs the equivalent java.util.regex
+        // regexp_replace chain on the q_html_extract markup synthesis:
+        // same output hashes, measured wall — the regex tax on the
+        // web-ingestion pass
+        import graft.functions.{TextFunctions => T}
+        val markup = concat(
+          lit("<html><head><title>t</title><style>p {color: red}</style></head><body onload=\"go()\">"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit("<script type=\"text/javascript\">var x = 1 < 2; // "),
+              col("doc_id").cast("string"), lit("</script>")))
+            .otherwise(lit("<!-- hidden <b>comment</b> -->")),
+          lit("<p>"), col("text"),
+          lit("</p><div>tail &amp; &lt;raw&gt; &nbsp;&amp;lt;</div>"),
+          when(pmod(col("doc_id"), lit(5)) === 0, lit("<script>unclosed"))
+            .otherwise(lit("")),
+          lit("</body></html>"))
+        def secsH[A](f: => A): (A, Double) = {
+          val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+        }
+        def best2H[A](f: => A): (A, Double) = {
+          val (r, t1) = secsH(f); val (_, t2) = secsH(f); (r, math.min(t1, t2))
+        }
+        // modular hash sum: a plain sum(xxhash64) overflows Long under
+        // ANSI; 5e5 rows × 1e9 stays far inside 2^63 (bit-equality proper
+        // is the oracle gate's job — this is a cheap cross-check)
+        def hsum(c: org.apache.spark.sql.Column) =
+          sum(pmod(xxhash64(c), lit(1000000007L)))
+        val (kernelSum, tKernel) = best2H {
+          docs.select(hsum(T.htmlToText(markup)).as("s")).head().getLong(0)
+        }
+        val regexOut =
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(markup,
+            "(?is)<script\\b[^>]*>.*?</script>", ""),
+            "(?is)<style\\b[^>]*>.*?</style>", ""),
+            "(?s)<!--.*?-->", ""),
+            "<[^>]*>", " ")
+        val regexDecoded = Seq(
+          "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&apos;" -> "'",
+          "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+          .foldLeft(regexOut) { case (c, (f, r)) =>
+            org.apache.spark.sql.functions.replace(c, lit(f), lit(r)) }
+        val (regexSum, tRegex) = best2H {
+          docs.select(hsum(regexDecoded).as("s")).head().getLong(0)
+        }
+        require(kernelSum == regexSum, s"kernel/regex disagree: $kernelSum vs $regexSum")
+        println(s"""{"mode":"html","sum_hash":$kernelSum,""" +
+          f""""kernel_s":$tKernel%.2f,"regex_s":$tRegex%.2f}""")
       case "components" =>
         // alternating-star components at the tier: rounds are O(log n)
         // regardless of diameter; also time the min-propagation loop on
