@@ -240,6 +240,28 @@ object StatQueries {
           graft.functions.TextFunctions.htmlToText(markup).as("clean"),
           graft.functions.TextFunctions.htmlTagCount(markup).cast("long").as("n_tags"))
         .orderBy(col("doc_id"))
+    }),
+
+    // URL canonicalization: the crawl-dedup key normalization (case,
+    // fragments, tracking params, default ports — Urls.canonicalize's
+    // pinned 6-step chain) + host extraction, over synthetic URLs
+    // exercising every step
+    "q_url_canonicalize" -> ((s, dir) => {
+      val raw = concat(
+        when(pmod(col("doc_id"), lit(4)) === 0, lit("HTTP://Example.COM:80"))
+          .when(pmod(col("doc_id"), lit(4)) === 1, lit("https://CDN.Example.org:443"))
+          .when(pmod(col("doc_id"), lit(4)) === 2, lit("http://mirror.example.net:8080"))
+          .otherwise(lit("https://Example.com")),
+        lit("/Path/"), col("doc_id").cast("string"),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit("?utm_source=feed&id=7&utm_campaign=x"))
+          .when(pmod(col("doc_id"), lit(3)) === 1, lit("?id=9&fbclid=abc"))
+          .otherwise(lit("")),
+        lit("#Section-"), col("doc_id").cast("string"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), graft.text.Urls.canonicalize(raw).as("canonical"))
+        .select(col("doc_id"), col("canonical"),
+          graft.text.Urls.host(col("canonical")).as("host"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -360,6 +382,46 @@ object StatQueries {
         |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''),
         |    '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS clean,
         |  CAST(len(regexp_extract_all(h, '<[^>]*>')) AS BIGINT) AS n_tags
-        |FROM m ORDER BY doc_id""".stripMargin
+        |FROM m ORDER BY doc_id""".stripMargin,
+    // the Urls.canonicalize 6-step chain replayed step for step (DuckDB
+    // regexp_replace needs the explicit 'g' flag to match Spark's
+    // always-global replaceAll; capture refs are \1 here vs $1 there)
+    "q_url_canonicalize" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 4 WHEN 0 THEN 'HTTP://Example.COM:80'
+        |      WHEN 1 THEN 'https://CDN.Example.org:443'
+        |      WHEN 2 THEN 'http://mirror.example.net:8080'
+        |      ELSE 'https://Example.com' END ||
+        |    '/Path/' || CAST(doc_id AS VARCHAR) ||
+        |    CASE doc_id % 3 WHEN 0 THEN '?utm_source=feed&id=7&utm_campaign=x'
+        |      WHEN 1 THEN '?id=9&fbclid=abc' ELSE '' END ||
+        |    '#Section-' || CAST(doc_id AS VARCHAR) AS u
+        |  FROM documents),
+        |s2 AS (
+        |  SELECT doc_id, trim(u) AS t,
+        |    regexp_extract(trim(u), '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0) AS p
+        |  FROM r),
+        |c AS (
+        |  SELECT doc_id,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(
+        |              regexp_replace(
+        |                regexp_replace(
+        |                  lower(p) || substr(t, length(p) + 1),
+        |                  '(?s)#.*', '', 'g'),
+        |                '(?i)&(utm_[a-z0-9_]+|fbclid|gclid)=[^&#]*', '', 'g'),
+        |              '(?i)\?(utm_[a-z0-9_]+|fbclid|gclid)=[^&#]*&', '?', 'g'),
+        |            '(?i)\?(utm_[a-z0-9_]+|fbclid|gclid)=[^&#]*$', '', 'g'),
+        |          '^(http://[^/:?#]+):80(/|\?|$)', '\1\2', 'g'),
+        |        '^(https://[^/:?#]+):443(/|\?|$)', '\1\2', 'g'),
+        |      '[?&]+$', '', 'g') AS canonical
+        |  FROM s2)
+        |SELECT doc_id, canonical,
+        |  regexp_extract(canonical, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host
+        |FROM c ORDER BY doc_id""".stripMargin
   )
 }

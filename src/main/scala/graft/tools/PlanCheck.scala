@@ -291,6 +291,10 @@ object PlanCheck {
     // the only exchange is the final order-by
     Check(
       "q_html_extract",
+      mustNotContain = Seq("HashAggregate", "Join", "hashpartitioning")),
+    // URL canonicalization is likewise scan-only
+    Check(
+      "q_url_canonicalize",
       mustNotContain = Seq("HashAggregate", "Join", "hashpartitioning"))
   )
 
