@@ -1738,6 +1738,18 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // personalized PageRank (TrustRank shape): teleport restricted to a
+    // deterministic 5% seed set — rank = link-proximity to the seeds,
+    // the seed-propagation quality signal plain PageRank lacks
+    "q_trustrank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val edges = LinkGraph.sharedSpanEdges(docs, "doc_id", "text", w = 5, maxDf = 32)
+      val seeds = docs.select(col("doc_id")).where(pmod(col("doc_id"), lit(20)) === 1)
+      LinkGraph.pageRankPersonalized(docs.select(col("doc_id")), "doc_id", edges,
+          seeds, iters = 3)
+        .orderBy(col("doc_id"))
+    }),
+
     // exact 2-core: iterative peel to the fixed point — tendrils and
     // pendant chains drop, cyclically-embedded docs stay (the
     // spam-farm-interlink signal next to q_triangles)
@@ -1997,6 +2009,49 @@ object LlmQueries {
        |FROM p$iters ORDER BY doc_id""".stripMargin
   }
 
+  /** Personalized-PageRank oracle: [[pageRankSql]] with the teleport and
+    * initial mass restricted to the seed predicate (TrustRank shape) —
+    * mirrors [[graft.text.LinkGraph.pageRankPersonalized]] in BIGINT.
+    */
+  private def pageRankSeedSql(w: Int, iters: Int, scale: Long, dNum: Int, dDen: Int,
+      seedPred: String): String = {
+    val sl = w - 1
+    val iterCtes = (1 to iters).map { k =>
+      val prev = if (k == 1) "p0" else s"p${k - 1}"
+      s"""c$k AS (
+         |  SELECT e.dst AS id, CAST(sum(p.r // d.deg) AS BIGINT) AS s
+         |  FROM r1 e JOIN $prev p ON e.src = p.id JOIN deg d ON e.src = d.src
+         |  GROUP BY e.dst),
+         |p$k AS MATERIALIZED (
+         |  SELECT doc_id AS id,
+         |    CAST((CASE WHEN $seedPred THEN tp.tp ELSE 0 END)
+         |      + coalesce(($dNum * c$k.s) // $dDen, 0) AS BIGINT) AS r
+         |  FROM documents CROSS JOIN tp LEFT JOIN c$k ON documents.doc_id = c$k.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tk AS (
+       |  SELECT doc_id, list_filter($toksSql, x -> x <> '') AS toks FROM documents),
+       |sp0 AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id,
+       |    unnest([array_to_string(toks[i:i+$sl], ' ') FOR i IN range(1, greatest(len(toks) - ${sl - 1}, 1))]) AS span
+       |  FROM tk),
+       |rare AS MATERIALIZED (
+       |  SELECT span FROM sp0 GROUP BY span HAVING count(*) BETWEEN 2 AND 32),
+       |sp AS MATERIALIZED (SELECT doc_id, span FROM sp0 JOIN rare USING (span)),
+       |r1 AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+       |  FROM sp a JOIN sp b ON a.span = b.span AND a.doc_id <> b.doc_id),
+       |deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM r1 GROUP BY src),
+       |ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents WHERE $seedPred),
+       |tp AS (SELECT CAST(((${dDen - dNum} * $scale) // $dDen) // n AS BIGINT) AS tp FROM ns),
+       |p0 AS MATERIALIZED (
+       |  SELECT doc_id AS id,
+       |    CAST(CASE WHEN $seedPred THEN $scale // n ELSE 0 END AS BIGINT) AS r
+       |  FROM documents CROSS JOIN ns),
+       |$iterCtes
+       |SELECT id AS doc_id, r AS rank_fp, CAST(r AS DOUBLE) / $scale.0 AS score
+       |FROM p$iters ORDER BY doc_id""".stripMargin
+  }
+
   /** Greedy-MMR oracle: candidate/pair CTEs (6-rounded cosines — the
     * doubles are bitwise equal across engines, so the `lam·rel − pen·max`
     * arithmetic is too), then k−1 unrolled selection steps, each an
@@ -2051,6 +2106,8 @@ object LlmQueries {
     "q_blocklist" -> blocklistReportSql(BlocklistTerms),
     "q_blocklist_filter" -> blocklistFilterSql(BlocklistFilterTerms, maxHits = 2),
     "q_pagerank" -> pageRankSql(w = 5, iters = 3, scale = 1000000000000L, dNum = 85, dDen = 100),
+    "q_trustrank" -> pageRankSeedSql(w = 5, iters = 3, scale = 1000000000000L,
+      dNum = 85, dDen = 100, seedPred = "doc_id % 20 = 1"),
     "q_pagerank_weighted" -> pageRankSql(w = 6, iters = 3, scale = 1000000000000L,
       dNum = 85, dDen = 100, weighted = true),
     "q_reach_estimate" -> XxhSql.hyperBallSql(w = 5, hops = 3),

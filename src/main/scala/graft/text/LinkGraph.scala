@@ -274,6 +274,61 @@ object LinkGraph {
       (col("r").cast("double") / lit(scale.toDouble)).as("score"))
   }
 
+  /** Personalized (seed-biased) PageRank — the TrustRank-family quality
+    * signal (Gyöngyi/Garcia-Molina/Pedersen, VLDB 2004 — public): all
+    * teleport mass returns to a SEED set (trusted/curated pages), so
+    * rank measures proximity to the seeds through link structure —
+    * spam farms far from every seed starve even when they interlink
+    * densely, the property plain PageRank lacks. Same fixed-point Long
+    * arithmetic and bit-determinism contract as [[pageRank]]; the only
+    * changes are the initial distribution (`scale / |seeds|` on seeds,
+    * 0 elsewhere) and the per-iteration teleport (seeds only). Dangling
+    * mass is dropped, exactly as in [[pageRank]].
+    *
+    * Returns `(idCol, rank_fp, score)` for every node in `nodes`.
+    */
+  def pageRankPersonalized(nodes: DataFrame, idCol: String, edges: DataFrame,
+      seeds: DataFrame, iters: Int,
+      scale: Long = 1000000000000L, dampNum: Int = 85, dampDen: Int = 100): DataFrame = {
+    require(iters >= 1, s"LinkGraph.pageRankPersonalized: iters $iters < 1")
+    require(dampNum > 0 && dampNum < dampDen,
+      s"LinkGraph.pageRankPersonalized: damping $dampNum/$dampDen")
+    require(scale >= 1 && scale <= Long.MaxValue / dampDen,
+      s"LinkGraph.pageRankPersonalized: scale $scale would overflow the damping multiply")
+    val e = edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+    val ewd = e.join(
+        e.groupBy(col("src")).agg(count(lit(1)).as("__deg")), Seq("src"))
+      .cache()
+    // (id, __seed) pinned once: consumed by the seed count, the initial
+    // distribution, and every iteration's teleport lane
+    val idsFlag = nodes.select(col(idCol).as("id"))
+      .join(seeds.select(col(idCol).as("id")).distinct().withColumn("__s", lit(true)),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("__s"), lit(false)).as("__seed"))
+      .localCheckpoint(true)
+    val nSeeds = idsFlag.where(col("__seed")).count()
+    require(nSeeds > 0, "LinkGraph.pageRankPersonalized: no seed is in the node set")
+    val teleport = ((dampDen - dampNum).toLong * scale / dampDen) / nSeeds
+    var ranks = idsFlag.select(col("id"),
+      when(col("__seed"), lit(scale / nSeeds)).otherwise(lit(0L)).as("r"))
+    var i = 0
+    while (i < iters) {
+      val contrib = ranks.join(ewd, col("id") === col("src"))
+        .select(col("dst").as("id"), expr("r div __deg").as("__c"))
+        .groupBy(col("id")).agg(sum(col("__c")).as("__s"))
+      ranks = idsFlag.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (when(col("__seed"), lit(teleport)).otherwise(lit(0L)) +
+            coalesce(expr(s"(${dampNum}L * __s) div ${dampDen}L"), lit(0L))).as("r"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    ewd.unpersist()
+    ranks.select(col("id").as(idCol), col("r").as("rank_fp"),
+      (col("r").cast("double") / lit(scale.toDouble)).as("score"))
+  }
+
   /** [[pageRank]] with per-edge Long weights (`edges: (src, dst,
     * weight)`) — contribution `(rank·w) / W(src)` instead of
     * `rank / outdeg`, all integer, same bit-determinism contract.

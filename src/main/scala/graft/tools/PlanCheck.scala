@@ -256,6 +256,9 @@ object PlanCheck {
     Check(
       "q_pagerank_weighted",
       mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    Check(
+      "q_trustrank",
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
     // HyperBall readout: register state pinned per round; no cartesian
     Check(
       "q_reach_estimate",

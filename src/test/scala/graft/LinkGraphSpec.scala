@@ -372,6 +372,37 @@ class LinkGraphSpec extends SparkSpec {
       r.getAs[Double]("clustering") == 1.0))
   }
 
+  test("pageRankPersonalized: hand-computed seed-teleport iteration + guards") {
+    // path 1-2-3 (symmetric) + isolated 4; seed = {1}; scale 1e12:
+    //   r0: 1e12 at the seed, 0 elsewhere; teleport = (15e12/100)/1 = 1.5e11
+    //   deg: 1→1, 2→2, 3→1
+    //   into 2: r0(1)/1 = 1e12 → r1(2) = 0 + 85·1e12/100 = 850e9
+    //   into 1 and 3: r0(2)/2 = 0 → r1(1) = teleport only, r1(3) = 0
+    val e = edgesOf((1L, 2L), (2L, 3L))
+    val out = LinkGraph.pageRankPersonalized(nodes(1L, 2L, 3L, 4L), "id", e,
+        nodes(1L), iters = 1)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rank_fp")).toMap
+    assert(out == Map(1L -> 150000000000L, 2L -> 850000000000L, 3L -> 0L, 4L -> 0L),
+      s"got $out")
+    // seeds outside the node set fail fast
+    val ex = intercept[IllegalArgumentException] {
+      LinkGraph.pageRankPersonalized(nodes(1L, 2L), "id", e, nodes(99L), iters = 1)
+    }
+    assert(ex.getMessage.contains("seed"), ex.getMessage)
+    // partition/duplication invariance (the fixed-point contract)
+    val rnd = new scala.util.Random(17)
+    val pairs = Seq.fill(50)((rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+      .filter(p => p._1 != p._2)
+    val n = nodes((0L until 12L): _*)
+    val seeds = nodes(0L, 5L)
+    val a = LinkGraph.pageRankPersonalized(n, "id", edgesOf(pairs: _*), seeds, iters = 3)
+      .orderBy($"id").collect().map(_.toSeq).toSeq
+    val b = LinkGraph.pageRankPersonalized(n.repartition(5), "id",
+        edgesOf((pairs ++ pairs): _*).repartition(3), seeds.repartition(2), iters = 3)
+      .orderBy($"id").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
   test("pageRank: bit-identical across partitionings and edge duplication") {
     val rnd = new scala.util.Random(7)
     val pairs = Seq.fill(60)((rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))
