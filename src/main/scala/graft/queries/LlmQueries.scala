@@ -1750,6 +1750,16 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // synchronous label-propagation communities (deterministic min
+    // tie-break, bounded rounds): denser-than-components topical
+    // clusters — the grouping mixture design reads
+    "q_communities" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val edges = LinkGraph.sharedSpanEdges(docs, "doc_id", "text", w = 5, maxDf = 32)
+      LinkGraph.labelPropagation(docs.select(col("doc_id")), "doc_id", edges, iters = 2)
+        .orderBy(col("doc_id"))
+    }),
+
     // exact 2-core: iterative peel to the fixed point — tendrils and
     // pendant chains drop, cyclically-embedded docs stay (the
     // spam-farm-interlink signal next to q_triangles)
@@ -2052,6 +2062,45 @@ object LlmQueries {
        |FROM p$iters ORDER BY doc_id""".stripMargin
   }
 
+  /** Synchronous label-propagation oracle: `iters` unrolled rounds of
+    * (neighbor-label count → per-node argmax with min tie-break) —
+    * mirrors [[graft.text.LinkGraph.labelPropagation]] exactly.
+    */
+  private def labelPropSql(w: Int, iters: Int): String = {
+    val sl = w - 1
+    val rounds = (1 to iters).map { k =>
+      val prev = s"l${k - 1}"
+      s"""cnt$k AS (
+         |  SELECT e.src AS u, l.lbl, count(*) AS c
+         |  FROM r1 e JOIN $prev l ON e.dst = l.id GROUP BY e.src, l.lbl),
+         |pk$k AS (
+         |  SELECT u, lbl FROM (
+         |    SELECT u, lbl,
+         |      row_number() OVER (PARTITION BY u ORDER BY c DESC, lbl ASC) AS rn
+         |    FROM cnt$k) WHERE rn = 1),
+         |l$k AS MATERIALIZED (
+         |  SELECT $prev.id, coalesce(pk$k.lbl, $prev.lbl) AS lbl
+         |  FROM $prev LEFT JOIN pk$k ON $prev.id = pk$k.u)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tk AS (
+       |  SELECT doc_id, list_filter($toksSql, x -> x <> '') AS toks FROM documents),
+       |sp0 AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id,
+       |    unnest([array_to_string(toks[i:i+$sl], ' ') FOR i IN range(1, greatest(len(toks) - ${sl - 1}, 1))]) AS span
+       |  FROM tk),
+       |rare AS MATERIALIZED (
+       |  SELECT span FROM sp0 GROUP BY span HAVING count(*) BETWEEN 2 AND 32),
+       |sp AS MATERIALIZED (SELECT doc_id, span FROM sp0 JOIN rare USING (span)),
+       |r1 AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+       |  FROM sp a JOIN sp b ON a.span = b.span AND a.doc_id <> b.doc_id),
+       |l0 AS (SELECT doc_id AS id, doc_id AS lbl FROM documents),
+       |$rounds,
+       |sz AS (SELECT lbl, CAST(count(*) AS BIGINT) AS n FROM l$iters GROUP BY lbl)
+       |SELECT l$iters.id AS doc_id, l$iters.lbl AS community, sz.n AS community_size
+       |FROM l$iters JOIN sz USING (lbl) ORDER BY doc_id""".stripMargin
+  }
+
   /** Greedy-MMR oracle: candidate/pair CTEs (6-rounded cosines — the
     * doubles are bitwise equal across engines, so the `lam·rel − pen·max`
     * arithmetic is too), then k−1 unrolled selection steps, each an
@@ -2108,6 +2157,7 @@ object LlmQueries {
     "q_pagerank" -> pageRankSql(w = 5, iters = 3, scale = 1000000000000L, dNum = 85, dDen = 100),
     "q_trustrank" -> pageRankSeedSql(w = 5, iters = 3, scale = 1000000000000L,
       dNum = 85, dDen = 100, seedPred = "doc_id % 20 = 1"),
+    "q_communities" -> labelPropSql(w = 5, iters = 2),
     "q_pagerank_weighted" -> pageRankSql(w = 6, iters = 3, scale = 1000000000000L,
       dNum = 85, dDen = 100, weighted = true),
     "q_reach_estimate" -> XxhSql.hyperBallSql(w = 5, hops = 3),

@@ -604,6 +604,54 @@ object LinkGraph {
         coalesce(col("core_degree"), lit(0L)).as("core_degree"))
   }
 
+  /** Label-propagation community detection — SYNCHRONOUS rounds with a
+    * deterministic tie-break (Raghavan/Albert/Kumara 2007, made
+    * reproducible): every node simultaneously adopts its neighbors'
+    * most frequent label from the PREVIOUS round, ties resolved to the
+    * smallest label. The classic async/randomized variant is
+    * order-dependent (two runs disagree); the synchronous+min-tie form
+    * is bit-deterministic across partitionings and replayable in SQL —
+    * the engine-wide contract. Communities are denser-than-components
+    * groupings (a component's template cluster vs its incidental
+    * bridges), the topical-cluster signal mixture design reads.
+    *
+    * Bounded-iteration contract like [[pageRank]] (synchronous LPA can
+    * oscillate on bipartite structures, so a fixed `iters` IS the
+    * semantic, not an approximation of a fixpoint); per round: one
+    * |E| join + one (node, label) count + one per-node argmax window —
+    * linear in edges at any scale, rounds pinned per iteration.
+    * Isolated nodes keep their own label. Returns
+    * `(idCol, community, community_size)`.
+    */
+  def labelPropagation(nodes: DataFrame, idCol: String, edges: DataFrame,
+      iters: Int): DataFrame = {
+    require(iters >= 1, s"LinkGraph.labelPropagation: iters $iters < 1")
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst")).distinct().cache()
+    val ids = nodes.select(col(idCol).as("id"))
+    var labels = ids.withColumn("lbl", col("id")).localCheckpoint(true)
+    var i = 0
+    while (i < iters) {
+      val counts = e
+        .join(labels.select(col("id").as("dst"), col("lbl").as("nlbl")), Seq("dst"))
+        .groupBy(col("src"), col("nlbl")).agg(count(lit(1)).as("__c"))
+      val picked = counts
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("src")).orderBy(col("__c").desc, col("nlbl").asc)))
+        .where(col("__rn") === 1)
+        .select(col("src").as("id"), col("nlbl").as("__new"))
+      labels = labels.join(picked, Seq("id"), "left")
+        .select(col("id"), coalesce(col("__new"), col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    e.unpersist()
+    val sized = labels.join(
+      labels.groupBy(col("lbl")).agg(count(lit(1)).as("community_size")), Seq("lbl"))
+    sized.select(col("id").as(idCol), col("lbl").as("community"), col("community_size"))
+  }
+
   /** One large-star pass over canonical (hi > lo) edges: for each node u
     * (both endpoints act as centers), every strictly-larger neighbor v
     * is re-pointed at m(u) = min(Γ(u) ∪ {u}). Output is canonical again

@@ -259,6 +259,9 @@ object PlanCheck {
     Check(
       "q_trustrank",
       mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    Check(
+      "q_communities",
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
     // HyperBall readout: register state pinned per round; no cartesian
     Check(
       "q_reach_estimate",

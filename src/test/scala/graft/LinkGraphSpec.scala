@@ -372,6 +372,34 @@ class LinkGraphSpec extends SparkSpec {
       r.getAs[Double]("clustering") == 1.0))
   }
 
+  test("labelPropagation: hand-computed synchronous rounds, isolated nodes, invariance") {
+    // triangle {1,2,3}: round 1 gives (1→2, 2→1, 3→1) — each node adopts
+    // its neighbors' min label on the all-distinct tie; round 2 converges
+    // every label to 1 (node 1 sees {1,1}; nodes 2,3 see {2,1}/{2,1},
+    // count tie → min 1). Isolated 9 keeps itself.
+    val out1 = LinkGraph.labelPropagation(nodes(1, 2, 3, 9), "id",
+      edgesOf((1, 2), (2, 3), (1, 3)), iters = 1)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("community")).toMap
+    assert(out1 == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 9L -> 9L), s"got $out1")
+    val out2 = LinkGraph.labelPropagation(nodes(1, 2, 3, 9), "id",
+      edgesOf((1, 2), (2, 3), (1, 3)), iters = 2)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("community"), r.getAs[Long]("community_size")))).toMap
+    assert(out2 == Map(1L -> ((1L, 3L)), 2L -> ((1L, 3L)), 3L -> ((1L, 3L)),
+      9L -> ((9L, 1L))), s"got $out2")
+    // partition/duplication invariance (synchronous + min tie-break)
+    val rnd = new scala.util.Random(53)
+    val pairs = Seq.fill(60)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      .filter(p => p._1 != p._2)
+    val n = nodes((0L until 20L): _*)
+    val a = LinkGraph.labelPropagation(n, "id", edgesOf(pairs: _*), iters = 3)
+      .orderBy($"id").collect().map(_.toSeq).toSeq
+    val b = LinkGraph.labelPropagation(n.repartition(7), "id",
+        edgesOf((pairs ++ pairs): _*).repartition(3), iters = 3)
+      .orderBy($"id").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
   test("pageRankPersonalized: hand-computed seed-teleport iteration + guards") {
     // path 1-2-3 (symmetric) + isolated 4; seed = {1}; scale 1e12:
     //   r0: 1e12 at the seed, 0 elsewhere; teleport = (15e12/100)/1 = 1.5e11
