@@ -565,6 +565,33 @@ object ScaleProbe {
         val tStar = (System.nanoTime() - t0) / 1e9
         println(s"""{"mode":"components_chain","nodes":$n,"all_labeled_min":$ok,""" +
           f""""star_s":$tStar%.1f}""")
+      case "graph_extras" =>
+        // the remaining graph lanes at the tier, one timed pass each
+        // over the SAME pinned w=6 edge graph: k-core peel, synchronous
+        // label propagation, seed-teleport PageRank — all linear-in-|E|
+        // shapes; this probe confirms none hides a super-linear stage
+        val t0 = System.nanoTime()
+        val edges = LinkGraph.sharedSpanEdges(docs, "doc_id", "text", w = 6, maxDf = 32)
+          .localCheckpoint(true)
+        val nE = edges.count()
+        val tE = (System.nanoTime() - t0) / 1e9
+        val ids = docs.select(col("doc_id"))
+        val t1 = System.nanoTime()
+        val core = LinkGraph.kCore(ids, "doc_id", edges, k = 2)
+          .where(col("in_core")).count()
+        val tK = (System.nanoTime() - t1) / 1e9
+        val t2 = System.nanoTime()
+        val nComm = LinkGraph.labelPropagation(ids, "doc_id", edges, iters = 2)
+          .select(countDistinct(col("community"))).head().getLong(0)
+        val tL = (System.nanoTime() - t2) / 1e9
+        val t3 = System.nanoTime()
+        val seeds = ids.where(pmod(col("doc_id"), lit(20)) === 1)
+        val mass = LinkGraph.pageRankPersonalized(ids, "doc_id", edges, seeds, iters = 3)
+          .agg(sum(col("rank_fp"))).head().getLong(0)
+        val tT = (System.nanoTime() - t3) / 1e9
+        println(s"""{"mode":"graph_extras","edges":$nE,"core2_nodes":$core,""" +
+          s""""communities":$nComm,"trust_mass":$mass,""" +
+          f""""edges_s":$tE%.1f,"kcore_s":$tK%.1f,"labelprop_s":$tL%.1f,"trustrank_s":$tT%.1f}""")
       case "triangles" =>
         // degree-ordered triangle counting at the tier: wedge volume is
         // the inherent cost — report it next to the runtime
