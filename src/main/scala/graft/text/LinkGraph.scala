@@ -683,14 +683,20 @@ object LinkGraph {
   }
 
   /** Exact star-fixpoint test (see [[connectedComponents]] scaladoc):
-    * every hi has exactly one distinct lo, and no lo is also a hi.
+    * every hi has exactly one distinct lo, and no lo is also a hi — both
+    * conditions folded into ONE aggregation over a 2|E|-row union (one
+    * shuffle per round instead of the three a groupBy + two-distinct
+    * semi-join would cost).
     */
   private def isStarSet(e: DataFrame): Boolean = {
-    val multi = e.groupBy(col("hi")).agg(countDistinct(col("lo")).as("__n"))
-      .where(col("__n") > 1).limit(1).count() > 0
-    if (multi) false
-    else e.select(col("lo")).distinct().as("l")
-      .join(e.select(col("hi")).distinct().as("h"), col("l.lo") === col("h.hi"), "left_semi")
+    val sides = e
+      .select(col("hi").as("n"), col("lo").as("other"), lit(1L).as("__h"))
+      .unionAll(e.select(col("lo").as("n"),
+        lit(null).cast(e.schema("hi").dataType).as("other"), lit(0L).as("__h")))
+    sides.groupBy(col("n"))
+      .agg(max(col("__h")).as("__hasHi"), min(col("__h")).as("__minH"),
+        countDistinct(col("other")).as("__nd")) // nulls (lo-side rows) don't count
+      .where((col("__hasHi") === 1 && col("__minH") === 0) || col("__nd") > 1)
       .limit(1).count() == 0L
   }
 
