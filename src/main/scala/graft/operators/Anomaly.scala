@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ingestion-rate anomaly detection — per-key bucketed event counts
+  * z-scored against that key's own rate history, the monitoring pass an
+  * always-on ingestion pipeline runs ahead of training-data selection
+  * (a crawler going into a loop, a source going dark, a bot burst —
+  * all show up as rate spikes/droughts long before content checks see
+  * them).
+  *
+  * Determinism contract: the mean/variance inputs are EXACT integer
+  * aggregates (Σn and Σn² over per-bucket counts — Long addition is
+  * exactly commutative, so partitioning cannot change a bit), and the
+  * float tail is a fixed-order expression over those exact values:
+  * μ = S₁/m, var = (S₂ − S₁·S₁/m)/(m−1), σ = √var (IEEE sqrt is
+  * correctly rounded — the HyperBall lesson: sqrt is portable, pow/ln
+  * are not), z = (n − μ)/σ. DuckDB replays the identical expression
+  * tree, so even the z DOUBLES are hash-exact. Degenerate lanes are
+  * pinned: fewer than 2 buckets or zero variance ⇒ z = 0.
+  *
+  * Scale shape: one map-side-combined count to (key, bucket)
+  * granularity, one key-level rollup of three integers, one broadcast-
+  * friendly join back — the corpus is touched once, nothing is
+  * quadratic. Σn² needs n ≤ ~3·10⁹ per (key, bucket) to stay inside a
+  * signed 64-bit — at that rate per bucket, shorten the bucket.
+  */
+object Anomaly {
+
+  /** Per-(key, bucket) event counts with the key-history z-score.
+    * `bucket` is a `date_trunc` unit (`"hour"`, `"day"`, …). Returns
+    * `(keyCol, bucket, n, z, is_anomaly)`.
+    */
+  def rateZ(events: DataFrame, keyCol: String, tsCol: String, bucket: String,
+      zThreshold: Double = 3.0): DataFrame = {
+    require(zThreshold > 0, s"Anomaly.rateZ: zThreshold $zThreshold <= 0")
+    val counts = events
+      .groupBy(col(keyCol), date_trunc(bucket, col(tsCol)).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val stats = counts.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("__m"),
+      sum(col("n")).as("__s1"),
+      sum(col("n") * col("n")).as("__s2"))
+    val mu = col("__s1").cast("double") / col("__m").cast("double")
+    val variance =
+      (col("__s2").cast("double") -
+        col("__s1").cast("double") * col("__s1").cast("double") / col("__m").cast("double")) /
+        (col("__m") - 1).cast("double")
+    counts.join(stats, Seq(keyCol))
+      .withColumn("__mu", mu)
+      // the m < 2 pin must wrap the DIVISION, not just the consumer:
+      // ANSI mode throws DIVIDE_BY_ZERO for doubles too
+      .withColumn("__var", when(col("__m") < 2, lit(0.0)).otherwise(variance))
+      .withColumn("__sigma",
+        when(col("__m") < 2 || col("__var") <= 0.0, lit(0.0)).otherwise(sqrt(col("__var"))))
+      .withColumn("z",
+        when(col("__sigma") === 0.0, lit(0.0))
+          .otherwise((col("n").cast("double") - col("__mu")) / col("__sigma")))
+      .select(col(keyCol), col("bucket"), col("n"), col("z"),
+        (abs(col("z")) > zThreshold).as("is_anomaly"))
+  }
+}

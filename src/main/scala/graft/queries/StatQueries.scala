@@ -242,6 +242,16 @@ object StatQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ingestion-rate anomaly detection: per-type hourly counts z-scored
+    // against each type's own history — exact integer Σn/Σn² feeding a
+    // fixed-order float tail (sqrt only — portable), so even the z
+    // doubles hash-match the oracle
+    "q_rate_anomaly" -> ((s, dir) => {
+      graft.operators.Anomaly.rateZ(t(s, dir, "events"), "event_type", "ts",
+          bucket = "hour", zThreshold = 2.5)
+        .orderBy(col("event_type"), col("bucket"))
+    }),
+
     // URL canonicalization: the crawl-dedup key normalization (case,
     // fragments, tracking params, default ports — Urls.canonicalize's
     // pinned 6-step chain) + host extraction, over synthetic URLs
@@ -383,6 +393,35 @@ object StatQueries {
         |    '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS clean,
         |  CAST(len(regexp_extract_all(h, '<[^>]*>')) AS BIGINT) AS n_tags
         |FROM m ORDER BY doc_id""".stripMargin,
+    // the exact-integer rate-z replay: identical expression tree (casts,
+    // op order, degenerate-lane pins) over Σn / Σn²
+    "q_rate_anomaly" ->
+      """WITH c AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type,
+        |    CAST(count(*) AS BIGINT) AS m,
+        |    CAST(sum(n) AS BIGINT) AS s1,
+        |    CAST(sum(n * n) AS BIGINT) AS s2
+        |  FROM c GROUP BY event_type),
+        |j AS (
+        |  SELECT c.event_type, c.bucket, c.n, st.m,
+        |    CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE) AS mu,
+        |    CASE WHEN m < 2 THEN 0.0 ELSE
+        |      (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE))
+        |        / CAST(m - 1 AS DOUBLE) END AS v
+        |  FROM c JOIN st USING (event_type)),
+        |z AS (
+        |  SELECT event_type, bucket, n,
+        |    CASE WHEN (CASE WHEN m < 2 OR v <= 0.0 THEN 0.0 ELSE sqrt(v) END) = 0.0
+        |      THEN 0.0
+        |      ELSE (CAST(n AS DOUBLE) - mu)
+        |        / (CASE WHEN m < 2 OR v <= 0.0 THEN 0.0 ELSE sqrt(v) END) END AS z
+        |  FROM j)
+        |SELECT event_type, bucket, n, z, abs(z) > 2.5 AS is_anomaly
+        |FROM z ORDER BY event_type, bucket""".stripMargin,
     // the Urls.canonicalize 6-step chain replayed step for step (DuckDB
     // regexp_replace needs the explicit 'g' flag to match Spark's
     // always-global replaceAll; capture refs are \1 here vs $1 there)

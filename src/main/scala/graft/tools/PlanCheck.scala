@@ -301,7 +301,13 @@ object PlanCheck {
     // URL canonicalization is likewise scan-only
     Check(
       "q_url_canonicalize",
-      mustNotContain = Seq("HashAggregate", "Join", "hashpartitioning"))
+      mustNotContain = Seq("HashAggregate", "Join", "hashpartitioning")),
+    // rate anomaly: map-side-combined counts, key-level integer rollup,
+    // one equi join back — nothing quadratic
+    Check(
+      "q_rate_anomaly",
+      mustContain = Seq("partial_count"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
   )
 
   /** Plan checks for operator INTERNALS the gate plans hide behind
