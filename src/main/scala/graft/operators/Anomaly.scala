@@ -33,11 +33,19 @@ object Anomaly {
     * `(keyCol, bucket, n, z, is_anomaly)`.
     */
   def rateZ(events: DataFrame, keyCol: String, tsCol: String, bucket: String,
-      zThreshold: Double = 3.0): DataFrame = {
-    require(zThreshold > 0, s"Anomaly.rateZ: zThreshold $zThreshold <= 0")
-    val counts = events
-      .groupBy(col(keyCol), date_trunc(bucket, col(tsCol)).as("bucket"))
-      .agg(count(lit(1)).as("n"))
+      zThreshold: Double = 3.0): DataFrame =
+    zFromCounts(
+      events.groupBy(col(keyCol), date_trunc(bucket, col(tsCol)).as("bucket"))
+        .agg(count(lit(1)).as("n")),
+      keyCol, zThreshold)
+
+  /** The z-score tail over an already-aggregated `(keyCol, bucket, n)`
+    * count table — shared by [[rateZ]] and the streaming twin
+    * ([[graft.streaming.StreamingAnomaly]] sums per-batch integer deltas
+    * into exactly this shape, so both paths serve identical bits).
+    */
+  def zFromCounts(counts: DataFrame, keyCol: String, zThreshold: Double = 3.0): DataFrame = {
+    require(zThreshold > 0, s"Anomaly.zFromCounts: zThreshold $zThreshold <= 0")
     val stats = counts.groupBy(col(keyCol)).agg(
       count(lit(1)).as("__m"),
       sum(col("n")).as("__s1"),
