@@ -117,10 +117,17 @@ object Bench {
     "q_reach_estimate",
     "q_span_novelty",
     // round 11 session 3: alternating-star connected components,
-    // degree-ordered triangle counting, fused HTML→text extraction
+    // degree-ordered triangle counting, fused HTML→text extraction,
+    // k-core peel, TrustRank, label-prop communities, URL keys,
+    // exact-stats rate anomaly
     "q_components",
     "q_triangles",
-    "q_html_extract"
+    "q_html_extract",
+    "q_kcore",
+    "q_trustrank",
+    "q_communities",
+    "q_url_canonicalize",
+    "q_rate_anomaly"
   )
 
   def main(args: Array[String]): Unit = {

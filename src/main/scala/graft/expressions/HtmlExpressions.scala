@@ -74,13 +74,21 @@ object HtmlScan {
     var out: java.io.ByteArrayOutputStream = null
     var from = 0 // start of the not-yet-copied region
     var i = 0
+    // quadratic-input guard: candidate starts only advance, so once one
+    // close-search exhausts the remainder, every later candidate fails
+    // too — without this, a doc stuffed with unclosed openers costs
+    // O(n · starts) (the decode-bomb class the fuzz specs police).
+    // Output is unchanged: failed candidates are skipped either way.
+    var noCloseRemains = false
+    var noGtRemains = false // same argument for the '>' scan
     while (i < n) {
-      if (in(i) == '<' && matchesCi(in, i + 1, tag) &&
+      if (in(i) == '<' && !noGtRemains && matchesCi(in, i + 1, tag) &&
           (i + 1 + tag.length >= n || !isWord(in(i + 1 + tag.length)))) {
         // attribute run [^>]* then '>'
         var j = i + 1 + tag.length
         while (j < n && in(j) != '>') j += 1
-        if (j < n) {
+        if (j >= n) noGtRemains = true
+        if (j < n && !noCloseRemains) {
           // non-greedy body: the EARLIEST closing literal
           var k = j + 1
           var closeAt = -1
@@ -93,8 +101,8 @@ object HtmlScan {
             out.write(in, from, i - from)
             from = closeAt + close.length
             i = from
-          } else i += 1 // no close anywhere: this start can never match
-        } else i += 1 // no '>' before EOF: [^>]*> unsatisfiable here
+          } else { noCloseRemains = true; i += 1 }
+        } else i += 1 // no '>' before EOF, or no close can remain
       } else i += 1
     }
     if (out == null) in
@@ -107,8 +115,10 @@ object HtmlScan {
     var out: java.io.ByteArrayOutputStream = null
     var from = 0
     var i = 0
+    var noCloseRemains = false // see stripBlocks — same quadratic guard
     while (i + 4 <= n) {
-      if (in(i) == '<' && in(i + 1) == '!' && in(i + 2) == '-' && in(i + 3) == '-') {
+      if (in(i) == '<' && in(i + 1) == '!' && in(i + 2) == '-' && in(i + 3) == '-' &&
+          !noCloseRemains) {
         var k = i + 4
         var closeAt = -1
         while (closeAt < 0 && k + 3 <= n) {
@@ -120,7 +130,7 @@ object HtmlScan {
           out.write(in, from, i - from)
           from = closeAt + 3
           i = from
-        } else i += 1
+        } else { noCloseRemains = true; i += 1 }
       } else i += 1
     }
     if (out == null) in
