@@ -1650,6 +1650,17 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // HyperANF distance distribution: global N(d) per hop in FIXED POINT
+    // (floor(est·2^20) summed as exact longs — partition-order-proof),
+    // reach-0.9 flag = the effective-diameter readout
+    "q_reach_distribution" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val edges = LinkGraph.sharedSpanEdges(docs, "doc_id", "text", w = 5, maxDf = 32)
+      graft.text.HyperBall
+        .distanceDistribution(docs.select(col("doc_id")), "doc_id", edges, maxHops = 3)
+        .orderBy(col("hop"))
+    }),
+
     // span-novelty profile: unique / shared / boilerplate span counts
     // per doc (the no-pair-join inverse of the link graph)
     "q_span_novelty" -> ((s, dir) => {
@@ -2162,6 +2173,8 @@ object LlmQueries {
       dNum = 85, dDen = 100, weighted = true),
     "q_reach_estimate" -> XxhSql.hyperBallSql(w = 5, hops = 3),
     "q_reach_harmonic" -> XxhSql.hyperBallHarmonicSql(w = 5, hops = 3),
+    "q_reach_distribution" -> XxhSql.hyperBallDistanceSql(w = 5, hops = 3,
+      q = "0.9", scale = 1048576L),
     "q_mmr_rerank" -> mmrSql(nQ = 5, nCand = 10, k = 5, lam = "0.7", pen = "0.3"),
     // span df-band counts per document (distinct spans, df over sp0)
     "q_span_novelty" ->

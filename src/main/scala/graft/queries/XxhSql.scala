@@ -293,6 +293,27 @@ object XxhSql {
        |FROM ests ORDER BY doc_id""".stripMargin
   }
 
+  /** Distance-distribution oracle
+    * ([[graft.text.HyperBall.distanceDistribution]]): per-hop fixed-point
+    * sums `Σ floor(est · scale)` (exact BIGINT addition — the
+    * order-independence trick), fraction and reach-q flag from single
+    * divisions of those exact longs.
+    */
+  def hyperBallDistanceSql(w: Int, hops: Int, q: String, scale: Long): String = {
+    require(hops >= 1)
+    val sums = (0 to hops).map(d =>
+      s"""SELECT $d AS hop,
+         |  CAST(sum(CAST(floor((CAST(0.709 AS DOUBLE) * 4096.0 / s) * $scale.0) AS BIGINT)) AS BIGINT) AS nf_fp
+         |FROM fold$d""".stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH ${hyperBallCtes(w, hops, 0 to hops)}
+       |nf AS ($sums),
+       |tot AS (SELECT nf_fp AS t FROM nf WHERE hop = $hops)
+       |SELECT CAST(hop AS BIGINT) AS hop, nf_fp,
+       |  CAST(nf_fp AS DOUBLE) / CAST(t AS DOUBLE) AS frac,
+       |  (CAST(nf_fp AS DOUBLE) / CAST(t AS DOUBLE)) >= $q AS reaches_q
+       |FROM nf CROSS JOIN tot ORDER BY hop""".stripMargin
+  }
+
   /** DISTINCT (doc_id, s) character n-gram shingles (spaces included —
     * matches the charLevel ShingleHashes kernel over the normalized
     * buffer).

@@ -84,6 +84,50 @@ object HyperBall {
         harmonic.as("harmonic_est"): _*)
   }
 
+  /** The global DISTANCE DISTRIBUTION readout — HyperANF's headline
+    * product: `N(d) = Σ_v |B_d(v)|` per hop, its fraction of `N(maxHops)`,
+    * and the reach-q flag whose first true row is the EFFECTIVE DIAMETER
+    * at quantile `q` (the classic "90% of connected pairs within d hops"
+    * statistic — the one-number summary of how tangled a corpus link
+    * graph is).
+    *
+    * Determinism: per-node estimates are bit-exact (pinned-order folds),
+    * but a DOUBLE sum over nodes would be partition-order-dependent — so
+    * the global sum runs in FIXED POINT: each node contributes
+    * `floor(est · 2^scaleBits)` (one IEEE multiply + floor, bit-portable)
+    * and the Σ is exact Long addition. `frac` is then a single division
+    * of exact longs. Same philosophy as the fixed-point PageRank lane.
+    * 64-bit headroom: nodes · maxEst · 2^scaleBits must stay under 2^63 —
+    * at 10⁹ nodes drop `scaleBits` to ~10 (the default 20 covers any
+    * graph whose Σ ball estimate is < ~8.8 × 10¹².)
+    *
+    * Returns one row per hop 0…maxHops: `(hop, nf_fp, frac, reaches_q)`.
+    */
+  def distanceDistribution(nodes: DataFrame, idCol: String, edges: DataFrame,
+      maxHops: Int, q: Double = 0.9, scaleBits: Int = 20): DataFrame = {
+    require(q > 0.0 && q <= 1.0, s"HyperBall.distanceDistribution: q $q outside (0, 1]")
+    require(scaleBits >= 0 && scaleBits <= 30,
+      s"HyperBall.distanceDistribution: scaleBits $scaleBits outside [0, 30]")
+    val hops = propagate(nodes, idCol, edges, maxHops, perHop = true)
+    val scale = (1L << scaleBits).toDouble
+    val fpSums = (0 to maxHops).map { d =>
+      val est =
+        if (d == 0) estimate(initRegisters(col("id"))).getField("est_ball")
+        else estimate(col(s"__reg$d")).getField("est_ball")
+      sum(floor(est * lit(scale)).cast("long")).as(s"__n$d")
+    }
+    val sums = hops.agg(fpSums.head, fpSums.tail: _*).head()
+    require(!sums.isNullAt(0), "HyperBall.distanceDistribution: empty node set")
+    val nf = (0 to maxHops).map(d => sums.getLong(d))
+    val total = nf.last
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    (0 to maxHops).map { d =>
+      val frac = nf(d).toDouble / total.toDouble
+      (d.toLong, nf(d), frac, frac >= q)
+    }.toDF("hop", "nf_fp", "frac", "reaches_q")
+  }
+
   private def propagate(nodes: DataFrame, idCol: String, edges: DataFrame,
       maxHops: Int, perHop: Boolean): DataFrame = {
     require(maxHops >= 1, s"HyperBall: maxHops $maxHops < 1")

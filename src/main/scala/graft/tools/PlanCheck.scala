@@ -266,6 +266,9 @@ object PlanCheck {
     Check(
       "q_reach_estimate",
       mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    Check(
+      "q_reach_distribution",
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
     // span novelty: df agg + per-doc rollup, both map-side combined —
     // and NO pair join anywhere (the property that keeps it cheap on
     // any df distribution, unlike the edge builder)

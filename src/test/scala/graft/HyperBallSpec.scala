@@ -98,6 +98,34 @@ class HyperBallSpec extends SparkSpec {
     }
   }
 
+  test("distanceDistribution: fixed-point sums match the brute per-node fold, invariant") {
+    val rnd = new scala.util.Random(5)
+    val pairs = Seq.fill(70)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      .filter(p => p._1 != p._2).distinct
+    val adj = pairs.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val n = (0L until 20L).toDF("id")
+    val out = HyperBall.distanceDistribution(n, "id", pairs.toDF("src", "dst"),
+        maxHops = 3, q = 0.9)
+      .orderBy($"hop").collect()
+    assert(out.length == 4)
+    // expected fixed-point sums from the brute per-node estimates
+    val expected = (0 to 3).map { d =>
+      (0L until 20L).map { id =>
+        math.floor(bruteEstimate(ball(adj, id, d))._1 * 1048576.0).toLong
+      }.sum
+    }
+    assert(out.map(_.getAs[Long]("nf_fp")).toSeq == expected,
+      s"${out.map(_.getAs[Long]("nf_fp")).toSeq} vs $expected")
+    // monotone, last frac exactly 1.0 and flagged
+    assert(out.map(_.getAs[Long]("nf_fp")).sliding(2).forall(p => p(0) <= p(1)))
+    assert(out.last.getAs[Double]("frac") == 1.0 && out.last.getAs[Boolean]("reaches_q"))
+    // partition invariance of the exact longs
+    val out2 = HyperBall.distanceDistribution(n.repartition(7), "id",
+        pairs.toDF("src", "dst").repartition(3), maxHops = 3, q = 0.9)
+      .orderBy($"hop").collect().map(_.toSeq).toSeq
+    assert(out2 == out.map(_.toSeq).toSeq)
+  }
+
   test("estimator accuracy stays within the m=64 error regime on a 200-ball") {
     // one hub connected to 199 leaves: ball(hub, 1) has 200 members
     val pairs = (1L to 199L).map(i => (0L, i))
