@@ -39,6 +39,40 @@ object Anomaly {
         .agg(count(lit(1)).as("n")),
       keyCol, zThreshold)
 
+  /** Robust variant of [[rateZ]]: median/MAD instead of mean/σ — a
+    * single extreme spike inflates the mean AND the variance enough to
+    * mask itself (and its neighbors) in the classic z; the median and
+    * the median absolute deviation ignore it. `z_robust` =
+    * (n − median) / (1.4826 · MAD), the standard normal-consistency
+    * scaling.
+    *
+    * Determinism: bucket counts are integers; `percentile(·, 0.5)` is
+    * the exact sorted R-7 interpolated median in BOTH engines, and on
+    * integer inputs every interpolation is a half — exactly
+    * representable, so medians, |n − med| deviations, the MAD, and the
+    * final fixed-order division are all bit-portable. Zero MAD (over
+    * half the buckets identical) pins `z_robust = 0`.
+    */
+  def robustRateZ(events: DataFrame, keyCol: String, tsCol: String, bucket: String,
+      zThreshold: Double = 3.5): DataFrame = {
+    require(zThreshold > 0, s"Anomaly.robustRateZ: zThreshold $zThreshold <= 0")
+    val counts = events
+      .groupBy(col(keyCol), date_trunc(bucket, col(tsCol)).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val med = counts.groupBy(col(keyCol))
+      .agg(expr("percentile(n, 0.5)").as("__med"))
+    val withDev = counts.join(med, Seq(keyCol))
+      .withColumn("__dev", abs(col("n").cast("double") - col("__med")))
+    val mad = withDev.groupBy(col(keyCol))
+      .agg(expr("percentile(__dev, 0.5)").as("__mad"))
+    withDev.join(mad, Seq(keyCol))
+      .withColumn("z_robust",
+        when(col("__mad") === 0.0, lit(0.0))
+          .otherwise((col("n").cast("double") - col("__med")) / (lit(1.4826) * col("__mad"))))
+      .select(col(keyCol), col("bucket"), col("n"), col("__med").as("med"),
+        col("z_robust"), (abs(col("z_robust")) > zThreshold).as("is_anomaly"))
+  }
+
   /** The z-score tail over an already-aggregated `(keyCol, bucket, n)`
     * count table — shared by [[rateZ]] and the streaming twin
     * ([[graft.streaming.StreamingAnomaly]] sums per-batch integer deltas

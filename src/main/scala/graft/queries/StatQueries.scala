@@ -252,6 +252,15 @@ object StatQueries {
         .orderBy(col("event_type"), col("bucket"))
     }),
 
+    // robust rate anomaly: median/MAD scoring — a spike can't mask
+    // itself by inflating its own baseline (daily buckets so the two
+    // anomaly lanes exercise different bucketing too)
+    "q_rate_anomaly_robust" -> ((s, dir) => {
+      graft.operators.Anomaly.robustRateZ(t(s, dir, "events"), "event_type", "ts",
+          bucket = "day", zThreshold = 3.5)
+        .orderBy(col("event_type"), col("bucket"))
+    }),
+
     // URL canonicalization: the crawl-dedup key normalization (case,
     // fragments, tracking params, default ports — Urls.canonicalize's
     // pinned 6-step chain) + host extraction, over synthetic URLs
@@ -422,6 +431,27 @@ object StatQueries {
         |  FROM j)
         |SELECT event_type, bucket, n, z, abs(z) > 2.5 AS is_anomaly
         |FROM z ORDER BY event_type, bucket""".stripMargin,
+    // robust lane: exact interpolated medians (quantile_cont = R-7, the
+    // same rule Spark's percentile applies; integer inputs make every
+    // interpolation a representable half) + the pinned 1.4826·MAD tail
+    "q_rate_anomaly_robust" ->
+      """WITH c AS (
+        |  SELECT event_type, date_trunc('day', ts) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |md AS (SELECT event_type, quantile_cont(n, 0.5) AS med FROM c GROUP BY event_type),
+        |dv AS (
+        |  SELECT c.event_type, c.bucket, c.n, md.med,
+        |    abs(CAST(c.n AS DOUBLE) - md.med) AS dev
+        |  FROM c JOIN md USING (event_type)),
+        |mad AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM dv GROUP BY event_type)
+        |SELECT dv.event_type, dv.bucket, dv.n, dv.med,
+        |  CASE WHEN mad.mad = 0.0 THEN 0.0
+        |    ELSE (CAST(dv.n AS DOUBLE) - dv.med) / (1.4826 * mad.mad) END AS z_robust,
+        |  abs(CASE WHEN mad.mad = 0.0 THEN 0.0
+        |    ELSE (CAST(dv.n AS DOUBLE) - dv.med) / (1.4826 * mad.mad) END) > 3.5 AS is_anomaly
+        |FROM dv JOIN mad USING (event_type)
+        |ORDER BY dv.event_type, dv.bucket""".stripMargin,
     // the Urls.canonicalize 6-step chain replayed step for step (DuckDB
     // regexp_replace needs the explicit 'g' flag to match Spark's
     // always-global replaceAll; capture refs are \1 here vs $1 there)

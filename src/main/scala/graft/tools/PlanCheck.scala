@@ -310,6 +310,10 @@ object PlanCheck {
     Check(
       "q_rate_anomaly",
       mustContain = Seq("partial_count"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    Check(
+      "q_rate_anomaly_robust",
+      mustContain = Seq("partial_count"),
       mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
   )
 

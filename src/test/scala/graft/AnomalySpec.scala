@@ -34,6 +34,40 @@ class AnomalySpec extends SparkSpec {
     }
   }
 
+  test("robustRateZ: median/MAD resists the spike that inflates the mean") {
+    // counts [10, 10, 10, 12, 400]: med = 10, devs = [0,0,0,2,390],
+    // MAD = 0 (median of sorted [0,0,0,2,390])... use [8,10,10,12,400]:
+    // med 10, devs [2,0,0,2,390] sorted [0,0,2,2,390] → MAD 2,
+    // z(400) = 390/(1.4826·2) = 131.5..., z(8) = -2/2.9652
+    val rows =
+      (0 until 8).map(_ => ("a", "2024-01-01 00:00:00")) ++
+      (0 until 10).map(_ => ("a", "2024-01-02 00:00:00")) ++
+      (0 until 10).map(_ => ("a", "2024-01-03 00:00:00")) ++
+      (0 until 12).map(_ => ("a", "2024-01-04 00:00:00")) ++
+      (0 until 400).map(_ => ("a", "2024-01-05 00:00:00"))
+    val out = graft.operators.Anomaly.robustRateZ(ev(rows), "event_type", "ts", "day",
+        zThreshold = 3.5)
+      .orderBy($"bucket").collect()
+    assert(out.map(_.getAs[Long]("n")).toSeq == Seq(8L, 10L, 10L, 12L, 400L))
+    assert(out.forall(_.getAs[Double]("med") == 10.0))
+    val z400 = out.last.getAs[Double]("z_robust")
+    assert(z400 == 390.0 / (1.4826 * 2.0), s"got $z400")
+    assert(out.last.getAs[Boolean]("is_anomaly"))
+    assert(out.take(4).forall(!_.getAs[Boolean]("is_anomaly")))
+    // the classic z on the same data: the spike inflates mean AND sigma —
+    // z(400) ≈ 1.79, BELOW even a 1.8 threshold: the masking robust fixes
+    val classic = graft.operators.Anomaly.rateZ(ev(rows), "event_type", "ts", "day",
+        zThreshold = 1.8)
+      .orderBy($"bucket").collect()
+    assert(!classic.last.getAs[Boolean]("is_anomaly"),
+      s"classic z ${classic.last.getAs[Double]("z")} unexpectedly over 1.8")
+    // zero-MAD lane pinned: constant counts → z_robust 0
+    val flat = (0 until 4).flatMap(d => (0 until 5).map(_ => ("b", s"2024-01-0${d + 1} 00:00:00")))
+    val outF = graft.operators.Anomaly.robustRateZ(ev(flat), "event_type", "ts", "day")
+      .collect()
+    assert(outF.forall(r => r.getAs[Double]("z_robust") == 0.0 && !r.getAs[Boolean]("is_anomaly")))
+  }
+
   test("partition-invariant: identical bits under repartitioning") {
     val rnd = new scala.util.Random(9)
     val rows = Seq.fill(500)((s"t${rnd.nextInt(4)}",
