@@ -73,6 +73,46 @@ object Anomaly {
         col("z_robust"), (abs(col("z_robust")) > zThreshold).as("is_anomaly"))
   }
 
+  /** Rate DRIFT per key: the least-squares slope of bucket counts over
+    * bucket INDEX (0, 1, 2, … in bucket order) — the trend companion to
+    * the spike detectors ([[rateZ]]/[[robustRateZ]] catch bursts; a
+    * crawler slowly dying or a source quietly ramping shows up as slope,
+    * not spikes). Returns one row per key:
+    * `(keyCol, m, first_bucket, last_bucket, total, slope)` where
+    * `slope` is events-per-bucket change.
+    *
+    * Determinism: x is a dense integer index, y an integer count, so
+    * Σx, Σy, Σxy, Σx² are exact Long aggregates; the closed form
+    * `(m·Σxy − Σx·Σy) / (m·Σx² − Σx·Σx)` is evaluated in that exact
+    * order on doubles cast from those longs (every input < 2⁵³ for any
+    * corpus whose Σ n·x fits 64-bit — at 10⁶ buckets keep per-bucket
+    * counts under ~10⁷, or widen the bucket). Keys with < 2 buckets pin
+    * `slope = 0`.
+    */
+  def rateTrend(events: DataFrame, keyCol: String, tsCol: String, bucket: String): DataFrame = {
+    val counts = events
+      .groupBy(col(keyCol), date_trunc(bucket, col(tsCol)).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    import org.apache.spark.sql.expressions.Window
+    val indexed = counts.withColumn("__x",
+      row_number().over(Window.partitionBy(col(keyCol)).orderBy(col("bucket"))).cast("long") - 1L)
+    val num = col("__m").cast("double") * col("__sxy").cast("double") -
+      col("__sx").cast("double") * col("__sy").cast("double")
+    val den = col("__m").cast("double") * col("__sxx").cast("double") -
+      col("__sx").cast("double") * col("__sx").cast("double")
+    indexed.groupBy(col(keyCol)).agg(
+        count(lit(1)).as("__m"),
+        min(col("bucket")).as("first_bucket"),
+        max(col("bucket")).as("last_bucket"),
+        sum(col("__x")).as("__sx"),
+        sum(col("n")).as("__sy"),
+        sum(col("__x") * col("n")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"))
+      .select(col(keyCol), col("__m").as("m"), col("first_bucket"), col("last_bucket"),
+        col("__sy").as("total"),
+        when(col("__m") < 2, lit(0.0)).otherwise(num / den).as("slope"))
+  }
+
   /** The z-score tail over an already-aggregated `(keyCol, bucket, n)`
     * count table — shared by [[rateZ]] and the streaming twin
     * ([[graft.streaming.StreamingAnomaly]] sums per-batch integer deltas

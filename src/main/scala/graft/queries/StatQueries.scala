@@ -261,6 +261,15 @@ object StatQueries {
         .orderBy(col("event_type"), col("bucket"))
     }),
 
+    // rate drift: least-squares slope of hourly counts per type — the
+    // trend companion to the spike lanes (exact integer Σx/Σy/Σxy/Σx²,
+    // one fixed-order closed-form division)
+    "q_rate_trend" -> ((s, dir) => {
+      graft.operators.Anomaly.rateTrend(t(s, dir, "events"), "event_type", "ts",
+          bucket = "hour")
+        .orderBy(col("event_type"))
+    }),
+
     // URL canonicalization: the crawl-dedup key normalization (case,
     // fragments, tracking params, default ports — Urls.canonicalize's
     // pinned 6-step chain) + host extraction, over synthetic URLs
@@ -452,6 +461,29 @@ object StatQueries {
         |    ELSE (CAST(dv.n AS DOUBLE) - dv.med) / (1.4826 * mad.mad) END) > 3.5 AS is_anomaly
         |FROM dv JOIN mad USING (event_type)
         |ORDER BY dv.event_type, dv.bucket""".stripMargin,
+    // exact-integer regression replay: same sums, same cast/op order
+    "q_rate_trend" ->
+      """WITH c AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |ix AS (
+        |  SELECT event_type, bucket, n,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY bucket) AS BIGINT) - 1 AS x
+        |  FROM c),
+        |ag AS (
+        |  SELECT event_type,
+        |    CAST(count(*) AS BIGINT) AS m,
+        |    min(bucket) AS first_bucket, max(bucket) AS last_bucket,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(n) AS BIGINT) AS sy,
+        |    CAST(sum(x * n) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM ix GROUP BY event_type)
+        |SELECT event_type, m, first_bucket, last_bucket, sy AS total,
+        |  CASE WHEN m < 2 THEN 0.0 ELSE
+        |    (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    END AS slope
+        |FROM ag ORDER BY event_type""".stripMargin,
     // the Urls.canonicalize 6-step chain replayed step for step (DuckDB
     // regexp_replace needs the explicit 'g' flag to match Spark's
     // always-global replaceAll; capture refs are \1 here vs $1 there)

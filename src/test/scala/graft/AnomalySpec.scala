@@ -68,6 +68,26 @@ class AnomalySpec extends SparkSpec {
     assert(outF.forall(r => r.getAs[Double]("z_robust") == 0.0 && !r.getAs[Boolean]("is_anomaly")))
   }
 
+  test("rateTrend: exact slope on a linear ramp, degenerate single bucket") {
+    // hourly counts [3, 5, 7, 9] → slope exactly 2.0 events/bucket
+    val ramp = (0 until 4).flatMap(h =>
+      (0 until 3 + 2 * h).map(_ => ("a", f"2024-01-01 $h%02d:00:00")))
+    val single = Seq(("b", "2024-01-01 00:00:00"))
+    val out = graft.operators.Anomaly.rateTrend(ev(ramp ++ single), "event_type", "ts", "hour")
+      .orderBy($"event_type").collect()
+    val a = out(0)
+    assert(a.getAs[Long]("m") == 4L && a.getAs[Long]("total") == 24L)
+    assert(a.getAs[Double]("slope") == 2.0, s"got ${a.getAs[Double]("slope")}")
+    assert(out(1).getAs[Double]("slope") == 0.0 && out(1).getAs[Long]("m") == 1L)
+    // closed-form agreement on an uneven series [10, 4, 7]:
+    // m=3, sx=3, sy=21, sxy=0*10+1*4+2*7=18, sxx=5 → (54-63)/(15-9) = -1.5
+    val uneven = (0 until 10).map(_ => ("c", "2024-01-01 00:00:00")) ++
+      (0 until 4).map(_ => ("c", "2024-01-01 01:00:00")) ++
+      (0 until 7).map(_ => ("c", "2024-01-01 02:00:00"))
+    val u = graft.operators.Anomaly.rateTrend(ev(uneven), "event_type", "ts", "hour").head()
+    assert(u.getAs[Double]("slope") == -1.5, s"got ${u.getAs[Double]("slope")}")
+  }
+
   test("partition-invariant: identical bits under repartitioning") {
     val rnd = new scala.util.Random(9)
     val rows = Seq.fill(500)((s"t${rnd.nextInt(4)}",
