@@ -89,10 +89,17 @@ object Anomaly {
     * counts under ~10⁷, or widen the bucket). Keys with < 2 buckets pin
     * `slope = 0`.
     */
-  def rateTrend(events: DataFrame, keyCol: String, tsCol: String, bucket: String): DataFrame = {
-    val counts = events
-      .groupBy(col(keyCol), date_trunc(bucket, col(tsCol)).as("bucket"))
-      .agg(count(lit(1)).as("n"))
+  def rateTrend(events: DataFrame, keyCol: String, tsCol: String, bucket: String): DataFrame =
+    trendFromCounts(
+      events.groupBy(col(keyCol), date_trunc(bucket, col(tsCol)).as("bucket"))
+        .agg(count(lit(1)).as("n")),
+      keyCol)
+
+  /** The regression tail over an already-aggregated `(keyCol, bucket, n)`
+    * count table — shared with the streaming monitor (summed integer
+    * deltas land in exactly this shape).
+    */
+  def trendFromCounts(counts: DataFrame, keyCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val indexed = counts.withColumn("__x",
       row_number().over(Window.partitionBy(col(keyCol)).orderBy(col("bucket"))).cast("long") - 1L)

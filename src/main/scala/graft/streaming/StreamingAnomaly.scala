@@ -47,8 +47,15 @@ object StreamingAnomaly {
     */
   def readAnomalies(spark: SparkSession, dir: String, keyCol: String,
       zThreshold: Double = 3.0): DataFrame =
-    graft.operators.Anomaly.zFromCounts(
-      BatchDirs.readAllOrFail(spark, dir)
-        .groupBy(col(keyCol), col("bucket")).agg(sum(col("n")).as("n")),
-      keyCol, zThreshold)
+    graft.operators.Anomaly.zFromCounts(summedCounts(spark, dir, keyCol), keyCol, zThreshold)
+
+  /** The drift readout over the same delta state — bit-identical to
+    * [[graft.operators.Anomaly.rateTrend]] over the concatenated stream.
+    */
+  def readTrend(spark: SparkSession, dir: String, keyCol: String): DataFrame =
+    graft.operators.Anomaly.trendFromCounts(summedCounts(spark, dir, keyCol), keyCol)
+
+  private def summedCounts(spark: SparkSession, dir: String, keyCol: String): DataFrame =
+    BatchDirs.readAllOrFail(spark, dir)
+      .groupBy(col(keyCol), col("bucket")).agg(sum(col("n")).as("n"))
 }

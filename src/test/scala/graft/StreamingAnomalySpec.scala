@@ -49,6 +49,13 @@ class StreamingAnomalySpec extends SparkSpec {
     val hour3 = got.find(r => r.head == "a" && r(1).toString.contains("03:00")).get
     assert(hour3(2) == 40L && hour3(3) == 1.5 && hour3(4) == true, hour3.toString)
 
+    // the trend readout over the same state equals the batch operator
+    val gotT = StreamingAnomaly.readTrend(spark, s"$dir/out", "event_type")
+      .orderBy($"event_type").collect().map(_.toSeq).toSeq
+    val wantT = Anomaly.rateTrend(ev(b0 ++ b1), "event_type", "ts", "hour")
+      .orderBy($"event_type").collect().map(_.toSeq).toSeq
+    assert(gotT == wantT, s"streamed trend diverges:\n$gotT\nvs\n$wantT")
+
     // replay the last micro-batch: byte-identical state
     StreamingAnomaly.applyBatch(ev(b1), 1L, "event_type", "ts", "hour", s"$dir/out")
     val replayed = StreamingAnomaly.readAnomalies(spark, s"$dir/out", "event_type", 1.4)
