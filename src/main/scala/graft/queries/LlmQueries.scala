@@ -1761,6 +1761,15 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // degree distribution incl. the zero bin: the first-look graph
+    // summary (power-law tails here predict pair-join pain downstream)
+    "q_degree_distribution" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val edges = LinkGraph.sharedSpanEdges(docs, "doc_id", "text", w = 5, maxDf = 32)
+      LinkGraph.degreeDistribution(docs.select(col("doc_id")), "doc_id", edges)
+        .orderBy(col("degree"))
+    }),
+
     // synchronous label-propagation communities (deterministic min
     // tie-break, bounded rounds): denser-than-components topical
     // clusters — the grouping mixture design reads
@@ -2169,6 +2178,27 @@ object LlmQueries {
     "q_trustrank" -> pageRankSeedSql(w = 5, iters = 3, scale = 1000000000000L,
       dNum = 85, dDen = 100, seedPred = "doc_id % 20 = 1"),
     "q_communities" -> labelPropSql(w = 5, iters = 2),
+    "q_degree_distribution" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, list_filter($toksSql, x -> x <> '') AS toks FROM documents),
+         |sp0 AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id,
+         |    unnest([array_to_string(toks[i:i+4], ' ') FOR i IN range(1, greatest(len(toks) - 3, 1))]) AS span
+         |  FROM tk),
+         |rare AS MATERIALIZED (
+         |  SELECT span FROM sp0 GROUP BY span HAVING count(*) BETWEEN 2 AND 32),
+         |sp AS MATERIALIZED (SELECT doc_id, span FROM sp0 JOIN rare USING (span)),
+         |r1 AS MATERIALIZED (
+         |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+         |  FROM sp a JOIN sp b ON a.span = b.span AND a.doc_id <> b.doc_id),
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM r1),
+         |deg AS (
+         |  SELECT id, CAST(count(*) AS BIGINT) AS d FROM (
+         |    SELECT a AS id FROM und UNION ALL SELECT b FROM und) GROUP BY id)
+         |SELECT CAST(coalesce(deg.d, 0) AS BIGINT) AS degree,
+         |  CAST(count(*) AS BIGINT) AS n_nodes
+         |FROM documents LEFT JOIN deg ON deg.id = documents.doc_id
+         |GROUP BY 1 ORDER BY degree""".stripMargin,
     "q_pagerank_weighted" -> pageRankSql(w = 6, iters = 3, scale = 1000000000000L,
       dNum = 85, dDen = 100, weighted = true),
     "q_reach_estimate" -> XxhSql.hyperBallSql(w = 5, hops = 3),

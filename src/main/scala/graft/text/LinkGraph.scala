@@ -652,6 +652,26 @@ object LinkGraph {
     sized.select(col("id").as(idCol), col("lbl").as("community"), col("community_size"))
   }
 
+  /** Degree distribution of the undirected graph — `(degree, n_nodes)`
+    * including the zero-degree bin for isolated nodes in `nodes`: the
+    * first-look graph summary (a heavy power-law tail here is the
+    * earliest warning that pair joins downstream need tighter df caps).
+    * Exact integers end to end; two map-side-combined aggregations.
+    */
+  def degreeDistribution(nodes: DataFrame, idCol: String, edges: DataFrame): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("id")).unionAll(und.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("__d"))
+    nodes.select(col(idCol).as("id"))
+      .join(deg, Seq("id"), "left")
+      .select(coalesce(col("__d"), lit(0L)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+  }
+
   /** One large-star pass over canonical (hi > lo) edges: for each node u
     * (both endpoints act as centers), every strictly-larger neighbor v
     * is re-pointed at m(u) = min(Γ(u) ∪ {u}). Output is canonical again

@@ -318,6 +318,14 @@ class LinkGraphSpec extends SparkSpec {
     assert(ex.getMessage.contains("maxRounds"), ex.getMessage)
   }
 
+  test("degreeDistribution: hand graph with zero bin, direction/dup proof") {
+    // triangle {1,2,3} + pendant 3-4 + isolated 9: degrees 2,2,3,1,0
+    val out = LinkGraph.degreeDistribution(nodes(1, 2, 3, 4, 9), "id",
+      edgesOf((1, 2), (2, 3), (1, 3), (3, 4), (1, 2))).collect()
+      .map(r => r.getAs[Long]("degree") -> r.getAs[Long]("n_nodes")).toMap
+    assert(out == Map(0L -> 1L, 1L -> 1L, 2L -> 2L, 3L -> 1L), s"got $out")
+  }
+
   test("triangleStats: hand-counted triangles, coefficient, isolated nodes") {
     // triangle {1,2,3} + pendant 3-4; 9 isolated
     val out = LinkGraph.triangleStats(nodes(1, 2, 3, 4, 9), "id",
