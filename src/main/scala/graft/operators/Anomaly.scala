@@ -73,6 +73,43 @@ object Anomaly {
         col("z_robust"), (abs(col("z_robust")) > zThreshold).as("is_anomaly"))
   }
 
+  /** Seasonal variant of [[rateZ]]: each bucket is scored against the
+    * key's SAME-SEASON history (season = hour-of-day here) instead of
+    * its whole history — traffic with a strong diurnal cycle flags 3 am
+    * as anomalous all night under the flat baseline, and hides a real
+    * 3 am burst inside the daytime variance; comparing hour-of-day to
+    * hour-of-day fixes both. Same exact integer Σn/Σn² machinery as
+    * [[rateZ]], grouped by (key, season); same pinned degenerate lanes.
+    * Returns `(keyCol, bucket, season, n, z, is_anomaly)`.
+    */
+  def rateZSeasonal(events: DataFrame, keyCol: String, tsCol: String,
+      zThreshold: Double = 3.0): DataFrame = {
+    require(zThreshold > 0, s"Anomaly.rateZSeasonal: zThreshold $zThreshold <= 0")
+    val counts = events
+      .groupBy(col(keyCol), date_trunc("hour", col(tsCol)).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("season", hour(col("bucket")).cast("long"))
+    val stats = counts.groupBy(col(keyCol), col("season")).agg(
+      count(lit(1)).as("__m"),
+      sum(col("n")).as("__s1"),
+      sum(col("n") * col("n")).as("__s2"))
+    val mu = col("__s1").cast("double") / col("__m").cast("double")
+    val variance =
+      (col("__s2").cast("double") -
+        col("__s1").cast("double") * col("__s1").cast("double") / col("__m").cast("double")) /
+        (col("__m") - 1).cast("double")
+    counts.join(stats, Seq(keyCol, "season"))
+      .withColumn("__mu", mu)
+      .withColumn("__var", when(col("__m") < 2, lit(0.0)).otherwise(variance))
+      .withColumn("__sigma",
+        when(col("__m") < 2 || col("__var") <= 0.0, lit(0.0)).otherwise(sqrt(col("__var"))))
+      .withColumn("z",
+        when(col("__sigma") === 0.0, lit(0.0))
+          .otherwise((col("n").cast("double") - col("__mu")) / col("__sigma")))
+      .select(col(keyCol), col("bucket"), col("season"), col("n"), col("z"),
+        (abs(col("z")) > zThreshold).as("is_anomaly"))
+  }
+
   /** Rate DRIFT per key: the least-squares slope of bucket counts over
     * bucket INDEX (0, 1, 2, … in bucket order) — the trend companion to
     * the spike detectors ([[rateZ]]/[[robustRateZ]] catch bursts; a

@@ -261,6 +261,14 @@ object StatQueries {
         .orderBy(col("event_type"), col("bucket"))
     }),
 
+    // seasonal anomaly: hourly buckets scored against the SAME-hour-of-
+    // day history per type (diurnal traffic needs a diurnal baseline)
+    "q_rate_anomaly_seasonal" -> ((s, dir) => {
+      graft.operators.Anomaly.rateZSeasonal(t(s, dir, "events"), "event_type", "ts",
+          zThreshold = 2.5)
+        .orderBy(col("event_type"), col("bucket"))
+    }),
+
     // rate drift: least-squares slope of hourly counts per type — the
     // trend companion to the spike lanes (exact integer Σx/Σy/Σxy/Σx²,
     // one fixed-order closed-form division)
@@ -461,6 +469,35 @@ object StatQueries {
         |    ELSE (CAST(dv.n AS DOUBLE) - dv.med) / (1.4826 * mad.mad) END) > 3.5 AS is_anomaly
         |FROM dv JOIN mad USING (event_type)
         |ORDER BY dv.event_type, dv.bucket""".stripMargin,
+    // seasonal lane: same exact-stats tree grouped by (type, hour-of-day)
+    "q_rate_anomaly_seasonal" ->
+      """WITH c AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |cs AS (SELECT event_type, bucket, CAST(hour(bucket) AS BIGINT) AS season, n FROM c),
+        |st AS (
+        |  SELECT event_type, season,
+        |    CAST(count(*) AS BIGINT) AS m,
+        |    CAST(sum(n) AS BIGINT) AS s1,
+        |    CAST(sum(n * n) AS BIGINT) AS s2
+        |  FROM cs GROUP BY event_type, season),
+        |j AS (
+        |  SELECT cs.event_type, cs.bucket, cs.season, cs.n, st.m,
+        |    CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE) AS mu,
+        |    CASE WHEN m < 2 THEN 0.0 ELSE
+        |      (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE))
+        |        / CAST(m - 1 AS DOUBLE) END AS v
+        |  FROM cs JOIN st USING (event_type, season)),
+        |z AS (
+        |  SELECT event_type, bucket, season, n,
+        |    CASE WHEN (CASE WHEN m < 2 OR v <= 0.0 THEN 0.0 ELSE sqrt(v) END) = 0.0
+        |      THEN 0.0
+        |      ELSE (CAST(n AS DOUBLE) - mu)
+        |        / (CASE WHEN m < 2 OR v <= 0.0 THEN 0.0 ELSE sqrt(v) END) END AS z
+        |  FROM j)
+        |SELECT event_type, bucket, season, n, z, abs(z) > 2.5 AS is_anomaly
+        |FROM z ORDER BY event_type, bucket""".stripMargin,
     // exact-integer regression replay: same sums, same cast/op order
     "q_rate_trend" ->
       """WITH c AS (

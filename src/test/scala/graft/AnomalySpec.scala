@@ -68,6 +68,36 @@ class AnomalySpec extends SparkSpec {
     assert(outF.forall(r => r.getAs[Double]("z_robust") == 0.0 && !r.getAs[Boolean]("is_anomaly")))
   }
 
+  test("rateZSeasonal: same-hour baseline catches what the flat baseline hides") {
+    // hour 00: nine days of 2 events, then a 30-event burst on day 10;
+    // hour 12: ten days of 100 events (the diurnal peak). The flat
+    // baseline mixes 2s with 100s, so 30 reads as unremarkable; the
+    // same-hour history [2×9, 30] puts it near z ≈ 2.85.
+    val rows =
+      (1 to 9).flatMap(d => (0 until 2).map(_ => ("a", f"2024-01-$d%02d 00:30:00"))) ++
+      (0 until 30).map(_ => ("a", "2024-01-10 00:30:00")) ++
+      (1 to 10).flatMap(d => (0 until 100).map(_ => ("a", f"2024-01-$d%02d 12:30:00")))
+    val seasonal = graft.operators.Anomaly.rateZSeasonal(ev(rows), "event_type", "ts",
+        zThreshold = 2.5)
+      .orderBy($"bucket").collect()
+    val burst = seasonal.find(r => r.getAs[Long]("n") == 30L).get
+    // replicate the engine's exact op order
+    val mu = 48.0 / 10.0
+    val v = (936.0 - 48.0 * 48.0 / 10.0) / 9.0
+    val zExpect = (30.0 - mu) / math.sqrt(v)
+    assert(burst.getAs[Double]("z") == zExpect, s"got ${burst.getAs[Double]("z")}")
+    assert(burst.getAs[Boolean]("is_anomaly") && burst.getAs[Long]("season") == 0L)
+    // the peak hours are their own season: z small, never flagged
+    assert(seasonal.filter(_.getAs[Long]("season") == 12L)
+      .forall(!_.getAs[Boolean]("is_anomaly")))
+    // the FLAT baseline misses the same burst at the same threshold
+    val flat = graft.operators.Anomaly.rateZ(ev(rows), "event_type", "ts", "hour",
+        zThreshold = 2.5)
+      .collect().find(_.getAs[Long]("n") == 30L).get
+    assert(!flat.getAs[Boolean]("is_anomaly"),
+      s"flat z ${flat.getAs[Double]("z")} unexpectedly flagged")
+  }
+
   test("rateTrend: exact slope on a linear ramp, degenerate single bucket") {
     // hourly counts [3, 5, 7, 9] → slope exactly 2.0 events/bucket
     val ramp = (0 until 4).flatMap(h =>
