@@ -157,6 +157,28 @@ object Anomaly {
         when(col("__m") < 2, lit(0.0)).otherwise(num / den).as("slope"))
   }
 
+  /** One-row-per-key ingestion HEALTH REPORT — the composite a pipeline
+    * dashboard reads: bucket count, total volume, worst spike
+    * (max |z|, order-independent over the bit-exact z doubles), anomaly
+    * count at the threshold, and the drift slope. One shared
+    * (key, bucket) count aggregation feeds both tails.
+    */
+  def healthReport(events: DataFrame, keyCol: String, tsCol: String, bucket: String,
+      zThreshold: Double = 3.0): DataFrame = {
+    val counts = events
+      .groupBy(col(keyCol), date_trunc(bucket, col(tsCol)).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // consumed by both tails
+    val spikes = zFromCounts(counts, keyCol, zThreshold)
+      .groupBy(col(keyCol)).agg(
+        max(abs(col("z"))).as("max_abs_z"),
+        sum(when(col("is_anomaly"), 1L).otherwise(0L)).as("n_anomalies"))
+    trendFromCounts(counts, keyCol)
+      .join(spikes, Seq(keyCol))
+      .select(col(keyCol), col("m").as("n_buckets"), col("total"),
+        col("max_abs_z"), col("n_anomalies"), col("slope"))
+  }
+
   /** The z-score tail over an already-aggregated `(keyCol, bucket, n)`
     * count table — shared by [[rateZ]] and the streaming twin
     * ([[graft.streaming.StreamingAnomaly]] sums per-batch integer deltas

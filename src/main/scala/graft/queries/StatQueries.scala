@@ -261,6 +261,14 @@ object StatQueries {
         .orderBy(col("event_type"), col("bucket"))
     }),
 
+    // one-row-per-type ingestion health composite: volume, worst spike,
+    // anomaly count, drift slope — one shared count aggregation
+    "q_ingest_health" -> ((s, dir) => {
+      graft.operators.Anomaly.healthReport(t(s, dir, "events"), "event_type", "ts",
+          bucket = "hour", zThreshold = 2.5)
+        .orderBy(col("event_type"))
+    }),
+
     // seasonal anomaly: hourly buckets scored against the SAME-hour-of-
     // day history per type (diurnal traffic needs a diurnal baseline)
     "q_rate_anomaly_seasonal" -> ((s, dir) => {
@@ -469,6 +477,54 @@ object StatQueries {
         |    ELSE (CAST(dv.n AS DOUBLE) - dv.med) / (1.4826 * mad.mad) END) > 3.5 AS is_anomaly
         |FROM dv JOIN mad USING (event_type)
         |ORDER BY dv.event_type, dv.bucket""".stripMargin,
+    // health composite: the z tree rolled up per key + the regression tree
+    "q_ingest_health" ->
+      """WITH c AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type,
+        |    CAST(count(*) AS BIGINT) AS m,
+        |    CAST(sum(n) AS BIGINT) AS s1,
+        |    CAST(sum(n * n) AS BIGINT) AS s2
+        |  FROM c GROUP BY event_type),
+        |j AS (
+        |  SELECT c.event_type, c.n, st.m,
+        |    CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE) AS mu,
+        |    CASE WHEN m < 2 THEN 0.0 ELSE
+        |      (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE))
+        |        / CAST(m - 1 AS DOUBLE) END AS v
+        |  FROM c JOIN st USING (event_type)),
+        |z AS (
+        |  SELECT event_type,
+        |    CASE WHEN (CASE WHEN m < 2 OR v <= 0.0 THEN 0.0 ELSE sqrt(v) END) = 0.0
+        |      THEN 0.0
+        |      ELSE (CAST(n AS DOUBLE) - mu)
+        |        / (CASE WHEN m < 2 OR v <= 0.0 THEN 0.0 ELSE sqrt(v) END) END AS z
+        |  FROM j),
+        |sp AS (
+        |  SELECT event_type, max(abs(z)) AS max_abs_z,
+        |    CAST(sum(CASE WHEN abs(z) > 2.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+        |  FROM z GROUP BY event_type),
+        |ix AS (
+        |  SELECT event_type, n,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY bucket) AS BIGINT) - 1 AS x
+        |  FROM c),
+        |ag AS (
+        |  SELECT event_type,
+        |    CAST(count(*) AS BIGINT) AS m,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(n) AS BIGINT) AS sy,
+        |    CAST(sum(x * n) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM ix GROUP BY event_type)
+        |SELECT ag.event_type, ag.m AS n_buckets, ag.sy AS total,
+        |  sp.max_abs_z, sp.n_anomalies,
+        |  CASE WHEN ag.m < 2 THEN 0.0 ELSE
+        |    (CAST(ag.m AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(ag.m AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    END AS slope
+        |FROM ag JOIN sp USING (event_type)
+        |ORDER BY ag.event_type""".stripMargin,
     // seasonal lane: same exact-stats tree grouped by (type, hour-of-day)
     "q_rate_anomaly_seasonal" ->
       """WITH c AS (

@@ -118,6 +118,29 @@ class AnomalySpec extends SparkSpec {
     assert(u.getAs[Double]("slope") == -1.5, s"got ${u.getAs[Double]("slope")}")
   }
 
+  test("healthReport: composite matches its component lanes") {
+    val rows =
+      (0 until 8).map(_ => ("a", "2024-01-01 00:00:00")) ++
+      (0 until 10).map(_ => ("a", "2024-01-01 01:00:00")) ++
+      (0 until 40).map(_ => ("a", "2024-01-01 02:00:00")) ++
+      Seq(("b", "2024-01-01 00:00:00"))
+    val out = graft.operators.Anomaly.healthReport(ev(rows), "event_type", "ts", "hour",
+        zThreshold = 1.0)
+      .orderBy($"event_type").collect()
+    val z = graft.operators.Anomaly.rateZ(ev(rows), "event_type", "ts", "hour", 1.0)
+      .where($"event_type" === "a").collect()
+    val t = graft.operators.Anomaly.rateTrend(ev(rows), "event_type", "ts", "hour")
+      .where($"event_type" === "a").head()
+    val a = out(0)
+    assert(a.getAs[Long]("n_buckets") == 3L && a.getAs[Long]("total") == 58L)
+    assert(a.getAs[Double]("max_abs_z") == z.map(r => math.abs(r.getAs[Double]("z"))).max)
+    assert(a.getAs[Long]("n_anomalies") == z.count(_.getAs[Boolean]("is_anomaly")).toLong)
+    assert(a.getAs[Double]("slope") == t.getAs[Double]("slope"))
+    val b = out(1)
+    assert(b.getAs[Long]("n_buckets") == 1L && b.getAs[Double]("slope") == 0.0 &&
+      b.getAs[Double]("max_abs_z") == 0.0)
+  }
+
   test("partition-invariant: identical bits under repartitioning") {
     val rnd = new scala.util.Random(9)
     val rows = Seq.fill(500)((s"t${rnd.nextInt(4)}",
