@@ -314,6 +314,20 @@ object PlanCheck {
     Check(
       "q_rate_anomaly_robust",
       mustContain = Seq("partial_count"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    Check(
+      "q_rate_anomaly_seasonal",
+      mustContain = Seq("partial_count"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    Check(
+      "q_ingest_health",
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    Check(
+      "q_rate_trend",
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    Check(
+      "q_degree_distribution",
+      mustContain = Seq("partial_count"),
       mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
   )
 
