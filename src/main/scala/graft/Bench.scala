@@ -127,7 +127,14 @@ object Bench {
     "q_trustrank",
     "q_communities",
     "q_url_canonicalize",
-    "q_rate_anomaly"
+    "q_rate_anomaly",
+    // round 11 session 3 late: monitoring + graph summary lanes
+    "q_rate_anomaly_robust",
+    "q_rate_anomaly_seasonal",
+    "q_rate_trend",
+    "q_ingest_health",
+    "q_degree_distribution",
+    "q_reach_distribution"
   )
 
   def main(args: Array[String]): Unit = {
