@@ -132,6 +132,52 @@ object Anomaly {
         .agg(count(lit(1)).as("n")),
       keyCol)
 
+  /** Robust variant of [[rateTrend]]: the THEIL–SEN slope — the median
+    * of all pairwise bucket-to-bucket slopes. Least squares lets one
+    * corrupted bucket (an outage logged as zero, a replayed burst) drag
+    * the fitted slope arbitrarily; the pairwise-slope median tolerates
+    * up to ~29% corrupted points. Cost is m² slope pairs PER KEY where
+    * m is the BUCKET count (a bounded dimension — 10⁵ buckets = years
+    * of hours; `maxBuckets` fail-fasts anything larger, same pattern as
+    * every other quadratic guard here). Each slope is exact-int
+    * differences and one IEEE division; the median interpolation is one
+    * add + halve — all bit-portable. Returns
+    * `(keyCol, m, total, slope_ts)` with < 2 buckets pinned to 0.
+    */
+  def rateTrendRobust(events: DataFrame, keyCol: String, tsCol: String, bucket: String,
+      maxBuckets: Long = 100000L): DataFrame = {
+    require(maxBuckets >= 2, s"Anomaly.rateTrendRobust: maxBuckets $maxBuckets < 2")
+    val counts = events
+      .groupBy(col(keyCol), date_trunc(bucket, col(tsCol)).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    import org.apache.spark.sql.expressions.Window
+    val indexed = counts.withColumn("__x",
+        row_number().over(Window.partitionBy(col(keyCol)).orderBy(col("bucket"))).cast("long") - 1L)
+      .localCheckpoint(true) // self-joined below; and the guard reads it
+    val worst = indexed.groupBy(col(keyCol)).agg(count(lit(1)).as("__m"))
+      .agg(max(col("__m"))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    if (worst > maxBuckets) throw new IllegalArgumentException(
+      s"Anomaly.rateTrendRobust: $worst buckets for one key means ${worst * worst} " +
+        s"pairwise slopes, over maxBuckets $maxBuckets - widen the bucket or raise " +
+        "maxBuckets explicitly to accept the quadratic cost.")
+    val a = indexed.select(col(keyCol), col("__x").as("__xa"), col("n").as("__na"))
+    val bb = indexed.select(col(keyCol), col("__x").as("__xb"), col("n").as("__nb"))
+    val slopes = a.join(bb, Seq(keyCol)).where(col("__xa") < col("__xb"))
+      .select(col(keyCol),
+        ((col("__nb") - col("__na")).cast("double") /
+          (col("__xb") - col("__xa")).cast("double")).as("__s"))
+    val med = slopes.groupBy(col(keyCol))
+      .agg(expr("percentile(__s, 0.5)").as("slope_ts"))
+    indexed.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("m"), sum(col("n")).as("total"))
+      .join(med, Seq(keyCol), "left")
+      .select(col(keyCol), col("m"), col("total"),
+        coalesce(col("slope_ts"), lit(0.0)).as("slope_ts"))
+  }
+
   /** The regression tail over an already-aggregated `(keyCol, bucket, n)`
     * count table — shared with the streaming monitor (summed integer
     * deltas land in exactly this shape).

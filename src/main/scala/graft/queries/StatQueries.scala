@@ -277,6 +277,14 @@ object StatQueries {
         .orderBy(col("event_type"), col("bucket"))
     }),
 
+    // robust drift: Theil–Sen slope (median of pairwise slopes) —
+    // tolerant of corrupted buckets that drag least squares
+    "q_rate_trend_robust" -> ((s, dir) => {
+      graft.operators.Anomaly.rateTrendRobust(t(s, dir, "events"), "event_type", "ts",
+          bucket = "hour")
+        .orderBy(col("event_type"))
+    }),
+
     // rate drift: least-squares slope of hourly counts per type — the
     // trend companion to the spike lanes (exact integer Σx/Σy/Σxy/Σx²,
     // one fixed-order closed-form division)
@@ -554,6 +562,28 @@ object StatQueries {
         |  FROM j)
         |SELECT event_type, bucket, season, n, z, abs(z) > 2.5 AS is_anomaly
         |FROM z ORDER BY event_type, bucket""".stripMargin,
+    // Theil–Sen replay: pairwise-slope self-join + quantile_cont median
+    // (interpolation of bit-identical slope doubles is one add + halve)
+    "q_rate_trend_robust" ->
+      """WITH c AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |ix AS (
+        |  SELECT event_type, n,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY bucket) AS BIGINT) - 1 AS x
+        |  FROM c),
+        |sl AS (
+        |  SELECT a.event_type,
+        |    CAST(b.n - a.n AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS s
+        |  FROM ix a JOIN ix b ON a.event_type = b.event_type AND a.x < b.x),
+        |md AS (SELECT event_type, quantile_cont(s, 0.5) AS slope_ts FROM sl GROUP BY event_type)
+        |SELECT ix2.event_type, ix2.m, ix2.total, coalesce(md.slope_ts, 0.0) AS slope_ts
+        |FROM (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS m, CAST(sum(n) AS BIGINT) AS total
+        |  FROM ix GROUP BY event_type) ix2
+        |LEFT JOIN md USING (event_type)
+        |ORDER BY ix2.event_type""".stripMargin,
     // exact-integer regression replay: same sums, same cast/op order
     "q_rate_trend" ->
       """WITH c AS (

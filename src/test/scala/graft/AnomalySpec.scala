@@ -141,6 +141,30 @@ class AnomalySpec extends SparkSpec {
       b.getAs[Double]("max_abs_z") == 0.0)
   }
 
+  test("rateTrendRobust: Theil-Sen shrugs off the outlier that wrecks least squares") {
+    // ramp [3,5,7,9] with a final corrupted bucket of 100: LSQ slope
+    // reads 19.8; the pairwise-slope median stays exactly 2.0
+    val counts = Seq(3, 5, 7, 9, 100)
+    val rows = counts.zipWithIndex.flatMap { case (c, h) =>
+      (0 until c).map(_ => ("a", f"2024-01-01 $h%02d:00:00")) }
+    val ts = graft.operators.Anomaly.rateTrendRobust(ev(rows), "event_type", "ts", "hour")
+      .head()
+    assert(ts.getAs[Double]("slope_ts") == 2.0, s"got ${ts.getAs[Double]("slope_ts")}")
+    assert(ts.getAs[Long]("m") == 5L && ts.getAs[Long]("total") == 124L)
+    val lsq = graft.operators.Anomaly.rateTrend(ev(rows), "event_type", "ts", "hour").head()
+    assert(math.abs(lsq.getAs[Double]("slope") - 2.0) > 3.0,
+      s"LSQ ${lsq.getAs[Double]("slope")} unexpectedly robust")
+    // single bucket pins 0; the quadratic guard fails fast with the count
+    val one = graft.operators.Anomaly.rateTrendRobust(
+      ev(Seq(("b", "2024-01-01 00:00:00"))), "event_type", "ts", "hour").head()
+    assert(one.getAs[Double]("slope_ts") == 0.0)
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.Anomaly.rateTrendRobust(ev(rows), "event_type", "ts", "hour",
+        maxBuckets = 3L)
+    }
+    assert(ex.getMessage.contains("maxBuckets"), ex.getMessage)
+  }
+
   test("partition-invariant: identical bits under repartitioning") {
     val rnd = new scala.util.Random(9)
     val rows = Seq.fill(500)((s"t${rnd.nextInt(4)}",
