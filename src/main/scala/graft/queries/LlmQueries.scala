@@ -1761,6 +1761,14 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // degree assortativity: hubs-link-hubs vs hubs-link-leaves — the
+    // one-scalar structural fingerprint next to the degree histogram
+    "q_assortativity" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val edges = LinkGraph.sharedSpanEdges(docs, "doc_id", "text", w = 5, maxDf = 32)
+      LinkGraph.degreeAssortativity(edges)
+    }),
+
     // degree distribution incl. the zero bin: the first-look graph
     // summary (power-law tails here predict pair-join pain downstream)
     "q_degree_distribution" -> ((s, dir) => {
@@ -2178,6 +2186,46 @@ object LlmQueries {
     "q_trustrank" -> pageRankSeedSql(w = 5, iters = 3, scale = 1000000000000L,
       dNum = 85, dDen = 100, seedPred = "doc_id % 20 = 1"),
     "q_communities" -> labelPropSql(w = 5, iters = 2),
+    "q_assortativity" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, list_filter($toksSql, x -> x <> '') AS toks FROM documents),
+         |sp0 AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id,
+         |    unnest([array_to_string(toks[i:i+4], ' ') FOR i IN range(1, greatest(len(toks) - 3, 1))]) AS span
+         |  FROM tk),
+         |rare AS MATERIALIZED (
+         |  SELECT span FROM sp0 GROUP BY span HAVING count(*) BETWEEN 2 AND 32),
+         |sp AS MATERIALIZED (SELECT doc_id, span FROM sp0 JOIN rare USING (span)),
+         |r1 AS MATERIALIZED (
+         |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+         |  FROM sp a JOIN sp b ON a.span = b.span AND a.doc_id <> b.doc_id),
+         |und AS MATERIALIZED (
+         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM r1),
+         |deg AS (
+         |  SELECT id, CAST(count(*) AS BIGINT) AS d FROM (
+         |    SELECT a AS id FROM und UNION ALL SELECT b FROM und) GROUP BY id),
+         |ends AS (
+         |  SELECT da.d AS x, db.d AS y
+         |  FROM und JOIN deg da ON da.id = und.a JOIN deg db ON db.id = und.b
+         |  UNION ALL
+         |  SELECT db.d, da.d
+         |  FROM und JOIN deg da ON da.id = und.a JOIN deg db ON db.id = und.b),
+         |s AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS mm,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
+         |  FROM ends)
+         |SELECT mm // 2 AS n_edges,
+         |  CASE WHEN mm < 2 OR sxy IS NULL THEN 0.0
+         |    ELSE (CASE WHEN sqrt(CAST(mm AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |               * sqrt(CAST(mm AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) = 0.0
+         |      THEN 0.0
+         |      ELSE (CAST(mm AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |        / (sqrt(CAST(mm AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |           * sqrt(CAST(mm AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END)
+         |    END AS r
+         |FROM s""".stripMargin,
     "q_degree_distribution" ->
       s"""WITH tk AS (
          |  SELECT doc_id, list_filter($toksSql, x -> x <> '') AS toks FROM documents),

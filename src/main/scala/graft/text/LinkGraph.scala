@@ -672,6 +672,54 @@ object LinkGraph {
       .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
   }
 
+  /** Degree assortativity (Newman 2002, public): the Pearson correlation
+    * of degrees across edge ends — positive for social-style graphs
+    * (hubs link hubs), negative for web/spam-style graphs (hubs link
+    * leaves); with [[degreeDistribution]] the two-number structural
+    * fingerprint of a corpus link graph. Both edge orientations
+    * contribute one (deg u, deg v) sample (the standard symmetrized
+    * form). All six correlation sums are exact Long aggregates over
+    * integers; `r` is one fixed-order float expression with IEEE sqrt
+    * only, degenerate lanes (no edges, regular graph) pinned to 0.0 —
+    * bit-portable like every stats lane here. Returns one row:
+    * `(n_edges, r)`.
+    */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("id")).unionAll(und.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    val withD = und
+      .join(deg.select(col("id").as("a"), col("d").as("__da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("d").as("__db")), Seq("b"))
+    val ends = withD.select(col("__da").as("x"), col("__db").as("y"))
+      .unionAll(withD.select(col("__db").as("x"), col("__da").as("y")))
+    val s = ends.agg(
+      count(lit(1)).as("__mm"),
+      sum(col("x")).as("__sx"), sum(col("y")).as("__sy"),
+      sum(col("x") * col("y")).as("__sxy"),
+      sum(col("x") * col("x")).as("__sxx"),
+      sum(col("y") * col("y")).as("__syy"))
+    val mD = col("__mm").cast("double")
+    val num = mD * col("__sxy").cast("double") -
+      col("__sx").cast("double") * col("__sy").cast("double")
+    val denx = mD * col("__sxx").cast("double") -
+      col("__sx").cast("double") * col("__sx").cast("double")
+    val deny = mD * col("__syy").cast("double") -
+      col("__sy").cast("double") * col("__sy").cast("double")
+    s.select(
+      // `div`, not `/`: Spark's `/` on longs is DOUBLE division
+      expr("__mm div 2").as("n_edges"),
+      when(col("__mm") < 2 || col("__sxy").isNull, lit(0.0))
+        .otherwise({
+          val den = sqrt(denx) * sqrt(deny)
+          when(den === 0.0, lit(0.0)).otherwise(num / den)
+        }).as("r"))
+  }
+
   /** One large-star pass over canonical (hi > lo) edges: for each node u
     * (both endpoints act as centers), every strictly-larger neighbor v
     * is re-pointed at m(u) = min(Γ(u) ∪ {u}). Output is canonical again

@@ -326,6 +326,29 @@ class LinkGraphSpec extends SparkSpec {
     assert(out == Map(0L -> 1L, 1L -> 1L, 2L -> 2L, 3L -> 1L), s"got $out")
   }
 
+  test("degreeAssortativity: star is maximally disassortative, regular graph pins 0") {
+    // star 0-{1..5}: ends samples are (5,1)x5 and (1,5)x5 → r = -1
+    val star = edgesOf((1L to 5L).map(i => (0L, i)): _*)
+    val r1 = LinkGraph.degreeAssortativity(star).head()
+    assert(r1.getAs[Long]("n_edges") == 5L)
+    assert(r1.getAs[Double]("r") == -1.0, s"got ${r1.getAs[Double]("r")}")
+    // cycle (2-regular): zero degree variance → pinned 0.0
+    val cycle = edgesOf((0L until 6L).map(i => (i, (i + 1) % 6)): _*)
+    assert(LinkGraph.degreeAssortativity(cycle).head().getAs[Double]("r") == 0.0)
+    // two disjoint cliques K3 + K4: within-clique ends are (2,2)/(3,3) →
+    // assortative; expected value replayed in the engine's exact op
+    // order (sqrt(72)·sqrt(72) is an ulp off 72, so r is ~1, not == 1)
+    val ids3 = (1L to 3L); val ids4 = (10L to 13L)
+    val cl = edgesOf((ids3.flatMap(a => ids3.filter(_ > a).map(a -> _)) ++
+      ids4.flatMap(a => ids4.filter(_ > a).map(a -> _))): _*)
+    val expect = (18.0 * 132.0 - 48.0 * 48.0) /
+      (math.sqrt(18.0 * 132.0 - 48.0 * 48.0) * math.sqrt(18.0 * 132.0 - 48.0 * 48.0))
+    assert(LinkGraph.degreeAssortativity(cl).head().getAs[Double]("r") == expect)
+    // empty edge set: one row, zeros
+    val e0 = LinkGraph.degreeAssortativity(edgesOf()).head()
+    assert(e0.getAs[Long]("n_edges") == 0L && e0.getAs[Double]("r") == 0.0)
+  }
+
   test("triangleStats: hand-counted triangles, coefficient, isolated nodes") {
     // triangle {1,2,3} + pendant 3-4; 9 isolated
     val out = LinkGraph.triangleStats(nodes(1, 2, 3, 4, 9), "id",
