@@ -705,6 +705,11 @@ object Dedup {
       .distinct()
       .withColumn("rep", col("id"))
       .localCheckpoint(true)
+    // handle to the checkpoint backing `labels`: each round's eager
+    // localCheckpoint supersedes the previous one, which would otherwise
+    // stay pinned in executor storage until ContextCleaner GC — one
+    // node-sized materialization per round on long-diameter graphs.
+    var prevPinned = labels
     var changed = true
     var iter = 0
     while (changed && iter < maxIters) {
@@ -726,6 +731,8 @@ object Dedup {
           least(col("rep"), coalesce(col("minNeighbor"), col("rep"))).as("newRep"),
           (coalesce(col("minNeighbor"), col("rep")) < col("rep")).as("chg"))
         .localCheckpoint(true)
+      prevPinned.unpersist() // superseded — the new checkpoint is live
+      prevPinned = updatedWithFlag
       // coalesce: max over an EMPTY label set (no near-duplicate pairs at
       // all — the common clean-corpus case) aggregates to null, not false
       changed = updatedWithFlag.agg(coalesce(max(col("chg")), lit(false))).head().getBoolean(0)

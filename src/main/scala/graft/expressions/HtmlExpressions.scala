@@ -81,12 +81,23 @@ object HtmlScan {
     // Output is unchanged: failed candidates are skipped either way.
     var noCloseRemains = false
     var noGtRemains = false // same argument for the '>' scan
+    // memoized '>' position: candidate attribute scans start at
+    // monotonically advancing j, and the region (prev j, gtAt) holds no
+    // '>' — so any later candidate with j' <= gtAt can reuse gtAt
+    // directly. Without this, repeated openers sharing one distant '>'
+    // cost O(n · candidates) in the attribute scan alone (the gap the
+    // close-literal memoization left open).
+    var gtAt = -1
     while (i < n) {
       if (in(i) == '<' && !noGtRemains && matchesCi(in, i + 1, tag) &&
           (i + 1 + tag.length >= n || !isWord(in(i + 1 + tag.length)))) {
         // attribute run [^>]* then '>'
         var j = i + 1 + tag.length
-        while (j < n && in(j) != '>') j += 1
+        if (gtAt >= j) j = gtAt
+        else {
+          while (j < n && in(j) != '>') j += 1
+          if (j < n) gtAt = j
+        }
         if (j >= n) noGtRemains = true
         if (j < n && !noCloseRemains) {
           // non-greedy body: the EARLIEST closing literal

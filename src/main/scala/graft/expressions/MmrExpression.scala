@@ -68,19 +68,23 @@ case class MmrSelect(left: Expression, right: Expression, k: Int,
     }
     // deterministic candidate order: (rel desc, id asc)
     val order = (0 until n).sortBy(j => (-rels(j), ids(j))).toArray
-    val sims = new java.util.HashMap[Long, Double]()
-    val idIdx = new java.util.HashMap[Long, Int]()
+    // Boxed key/value types so the null guards below are REAL: with
+    // primitive type params, get() on a missing key unboxes null to 0
+    // and the guard is vacuously true (a pair naming a non-candidate id
+    // would silently alias order position 0).
+    val sims = new java.util.HashMap[java.lang.Long, java.lang.Double]()
+    val idIdx = new java.util.HashMap[java.lang.Long, java.lang.Integer]()
     i = 0
     while (i < n) { idIdx.put(ids(order(i)), i); i += 1 }
     i = 0
     while (i < pairsIn.numElements()) {
       val r = pairsIn.getStruct(i, 3)
-      val a = idIdx.get(r.getLong(0))
-      val b = idIdx.get(r.getLong(1))
+      val a = idIdx.get(java.lang.Long.valueOf(r.getLong(0)))
+      val b = idIdx.get(java.lang.Long.valueOf(r.getLong(1)))
       if (a != null && b != null) {
-        val key = a.toLong * n + b.toLong
+        val key = a.longValue() * n + b.longValue()
         sims.put(key, r.getDouble(2))
-        sims.put(b.toLong * n + a.toLong, r.getDouble(2))
+        sims.put(b.longValue() * n + a.longValue(), r.getDouble(2))
       }
       i += 1
     }
@@ -101,7 +105,7 @@ case class MmrSelect(left: Expression, right: Expression, k: Int,
           var t = 0
           while (t < n) {
             if (taken(t)) {
-              val s = sims.get(j.toLong * n + t.toLong)
+              val s = sims.get(java.lang.Long.valueOf(j.toLong * n + t.toLong))
               val sv = if (s == null) 0.0 else s.doubleValue()
               if (!found || sv > pen) { pen = sv; found = true }
             }

@@ -51,11 +51,16 @@ object StreamingClean {
       maxHits: Int,
       outDir: String
   ): Unit = {
+    // pin: the data write and the audit agg are two actions over the same
+    // plan — micro-batch sources don't like multiple passes (the
+    // StreamingComponents rule), and an unpinned plan re-runs the
+    // blocklist/PII kernels twice per batch.
     val tagged = batch.select(
       col(idCol).as("id"),
       col(textCol).as("__text"),
       Blocklist.totalHits(col(textCol), terms).as("__bl"),
       T.piiCounts(col(textCol)).as("__pii"))
+      .localCheckpoint(true)
     tagged.where(col("__bl") <= maxHits)
       .select(col("id").as(idCol), T.piiRedact(col("__text")).as(textCol))
       .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
@@ -75,6 +80,7 @@ object StreamingClean {
       .withColumn("batch_id", lit(batchId))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$outDir/_audit/batch=$batchId")
+    tagged.unpersist()
   }
 
   /** All cleaned batches written so far. */

@@ -375,4 +375,34 @@ class EvaluationSpec extends SparkSpec {
       "embedding", "vec_id", nCandidates = 5, k = 5).collect()
     assert(solo.length == 1 && solo(0).getInt(2) == 1)
   }
+
+  test("MmrSelect: pair referencing a non-candidate id reads as similarity 0") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    // candidates 1 (rel .8) and 2 (rel .8, max-similar to 1); plus a
+    // stray pair naming id 99 which is NOT a candidate. The documented
+    // contract: missing/foreign pairs read as similarity 0 — a vacuous
+    // null guard would map 99 to order position 0 (the top-relevance
+    // candidate) and corrupt the penalty.
+    val cands = new GenericArrayData(Array[Any](
+      new GenericInternalRow(Array[Any](1L, 0.8)),
+      new GenericInternalRow(Array[Any](2L, 0.8)),
+      new GenericInternalRow(Array[Any](3L, 0.6))))
+    val pairs = new GenericArrayData(Array[Any](
+      new GenericInternalRow(Array[Any](1L, 2L, 1.0)),
+      new GenericInternalRow(Array[Any](99L, 3L, 1.0)))) // foreign id
+    val e = graft.expressions.MmrSelect(
+      org.apache.spark.sql.catalyst.expressions.Literal(1),
+      org.apache.spark.sql.catalyst.expressions.Literal(1), k = 2,
+      lam = 0.7, penWeight = 0.3)
+    val out = e.evalMmr(cands, pairs)
+    // pick 1: id 1 (rel tie, smaller id). pick 2: id 2 penalized by
+    // sim(1,2)=1.0 → .7·.8−.3 = .26; id 3's ONLY pair is the foreign one,
+    // which must be IGNORED → .7·.6−0 = .42 → id 3 wins. If the foreign
+    // pair aliased position 0 (id 1, already selected), id 3 would be
+    // penalized .3·1.0 → .12 and id 2 would wrongly win.
+    assert(out.getStruct(0, 3).getLong(0) == 1L)
+    assert(out.getStruct(1, 3).getLong(0) == 3L)
+    assert(math.abs(out.getStruct(1, 3).getDouble(2) - 0.42) < 1e-9)
+  }
 }
