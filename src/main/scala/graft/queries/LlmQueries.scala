@@ -532,6 +532,46 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // the PERSISTED inverted index: build → save (term-bucketed postings
+    // + unpruned df surface + manifest-last scalars) → serve with the
+    // query vocabulary's buckets pruning the postings scan. Oracle =
+    // q_bm25's from-scratch SQL: the artifact must score bit-identically
+    "q_bm25_persisted" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idxDir = ivfIndexDirs.computeIfAbsent(dir + "#bm25", _ => {
+        val d = java.nio.file.Files.createTempDirectory("graft_bm25").toString
+        graft.text.Bm25Store.build(docs, "text", "doc_id", d, nBuckets = 16)
+        d
+      })
+      graft.text.Bm25Store.scoreTopKPersisted(s, idxDir,
+          docs.where(col("doc_id") < 5), "text", "doc_id", k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // index maintenance for the persisted artifact: build on the low-id
+    // half, APPEND a segment built from the rest (postings bucket-append,
+    // df surface bucket-merged, scalars added, manifest last), then serve
+    // from the folded artifact. Oracle = q_bm25_incremental's (the full-
+    // corpus rebuild): matching it proves append ≡ rebuild on disk —
+    // the q_ann_ivf_append contract for the retrieval index
+    "q_bm25_index_append" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idxDir = ivfIndexDirs.computeIfAbsent(dir + "#bm25app", _ => {
+        val d = java.nio.file.Files.createTempDirectory("graft_bm25_app").toString
+        val half = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+        graft.text.Bm25Store.build(docs.where(col("doc_id") <= half),
+          "text", "doc_id", d, nBuckets = 16)
+        graft.text.Bm25Store.append(
+          Bm25.buildIndex(docs.where(col("doc_id") > half), "text", "doc_id"), d)
+        d
+      })
+      graft.text.Bm25Store.scoreTopKPersisted(s, idxDir,
+          docs.where(col("doc_id") >= 5 && col("doc_id") < 10), "text", "doc_id", k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // temperature-based domain mixture: √p token-share flattening over
     // the source dimension, budgeted rates computed driver-side from a
     // source-granularity aggregate, corpus kept via scan-local id-hash
@@ -1796,8 +1836,73 @@ object LlmQueries {
       val edges = LinkGraph.sharedSpanEdges(docs, "doc_id", "text", w = 5, maxDf = 32)
       LinkGraph.kCore(docs.select(col("doc_id")), "doc_id", edges, k = 2)
         .orderBy(col("doc_id"))
+    }),
+
+    // the persisted link-graph artifact (LinkGraphStore): build once per
+    // session, then PageRank reads the stored edges — closing the
+    // measured 100×-tier gap where the from-raw-docs edge build cost 8×
+    // the labeling it feeds and nine operators rebuilt it per query.
+    // Oracle = q_pagerank's (from-scratch SQL): the artifact must be
+    // edge-for-edge the live builder's output
+    "q_pagerank_artifact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val gDir = linkGraphDir(s, dir)
+      LinkGraph.pageRank(docs.select(col("doc_id")), "doc_id",
+          graft.text.LinkGraphStore.loadEdges(s, gDir), iters = 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // components over the same persisted artifact — the second consumer
+    // proving the artifact is operator-agnostic (oracle = q_components's)
+    "q_components_artifact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val gDir = linkGraphDir(s, dir)
+      LinkGraph.connectedComponents(docs.select(col("doc_id")), "doc_id",
+          graft.text.LinkGraphStore.loadEdges(s, gDir))
+        .orderBy(col("doc_id"))
+    }),
+
+    // append ≡ rebuild for the link-graph artifact, DELETIONS included:
+    // build on the low-id half, append the rest (span df-band
+    // transitions become exact ±support deltas — spans crossing maxDf
+    // retract the edges they alone supported), then emit the canonical
+    // (id_a, id_b, support) table. The oracle computes the FULL-corpus
+    // banded pair support from scratch in SQL, so matching it proves the
+    // incremental maintenance is bit-identical to a rebuild — the
+    // q_ann_ivf_append contract for the graph artifact. (w=3, maxDf=4:
+    // measured as the parameters where the synthetic corpus actually
+    // crosses the band in BOTH directions across the half split — 115
+    // retracting spans + 4479 entering at sf0.01; the graph gates'
+    // w=5/maxDf=32 has zero retractions at every SF, which would leave
+    // the deletion path oracle-unexercised)
+    "q_linkgraph_append" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val gDir = ivfIndexDirs.computeIfAbsent(dir + "#lga", _ => {
+        val d = java.nio.file.Files.createTempDirectory("graft_lga").toString
+        val half = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+        graft.text.LinkGraphStore.build(docs.where(col("doc_id") <= half),
+          "doc_id", "text", w = 3, maxDf = 4, d, nBuckets = 16)
+        graft.text.LinkGraphStore.append(docs.where(col("doc_id") > half),
+          "doc_id", "text", d)
+        d
+      })
+      graft.text.LinkGraphStore.loadEdgesCanonical(s, gDir)
+        .orderBy(col("id_a"), col("id_b"))
     })
   )
+
+  /** Session-lifetime persisted link-graph artifact for the `_artifact`
+    * gates — built once per (JVM, sfDir) like the IVF index dirs, so the
+    * gates measure the READ path (the artifact's whole point), not a
+    * rebuild per invocation.
+    */
+  private def linkGraphDir(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    ivfIndexDirs.computeIfAbsent(dir + "#lgs", _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft_lgs").toString
+      graft.text.LinkGraphStore.build(t(s, dir, "documents"),
+        "doc_id", "text", w = 5, maxDf = 32, d, nBuckets = 16)
+      d
+    })
 
   /** Blocklist-gate term sets (substring semantics over raw text; the
     * synthetic corpus vocabulary makes these dense enough to exercise
@@ -1952,7 +2057,15 @@ object LlmQueries {
   private def withAliases(m: Map[String, String]): Map[String, String] =
     m + ("q_ann_ivf_persisted" -> m("q_ann_ivf")) +
       ("q_ann_ivf_append" -> m("q_ann_ivf")) +
-      ("q_ann_stream_compact" -> m("q_ann_ivf"))
+      ("q_ann_stream_compact" -> m("q_ann_ivf")) +
+      // the persisted link-graph artifact must reproduce the live
+      // builders' graphs edge-for-edge: the from-scratch oracles apply
+      ("q_pagerank_artifact" -> m("q_pagerank")) +
+      ("q_components_artifact" -> m("q_components")) +
+      // the persisted BM25 artifact must score bit-identically to the
+      // from-scratch builds those oracles replay
+      ("q_bm25_persisted" -> m("q_bm25")) +
+      ("q_bm25_index_append" -> m("q_bm25_incremental"))
 
   /** Exact all-occurrences oracle for the blocklist lanes: every start
     * position × every term, substring-compared — O(chars · terms), the
@@ -2249,6 +2362,25 @@ object LlmQueries {
          |GROUP BY 1 ORDER BY degree""".stripMargin,
     "q_pagerank_weighted" -> pageRankSql(w = 6, iters = 3, scale = 1000000000000L,
       dNum = 85, dDen = 100, weighted = true),
+    // full-corpus banded pair support computed from scratch (w=3,
+    // maxDf=4 — the parameters where the corpus crosses the df band in
+    // both directions across the gate's half split) — matching it proves
+    // the artifact's half-build + append (± support deltas across
+    // df-band transitions, retractions included) is bit-identical to a
+    // rebuild
+    "q_linkgraph_append" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, list_filter($toksSql, x -> x <> '') AS toks FROM documents),
+         |sp0 AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id,
+         |    unnest([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, greatest(len(toks) - 1, 1))]) AS span
+         |  FROM tk),
+         |rare AS MATERIALIZED (
+         |  SELECT span FROM sp0 GROUP BY span HAVING count(*) BETWEEN 2 AND 4),
+         |sp AS MATERIALIZED (SELECT doc_id, span FROM sp0 JOIN rare USING (span))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS support
+         |FROM sp a JOIN sp b ON a.span = b.span AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin,
     "q_reach_estimate" -> XxhSql.hyperBallSql(w = 5, hops = 3),
     "q_reach_harmonic" -> XxhSql.hyperBallHarmonicSql(w = 5, hops = 3),
     "q_reach_distribution" -> XxhSql.hyperBallDistanceSql(w = 5, hops = 3,

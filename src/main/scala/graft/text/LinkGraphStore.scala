@@ -1,0 +1,373 @@
+package graft.text
+
+import graft.functions.{TextFunctions => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted, APPENDABLE shared-span link-graph artifact — the
+  * write-once/read-many lifecycle for [[LinkGraph.sharedSpanEdges]]'s
+  * output, mirroring the IVF index artifact
+  * ([[graft.similarity.Similarity.saveIvfIndexAppendable]]): nine graph
+  * operators (PageRank ×3, components ×2, k-core, LPA, triangles,
+  * HyperBall) consume the same edge table, and SCALE.md round 11
+  * measured the from-raw-docs edge build at ~180 s of every sf10 graph
+  * lane — 8× the labeling it feeds. A real crawl pipeline builds the
+  * graph ONCE, appends each ingest batch, and every downstream query
+  * reads the artifact. Reference analog: the batch store's
+  * write-once/read-many contract (reference
+  * org.knime.core.columnar.arrow/…/ArrowBatchStore.java:57-62).
+  *
+  * == Why append needs more than "emit new edges" ==
+  *
+  * `sharedSpanEdges` keeps spans whose document frequency lies in
+  * [2, maxDf]. New documents move spans ACROSS both band boundaries:
+  * a df-1 span reaching df 2 creates edges between OLD documents and
+  * new ones, and a df-maxDf span crossing maxDf must RETRACT every edge
+  * it alone supported (a rebuild would not emit them). Edges are
+  * therefore stored with their exact support count — the number of
+  * distinct in-band spans the pair shares (the same statistic as
+  * [[LinkGraph.sharedSpanEdgesWeighted]]'s weight) — so span-band
+  * transitions become ±1 support deltas and an edge survives iff its
+  * support stays positive. That makes append ≡ rebuild EXACT, deletions
+  * included (LinkGraphStoreSpec proves it on forced band crossings;
+  * the q_linkgraph_append oracle proves it against DuckDB).
+  *
+  * == Layout ==
+  * {{{
+  *   dir/edges/bucket=B/     (id_a, id_b, support)   id_a < id_b
+  *   dir/postings/bucket=B/  (h, id)                 spans with df ≤ maxDf
+  *   dir/dfs/bucket=B/       (h, df)                 every span ever seen
+  *   dir/_manifest.json      {version, w, maxDf, nBuckets, nDocs,
+  *                            nEdges, maxId, lastBatchId}
+  * }}}
+  * Every surface is hash-bucketed (`pmod` over `nBuckets`) so an append
+  * rewrites ONLY the buckets its batch touches, via dynamic partition
+  * overwrite — cost proportional to the batch's span/pair fan-out, not
+  * the index (the [[graft.similarity.Similarity.rebalanceIvfIndex]]
+  * hot-partition discipline). Spans whose df exceeds maxDf drop out of
+  * `postings` permanently (df only grows — monotone), so the postings
+  * surface stays bounded by the in-band span volume at any corpus size.
+  *
+  * == Contracts ==
+  *  - Appended ids must sort ABOVE the manifest's `maxId` and be unique
+  *    within the batch (the IVF append's id discipline) — enforced
+  *    fail-fast; df counting is only exact for first-seen documents.
+  *  - Write ordering is data-first / manifest-last (the Export
+  *    discipline): the manifest never over-certifies. A crash MID-append
+  *    can leave the three data surfaces at different epochs — an append
+  *    is not crash-atomic across surfaces; re-running it would
+  *    double-apply edge deltas, so recover a torn append by rebuilding
+  *    (streaming ingestion replays are safe: [[Manifest.lastBatchId]]
+  *    makes a committed batch's replay a no-op — see
+  *    [[graft.streaming.StreamingLinkGraph]]).
+  */
+object LinkGraphStore {
+
+  final case class Manifest(version: Int, w: Int, maxDf: Int, nBuckets: Int,
+      nDocs: Long, nEdges: Long, maxId: Long, lastBatchId: Long)
+
+  /** Build the artifact from scratch. One span explode + one df
+    * aggregation + the banded pair join (the
+    * [[LinkGraph.sharedSpanEdges]] plan with support counts), then three
+    * bucketed writes and the manifest last.
+    */
+  def build(docs: DataFrame, idCol: String, textCol: String, w: Int, maxDf: Int,
+      dir: String, nBuckets: Int = 64): Unit = {
+    require(maxDf >= 2, s"LinkGraphStore.build: maxDf $maxDf < 2")
+    require(nBuckets >= 1, s"LinkGraphStore.build: nBuckets $nBuckets < 1")
+    val spark = docs.sparkSession
+    // pinned: consumed by the df agg, the postings write, and the pair join
+    val spans = docs.select(col(idCol).cast("long").as("id"),
+        explode(T.shingleHashes(col(textCol), w)).as("h"))
+      .localCheckpoint(true)
+    try {
+      val dfs = spans.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .localCheckpoint(true)
+      try {
+        val inPost = dfs.where(col("df") <= maxDf).select(col("h"))
+        val postings = spans.join(inPost, Seq("h"))
+        val band = dfs.where(col("df") >= 2 && col("df") <= maxDf).select(col("h"))
+        val sp = spans.join(band, Seq("h"))
+        val edges = sp.select(col("h"), col("id").as("id_a"))
+          .join(sp.select(col("h"), col("id").as("id_b")), Seq("h"))
+          .where(col("id_a") < col("id_b"))
+          .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("support"))
+          .localCheckpoint(true)
+        try {
+          writeBucketed(edges.withColumn("bucket", edgeBucket(nBuckets)),
+            s"$dir/edges")
+          writeBucketed(postings.withColumn("bucket", spanBucket(nBuckets)),
+            s"$dir/postings")
+          writeBucketed(dfs.withColumn("bucket", spanBucket(nBuckets)),
+            s"$dir/dfs")
+          val stats = docs.agg(count(lit(1)).as("n"),
+            max(col(idCol).cast("long")).as("mx")).head()
+          writeManifest(spark, dir, Manifest(1, w, maxDf, nBuckets,
+            nDocs = stats.getLong(0), nEdges = edges.count(),
+            maxId = if (stats.isNullAt(1)) Long.MinValue else stats.getLong(1),
+            lastBatchId = -1L))
+        } finally edges.unpersist()
+      } finally dfs.unpersist()
+    } finally spans.unpersist()
+  }
+
+  /** Fold a batch of NEW documents into the artifact: extract spans from
+    * the batch only, join the touched spans against the persisted df /
+    * postings surfaces (bucket-pruned scans), turn band transitions into
+    * exact ±1 support deltas, and rewrite only the touched buckets of
+    * all three surfaces. Result is bit-identical to a rebuild over the
+    * concatenated corpus. `batchId` stamps the manifest for streaming
+    * replay detection (pass the default for plain batch appends).
+    */
+  def append(newDocs: DataFrame, idCol: String, textCol: String, dir: String,
+      batchId: Long = -1L): Unit = {
+    val spark = newDocs.sparkSession
+    val m = loadManifest(spark, dir)
+    val bounds = newDocs.agg(count(lit(1)).as("n"),
+      min(col(idCol).cast("long")).as("lo"), max(col(idCol).cast("long")).as("hi"),
+      count_distinct(col(idCol)).as("nd")).head()
+    if (bounds.getLong(0) == 0L) return // empty batch: artifact untouched
+    require(bounds.getLong(0) == bounds.getLong(3),
+      s"LinkGraphStore.append: batch ids are not unique " +
+        s"(${bounds.getLong(0)} rows, ${bounds.getLong(3)} distinct) - " +
+        "df counting is only exact for first-seen documents")
+    require(bounds.getLong(1) > m.maxId,
+      s"LinkGraphStore.append: batch ids start at ${bounds.getLong(1)} but the " +
+        s"artifact already contains ids up to ${m.maxId} - appended ids must sort " +
+        "above every existing id (re-ingesting a document would double-count " +
+        "span document frequencies)")
+    val nB = m.nBuckets
+    val batchSpans = newDocs.select(col(idCol).cast("long").as("id"),
+        explode(T.shingleHashes(col(textCol), m.w)).as("h"))
+      .localCheckpoint(true)
+    try {
+      val batchDf = batchSpans.groupBy(col("h")).agg(count(lit(1)).as("__add"))
+      // touched span buckets — the only df/postings partitions read or written
+      val tb = batchDf.select(spanBucket(nB).as("b")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      val oldDfs = readSurface(spark, s"$dir/dfs", dfsSchema)
+        .where(col("bucket").isInCollection(tb))
+        .select(col("h"), col("df"))
+      // (h, old_df, new_df) for every span the batch mentions
+      val touched = batchDf.join(oldDfs, Seq("h"), "left")
+        .select(col("h"), coalesce(col("df"), lit(0L)).as("old_df"),
+          (coalesce(col("df"), lit(0L)) + col("__add")).as("new_df"))
+        .localCheckpoint(true)
+      try {
+        val oldPostings = readSurface(spark, s"$dir/postings", postingsSchema)
+          .where(col("bucket").isInCollection(tb))
+          .select(col("h"), col("id"))
+        // members of each touched span, old and new, tagged — per-span
+        // fan-out is ≤ maxDf + batch members by the band conditions below
+        val members = oldPostings.join(touched, Seq("h"))
+          .select(col("h"), col("id"), lit(false).as("__new"),
+            col("old_df"), col("new_df"))
+          .unionByName(batchSpans.join(touched, Seq("h"))
+            .select(col("h"), col("id"), lit(true).as("__new"),
+              col("old_df"), col("new_df")))
+          .localCheckpoint(true)
+        try {
+          // +1 deltas: spans landing in band. If the span was ALREADY in
+          // band its old×old pairs exist — only pairs touching a new
+          // member are added; a span entering the band adds ALL pairs.
+          val inBand = members.where(col("new_df") >= 2 && col("new_df") <= m.maxDf)
+          val added = inBand.select(col("h"), col("id").as("id_a"),
+              col("__new").as("__na"), col("old_df"))
+            .join(inBand.select(col("h"), col("id").as("id_b"), col("__new").as("__nb")),
+              Seq("h"))
+            .where(col("id_a") < col("id_b") &&
+              (col("old_df") < 2 || col("__na") || col("__nb")))
+            .select(col("id_a"), col("id_b"), lit(1L).as("__d"))
+          // −1 deltas: spans crossing ABOVE the band retract the pairs
+          // they supported — old members only (new ones never contributed)
+          val leaving = members.where(!col("__new") &&
+            col("old_df") >= 2 && col("old_df") <= m.maxDf && col("new_df") > m.maxDf)
+          val removed = leaving.select(col("h"), col("id").as("id_a"))
+            .join(leaving.select(col("h"), col("id").as("id_b")), Seq("h"))
+            .where(col("id_a") < col("id_b"))
+            .select(col("id_a"), col("id_b"), lit(-1L).as("__d"))
+          val delta = added.unionAll(removed)
+            .groupBy(col("id_a"), col("id_b")).agg(sum(col("__d")).as("__d"))
+            .where(col("__d") =!= 0)
+            .localCheckpoint(true)
+          try {
+            // ---- edges: merge deltas into the touched edge buckets ----
+            val eb = delta.select(edgeBucket(nB).as("b")).distinct()
+              .collect().map(_.getInt(0)).sorted
+            var edgeCountDelta = 0L
+            if (eb.nonEmpty) {
+              // distinct intermediate name (__olds): aliasing the merged
+              // value AS "support" in the same select would SHADOW the
+              // input column for later expressions (the Spark 4
+              // lateral-alias trap in the verify notes)
+              val oldEdges = readSurface(spark, s"$dir/edges", edgesSchema)
+                .where(col("bucket").isInCollection(eb))
+                .select(col("id_a"), col("id_b"), col("support").as("__olds"))
+              val merged = oldEdges.join(delta, Seq("id_a", "id_b"), "full_outer")
+                .select(col("id_a"), col("id_b"),
+                  (coalesce(col("__olds"), lit(0L)) + coalesce(col("__d"), lit(0L)))
+                    .as("support"),
+                  col("__olds").isNotNull.as("__was"))
+                .localCheckpoint(true) // pinned: the write replaces the files it reads
+              try {
+                val counts = merged.agg(
+                  sum(when(col("support") > 0 && !col("__was"), 1L).otherwise(0L)),
+                  sum(when(col("support") <= 0 && col("__was"), 1L).otherwise(0L))).head()
+                edgeCountDelta = counts.getLong(0) - counts.getLong(1)
+                overwriteBuckets(merged.where(col("support") > 0)
+                    .select(col("id_a"), col("id_b"), col("support"))
+                    .withColumn("bucket", edgeBucket(nB)),
+                  s"$dir/edges", eb)
+              } finally merged.unpersist()
+            }
+            // ---- postings: touched buckets rewritten ----
+            // keep: untouched spans + touched spans still ≤ maxDf (old
+            // members); add: batch members of spans ending ≤ maxDf;
+            // drop: every row of spans crossing above maxDf
+            val blown = touched.where(col("new_df") > m.maxDf).select(col("h"))
+            val newPostings = oldPostings.join(blown, Seq("h"), "left_anti")
+              .unionByName(batchSpans
+                .join(touched.where(col("new_df") <= m.maxDf).select(col("h")), Seq("h"))
+                .select(col("h"), col("id")))
+              .localCheckpoint(true)
+            try overwriteBuckets(newPostings.withColumn("bucket", spanBucket(nB)),
+              s"$dir/postings", tb)
+            finally newPostings.unpersist()
+            // ---- dfs: touched buckets rewritten with refreshed counts ----
+            val newDfs = oldDfs.join(touched.select(col("h")), Seq("h"), "left_anti")
+              .unionByName(touched.select(col("h"), col("new_df").as("df")))
+              .localCheckpoint(true)
+            try overwriteBuckets(newDfs.withColumn("bucket", spanBucket(nB)),
+              s"$dir/dfs", tb)
+            finally newDfs.unpersist()
+            // manifest last: never over-certifies
+            writeManifest(spark, dir, m.copy(
+              nDocs = m.nDocs + bounds.getLong(0),
+              nEdges = m.nEdges + edgeCountDelta,
+              maxId = bounds.getLong(2),
+              lastBatchId = batchId))
+          } finally delta.unpersist()
+        } finally members.unpersist()
+      } finally touched.unpersist()
+    } finally batchSpans.unpersist()
+  }
+
+  /** The edge table in [[LinkGraph.sharedSpanEdges]]'s symmetric
+    * (src, dst) shape — plugs into every graph operator unchanged.
+    */
+  def loadEdges(spark: SparkSession, dir: String): DataFrame = {
+    val c = loadEdgesCanonical(spark, dir)
+    c.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(c.select(col("id_b").as("src"), col("id_a").as("dst")))
+  }
+
+  /** Canonical (id_a < id_b) edges with their exact span-support count —
+    * `support` equals [[LinkGraph.sharedSpanEdgesWeighted]]'s weight, so
+    * the canonical table doubles as the weighted graph artifact.
+    */
+  def loadEdgesCanonical(spark: SparkSession, dir: String): DataFrame =
+    readSurface(spark, s"$dir/edges", edgesSchema)
+      .select(col("id_a"), col("id_b"), col("support"))
+
+  /** Symmetric weighted edges (src, dst, weight) for
+    * [[LinkGraph.pageRankWeighted]].
+    */
+  def loadEdgesWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val c = loadEdgesCanonical(spark, dir)
+    c.select(col("id_a").as("src"), col("id_b").as("dst"), col("support").as("weight"))
+      .unionAll(c.select(col("id_b").as("src"), col("id_a").as("dst"),
+        col("support").as("weight")))
+  }
+
+  def loadManifest(spark: SparkSession, dir: String): Manifest = {
+    val path = new org.apache.hadoop.fs.Path(dir, "_manifest.json")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(path), s"LinkGraphStore: no _manifest.json under $dir - " +
+      "build the artifact with LinkGraphStore.build")
+    val in = fs.open(path)
+    val text = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      buf.toString("UTF-8")
+    } finally in.close()
+    // a real JSON parse, not a regex (the Export epoch-field precedent)
+    val node = mapper.readTree(text)
+    require(node != null && node.isObject, s"LinkGraphStore: malformed manifest under $dir")
+    def num(f: String): Long = {
+      val v = node.get(f)
+      require(v != null && v.isIntegralNumber,
+        s"LinkGraphStore: manifest field '$f' missing or non-integral under $dir")
+      v.longValue()
+    }
+    Manifest(num("version").toInt, num("w").toInt, num("maxDf").toInt,
+      num("nBuckets").toInt, num("nDocs"), num("nEdges"), num("maxId"),
+      num("lastBatchId"))
+  }
+
+  private lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def writeManifest(spark: SparkSession, dir: String, m: Manifest): Unit = {
+    val json = s"""{"version":${m.version},"w":${m.w},"maxDf":${m.maxDf},""" +
+      s""""nBuckets":${m.nBuckets},"nDocs":${m.nDocs},"nEdges":${m.nEdges},""" +
+      s""""maxId":${m.maxId},"lastBatchId":${m.lastBatchId}}"""
+    val path = new org.apache.hadoop.fs.Path(dir, "_manifest.json")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(path, true)
+    try out.write((json + "\n").getBytes("UTF-8")) finally out.close()
+  }
+
+  private def spanBucket(nBuckets: Int) =
+    pmod(col("h"), lit(nBuckets.toLong)).cast("int")
+
+  private def edgeBucket(nBuckets: Int) =
+    pmod(xxhash64(col("id_a"), col("id_b")), lit(nBuckets.toLong)).cast("int")
+
+  import org.apache.spark.sql.types._
+  private val edgesSchema = StructType(Seq(
+    StructField("id_a", LongType), StructField("id_b", LongType),
+    StructField("support", LongType), StructField("bucket", IntegerType)))
+  private val postingsSchema = StructType(Seq(
+    StructField("h", LongType), StructField("id", LongType),
+    StructField("bucket", IntegerType)))
+  private val dfsSchema = StructType(Seq(
+    StructField("h", LongType), StructField("df", LongType),
+    StructField("bucket", IntegerType)))
+
+  /** Read a bucketed surface with its EXPLICIT schema: skips inference
+    * (one fewer footer pass) and stays well-defined when the surface has
+    * zero data files (an empty-graph artifact is legal).
+    */
+  private def readSurface(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).parquet(path)
+
+  /** Full bucketed overwrite (build path). */
+  private def writeBucketed(rows: DataFrame, path: String): Unit =
+    rows.write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** Rewrite exactly the `touched` buckets (append path): dynamic
+    * partition overwrite for buckets present in `rows`, plus explicit
+    * deletion of touched buckets that became EMPTY — dynamic overwrite
+    * only replaces partitions it writes, so a bucket whose rows all
+    * vanished (every edge retracted / every span blown past maxDf) would
+    * otherwise keep its stale files.
+    */
+  private def overwriteBuckets(rows: DataFrame, path: String, touched: Array[Int]): Unit = {
+    val spark = rows.sparkSession
+    val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try rows.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+    // rows is pinned by every caller, so this re-read is checkpoint-local
+    val present = rows.select(col("bucket")).distinct().collect()
+      .map(_.getInt(0)).toSet
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    touched.filterNot(present.contains).foreach { b =>
+      val p = new org.apache.hadoop.fs.Path(root, s"bucket=$b")
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+  }
+}
