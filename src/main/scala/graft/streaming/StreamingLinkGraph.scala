@@ -1,0 +1,311 @@
+package graft.streaming
+
+import graft.functions.{TextFunctions => T}
+import graft.text.LinkGraphStore
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** Continuous link-graph maintenance: a stream of NEW documents folded
+  * micro-batch by micro-batch into the persisted shared-span edge
+  * artifact — the streaming twin of [[LinkGraphStore.append]], feeding
+  * the label maintenance of [[StreamingComponents]]. A crawling corpus
+  * ingests pages continuously; the edge artifact (the expensive part —
+  * SCALE.md round 11 measured the from-scratch edge build at 8× the
+  * labeling it feeds) must advance per batch without ever rescanning
+  * the historical corpus.
+  *
+  * == Exactly-once layout: base + delta log ==
+  *
+  * [[LinkGraphStore.append]] mutates its surfaces in place, so a
+  * replayed micro-batch would double-apply its ±support deltas. The twin
+  * therefore NEVER mutates the base: each batch writes its own
+  * delta-log entry
+  * {{{
+  *   dir/base/                      a LinkGraphStore artifact (immutable)
+  *   dir/deltas/batch=N/edges/      (id_a, id_b, d)   net ±support
+  *   dir/deltas/batch=N/dfs/        (h, df)           touched spans' NEW df
+  *   dir/deltas/batch=N/post_add/   (h, id)           new posting rows
+  *   dir/deltas/batch=N/blown/      (h)               spans crossing maxDf
+  *   dir/deltas/batch=N/_meta.json  {batchId, nDocs, maxId, nRetractions}
+  *   dir/deltas/batch=N/_done       marker, written LAST
+  * }}}
+  * A batch's delta is a deterministic function of (base, committed
+  * deltas < N, batch docs) — the same inputs on every replay — and is
+  * written by overwrite with the `_done` marker last, so a torn attempt
+  * is invisible (no marker → recompute overwrites it byte-identically)
+  * and a committed batch's replay is a no-op (marker → return). This is
+  * the [[StreamingComponents]] snapshot-chain guarantee applied to a
+  * delta log. [[compactTo]] folds base + deltas into a fresh standalone
+  * artifact when the log grows long (the [[graft.streaming.StreamingAnnIndex]]
+  * compaction shape).
+  *
+  * Readers: [[readEdgesCanonical]]/[[readEdges]] merge base + committed
+  * deltas (support > 0 survives) — bit-identical to a batch rebuild over
+  * all documents ever ingested (StreamingLinkGraphSpec proves it,
+  * retractions included). Per-batch NEW positive edges
+  * ([[newEdges]]) feed [[StreamingComponents.applyBatch]]; component
+  * labels stay exact under edge ADDITIONS, so consult the delta's
+  * `nRetractions` meta — a retracting batch can split a component, and
+  * the labels then need a recompute over [[readEdges]] (cheap relative
+  * to the edge build this twin amortizes).
+  */
+object StreamingLinkGraph {
+
+  /** Build the immutable base artifact under `dir/base`. */
+  def initialize(docs: DataFrame, idCol: String, textCol: String, w: Int,
+      maxDf: Int, dir: String, nBuckets: Int = 64): Unit =
+    LinkGraphStore.build(docs, idCol, textCol, w, maxDf, s"$dir/base", nBuckets)
+
+  /** Wire a document stream into continuous edge maintenance. Caller
+    * sets checkpoint/trigger and starts the writer.
+    */
+  def writer(docs: DataFrame, idCol: String, textCol: String, dir: String): DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      applyBatch(batch, batchId, idCol, textCol, dir)
+    }
+
+  /** Fold one micro-batch of documents into the delta log (see class
+    * doc). Also usable for batch backfill replays.
+    */
+  def applyBatch(batch: DataFrame, batchId: Long, idCol: String, textCol: String,
+      dir: String): Unit = {
+    val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dDir = s"$dir/deltas/batch=$batchId"
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dDir/_done"))) return // committed: replay no-op
+    val m = LinkGraphStore.loadManifest(spark, s"$dir/base")
+    val prior = committedBatches(spark, dir).filter(_ < batchId)
+    // id discipline (the LinkGraphStore.append contract, across the log)
+    val priorMax = (m.maxId +: prior.map(b => readMeta(spark, dir, b).maxId)).max
+    val bounds = batch.agg(count(lit(1)).as("n"),
+      min(col(idCol).cast("long")).as("lo"), max(col(idCol).cast("long")).as("hi"),
+      count_distinct(col(idCol)).as("nd")).head()
+    require(bounds.getLong(0) > 0L, "StreamingLinkGraph: empty micro-batch " +
+      "(filter empty batches out upstream - a delta entry must advance maxId)")
+    require(bounds.getLong(0) == bounds.getLong(3),
+      s"StreamingLinkGraph: batch ids are not unique (${bounds.getLong(0)} rows, " +
+        s"${bounds.getLong(3)} distinct)")
+    require(bounds.getLong(1) > priorMax,
+      s"StreamingLinkGraph: batch ids start at ${bounds.getLong(1)} but the graph " +
+        s"already contains ids up to $priorMax - appended ids must sort above every " +
+        "existing id")
+    val batchSpans = batch.select(col(idCol).cast("long").as("id"),
+        explode(T.shingleHashes(col(textCol), m.w)).as("h"))
+      .localCheckpoint(true)
+    try {
+      val batchDf = batchSpans.groupBy(col("h")).agg(count(lit(1)).as("__add"))
+      val tb = batchDf.select(LinkGraphStore.spanBucketCol(m.nBuckets).as("b"))
+        .distinct().collect().map(_.getInt(0)).sorted
+      // effective df per touched span: the LATEST committed delta wins,
+      // else base, else 0 (bucket-pruned base scan; deltas are batch-sized)
+      val baseDfs = LinkGraphStore.readDfsSurface(spark, s"$dir/base")
+        .where(col("bucket").isInCollection(tb)).select(col("h"), col("df"))
+      val deltaDfs = prior.map(b =>
+          spark.read.schema(deltaDfsSchema).parquet(s"$dir/deltas/batch=$b/dfs")
+            .select(col("h"), col("df"), lit(b).as("__b")))
+        .reduceOption(_ unionAll _)
+      val latestDelta = deltaDfs.map(dd => dd
+        .groupBy(col("h"))
+        .agg(max_by(col("df"), col("__b")).as("__ddf")))
+      val effDf = latestDelta match {
+        case Some(ld) => baseDfs.join(ld, Seq("h"), "full_outer")
+          .select(col("h"), coalesce(col("__ddf"), col("df")).as("df"))
+        case None => baseDfs
+      }
+      val touched = batchDf.join(effDf, Seq("h"), "left")
+        .select(col("h"), coalesce(col("df"), lit(0L)).as("old_df"),
+          (coalesce(col("df"), lit(0L)) + col("__add")).as("new_df"))
+        .localCheckpoint(true)
+      try {
+        // effective postings: base ∪ committed adds, minus spans blown in
+        // any committed delta (df is monotone: once blown, never re-adds)
+        val basePosts = LinkGraphStore.readPostingsSurface(spark, s"$dir/base")
+          .where(col("bucket").isInCollection(tb)).select(col("h"), col("id"))
+        val adds = prior.map(b =>
+            spark.read.schema(postAddSchema).parquet(s"$dir/deltas/batch=$b/post_add")
+              .select(col("h"), col("id")))
+          .reduceOption(_ unionAll _)
+        val blownPrior = prior.map(b =>
+            spark.read.schema(blownSchema).parquet(s"$dir/deltas/batch=$b/blown")
+              .select(col("h")))
+          .reduceOption(_ unionAll _)
+        val unioned = adds.fold(basePosts)(basePosts.unionAll)
+        val effPosts = blownPrior.fold(unioned)(bp => unioned.join(bp, Seq("h"), "left_anti"))
+        val delta = LinkGraphStore.edgeDeltas(batchSpans, touched, effPosts, m.maxDf)
+        try {
+          // delta surfaces (all plain overwrites — torn attempts rewrite)
+          delta.select(col("id_a"), col("id_b"), col("__d").as("d"))
+            .write.mode("overwrite").parquet(s"$dDir/edges")
+          touched.select(col("h"), col("new_df").as("df"))
+            .write.mode("overwrite").parquet(s"$dDir/dfs")
+          batchSpans.join(touched.where(col("new_df") <= m.maxDf).select(col("h")), Seq("h"))
+            .select(col("h"), col("id"))
+            .write.mode("overwrite").parquet(s"$dDir/post_add")
+          touched.where(col("new_df") > m.maxDf).select(col("h"))
+            .write.mode("overwrite").parquet(s"$dDir/blown")
+          // the batch's doc ids: [[newEdges]] emits them as self-loops so
+          // isolated documents still register as nodes downstream (the
+          // StreamingComponents node-universe convention)
+          batch.select(col(idCol).cast("long").as("id")).distinct()
+            .write.mode("overwrite").parquet(s"$dDir/docids")
+          val nRetr = delta.where(col("__d") < 0).count()
+          writeText(fs, s"$dDir/_meta.json",
+            s"""{"batchId":$batchId,"nDocs":${bounds.getLong(0)},""" +
+              s""""maxId":${bounds.getLong(2)},"nRetractions":$nRetr}""")
+          writeText(fs, s"$dDir/_done", "") // marker LAST: commits the batch
+        } finally delta.unpersist()
+      } finally touched.unpersist()
+    } finally batchSpans.unpersist()
+  }
+
+  /** Canonical (id_a, id_b, support) edges = base merged with every
+    * committed delta; support > 0 survives. Bit-identical to a batch
+    * rebuild over all ingested documents.
+    */
+  def readEdgesCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val base = LinkGraphStore.loadEdgesCanonical(spark, s"$dir/base")
+      .select(col("id_a"), col("id_b"), col("support").as("d"))
+    val deltas = committedBatches(spark, dir).map(b =>
+      spark.read.schema(deltaEdgesSchema).parquet(s"$dir/deltas/batch=$b/edges")
+        .select(col("id_a"), col("id_b"), col("d")))
+    (base +: deltas).reduce(_ unionAll _)
+      .groupBy(col("id_a"), col("id_b")).agg(sum(col("d")).as("support"))
+      .where(col("support") > 0)
+  }
+
+  /** Symmetric (src, dst) edges for the graph operators. */
+  def readEdges(spark: SparkSession, dir: String): DataFrame = {
+    val c = readEdgesCanonical(spark, dir)
+    c.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(c.select(col("id_b").as("src"), col("id_a").as("dst")))
+  }
+
+  /** One committed batch's NEW positive edges, symmetric, plus one
+    * self-loop per batch document (so isolated docs register as nodes —
+    * [[StreamingComponents.applyBatch]] harvests its node universe from
+    * edge endpoints and drops self-loops as edges). Exact for labels
+    * only when the batch retracted nothing
+    * ([[readMeta]].nRetractions == 0); see class doc.
+    */
+  def newEdges(spark: SparkSession, dir: String, batchId: Long): DataFrame = {
+    val d = spark.read.schema(deltaEdgesSchema)
+      .parquet(s"$dir/deltas/batch=$batchId/edges")
+      .where(col("d") > 0)
+    val ids = spark.read.schema(docidsSchema)
+      .parquet(s"$dir/deltas/batch=$batchId/docids")
+    d.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(d.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .unionAll(ids.select(col("id").as("src"), col("id").as("dst")))
+  }
+
+  /** Fold base + committed deltas into a fresh standalone
+    * [[LinkGraphStore]] artifact at `outDir` (maintenance: bounds the
+    * delta log a long-running stream accumulates). The output is
+    * byte-for-byte a build-shaped artifact: edges/postings/dfs surfaces
+    * plus manifest; downstream batch jobs read it with
+    * [[LinkGraphStore.loadEdges]] and future appends go through
+    * [[LinkGraphStore.append]] — or re-seed a new stream dir's `base`.
+    */
+  def compactTo(spark: SparkSession, dir: String, outDir: String): Unit = {
+    val m = LinkGraphStore.loadManifest(spark, s"$dir/base")
+    val committed = committedBatches(spark, dir)
+    val nB = m.nBuckets
+    val edges = readEdgesCanonical(spark, dir).localCheckpoint(true)
+    try {
+      val basePosts = LinkGraphStore.readPostingsSurface(spark, s"$dir/base")
+        .select(col("h"), col("id"))
+      val adds = committed.map(b =>
+          spark.read.schema(postAddSchema).parquet(s"$dir/deltas/batch=$b/post_add")
+            .select(col("h"), col("id")))
+        .reduceOption(_ unionAll _)
+      val blown = committed.map(b =>
+          spark.read.schema(blownSchema).parquet(s"$dir/deltas/batch=$b/blown")
+            .select(col("h")))
+        .reduceOption(_ unionAll _)
+      val unioned = adds.fold(basePosts)(basePosts.unionAll)
+      val posts = blown.fold(unioned)(bp => unioned.join(bp, Seq("h"), "left_anti"))
+      val baseDfs = LinkGraphStore.readDfsSurface(spark, s"$dir/base")
+        .select(col("h"), col("df"))
+      val deltaDfs = committed.map(b =>
+          spark.read.schema(deltaDfsSchema).parquet(s"$dir/deltas/batch=$b/dfs")
+            .select(col("h"), col("df"), lit(b).as("__b")))
+        .reduceOption(_ unionAll _)
+      val dfs = deltaDfs match {
+        case Some(dd) =>
+          val latest = dd.groupBy(col("h")).agg(max_by(col("df"), col("__b")).as("__ddf"))
+          baseDfs.join(latest, Seq("h"), "full_outer")
+            .select(col("h"), coalesce(col("__ddf"), col("df")).as("df"))
+        case None => baseDfs
+      }
+      edges.withColumn("bucket",
+          pmod(xxhash64(col("id_a"), col("id_b")), lit(nB.toLong)).cast("int"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$outDir/edges")
+      posts.withColumn("bucket", LinkGraphStore.spanBucketCol(nB))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$outDir/postings")
+      dfs.withColumn("bucket", LinkGraphStore.spanBucketCol(nB))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$outDir/dfs")
+      val metas = committed.map(b => readMeta(spark, dir, b))
+      val manifest = LinkGraphStore.Manifest(m.version, m.w, m.maxDf, nB,
+        nDocs = m.nDocs + metas.map(_.nDocs).sum,
+        nEdges = edges.count(),
+        maxId = (m.maxId +: metas.map(_.maxId)).max,
+        lastBatchId = (-1L +: committed).max)
+      // manifest last, via the store's own writer (same JSON shape)
+      LinkGraphStore.writeManifestFor(spark, outDir, manifest)
+    } finally edges.unpersist()
+  }
+
+  final case class DeltaMeta(batchId: Long, nDocs: Long, maxId: Long, nRetractions: Long)
+
+  def readMeta(spark: SparkSession, dir: String, batchId: Long): DeltaMeta = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/deltas/batch=$batchId", "_meta.json")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(path)
+    val text = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](4096)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      buf.toString("UTF-8")
+    } finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+    def num(f: String): Long = {
+      val v = if (node != null && node.isObject) node.get(f) else null
+      require(v != null && v.isIntegralNumber,
+        s"StreamingLinkGraph: delta meta field '$f' missing under $dir/deltas/batch=$batchId")
+      v.longValue()
+    }
+    DeltaMeta(num("batchId"), num("nDocs"), num("maxId"), num("nRetractions"))
+  }
+
+  /** Committed delta batch ids (marker present), ascending. */
+  def committedBatches(spark: SparkSession, dir: String): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(s"$dir/deltas")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch=") &&
+        fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_done")))
+      .map(_.getPath.getName.stripPrefix("batch=").toLong)
+      .sorted
+  }
+
+  private def writeText(fs: org.apache.hadoop.fs.FileSystem, path: String,
+      text: String): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(path), true)
+    try out.write(text.getBytes("UTF-8")) finally out.close()
+  }
+
+  import org.apache.spark.sql.types._
+  private val deltaEdgesSchema = StructType(Seq(
+    StructField("id_a", LongType), StructField("id_b", LongType),
+    StructField("d", LongType)))
+  private val deltaDfsSchema = StructType(Seq(
+    StructField("h", LongType), StructField("df", LongType)))
+  private val postAddSchema = StructType(Seq(
+    StructField("h", LongType), StructField("id", LongType)))
+  private val blownSchema = StructType(Seq(StructField("h", LongType)))
+  private val docidsSchema = StructType(Seq(StructField("id", LongType)))
+}

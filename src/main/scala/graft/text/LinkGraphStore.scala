@@ -157,39 +157,8 @@ object LinkGraphStore {
         val oldPostings = readSurface(spark, s"$dir/postings", postingsSchema)
           .where(col("bucket").isInCollection(tb))
           .select(col("h"), col("id"))
-        // members of each touched span, old and new, tagged — per-span
-        // fan-out is ≤ maxDf + batch members by the band conditions below
-        val members = oldPostings.join(touched, Seq("h"))
-          .select(col("h"), col("id"), lit(false).as("__new"),
-            col("old_df"), col("new_df"))
-          .unionByName(batchSpans.join(touched, Seq("h"))
-            .select(col("h"), col("id"), lit(true).as("__new"),
-              col("old_df"), col("new_df")))
-          .localCheckpoint(true)
-        try {
-          // +1 deltas: spans landing in band. If the span was ALREADY in
-          // band its old×old pairs exist — only pairs touching a new
-          // member are added; a span entering the band adds ALL pairs.
-          val inBand = members.where(col("new_df") >= 2 && col("new_df") <= m.maxDf)
-          val added = inBand.select(col("h"), col("id").as("id_a"),
-              col("__new").as("__na"), col("old_df"))
-            .join(inBand.select(col("h"), col("id").as("id_b"), col("__new").as("__nb")),
-              Seq("h"))
-            .where(col("id_a") < col("id_b") &&
-              (col("old_df") < 2 || col("__na") || col("__nb")))
-            .select(col("id_a"), col("id_b"), lit(1L).as("__d"))
-          // −1 deltas: spans crossing ABOVE the band retract the pairs
-          // they supported — old members only (new ones never contributed)
-          val leaving = members.where(!col("__new") &&
-            col("old_df") >= 2 && col("old_df") <= m.maxDf && col("new_df") > m.maxDf)
-          val removed = leaving.select(col("h"), col("id").as("id_a"))
-            .join(leaving.select(col("h"), col("id").as("id_b")), Seq("h"))
-            .where(col("id_a") < col("id_b"))
-            .select(col("id_a"), col("id_b"), lit(-1L).as("__d"))
-          val delta = added.unionAll(removed)
-            .groupBy(col("id_a"), col("id_b")).agg(sum(col("__d")).as("__d"))
-            .where(col("__d") =!= 0)
-            .localCheckpoint(true)
+        val delta = edgeDeltas(batchSpans, touched, oldPostings, m.maxDf);
+        {
           try {
             // ---- edges: merge deltas into the touched edge buckets ----
             val eb = delta.select(edgeBucket(nB).as("b")).distinct()
@@ -247,9 +216,60 @@ object LinkGraphStore {
               maxId = bounds.getLong(2),
               lastBatchId = batchId))
           } finally delta.unpersist()
-        } finally members.unpersist()
+        }
       } finally touched.unpersist()
     } finally batchSpans.unpersist()
+  }
+
+  /** The exact ±support edge deltas one batch of spans induces against
+    * an existing (df, postings) state — the append's core math, shared
+    * with [[graft.streaming.StreamingLinkGraph]] (which evaluates it
+    * against its base ∪ delta-log effective surfaces).
+    *
+    * @param batchSpans (h, id) distinct spans of the NEW documents (pinned)
+    * @param touched    (h, old_df, new_df) for every span the batch
+    *                   mentions (pinned)
+    * @param oldPostings (h, id) existing members — only touched spans'
+    *                   rows are consumed
+    * @return pinned (id_a, id_b, __d) with nonzero net deltas; caller
+    *         unpersists
+    */
+  private[graft] def edgeDeltas(batchSpans: DataFrame, touched: DataFrame,
+      oldPostings: DataFrame, maxDf: Int): DataFrame = {
+    // members of each touched span, old and new, tagged — per-span
+    // fan-out is ≤ maxDf + batch members by the band conditions below
+    val members = oldPostings.join(touched, Seq("h"))
+      .select(col("h"), col("id"), lit(false).as("__new"),
+        col("old_df"), col("new_df"))
+      .unionByName(batchSpans.join(touched, Seq("h"))
+        .select(col("h"), col("id"), lit(true).as("__new"),
+          col("old_df"), col("new_df")))
+      .localCheckpoint(true)
+    try {
+      // +1 deltas: spans landing in band. If the span was ALREADY in
+      // band its old×old pairs exist — only pairs touching a new
+      // member are added; a span entering the band adds ALL pairs.
+      val inBand = members.where(col("new_df") >= 2 && col("new_df") <= maxDf)
+      val added = inBand.select(col("h"), col("id").as("id_a"),
+          col("__new").as("__na"), col("old_df"))
+        .join(inBand.select(col("h"), col("id").as("id_b"), col("__new").as("__nb")),
+          Seq("h"))
+        .where(col("id_a") < col("id_b") &&
+          (col("old_df") < 2 || col("__na") || col("__nb")))
+        .select(col("id_a"), col("id_b"), lit(1L).as("__d"))
+      // −1 deltas: spans crossing ABOVE the band retract the pairs
+      // they supported — old members only (new ones never contributed)
+      val leaving = members.where(!col("__new") &&
+        col("old_df") >= 2 && col("old_df") <= maxDf && col("new_df") > maxDf)
+      val removed = leaving.select(col("h"), col("id").as("id_a"))
+        .join(leaving.select(col("h"), col("id").as("id_b")), Seq("h"))
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), lit(-1L).as("__d"))
+      added.unionAll(removed)
+        .groupBy(col("id_a"), col("id_b")).agg(sum(col("__d")).as("__d"))
+        .where(col("__d") =!= 0)
+        .localCheckpoint(true)
+    } finally members.unpersist()
   }
 
   /** The edge table in [[LinkGraph.sharedSpanEdges]]'s symmetric
@@ -308,6 +328,12 @@ object LinkGraphStore {
 
   private lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
+  /** Manifest writer for artifact-shaped outputs produced elsewhere
+    * (the streaming twin's [[graft.streaming.StreamingLinkGraph.compactTo]]).
+    */
+  private[graft] def writeManifestFor(spark: SparkSession, dir: String, m: Manifest): Unit =
+    writeManifest(spark, dir, m)
+
   private def writeManifest(spark: SparkSession, dir: String, m: Manifest): Unit = {
     val json = s"""{"version":${m.version},"w":${m.w},"maxDf":${m.maxDf},""" +
       s""""nBuckets":${m.nBuckets},"nDocs":${m.nDocs},"nEdges":${m.nEdges},""" +
@@ -342,6 +368,18 @@ object LinkGraphStore {
   private def readSurface(spark: SparkSession, path: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).parquet(path)
+
+  /** The raw df surface (h, df, bucket) — for the streaming twin's
+    * effective-state merge.
+    */
+  private[graft] def readDfsSurface(spark: SparkSession, dir: String): DataFrame =
+    readSurface(spark, s"$dir/dfs", dfsSchema)
+
+  /** The raw postings surface (h, id, bucket) — same consumer. */
+  private[graft] def readPostingsSurface(spark: SparkSession, dir: String): DataFrame =
+    readSurface(spark, s"$dir/postings", postingsSchema)
+
+  private[graft] def spanBucketCol(nBuckets: Int) = spanBucket(nBuckets)
 
   /** Full bucketed overwrite (build path). */
   private def writeBucketed(rows: DataFrame, path: String): Unit =
