@@ -134,7 +134,17 @@ object Bench {
     "q_rate_trend",
     "q_ingest_health",
     "q_degree_distribution",
-    "q_reach_distribution"
+    "q_reach_distribution",
+    // round 12: the persisted-artifact serving shapes (graph lanes from
+    // the stored edge table instead of a per-query rebuild; BM25 and
+    // compressed-ANN probes from their on-disk indexes) and the
+    // append ≡ rebuild maintenance lane
+    "q_pagerank_artifact",
+    "q_components_artifact",
+    "q_linkgraph_append",
+    "q_bm25_persisted",
+    "q_bm25_index_append",
+    "q_ann_ivfpq_persisted"
   )
 
   def main(args: Array[String]): Unit = {

@@ -1333,6 +1333,23 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // the PERSISTED compressed serving artifact: cell-partitioned codes
+    // + vectors, centroid and codebook sidecars — q_ann_ivfpq's exact
+    // pipeline served from disk (shared oracle proves bit-equality); the
+    // probe reads ~nprobe/nlist of the store and scans m-byte codes
+    "q_ann_ivfpq_persisted" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idxDir = ivfIndexDirs.computeIfAbsent(dir + "#ivfpq", _ => {
+        val d = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+        Similarity.saveIvfPqIndex(emb, d, "embedding", "vec_id", nlist = 16, m = 8, k = 16)
+        d
+      })
+      Similarity.ivfPqTopKPersisted(s, idxDir, emb.where(col("vec_id") < 5),
+          "embedding", "vec_id", k = 5, nprobe = 8, oversample = 8)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // incremental exact dedup: new batch (doc_id % 3 != 0) against an
     // existing corpus (doc_id % 3 == 0) — corpus contributes only its
     // fingerprint set, batch internally deduped
@@ -2065,7 +2082,10 @@ object LlmQueries {
       // the persisted BM25 artifact must score bit-identically to the
       // from-scratch builds those oracles replay
       ("q_bm25_persisted" -> m("q_bm25")) +
-      ("q_bm25_index_append" -> m("q_bm25_incremental"))
+      ("q_bm25_index_append" -> m("q_bm25_incremental")) +
+      // the persisted compressed ANN artifact serves q_ann_ivfpq's exact
+      // pipeline from disk
+      ("q_ann_ivfpq_persisted" -> m("q_ann_ivfpq"))
 
   /** Exact all-occurrences oracle for the blocklist lanes: every start
     * position × every term, substring-compared — O(chars · terms), the

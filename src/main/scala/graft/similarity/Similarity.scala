@@ -1,7 +1,7 @@
 package graft.similarity
 
 import graft.functions.{VectorFunctions => V}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -444,6 +444,92 @@ object Similarity {
     val centroids = loadIvfCentroids(spark, dir).select(col("cell"), col("centroid"))
     val probed = probeCellsWith(centroids, queries, vecCol, idCol, nprobe)
     scoreProbed(index, probed, queries, vecCol, idCol, k)
+  }
+
+  /** Persist the COMPRESSED serving artifact: the IVF-indexed corpus
+    * with its PQ codes riding each row (cell-partitioned data — a probe
+    * reads ~nprobe/nlist of it AND scans m-byte codes instead of
+    * 4·d-byte floats), the `_centroids` sidecar, and the PQ codebooks as
+    * a `_codebooks` sidecar (m·k rows of dsub doubles — tens of KB).
+    * q_ann_ivfpq previously re-trained and re-encoded per invocation;
+    * this is the build-once shape. Write order: data, `_centroids`,
+    * `_codebooks` LAST (a missing codebook sidecar fails fast on load —
+    * under-certified, never wrong).
+    */
+  def saveIvfPqIndex(corpus: DataFrame, dir: String, vecCol: String, idCol: String,
+      nlist: Int, m: Int, k: Int): Unit = {
+    val indexed = ivfBuild(corpus, vecCol, idCol, nlist).localCheckpoint(true)
+    try {
+      val model = pqTrain(corpus, vecCol, idCol, m, k)
+      pqEncode(indexed, vecCol, model)
+        .write.mode("overwrite").partitionBy("cell").parquet(dir)
+      writeIvfSidecarFor(indexed, dir, vecCol, idCol, nlist)
+      val spark = corpus.sparkSession
+      val rows = for (j <- 0 until model.m; c <- 0 until model.k)
+        yield Row(j, c, model.centroids(j)(c).toSeq)
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("j", org.apache.spark.sql.types.IntegerType, false),
+            org.apache.spark.sql.types.StructField("c", org.apache.spark.sql.types.IntegerType, false),
+            org.apache.spark.sql.types.StructField("centroid",
+              org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType), false))))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/_codebooks")
+    } finally indexed.unpersist()
+  }
+
+  /** The `_codebooks` sidecar of a [[saveIvfPqIndex]] artifact, as the
+    * in-memory [[PqModel]] the ADC kernels take.
+    */
+  def loadPqModel(spark: org.apache.spark.sql.SparkSession, dir: String): PqModel = {
+    val rows = spark.read.parquet(s"$dir/_codebooks").collect()
+    require(rows.nonEmpty, s"no _codebooks sidecar under $dir - build with saveIvfPqIndex")
+    val m = rows.map(_.getInt(0)).max + 1
+    val k = rows.map(_.getInt(1)).max + 1
+    val cents = Array.ofDim[Array[Double]](m, k)
+    rows.foreach(r => cents(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+    require(cents.forall(_.forall(_ != null)), s"codebook sidecar under $dir has gaps")
+    PqModel(cents.map(_.toArray))
+  }
+
+  /** IVF×PQ probe over the PERSISTED compressed artifact — codes and
+    * vectors read from the cell-partitioned store (partition-pruned to
+    * the probed cells), codebooks and centroids from the sidecars.
+    * Verdicts identical to [[ivfPqTopK]] over the same build (the shared
+    * q_ann_ivfpq oracle proves it).
+    */
+  def ivfPqTopKPersisted(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, vecCol: String, idCol: String, k: Int, nprobe: Int,
+      oversample: Int = 4): DataFrame = {
+    val model = loadPqModel(spark, dir)
+    val index = loadIvfIndex(spark, dir)
+    val centroids = loadIvfCentroids(spark, dir).select(col("cell"), col("centroid"))
+    val probed = probeCellsWith(centroids, queries, vecCol, idCol, nprobe)
+    val codes = index.select(col(idCol).as("neighbor_id"), col("cell"), col("pq_codes"))
+    val qtabs = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("qtab",
+        e2col(graft.expressions.PqAdcTable(col2e(col("qvec")), model.centroids)))
+      .select(col("query_id"), col("qtab"))
+    val wAdc = Window.partitionBy(col("query_id")).orderBy(col("adc").asc, col("neighbor_id"))
+    val shortlist = codes
+      .join(broadcast(probed), Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .join(broadcast(qtabs), Seq("query_id"))
+      .withColumn("adc",
+        e2col(graft.expressions.PqAdc(col2e(col("pq_codes")), col2e(col("qtab")), model.k)))
+      .withColumn("srn", row_number().over(wAdc))
+      .where(col("srn") <= k * oversample)
+      .select(col("query_id"), col("neighbor_id"))
+    val vecs = index.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine_sim").desc, col("neighbor_id"))
+    shortlist
+      .join(vecs, "neighbor_id")
+      .join(broadcast(qv), "query_id")
+      .withColumn("cosine_sim", round(V.cosine(col("qvec"), col("cvec")), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine_sim"), col("rank"))
   }
 
   /** Sketch-prefiltered top-k with exact re-rank: a 64-bit

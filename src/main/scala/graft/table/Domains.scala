@@ -73,35 +73,87 @@ object Domains {
     case _                                         => false
   }
 
+  /** Numeric-element arrays get ELEMENT min/max (one `array_min`/
+    * `array_max` per row folded through the ordinary min/max agg —
+    * still the same single pass).
+    */
+  private def isNumericArray(dt: DataType): Boolean = dt match {
+    case ArrayType(_: NumericType, _) => true
+    case _                            => false
+  }
+
   private def isNominal(dt: DataType): Boolean = dt match {
     case StringType | BooleanType => true
     case _                        => false
   }
 
-  /** Aggregate expressions for one column's domain. */
-  def domainExprs(f: StructField, nominalCap: Int): Seq[Column] = {
-    val c = col(f.name)
-    val base = Seq(
-      count(when(c.isNull, 1)).as(s"${f.name}__nulls"),
-      approx_count_distinct(c).as(s"${f.name}__approx_distinct")
-    ) ++ (if (sketchable(f.dataType)) Seq(hll_sketch_agg(c).as(s"${f.name}__hll")) else Seq.empty) ++
-      (if (f.dataType.isInstanceOf[NumericType])
-         Seq(graft.functions.KllQuantileAgg.kllSketch(c).as(s"${f.name}__kll"))
+  /** `approx_count_distinct` hashes the value — defined for atomics,
+    * arrays and structs, but NOT for anything containing a map (maps
+    * are unhashable/unorderable in Spark).
+    */
+  private def hashable(dt: DataType): Boolean = dt match {
+    case _: MapType          => false
+    case ArrayType(e, _)     => hashable(e)
+    case StructType(fields)  => fields.forall(f => hashable(f.dataType))
+    case _                   => true
+  }
+
+  /** One domain target: a top-level column or a nested struct field
+    * reached by dotted path (the reference models nested domains through
+    * per-column metadata on each sub-column — reference
+    * org.knime.core.data.columnar/.../domain/DefaultDomainWritableConfig.java:88-185
+    * dispatches per inner type the same way).
+    */
+  private final case class Leaf(path: String, c: Column, dataType: DataType, key: String)
+
+  /** Flatten the schema into domain targets: every top-level column, plus
+    * a recursive entry per struct field (dotted path). Arrays/maps are
+    * leaves themselves (element min/max for numeric arrays rides the
+    * leaf's bounds lanes). Keys are ordinal — dotted paths are not legal
+    * aggregation aliases.
+    */
+  private def leaves(schema: StructType): Seq[Leaf] = {
+    def expand(path: String, c: Column, dt: DataType): Seq[(String, Column, DataType)] =
+      (path, c, dt) +: (dt match {
+        case st: StructType =>
+          st.fields.toSeq.flatMap(f => expand(s"$path.${f.name}", c.getField(f.name), f.dataType))
+        case _ => Seq.empty
+      })
+    schema.fields.toSeq.flatMap(f => expand(f.name, col(f.name), f.dataType))
+      .zipWithIndex.map { case ((p, c, dt), i) => Leaf(p, c, dt, s"c$i") }
+  }
+
+  /** Aggregate expressions for one domain target. */
+  private def leafExprs(l: Leaf, nominalCap: Int): Seq[Column] = {
+    val c = l.c
+    val base = Seq(count(when(c.isNull, 1)).as(s"${l.key}__nulls")) ++
+      (if (hashable(l.dataType)) Seq(approx_count_distinct(c).as(s"${l.key}__approx_distinct"))
+       else Seq.empty) ++
+      (if (sketchable(l.dataType)) Seq(hll_sketch_agg(c).as(s"${l.key}__hll")) else Seq.empty) ++
+      (if (l.dataType.isInstanceOf[NumericType])
+         Seq(graft.functions.KllQuantileAgg.kllSketch(c).as(s"${l.key}__kll"))
        else Seq.empty)
     val bounds =
-      if (isBounded(f.dataType))
-        Seq(min(c).as(s"${f.name}__min"), max(c).as(s"${f.name}__max"))
+      if (isBounded(l.dataType))
+        Seq(min(c).as(s"${l.key}__min"), max(c).as(s"${l.key}__max"))
+      else if (isNumericArray(l.dataType))
+        // element bounds: array_min/array_max skip null elements; empty
+        // arrays yield null, which the outer min/max agg ignores
+        Seq(min(array_min(c)).as(s"${l.key}__min"), max(array_max(c)).as(s"${l.key}__max"))
       else Seq.empty
     val nominal =
-      if (isNominal(f.dataType))
+      if (isNominal(l.dataType))
         // keep cap+1 values so overflow is detectable, then drop (null) the
         // domain — reference drop-when-exceeded semantics.
-        Seq(slice(sort_array(collect_set(c)), 1, nominalCap + 1).as(s"${f.name}__nominal"))
+        Seq(slice(sort_array(collect_set(c)), 1, nominalCap + 1).as(s"${l.key}__nominal"))
       else Seq.empty
     base ++ bounds ++ nominal
   }
 
-  /** Compute all column domains in a single aggregation job. */
+  /** Compute all column domains in a single aggregation job. Nested
+    * structs contribute one [[ColumnDomain]] per field (dotted path,
+    * recursive); numeric-element arrays carry element min/max.
+    */
   def compute(df: DataFrame, nominalCap: Int = DefaultNominalCap): Seq[ColumnDomain] =
     computeWithRowCount(df, nominalCap)._1
 
@@ -109,7 +161,8 @@ object Domains {
     * aggregation — writers need both and must not pay a second scan.
     */
   def computeWithRowCount(df: DataFrame, nominalCap: Int = DefaultNominalCap): (Seq[ColumnDomain], Long) = {
-    val exprs = df.schema.fields.flatMap(domainExprs(_, nominalCap)) :+
+    val ls = leaves(df.schema)
+    val exprs = ls.flatMap(leafExprs(_, nominalCap)) :+
       count(lit(1)).as("__graft_rowcount")
     val row: Row = df.agg(exprs.head, exprs.tail: _*).head()
     val rowCount = row.getLong(row.fieldIndex("__graft_rowcount"))
@@ -117,26 +170,29 @@ object Domains {
       val i = row.fieldIndex(n)
       if (row.isNullAt(i)) None else Some(row.get(i))
     }
-    df.schema.fields.toSeq.map { f =>
+    ls.map { l =>
       val nominal: Option[Seq[Any]] =
-        if (isNominal(f.dataType))
-          get(s"${f.name}__nominal")
+        if (isNominal(l.dataType))
+          get(s"${l.key}__nominal")
             .map(_.asInstanceOf[scala.collection.Seq[Any]].toSeq)
             .filter(_.length <= nominalCap)
         else None
       ColumnDomain(
-        column = f.name,
-        dataType = f.dataType,
-        min = if (isBounded(f.dataType)) get(s"${f.name}__min") else None,
-        max = if (isBounded(f.dataType)) get(s"${f.name}__max") else None,
+        column = l.path,
+        dataType = l.dataType,
+        min = if (isBounded(l.dataType) || isNumericArray(l.dataType)) get(s"${l.key}__min") else None,
+        max = if (isBounded(l.dataType) || isNumericArray(l.dataType)) get(s"${l.key}__max") else None,
         nominal = nominal,
-        nullCount = get(s"${f.name}__nulls").map(_.asInstanceOf[Long]).getOrElse(0L),
-        approxDistinct = get(s"${f.name}__approx_distinct").map(_.asInstanceOf[Long]).getOrElse(0L),
+        nullCount = get(s"${l.key}__nulls").map(_.asInstanceOf[Long]).getOrElse(0L),
+        approxDistinct =
+          if (hashable(l.dataType))
+            get(s"${l.key}__approx_distinct").map(_.asInstanceOf[Long]).getOrElse(0L)
+          else 0L,
         distinctSketch =
-          if (sketchable(f.dataType)) get(s"${f.name}__hll").map(_.asInstanceOf[Array[Byte]])
+          if (sketchable(l.dataType)) get(s"${l.key}__hll").map(_.asInstanceOf[Array[Byte]])
           else None,
         quantileSketch =
-          if (f.dataType.isInstanceOf[NumericType]) get(s"${f.name}__kll").map(_.asInstanceOf[Array[Byte]])
+          if (l.dataType.isInstanceOf[NumericType]) get(s"${l.key}__kll").map(_.asInstanceOf[Array[Byte]])
           else None
       )
     } -> rowCount

@@ -476,6 +476,63 @@ object ScaleProbe {
         val tPr = (System.nanoTime() - t1) / 1e9
         println(s"""{"mode":"pagerank","edges":$nEdges,"mass":$mass,""" +
           f""""edges_s":$tEdges%.1f,"pagerank_s":$tPr%.1f}""")
+      case "linkgraph_store" =>
+        // the persisted-artifact lifecycle at the tier (round 12): pay
+        // the edge build ONCE (this is the ~180 s that dominated every
+        // sf10 graph lane), then label from the artifact, then fold an
+        // ingest batch in at batch-proportional cost. w=6 = the
+        // corpus-scale span width the graph lanes use at the tiers.
+        val dir = java.nio.file.Files.createTempDirectory("probe_lgs").toString
+        // optional 3rd arg: base fraction (default 0.99 — append the last 1%)
+        val frac = args.lift(2).map(_.toDouble).getOrElse(0.99)
+        val cut = docs.agg(expr(s"percentile(doc_id, $frac)")).head().getDouble(0).toLong
+        val baseDocs = docs.where(col("doc_id") <= cut)
+        val batchDocs = docs.where(col("doc_id") > cut)
+        timed("artifact build (99%) w=6") {
+          graft.text.LinkGraphStore.build(baseDocs, "doc_id", "text",
+            w = 6, maxDf = 32, dir, nBuckets = 256)
+        }
+        val t1 = System.nanoTime()
+        val pr = LinkGraph.pageRank(baseDocs.select(col("doc_id")), "doc_id",
+          graft.text.LinkGraphStore.loadEdges(spark, dir), iters = 3)
+        val mass = pr.agg(sum(col("rank_fp"))).head().getLong(0)
+        val tPr = (System.nanoTime() - t1) / 1e9
+        System.err.println(f"[probe] pagerank from artifact        $tPr%.1f s")
+        val tA = System.nanoTime()
+        timed("append last 1% batch") {
+          graft.text.LinkGraphStore.append(batchDocs, "doc_id", "text", dir)
+        }
+        val tAppend = (System.nanoTime() - tA) / 1e9
+        val m = graft.text.LinkGraphStore.loadManifest(spark, dir)
+        println(s"""{"mode":"linkgraph_store","edges":${m.nEdges},"mass":$mass,""" +
+          f""""pagerank_from_artifact_s":$tPr%.1f,"append_s":$tAppend%.1f}""")
+      case "linkgraph_stream" =>
+        // the delta-log twin's per-batch cost at the tier: initialize on
+        // the base fraction, fold the rest as one micro-batch delta
+        // (reads touched buckets, WRITES only the delta — the
+        // batch-proportional path where in-place append pays the
+        // touched-bucket rewrite floor), then label from the merged view.
+        val dir = java.nio.file.Files.createTempDirectory("probe_slg").toString
+        val frac = args.lift(2).map(_.toDouble).getOrElse(0.99)
+        val cut = docs.agg(expr(s"percentile(doc_id, $frac)")).head().getDouble(0).toLong
+        timed(s"stream base build ($frac) w=6") {
+          graft.streaming.StreamingLinkGraph.initialize(
+            docs.where(col("doc_id") <= cut), "doc_id", "text",
+            w = 6, maxDf = 32, dir, nBuckets = 256)
+        }
+        val tB = System.nanoTime()
+        graft.streaming.StreamingLinkGraph.applyBatch(
+          docs.where(col("doc_id") > cut), 0L, "doc_id", "text", dir)
+        val tBatch = (System.nanoTime() - tB) / 1e9
+        System.err.println(f"[probe] stream delta fold             $tBatch%.1f s")
+        val tR = System.nanoTime()
+        val edges = graft.streaming.StreamingLinkGraph.readEdges(spark, dir)
+        val pr = LinkGraph.pageRank(docs.select(col("doc_id")), "doc_id", edges, iters = 3)
+        val mass = pr.agg(sum(col("rank_fp"))).head().getLong(0)
+        val tPr = (System.nanoTime() - tR) / 1e9
+        System.err.println(f"[probe] pagerank from merged view    $tPr%.1f s")
+        println(s"""{"mode":"linkgraph_stream","mass":$mass,""" +
+          f""""delta_fold_s":$tBatch%.1f,"pagerank_merged_s":$tPr%.1f}""")
       case "html" =>
         // fused HtmlScan chain vs the equivalent java.util.regex
         // regexp_replace chain on the q_html_extract markup synthesis:

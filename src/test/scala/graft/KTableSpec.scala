@@ -143,6 +143,43 @@ class KTableSpec extends SparkSpec {
     assert(s.nominal.contains(Seq("a", "b")) && s.nullCount == 1)
   }
 
+  test("nested domains: struct fields recurse, numeric arrays get element bounds") {
+    val df = Seq(
+      (1L, "en", 10, Seq(3.0, 1.0, 7.0), Some(Seq("t1", "t2"))),
+      (2L, "de", 40, Seq(-2.0, 5.0), None),
+      (3L, "en", 25, Seq.empty[Double], Some(Seq("t1")))
+    ).toDF("id", "lang", "len", "scores", "tags")
+      .select($"id", struct($"lang", $"len").as("meta"), $"scores", $"tags")
+    val ds = Domains.compute(df, nominalCap = 10)
+    // struct fields appear as dotted-path domains with full atomic stats
+    val lang = ds.find(_.column == "meta.lang").get
+    assert(lang.nominal.contains(Seq("de", "en")) && lang.nullCount == 0)
+    val len = ds.find(_.column == "meta.len").get
+    assert(len.min.contains(10) && len.max.contains(40))
+    assert(len.quantileSketch.isDefined && len.quantile(0.5).contains(25.0))
+    // the struct column itself reports nulls/distinct
+    val meta = ds.find(_.column == "meta").get
+    assert(meta.nullCount == 0 && meta.approxDistinct == 3)
+    // numeric arrays: element min/max across rows; empty arrays ignored
+    val scores = ds.find(_.column == "scores").get
+    assert(scores.min.contains(-2.0) && scores.max.contains(7.0))
+    // non-numeric arrays: null count + distinct only, no bounds
+    val tags = ds.find(_.column == "tags").get
+    assert(tags.nullCount == 1 && tags.min.isEmpty && tags.approxDistinct == 2)
+    // atomic top-level behavior identical to the flat path
+    val id = ds.find(_.column == "id").get
+    assert(id.min.contains(1L) && id.max.contains(3L) && id.distinctSketch.isDefined)
+    // merge handles the nested snapshot (same paths, same semantics)
+    val half1 = df.where($"id" <= 1)
+    val half2 = df.where($"id" > 1)
+    val merged = Domains.merge(Domains.compute(half1, 10), Domains.compute(half2, 10), 10)
+    val full = Domains.compute(df, 10)
+    merged.zip(full).foreach { case (m, f) =>
+      assert(m.column == f.column && m.min == f.min && m.max == f.max &&
+        m.nullCount == f.nullCount, s"${m.column} merge != recompute")
+    }
+  }
+
   test("nominal domain dropped when cap exceeded") {
     val df = (0 until 100).map(i => s"v$i").toDF("s")
     val d = Domains.compute(df, nominalCap = 10).head
