@@ -328,7 +328,33 @@ object PlanCheck {
     Check(
       "q_degree_distribution",
       mustContain = Seq("partial_count"),
-      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // round 12 — persisted-artifact serving paths
+    // graph lanes from the stored edge table: scans + the operator's own
+    // joins, nothing quadratic; the edge BUILD is absent by construction
+    Check(
+      "q_pagerank_artifact",
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    Check(
+      "q_components_artifact",
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // BM25 served from the bucketed store: the postings scan must carry
+    // the query-vocabulary bucket partition filter (the inverted-index
+    // access pattern as partition pruning)
+    Check(
+      "q_bm25_persisted",
+      mustContain = Seq("PartitionFilters: [bucket", "BroadcastHashJoin", "WindowGroupLimit")),
+    Check(
+      "q_bm25_index_append",
+      mustContain = Seq("PartitionFilters: [bucket", "BroadcastHashJoin", "WindowGroupLimit")),
+    // the compressed ANN artifact probe: broadcasted probe/table joins.
+    // A BroadcastNestedLoopJoin IS expected — the query × centroid cross
+    // is the probe's bounded (|q| × nlist, broadcast) stage, same as the
+    // in-memory ivfTopK; only an unbroadcast cartesian would be wrong
+    Check(
+      "q_ann_ivfpq_persisted",
+      mustContain = Seq("BroadcastHashJoin"),
+      mustNotContain = Seq("CartesianProduct"))
   )
 
   /** Plan checks for operator INTERNALS the gate plans hide behind
