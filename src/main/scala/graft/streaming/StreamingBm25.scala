@@ -64,4 +64,17 @@ object StreamingBm25 {
   def topK(spark: SparkSession, indexDir: String, queries: DataFrame, textCol: String,
       idCol: String, k: Int = 5): DataFrame =
     Bm25.scoreTopK(readIndex(spark, indexDir), queries, textCol, idCol, k)
+
+  /** Fold all committed segments into a [[graft.text.Bm25Store]]
+    * artifact — the segment-compaction pass the class doc promises,
+    * landing directly in the bucketed SERVING shape: reads prune to the
+    * query vocabulary's buckets ([[graft.text.Bm25Store.scoreTopKPersisted]])
+    * and future ingest folds in through [[graft.text.Bm25Store.append]]
+    * without this stream. Scores from the compacted artifact are
+    * bit-identical to [[topK]] (merge-at-read ≡ merge-at-write — both
+    * are [[Bm25.mergeIndex]]'s df sum and stats add; spec-asserted).
+    */
+  def compactTo(spark: SparkSession, indexDir: String, outDir: String,
+      nBuckets: Int = 64): Unit =
+    graft.text.Bm25Store.save(readIndex(spark, indexDir), outDir, nBuckets)
 }

@@ -381,9 +381,16 @@ object LinkGraphStore {
 
   private[graft] def spanBucketCol(nBuckets: Int) = spanBucket(nBuckets)
 
-  /** Full bucketed overwrite (build path). */
+  /** Full bucketed overwrite (build path). The repartition-by-bucket
+    * shuffle buys one file per bucket instead of (tasks × buckets) — the
+    * surfaces are REWRITTEN per append, so without it file counts
+    * multiply into exactly the fragmented layout
+    * [[graft.sources.Layout]] exists to diagnose; the shuffle is cheap
+    * relative to the write it shapes.
+    */
   private def writeBucketed(rows: DataFrame, path: String): Unit =
-    rows.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    rows.repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
 
   /** Rewrite exactly the `touched` buckets (append path): dynamic
     * partition overwrite for buckets present in `rows`, plus explicit
@@ -396,7 +403,9 @@ object LinkGraphStore {
     val spark = rows.sparkSession
     val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try rows.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    // one file per rewritten bucket (see writeBucketed)
+    try rows.repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
     finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
     // rows is pinned by every caller, so this re-read is checkpoint-local
     val present = rows.select(col("bucket")).distinct().collect()

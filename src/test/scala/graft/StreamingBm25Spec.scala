@@ -50,6 +50,18 @@ class StreamingBm25Spec extends SparkSpec {
     // state is the index artifact only — no document text stored
     val postCols = spark.read.parquet(s"$dir/index/postings/batch=0").columns.toSet
     assert(postCols == Set("doc_id", "term", "tf", "len"), s"state carries $postCols")
+
+    // compaction: segments fold into the bucketed serving artifact —
+    // persisted-path scores identical, and future ingest appends through
+    // Bm25Store without the stream
+    val storeDir = java.nio.file.Files.createTempDirectory("sbm25c").toString
+    StreamingBm25.compactTo(spark, s"$dir/index", storeDir, nBuckets = 4)
+    val served = graft.text.Bm25Store.scoreTopKPersisted(spark, storeDir, queries,
+        "text", "doc_id", k = 3)
+      .orderBy($"query_id", $"rank").collect().map(_.toSeq).toSeq
+    assert(served == rebuilt, s"compacted artifact diverges: $served")
+    val m = graft.text.Bm25Store.loadManifest(spark, storeDir)
+    assert(m.nDocs == docs.length.toLong)
   }
 
   test("readIndex fails clearly before any batch commits") {
