@@ -228,7 +228,15 @@ object Bench {
     val floors: Map[String, Double] = try {
       val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(baselinePath))
       val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
-      val q = if (node != null && node.isObject) node.get("queries") else null
+      // floors are tier-specific: comparing an sf10 run against sf0.1
+      // floors would flag every lane and fork a pointless re-measure, so
+      // the guard only engages when the baseline's sf matches this run's
+      val sfOk = node != null && node.isObject && {
+        val s = node.get("sf")
+        s != null && s.isTextual &&
+          new java.io.File(s.asText()).getName == new java.io.File(sfDir).getName
+      }
+      val q = if (sfOk) node.get("queries") else null
       if (q == null || !q.isObject) Map.empty
       else {
         import scala.jdk.CollectionConverters._

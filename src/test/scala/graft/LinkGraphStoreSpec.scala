@@ -102,6 +102,35 @@ class LinkGraphStoreSpec extends SparkSpec {
     assert(LinkGraphStore.loadManifest(spark, dir).nEdges == expected.size.toLong)
   }
 
+  test("randomized multi-batch append == rebuild (property, fixed seeds)") {
+    // the delta math's adversarial surface is df-band traffic: tiny word
+    // pool + low maxDf so every batch moves many spans across both band
+    // edges. 3 seeds x 3 sequential appends, edges compared exactly.
+    for (seed <- Seq(7L, 42L, 1234L)) {
+      val rnd = new scala.util.Random(seed)
+      val pool = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+      def doc(): String =
+        (0 until (2 + rnd.nextInt(6))).map(_ => pool(rnd.nextInt(pool.size))).mkString(" ")
+      val all = (1L to 40L).map(i => (i, doc()))
+      val dir = tmp(s"lgs_prop$seed")
+      LinkGraphStore.build(all.take(10).toDF("doc_id", "text"), "doc_id", "text",
+        w = 2, maxDf = 3, dir, nBuckets = 4)
+      Seq(all.slice(10, 20), all.slice(20, 30), all.slice(30, 40)).foreach { b =>
+        LinkGraphStore.append(b.toDF("doc_id", "text"), "doc_id", "text", dir)
+      }
+      val got = canonSet(LinkGraphStore.loadEdgesCanonical(spark, dir))
+      val rb = tmp(s"lgs_prop_rb$seed")
+      LinkGraphStore.build(all.toDF("doc_id", "text"), "doc_id", "text",
+        w = 2, maxDf = 3, rb, nBuckets = 4)
+      val want = canonSet(LinkGraphStore.loadEdgesCanonical(spark, rb))
+      assert(got == want, s"seed $seed: ${got.size} vs ${want.size}")
+      // and the band actually moved both ways somewhere in the run
+      val dfs = spark.read.parquet(s"$dir/dfs").select($"df")
+        .collect().map(_.getLong(0))
+      assert(dfs.exists(_ > 3), s"seed $seed never blew a span past maxDf")
+    }
+  }
+
   test("id discipline: overlapping, duplicate, and empty batches") {
     val base = Seq((1L, "x y"), (2L, "x y")).toDF("doc_id", "text")
     val dir = tmp("lgs_guard")
