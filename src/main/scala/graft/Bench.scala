@@ -144,7 +144,9 @@ object Bench {
     "q_linkgraph_append",
     "q_bm25_persisted",
     "q_bm25_index_append",
-    "q_ann_ivfpq_persisted"
+    "q_ann_ivfpq_persisted",
+    "q_pagerank_weighted_artifact",
+    "q_linkgraph_stream"
   )
 
   def main(args: Array[String]): Unit = {

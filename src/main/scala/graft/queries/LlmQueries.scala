@@ -1879,6 +1879,40 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // the artifact's WEIGHTED surface: stored support counts ARE
+    // sharedSpanEdgesWeighted's weights, so weighted PageRank runs off
+    // the same store — oracle is the from-scratch weighted replay at the
+    // artifact's own w=5 parameters
+    "q_pagerank_weighted_artifact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val gDir = linkGraphDir(s, dir)
+      LinkGraph.pageRankWeighted(docs.select(col("doc_id")), "doc_id",
+          graft.text.LinkGraphStore.loadEdgesWeighted(s, gDir), iters = 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // the delta-log STREAMING twin oracle-gated end to end: base built on
+    // the low-id half, the rest folded as one committed delta entry, then
+    // components over the base+delta merged view — oracle is the
+    // full-corpus closure (q_components's), so the gate proves the
+    // streamed fold ≡ batch rebuild at the driver's own data
+    "q_linkgraph_stream" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val gDir = ivfIndexDirs.computeIfAbsent(dir + "#slg", _ => {
+        val d = java.nio.file.Files.createTempDirectory("graft_slg").toString
+        val half = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+        graft.streaming.StreamingLinkGraph.initialize(
+          docs.where(col("doc_id") <= half), "doc_id", "text",
+          w = 5, maxDf = 32, d, nBuckets = 16)
+        graft.streaming.StreamingLinkGraph.applyBatch(
+          docs.where(col("doc_id") > half), 0L, "doc_id", "text", d)
+        d
+      })
+      LinkGraph.connectedComponents(docs.select(col("doc_id")), "doc_id",
+          graft.streaming.StreamingLinkGraph.readEdges(s, gDir))
+        .orderBy(col("doc_id"))
+    }),
+
     // append ≡ rebuild for the link-graph artifact, DELETIONS included:
     // build on the low-id half, append the rest (span df-band
     // transitions become exact ±support deltas — spans crossing maxDf
@@ -2085,7 +2119,9 @@ object LlmQueries {
       ("q_bm25_index_append" -> m("q_bm25_incremental")) +
       // the persisted compressed ANN artifact serves q_ann_ivfpq's exact
       // pipeline from disk
-      ("q_ann_ivfpq_persisted" -> m("q_ann_ivfpq"))
+      ("q_ann_ivfpq_persisted" -> m("q_ann_ivfpq")) +
+      // the streamed delta-log graph serves the same closure
+      ("q_linkgraph_stream" -> m("q_components"))
 
   /** Exact all-occurrences oracle for the blocklist lanes: every start
     * position × every term, substring-compared — O(chars · terms), the
@@ -2382,6 +2418,9 @@ object LlmQueries {
          |GROUP BY 1 ORDER BY degree""".stripMargin,
     "q_pagerank_weighted" -> pageRankSql(w = 6, iters = 3, scale = 1000000000000L,
       dNum = 85, dDen = 100, weighted = true),
+    // the persisted artifact's weighted surface at its own w=5 parameters
+    "q_pagerank_weighted_artifact" -> pageRankSql(w = 5, iters = 3,
+      scale = 1000000000000L, dNum = 85, dDen = 100, weighted = true),
     // full-corpus banded pair support computed from scratch (w=3,
     // maxDf=4 — the parameters where the corpus crosses the df band in
     // both directions across the gate's half split) — matching it proves

@@ -338,6 +338,12 @@ object PlanCheck {
     Check(
       "q_components_artifact",
       mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    Check(
+      "q_pagerank_weighted_artifact",
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    Check(
+      "q_linkgraph_stream",
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
     // BM25 served from the bucketed store: the postings scan must carry
     // the query-vocabulary bucket partition filter (the inverted-index
     // access pattern as partition pruning)
