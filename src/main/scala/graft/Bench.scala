@@ -146,7 +146,8 @@ object Bench {
     "q_bm25_index_append",
     "q_ann_ivfpq_persisted",
     "q_pagerank_weighted_artifact",
-    "q_linkgraph_stream"
+    "q_linkgraph_stream",
+    "q_span_novelty_artifact"
   )
 
   def main(args: Array[String]): Unit = {

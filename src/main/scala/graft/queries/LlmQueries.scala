@@ -1891,6 +1891,20 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // span novelty SERVED from the artifact's df surface: a 100-doc
+    // "batch" scored against the corpus document frequencies without a
+    // corpus rescan (bucket-pruned dfs join — batch-proportional). The
+    // oracle recomputes the novelty bands from the FULL corpus and
+    // restricts to the batch ids, so matching proves served-from-store ≡
+    // recompute for ingested docs
+    "q_span_novelty_artifact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val gDir = linkGraphDir(s, dir)
+      graft.text.LinkGraphStore.spanNoveltyAgainst(
+          docs.where(col("doc_id") < 100), "doc_id", "text", gDir)
+        .orderBy(col("doc_id"))
+    }),
+
     // the delta-log STREAMING twin oracle-gated end to end: base built on
     // the low-id half, the rest folded as one committed delta entry, then
     // components over the base+delta merged view — oracle is the
@@ -2466,6 +2480,28 @@ object LlmQueries {
          |  CASE WHEN coalesce(n_spans, 0) = 0 THEN 0.0
          |    ELSE CAST(n_unique AS DOUBLE) / CAST(n_spans AS DOUBLE) END AS novelty
          |FROM documents d LEFT JOIN ct USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // same bands, corpus-wide df, output restricted to the served batch
+    "q_span_novelty_artifact" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, list_filter($toksSql, x -> x <> '') AS toks FROM documents),
+         |sp0 AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id,
+         |    unnest([array_to_string(toks[i:i+4], ' ') FOR i IN range(1, greatest(len(toks) - 3, 1))]) AS span
+         |  FROM tk),
+         |df AS MATERIALIZED (SELECT span, count(*) AS df FROM sp0 GROUP BY span),
+         |ct AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |    CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+         |    CAST(sum(CASE WHEN df BETWEEN 2 AND 32 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+         |    CAST(sum(CASE WHEN df > 32 THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate
+         |  FROM sp0 JOIN df USING (span) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(n_spans, 0) AS n_spans, coalesce(n_unique, 0) AS n_unique,
+         |  coalesce(n_shared, 0) AS n_shared, coalesce(n_boilerplate, 0) AS n_boilerplate,
+         |  CASE WHEN coalesce(n_spans, 0) = 0 THEN 0.0
+         |    ELSE CAST(n_unique AS DOUBLE) / CAST(n_spans AS DOUBLE) END AS novelty
+         |FROM documents d LEFT JOIN ct USING (doc_id)
+         |WHERE d.doc_id < 100 ORDER BY d.doc_id""".stripMargin,
     // alternation-regex twin of the AC redaction (terms are regex-inert:
     // alphanumerics + spaces; alternation order = term-list order)
     "q_blocklist_redact" ->

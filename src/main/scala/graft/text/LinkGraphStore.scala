@@ -299,6 +299,50 @@ object LinkGraphStore {
         col("support").as("weight")))
   }
 
+  /** [[LinkGraph.spanNovelty]] served from the artifact's df surface:
+    * score a set of documents' span-novelty profile against the CORPUS
+    * document frequencies WITHOUT rescanning the corpus — the batch's
+    * spans join the bucket-pruned `dfs` surface, so cost is
+    * batch-proportional. For documents already ingested into the store
+    * the output is bit-identical to a full [[LinkGraph.spanNovelty]]
+    * over the whole corpus restricted to those ids (the
+    * q_span_novelty_artifact oracle proves it); for un-ingested
+    * documents, corpus-absent spans read as unique (df 1) and
+    * corpus-present spans at their corpus df — the score a curation
+    * pass wants BEFORE deciding to ingest.
+    */
+  def spanNoveltyAgainst(docs: DataFrame, idCol: String, textCol: String,
+      dir: String): DataFrame = {
+    val spark = docs.sparkSession
+    val m = loadManifest(spark, dir)
+    val spans = docs.select(col(idCol).as("__id"),
+        explode(T.shingleHashes(col(textCol), m.w)).as("h"))
+      .localCheckpoint(true) // consumed by the bucket probe and the join
+    try {
+      val tb = spans.select(spanBucket(m.nBuckets).as("b")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      val dfs = readSurface(spark, s"$dir/dfs", dfsSchema)
+        .where(col("bucket").isInCollection(tb)).select(col("h"), col("df"))
+      val counts = spans.join(dfs, Seq("h"), "left")
+        .select(col("__id"), coalesce(col("df"), lit(1L)).as("__df"))
+        .groupBy(col("__id").as(idCol))
+        .agg(
+          count(lit(1)).as("n_spans"),
+          sum(when(col("__df") === 1, 1L).otherwise(0L)).as("n_unique"),
+          sum(when(col("__df") >= 2 && col("__df") <= m.maxDf, 1L).otherwise(0L)).as("n_shared"),
+          sum(when(col("__df") > m.maxDf, 1L).otherwise(0L)).as("n_boilerplate"))
+      docs.select(col(idCol)).join(counts, Seq(idCol), "left")
+        .select(col(idCol),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          coalesce(col("n_boilerplate"), lit(0L)).as("n_boilerplate"),
+          when(coalesce(col("n_spans"), lit(0L)) === 0, lit(0.0))
+            .otherwise(col("n_unique").cast("double") / col("n_spans").cast("double"))
+            .as("novelty"))
+    } finally spans.unpersist()
+  }
+
   def loadManifest(spark: SparkSession, dir: String): Manifest = {
     val path = new org.apache.hadoop.fs.Path(dir, "_manifest.json")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
