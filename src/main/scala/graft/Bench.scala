@@ -147,7 +147,8 @@ object Bench {
     "q_ann_ivfpq_persisted",
     "q_pagerank_weighted_artifact",
     "q_linkgraph_stream",
-    "q_span_novelty_artifact"
+    "q_span_novelty_artifact",
+    "q_minhash_store"
   )
 
   def main(args: Array[String]): Unit = {

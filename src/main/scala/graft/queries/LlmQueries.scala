@@ -1372,6 +1372,26 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // the PERSISTED near-dup index: corpus signatures + LSH band postings
+    // stored bucketed, the batch deduped against the store with the
+    // posting scan pruned to the batch's band buckets and the signature
+    // scan to the candidates' — q_minhash_incremental's exact semantics
+    // served from disk (shared oracle proves bit-equality)
+    "q_minhash_store" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val batch = docs.where(pmod(col("doc_id"), lit(3)) =!= 0)
+      val storeDir = ivfIndexDirs.computeIfAbsent(dir + "#mhs", _ => {
+        val d = java.nio.file.Files.createTempDirectory("graft_mhs").toString
+        graft.dedup.MinHashStore.build(docs.where(pmod(col("doc_id"), lit(3)) === 0),
+          "text", "doc_id", d, nBuckets = 16)
+        d
+      })
+      graft.dedup.MinHashStore.dedupBatch(s, storeDir, batch, "text", "doc_id",
+          threshold = 0.5)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Gopher/C4-style repetition signals (top-word fraction, top-bigram
     // char fraction, duplicated-trigram fraction) — fused per-row
     // expression, zero shuffle; DuckDB oracle recomputes over token lists
@@ -2135,7 +2155,9 @@ object LlmQueries {
       // pipeline from disk
       ("q_ann_ivfpq_persisted" -> m("q_ann_ivfpq")) +
       // the streamed delta-log graph serves the same closure
-      ("q_linkgraph_stream" -> m("q_components"))
+      ("q_linkgraph_stream" -> m("q_components")) +
+      // the persisted near-dup index serves the incremental semantics
+      ("q_minhash_store" -> m("q_minhash_incremental"))
 
   /** Exact all-occurrences oracle for the blocklist lanes: every start
     * position × every term, substring-compared — O(chars · terms), the

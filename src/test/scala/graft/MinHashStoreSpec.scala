@@ -1,0 +1,82 @@
+package graft
+
+import graft.dedup.{Dedup, MinHashStore}
+import org.apache.spark.sql.functions._
+
+/** The persisted near-dup index: store-served dedup ≡ in-memory
+  * incremental, append ≡ rebuild on both surfaces, id-discipline guards,
+  * and a planted near-duplicate actually dying against the store.
+  */
+class MinHashStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(p: String): String = java.nio.file.Files.createTempDirectory(p).toString
+
+  test("dedupBatch == minHashIncremental on real docs") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val corpus = docs.where(pmod($"doc_id", lit(3)) === 0)
+    val batch = docs.where(pmod($"doc_id", lit(3)) =!= 0)
+    val dir = tmp("mhs")
+    MinHashStore.build(corpus, "text", "doc_id", dir, nBuckets = 8)
+    val served = MinHashStore.dedupBatch(spark, dir, batch, "text", "doc_id", threshold = 0.5)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val expected = Dedup.minHashIncremental(corpus, batch, "text", "doc_id", threshold = 0.5)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(served == expected, s"served ${served.size} vs expected ${expected.size}")
+    val m = MinHashStore.loadManifest(spark, dir)
+    assert(m.nDocs == corpus.count() && m.numHashes == 64 && m.bands == 16)
+  }
+
+  test("append == rebuild: surfaces and verdicts identical") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val half = docs.agg(max($"doc_id")).head().getLong(0) / 2
+    val dir = tmp("mhs_app")
+    MinHashStore.build(docs.where($"doc_id" <= half && pmod($"doc_id", lit(3)) === 0),
+      "text", "doc_id", dir, nBuckets = 8)
+    MinHashStore.append(docs.where($"doc_id" > half && pmod($"doc_id", lit(3)) === 0),
+      "text", "doc_id", dir)
+    val rb = tmp("mhs_rb")
+    MinHashStore.build(docs.where(pmod($"doc_id", lit(3)) === 0), "text", "doc_id",
+      rb, nBuckets = 8)
+    def sigSet(d: String) = spark.read.parquet(s"$d/sigs")
+      .select($"id", xxhash64($"sig"), xxhash64($"shset"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def postSet(d: String) = spark.read.parquet(s"$d/postings")
+      .select($"band", $"bucket", $"id")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(sigSet(dir) == sigSet(rb))
+    assert(postSet(dir) == postSet(rb))
+    val batch = docs.where(pmod($"doc_id", lit(3)) =!= 0)
+    val a = MinHashStore.dedupBatch(spark, dir, batch, "text", "doc_id", 0.5)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val b = MinHashStore.dedupBatch(spark, rb, batch, "text", "doc_id", 0.5)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    assert(MinHashStore.loadManifest(spark, dir).nDocs ==
+      MinHashStore.loadManifest(spark, rb).nDocs)
+  }
+
+  test("planted duplicate dies against the store; guards fire") {
+    val text = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpus = Seq((1L, text), (2L, "completely different words entirely unrelated content here"))
+      .toDF("doc_id", "text")
+    val dir = tmp("mhs_g")
+    MinHashStore.build(corpus, "text", "doc_id", dir, nBuckets = 4)
+    val batch = Seq((10L, text), (11L, "another novel document nothing shared with anything"))
+      .toDF("doc_id", "text")
+    val survivors = MinHashStore.dedupBatch(spark, dir, batch, "text", "doc_id", 0.7)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(11L), s"got $survivors")
+    // append survivors, then the SAME text in a later batch dies too
+    MinHashStore.append(batch.where($"doc_id" === 11L), "text", "doc_id", dir)
+    val again = MinHashStore.dedupBatch(spark, dir,
+        Seq((20L, "another novel document nothing shared with anything")).toDF("doc_id", "text"),
+        "text", "doc_id", 0.7)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(again.isEmpty)
+    val low = intercept[IllegalArgumentException] {
+      MinHashStore.append(Seq((5L, "x")).toDF("doc_id", "text"), "text", "doc_id", dir)
+    }
+    assert(low.getMessage.contains("must sort above"))
+  }
+}
