@@ -533,6 +533,31 @@ object ScaleProbe {
         System.err.println(f"[probe] pagerank from merged view    $tPr%.1f s")
         println(s"""{"mode":"linkgraph_stream","mass":$mass,""" +
           f""""delta_fold_s":$tBatch%.1f,"pagerank_merged_s":$tPr%.1f}""")
+      case "minhash_store" =>
+        // the persisted near-dup index at the tier: build once over the
+        // base 99%, then dedup the 1% batch against the STORE (bucket-
+        // pruned postings + candidate sigs) vs the in-memory incremental
+        // path that re-signs the whole corpus per batch.
+        val dir = java.nio.file.Files.createTempDirectory("probe_mhs").toString
+        val frac = args.lift(2).map(_.toDouble).getOrElse(0.99)
+        val cut = docs.agg(expr(s"percentile(doc_id, $frac)")).head().getDouble(0).toLong
+        val baseDocs = docs.where(col("doc_id") <= cut)
+        val batchDocs = docs.where(col("doc_id") > cut)
+        timed(s"minhash store build ($frac)") {
+          graft.dedup.MinHashStore.build(baseDocs, "text", "doc_id", dir, nBuckets = 256)
+        }
+        val t1 = System.nanoTime()
+        val served = graft.dedup.MinHashStore.dedupBatch(spark, dir, batchDocs,
+          "text", "doc_id", threshold = 0.5).count()
+        val tServed = (System.nanoTime() - t1) / 1e9
+        System.err.println(f"[probe] dedupBatch from store          $tServed%.1f s")
+        val t2 = System.nanoTime()
+        val mem = graft.dedup.Dedup.minHashIncremental(baseDocs, batchDocs,
+          "text", "doc_id", threshold = 0.5).count()
+        val tMem = (System.nanoTime() - t2) / 1e9
+        System.err.println(f"[probe] in-memory incremental          $tMem%.1f s")
+        println(s"""{"mode":"minhash_store","served":$served,"mem":$mem,""" +
+          f""""store_s":$tServed%.1f,"mem_s":$tMem%.1f}""")
       case "html" =>
         // fused HtmlScan chain vs the equivalent java.util.regex
         // regexp_replace chain on the q_html_extract markup synthesis:
