@@ -142,4 +142,105 @@ object TableWriter {
               java.util.Base64.getDecoder.decode(b64))
         }.toMap
     }
+
+  /** Structured read-back of the domain sidecar: (rowCount, domains) —
+    * the reverse of [[persistDomains]], value types reconstructed from
+    * each column's recorded DDL type so the result plugs straight into
+    * [[Domains.merge]]. None when the sidecar is absent OR any column
+    * fails to reconstruct (unknown type / unconvertible value) — callers
+    * treat None as "recompute", never as "merge blind".
+    */
+  def readDomains(spark: SparkSession, path: String): Option[(Long, Seq[Domains.ColumnDomain])] =
+    readDomainsJson(spark, path).flatMap { json =>
+      try {
+        val root = domainsMapper.readTree(json)
+        if (root == null || !root.isObject || !root.has("row_count")) return None
+        val rowCount = root.get("row_count").longValue()
+        import scala.jdk.CollectionConverters._
+        import org.apache.spark.sql.types._
+        def convert(dt: DataType, v: com.fasterxml.jackson.databind.JsonNode): Any = dt match {
+          case IntegerType => v.intValue()
+          case LongType => v.longValue()
+          case ShortType => v.shortValue()
+          case ByteType => v.numberValue().byteValue()
+          case DoubleType => v.doubleValue()
+          case FloatType => v.floatValue()
+          case _: DecimalType => new java.math.BigDecimal(v.asText())
+          case BooleanType => v.booleanValue()
+          case StringType => v.asText()
+          case DateType => java.sql.Date.valueOf(v.asText())
+          case TimestampType => java.sql.Timestamp.valueOf(v.asText())
+          // numeric-array leaves carry ELEMENT-typed bounds
+          case ArrayType(e: NumericType, _) => convert(e, v)
+          case other => throw new IllegalArgumentException(s"unmergeable type $other")
+        }
+        val cols = root.get("columns").elements().asScala.map { c =>
+          val dt = DataType.fromDDL(c.get("type").asText())
+          def opt(f: String): Option[com.fasterxml.jackson.databind.JsonNode] =
+            Option(c.get(f)).filterNot(_.isNull)
+          Domains.ColumnDomain(
+            column = c.get("column").asText(),
+            dataType = dt,
+            min = opt("min").map(convert(dt, _)),
+            max = opt("max").map(convert(dt, _)),
+            nominal = opt("nominal").map(_.elements().asScala.map(n =>
+              if (n.isBoolean) Boolean.box(n.booleanValue()) else (n.asText(): Any)).toSeq),
+            nullCount = c.get("null_count").longValue(),
+            approxDistinct = c.get("approx_distinct").longValue(),
+            distinctSketch = opt("distinct_sketch")
+              .map(n => java.util.Base64.getDecoder.decode(n.asText())),
+            quantileSketch = opt("quantile_sketch")
+              .map(n => java.util.Base64.getDecoder.decode(n.asText())))
+        }.toSeq
+        Some((rowCount, cols))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+  private lazy val domainsMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Append a batch to an existing table and MERGE its statistics into
+    * the sidecar without rescanning the old data — the reference's
+    * incremental domain maintenance (domains updated batch by batch
+    * during write, reference
+    * org.knime.core.data.columnar/.../domain/DomainWritable.java:90-137)
+    * as an on-disk lifecycle: one batch-sized aggregation +
+    * [[Domains.merge]] (exact min/max/nulls/nominal; HLL/KLL sketch
+    * unions for distinct/quantiles — recompute-grade, see KTableSpec).
+    * Falls back to a full recompute when the existing sidecar is absent
+    * or schema-incompatible (always correct, costs the rescan the merge
+    * path exists to avoid). First write to an empty path = [[write]].
+    */
+  def appendWrite(
+      df: DataFrame,
+      path: String,
+      checkRowIdUnique: Boolean = false,
+      nominalCap: Int = Domains.DefaultNominalCap
+  ): WriteResult = {
+    val spark = df.sparkSession
+    val prior = readDomains(spark, path)
+    if (prior.isEmpty &&
+        !new org.apache.hadoop.fs.Path(path).getFileSystem(
+          spark.sparkContext.hadoopConfiguration).exists(new org.apache.hadoop.fs.Path(path)))
+      return write(df, path, checkRowIdUnique, nominalCap)
+    if (checkRowIdUnique) {
+      require(df.columns.contains(RowId.RowIdCol),
+        s"checkRowIdUnique: no ${RowId.RowIdCol} column to check")
+      RowId.assertUniqueRowIds(df) // batch-internal; cross-batch uniqueness
+      // is the id-monotone ingest contract, as in the artifact family
+    }
+    df.write.mode("append").parquet(path)
+    val (batchDomains, batchCount) = Domains.computeWithRowCount(df, nominalCap)
+    val merged = prior match {
+      case Some((priorCount, priorDomains))
+          if priorDomains.map(d => (d.column, d.dataType)) ==
+             batchDomains.map(d => (d.column, d.dataType)) =>
+        (priorCount + batchCount, Domains.merge(priorDomains, batchDomains, nominalCap))
+      case _ =>
+        // sidecar missing/incompatible: recompute over the whole table —
+        // slower, never wrong
+        Domains.computeWithRowCount(spark.read.parquet(path), nominalCap).swap
+    }
+    persistDomains(spark, path, merged._1, merged._2)
+    WriteResult(path, merged._1, merged._2)
+  }
 }

@@ -31,6 +31,51 @@ class WritePathSpec extends SparkSpec {
     assert(back.orderBy($"k").collect().map(_.toSeq).toSeq == df.orderBy($"k").collect().map(_.toSeq).toSeq)
   }
 
+  test("appendWrite: sidecar merges batch statistics without rescanning old data") {
+    val a = Seq((1, "a", 1.5), (2, "b", -0.5)).toDF("k", "s", "v")
+    val b = Seq((7, "c", 99.0), (0, "a", 3.25)).toDF("k", "s", "v")
+    val out = tmp("appendw")
+    TableWriter.write(a, out)
+    val res = TableWriter.appendWrite(b, out)
+    assert(res.rowCount == 4)
+    // merged sidecar equals a recompute over the whole table (exact
+    // lanes; distinct via sketch union)
+    val recomputed = graft.table.Domains.compute(spark.read.parquet(out), 60)
+    res.domains.zip(recomputed).foreach { case (m, r) =>
+      assert(m.column == r.column && m.min == r.min && m.max == r.max &&
+        m.nullCount == r.nullCount &&
+        m.nominal.map(_.toSet) == r.nominal.map(_.toSet),
+        s"${m.column}: merged $m vs recomputed $r")
+      // sketch-backed columns merge to recompute-grade estimates;
+      // non-sketchable types (double here) carry the documented
+      // max(a, b) lower bound
+      if (m.distinctSketch.isDefined)
+        assert(m.approxDistinct == r.approxDistinct, s"${m.column} distinct")
+      else assert(m.approxDistinct <= r.approxDistinct, s"${m.column} bound")
+    }
+    // the written sidecar round-trips structurally
+    val (rc, back) = TableWriter.readDomains(spark, out).get
+    assert(rc == 4 && back.map(_.column) == res.domains.map(_.column))
+    assert(back.find(_.column == "k").get.min.contains(0))
+    assert(back.find(_.column == "v").get.max.contains(99.0))
+    // quantile sketches survive the merge + roundtrip
+    assert(back.find(_.column == "v").get.quantile(0.5).isDefined)
+    // data itself appended
+    assert(spark.read.parquet(out).count() == 4)
+    // first write to an empty path goes through the plain write path
+    val fresh = tmp("appendw2")
+    assert(TableWriter.appendWrite(a, fresh).rowCount == 2)
+  }
+
+  test("appendWrite falls back to recompute when the sidecar is missing") {
+    val df = Seq((1, "a"), (2, "b")).toDF("k", "s")
+    val out = tmp("appendw3")
+    df.write.parquet(out) // raw write: no sidecar
+    val res = TableWriter.appendWrite(Seq((3, "c")).toDF("k", "s"), out)
+    assert(res.rowCount == 3)
+    assert(res.domains.find(_.column == "k").get.max.contains(3))
+  }
+
   test("write rejects duplicate RowIDs when checked") {
     val df = Seq(("Row0", 1), ("Row0", 2)).toDF("row_id", "v")
     intercept[IllegalArgumentException] {
