@@ -353,6 +353,21 @@ object PlanCheck {
     Check(
       "q_bm25_index_append",
       mustContain = Seq("PartitionFilters: [bucket", "BroadcastHashJoin", "WindowGroupLimit")),
+    // batch novelty served from the store: the dfs scan must carry the
+    // touched-bucket partition filter
+    Check(
+      "q_span_novelty_artifact",
+      mustContain = Seq("PartitionFilters: [bucket"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // the persisted near-dup index probe: equi joins only. The pruned
+    // posting/sig scans sit behind the checkpoint pins inside
+    // dedupBatch, so the gate-level plan can't show their
+    // PartitionFilters — the pruning is bucket-isInCollection on a
+    // partition column (statically pruned by construction) and the
+    // store ≡ in-memory equality is MinHashStoreSpec's job
+    Check(
+      "q_minhash_store",
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
     // the compressed ANN artifact probe: broadcasted probe/table joins.
     // A BroadcastNestedLoopJoin IS expected — the query × centroid cross
     // is the probe's bounded (|q| × nlist, broadcast) stage, same as the
