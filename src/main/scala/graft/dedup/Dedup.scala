@@ -731,7 +731,7 @@ object Dedup {
           least(col("rep"), coalesce(col("minNeighbor"), col("rep"))).as("newRep"),
           (coalesce(col("minNeighbor"), col("rep")) < col("rep")).as("chg"))
         .localCheckpoint(true)
-      prevPinned.unpersist() // superseded — the new checkpoint is live
+      graft.Pins.release(prevPinned) // superseded — the new checkpoint is live
       prevPinned = updatedWithFlag
       // coalesce: max over an EMPTY label set (no near-duplicate pairs at
       // all — the common clean-corpus case) aggregates to null, not false

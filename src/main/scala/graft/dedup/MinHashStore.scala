@@ -59,7 +59,7 @@ object MinHashStore {
       writeManifest(sigs.sparkSession, dir, Manifest(1, nBuckets, shingleSize,
         numHashes, bands, nDocs = stats.getLong(0),
         maxId = if (stats.isNullAt(1)) Long.MinValue else stats.getLong(1)))
-    } finally sigs.unpersist()
+    } finally graft.Pins.release(sigs)
   }
 
   /** Fold a batch of NEW documents (typically [[dedupBatch]] survivors)
@@ -87,7 +87,7 @@ object MinHashStore {
       writeSurfaces(sigs, dir, m.bands, m.numHashes / m.bands, m.nBuckets, append = true)
       writeManifest(spark, dir, m.copy(
         nDocs = m.nDocs + stats.getLong(0), maxId = stats.getLong(2)))
-    } finally sigs.unpersist()
+    } finally graft.Pins.release(sigs)
   }
 
   /** Batch survivors against the store — bit-identical to
@@ -131,47 +131,28 @@ object MinHashStore {
               .select(col("id"), col("sig"), col("shset"))
           Dedup.minHashIncrementalSigs(candSigs, batchSigs, batch, idCol,
             m.numHashes, m.bands, threshold)
-        } finally pinned.unpersist()
-      } finally bandKeys.unpersist()
-    } finally batchSigs.unpersist()
+        } finally graft.Pins.release(pinned)
+      } finally graft.Pins.release(bandKeys)
+    } finally graft.Pins.release(batchSigs)
   }
 
   def loadManifest(spark: SparkSession, dir: String): Manifest = {
+    import graft.sources.{ArtifactJson => J}
     val path = new org.apache.hadoop.fs.Path(dir, "_manifest.json")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(path), s"MinHashStore: no _manifest.json under $dir - " +
       "build the store with MinHashStore.build")
-    val in = fs.open(path)
-    val text = try {
-      val buf = new java.io.ByteArrayOutputStream()
-      val chunk = new Array[Byte](4096)
-      var n = in.read(chunk)
-      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-      buf.toString("UTF-8")
-    } finally in.close()
-    val node = mapper.readTree(text) // real JSON parse
-    require(node != null && node.isObject, s"MinHashStore: malformed manifest under $dir")
-    def num(f: String): Long = {
-      val v = node.get(f)
-      require(v != null && v.isIntegralNumber,
-        s"MinHashStore: manifest field '$f' missing or non-integral under $dir")
-      v.longValue()
-    }
+    val node = J.readFile(spark, s"$dir/_manifest.json")
+    def num(f: String): Long = J.long(node, f, dir)
     Manifest(num("version").toInt, num("nBuckets").toInt, num("shingleSize").toInt,
       num("numHashes").toInt, num("bands").toInt, num("nDocs"), num("maxId"))
   }
 
-  private lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-
-  private def writeManifest(spark: SparkSession, dir: String, m: Manifest): Unit = {
-    val json = s"""{"version":${m.version},"nBuckets":${m.nBuckets},""" +
-      s""""shingleSize":${m.shingleSize},"numHashes":${m.numHashes},""" +
-      s""""bands":${m.bands},"nDocs":${m.nDocs},"maxId":${m.maxId}}"""
-    val path = new org.apache.hadoop.fs.Path(dir, "_manifest.json")
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(path, true)
-    try out.write((json + "\n").getBytes("UTF-8")) finally out.close()
-  }
+  private def writeManifest(spark: SparkSession, dir: String, m: Manifest): Unit =
+    graft.sources.ArtifactJson.writeFile(spark, s"$dir/_manifest.json",
+      s"""{"version":${m.version},"nBuckets":${m.nBuckets},""" +
+        s""""shingleSize":${m.shingleSize},"numHashes":${m.numHashes},""" +
+        s""""bands":${m.bands},"nDocs":${m.nDocs},"maxId":${m.maxId}}""")
 
   /** Write (or append) both surfaces from a pinned signature table. */
   private def writeSurfaces(sigs: DataFrame, dir: String, bands: Int, rows: Int,

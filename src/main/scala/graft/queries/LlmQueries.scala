@@ -563,7 +563,8 @@ object LlmQueries {
         graft.text.Bm25Store.build(docs.where(col("doc_id") <= half),
           "text", "doc_id", d, nBuckets = 16)
         graft.text.Bm25Store.append(
-          Bm25.buildIndex(docs.where(col("doc_id") > half), "text", "doc_id"), d)
+          Bm25.buildIndex(docs.where(col("doc_id") > half), "text", "doc_id"), d,
+          segmentId = 1L)
         d
       })
       graft.text.Bm25Store.scoreTopKPersisted(s, idxDir,

@@ -80,7 +80,7 @@ object StreamingClean {
       .withColumn("batch_id", lit(batchId))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$outDir/_audit/batch=$batchId")
-    tagged.unpersist()
+    graft.Pins.release(tagged)
   }
 
   /** All cleaned batches written so far. */

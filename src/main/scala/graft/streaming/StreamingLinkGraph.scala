@@ -79,11 +79,16 @@ object StreamingLinkGraph {
     val prior = committedBatches(spark, dir).filter(_ < batchId)
     // id discipline (the LinkGraphStore.append contract, across the log)
     val priorMax = (m.maxId +: prior.map(b => readMeta(spark, dir, b).maxId)).max
+    // distinct counted over the CAST id — the key ingestion actually
+    // uses; distinct raw values that collide after the cast would
+    // otherwise slip past the guard and double-count span dfs
     val bounds = batch.agg(count(lit(1)).as("n"),
       min(col(idCol).cast("long")).as("lo"), max(col(idCol).cast("long")).as("hi"),
-      count_distinct(col(idCol)).as("nd")).head()
-    require(bounds.getLong(0) > 0L, "StreamingLinkGraph: empty micro-batch " +
-      "(filter empty batches out upstream - a delta entry must advance maxId)")
+      count_distinct(col(idCol).cast("long")).as("nd")).head()
+    // empty micro-batch: a no-op, NOT an error — foreachBatch delivers
+    // empty batches routinely (upstream filters, recovery triggers), and
+    // replaying an emptiness is trivially deterministic (no delta entry)
+    if (bounds.getLong(0) == 0L) return
     require(bounds.getLong(0) == bounds.getLong(3),
       s"StreamingLinkGraph: batch ids are not unique (${bounds.getLong(0)} rows, " +
         s"${bounds.getLong(3)} distinct)")
@@ -151,13 +156,13 @@ object StreamingLinkGraph {
           batch.select(col(idCol).cast("long").as("id")).distinct()
             .write.mode("overwrite").parquet(s"$dDir/docids")
           val nRetr = delta.where(col("__d") < 0).count()
-          writeText(fs, s"$dDir/_meta.json",
+          graft.sources.ArtifactJson.writeFile(spark, s"$dDir/_meta.json",
             s"""{"batchId":$batchId,"nDocs":${bounds.getLong(0)},""" +
               s""""maxId":${bounds.getLong(2)},"nRetractions":$nRetr}""")
-          writeText(fs, s"$dDir/_done", "") // marker LAST: commits the batch
-        } finally delta.unpersist()
-      } finally touched.unpersist()
-    } finally batchSpans.unpersist()
+          graft.sources.ArtifactJson.writeFile(spark, s"$dDir/_done", "") // marker LAST
+        } finally graft.Pins.release(delta)
+      } finally graft.Pins.release(touched)
+    } finally graft.Pins.release(batchSpans)
   }
 
   /** Canonical (id_a, id_b, support) edges = base merged with every
@@ -175,12 +180,16 @@ object StreamingLinkGraph {
       .where(col("support") > 0)
   }
 
-  /** Symmetric (src, dst) edges for the graph operators. */
-  def readEdges(spark: SparkSession, dir: String): DataFrame = {
-    val c = readEdgesCanonical(spark, dir)
-    c.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionAll(c.select(col("id_b").as("src"), col("id_a").as("dst")))
-  }
+  /** Symmetric (src, dst) edges for the graph operators —
+    * explode-symmetrized so the base+delta merge aggregation executes
+    * ONCE, not once per direction.
+    */
+  def readEdges(spark: SparkSession, dir: String): DataFrame =
+    readEdgesCanonical(spark, dir)
+      .select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
 
   /** One committed batch's NEW positive edges, symmetric, plus one
     * self-loop per batch document (so isolated docs register as nodes —
@@ -239,13 +248,15 @@ object StreamingLinkGraph {
             .select(col("h"), coalesce(col("__ddf"), col("df")).as("df"))
         case None => baseDfs
       }
-      edges.withColumn("bucket",
-          pmod(xxhash64(col("id_a"), col("id_b")), lit(nB.toLong)).cast("int"))
-        .write.mode("overwrite").partitionBy("bucket").parquet(s"$outDir/edges")
-      posts.withColumn("bucket", LinkGraphStore.spanBucketCol(nB))
-        .write.mode("overwrite").partitionBy("bucket").parquet(s"$outDir/postings")
-      dfs.withColumn("bucket", LinkGraphStore.spanBucketCol(nB))
-        .write.mode("overwrite").partitionBy("bucket").parquet(s"$outDir/dfs")
+      // through the store's own writer: repartition-by-bucket = one file
+      // per bucket, not tasks x buckets
+      LinkGraphStore.writeBucketed(edges.withColumn("bucket",
+        pmod(xxhash64(col("id_a"), col("id_b")), lit(nB.toLong)).cast("int")),
+        s"$outDir/edges")
+      LinkGraphStore.writeBucketed(
+        posts.withColumn("bucket", LinkGraphStore.spanBucketCol(nB)), s"$outDir/postings")
+      LinkGraphStore.writeBucketed(
+        dfs.withColumn("bucket", LinkGraphStore.spanBucketCol(nB)), s"$outDir/dfs")
       val metas = committed.map(b => readMeta(spark, dir, b))
       val manifest = LinkGraphStore.Manifest(m.version, m.w, m.maxDf, nB,
         nDocs = m.nDocs + metas.map(_.nDocs).sum,
@@ -254,30 +265,17 @@ object StreamingLinkGraph {
         lastBatchId = (-1L +: committed).max)
       // manifest last, via the store's own writer (same JSON shape)
       LinkGraphStore.writeManifestFor(spark, outDir, manifest)
-    } finally edges.unpersist()
+    } finally graft.Pins.release(edges)
   }
 
   final case class DeltaMeta(batchId: Long, nDocs: Long, maxId: Long, nRetractions: Long)
 
   def readMeta(spark: SparkSession, dir: String, batchId: Long): DeltaMeta = {
-    val path = new org.apache.hadoop.fs.Path(s"$dir/deltas/batch=$batchId", "_meta.json")
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(path)
-    val text = try {
-      val buf = new java.io.ByteArrayOutputStream()
-      val chunk = new Array[Byte](4096)
-      var n = in.read(chunk)
-      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-      buf.toString("UTF-8")
-    } finally in.close()
-    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
-    def num(f: String): Long = {
-      val v = if (node != null && node.isObject) node.get(f) else null
-      require(v != null && v.isIntegralNumber,
-        s"StreamingLinkGraph: delta meta field '$f' missing under $dir/deltas/batch=$batchId")
-      v.longValue()
-    }
-    DeltaMeta(num("batchId"), num("nDocs"), num("maxId"), num("nRetractions"))
+    import graft.sources.{ArtifactJson => J}
+    val where = s"$dir/deltas/batch=$batchId"
+    val node = J.readFile(spark, s"$where/_meta.json")
+    DeltaMeta(J.long(node, "batchId", where), J.long(node, "nDocs", where),
+      J.long(node, "maxId", where), J.long(node, "nRetractions", where))
   }
 
   /** Committed delta batch ids (marker present), ascending. */
@@ -290,12 +288,6 @@ object StreamingLinkGraph {
         fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_done")))
       .map(_.getPath.getName.stripPrefix("batch=").toLong)
       .sorted
-  }
-
-  private def writeText(fs: org.apache.hadoop.fs.FileSystem, path: String,
-      text: String): Unit = {
-    val out = fs.create(new org.apache.hadoop.fs.Path(path), true)
-    try out.write(text.getBytes("UTF-8")) finally out.close()
   }
 
   import org.apache.spark.sql.types._

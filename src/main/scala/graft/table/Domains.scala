@@ -211,8 +211,12 @@ object Domains {
     * falls back to max(a, b), a lower bound.
     */
   def merge(a: Seq[ColumnDomain], b: Seq[ColumnDomain], nominalCap: Int = DefaultNominalCap): Seq[ColumnDomain] = {
+    // simpleString, not DataType equality: snapshots read back from a
+    // sidecar round-trip through DDL (nullable/containsNull forced true)
+    // and must still merge with live snapshots of the same schema
     require(
-      a.map(d => (d.column, d.dataType)) == b.map(d => (d.column, d.dataType)),
+      a.map(d => (d.column, d.dataType.simpleString)) ==
+        b.map(d => (d.column, d.dataType.simpleString)),
       "domain snapshots cover different schemas")
     def cmp(x: Any, y: Any): Int = x.asInstanceOf[Comparable[Any]].compareTo(y)
     def bound(x: Option[Any], y: Option[Any], keepLess: Boolean): Option[Any] = (x, y) match {

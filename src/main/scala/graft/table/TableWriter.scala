@@ -231,9 +231,13 @@ object TableWriter {
     df.write.mode("append").parquet(path)
     val (batchDomains, batchCount) = Domains.computeWithRowCount(df, nominalCap)
     val merged = prior match {
+      // simpleString comparison: the sidecar round-trips types through
+      // DDL, which forces nullable/containsNull to true — comparing live
+      // DataTypes directly would silently demote every table with a
+      // non-nullable array/struct column to the full-rescan fallback
       case Some((priorCount, priorDomains))
-          if priorDomains.map(d => (d.column, d.dataType)) ==
-             batchDomains.map(d => (d.column, d.dataType)) =>
+          if priorDomains.map(d => (d.column, d.dataType.simpleString)) ==
+             batchDomains.map(d => (d.column, d.dataType.simpleString)) =>
         (priorCount + batchCount, Domains.merge(priorDomains, batchDomains, nominalCap))
       case _ =>
         // sidecar missing/incompatible: recompute over the whole table —

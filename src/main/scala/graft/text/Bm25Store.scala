@@ -11,55 +11,53 @@ import org.apache.spark.sql.functions._
   * store's write-once/read-many contract with footer-certified metadata
   * (reference org.knime.core.columnar.arrow/…/ArrowBatchStore.java:57-62).
   *
-  * == Layout ==
+  * == Layout: committed SEGMENTS (round-12 review fix) ==
   * {{{
-  *   dir/postings/bucket=B/  (doc_id, term, tf, len)   term-hash bucketed
-  *   dir/dfs/bucket=B/       (term, df)                same bucketing
-  *   dir/_manifest.json      {version, nBuckets, nDocs, sumLen, maxDocId}
+  *   dir/segs/seg=K/postings/bucket=B/  (doc_id, term, tf, len)
+  *   dir/segs/seg=K/dfs/bucket=B/       (term, df)     segment-local
+  *   dir/segs/seg=K/_meta.json          {segId, nDocs, sumLen, maxDocId}
+  *   dir/segs/seg=K/_done               marker, written LAST
+  *   dir/_manifest.json                 {version, nBuckets}
   * }}}
-  * Postings are partitioned by a term-hash bucket, so (a) a segment
-  * append is a pure per-partition FILE APPEND — postings rows are
-  * per-(doc, term) facts that never change, the Lucene segment shape
-  * with the bucket union free of shuffles — and (b) a query's term set
-  * prunes the scan to its terms' buckets ([[scoreTopKPersisted]]): a
-  * 5-term query against a 10⁹-posting corpus reads ~5/nBuckets of the
-  * index, the inverted-index access pattern expressed as partition
-  * pruning. The df surface is vocabulary-sized; appends rewrite only its
-  * touched buckets (dynamic partition overwrite). Corpus scalars ride
-  * the manifest, written LAST (data-first / manifest-last, the Export
-  * discipline — a crash leaves data under-certified, never phantom).
-  *
-  * Df pruning stays SCORE-time ([[Bm25]] scaladoc: the `floor(n·f)` cap
-  * depends on the corpus size, which appending changes), so the stored
-  * df surface is unpruned and append ≡ rebuild holds exactly
+  * An earlier revision file-appended postings into shared buckets and
+  * merged the df surface in place — which made a crashed-then-retried
+  * append DOUBLE-APPLY the segment (the manifest's maxDocId had not
+  * advanced, so the retry passed the disjointness guard and duplicated
+  * every tf row, silently corrupting scores). Segments fix that the
+  * Lucene way, with the [[graft.streaming.StreamingLinkGraph]] marker
+  * discipline: every write inside `seg=K` is an OVERWRITE keyed by the
+  * caller's `segmentId`, the `_done` marker commits last, so a torn
+  * attempt is invisible to readers and a retry rewrites byte-identically;
+  * a COMMITTED segment's replay short-circuits on the marker. Readers
+  * union committed segments: postings concatenate (bucket stays a
+  * partition level, so query-vocabulary pruning still works —
+  * [[scoreTopKPersisted]]), the df surface is a vocabulary-sized sum,
+  * the scalars add from the metas — exactly [[Bm25.mergeIndex]]'s
+  * merge-at-read, so append ≡ rebuild holds bit-for-bit
   * (Bm25StoreSpec + the q_bm25_index_append oracle prove it).
   *
-  * Append contract: segments must index DISJOINT doc-id sets
-  * ([[Bm25.mergeIndex]]'s contract, made fail-fast): appended doc ids
-  * must sort above the manifest's `maxDocId`.
+  * Df pruning stays SCORE-time ([[Bm25]] scaladoc: the `floor(n·f)` cap
+  * depends on the corpus size, which appending changes), so stored dfs
+  * are unpruned.
+  *
+  * Append contracts, fail-fast: segment doc ids sort above every
+  * committed segment's `maxDocId` ([[Bm25.mergeIndex]]'s disjointness
+  * made checkable), and a segment whose docs ALL tokenize to zero terms
+  * is rejected — its doc ids are unknowable from an `Index`, so the id
+  * guard could not protect later appends (drop empty-text docs upstream
+  * or count them out of the segment).
   */
 object Bm25Store {
 
   final case class Manifest(version: Int, nBuckets: Int, nDocs: Long,
       sumLen: Long, maxDocId: Long)
 
-  /** Persist an in-memory [[Bm25.Index]]. */
+  /** Persist an in-memory [[Bm25.Index]] as segment 0. */
   def save(index: Bm25.Index, dir: String, nBuckets: Int = 64): Unit = {
     require(nBuckets >= 1, s"Bm25Store.save: nBuckets $nBuckets < 1")
     val spark = index.postings.sparkSession
-    // pin: consumed by the write AND the maxDocId probe
-    val posts = index.postings.localCheckpoint(true)
-    try {
-      posts.withColumn("bucket", termBucket(nBuckets))
-        .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
-      index.dfTab.withColumn("bucket", termBucket(nBuckets))
-        .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/dfs")
-      val mx = posts.agg(max(col("doc_id").cast("long"))).head() match {
-        case r if r.isNullAt(0) => Long.MinValue
-        case r => r.getLong(0)
-      }
-      writeManifest(spark, dir, Manifest(1, nBuckets, index.nDocs, index.sumLen, mx))
-    } finally posts.unpersist()
+    writeRootManifest(spark, dir, nBuckets)
+    writeSegment(index, dir, segmentId = 0L, nBuckets)
   }
 
   /** Build from a corpus and persist — [[Bm25.buildIndex]] + [[save]]. */
@@ -67,134 +65,141 @@ object Bm25Store {
       nBuckets: Int = 64): Unit =
     save(Bm25.buildIndex(corpus, textCol, idCol), dir, nBuckets)
 
+  /** Fold a new segment (disjoint doc ids, built with
+    * [[Bm25.buildIndex]] over the NEW documents only) into the artifact
+    * under the caller's `segmentId` — monotonically increasing per
+    * append (a stream passes its batch id). Exactly-once: a committed
+    * segmentId's replay is a no-op; a torn attempt rewrites its own
+    * directory. Cost proportional to the SEGMENT, never the corpus.
+    */
+  def append(segment: Bm25.Index, dir: String, segmentId: Long): Unit = {
+    val spark = segment.postings.sparkSession
+    val m = loadManifest(spark, dir)
+    val fs = fsFor(spark, dir)
+    require(segmentId > 0, s"Bm25Store.append: segmentId $segmentId must be > 0 " +
+      "(0 is the base segment)")
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/segs/seg=$segmentId/_done")))
+      return // committed: replay no-op
+    val bounds = segment.postings.agg(count(lit(1)).as("n"),
+      min(col("doc_id").cast("long")).as("lo"),
+      max(col("doc_id").cast("long")).as("hi")).head()
+    if (bounds.getLong(0) == 0L && segment.nDocs == 0L) return // empty segment
+    require(bounds.getLong(0) > 0L,
+      s"Bm25Store.append: segment claims ${segment.nDocs} docs but has ZERO postings " +
+        "- its doc ids are unknowable, so the disjointness guard cannot protect " +
+        "later appends; drop empty-text docs upstream")
+    require(bounds.getLong(1) > m.maxDocId,
+      s"Bm25Store.append: segment doc ids start at ${bounds.getLong(1)} but the " +
+        s"index already contains ids up to ${m.maxDocId} - segments must index " +
+        "disjoint doc-id sets (re-indexing an updated doc is delete + add)")
+    writeSegment(segment, dir, segmentId, m.nBuckets)
+  }
+
   /** Load the artifact back as an in-memory [[Bm25.Index]] — plugs into
     * [[Bm25.scoreTopK]] (and [[Bm25.mergeIndex]]) unchanged.
     */
   def load(spark: SparkSession, dir: String): Bm25.Index = {
     val m = loadManifest(spark, dir)
+    val segs = committedSegments(spark, dir)
     Bm25.Index(
-      readPostings(spark, dir).select(col("doc_id"), col("term"), col("tf"), col("len")),
-      spark.read.schema(dfsSchema).parquet(s"$dir/dfs").select(col("term"), col("df")),
+      readPostings(spark, dir, segs)
+        .select(col("doc_id"), col("term"), col("tf"), col("len")),
+      readDfs(spark, dir, segs),
       m.nDocs, m.sumLen)
-  }
-
-  /** Fold a new segment (disjoint doc ids, built with
-    * [[Bm25.buildIndex]] over the NEW documents only) into the artifact:
-    * postings are appended file-wise into their term buckets (no rewrite
-    * of existing data), the df surface is merged bucket-wise (only the
-    * segment's touched buckets rewritten), scalars add in the manifest —
-    * cost proportional to the SEGMENT, never the corpus.
-    */
-  def append(segment: Bm25.Index, dir: String): Unit = {
-    val spark = segment.postings.sparkSession
-    val m = loadManifest(spark, dir)
-    val seg = segment.postings.localCheckpoint(true)
-    try {
-      val bounds = seg.agg(count(lit(1)).as("n"),
-        min(col("doc_id").cast("long")).as("lo"),
-        max(col("doc_id").cast("long")).as("hi")).head()
-      if (bounds.getLong(0) == 0L && segment.nDocs == 0L) return
-      if (bounds.getLong(0) > 0L) require(bounds.getLong(1) > m.maxDocId,
-        s"Bm25Store.append: segment doc ids start at ${bounds.getLong(1)} but the " +
-          s"index already contains ids up to ${m.maxDocId} - segments must index " +
-          "disjoint doc-id sets (re-indexing an updated doc is delete + add)")
-      seg.withColumn("bucket", termBucket(m.nBuckets))
-        .write.mode("append").partitionBy("bucket").parquet(s"$dir/postings")
-      // df merge, touched buckets only
-      val segDf = segment.dfTab.localCheckpoint(true)
-      try {
-        val tb = segDf.select(termBucket(m.nBuckets).as("b")).distinct()
-          .collect().map(_.getInt(0)).sorted
-        if (tb.nonEmpty) {
-          val oldDfs = spark.read.schema(dfsSchema).parquet(s"$dir/dfs")
-            .where(col("bucket").isInCollection(tb))
-            .select(col("term"), col("df").as("__olddf"))
-          val merged = oldDfs.join(segDf.select(col("term"), col("df").as("__segdf")),
-              Seq("term"), "full_outer")
-            .select(col("term"),
-              (coalesce(col("__olddf"), lit(0L)) + coalesce(col("__segdf"), lit(0L)))
-                .as("df"))
-            .localCheckpoint(true) // pinned: the write replaces the files it reads
-          try {
-            val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-            try merged.withColumn("bucket", termBucket(m.nBuckets))
-              .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/dfs")
-            finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
-          } finally merged.unpersist()
-        }
-        writeManifest(spark, dir, m.copy(
-          nDocs = m.nDocs + segment.nDocs,
-          sumLen = m.sumLen + segment.sumLen,
-          maxDocId = math.max(m.maxDocId,
-            if (bounds.getLong(0) == 0L) Long.MinValue else bounds.getLong(2))))
-      } finally segDf.unpersist()
-    } finally seg.unpersist()
   }
 
   /** Score queries against the PERSISTED artifact with term-bucket
     * pruning: the query vocabulary's buckets are computed up front
-    * (driver-bounded — a query set's distinct term-bucket count is at
-    * most nBuckets) and the postings scan is pruned to them, so serving
-    * reads ~|query buckets|/nBuckets of the index — the inverted-index
-    * access pattern as partition pruning. Scores are identical to
-    * [[Bm25.scoreTopK]] over [[load]] (inner joins drop the unread
-    * buckets' rows anyway; Bm25StoreSpec asserts both equality and the
-    * pruned scan).
+    * (driver-bounded) and every committed segment's postings scan is
+    * pruned to them — serving reads ~|query buckets|/nBuckets of the
+    * index, the inverted-index access pattern as partition pruning.
+    * Scores are identical to [[Bm25.scoreTopK]] over [[load]] (inner
+    * joins drop the unread buckets' rows anyway; Bm25StoreSpec asserts
+    * both equality and the pruned scan).
     */
   def scoreTopKPersisted(spark: SparkSession, dir: String, queries: DataFrame,
       textCol: String, idCol: String, k: Int = 5, k1: Double = 1.2, b: Double = 0.75,
       maxDfFraction: Option[Double] = Some(0.5)): DataFrame = {
     import graft.functions.{TextFunctions => T}
     val m = loadManifest(spark, dir)
+    val segs = committedSegments(spark, dir)
     val qb = queries.select(explode(T.tokenize(col(textCol))).as("term"))
       .select(pmod(xxhash64(col("term")), lit(m.nBuckets.toLong)).cast("int").as("b"))
       .distinct().collect().map(_.getInt(0)).sorted
-    val posts = readPostings(spark, dir)
+    val posts = readPostings(spark, dir, segs)
       .where(col("bucket").isInCollection(qb))
       .select(col("doc_id"), col("term"), col("tf"), col("len"))
-    val dfsPruned = spark.read.schema(dfsSchema).parquet(s"$dir/dfs")
+    val dfsPruned = readDfsRaw(spark, dir, segs)
       .where(col("bucket").isInCollection(qb))
-      .select(col("term"), col("df"))
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
     Bm25.scoreTopK(Bm25.Index(posts, dfsPruned, m.nDocs, m.sumLen),
       queries, textCol, idCol, k, k1, b, maxDfFraction)
   }
 
+  /** Root manifest + folded committed-segment metas — same shape callers
+    * always consumed (nDocs/sumLen/maxDocId are the committed totals).
+    */
   def loadManifest(spark: SparkSession, dir: String): Manifest = {
+    import graft.sources.{ArtifactJson => J}
     val path = new org.apache.hadoop.fs.Path(dir, "_manifest.json")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(path), s"Bm25Store: no _manifest.json under $dir - " +
       "build the artifact with Bm25Store.build/save")
-    val in = fs.open(path)
-    val text = try {
-      val buf = new java.io.ByteArrayOutputStream()
-      val chunk = new Array[Byte](8192)
-      var n = in.read(chunk)
-      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-      buf.toString("UTF-8")
-    } finally in.close()
-    val node = mapper.readTree(text) // a real JSON parse, not a regex
-    require(node != null && node.isObject, s"Bm25Store: malformed manifest under $dir")
-    def num(f: String): Long = {
-      val v = node.get(f)
-      require(v != null && v.isIntegralNumber,
-        s"Bm25Store: manifest field '$f' missing or non-integral under $dir")
-      v.longValue()
+    val node = J.readFile(spark, s"$dir/_manifest.json")
+    val metas = committedSegments(spark, dir).map { s =>
+      val n = J.readFile(spark, s"$dir/segs/seg=$s/_meta.json")
+      (J.long(n, "nDocs", dir), J.long(n, "sumLen", dir), J.long(n, "maxDocId", dir))
     }
-    Manifest(num("version").toInt, num("nBuckets").toInt, num("nDocs"),
-      num("sumLen"), num("maxDocId"))
+    Manifest(J.long(node, "version", dir).toInt, J.long(node, "nBuckets", dir).toInt,
+      nDocs = metas.map(_._1).sum,
+      sumLen = metas.map(_._2).sum,
+      maxDocId = (Long.MinValue +: metas.map(_._3)).max)
   }
 
-  private lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-
-  private def writeManifest(spark: SparkSession, dir: String, m: Manifest): Unit = {
-    val json = s"""{"version":${m.version},"nBuckets":${m.nBuckets},""" +
-      s""""nDocs":${m.nDocs},"sumLen":${m.sumLen},"maxDocId":${m.maxDocId}}"""
-    val path = new org.apache.hadoop.fs.Path(dir, "_manifest.json")
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(path, true)
-    try out.write((json + "\n").getBytes("UTF-8")) finally out.close()
+  /** Committed segment ids (marker present), ascending. */
+  def committedSegments(spark: SparkSession, dir: String): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(s"$dir/segs")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("seg=") &&
+        fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_done")))
+      .map(_.getPath.getName.stripPrefix("seg=").toLong)
+      .sorted
   }
+
+  // ---- internals ----
+
+  private def writeSegment(index: Bm25.Index, dir: String, segmentId: Long,
+      nBuckets: Int): Unit = {
+    val spark = index.postings.sparkSession
+    val seg = index.postings.localCheckpoint(true)
+    try {
+      val sDir = s"$dir/segs/seg=$segmentId"
+      seg.withColumn("bucket", termBucket(nBuckets))
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$sDir/postings")
+      index.dfTab.withColumn("bucket", termBucket(nBuckets))
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$sDir/dfs")
+      val mx = seg.agg(max(col("doc_id").cast("long"))).head() match {
+        case r if r.isNullAt(0) => Long.MinValue
+        case r => r.getLong(0)
+      }
+      graft.sources.ArtifactJson.writeFile(spark, s"$sDir/_meta.json",
+        s"""{"segId":$segmentId,"nDocs":${index.nDocs},"sumLen":${index.sumLen},""" +
+          s""""maxDocId":$mx}""")
+      graft.sources.ArtifactJson.writeFile(spark, s"$sDir/_done", "") // commit LAST
+    } finally graft.Pins.release(seg)
+  }
+
+  private def writeRootManifest(spark: SparkSession, dir: String, nBuckets: Int): Unit =
+    graft.sources.ArtifactJson.writeFile(spark, s"$dir/_manifest.json",
+      s"""{"version":2,"nBuckets":$nBuckets}""")
+
+  private def fsFor(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def termBucket(nBuckets: Int) =
     pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int")
@@ -208,6 +213,21 @@ object Bm25Store {
     StructField("term", StringType), StructField("df", LongType),
     StructField("bucket", IntegerType)))
 
-  private def readPostings(spark: SparkSession, dir: String): DataFrame =
-    spark.read.schema(postingsSchema).parquet(s"$dir/postings")
+  // per-segment reads unioned, NOT one multi-path read: Spark's partition
+  // discovery treats seg=K/postings roots as conflicting structures
+  private def readPostings(spark: SparkSession, dir: String, segs: Seq[Long]): DataFrame = {
+    require(segs.nonEmpty, s"Bm25Store: no committed segments under $dir")
+    segs.map(s => spark.read.schema(postingsSchema).parquet(s"$dir/segs/seg=$s/postings"))
+      .reduce(_ unionAll _)
+  }
+
+  private def readDfsRaw(spark: SparkSession, dir: String, segs: Seq[Long]): DataFrame = {
+    require(segs.nonEmpty, s"Bm25Store: no committed segments under $dir")
+    segs.map(s => spark.read.schema(dfsSchema).parquet(s"$dir/segs/seg=$s/dfs"))
+      .reduce(_ unionAll _)
+  }
+
+  private def readDfs(spark: SparkSession, dir: String, segs: Seq[Long]): DataFrame =
+    readDfsRaw(spark, dir, segs)
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
 }

@@ -141,11 +141,16 @@ object HyperBall {
     var d = 0
     while (d < maxHops) {
       // ball(v) ⊇ ball(u) for every edge v → u: v pulls u's registers
+      val prev = regs
       val nb = e.join(regs, col("dst") === col("id"))
         .select(col("src").as("id"), col("reg"))
       regs = regs.unionAll(nb)
         .groupBy(col("id")).agg(regMax(col("reg")).as("reg"))
         .localCheckpoint(true)
+      // per-hop mode keeps every round's snapshot live (the final join
+      // reads them all); otherwise the superseded round releases
+      // (Dataset.unpersist is a no-op for checkpoints — graft.Pins)
+      if (!perHop) graft.Pins.release(prev)
       d += 1
       if (perHop) snapshots = snapshots.join(
         regs.select(col("id"), col("reg").as(s"__reg$d")), Seq("id"))

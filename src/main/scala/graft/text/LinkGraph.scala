@@ -250,9 +250,16 @@ object LinkGraph {
         e.groupBy(col("src")).agg(count(lit(1)).as("__deg")), Seq("src"))
       .cache()
     val n = ids.count()
-    require(n > 0, "LinkGraph.pageRank: empty node set")
+    if (n == 0) { // fail-fast must not leak the edge cache
+      ewd.unpersist()
+      throw new IllegalArgumentException("LinkGraph.pageRank: empty node set")
+    }
     val teleport = ((dampDen - dampNum).toLong * scale / dampDen) / n
     var ranks = ids.withColumn("r", lit(scale / n))
+    // superseded-checkpoint handle: Dataset.unpersist is a no-op for
+    // checkpoint blocks (graft.Pins scaladoc), so each round releases the
+    // previous round's pin explicitly — state stays one snapshot deep
+    var prevPinned: Option[DataFrame] = None
     var i = 0
     while (i < iters) {
       // `div`, not `/`: Spark's `/` on longs is DOUBLE division — the
@@ -267,6 +274,8 @@ object LinkGraph {
           (lit(teleport) +
             coalesce(expr(s"(${dampNum}L * __s) div ${dampDen}L"), lit(0L))).as("r"))
         .localCheckpoint(true)
+      prevPinned.foreach(graft.Pins.release)
+      prevPinned = Some(ranks)
       i += 1
     }
     ewd.unpersist()
@@ -308,10 +317,16 @@ object LinkGraph {
       .select(col("id"), coalesce(col("__s"), lit(false)).as("__seed"))
       .localCheckpoint(true)
     val nSeeds = idsFlag.where(col("__seed")).count()
-    require(nSeeds > 0, "LinkGraph.pageRankPersonalized: no seed is in the node set")
+    if (nSeeds == 0) { // fail-fast must not leak the edge cache / id pin
+      ewd.unpersist()
+      graft.Pins.release(idsFlag)
+      throw new IllegalArgumentException(
+        "LinkGraph.pageRankPersonalized: no seed is in the node set")
+    }
     val teleport = ((dampDen - dampNum).toLong * scale / dampDen) / nSeeds
     var ranks = idsFlag.select(col("id"),
       when(col("__seed"), lit(scale / nSeeds)).otherwise(lit(0L)).as("r"))
+    var prevPinned: Option[DataFrame] = None // see pageRank
     var i = 0
     while (i < iters) {
       val contrib = ranks.join(ewd, col("id") === col("src"))
@@ -322,6 +337,8 @@ object LinkGraph {
           (when(col("__seed"), lit(teleport)).otherwise(lit(0L)) +
             coalesce(expr(s"(${dampNum}L * __s) div ${dampDen}L"), lit(0L))).as("r"))
         .localCheckpoint(true)
+      prevPinned.foreach(graft.Pins.release)
+      prevPinned = Some(ranks)
       i += 1
     }
     ewd.unpersist()
@@ -369,12 +386,19 @@ object LinkGraph {
           "the weights (only ratios within a source matter) or raise maxSourceWeight " +
           "explicitly after checking the product bound.")
     }
-    require(maxW == 0 || scale <= Long.MaxValue / maxW,
-      s"LinkGraph.pageRankWeighted: scale $scale * max weight $maxW overflows 64-bit")
+    if (maxW != 0 && scale > Long.MaxValue / maxW) {
+      ewd.unpersist() // fail-fast must not leak the edge cache
+      throw new IllegalArgumentException(
+        s"LinkGraph.pageRankWeighted: scale $scale * max weight $maxW overflows 64-bit")
+    }
     val n = ids.count()
-    require(n > 0, "LinkGraph.pageRankWeighted: empty node set")
+    if (n == 0) {
+      ewd.unpersist()
+      throw new IllegalArgumentException("LinkGraph.pageRankWeighted: empty node set")
+    }
     val teleport = ((dampDen - dampNum).toLong * scale / dampDen) / n
     var ranks = ids.withColumn("r", lit(scale / n))
+    var prevPinned: Option[DataFrame] = None // see pageRank
     var i = 0
     while (i < iters) {
       val contrib = ranks.join(ewd, col("id") === col("src"))
@@ -385,6 +409,8 @@ object LinkGraph {
           (lit(teleport) +
             coalesce(expr(s"(${dampNum}L * __s) div ${dampDen}L"), lit(0L))).as("r"))
         .localCheckpoint(true)
+      prevPinned.foreach(graft.Pins.release)
+      prevPinned = Some(ranks)
       i += 1
     }
     ewd.unpersist()
@@ -500,8 +526,14 @@ object LinkGraph {
     var converged = isStarSet(e)
     while (!converged && rounds < maxRounds) {
       // each star pass is consumed twice (its own min-agg + join), so pin
-      // both — otherwise the per-round plan executes the pass twice
-      e = smallStar(largeStar(e).localCheckpoint(true)).localCheckpoint(true)
+      // both — otherwise the per-round plan executes the pass twice; the
+      // intermediate pin and the superseded round are released explicitly
+      // (Dataset.unpersist is a no-op for checkpoints — graft.Pins)
+      val ls = largeStar(e).localCheckpoint(true)
+      val next = smallStar(ls).localCheckpoint(true)
+      graft.Pins.release(ls)
+      graft.Pins.release(e)
+      e = next
       converged = isStarSet(e)
       rounds += 1
     }
@@ -583,12 +615,15 @@ object LinkGraph {
       val deg = active.select(col("a").as("id")).unionAll(active.select(col("b").as("id")))
         .groupBy(col("id")).agg(count(lit(1)).as("__d"))
       val weak = deg.where(col("__d") < k).select(col("id")).localCheckpoint(true)
-      if (weak.isEmpty) stable = true
+      if (weak.isEmpty) { graft.Pins.release(weak); stable = true }
       else {
-        active = active
+        val next = active
           .join(weak.select(col("id").as("a")), Seq("a"), "left_anti")
           .join(weak.select(col("id").as("b")), Seq("b"), "left_anti")
           .localCheckpoint(true)
+        graft.Pins.release(weak)
+        graft.Pins.release(active)
+        active = next
         rounds += 1
       }
     }
@@ -631,6 +666,7 @@ object LinkGraph {
       .where(col("src") =!= col("dst")).distinct().cache()
     val ids = nodes.select(col(idCol).as("id"))
     var labels = ids.withColumn("lbl", col("id")).localCheckpoint(true)
+    var prevPinned = labels // see pageRank's superseded-checkpoint note
     var i = 0
     while (i < iters) {
       val counts = e
@@ -644,6 +680,8 @@ object LinkGraph {
       labels = labels.join(picked, Seq("id"), "left")
         .select(col("id"), coalesce(col("__new"), col("lbl")).as("lbl"))
         .localCheckpoint(true)
+      graft.Pins.release(prevPinned)
+      prevPinned = labels
       i += 1
     }
     e.unpersist()

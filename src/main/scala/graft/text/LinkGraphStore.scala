@@ -106,9 +106,9 @@ object LinkGraphStore {
             nDocs = stats.getLong(0), nEdges = edges.count(),
             maxId = if (stats.isNullAt(1)) Long.MinValue else stats.getLong(1),
             lastBatchId = -1L))
-        } finally edges.unpersist()
-      } finally dfs.unpersist()
-    } finally spans.unpersist()
+        } finally graft.Pins.release(edges)
+      } finally graft.Pins.release(dfs)
+    } finally graft.Pins.release(spans)
   }
 
   /** Fold a batch of NEW documents into the artifact: extract spans from
@@ -123,9 +123,11 @@ object LinkGraphStore {
       batchId: Long = -1L): Unit = {
     val spark = newDocs.sparkSession
     val m = loadManifest(spark, dir)
+    // distinct over the CAST id (the ingestion key): distinct raw values
+    // colliding after the cast must fail the uniqueness guard
     val bounds = newDocs.agg(count(lit(1)).as("n"),
       min(col(idCol).cast("long")).as("lo"), max(col(idCol).cast("long")).as("hi"),
-      count_distinct(col(idCol)).as("nd")).head()
+      count_distinct(col(idCol).cast("long")).as("nd")).head()
     if (bounds.getLong(0) == 0L) return // empty batch: artifact untouched
     require(bounds.getLong(0) == bounds.getLong(3),
       s"LinkGraphStore.append: batch ids are not unique " +
@@ -187,7 +189,7 @@ object LinkGraphStore {
                     .select(col("id_a"), col("id_b"), col("support"))
                     .withColumn("bucket", edgeBucket(nB)),
                   s"$dir/edges", eb)
-              } finally merged.unpersist()
+              } finally graft.Pins.release(merged)
             }
             // ---- postings: touched buckets rewritten ----
             // keep: untouched spans + touched spans still ≤ maxDf (old
@@ -201,24 +203,24 @@ object LinkGraphStore {
               .localCheckpoint(true)
             try overwriteBuckets(newPostings.withColumn("bucket", spanBucket(nB)),
               s"$dir/postings", tb)
-            finally newPostings.unpersist()
+            finally graft.Pins.release(newPostings)
             // ---- dfs: touched buckets rewritten with refreshed counts ----
             val newDfs = oldDfs.join(touched.select(col("h")), Seq("h"), "left_anti")
               .unionByName(touched.select(col("h"), col("new_df").as("df")))
               .localCheckpoint(true)
             try overwriteBuckets(newDfs.withColumn("bucket", spanBucket(nB)),
               s"$dir/dfs", tb)
-            finally newDfs.unpersist()
+            finally graft.Pins.release(newDfs)
             // manifest last: never over-certifies
             writeManifest(spark, dir, m.copy(
               nDocs = m.nDocs + bounds.getLong(0),
               nEdges = m.nEdges + edgeCountDelta,
               maxId = bounds.getLong(2),
               lastBatchId = batchId))
-          } finally delta.unpersist()
+          } finally graft.Pins.release(delta)
         }
-      } finally touched.unpersist()
-    } finally batchSpans.unpersist()
+      } finally graft.Pins.release(touched)
+    } finally graft.Pins.release(batchSpans)
   }
 
   /** The exact ±support edge deltas one batch of spans induces against
@@ -269,16 +271,20 @@ object LinkGraphStore {
         .groupBy(col("id_a"), col("id_b")).agg(sum(col("__d")).as("__d"))
         .where(col("__d") =!= 0)
         .localCheckpoint(true)
-    } finally members.unpersist()
+    } finally graft.Pins.release(members)
   }
 
   /** The edge table in [[LinkGraph.sharedSpanEdges]]'s symmetric
     * (src, dst) shape — plugs into every graph operator unchanged.
     */
   def loadEdges(spark: SparkSession, dir: String): DataFrame = {
+    // explode-symmetrize, not unionAll of two projections: the union
+    // shape executes the underlying scan twice, one pass per direction
     val c = loadEdgesCanonical(spark, dir)
-    c.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionAll(c.select(col("id_b").as("src"), col("id_a").as("dst")))
+    c.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
   }
 
   /** Canonical (id_a < id_b) edges with their exact span-support count —
@@ -294,9 +300,11 @@ object LinkGraphStore {
     */
   def loadEdgesWeighted(spark: SparkSession, dir: String): DataFrame = {
     val c = loadEdgesCanonical(spark, dir)
-    c.select(col("id_a").as("src"), col("id_b").as("dst"), col("support").as("weight"))
-      .unionAll(c.select(col("id_b").as("src"), col("id_a").as("dst"),
-        col("support").as("weight")))
+    c.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst"), col("support").as("weight")),
+        struct(col("id_b").as("src"), col("id_a").as("dst"), col("support").as("weight"))))
+        .as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"), col("__e.weight").as("weight"))
   }
 
   /** [[LinkGraph.spanNovelty]] served from the artifact's df surface:
@@ -323,6 +331,10 @@ object LinkGraphStore {
         .collect().map(_.getInt(0)).sorted
       val dfs = readSurface(spark, s"$dir/dfs", dfsSchema)
         .where(col("bucket").isInCollection(tb)).select(col("h"), col("df"))
+      // MATERIALIZED (batch-sized) before the spans pin is released below:
+      // returning this plan lazily would read checkpoint blocks the
+      // finally has already freed — the bug class Pins.release made real
+      // (the old no-op unpersist silently masked it)
       val counts = spans.join(dfs, Seq("h"), "left")
         .select(col("__id"), coalesce(col("df"), lit(1L)).as("__df"))
         .groupBy(col("__id").as(idCol))
@@ -331,6 +343,7 @@ object LinkGraphStore {
           sum(when(col("__df") === 1, 1L).otherwise(0L)).as("n_unique"),
           sum(when(col("__df") >= 2 && col("__df") <= m.maxDf, 1L).otherwise(0L)).as("n_shared"),
           sum(when(col("__df") > m.maxDf, 1L).otherwise(0L)).as("n_boilerplate"))
+        .localCheckpoint(true)
       docs.select(col(idCol)).join(counts, Seq(idCol), "left")
         .select(col(idCol),
           coalesce(col("n_spans"), lit(0L)).as("n_spans"),
@@ -340,37 +353,21 @@ object LinkGraphStore {
           when(coalesce(col("n_spans"), lit(0L)) === 0, lit(0.0))
             .otherwise(col("n_unique").cast("double") / col("n_spans").cast("double"))
             .as("novelty"))
-    } finally spans.unpersist()
+    } finally graft.Pins.release(spans)
   }
 
   def loadManifest(spark: SparkSession, dir: String): Manifest = {
+    import graft.sources.{ArtifactJson => J}
     val path = new org.apache.hadoop.fs.Path(dir, "_manifest.json")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(path), s"LinkGraphStore: no _manifest.json under $dir - " +
       "build the artifact with LinkGraphStore.build")
-    val in = fs.open(path)
-    val text = try {
-      val buf = new java.io.ByteArrayOutputStream()
-      val chunk = new Array[Byte](8192)
-      var n = in.read(chunk)
-      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-      buf.toString("UTF-8")
-    } finally in.close()
-    // a real JSON parse, not a regex (the Export epoch-field precedent)
-    val node = mapper.readTree(text)
-    require(node != null && node.isObject, s"LinkGraphStore: malformed manifest under $dir")
-    def num(f: String): Long = {
-      val v = node.get(f)
-      require(v != null && v.isIntegralNumber,
-        s"LinkGraphStore: manifest field '$f' missing or non-integral under $dir")
-      v.longValue()
-    }
+    val node = J.readFile(spark, s"$dir/_manifest.json")
+    def num(f: String): Long = J.long(node, f, dir)
     Manifest(num("version").toInt, num("w").toInt, num("maxDf").toInt,
       num("nBuckets").toInt, num("nDocs"), num("nEdges"), num("maxId"),
       num("lastBatchId"))
   }
-
-  private lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   /** Manifest writer for artifact-shaped outputs produced elsewhere
     * (the streaming twin's [[graft.streaming.StreamingLinkGraph.compactTo]]).
@@ -378,15 +375,11 @@ object LinkGraphStore {
   private[graft] def writeManifestFor(spark: SparkSession, dir: String, m: Manifest): Unit =
     writeManifest(spark, dir, m)
 
-  private def writeManifest(spark: SparkSession, dir: String, m: Manifest): Unit = {
-    val json = s"""{"version":${m.version},"w":${m.w},"maxDf":${m.maxDf},""" +
-      s""""nBuckets":${m.nBuckets},"nDocs":${m.nDocs},"nEdges":${m.nEdges},""" +
-      s""""maxId":${m.maxId},"lastBatchId":${m.lastBatchId}}"""
-    val path = new org.apache.hadoop.fs.Path(dir, "_manifest.json")
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(path, true)
-    try out.write((json + "\n").getBytes("UTF-8")) finally out.close()
-  }
+  private def writeManifest(spark: SparkSession, dir: String, m: Manifest): Unit =
+    graft.sources.ArtifactJson.writeFile(spark, s"$dir/_manifest.json",
+      s"""{"version":${m.version},"w":${m.w},"maxDf":${m.maxDf},""" +
+        s""""nBuckets":${m.nBuckets},"nDocs":${m.nDocs},"nEdges":${m.nEdges},""" +
+        s""""maxId":${m.maxId},"lastBatchId":${m.lastBatchId}}""")
 
   private def spanBucket(nBuckets: Int) =
     pmod(col("h"), lit(nBuckets.toLong)).cast("int")
@@ -425,14 +418,15 @@ object LinkGraphStore {
 
   private[graft] def spanBucketCol(nBuckets: Int) = spanBucket(nBuckets)
 
-  /** Full bucketed overwrite (build path). The repartition-by-bucket
+  /** Full bucketed overwrite (build path and the streaming twin's
+    * compaction). The repartition-by-bucket
     * shuffle buys one file per bucket instead of (tasks × buckets) — the
     * surfaces are REWRITTEN per append, so without it file counts
     * multiply into exactly the fragmented layout
     * [[graft.sources.Layout]] exists to diagnose; the shuffle is cheap
     * relative to the write it shapes.
     */
-  private def writeBucketed(rows: DataFrame, path: String): Unit =
+  private[graft] def writeBucketed(rows: DataFrame, path: String): Unit =
     rows.repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
 

@@ -35,7 +35,8 @@ class Bm25StoreSpec extends SparkSpec {
     val half = docs.agg(max($"doc_id")).head().getLong(0) / 2
     val dir = tmp("bm25_app")
     Bm25Store.build(docs.where($"doc_id" <= half), "text", "doc_id", dir, nBuckets = 8)
-    Bm25Store.append(Bm25.buildIndex(docs.where($"doc_id" > half), "text", "doc_id"), dir)
+    Bm25Store.append(Bm25.buildIndex(docs.where($"doc_id" > half), "text", "doc_id"),
+      dir, segmentId = 1L)
     val queries = docs.where($"doc_id" >= 5 && $"doc_id" < 10)
     val expected = scores(Bm25.topK(docs, queries, "text", "doc_id", k = 5))
     assert(scores(Bm25.scoreTopK(Bm25Store.load(spark, dir), queries,
@@ -71,8 +72,29 @@ class Bm25StoreSpec extends SparkSpec {
     Bm25Store.build(docs, "text", "doc_id", dir, nBuckets = 4)
     val err = intercept[IllegalArgumentException] {
       Bm25Store.append(Bm25.buildIndex(
-        Seq((2L, "delta")).toDF("doc_id", "text"), "text", "doc_id"), dir)
+        Seq((2L, "delta")).toDF("doc_id", "text"), "text", "doc_id"), dir, segmentId = 1L)
     }
     assert(err.getMessage.contains("disjoint"))
+    // replay safety: a committed segment's re-append is a no-op, and a
+    // TORN append (marker deleted = crash before commit) retries cleanly
+    Bm25Store.append(Bm25.buildIndex(
+      Seq((9L, "epsilon zeta")).toDF("doc_id", "text"), "text", "doc_id"), dir, segmentId = 2L)
+    val m1 = Bm25Store.loadManifest(spark, dir)
+    Bm25Store.append(Bm25.buildIndex(
+      Seq((9L, "epsilon zeta")).toDF("doc_id", "text"), "text", "doc_id"), dir, segmentId = 2L)
+    assert(Bm25Store.loadManifest(spark, dir) == m1, "committed replay changed the index")
+    val fsP = new org.apache.hadoop.fs.Path(dir)
+    val fs = fsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/segs/seg=2/_done"), false)
+    assert(Bm25Store.loadManifest(spark, dir).nDocs == m1.nDocs - 1) // torn = invisible
+    Bm25Store.append(Bm25.buildIndex(
+      Seq((9L, "epsilon zeta")).toDF("doc_id", "text"), "text", "doc_id"), dir, segmentId = 2L)
+    assert(Bm25Store.loadManifest(spark, dir) == m1, "torn retry must restore exactly")
+    // zero-posting segments with claimed docs fail fast (id guard blind spot)
+    val empty = intercept[IllegalArgumentException] {
+      Bm25Store.append(Bm25.buildIndex(
+        Seq((20L, "")).toDF("doc_id", "text"), "text", "doc_id"), dir, segmentId = 3L)
+    }
+    assert(empty.getMessage.contains("ZERO postings"))
   }
 }

@@ -125,10 +125,10 @@ class StreamingLinkGraphSpec extends SparkSpec {
         0L, "doc_id", "text", dir)
     }
     assert(low.getMessage.contains("must sort above"))
-    val empty = intercept[IllegalArgumentException] {
-      StreamingLinkGraph.applyBatch(Seq.empty[(Long, String)].toDF("doc_id", "text"),
-        0L, "doc_id", "text", dir)
-    }
-    assert(empty.getMessage.contains("empty micro-batch"))
+    // empty micro-batch: a NO-OP (foreachBatch delivers them routinely),
+    // never an error that would kill the stream — and no delta commits
+    StreamingLinkGraph.applyBatch(Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      0L, "doc_id", "text", dir)
+    assert(StreamingLinkGraph.committedBatches(spark, dir).isEmpty)
   }
 }
