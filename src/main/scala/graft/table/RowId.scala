@@ -201,6 +201,10 @@ object RowId {
     var cur = withRowIndex(df, ord)
     var iters = 0
     var done = false
+    // superseded periodic checkpoints release for real (graft.Pins —
+    // Dataset.unpersist is a no-op for checkpoint blocks); the LAST pin
+    // stays live for the returned plan
+    var prevPinned: Option[org.apache.spark.sql.DataFrame] = None
     while (!done) {
       val w = Window.partitionBy(col(keyCol)).orderBy(col(ord))
       cur = cur
@@ -214,6 +218,8 @@ object RowId {
       // only guards pathological inputs from unbounded plan growth
       if (!done && iters >= 20) {
         cur = cur.localCheckpoint(true)
+        prevPinned.foreach(graft.Pins.release)
+        prevPinned = Some(cur)
         iters = 0
       }
     }
