@@ -558,6 +558,26 @@ object ScaleProbe {
         System.err.println(f"[probe] in-memory incremental          $tMem%.1f s")
         println(s"""{"mode":"minhash_store","served":$served,"mem":$mem,""" +
           f""""store_s":$tServed%.1f,"mem_s":$tMem%.1f}""")
+      case "pins" =>
+        // storage-boundedness of the iterative loops (round 12):
+        // Dataset.unpersist was a no-op for checkpoint blocks, so every
+        // round of a long loop pinned one node-sized RDD until GC. With
+        // graft.Pins the live set must stay O(1) in rounds — measured on
+        // a chain-shaped component (many rounds) by sampling the storage
+        // registry after the run.
+        val n = args.lift(2).map(_.toInt).getOrElse(100000)
+        val ids = spark.range(0, n.toLong).select(col("id"))
+        val chain = spark.range(0, n.toLong - 1)
+          .select(col("id").as("src"), (col("id") + 1).as("dst"))
+        val t0 = System.nanoTime()
+        val comps = graft.text.LinkGraph.connectedComponents(ids, "id", chain)
+        val nComps = comps.select(col("rep")).distinct().count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val stored = spark.sparkContext.getRDDStorageInfo
+        val mem = stored.map(_.memSize).sum / (1024.0 * 1024.0)
+        System.err.println(f"[probe] chain components n=$n          $wall%.1f s")
+        println(s"""{"mode":"pins","n":$n,"components":$nComps,""" +
+          f""""wall_s":$wall%.1f,"stored_rdds":${stored.length},"stored_mb":$mem%.1f}""")
       case "html" =>
         // fused HtmlScan chain vs the equivalent java.util.regex
         // regexp_replace chain on the q_html_extract markup synthesis:
