@@ -205,7 +205,7 @@ object Decontaminate {
         val density = if (n == 0) 0.0 else probe.getLong(1).toDouble / n
         DecontPolicy(if (density > densityCutoff) "exact" else "bloom", nEvalSpans, density)
       }
-    evalSpans.unpersist()
+    graft.Pins.release(evalSpans) // checkpoint pin: plain unpersist is a no-op
     path
   }
 

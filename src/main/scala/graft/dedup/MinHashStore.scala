@@ -8,25 +8,40 @@ import org.apache.spark.sql.functions._
   * [[Dedup.minHashIncrementalAgainst]]'s "~100 B/doc signature table a
   * pipeline stores between ingests", completing the dedup lifecycle the
   * same way [[graft.text.Bm25Store]] completed retrieval's: build once
-  * over the corpus, APPEND each admitted batch (pure file appends — the
-  * signature artifact has no deletions, unlike the link graph), and
-  * dedup every incoming batch against the store at batch-proportional
+  * over the corpus, APPEND each admitted batch as a committed segment,
+  * and dedup every incoming batch against the store at batch-proportional
   * cost. Reference analog: the write-once/read-many batch store
   * (reference org.knime.core.columnar.arrow/…/ArrowBatchStore.java:57-62).
   *
-  * == Layout ==
+  * == Layout: committed SEGMENTS (round-13 review fix) ==
   * {{{
-  *   dir/sigs/pb=B/      (id, sig: array<long>, shset: array<long>)
-  *                       pb = pmod(xxhash64(id), nBuckets)
-  *   dir/postings/pb=B/  (band, bucket, id)  — LSH band keys, one row per
-  *                       (doc, band); pb = pmod(xxhash64(band, bucket), nBuckets)
-  *   dir/_manifest.json  {version, nBuckets, shingleSize, numHashes,
-  *                        bands, nDocs, maxId}
+  *   dir/segs/seg=K/sigs/pb=B/      (id, sig: array<long>, shset: array<long>)
+  *                                  pb = pmod(xxhash64(id), nBuckets)
+  *   dir/segs/seg=K/postings/pb=B/  (band, bucket, id)  — LSH band keys,
+  *                                  pb = pmod(xxhash64(band, bucket), nBuckets)
+  *   dir/segs/seg=K/_meta.json      {segId, nDocs, maxId}
+  *   dir/segs/seg=K/_done           marker, written LAST
+  *   dir/_manifest.json             {version, nBuckets, shingleSize,
+  *                                   numHashes, bands}
   * }}}
+  * An earlier revision file-appended both surfaces with raw
+  * `mode("append")` and advanced a mutable manifest — which made a
+  * crashed-then-retried append DOUBLE-APPLY the batch (the manifest's
+  * maxId had not advanced, so the retry passed the disjointness guard and
+  * duplicated every signature and posting row; verdicts survived via the
+  * `distinct()`s but the store bloated permanently). Segments fix that
+  * with the [[graft.text.Bm25Store]] marker discipline: every write
+  * inside `seg=K` is an OVERWRITE keyed by the segment id, the `_done`
+  * marker commits last, so a torn attempt is invisible to readers and a
+  * retry rewrites byte-identically; a COMMITTED segment's explicit-id
+  * replay short-circuits on the marker. Readers union committed segments
+  * (per-segment reads — multi-path parquet over seg roots hits
+  * CONFLICTING_DIRECTORY_STRUCTURES); corpus stats fold from the metas.
+  *
   * The band-posting surface is the INVERTED index of the LSH join: a
-  * batch's band keys prune the posting scan to their hash buckets, the
-  * surviving candidate ids prune the signature scan to THEIR buckets,
-  * and only the candidates' (id, shset) rows flow into the exact
+  * batch's band keys prune every segment's posting scan to their hash
+  * buckets, the surviving candidate ids prune the signature scan to THEIR
+  * buckets, and only the candidates' (id, shset) rows flow into the exact
   * verification — per-batch reads scale with the batch's band fan-out,
   * never the corpus. Candidate generation from the store is a SUPERSET
   * of the in-memory path's (the store posts every doc; the in-memory
@@ -35,59 +50,105 @@ import org.apache.spark.sql.functions._
   * [[dedupBatch]] ≡ [[Dedup.minHashIncremental]] bit-for-bit (the
   * q_minhash_store gate shares q_minhash_incremental's oracle).
   *
-  * Append contract: batch ids sort above the manifest's `maxId` (the
-  * artifact-family id discipline). Write ordering is data-first /
-  * manifest-last throughout.
+  * Append contract: batch ids sort above every committed segment's
+  * `maxId` (the artifact-family id discipline). With the default
+  * auto-assigned segment id, a retry of a COMMITTED append fails loudly
+  * on that guard (never silently duplicates); pass an explicit
+  * monotonically-increasing `segmentId` (a stream passes its batch id)
+  * for exactly-once no-op replays.
   */
 object MinHashStore {
 
   final case class Manifest(version: Int, nBuckets: Int, shingleSize: Int,
       numHashes: Int, bands: Int, nDocs: Long, maxId: Long)
 
-  /** Build the store from a corpus. */
+  /** Build the store from a corpus — a FULL overwrite of any existing
+    * `segs/` tree (stale committed segments must not survive a rebuild:
+    * they would double-count docs and, under a changed `nBuckets`,
+    * mis-bucket postings so [[dedupBatch]]'s pruning dropped candidates).
+    */
   def build(corpus: DataFrame, textCol: String, idCol: String, dir: String,
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
       nBuckets: Int = 64): Unit = {
+    val sigs = Dedup.minHashSignatureTable(corpus, textCol, idCol, shingleSize, numHashes)
+      .localCheckpoint(true)
+    try buildFromSigs(sigs, dir, shingleSize, numHashes, bands, nBuckets)
+    finally graft.Pins.release(sigs)
+  }
+
+  /** Build the store from a PRECOMPUTED signature table (schema of
+    * [[Dedup.minHashSignatureTable]]: id, sig, shset). The caller owns
+    * the parameter match: `shingleSize`/`numHashes`/`bands` must be the
+    * values the signatures were computed with — this is the
+    * [[graft.streaming.StreamingDedup.compactTo]] entry point, where the
+    * per-batch signature tables already exist and re-signing the corpus
+    * would defeat the compaction.
+    */
+  def buildFromSigs(sigs: DataFrame, dir: String, shingleSize: Int,
+      numHashes: Int, bands: Int, nBuckets: Int = 64): Unit = {
     require(numHashes % bands == 0,
       s"MinHashStore.build: numHashes $numHashes not divisible by bands $bands")
     require(nBuckets >= 1, s"MinHashStore.build: nBuckets $nBuckets < 1")
-    val sigs = Dedup.minHashSignatureTable(corpus, textCol, idCol, shingleSize, numHashes)
-      .localCheckpoint(true)
-    try {
-      writeSurfaces(sigs, dir, bands, numHashes / bands, nBuckets, append = false)
-      val stats = sigs.agg(count(lit(1)).as("n"), max(col("id")).as("mx")).head()
-      writeManifest(sigs.sparkSession, dir, Manifest(1, nBuckets, shingleSize,
-        numHashes, bands, nDocs = stats.getLong(0),
-        maxId = if (stats.isNullAt(1)) Long.MinValue else stats.getLong(1)))
-    } finally graft.Pins.release(sigs)
+    val spark = sigs.sparkSession
+    val fs = fsFor(spark, dir)
+    val segsRoot = new org.apache.hadoop.fs.Path(s"$dir/segs")
+    if (fs.exists(segsRoot)) fs.delete(segsRoot, true)
+    writeRootManifest(spark, dir, nBuckets, shingleSize, numHashes, bands)
+    val pinned = sigs.localCheckpoint(true)
+    try writeSegment(pinned, dir, segmentId = 0L, bands, numHashes / bands, nBuckets)
+    finally graft.Pins.release(pinned)
   }
 
   /** Fold a batch of NEW documents (typically [[dedupBatch]] survivors)
-    * into the store: signatures and band postings are PURE per-partition
-    * file appends — nothing existing is read or rewritten. Cost: one
-    * signature pass over the batch + two bucketed appends.
+    * into the store as a committed segment. Cost: one signature pass over
+    * the batch + two bucketed segment writes — nothing existing is read
+    * or rewritten. `segmentId` < 0 auto-assigns the next id (committed
+    * retry then fails the id guard loudly); an explicit id makes a
+    * committed replay a no-op (see class doc).
     */
-  def append(newDocs: DataFrame, textCol: String, idCol: String, dir: String): Unit = {
+  def append(newDocs: DataFrame, textCol: String, idCol: String, dir: String,
+      segmentId: Long = -1L): Unit = {
     val spark = newDocs.sparkSession
     val m = loadManifest(spark, dir)
     val sigs = Dedup.minHashSignatureTable(newDocs, textCol, idCol,
         m.shingleSize, m.numHashes)
       .localCheckpoint(true)
-    try {
-      val stats = sigs.agg(count(lit(1)).as("n"), min(col("id")).as("lo"),
-        max(col("id")).as("hi"), count_distinct(col("id")).as("nd")).head()
-      if (stats.getLong(0) == 0L) return // empty batch: store untouched
-      require(stats.getLong(0) == stats.getLong(3),
-        s"MinHashStore.append: batch ids are not unique (${stats.getLong(0)} rows, " +
-          s"${stats.getLong(3)} distinct)")
-      require(stats.getLong(1) > m.maxId,
-        s"MinHashStore.append: batch ids start at ${stats.getLong(1)} but the store " +
-          s"already contains ids up to ${m.maxId} - appended ids must sort above " +
-          "every stored id")
-      writeSurfaces(sigs, dir, m.bands, m.numHashes / m.bands, m.nBuckets, append = true)
-      writeManifest(spark, dir, m.copy(
-        nDocs = m.nDocs + stats.getLong(0), maxId = stats.getLong(2)))
-    } finally graft.Pins.release(sigs)
+    try appendSigs(sigs, dir, segmentId, m)
+    finally graft.Pins.release(sigs)
+  }
+
+  /** [[append]] from a precomputed signature table (see [[buildFromSigs]]
+    * for the parameter-match contract).
+    */
+  def appendFromSigs(sigs: DataFrame, dir: String, segmentId: Long = -1L): Unit = {
+    val pinned = sigs.localCheckpoint(true)
+    try appendSigs(pinned, dir, segmentId, loadManifest(sigs.sparkSession, dir))
+    finally graft.Pins.release(pinned)
+  }
+
+  private def appendSigs(sigs: DataFrame, dir: String, segmentIdArg: Long,
+      m: Manifest): Unit = {
+    val spark = sigs.sparkSession
+    val fs = fsFor(spark, dir)
+    val committed = committedSegments(spark, dir)
+    val segmentId =
+      if (segmentIdArg >= 0L) segmentIdArg
+      else (0L +: committed).max + 1L
+    if (segmentIdArg >= 0L &&
+        fs.exists(new org.apache.hadoop.fs.Path(s"$dir/segs/seg=$segmentId/_done")))
+      return // committed: replay no-op
+    val stats = sigs.agg(count(lit(1)).as("n"), min(col("id")).as("lo"),
+      max(col("id")).as("hi"), count_distinct(col("id")).as("nd")).head()
+    if (stats.getLong(0) == 0L) return // empty batch: store untouched
+    require(stats.getLong(0) == stats.getLong(3),
+      s"MinHashStore.append: batch ids are not unique (${stats.getLong(0)} rows, " +
+        s"${stats.getLong(3)} distinct)")
+    require(stats.getLong(1) > m.maxId,
+      s"MinHashStore.append: batch ids start at ${stats.getLong(1)} but the store " +
+        s"already contains ids up to ${m.maxId} - appended ids must sort above " +
+        "every stored id (a committed append retried without an explicit " +
+        "segmentId also lands here - the store already holds the batch)")
+    writeSegment(sigs, dir, segmentId, m.bands, m.numHashes / m.bands, m.nBuckets)
   }
 
   /** Batch survivors against the store — bit-identical to
@@ -97,6 +158,7 @@ object MinHashStore {
   def dedupBatch(spark: SparkSession, dir: String, batch: DataFrame,
       textCol: String, idCol: String, threshold: Double = 0.7): DataFrame = {
     val m = loadManifest(spark, dir)
+    val segs = committedSegments(spark, dir)
     val rows = m.numHashes / m.bands
     val batchSigs = Dedup.minHashSignatureTable(batch, textCol, idCol,
         m.shingleSize, m.numHashes)
@@ -112,10 +174,8 @@ object MinHashStore {
         val tb = bandKeys.select(postingBucket(m.nBuckets).as("b")).distinct()
           .collect().map(_.getInt(0)).sorted
         val candIds =
-          if (tb.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType))))
-          else spark.read.schema(postingsSchema).parquet(s"$dir/postings")
+          if (tb.isEmpty || segs.isEmpty) emptyIds(spark)
+          else readSurface(spark, dir, segs, "postings", postingsSchema)
             .where(col("pb").isInCollection(tb))
             .join(bandKeys, Seq("band", "bucket"))
             .select(col("id")).distinct()
@@ -124,8 +184,8 @@ object MinHashStore {
           val sb = pinned.select(sigBucket(m.nBuckets).as("b")).distinct()
             .collect().map(_.getInt(0)).sorted
           val candSigs =
-            if (sb.isEmpty) emptySigs(spark)
-            else spark.read.schema(sigsSchema).parquet(s"$dir/sigs")
+            if (sb.isEmpty || segs.isEmpty) emptySigs(spark)
+            else readSurface(spark, dir, segs, "sigs", sigsSchema)
               .where(col("pb").isInCollection(sb))
               .join(pinned, Seq("id"))
               .select(col("id"), col("sig"), col("shset"))
@@ -136,6 +196,9 @@ object MinHashStore {
     } finally graft.Pins.release(batchSigs)
   }
 
+  /** Root manifest + folded committed-segment metas — callers see the
+    * committed totals (nDocs, maxId) exactly as before the segment split.
+    */
   def loadManifest(spark: SparkSession, dir: String): Manifest = {
     import graft.sources.{ArtifactJson => J}
     val path = new org.apache.hadoop.fs.Path(dir, "_manifest.json")
@@ -144,29 +207,71 @@ object MinHashStore {
       "build the store with MinHashStore.build")
     val node = J.readFile(spark, s"$dir/_manifest.json")
     def num(f: String): Long = J.long(node, f, dir)
+    val metas = committedSegments(spark, dir).map { s =>
+      val n = J.readFile(spark, s"$dir/segs/seg=$s/_meta.json")
+      (J.long(n, "nDocs", dir), J.long(n, "maxId", dir))
+    }
     Manifest(num("version").toInt, num("nBuckets").toInt, num("shingleSize").toInt,
-      num("numHashes").toInt, num("bands").toInt, num("nDocs"), num("maxId"))
+      num("numHashes").toInt, num("bands").toInt,
+      nDocs = metas.map(_._1).sum,
+      maxId = (Long.MinValue +: metas.map(_._2)).max)
   }
 
-  private def writeManifest(spark: SparkSession, dir: String, m: Manifest): Unit =
-    graft.sources.ArtifactJson.writeFile(spark, s"$dir/_manifest.json",
-      s"""{"version":${m.version},"nBuckets":${m.nBuckets},""" +
-        s""""shingleSize":${m.shingleSize},"numHashes":${m.numHashes},""" +
-        s""""bands":${m.bands},"nDocs":${m.nDocs},"maxId":${m.maxId}}""")
+  /** Committed segment ids (marker present), ascending. */
+  def committedSegments(spark: SparkSession, dir: String): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(s"$dir/segs")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("seg=") &&
+        fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_done")))
+      .map(_.getPath.getName.stripPrefix("seg=").toLong)
+      .sorted
+  }
 
-  /** Write (or append) both surfaces from a pinned signature table. */
-  private def writeSurfaces(sigs: DataFrame, dir: String, bands: Int, rows: Int,
-      nBuckets: Int, append: Boolean): Unit = {
-    val mode = if (append) "append" else "overwrite"
+  /** All committed signatures (id, sig, shset) — the spec's
+    * append ≡ rebuild surface comparison.
+    */
+  def readSigs(spark: SparkSession, dir: String): DataFrame =
+    readSurface(spark, dir, committedSegments(spark, dir), "sigs", sigsSchema)
+      .select(col("id"), col("sig"), col("shset"))
+
+  /** All committed band postings (band, bucket, id). */
+  def readPostings(spark: SparkSession, dir: String): DataFrame =
+    readSurface(spark, dir, committedSegments(spark, dir), "postings", postingsSchema)
+      .select(col("band"), col("bucket"), col("id"))
+
+  // ---- internals ----
+
+  /** Write both surfaces of one segment; `_done` marker commits LAST. */
+  private def writeSegment(sigs: DataFrame, dir: String, segmentId: Long,
+      bands: Int, rows: Int, nBuckets: Int): Unit = {
+    val spark = sigs.sparkSession
+    val sDir = s"$dir/segs/seg=$segmentId"
     sigs.withColumn("pb", sigBucket(nBuckets))
       .repartition(col("pb"))
-      .write.mode(mode).partitionBy("pb").parquet(s"$dir/sigs")
+      .write.mode("overwrite").partitionBy("pb").parquet(s"$sDir/sigs")
     sigs.where(size(col("shset")) > 0)
       .select(col("id"), posexplode(H.bandHashes(col("sig"), bands, rows)).as(Seq("band", "bucket")))
       .withColumn("pb", postingBucket(nBuckets))
       .repartition(col("pb"))
-      .write.mode(mode).partitionBy("pb").parquet(s"$dir/postings")
+      .write.mode("overwrite").partitionBy("pb").parquet(s"$sDir/postings")
+    val stats = sigs.agg(count(lit(1)).as("n"), max(col("id")).as("mx")).head()
+    graft.sources.ArtifactJson.writeFile(spark, s"$sDir/_meta.json",
+      s"""{"segId":$segmentId,"nDocs":${stats.getLong(0)},""" +
+        s""""maxId":${if (stats.isNullAt(1)) Long.MinValue else stats.getLong(1)}}""")
+    graft.sources.ArtifactJson.writeFile(spark, s"$sDir/_done", "") // commit LAST
   }
+
+  private def writeRootManifest(spark: SparkSession, dir: String, nBuckets: Int,
+      shingleSize: Int, numHashes: Int, bands: Int): Unit =
+    graft.sources.ArtifactJson.writeFile(spark, s"$dir/_manifest.json",
+      s"""{"version":2,"nBuckets":$nBuckets,"shingleSize":$shingleSize,""" +
+        s""""numHashes":$numHashes,"bands":$bands}""")
+
+  private def fsFor(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def sigBucket(nBuckets: Int) =
     pmod(xxhash64(col("id")), lit(nBuckets.toLong)).cast("int")
@@ -183,6 +288,19 @@ object MinHashStore {
   private val postingsSchema = StructType(Seq(
     StructField("band", IntegerType), StructField("bucket", LongType),
     StructField("id", LongType), StructField("pb", IntegerType)))
+
+  // per-segment reads unioned, NOT one multi-path read: Spark's partition
+  // discovery treats seg=K/<surface> roots as conflicting structures
+  private def readSurface(spark: SparkSession, dir: String, segs: Seq[Long],
+      surface: String, schema: StructType): DataFrame =
+    if (segs.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else segs.map(s => spark.read.schema(schema).parquet(s"$dir/segs/seg=$s/$surface"))
+      .reduce(_ unionAll _)
+
+  private def emptyIds(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("id", LongType))))
 
   private def emptySigs(spark: SparkSession): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

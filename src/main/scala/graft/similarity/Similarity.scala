@@ -175,8 +175,8 @@ object Similarity {
           cents.join(counts, Seq("cell"), "left")
             .withColumn("n_rows", coalesce(col("n_rows"), lit(0L))),
           dir)
-      } finally indexed.unpersist()
-    } finally cents.unpersist()
+      } finally graft.Pins.release(indexed)
+    } finally graft.Pins.release(cents)
   }
 
   /** Persist an IVF index as the on-disk artifact probes reuse across
@@ -307,8 +307,8 @@ object Similarity {
           sidecar.join(batchCounts, Seq("cell"), "left")
             .withColumn("n_rows", col("n_rows") + coalesce(col("__add"), lit(0L))),
           dir)
-      } finally assigned.unpersist()
-    } finally sidecar.unpersist()
+      } finally graft.Pins.release(assigned)
+    } finally graft.Pins.release(sidecar)
   }
 
   /** Read a [[saveIvfIndex]] artifact back. The partition column comes
@@ -425,8 +425,8 @@ object Similarity {
             .join(counts, Seq("cell"), "left")
             .withColumn("n_rows", coalesce(col("n_rows"), lit(0L))))
         writeIvfSidecar(refreshed, dir)
-      } finally { reassigned.unpersist(); cands.unpersist() }
-    } finally sidecar.unpersist()
+      } finally { graft.Pins.release(reassigned); graft.Pins.release(cands) }
+    } finally graft.Pins.release(sidecar)
   }
 
   /** Probe a persisted appendable index with its SIDECAR centroids —
@@ -475,7 +475,7 @@ object Similarity {
             org.apache.spark.sql.types.StructField("centroid",
               org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType), false))))
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/_codebooks")
-    } finally indexed.unpersist()
+    } finally graft.Pins.release(indexed)
   }
 
   /** The `_codebooks` sidecar of a [[saveIvfPqIndex]] artifact, as the

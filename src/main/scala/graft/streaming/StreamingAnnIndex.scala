@@ -50,7 +50,7 @@ object StreamingAnnIndex {
       indexed.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/batch=0")
       // sidecar last, at the ROOT (one certification point for all batches)
       Similarity.writeIvfSidecarFor(indexed, dir, vecCol, idCol, nlist)
-    } finally indexed.unpersist()
+    } finally graft.Pins.release(indexed)
   }
 
   /** Wire a vector stream into continuous index maintenance. Caller sets
@@ -87,8 +87,8 @@ object StreamingAnnIndex {
         .agg(count(lit(1)).as("n_rows"))
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$statsDir/batch=${batchId + 1}")
-      assigned.unpersist()
-    } finally sidecar.unpersist()
+      graft.Pins.release(assigned)
+    } finally graft.Pins.release(sidecar)
   }
 
   /** The unified index: base build + every committed batch, `cell`
@@ -184,7 +184,7 @@ object StreamingAnnIndex {
           .join(counts, Seq("cell"), "left")
           .withColumn("n_rows", coalesce(col("n_rows"), lit(0L))),
         indexDir)
-    } finally sidecar.unpersist()
+    } finally graft.Pins.release(sidecar)
   }
 
   /** Per-cell row counts across base + batches: the base `_centroids`

@@ -79,10 +79,12 @@ object StreamingDedup {
       val survivors = Dedup
         .minHashIncrementalSigs(corpusSigs, batchSigs, batch, idCol, numHashes, bands, threshold)
         .localCheckpoint(true)
-      survivors.write.mode("overwrite").parquet(s"$survivorsDir/batch=$batchId")
-      batchSigs
-        .join(survivors.select(col(idCol).as("id")), Seq("id"), "left_semi")
-        .write.mode("overwrite").parquet(s"$sigDir/batch=$batchId")
+      try {
+        survivors.write.mode("overwrite").parquet(s"$survivorsDir/batch=$batchId")
+        batchSigs
+          .join(survivors.select(col(idCol).as("id")), Seq("id"), "left_semi")
+          .write.mode("overwrite").parquet(s"$sigDir/batch=$batchId")
+      } finally graft.Pins.release(survivors) // checkpoint pin — both writes done
     } finally batchSigs.unpersist()
   }
 
@@ -91,6 +93,27 @@ object StreamingDedup {
     */
   def readSurvivors(spark: SparkSession, survivorsDir: String): DataFrame =
     BatchDirs.readAllOrFail(spark, survivorsDir)
+
+  /** Fold the accumulated per-batch signature tables into a
+    * [[graft.dedup.MinHashStore]] serving artifact — the dedup twin of
+    * [[StreamingBm25.compactTo]]: the stream's `batch=N` signature dirs
+    * are the write-optimized shape (one dir per micro-batch, no bucket
+    * pruning), the store is the read-optimized one (band-posting inverted
+    * index, bucket-pruned candidate reads). Signatures are REUSED, never
+    * recomputed — the caller passes the stream's own
+    * `shingleSize`/`numHashes`/`bands` so the store's manifest matches
+    * what the signatures were computed with (a mismatch would band the
+    * wrong lanes and silently miss candidates). Store-served
+    * [[graft.dedup.MinHashStore.dedupBatch]] verdicts are then
+    * bit-identical to the streaming incremental path's
+    * (StreamingDedupSpec asserts it).
+    */
+  def compactTo(spark: SparkSession, sigDir: String, outDir: String,
+      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      nBuckets: Int = 64): Unit =
+    graft.dedup.MinHashStore.buildFromSigs(
+      BatchDirs.readAllOrFail(spark, sigDir),
+      outDir, shingleSize, numHashes, bands, nBuckets)
 
   private def emptySignatures(spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.types._

@@ -75,10 +75,12 @@ object StreamingMediaDedup {
         .getOrElse(emptyFingerprints(spark))
       val survivors = incrementalFps(corpusFps, batchFps, batch, idCol,
         maxHamming, bands, minMatches).localCheckpoint(true)
-      survivors.write.mode("overwrite").parquet(s"$survivorsDir/batch=$batchId")
-      batchFps
-        .join(survivors.select(col(idCol).as("id")), Seq("id"), "left_semi")
-        .write.mode("overwrite").parquet(s"$fpDir/batch=$batchId")
+      try {
+        survivors.write.mode("overwrite").parquet(s"$survivorsDir/batch=$batchId")
+        batchFps
+          .join(survivors.select(col(idCol).as("id")), Seq("id"), "left_semi")
+          .write.mode("overwrite").parquet(s"$fpDir/batch=$batchId")
+      } finally graft.Pins.release(survivors) // checkpoint pin — both writes done
     } finally batchFps.unpersist()
   }
 

@@ -90,12 +90,14 @@ object StreamingSemDedup {
       val survivors = batch
         .join(dropped, Seq(idCol), "left_anti")
         .localCheckpoint(true)
-      survivors.write.mode("overwrite").parquet(s"$survivorsDir/batch=$batchId")
-      // state = the survivors' (id, cluster, vec) rows only
-      assigned
-        .join(survivors.select(col(idCol).as("id")), Seq("id"), "left_semi")
-        .select(col("id"), col("cluster"), col("vec"))
-        .write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
+      try {
+        survivors.write.mode("overwrite").parquet(s"$survivorsDir/batch=$batchId")
+        // state = the survivors' (id, cluster, vec) rows only
+        assigned
+          .join(survivors.select(col(idCol).as("id")), Seq("id"), "left_semi")
+          .select(col("id"), col("cluster"), col("vec"))
+          .write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
+      } finally graft.Pins.release(survivors) // checkpoint pin — both writes done
     } finally assigned.unpersist()
   }
 

@@ -52,10 +52,23 @@ object Bm25Store {
   final case class Manifest(version: Int, nBuckets: Int, nDocs: Long,
       sumLen: Long, maxDocId: Long)
 
-  /** Persist an in-memory [[Bm25.Index]] as segment 0. */
+  /** Persist an in-memory [[Bm25.Index]] as segment 0.
+    *
+    * A rebuild over a directory that already holds committed segments is a
+    * FULL overwrite: the whole `segs/` tree is deleted first, matching the
+    * sibling stores' overwrite discipline ([[LinkGraphStore.build]],
+    * [[graft.dedup.MinHashStore.build]]). Without the delete, stale
+    * `seg>0` directories would stay committed and [[loadManifest]] would
+    * fold them in — double-counting docs whose ids overlap the rebuilt
+    * seg 0, and (if `nBuckets` changed) mis-bucketing their postings so
+    * [[scoreTopKPersisted]]'s pruning silently drops them.
+    */
   def save(index: Bm25.Index, dir: String, nBuckets: Int = 64): Unit = {
     require(nBuckets >= 1, s"Bm25Store.save: nBuckets $nBuckets < 1")
     val spark = index.postings.sparkSession
+    val fs = fsFor(spark, dir)
+    val segsRoot = new org.apache.hadoop.fs.Path(s"$dir/segs")
+    if (fs.exists(segsRoot)) fs.delete(segsRoot, true)
     writeRootManifest(spark, dir, nBuckets)
     writeSegment(index, dir, segmentId = 0L, nBuckets)
   }

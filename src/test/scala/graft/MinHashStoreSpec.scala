@@ -38,10 +38,10 @@ class MinHashStoreSpec extends SparkSpec {
     val rb = tmp("mhs_rb")
     MinHashStore.build(docs.where(pmod($"doc_id", lit(3)) === 0), "text", "doc_id",
       rb, nBuckets = 8)
-    def sigSet(d: String) = spark.read.parquet(s"$d/sigs")
+    def sigSet(d: String) = MinHashStore.readSigs(spark, d)
       .select($"id", xxhash64($"sig"), xxhash64($"shset"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    def postSet(d: String) = spark.read.parquet(s"$d/postings")
+    def postSet(d: String) = MinHashStore.readPostings(spark, d)
       .select($"band", $"bucket", $"id")
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
     assert(sigSet(dir) == sigSet(rb))
@@ -78,5 +78,35 @@ class MinHashStoreSpec extends SparkSpec {
       MinHashStore.append(Seq((5L, "x")).toDF("doc_id", "text"), "text", "doc_id", dir)
     }
     assert(low.getMessage.contains("must sort above"))
+  }
+
+  test("segment discipline: torn append invisible, committed replay no-op") {
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val dir = tmp("mhs_seg")
+    MinHashStore.build(corpus, "text", "doc_id", dir, nBuckets = 4)
+    val batch = Seq((10L, "totally fresh words nothing shared here at all"))
+      .toDF("doc_id", "text")
+    // explicit segment id: committed replay must be a byte-level no-op
+    MinHashStore.append(batch, "text", "doc_id", dir, segmentId = 7L)
+    val before = MinHashStore.readSigs(spark, dir).count()
+    MinHashStore.append(batch, "text", "doc_id", dir, segmentId = 7L) // replay
+    assert(MinHashStore.readSigs(spark, dir).count() == before)
+    assert(MinHashStore.loadManifest(spark, dir).nDocs == 3L)
+    // auto-id retry of a committed append fails LOUDLY (id guard), never duplicates
+    val dup = intercept[IllegalArgumentException] {
+      MinHashStore.append(batch, "text", "doc_id", dir)
+    }
+    assert(dup.getMessage.contains("must sort above"))
+    // torn append: a segment dir without _done is invisible to every reader
+    val torn = new java.io.File(s"$dir/segs/seg=9/sigs")
+    torn.mkdirs()
+    assert(MinHashStore.committedSegments(spark, dir) == Seq(0L, 7L))
+    assert(MinHashStore.readSigs(spark, dir).count() == before)
+    // rebuild over a dir with committed segments: full overwrite, no stale folds
+    MinHashStore.build(corpus, "text", "doc_id", dir, nBuckets = 4)
+    assert(MinHashStore.committedSegments(spark, dir) == Seq(0L))
+    assert(MinHashStore.loadManifest(spark, dir).nDocs == 2L)
   }
 }

@@ -52,5 +52,26 @@ class StreamingDedupSpec extends SparkSpec {
     val replayed = StreamingDedup.readSurvivors(spark, survDir)
       .select($"doc_id").as[Long].collect().sorted.toSeq
     assert(replayed == Seq(1L, 2L, 5L), s"replay changed survivors: $replayed")
+
+    // compactTo: fold the per-batch signature dirs into the MinHashStore
+    // serving artifact — store-served verdicts ≡ the streaming
+    // incremental path, on a batch with one near-dup of an admitted doc
+    // (6 dies against 1) and one novel doc (7 survives)
+    val storeDir = s"$dir/mhstore"
+    StreamingDedup.compactTo(spark, sigDir, storeDir)
+    val m = graft.dedup.MinHashStore.loadManifest(spark, storeDir)
+    assert(m.nDocs == 3L, s"store holds ${m.nDocs} docs, admitted 3")
+    val nextBatch = Seq(
+      (6L, base.replace("quick", "swift")),
+      (7L, "entirely novel words about nothing previously admitted whatsoever")
+    ).toDF("doc_id", "text")
+    val stored = graft.dedup.MinHashStore
+      .dedupBatch(spark, storeDir, nextBatch, "text", "doc_id", threshold = 0.5)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    StreamingDedup.applyBatch(nextBatch, 2L, "text", "doc_id", survDir, sigDir, 0.5)
+    val streamed = spark.read.parquet(s"$survDir/batch=2")
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(stored == streamed && stored == Seq(7L),
+      s"store-served $stored != streaming $streamed (expected {7})")
   }
 }
