@@ -510,10 +510,17 @@ object LlmQueries {
     }),
 
     // BM25 lexical retrieval: exact-term inverted index, df-pruned IDF
-    // broadcast; score sums round at the edge (accumulation order)
+    // broadcast; score sums round at the edge (accumulation order).
+    // maxDfFraction = 0.9, NOT the 0.5 default: the synthetic corpus has
+    // a 31-word vocabulary where all but one term exceed df/N = 0.5, and
+    // the one survivor never appears in the query docs — at 0.5 this gate
+    // (and the persisted twin sharing its oracle) hash-matched on ZERO
+    // rows, proving nothing. 0.9 keeps the cap computation live (the df
+    // prune still evaluates) while every SF scores real documents.
     "q_bm25" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      Bm25.topK(docs, docs.where(col("doc_id") < 5), "text", "doc_id", k = 5)
+      Bm25.topK(docs, docs.where(col("doc_id") < 5), "text", "doc_id", k = 5,
+          maxDfFraction = Some(0.9))
         .withColumn("rank", col("rank").cast("long"))
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -544,7 +551,8 @@ object LlmQueries {
         d
       })
       graft.text.Bm25Store.scoreTopKPersisted(s, idxDir,
-          docs.where(col("doc_id") < 5), "text", "doc_id", k = 5)
+          docs.where(col("doc_id") < 5), "text", "doc_id", k = 5,
+          maxDfFraction = Some(0.9))
         .withColumn("rank", col("rank").cast("long"))
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -3840,7 +3848,9 @@ object LlmQueries {
     "q_text_quality" -> s"$qualitySelectSql ORDER BY doc_id",
     // BM25: mirrors Bm25.topK term-for-term — integer tf/df/len, the
     // scalar (N, avgLen) pair recomputed the same way, the exact
-    // contribution expression order, round-4 at the score sum
+    // contribution expression order, round-4 at the score sum.
+    // df cap 0.9 (matches the gate — see the queries() comment: 0.5
+    // zero-rowed both BM25 serving lanes on the synthetic vocabulary)
     "q_bm25" ->
       s"""WITH tk AS (
          |  SELECT doc_id, list_filter($toksSql, x -> x <> '') AS toks FROM documents
@@ -3853,7 +3863,7 @@ object LlmQueries {
          |  SELECT term, count(*) AS df FROM tf GROUP BY term
          |), idf AS MATERIALIZED (
          |  SELECT term, ln(((n - df + 0.5E0) / (df + 0.5E0)) + 1.0E0) AS idf
-         |  FROM dfc, st WHERE df <= greatest(1, CAST(floor(n * 0.5E0) AS BIGINT))
+         |  FROM dfc, st WHERE df <= greatest(1, CAST(floor(n * 0.9E0) AS BIGINT))
          |), qt AS (
          |  SELECT DISTINCT doc_id AS query_id, unnest(toks) AS term FROM tk WHERE doc_id < 5
          |), contrib AS (

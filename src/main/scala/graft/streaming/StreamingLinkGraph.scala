@@ -66,7 +66,13 @@ object StreamingLinkGraph {
     }
 
   /** Fold one micro-batch of documents into the delta log (see class
-    * doc). Also usable for batch backfill replays.
+    * doc). Also usable for batch backfill replays — but batches must be
+    * applied IN ORDER: a committed batch's delta was computed against
+    * every delta before it, so applying a LOWER batch id after a higher
+    * one committed would leave the higher delta blind to this batch's df
+    * contributions (silently breaking append ≡ rebuild). Enforced
+    * fail-fast below; a replay of an already-COMMITTED id is still a
+    * no-op (the marker check precedes the order guard).
     */
   def applyBatch(batch: DataFrame, batchId: Long, idCol: String, textCol: String,
       dir: String): Unit = {
@@ -76,7 +82,15 @@ object StreamingLinkGraph {
     val dDir = s"$dir/deltas/batch=$batchId"
     if (fs.exists(new org.apache.hadoop.fs.Path(s"$dDir/_done"))) return // committed: replay no-op
     val m = LinkGraphStore.loadManifest(spark, s"$dir/base")
-    val prior = committedBatches(spark, dir).filter(_ < batchId)
+    val prior = committedBatches(spark, dir)
+    // strict in-order application: every committed id must be SMALLER —
+    // out-of-order backfill would invalidate already-committed deltas
+    require(prior.isEmpty || batchId > prior.max,
+      s"StreamingLinkGraph: batch $batchId applied after batch ${prior.max} " +
+        "committed - deltas are computed against every prior delta, so " +
+        "batches must be applied in ascending batchId order (a committed " +
+        "id's replay is a no-op; an unseen LOWER id cannot be folded in " +
+        "after a higher one - rebuild the log from the base instead)")
     // id discipline (the LinkGraphStore.append contract, across the log)
     val priorMax = (m.maxId +: prior.map(b => readMeta(spark, dir, b).maxId)).max
     // distinct counted over the CAST id — the key ingestion actually

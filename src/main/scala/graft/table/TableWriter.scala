@@ -102,7 +102,14 @@ object TableWriter {
         s""""nominal":$nominal,"null_count":${d.nullCount},"approx_distinct":${d.approxDistinct},""" +
         s""""distinct_sketch":$sketch,"quantile_sketch":$qsketch}"""
     }
-    val json = s"""{"row_count":$rowCount,"columns":[${cols.mkString(",")}]}"""
+    // the fingerprint of the data the stats describe (listed AFTER the
+    // data write, so it covers exactly what is on disk now) — appendWrite
+    // compares it against a fresh listing to detect a prior TORN append
+    // (data landed, sidecar didn't) and route to the full-rescan fallback
+    // instead of merging a stale prior
+    val (nFiles, nBytes) = dataFingerprint(spark, path)
+    val json = s"""{"row_count":$rowCount,"data_files":$nFiles,""" +
+      s""""data_bytes":$nBytes,"columns":[${cols.mkString(",")}]}"""
     // Hadoop FileSystem, not java.nio: the table path may be s3a/hdfs —
     // the sidecar must land next to the data wherever it lives
     val p = new org.apache.hadoop.fs.Path(path, "_graft_domains.json")
@@ -198,6 +205,54 @@ object TableWriter {
 
   private lazy val domainsMapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
+  /** (file count, total bytes) over the table's DATA files — hidden files
+    * (`_SUCCESS`, the sidecar itself, committer temp dirs) excluded,
+    * recursive so partitioned layouts fingerprint too. Cheap: one
+    * namespace listing, no data reads.
+    */
+  private def dataFingerprint(spark: SparkSession, path: String): (Long, Long) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) (0L, 0L)
+    else {
+      var n = 0L; var b = 0L
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val f = it.next()
+        val name = f.getPath.getName
+        // skip hidden files AND files inside hidden dirs (_temporary)
+        val hidden = {
+          var q: org.apache.hadoop.fs.Path = f.getPath
+          var h = false
+          while (q != null && !q.equals(p)) {
+            val nm = q.getName
+            if (nm.startsWith("_") || nm.startsWith(".")) h = true
+            q = q.getParent
+          }
+          h
+        }
+        if (!hidden && !name.startsWith("_") && !name.startsWith(".")) {
+          n += 1; b += f.getLen
+        }
+      }
+      (n, b)
+    }
+  }
+
+  /** The fingerprint the sidecar recorded at persist time — None for
+    * sidecars written before fingerprints existed (treated as stale:
+    * recompute is always correct).
+    */
+  private def recordedFingerprint(spark: SparkSession, path: String): Option[(Long, Long)] =
+    readDomainsJson(spark, path).flatMap { json =>
+      try {
+        val root = domainsMapper.readTree(json)
+        if (root != null && root.has("data_files") && root.has("data_bytes"))
+          Some((root.get("data_files").longValue(), root.get("data_bytes").longValue()))
+        else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
   /** Append a batch to an existing table and MERGE its statistics into
     * the sidecar without rescanning the old data — the reference's
     * incremental domain maintenance (domains updated batch by batch
@@ -206,9 +261,15 @@ object TableWriter {
     * as an on-disk lifecycle: one batch-sized aggregation +
     * [[Domains.merge]] (exact min/max/nulls/nominal; HLL/KLL sketch
     * unions for distinct/quantiles — recompute-grade, see KTableSpec).
-    * Falls back to a full recompute when the existing sidecar is absent
-    * or schema-incompatible (always correct, costs the rescan the merge
-    * path exists to avoid). First write to an empty path = [[write]].
+    * Falls back to a full recompute when the existing sidecar is absent,
+    * schema-incompatible, or STALE — the sidecar records a data-file
+    * fingerprint (count + bytes) at persist time, and a mismatch against
+    * the table's current listing means a prior append crashed between its
+    * data write and its sidecar write (the data/sidecar pair is not
+    * atomic). The rescan folds the orphaned rows back into truthful
+    * stats; without the check every later merge would compound the stale
+    * prior silently. Always correct, costs the rescan the merge path
+    * exists to avoid. First write to an empty path = [[write]].
     */
   def appendWrite(
       df: DataFrame,
@@ -228,6 +289,10 @@ object TableWriter {
       RowId.assertUniqueRowIds(df) // batch-internal; cross-batch uniqueness
       // is the id-monotone ingest contract, as in the artifact family
     }
+    // listed BEFORE this batch's append: equality with the recorded
+    // fingerprint certifies the sidecar describes exactly the data on disk
+    val sidecarFresh = recordedFingerprint(spark, path)
+      .contains(dataFingerprint(spark, path))
     df.write.mode("append").parquet(path)
     val (batchDomains, batchCount) = Domains.computeWithRowCount(df, nominalCap)
     val merged = prior match {
@@ -236,12 +301,13 @@ object TableWriter {
       // DataTypes directly would silently demote every table with a
       // non-nullable array/struct column to the full-rescan fallback
       case Some((priorCount, priorDomains))
-          if priorDomains.map(d => (d.column, d.dataType.simpleString)) ==
+          if sidecarFresh &&
+             priorDomains.map(d => (d.column, d.dataType.simpleString)) ==
              batchDomains.map(d => (d.column, d.dataType.simpleString)) =>
         (priorCount + batchCount, Domains.merge(priorDomains, batchDomains, nominalCap))
       case _ =>
-        // sidecar missing/incompatible: recompute over the whole table —
-        // slower, never wrong
+        // sidecar missing/incompatible/stale: recompute over the whole
+        // table — slower, never wrong
         Domains.computeWithRowCount(spark.read.parquet(path), nominalCap).swap
     }
     persistDomains(spark, path, merged._1, merged._2)

@@ -130,5 +130,19 @@ class StreamingLinkGraphSpec extends SparkSpec {
     StreamingLinkGraph.applyBatch(Seq.empty[(Long, String)].toDF("doc_id", "text"),
       0L, "doc_id", "text", dir)
     assert(StreamingLinkGraph.committedBatches(spark, dir).isEmpty)
+    // out-of-order backfill: committing batch 5 then applying unseen
+    // batch 3 must fail LOUDLY — batch 5's delta was computed without 3's
+    // df contributions, so folding 3 in afterwards breaks append≡rebuild
+    StreamingLinkGraph.applyBatch(Seq((10L, "c d")).toDF("doc_id", "text"),
+      5L, "doc_id", "text", dir)
+    val ooo = intercept[IllegalArgumentException] {
+      StreamingLinkGraph.applyBatch(Seq((20L, "e f")).toDF("doc_id", "text"),
+        3L, "doc_id", "text", dir)
+    }
+    assert(ooo.getMessage.contains("ascending batchId order"))
+    // a committed id's replay still short-circuits BEFORE the order guard
+    StreamingLinkGraph.applyBatch(Seq((10L, "c d")).toDF("doc_id", "text"),
+      5L, "doc_id", "text", dir)
+    assert(StreamingLinkGraph.committedBatches(spark, dir) == Seq(5L))
   }
 }

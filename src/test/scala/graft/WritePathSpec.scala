@@ -76,6 +76,29 @@ class WritePathSpec extends SparkSpec {
     assert(res.domains.find(_.column == "k").get.max.contains(3))
   }
 
+  test("appendWrite detects a torn prior append (data landed, sidecar didn't) and recomputes") {
+    val out = tmp("appendw_torn")
+    TableWriter.write(Seq((1, "a"), (2, "b")).toDF("k", "s"), out)
+    // simulate a crash AFTER the data append but BEFORE the sidecar merge:
+    // rows land with no sidecar update — the stale sidecar still says 2
+    Seq((100, "orphan")).toDF("k", "s").write.mode("append").parquet(out)
+    assert(TableWriter.readDomains(spark, out).get._1 == 2) // stale, as a crash leaves it
+    // the next appendWrite must NOT merge the stale prior: the fingerprint
+    // mismatch routes to the full rescan, folding the orphan rows back in
+    val res = TableWriter.appendWrite(Seq((3, "c")).toDF("k", "s"), out)
+    assert(res.rowCount == 4, s"expected truthful 4 rows, got ${res.rowCount}")
+    assert(res.domains.find(_.column == "k").get.max.contains(100))
+    // and once repaired, the fast merge path works again (fingerprint fresh)
+    val res2 = TableWriter.appendWrite(Seq((200, "d")).toDF("k", "s"), out)
+    assert(res2.rowCount == 5)
+    assert(res2.domains.find(_.column == "k").get.max.contains(200))
+    val recomputed = graft.table.Domains.compute(spark.read.parquet(out), 60)
+    res2.domains.zip(recomputed).foreach { case (m, r) =>
+      assert(m.min == r.min && m.max == r.max && m.nullCount == r.nullCount,
+        s"${m.column}: merged $m vs recomputed $r")
+    }
+  }
+
   test("write rejects duplicate RowIDs when checked") {
     val df = Seq(("Row0", 1), ("Row0", 2)).toDF("row_id", "v")
     intercept[IllegalArgumentException] {
