@@ -148,7 +148,9 @@ object Bench {
     "q_pagerank_weighted_artifact",
     "q_linkgraph_stream",
     "q_span_novelty_artifact",
-    "q_minhash_store"
+    "q_minhash_store",
+    // round 13: appendAuto's delta-routed maintenance lane
+    "q_linkgraph_append_auto"
   )
 
   def main(args: Array[String]): Unit = {
@@ -207,14 +209,21 @@ object Bench {
     val total = guarded.map(_._2).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
-    // the JSON line is the round artifact: flush it explicitly (an
-    // unflushed buffer at JVM teardown is a truncated BENCH_r*.json —
-    // r11's driver capture read `parsed: null`), and mirror it to a file
-    // so a clipped stdout capture is recoverable
+    // the capture keeps the END of stdout, and the full per-lane line is
+    // now 100+ lanes long — r11 AND r12 driver captures front-truncated
+    // it into `parsed: null`. So the LAST line is a compact self-contained
+    // summary (same shape, no per-lane map) that survives any tail clip;
+    // the full map rides the line above and the mirror file
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""n_queries":${guarded.size},"sf":"$sfDir"}"""
+    println(summary)
+    // flush explicitly (an unflushed buffer at JVM teardown is a
+    // truncated BENCH_r*.json), and mirror the full line to a file so a
+    // clipped stdout capture is recoverable
     System.out.flush()
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-        "/tmp/graft_bench_last.json")), line + "\n")
+        "/tmp/graft_bench_last.json")), line + "\n" + summary + "\n")
     catch { case _: Exception => () }
     spark.stop()
   }

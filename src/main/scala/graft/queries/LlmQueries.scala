@@ -1982,6 +1982,34 @@ object LlmQueries {
       })
       graft.text.LinkGraphStore.loadEdgesCanonical(s, gDir)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // appendAuto ROUTING gated end-to-end: base on all but the 20
+    // highest-id docs, then two 10-doc batches through appendAuto — small
+    // relative to the corpus, so both land in the DELTA log (the
+    // batch-proportional path; in-place would pay the touched-bucket
+    // floor), and the canonical reader serves base+deltas merged. Same
+    // band-crossing parameters (w=3, maxDf=4) and same full-corpus oracle
+    // as q_linkgraph_append: matching it proves the routed path is
+    // bit-identical to a rebuild, retractions included
+    "q_linkgraph_append_auto" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val gDir = ivfIndexDirs.computeIfAbsent(dir + "#lgauto", _ => {
+        val d = java.nio.file.Files.createTempDirectory("graft_lgauto").toString
+        val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+        graft.text.LinkGraphStore.build(docs.where(col("doc_id") <= mx - 20),
+          "doc_id", "text", w = 3, maxDf = 4, d, nBuckets = 16)
+        val r1 = graft.text.LinkGraphStore.appendAuto(
+          docs.where(col("doc_id") > mx - 20 && col("doc_id") <= mx - 10),
+          "doc_id", "text", d)
+        val r2 = graft.text.LinkGraphStore.appendAuto(
+          docs.where(col("doc_id") > mx - 10), "doc_id", "text", d)
+        require(r1 == "delta" && r2 == "delta",
+          s"q_linkgraph_append_auto: expected delta routing, got $r1/$r2")
+        d
+      })
+      graft.text.LinkGraphStore.loadEdgesCanonical(s, gDir)
+        .orderBy(col("id_a"), col("id_b"))
     })
   )
 
@@ -2166,7 +2194,10 @@ object LlmQueries {
       // the streamed delta-log graph serves the same closure
       ("q_linkgraph_stream" -> m("q_components")) +
       // the persisted near-dup index serves the incremental semantics
-      ("q_minhash_store" -> m("q_minhash_incremental"))
+      ("q_minhash_store" -> m("q_minhash_incremental")) +
+      // appendAuto's delta-routed small batches must serve the same
+      // full-corpus support table through the merged readers
+      ("q_linkgraph_append_auto" -> m("q_linkgraph_append"))
 
   /** Exact all-occurrences oracle for the blocklist lanes: every start
     * position × every term, substring-compared — O(chars · terms), the

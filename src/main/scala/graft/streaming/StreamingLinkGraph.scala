@@ -57,6 +57,12 @@ object StreamingLinkGraph {
       maxDf: Int, dir: String, nBuckets: Int = 64): Unit =
     LinkGraphStore.build(docs, idCol, textCol, w, maxDf, s"$dir/base", nBuckets)
 
+  // The delta machinery below is parameterized by (baseDir, deltaRoot) so
+  // the SAME code backs two layouts: this twin's streaming dir
+  // (base = dir/base, deltas = dir/deltas) and [[LinkGraphStore.appendAuto]]'s
+  // flat artifact with its own sidecar log (base = dir, deltas = dir/deltas)
+  // — one delta format, one effective-surface merge, two entry points.
+
   /** Wire a document stream into continuous edge maintenance. Caller
     * sets checkpoint/trigger and starts the writer.
     */
@@ -75,14 +81,24 @@ object StreamingLinkGraph {
     * no-op (the marker check precedes the order guard).
     */
   def applyBatch(batch: DataFrame, batchId: Long, idCol: String, textCol: String,
-      dir: String): Unit = {
+      dir: String): Unit =
+    applyBatchTo(batch, batchId, idCol, textCol, s"$dir/base", s"$dir/deltas")
+
+  /** [[applyBatch]] against explicit (baseDir, deltaRoot) — the flat-
+    * artifact entry point [[LinkGraphStore.appendAuto]] routes small
+    * batches through. Committed ids at or below the base manifest's
+    * `lastBatchId` are already FOLDED into the base surfaces
+    * ([[LinkGraphStore.compactInPlace]]) and ignored here.
+    */
+  private[graft] def applyBatchTo(batch: DataFrame, batchId: Long, idCol: String,
+      textCol: String, baseDir: String, deltaRoot: String): Unit = {
     val spark = batch.sparkSession
-    val fs = new org.apache.hadoop.fs.Path(dir)
+    val fs = new org.apache.hadoop.fs.Path(deltaRoot)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dDir = s"$dir/deltas/batch=$batchId"
+    val dDir = s"$deltaRoot/batch=$batchId"
     if (fs.exists(new org.apache.hadoop.fs.Path(s"$dDir/_done"))) return // committed: replay no-op
-    val m = LinkGraphStore.loadManifest(spark, s"$dir/base")
-    val prior = committedBatches(spark, dir)
+    val m = LinkGraphStore.loadManifest(spark, baseDir)
+    val prior = committedBatchesAt(spark, deltaRoot).filter(_ > m.lastBatchId)
     // strict in-order application: every committed id must be SMALLER —
     // out-of-order backfill would invalidate already-committed deltas
     require(prior.isEmpty || batchId > prior.max,
@@ -91,8 +107,12 @@ object StreamingLinkGraph {
         "batches must be applied in ascending batchId order (a committed " +
         "id's replay is a no-op; an unseen LOWER id cannot be folded in " +
         "after a higher one - rebuild the log from the base instead)")
+    require(batchId > m.lastBatchId,
+      s"StreamingLinkGraph: batch $batchId is at or below the base's " +
+        s"folded-through watermark ${m.lastBatchId} - its id range was " +
+        "already compacted into the base surfaces")
     // id discipline (the LinkGraphStore.append contract, across the log)
-    val priorMax = (m.maxId +: prior.map(b => readMeta(spark, dir, b).maxId)).max
+    val priorMax = (m.maxId +: prior.map(b => readMetaAt(spark, deltaRoot, b).maxId)).max
     // distinct counted over the CAST id — the key ingestion actually
     // uses; distinct raw values that collide after the cast would
     // otherwise slip past the guard and double-count span dfs
@@ -119,39 +139,17 @@ object StreamingLinkGraph {
         .distinct().collect().map(_.getInt(0)).sorted
       // effective df per touched span: the LATEST committed delta wins,
       // else base, else 0 (bucket-pruned base scan; deltas are batch-sized)
-      val baseDfs = LinkGraphStore.readDfsSurface(spark, s"$dir/base")
+      val baseDfs = LinkGraphStore.readDfsSurface(spark, baseDir)
         .where(col("bucket").isInCollection(tb)).select(col("h"), col("df"))
-      val deltaDfs = prior.map(b =>
-          spark.read.schema(deltaDfsSchema).parquet(s"$dir/deltas/batch=$b/dfs")
-            .select(col("h"), col("df"), lit(b).as("__b")))
-        .reduceOption(_ unionAll _)
-      val latestDelta = deltaDfs.map(dd => dd
-        .groupBy(col("h"))
-        .agg(max_by(col("df"), col("__b")).as("__ddf")))
-      val effDf = latestDelta match {
-        case Some(ld) => baseDfs.join(ld, Seq("h"), "full_outer")
-          .select(col("h"), coalesce(col("__ddf"), col("df")).as("df"))
-        case None => baseDfs
-      }
+      val effDf = effectiveDfs(spark, baseDfs, deltaRoot, prior)
       val touched = batchDf.join(effDf, Seq("h"), "left")
         .select(col("h"), coalesce(col("df"), lit(0L)).as("old_df"),
           (coalesce(col("df"), lit(0L)) + col("__add")).as("new_df"))
         .localCheckpoint(true)
       try {
-        // effective postings: base ∪ committed adds, minus spans blown in
-        // any committed delta (df is monotone: once blown, never re-adds)
-        val basePosts = LinkGraphStore.readPostingsSurface(spark, s"$dir/base")
+        val basePosts = LinkGraphStore.readPostingsSurface(spark, baseDir)
           .where(col("bucket").isInCollection(tb)).select(col("h"), col("id"))
-        val adds = prior.map(b =>
-            spark.read.schema(postAddSchema).parquet(s"$dir/deltas/batch=$b/post_add")
-              .select(col("h"), col("id")))
-          .reduceOption(_ unionAll _)
-        val blownPrior = prior.map(b =>
-            spark.read.schema(blownSchema).parquet(s"$dir/deltas/batch=$b/blown")
-              .select(col("h")))
-          .reduceOption(_ unionAll _)
-        val unioned = adds.fold(basePosts)(basePosts.unionAll)
-        val effPosts = blownPrior.fold(unioned)(bp => unioned.join(bp, Seq("h"), "left_anti"))
+        val effPosts = effectivePostings(spark, basePosts, deltaRoot, prior)
         val delta = LinkGraphStore.edgeDeltas(batchSpans, touched, effPosts, m.maxDf)
         try {
           // delta surfaces (all plain overwrites — torn attempts rewrite)
@@ -183,15 +181,57 @@ object StreamingLinkGraph {
     * committed delta; support > 0 survives. Bit-identical to a batch
     * rebuild over all ingested documents.
     */
-  def readEdgesCanonical(spark: SparkSession, dir: String): DataFrame = {
-    val base = LinkGraphStore.loadEdgesCanonical(spark, s"$dir/base")
-      .select(col("id_a"), col("id_b"), col("support").as("d"))
-    val deltas = committedBatches(spark, dir).map(b =>
-      spark.read.schema(deltaEdgesSchema).parquet(s"$dir/deltas/batch=$b/edges")
+  def readEdgesCanonical(spark: SparkSession, dir: String): DataFrame =
+    mergedEdgesCanonical(spark,
+      LinkGraphStore.loadEdgesCanonical(spark, s"$dir/base"),
+      s"$dir/deltas", committedBatches(spark, dir))
+
+  /** Base canonical edges merged with the given committed deltas;
+    * support > 0 survives. Shared with the flat-artifact readers.
+    */
+  private[graft] def mergedEdgesCanonical(spark: SparkSession, baseEdges: DataFrame,
+      deltaRoot: String, ids: Seq[Long]): DataFrame = {
+    if (ids.isEmpty) return baseEdges
+    val base = baseEdges.select(col("id_a"), col("id_b"), col("support").as("d"))
+    val deltas = ids.map(b =>
+      spark.read.schema(deltaEdgesSchema).parquet(s"$deltaRoot/batch=$b/edges")
         .select(col("id_a"), col("id_b"), col("d")))
     (base +: deltas).reduce(_ unionAll _)
       .groupBy(col("id_a"), col("id_b")).agg(sum(col("d")).as("support"))
       .where(col("support") > 0)
+  }
+
+  /** (h, df) with the LATEST committed delta winning over the base rows —
+    * the effective document-frequency surface.
+    */
+  private[graft] def effectiveDfs(spark: SparkSession, baseDfs: DataFrame,
+      deltaRoot: String, ids: Seq[Long]): DataFrame = {
+    if (ids.isEmpty) return baseDfs
+    val dd = ids.map(b =>
+        spark.read.schema(deltaDfsSchema).parquet(s"$deltaRoot/batch=$b/dfs")
+          .select(col("h"), col("df"), lit(b).as("__b")))
+      .reduce(_ unionAll _)
+    val latest = dd.groupBy(col("h")).agg(max_by(col("df"), col("__b")).as("__ddf"))
+    baseDfs.join(latest, Seq("h"), "full_outer")
+      .select(col("h"), coalesce(col("__ddf"), col("df")).as("df"))
+  }
+
+  /** (h, id) effective postings: base ∪ committed adds, minus spans
+    * blown in any committed delta (df is monotone: once blown, never
+    * re-adds).
+    */
+  private[graft] def effectivePostings(spark: SparkSession, basePosts: DataFrame,
+      deltaRoot: String, ids: Seq[Long]): DataFrame = {
+    if (ids.isEmpty) return basePosts
+    val adds = ids.map(b =>
+        spark.read.schema(postAddSchema).parquet(s"$deltaRoot/batch=$b/post_add")
+          .select(col("h"), col("id")))
+      .reduce(_ unionAll _)
+    val blown = ids.map(b =>
+        spark.read.schema(blownSchema).parquet(s"$deltaRoot/batch=$b/blown")
+          .select(col("h")))
+      .reduce(_ unionAll _)
+    basePosts.unionAll(adds).join(blown, Seq("h"), "left_anti")
   }
 
   /** Symmetric (src, dst) edges for the graph operators —
@@ -237,31 +277,19 @@ object StreamingLinkGraph {
     val nB = m.nBuckets
     val edges = readEdgesCanonical(spark, dir).localCheckpoint(true)
     try {
-      val basePosts = LinkGraphStore.readPostingsSurface(spark, s"$dir/base")
-        .select(col("h"), col("id"))
-      val adds = committed.map(b =>
-          spark.read.schema(postAddSchema).parquet(s"$dir/deltas/batch=$b/post_add")
-            .select(col("h"), col("id")))
-        .reduceOption(_ unionAll _)
-      val blown = committed.map(b =>
-          spark.read.schema(blownSchema).parquet(s"$dir/deltas/batch=$b/blown")
-            .select(col("h")))
-        .reduceOption(_ unionAll _)
-      val unioned = adds.fold(basePosts)(basePosts.unionAll)
-      val posts = blown.fold(unioned)(bp => unioned.join(bp, Seq("h"), "left_anti"))
-      val baseDfs = LinkGraphStore.readDfsSurface(spark, s"$dir/base")
-        .select(col("h"), col("df"))
-      val deltaDfs = committed.map(b =>
-          spark.read.schema(deltaDfsSchema).parquet(s"$dir/deltas/batch=$b/dfs")
-            .select(col("h"), col("df"), lit(b).as("__b")))
-        .reduceOption(_ unionAll _)
-      val dfs = deltaDfs match {
-        case Some(dd) =>
-          val latest = dd.groupBy(col("h")).agg(max_by(col("df"), col("__b")).as("__ddf"))
-          baseDfs.join(latest, Seq("h"), "full_outer")
-            .select(col("h"), coalesce(col("__ddf"), col("df")).as("df"))
-        case None => baseDfs
-      }
+      val posts = effectivePostings(spark,
+        LinkGraphStore.readPostingsSurface(spark, s"$dir/base")
+          .select(col("h"), col("id")),
+        s"$dir/deltas", committed)
+      val dfs = effectiveDfs(spark,
+        LinkGraphStore.readDfsSurface(spark, s"$dir/base")
+          .select(col("h"), col("df")),
+        s"$dir/deltas", committed)
+      // epoch stamps FIRST, manifest last (the torn-write detection
+      // discipline — matters when outDir is being re-compacted in place
+      // over an older artifact)
+      val newEpoch = LinkGraphStore.nextEpoch(spark, outDir)
+      LinkGraphStore.stampEpochs(spark, outDir, newEpoch)
       // through the store's own writer: repartition-by-bucket = one file
       // per bucket, not tasks x buckets
       LinkGraphStore.writeBucketed(edges.withColumn("bucket",
@@ -276,7 +304,8 @@ object StreamingLinkGraph {
         nDocs = m.nDocs + metas.map(_.nDocs).sum,
         nEdges = edges.count(),
         maxId = (m.maxId +: metas.map(_.maxId)).max,
-        lastBatchId = (-1L +: committed).max)
+        lastBatchId = (-1L +: committed).max,
+        epoch = newEpoch)
       // manifest last, via the store's own writer (same JSON shape)
       LinkGraphStore.writeManifestFor(spark, outDir, manifest)
     } finally graft.Pins.release(edges)
@@ -284,17 +313,24 @@ object StreamingLinkGraph {
 
   final case class DeltaMeta(batchId: Long, nDocs: Long, maxId: Long, nRetractions: Long)
 
-  def readMeta(spark: SparkSession, dir: String, batchId: Long): DeltaMeta = {
+  def readMeta(spark: SparkSession, dir: String, batchId: Long): DeltaMeta =
+    readMetaAt(spark, s"$dir/deltas", batchId)
+
+  private[graft] def readMetaAt(spark: SparkSession, deltaRoot: String,
+      batchId: Long): DeltaMeta = {
     import graft.sources.{ArtifactJson => J}
-    val where = s"$dir/deltas/batch=$batchId"
+    val where = s"$deltaRoot/batch=$batchId"
     val node = J.readFile(spark, s"$where/_meta.json")
     DeltaMeta(J.long(node, "batchId", where), J.long(node, "nDocs", where),
       J.long(node, "maxId", where), J.long(node, "nRetractions", where))
   }
 
   /** Committed delta batch ids (marker present), ascending. */
-  def committedBatches(spark: SparkSession, dir: String): Seq[Long] = {
-    val root = new org.apache.hadoop.fs.Path(s"$dir/deltas")
+  def committedBatches(spark: SparkSession, dir: String): Seq[Long] =
+    committedBatchesAt(spark, s"$dir/deltas")
+
+  private[graft] def committedBatchesAt(spark: SparkSession, deltaRoot: String): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(deltaRoot)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).toSeq

@@ -37,8 +37,15 @@ import org.apache.spark.sql.functions._
   *   dir/edges/bucket=B/     (id_a, id_b, support)   id_a < id_b
   *   dir/postings/bucket=B/  (h, id)                 spans with df ≤ maxDf
   *   dir/dfs/bucket=B/       (h, df)                 every span ever seen
+  *   dir/_epoch_edges        per-surface epoch stamps (torn-write
+  *   dir/_epoch_postings     detection - see loadManifest; written with
+  *   dir/_epoch_dfs          the TARGET epoch before any data write)
+  *   dir/deltas/batch=N/     OPTIONAL live delta log (appendAuto's
+  *                           small-batch path - StreamingLinkGraph's
+  *                           exactly-once entry format; entries with id ≤
+  *                           manifest.lastBatchId are folded and ignored)
   *   dir/_manifest.json      {version, w, maxDf, nBuckets, nDocs,
-  *                            nEdges, maxId, lastBatchId}
+  *                            nEdges, maxId, lastBatchId, epoch}  LAST
   * }}}
   * Every surface is hash-bucketed (`pmod` over `nBuckets`) so an append
   * rewrites ONLY the buckets its batch touches, via dynamic partition
@@ -52,19 +59,21 @@ import org.apache.spark.sql.functions._
   *  - Appended ids must sort ABOVE the manifest's `maxId` and be unique
   *    within the batch (the IVF append's id discipline) — enforced
   *    fail-fast; df counting is only exact for first-seen documents.
-  *  - Write ordering is data-first / manifest-last (the Export
-  *    discipline): the manifest never over-certifies. A crash MID-append
-  *    can leave the three data surfaces at different epochs — an append
-  *    is not crash-atomic across surfaces; re-running it would
-  *    double-apply edge deltas, so recover a torn append by rebuilding
-  *    (streaming ingestion replays are safe: [[Manifest.lastBatchId]]
-  *    makes a committed batch's replay a no-op — see
-  *    [[graft.streaming.StreamingLinkGraph]]).
+  *  - Write ordering is stamps-first / data / manifest-LAST: the manifest
+  *    never over-certifies, and because every mutation stamps its target
+  *    epoch on all three surfaces BEFORE touching data, a crash anywhere
+  *    mid-mutation leaves stamps ahead of the manifest — [[loadManifest]]
+  *    fails fast naming the recovery (rebuild) instead of silently
+  *    serving mixed-epoch surfaces. Re-running a torn in-place append
+  *    would double-apply edge deltas, hence rebuild; crash-SAFE ingestion
+  *    is [[appendAuto]]'s delta path / [[graft.streaming.StreamingLinkGraph]],
+  *    whose committed entries replay as no-ops.
   */
 object LinkGraphStore {
 
   final case class Manifest(version: Int, w: Int, maxDf: Int, nBuckets: Int,
-      nDocs: Long, nEdges: Long, maxId: Long, lastBatchId: Long)
+      nDocs: Long, nEdges: Long, maxId: Long, lastBatchId: Long,
+      epoch: Long)
 
   /** Build the artifact from scratch. One span explode + one df
     * aggregation + the banded pair join (the
@@ -76,6 +85,16 @@ object LinkGraphStore {
     require(maxDf >= 2, s"LinkGraphStore.build: maxDf $maxDf < 2")
     require(nBuckets >= 1, s"LinkGraphStore.build: nBuckets $nBuckets < 1")
     val spark = docs.sparkSession
+    // intent-first epoch stamps (see loadManifest): a crash anywhere
+    // between here and the manifest write leaves stamps ahead of the
+    // manifest and readers fail fast instead of serving mixed surfaces
+    val newEpoch = nextEpoch(spark, dir)
+    stampEpochs(spark, dir, newEpoch)
+    // a REBUILD is a full overwrite: stale appendAuto delta entries must
+    // not survive it (readers would fold them into the fresh surfaces)
+    val deltaRoot = new org.apache.hadoop.fs.Path(s"$dir/deltas")
+    val dfsys = deltaRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (dfsys.exists(deltaRoot)) dfsys.delete(deltaRoot, true)
     // pinned: consumed by the df agg, the postings write, and the pair join
     val spans = docs.select(col(idCol).cast("long").as("id"),
         explode(T.shingleHashes(col(textCol), w)).as("h"))
@@ -105,7 +124,7 @@ object LinkGraphStore {
           writeManifest(spark, dir, Manifest(1, w, maxDf, nBuckets,
             nDocs = stats.getLong(0), nEdges = edges.count(),
             maxId = if (stats.isNullAt(1)) Long.MinValue else stats.getLong(1),
-            lastBatchId = -1L))
+            lastBatchId = -1L, epoch = newEpoch))
         } finally graft.Pins.release(edges)
       } finally graft.Pins.release(dfs)
     } finally graft.Pins.release(spans)
@@ -123,6 +142,15 @@ object LinkGraphStore {
       batchId: Long = -1L): Unit = {
     val spark = newDocs.sparkSession
     val m = loadManifest(spark, dir)
+    // in-place append reads ONLY the base surfaces: a live appendAuto
+    // delta log would be invisible to its df/postings math and the
+    // computed deltas silently wrong — fold the log first
+    val live = liveDeltaIds(spark, dir)
+    require(live.isEmpty,
+      s"LinkGraphStore.append: $dir has ${live.size} live delta entries " +
+        s"(batch ids ${live.mkString(",")}) from appendAuto's small-batch " +
+        "path - in-place append would compute deltas blind to them. Call " +
+        "compactInPlace(dir) first, or keep ingesting through appendAuto")
     // distinct over the CAST id (the ingestion key): distinct raw values
     // colliding after the cast must fail the uniqueness guard
     val bounds = newDocs.agg(count(lit(1)).as("n"),
@@ -139,6 +167,10 @@ object LinkGraphStore {
         "above every existing id (re-ingesting a document would double-count " +
         "span document frequencies)")
     val nB = m.nBuckets
+    // intent-first: from here until the manifest write, a crash is
+    // detected at the next loadManifest (stamps ahead of manifest)
+    val newEpoch = m.epoch + 1L
+    stampEpochs(spark, dir, newEpoch)
     val batchSpans = newDocs.select(col(idCol).cast("long").as("id"),
         explode(T.shingleHashes(col(textCol), m.w)).as("h"))
       .localCheckpoint(true)
@@ -211,16 +243,131 @@ object LinkGraphStore {
             try overwriteBuckets(newDfs.withColumn("bucket", spanBucket(nB)),
               s"$dir/dfs", tb)
             finally graft.Pins.release(newDfs)
-            // manifest last: never over-certifies
+            // manifest last: never over-certifies. lastBatchId only ever
+            // ADVANCES (it is the folded-through watermark liveDeltaIds
+            // filters on - regressing it would resurrect folded deltas)
             writeManifest(spark, dir, m.copy(
               nDocs = m.nDocs + bounds.getLong(0),
               nEdges = m.nEdges + edgeCountDelta,
               maxId = bounds.getLong(2),
-              lastBatchId = batchId))
+              lastBatchId = math.max(m.lastBatchId, batchId),
+              epoch = newEpoch))
           } finally graft.Pins.release(delta)
         }
       } finally graft.Pins.release(touched)
     } finally graft.Pins.release(batchSpans)
+  }
+
+  /** Route an append to the cheaper maintenance path — the answer to the
+    * measured fact that the two paths differ by ~10× in opposite regimes
+    * (SCALE.md round 12, sf10): the in-place bucket rewrite has a
+    * TOUCHED-BUCKET floor (~108 s regardless of batch size — any batch's
+    * spans hash into all buckets on a small vocabulary), while the
+    * delta-log path costs the batch (~11 s) but taxes every later read
+    * with a log merge. Without routing, the 10× slower path is whichever
+    * one the caller happens to pick.
+    *
+    *  - batch < `smallBatchFraction` × corpus → a committed DELTA entry
+    *    under `dir/deltas` ([[graft.streaming.StreamingLinkGraph]]'s
+    *    exactly-once format, applied against this artifact as base);
+    *    readers ([[loadEdges]]/[[loadEdgesCanonical]]/
+    *    [[spanNoveltyAgainst]]) merge live entries transparently.
+    *  - batch ≥ the threshold → fold any live log ([[compactInPlace]]),
+    *    then the in-place bucket rewrite ([[append]]) whose floor the
+    *    large batch amortizes.
+    *  - a log that reaches `maxLiveDeltas` entries is folded immediately
+    *    (bounds the read-side merge tax).
+    *
+    * Returns the route taken (`"inplace"`, `"delta"`, `"delta+compact"`,
+    * `"noop"`) — callers and specs assert routing, not timing.
+    */
+  def appendAuto(newDocs: DataFrame, idCol: String, textCol: String, dir: String,
+      smallBatchFraction: Double = 0.05, maxLiveDeltas: Int = 32): String = {
+    require(smallBatchFraction > 0 && smallBatchFraction <= 1,
+      s"appendAuto: smallBatchFraction $smallBatchFraction outside (0,1]")
+    require(maxLiveDeltas >= 1, s"appendAuto: maxLiveDeltas $maxLiveDeltas < 1")
+    val spark = newDocs.sparkSession
+    val m = loadManifest(spark, dir)
+    val n = newDocs.count()
+    if (n == 0L) return "noop"
+    if (n.toDouble >= smallBatchFraction * math.max(m.nDocs, 1L)) {
+      compactInPlace(spark, dir) // no-op when the log is empty
+      append(newDocs, idCol, textCol, dir)
+      "inplace"
+    } else {
+      val live = liveDeltaIds(spark, dir)
+      val nextId = (m.lastBatchId +: live).max + 1L
+      graft.streaming.StreamingLinkGraph.applyBatchTo(
+        newDocs, nextId, idCol, textCol, dir, s"$dir/deltas")
+      if (live.size + 1 >= maxLiveDeltas) { compactInPlace(spark, dir); "delta+compact" }
+      else "delta"
+    }
+  }
+
+  /** Fold the live delta log into the artifact's own surfaces (the
+    * in-place twin of [[graft.streaming.StreamingLinkGraph.compactTo]]).
+    * Effective surfaces are pinned BEFORE the overwrite (the write
+    * replaces the files it reads); epoch stamps first / manifest last
+    * makes a crash mid-fold fail-fast at the next load. The manifest's
+    * `lastBatchId` advances to the highest folded id — that alone retires
+    * the folded entries ([[liveDeltaIds]] filters on it), so the
+    * best-effort directory cleanup afterwards can crash harmlessly.
+    */
+  def compactInPlace(spark: SparkSession, dir: String): Unit = {
+    val m = loadManifest(spark, dir)
+    val live = liveDeltaIds(spark, dir)
+    if (live.isEmpty) return
+    import graft.streaming.{StreamingLinkGraph => S}
+    val deltaRoot = s"$dir/deltas"
+    val edges = S.mergedEdgesCanonical(spark,
+        readSurface(spark, s"$dir/edges", edgesSchema)
+          .select(col("id_a"), col("id_b"), col("support")),
+        deltaRoot, live)
+      .localCheckpoint(true)
+    try {
+      val posts = S.effectivePostings(spark,
+          readSurface(spark, s"$dir/postings", postingsSchema)
+            .select(col("h"), col("id")),
+          deltaRoot, live)
+        .localCheckpoint(true)
+      try {
+        val dfs = S.effectiveDfs(spark,
+            readSurface(spark, s"$dir/dfs", dfsSchema).select(col("h"), col("df")),
+            deltaRoot, live)
+          .localCheckpoint(true)
+        try {
+          val newEpoch = m.epoch + 1L
+          stampEpochs(spark, dir, newEpoch)
+          writeBucketed(edges.withColumn("bucket", edgeBucket(m.nBuckets)),
+            s"$dir/edges")
+          writeBucketed(posts.withColumn("bucket", spanBucket(m.nBuckets)),
+            s"$dir/postings")
+          writeBucketed(dfs.withColumn("bucket", spanBucket(m.nBuckets)),
+            s"$dir/dfs")
+          val metas = live.map(b => S.readMetaAt(spark, deltaRoot, b))
+          writeManifest(spark, dir, m.copy(
+            nDocs = m.nDocs + metas.map(_.nDocs).sum,
+            nEdges = edges.count(),
+            maxId = (m.maxId +: metas.map(_.maxId)).max,
+            lastBatchId = live.max,
+            epoch = newEpoch))
+          // retired by the watermark above; delete best-effort
+          val fs = new org.apache.hadoop.fs.Path(dir)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          live.foreach(b =>
+            fs.delete(new org.apache.hadoop.fs.Path(s"$deltaRoot/batch=$b"), true))
+        } finally graft.Pins.release(dfs)
+      } finally graft.Pins.release(posts)
+    } finally graft.Pins.release(edges)
+  }
+
+  /** Committed delta entries not yet folded into the surfaces (ids above
+    * the manifest's folded-through watermark), ascending.
+    */
+  def liveDeltaIds(spark: SparkSession, dir: String): Seq[Long] = {
+    val watermark = readManifestRaw(spark, dir).lastBatchId
+    graft.streaming.StreamingLinkGraph.committedBatchesAt(spark, s"$dir/deltas")
+      .filter(_ > watermark)
   }
 
   /** The exact ±support edge deltas one batch of spans induces against
@@ -289,11 +436,18 @@ object LinkGraphStore {
 
   /** Canonical (id_a < id_b) edges with their exact span-support count —
     * `support` equals [[LinkGraph.sharedSpanEdgesWeighted]]'s weight, so
-    * the canonical table doubles as the weighted graph artifact.
+    * the canonical table doubles as the weighted graph artifact. Live
+    * [[appendAuto]] delta entries merge in transparently (support > 0
+    * survives); with an empty log this is the plain bucketed scan.
+    * loadManifest first = the torn-write fail-fast on every read path.
     */
-  def loadEdgesCanonical(spark: SparkSession, dir: String): DataFrame =
-    readSurface(spark, s"$dir/edges", edgesSchema)
+  def loadEdgesCanonical(spark: SparkSession, dir: String): DataFrame = {
+    loadManifest(spark, dir) // epoch check; manifest itself not needed
+    val base = readSurface(spark, s"$dir/edges", edgesSchema)
       .select(col("id_a"), col("id_b"), col("support"))
+    graft.streaming.StreamingLinkGraph.mergedEdgesCanonical(
+      spark, base, s"$dir/deltas", liveDeltaIds(spark, dir))
+  }
 
   /** Symmetric weighted edges (src, dst, weight) for
     * [[LinkGraph.pageRankWeighted]].
@@ -329,8 +483,13 @@ object LinkGraphStore {
     try {
       val tb = spans.select(spanBucket(m.nBuckets).as("b")).distinct()
         .collect().map(_.getInt(0)).sorted
-      val dfs = readSurface(spark, s"$dir/dfs", dfsSchema)
-        .where(col("bucket").isInCollection(tb)).select(col("h"), col("df"))
+      // live appendAuto deltas carry the freshest df for their spans —
+      // merged latest-wins (delta entries are batch-sized, no pruning
+      // needed; extra spans outside tb drop out of the left join below)
+      val dfs = graft.streaming.StreamingLinkGraph.effectiveDfs(spark,
+        readSurface(spark, s"$dir/dfs", dfsSchema)
+          .where(col("bucket").isInCollection(tb)).select(col("h"), col("df")),
+        s"$dir/deltas", liveDeltaIds(spark, dir))
       // MATERIALIZED (batch-sized) before the spans pin is released below:
       // returning this plan lazily would read checkpoint blocks the
       // finally has already freed — the bug class Pins.release made real
@@ -356,7 +515,30 @@ object LinkGraphStore {
     } finally graft.Pins.release(spans)
   }
 
+  /** Manifest read PLUS the torn-write check: every mutation stamps all
+    * three surfaces with its target epoch BEFORE touching data and writes
+    * the manifest (carrying the same epoch) LAST, so any crash mid-
+    * mutation leaves at least one stamp ahead of the manifest — readers
+    * fail fast here instead of silently serving mixed-epoch surfaces.
+    */
   def loadManifest(spark: SparkSession, dir: String): Manifest = {
+    val m = readManifestRaw(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val eps = Surfaces.map(s => s -> surfaceEpoch(fs, dir, s))
+    val torn = eps.filter(_._2 != m.epoch)
+    require(torn.isEmpty,
+      s"LinkGraphStore: torn append/compaction detected under $dir - " +
+        torn.map { case (s, e) => s"$s at epoch $e" }.mkString(", ") +
+        s" vs manifest epoch ${m.epoch}. A mutation crashed between its " +
+        "surface writes; the surfaces are not mutually consistent. " +
+        "Recover by rebuilding the artifact (LinkGraphStore.build); for " +
+        "crash-safe continuous ingestion use StreamingLinkGraph or " +
+        "appendAuto's delta path, whose committed entries replay as no-ops")
+    m
+  }
+
+  private def readManifestRaw(spark: SparkSession, dir: String): Manifest = {
     import graft.sources.{ArtifactJson => J}
     val path = new org.apache.hadoop.fs.Path(dir, "_manifest.json")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -366,7 +548,41 @@ object LinkGraphStore {
     def num(f: String): Long = J.long(node, f, dir)
     Manifest(num("version").toInt, num("w").toInt, num("maxDf").toInt,
       num("nBuckets").toInt, num("nDocs"), num("nEdges"), num("maxId"),
-      num("lastBatchId"))
+      num("lastBatchId"), num("epoch"))
+  }
+
+  private val Surfaces = Seq("edges", "postings", "dfs")
+
+  /** The epoch the next mutation of `dir` should stamp: manifest epoch + 1,
+    * or 0 for a fresh directory. Reads RAW (a rebuild over a torn artifact
+    * must still be able to pick its epoch).
+    */
+  private[graft] def nextEpoch(spark: SparkSession, dir: String): Long = {
+    val path = new org.apache.hadoop.fs.Path(dir, "_manifest.json")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) 0L else readManifestRaw(spark, dir).epoch + 1L
+  }
+
+  /** Stamp all three surfaces with `epoch` — called BEFORE any surface
+    * data write (intent-first): from the first stamp until the manifest
+    * lands, loadManifest sees a mismatch and fails fast. Stamps are
+    * ROOT-LEVEL siblings (`_epoch_<surface>`), not files inside the
+    * surface dirs — a full-overwrite data write deletes the whole surface
+    * path and would silently wipe an in-dir stamp.
+    */
+  private[graft] def stampEpochs(spark: SparkSession, dir: String, epoch: Long): Unit =
+    Surfaces.foreach(s =>
+      graft.sources.ArtifactJson.writeFile(spark, s"$dir/_epoch_$s", epoch.toString))
+
+  private def surfaceEpoch(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      surface: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_epoch_$surface")
+    if (!fs.exists(p)) -1L
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+    }
   }
 
   /** Manifest writer for artifact-shaped outputs produced elsewhere
@@ -379,7 +595,8 @@ object LinkGraphStore {
     graft.sources.ArtifactJson.writeFile(spark, s"$dir/_manifest.json",
       s"""{"version":${m.version},"w":${m.w},"maxDf":${m.maxDf},""" +
         s""""nBuckets":${m.nBuckets},"nDocs":${m.nDocs},"nEdges":${m.nEdges},""" +
-        s""""maxId":${m.maxId},"lastBatchId":${m.lastBatchId}}""")
+        s""""maxId":${m.maxId},"lastBatchId":${m.lastBatchId},""" +
+        s""""epoch":${m.epoch}}""")
 
   private def spanBucket(nBuckets: Int) =
     pmod(col("h"), lit(nBuckets.toLong)).cast("int")

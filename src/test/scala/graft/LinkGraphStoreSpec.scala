@@ -131,6 +131,82 @@ class LinkGraphStoreSpec extends SparkSpec {
     }
   }
 
+  test("torn mutation: a crash between surface writes fails loud at load") {
+    val base = Seq((1L, "x y p q"), (2L, "x y"), (3L, "m n")).toDF("doc_id", "text")
+    val dir = tmp("lgs_torn")
+    LinkGraphStore.build(base, "doc_id", "text", w = 2, maxDf = 2, dir, nBuckets = 2)
+    assert(LinkGraphStore.loadManifest(spark, dir).epoch == 0L)
+    // simulate a kill mid-append: the mutation stamped its target epoch
+    // (intent-first) but died before the manifest landed (write via the
+    // Hadoop FS - a raw java.nio write would leave a stale .crc sidecar)
+    graft.sources.ArtifactJson.writeFile(spark, s"$dir/_epoch_edges", "1")
+    val torn = intercept[IllegalArgumentException] {
+      LinkGraphStore.loadManifest(spark, dir)
+    }
+    assert(torn.getMessage.contains("torn append"), torn.getMessage)
+    assert(torn.getMessage.contains("rebuild"), torn.getMessage)
+    // every read path fails the same way, not just manifest loads
+    intercept[IllegalArgumentException] {
+      LinkGraphStore.loadEdgesCanonical(spark, dir)
+    }
+    // recovery = rebuild: stamps re-align (manifest epoch + 1), loads work
+    LinkGraphStore.build(base, "doc_id", "text", w = 2, maxDf = 2, dir, nBuckets = 2)
+    assert(LinkGraphStore.loadManifest(spark, dir).epoch == 1L)
+    assert(canonSet(LinkGraphStore.loadEdgesCanonical(spark, dir)) == Set((1L, 2L, 1L)))
+  }
+
+  test("appendAuto: small batches take the delta path, reads merge, compaction folds") {
+    // the band-crossing scenario split into TWO small batches so the
+    // delta path must get retractions right against base + prior delta
+    val base = Seq((1L, "x y p q"), (2L, "x y"), (3L, "m n")).toDF("doc_id", "text")
+    val dir = tmp("lgs_auto")
+    LinkGraphStore.build(base, "doc_id", "text", w = 2, maxDf = 2, dir, nBuckets = 2)
+    // batch of 1 doc vs nDocs=3: 1 >= 0.05*3 would route in-place — force
+    // the delta path with a smallBatchFraction that makes 1 doc "small"
+    val r1 = LinkGraphStore.appendAuto(Seq((4L, "x y m n")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, smallBatchFraction = 0.5)
+    val r2 = LinkGraphStore.appendAuto(Seq((5L, "p q")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, smallBatchFraction = 0.5)
+    assert(r1 == "delta" && r2 == "delta", s"routes: $r1, $r2")
+    assert(LinkGraphStore.liveDeltaIds(spark, dir) == Seq(0L, 1L))
+    // merged read == rebuild over everything (retraction of (1,2) included)
+    val all = base.unionAll(Seq((4L, "x y m n"), (5L, "p q")).toDF("doc_id", "text"))
+    val rb = tmp("lgs_auto_rb")
+    LinkGraphStore.build(all, "doc_id", "text", w = 2, maxDf = 2, rb, nBuckets = 2)
+    val want = canonSet(LinkGraphStore.loadEdgesCanonical(spark, rb))
+    assert(canonSet(LinkGraphStore.loadEdgesCanonical(spark, dir)) == want)
+    assert(want == Set((3L, 4L, 1L), (1L, 5L, 1L)))
+    // novelty served with live deltas == novelty from the rebuilt artifact
+    val probe = Seq((4L, "x y m n")).toDF("doc_id", "text")
+    def nov(d: String) = LinkGraphStore.spanNoveltyAgainst(probe, "doc_id", "text", d)
+      .collect().map(_.toSeq).toSeq
+    assert(nov(dir) == nov(rb))
+    // plain in-place append refuses to run over a live log
+    val refuse = intercept[IllegalArgumentException] {
+      LinkGraphStore.append(Seq((6L, "zz ww")).toDF("doc_id", "text"), "doc_id", "text", dir)
+    }
+    assert(refuse.getMessage.contains("live delta"), refuse.getMessage)
+    // a LARGE batch folds the log first, then appends in place
+    val big = (6L to 9L).map(i => (i, s"fresh$i words$i")).toDF("doc_id", "text")
+    val r3 = LinkGraphStore.appendAuto(big, "doc_id", "text", dir, smallBatchFraction = 0.5)
+    assert(r3 == "inplace", s"route: $r3")
+    assert(LinkGraphStore.liveDeltaIds(spark, dir).isEmpty)
+    val rb2 = tmp("lgs_auto_rb2")
+    LinkGraphStore.build(all.unionAll(big), "doc_id", "text", w = 2, maxDf = 2, rb2, nBuckets = 2)
+    assert(canonSet(LinkGraphStore.loadEdgesCanonical(spark, dir)) ==
+      canonSet(LinkGraphStore.loadEdgesCanonical(spark, rb2)))
+    val m = LinkGraphStore.loadManifest(spark, dir)
+    assert(m.nDocs == 9L && m.maxId == 9L)
+    // watermark retired the folded entries: log dir may be gone entirely
+    assert(LinkGraphStore.liveDeltaIds(spark, dir).isEmpty)
+    // maxLiveDeltas bound: the next small batch folds immediately
+    val r4 = LinkGraphStore.appendAuto(Seq((10L, "qq rr")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, smallBatchFraction = 0.5, maxLiveDeltas = 1)
+    assert(r4 == "delta+compact", s"route: $r4")
+    assert(LinkGraphStore.liveDeltaIds(spark, dir).isEmpty)
+    assert(LinkGraphStore.loadManifest(spark, dir).nDocs == 10L)
+  }
+
   test("id discipline: overlapping, duplicate, and empty batches") {
     val base = Seq((1L, "x y"), (2L, "x y")).toDF("doc_id", "text")
     val dir = tmp("lgs_guard")
