@@ -65,12 +65,15 @@ object Bpe {
   def train(docs: DataFrame, textCol: Column, merges: Int): Seq[Merge] = {
     require(merges >= 1, s"merges must be >= 1, got $merges")
     // pin the dict: each round's collect re-executes lineage, which must
-    // not re-scan the corpus
-    var words = wordDict(docs, textCol).localCheckpoint(true)
+    // not re-scan the corpus. The pin is released after the loop — the
+    // result is a driver-side Seq, nothing lazy survives it (plain
+    // unpersist would be a checkpoint no-op and leak the dict until GC)
+    val dictPinned = wordDict(docs, textCol).localCheckpoint(true)
+    var words: DataFrame = dictPinned
     val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var step = 1
     var exhausted = false
-    while (step <= merges && !exhausted) {
+    try while (step <= merges && !exhausted) {
       val top = words
         .select(col("cnt"), explode(pairsOf(col("s"))).as("p"))
         .groupBy("p").agg(sum("cnt").as("c"))
@@ -89,7 +92,7 @@ object Bpe {
             lit(" " + pair.replace(" ", "  ") + " "), lit(s" $merged ")))
         step += 1
       }
-    }
+    } finally graft.Pins.release(dictPinned)
     out.toSeq
   }
 

@@ -533,6 +533,37 @@ object ScaleProbe {
         System.err.println(f"[probe] pagerank from merged view    $tPr%.1f s")
         println(s"""{"mode":"linkgraph_stream","mass":$mass,""" +
           f""""delta_fold_s":$tBatch%.1f,"pagerank_merged_s":$tPr%.1f}""")
+      case "linkgraph_auto" =>
+        // appendAuto ROUTING at the tier (round 13): the in-place append
+        // has a ~108 s touched-bucket floor at sf10 for ANY batch size
+        // (round 12); a small batch through appendAuto must land near the
+        // delta fold's ~11 s instead, because the router sends it to the
+        // delta log. Then compactInPlace folds the log (the amortized
+        // rewrite a caller schedules, not pays per batch).
+        val dir = java.nio.file.Files.createTempDirectory("probe_lga").toString
+        val frac = args.lift(2).map(_.toDouble).getOrElse(0.999)
+        val cut = docs.agg(expr(s"percentile(doc_id, $frac)")).head().getDouble(0).toLong
+        val baseDocs = docs.where(col("doc_id") <= cut)
+        val batchDocs = docs.where(col("doc_id") > cut)
+        timed(s"artifact build ($frac) w=6") {
+          graft.text.LinkGraphStore.build(baseDocs, "doc_id", "text",
+            w = 6, maxDf = 32, dir, nBuckets = 256)
+        }
+        val tA = System.nanoTime()
+        val route = graft.text.LinkGraphStore.appendAuto(batchDocs, "doc_id", "text", dir)
+        val tAuto = (System.nanoTime() - tA) / 1e9
+        System.err.println(f"[probe] appendAuto ($route)            $tAuto%.1f s")
+        val tS = System.nanoTime()
+        val served = graft.text.LinkGraphStore.loadEdgesCanonical(spark, dir).count()
+        val tServe = (System.nanoTime() - tS) / 1e9
+        System.err.println(f"[probe] merged canonical read          $tServe%.1f s")
+        val tC = System.nanoTime()
+        graft.text.LinkGraphStore.compactInPlace(spark, dir)
+        val tCompact = (System.nanoTime() - tC) / 1e9
+        System.err.println(f"[probe] compactInPlace                 $tCompact%.1f s")
+        println(s"""{"mode":"linkgraph_auto","route":"$route","edges":$served,""" +
+          f""""append_auto_s":$tAuto%.1f,"merged_read_s":$tServe%.1f,""" +
+          f""""compact_s":$tCompact%.1f}""")
       case "minhash_store" =>
         // the persisted near-dup index at the tier: build once over the
         // base 99%, then dedup the 1% batch against the STORE (bucket-
@@ -576,8 +607,26 @@ object ScaleProbe {
         val stored = spark.sparkContext.getRDDStorageInfo
         val mem = stored.map(_.memSize).sum / (1024.0 * 1024.0)
         System.err.println(f"[probe] chain components n=$n          $wall%.1f s")
+        // NON-LOOP artifact lifecycle (round 13): build + appendAuto
+        // delta + compact + serve must leave no stray stored blocks
+        // either — every build-path pin is released inside the call, not
+        // left to ContextCleaner GC
+        val aDir = java.nio.file.Files.createTempDirectory("probe_pins_lgs").toString
+        val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+        graft.text.LinkGraphStore.build(docs.where(col("doc_id") <= mx - 20),
+          "doc_id", "text", w = 3, maxDf = 4, aDir, nBuckets = 16)
+        graft.text.LinkGraphStore.appendAuto(
+          docs.where(col("doc_id") > mx - 20), "doc_id", "text", aDir)
+        graft.text.LinkGraphStore.compactInPlace(spark, aDir)
+        val served = graft.text.LinkGraphStore.loadEdgesCanonical(spark, aDir).count()
+        val storedAfter = spark.sparkContext.getRDDStorageInfo
+        val memAfter = storedAfter.map(_.memSize).sum / (1024.0 * 1024.0)
+        System.err.println(s"[probe] artifact build+append+compact+serve: " +
+          s"${storedAfter.length} stored RDDs after")
         println(s"""{"mode":"pins","n":$n,"components":$nComps,""" +
-          f""""wall_s":$wall%.1f,"stored_rdds":${stored.length},"stored_mb":$mem%.1f}""")
+          f""""wall_s":$wall%.1f,"stored_rdds":${stored.length},"stored_mb":$mem%.1f,""" +
+          s""""artifact_edges":$served,"stored_rdds_after_artifact":${storedAfter.length},""" +
+          f""""stored_mb_after_artifact":$memAfter%.1f}""")
       case "html" =>
         // fused HtmlScan chain vs the equivalent java.util.regex
         // regexp_replace chain on the q_html_extract markup synthesis:
