@@ -149,8 +149,13 @@ object Bench {
     "q_linkgraph_stream",
     "q_span_novelty_artifact",
     "q_minhash_store",
-    // round 13: appendAuto's delta-routed maintenance lane
-    "q_linkgraph_append_auto"
+    // round 13: appendAuto's delta-routed maintenance lane + the reach
+    // family served from the persisted register artifact (one
+    // propagation, three readouts - vs three propagations per round)
+    "q_linkgraph_append_auto",
+    "q_reach_estimate_artifact",
+    "q_reach_harmonic_artifact",
+    "q_reach_distribution_artifact"
   )
 
   def main(args: Array[String]): Unit = {

@@ -1747,6 +1747,29 @@ object LlmQueries {
         .orderBy(col("hop"))
     }),
 
+    // the reach family served from the PERSISTED register artifact
+    // (round 13): q_reach_* were three of the most expensive lanes and
+    // each re-propagated the same registers over the same graph — the
+    // store propagates once (from the persisted link-graph artifact's
+    // edges, composing the two artifacts) and every readout is a
+    // node-sized scan. Built as maxHops=2 + extendTo(3), so matching the
+    // from-scratch hops=3 oracle ALSO proves extend ≡ deeper rebuild
+    "q_reach_estimate_artifact" -> ((s, dir) => {
+      graft.text.HyperBallStore
+        .neighborhoodEstimate(s, hyperBallDir(s, dir), "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+    "q_reach_harmonic_artifact" -> ((s, dir) => {
+      graft.text.HyperBallStore
+        .neighborhoodFunction(s, hyperBallDir(s, dir), "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+    "q_reach_distribution_artifact" -> ((s, dir) => {
+      graft.text.HyperBallStore
+        .distanceDistribution(s, hyperBallDir(s, dir))
+        .orderBy(col("hop"))
+    }),
+
     // span-novelty profile: unique / shared / boilerplate span counts
     // per doc (the no-pair-join inverse of the link graph)
     "q_span_novelty" -> ((s, dir) => {
@@ -2026,6 +2049,22 @@ object LlmQueries {
       d
     })
 
+  /** Session-lifetime persisted HyperBall register artifact for the
+    * `q_reach_*_artifact` gates — propagated ONCE per (JVM, sfDir) from
+    * the persisted link-graph artifact's edges (w=5/maxDf=32, the reach
+    * gates' graph), shallow-built then extended so the gates exercise the
+    * extend ≡ rebuild path against the from-scratch oracles.
+    */
+  private def hyperBallDir(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    ivfIndexDirs.computeIfAbsent(dir + "#hbs", _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft_hbs").toString
+      val edges = graft.text.LinkGraphStore.loadEdges(s, linkGraphDir(s, dir))
+      graft.text.HyperBallStore.build(t(s, dir, "documents").select(col("doc_id")),
+        "doc_id", edges, maxHops = 2, d, nBuckets = 16)
+      graft.text.HyperBallStore.extendTo(edges, d, newMaxHops = 3)
+      d
+    })
+
   /** Blocklist-gate term sets (substring semantics over raw text; the
     * synthetic corpus vocabulary makes these dense enough to exercise
     * overlapping and multi-word patterns).
@@ -2197,7 +2236,15 @@ object LlmQueries {
       ("q_minhash_store" -> m("q_minhash_incremental")) +
       // appendAuto's delta-routed small batches must serve the same
       // full-corpus support table through the merged readers
-      ("q_linkgraph_append_auto" -> m("q_linkgraph_append"))
+      ("q_linkgraph_append_auto" -> m("q_linkgraph_append")) +
+      // register readouts from the persisted artifact are bit-identical
+      // to the in-memory propagation (integer max-merge all the way), so
+      // the from-scratch HyperBall oracles apply — and because the store
+      // is built shallow then extendTo'd, matching them also proves
+      // extend ≡ deeper rebuild
+      ("q_reach_estimate_artifact" -> m("q_reach_estimate")) +
+      ("q_reach_harmonic_artifact" -> m("q_reach_harmonic")) +
+      ("q_reach_distribution_artifact" -> m("q_reach_distribution"))
 
   /** Exact all-occurrences oracle for the blocklist lanes: every start
     * position × every term, substring-compared — O(chars · terms), the

@@ -70,8 +70,15 @@ object HyperBall {
     * pinned loop (one extra narrow readout per hop, no extra shuffle).
     */
   def neighborhoodFunction(nodes: DataFrame, idCol: String, edges: DataFrame,
-      maxHops: Int): DataFrame = {
-    val hops = propagate(nodes, idCol, edges, maxHops, perHop = true)
+      maxHops: Int): DataFrame =
+    nfReadout(propagate(nodes, idCol, edges, maxHops, perHop = true), idCol, maxHops)
+
+  /** The neighborhood-function readout over a wide per-hop snapshot frame
+    * `(id, __reg1 … __regMaxHops)` — extracted so [[HyperBallStore]] can
+    * serve the SAME expressions (bit-portable doubles, same fold order)
+    * from stored registers.
+    */
+  private[graft] def nfReadout(hops: DataFrame, idCol: String, maxHops: Int): DataFrame = {
     val perHopCols = (1 to maxHops).map(d =>
       estimate(col(s"__reg$d")).getField("est_ball").as(s"est_$d"))
     val base = hops.select(col("id") +: perHopCols: _*)
@@ -104,11 +111,18 @@ object HyperBall {
     * Returns one row per hop 0…maxHops: `(hop, nf_fp, frac, reaches_q)`.
     */
   def distanceDistribution(nodes: DataFrame, idCol: String, edges: DataFrame,
-      maxHops: Int, q: Double = 0.9, scaleBits: Int = 20): DataFrame = {
+      maxHops: Int, q: Double = 0.9, scaleBits: Int = 20): DataFrame =
+    ddReadout(propagate(nodes, idCol, edges, maxHops, perHop = true),
+      nodes.sparkSession, maxHops, q, scaleBits)
+
+  /** The distance-distribution readout over the wide per-hop snapshot
+    * frame — extracted for [[HyperBallStore]] (same fixed-point Σ).
+    */
+  private[graft] def ddReadout(hops: DataFrame, spark: org.apache.spark.sql.SparkSession,
+      maxHops: Int, q: Double, scaleBits: Int): DataFrame = {
     require(q > 0.0 && q <= 1.0, s"HyperBall.distanceDistribution: q $q outside (0, 1]")
     require(scaleBits >= 0 && scaleBits <= 30,
       s"HyperBall.distanceDistribution: scaleBits $scaleBits outside [0, 30]")
-    val hops = propagate(nodes, idCol, edges, maxHops, perHop = true)
     val scale = (1L << scaleBits).toDouble
     val fpSums = (0 to maxHops).map { d =>
       val est =
@@ -120,7 +134,6 @@ object HyperBall {
     require(!sums.isNullAt(0), "HyperBall.distanceDistribution: empty node set")
     val nf = (0 to maxHops).map(d => sums.getLong(d))
     val total = nf.last
-    val spark = nodes.sparkSession
     import spark.implicits._
     (0 to maxHops).map { d =>
       val frac = nf(d).toDouble / total.toDouble

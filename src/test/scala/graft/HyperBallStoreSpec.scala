@@ -1,0 +1,81 @@
+package graft
+
+import graft.text.{HyperBall, HyperBallStore, LinkGraph}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The persisted HyperBall register artifact: stored readouts are
+  * bit-identical to the in-memory propagation, extendTo ≡ a deeper
+  * rebuild, a torn extend is invisible until its manifest commits, and
+  * the guards hold.
+  */
+class HyperBallStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def rows(df: DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  test("stored readouts == in-memory HyperBall, bit-identical") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val nodes = docs.select($"doc_id")
+    val edges = LinkGraph.sharedSpanEdges(docs, "doc_id", "text", w = 5, maxDf = 32)
+      .localCheckpoint(true) // same edge set for both paths
+    try {
+      val dir = tmp("hbs")
+      HyperBallStore.build(nodes, "doc_id", edges, maxHops = 3, dir, nBuckets = 8)
+      val m = HyperBallStore.loadManifest(spark, dir)
+      assert(m.maxHops == 3 && m.nNodes == nodes.count() && m.m == HyperBall.M)
+      assert(rows(HyperBallStore.neighborhoodEstimate(spark, dir, "doc_id")) ==
+        rows(HyperBall.neighborhoodEstimate(nodes, "doc_id", edges, maxHops = 3)))
+      assert(rows(HyperBallStore.neighborhoodFunction(spark, dir, "doc_id")) ==
+        rows(HyperBall.neighborhoodFunction(nodes, "doc_id", edges, maxHops = 3)))
+      assert(rows(HyperBallStore.distanceDistribution(spark, dir)) ==
+        rows(HyperBall.distanceDistribution(nodes, "doc_id", edges, maxHops = 3)))
+      // a shallower readout serves from the stored horizon without touching edges
+      assert(rows(HyperBallStore.neighborhoodEstimate(spark, dir, "doc_id", hops = 1)) ==
+        rows(HyperBall.neighborhoodEstimate(nodes, "doc_id", edges, maxHops = 1)))
+    } finally graft.Pins.release(edges)
+  }
+
+  test("extendTo == deeper rebuild; torn extend invisible; guards") {
+    // small deterministic graph: a chain plus a triangle
+    val edgePairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (1L, 3L))
+    val edges = (edgePairs ++ edgePairs.map(p => (p._2, p._1)))
+      .toDF("src", "dst")
+    val nodes = (1L to 6L).toDF("id")
+    val dir = tmp("hbs_ext")
+    HyperBallStore.build(nodes, "id", edges, maxHops = 2, dir, nBuckets = 2)
+    // torn extend: an uncommitted hop dir above the horizon is invisible
+    new java.io.File(s"$dir/regs/hop=3/bucket=0").mkdirs()
+    assert(HyperBallStore.loadManifest(spark, dir).maxHops == 2)
+    assert(rows(HyperBallStore.neighborhoodEstimate(spark, dir, "id")).nonEmpty)
+    // extend overwrites the torn attempt and commits
+    HyperBallStore.extendTo(edges, dir, newMaxHops = 4)
+    assert(HyperBallStore.loadManifest(spark, dir).maxHops == 4)
+    val rb = tmp("hbs_rb")
+    HyperBallStore.build(nodes, "id", edges, maxHops = 4, rb, nBuckets = 2)
+    // registers bit-identical at every hop, not just the estimates
+    (0 to 4).foreach { d =>
+      val got = HyperBallStore.readHop(spark, dir, d)
+        .select($"id", xxhash64($"reg")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = HyperBallStore.readHop(spark, rb, d)
+        .select($"id", xxhash64($"reg")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want, s"hop $d registers diverge")
+    }
+    assert(rows(HyperBallStore.neighborhoodFunction(spark, dir, "id")) ==
+      rows(HyperBallStore.neighborhoodFunction(spark, rb, "id")))
+    // guards: shallower extend rejected; missing artifact rejected
+    val shallow = intercept[IllegalArgumentException] {
+      HyperBallStore.extendTo(edges, dir, newMaxHops = 3)
+    }
+    assert(shallow.getMessage.contains("stored"))
+    intercept[IllegalArgumentException] {
+      HyperBallStore.loadManifest(spark, tmp("hbs_none"))
+    }
+  }
+}
