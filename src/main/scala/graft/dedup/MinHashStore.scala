@@ -54,8 +54,10 @@ import org.apache.spark.sql.functions._
   * `maxId` (the artifact-family id discipline). With the default
   * auto-assigned segment id, a retry of a COMMITTED append fails loudly
   * on that guard (never silently duplicates); pass an explicit
-  * monotonically-increasing `segmentId` (a stream passes its batch id)
-  * for exactly-once no-op replays.
+  * monotonically-increasing `segmentId` ≥ 1 for exactly-once no-op
+  * replays — segment 0 belongs to the BUILD, so a stream passes
+  * `batchId + 1` (enforced fail-fast: a raw first batch id of 0 would
+  * match the build's committed marker and silently drop the batch).
   */
 object MinHashStore {
 
@@ -69,12 +71,12 @@ object MinHashStore {
     */
   def build(corpus: DataFrame, textCol: String, idCol: String, dir: String,
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      nBuckets: Int = 64): Unit = {
-    val sigs = Dedup.minHashSignatureTable(corpus, textCol, idCol, shingleSize, numHashes)
-      .localCheckpoint(true)
-    try buildFromSigs(sigs, dir, shingleSize, numHashes, bands, nBuckets)
-    finally graft.Pins.release(sigs)
-  }
+      nBuckets: Int = 64): Unit =
+    // unpinned: buildFromSigs owns the single checkpoint (pinning here too
+    // would materialize and hold TWO corpus-sized signature copies)
+    buildFromSigs(
+      Dedup.minHashSignatureTable(corpus, textCol, idCol, shingleSize, numHashes),
+      dir, shingleSize, numHashes, bands, nBuckets)
 
   /** Build the store from a PRECOMPUTED signature table (schema of
     * [[Dedup.minHashSignatureTable]]: id, sig, shset). The caller owns
@@ -131,6 +133,12 @@ object MinHashStore {
     val spark = sigs.sparkSession
     val fs = fsFor(spark, dir)
     val committed = committedSegments(spark, dir)
+    // segment 0 is the BUILD's: an explicit append with id 0 (a stream
+    // passing its raw first batch id) would hit the committed-replay
+    // short-circuit below and silently DROP the batch
+    require(segmentIdArg != 0L,
+      "MinHashStore.append: segment 0 belongs to the build - explicit " +
+        "segment ids start at 1 (a stream passes batchId + 1)")
     val segmentId =
       if (segmentIdArg >= 0L) segmentIdArg
       else (0L +: committed).max + 1L
@@ -207,7 +215,18 @@ object MinHashStore {
       "build the store with MinHashStore.build")
     val node = J.readFile(spark, s"$dir/_manifest.json")
     def num(f: String): Long = J.long(node, f, dir)
-    val metas = committedSegments(spark, dir).map { s =>
+    require(num("version") == 2L,
+      s"MinHashStore: $dir has manifest version ${num("version")}, this reader " +
+        "needs the segmented v2 layout - rebuild the store with MinHashStore.build")
+    val segs = committedSegments(spark, dir)
+    // build ALWAYS commits seg 0 (even for an empty corpus), so zero
+    // committed segments under a valid manifest = a build that crashed
+    // between the segs/ overwrite and seg 0's marker. Fail loud: reading
+    // on would serve a silently-EMPTY store that admits every duplicate
+    require(segs.nonEmpty,
+      s"MinHashStore: $dir has a manifest but no committed segments - a " +
+        "build crashed mid-overwrite; rebuild the store with MinHashStore.build")
+    val metas = segs.map { s =>
       val n = J.readFile(spark, s"$dir/segs/seg=$s/_meta.json")
       (J.long(n, "nDocs", dir), J.long(n, "maxId", dir))
     }

@@ -2055,15 +2055,20 @@ object LlmQueries {
     * gates' graph), shallow-built then extended so the gates exercise the
     * extend ≡ rebuild path against the from-scratch oracles.
     */
-  private def hyperBallDir(s: org.apache.spark.sql.SparkSession, dir: String): String =
+  private def hyperBallDir(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    // resolved BEFORE the #hbs lambda: a computeIfAbsent mapping function
+    // must not computeIfAbsent into the SAME map (ConcurrentHashMap
+    // forbids recursive updates - same-bin keys throw or lose the entry)
+    val gDir = linkGraphDir(s, dir)
     ivfIndexDirs.computeIfAbsent(dir + "#hbs", _ => {
       val d = java.nio.file.Files.createTempDirectory("graft_hbs").toString
-      val edges = graft.text.LinkGraphStore.loadEdges(s, linkGraphDir(s, dir))
+      val edges = graft.text.LinkGraphStore.loadEdges(s, gDir)
       graft.text.HyperBallStore.build(t(s, dir, "documents").select(col("doc_id")),
         "doc_id", edges, maxHops = 2, d, nBuckets = 16)
       graft.text.HyperBallStore.extendTo(edges, d, newMaxHops = 3)
       d
     })
+  }
 
   /** Blocklist-gate term sets (substring semantics over raw text; the
     * synthetic corpus vocabulary makes these dense enough to exercise

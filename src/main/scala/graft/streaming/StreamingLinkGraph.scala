@@ -88,7 +88,10 @@ object StreamingLinkGraph {
     * artifact entry point [[LinkGraphStore.appendAuto]] routes small
     * batches through. Committed ids at or below the base manifest's
     * `lastBatchId` are already FOLDED into the base surfaces
-    * ([[LinkGraphStore.compactInPlace]]) and ignored here.
+    * ([[LinkGraphStore.compactInPlace]]): they are excluded from the
+    * prior-delta set below, and a NEW batch arriving at or below that
+    * watermark fails loudly (its delta dir may have been cleaned up, so
+    * the marker can no longer distinguish replay from out-of-order).
     */
   private[graft] def applyBatchTo(batch: DataFrame, batchId: Long, idCol: String,
       textCol: String, baseDir: String, deltaRoot: String): Unit = {

@@ -159,7 +159,15 @@ object Bm25Store {
     require(fs.exists(path), s"Bm25Store: no _manifest.json under $dir - " +
       "build the artifact with Bm25Store.build/save")
     val node = J.readFile(spark, s"$dir/_manifest.json")
-    val metas = committedSegments(spark, dir).map { s =>
+    val segs = committedSegments(spark, dir)
+    // save() always commits seg 0 (even for an empty index), so zero
+    // committed segments under a valid manifest = a rebuild that crashed
+    // between its segs/ overwrite and seg 0's marker. Fail loud instead
+    // of silently scoring against an empty index
+    require(segs.nonEmpty,
+      s"Bm25Store: $dir has a manifest but no committed segments - a " +
+        "rebuild crashed mid-overwrite; rebuild the index with Bm25Store.save")
+    val metas = segs.map { s =>
       val n = J.readFile(spark, s"$dir/segs/seg=$s/_meta.json")
       (J.long(n, "nDocs", dir), J.long(n, "sumLen", dir), J.long(n, "maxDocId", dir))
     }

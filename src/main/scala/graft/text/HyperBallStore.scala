@@ -40,12 +40,15 @@ import org.apache.spark.sql.functions._
   * rebuild — the artifact's win is amortizing the per-READOUT
   * re-propagation, which is where the measured cost was.
   *
-  * Write ordering: hop surfaces first, manifest LAST. Every hop write is
-  * an overwrite keyed by its hop number and the propagation is
-  * deterministic, so a torn build/extend is invisible (the manifest
-  * still certifies the old horizon; a retry rewrites byte-identically) —
-  * the [[graft.streaming.StreamingLinkGraph]] replay discipline without
-  * needing a marker per hop.
+  * Write ordering: hop surfaces first, manifest LAST. A torn EXTEND is
+  * invisible (the manifest still certifies the old horizon; hops above
+  * it are uncommitted, and a same-graph retry rewrites them
+  * byte-identically) — the [[graft.streaming.StreamingLinkGraph]] replay
+  * discipline without a marker per hop. A torn REBUILD cannot hide
+  * behind the old manifest (the graph may have changed), so [[build]]
+  * deletes the manifest before touching data: a crash mid-rebuild
+  * leaves a dir that fails loud with "no _manifest — build", never a
+  * stale certificate over mixed-graph registers.
   */
 object HyperBallStore {
 
@@ -61,10 +64,18 @@ object HyperBallStore {
     require(maxHops >= 1, s"HyperBallStore.build: maxHops $maxHops < 1")
     require(nBuckets >= 1, s"HyperBallStore.build: nBuckets $nBuckets < 1")
     val spark = nodes.sparkSession
-    // full overwrite: stale hop dirs from an earlier, deeper build must
-    // not survive under the new manifest
     val regsRoot = new org.apache.hadoop.fs.Path(s"$dir/regs")
     val fs = regsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // REBUILD discipline: invalidate the old manifest FIRST, then clear
+    // the hop dirs. A rebuild crash anywhere after this point leaves a
+    // manifest-less dir and readers fail with the clean "no _manifest"
+    // message — never a stale manifest over deleted/mixed-graph hops
+    // (extendTo's marker-free replay safety only holds on an UNCHANGED
+    // graph; a rebuild is the changed-graph path)
+    val manifestPath = new org.apache.hadoop.fs.Path(dir, "_manifest.json")
+    if (fs.exists(manifestPath)) fs.delete(manifestPath, false)
+    // full overwrite: stale hop dirs from an earlier, deeper build must
+    // not survive under the new manifest
     if (fs.exists(regsRoot)) fs.delete(regsRoot, true)
     val ids = nodes.select(col(idCol).cast("long").as("id"))
     val e = edges.select(col("src"), col("dst"))

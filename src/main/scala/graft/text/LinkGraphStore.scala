@@ -65,9 +65,12 @@ import org.apache.spark.sql.functions._
   *    mid-mutation leaves stamps ahead of the manifest — [[loadManifest]]
   *    fails fast naming the recovery (rebuild) instead of silently
   *    serving mixed-epoch surfaces. Re-running a torn in-place append
-  *    would double-apply edge deltas, hence rebuild; crash-SAFE ingestion
-  *    is [[appendAuto]]'s delta path / [[graft.streaming.StreamingLinkGraph]],
-  *    whose committed entries replay as no-ops.
+  *    would double-apply edge deltas, hence rebuild. Crash-safe paths:
+  *    [[graft.streaming.StreamingLinkGraph]] with explicit batch ids
+  *    (committed entries replay as no-ops), or [[appendAuto]]'s delta
+  *    path, which never mutates committed surfaces — a crashed-then-
+  *    retried appendAuto call cannot double-apply, though the retry
+  *    fails loudly on the id guard (ids are auto-assigned).
   */
 object LinkGraphStore {
 
@@ -532,9 +535,11 @@ object LinkGraphStore {
         torn.map { case (s, e) => s"$s at epoch $e" }.mkString(", ") +
         s" vs manifest epoch ${m.epoch}. A mutation crashed between its " +
         "surface writes; the surfaces are not mutually consistent. " +
-        "Recover by rebuilding the artifact (LinkGraphStore.build); for " +
-        "crash-safe continuous ingestion use StreamingLinkGraph or " +
-        "appendAuto's delta path, whose committed entries replay as no-ops")
+        "Recover by rebuilding the artifact (LinkGraphStore.build). For " +
+        "crash-safe continuous ingestion use StreamingLinkGraph with " +
+        "explicit batch ids (committed entries replay as no-ops); " +
+        "appendAuto's delta path never corrupts on a crashed-then-retried " +
+        "call but fails the retry loudly (auto-assigned ids)")
     m
   }
 

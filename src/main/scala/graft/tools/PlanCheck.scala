@@ -378,6 +378,25 @@ object PlanCheck {
       "q_ann_ivfpq_persisted",
       mustContain = Seq("BroadcastHashJoin"),
       mustNotContain = Seq("CartesianProduct"))
+    ,
+    // round 13 — reach readouts from the persisted register artifact:
+    // node-sized scans + estimate expressions. The propagation (register
+    // join against the EDGE table, SortMergeJoin over |E| rows per hop)
+    // must be ABSENT: no aggregate in the estimate lane at all, and the
+    // per-hop snapshot joins are id-equi joins, nothing quadratic
+    Check(
+      "q_reach_estimate_artifact",
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin",
+        "HashAggregate")),
+    Check(
+      "q_reach_harmonic_artifact",
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin",
+        "HashAggregate")),
+    // appendAuto's merged reader over live deltas: the base+delta fold is
+    // one groupBy-sum (equi), nothing quadratic
+    Check(
+      "q_linkgraph_append_auto",
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
   )
 
   /** Plan checks for operator INTERNALS the gate plans hide behind

@@ -96,5 +96,12 @@ class Bm25StoreSpec extends SparkSpec {
         Seq((20L, "")).toDF("doc_id", "text"), "text", "doc_id"), dir, segmentId = 3L)
     }
     assert(empty.getMessage.contains("ZERO postings"))
+    // torn REBUILD: save() deletes segs/ first - a crash before seg 0's
+    // marker must read as a loud failure, never a silently-empty index
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/segs"), true)
+    val tornBuild = intercept[IllegalArgumentException] {
+      Bm25Store.loadManifest(spark, dir)
+    }
+    assert(tornBuild.getMessage.contains("no committed segments"), tornBuild.getMessage)
   }
 }

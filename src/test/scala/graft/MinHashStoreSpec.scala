@@ -109,4 +109,29 @@ class MinHashStoreSpec extends SparkSpec {
     assert(MinHashStore.committedSegments(spark, dir) == Seq(0L))
     assert(MinHashStore.loadManifest(spark, dir).nDocs == 2L)
   }
+
+  test("guards: segment 0 is the build's; a torn build fails loud, not empty") {
+    val corpus = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val dir = tmp("mhs_guard")
+    MinHashStore.build(corpus, "text", "doc_id", dir, nBuckets = 2)
+    // explicit segment id 0 would match the build's committed marker and
+    // silently drop the batch - rejected loudly (streams pass batchId+1)
+    val zero = intercept[IllegalArgumentException] {
+      MinHashStore.append(Seq((5L, "x y z")).toDF("doc_id", "text"),
+        "text", "doc_id", dir, segmentId = 0L)
+    }
+    assert(zero.getMessage.contains("belongs to the build"))
+    // torn build: manifest written, then the crash landed before seg 0's
+    // marker - reading on would serve an EMPTY store that admits every
+    // duplicate; must fail naming the rebuild
+    val segs = new java.io.File(s"$dir/segs")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(segs)
+    val torn = intercept[IllegalArgumentException] {
+      MinHashStore.loadManifest(spark, dir)
+    }
+    assert(torn.getMessage.contains("no committed segments"), torn.getMessage)
+  }
 }
