@@ -159,6 +159,24 @@ object MinHashStore {
     writeSegment(sigs, dir, segmentId, m.bands, m.numHashes / m.bands, m.nBuckets)
   }
 
+  /** Fold every committed segment into a fresh SINGLE-segment store at
+    * `outDir` (signatures reused — the corpus is never re-signed; band
+    * postings are recomputed from the signatures, a deterministic
+    * function). The segment-count maintenance a long-running ingest
+    * needs: every [[dedupBatch]] unions per-segment reads, so unbounded
+    * appends turn one logical probe into thousands of segment scans.
+    * The output is build-shaped (crash-safe by the overwrite discipline;
+    * a torn compact fails loud on the zero-segments guard, the source
+    * untouched). Verdicts from the compacted store are bit-identical
+    * (spec-asserted).
+    */
+  def compactTo(spark: SparkSession, dir: String, outDir: String,
+      nBuckets: Int = -1): Unit = {
+    val m = loadManifest(spark, dir)
+    buildFromSigs(readSigs(spark, dir), outDir, m.shingleSize, m.numHashes,
+      m.bands, if (nBuckets < 0) m.nBuckets else nBuckets)
+  }
+
   /** Batch survivors against the store — bit-identical to
     * [[Dedup.minHashIncremental]] over the full stored corpus, at
     * bucket-pruned cost (see class doc).

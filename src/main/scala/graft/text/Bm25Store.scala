@@ -111,6 +111,23 @@ object Bm25Store {
   /** Load the artifact back as an in-memory [[Bm25.Index]] — plugs into
     * [[Bm25.scoreTopK]] (and [[Bm25.mergeIndex]]) unchanged.
     */
+  /** Fold every committed segment into a fresh SINGLE-segment store at
+    * `outDir` — the segment-count maintenance a long-running ingest needs:
+    * each append adds a segment and every read unions all of them, so a
+    * daily append left unfolded for years turns one logical scan into
+    * thousands of per-segment reads. Folding at a schedule (or a segment-
+    * count bound) restores O(1) segments; [[save]]'s full-overwrite
+    * discipline makes the output crash-safe (a torn compact leaves outDir
+    * failing loud on the zero-segments guard, the source untouched).
+    * Scoring from the compacted store is bit-identical (merge-at-read ≡
+    * merge-at-write; spec-asserted).
+    */
+  def compactTo(spark: SparkSession, dir: String, outDir: String,
+      nBuckets: Int = -1): Unit = {
+    val m = loadManifest(spark, dir)
+    save(load(spark, dir), outDir, if (nBuckets < 0) m.nBuckets else nBuckets)
+  }
+
   def load(spark: SparkSession, dir: String): Bm25.Index = {
     val m = loadManifest(spark, dir)
     val segs = committedSegments(spark, dir)

@@ -49,6 +49,17 @@ class Bm25StoreSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     val fullDf = full.dfTab.collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(storedDf == fullDf)
+    // compactTo: two segments fold into a single-segment store that
+    // scores bit-identically through the persisted serving path
+    val out = tmp("bm25_cmp")
+    Bm25Store.compactTo(spark, dir, out)
+    assert(Bm25Store.committedSegments(spark, out) == Seq(0L))
+    val mc = Bm25Store.loadManifest(spark, out)
+    assert(mc.nDocs == m.nDocs && mc.sumLen == m.sumLen && mc.maxDocId == m.maxDocId)
+    assert(scores(Bm25Store.scoreTopKPersisted(spark, out, queries,
+        "text", "doc_id", k = 5)) ==
+      scores(Bm25Store.scoreTopKPersisted(spark, dir, queries,
+        "text", "doc_id", k = 5)))
   }
 
   test("persisted serving path prunes to the query terms' buckets and matches") {

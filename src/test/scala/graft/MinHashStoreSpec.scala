@@ -110,6 +110,37 @@ class MinHashStoreSpec extends SparkSpec {
     assert(MinHashStore.loadManifest(spark, dir).nDocs == 2L)
   }
 
+  test("compactTo folds segments into one; verdicts bit-identical") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven")).toDF("doc_id", "text")
+    val b1 = Seq((10L, "red orange yellow green blue indigo")).toDF("doc_id", "text")
+    val b2 = Seq((20L, "north south east west up down sideways")).toDF("doc_id", "text")
+    val dir = tmp("mhs_cmp")
+    MinHashStore.build(corpus, "text", "doc_id", dir, nBuckets = 4)
+    MinHashStore.append(b1, "text", "doc_id", dir)
+    MinHashStore.append(b2, "text", "doc_id", dir)
+    assert(MinHashStore.committedSegments(spark, dir).size == 3)
+    val out = tmp("mhs_cmp_out")
+    MinHashStore.compactTo(spark, dir, out)
+    assert(MinHashStore.committedSegments(spark, out) == Seq(0L))
+    val mc = MinHashStore.loadManifest(spark, out)
+    assert(mc.nDocs == 4L && mc.maxId == 20L)
+    // same surfaces (signatures reused, postings recomputed deterministically)
+    def sigSet(d: String) = MinHashStore.readSigs(spark, d)
+      .select($"id", xxhash64($"sig"), xxhash64($"shset"))
+      .collect().map(_.toSeq).toSet
+    assert(sigSet(out) == sigSet(dir))
+    // verdicts bit-identical on a mixed batch (one near-dup of an
+    // admitted doc, one novel)
+    val probe = Seq(
+      (30L, "alpha beta gamma delta epsilon eta"),
+      (31L, "completely novel nothing shared at all ever")).toDF("doc_id", "text")
+    def verdict(d: String) = MinHashStore.dedupBatch(spark, d, probe,
+      "text", "doc_id", threshold = 0.5).select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(verdict(out) == verdict(dir))
+  }
+
   test("guards: segment 0 is the build's; a torn build fails loud, not empty") {
     val corpus = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
     val dir = tmp("mhs_guard")
