@@ -141,6 +141,33 @@ object HyperBallStore {
         col("__e.n_zero").as("n_zero"))
   }
 
+  /** Point lookup: reach estimates for a SMALL driver-side id set,
+    * reading ONLY the ids' hash buckets of one hop surface (the
+    * bucket-partitioned layout's payoff — a "how connected is this
+    * document" probe costs a few files, not a corpus scan).
+    */
+  def neighborhoodEstimateFor(spark: SparkSession, dir: String, idCol: String,
+      ids: Seq[Long], hops: Int = -1): DataFrame = {
+    val m = loadManifest(spark, dir)
+    val d = if (hops < 0) m.maxHops else hops
+    require(d >= 0 && d <= m.maxHops,
+      s"HyperBallStore: hop $d outside the stored horizon [0, ${m.maxHops}]")
+    require(ids.nonEmpty, "HyperBallStore.neighborhoodEstimateFor: empty id set")
+    val buckets = ids.map { i =>
+      // the write path's pmod(xxhash64(id), n) replayed driver-side:
+      // same kernel (seed 42), same sign fold
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        i, org.apache.spark.sql.types.LongType, 42L)
+      val n = m.nBuckets.toLong
+      (((h % n) + n) % n).toInt
+    }.distinct.sorted
+    spark.read.schema(regsSchema).parquet(s"$dir/regs/hop=$d")
+      .where(col("bucket").isInCollection(buckets) && col("id").isInCollection(ids))
+      .select(col("id").as(idCol), HyperBall.estimate(col("reg")).as("__e"))
+      .select(col(idCol), col("__e.est_ball").as("est_ball"),
+        col("__e.n_zero").as("n_zero"))
+  }
+
   /** [[HyperBall.neighborhoodFunction]] served from the stored snapshots
     * — identical expressions and fold order (bit-portable doubles).
     */

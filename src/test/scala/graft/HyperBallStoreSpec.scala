@@ -37,6 +37,14 @@ class HyperBallStoreSpec extends SparkSpec {
       // a shallower readout serves from the stored horizon without touching edges
       assert(rows(HyperBallStore.neighborhoodEstimate(spark, dir, "doc_id", hops = 1)) ==
         rows(HyperBall.neighborhoodEstimate(nodes, "doc_id", edges, maxHops = 1)))
+      // point lookup: bucket-pruned single-doc probes equal the full
+      // readout restricted to those ids (driver-side pmod replay exact)
+      val probeIds = Seq(0L, 7L, 123L, 499L)
+      val point = rows(HyperBallStore.neighborhoodEstimateFor(
+        spark, dir, "doc_id", probeIds))
+      val full = rows(HyperBallStore.neighborhoodEstimate(spark, dir, "doc_id")
+        .where($"doc_id".isInCollection(probeIds)))
+      assert(point == full && point.size == probeIds.size)
     } finally graft.Pins.release(edges)
   }
 

@@ -207,6 +207,37 @@ class LinkGraphStoreSpec extends SparkSpec {
     assert(LinkGraphStore.loadManifest(spark, dir).nDocs == 10L)
   }
 
+  test("randomized multi-batch appendAuto == rebuild (mixed routes, fixed seeds)") {
+    // same adversarial band-traffic corpus as the in-place property test,
+    // but ingested through appendAuto with per-batch sizes chosen so the
+    // router exercises BOTH paths and the fold boundary between them
+    for (seed <- Seq(11L, 4242L)) {
+      val rnd = new scala.util.Random(seed)
+      val pool = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+      def doc(): String =
+        (0 until (2 + rnd.nextInt(6))).map(_ => pool(rnd.nextInt(pool.size))).mkString(" ")
+      val all = (1L to 40L).map(i => (i, doc()))
+      val dir = tmp(s"lgs_auto_prop$seed")
+      LinkGraphStore.build(all.take(16).toDF("doc_id", "text"), "doc_id", "text",
+        w = 2, maxDf = 3, dir, nBuckets = 4)
+      // 2-doc batches route delta (< 10% of 16+), a 12-doc batch routes
+      // in-place (folding the pending log first), then small again
+      val batches = Seq(all.slice(16, 18), all.slice(18, 20), all.slice(20, 32),
+        all.slice(32, 34), all.slice(34, 36), all.slice(36, 40))
+      val routes = batches.map(b =>
+        LinkGraphStore.appendAuto(b.toDF("doc_id", "text"), "doc_id", "text", dir,
+          smallBatchFraction = 0.3))
+      assert(routes.count(_ == "inplace") >= 1 && routes.count(_ == "delta") >= 2,
+        s"seed $seed routes $routes never mixed")
+      val got = canonSet(LinkGraphStore.loadEdgesCanonical(spark, dir))
+      val rb = tmp(s"lgs_auto_prop_rb$seed")
+      LinkGraphStore.build(all.toDF("doc_id", "text"), "doc_id", "text",
+        w = 2, maxDf = 3, rb, nBuckets = 4)
+      val want = canonSet(LinkGraphStore.loadEdgesCanonical(spark, rb))
+      assert(got == want, s"seed $seed: ${got.size} vs ${want.size}")
+    }
+  }
+
   test("id discipline: overlapping, duplicate, and empty batches") {
     val base = Seq((1L, "x y"), (2L, "x y")).toDF("doc_id", "text")
     val dir = tmp("lgs_guard")
