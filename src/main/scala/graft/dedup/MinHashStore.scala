@@ -172,9 +172,23 @@ object MinHashStore {
     */
   def compactTo(spark: SparkSession, dir: String, outDir: String,
       nBuckets: Int = -1): Unit = {
+    // OUT-OF-PLACE only: buildFromSigs deletes outDir/segs BEFORE the
+    // lazy readSigs reader materializes — compacting onto the source
+    // would scan its own deleted files and destroy the store
+    requireDistinctDirs(spark, dir, outDir, "MinHashStore.compactTo")
     val m = loadManifest(spark, dir)
     buildFromSigs(readSigs(spark, dir), outDir, m.shingleSize, m.numHashes,
       m.bands, if (nBuckets < 0) m.nBuckets else nBuckets)
+  }
+
+  private def requireDistinctDirs(spark: SparkSession, dir: String,
+      outDir: String, who: String): Unit = {
+    val a = new org.apache.hadoop.fs.Path(dir)
+    val fs = a.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.makeQualified(a) != fs.makeQualified(new org.apache.hadoop.fs.Path(outDir)),
+      s"$who: outDir must differ from the source dir - the fold deletes the " +
+        "output's segments before the source readers materialize, so an " +
+        "in-place compact would destroy the store")
   }
 
   /** Batch survivors against the store — bit-identical to

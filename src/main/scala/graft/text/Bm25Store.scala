@@ -108,9 +108,6 @@ object Bm25Store {
     writeSegment(segment, dir, segmentId, m.nBuckets)
   }
 
-  /** Load the artifact back as an in-memory [[Bm25.Index]] — plugs into
-    * [[Bm25.scoreTopK]] (and [[Bm25.mergeIndex]]) unchanged.
-    */
   /** Fold every committed segment into a fresh SINGLE-segment store at
     * `outDir` — the segment-count maintenance a long-running ingest needs:
     * each append adds a segment and every read unions all of them, so a
@@ -119,15 +116,28 @@ object Bm25Store {
     * count bound) restores O(1) segments; [[save]]'s full-overwrite
     * discipline makes the output crash-safe (a torn compact leaves outDir
     * failing loud on the zero-segments guard, the source untouched).
+    * OUT-OF-PLACE only (enforced): save() deletes outDir's segments
+    * before [[load]]'s lazy readers materialize, so compacting onto the
+    * source would scan its own deleted files and destroy the index.
     * Scoring from the compacted store is bit-identical (merge-at-read ≡
     * merge-at-write; spec-asserted).
     */
   def compactTo(spark: SparkSession, dir: String, outDir: String,
       nBuckets: Int = -1): Unit = {
+    val a = new org.apache.hadoop.fs.Path(dir)
+    val fs = a.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.makeQualified(a) !=
+        fs.makeQualified(new org.apache.hadoop.fs.Path(outDir)),
+      "Bm25Store.compactTo: outDir must differ from the source dir - the fold " +
+        "deletes the output's segments before the source readers materialize, " +
+        "so an in-place compact would destroy the index")
     val m = loadManifest(spark, dir)
     save(load(spark, dir), outDir, if (nBuckets < 0) m.nBuckets else nBuckets)
   }
 
+  /** Load the artifact back as an in-memory [[Bm25.Index]] — plugs into
+    * [[Bm25.scoreTopK]] (and [[Bm25.mergeIndex]]) unchanged.
+    */
   def load(spark: SparkSession, dir: String): Bm25.Index = {
     val m = loadManifest(spark, dir)
     val segs = committedSegments(spark, dir)

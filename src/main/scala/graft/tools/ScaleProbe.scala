@@ -462,6 +462,42 @@ object ScaleProbe {
         val tH = (System.nanoTime() - t0h) / 1e9
         println(s"""{"mode":"hyperball","nodes":${agg.getLong(0)},""" +
           f""""sum_est":${agg.getDouble(1)}%.1f,"max_est":${agg.getDouble(2)}%.1f,"total_s":$tH%.1f}""")
+      case "hyperball_store" =>
+        // the register ARTIFACT at the tier (round 13): propagate once
+        // (build), then measure a from-store readout against the
+        // in-memory re-propagation every reach query previously paid.
+        // w=6 = the corpus-scale span width the tier graph lanes use.
+        val dirH = java.nio.file.Files.createTempDirectory("probe_hbs").toString
+        val edges = LinkGraph.sharedSpanEdges(docs, "doc_id", "text", w = 6, maxDf = 32)
+          .localCheckpoint(true) // one edge set for all three measurements
+        try {
+          timed("register artifact build (3 hops)") {
+            graft.text.HyperBallStore.build(docs.select(col("doc_id")), "doc_id",
+              edges, maxHops = 3, dirH, nBuckets = 256)
+          }
+          val t1 = System.nanoTime()
+          val served = graft.text.HyperBallStore.neighborhoodEstimate(spark, dirH, "doc_id")
+            .agg(count(lit(1)), sum(col("est_ball"))).head()
+          val tServe = (System.nanoTime() - t1) / 1e9
+          System.err.println(f"[probe] estimate from store            $tServe%.1f s")
+          val t2 = System.nanoTime()
+          val mem = graft.text.HyperBall.neighborhoodEstimate(
+              docs.select(col("doc_id")), "doc_id", edges, maxHops = 3)
+            .agg(count(lit(1)), sum(col("est_ball"))).head()
+          val tMem = (System.nanoTime() - t2) / 1e9
+          System.err.println(f"[probe] in-memory re-propagation       $tMem%.1f s")
+          // counts exact; SUMS with a relative tolerance — per-row
+          // estimates are bit-identical (integer registers) but a double
+          // sum's accumulation order is partition-dependent, and the two
+          // plans partition differently (bucket files vs shuffle output).
+          // Per-row equality proper is HyperBallStoreSpec's job.
+          val rel = math.abs(served.getDouble(1) - mem.getDouble(1)) /
+            math.max(1.0, math.abs(mem.getDouble(1)))
+          require(served.getLong(0) == mem.getLong(0) && rel < 1e-9,
+            s"store/in-memory disagree: $served vs $mem (rel $rel)")
+          println(s"""{"mode":"hyperball_store","nodes":${served.getLong(0)},""" +
+            f""""sum_est":${served.getDouble(1)}%.1f,"serve_s":$tServe%.1f,"mem_s":$tMem%.1f}""")
+        } finally graft.Pins.release(edges)
       case "pagerank" =>
         // fixed-point PageRank at the tier: per-iteration cost is one
         // |E| contribution shuffle — confirm linear behavior on the

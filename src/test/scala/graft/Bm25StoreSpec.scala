@@ -60,6 +60,12 @@ class Bm25StoreSpec extends SparkSpec {
         "text", "doc_id", k = 5)) ==
       scores(Bm25Store.scoreTopKPersisted(spark, dir, queries,
         "text", "doc_id", k = 5)))
+    // in-place compaction is rejected, source untouched
+    val same = intercept[IllegalArgumentException] {
+      Bm25Store.compactTo(spark, dir, dir)
+    }
+    assert(same.getMessage.contains("must differ"))
+    assert(Bm25Store.loadManifest(spark, dir) == m)
   }
 
   test("persisted serving path prunes to the query terms' buckets and matches") {

@@ -139,6 +139,13 @@ class MinHashStoreSpec extends SparkSpec {
     def verdict(d: String) = MinHashStore.dedupBatch(spark, d, probe,
       "text", "doc_id", threshold = 0.5).select($"doc_id").as[Long].collect().sorted.toSeq
     assert(verdict(out) == verdict(dir))
+    // in-place compaction is rejected (the fold deletes the output's
+    // segments before the source readers materialize)
+    val same = intercept[IllegalArgumentException] {
+      MinHashStore.compactTo(spark, dir, dir)
+    }
+    assert(same.getMessage.contains("must differ"))
+    assert(MinHashStore.loadManifest(spark, dir).nDocs == 4L) // untouched
   }
 
   test("guards: segment 0 is the build's; a torn build fails loud, not empty") {
