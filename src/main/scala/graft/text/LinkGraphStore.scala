@@ -66,11 +66,11 @@ import org.apache.spark.sql.functions._
   *    fails fast naming the recovery (rebuild) instead of silently
   *    serving mixed-epoch surfaces. Re-running a torn in-place append
   *    would double-apply edge deltas, hence rebuild. Crash-safe paths:
-  *    [[graft.streaming.StreamingLinkGraph]] with explicit batch ids
-  *    (committed entries replay as no-ops), or [[appendAuto]]'s delta
-  *    path, which never mutates committed surfaces — a crashed-then-
-  *    retried appendAuto call cannot double-apply, though the retry
-  *    fails loudly on the id guard (ids are auto-assigned).
+  *    [[graft.streaming.StreamingLinkGraph]] or [[appendAuto]] with an
+  *    explicit `batchId` (committed delta entries replay as no-ops);
+  *    with auto-assigned ids the delta path still never mutates
+  *    committed surfaces — a crashed-then-retried call cannot
+  *    double-apply, the retry just fails loudly on the id guard.
   */
 object LinkGraphStore {
 
@@ -283,23 +283,44 @@ object LinkGraphStore {
     *
     * Returns the route taken (`"inplace"`, `"delta"`, `"delta+compact"`,
     * `"noop"`) — callers and specs assert routing, not timing.
+    *
+    * Exactly-once: pass an explicit monotonically-increasing `batchId`
+    * (an ingest pipeline's own sequence number) and a replay of a
+    * COMMITTED-but-unfolded delta batch is a marker no-op; with the
+    * default auto-assigned id a crashed-then-retried call fails loudly
+    * on the id guard instead (either way nothing double-applies). A
+    * replayed batch that was already FOLDED (or took the in-place route)
+    * fails loudly too — its delta dir is gone, so the watermark guard is
+    * the only thing left to distinguish replay from out-of-order, and it
+    * refuses both.
     */
   def appendAuto(newDocs: DataFrame, idCol: String, textCol: String, dir: String,
-      smallBatchFraction: Double = 0.05, maxLiveDeltas: Int = 32): String = {
+      smallBatchFraction: Double = 0.05, maxLiveDeltas: Int = 32,
+      batchId: Long = -1L): String = {
     require(smallBatchFraction > 0 && smallBatchFraction <= 1,
       s"appendAuto: smallBatchFraction $smallBatchFraction outside (0,1]")
     require(maxLiveDeltas >= 1, s"appendAuto: maxLiveDeltas $maxLiveDeltas < 1")
     val spark = newDocs.sparkSession
     val m = loadManifest(spark, dir)
+    // committed replay short-circuit BEFORE the count (exactly-once for
+    // explicit ids; mirrors StreamingLinkGraph.applyBatchTo's ordering)
+    if (batchId >= 0L) {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/deltas/batch=$batchId/_done")))
+        return "noop"
+    }
     val n = newDocs.count()
     if (n == 0L) return "noop"
     if (n.toDouble >= smallBatchFraction * math.max(m.nDocs, 1L)) {
       compactInPlace(spark, dir) // no-op when the log is empty
-      append(newDocs, idCol, textCol, dir)
+      append(newDocs, idCol, textCol, dir, batchId)
       "inplace"
     } else {
       val live = liveDeltaIds(spark, dir)
-      val nextId = (m.lastBatchId +: live).max + 1L
+      val nextId =
+        if (batchId >= 0L) batchId
+        else (m.lastBatchId +: live).max + 1L
       graft.streaming.StreamingLinkGraph.applyBatchTo(
         newDocs, nextId, idCol, textCol, dir, s"$dir/deltas")
       if (live.size + 1 >= maxLiveDeltas) { compactInPlace(spark, dir); "delta+compact" }
@@ -536,10 +557,10 @@ object LinkGraphStore {
         s" vs manifest epoch ${m.epoch}. A mutation crashed between its " +
         "surface writes; the surfaces are not mutually consistent. " +
         "Recover by rebuilding the artifact (LinkGraphStore.build). For " +
-        "crash-safe continuous ingestion use StreamingLinkGraph with " +
-        "explicit batch ids (committed entries replay as no-ops); " +
-        "appendAuto's delta path never corrupts on a crashed-then-retried " +
-        "call but fails the retry loudly (auto-assigned ids)")
+        "crash-safe continuous ingestion use StreamingLinkGraph or " +
+        "appendAuto with explicit batch ids (committed delta entries " +
+        "replay as no-ops); auto-assigned appendAuto ids make a retry " +
+        "fail loudly instead - either way nothing double-applies")
     m
   }
 

@@ -205,6 +205,22 @@ class LinkGraphStoreSpec extends SparkSpec {
     assert(r4 == "delta+compact", s"route: $r4")
     assert(LinkGraphStore.liveDeltaIds(spark, dir).isEmpty)
     assert(LinkGraphStore.loadManifest(spark, dir).nDocs == 10L)
+    // exactly-once with an EXPLICIT batch id: committed-but-unfolded
+    // replay is a marker no-op; a folded id fails loudly (watermark)
+    val r5 = LinkGraphStore.appendAuto(Seq((11L, "ss tt")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, smallBatchFraction = 0.5, batchId = 50L)
+    assert(r5 == "delta", s"route: $r5")
+    val before = canonSet(LinkGraphStore.loadEdgesCanonical(spark, dir))
+    val r6 = LinkGraphStore.appendAuto(Seq((11L, "ss tt")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, smallBatchFraction = 0.5, batchId = 50L) // replay
+    assert(r6 == "noop", s"route: $r6")
+    assert(canonSet(LinkGraphStore.loadEdgesCanonical(spark, dir)) == before)
+    LinkGraphStore.compactInPlace(spark, dir)
+    val folded = intercept[IllegalArgumentException] {
+      LinkGraphStore.appendAuto(Seq((12L, "uu vv")).toDF("doc_id", "text"),
+        "doc_id", "text", dir, smallBatchFraction = 0.5, batchId = 50L)
+    }
+    assert(folded.getMessage.contains("watermark"), folded.getMessage)
   }
 
   test("randomized multi-batch appendAuto == rebuild (mixed routes, fixed seeds)") {
