@@ -397,6 +397,10 @@ object PlanCheck {
     Check(
       "q_linkgraph_append_auto",
       mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+    // (no q_reach_distribution_artifact check: its readout aggregates
+    // driver-side and returns a LocalTableScan - any plan assertion on
+    // the gate frame would be vacuous; the serving-path discipline is
+    // covered by the estimate/harmonic checks above)
   )
 
   /** Plan checks for operator INTERNALS the gate plans hide behind

@@ -86,4 +86,32 @@ class HyperBallStoreSpec extends SparkSpec {
       HyperBallStore.loadManifest(spark, tmp("hbs_none"))
     }
   }
+
+  test("randomized extendTo == deeper rebuild (property, fixed seeds)") {
+    // random sparse digraphs with hubs and isolated nodes: the extend
+    // composition must hold on any shape, not just the crafted chain
+    for (seed <- Seq(3L, 77L)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 60
+      val pairs = (1 to 150).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2).distinct
+      val edges = pairs.toDF("src", "dst")
+      val nodes = (0L until n.toLong).toDF("id")
+      val dir = tmp(s"hbs_prop$seed")
+      HyperBallStore.build(nodes, "id", edges, maxHops = 1, dir, nBuckets = 4)
+      HyperBallStore.extendTo(edges, dir, newMaxHops = 3)
+      HyperBallStore.extendTo(edges, dir, newMaxHops = 4)
+      val rb = tmp(s"hbs_prop_rb$seed")
+      HyperBallStore.build(nodes, "id", edges, maxHops = 4, rb, nBuckets = 4)
+      (0 to 4).foreach { d =>
+        val got = HyperBallStore.readHop(spark, dir, d)
+          .select($"id", xxhash64($"reg")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val want = HyperBallStore.readHop(spark, rb, d)
+          .select($"id", xxhash64($"reg")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got == want, s"seed $seed hop $d registers diverge")
+      }
+    }
+  }
 }
