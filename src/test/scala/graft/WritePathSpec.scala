@@ -76,6 +76,40 @@ class WritePathSpec extends SparkSpec {
     assert(res.domains.find(_.column == "k").get.max.contains(3))
   }
 
+  test("randomized append sequences with injected torn appends keep stats truthful (property)") {
+    for (seed <- Seq(5L, 99L)) {
+      val rnd = new scala.util.Random(seed)
+      val out = tmp(s"appendw_prop$seed")
+      var next = 0
+      def batch(sz: Int) = {
+        val rows = (0 until sz).map { _ =>
+          next += 1; (next, s"s${rnd.nextInt(5)}", rnd.nextInt(1000) - 500)
+        }
+        rows.toDF("k", "s", "v")
+      }
+      TableWriter.write(batch(3), out)
+      (1 to 6).foreach { _ =>
+        if (rnd.nextBoolean()) {
+          // torn append: data lands, sidecar doesn't (simulated crash)
+          batch(1 + rnd.nextInt(3)).write.mode("append").parquet(out)
+        } else {
+          TableWriter.appendWrite(batch(1 + rnd.nextInt(3)), out)
+        }
+      }
+      // one clean appendWrite at the end repairs any staleness via the
+      // fingerprint-mismatch rescan; the sidecar must equal a recompute
+      val res = TableWriter.appendWrite(batch(2), out)
+      val whole = spark.read.parquet(out)
+      assert(res.rowCount == whole.count(), s"seed $seed row count")
+      val recomputed = graft.table.Domains.compute(whole, 60)
+      res.domains.zip(recomputed).foreach { case (m, r) =>
+        assert(m.min == r.min && m.max == r.max && m.nullCount == r.nullCount &&
+          m.nominal.map(_.toSet) == r.nominal.map(_.toSet),
+          s"seed $seed ${m.column}: $m vs $r")
+      }
+    }
+  }
+
   test("appendWrite detects a torn prior append (data landed, sidecar didn't) and recomputes") {
     val out = tmp("appendw_torn")
     TableWriter.write(Seq((1, "a"), (2, "b")).toDF("k", "s"), out)
