@@ -1755,19 +1755,33 @@ object LlmQueries {
     // node-sized scan. Built as maxHops=2 + extendTo(3), so matching the
     // from-scratch hops=3 oracle ALSO proves extend ≡ deeper rebuild
     "q_reach_estimate_artifact" -> ((s, dir) => {
+      // Checked variants: the r14 staleness gate (source-graph fingerprint
+      // recorded at build, re-verified at serve) is ON the serving path
       graft.text.HyperBallStore
-        .neighborhoodEstimate(s, hyperBallDir(s, dir), "doc_id")
+        .neighborhoodEstimateChecked(s, hyperBallDir(s, dir), linkGraphDir(s, dir), "doc_id")
         .orderBy(col("doc_id"))
     }),
     "q_reach_harmonic_artifact" -> ((s, dir) => {
       graft.text.HyperBallStore
-        .neighborhoodFunction(s, hyperBallDir(s, dir), "doc_id")
+        .neighborhoodFunctionChecked(s, hyperBallDir(s, dir), linkGraphDir(s, dir), "doc_id")
         .orderBy(col("doc_id"))
     }),
     "q_reach_distribution_artifact" -> ((s, dir) => {
       graft.text.HyperBallStore
-        .distanceDistribution(s, hyperBallDir(s, dir))
+        .distanceDistributionChecked(s, hyperBallDir(s, dir), linkGraphDir(s, dir))
         .orderBy(col("hop"))
+    }),
+
+    // the bucket-pruned POINT lookup (single-doc "how connected is this
+    // document" probes): reads only the probe ids' hash buckets of one
+    // hop surface - the driver-side pmod(xxhash64) replay is the hazard
+    // class NOTES records (remainderUnsigned != pmod), so the gate proves
+    // pruned == unpruned against the full from-scratch oracle restricted
+    // to the same ids (PlanCheck asserts the files-read bound)
+    "q_reach_point_artifact" -> ((s, dir) => {
+      graft.text.HyperBallStore
+        .neighborhoodEstimateFor(s, hyperBallDir(s, dir), "doc_id", ReachPointIds)
+        .orderBy(col("doc_id"))
     }),
 
     // span-novelty profile: unique / shared / boilerplate span counts
@@ -2055,6 +2069,12 @@ object LlmQueries {
     * gates' graph), shallow-built then extended so the gates exercise the
     * extend ≡ rebuild path against the from-scratch oracles.
     */
+  /** Probe ids for the bucket-pruned point-lookup gate - present at
+    * every SF (doc ids 0..499 exist at sf0.001 and up) and spread across
+    * hash buckets.
+    */
+  private val ReachPointIds = Seq(0L, 7L, 123L, 499L)
+
   private def hyperBallDir(s: org.apache.spark.sql.SparkSession, dir: String): String = {
     // resolved BEFORE the #hbs lambda: a computeIfAbsent mapping function
     // must not computeIfAbsent into the SAME map (ConcurrentHashMap
@@ -2062,10 +2082,12 @@ object LlmQueries {
     val gDir = linkGraphDir(s, dir)
     ivfIndexDirs.computeIfAbsent(dir + "#hbs", _ => {
       val d = java.nio.file.Files.createTempDirectory("graft_hbs").toString
-      val edges = graft.text.LinkGraphStore.loadEdges(s, gDir)
-      graft.text.HyperBallStore.build(t(s, dir, "documents").select(col("doc_id")),
-        "doc_id", edges, maxHops = 2, d, nBuckets = 16)
-      graft.text.HyperBallStore.extendTo(edges, d, newMaxHops = 3)
+      // fromGraph variants record + re-check the source fingerprint, so
+      // the _artifact gates serve through the staleness check end to end
+      graft.text.HyperBallStore.buildFromGraph(s,
+        t(s, dir, "documents").select(col("doc_id")), "doc_id", gDir,
+        maxHops = 2, d, nBuckets = 16)
+      graft.text.HyperBallStore.extendToFromGraph(s, gDir, d, newMaxHops = 3)
       d
     })
   }
@@ -2249,7 +2271,12 @@ object LlmQueries {
       // extend ≡ deeper rebuild
       ("q_reach_estimate_artifact" -> m("q_reach_estimate")) +
       ("q_reach_harmonic_artifact" -> m("q_reach_harmonic")) +
-      ("q_reach_distribution_artifact" -> m("q_reach_distribution"))
+      ("q_reach_distribution_artifact" -> m("q_reach_distribution")) +
+      // the point lookup serves the SAME estimates as the full readout
+      // restricted to the probe ids: wrap the from-scratch oracle
+      ("q_reach_point_artifact" ->
+        (s"SELECT * FROM (${m("q_reach_estimate")}) " +
+          s"WHERE doc_id IN (${ReachPointIds.mkString(", ")})"))
 
   /** Exact all-occurrences oracle for the blocklist lanes: every start
     * position × every term, substring-compared — O(chars · terms), the

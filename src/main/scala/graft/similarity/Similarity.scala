@@ -168,7 +168,7 @@ object Similarity {
     try {
       val indexed = assignCells(corpus, vecCol, idCol, cents).localCheckpoint(true)
       try {
-        indexed.write.mode("overwrite").partitionBy("cell").parquet(dir)
+        graft.table.WriteModes.staticPartitionOverwrite(indexed, dir, "cell")
         val counts = indexed.groupBy(col("cell").cast("long").as("cell"))
           .agg(count(lit(1)).as("n_rows"))
         writeIvfSidecar(
@@ -190,7 +190,7 @@ object Similarity {
     * artifacts, reread cheaply; ArrowReaderWriterUtils.java:229).
     */
   def saveIvfIndex(indexed: DataFrame, dir: String): Unit =
-    indexed.write.mode("overwrite").partitionBy("cell").parquet(dir)
+    graft.table.WriteModes.staticPartitionOverwrite(indexed, dir, "cell")
 
   /** [[saveIvfIndex]] plus the `_centroids` sidecar that makes the
     * artifact APPENDABLE: (cell, centroid, n_rows) — the build-time
@@ -205,7 +205,7 @@ object Similarity {
     */
   def saveIvfIndexAppendable(indexed: DataFrame, dir: String, vecCol: String,
       idCol: String, nlist: Int): Unit = {
-    indexed.write.mode("overwrite").partitionBy("cell").parquet(dir)
+    graft.table.WriteModes.staticPartitionOverwrite(indexed, dir, "cell")
     writeIvfSidecarFor(indexed, dir, vecCol, idCol, nlist)
   }
 
@@ -461,8 +461,8 @@ object Similarity {
     val indexed = ivfBuild(corpus, vecCol, idCol, nlist).localCheckpoint(true)
     try {
       val model = pqTrain(corpus, vecCol, idCol, m, k)
-      pqEncode(indexed, vecCol, model)
-        .write.mode("overwrite").partitionBy("cell").parquet(dir)
+      graft.table.WriteModes.staticPartitionOverwrite(
+        pqEncode(indexed, vecCol, model), dir, "cell")
       writeIvfSidecarFor(indexed, dir, vecCol, idCol, nlist)
       val spark = corpus.sparkSession
       val rows = for (j <- 0 until model.m; c <- 0 until model.k)

@@ -221,7 +221,8 @@ object Export {
     */
   def writePackedShards(packed: DataFrame, spans: DataFrame, docs: DataFrame,
       idCol: String, sourceCol: String, seqLen: Int, nShards: Int, outDir: String): Unit = {
-    packed.write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    // static pin: a re-export with fewer shards must not keep stale ones
+    graft.table.WriteModes.staticPartitionOverwrite(packed, outDir, "shard")
     val lines = manifestDf(spans, docs, idCol, sourceCol, seqLen, nShards)
       .toJSON.collect() // nShards lines — driver-bounded
     val path = new org.apache.hadoop.fs.Path(outDir, "_manifest.jsonl")
@@ -416,9 +417,9 @@ object Export {
       nShards: Int, outDir: String): Unit = {
     val spark = docs.sparkSession
     val assigned = Sharding.assignShards(docs, idCol, T.tokenCount(col(textCol)).cast(LongType), nShards)
-    docs.join(assigned.select(col(idCol), col("shard")), Seq(idCol))
-      .repartition(col("shard"))
-      .write.mode("overwrite").partitionBy("shard").json(outDir)
+    graft.table.WriteModes.staticPartitionOverwriteJson(
+      docs.join(assigned.select(col(idCol), col("shard")), Seq(idCol))
+        .repartition(col("shard")), outDir, "shard")
     val lines = jsonlManifest(docs, idCol, textCol, nShards).orderBy(col("shard")).toJSON.collect()
     val path = new org.apache.hadoop.fs.Path(outDir, "_manifest.jsonl")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)

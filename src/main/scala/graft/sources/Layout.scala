@@ -48,7 +48,7 @@ object Layout {
     * partitions).
     */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
-    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+    graft.table.WriteModes.staticPartitionOverwrite(df, path, partitionCols: _*)
 
   /** Globally-sorted parquet layout: range-repartition on the sort key
     * (one sampling pass + one shuffle), sort within partitions, write one

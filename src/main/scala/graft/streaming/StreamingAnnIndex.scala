@@ -47,7 +47,7 @@ object StreamingAnnIndex {
       dir: String): Unit = {
     val indexed = Similarity.ivfBuild(corpus, vecCol, idCol, nlist).localCheckpoint(true)
     try {
-      indexed.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/batch=0")
+      graft.table.WriteModes.staticPartitionOverwrite(indexed, s"$dir/batch=0", "cell")
       // sidecar last, at the ROOT (one certification point for all batches)
       Similarity.writeIvfSidecarFor(indexed, dir, vecCol, idCol, nlist)
     } finally graft.Pins.release(indexed)
@@ -80,8 +80,8 @@ object StreamingAnnIndex {
       Similarity.assignAgainstSidecar(batch.drop("batch"), vecCol, idCol, indexDir)
     try {
       if (assigned == null) return // empty batch
-      assigned.write.mode("overwrite").partitionBy("cell")
-        .parquet(s"$indexDir/batch=${batchId + 1}")
+      graft.table.WriteModes.staticPartitionOverwrite(
+        assigned, s"$indexDir/batch=${batchId + 1}", "cell")
       // manifest last, per batch: replay overwrites both data and line
       assigned.groupBy(col("cell").cast("long").as("cell"))
         .agg(count(lit(1)).as("n_rows"))

@@ -275,6 +275,21 @@ object StreamingLinkGraph {
     * [[LinkGraphStore.append]] — or re-seed a new stream dir's `base`.
     */
   def compactTo(spark: SparkSession, dir: String, outDir: String): Unit = {
+    // OUT-OF-PLACE only (the MinHashStore/Bm25Store.compactTo discipline):
+    // compacting onto the stream's base would stamp epochs and overwrite
+    // base/edges BEFORE the lazy postings/dfs readers materialize, leaving
+    // the stream torn and rebuild-only; onto the stream dir itself would
+    // interleave artifact surfaces with the delta log
+    locally {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def q(s: String) = fs.makeQualified(new org.apache.hadoop.fs.Path(s))
+      val out = q(outDir)
+      require(out != q(dir) && out != q(s"$dir/base"),
+        "StreamingLinkGraph.compactTo: outDir must differ from the stream " +
+          "dir and its base - an in-place compact overwrites surfaces the " +
+          "fold still has to read and destroys the stream's base artifact")
+    }
     val m = LinkGraphStore.loadManifest(spark, s"$dir/base")
     val committed = committedBatches(spark, dir)
     val nB = m.nBuckets

@@ -211,8 +211,12 @@ object TableWriter {
     * namespace listing, no data reads.
     */
   private def dataFingerprint(spark: SparkSession, path: String): (Long, Long) = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val raw = new org.apache.hadoop.fs.Path(path)
+    val fs = raw.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // listFiles returns fully-qualified paths; the walk's stop condition
+    // must compare against the QUALIFIED table root or it overshoots to /
+    // and any hidden ancestor (/tmp/.cache/table) marks every file hidden
+    val p = fs.makeQualified(raw)
     if (!fs.exists(p)) (0L, 0L)
     else {
       var n = 0L; var b = 0L
@@ -222,7 +226,7 @@ object TableWriter {
         val name = f.getPath.getName
         // skip hidden files AND files inside hidden dirs (_temporary)
         val hidden = {
-          var q: org.apache.hadoop.fs.Path = f.getPath
+          var q: org.apache.hadoop.fs.Path = f.getPath.getParent
           var h = false
           while (q != null && !q.equals(p)) {
             val nm = q.getName

@@ -52,15 +52,25 @@ import org.apache.spark.sql.functions._
   */
 object HyperBallStore {
 
+  /** `source` = the source graph's [[LinkGraphStore.stateFingerprint]]
+    * captured at build/extend time (None for stores built from a raw edge
+    * frame, which has no persistent identity to check against). It is the
+    * cross-artifact staleness handle: registers built before a graph
+    * mutation silently serve the OLD graph's reach numbers — correct for
+    * the graph they certify, wrong for the graph the caller thinks they
+    * describe. [[isStale]]/[[requireFresh]] compare it against the graph's
+    * CURRENT fingerprint; the `*Checked` readouts fail fast on mismatch.
+    */
   final case class Manifest(version: Int, m: Int, maxHops: Int, nNodes: Long,
-      nBuckets: Int)
+      nBuckets: Int, source: Option[String] = None)
 
   /** Propagate `maxHops` rounds and persist every hop's registers
     * (hop 0 = singleton balls). Ids are ingested as LONG (the
-    * artifact-family id discipline).
+    * artifact-family id discipline). `source` — see [[Manifest]]; use
+    * [[buildFromGraph]] to capture it automatically.
     */
   def build(nodes: DataFrame, idCol: String, edges: DataFrame, maxHops: Int,
-      dir: String, nBuckets: Int = 64): Unit = {
+      dir: String, nBuckets: Int = 64, source: Option[String] = None): Unit = {
     require(maxHops >= 1, s"HyperBallStore.build: maxHops $maxHops < 1")
     require(nBuckets >= 1, s"HyperBallStore.build: nBuckets $nBuckets < 1")
     val spark = nodes.sparkSession
@@ -94,8 +104,66 @@ object HyperBallStore {
         writeHop(regs, dir, d, nBuckets)
       }
       graft.Pins.release(regs)
-      writeManifest(spark, dir, Manifest(1, HyperBall.M, maxHops, nNodes, nBuckets))
+      writeManifest(spark, dir,
+        Manifest(1, HyperBall.M, maxHops, nNodes, nBuckets, source))
     } finally e.unpersist()
+  }
+
+  /** [[build]] over a persisted [[LinkGraphStore]]'s edges, recording the
+    * graph's state fingerprint in the manifest so staleness is DETECTABLE
+    * afterwards ([[isStale]], the `*Checked` readouts). The fingerprint is
+    * re-read after the propagation and must be unchanged — a graph mutated
+    * mid-build would otherwise get certified registers that describe
+    * neither its old nor its new state (the single-writer discipline makes
+    * this a belt-and-braces check, but it costs one manifest read).
+    */
+  def buildFromGraph(spark: SparkSession, nodes: DataFrame, idCol: String,
+      graphDir: String, maxHops: Int, dir: String, nBuckets: Int = 64): Unit = {
+    val fp = LinkGraphStore.stateFingerprint(spark, graphDir)
+    build(nodes, idCol, LinkGraphStore.loadEdges(spark, graphDir), maxHops,
+      dir, nBuckets, Some(fp))
+    val after = LinkGraphStore.stateFingerprint(spark, graphDir)
+    require(after == fp,
+      s"HyperBallStore.buildFromGraph: graph $graphDir mutated during the " +
+        s"build ($fp -> $after) - the stored registers describe a mixed " +
+        "state; rebuild")
+  }
+
+  /** [[extendTo]] over the graph the store was built from — refuses a
+    * stale store first (deepening hops over a MUTATED graph would stamp a
+    * fresh-looking horizon onto old-graph registers), re-checks the
+    * fingerprint after, like [[buildFromGraph]].
+    */
+  def extendToFromGraph(spark: SparkSession, graphDir: String, dir: String,
+      newMaxHops: Int): Unit = {
+    requireFresh(spark, dir, graphDir)
+    extendTo(LinkGraphStore.loadEdges(spark, graphDir), dir, newMaxHops)
+    requireFresh(spark, dir, graphDir)
+  }
+
+  /** True when the stored registers do NOT describe `graphDir`'s current
+    * state: the graph mutated since the build/extend (epoch bump, fold, or
+    * a delta-route append — the fingerprint sees all three), or the store
+    * predates fingerprinting / was built from a raw edge frame (no
+    * recorded source — conservatively stale: freshness is unverifiable).
+    */
+  def isStale(spark: SparkSession, dir: String, graphDir: String): Boolean =
+    !loadManifest(spark, dir).source
+      .contains(LinkGraphStore.stateFingerprint(spark, graphDir))
+
+  /** Fail fast instead of silently serving the old graph's reach numbers.
+    * Recovery is always [[build]]/[[buildFromGraph]]: edge growth
+    * invalidates every stored hop (see class doc).
+    */
+  def requireFresh(spark: SparkSession, dir: String, graphDir: String): Unit = {
+    val src = loadManifest(spark, dir).source
+    val now = LinkGraphStore.stateFingerprint(spark, graphDir)
+    require(src.contains(now),
+      s"HyperBallStore: registers under $dir are STALE for graph $graphDir - " +
+        s"built at ${src.getOrElse("<no recorded source>")}, graph now at " +
+        s"$now. Edge-set changes invalidate every stored hop (new edges " +
+        "shorten distances retroactively); rebuild with " +
+        "HyperBallStore.buildFromGraph")
   }
 
   /** Continue the propagation from the stored last hop to `newMaxHops`
@@ -184,6 +252,29 @@ object HyperBallStore {
       q, scaleBits)
   }
 
+  /** [[neighborhoodEstimate]] with the staleness gate on the serving
+    * path: refuses to read registers the graph has outgrown.
+    */
+  def neighborhoodEstimateChecked(spark: SparkSession, dir: String,
+      graphDir: String, idCol: String, hops: Int = -1): DataFrame = {
+    requireFresh(spark, dir, graphDir)
+    neighborhoodEstimate(spark, dir, idCol, hops)
+  }
+
+  /** [[neighborhoodFunction]] with the staleness gate. */
+  def neighborhoodFunctionChecked(spark: SparkSession, dir: String,
+      graphDir: String, idCol: String): DataFrame = {
+    requireFresh(spark, dir, graphDir)
+    neighborhoodFunction(spark, dir, idCol)
+  }
+
+  /** [[distanceDistribution]] with the staleness gate. */
+  def distanceDistributionChecked(spark: SparkSession, dir: String,
+      graphDir: String, q: Double = 0.9, scaleBits: Int = 20): DataFrame = {
+    requireFresh(spark, dir, graphDir)
+    distanceDistribution(spark, dir, q, scaleBits)
+  }
+
   def loadManifest(spark: SparkSession, dir: String): Manifest = {
     import graft.sources.{ArtifactJson => J}
     val path = new org.apache.hadoop.fs.Path(dir, "_manifest.json")
@@ -192,8 +283,9 @@ object HyperBallStore {
       "build the artifact with HyperBallStore.build")
     val node = J.readFile(spark, s"$dir/_manifest.json")
     def num(f: String): Long = J.long(node, f, dir)
+    val source = Option(node.get("source")).filter(_.isTextual).map(_.asText())
     Manifest(num("version").toInt, num("m").toInt, num("maxHops").toInt,
-      num("nNodes"), num("nBuckets").toInt)
+      num("nNodes"), num("nBuckets").toInt, source)
   }
 
   /** Stored registers of one hop (id, reg). */
@@ -230,10 +322,18 @@ object HyperBallStore {
       .repartition(col("bucket")) // one file per bucket
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/regs/hop=$d")
 
-  private def writeManifest(spark: SparkSession, dir: String, m: Manifest): Unit =
+  private def writeManifest(spark: SparkSession, dir: String, m: Manifest): Unit = {
+    // Jackson-escape the fingerprint (it's machine-built, but a manifest
+    // writer must never emit JSON by unescaped concatenation)
+    val src = m.source.fold("") { s =>
+      val esc = new com.fasterxml.jackson.databind.ObjectMapper()
+        .writeValueAsString(s)
+      s""","source":$esc"""
+    }
     graft.sources.ArtifactJson.writeFile(spark, s"$dir/_manifest.json",
       s"""{"version":${m.version},"m":${m.m},"maxHops":${m.maxHops},""" +
-        s""""nNodes":${m.nNodes},"nBuckets":${m.nBuckets}}""")
+        s""""nNodes":${m.nNodes},"nBuckets":${m.nBuckets}$src}""")
+  }
 
   import org.apache.spark.sql.types._
   private val regsSchema = StructType(Seq(

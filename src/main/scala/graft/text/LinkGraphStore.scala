@@ -564,6 +564,25 @@ object LinkGraphStore {
     m
   }
 
+  /** Identity of the graph's CURRENT effective state, for derived
+    * artifacts (HyperBallStore registers today; any future
+    * built-FROM-this-store index) to record at build time and re-check at
+    * serve time. (epoch, nEdges, maxId) alone would miss delta-route
+    * [[appendAuto]] appends — those commit entries under `dir/deltas`
+    * that every reader merges WITHOUT touching the manifest — so the
+    * fingerprint includes the live (committed, unfolded) delta ids too:
+    * any append changes it (delta ids are strictly increasing), any fold
+    * advances `lastBatchId`, any in-place mutation bumps `epoch`.
+    * Loads through the torn-write check: a derived artifact must not
+    * certify itself against a torn source.
+    */
+  def stateFingerprint(spark: SparkSession, dir: String): String = {
+    val m = loadManifest(spark, dir)
+    val live = liveDeltaIds(spark, dir)
+    s"linkgraph;epoch=${m.epoch};nEdges=${m.nEdges};maxId=${m.maxId};" +
+      s"lastBatchId=${m.lastBatchId};live=${live.mkString(",")}"
+  }
+
   private def readManifestRaw(spark: SparkSession, dir: String): Manifest = {
     import graft.sources.{ArtifactJson => J}
     val path = new org.apache.hadoop.fs.Path(dir, "_manifest.json")
@@ -670,8 +689,12 @@ object LinkGraphStore {
     * relative to the write it shapes.
     */
   private[graft] def writeBucketed(rows: DataFrame, path: String): Unit =
-    rows.repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    // static pin (the inverse of overwriteBuckets' dynamic pin): a
+    // full-surface rewrite must delete buckets absent from the new data —
+    // under a user session's dynamic mode a bucket whose rows all vanished
+    // (e.g. every edge retracted before a compact) would keep stale files
+    graft.table.WriteModes.staticPartitionOverwrite(
+      rows.repartition(col("bucket")), path, "bucket")
 
   /** Rewrite exactly the `touched` buckets (append path): dynamic
     * partition overwrite for buckets present in `rows`, plus explicit

@@ -518,6 +518,40 @@ object PlanCheck {
     buildChecks.foreach { c =>
       audit(c.name, c.build(spark, dir), c.mustContain, c.mustNotContain)
     }
+    // files-read bound for the bucket-pruned HyperBall point lookup: the
+    // probe must scan ONLY the probe ids' hash buckets (one file per
+    // bucket by construction), never the whole hop surface — asserted on
+    // the executed scan's own numFiles metric, not the plan string
+    locally {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val hb = java.nio.file.Files.createTempDirectory("plancheck_hbs").toString
+      val edges = graft.text.LinkGraph.sharedSpanEdges(
+        docs, "doc_id", "text", w = 5, maxDf = 32)
+      graft.text.HyperBallStore.build(docs.select(col("doc_id")), "doc_id",
+        edges, maxHops = 2, hb, nBuckets = 16)
+      val ids = Seq(0L, 7L, 123L, 499L)
+      val probe = graft.text.HyperBallStore
+        .neighborhoodEstimateFor(spark, hb, "doc_id", ids)
+      val got = probe.collect().length
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      def scans(p: SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+        p match {
+          case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+          case other => other.children.flatMap(scans)
+        }
+      val files = scans(probe.queryExecution.executedPlan)
+        .map(_.metrics("numFiles").value).sum
+      if (got == ids.size && files >= 1 && files <= ids.size) {
+        System.err.println(s"[plan] OK hyperball_point_lookup(files=$files<=${ids.size})")
+      } else {
+        failures += 1
+        System.err.println(s"[plan] FAIL hyperball_point_lookup: rows=$got " +
+          s"(want ${ids.size}), filesRead=$files (want 1..${ids.size}; " +
+          "the full surface is 16 buckets)")
+      }
+    }
     // detailed dump for manual inspection when a query name is passed
     args.drop(1).foreach { q =>
       System.err.println(s"===== ${q} =====")

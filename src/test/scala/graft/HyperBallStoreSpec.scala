@@ -1,6 +1,6 @@
 package graft
 
-import graft.text.{HyperBall, HyperBallStore, LinkGraph}
+import graft.text.{HyperBall, HyperBallStore, LinkGraph, LinkGraphStore}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -113,5 +113,53 @@ class HyperBallStoreSpec extends SparkSpec {
         assert(got == want, s"seed $seed hop $d registers diverge")
       }
     }
+  }
+
+  test("staleness: registers built from a graph fail loud after it mutates") {
+    val base = Seq((1L, "x y p q"), (2L, "x y"), (3L, "m n"), (4L, "p q"))
+      .toDF("doc_id", "text")
+    val gDir = tmp("hbs_src")
+    LinkGraphStore.build(base, "doc_id", "text", w = 2, maxDf = 4, gDir, nBuckets = 2)
+    val dir = tmp("hbs_stale")
+    HyperBallStore.buildFromGraph(spark, base.select($"doc_id".as("id")), "id",
+      gDir, maxHops = 2, dir, nBuckets = 2)
+    // fresh: fingerprint recorded, checked readouts serve
+    assert(!HyperBallStore.isStale(spark, dir, gDir))
+    assert(HyperBallStore.loadManifest(spark, dir).source.exists(_.startsWith("linkgraph;")))
+    assert(rows(HyperBallStore.neighborhoodEstimateChecked(spark, dir, gDir, "id")).nonEmpty)
+    // a DELTA-route append (manifest untouched - the hard case: epoch,
+    // nEdges, maxId all unchanged) must still flip the fingerprint
+    val route = LinkGraphStore.appendAuto(
+      Seq((5L, "x y m n")).toDF("doc_id", "text"), "doc_id", "text", gDir,
+      smallBatchFraction = 0.9, maxLiveDeltas = 32)
+    assert(route == "delta", s"expected the delta route, got $route")
+    assert(HyperBallStore.isStale(spark, dir, gDir))
+    val e1 = intercept[IllegalArgumentException] {
+      HyperBallStore.neighborhoodEstimateChecked(spark, dir, gDir, "id")
+    }
+    assert(e1.getMessage.contains("STALE"))
+    // extendTo over the mutated graph refused too (it would stamp a
+    // fresh-looking horizon onto old-graph registers)
+    intercept[IllegalArgumentException] {
+      HyperBallStore.extendToFromGraph(spark, gDir, dir, newMaxHops = 3)
+    }
+    // a FOLD retires the deltas but advances the watermark: still stale
+    LinkGraphStore.compactInPlace(spark, gDir)
+    assert(HyperBallStore.isStale(spark, dir, gDir))
+    // rebuild from the grown graph: fresh again, extend + checked serve work
+    HyperBallStore.buildFromGraph(spark,
+      (1L to 5L).toDF("id"), "id", gDir, maxHops = 2, dir, nBuckets = 2)
+    assert(!HyperBallStore.isStale(spark, dir, gDir))
+    HyperBallStore.extendToFromGraph(spark, gDir, dir, newMaxHops = 3)
+    assert(HyperBallStore.loadManifest(spark, dir).maxHops == 3)
+    assert(!HyperBallStore.isStale(spark, dir, gDir)) // extend kept the fingerprint
+    assert(rows(HyperBallStore.distanceDistributionChecked(spark, dir, gDir)).nonEmpty)
+    // a raw-edge-frame store has no recorded source: conservatively stale
+    // (freshness unverifiable), unchecked readouts still serve
+    val rawDir = tmp("hbs_raw")
+    HyperBallStore.build((1L to 3L).toDF("id"), "id",
+      Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"), maxHops = 1, rawDir, nBuckets = 2)
+    assert(HyperBallStore.isStale(spark, rawDir, gDir))
+    assert(rows(HyperBallStore.neighborhoodEstimate(spark, rawDir, "id")).nonEmpty)
   }
 }

@@ -272,4 +272,32 @@ class LinkGraphStoreSpec extends SparkSpec {
     LinkGraphStore.append(base.where($"doc_id" > 99), "doc_id", "text", dir)
     assert(LinkGraphStore.loadManifest(spark, dir) == before)
   }
+
+  test("full-surface rewrite pins static overwrite under a dynamic session") {
+    // regression: writeBucketed inherited the session's
+    // partitionOverwriteMode; under dynamic, a rebuild whose new data
+    // misses a bucket kept the old bucket's files - stale edges resurrect
+    val dir = tmp("lgs_dyn")
+    val big = (1L to 12L).map(i => (i, s"t$i x y")).toDF("doc_id", "text")
+    LinkGraphStore.build(big, "doc_id", "text", w = 2, maxDf = 20, dir, nBuckets = 4)
+    assert(canonSet(LinkGraphStore.loadEdgesCanonical(spark, dir)).nonEmpty)
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // rebuild IN THE SAME DIR with a corpus sharing no spans: every old
+      // bucket's content must vanish, matching a virgin-dir build exactly
+      val small = Seq((1L, "aa bb"), (2L, "cc dd")).toDF("doc_id", "text")
+      LinkGraphStore.build(small, "doc_id", "text", w = 2, maxDf = 20, dir, nBuckets = 4)
+      val virgin = tmp("lgs_dyn_v")
+      LinkGraphStore.build(small, "doc_id", "text", w = 2, maxDf = 20, virgin, nBuckets = 4)
+      assert(canonSet(LinkGraphStore.loadEdgesCanonical(spark, dir)) ==
+        canonSet(LinkGraphStore.loadEdgesCanonical(spark, virgin)))
+      val pDir = spark.read.parquet(s"$dir/postings").select($"h", $"id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val pV = spark.read.parquet(s"$virgin/postings").select($"h", $"id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pDir == pV, "stale postings survived the dynamic-session rebuild")
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+  }
+
 }

@@ -145,4 +145,22 @@ class StreamingLinkGraphSpec extends SparkSpec {
       5L, "doc_id", "text", dir)
     assert(StreamingLinkGraph.committedBatches(spark, dir) == Seq(5L))
   }
+
+  test("compactTo refuses in-place targets (stream dir and its base)") {
+    val dir = java.nio.file.Files.createTempDirectory("slg_guard").toString
+    StreamingLinkGraph.initialize(Seq((1L, "x y p q"), (2L, "x y")).toDF("doc_id", "text"),
+      "doc_id", "text", w = 2, maxDf = 2, dir, nBuckets = 2)
+    // onto the base: would stamp epochs + overwrite base/edges before the
+    // postings/dfs readers materialize - torn, rebuild-only
+    intercept[IllegalArgumentException] {
+      StreamingLinkGraph.compactTo(spark, dir, s"$dir/base")
+    }
+    // onto the stream dir itself: artifact surfaces interleave the delta log
+    intercept[IllegalArgumentException] {
+      StreamingLinkGraph.compactTo(spark, dir, dir)
+    }
+    // the base is untouched by the refused calls
+    assert(canonSet(StreamingLinkGraph.readEdgesCanonical(spark, dir)).nonEmpty)
+  }
+
 }

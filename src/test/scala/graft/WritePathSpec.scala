@@ -214,4 +214,20 @@ class WritePathSpec extends SparkSpec {
     assert(df.count() == 10)
     assert(RowId.duplicateKeys(df).count() == 0)
   }
+
+  test("torn-append detection fires for tables under hidden-ancestor dirs") {
+    // regression: the fingerprint's hidden-dir walk compared qualified
+    // listing paths against the unqualified table root, overshot to /, and
+    // any ancestor starting with '.' marked every data file hidden - the
+    // fingerprint read (0,0) forever and staleness never fired
+    val root = java.nio.file.Files.createTempDirectory("hidq")
+    val out = root.resolve(".cache").resolve("t").toString
+    TableWriter.write(Seq((1, "a"), (2, "b")).toDF("k", "s"), out)
+    // crash simulation: data lands, sidecar doesn't
+    Seq((100, "orphan")).toDF("k", "s").write.mode("append").parquet(out)
+    val res = TableWriter.appendWrite(Seq((3, "c")).toDF("k", "s"), out)
+    assert(res.rowCount == 4, s"stale sidecar merged under hidden ancestor: ${res.rowCount}")
+    assert(res.domains.find(_.column == "k").get.max.contains(100))
+  }
+
 }
