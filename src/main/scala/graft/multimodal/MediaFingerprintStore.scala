@@ -1,0 +1,319 @@
+package graft.multimodal
+
+import graft.functions.{HashFunctions => H}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted PERCEPTUAL media fingerprint index — the serving artifact
+  * for [[graft.streaming.StreamingMediaDedup]]'s admitted-set state,
+  * completing the media-dedup lifecycle the way [[graft.dedup.MinHashStore]]
+  * completed text near-dup's: fingerprint the corpus ONCE (payloads
+  * decode exactly once, at index time), append each admitted batch as a
+  * committed segment, and dedup every incoming batch against the store at
+  * batch-proportional cost — q_media-style lanes previously re-decoded
+  * and re-hashed the corpus per query. Reference analog: the
+  * write-once/read-many batch store (reference
+  * org.knime.core.columnar.arrow/…/ArrowBatchStore.java:57-62).
+  *
+  * == Layout: committed SEGMENTS (the MinHashStore v2 discipline) ==
+  * {{{
+  *   dir/segs/seg=K/fps/pb=B/       (id, slot, fp)  pb = pmod(xxhash64(id), nB)
+  *   dir/segs/seg=K/postings/pb=B/  (slot, band, bucket, id, fp)
+  *                                  pb = pmod(xxhash64(slot, band, bucket), nB)
+  *   dir/segs/seg=K/_meta.json      {segId, nDocs, maxId}
+  *   dir/segs/seg=K/_done           marker, written LAST
+  *   dir/_manifest.json             {version, nBuckets, n, bands}
+  * }}}
+  * Every write inside `seg=K` is an overwrite keyed by the segment id and
+  * the `_done` marker commits last, so a torn attempt is invisible and a
+  * retry rewrites byte-identically; a committed explicit-id replay
+  * short-circuits on the marker; a torn REBUILD fails loud on the
+  * zero-segments guard in [[loadManifest]].
+  *
+  * The postings surface is the inverted index of the slot-aligned banded
+  * Hamming join ([[Multimodal.videoPerceptualPairs]]'s rule): a batch's
+  * (slot, band, bucket) keys prune every segment's posting scan to their
+  * hash buckets and only the candidates' (id, slot, fp) rows flow into
+  * the exact Hamming verification — per-batch reads scale with the
+  * batch's band fan-out, never the corpus. Because maxHamming < bands
+  * guarantees a matching pair shares at least one clean band (pigeonhole),
+  * the pruned candidate set contains EVERY pair the exact rule accepts,
+  * so [[dedupBatch]] ≡ [[graft.streaming.StreamingMediaDedup.incrementalFps]]
+  * over the full stored fingerprints, bit-for-bit (the verification IS
+  * that function, fed the pruned candidates; spec + the
+  * q_media_dedup_store gate's full SQL oracle assert it).
+  *
+  * Append contract: batch ids sort above every committed segment's maxId
+  * (the artifact-family id discipline); segment 0 belongs to the build,
+  * explicit ids start at 1 (a stream passes batchId + 1).
+  */
+object MediaFingerprintStore {
+
+  final case class Manifest(version: Int, nBuckets: Int, n: Int, bands: Int,
+      nDocs: Long, maxId: Long)
+
+  /** Build the store from a media corpus (id + video payload): decode +
+    * fingerprint once, write segment 0. Full overwrite of any existing
+    * `segs/` tree — stale committed segments must not survive a rebuild.
+    */
+  def build(corpus: DataFrame, payloadCol: String, idCol: String, dir: String,
+      n: Int = 8, bands: Int = 8, nBuckets: Int = 64): Unit = {
+    val fps = Multimodal.videoFrameHashes(corpus, idCol, payloadCol, n)
+      .select(col(idCol).cast("long").as("id"), col("sample_idx").as("slot"),
+        col("frame_hash").as("fp"))
+    buildFromFps(fps, corpus.select(col(idCol).cast("long").as("id")),
+      dir, n, bands, nBuckets)
+  }
+
+  /** Build from PRECOMPUTED fingerprints (schema id, slot, fp — the
+    * [[graft.streaming.StreamingMediaDedup]] state shape). The caller owns
+    * the parameter match: `n` must be the sample count the fingerprints
+    * were computed with. `ids` = the full document id set (undecodable
+    * payloads produce no fingerprints but still advance maxId, so a
+    * duplicate id can never be re-appended).
+    */
+  def buildFromFps(fps: DataFrame, ids: DataFrame, dir: String, n: Int,
+      bands: Int, nBuckets: Int = 64): Unit = {
+    require(n >= 1, s"MediaFingerprintStore.build: n $n < 1")
+    require(bands >= 1 && 64 % bands == 0,
+      s"MediaFingerprintStore.build: bands $bands must divide 64")
+    require(nBuckets >= 1, s"MediaFingerprintStore.build: nBuckets $nBuckets < 1")
+    val spark = fps.sparkSession
+    val fs = fsFor(spark, dir)
+    val segsRoot = new org.apache.hadoop.fs.Path(s"$dir/segs")
+    if (fs.exists(segsRoot)) fs.delete(segsRoot, true)
+    graft.sources.ArtifactJson.writeFile(spark, s"$dir/_manifest.json",
+      s"""{"version":1,"nBuckets":$nBuckets,"n":$n,"bands":$bands}""")
+    val pinned = fps.localCheckpoint(true)
+    try writeSegment(pinned, ids, dir, segmentId = 0L, bands, nBuckets)
+    finally graft.Pins.release(pinned)
+  }
+
+  /** Fold a batch of NEW media (typically [[dedupBatch]] survivors) into
+    * the store as a committed segment — one decode+fingerprint pass over
+    * the batch + two bucketed segment writes, nothing existing is read or
+    * rewritten. `segmentId` < 0 auto-assigns (committed retry then fails
+    * the id guard loudly); an explicit id makes a committed replay a
+    * no-op.
+    */
+  def append(newDocs: DataFrame, payloadCol: String, idCol: String, dir: String,
+      segmentId: Long = -1L): Unit = {
+    val spark = newDocs.sparkSession
+    val m = loadManifest(spark, dir)
+    val fps = Multimodal.videoFrameHashes(newDocs, idCol, payloadCol, m.n)
+      .select(col(idCol).cast("long").as("id"), col("sample_idx").as("slot"),
+        col("frame_hash").as("fp"))
+      .localCheckpoint(true)
+    try appendFps(fps, newDocs.select(col(idCol).cast("long").as("id")),
+      dir, segmentId, m)
+    finally graft.Pins.release(fps)
+  }
+
+  /** [[append]] from precomputed fingerprints (see [[buildFromFps]] for
+    * the parameter-match and `ids` contracts).
+    */
+  def appendFromFps(fps: DataFrame, ids: DataFrame, dir: String,
+      segmentId: Long = -1L): Unit = {
+    val pinned = fps.localCheckpoint(true)
+    try appendFps(pinned, ids, dir, segmentId, loadManifest(fps.sparkSession, dir))
+    finally graft.Pins.release(pinned)
+  }
+
+  private def appendFps(fps: DataFrame, ids: DataFrame, dir: String,
+      segmentIdArg: Long, m: Manifest): Unit = {
+    val spark = fps.sparkSession
+    val fs = fsFor(spark, dir)
+    val committed = committedSegments(spark, dir)
+    require(segmentIdArg != 0L,
+      "MediaFingerprintStore.append: segment 0 belongs to the build - " +
+        "explicit segment ids start at 1 (a stream passes batchId + 1)")
+    val segmentId =
+      if (segmentIdArg >= 0L) segmentIdArg
+      else (0L +: committed).max + 1L
+    if (segmentIdArg >= 0L &&
+        fs.exists(new org.apache.hadoop.fs.Path(s"$dir/segs/seg=$segmentId/_done")))
+      return // committed: replay no-op
+    val stats = ids.agg(count(lit(1)).as("n"), min(col("id")).as("lo"),
+      count_distinct(col("id")).as("nd")).head()
+    if (stats.getLong(0) == 0L) return // empty batch: store untouched
+    require(stats.getLong(0) == stats.getLong(2),
+      s"MediaFingerprintStore.append: batch ids are not unique " +
+        s"(${stats.getLong(0)} rows, ${stats.getLong(2)} distinct)")
+    require(stats.getLong(1) > m.maxId,
+      s"MediaFingerprintStore.append: batch ids start at ${stats.getLong(1)} " +
+        s"but the store already contains ids up to ${m.maxId} - appended ids " +
+        "must sort above every stored id (a committed append retried without " +
+        "an explicit segmentId also lands here - the store already holds the batch)")
+    writeSegment(fps, ids, dir, segmentId, m.bands, m.nBuckets)
+  }
+
+  /** Fold every committed segment into a fresh single-segment store at
+    * `outDir` (fingerprints reused — payloads are never re-decoded;
+    * postings are recomputed from the fingerprints, a deterministic
+    * function). Bounds the per-probe segment fan-out a long-running
+    * ingest accumulates. Verdicts from the compacted store are
+    * bit-identical (spec-asserted).
+    */
+  def compactTo(spark: SparkSession, dir: String, outDir: String,
+      nBuckets: Int = -1): Unit = {
+    // OUT-OF-PLACE only: buildFromFps deletes outDir/segs before the lazy
+    // readFps reader materializes — an in-place compact would destroy the
+    // store (the MinHashStore.compactTo hazard)
+    val a = new org.apache.hadoop.fs.Path(dir)
+    val fs = a.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.makeQualified(a) !=
+        fs.makeQualified(new org.apache.hadoop.fs.Path(outDir)),
+      "MediaFingerprintStore.compactTo: outDir must differ from the source dir")
+    val m = loadManifest(spark, dir)
+    // ids: reconstruct from metas is impossible (only counts survive), so
+    // carry the fingerprinted ids; maxId continuity is preserved via an
+    // explicit synthetic row when the stored maxId has no fingerprints
+    val fpIds = readFps(spark, dir).select(col("id")).distinct()
+    val ids =
+      if (m.maxId == Long.MinValue) fpIds
+      else fpIds.unionAll(spark.range(m.maxId, m.maxId + 1).select(col("id"))).distinct()
+    buildFromFps(readFps(spark, dir), ids, outDir, m.n, m.bands,
+      if (nBuckets < 0) m.nBuckets else nBuckets)
+  }
+
+  /** Batch survivors against the store — bit-identical to
+    * [[graft.streaming.StreamingMediaDedup.incrementalFps]] over the full
+    * stored fingerprint state, at bucket-pruned cost (see class doc).
+    */
+  def dedupBatch(spark: SparkSession, dir: String, batch: DataFrame,
+      payloadCol: String, idCol: String, maxHamming: Int = 6,
+      minMatches: Int = 4): DataFrame = {
+    val m = loadManifest(spark, dir)
+    val segs = committedSegments(spark, dir)
+    // both pins root the RETURNED lazy plan, so they are NOT released here
+    // (the family's returned-plan discipline — GC frees them); each is
+    // fingerprint-sized (~20 B per sampled frame), never payload bytes
+    val batchFps = Multimodal.videoFrameHashes(batch, idCol, payloadCol, m.n)
+      .select(col(idCol).cast("long").as("id"), col("sample_idx").as("slot"),
+        col("frame_hash").as("fp"))
+      .localCheckpoint(true)
+    val bandKeys = batchFps
+      .select(col("slot"), explode(H.simHashBands(col("fp"), m.bands)).as("bk"))
+      .select(col("slot"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+      .distinct()
+      .localCheckpoint(true)
+    val tb = bandKeys.select(postingBucket(m.nBuckets).as("b")).distinct()
+      .collect().map(_.getInt(0)).sorted // bounded by nBuckets
+    val candFps =
+      if (tb.isEmpty || segs.isEmpty) emptyFps(spark)
+      else readSurface(spark, dir, segs, "postings", postingsSchema)
+        .where(col("pb").isInCollection(tb))
+        .join(bandKeys, Seq("slot", "band", "bucket"))
+        .select(col("id"), col("slot"), col("fp")).distinct()
+    // the exact slot-aligned Hamming rule IS the streaming twin's —
+    // pruning only shrank the candidate set to rows that share a band,
+    // which (maxHamming < bands) is every row the rule can accept
+    graft.streaming.StreamingMediaDedup.incrementalFps(
+      candFps, batchFps, batch, idCol, maxHamming, m.bands, minMatches)
+  }
+
+  /** Root manifest + folded committed-segment metas. */
+  def loadManifest(spark: SparkSession, dir: String): Manifest = {
+    import graft.sources.{ArtifactJson => J}
+    val path = new org.apache.hadoop.fs.Path(dir, "_manifest.json")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(path), s"MediaFingerprintStore: no _manifest.json under " +
+      s"$dir - build the store with MediaFingerprintStore.build")
+    val node = J.readFile(spark, s"$dir/_manifest.json")
+    def num(f: String): Long = J.long(node, f, dir)
+    val segs = committedSegments(spark, dir)
+    // build always commits seg 0: zero committed segments = a rebuild
+    // crashed mid-overwrite; reading on would serve a silently-EMPTY
+    // store that admits every duplicate
+    require(segs.nonEmpty,
+      s"MediaFingerprintStore: $dir has a manifest but no committed segments " +
+        "- a build crashed mid-overwrite; rebuild with MediaFingerprintStore.build")
+    val metas = segs.map { s =>
+      val n = J.readFile(spark, s"$dir/segs/seg=$s/_meta.json")
+      (J.long(n, "nDocs", dir), J.long(n, "maxId", dir))
+    }
+    Manifest(num("version").toInt, num("nBuckets").toInt, num("n").toInt,
+      num("bands").toInt,
+      nDocs = metas.map(_._1).sum,
+      maxId = (Long.MinValue +: metas.map(_._2)).max)
+  }
+
+  /** Committed segment ids (marker present), ascending. */
+  def committedSegments(spark: SparkSession, dir: String): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(s"$dir/segs")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("seg=") &&
+        fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_done")))
+      .map(_.getPath.getName.stripPrefix("seg=").toLong)
+      .sorted
+  }
+
+  /** All committed fingerprints (id, slot, fp) — the spec's
+    * append ≡ rebuild surface and the compaction input.
+    */
+  def readFps(spark: SparkSession, dir: String): DataFrame =
+    readSurface(spark, dir, committedSegments(spark, dir), "fps", fpsSchema)
+      .select(col("id"), col("slot"), col("fp"))
+
+  // ---- internals ----
+
+  /** Write both surfaces of one segment; `_done` marker commits LAST. */
+  private def writeSegment(fps: DataFrame, ids: DataFrame, dir: String,
+      segmentId: Long, bands: Int, nBuckets: Int): Unit = {
+    val spark = fps.sparkSession
+    val sDir = s"$dir/segs/seg=$segmentId"
+    graft.table.WriteModes.staticPartitionOverwrite(
+      fps.withColumn("pb", fpBucket(nBuckets)).repartition(col("pb")),
+      s"$sDir/fps", "pb")
+    graft.table.WriteModes.staticPartitionOverwrite(
+      fps.select(col("id"), col("slot"), col("fp"),
+          explode(H.simHashBands(col("fp"), bands)).as("bk"))
+        .select(col("slot"), col("bk.band").as("band"),
+          col("bk.bucket").as("bucket"), col("id"), col("fp"))
+        .withColumn("pb", postingBucket(nBuckets))
+        .repartition(col("pb")),
+      s"$sDir/postings", "pb")
+    val stats = ids.agg(count(lit(1)).as("n"), max(col("id")).as("mx")).head()
+    graft.sources.ArtifactJson.writeFile(spark, s"$sDir/_meta.json",
+      s"""{"segId":$segmentId,"nDocs":${stats.getLong(0)},""" +
+        s""""maxId":${if (stats.isNullAt(1)) Long.MinValue else stats.getLong(1)}}""")
+    graft.sources.ArtifactJson.writeFile(spark, s"$sDir/_done", "") // commit LAST
+  }
+
+  private def fsFor(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def fpBucket(nBuckets: Int) =
+    pmod(xxhash64(col("id")), lit(nBuckets.toLong)).cast("int")
+
+  private def postingBucket(nBuckets: Int) =
+    pmod(xxhash64(col("slot"), col("band"), col("bucket")), lit(nBuckets.toLong))
+      .cast("int")
+
+  import org.apache.spark.sql.types._
+  private val fpsSchema = StructType(Seq(
+    StructField("id", LongType), StructField("slot", IntegerType),
+    StructField("fp", LongType), StructField("pb", IntegerType)))
+  private val postingsSchema = StructType(Seq(
+    StructField("slot", IntegerType), StructField("band", IntegerType),
+    StructField("bucket", LongType), StructField("id", LongType),
+    StructField("fp", LongType), StructField("pb", IntegerType)))
+
+  // per-segment reads unioned, NOT one multi-path read (seg=K/<surface>
+  // roots are conflicting partition structures to Spark's discovery)
+  private def readSurface(spark: SparkSession, dir: String, segs: Seq[Long],
+      surface: String, schema: StructType): DataFrame =
+    if (segs.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else segs.map(s => spark.read.schema(schema).parquet(s"$dir/segs/seg=$s/$surface"))
+      .reduce(_ unionAll _)
+
+  private def emptyFps(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("id", LongType), StructField("slot", IntegerType),
+        StructField("fp", LongType))))
+}

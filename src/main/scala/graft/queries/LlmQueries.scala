@@ -1564,6 +1564,34 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // the PERSISTED perceptual media-dedup artifact (round 14,
+    // MediaFingerprintStore): corpus videos fingerprinted once into a
+    // committed-segment store, then the odd-id batch deduped against it
+    // via bucket-pruned posting reads - the oracle replays the full
+    // slot-aligned banded-Hamming rule (aHash kernel arithmetic + 
+    // bit_count(xor) <= 6 on >= 2 slots, corpus-vs-batch AND in-batch
+    // lower-id-survives) from the synthetic frame formula, so the gate
+    // proves store-served == exact perceptual semantics end to end
+    "q_media_dedup_store" -> ((s, dir) => {
+      val avi = udf((id: Long) => Multimodal.syntheticAvi(id))
+      val docs = t(s, dir, "documents")
+      val storeDir = ivfIndexDirs.computeIfAbsent(dir + "#mfps", _ => {
+        val d = java.nio.file.Files.createTempDirectory("graft_mfps").toString
+        graft.multimodal.MediaFingerprintStore.build(
+          docs.where(pmod(col("doc_id"), lit(2)) === 0)
+            .select(col("doc_id"), avi(col("doc_id")).as("payload")),
+          "payload", "doc_id", d, n = 3, bands = 8, nBuckets = 16)
+        d
+      })
+      val batch = docs.where(pmod(col("doc_id"), lit(2)) === 1)
+        .select(col("doc_id"), avi(col("doc_id")).as("payload"))
+      graft.multimodal.MediaFingerprintStore
+        .dedupBatch(s, storeDir, batch, "payload", "doc_id",
+          maxHamming = 6, minMatches = 2)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // eval-set decontamination: training docs (doc_id % 5 != 0) sharing
     // any 8-token span with the eval slice (doc_id % 5 == 0) — DuckDB
     // oracle reproduces the spans as strings, Spark carries only hashes
@@ -3839,6 +3867,66 @@ object LlmQueries {
         |  SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
         |  FROM documents)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // perceptual store-served dedup replay: q_video_phash's aHash kernel
+    // arithmetic produces every (doc, slot) frame hash, then the exact
+    // slot-aligned rule - batch (odd ids) vs corpus (even ids) and
+    // in-batch lower-id-survives, Hamming = bit_count(xor) on the signed
+    // 64-bit hashes (validated == Long.bitCount), >= 2 matching slots
+    "q_media_dedup_store" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(1 + (doc_id % 8) AS INTEGER) AS w,
+        |    CAST(1 + ((doc_id // 8) % 8) AS INTEGER) AS h,
+        |    1 + (doc_id % 6) AS nf
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, w, h, nf, least(3, nf) AS k,
+        |    unnest(range(0, least(3, nf))) AS sample_idx
+        |  FROM p),
+        |px AS (
+        |  SELECT doc_id, w, h, sample_idx, (sample_idx * nf) // k AS fno,
+        |    unnest(range(0, w * h)) AS pk
+        |  FROM s),
+        |cells AS (
+        |  SELECT doc_id, sample_idx, fno,
+        |    (((pk // w) * 8) // h) * 8 + ((pk % w) * 8) // w AS cell,
+        |    sum((doc_id * 31 + fno * 101 + (pk // w) * 7 + (pk % w) * 13) % 256)::DOUBLE
+        |      / count(*) AS cv
+        |  FROM px
+        |  GROUP BY doc_id, sample_idx, fno, (((pk // w) * 8) // h) * 8 + ((pk % w) * 8) // w),
+        |frames AS (
+        |  SELECT doc_id, sample_idx, fno,
+        |    list(cv ORDER BY cell) AS cvs, list(cell ORDER BY cell) AS cls,
+        |    list_reduce(list_prepend(0.0::DOUBLE, list(cv ORDER BY cell)), (a, x) -> a + x) / 64.0 AS m
+        |  FROM cells GROUP BY doc_id, sample_idx, fno),
+        |bits AS (
+        |  SELECT doc_id, sample_idx,
+        |    list_reduce(list_prepend(CAST(0 AS HUGEINT),
+        |      [CASE WHEN cvs[i] > m THEN CAST(1 AS HUGEINT) << cls[i] ELSE CAST(0 AS HUGEINT) END
+        |       FOR i IN range(1, len(cvs) + 1)]), (a, x) -> a + x) AS hb
+        |  FROM frames),
+        |fps AS MATERIALIZED (
+        |  SELECT doc_id, sample_idx,
+        |    CAST(hb - CASE WHEN hb >= CAST(9223372036854775808 AS HUGEINT)
+        |              THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END
+        |      AS BIGINT) AS fh
+        |  FROM bits),
+        |corpus AS (SELECT * FROM fps WHERE doc_id % 2 = 0),
+        |batch AS (SELECT * FROM fps WHERE doc_id % 2 = 1),
+        |losers AS (
+        |  SELECT doc_id FROM (
+        |    SELECT b.doc_id, c.doc_id AS o FROM batch b JOIN corpus c
+        |      ON b.sample_idx = c.sample_idx
+        |    WHERE bit_count(xor(b.fh, c.fh)) <= 6
+        |    GROUP BY b.doc_id, c.doc_id HAVING count(*) >= 2
+        |    UNION ALL
+        |    SELECT b.doc_id, a.doc_id AS o FROM batch b JOIN batch a
+        |      ON b.sample_idx = a.sample_idx AND a.doc_id < b.doc_id
+        |    WHERE bit_count(xor(b.fh, a.fh)) <= 6
+        |    GROUP BY b.doc_id, a.doc_id HAVING count(*) >= 2))
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM losers)
+        |ORDER BY doc_id""".stripMargin,
     "q_text_knn" ->
       s"""WITH toks AS (
          |  SELECT doc_id, list_filter($toksSql, x -> x <> '') AS t FROM documents

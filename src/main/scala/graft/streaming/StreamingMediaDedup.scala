@@ -134,6 +134,28 @@ object StreamingMediaDedup {
   def readSurvivors(spark: SparkSession, survivorsDir: String): DataFrame =
     BatchDirs.readAllOrFail(spark, survivorsDir)
 
+  /** Fold the stream's per-batch fingerprint state into a serving
+    * [[graft.multimodal.MediaFingerprintStore]] artifact at `outDir` —
+    * fingerprints are REUSED (payloads never re-decoded), survivor ids
+    * (including unfingerprintable payloads, which carry no fps but must
+    * still advance the store's id watermark) come from the survivors
+    * surface. The caller owns the parameter match: `n`/`bands` must be
+    * the values the writer ran with. Downstream batch jobs then serve
+    * [[graft.multimodal.MediaFingerprintStore.dedupBatch]] — verdicts
+    * bit-identical to this stream's (spec-asserted), with bucket-pruned
+    * reads instead of the per-batch-dir union a long stream accumulates.
+    */
+  def compactTo(spark: SparkSession, survivorsDir: String, fpDir: String,
+      idCol: String, outDir: String, n: Int = 8, bands: Int = 8,
+      nBuckets: Int = 64): Unit = {
+    val fps = readFingerprints(spark, fpDir, excludeBatch = None)
+      .getOrElse(emptyFingerprints(spark))
+    val ids = readSurvivors(spark, survivorsDir)
+      .select(col(idCol).cast("long").as("id"))
+    graft.multimodal.MediaFingerprintStore.buildFromFps(
+      fps, ids, outDir, n, bands, nBuckets)
+  }
+
   private def emptyFingerprints(spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.types._
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Seq(
