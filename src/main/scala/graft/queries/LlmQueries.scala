@@ -1271,6 +1271,37 @@ object LlmQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // the PERSISTED semantic-dedup artifact (round 14, SemDedupStore):
+    // centroids trained + corpus state assigned ONCE into a
+    // committed-segment store over the base 3/4 of the embeddings, then
+    // the remaining quarter (plus planted exact copies - +100000/+200000
+    // of low base ids die vs state, +300000 of low batch ids die ONLY
+    // via the in-batch lower-id rule) probed against it. Oracle replays
+    // clustering on the base, frozen-centroid assignment of the batch,
+    // and the exact drop rule - so the gate proves store-served ==
+    // from-scratch semantics with the clustering NOT recomputed per query
+    "q_semdedup_store" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val storeDir = ivfIndexDirs.computeIfAbsent(dir + "#sds", _ => {
+        val d = java.nio.file.Files.createTempDirectory("graft_sds").toString
+        graft.dedup.SemDedupStore.build(
+          emb.where(pmod(col("vec_id"), lit(4)) =!= 0),
+          "vec_id", "embedding", d, k = 16, iters = 1, nBuckets = 16)
+        d
+      })
+      def planted(offset: Int, baseSide: Boolean) = emb
+        .where((if (baseSide) pmod(col("vec_id"), lit(4)) =!= 0
+                else pmod(col("vec_id"), lit(4)) === 0) && col("vec_id") < 10)
+        .select((col("vec_id") + offset).as("vec_id"), col("embedding"))
+      val batch = emb.where(pmod(col("vec_id"), lit(4)) === 0)
+        .unionAll(planted(100000, baseSide = true))
+        .unionAll(planted(200000, baseSide = true))
+        .unionAll(planted(300000, baseSide = false))
+      graft.dedup.SemDedupStore
+        .dedupVerdict(s, storeDir, batch, "vec_id", "embedding", tau = 0.9)
+        .orderBy(col("vec_id"))
+    }),
+
     // deterministic PCA (power iteration, id-ordered folds — the
     // pqRefineDeterministic discipline): per-vector projection on the
     // top principal component, bit-reproducible across engines
@@ -3271,6 +3302,7 @@ object LlmQueries {
     "q_ann_pq_refined" -> XxhSql.annPqRefinedSql(d = 64, m = 8, kc = 16, k = 5, oversample = 8,
       nQueries = 5, iters = 1),
     "q_semdedup" -> XxhSql.semDedupSql(d = 64, kc = 16, iters = 1, tau = 0.9),
+    "q_semdedup_store" -> XxhSql.semDedupStoreSql(d = 64, kc = 16, iters = 1, tau = 0.9),
     "q_cluster_purity" -> XxhSql.clusterPuritySql(d = 64, kc = 16, iters = 1),
     "q_lsh_recall" -> XxhSql.lshRecallSql(n = 3, k = 64, bands = 16, threshold = 0.35, idMax = 250),
     "q_cluster_ari" -> XxhSql.clusterAriSql(d = 64, kc = 16, iters = 1),

@@ -977,6 +977,65 @@ object XxhSql {
        |ORDER BY s.vec_id""".stripMargin
   }
 
+  /** Oracle for the [[graft.dedup.SemDedupStore]] serving gate: train
+    * the deterministic k-means on the BASE corpus only (vec_id % 4 <> 0
+    * - the store's build input), then assign the probe batch (the
+    * remaining quarter plus planted exact copies at +100000/+200000 of
+    * low base ids and +300000 of low batch ids) against the FROZEN
+    * centroids and replay the exact drop rule: same cluster and rounded
+    * cosine >= tau vs any base vector (the stored state) or any lower-id
+    * batch peer. The +300000 plants die ONLY via the in-batch rule (their
+    * source is in the batch, not the state), so both lanes are
+    * non-vacuous.
+    */
+  def semDedupStoreSql(d: Int, kc: Int, iters: Int, tau: Double): String = {
+    require(iters >= 1)
+    s"""WITH embx AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 <> 0
+       |),
+       |${pqCtes(d, 1, kc, src = "embx")},
+       |${refineLayers(d, iters)},
+       |statea AS MATERIALIZED (SELECT vec_id, c AS cluster FROM codes_$iters),
+       |batchv AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM (
+       |    SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0
+       |    UNION ALL
+       |    SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+       |    WHERE vec_id % 4 <> 0 AND vec_id < 10
+       |    UNION ALL
+       |    SELECT vec_id + 200000 AS vec_id, embedding FROM embeddings
+       |    WHERE vec_id % 4 <> 0 AND vec_id < 10
+       |    UNION ALL
+       |    SELECT vec_id + 300000 AS vec_id, embedding FROM embeddings
+       |    WHERE vec_id % 4 = 0 AND vec_id < 10)),
+       |bsubd AS MATERIALIZED (
+       |  SELECT vec_id, c,
+       |    list_reduce(list_prepend(0.0::DOUBLE,
+       |      [(v[t] - cent[t]) * (v[t] - cent[t]) FOR t IN range(1, ${d + 1})]),
+       |      (a, x) -> a + x) AS d2
+       |  FROM batchv, cents_$iters),
+       |bassign AS MATERIALIZED (
+       |  SELECT vec_id, c AS cluster FROM (
+       |    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, c ASC) AS rn
+       |    FROM bsubd) WHERE rn = 1),
+       |dropped AS MATERIALIZED (
+       |  SELECT DISTINCT d_id FROM (
+       |    SELECT b.vec_id AS d_id
+       |    FROM bassign b JOIN statea a ON a.cluster = b.cluster
+       |    JOIN vecs va ON va.vec_id = a.vec_id
+       |    JOIN batchv vb ON vb.vec_id = b.vec_id
+       |    WHERE round(list_cosine_similarity(va.v, vb.v), 6) >= $tau
+       |    UNION ALL
+       |    SELECT b.vec_id AS d_id
+       |    FROM bassign b JOIN bassign a ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |    JOIN batchv va ON va.vec_id = a.vec_id
+       |    JOIN batchv vb ON vb.vec_id = b.vec_id
+       |    WHERE round(list_cosine_similarity(va.v, vb.v), 6) >= $tau))
+       |SELECT s.vec_id, CAST(s.cluster AS INTEGER) AS cluster, (p.d_id IS NULL) AS kept
+       |FROM bassign s LEFT JOIN dropped p ON p.d_id = s.vec_id
+       |ORDER BY s.vec_id""".stripMargin
+  }
+
   /** Oracle CTEs for [[graft.similarity.Pca]]: mean and every
     * power-iteration step as id-ordered sequential folds (per
     * dimension), per-row dots as component-order folds — the engine's

@@ -73,18 +73,7 @@ object StreamingSemDedup {
     try {
       val prior = readState(spark, stateDir, excludeBatch = Some(batchId))
         .getOrElse(emptyState(spark))
-      // drop against admitted state: same cluster, rounded cosine ≥ τ
-      val vsState = assigned.as("b")
-        .join(prior.as("s"), col("b.cluster") === col("s.cluster"))
-        .where(round(V.cosine(col("b.vec"), col("s.vec")), 6) >= tau)
-        .select(col("b.id").as("drop_id"))
-      // drop against lower-id peers in the SAME batch, same cluster
-      val inBatch = assigned.as("a")
-        .join(assigned.as("b"), col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
-        .where(round(V.cosine(col("a.vec"), col("b.vec")), 6) >= tau)
-        .select(col("b.id").as("drop_id"))
-      val dropped = vsState.unionAll(inBatch).distinct()
-        .withColumnRenamed("drop_id", idCol)
+      val dropped = droppedIds(prior, assigned, tau).withColumnRenamed("drop_id", idCol)
       // survivors = the ORIGINAL batch rows (all payload columns, caller's
       // column names) — the twins' contract
       val survivors = batch
@@ -99,6 +88,41 @@ object StreamingSemDedup {
           .write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
       } finally graft.Pins.release(survivors) // checkpoint pin — both writes done
     } finally assigned.unpersist()
+  }
+
+  /** The exact drop rule, shared with the persisted serving artifact
+    * ([[graft.dedup.SemDedupStore.dedupBatch]] feeds it cluster-pruned
+    * state - clusters bound candidates exactly, so pruning cannot change
+    * verdicts): a batch vector drops iff some admitted state vector in
+    * the SAME cluster has rounded cosine >= tau, or some LOWER-id batch
+    * peer in the same cluster does. Both frames are (id, cluster, vec)
+    * with vec cast to array<double>; returns distinct `drop_id`.
+    */
+  def droppedIds(state: DataFrame, assigned: DataFrame, tau: Double): DataFrame = {
+    val vsState = assigned.as("b")
+      .join(state.as("s"), col("b.cluster") === col("s.cluster"))
+      .where(round(V.cosine(col("b.vec"), col("s.vec")), 6) >= tau)
+      .select(col("b.id").as("drop_id"))
+    val inBatch = assigned.as("a")
+      .join(assigned.as("b"), col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
+      .where(round(V.cosine(col("a.vec"), col("b.vec")), 6) >= tau)
+      .select(col("b.id").as("drop_id"))
+    vsState.unionAll(inBatch).distinct()
+  }
+
+  /** Fold the stream's per-batch admitted state into a serving
+    * [[graft.dedup.SemDedupStore]] artifact at `outDir` - assignments
+    * and vectors are REUSED, the centroids (the stream's frozen ones,
+    * caller-held since wiring) are persisted alongside so downstream
+    * [[graft.dedup.SemDedupStore.dedupBatch]] probes assign identically.
+    * Verdicts from the store are bit-identical to continuing this
+    * stream's rule (spec-asserted).
+    */
+  def compactTo(spark: SparkSession, stateDir: String, outDir: String,
+      centroids: Array[Array[Double]], nBuckets: Int = 16): Unit = {
+    val state = readState(spark, stateDir, excludeBatch = None)
+      .getOrElse(emptyState(spark))
+    graft.dedup.SemDedupStore.buildFromState(state, outDir, centroids, nBuckets)
   }
 
   /** All admitted survivors so far (original input rows). Fails with a
