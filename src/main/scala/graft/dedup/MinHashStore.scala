@@ -131,6 +131,9 @@ object MinHashStore {
   private def appendSigs(sigs: DataFrame, dir: String, segmentIdArg: Long,
       m: Manifest): Unit = {
     val spark = sigs.sparkSession
+    // finish any interrupted in-place compaction FIRST - a segment
+    // committed into the old segs tree would be lost to the pending swap
+    graft.sources.SegmentCompaction.recover(spark, dir)
     val fs = fsFor(spark, dir)
     val committed = committedSegments(spark, dir)
     // segment 0 is the BUILD's: an explicit append with id 0 (a stream
@@ -180,6 +183,31 @@ object MinHashStore {
     buildFromSigs(readSigs(spark, dir), outDir, m.shingleSize, m.numHashes,
       m.bands, if (nBuckets < 0) m.nBuckets else nBuckets)
   }
+
+  /** [[append]] with the segment-count maintenance built in (the
+    * Bm25Store.appendAuto router): appends the batch, then folds the
+    * store in place once the committed-segment count reaches
+    * `maxSegments`. Verdicts are bit-identical across the fold
+    * (signatures reused; spec-asserted). Returns the route taken
+    * ("append" | "append+compact").
+    */
+  def appendAuto(newDocs: DataFrame, textCol: String, idCol: String,
+      dir: String, segmentId: Long = -1L, maxSegments: Int = 32): String = {
+    require(maxSegments >= 2, s"MinHashStore.appendAuto: maxSegments $maxSegments < 2")
+    val spark = newDocs.sparkSession
+    append(newDocs, textCol, idCol, dir, segmentId) // recovers any interrupted swap
+    if (committedSegments(spark, dir).size >= maxSegments) {
+      compactInPlace(spark, dir); "append+compact"
+    } else "append"
+  }
+
+  /** Fold the committed segments where the store stands — the staged
+    * roll-forward protocol ([[graft.sources.SegmentCompaction]]); see
+    * Bm25Store.compactInPlace for the crash-window argument.
+    */
+  def compactInPlace(spark: SparkSession, dir: String): Unit =
+    graft.sources.SegmentCompaction.inPlace(spark, dir)(staging =>
+      compactTo(spark, dir, staging))
 
   private def requireDistinctDirs(spark: SparkSession, dir: String,
       outDir: String, who: String): Unit = {

@@ -104,6 +104,8 @@ object SemDedupStore {
   def append(newDocs: DataFrame, idCol: String, vecCol: String, dir: String,
       segmentId: Long = -1L): Unit = {
     val spark = newDocs.sparkSession
+    // finish any interrupted in-place compaction FIRST (the family rule)
+    graft.sources.SegmentCompaction.recover(spark, dir)
     val m = loadManifest(spark, dir)
     val fs = fsFor(spark, dir)
     val committed = committedSegments(spark, dir)
@@ -153,6 +155,24 @@ object SemDedupStore {
     buildFromState(readState(spark, dir), outDir, loadCentroids(spark, dir),
       if (nBuckets < 0) m.nBuckets else nBuckets)
   }
+
+  /** [[append]] with the segment-count maintenance built in (the
+    * Bm25Store.appendAuto router). Returns "append" | "append+compact".
+    */
+  def appendAuto(newDocs: DataFrame, idCol: String, vecCol: String,
+      dir: String, segmentId: Long = -1L, maxSegments: Int = 32): String = {
+    require(maxSegments >= 2, s"SemDedupStore.appendAuto: maxSegments $maxSegments < 2")
+    val spark = newDocs.sparkSession
+    append(newDocs, idCol, vecCol, dir, segmentId)
+    if (committedSegments(spark, dir).size >= maxSegments) {
+      compactInPlace(spark, dir); "append+compact"
+    } else "append"
+  }
+
+  /** Staged roll-forward in-place fold ([[graft.sources.SegmentCompaction]]). */
+  def compactInPlace(spark: SparkSession, dir: String): Unit =
+    graft.sources.SegmentCompaction.inPlace(spark, dir)(staging =>
+      compactTo(spark, dir, staging))
 
   /** Per-vector verdict for a batch probed against the store:
     * `(idCol, cluster, kept)` — kept = false iff a stored vector in the

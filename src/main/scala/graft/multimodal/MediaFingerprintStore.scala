@@ -122,6 +122,8 @@ object MediaFingerprintStore {
   private def appendFps(fps: DataFrame, ids: DataFrame, dir: String,
       segmentIdArg: Long, m: Manifest): Unit = {
     val spark = fps.sparkSession
+    // finish any interrupted in-place compaction FIRST (the family rule)
+    graft.sources.SegmentCompaction.recover(spark, dir)
     val fs = fsFor(spark, dir)
     val committed = committedSegments(spark, dir)
     require(segmentIdArg != 0L,
@@ -175,6 +177,25 @@ object MediaFingerprintStore {
     buildFromFps(readFps(spark, dir), ids, outDir, m.n, m.bands,
       if (nBuckets < 0) m.nBuckets else nBuckets)
   }
+
+  /** [[append]] with the segment-count maintenance built in (the
+    * Bm25Store.appendAuto router). Returns "append" | "append+compact".
+    */
+  def appendAuto(newDocs: DataFrame, payloadCol: String, idCol: String,
+      dir: String, segmentId: Long = -1L, maxSegments: Int = 32): String = {
+    require(maxSegments >= 2,
+      s"MediaFingerprintStore.appendAuto: maxSegments $maxSegments < 2")
+    val spark = newDocs.sparkSession
+    append(newDocs, payloadCol, idCol, dir, segmentId)
+    if (committedSegments(spark, dir).size >= maxSegments) {
+      compactInPlace(spark, dir); "append+compact"
+    } else "append"
+  }
+
+  /** Staged roll-forward in-place fold ([[graft.sources.SegmentCompaction]]). */
+  def compactInPlace(spark: SparkSession, dir: String): Unit =
+    graft.sources.SegmentCompaction.inPlace(spark, dir)(staging =>
+      compactTo(spark, dir, staging))
 
   /** Batch survivors against the store — bit-identical to
     * [[graft.streaming.StreamingMediaDedup.incrementalFps]] over the full

@@ -558,11 +558,12 @@ object LlmQueries {
     }),
 
     // index maintenance for the persisted artifact: build on the low-id
-    // half, APPEND a segment built from the rest (postings bucket-append,
-    // df surface bucket-merged, scalars added, manifest last), then serve
-    // from the folded artifact. Oracle = q_bm25_incremental's (the full-
-    // corpus rebuild): matching it proves append ≡ rebuild on disk —
-    // the q_ann_ivf_append contract for the retrieval index
+    // half, then appendAuto the rest at maxSegments = 2 - the router
+    // appends the segment AND (bound reached) folds the store in place
+    // through the staged roll-forward swap, so the r14 auto-compaction
+    // path is ON the oracle-gated serving path. Oracle =
+    // q_bm25_incremental's (the full-corpus rebuild): matching it proves
+    // append + in-place fold ≡ rebuild on disk
     "q_bm25_index_append" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val idxDir = ivfIndexDirs.computeIfAbsent(dir + "#bm25app", _ => {
@@ -570,9 +571,13 @@ object LlmQueries {
         val half = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
         graft.text.Bm25Store.build(docs.where(col("doc_id") <= half),
           "text", "doc_id", d, nBuckets = 16)
-        graft.text.Bm25Store.append(
+        val route = graft.text.Bm25Store.appendAuto(
           Bm25.buildIndex(docs.where(col("doc_id") > half), "text", "doc_id"), d,
-          segmentId = 1L)
+          segmentId = 1L, maxSegments = 2)
+        require(route == "append+compact",
+          s"q_bm25_index_append: expected the fold route, got $route")
+        require(graft.text.Bm25Store.committedSegments(s, d) == Seq(0L),
+          "q_bm25_index_append: in-place fold left more than the base segment")
         d
       })
       graft.text.Bm25Store.scoreTopKPersisted(s, idxDir,

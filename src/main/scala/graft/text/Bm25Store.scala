@@ -87,6 +87,9 @@ object Bm25Store {
     */
   def append(segment: Bm25.Index, dir: String, segmentId: Long): Unit = {
     val spark = segment.postings.sparkSession
+    // finish any interrupted in-place compaction FIRST - a segment
+    // committed into the old segs tree would be lost to the pending swap
+    graft.sources.SegmentCompaction.recover(spark, dir)
     val m = loadManifest(spark, dir)
     val fs = fsFor(spark, dir)
     require(segmentId > 0, s"Bm25Store.append: segmentId $segmentId must be > 0 " +
@@ -134,6 +137,37 @@ object Bm25Store {
     val m = loadManifest(spark, dir)
     save(load(spark, dir), outDir, if (nBuckets < 0) m.nBuckets else nBuckets)
   }
+
+  /** [[append]] with the segment-count maintenance built in: one call
+    * appends the segment and, when the committed-segment count reaches
+    * `maxSegments`, folds the store in place ([[compactInPlace]]) — so a
+    * daily-append pipeline never accumulates unbounded per-read segment
+    * fan-out without anyone remembering to run the compaction. Amortized
+    * fold cost is O(store / maxSegments) per append; choose the bound to
+    * trade read fan-out against fold frequency. Returns the route taken
+    * ("append" | "append+compact") for callers/specs to assert.
+    */
+  def appendAuto(segment: Bm25.Index, dir: String, segmentId: Long,
+      maxSegments: Int = 32): String = {
+    require(maxSegments >= 2, s"Bm25Store.appendAuto: maxSegments $maxSegments < 2")
+    val spark = segment.postings.sparkSession
+    append(segment, dir, segmentId) // recovers any interrupted swap itself
+    if (committedSegments(spark, dir).size >= maxSegments) {
+      compactInPlace(spark, dir); "append+compact"
+    } else "append"
+  }
+
+  /** Fold the store's committed segments where it stands — the staged
+    * roll-forward protocol ([[graft.sources.SegmentCompaction]]): the
+    * fold lands under `dir/_compact` first, a marker commits it, and the
+    * segs tree swaps; a crash anywhere is either invisible (unmarked
+    * staging discarded) or finished by the next append/compact call.
+    * Scoring is bit-identical across the fold (merge-at-read ≡
+    * merge-at-write, the [[compactTo]] argument; spec-asserted).
+    */
+  def compactInPlace(spark: SparkSession, dir: String): Unit =
+    graft.sources.SegmentCompaction.inPlace(spark, dir)(staging =>
+      compactTo(spark, dir, staging))
 
   /** Load the artifact back as an in-memory [[Bm25.Index]] — plugs into
     * [[Bm25.scoreTopK]] (and [[Bm25.mergeIndex]]) unchanged.

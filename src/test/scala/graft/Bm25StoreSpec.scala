@@ -121,4 +121,53 @@ class Bm25StoreSpec extends SparkSpec {
     }
     assert(tornBuild.getMessage.contains("no committed segments"), tornBuild.getMessage)
   }
+
+  test("appendAuto: fold at the segment bound == rebuild; crash mid-swap rolls forward") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    def slice(lo: Long, hi: Long) = docs.where($"doc_id" >= lo && $"doc_id" < hi)
+    val dir = tmp("bm25_auto")
+    Bm25Store.build(slice(0, 200), "text", "doc_id", dir, nBuckets = 8)
+    // two appends under the bound: plain segments
+    assert(Bm25Store.appendAuto(Bm25.buildIndex(slice(200, 300), "text", "doc_id"),
+      dir, segmentId = 1L, maxSegments = 4) == "append")
+    assert(Bm25Store.appendAuto(Bm25.buildIndex(slice(300, 400), "text", "doc_id"),
+      dir, segmentId = 2L, maxSegments = 4) == "append")
+    assert(Bm25Store.committedSegments(spark, dir).size == 3)
+    // the bound-crossing append folds in place
+    assert(Bm25Store.appendAuto(Bm25.buildIndex(slice(400, 500), "text", "doc_id"),
+      dir, segmentId = 3L, maxSegments = 4) == "append+compact")
+    assert(Bm25Store.committedSegments(spark, dir) == Seq(0L))
+    // folded store == a one-shot full build, bit-identical scoring
+    val queries = docs.where($"doc_id" >= 5 && $"doc_id" < 10)
+    val expected = scores(Bm25.topK(docs, queries, "text", "doc_id", k = 5))
+    assert(scores(Bm25Store.scoreTopKPersisted(spark, dir, queries,
+      "text", "doc_id", k = 5)) == expected)
+    val m = Bm25Store.loadManifest(spark, dir)
+    val full = Bm25.buildIndex(docs, "text", "doc_id")
+    assert(m.nDocs == full.nDocs && m.sumLen == full.sumLen)
+
+    // crash mid-swap: fold committed (staging + _SWAP marker) but the
+    // segs tree never swapped - the next append rolls it forward and the
+    // appended segment lands on the FOLDED tree, nothing lost
+    val dir2 = tmp("bm25_auto2")
+    Bm25Store.build(slice(0, 200), "text", "doc_id", dir2, nBuckets = 8)
+    Bm25Store.append(Bm25.buildIndex(slice(200, 300), "text", "doc_id"), dir2, 1L)
+    Bm25Store.compactTo(spark, dir2, s"$dir2/_compact")
+    val fs = new org.apache.hadoop.fs.Path(dir2)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir2/_compact/_SWAP"), true).close()
+    // simulated crash here; the next append recovers then appends
+    Bm25Store.append(Bm25.buildIndex(slice(300, 400), "text", "doc_id"), dir2, 2L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir2/_compact")))
+    assert(Bm25Store.committedSegments(spark, dir2) == Seq(0L, 2L))
+    assert(Bm25Store.loadManifest(spark, dir2).nDocs == slice(0, 400).count())
+    // an UNMARKED staging (fold crashed before commit) is discarded
+    val dir3 = tmp("bm25_auto3")
+    Bm25Store.build(slice(0, 100), "text", "doc_id", dir3, nBuckets = 8)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir3/_compact/segs/seg=0"))
+    Bm25Store.append(Bm25.buildIndex(slice(100, 150), "text", "doc_id"), dir3, 1L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir3/_compact")))
+    assert(Bm25Store.committedSegments(spark, dir3) == Seq(0L, 1L))
+  }
+
 }

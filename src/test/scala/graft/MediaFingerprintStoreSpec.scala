@@ -172,4 +172,26 @@ class MediaFingerprintStoreSpec extends SparkSpec {
       b, "vid_id", maxHamming = 6, bands = 8, minMatches = 3))
     assert(got == want && got == Seq(12L), s"got $got want $want")
   }
+
+  test("appendAuto folds at the segment bound; verdicts preserved") {
+    val dir = tmp("mfps_auto")
+    MediaFingerprintStore.build(media((1L, footage(0, 0))), "payload", "vid_id",
+      dir, n = 4, bands = 8, nBuckets = 4)
+    assert(MediaFingerprintStore.appendAuto(media((5L, footage(50, 0))),
+      "payload", "vid_id", dir, maxSegments = 3) == "append")
+    assert(MediaFingerprintStore.appendAuto(media((9L, footage(120, 0))),
+      "payload", "vid_id", dir, maxSegments = 3) == "append+compact")
+    assert(MediaFingerprintStore.committedSegments(spark, dir) == Seq(0L))
+    assert(MediaFingerprintStore.loadManifest(spark, dir).maxId == 9L)
+    val rb = tmp("mfps_auto_rb")
+    MediaFingerprintStore.build(
+      media((1L, footage(0, 0)), (5L, footage(50, 0)), (9L, footage(120, 0))),
+      "payload", "vid_id", rb, n = 4, bands = 8, nBuckets = 4)
+    val probe = media((20L, footage(0, 3)), (21L, footage(200, 0)))
+    assert(survivorIds(MediaFingerprintStore.dedupBatch(spark, dir, probe,
+        "payload", "vid_id", maxHamming = 6, minMatches = 3)) ==
+      survivorIds(MediaFingerprintStore.dedupBatch(spark, rb, probe,
+        "payload", "vid_id", maxHamming = 6, minMatches = 3)))
+  }
+
 }

@@ -172,4 +172,40 @@ class MinHashStoreSpec extends SparkSpec {
     }
     assert(torn.getMessage.contains("no committed segments"), torn.getMessage)
   }
+
+  test("appendAuto: fold at the segment bound preserves verdicts; roll-forward") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    def slice(lo: Long, hi: Long) = docs.where($"doc_id" >= lo && $"doc_id" < hi)
+    val dir = tmp("mh_auto")
+    MinHashStore.build(slice(0, 200), "text", "doc_id", dir, nBuckets = 8)
+    assert(MinHashStore.appendAuto(slice(200, 300), "text", "doc_id", dir,
+      segmentId = 1L, maxSegments = 3) == "append")
+    // bound crossed: fold in place, single segment remains
+    assert(MinHashStore.appendAuto(slice(300, 400), "text", "doc_id", dir,
+      segmentId = 2L, maxSegments = 3) == "append+compact")
+    assert(MinHashStore.committedSegments(spark, dir) == Seq(0L))
+    // verdicts across the fold == a never-folded store's
+    val rb = tmp("mh_auto_rb")
+    MinHashStore.build(slice(0, 400), "text", "doc_id", rb, nBuckets = 8)
+    val probe = docs.where($"doc_id" >= 400 && $"doc_id" < 440)
+    def ids(d: String) = MinHashStore.dedupBatch(spark, d, probe, "text", "doc_id")
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(ids(dir) == ids(rb))
+    // sig surface identical to the rebuild's
+    def sigSet(d: String) = MinHashStore.readSigs(spark, d)
+      .select($"id", xxhash64($"sig"), xxhash64($"shset")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(sigSet(dir) == sigSet(rb))
+    // crash mid-swap rolls forward on the next appendAuto
+    MinHashStore.compactTo(spark, dir, s"$dir/_compact")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/_compact/_SWAP"), true).close()
+    assert(MinHashStore.appendAuto(slice(400, 450), "text", "doc_id", dir,
+      segmentId = 5L, maxSegments = 10) == "append")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_compact")))
+    assert(MinHashStore.committedSegments(spark, dir) == Seq(0L, 5L))
+    assert(MinHashStore.loadManifest(spark, dir).nDocs == 450)
+  }
+
 }

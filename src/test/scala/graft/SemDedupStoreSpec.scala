@@ -146,4 +146,25 @@ class SemDedupStoreSpec extends SparkSpec {
     val want = ids(b.join(dropped, Seq("vec_id"), "left_anti"))
     assert(got == want && got == Seq(11L), s"got $got want $want")
   }
+
+  test("appendAuto folds at the segment bound; verdicts preserved") {
+    val dir = tmp("sds_auto")
+    SemDedupStore.build(Seq((1L, ex), (2L, ey)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir, k = 2, iters = 1, nBuckets = 4)
+    assert(SemDedupStore.appendAuto(Seq((5L, ez)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir, maxSegments = 3) == "append")
+    assert(SemDedupStore.appendAuto(
+      Seq((8L, Array(0.5f, 0.5f, 0.5f, 0.5f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir, maxSegments = 3) == "append+compact")
+    assert(SemDedupStore.committedSegments(spark, dir) == Seq(0L))
+    assert(SemDedupStore.loadManifest(spark, dir).maxId == 8L)
+    // centroids untouched by the fold; verdicts == an unfolded twin's
+    val rb = tmp("sds_auto_rb")
+    SemDedupStore.buildFromState(SemDedupStore.readState(spark, dir), rb,
+      SemDedupStore.loadCentroids(spark, dir), nBuckets = 4)
+    val probe = Seq((20L, exNear), (21L, eyNear)).toDF("vec_id", "embedding")
+    assert(ids(SemDedupStore.dedupBatch(spark, dir, probe, "vec_id", "embedding", 0.95)) ==
+      ids(SemDedupStore.dedupBatch(spark, rb, probe, "vec_id", "embedding", 0.95)))
+  }
+
 }
