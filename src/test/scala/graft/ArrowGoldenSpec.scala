@@ -183,4 +183,55 @@ class ArrowGoldenSpec extends SparkSpec {
     val back = spark.read.parquet(pq).collect()
     assert(back.map(canon).sorted.toSeq == rows.map(canon).sorted.toSeq)
   }
+
+  test("migration round-trip: replacement-dict golden rewrites as initial+delta, contents identical") {
+    assume(available)
+    // the reference's multiple_batches.arrow re-writes dictionary id 0
+    // per batch (REPLACEMENT - invalid in IPC files per the Arrow spec,
+    // pyarrow refuses it). The migration path is: our reader resolves the
+    // replacements correctly, our writer re-encodes the same dictionary
+    // columns as ONE initial batch + DELTAS per id - the spec-portable
+    // shape - with contents byte-identical
+    val src = golden("ZonedDateTime_legacy_files/multiple_batches.arrow")
+    val df = graft.sources.ArrowIpc.read(spark, src)
+    val out = java.nio.file.Files.createTempDirectory("arrow_migrate")
+      .resolve("t").toString
+    // small batches force multiple record batches -> deltas exercised
+    graft.sources.ArrowIpc.write(df.repartition(1), out, batchRows = 16)
+    val back = graft.sources.ArrowIpc.read(spark, out).collect()
+    assert(back.length == 60)
+    assert(df.collect().map(canon).sorted.toSeq == back.map(canon).sorted.toSeq)
+    // the rewritten store: per dictionary id, first batch initial, every
+    // later one a delta - no replacement anywhere
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector.ipc.ArrowFileReader
+    import org.apache.arrow.vector.ipc.SeekableReadChannel
+    import org.apache.arrow.vector.ipc.message.MessageSerializer
+    import org.apache.arrow.compression.CommonsCompressionFactory
+    import scala.collection.JavaConverters._
+    val file = Files.list(Paths.get(out)).iterator().asScala
+      .find(_.toString.endsWith(".arrow")).get
+    val alloc = new RootAllocator(Long.MaxValue)
+    val ch = Files.newByteChannel(file)
+    val reader = new ArrowFileReader(ch, alloc, CommonsCompressionFactory.INSTANCE)
+    reader.getVectorSchemaRoot
+    val blocks = reader.getDictionaryBlocks.asScala.toSeq
+    assert(blocks.nonEmpty, "rewritten store lost its dictionary encoding")
+    val rch = new SeekableReadChannel(ch)
+    val flagsById = blocks.map { blk =>
+      rch.setPosition(blk.getOffset)
+      val db = MessageSerializer.deserializeDictionaryBatch(rch, blk, alloc)
+      try (db.getDictionaryId, db.isDelta) finally db.close()
+    }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    reader.close()
+    flagsById.foreach { case (id, flags) =>
+      assert(!flags.head, s"dict $id: first batch must be the initial one")
+      assert(flags.tail.forall(identity),
+        s"dict $id: later batches must all be deltas, got $flags - " +
+          "replacement is invalid in IPC files")
+    }
+    // deltas actually happened (the golden's zone vocabulary spans batches)
+    assert(flagsById.values.exists(_.size >= 2),
+      s"expected at least one delta batch, got $flagsById")
+  }
 }
