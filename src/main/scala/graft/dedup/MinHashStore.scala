@@ -285,7 +285,7 @@ object MinHashStore {
     // on would serve a silently-EMPTY store that admits every duplicate
     require(segs.nonEmpty,
       s"MinHashStore: $dir has a manifest but no committed segments - a " +
-        "build crashed mid-overwrite; rebuild the store with MinHashStore.build")
+        "build crashed mid-overwrite; rebuild the store with MinHashStore.build; if an IN-PLACE compaction was interrupted instead, its committed fold is still staged - any append/appendAuto/compactInPlace call rolls it forward (SegmentCompaction.recover)")
     val metas = segs.map { s =>
       val n = J.readFile(spark, s"$dir/segs/seg=$s/_meta.json")
       (J.long(n, "nDocs", dir), J.long(n, "maxId", dir))

@@ -237,7 +237,7 @@ object SemDedupStore {
     val segs = committedSegments(spark, dir)
     require(segs.nonEmpty,
       s"SemDedupStore: $dir has a manifest but no committed segments - a " +
-        "build crashed mid-overwrite; rebuild with SemDedupStore.build")
+        "build crashed mid-overwrite; rebuild with SemDedupStore.build; if an IN-PLACE compaction was interrupted instead, its committed fold is still staged - any append/appendAuto/compactInPlace call rolls it forward (SegmentCompaction.recover)")
     val metas = segs.map { s =>
       val n = J.readFile(spark, s"$dir/segs/seg=$s/_meta.json")
       (J.long(n, "nDocs", dir), J.long(n, "maxId", dir))

@@ -213,24 +213,32 @@ object MediaFingerprintStore {
       .select(col(idCol).cast("long").as("id"), col("sample_idx").as("slot"),
         col("frame_hash").as("fp"))
       .localCheckpoint(true)
-    val bandKeys = batchFps
-      .select(col("slot"), explode(H.simHashBands(col("fp"), m.bands)).as("bk"))
-      .select(col("slot"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-      .distinct()
+    val keyedB = graft.streaming.StreamingMediaDedup.keyedFps(batchFps, m.bands)
       .localCheckpoint(true)
-    val tb = bandKeys.select(postingBucket(m.nBuckets).as("b")).distinct()
+    val tb = keyedB.select(postingBucket(m.nBuckets).as("b")).distinct()
       .collect().map(_.getInt(0)).sorted // bounded by nBuckets
-    val candFps =
-      if (tb.isEmpty || segs.isEmpty) emptyFps(spark)
+    // the stored posting surface IS keyedFps(corpusFps) materialized, so
+    // the pruned posting rows join the batch keys DIRECTLY — no corpus-
+    // side re-banding (measured 1.4x of the whole probe at sf10). The
+    // rule itself is the streaming twin's (survivorsFrom): pruning only
+    // drops rows sharing no (slot, band, bucket) with the batch, which
+    // (maxHamming < bands, pigeonhole) is never a row the rule accepts
+    val candCB =
+      if (tb.isEmpty || segs.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id_b", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("id_other", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("slot", org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("fp_b", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("fp_o", org.apache.spark.sql.types.LongType))))
       else readSurface(spark, dir, segs, "postings", postingsSchema)
-        .where(col("pb").isInCollection(tb))
-        .join(bandKeys, Seq("slot", "band", "bucket"))
-        .select(col("id"), col("slot"), col("fp")).distinct()
-    // the exact slot-aligned Hamming rule IS the streaming twin's —
-    // pruning only shrank the candidate set to rows that share a band,
-    // which (maxHamming < bands) is every row the rule can accept
-    graft.streaming.StreamingMediaDedup.incrementalFps(
-      candFps, batchFps, batch, idCol, maxHamming, m.bands, minMatches)
+        .where(col("pb").isInCollection(tb)).as("c")
+        .join(keyedB.as("b"), Seq("slot", "band", "bucket"))
+        .select(col("b.id").as("id_b"), col("c.id").as("id_other"), col("slot"),
+          col("b.fp").as("fp_b"), col("c.fp").as("fp_o"))
+    graft.streaming.StreamingMediaDedup.survivorsFrom(
+      candCB, keyedB, batch, idCol, maxHamming, minMatches)
   }
 
   /** Root manifest + folded committed-segment metas. */
@@ -248,7 +256,7 @@ object MediaFingerprintStore {
     // store that admits every duplicate
     require(segs.nonEmpty,
       s"MediaFingerprintStore: $dir has a manifest but no committed segments " +
-        "- a build crashed mid-overwrite; rebuild with MediaFingerprintStore.build")
+        "- a build crashed mid-overwrite; rebuild with MediaFingerprintStore.build; if an IN-PLACE compaction was interrupted instead, its committed fold is still staged - any append/appendAuto/compactInPlace call rolls it forward (SegmentCompaction.recover)")
     val metas = segs.map { s =>
       val n = J.readFile(spark, s"$dir/segs/seg=$s/_meta.json")
       (J.long(n, "nDocs", dir), J.long(n, "maxId", dir))
@@ -280,7 +288,21 @@ object MediaFingerprintStore {
 
   // ---- internals ----
 
-  /** Write both surfaces of one segment; `_done` marker commits LAST. */
+  /** Write both surfaces of one segment; `_done` marker commits LAST.
+    *
+    * The posting surface carries one REPRESENTATIVE (lowest id) per
+    * distinct fingerprint VECTOR — the media analog of
+    * [[graft.dedup.Dedup.minHashIncrementalSigs]]'s set-group collapse.
+    * Identical vectors are interchangeable for the kill rule (batch doc b
+    * matches member m on exactly the slots it matches m's rep on, so the
+    * per-pair slot counts — and therefore every verdict — are identical),
+    * while an exact-duplicate-heavy corpus otherwise turns the candidate
+    * join quadratic in the duplicate cluster: measured at sf10 on the
+    * degenerate synthetic corpus, rep-collapsed serving is 218 s → ~2 s.
+    * Reps are segment-local (a vector duplicated across segments yields
+    * one rep each — a few extra candidate rows, never a changed verdict);
+    * [[compactTo]] re-collapses globally through this same writer.
+    */
   private def writeSegment(fps: DataFrame, ids: DataFrame, dir: String,
       segmentId: Long, bands: Int, nBuckets: Int): Unit = {
     val spark = fps.sparkSession
@@ -288,8 +310,14 @@ object MediaFingerprintStore {
     graft.table.WriteModes.staticPartitionOverwrite(
       fps.withColumn("pb", fpBucket(nBuckets)).repartition(col("pb")),
       s"$sDir/fps", "pb")
+    val reps = fps
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("slot"), col("fp")))).as("__v"))
+      .groupBy(col("__v")).agg(min(col("id")).as("id"))
+      .select(col("id"))
     graft.table.WriteModes.staticPartitionOverwrite(
-      fps.select(col("id"), col("slot"), col("fp"),
+      fps.join(reps, Seq("id"), "left_semi")
+        .select(col("id"), col("slot"), col("fp"),
           explode(H.simHashBands(col("fp"), bands)).as("bk"))
         .select(col("slot"), col("bk.band").as("band"),
           col("bk.bucket").as("bucket"), col("id"), col("fp"))

@@ -103,13 +103,32 @@ object StreamingMediaDedup {
   ): DataFrame = {
     require(maxHamming < bands, s"maxHamming ($maxHamming) must be < bands ($bands) for full recall")
     require(minMatches >= 1, s"minMatches must be >= 1, got $minMatches")
-    def keyed(fps: DataFrame) = fps
-      .select(col("id"), col("slot"), col("fp"), explode(H.simHashBands(col("fp"), bands)).as("bk"))
-      .select(col("id"), col("slot"), col("fp"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-    val keyedC = keyed(corpusFps)
-    val keyedB = keyed(batchFps)
+    val keyedC = keyedFps(corpusFps, bands)
+    val keyedB = keyedFps(batchFps, bands)
     // batch-vs-corpus candidates (any match kills the batch doc) and
     // batch-internal candidates (ordered: only the higher id can die)
+    val candCB = keyedB.as("b").join(keyedC.as("c"), Seq("slot", "band", "bucket"))
+      .select(col("b.id").as("id_b"), col("c.id").as("id_other"), col("slot"),
+        col("b.fp").as("fp_b"), col("c.fp").as("fp_o"))
+    survivorsFrom(candCB, keyedB, batch, idCol, maxHamming, minMatches)
+  }
+
+  /** The banded fingerprint shape the match rule joins on — also the
+    * EXACT layout [[graft.multimodal.MediaFingerprintStore]] persists as
+    * its posting surface, which is what lets the store's dedupBatch join
+    * its (pruned) posting rows directly instead of re-banding candidates.
+    */
+  private[graft] def keyedFps(fps: DataFrame, bands: Int): DataFrame = fps
+    .select(col("id"), col("slot"), col("fp"), explode(H.simHashBands(col("fp"), bands)).as("bk"))
+    .select(col("id"), col("slot"), col("fp"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+
+  /** Verdict tail shared with the store: batch-vs-corpus candidate rows
+    * (id_b, id_other, slot, fp_b, fp_o — duplicates fine, the rule
+    * distincts) plus the in-batch pass derived from `keyedB`, then the
+    * exact slot-aligned Hamming rule and the survivor anti-join.
+    */
+  private[graft] def survivorsFrom(candCB: DataFrame, keyedB: DataFrame,
+      batch: DataFrame, idCol: String, maxHamming: Int, minMatches: Int): DataFrame = {
     def losers(cand: DataFrame): DataFrame = cand
       .distinct()
       .where(H.hamming64(col("fp_b"), col("fp_o")) <= maxHamming)
@@ -117,9 +136,6 @@ object StreamingMediaDedup {
       .agg(count(lit(1)).as("m"))
       .where(col("m") >= minMatches)
       .select(col("id_b"))
-    val candCB = keyedB.as("b").join(keyedC.as("c"), Seq("slot", "band", "bucket"))
-      .select(col("b.id").as("id_b"), col("c.id").as("id_other"), col("slot"),
-        col("b.fp").as("fp_b"), col("c.fp").as("fp_o"))
     val candBB = keyedB.as("a").join(keyedB.as("b"), Seq("slot", "band", "bucket"))
       .where(col("a.id") < col("b.id"))
       .select(col("b.id").as("id_b"), col("a.id").as("id_other"), col("slot"),

@@ -227,7 +227,7 @@ object Bm25Store {
     // of silently scoring against an empty index
     require(segs.nonEmpty,
       s"Bm25Store: $dir has a manifest but no committed segments - a " +
-        "rebuild crashed mid-overwrite; rebuild the index with Bm25Store.save")
+        "rebuild crashed mid-overwrite; rebuild the index with Bm25Store.save; if an IN-PLACE compaction was interrupted instead, its committed fold is still staged - any append/appendAuto/compactInPlace call rolls it forward (SegmentCompaction.recover)")
     val metas = segs.map { s =>
       val n = J.readFile(spark, s"$dir/segs/seg=$s/_meta.json")
       (J.long(n, "nDocs", dir), J.long(n, "sumLen", dir), J.long(n, "maxDocId", dir))

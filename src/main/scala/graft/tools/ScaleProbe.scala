@@ -498,6 +498,122 @@ object ScaleProbe {
           println(s"""{"mode":"hyperball_store","nodes":${served.getLong(0)},""" +
             f""""sum_est":${served.getDouble(1)}%.1f,"serve_s":$tServe%.1f,"mem_s":$tMem%.1f}""")
         } finally graft.Pins.release(edges)
+      case "media_store" =>
+        // round 14: the MediaFingerprintStore at the tier — fingerprint
+        // 500k synthetic videos once (payloads decode exactly once, at
+        // index time), then dedup a 0.1% batch against the store
+        // (bucket-pruned posting read) vs the in-memory incrementalFps
+        // over the full fingerprint state (what a store-less pipeline
+        // re-pays per batch, plus it would re-decode the corpus)
+        val avi = udf((id: Long) => graft.multimodal.Multimodal.syntheticAvi(id))
+        val maxIdM = docs.agg(max(col("doc_id"))).head().getLong(0)
+        val corpusM = docs.where(col("doc_id") <= (maxIdM * 999) / 1000)
+          .select(col("doc_id"), avi(col("doc_id")).as("payload"))
+        val batchM = docs.where(col("doc_id") > (maxIdM * 999) / 1000)
+          .select(col("doc_id"), avi(col("doc_id")).as("payload"))
+        val dirM = java.nio.file.Files.createTempDirectory("probe_mfps").toString
+        timed("media fingerprint build (n=3)") {
+          graft.multimodal.MediaFingerprintStore.build(corpusM, "payload",
+            "doc_id", dirM, n = 3, bands = 8, nBuckets = 256)
+        }
+        val t1m = System.nanoTime()
+        val surv = graft.multimodal.MediaFingerprintStore.dedupBatch(spark, dirM,
+          batchM, "payload", "doc_id", maxHamming = 6, minMatches = 2).count()
+        val tServe = (System.nanoTime() - t1m) / 1e9
+        System.err.println(f"[probe] dedupBatch from store          $tServe%.1f s")
+        val t2m = System.nanoTime()
+        val cfps = graft.multimodal.Multimodal.videoFrameHashes(corpusM, "doc_id", "payload", 3)
+          .select(col("doc_id").as("id"), col("sample_idx").as("slot"), col("frame_hash").as("fp"))
+        val bfps = graft.multimodal.Multimodal.videoFrameHashes(batchM, "doc_id", "payload", 3)
+          .select(col("doc_id").as("id"), col("sample_idx").as("slot"), col("frame_hash").as("fp"))
+        val surv2 = graft.streaming.StreamingMediaDedup.incrementalFps(
+          cfps, bfps, batchM, "doc_id", maxHamming = 6, bands = 8, minMatches = 2).count()
+        val tMem = (System.nanoTime() - t2m) / 1e9
+        System.err.println(f"[probe] in-memory (re-decode + full)   $tMem%.1f s")
+        require(surv == surv2, s"store/in-memory disagree: $surv vs $surv2")
+        println(s"""{"mode":"media_store","batch_survivors":$surv,""" +
+          f""""serve_s":$tServe%.1f,"mem_s":$tMem%.1f}""")
+      case "semdedup_store" =>
+        // round 14: the SemDedupStore at the tier — centroids trained on a
+        // bounded sample (the corpus-scale discipline the class doc
+        // names), full corpus assigned + persisted once, then a 0.1%
+        // batch deduped at cluster-pruned cost vs the in-memory rule over
+        // the full state
+        val emb = Tables.t(spark, sfDir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val maxIdS = emb.agg(max(col("vec_id"))).head().getLong(0)
+        val corpusS = emb.where(col("vec_id") <= (maxIdS * 999) / 1000)
+        val batchS = emb.where(col("vec_id") > (maxIdS * 999) / 1000)
+        val cents = timed("centroid train (4096-sample, k=64)") {
+          graft.dedup.SemDedup.kmeansDeterministic(
+            corpusS.where(col("vec_id") < 4096), "embedding", "vec_id", k = 64, iters = 1)
+        }
+        val dirS = java.nio.file.Files.createTempDirectory("probe_sds").toString
+        timed("assign + persist state") {
+          graft.dedup.SemDedupStore.buildFromState(
+            graft.dedup.SemDedup.assignClusters(corpusS, "embedding", cents)
+              .select(col("vec_id").as("id"), col("cluster"),
+                col("embedding").cast("array<double>").as("vec")),
+            dirS, cents, nBuckets = 64)
+        }
+        val t1s = System.nanoTime()
+        val kept = graft.dedup.SemDedupStore.dedupBatch(spark, dirS, batchS,
+          "vec_id", "embedding", tau = 0.9).count()
+        val tServeS = (System.nanoTime() - t1s) / 1e9
+        System.err.println(f"[probe] dedupBatch from store          $tServeS%.1f s")
+        val t2s = System.nanoTime()
+        val assignedS = graft.dedup.SemDedup.assignClusters(batchS, "embedding", cents)
+          .select(col("vec_id").as("id"),
+            col("embedding").cast("array<double>").as("vec"), col("cluster"))
+        val stateS = graft.dedup.SemDedup.assignClusters(corpusS, "embedding", cents)
+          .select(col("vec_id").as("id"), col("cluster"),
+            col("embedding").cast("array<double>").as("vec"))
+        val dropped = graft.streaming.StreamingSemDedup.droppedIds(stateS, assignedS, 0.9)
+        val kept2 = batchS.join(dropped.withColumnRenamed("drop_id", "vec_id"),
+          Seq("vec_id"), "left_anti").count()
+        val tMemS = (System.nanoTime() - t2s) / 1e9
+        System.err.println(f"[probe] in-memory (re-assign + full)   $tMemS%.1f s")
+        require(kept == kept2, s"store/in-memory disagree: $kept vs $kept2")
+        println(s"""{"mode":"semdedup_store","batch_kept":$kept,""" +
+          f""""serve_s":$tServeS%.1f,"mem_s":$tMemS%.1f}""")
+      case "hyperball_extend" =>
+        // round 14: the artifact family's last unmeasured axis — extendTo's
+        // MARGINAL hop at the tier. Deepening the stored horizon from 2 to
+        // 3 hops should cost ~one propagation round (read stored hop-2 +
+        // one |E| max-merge + one hop write), vs a hops=3 rebuild paying
+        // all three rounds; readouts must agree exactly (count) and to
+        // 1e-9 (double sum, partition-order tolerance — the
+        // hyperball_store precedent)
+        val dirH = java.nio.file.Files.createTempDirectory("probe_hbx").toString
+        val rbDir = java.nio.file.Files.createTempDirectory("probe_hbx_rb").toString
+        val edges = LinkGraph.sharedSpanEdges(docs, "doc_id", "text", w = 6, maxDf = 32)
+          .localCheckpoint(true) // one edge set for all three measurements
+        try {
+          val t0 = System.nanoTime()
+          graft.text.HyperBallStore.build(docs.select(col("doc_id")), "doc_id",
+            edges, maxHops = 2, dirH, nBuckets = 256)
+          val tB2 = (System.nanoTime() - t0) / 1e9
+          System.err.println(f"[probe] build (2 hops)                 $tB2%.1f s")
+          val t1 = System.nanoTime()
+          graft.text.HyperBallStore.extendTo(edges, dirH, newMaxHops = 3)
+          val tExt = (System.nanoTime() - t1) / 1e9
+          System.err.println(f"[probe] extendTo(3) marginal hop       $tExt%.1f s")
+          val t2 = System.nanoTime()
+          graft.text.HyperBallStore.build(docs.select(col("doc_id")), "doc_id",
+            edges, maxHops = 3, rbDir, nBuckets = 256)
+          val tRb = (System.nanoTime() - t2) / 1e9
+          System.err.println(f"[probe] from-scratch build (3 hops)    $tRb%.1f s")
+          val a = graft.text.HyperBallStore.neighborhoodEstimate(spark, dirH, "doc_id")
+            .agg(count(lit(1)), sum(col("est_ball"))).head()
+          val b = graft.text.HyperBallStore.neighborhoodEstimate(spark, rbDir, "doc_id")
+            .agg(count(lit(1)), sum(col("est_ball"))).head()
+          val rel = math.abs(a.getDouble(1) - b.getDouble(1)) /
+            math.max(1.0, math.abs(b.getDouble(1)))
+          require(a.getLong(0) == b.getLong(0) && rel < 1e-9,
+            s"extend/rebuild disagree: $a vs $b (rel $rel)")
+          println(s"""{"mode":"hyperball_extend","nodes":${a.getLong(0)},""" +
+            f""""build2_s":$tB2%.1f,"extend_s":$tExt%.1f,"rebuild3_s":$tRb%.1f}""")
+        } finally graft.Pins.release(edges)
       case "pagerank" =>
         // fixed-point PageRank at the tier: per-iteration cost is one
         // |E| contribution shuffle — confirm linear behavior on the
