@@ -155,7 +155,10 @@ object Bench {
     "q_linkgraph_append_auto",
     "q_reach_estimate_artifact",
     "q_reach_harmonic_artifact",
-    "q_reach_distribution_artifact"
+    "q_reach_distribution_artifact",
+    "q_reach_point_artifact",
+    "q_media_dedup_store",
+    "q_semdedup_store"
   )
 
   def main(args: Array[String]): Unit = {
