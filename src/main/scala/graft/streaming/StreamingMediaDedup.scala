@@ -103,7 +103,19 @@ object StreamingMediaDedup {
   ): DataFrame = {
     require(maxHamming < bands, s"maxHamming ($maxHamming) must be < bands ($bands) for full recall")
     require(minMatches >= 1, s"minMatches must be >= 1, got $minMatches")
-    val keyedC = keyedFps(corpusFps, bands)
+    // corpus side collapsed to one representative per distinct fingerprint
+    // VECTOR (verdict-preserving: a batch doc matches a member on exactly
+    // the slots it matches the member's rep on, and only the batch id
+    // appears in the verdict) — without it an exact-duplicate-heavy
+    // admitted set makes the candidate join quadratic in the duplicate
+    // cluster (the MinHash set-group hazard, measured at sf10 in the
+    // store's round-14 probe). The BATCH side never collapses: every
+    // batch id needs its own verdict and the in-batch rule is id-ordered.
+    val corpusReps = corpusFps.groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("slot"), col("fp")))).as("__v"))
+      .groupBy(col("__v")).agg(min(col("id")).as("id"))
+      .select(col("id"))
+    val keyedC = keyedFps(corpusFps.join(corpusReps, Seq("id"), "left_semi"), bands)
     val keyedB = keyedFps(batchFps, bands)
     // batch-vs-corpus candidates (any match kills the batch doc) and
     // batch-internal candidates (ordered: only the higher id can die)
