@@ -136,8 +136,9 @@ object HyperBallStore {
     */
   def extendToFromGraph(spark: SparkSession, graphDir: String, dir: String,
       newMaxHops: Int): Unit = {
+    val fp = LinkGraphStore.stateFingerprint(spark, graphDir)
     requireFresh(spark, dir, graphDir)
-    extendTo(LinkGraphStore.loadEdges(spark, graphDir), dir, newMaxHops)
+    extendTo(LinkGraphStore.loadEdges(spark, graphDir), dir, newMaxHops, Some(fp))
     requireFresh(spark, dir, graphDir)
   }
 
@@ -170,8 +171,17 @@ object HyperBallStore {
     * on the SAME graph — bit-identical to a deeper rebuild (see class
     * doc for why this is the one sound incremental axis). Hops already
     * stored are never recomputed or rewritten.
+    *
+    * `source`: the manifest's source fingerprint AFTER the extend. A raw
+    * edge frame has no verifiable identity, so the default DROPS any
+    * stored certificate — extending a [[buildFromGraph]] store with
+    * edges this method cannot tie to that graph must not leave a
+    * fresh-looking fingerprint over possibly mixed registers
+    * ([[isStale]] then reads conservatively stale; unchecked readouts
+    * still serve). [[extendToFromGraph]] re-verifies and re-records it.
     */
-  def extendTo(edges: DataFrame, dir: String, newMaxHops: Int): Unit = {
+  def extendTo(edges: DataFrame, dir: String, newMaxHops: Int,
+      source: Option[String] = None): Unit = {
     val spark = edges.sparkSession
     val m = loadManifest(spark, dir)
     require(newMaxHops > m.maxHops,
@@ -190,7 +200,8 @@ object HyperBallStore {
         writeHop(regs, dir, d, m.nBuckets)
       }
       graft.Pins.release(regs)
-      writeManifest(spark, dir, m.copy(maxHops = newMaxHops)) // manifest LAST
+      // manifest LAST; source per the scaladoc (None unless re-verified)
+      writeManifest(spark, dir, m.copy(maxHops = newMaxHops, source = source))
     } finally e.unpersist()
   }
 

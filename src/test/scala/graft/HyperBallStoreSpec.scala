@@ -154,6 +154,16 @@ class HyperBallStoreSpec extends SparkSpec {
     assert(HyperBallStore.loadManifest(spark, dir).maxHops == 3)
     assert(!HyperBallStore.isStale(spark, dir, gDir)) // extend kept the fingerprint
     assert(rows(HyperBallStore.distanceDistributionChecked(spark, dir, gDir)).nonEmpty)
+    // a RAW extendTo cannot tie its edges to the graph: it must DROP the
+    // certificate (a fresh-looking fingerprint over possibly mixed
+    // registers would be the exact silent-staleness hole the feature
+    // closes) - conservatively stale afterwards, unchecked readouts serve
+    HyperBallStore.extendTo(LinkGraphStore.loadEdges(spark, gDir), dir, newMaxHops = 4)
+    assert(HyperBallStore.loadManifest(spark, dir).source.isEmpty)
+    assert(HyperBallStore.isStale(spark, dir, gDir))
+    intercept[IllegalArgumentException] {
+      HyperBallStore.neighborhoodEstimateChecked(spark, dir, gDir, "id")
+    }
     // a raw-edge-frame store has no recorded source: conservatively stale
     // (freshness unverifiable), unchecked readouts still serve
     val rawDir = tmp("hbs_raw")
