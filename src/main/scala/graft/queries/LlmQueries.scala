@@ -1286,7 +1286,14 @@ object LlmQueries {
     // and the exact drop rule - so the gate proves store-served ==
     // from-scratch semantics with the clustering NOT recomputed per query
     "q_semdedup_store" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      // planted-id offset guard (the q_semdedup precedent): ids at or
+      // above the first offset would collide with the plants
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("vec_id",
+          when(col("vec_id") < 100000, col("vec_id"))
+            .otherwise(raise_error(lit(
+              "embeddings.vec_id reached the planted-id offset (100000); raise the offsets"))))
       val storeDir = ivfIndexDirs.computeIfAbsent(dir + "#sds", _ => {
         val d = java.nio.file.Files.createTempDirectory("graft_sds").toString
         graft.dedup.SemDedupStore.build(
