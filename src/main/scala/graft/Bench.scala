@@ -158,7 +158,8 @@ object Bench {
     "q_reach_distribution_artifact",
     "q_reach_point_artifact",
     "q_media_dedup_store",
-    "q_semdedup_store"
+    "q_semdedup_store",
+    "q_pagerank_store"
   )
 
   def main(args: Array[String]): Unit = {

@@ -2006,6 +2006,29 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // the PERSISTED rank table (round 14, DerivedStore): PageRank
+    // computed once from the link-graph artifact and stored WITH the
+    // graph's state fingerprint; serving goes through loadChecked, which
+    // refuses a stale table if the graph mutates - the generic form of
+    // HyperBallStore's source certificate, for flat derived results.
+    // Oracle = q_pagerank's from-scratch SQL: the stored table must be
+    // value-identical to a live recompute
+    "q_pagerank_store" -> ((s, dir) => {
+      val gDir = linkGraphDir(s, dir)
+      val pDir = ivfIndexDirs.computeIfAbsent(dir + "#prs", _ => {
+        val d = java.nio.file.Files.createTempDirectory("graft_prs").toString
+        val fp = graft.text.LinkGraphStore.stateFingerprint(s, gDir)
+        graft.table.DerivedStore.save(
+          LinkGraph.pageRank(t(s, dir, "documents").select(col("doc_id")), "doc_id",
+            graft.text.LinkGraphStore.loadEdges(s, gDir), iters = 3),
+          d, fp)
+        d
+      })
+      graft.table.DerivedStore.loadChecked(s, pDir,
+          graft.text.LinkGraphStore.stateFingerprint(s, gDir))
+        .orderBy(col("doc_id"))
+    }),
+
     // components over the same persisted artifact — the second consumer
     // proving the artifact is operator-agnostic (oracle = q_components's)
     "q_components_artifact" -> ((s, dir) => {
@@ -2320,6 +2343,8 @@ object LlmQueries {
       // the persisted link-graph artifact must reproduce the live
       // builders' graphs edge-for-edge: the from-scratch oracles apply
       ("q_pagerank_artifact" -> m("q_pagerank")) +
+      // the stored rank table serves value-identical to a live recompute
+      ("q_pagerank_store" -> m("q_pagerank")) +
       ("q_components_artifact" -> m("q_components")) +
       // the persisted BM25 artifact must score bit-identically to the
       // from-scratch builds those oracles replay
