@@ -111,6 +111,10 @@ object MinHashStore {
   def append(newDocs: DataFrame, textCol: String, idCol: String, dir: String,
       segmentId: Long = -1L): Unit = {
     val spark = newDocs.sparkSession
+    // recover BEFORE loadManifest: a compaction that crashed mid-swap
+    // leaves zero committed segments, and loadManifest would throw before
+    // the roll-forward its own error message promises
+    graft.sources.SegmentCompaction.recover(spark, dir)
     val m = loadManifest(spark, dir)
     val sigs = Dedup.minHashSignatureTable(newDocs, textCol, idCol,
         m.shingleSize, m.numHashes)
@@ -123,6 +127,7 @@ object MinHashStore {
     * for the parameter-match contract).
     */
   def appendFromSigs(sigs: DataFrame, dir: String, segmentId: Long = -1L): Unit = {
+    graft.sources.SegmentCompaction.recover(sigs.sparkSession, dir) // before loadManifest
     val pinned = sigs.localCheckpoint(true)
     try appendSigs(pinned, dir, segmentId, loadManifest(sigs.sparkSession, dir))
     finally graft.Pins.release(pinned)
@@ -297,16 +302,8 @@ object MinHashStore {
   }
 
   /** Committed segment ids (marker present), ascending. */
-  def committedSegments(spark: SparkSession, dir: String): Seq[Long] = {
-    val root = new org.apache.hadoop.fs.Path(s"$dir/segs")
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("seg=") &&
-        fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_done")))
-      .map(_.getPath.getName.stripPrefix("seg=").toLong)
-      .sorted
-  }
+  def committedSegments(spark: SparkSession, dir: String): Seq[Long] =
+    graft.sources.SegmentCompaction.committedSegments(spark, dir)
 
   /** All committed signatures (id, sig, shset) — the spec's
     * append ≡ rebuild surface comparison.

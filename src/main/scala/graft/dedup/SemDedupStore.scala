@@ -249,16 +249,8 @@ object SemDedupStore {
   }
 
   /** Committed segment ids (marker present), ascending. */
-  def committedSegments(spark: SparkSession, dir: String): Seq[Long] = {
-    val root = new org.apache.hadoop.fs.Path(s"$dir/segs")
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("seg=") &&
-        fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_done")))
-      .map(_.getPath.getName.stripPrefix("seg=").toLong)
-      .sorted
-  }
+  def committedSegments(spark: SparkSession, dir: String): Seq[Long] =
+    graft.sources.SegmentCompaction.committedSegments(spark, dir)
 
   /** All committed state rows (id, cluster, vec). */
   def readState(spark: SparkSession, dir: String): DataFrame =

@@ -99,7 +99,15 @@ object MediaFingerprintStore {
   def append(newDocs: DataFrame, payloadCol: String, idCol: String, dir: String,
       segmentId: Long = -1L): Unit = {
     val spark = newDocs.sparkSession
+    // recover BEFORE loadManifest (mid-swap crash leaves zero committed
+    // segments), and short-circuit a committed replay BEFORE paying the
+    // decode+fingerprint pass the store exists to avoid (id 0 falls
+    // through to appendFps's loud reserved-segment guard)
+    graft.sources.SegmentCompaction.recover(spark, dir)
     val m = loadManifest(spark, dir)
+    if (segmentId > 0L && fsFor(spark, dir).exists(
+        new org.apache.hadoop.fs.Path(s"$dir/segs/seg=$segmentId/_done")))
+      return
     val fps = Multimodal.videoFrameHashes(newDocs, idCol, payloadCol, m.n)
       .select(col(idCol).cast("long").as("id"), col("sample_idx").as("slot"),
         col("frame_hash").as("fp"))
@@ -114,6 +122,7 @@ object MediaFingerprintStore {
     */
   def appendFromFps(fps: DataFrame, ids: DataFrame, dir: String,
       segmentId: Long = -1L): Unit = {
+    graft.sources.SegmentCompaction.recover(fps.sparkSession, dir) // before loadManifest
     val pinned = fps.localCheckpoint(true)
     try appendFps(pinned, ids, dir, segmentId, loadManifest(fps.sparkSession, dir))
     finally graft.Pins.release(pinned)
@@ -205,6 +214,15 @@ object MediaFingerprintStore {
       payloadCol: String, idCol: String, maxHamming: Int = 6,
       minMatches: Int = 4): DataFrame = {
     val m = loadManifest(spark, dir)
+    // the streaming twin's full-recall precondition, enforced HERE too:
+    // the bucket pruning leans on the same pigeonhole (a pair within
+    // maxHamming shares a clean band only when maxHamming < bands), so
+    // violating it would silently admit true near-duplicates
+    require(maxHamming < m.bands,
+      s"MediaFingerprintStore.dedupBatch: maxHamming ($maxHamming) must be < " +
+        s"the store's bands (${m.bands}) for full recall")
+    require(minMatches >= 1,
+      s"MediaFingerprintStore.dedupBatch: minMatches must be >= 1, got $minMatches")
     val segs = committedSegments(spark, dir)
     // both pins root the RETURNED lazy plan, so they are NOT released here
     // (the family's returned-plan discipline — GC frees them); each is
@@ -268,16 +286,8 @@ object MediaFingerprintStore {
   }
 
   /** Committed segment ids (marker present), ascending. */
-  def committedSegments(spark: SparkSession, dir: String): Seq[Long] = {
-    val root = new org.apache.hadoop.fs.Path(s"$dir/segs")
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("seg=") &&
-        fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_done")))
-      .map(_.getPath.getName.stripPrefix("seg=").toLong)
-      .sorted
-  }
+  def committedSegments(spark: SparkSession, dir: String): Seq[Long] =
+    graft.sources.SegmentCompaction.committedSegments(spark, dir)
 
   /** All committed fingerprints (id, slot, fp) — the spec's
     * append ≡ rebuild surface and the compaction input.
@@ -360,9 +370,4 @@ object MediaFingerprintStore {
     else segs.map(s => spark.read.schema(schema).parquet(s"$dir/segs/seg=$s/$surface"))
       .reduce(_ unionAll _)
 
-  private def emptyFps(spark: SparkSession): DataFrame =
-    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(Seq(
-        StructField("id", LongType), StructField("slot", IntegerType),
-        StructField("fp", LongType))))
 }

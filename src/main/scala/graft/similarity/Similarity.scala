@@ -410,10 +410,11 @@ object Similarity {
         // partitions this plan reads
         .localCheckpoint(true)
       try {
-        val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try reassigned.write.mode("overwrite").partitionBy("cell").parquet(dir)
-        finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+        // per-write option, never a session-conf mutation (the WriteModes
+        // race argument: a concurrent static writer must not flip this
+        // touched-cells-only overwrite into a whole-index delete)
+        reassigned.write.option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").partitionBy("cell").parquet(dir)
         // sidecar last: untouched cells keep their rows; hot cells and
         // their splits get recounted from the rewritten data
         val counts = reassigned.groupBy(col("cell").cast("long").as("cell"))

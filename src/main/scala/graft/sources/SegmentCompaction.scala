@@ -58,6 +58,21 @@ object SegmentCompaction {
     finishSwap(fs, dir)
   }
 
+  /** Committed segment ids (marker present), ascending — the shared
+    * listing all four segmented stores delegate to (one implementation,
+    * one place for a future fix).
+    */
+  def committedSegments(spark: SparkSession, dir: String): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(s"$dir/segs")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("seg=") &&
+        fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_done")))
+      .map(_.getPath.getName.stripPrefix("seg=").toLong)
+      .sorted
+  }
+
   private def marker(dir: String) =
     new org.apache.hadoop.fs.Path(s"$dir/_compact/_SWAP")
 

@@ -20,25 +20,20 @@ import org.apache.spark.sql.DataFrame
   */
 object WriteModes {
 
-  private val Key = "spark.sql.sources.partitionOverwriteMode"
-
   /** Full partitioned overwrite with static semantics regardless of the
-    * session's configured mode.
+    * session's configured mode — via the PER-WRITE DataFrameWriter
+    * option, never a session-conf mutation: gates share one session and
+    * can run concurrently, and a set/restore of the global conf races
+    * other writers into the wrong semantics (the CdcApply.scala:150
+    * precedent — a concurrent dynamic touched-partition writer flipped
+    * to static would delete its whole table root).
     */
-  def staticPartitionOverwrite(df: DataFrame, path: String, cols: String*): Unit = {
-    val spark = df.sparkSession
-    val prev = spark.conf.get(Key, "static")
-    spark.conf.set(Key, "static")
-    try df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
-    finally spark.conf.set(Key, prev)
-  }
+  def staticPartitionOverwrite(df: DataFrame, path: String, cols: String*): Unit =
+    df.write.option("partitionOverwriteMode", "static")
+      .mode("overwrite").partitionBy(cols: _*).parquet(path)
 
   /** Same pin for a partitioned JSON overwrite (the JSONL export path). */
-  def staticPartitionOverwriteJson(df: DataFrame, path: String, cols: String*): Unit = {
-    val spark = df.sparkSession
-    val prev = spark.conf.get(Key, "static")
-    spark.conf.set(Key, "static")
-    try df.write.mode("overwrite").partitionBy(cols: _*).json(path)
-    finally spark.conf.set(Key, prev)
-  }
+  def staticPartitionOverwriteJson(df: DataFrame, path: String, cols: String*): Unit =
+    df.write.option("partitionOverwriteMode", "static")
+      .mode("overwrite").partitionBy(cols: _*).json(path)
 }

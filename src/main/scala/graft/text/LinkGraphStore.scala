@@ -705,12 +705,11 @@ object LinkGraphStore {
     */
   private def overwriteBuckets(rows: DataFrame, path: String, touched: Array[Int]): Unit = {
     val spark = rows.sparkSession
-    val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    // one file per rewritten bucket (see writeBucketed)
-    try rows.repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(path)
-    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+    // one file per rewritten bucket (see writeBucketed); per-write option,
+    // never a session-conf mutation (the WriteModes race argument)
+    rows.repartition(col("bucket"))
+      .write.option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").partitionBy("bucket").parquet(path)
     // rows is pinned by every caller, so this re-read is checkpoint-local
     val present = rows.select(col("bucket")).distinct().collect()
       .map(_.getInt(0)).toSet
