@@ -51,6 +51,10 @@ object SemDedupStore {
 
   /** Train deterministic k-means on the corpus, assign, persist —
     * centroids + segment 0. Full overwrite of any existing `segs/` tree.
+    * At corpus scale train on a BOUNDED SAMPLE instead (the
+    * pqRefineDeterministic memory note and the streaming twin's shape):
+    * `kmeansDeterministic(sample)` + `assignClusters(corpus)` +
+    * [[buildFromState]] — the ScaleProbe semdedup_store pattern.
     */
   def build(corpus: DataFrame, idCol: String, vecCol: String, dir: String,
       k: Int = 16, iters: Int = 1, nBuckets: Int = 16): Unit = {

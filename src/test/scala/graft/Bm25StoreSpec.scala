@@ -170,4 +170,35 @@ class Bm25StoreSpec extends SparkSpec {
     assert(Bm25Store.committedSegments(spark, dir3) == Seq(0L, 1L))
   }
 
+
+  test("randomized appendAuto sequences (mixed folds) == one-shot rebuild (property)") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .localCheckpoint(true)
+    try {
+      for (seed <- Seq(7L, 99L)) {
+        val rnd = new scala.util.Random(seed)
+        val dir = tmp(s"bm25_auto_prop$seed")
+        var next = 0L
+        def slice(n: Long) = { val lo = next; next += n; docs.where($"doc_id" >= lo && $"doc_id" < next) }
+        Bm25Store.build(slice(60 + rnd.nextInt(60)), "text", "doc_id", dir, nBuckets = 8)
+        var segId = 0L
+        (1 to 5).foreach { _ =>
+          segId += 1
+          Bm25Store.appendAuto(Bm25.buildIndex(slice(20 + rnd.nextInt(50)), "text", "doc_id"),
+            dir, segmentId = segId, maxSegments = 2 + rnd.nextInt(3))
+        }
+        val rb = tmp(s"bm25_auto_prop_rb$seed")
+        Bm25Store.build(docs.where($"doc_id" < next), "text", "doc_id", rb, nBuckets = 8)
+        val m1 = Bm25Store.loadManifest(spark, dir)
+        val m2 = Bm25Store.loadManifest(spark, rb)
+        assert(m1.nDocs == m2.nDocs && m1.sumLen == m2.sumLen && m1.maxDocId == m2.maxDocId,
+          s"seed $seed manifests diverge: $m1 vs $m2")
+        val queries = docs.where($"doc_id" >= 5 && $"doc_id" < 10)
+        assert(scores(Bm25Store.scoreTopKPersisted(spark, dir, queries, "text", "doc_id", k = 5)) ==
+          scores(Bm25Store.scoreTopKPersisted(spark, rb, queries, "text", "doc_id", k = 5)),
+          s"seed $seed scoring diverges")
+      }
+    } finally graft.Pins.release(docs)
+  }
+
 }

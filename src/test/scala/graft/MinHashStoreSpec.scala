@@ -208,4 +208,38 @@ class MinHashStoreSpec extends SparkSpec {
     assert(MinHashStore.loadManifest(spark, dir).nDocs == 450)
   }
 
+
+  test("randomized appendAuto sequences (mixed folds) == one-shot rebuild (property)") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .localCheckpoint(true)
+    try {
+      for (seed <- Seq(11L, 42L)) {
+        val rnd = new scala.util.Random(seed)
+        val dir = tmp(s"mh_auto_prop$seed")
+        var next = 0L
+        def slice(n: Long) = { val lo = next; next += n; docs.where($"doc_id" >= lo && $"doc_id" < next) }
+        MinHashStore.build(slice(60 + rnd.nextInt(60)), "text", "doc_id", dir, nBuckets = 8)
+        var segId = 0L
+        (1 to 5).foreach { _ =>
+          segId += 1
+          // random batch sizes and a small random fold bound: some calls
+          // fold mid-sequence, some do not - the routes interleave
+          MinHashStore.appendAuto(slice(20 + rnd.nextInt(50)), "text", "doc_id",
+            dir, segmentId = segId, maxSegments = 2 + rnd.nextInt(3))
+        }
+        val rb = tmp(s"mh_auto_prop_rb$seed")
+        MinHashStore.build(docs.where($"doc_id" < next), "text", "doc_id", rb, nBuckets = 8)
+        // committed signature surface == the rebuild's, and verdicts match
+        def sigSet(d: String) = MinHashStore.readSigs(spark, d)
+          .select($"id", xxhash64($"sig"), xxhash64($"shset")).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(sigSet(dir) == sigSet(rb), s"seed $seed signature surfaces diverge")
+        val probe = docs.where($"doc_id" >= next && $"doc_id" < next + 40)
+        def verdicts(d: String) = MinHashStore.dedupBatch(spark, d, probe, "text", "doc_id")
+          .select($"doc_id").as[Long].collect().sorted.toSeq
+        assert(verdicts(dir) == verdicts(rb), s"seed $seed verdicts diverge")
+      }
+    } finally graft.Pins.release(docs)
+  }
+
 }
