@@ -518,6 +518,35 @@ object PlanCheck {
     buildChecks.foreach { c =>
       audit(c.name, c.build(spark, dir), c.mustContain, c.mustNotContain)
     }
+    // the round-14 stores' serving plans: candidate generation must stay
+    // equi-join-shaped (no cartesian/BNLJ anywhere) and the state reads
+    // must carry their partition-bucket prune (pb/cb PartitionFilters)
+    locally {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val avi = org.apache.spark.sql.functions.udf(
+        (id: Long) => graft.multimodal.Multimodal.syntheticAvi(id))
+      val mDir = java.nio.file.Files.createTempDirectory("plancheck_mfps").toString
+      graft.multimodal.MediaFingerprintStore.build(
+        docs.where(col("doc_id") < 100).select(col("doc_id"), avi(col("doc_id")).as("payload")),
+        "payload", "doc_id", mDir, n = 3, bands = 8, nBuckets = 8)
+      audit("media_store_dedup(serving)",
+        graft.multimodal.MediaFingerprintStore.dedupBatch(spark, mDir,
+          docs.where(col("doc_id") >= 100 && col("doc_id") < 120)
+            .select(col("doc_id"), avi(col("doc_id")).as("payload")),
+          "payload", "doc_id", maxHamming = 6, minMatches = 2),
+        mustContain = Seq("PartitionFilters: [pb#"),
+        mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val sDir = java.nio.file.Files.createTempDirectory("plancheck_sds").toString
+      graft.dedup.SemDedupStore.build(emb.where(col("vec_id") < 400),
+        "vec_id", "embedding", sDir, k = 8, iters = 1, nBuckets = 8)
+      audit("semdedup_store_verdict(serving)",
+        graft.dedup.SemDedupStore.dedupVerdict(spark, sDir,
+          emb.where(col("vec_id") >= 400), "vec_id", "embedding", tau = 0.9),
+        mustContain = Seq("PartitionFilters: [cb#"),
+        mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+    }
     // files-read bound for the bucket-pruned HyperBall point lookup: the
     // probe must scan ONLY the probe ids' hash buckets (one file per
     // bucket by construction), never the whole hop surface — asserted on
