@@ -16,7 +16,53 @@ import Tables._
   */
 object CoreQueries {
 
+  /** Session-lifetime cache of Arrow IPC store dirs keyed by the data dir
+    * (the LlmQueries.ivfIndexDirs discipline: built once per (JVM, sfDir),
+    * removed by a shutdown hook — re-running the gate measures the pruned
+    * READ, not a rewrite).
+    */
+  private val arrowStoreDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      arrowStoreDirs.values().forEach { d =>
+        try {
+          val root = java.nio.file.Paths.get(d)
+          if (java.nio.file.Files.exists(root)) {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(root).iterator().asScala.toSeq
+              .sortBy(-_.getNameCount)
+              .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch { case _: Exception => () })
+          }
+        } catch { case _: Exception => () }
+      }
+    }))
+  }
+
   val queries: Map[String, Q] = Map(
+    // Arrow IPC migration read with COLUMN PRUNING: the documents table
+    // is written once per session as a dictionary-encoded LZ4-frame IPC
+    // store (the reference's native layout), then scanned back selecting
+    // only (doc_id, lang, n_chars) — the fat text column's buffers are
+    // never read (ArrowIpc.read(columns) slices only the selected fields'
+    // byte ranges out of each record batch; ArrowPruneSpec asserts the
+    // byte counts). Oracle = the same aggregate over the parquet source,
+    // so the gate proves pruned-read VALUES, not just shape.
+    "q_arrow_pruned_scan" -> ((s, dir) => {
+      val ipcDir = arrowStoreDirs.computeIfAbsent(dir, _ => {
+        val d = java.nio.file.Files.createTempDirectory("graft_arrow_docs").toString + "/docs"
+        graft.sources.ArrowIpc.write(t(s, dir, "documents"), d,
+          batchRows = 2048, dictColumns = Set("lang", "source"))
+        d
+      })
+      graft.sources.ArrowIpc.read(s, ipcDir, Seq("doc_id", "lang", "n_chars"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy(col("lang"))
+    }),
     // §7.1 minimum slice: scan → filter → project → slice.
     // row provenance attach: Spark's hidden _metadata struct surfaces the
     // physical (file, row-offset) identity of every row — the audit /
@@ -245,6 +291,13 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the IPC store is a faithful copy of documents, so the oracle runs
+    // the same aggregate on the parquet source
+    "q_arrow_pruned_scan" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // physical row offsets recovered from the id-ordered write order of
     // the test files (probed to hold at every SF); file_name pins the
     // source identity

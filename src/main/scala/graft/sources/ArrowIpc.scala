@@ -1,14 +1,14 @@
 package graft.sources
 
 import org.apache.arrow.compression.CommonsCompressionFactory
-import org.apache.arrow.flatbuf.Footer
+import org.apache.arrow.flatbuf.{DictionaryBatch => FbDictionaryBatch, Footer, Message => FbMessage, RecordBatch => FbRecordBatch}
 import org.apache.arrow.memory.{ArrowBuf, BufferAllocator, RootAllocator}
 import org.apache.arrow.vector._
 import org.apache.arrow.vector.complex.{LargeListVector, ListVector, MapVector, StructVector}
-import org.apache.arrow.vector.compression.CompressionUtil
+import org.apache.arrow.vector.compression.{CompressionUtil, NoCompressionCodec}
 import org.apache.arrow.vector.dictionary.{Dictionary, DictionaryProvider}
 import org.apache.arrow.vector.ipc.{ArrowFileWriter, SeekableReadChannel}
-import org.apache.arrow.vector.ipc.message.{ArrowBlock, ArrowDictionaryBatch, ArrowFooter, ArrowRecordBatch, IpcOption, MessageSerializer}
+import org.apache.arrow.vector.ipc.message.{ArrowBlock, ArrowBodyCompression, ArrowDictionaryBatch, ArrowFieldNode, ArrowFooter, ArrowRecordBatch, IpcOption, MessageSerializer}
 import org.apache.arrow.vector.types.pojo.{ArrowType, DictionaryEncoding, Field, FieldType, Schema => ArrowSchema}
 import org.apache.arrow.vector.types.{DateUnit, FloatingPointPrecision, TimeUnit}
 import org.apache.arrow.vector.util.DictionaryUtility
@@ -56,10 +56,16 @@ import scala.jdk.CollectionConverters._
   * `InternalRow` (single conversion; `UTF8String`/`ArrayData` values, no
   * external-Row detour — measured 1.27× the r6 double-conversion read,
   * 1.44 M rows/s on sf0.1 lineitem; `graft.tools.ArrowReadBench`, numbers
-  * in BASELINE.md). Filter/column pushdown does NOT reach IPC files (no
-  * statistics footer) — for repeated analytics the one-time
-  * `read → write parquet` migration is the intended path, which is
-  * exactly what the reference's users migrating to this engine need.
+  * in BASELINE.md). COLUMN pruning DOES reach IPC files: `read(spark,
+  * path, columns)` reads only the selected fields' buffer byte ranges
+  * (the record-batch flatbuffer metadata carries every buffer's
+  * offset/length, so unselected columns cost zero body IO, zero
+  * decompression, zero decode — and dictionary batches for unselected
+  * columns are skipped body-unread). FILTER pushdown does NOT (no
+  * statistics footer to prune batches by) — for repeated filtered
+  * analytics the one-time `read → write parquet` migration is the
+  * intended path, which is exactly what the reference's users migrating
+  * to this engine need.
   */
 object ArrowIpc {
 
@@ -80,6 +86,14 @@ object ArrowIpc {
     * so these files need the footer-driven [[FooterSource]] path.
     */
   private val LegacyBlockKey = "KNIME:basic:usingLz4Block"
+
+  /** Local-mode IO diagnostic: total bytes read through
+    * [[HadoopSeekableChannel]] in this JVM. Specs and
+    * [[graft.tools.ArrowReadBench]] use it to PROVE column pruning skips
+    * unselected buffer bytes (meaningful in local mode only, where every
+    * task shares the JVM; on a cluster each executor counts its own).
+    */
+  private[graft] val bytesReadCounter = new java.util.concurrent.atomic.LongAdder
 
   // =====================================================================
   // schema + metadata inspection (driver-side footer reads)
@@ -139,7 +153,27 @@ object ArrowIpc {
   /** Read a directory of (or single) Arrow IPC files into a DataFrame.
     * Every file must share one schema (the reference's store invariant).
     */
-  def read(spark: SparkSession, path: String): DataFrame = {
+  def read(spark: SparkSession, path: String): DataFrame =
+    readImpl(spark, path, selected = None)
+
+  /** Column-pruned read: only `columns` (project/permute/duplicate —
+    * [[graft.table.KTable.selectColumns]] semantics) are materialized,
+    * and only their buffer byte ranges are READ: each record batch's
+    * flatbuffer metadata locates every buffer within the body, so
+    * unselected columns cost zero body IO / decompression / decode, and
+    * dictionary batches serving only unselected columns are skipped with
+    * their bodies unread. An empty `columns` reads no body bytes at all
+    * (row counts come from the batch metadata) — the `count(*)` shape.
+    *
+    * At 100 TB this is the difference between "migrate the 3 columns the
+    * backfill needs" reading 3 columns' bytes and reading the store:
+    * same contract parquet scans get from `ReadSchema` pruning, delivered
+    * without a format conversion.
+    */
+  def read(spark: SparkSession, path: String, columns: Seq[String]): DataFrame =
+    readImpl(spark, path, selected = Some(columns.toArray))
+
+  private def readImpl(spark: SparkSession, path: String, selected: Option[Array[String]]): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new HPath(path)
     val fs = p.getFileSystem(conf)
@@ -151,6 +185,15 @@ object ArrowIpc {
       else Seq(path)
     require(files.nonEmpty, s"no Arrow IPC files under $path")
     val schema = schemaOf(spark, files.head)
+    // pruned output schema: requested order, duplicates allowed (selectColumns
+    // semantics); unknown names fail here on the driver, not mid-scan
+    val outSchema = selected match {
+      case None => schema
+      case Some(names) => StructType(names.map { n =>
+        schema.fields.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+          s"column $n not in Arrow IPC schema ${schema.fieldNames.mkString(", ")} ($path)"))
+      })
+    }
     val confB = spark.sparkContext.broadcast(new SerializableWritable(conf))
     val rows = spark.sparkContext
       .parallelize(files, files.size)
@@ -158,7 +201,7 @@ object ArrowIpc {
         val c = confB.value.value
         val hp = new HPath(file)
         val hfs = hp.getFileSystem(c)
-        val src = openBatchSource(hfs, hp)
+        val src = openBatchSource(hfs, hp, selected)
         // cleanup listener FIRST so a partially-drained iterator
         // (limit/take/kill) cannot leak off-heap Arrow buffers, the
         // allocator, or the file handle — and so the invariant check
@@ -177,15 +220,16 @@ object ArrowIpc {
         }
         src.rows
       }
-    GraftSqlInternals.internalCreateDataFrame(spark, rows, schema)
+    GraftSqlInternals.internalCreateDataFrame(spark, rows, outSchema)
   }
 
-  private def openBatchSource(fs: FileSystem, p: HPath): FooterSource = {
+  private def openBatchSource(fs: FileSystem, p: HPath,
+      selected: Option[Array[String]] = None): FooterSource = {
     val ch = new HadoopSeekableChannel(fs, p)
     val footer =
       try readFooter(ch)
       catch { case t: Throwable => ch.close(); throw t }
-    new FooterSource(ch, footer)
+    new FooterSource(ch, footer, selected)
   }
 
   /** Footer-driven batch reader — deliberately NOT [[ArrowFileReader]],
@@ -211,15 +255,45 @@ object ArrowIpc {
     * Standard (LZ4-frame / uncompressed) batches go through
     * [[VectorLoader]] with the stock commons-compress factory.
     */
-  private final class FooterSource(ch: SeekableByteChannel, footer: ArrowFooter) {
+  private final class FooterSource(ch: SeekableByteChannel, footer: ArrowFooter,
+      selected: Option[Array[String]] = None) {
     private val legacyBlock =
       footer.getSchema.getCustomMetadata.asScala.get(LegacyBlockKey).contains("true")
     private val alloc = new RootAllocator(Long.MaxValue)
     private val dictionaries = new java.util.HashMap[java.lang.Long, Dictionary]()
-    private val memFields = footer.getSchema.getFields.asScala
-      .map(f => DictionaryUtility.toMemoryFormat(f, alloc, dictionaries)).asJava
+    private val fileFields: IndexedSeq[Field] =
+      footer.getSchema.getFields.asScala.toIndexedSeq
+    // record-batch WIRE layout spans per top-level field: node/buffer
+    // counts walk the MESSAGE-format schema exactly the way VectorUnloader
+    // emits them (depth-first; a dictionary-encoded field ships only its
+    // index vector — 1 node, the index type's buffers, children live in
+    // the dictionary batch), so [nodeStarts(i), +nodeCounts(i)) /
+    // [bufStarts(i), +bufCounts(i)) address field i's slice of any batch
+    private val nodeCounts = fileFields.map(wireNodeCount)
+    private val bufCounts = fileFields.map(wireBufferCount)
+    private val nodeStarts = nodeCounts.scanLeft(0)(_ + _)
+    private val bufStarts = bufCounts.scanLeft(0)(_ + _)
+    // selected field indices in FILE order (deduped — the output
+    // permutation below restores requested order/duplicates)
+    private val selIdx: Array[Int] = selected match {
+      case None => fileFields.indices.toArray
+      case Some(names) => names.distinct.map { n =>
+        val i = fileFields.indexWhere(_.getName == n)
+        require(i >= 0, s"column $n not in Arrow IPC schema ${fileFields.map(_.getName).mkString(", ")}")
+        i
+      }.sorted
+    }
+    private val pruned = selected.isDefined
+    private val memFields = selIdx.toSeq
+      .map(i => DictionaryUtility.toMemoryFormat(fileFields(i), alloc, dictionaries)).asJava
     private val root = VectorSchemaRoot.create(
       new ArrowSchema(memFields, footer.getSchema.getCustomMetadata), alloc)
+    // requested output order → root vector index (root holds selIdx's
+    // fields in file order; duplicates/permutations resolve here)
+    private val outPerm: Array[Int] = selected match {
+      case None => fileFields.indices.toArray
+      case Some(names) => names.map(n => selIdx.indexOf(fileFields.indexWhere(_.getName == n)))
+    }
     private val rch = new SeekableReadChannel(ch)
     private val blocks: Iterator[(ArrowBlock, Boolean)] =
       (footer.getDictionaries.asScala.map(b => (b, true)) ++
@@ -247,51 +321,190 @@ object ArrowIpc {
         finally clean.close()
       }
 
+    /** Apply a deserialized dictionary batch: initial, replacement, or
+      * delta semantics against the live dictionary vector.
+      */
+    private def applyDictionaryBatch(db: ArrowDictionaryBatch): Unit =
+      try {
+        val dv = dictionaries.get(db.getDictionaryId).getVector
+        if (!db.isDelta) {
+          // full dictionary — REPLACES any previous content (the
+          // reference re-writes each dictionary id per batch)
+          dv.clear()
+          val droot = new VectorSchemaRoot(
+            java.util.List.of(dv.getField), java.util.List.of[FieldVector](dv))
+          load(db.getDictionary, droot)
+        } else {
+          // delta — APPENDS new entries (what our own writer emits;
+          // also the spec-portable shape pyarrow/Arrow C++ accept)
+          val tmp = dv.getField.createVector(alloc)
+          try {
+            val troot = new VectorSchemaRoot(
+              java.util.List.of(tmp.getField), java.util.List.of[FieldVector](tmp))
+            load(db.getDictionary, troot)
+            val base = dv.getValueCount
+            var k = 0
+            while (k < troot.getRowCount) { dv.copyFromSafe(k, base + k, tmp); k += 1 }
+            dv.setValueCount(base + troot.getRowCount)
+          } finally tmp.close()
+        }
+      } finally db.close()
+
+    /** The encapsulated-message flatbuffer at a block's offset — a
+      * metadata-only read ([[ArrowBlock.getMetadataLength]] bytes; the
+      * body is NOT touched). Handles both the post-0.15 continuation
+      * prefix and the legacy bare-length prefix.
+      */
+    private def messageMetaOf(blk: ArrowBlock): FbMessage = {
+      val bb = readFully(ch, blk.getOffset, blk.getMetadataLength)
+      val first = bb.getInt
+      val metaLen = if (first == MessageSerializer.IPC_CONTINUATION_TOKEN) bb.getInt else first
+      val slice = bb.slice()
+      slice.limit(metaLen)
+      FbMessage.getRootAsMessage(slice.order(ByteOrder.LITTLE_ENDIAN))
+    }
+
+    /** Selective record-batch load: read ONLY the selected fields' node
+      * metadata and buffer byte ranges (located by the batch's flatbuffer
+      * metadata), assemble a pruned [[ArrowRecordBatch]], and load it into
+      * the pruned root. Unselected columns cost zero body IO.
+      */
+    private def loadPrunedBatch(blk: ArrowBlock, rb: FbRecordBatch): Unit = {
+      val bodyStart = blk.getOffset + blk.getMetadataLength
+      val comp = rb.compression()
+      val bodyComp =
+        if (legacyBlock || comp == null) NoCompressionCodec.DEFAULT_BODY_COMPRESSION
+        else new ArrowBodyCompression(comp.codec(), comp.method())
+      val nodesJ = new java.util.ArrayList[ArrowFieldNode]()
+      val bufsJ = new java.util.ArrayList[ArrowBuf]()
+      // selected buffer descriptors in wire order + the selected nodes
+      val bufSel = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)] // (body offset, length)
+      selIdx.foreach { fi =>
+        var k = nodeStarts(fi); val nEnd = k + nodeCounts(fi)
+        while (k < nEnd) {
+          val nd = rb.nodes(k)
+          nodesJ.add(new ArrowFieldNode(nd.length(), nd.nullCount()))
+          k += 1
+        }
+        var b = bufStarts(fi); val bEnd = b + bufCounts(fi)
+        while (b < bEnd) {
+          val fb = rb.buffers(b)
+          bufSel += ((fb.offset(), Math.toIntExact(fb.length())))
+          b += 1
+        }
+      }
+      if (legacyBlock) {
+        // legacy buffers decompress individually (custom block rule), so
+        // each batch buffer is a fresh standalone allocation; the plain
+        // VectorLoader (no codec) never drops a reference mid-load
+        bufSel.foreach { case (off, len) =>
+          val raw = alloc.buffer(len)
+          try {
+            if (len > 0) raw.setBytes(0, readFully(ch, bodyStart + off, len))
+            raw.writerIndex(len)
+            bufsJ.add(decompressLegacyBlock(alloc, raw))
+          } finally raw.close()
+        }
+        val clean = new ArrowRecordBatch(
+          Math.toIntExact(rb.length()), nodesJ, bufsJ, bodyComp) // retains bufs
+        bufsJ.asScala.foreach(_.close())
+        try new VectorLoader(root).load(clean) // already decompressed
+        finally clean.close()
+      } else {
+        // reference discipline (arrow-java 18 VectorLoader bytecode-read):
+        // the loader's decompression codec CLOSES each input buffer and
+        // only re-retains it AFTERWARDS, so a standalone per-buffer
+        // allocation would hit refcount zero mid-load and die. The stock
+        // deserializeRecordBatch survives because every batch buffer is a
+        // SLICE of one shared body allocation — siblings keep the ledger
+        // alive through the close/retain window. Reproduce exactly that:
+        // one pruned-body allocation, batch buffers are slices of it.
+        val align = (n: Long) => (n + 7L) & ~7L
+        val total = bufSel.foldLeft(0L) { case (a, (_, len)) => a + align(len.toLong) }
+        val body = alloc.buffer(total)
+        val clean =
+          try {
+            var pos = 0L
+            bufSel.foreach { case (off, len) =>
+              if (len > 0) body.setBytes(pos, readFully(ch, bodyStart + off, len))
+              val sl = body.slice(pos, len)
+              sl.writerIndex(len)
+              bufsJ.add(sl)
+              pos += align(len.toLong)
+            }
+            new ArrowRecordBatch(Math.toIntExact(rb.length()), nodesJ, bufsJ, bodyComp) // retains slices
+          } finally body.close() // batch slices (or nothing, on throw) hold the ledger now
+        try new VectorLoader(root, CommonsCompressionFactory.INSTANCE).load(clean)
+        finally clean.close()
+      }
+    }
+
     def rows: Iterator[InternalRow] = new Iterator[InternalRow] {
       private var batch: Iterator[InternalRow] = Iterator.empty
       private def advance(): Unit =
         while (!batch.hasNext && open) {
           if (!blocks.hasNext) { close() }
           else blocks.next() match {
+            case (blk, true) if pruned =>
+              // metadata-only peek: skip (body unread) unless a SELECTED
+              // column's dictionary — replacement ordering still holds
+              // because blocks iterate in file-offset order either way
+              val dbh = messageMetaOf(blk)
+                .header(new FbDictionaryBatch()).asInstanceOf[FbDictionaryBatch]
+              require(dbh != null, s"Arrow IPC: dictionary block at ${blk.getOffset} has no DictionaryBatch header")
+              if (dictionaries.containsKey(dbh.id())) {
+                rch.setPosition(blk.getOffset)
+                applyDictionaryBatch(MessageSerializer.deserializeDictionaryBatch(rch, blk, alloc))
+              }
             case (blk, true) => // dictionary batch: initial, replacement, or delta
               rch.setPosition(blk.getOffset)
-              val db = MessageSerializer.deserializeDictionaryBatch(rch, blk, alloc)
-              try {
-                val dv = dictionaries.get(db.getDictionaryId).getVector
-                if (!db.isDelta) {
-                  // full dictionary — REPLACES any previous content (the
-                  // reference re-writes each dictionary id per batch)
-                  dv.clear()
-                  val droot = new VectorSchemaRoot(
-                    java.util.List.of(dv.getField), java.util.List.of[FieldVector](dv))
-                  load(db.getDictionary, droot)
-                } else {
-                  // delta — APPENDS new entries (what our own writer emits;
-                  // also the spec-portable shape pyarrow/Arrow C++ accept)
-                  val tmp = dv.getField.createVector(alloc)
-                  try {
-                    val troot = new VectorSchemaRoot(
-                      java.util.List.of(tmp.getField), java.util.List.of[FieldVector](tmp))
-                    load(db.getDictionary, troot)
-                    val base = dv.getValueCount
-                    var k = 0
-                    while (k < troot.getRowCount) { dv.copyFromSafe(k, base + k, tmp); k += 1 }
-                    dv.setValueCount(base + troot.getRowCount)
-                  } finally tmp.close()
-                }
-              } finally db.close()
+              applyDictionaryBatch(MessageSerializer.deserializeDictionaryBatch(rch, blk, alloc))
+            case (blk, false) if pruned =>
+              val rbh = messageMetaOf(blk)
+                .header(new FbRecordBatch()).asInstanceOf[FbRecordBatch]
+              require(rbh != null, s"Arrow IPC: record-batch block at ${blk.getOffset} has no RecordBatch header")
+              if (selIdx.isEmpty) {
+                // zero-column read (count(*) shape): row count from the
+                // metadata alone, zero body bytes
+                val n = Math.toIntExact(rbh.length())
+                batch = Iterator.range(0, n).map(_ => new GenericInternalRow(Array.empty[Any]))
+              } else {
+                loadPrunedBatch(blk, rbh)
+                batch = batchRows(root, id => dictionaries.get(id), outPerm)
+              }
             case (blk, false) =>
               rch.setPosition(blk.getOffset)
               val rb = MessageSerializer.deserializeRecordBatch(rch, blk, alloc)
               try load(rb, root)
               finally rb.close()
-              batch = batchRows(root, id => dictionaries.get(id))
+              batch = batchRows(root, id => dictionaries.get(id), outPerm)
           }
         }
       override def hasNext: Boolean = { advance(); batch.hasNext }
       override def next(): InternalRow = { advance(); batch.next() }
     }
   }
+
+  /** FieldNode count a top-level field contributes to a record batch's
+    * wire layout: one per field depth-first — EXCEPT dictionary-encoded
+    * fields, which ship only their index vector (children ride the
+    * dictionary batch).
+    */
+  private def wireNodeCount(f: Field): Int =
+    if (f.getDictionary != null) 1
+    else 1 + f.getChildren.asScala.map(wireNodeCount).sum
+
+  /** Buffer count a top-level field contributes to a record batch's wire
+    * layout ([[TypeLayout.getTypeBufferCount]] per field depth-first;
+    * dictionary-encoded fields ship their INDEX type's buffers).
+    */
+  private def wireBufferCount(f: Field): Int =
+    if (f.getDictionary != null)
+      TypeLayout.getTypeBufferCount(
+        Option(f.getDictionary.getIndexType).getOrElse(new ArrowType.Int(32, true)))
+    else
+      TypeLayout.getTypeBufferCount(f.getType) +
+        f.getChildren.asScala.map(wireBufferCount).sum
 
   /** Raw-LZ4-block buffer decompression (legacy stores only). */
   private def decompressLegacyBlock(alloc: BufferAllocator, b: ArrowBuf): ArrowBuf = {
@@ -314,10 +527,14 @@ object ArrowIpc {
   }
 
   /** One loaded batch → InternalRows (values are Catalyst-typed and
-    * heap-copied, so rows stay valid after the next batch load).
+    * heap-copied, so rows stay valid after the next batch load). `perm`
+    * maps each OUTPUT column to its root vector (identity for full reads;
+    * the requested-order permutation — duplicates allowed — for pruned).
     */
-  private def batchRows(root: VectorSchemaRoot, dicts: Long => Dictionary): Iterator[InternalRow] = {
-    val readers = root.getFieldVectors.asScala.map(v => readerFor(v, dicts)).toArray
+  private def batchRows(root: VectorSchemaRoot, dicts: Long => Dictionary,
+      perm: Array[Int]): Iterator[InternalRow] = {
+    val vecs = root.getFieldVectors
+    val readers = perm.map(i => readerFor(vecs.get(i), dicts))
     val n = root.getRowCount
     (0 until n).iterator.map { i =>
       val vals = new Array[Any](readers.length)
@@ -952,7 +1169,7 @@ private[sources] class HadoopSeekableChannel(fs: FileSystem, p: HPath) extends S
   override def read(dst: ByteBuffer): Int = {
     val buf = new Array[Byte](dst.remaining())
     val n = in.read(buf, 0, buf.length)
-    if (n > 0) dst.put(buf, 0, n)
+    if (n > 0) { dst.put(buf, 0, n); ArrowIpc.bytesReadCounter.add(n) }
     n
   }
   override def write(src: ByteBuffer): Int = throw new UnsupportedOperationException("read-only")

@@ -21,11 +21,20 @@ object Sources {
   /** Arrow IPC batch store — the reference's NATIVE on-disk format
     * (LZ4-frame compressed; OffHeapArrowBatchStore.java:66). Day-one
     * migration path for existing columnar tables; see [[ArrowIpc]] for
-    * the scale notes (one task per file, no pushdown — migrate to
-    * parquet for repeated analytics).
+    * the scale notes (one task per file; column pruning via the
+    * `columns` overload; no FILTER pushdown — migrate to parquet for
+    * repeated filtered analytics).
     */
   def arrowIpc(spark: SparkSession, path: String): DataFrame =
     ArrowIpc.read(spark, path)
+
+  /** Column-pruned Arrow IPC read: only the selected columns' buffer byte
+    * ranges are read from each file (see [[ArrowIpc.read]] — zero body
+    * IO/decompression/decode for unselected columns), the IPC analog of
+    * parquet `ReadSchema` pruning.
+    */
+  def arrowIpc(spark: SparkSession, path: String, columns: Seq[String]): DataFrame =
+    ArrowIpc.read(spark, path, columns)
 
   def writeArrowIpc(df: DataFrame, path: String): Unit =
     ArrowIpc.write(df, path)
