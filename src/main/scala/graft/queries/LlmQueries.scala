@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.dedup.{Decontaminate, Dedup, SemDedup}
-import graft.text.{Bm25, Curriculum, Dsir, LinkGraph, Mixture, Sharding}
+import graft.text.{Bm25, Curriculum, Dsir, HeavyHitters, LinkGraph, Mixture, Sharding}
 import graft.functions.{TextFunctions => T}
 import graft.multimodal.Multimodal
 import graft.similarity.{Evaluation, Pca, Similarity}
@@ -1487,6 +1487,20 @@ object LlmQueries {
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("token"))
         .limit(100)
+    }),
+
+    // EXACT corpus heavy hitters (tokens above θ = 2% of all occurrences):
+    // per-partition Misra–Gries candidate pass (one scan, O(1/θ) memory,
+    // no occurrence shuffle) + exact recount of the broadcast candidate
+    // set — the two-scan shape that answers "what dominates this crawl"
+    // at 100 TB where a full group-by shuffles every token. The output is
+    // provably the exact count > θ·n set (superset guarantee + exact
+    // recount), which the oracle computes directly by brute force.
+    "q_heavy_hitters" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(T.tokenize(col("text"))).as("token"))
+      HeavyHitters.frequent(toks, "token", theta = 0.02)
+        .orderBy(col("cnt").desc, col("token"))
     }),
 
     // overlapping token chunking (RAG/context-window shape): 16-token
@@ -3584,6 +3598,15 @@ object LlmQueries {
       s"""SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM (
          |  SELECT unnest(list_filter($toksSql, x -> x <> '')) AS token FROM documents)
          |GROUP BY token ORDER BY cnt DESC, token LIMIT 100""".stripMargin,
+    // brute-force exact count > θ·n — the engine's sketch only bounds the
+    // candidate set, so exactness is directly comparable. Same double
+    // arithmetic both sides: cnt > 0.02 * n with n an exact BIGINT.
+    "q_heavy_hitters" ->
+      s"""WITH tok AS MATERIALIZED (
+         |  SELECT unnest(list_filter($toksSql, x -> x <> '')) AS token FROM documents)
+         |SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY token
+         |HAVING count(*) > 0.02 * (SELECT count(*) FROM tok)
+         |ORDER BY cnt DESC, token""".stripMargin,
     "q_ann_ivf" ->
       """WITH cent AS (
         |  SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS centroid

@@ -1,0 +1,96 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** EXACT frequent-item mining at corpus scale — "which tokens / URLs /
+  * hosts / n-grams exceed θ of the corpus" is the first question asked
+  * of any 100 TB crawl, and the naive answer (group-by over every
+  * occurrence) shuffles the whole token stream to count items that are
+  * almost all below threshold.
+  *
+  * Two corpus scans, neither shuffling raw occurrences:
+  *
+  *  1. CANDIDATES: each partition streams through a Misra–Gries summary
+  *     of `ceil(1/θ)` counters (`mapPartitions`, O(1/θ) memory) and
+  *     emits at most `1/θ` survivors plus its row count. Guarantee: an
+  *     item with global count > θ·n has, in at least one partition
+  *     (averaging argument), local count > θ·n_p ≥ n_p/(m+1), which
+  *     Misra–Gries with m counters never evicts — so the union of
+  *     partition summaries is a SUPERSET of the true heavy hitters.
+  *     The summary (≤ partitions·⌈1/θ⌉ rows) is persisted — it is the
+  *     only state this pass keeps.
+  *  2. EXACT COUNTS: occurrences semi-join the BROADCAST candidate set
+  *     (a scan-local filter — no shuffle of non-candidates), then only
+  *     candidate occurrences aggregate (map-side partials over ≤
+  *     partitions·⌈1/θ⌉ distinct keys) and the exact `count > θ·n`
+  *     filter keeps precisely the true heavy hitters.
+  *
+  * The result is EXACT — the sketch only bounds the candidate set, every
+  * reported count is a real count — which is what makes the operator
+  * oracle-checkable (q_heavy_hitters) unlike a lossy-counting estimate.
+  *
+  * Scale shape: candidate traffic is partitions × ⌈1/θ⌉ rows (100k
+  * partitions at θ = 1e-3 → 100M summary rows, still a shuffle of ids
+  * not occurrences; at the θ ≥ 1% of vocabulary analyses it is
+  * thousands). Null items are ignored (not counted toward n).
+  */
+object HeavyHitters {
+
+  /** All items of `items(itemCol)` (cast to string) whose exact
+    * occurrence count strictly exceeds `theta * n`, where n = number of
+    * non-null occurrences. Output columns: (`itemCol`, "cnt"), exact
+    * counts, unordered.
+    */
+  def frequent(items: DataFrame, itemCol: String, theta: Double): DataFrame = {
+    require(theta > 0 && theta < 1, s"theta must be in (0, 1), got $theta")
+    val spark = items.sparkSession
+    import spark.implicits._
+    val m = math.ceil(1.0 / theta).toInt
+    val src = items
+      .select(col(itemCol).cast("string").as("item"))
+      .where(col("item").isNotNull)
+    // pass 1: per-partition Misra–Gries summaries + row counts (the null
+    // item marks a partition's total — itemCol rows are never null here)
+    val summary: Dataset[(String, Long)] = src.as[String].mapPartitions { it =>
+      val counts = new java.util.HashMap[String, java.lang.Long]()
+      var total = 0L
+      while (it.hasNext) {
+        val x = it.next()
+        total += 1
+        val c = counts.get(x)
+        if (c != null) counts.put(x, c + 1)
+        else if (counts.size < m) counts.put(x, 1L)
+        else {
+          // MG step: the new item and every counter lose one; zeros evict
+          val e = counts.entrySet().iterator()
+          while (e.hasNext) {
+            val en = e.next()
+            if (en.getValue == 1L) e.remove() else en.setValue(en.getValue - 1)
+          }
+        }
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      counts.forEach((k, v) => out += ((k, v.longValue())))
+      out += ((null, total))
+      out.iterator
+    }
+    // the summary is tiny (≤ partitions·m rows) and consumed twice (n +
+    // candidate set) — persist so pass 1 runs once; batch-sized pin left
+    // for GC per the family discipline (releasing before the returned
+    // plan materializes breaks it)
+    val sdf = summary.toDF("item", "w")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nRow = sdf.where(col("item").isNull).agg(sum(col("w"))).head()
+    val n = if (nRow.isNullAt(0)) 0L else nRow.getLong(0)
+    if (n == 0L)
+      return src.groupBy(col("item").as(itemCol)).agg(count(lit(1)).as("cnt")).limit(0)
+    val candidates = sdf.where(col("item").isNotNull).select(col("item")).distinct()
+    src
+      .join(broadcast(candidates), Seq("item"), "left_semi")
+      .groupBy(col("item"))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > lit(theta) * lit(n))
+      .withColumnRenamed("item", itemCol)
+  }
+}

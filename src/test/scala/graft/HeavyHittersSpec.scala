@@ -1,0 +1,88 @@
+package graft
+
+import graft.text.HeavyHitters
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** Exact heavy hitters: the Misra–Gries candidate pass must never lose a
+  * true heavy hitter (superset guarantee), and the exact recount must
+  * make the final answer identical to brute force — on skewed data,
+  * adversarial partitionings, and thresholds at the guarantee boundary.
+  */
+class HeavyHittersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def brute(items: Seq[String], theta: Double): Map[String, Long] = {
+    val n = items.length.toLong
+    items.groupBy(identity).view.mapValues(_.length.toLong)
+      .filter { case (_, c) => c > theta * n }.toMap
+  }
+
+  private def run(items: Seq[String], theta: Double, parts: Int): Map[String, Long] =
+    HeavyHitters.frequent(
+      spark.createDataset(items).repartition(parts).toDF("x"), "x", theta)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("matches brute force on zipf-skewed random streams across thetas and partitionings") {
+    val rnd = new Random(42)
+    // zipf-ish: item k with weight 1/(k+1)
+    val vocab = (0 until 200).map(i => s"w$i")
+    val weights = vocab.indices.map(i => 1.0 / (i + 1))
+    val cum = weights.scanLeft(0.0)(_ + _).tail
+    val total = cum.last
+    val items = Seq.fill(20000) {
+      val u = rnd.nextDouble() * total
+      vocab(cum.indexWhere(u <= _))
+    }
+    for (theta <- Seq(0.2, 0.05, 0.01); parts <- Seq(1, 7, 32))
+      assert(run(items, theta, parts) == brute(items, theta), s"theta=$theta parts=$parts")
+  }
+
+  test("exact boundary: count == theta*n is excluded, one more is included") {
+    // 100 items: 'a' x 10 (== 0.1*n, excluded), 'b' x 11 (included),
+    // filler unique
+    val items = Seq.fill(10)("a") ++ Seq.fill(11)("b") ++ (0 until 79).map(i => s"f$i")
+    val got = run(items, 0.1, 5)
+    assert(got == Map("b" -> 11L))
+  }
+
+  test("adversarial partitioning: a heavy hitter spread thin across partitions still surfaces") {
+    // 'hot' is 12% globally but each partition also carries unique noise
+    // that churns the MG counters
+    val items = (0 until 4000).flatMap { i =>
+      if (i % 8 == 0) Seq("hot") else Seq(s"noise_$i")
+    }
+    for (parts <- Seq(3, 16, 64))
+      assert(run(items, 0.1, parts) == brute(items, 0.1), s"parts=$parts")
+  }
+
+  test("all-identical stream returns the single item with its exact count") {
+    assert(run(Seq.fill(500)("only"), 0.5, 8) == Map("only" -> 500L))
+  }
+
+  test("empty input and null items") {
+    assert(run(Nil, 0.1, 4) == Map.empty)
+    val withNulls = spark.createDataset(Seq[String](null, null, "a", "a", "a", "b"))
+      .toDF("x")
+    // n counts non-null occurrences only: 4; a=3 > 0.5*4, b=1 not
+    val got = HeavyHitters.frequent(withNulls, "x", 0.5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 3L))
+  }
+
+  test("theta bounds fail fast") {
+    val df = spark.createDataset(Seq("a")).toDF("x")
+    intercept[IllegalArgumentException](HeavyHitters.frequent(df, "x", 0.0))
+    intercept[IllegalArgumentException](HeavyHitters.frequent(df, "x", 1.0))
+  }
+
+  test("non-string column casts to string and keeps exact counts") {
+    val df = spark.range(0, 1000).select((col("id") % 7).as("k"))
+    val got = HeavyHitters.frequent(df, "k", 0.05)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every residue occurs 142 or 143 times > 50
+    assert(got.keySet == (0 until 7).map(_.toString).toSet)
+    assert(got.values.sum == 1000L)
+  }
+}
