@@ -159,7 +159,14 @@ object Bench {
     "q_reach_point_artifact",
     "q_media_dedup_store",
     "q_semdedup_store",
-    "q_pagerank_store"
+    "q_pagerank_store",
+    // round 14 continuation: column-pruned Arrow IPC migration scan
+    // (selective buffer IO — the lane includes the one-time store write,
+    // the ivfIndexDirs amortization shape) and exact heavy hitters
+    // (Misra-Gries candidates + exact recount, two scans, no occurrence
+    // shuffle)
+    "q_arrow_pruned_scan",
+    "q_heavy_hitters"
   )
 
   def main(args: Array[String]): Unit = {

@@ -44,6 +44,29 @@ object ArrowReadBench {
       }
       val best = times.min
       System.err.println(f"[arrow-read-bench] rows=$rows best=${best}%.3f s  (${rows / best / 1e6}%.2f M rows/s)  all=${times.map(t => f"$t%.3f").mkString(",")}")
+      // column-pruned read: 2 of 16 columns via selective buffer IO —
+      // report time AND bytes (the counter isolates what pruning skips)
+      def bytesOf[T](f: => T): (T, Long) = {
+        val b0 = ArrowIpc.bytesReadCounter.sum()
+        val r = f
+        (r, ArrowIpc.bytesReadCounter.sum() - b0)
+      }
+      import org.apache.spark.sql.functions.{col, sum}
+      def prunedAgg() = ArrowIpc.read(spark, tmp, Seq("l_orderkey", "l_quantity"))
+        .agg(sum(col("l_quantity"))).collect()
+      def fullAgg() = ArrowIpc.read(spark, tmp)
+        .agg(sum(col("l_quantity"))).collect()
+      prunedAgg(); fullAgg() // warm
+      val (_, fullBytes) = bytesOf(fullAgg())
+      val fullT = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); fullAgg(); (System.nanoTime() - t0) / 1e9
+      }.min
+      val (_, prunedBytes) = bytesOf(prunedAgg())
+      val prunedT = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); prunedAgg(); (System.nanoTime() - t0) / 1e9
+      }.min
+      System.err.println(
+        f"[arrow-read-bench] pruned 2/16 cols: ${prunedT}%.3f s / ${prunedBytes / 1e6}%.1f MB read  vs full-read agg ${fullT}%.3f s / ${fullBytes / 1e6}%.1f MB  (${fullBytes.toDouble / prunedBytes.max(1)}%.1fx bytes)")
     } finally spark.stop()
   }
 }
