@@ -166,7 +166,8 @@ object Bench {
     // (Misra-Gries candidates + exact recount, two scans, no occurrence
     // shuffle)
     "q_arrow_pruned_scan",
-    "q_heavy_hitters"
+    "q_heavy_hitters",
+    "q_arrow_filtered_scan"
   )
 
   def main(args: Array[String]): Unit = {

@@ -63,6 +63,29 @@ object CoreQueries {
           max(col("doc_id")).as("max_id"))
         .orderBy(col("lang"))
     }),
+
+    // Arrow IPC FILTER pushdown: the same store's footer carries
+    // per-batch min/max/null statistics (BatchStatsKey), so the doc_id
+    // range filter skips every batch outside [100, 300) without reading
+    // a body byte (parquet row-group semantics; surviving batches
+    // re-filter exactly — ArrowFilterSpec asserts the byte counts and the
+    // conservative fallbacks). Oracle = the same filtered aggregate on
+    // the parquet source, so a wrongly-skipped batch = missing rows =
+    // hash mismatch.
+    "q_arrow_filtered_scan" -> ((s, dir) => {
+      val ipcDir = arrowStoreDirs.computeIfAbsent(dir, _ => {
+        val d = java.nio.file.Files.createTempDirectory("graft_arrow_docs").toString + "/docs"
+        graft.sources.ArrowIpc.write(t(s, dir, "documents"), d,
+          batchRows = 2048, dictColumns = Set("lang", "source"))
+        d
+      })
+      graft.sources.ArrowIpc.read(s, ipcDir, Seq("doc_id", "lang", "n_chars"),
+          Seq(org.apache.spark.sql.sources.GreaterThanOrEqual("doc_id", 100L),
+            org.apache.spark.sql.sources.LessThan("doc_id", 300L)))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"))
+    }),
     // §7.1 minimum slice: scan → filter → project → slice.
     // row provenance attach: Spark's hidden _metadata struct surfaces the
     // physical (file, row-offset) identity of every row — the audit /
@@ -298,6 +321,11 @@ object CoreQueries {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_arrow_filtered_scan" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id >= 100 AND doc_id < 300
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     // physical row offsets recovered from the id-ordered write order of
     // the test files (probed to hold at every SF); file_name pins the
     // source identity

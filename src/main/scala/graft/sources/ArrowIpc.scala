@@ -61,11 +61,16 @@ import scala.jdk.CollectionConverters._
   * (the record-batch flatbuffer metadata carries every buffer's
   * offset/length, so unselected columns cost zero body IO, zero
   * decompression, zero decode — and dictionary batches for unselected
-  * columns are skipped body-unread). FILTER pushdown does NOT (no
-  * statistics footer to prune batches by) — for repeated filtered
-  * analytics the one-time `read → write parquet` migration is the
-  * intended path, which is exactly what the reference's users migrating
-  * to this engine need.
+  * columns are skipped body-unread). FILTER pushdown reaches
+  * ENGINE-WRITTEN files: [[write]] records per-batch min/max/null
+  * statistics in the file footer ([[BatchStatsKey]]) and
+  * `read(path, columns, filters)` skips batches no filter row can live
+  * in — parquet row-group semantics, same conservative contract
+  * (surviving batches re-filter exactly; stats only save IO). Foreign
+  * files carry no stats and read fully — for repeated filtered analytics
+  * over a migrated store, the one-time `read → write parquet` (or
+  * re-write through [[write]], which adds stats) remains the intended
+  * path.
   */
 object ArrowIpc {
 
@@ -94,6 +99,19 @@ object ArrowIpc {
     * task shares the JVM; on a cluster each executor counts its own).
     */
   private[graft] val bytesReadCounter = new java.util.concurrent.atomic.LongAdder
+
+  /** FILE-footer custom-metadata key holding per-record-batch column
+    * statistics as a JSON array (one element per batch, in footer block
+    * order): `[{"rows":N,"cols":{"c":{"t":"l|d|s","min":…,"max":…,
+    * "nulls":K}, …}}, …]`. Written by [[write]] for long-comparable
+    * (integer/date/timestamp), double, and short-string top-level
+    * columns; consumed by `read(path, columns, filters)` to SKIP batches
+    * no filter row can live in — the IPC analog of parquet row-group
+    * statistics. Foreign files (reference stores) lack the key and read
+    * fully; a wrong/missing entry can only disable skipping, never drop
+    * rows, because every surviving batch is re-filtered exactly.
+    */
+  val BatchStatsKey = "graft.arrow.batchStats"
 
   // =====================================================================
   // schema + metadata inspection (driver-side footer reads)
@@ -154,7 +172,7 @@ object ArrowIpc {
     * Every file must share one schema (the reference's store invariant).
     */
   def read(spark: SparkSession, path: String): DataFrame =
-    readImpl(spark, path, selected = None)
+    readImpl(spark, path, selected = None, filters = Nil)
 
   /** Column-pruned read: only `columns` (project/permute/duplicate —
     * [[graft.table.KTable.selectColumns]] semantics) are materialized,
@@ -171,9 +189,30 @@ object ArrowIpc {
     * without a format conversion.
     */
   def read(spark: SparkSession, path: String, columns: Seq[String]): DataFrame =
-    readImpl(spark, path, selected = Some(columns.toArray))
+    readImpl(spark, path, selected = Some(columns.toArray), filters = Nil)
 
-  private def readImpl(spark: SparkSession, path: String, selected: Option[Array[String]]): DataFrame = {
+  /** Column-pruned AND filter-skipped read: on top of the `columns`
+    * contract above, record batches whose [[BatchStatsKey]] statistics
+    * prove no row can satisfy the (conjoined) `filters` are skipped
+    * without reading a single body byte — the IPC analog of parquet
+    * row-group skipping, available on engine-written stores (foreign
+    * files carry no stats and read fully). Every surviving batch is
+    * re-filtered EXACTLY (the filters translate to Catalyst predicates),
+    * so statistics can only save IO, never change results. Filter
+    * columns need not be in `columns`; they are read internally and
+    * dropped from the output.
+    */
+  def read(spark: SparkSession, path: String, columns: Seq[String],
+      filters: Seq[org.apache.spark.sql.sources.Filter]): DataFrame =
+    readImpl(spark, path, selected = Some(columns.toArray), filters = filters)
+
+  /** Full-width filter-skipped read (all columns, batch skipping). */
+  def readFiltered(spark: SparkSession, path: String,
+      filters: Seq[org.apache.spark.sql.sources.Filter]): DataFrame =
+    readImpl(spark, path, selected = None, filters = filters)
+
+  private def readImpl(spark: SparkSession, path: String, selected: Option[Array[String]],
+      filters: Seq[org.apache.spark.sql.sources.Filter]): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new HPath(path)
     val fs = p.getFileSystem(conf)
@@ -185,14 +224,31 @@ object ArrowIpc {
       else Seq(path)
     require(files.nonEmpty, s"no Arrow IPC files under $path")
     val schema = schemaOf(spark, files.head)
+    def fieldOf(n: String): StructField =
+      schema.fields.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+        s"column $n not in Arrow IPC schema ${schema.fieldNames.mkString(", ")} ($path)"))
+    // filter references must be top-level columns; they join the scan's
+    // column set (pruned reads still skip everything else) and drop from
+    // the output below
+    val filterRefs = filters.flatMap(_.references).distinct
+    filterRefs.foreach(fieldOf)
     // pruned output schema: requested order, duplicates allowed (selectColumns
     // semantics); unknown names fail here on the driver, not mid-scan
     val outSchema = selected match {
       case None => schema
-      case Some(names) => StructType(names.map { n =>
-        schema.fields.find(_.name == n).getOrElse(throw new IllegalArgumentException(
-          s"column $n not in Arrow IPC schema ${schema.fieldNames.mkString(", ")} ($path)"))
-      })
+      case Some(names) => StructType(names.map(fieldOf))
+    }
+    // no filters: the source itself materializes dups/permutations
+    // (outPerm); with filters the scan reads DISTINCT names (a duplicated
+    // name would make the residual predicate ambiguous) and the final
+    // select re-expands the requested order/duplicates
+    val readNames = selected.map { names =>
+      if (filters.isEmpty) names
+      else (names ++ filterRefs.filterNot(names.contains)).distinct
+    }
+    val readSchema = readNames match {
+      case None => schema
+      case Some(names) => StructType(names.map(fieldOf))
     }
     val confB = spark.sparkContext.broadcast(new SerializableWritable(conf))
     val rows = spark.sparkContext
@@ -201,7 +257,7 @@ object ArrowIpc {
         val c = confB.value.value
         val hp = new HPath(file)
         val hfs = hp.getFileSystem(c)
-        val src = openBatchSource(hfs, hp, selected)
+        val src = openBatchSource(hfs, hp, readNames, filters)
         // cleanup listener FIRST so a partially-drained iterator
         // (limit/take/kill) cannot leak off-heap Arrow buffers, the
         // allocator, or the file handle — and so the invariant check
@@ -220,16 +276,28 @@ object ArrowIpc {
         }
         src.rows
       }
-    GraftSqlInternals.internalCreateDataFrame(spark, rows, outSchema)
+    val scan = GraftSqlInternals.internalCreateDataFrame(spark, rows, readSchema)
+    // residual: surviving batches re-filter EXACTLY; then drop the
+    // filter-only columns so `columns` is the output contract
+    val filtered =
+      if (filters.isEmpty) scan
+      else scan.where(filters.map(filterToColumn).reduce(_ && _))
+    selected match {
+      case Some(names) if filters.nonEmpty =>
+        import org.apache.spark.sql.functions.col
+        filtered.select(names.toIndexedSeq.map(col): _*)
+      case _ => filtered
+    }
   }
 
   private def openBatchSource(fs: FileSystem, p: HPath,
-      selected: Option[Array[String]] = None): FooterSource = {
+      selected: Option[Array[String]] = None,
+      filters: Seq[org.apache.spark.sql.sources.Filter] = Nil): FooterSource = {
     val ch = new HadoopSeekableChannel(fs, p)
     val footer =
       try readFooter(ch)
       catch { case t: Throwable => ch.close(); throw t }
-    new FooterSource(ch, footer, selected)
+    new FooterSource(ch, footer, selected, filters)
   }
 
   /** Footer-driven batch reader — deliberately NOT [[ArrowFileReader]],
@@ -256,7 +324,8 @@ object ArrowIpc {
     * [[VectorLoader]] with the stock commons-compress factory.
     */
   private final class FooterSource(ch: SeekableByteChannel, footer: ArrowFooter,
-      selected: Option[Array[String]] = None) {
+      selected: Option[Array[String]] = None,
+      filters: Seq[org.apache.spark.sql.sources.Filter] = Nil) {
     private val legacyBlock =
       footer.getSchema.getCustomMetadata.asScala.get(LegacyBlockKey).contains("true")
     private val alloc = new RootAllocator(Long.MaxValue)
@@ -295,9 +364,19 @@ object ArrowIpc {
       case Some(names) => names.map(n => selIdx.indexOf(fileFields.indexWhere(_.getName == n)))
     }
     private val rch = new SeekableReadChannel(ch)
-    private val blocks: Iterator[(ArrowBlock, Boolean)] =
-      (footer.getDictionaries.asScala.map(b => (b, true)) ++
-        footer.getRecordBatches.asScala.map(b => (b, false)))
+    // record batches to SKIP outright: every filter must still possibly
+    // match per the footer's batch statistics. Missing/foreign/mismatched
+    // stats → no skipping (None); semantics are untouched either way
+    // because the read's residual filter re-checks every surviving row.
+    private val skipBatch: Option[IndexedSeq[Boolean]] =
+      if (filters.isEmpty) None
+      else Option(footer.getMetaData.get(BatchStatsKey))
+        .flatMap(parseBatchStats(_, footer.getRecordBatches.size))
+        .map(_.map(bs => !filters.forall(f => mayMatch(bs, f))))
+    // -1 marks a dictionary block; >= 0 is the record batch's footer index
+    private val blocks: Iterator[(ArrowBlock, Int)] =
+      (footer.getDictionaries.asScala.map(b => (b, -1)) ++
+        footer.getRecordBatches.asScala.zipWithIndex.map { case (b, i) => (b, i) })
         .sortBy(_._1.getOffset).iterator
     private var open = true
     val sparkSchema: StructType = fromArrowSchema(footer.getSchema)
@@ -445,7 +524,7 @@ object ArrowIpc {
         while (!batch.hasNext && open) {
           if (!blocks.hasNext) { close() }
           else blocks.next() match {
-            case (blk, true) if pruned =>
+            case (blk, -1) if pruned =>
               // metadata-only peek: skip (body unread) unless a SELECTED
               // column's dictionary — replacement ordering still holds
               // because blocks iterate in file-offset order either way
@@ -456,10 +535,14 @@ object ArrowIpc {
                 rch.setPosition(blk.getOffset)
                 applyDictionaryBatch(MessageSerializer.deserializeDictionaryBatch(rch, blk, alloc))
               }
-            case (blk, true) => // dictionary batch: initial, replacement, or delta
+            case (blk, -1) => // dictionary batch: initial, replacement, or delta
               rch.setPosition(blk.getOffset)
               applyDictionaryBatch(MessageSerializer.deserializeDictionaryBatch(rch, blk, alloc))
-            case (blk, false) if pruned =>
+            case (_, rbi) if skipBatch.exists(_(rbi)) =>
+              // statistics prove no row here can pass the filters: the
+              // block is skipped whole — not even its metadata is read
+              ()
+            case (blk, _) if pruned =>
               val rbh = messageMetaOf(blk)
                 .header(new FbRecordBatch()).asInstanceOf[FbRecordBatch]
               require(rbh != null, s"Arrow IPC: record-batch block at ${blk.getOffset} has no RecordBatch header")
@@ -472,7 +555,7 @@ object ArrowIpc {
                 loadPrunedBatch(blk, rbh)
                 batch = batchRows(root, id => dictionaries.get(id), outPerm)
               }
-            case (blk, false) =>
+            case (blk, _) =>
               rch.setPosition(blk.getOffset)
               val rb = MessageSerializer.deserializeRecordBatch(rch, blk, alloc)
               try load(rb, root)
@@ -505,6 +588,163 @@ object ArrowIpc {
     else
       TypeLayout.getTypeBufferCount(f.getType) +
         f.getChildren.asScala.map(wireBufferCount).sum
+
+  // =====================================================================
+  // batch-statistics filter skipping (read side)
+  // =====================================================================
+
+  private[graft] sealed trait ColStats { def nulls: Long; def rangeDefined: Boolean }
+  private[graft] final case class LongColStats(range: Option[(Long, Long)], nulls: Long) extends ColStats {
+    def rangeDefined: Boolean = range.isDefined
+  }
+  private[graft] final case class DoubleColStats(range: Option[(Double, Double)], nulls: Long) extends ColStats {
+    def rangeDefined: Boolean = range.isDefined
+  }
+  private[graft] final case class StringColStats(range: Option[(String, String)], nulls: Long) extends ColStats {
+    def rangeDefined: Boolean = range.isDefined
+  }
+  private[graft] final case class BatchStats(rows: Long, cols: Map[String, ColStats])
+
+  /** Parse [[BatchStatsKey]] metadata; None (→ no skipping) on any shape
+    * mismatch, including a batch count that differs from the footer's —
+    * stats from a foreign or half-understood layout must disable the
+    * optimization, never steer it.
+    */
+  private[graft] def parseBatchStats(json: String, expectBatches: Int): Option[IndexedSeq[BatchStats]] =
+    try {
+      val arr = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+      if (arr == null || !arr.isArray || arr.size != expectBatches) None
+      else Some((0 until arr.size).map { i =>
+        val b = arr.get(i)
+        val cols = b.get("cols")
+        val m = scala.collection.mutable.Map.empty[String, ColStats]
+        if (cols != null) cols.fields().asScala.foreach { e =>
+          val o = e.getValue
+          val nulls = o.get("nulls").asLong
+          val hasR = o.has("min") && o.has("max")
+          o.get("t").asText match {
+            case "l" => m(e.getKey) = LongColStats(
+              if (hasR) Some((o.get("min").asLong, o.get("max").asLong)) else None, nulls)
+            case "d" => m(e.getKey) = DoubleColStats(
+              if (hasR) Some((o.get("min").asDouble, o.get("max").asDouble)) else None, nulls)
+            case "s" => m(e.getKey) = StringColStats(
+              if (hasR) Some((o.get("min").asText, o.get("max").asText)) else None, nulls)
+            case _ => () // unknown stat type from a newer writer: ignore the column
+          }
+        }
+        BatchStats(b.get("rows").asLong, m.toMap)
+      })
+    } catch { case _: Exception => None }
+
+  private def toLongOpt(v: Any): Option[Long] = v match {
+    case x: Byte => Some(x.toLong)
+    case x: Short => Some(x.toLong)
+    case x: Int => Some(x.toLong)
+    case x: Long => Some(x)
+    case x: java.sql.Date => Some(x.toLocalDate.toEpochDay)
+    case x: java.time.LocalDate => Some(x.toEpochDay)
+    case x: java.sql.Timestamp =>
+      Some(java.time.temporal.ChronoUnit.MICROS.between(java.time.Instant.EPOCH, x.toInstant))
+    case x: java.time.Instant =>
+      Some(java.time.temporal.ChronoUnit.MICROS.between(java.time.Instant.EPOCH, x))
+    case _ => None
+  }
+
+  private def toDoubleOpt(v: Any): Option[Double] = v match {
+    case x: Float => Some(x.toDouble)
+    case x: Double => Some(x)
+    case x: Byte => Some(x.toDouble)
+    case x: Short => Some(x.toDouble)
+    case x: Int => Some(x.toDouble)
+    case x: Long => Some(x.toDouble)
+    case _ => None
+  }
+
+  /** Binary (UTF8String) string order — the order the writer's min/max
+    * scan uses and the order Spark's string comparisons resolve to, so a
+    * skip decision can never disagree with the residual filter.
+    */
+  private def cmpUtf8(a: String, b: String): Int =
+    UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
+
+  /** Conservative batch-level test: false ONLY when no row of the batch
+    * can satisfy `f`. Unknown filters, missing columns, or inconvertible
+    * values answer true.
+    */
+  private[graft] def mayMatch(bs: BatchStats, f: org.apache.spark.sql.sources.Filter): Boolean = {
+    import org.apache.spark.sql.sources._
+    // pred receives (compare(min, v), compare(max, v)). No stats for the
+    // column or an inconvertible value → conservative true; an entry with
+    // NO range means every value in the batch is null, and no comparison
+    // matches null → false.
+    def cmp(a: String, v: Any)(pred: (Int, Int) => Boolean): Boolean =
+      bs.cols.get(a) match {
+        case None => true
+        case Some(st) if !st.rangeDefined => false // all-null column
+        case Some(LongColStats(Some((mn, mx)), _)) =>
+          toLongOpt(v).forall(x => pred(java.lang.Long.compare(mn, x), java.lang.Long.compare(mx, x)))
+        case Some(DoubleColStats(Some((mn, mx)), _)) =>
+          toDoubleOpt(v).forall(x => pred(java.lang.Double.compare(mn, x), java.lang.Double.compare(mx, x)))
+        case Some(StringColStats(Some((mn, mx)), _)) => v match {
+          case s: String => pred(cmpUtf8(mn, s), cmpUtf8(mx, s))
+          case _ => true
+        }
+        case _ => true
+      }
+    f match {
+      case And(l, r) => mayMatch(bs, l) && mayMatch(bs, r)
+      case Or(l, r) => mayMatch(bs, l) || mayMatch(bs, r)
+      case EqualTo(a, v) => cmp(a, v)((lo, hi) => lo <= 0 && hi >= 0)
+      case EqualNullSafe(a, null) => bs.cols.get(a).forall(_.nulls > 0)
+      case EqualNullSafe(a, v) => cmp(a, v)((lo, hi) => lo <= 0 && hi >= 0)
+      case GreaterThan(a, v) => cmp(a, v)((_, hi) => hi > 0)
+      case GreaterThanOrEqual(a, v) => cmp(a, v)((_, hi) => hi >= 0)
+      case LessThan(a, v) => cmp(a, v)((lo, _) => lo < 0)
+      case LessThanOrEqual(a, v) => cmp(a, v)((lo, _) => lo <= 0)
+      case In(a, vs) => vs.isEmpty || vs.exists(v => cmp(a, v)((lo, hi) => lo <= 0 && hi >= 0))
+      case IsNull(a) => bs.cols.get(a).forall(_.nulls > 0)
+      case IsNotNull(a) => bs.cols.get(a).forall(st => st.nulls < bs.rows)
+      case StringStartsWith(a, p) if p.nonEmpty =>
+        // a value with prefix p lies in [p, next(p)); next(p) bumps the
+        // last non-max char (no bumpable char → no upper bound)
+        val lower = cmp(a, p)((_, hi) => hi >= 0)
+        val next = {
+          val cs = p.toCharArray
+          var i = cs.length - 1
+          while (i >= 0 && cs(i) == Char.MaxValue) i -= 1
+          if (i < 0) None else Some(new String(cs, 0, i) + (cs(i) + 1).toChar)
+        }
+        lower && next.forall(np => cmp(a, np)((lo, _) => lo < 0))
+      case _ => true
+    }
+  }
+
+  /** sources.Filter → Column, for the exact residual re-filter applied to
+    * every surviving batch (skipping is IO-only; semantics come from
+    * here, evaluated by Spark with SQL null handling).
+    */
+  private def filterToColumn(f: org.apache.spark.sql.sources.Filter): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, lit, not}
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(a, v) => col(a) === lit(v)
+      case EqualNullSafe(a, v) => col(a) <=> lit(v)
+      case GreaterThan(a, v) => col(a) > lit(v)
+      case GreaterThanOrEqual(a, v) => col(a) >= lit(v)
+      case LessThan(a, v) => col(a) < lit(v)
+      case LessThanOrEqual(a, v) => col(a) <= lit(v)
+      case In(a, vs) => col(a).isin(vs.toIndexedSeq: _*)
+      case IsNull(a) => col(a).isNull
+      case IsNotNull(a) => col(a).isNotNull
+      case And(l, r) => filterToColumn(l) && filterToColumn(r)
+      case Or(l, r) => filterToColumn(l) || filterToColumn(r)
+      case Not(c) => not(filterToColumn(c))
+      case StringStartsWith(a, p) => col(a).startsWith(p)
+      case StringEndsWith(a, p) => col(a).endsWith(p)
+      case StringContains(a, p) => col(a).contains(p)
+      case o => throw new IllegalArgumentException(s"Arrow IPC read: unsupported filter $o")
+    }
+  }
 
   /** Raw-LZ4-block buffer decompression (legacy stores only). */
   private def decompressLegacyBlock(alloc: BufferAllocator, b: ArrowBuf): ArrowBuf = {
@@ -641,8 +881,12 @@ object ArrowIpc {
   private final class DictFileWriter(
       root: VectorSchemaRoot,
       provider: DictionaryProvider,
-      ch: java.nio.channels.WritableByteChannel)
-    extends ArrowFileWriter(root, provider, ch, null, IpcOption.DEFAULT,
+      ch: java.nio.channels.WritableByteChannel,
+      // MUTABLE on purpose: ArrowFileWriter serializes the map at end(),
+      // so per-batch statistics accumulated during the write land in the
+      // footer without buffering the data
+      fileMeta: java.util.Map[String, String])
+    extends ArrowFileWriter(root, provider, ch, fileMeta, IpcOption.DEFAULT,
       CommonsCompressionFactory.INSTANCE, CompressionUtil.CodecType.LZ4_FRAME) {
     override protected def ensureDictionariesWritten(
         p: DictionaryProvider, ids: java.util.Set[java.lang.Long]): Unit = ()
@@ -784,7 +1028,10 @@ object ArrowIpc {
         }.toArray
       val os: OutputStream = hfs.create(tmp, true)
       try {
-        val writer = new DictFileWriter(root, provider, Channels.newChannel(os))
+        val fileMeta = new java.util.HashMap[String, String]()
+        val writer = new DictFileWriter(root, provider, Channels.newChannel(os), fileMeta)
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val statsArr = om.createArrayNode()
         writer.start()
         val codec = CommonsCompressionFactory.INSTANCE.createCodec(CompressionUtil.CodecType.LZ4_FRAME)
         // before each record batch: emit the values this batch introduced
@@ -826,7 +1073,9 @@ object ArrowIpc {
         var n = 0
         def flush(): Unit = if (n > 0) {
           flushDicts()
-          root.setRowCount(n); writer.writeBatch(); root.allocateNew(); n = 0
+          root.setRowCount(n)
+          statsArr.add(collectBatchStats(root, n, om))
+          writer.writeBatch(); root.allocateNew(); n = 0
         }
         it.foreach { row =>
           var i = 0
@@ -839,6 +1088,7 @@ object ArrowIpc {
           if (n >= batchRows) flush()
         }
         flush()
+        fileMeta.put(BatchStatsKey, om.writeValueAsString(statsArr))
         writer.end(); writer.close(); os.close()
         hfs.delete(part, false) // replace any prior attempt's commit
         require(hfs.rename(tmp, part), s"rename $tmp -> $part failed")
@@ -853,6 +1103,88 @@ object ArrowIpc {
     // have no such marker
     val done = fs.create(new HPath(out, "_SUCCESS"), true)
     done.close()
+  }
+
+  /** Per-batch column statistics for [[BatchStatsKey]]: min/max/nulls for
+    * long-comparable, double, and short-string TOP-LEVEL columns (other
+    * types — nested, binary, bool, decimal, dictionary-encoded — record
+    * nothing and never prune). All-null columns record nulls only.
+    * Strings cap at 64 UTF-8 bytes: a longer value drops the column's
+    * entry for the batch (a truncated max is NOT an upper bound, so
+    * recording it could skip a matching batch — absence only costs IO).
+    * Doubles drop the entry on NaN (unorderable) and ±Inf (not JSON).
+    */
+  private def collectBatchStats(root: VectorSchemaRoot, n: Int,
+      om: com.fasterxml.jackson.databind.ObjectMapper): com.fasterxml.jackson.databind.node.ObjectNode = {
+    val node = om.createObjectNode()
+    node.put("rows", n)
+    val cols = node.putObject("cols")
+    root.getFieldVectors.asScala.foreach { v =>
+      val name = v.getField.getName
+      if (v.getField.getDictionary == null) {
+        val asLong: Option[Int => Long] = v match {
+          case x: BigIntVector => Some(x.get)
+          case x: IntVector => Some(x.get(_).toLong)
+          case x: SmallIntVector => Some(x.get(_).toLong)
+          case x: TinyIntVector => Some(x.get(_).toLong)
+          case x: DateDayVector => Some(x.get(_).toLong)
+          case x: TimeStampVector => Some(x.get)
+          case _ => None
+        }
+        val asDouble: Option[Int => Double] = v match {
+          case x: Float8Vector => Some(x.get)
+          case x: Float4Vector => Some(x.get(_).toDouble)
+          case _ => None
+        }
+        val asString: Option[Int => Array[Byte]] = v match {
+          case x: VarCharVector => Some(x.get)
+          case _ => None
+        }
+        def scan[T](get: Int => T, lt: (T, T) => Boolean, ok: T => Boolean): Option[(T, T, Long)] = {
+          var min: Option[T] = None; var max: Option[T] = None
+          var nulls = 0L; var i = 0; var valid = true
+          while (i < n && valid) {
+            if (v.isNull(i)) nulls += 1
+            else {
+              val x = get(i)
+              if (!ok(x)) valid = false
+              else {
+                if (min.forall(lt(x, _))) min = Some(x)
+                if (max.forall(lt(_, x))) max = Some(x)
+              }
+            }
+            i += 1
+          }
+          if (!valid) None else Some((min.getOrElse(null.asInstanceOf[T]), max.getOrElse(null.asInstanceOf[T]), nulls))
+        }
+        val entry: Option[(String, (com.fasterxml.jackson.databind.node.ObjectNode) => Unit, Long)] =
+          asLong.flatMap(g => scan[Long](g, _ < _, _ => true).map { case (mn, mx, nu) =>
+            ("l", (o: com.fasterxml.jackson.databind.node.ObjectNode) =>
+              if (nu < n) { o.put("min", mn); o.put("max", mx); () }, nu)
+          }).orElse(asDouble.flatMap(g =>
+            scan[Double](g, _ < _, d => !d.isNaN && !d.isInfinite).map { case (mn, mx, nu) =>
+              ("d", (o: com.fasterxml.jackson.databind.node.ObjectNode) =>
+                if (nu < n) { o.put("min", mn); o.put("max", mx); () }, nu)
+            })).orElse(asString.flatMap(g =>
+            scan[Array[Byte]](g,
+              (a, b) => UTF8String.fromBytes(a).compareTo(UTF8String.fromBytes(b)) < 0,
+              _.length <= 64).map { case (mn, mx, nu) =>
+              ("s", (o: com.fasterxml.jackson.databind.node.ObjectNode) =>
+                if (nu < n) {
+                  o.put("min", new String(mn, java.nio.charset.StandardCharsets.UTF_8))
+                  o.put("max", new String(mx, java.nio.charset.StandardCharsets.UTF_8))
+                  ()
+                }, nu)
+            }))
+        entry.foreach { case (t, fill, nulls) =>
+          val o = cols.putObject(name)
+          o.put("t", t)
+          fill(o)
+          o.put("nulls", nulls)
+        }
+      }
+    }
+    node
   }
 
   private def setNullSafe(v: FieldVector, idx: Int): Unit = v match {

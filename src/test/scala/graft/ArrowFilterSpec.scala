@@ -1,0 +1,147 @@
+package graft
+
+import graft.sources.ArrowIpc
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+
+import java.nio.file.{Files, Paths}
+
+/** Batch-statistics filter skipping on Arrow IPC reads: engine-written
+  * files carry per-batch min/max/null stats in the footer, and
+  * `read(path, columns, filters)` must (a) return EXACTLY the rows the
+  * filters select — for every supported filter shape, on stats-bearing
+  * and stats-free (foreign) files alike — and (b) actually skip
+  * non-matching batches' bytes, asserted via the reader's IO counter on
+  * a sorted write where batches partition the keyspace.
+  */
+class ArrowFilterSpec extends SparkSpec {
+
+  private def tmp(name: String) =
+    Files.createTempDirectory(name).resolve("t").toString
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.map {
+      case b: Array[Byte] => b.map(x => f"$x%02x").mkString
+      case x => String.valueOf(x)
+    }.mkString("|")).sorted.toSeq
+
+  private def bytesRead[T](f: => T): (T, Long) = {
+    val before = ArrowIpc.bytesReadCounter.sum()
+    val r = f
+    (r, ArrowIpc.bytesReadCounter.sum() - before)
+  }
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("qty", IntegerType, nullable = true),
+    StructField("price", DoubleType, nullable = true),
+    StructField("cat", StringType, nullable = true),
+    StructField("ts", TimestampType, nullable = true),
+    StructField("d", DateType, nullable = true),
+    StructField("allnull", IntegerType, nullable = true)))
+
+  private def rows(n: Int): Seq[Row] = (0 until n).map { i =>
+    Row(
+      i.toLong,
+      if (i % 11 == 0) null else i % 50,
+      if (i % 13 == 0) null else i * 0.25,
+      if (i % 7 == 0) null else s"cat_${i % 5}",
+      if (i % 17 == 0) null else java.sql.Timestamp.valueOf(s"2026-01-${i % 28 + 1} 12:00:00"),
+      if (i % 19 == 0) null else java.sql.Date.valueOf(s"2025-0${i % 9 + 1}-15"),
+      null)
+  }
+
+  // sorted by id → batches partition the keyspace → range filters skip
+  private lazy val store: String = {
+    val out = tmp("ipc_filter")
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows(8000), 1), schema).orderBy("id")
+    ArrowIpc.write(df, out, batchRows = 512)
+    out
+  }
+
+  test("every supported filter shape returns exactly the brute-force rows") {
+    val full = ArrowIpc.read(spark, store)
+    val cases: Seq[(Seq[Filter], org.apache.spark.sql.Column)] = Seq(
+      (Seq(EqualTo("qty", 7)), col("qty") === 7),
+      (Seq(GreaterThan("id", 7000L)), col("id") > 7000L),
+      (Seq(GreaterThanOrEqual("price", 1900.0)), col("price") >= 1900.0),
+      (Seq(LessThan("id", 300L)), col("id") < 300L),
+      (Seq(LessThanOrEqual("qty", 2)), col("qty") <= 2),
+      (Seq(In("cat", Array("cat_1", "cat_3"))), col("cat").isin("cat_1", "cat_3")),
+      (Seq(IsNull("qty")), col("qty").isNull),
+      (Seq(IsNotNull("cat"), LessThan("id", 100L)), col("cat").isNotNull && col("id") < 100L),
+      (Seq(Or(LessThan("id", 50L), GreaterThan("id", 7950L))), col("id") < 50L || col("id") > 7950L),
+      (Seq(And(GreaterThan("id", 1000L), LessThan("id", 1200L))), col("id") > 1000L && col("id") < 1200L),
+      (Seq(Not(EqualTo("qty", 7))), !(col("qty") === 7)),
+      (Seq(StringStartsWith("cat", "cat_4")), col("cat").startsWith("cat_4")),
+      (Seq(EqualTo("ts", java.sql.Timestamp.valueOf("2026-01-05 12:00:00"))),
+        col("ts") === java.sql.Timestamp.valueOf("2026-01-05 12:00:00")),
+      (Seq(GreaterThan("d", java.sql.Date.valueOf("2025-07-01"))),
+        col("d") > lit(java.sql.Date.valueOf("2025-07-01"))),
+      (Seq(EqualTo("allnull", 1)), col("allnull") === 1),
+      (Seq(IsNull("allnull")), col("allnull").isNull))
+    cases.foreach { case (fs, pred) =>
+      val got = ArrowIpc.readFiltered(spark, store, fs)
+      assert(canon(got) == canon(full.where(pred)), s"filters $fs")
+    }
+  }
+
+  test("range filter on the sorted key skips non-matching batches' bytes") {
+    ArrowIpc.read(spark, store).count() // warm footer/page caches either way
+    val (allRows, fullBytes) = bytesRead(ArrowIpc.readFiltered(spark, store, Nil).count())
+    assert(allRows == 8000)
+    val fs = Seq(GreaterThanOrEqual("id", 1000L), LessThan("id", 1512L))
+    val (hit, narrowBytes) = bytesRead(ArrowIpc.readFiltered(spark, store, fs).count())
+    assert(hit == 512)
+    // 8000 rows / 512-row batches = 16 batches; the range covers 2
+    assert(narrowBytes < fullBytes / 4,
+      s"narrow range read $narrowBytes B, full $fullBytes B — batches not skipped?")
+    // impossible predicate: zero batches survive
+    val (none, noneBytes) = bytesRead(
+      ArrowIpc.readFiltered(spark, store, Seq(GreaterThan("id", 1000000L))).count())
+    assert(none == 0)
+    assert(noneBytes < narrowBytes / 2, s"impossible filter still read $noneBytes B")
+    // all-null column: equality can never match, IsNull reads everything
+    val (z, zBytes) = bytesRead(
+      ArrowIpc.readFiltered(spark, store, Seq(EqualTo("allnull", 1))).count())
+    assert(z == 0 && zBytes < noneBytes * 2)
+  }
+
+  test("filters compose with column pruning; filter-only columns drop from the output") {
+    val got = ArrowIpc.read(spark, store, Seq("cat", "id"),
+      Seq(And(GreaterThanOrEqual("id", 2000L), LessThan("id", 2100L)), IsNotNull("qty")))
+    assert(got.schema.fieldNames.toSeq == Seq("cat", "id"))
+    val want = ArrowIpc.read(spark, store)
+      .where(col("id") >= 2000L && col("id") < 2100L && col("qty").isNotNull)
+      .select(col("cat"), col("id"))
+    assert(canon(got) == canon(want))
+    // duplicated output names under filters re-expand after the residual
+    val dup = ArrowIpc.read(spark, store, Seq("id", "id"), Seq(LessThan("id", 10L)))
+    assert(dup.schema.fieldNames.toSeq == Seq("id", "id"))
+    assert(dup.count() == 10)
+  }
+
+  test("foreign files without stats: filters stay exact, nothing is skipped") {
+    val base = "/root/reference/org.knime.core.columnar.arrow.tests/test_data"
+    assume(Files.isDirectory(Paths.get(base)))
+    val g = s"$base/LZ4_block_compression/data.arrow"
+    val full = ArrowIpc.read(spark, g)
+    val key = full.schema.fieldNames.head // int column per the generator
+    val got = ArrowIpc.readFiltered(spark, g, Seq(GreaterThan(key, 5)))
+    assert(canon(got) == canon(full.where(col(key) > 5)))
+  }
+
+  test("corrupt/mismatched stats metadata only disables skipping") {
+    // hand-break the stats: parseBatchStats must reject a wrong batch
+    // count and the read must fall back to full scanning, same results
+    assert(ArrowIpc.parseBatchStats("not json", 3).isEmpty)
+    assert(ArrowIpc.parseBatchStats("[]", 3).isEmpty)
+    assert(ArrowIpc.parseBatchStats("""[{"rows":1,"cols":{}}]""", 3).isEmpty)
+    val ok = ArrowIpc.parseBatchStats(
+      """[{"rows":2,"cols":{"a":{"t":"l","min":1,"max":9,"nulls":0}}}]""", 1)
+    assert(ok.exists(_.head.cols.contains("a")))
+  }
+}
