@@ -391,7 +391,7 @@ object ArrowIpc {
     private def load(raw: ArrowRecordBatch, target: VectorSchemaRoot): Unit =
       if (!legacyBlock) {
         // standard batches: VectorLoader handles frame/uncompressed itself
-        new VectorLoader(target, CommonsCompressionFactory.INSTANCE).load(raw)
+        new VectorLoader(target, FastLz4.Factory).load(raw)
       } else {
         val bufs = raw.getBuffers.asScala.map(decompressLegacyBlock(alloc, _)).asJava
         val clean = new ArrowRecordBatch(raw.getLength, raw.getNodes, bufs) // retains bufs
@@ -513,7 +513,7 @@ object ArrowIpc {
             }
             new ArrowRecordBatch(Math.toIntExact(rb.length()), nodesJ, bufsJ, bodyComp) // retains slices
           } finally body.close() // batch slices (or nothing, on throw) hold the ledger now
-        try new VectorLoader(root, CommonsCompressionFactory.INSTANCE).load(clean)
+        try new VectorLoader(root, FastLz4.Factory).load(clean)
         finally clean.close()
       }
     }
@@ -887,7 +887,7 @@ object ArrowIpc {
       // footer without buffering the data
       fileMeta: java.util.Map[String, String])
     extends ArrowFileWriter(root, provider, ch, fileMeta, IpcOption.DEFAULT,
-      CommonsCompressionFactory.INSTANCE, CompressionUtil.CodecType.LZ4_FRAME) {
+      FastLz4.Factory, CompressionUtil.CodecType.LZ4_FRAME) {
     override protected def ensureDictionariesWritten(
         p: DictionaryProvider, ids: java.util.Set[java.lang.Long]): Unit = ()
     def writeDict(b: ArrowDictionaryBatch): Unit = writeDictionaryBatch(b)
@@ -1026,14 +1026,18 @@ object ArrowIpc {
         schema.indices.map { i =>
           writerFor(root.getVector(i), schema(i).dataType, schema(i).name, statesByPath)
         }.toArray
-      val os: OutputStream = hfs.create(tmp, true)
+      // 1 MiB buffer: ArrowFileWriter emits many sub-4K writes and the
+      // Hadoop local stream's default 4K buffer turns each into a
+      // checksummed syscall (measured at the 100x tier: the sf10
+      // documents store wrote 339 s unbuffered)
+      val os: OutputStream = new java.io.BufferedOutputStream(hfs.create(tmp, true), 1 << 20)
       try {
         val fileMeta = new java.util.HashMap[String, String]()
         val writer = new DictFileWriter(root, provider, Channels.newChannel(os), fileMeta)
         val om = new com.fasterxml.jackson.databind.ObjectMapper()
         val statsArr = om.createArrayNode()
         writer.start()
-        val codec = CommonsCompressionFactory.INSTANCE.createCodec(CompressionUtil.CodecType.LZ4_FRAME)
+        val codec = FastLz4.Factory.createCodec(CompressionUtil.CodecType.LZ4_FRAME)
         // before each record batch: emit the values this batch introduced
         // (first time: the full-so-far dictionary; after: deltas). A batch
         // with no novel values emits nothing.

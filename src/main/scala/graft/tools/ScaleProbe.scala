@@ -907,6 +907,35 @@ object ScaleProbe {
         val tTri = (System.nanoTime() - t0) / 1e9
         println(s"""{"mode":"triangles","sum_corner_triangles":${agg.getLong(0)},""" +
           f""""max_per_node":${agg.getLong(1)},"avg_clustering":${agg.getDouble(2)}%.4f,"total_s":$tTri%.1f}""")
+      case "arrow" =>
+        // IPC migration-store IO at the tier: write documents once, then
+        // compare full read vs column-pruned vs stats-filtered vs
+        // zero-column — time AND bytes (graft.sources.ArrowIpc's channel
+        // counter isolates exactly what pruning/skipping saves)
+        import graft.sources.ArrowIpc
+        val dir = java.nio.file.Files.createTempDirectory("probe_arrow").toString + "/docs"
+        def bytesOf[A](f: => A): (A, Long) = {
+          val b0 = ArrowIpc.bytesReadCounter.sum()
+          val r = f
+          (r, ArrowIpc.bytesReadCounter.sum() - b0)
+        }
+        timed("write ipc store")(ArrowIpc.write(docs, dir, batchRows = 4096,
+          dictColumns = Set("lang", "source")))
+        val (nFull, bFull) = bytesOf(timed("full read count")(
+          ArrowIpc.read(spark, dir).count()))
+        val (_, bPruned) = bytesOf(timed("pruned (doc_id,lang) agg")(
+          ArrowIpc.read(spark, dir, Seq("doc_id", "lang"))
+            .groupBy(col("lang")).agg(count(lit(1))).collect()))
+        val hi = nFull / 50 // ~2% of the id range survives
+        val (nFilt, bFilt) = bytesOf(timed("filtered 2% id range")(
+          ArrowIpc.read(spark, dir, Seq("doc_id", "lang"),
+            Seq(org.apache.spark.sql.sources.LessThan("doc_id", hi))).count()))
+        val (nZero, bZero) = bytesOf(timed("zero-column count")(
+          ArrowIpc.read(spark, dir, Nil).count()))
+        require(nZero == nFull)
+        println(s"""{"mode":"arrow","rows":$nFull,"full_kb":${bFull / 1000},""" +
+          s""""pruned_kb":${bPruned / 1000},"filtered_rows":$nFilt,""" +
+          s""""filtered_kb":${bFilt / 1000},"zero_col_kb":${bZero / 1000}}""")
       case other => sys.error(s"unknown probe mode: $other")
     }
     spark.stop()
