@@ -167,7 +167,8 @@ object Bench {
     // shuffle)
     "q_arrow_pruned_scan",
     "q_heavy_hitters",
-    "q_arrow_filtered_scan"
+    "q_arrow_filtered_scan",
+    "q_heavy_hitters_by_lang"
   )
 
   def main(args: Array[String]): Unit = {

@@ -1503,6 +1503,17 @@ object LlmQueries {
         .orderBy(col("cnt").desc, col("token"))
     }),
 
+    // per-key variant: tokens above θ = 3% of THEIR LANGUAGE's occurrence
+    // count (one Misra–Gries summary per key per partition; per-key
+    // superset guarantee + exact recount joined on (key, item)) — the
+    // "what dominates each slice" analysis with per-slice thresholds
+    "q_heavy_hitters_by_lang" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("lang"), explode(T.tokenize(col("text"))).as("token"))
+      HeavyHitters.frequentPerKey(toks, "lang", "token", theta = 0.03)
+        .orderBy(col("lang"), col("cnt").desc, col("token"))
+    }),
+
     // overlapping token chunking (RAG/context-window shape): 16-token
     // windows every 8 tokens; tokens materialized as a column first so the
     // window lambdas never re-run the tokenize chain
@@ -3607,6 +3618,16 @@ object LlmQueries {
          |SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY token
          |HAVING count(*) > 0.02 * (SELECT count(*) FROM tok)
          |ORDER BY cnt DESC, token""".stripMargin,
+    // per-key: the HAVING threshold is each language's own token total
+    "q_heavy_hitters_by_lang" ->
+      s"""WITH tok AS MATERIALIZED (
+         |  SELECT lang, unnest(list_filter($toksSql, x -> x <> '')) AS token FROM documents
+         |  WHERE lang IS NOT NULL),
+         |tot AS MATERIALIZED (SELECT lang, count(*) AS n FROM tok GROUP BY lang)
+         |SELECT k.lang, k.token, k.cnt FROM (
+         |  SELECT lang, token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY lang, token) k
+         |JOIN tot USING (lang) WHERE k.cnt > 0.03 * tot.n
+         |ORDER BY lang, cnt DESC, token""".stripMargin,
     "q_ann_ivf" ->
       """WITH cent AS (
         |  SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS centroid

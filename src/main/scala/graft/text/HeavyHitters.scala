@@ -93,4 +93,68 @@ object HeavyHitters {
       .where(col("cnt") > lit(theta) * lit(n))
       .withColumnRenamed("item", itemCol)
   }
+
+  /** Per-KEY exact heavy hitters: for every key k, all items whose count
+    * within k strictly exceeds `theta * n_k` (n_k = k's non-null
+    * occurrence count). Same two-scan shape as [[frequent]] with one
+    * Misra–Gries summary per key per partition — the per-key averaging
+    * argument gives the same superset guarantee key-by-key, and the
+    * exact recount joins on (key, item).
+    *
+    * Memory contract: a partition holds `distinct keys in partition ×
+    * ⌈1/θ⌉` counters — sized for LOW-cardinality keys (language, source,
+    * shard). For high-cardinality keys pre-partition by key so each
+    * partition sees few, or use plain group-by (the key already shards
+    * the shuffle). Null keys are ignored along with null items.
+    *
+    * Output columns: (`keyCol`, `itemCol`, "cnt"), exact, unordered.
+    */
+  def frequentPerKey(items: DataFrame, keyCol: String, itemCol: String,
+      theta: Double): DataFrame = {
+    require(theta > 0 && theta < 1, s"theta must be in (0, 1), got $theta")
+    val spark = items.sparkSession
+    import spark.implicits._
+    val m = math.ceil(1.0 / theta).toInt
+    val src = items
+      .select(col(keyCol).cast("string").as("key"), col(itemCol).cast("string").as("item"))
+      .where(col("key").isNotNull && col("item").isNotNull)
+    val summary: Dataset[(String, String, Long)] =
+      src.as[(String, String)].mapPartitions { it =>
+        val perKey = new java.util.HashMap[String, java.util.HashMap[String, java.lang.Long]]()
+        val totals = new java.util.HashMap[String, java.lang.Long]()
+        while (it.hasNext) {
+          val (k, x) = it.next()
+          totals.merge(k, 1L, (a, b) => a + b)
+          val counts = perKey.computeIfAbsent(k, _ => new java.util.HashMap[String, java.lang.Long]())
+          val c = counts.get(x)
+          if (c != null) counts.put(x, c + 1)
+          else if (counts.size < m) counts.put(x, 1L)
+          else {
+            val e = counts.entrySet().iterator()
+            while (e.hasNext) {
+              val en = e.next()
+              if (en.getValue == 1L) e.remove() else en.setValue(en.getValue - 1)
+            }
+          }
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        perKey.forEach((k, counts) => counts.forEach((x, v) => out += ((k, x, v.longValue()))))
+        totals.forEach((k, t) => out += ((k, null, t.longValue())))
+        out.iterator
+      }
+    val sdf = summary.toDF("key", "item", "w")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-key totals are a tiny frame (one row per key); they join back
+    // broadcast so the threshold is evaluated per key
+    val totals = sdf.where(col("item").isNull)
+      .groupBy(col("key")).agg(sum(col("w")).as("__n"))
+    val candidates = sdf.where(col("item").isNotNull).select(col("key"), col("item")).distinct()
+    src
+      .join(broadcast(candidates), Seq("key", "item"), "left_semi")
+      .groupBy(col("key"), col("item"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(totals), Seq("key"))
+      .where(col("cnt") > lit(theta) * col("__n"))
+      .select(col("key").as(keyCol), col("item").as(itemCol), col("cnt"))
+  }
 }

@@ -71,6 +71,44 @@ class HeavyHittersSpec extends SparkSpec {
     assert(got == Map("a" -> 3L))
   }
 
+  test("frequentPerKey matches per-key brute force with disjoint per-key distributions") {
+    val rnd = new Random(7)
+    // key A: heavy 'a0'; key B: heavy 'b0'+'b1'; key C: uniform (no hitters at 0.3)
+    val items: Seq[(String, String)] =
+      Seq.fill(3000)(("A", if (rnd.nextDouble() < 0.4) "a0" else s"a${rnd.nextInt(100) + 1}")) ++
+        Seq.fill(2000)(("B", rnd.nextDouble() match {
+          case d if d < 0.35 => "b0"
+          case d if d < 0.68 => "b1"
+          case _ => s"b${rnd.nextInt(200) + 2}"
+        })) ++
+        Seq.fill(1000)(("C", s"c${rnd.nextInt(50)}"))
+    def bruteKey(theta: Double): Map[(String, String), Long] =
+      items.groupBy(_._1).flatMap { case (k, g) =>
+        val nk = g.length.toLong
+        g.groupBy(_._2).view.mapValues(_.length.toLong)
+          .filter { case (_, c) => c > theta * nk }
+          .map { case (x, c) => (k, x) -> c }
+      }
+    for (theta <- Seq(0.3, 0.1); parts <- Seq(1, 16)) {
+      val df = spark.createDataset(items).repartition(parts).toDF("k", "x")
+      val got = HeavyHitters.frequentPerKey(df, "k", "x", theta)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(got == bruteKey(theta), s"theta=$theta parts=$parts")
+    }
+  }
+
+  test("frequentPerKey ignores null keys and items; thresholds are per-key, not global") {
+    val items = Seq(
+      (null, "x"), ("A", null),
+      ("A", "hot"), ("A", "hot"), ("A", "hot"), ("A", "cold"),
+      ("B", "b1"), ("B", "b2")) // B: each item 50%, theta 0.6 → none
+    val df = spark.createDataset(items).toDF("k", "x")
+    val got = HeavyHitters.frequentPerKey(df, "k", "x", 0.6)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // A has 4 non-null items; hot=3 > 0.6*4=2.4 — 'hot' only
+    assert(got == Map(("A", "hot") -> 3L))
+  }
+
   test("theta bounds fail fast") {
     val df = spark.createDataset(Seq("a")).toDF("x")
     intercept[IllegalArgumentException](HeavyHitters.frequent(df, "x", 0.0))
