@@ -902,6 +902,11 @@ object ArrowIpc {
   private final class DictState(val id: Long, val valueField: Field) {
     private val index = new java.util.HashMap[Any, Integer]()
     val pending = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    /** every value in index order — the reverse map batch statistics use
+      * to resolve an index vector's values (bounded by the dictionary,
+      * which lives in memory regardless)
+      */
+    val valuesInOrder = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     /** whether ANY dictionary batch was emitted yet — not an entry count:
       * an empty initial batch (first rows all null) must still flip this,
       * or the next batch would emit a second non-delta batch = dictionary
@@ -928,6 +933,7 @@ object ArrowIpc {
       val i = index.size()
       index.put(key, i)
       pending += bytes
+      valuesInOrder += bytes
       i
     }
   }
@@ -1078,7 +1084,10 @@ object ArrowIpc {
         def flush(): Unit = if (n > 0) {
           flushDicts()
           root.setRowCount(n)
-          statsArr.add(collectBatchStats(root, n, om))
+          statsArr.add(collectBatchStats(root, n, om, name =>
+            statesByPath.get(name)
+              .filter(_.valueField.getType.isInstanceOf[ArrowType.Utf8])
+              .map(st => (i: Int) => st.valuesInOrder(i))))
           writer.writeBatch(); root.allocateNew(); n = 0
         }
         it.foreach { row =>
@@ -1119,13 +1128,49 @@ object ArrowIpc {
     * Doubles drop the entry on NaN (unorderable) and ±Inf (not JSON).
     */
   private def collectBatchStats(root: VectorSchemaRoot, n: Int,
-      om: com.fasterxml.jackson.databind.ObjectMapper): com.fasterxml.jackson.databind.node.ObjectNode = {
+      om: com.fasterxml.jackson.databind.ObjectMapper,
+      dictValues: String => Option[Int => Array[Byte]] = _ => None): com.fasterxml.jackson.databind.node.ObjectNode = {
     val node = om.createObjectNode()
     node.put("rows", n)
     val cols = node.putObject("cols")
     root.getFieldVectors.asScala.foreach { v =>
       val name = v.getField.getName
-      if (v.getField.getDictionary == null) {
+      if (v.getField.getDictionary != null) {
+        // dictionary-encoded STRING column: the writer-side dictionary
+        // resolves each index to its value, so min/max are over real
+        // values — `lang = 'en'`-style slice filters (the most common
+        // pipeline predicate) skip batches like any plain column
+        dictValues(name).foreach { valueOf =>
+          (v match {
+            case x: IntVector =>
+              def scanDict(): Option[(Array[Byte], Array[Byte], Long)] = {
+                var min: Array[Byte] = null; var max: Array[Byte] = null
+                var nulls = 0L; var i = 0
+                while (i < n) {
+                  if (v.isNull(i)) nulls += 1
+                  else {
+                    val b = valueOf(x.get(i))
+                    if (b.length > 64) return None // prefix max is not an upper bound
+                    if (min == null || UTF8String.fromBytes(b).compareTo(UTF8String.fromBytes(min)) < 0) min = b
+                    if (max == null || UTF8String.fromBytes(max).compareTo(UTF8String.fromBytes(b)) < 0) max = b
+                  }
+                  i += 1
+                }
+                Some((min, max, nulls))
+              }
+              scanDict()
+            case _ => None
+          }).foreach { case (mn, mx, nulls) =>
+            val o = cols.putObject(name)
+            o.put("t", "s")
+            if (nulls < n) {
+              o.put("min", new String(mn, java.nio.charset.StandardCharsets.UTF_8))
+              o.put("max", new String(mx, java.nio.charset.StandardCharsets.UTF_8))
+            }
+            o.put("nulls", nulls)
+          }
+        }
+      } else {
         val asLong: Option[Int => Long] = v match {
           case x: BigIntVector => Some(x.get)
           case x: IntVector => Some(x.get(_).toLong)

@@ -124,6 +124,28 @@ class ArrowFilterSpec extends SparkSpec {
     assert(dup.count() == 10)
   }
 
+  test("dictionary-encoded string column gets stats: equality on it skips batches") {
+    val out = tmp("ipc_filter_dict")
+    val df = spark.range(0, 8000).select(
+      col("id"),
+      concat(lit("cat_"), (col("id") / 1000).cast("int").cast("string")).as("cat"),
+      concat(lit("pad" * 100), col("id").cast("string")).as("payload"))
+      .orderBy("cat", "id") // batches carry narrow cat ranges
+    graft.sources.ArrowIpc.write(df, out, batchRows = 512, dictColumns = Set("cat"))
+    val full = ArrowIpc.read(spark, out)
+    val (_, fullBytes) = bytesRead(full.collect().length)
+    val (got, dictBytes) = bytesRead(
+      ArrowIpc.readFiltered(spark, out, Seq(EqualTo("cat", "cat_3"))).collect())
+    assert(got.length == 1000)
+    assert(got.forall(_.getAs[String]("cat") == "cat_3"))
+    assert(dictBytes < fullBytes / 3,
+      s"dict-column equality read $dictBytes B vs full $fullBytes B — batches not skipped?")
+    // a value outside the dictionary skips everything
+    val (none, _) = bytesRead(
+      ArrowIpc.readFiltered(spark, out, Seq(EqualTo("cat", "zzz"))).count())
+    assert(none == 0)
+  }
+
   test("foreign files without stats: filters stay exact, nothing is skipped") {
     val base = "/root/reference/org.knime.core.columnar.arrow.tests/test_data"
     assume(Files.isDirectory(Paths.get(base)))
