@@ -396,11 +396,24 @@ object PlanCheck {
     // one groupBy-sum (equi), nothing quadratic
     Check(
       "q_linkgraph_append_auto",
-      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
     // (no q_reach_distribution_artifact check: its readout aggregates
     // driver-side and returns a LocalTableScan - any plan assertion on
     // the gate frame would be vacuous; the serving-path discipline is
     // covered by the estimate/harmonic checks above)
+
+    // round 14 continuation — exact heavy hitters: the exact-recount pass
+    // must semi-join the BROADCAST candidate set (no shuffle of
+    // non-candidate occurrences) and combine map-side before the exchange;
+    // nothing quadratic anywhere
+    Check(
+      "q_heavy_hitters",
+      mustContain = Seq("BroadcastHashJoin", "LeftSemi", "partial_count"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    Check(
+      "q_heavy_hitters_by_lang",
+      mustContain = Seq("BroadcastHashJoin", "LeftSemi", "partial_count"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
   )
 
   /** Plan checks for operator INTERNALS the gate plans hide behind
