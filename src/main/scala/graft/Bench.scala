@@ -168,7 +168,8 @@ object Bench {
     "q_arrow_pruned_scan",
     "q_heavy_hitters",
     "q_arrow_filtered_scan",
-    "q_heavy_hitters_by_lang"
+    "q_heavy_hitters_by_lang",
+    "q_components_store"
   )
 
   def main(args: Array[String]): Unit = {

@@ -2054,6 +2054,28 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // components SERVED from a DerivedStore: the label table is computed
+    // once, certified against the link graph's state fingerprint, and
+    // every later consumer reads node-sized parquet instead of re-running
+    // the large-star/small-star fixed point — the second DerivedStore
+    // consumer proving the source-certificate pattern is operator-
+    // agnostic (oracle = q_components's, same as the artifact lane)
+    "q_components_store" -> ((s, dir) => {
+      val gDir = linkGraphDir(s, dir)
+      val cDir = ivfIndexDirs.computeIfAbsent(dir + "#ccs", _ => {
+        val d = java.nio.file.Files.createTempDirectory("graft_ccs").toString
+        val fp = graft.text.LinkGraphStore.stateFingerprint(s, gDir)
+        graft.table.DerivedStore.save(
+          LinkGraph.connectedComponents(t(s, dir, "documents").select(col("doc_id")), "doc_id",
+            graft.text.LinkGraphStore.loadEdges(s, gDir)),
+          d, fp)
+        d
+      })
+      graft.table.DerivedStore.loadChecked(s, cDir,
+          graft.text.LinkGraphStore.stateFingerprint(s, gDir))
+        .orderBy(col("doc_id"))
+    }),
+
     // components over the same persisted artifact — the second consumer
     // proving the artifact is operator-agnostic (oracle = q_components's)
     "q_components_artifact" -> ((s, dir) => {
@@ -2371,6 +2393,8 @@ object LlmQueries {
       // the stored rank table serves value-identical to a live recompute
       ("q_pagerank_store" -> m("q_pagerank")) +
       ("q_components_artifact" -> m("q_components")) +
+      // the DerivedStore-served label table replays q_components exactly
+      ("q_components_store" -> m("q_components")) +
       // the persisted BM25 artifact must score bit-identically to the
       // from-scratch builds those oracles replay
       ("q_bm25_persisted" -> m("q_bm25")) +
