@@ -76,11 +76,11 @@ object HeavyHitters {
       out.iterator
     }
     // the summary is tiny (≤ partitions·m rows) and consumed twice (n +
-    // candidate set) — persist so pass 1 runs once; batch-sized pin left
-    // for GC per the family discipline (releasing before the returned
-    // plan materializes breaks it)
-    val sdf = summary.toDF("item", "w")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // candidate set) — eager localCheckpoint so pass 1 runs once; the
+    // summary-sized pin is left for GC per the family discipline
+    // (releasing before the returned plan materializes breaks it), and a
+    // checkpoint never pollutes the session CacheManager
+    val sdf = summary.toDF("item", "w").localCheckpoint(true)
     val nRow = sdf.where(col("item").isNull).agg(sum(col("w"))).head()
     val n = if (nRow.isNullAt(0)) 0L else nRow.getLong(0)
     if (n == 0L)
@@ -142,8 +142,7 @@ object HeavyHitters {
         totals.forEach((k, t) => out += ((k, null, t.longValue())))
         out.iterator
       }
-    val sdf = summary.toDF("key", "item", "w")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sdf = summary.toDF("key", "item", "w").localCheckpoint(true)
     // per-key totals are a tiny frame (one row per key); they join back
     // broadcast so the threshold is evaluated per key
     val totals = sdf.where(col("item").isNull)
