@@ -16,12 +16,26 @@ import Tables._
   */
 object CoreQueries {
 
-  /** Session-lifetime cache of Arrow IPC store dirs keyed by the data dir
-    * (the LlmQueries.ivfIndexDirs discipline: built once per (JVM, sfDir),
-    * removed by a shutdown hook — re-running the gate measures the pruned
-    * READ, not a rewrite).
+  /** Session-lifetime cache of Arrow IPC store TEMP dirs keyed by the
+    * data dir (the LlmQueries.ivfIndexDirs discipline: built once per
+    * (JVM, sfDir), removed by a shutdown hook — re-running a gate
+    * measures the pruned READ, not a rewrite). Values are the temp
+    * PARENT (what the hook deletes); the store itself lives at
+    * `<parent>/docs`, via [[docsIpcStore]] — the single builder both
+    * Arrow gates share, so their store parameters cannot fork.
     */
   private val arrowStoreDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The session's dictionary-encoded LZ4 IPC copy of `documents`,
+    * written once per (JVM, sfDir).
+    */
+  private def docsIpcStore(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    arrowStoreDirs.computeIfAbsent(dir, _ => {
+      val parent = java.nio.file.Files.createTempDirectory("graft_arrow_docs").toString
+      graft.sources.ArrowIpc.write(t(s, dir, "documents"), s"$parent/docs",
+        batchRows = 2048, dictColumns = Set("lang", "source"))
+      parent
+    }) + "/docs"
   locally {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       arrowStoreDirs.values().forEach { d =>
@@ -48,13 +62,7 @@ object CoreQueries {
     // byte counts). Oracle = the same aggregate over the parquet source,
     // so the gate proves pruned-read VALUES, not just shape.
     "q_arrow_pruned_scan" -> ((s, dir) => {
-      val ipcDir = arrowStoreDirs.computeIfAbsent(dir, _ => {
-        val d = java.nio.file.Files.createTempDirectory("graft_arrow_docs").toString + "/docs"
-        graft.sources.ArrowIpc.write(t(s, dir, "documents"), d,
-          batchRows = 2048, dictColumns = Set("lang", "source"))
-        d
-      })
-      graft.sources.ArrowIpc.read(s, ipcDir, Seq("doc_id", "lang", "n_chars"))
+      graft.sources.ArrowIpc.read(s, docsIpcStore(s, dir), Seq("doc_id", "lang", "n_chars"))
         .groupBy(col("lang"))
         .agg(
           count(lit(1)).as("n_docs"),
@@ -73,13 +81,7 @@ object CoreQueries {
     // the parquet source, so a wrongly-skipped batch = missing rows =
     // hash mismatch.
     "q_arrow_filtered_scan" -> ((s, dir) => {
-      val ipcDir = arrowStoreDirs.computeIfAbsent(dir, _ => {
-        val d = java.nio.file.Files.createTempDirectory("graft_arrow_docs").toString + "/docs"
-        graft.sources.ArrowIpc.write(t(s, dir, "documents"), d,
-          batchRows = 2048, dictColumns = Set("lang", "source"))
-        d
-      })
-      graft.sources.ArrowIpc.read(s, ipcDir, Seq("doc_id", "lang", "n_chars"),
+      graft.sources.ArrowIpc.read(s, docsIpcStore(s, dir), Seq("doc_id", "lang", "n_chars"),
           Seq(org.apache.spark.sql.sources.GreaterThanOrEqual("doc_id", 100L),
             org.apache.spark.sql.sources.LessThan("doc_id", 300L)))
         .groupBy(col("lang"))

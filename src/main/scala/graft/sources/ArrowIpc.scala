@@ -100,6 +100,15 @@ object ArrowIpc {
     */
   private[graft] val bytesReadCounter = new java.util.concurrent.atomic.LongAdder
 
+  /** Bytes pulled through the IPC reader's channel while running `f`
+    * (local-mode measurement helper — specs and probes share it).
+    */
+  private[graft] def bytesReadDuring[T](f: => T): (T, Long) = {
+    val before = bytesReadCounter.sum()
+    val r = f
+    (r, bytesReadCounter.sum() - before)
+  }
+
   /** FILE-footer custom-metadata key holding per-record-batch column
     * statistics as a JSON array (one element per batch, in footer block
     * order): `[{"rows":N,"cols":{"c":{"t":"l|d|s","min":…,"max":…,
@@ -610,9 +619,14 @@ object ArrowIpc {
     * stats from a foreign or half-understood layout must disable the
     * optimization, never steer it.
     */
+  // ObjectMapper is thread-safe for reads; one instance serves every
+  // per-file parse (a filtered directory scan opens one FooterSource per
+  // file per task)
+  private lazy val statsMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   private[graft] def parseBatchStats(json: String, expectBatches: Int): Option[IndexedSeq[BatchStats]] =
     try {
-      val arr = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+      val arr = statsMapper.readTree(json)
       if (arr == null || !arr.isArray || arr.size != expectBatches) None
       else Some((0 until arr.size).map { i =>
         val b = arr.get(i)
@@ -684,7 +698,14 @@ object ArrowIpc {
         case Some(LongColStats(Some((mn, mx)), _)) =>
           toLongOpt(v).forall(x => pred(java.lang.Long.compare(mn, x), java.lang.Long.compare(mx, x)))
         case Some(DoubleColStats(Some((mn, mx)), _)) =>
-          toDoubleOpt(v).forall(x => pred(java.lang.Double.compare(mn, x), java.lang.Double.compare(mx, x)))
+          // canonicalize signed zeros first: java.lang.Double.compare
+          // orders -0.0 < 0.0 but Spark's comparisons treat them equal —
+          // without this a batch whose bounds are -0.0 is wrongly skipped
+          // for `>= 0.0` (the parquet ±0.0 bounds hazard). `d == 0.0` is
+          // IEEE equality, true for both zeros; NaN/Inf never reach stats.
+          def z(d: Double): Double = if (d == 0.0) 0.0 else d
+          toDoubleOpt(v).forall(x =>
+            pred(java.lang.Double.compare(z(mn), z(x)), java.lang.Double.compare(z(mx), z(x))))
         case Some(StringColStats(Some((mn, mx)), _)) => v match {
           case s: String => pred(cmpUtf8(mn, s), cmpUtf8(mx, s))
           case _ => true
@@ -705,16 +726,28 @@ object ArrowIpc {
       case IsNull(a) => bs.cols.get(a).forall(_.nulls > 0)
       case IsNotNull(a) => bs.cols.get(a).forall(st => st.nulls < bs.rows)
       case StringStartsWith(a, p) if p.nonEmpty =>
-        // a value with prefix p lies in [p, next(p)); next(p) bumps the
-        // last non-max char (no bumpable char → no upper bound)
+        // a value with prefix p lies in [p, next(p)) in UTF8String's
+        // unsigned-BYTE order. next(p) must be computed over the UTF-8
+        // BYTES (bump the last non-0xFF byte, truncate after): bumping
+        // the last CHAR can land on an unpaired surrogate, which
+        // UTF8String.fromString encodes as '?' — a "successor" byte-wise
+        // SMALLER than the prefix, wrongly skipping matching batches.
         val lower = cmp(a, p)((_, hi) => hi >= 0)
-        val next = {
-          val cs = p.toCharArray
-          var i = cs.length - 1
-          while (i >= 0 && cs(i) == Char.MaxValue) i -= 1
-          if (i < 0) None else Some(new String(cs, 0, i) + (cs(i) + 1).toChar)
+        val pb = UTF8String.fromString(p).getBytes
+        var bi = pb.length - 1
+        while (bi >= 0 && pb(bi) == 0xff.toByte) bi -= 1
+        val nextBytes =
+          if (bi < 0) None // all 0xFF: no upper bound
+          else Some { val nb = java.util.Arrays.copyOf(pb, bi + 1); nb(bi) = (nb(bi) + 1).toByte; nb }
+        lower && nextBytes.forall { nb =>
+          bs.cols.get(a) match {
+            case None => true
+            case Some(st) if !st.rangeDefined => false // all-null (lower already said so)
+            case Some(StringColStats(Some((mn, _)), _)) =>
+              UTF8String.fromString(mn).compareTo(UTF8String.fromBytes(nb)) < 0
+            case _ => true // non-string stats under a string filter: no pruning
+          }
         }
-        lower && next.forall(np => cmp(a, np)((lo, _) => lo < 0))
       case _ => true
     }
   }
@@ -1144,17 +1177,23 @@ object ArrowIpc {
           (v match {
             case x: IntVector =>
               def scanDict(): Option[(Array[Byte], Array[Byte], Long)] = {
-                var min: Array[Byte] = null; var max: Array[Byte] = null
+                // row scan collects only the DISTINCT indices (a BitSet —
+                // indices are dense smalls); value comparisons then run
+                // once per distinct dictionary entry, not per row
                 var nulls = 0L; var i = 0
+                val seen = new java.util.BitSet()
                 while (i < n) {
-                  if (v.isNull(i)) nulls += 1
-                  else {
-                    val b = valueOf(x.get(i))
-                    if (b.length > 64) return None // prefix max is not an upper bound
-                    if (min == null || UTF8String.fromBytes(b).compareTo(UTF8String.fromBytes(min)) < 0) min = b
-                    if (max == null || UTF8String.fromBytes(max).compareTo(UTF8String.fromBytes(b)) < 0) max = b
-                  }
+                  if (v.isNull(i)) nulls += 1 else seen.set(x.get(i))
                   i += 1
+                }
+                var min: Array[Byte] = null; var max: Array[Byte] = null
+                var idx = seen.nextSetBit(0)
+                while (idx >= 0) {
+                  val b = valueOf(idx)
+                  if (b.length > 64) return None // prefix max is not an upper bound
+                  if (min == null || UTF8String.fromBytes(b).compareTo(UTF8String.fromBytes(min)) < 0) min = b
+                  if (max == null || UTF8String.fromBytes(max).compareTo(UTF8String.fromBytes(b)) < 0) max = b
+                  idx = seen.nextSetBit(idx + 1)
                 }
                 Some((min, max, nulls))
               }

@@ -22,8 +22,10 @@ object Sources {
     * (LZ4-frame compressed; OffHeapArrowBatchStore.java:66). Day-one
     * migration path for existing columnar tables; see [[ArrowIpc]] for
     * the scale notes (one task per file; column pruning via the
-    * `columns` overload; no FILTER pushdown — migrate to parquet for
-    * repeated filtered analytics).
+    * `columns` overload; filter pushdown via batch statistics on
+    * ENGINE-written stores — foreign files carry no stats and read
+    * fully, so re-write through [[writeArrowIpc]] or migrate to parquet
+    * for repeated filtered analytics over a foreign store).
     */
   def arrowIpc(spark: SparkSession, path: String): DataFrame =
     ArrowIpc.read(spark, path)

@@ -46,22 +46,17 @@ object ArrowReadBench {
       System.err.println(f"[arrow-read-bench] rows=$rows best=${best}%.3f s  (${rows / best / 1e6}%.2f M rows/s)  all=${times.map(t => f"$t%.3f").mkString(",")}")
       // column-pruned read: 2 of 16 columns via selective buffer IO —
       // report time AND bytes (the counter isolates what pruning skips)
-      def bytesOf[T](f: => T): (T, Long) = {
-        val b0 = ArrowIpc.bytesReadCounter.sum()
-        val r = f
-        (r, ArrowIpc.bytesReadCounter.sum() - b0)
-      }
       import org.apache.spark.sql.functions.{col, sum}
       def prunedAgg() = ArrowIpc.read(spark, tmp, Seq("l_orderkey", "l_quantity"))
         .agg(sum(col("l_quantity"))).collect()
       def fullAgg() = ArrowIpc.read(spark, tmp)
         .agg(sum(col("l_quantity"))).collect()
       prunedAgg(); fullAgg() // warm
-      val (_, fullBytes) = bytesOf(fullAgg())
+      val (_, fullBytes) = ArrowIpc.bytesReadDuring(fullAgg())
       val fullT = (1 to 3).map { _ =>
         val t0 = System.nanoTime(); fullAgg(); (System.nanoTime() - t0) / 1e9
       }.min
-      val (_, prunedBytes) = bytesOf(prunedAgg())
+      val (_, prunedBytes) = ArrowIpc.bytesReadDuring(prunedAgg())
       val prunedT = (1 to 3).map { _ =>
         val t0 = System.nanoTime(); prunedAgg(); (System.nanoTime() - t0) / 1e9
       }.min

@@ -914,23 +914,18 @@ object ScaleProbe {
         // counter isolates exactly what pruning/skipping saves)
         import graft.sources.ArrowIpc
         val dir = java.nio.file.Files.createTempDirectory("probe_arrow").toString + "/docs"
-        def bytesOf[A](f: => A): (A, Long) = {
-          val b0 = ArrowIpc.bytesReadCounter.sum()
-          val r = f
-          (r, ArrowIpc.bytesReadCounter.sum() - b0)
-        }
         timed("write ipc store")(ArrowIpc.write(docs, dir, batchRows = 4096,
           dictColumns = Set("lang", "source")))
-        val (nFull, bFull) = bytesOf(timed("full read count")(
+        val (nFull, bFull) = ArrowIpc.bytesReadDuring(timed("full read count")(
           ArrowIpc.read(spark, dir).count()))
-        val (_, bPruned) = bytesOf(timed("pruned (doc_id,lang) agg")(
+        val (_, bPruned) = ArrowIpc.bytesReadDuring(timed("pruned (doc_id,lang) agg")(
           ArrowIpc.read(spark, dir, Seq("doc_id", "lang"))
             .groupBy(col("lang")).agg(count(lit(1))).collect()))
         val hi = nFull / 50 // ~2% of the id range survives
-        val (nFilt, bFilt) = bytesOf(timed("filtered 2% id range")(
+        val (nFilt, bFilt) = ArrowIpc.bytesReadDuring(timed("filtered 2% id range")(
           ArrowIpc.read(spark, dir, Seq("doc_id", "lang"),
             Seq(org.apache.spark.sql.sources.LessThan("doc_id", hi))).count()))
-        val (nZero, bZero) = bytesOf(timed("zero-column count")(
+        val (nZero, bZero) = ArrowIpc.bytesReadDuring(timed("zero-column count")(
           ArrowIpc.read(spark, dir, Nil).count()))
         require(nZero == nFull)
         println(s"""{"mode":"arrow","rows":$nFull,"full_kb":${bFull / 1000},""" +

@@ -27,11 +27,7 @@ class ArrowFilterSpec extends SparkSpec {
       case x => String.valueOf(x)
     }.mkString("|")).sorted.toSeq
 
-  private def bytesRead[T](f: => T): (T, Long) = {
-    val before = ArrowIpc.bytesReadCounter.sum()
-    val r = f
-    (r, ArrowIpc.bytesReadCounter.sum() - before)
-  }
+  private def bytesRead[T](f: => T): (T, Long) = ArrowIpc.bytesReadDuring(f)
 
   private val schema = StructType(Seq(
     StructField("id", LongType, nullable = false),
@@ -154,6 +150,38 @@ class ArrowFilterSpec extends SparkSpec {
     val key = full.schema.fieldNames.head // int column per the generator
     val got = ArrowIpc.readFiltered(spark, g, Seq(GreaterThan(key, 5)))
     assert(canon(got) == canon(full.where(col(key) > 5)))
+  }
+
+  test("signed zeros: a batch of -0.0 survives >= 0.0 and == 0.0 filters (review fix)") {
+    // java.lang.Double.compare orders -0.0 < 0.0; Spark's residual treats
+    // them equal — the skip decision must agree with the residual or rows
+    // vanish silently (the parquet ±0.0 bounds hazard)
+    val out = tmp("ipc_filter_zero")
+    val df = spark.range(0, 1024).select(
+      col("id"),
+      when(col("id") < 512, lit(-0.0)).otherwise(lit(1.5)).as("v"))
+      .orderBy("id") // first two batches are all -0.0
+    ArrowIpc.write(df, out, batchRows = 256)
+    val ge = ArrowIpc.readFiltered(spark, out, Seq(GreaterThanOrEqual("v", 0.0)))
+    assert(ge.count() == 1024, "-0.0 rows must satisfy >= 0.0")
+    val eq = ArrowIpc.readFiltered(spark, out, Seq(EqualTo("v", 0.0)))
+    assert(eq.count() == 512, "-0.0 rows must satisfy == 0.0")
+    val lt = ArrowIpc.readFiltered(spark, out, Seq(LessThan("v", 0.0)))
+    assert(lt.count() == 0, "-0.0 is not < 0.0 under Spark semantics")
+  }
+
+  test("StringStartsWith with a prefix ending near the surrogate range (review fix)") {
+    // bumping the last CHAR of "a퟿" lands on an unpaired surrogate
+    // that UTF8String encodes as '?' — byte-wise SMALLER than the prefix;
+    // the upper bound must be computed over UTF-8 bytes instead
+    val out = tmp("ipc_filter_surrogate")
+    import spark.implicits._
+    val df = (0 until 512).map(i => (i.toLong, "a퟿x" + i)).toDF("id", "s").orderBy("id")
+    ArrowIpc.write(df, out, batchRows = 128)
+    val got = ArrowIpc.readFiltered(spark, out, Seq(StringStartsWith("s", "a퟿")))
+    assert(got.count() == 512, "every row starts with the prefix; none may be skipped")
+    val none = ArrowIpc.readFiltered(spark, out, Seq(StringStartsWith("s", "b")))
+    assert(none.count() == 0)
   }
 
   test("corrupt/mismatched stats metadata only disables skipping") {

@@ -58,15 +58,7 @@ class ArrowPruneSpec extends SparkSpec {
   private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
     df.collect().map(_.toSeq.map(canonVal).mkString("|")).sorted.toSeq
 
-  /** Bytes the IPC reader pulled through its channel while running `f`
-    * (local mode: all tasks share the JVM-wide counter; suites run
-    * sequentially, so the delta is this read's).
-    */
-  private def bytesRead[T](f: => T): (T, Long) = {
-    val before = ArrowIpc.bytesReadCounter.sum()
-    val r = f
-    (r, ArrowIpc.bytesReadCounter.sum() - before)
-  }
+  private def bytesRead[T](f: => T): (T, Long) = ArrowIpc.bytesReadDuring(f)
 
   test("pruned read == full.select on scalars: single, permuted, duplicated columns") {
     val df = spark.createDataFrame(
