@@ -913,7 +913,16 @@ object ScaleProbe {
         // zero-column — time AND bytes (graft.sources.ArrowIpc's channel
         // counter isolates exactly what pruning/skipping saves)
         import graft.sources.ArrowIpc
-        val dir = java.nio.file.Files.createTempDirectory("probe_arrow").toString + "/docs"
+        val parent = java.nio.file.Files.createTempDirectory("probe_arrow")
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          try {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(parent).iterator().asScala.toSeq
+              .sortBy(-_.getNameCount)
+              .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch { case _: Exception => () })
+          } catch { case _: Exception => () }
+        }))
+        val dir = parent.toString + "/docs"
         timed("write ipc store")(ArrowIpc.write(docs, dir, batchRows = 4096,
           dictColumns = Set("lang", "source")))
         val (nFull, bFull) = ArrowIpc.bytesReadDuring(timed("full read count")(
