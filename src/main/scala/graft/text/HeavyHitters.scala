@@ -34,15 +34,46 @@ import org.apache.spark.sql.functions._
   * partitions at θ = 1e-3 → 100M summary rows, still a shuffle of ids
   * not occurrences; at the θ ≥ 1% of vocabulary analyses it is
   * thousands). Null items are ignored (not counted toward n).
+  *
+  * Broadcast guard: the candidate (and per-key totals) frames are
+  * bounded by partitions × ⌈1/θ⌉ — usually thousands, but the 100k ×
+  * 1e-3 regime above reaches 100M ids, past Spark's 8 GB broadcast hard
+  * limit. The summary is already checkpointed, so counting it is a
+  * summary-sized job; past [[HeavyHitters.BroadcastRowLimit]] rows the
+  * recount joins route to a shuffle hash join (hinted — the join key
+  * already bounds that shuffle, and the following aggregation reuses its
+  * partitioning) instead of failing the broadcast. Mirrors the
+  * reference's capped-domain discipline
+  * (`ColumnarStringDomainCalculator.java:67` — drop past maxNumValues
+  * rather than grow unboundedly).
   */
 object HeavyHitters {
+
+  /** Above this many rows a candidate/totals frame is no longer
+    * hint-broadcast: 10M string ids ≈ hundreds of MB on the driver and a
+    * multi-GB broadcast per executor — still legal, but the next order
+    * of magnitude is not, so route to shuffle before the cliff.
+    * Overridable per call (tests force the routed shape with 0).
+    */
+  val BroadcastRowLimit: Long = 10000000L
+
+  /** left_semi prune of `src` against a small-ish `keys` frame whose row
+    * count is known: broadcast under the limit, hinted shuffle-hash past
+    * it (hints outrank autoBroadcastJoinThreshold, so the routed shape
+    * is deterministic — asserted by PlanCheck heavy_hitters_shuffle_route).
+    */
+  private def semiPrune(src: DataFrame, keys: DataFrame, on: Seq[String],
+      keyRows: Long, limit: Long): DataFrame =
+    if (keyRows <= limit) src.join(broadcast(keys), on, "left_semi")
+    else src.join(keys.hint("shuffle_hash"), on, "left_semi")
 
   /** All items of `items(itemCol)` (cast to string) whose exact
     * occurrence count strictly exceeds `theta * n`, where n = number of
     * non-null occurrences. Output columns: (`itemCol`, "cnt"), exact
     * counts, unordered.
     */
-  def frequent(items: DataFrame, itemCol: String, theta: Double): DataFrame = {
+  def frequent(items: DataFrame, itemCol: String, theta: Double,
+      broadcastLimit: Long = BroadcastRowLimit): DataFrame = {
     require(theta > 0 && theta < 1, s"theta must be in (0, 1), got $theta")
     val spark = items.sparkSession
     import spark.implicits._
@@ -86,8 +117,9 @@ object HeavyHitters {
     if (n == 0L)
       return src.groupBy(col("item").as(itemCol)).agg(count(lit(1)).as("cnt")).limit(0)
     val candidates = sdf.where(col("item").isNotNull).select(col("item")).distinct()
-    src
-      .join(broadcast(candidates), Seq("item"), "left_semi")
+    // summary-sized count (checkpointed input) decides the join route
+    val nCand = candidates.count()
+    semiPrune(src, candidates, Seq("item"), nCand, broadcastLimit)
       .groupBy(col("item"))
       .agg(count(lit(1)).as("cnt"))
       .where(col("cnt") > lit(theta) * lit(n))
@@ -103,14 +135,18 @@ object HeavyHitters {
     *
     * Memory contract: a partition holds `distinct keys in partition ×
     * ⌈1/θ⌉` counters — sized for LOW-cardinality keys (language, source,
-    * shard). For high-cardinality keys pre-partition by key so each
-    * partition sees few, or use plain group-by (the key already shards
-    * the shuffle). Null keys are ignored along with null items.
+    * shard). For high-cardinality keys pass `repartitionByKey = true`:
+    * the summary pass then runs over a hash-partitioning on the key, so
+    * a partition holds ~|keys|/partitions of them — the contract becomes
+    * enforced, not advisory (both routes are oracle-identical; property
+    * test in HeavyHittersSpec). Null keys are ignored along with null
+    * items.
     *
     * Output columns: (`keyCol`, `itemCol`, "cnt"), exact, unordered.
     */
   def frequentPerKey(items: DataFrame, keyCol: String, itemCol: String,
-      theta: Double): DataFrame = {
+      theta: Double, repartitionByKey: Boolean = false,
+      broadcastLimit: Long = BroadcastRowLimit): DataFrame = {
     require(theta > 0 && theta < 1, s"theta must be in (0, 1), got $theta")
     val spark = items.sparkSession
     import spark.implicits._
@@ -118,8 +154,11 @@ object HeavyHitters {
     val src = items
       .select(col(keyCol).cast("string").as("key"), col(itemCol).cast("string").as("item"))
       .where(col("key").isNotNull && col("item").isNotNull)
+    // the summary pass may run over a key-partitioned view (memory
+    // contract above); the exact recount always reads the un-shuffled src
+    val summarySrc = if (repartitionByKey) src.repartition(col("key")) else src
     val summary: Dataset[(String, String, Long)] =
-      src.as[(String, String)].mapPartitions { it =>
+      summarySrc.as[(String, String)].mapPartitions { it =>
         val perKey = new java.util.HashMap[String, java.util.HashMap[String, java.lang.Long]]()
         val totals = new java.util.HashMap[String, java.lang.Long]()
         while (it.hasNext) {
@@ -143,16 +182,23 @@ object HeavyHitters {
         out.iterator
       }
     val sdf = summary.toDF("key", "item", "w").localCheckpoint(true)
-    // per-key totals are a tiny frame (one row per key); they join back
-    // broadcast so the threshold is evaluated per key
+    // per-key totals (one row per key) join back so the threshold is
+    // evaluated per key — broadcast only while the key space allows it
     val totals = sdf.where(col("item").isNull)
       .groupBy(col("key")).agg(sum(col("w")).as("__n"))
     val candidates = sdf.where(col("item").isNotNull).select(col("key"), col("item")).distinct()
-    src
-      .join(broadcast(candidates), Seq("key", "item"), "left_semi")
+    // both small frames are counted off the checkpointed summary; either
+    // can be unbounded (candidates: partitions × keys × 1/θ; totals: one
+    // row PER KEY) so each gets its own route decision
+    val nCand = candidates.count()
+    val nTotals = totals.count()
+    val counted = semiPrune(src, candidates, Seq("key", "item"), nCand, broadcastLimit)
       .groupBy(col("key"), col("item"))
       .agg(count(lit(1)).as("cnt"))
-      .join(broadcast(totals), Seq("key"))
+    val joined =
+      if (nTotals <= broadcastLimit) counted.join(broadcast(totals), Seq("key"))
+      else counted.join(totals.hint("shuffle_hash"), Seq("key"))
+    joined
       .where(col("cnt") > lit(theta) * col("__n"))
       .select(col("key").as(keyCol), col("item").as(itemCol), col("cnt"))
   }

@@ -505,6 +505,23 @@ object PlanCheck {
       },
       mustContain = Seq("partial_min"),
       mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+    ,
+    // round 15 — HeavyHitters broadcast guard: when the candidate count
+    // crosses the limit (forced to 0 here) the exact-recount semi-join
+    // must take the hinted shuffle-hash route — never a broadcast of a
+    // potentially unbounded candidate surface
+    BuildCheck(
+      "heavy_hitters_shuffle_route",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{explode, split}
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        graft.text.HeavyHitters.frequent(
+          docs.select(explode(split(col("text"), "\\s+")).as("tok")),
+          "tok", 0.05, broadcastLimit = 0L)
+      },
+      mustContain = Seq("ShuffledHashJoin", "LeftSemi", "partial_count"),
+      mustNotContain = Seq("BroadcastHashJoin", "CartesianProduct",
+        "BroadcastNestedLoopJoin"))
   )
 
   def main(args: Array[String]): Unit = {

@@ -109,6 +109,75 @@ class HeavyHittersSpec extends SparkSpec {
     assert(got == Map(("A", "hot") -> 3L))
   }
 
+  test("broadcast guard: past the candidate limit the recount routes to a shuffle semi-join, oracle-identical") {
+    val rnd = new Random(11)
+    // low theta + many partitions: the candidate surface (≤ parts·⌈1/θ⌉)
+    // dwarfs the forced limit of 0, so the guard MUST take the routed arm
+    val items = Seq.fill(8000)(s"t${rnd.nextInt(300)}")
+    val df = spark.createDataset(items).repartition(32).toDF("x")
+    val routed = HeavyHitters.frequent(df, "x", 0.01, broadcastLimit = 0L)
+    val plan = routed.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      "routed shape missing:\n" + plan.linesIterator.take(30).mkString("\n"))
+    assert(!plan.contains("BroadcastHashJoin"),
+      "guarded plan still broadcasts:\n" + plan.linesIterator.take(30).mkString("\n"))
+    val got = routed.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == brute(items, 0.01))
+    // and the default limit keeps the broadcast plan for small candidates
+    val bc = HeavyHitters.frequent(df, "x", 0.01)
+    assert(bc.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
+  test("frequentPerKey broadcast guard routes both joins past the limit, oracle-identical") {
+    val rnd = new Random(13)
+    val items = Seq.fill(4000)((s"k${rnd.nextInt(40)}", s"v${rnd.nextInt(20)}"))
+    def bruteKey(theta: Double): Map[(String, String), Long] =
+      items.groupBy(_._1).flatMap { case (k, g) =>
+        val nk = g.length.toLong
+        g.groupBy(_._2).view.mapValues(_.length.toLong)
+          .filter { case (_, c) => c > theta * nk }
+          .map { case (x, c) => (k, x) -> c }
+      }
+    val df = spark.createDataset(items).repartition(16).toDF("k", "x")
+    val routed = HeavyHitters.frequentPerKey(df, "k", "x", 0.1, broadcastLimit = 0L)
+    val plan = routed.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      "routed shape missing:\n" + plan.linesIterator.take(40).mkString("\n"))
+    assert(!plan.contains("BroadcastHashJoin"),
+      "guarded plan still broadcasts:\n" + plan.linesIterator.take(40).mkString("\n"))
+    val got = routed.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == bruteKey(0.1))
+  }
+
+  test("frequentPerKey memory contract: repartitionByKey agrees with the direct route on high-cardinality keys × small partitions") {
+    // 500 distinct keys over 64 small partitions — the regime the doc
+    // warns about; the key-partitioned summary pass sees ~8 keys per
+    // partition instead of all 500, and both routes must match brute force
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new Random(seed)
+      val items = Seq.fill(6000) {
+        val k = s"k${rnd.nextInt(500)}"
+        val x = if (rnd.nextDouble() < 0.5) "hot" else s"v${rnd.nextInt(30)}"
+        (k, x)
+      }
+      val bruteKey: Map[(String, String), Long] =
+        items.groupBy(_._1).flatMap { case (k, g) =>
+          val nk = g.length.toLong
+          g.groupBy(_._2).view.mapValues(_.length.toLong)
+            .filter { case (_, c) => c > 0.3 * nk }
+            .map { case (x, c) => (k, x) -> c }
+        }
+      val df = spark.createDataset(items).repartition(64).toDF("k", "x")
+      def run(byKey: Boolean): Map[(String, String), Long] =
+        HeavyHitters.frequentPerKey(df, "k", "x", 0.3, repartitionByKey = byKey)
+          .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val direct = run(byKey = false)
+      val partitioned = run(byKey = true)
+      assert(direct == bruteKey, s"seed=$seed direct route diverged")
+      assert(partitioned == bruteKey, s"seed=$seed repartitionByKey route diverged")
+    }
+  }
+
   test("theta bounds fail fast") {
     val df = spark.createDataset(Seq("a")).toDF("x")
     intercept[IllegalArgumentException](HeavyHitters.frequent(df, "x", 0.0))
