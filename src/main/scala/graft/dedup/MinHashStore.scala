@@ -59,7 +59,11 @@ import org.apache.spark.sql.functions._
   * `batchId + 1` (enforced fail-fast: a raw first batch id of 0 would
   * match the build's committed marker and silently drop the batch).
   */
-object MinHashStore {
+object MinHashStore extends graft.sources.SegmentedStore {
+
+  protected def storeName: String = "MinHashStore"
+  protected def tornBuildHint: String =
+    "a build crashed mid-overwrite; rebuild the store with MinHashStore.build"
 
   final case class Manifest(version: Int, nBuckets: Int, shingleSize: Int,
       numHashes: Int, bands: Int, nDocs: Long, maxId: Long)
@@ -139,31 +143,14 @@ object MinHashStore {
     // finish any interrupted in-place compaction FIRST - a segment
     // committed into the old segs tree would be lost to the pending swap
     graft.sources.SegmentCompaction.recover(spark, dir)
-    val fs = fsFor(spark, dir)
     val committed = committedSegments(spark, dir)
-    // segment 0 is the BUILD's: an explicit append with id 0 (a stream
-    // passing its raw first batch id) would hit the committed-replay
-    // short-circuit below and silently DROP the batch
-    require(segmentIdArg != 0L,
-      "MinHashStore.append: segment 0 belongs to the build - explicit " +
-        "segment ids start at 1 (a stream passes batchId + 1)")
-    val segmentId =
-      if (segmentIdArg >= 0L) segmentIdArg
-      else (0L +: committed).max + 1L
-    if (segmentIdArg >= 0L &&
-        fs.exists(new org.apache.hadoop.fs.Path(s"$dir/segs/seg=$segmentId/_done")))
+    val segmentId = resolveSegmentId(committed, segmentIdArg)
+    if (segmentIdArg >= 0L && segmentCommitted(spark, dir, segmentId))
       return // committed: replay no-op
     val stats = sigs.agg(count(lit(1)).as("n"), min(col("id")).as("lo"),
       max(col("id")).as("hi"), count_distinct(col("id")).as("nd")).head()
     if (stats.getLong(0) == 0L) return // empty batch: store untouched
-    require(stats.getLong(0) == stats.getLong(3),
-      s"MinHashStore.append: batch ids are not unique (${stats.getLong(0)} rows, " +
-        s"${stats.getLong(3)} distinct)")
-    require(stats.getLong(1) > m.maxId,
-      s"MinHashStore.append: batch ids start at ${stats.getLong(1)} but the store " +
-        s"already contains ids up to ${m.maxId} - appended ids must sort above " +
-        "every stored id (a committed append retried without an explicit " +
-        "segmentId also lands here - the store already holds the batch)")
+    requireMonotonicIds(stats.getLong(0), stats.getLong(3), stats.getLong(1), m.maxId)
     writeSegment(sigs, dir, segmentId, m.bands, m.numHashes / m.bands, m.nBuckets)
   }
 
@@ -183,7 +170,7 @@ object MinHashStore {
     // OUT-OF-PLACE only: buildFromSigs deletes outDir/segs BEFORE the
     // lazy readSigs reader materializes — compacting onto the source
     // would scan its own deleted files and destroy the store
-    requireDistinctDirs(spark, dir, outDir, "MinHashStore.compactTo")
+    requireDistinctDirs(spark, dir, outDir)
     val m = loadManifest(spark, dir)
     buildFromSigs(readSigs(spark, dir), outDir, m.shingleSize, m.numHashes,
       m.bands, if (nBuckets < 0) m.nBuckets else nBuckets)
@@ -197,32 +184,9 @@ object MinHashStore {
     * ("append" | "append+compact").
     */
   def appendAuto(newDocs: DataFrame, textCol: String, idCol: String,
-      dir: String, segmentId: Long = -1L, maxSegments: Int = 32): String = {
-    require(maxSegments >= 2, s"MinHashStore.appendAuto: maxSegments $maxSegments < 2")
-    val spark = newDocs.sparkSession
-    append(newDocs, textCol, idCol, dir, segmentId) // recovers any interrupted swap
-    if (committedSegments(spark, dir).size >= maxSegments) {
-      compactInPlace(spark, dir); "append+compact"
-    } else "append"
-  }
-
-  /** Fold the committed segments where the store stands — the staged
-    * roll-forward protocol ([[graft.sources.SegmentCompaction]]); see
-    * Bm25Store.compactInPlace for the crash-window argument.
-    */
-  def compactInPlace(spark: SparkSession, dir: String): Unit =
-    graft.sources.SegmentCompaction.inPlace(spark, dir)(staging =>
-      compactTo(spark, dir, staging))
-
-  private def requireDistinctDirs(spark: SparkSession, dir: String,
-      outDir: String, who: String): Unit = {
-    val a = new org.apache.hadoop.fs.Path(dir)
-    val fs = a.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.makeQualified(a) != fs.makeQualified(new org.apache.hadoop.fs.Path(outDir)),
-      s"$who: outDir must differ from the source dir - the fold deletes the " +
-        "output's segments before the source readers materialize, so an " +
-        "in-place compact would destroy the store")
-  }
+      dir: String, segmentId: Long = -1L, maxSegments: Int = 32): String =
+    autoRoute(newDocs.sparkSession, dir, maxSegments)(
+      append(newDocs, textCol, idCol, dir, segmentId))
 
   /** Batch survivors against the store — bit-identical to
     * [[Dedup.minHashIncremental]] over the full stored corpus, at
@@ -284,13 +248,9 @@ object MinHashStore {
       s"MinHashStore: $dir has manifest version ${num("version")}, this reader " +
         "needs the segmented v2 layout - rebuild the store with MinHashStore.build")
     val segs = committedSegments(spark, dir)
-    // build ALWAYS commits seg 0 (even for an empty corpus), so zero
-    // committed segments under a valid manifest = a build that crashed
-    // between the segs/ overwrite and seg 0's marker. Fail loud: reading
-    // on would serve a silently-EMPTY store that admits every duplicate
-    require(segs.nonEmpty,
-      s"MinHashStore: $dir has a manifest but no committed segments - a " +
-        "build crashed mid-overwrite; rebuild the store with MinHashStore.build; if an IN-PLACE compaction was interrupted instead, its committed fold is still staged - any append/appendAuto/compactInPlace call rolls it forward (SegmentCompaction.recover)")
+    // build ALWAYS commits seg 0 (even for an empty corpus) — fail loud:
+    // reading on would serve a silently-EMPTY store that admits every dup
+    requireCommittedNonEmpty(segs, dir)
     val metas = segs.map { s =>
       val n = J.readFile(spark, s"$dir/segs/seg=$s/_meta.json")
       (J.long(n, "nDocs", dir), J.long(n, "maxId", dir))
@@ -300,10 +260,6 @@ object MinHashStore {
       nDocs = metas.map(_._1).sum,
       maxId = (Long.MinValue +: metas.map(_._2)).max)
   }
-
-  /** Committed segment ids (marker present), ascending. */
-  def committedSegments(spark: SparkSession, dir: String): Seq[Long] =
-    graft.sources.SegmentCompaction.committedSegments(spark, dir)
 
   /** All committed signatures (id, sig, shset) — the spec's
     * append ≡ rebuild surface comparison.
@@ -345,10 +301,6 @@ object MinHashStore {
       s"""{"version":2,"nBuckets":$nBuckets,"shingleSize":$shingleSize,""" +
         s""""numHashes":$numHashes,"bands":$bands}""")
 
-  private def fsFor(spark: SparkSession, dir: String) =
-    new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-
   private def sigBucket(nBuckets: Int) =
     pmod(xxhash64(col("id")), lit(nBuckets.toLong)).cast("int")
 
@@ -364,15 +316,6 @@ object MinHashStore {
   private val postingsSchema = StructType(Seq(
     StructField("band", IntegerType), StructField("bucket", LongType),
     StructField("id", LongType), StructField("pb", IntegerType)))
-
-  // per-segment reads unioned, NOT one multi-path read: Spark's partition
-  // discovery treats seg=K/<surface> roots as conflicting structures
-  private def readSurface(spark: SparkSession, dir: String, segs: Seq[Long],
-      surface: String, schema: StructType): DataFrame =
-    if (segs.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else segs.map(s => spark.read.schema(schema).parquet(s"$dir/segs/seg=$s/$surface"))
-      .reduce(_ unionAll _)
 
   private def emptyIds(spark: SparkSession): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

@@ -44,7 +44,11 @@ import org.apache.spark.sql.functions._
   * and to the from-scratch oracle (the q_semdedup_store gate replays
   * clustering, assignment and the drop rule in SQL).
   */
-object SemDedupStore {
+object SemDedupStore extends graft.sources.SegmentedStore {
+
+  protected def storeName: String = "SemDedupStore"
+  protected def tornBuildHint: String =
+    "a build crashed mid-overwrite; rebuild with SemDedupStore.build"
 
   final case class Manifest(version: Int, nBuckets: Int, k: Int, d: Int,
       nDocs: Long, maxId: Long)
@@ -111,16 +115,9 @@ object SemDedupStore {
     // finish any interrupted in-place compaction FIRST (the family rule)
     graft.sources.SegmentCompaction.recover(spark, dir)
     val m = loadManifest(spark, dir)
-    val fs = fsFor(spark, dir)
     val committed = committedSegments(spark, dir)
-    require(segmentId != 0L,
-      "SemDedupStore.append: segment 0 belongs to the build - explicit " +
-        "segment ids start at 1 (a stream passes batchId + 1)")
-    val segId =
-      if (segmentId >= 0L) segmentId
-      else (0L +: committed).max + 1L
-    if (segmentId >= 0L &&
-        fs.exists(new org.apache.hadoop.fs.Path(s"$dir/segs/seg=$segId/_done")))
+    val segId = resolveSegmentId(committed, segmentId)
+    if (segmentId >= 0L && segmentCommitted(spark, dir, segId))
       return // committed: replay no-op
     val state = SemDedup.assignClusters(newDocs, vecCol, loadCentroids(spark, dir))
       .select(col(idCol).cast("long").as("id"),
@@ -130,14 +127,7 @@ object SemDedupStore {
       val stats = state.agg(count(lit(1)).as("n"), min(col("id")).as("lo"),
         count_distinct(col("id")).as("nd")).head()
       if (stats.getLong(0) == 0L) return // empty batch: store untouched
-      require(stats.getLong(0) == stats.getLong(2),
-        s"SemDedupStore.append: batch ids are not unique (${stats.getLong(0)} " +
-          s"rows, ${stats.getLong(2)} distinct)")
-      require(stats.getLong(1) > m.maxId,
-        s"SemDedupStore.append: batch ids start at ${stats.getLong(1)} but the " +
-          s"store already contains ids up to ${m.maxId} - appended ids must " +
-          "sort above every stored id (a committed append retried without an " +
-          "explicit segmentId also lands here - the store already holds the batch)")
+      requireMonotonicIds(stats.getLong(0), stats.getLong(2), stats.getLong(1), m.maxId)
       writeSegment(state, dir, segId, m.nBuckets)
     } finally graft.Pins.release(state)
   }
@@ -148,13 +138,7 @@ object SemDedupStore {
     */
   def compactTo(spark: SparkSession, dir: String, outDir: String,
       nBuckets: Int = -1): Unit = {
-    val a = new org.apache.hadoop.fs.Path(dir)
-    val fs = a.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.makeQualified(a) !=
-        fs.makeQualified(new org.apache.hadoop.fs.Path(outDir)),
-      "SemDedupStore.compactTo: outDir must differ from the source dir - " +
-        "the fold deletes the output's segments before the source readers " +
-        "materialize, so an in-place compact would destroy the store")
+    requireDistinctDirs(spark, dir, outDir)
     val m = loadManifest(spark, dir)
     buildFromState(readState(spark, dir), outDir, loadCentroids(spark, dir),
       if (nBuckets < 0) m.nBuckets else nBuckets)
@@ -164,19 +148,9 @@ object SemDedupStore {
     * Bm25Store.appendAuto router). Returns "append" | "append+compact".
     */
   def appendAuto(newDocs: DataFrame, idCol: String, vecCol: String,
-      dir: String, segmentId: Long = -1L, maxSegments: Int = 32): String = {
-    require(maxSegments >= 2, s"SemDedupStore.appendAuto: maxSegments $maxSegments < 2")
-    val spark = newDocs.sparkSession
-    append(newDocs, idCol, vecCol, dir, segmentId)
-    if (committedSegments(spark, dir).size >= maxSegments) {
-      compactInPlace(spark, dir); "append+compact"
-    } else "append"
-  }
-
-  /** Staged roll-forward in-place fold ([[graft.sources.SegmentCompaction]]). */
-  def compactInPlace(spark: SparkSession, dir: String): Unit =
-    graft.sources.SegmentCompaction.inPlace(spark, dir)(staging =>
-      compactTo(spark, dir, staging))
+      dir: String, segmentId: Long = -1L, maxSegments: Int = 32): String =
+    autoRoute(newDocs.sparkSession, dir, maxSegments)(
+      append(newDocs, idCol, vecCol, dir, segmentId))
 
   /** Per-vector verdict for a batch probed against the store:
     * `(idCol, cluster, kept)` — kept = false iff a stored vector in the
@@ -202,7 +176,7 @@ object SemDedupStore {
       .distinct().collect().map(_.getInt(0)).sorted // bounded by nBuckets
     val state =
       if (cbs.isEmpty || segs.isEmpty) emptyState(spark)
-      else readSurface(spark, dir, segs)
+      else readSurface(spark, dir, segs, "state", stateSchema)
         .where(col("cb").isInCollection(cbs))
         .select(col("id"), col("cluster"), col("vec"))
     val dropped = graft.streaming.StreamingSemDedup.droppedIds(state, assigned, tau)
@@ -239,9 +213,7 @@ object SemDedupStore {
     val node = J.readFile(spark, s"$dir/_manifest.json")
     def num(f: String): Long = J.long(node, f, dir)
     val segs = committedSegments(spark, dir)
-    require(segs.nonEmpty,
-      s"SemDedupStore: $dir has a manifest but no committed segments - a " +
-        "build crashed mid-overwrite; rebuild with SemDedupStore.build; if an IN-PLACE compaction was interrupted instead, its committed fold is still staged - any append/appendAuto/compactInPlace call rolls it forward (SegmentCompaction.recover)")
+    requireCommittedNonEmpty(segs, dir)
     val metas = segs.map { s =>
       val n = J.readFile(spark, s"$dir/segs/seg=$s/_meta.json")
       (J.long(n, "nDocs", dir), J.long(n, "maxId", dir))
@@ -252,13 +224,9 @@ object SemDedupStore {
       maxId = (Long.MinValue +: metas.map(_._2)).max)
   }
 
-  /** Committed segment ids (marker present), ascending. */
-  def committedSegments(spark: SparkSession, dir: String): Seq[Long] =
-    graft.sources.SegmentCompaction.committedSegments(spark, dir)
-
   /** All committed state rows (id, cluster, vec). */
   def readState(spark: SparkSession, dir: String): DataFrame =
-    readSurface(spark, dir, committedSegments(spark, dir))
+    readSurface(spark, dir, committedSegments(spark, dir), "state", stateSchema)
       .select(col("id"), col("cluster"), col("vec"))
 
   // ---- internals ----
@@ -279,24 +247,12 @@ object SemDedupStore {
     graft.sources.ArtifactJson.writeFile(spark, s"$sDir/_done", "") // commit LAST
   }
 
-  private def fsFor(spark: SparkSession, dir: String) =
-    new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-
   import org.apache.spark.sql.types._
   private val stateSchema = StructType(Seq(
     StructField("id", LongType),
     StructField("cluster", IntegerType),
     StructField("vec", ArrayType(DoubleType)),
     StructField("cb", IntegerType)))
-
-  // per-segment reads unioned, NOT one multi-path read (seg=K/state roots
-  // are conflicting partition structures to Spark's discovery)
-  private def readSurface(spark: SparkSession, dir: String, segs: Seq[Long]): DataFrame =
-    if (segs.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema)
-    else segs.map(s => spark.read.schema(stateSchema).parquet(s"$dir/segs/seg=$s/state"))
-      .reduce(_ unionAll _)
 
   private def emptyState(spark: SparkSession): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

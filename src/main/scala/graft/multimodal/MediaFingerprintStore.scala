@@ -47,7 +47,11 @@ import org.apache.spark.sql.functions._
   * (the artifact-family id discipline); segment 0 belongs to the build,
   * explicit ids start at 1 (a stream passes batchId + 1).
   */
-object MediaFingerprintStore {
+object MediaFingerprintStore extends graft.sources.SegmentedStore {
+
+  protected def storeName: String = "MediaFingerprintStore"
+  protected def tornBuildHint: String =
+    "a build crashed mid-overwrite; rebuild with MediaFingerprintStore.build"
 
   final case class Manifest(version: Int, nBuckets: Int, n: Int, bands: Int,
       nDocs: Long, maxId: Long)
@@ -105,8 +109,7 @@ object MediaFingerprintStore {
     // through to appendFps's loud reserved-segment guard)
     graft.sources.SegmentCompaction.recover(spark, dir)
     val m = loadManifest(spark, dir)
-    if (segmentId > 0L && fsFor(spark, dir).exists(
-        new org.apache.hadoop.fs.Path(s"$dir/segs/seg=$segmentId/_done")))
+    if (segmentId > 0L && segmentCommitted(spark, dir, segmentId))
       return
     val fps = Multimodal.videoFrameHashes(newDocs, idCol, payloadCol, m.n)
       .select(col(idCol).cast("long").as("id"), col("sample_idx").as("slot"),
@@ -133,28 +136,14 @@ object MediaFingerprintStore {
     val spark = fps.sparkSession
     // finish any interrupted in-place compaction FIRST (the family rule)
     graft.sources.SegmentCompaction.recover(spark, dir)
-    val fs = fsFor(spark, dir)
     val committed = committedSegments(spark, dir)
-    require(segmentIdArg != 0L,
-      "MediaFingerprintStore.append: segment 0 belongs to the build - " +
-        "explicit segment ids start at 1 (a stream passes batchId + 1)")
-    val segmentId =
-      if (segmentIdArg >= 0L) segmentIdArg
-      else (0L +: committed).max + 1L
-    if (segmentIdArg >= 0L &&
-        fs.exists(new org.apache.hadoop.fs.Path(s"$dir/segs/seg=$segmentId/_done")))
+    val segmentId = resolveSegmentId(committed, segmentIdArg)
+    if (segmentIdArg >= 0L && segmentCommitted(spark, dir, segmentId))
       return // committed: replay no-op
     val stats = ids.agg(count(lit(1)).as("n"), min(col("id")).as("lo"),
       count_distinct(col("id")).as("nd")).head()
     if (stats.getLong(0) == 0L) return // empty batch: store untouched
-    require(stats.getLong(0) == stats.getLong(2),
-      s"MediaFingerprintStore.append: batch ids are not unique " +
-        s"(${stats.getLong(0)} rows, ${stats.getLong(2)} distinct)")
-    require(stats.getLong(1) > m.maxId,
-      s"MediaFingerprintStore.append: batch ids start at ${stats.getLong(1)} " +
-        s"but the store already contains ids up to ${m.maxId} - appended ids " +
-        "must sort above every stored id (a committed append retried without " +
-        "an explicit segmentId also lands here - the store already holds the batch)")
+    requireMonotonicIds(stats.getLong(0), stats.getLong(2), stats.getLong(1), m.maxId)
     writeSegment(fps, ids, dir, segmentId, m.bands, m.nBuckets)
   }
 
@@ -170,11 +159,7 @@ object MediaFingerprintStore {
     // OUT-OF-PLACE only: buildFromFps deletes outDir/segs before the lazy
     // readFps reader materializes — an in-place compact would destroy the
     // store (the MinHashStore.compactTo hazard)
-    val a = new org.apache.hadoop.fs.Path(dir)
-    val fs = a.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.makeQualified(a) !=
-        fs.makeQualified(new org.apache.hadoop.fs.Path(outDir)),
-      "MediaFingerprintStore.compactTo: outDir must differ from the source dir")
+    requireDistinctDirs(spark, dir, outDir)
     val m = loadManifest(spark, dir)
     // ids: reconstruct from metas is impossible (only counts survive), so
     // carry the fingerprinted ids; maxId continuity is preserved via an
@@ -191,20 +176,9 @@ object MediaFingerprintStore {
     * Bm25Store.appendAuto router). Returns "append" | "append+compact".
     */
   def appendAuto(newDocs: DataFrame, payloadCol: String, idCol: String,
-      dir: String, segmentId: Long = -1L, maxSegments: Int = 32): String = {
-    require(maxSegments >= 2,
-      s"MediaFingerprintStore.appendAuto: maxSegments $maxSegments < 2")
-    val spark = newDocs.sparkSession
-    append(newDocs, payloadCol, idCol, dir, segmentId)
-    if (committedSegments(spark, dir).size >= maxSegments) {
-      compactInPlace(spark, dir); "append+compact"
-    } else "append"
-  }
-
-  /** Staged roll-forward in-place fold ([[graft.sources.SegmentCompaction]]). */
-  def compactInPlace(spark: SparkSession, dir: String): Unit =
-    graft.sources.SegmentCompaction.inPlace(spark, dir)(staging =>
-      compactTo(spark, dir, staging))
+      dir: String, segmentId: Long = -1L, maxSegments: Int = 32): String =
+    autoRoute(newDocs.sparkSession, dir, maxSegments)(
+      append(newDocs, payloadCol, idCol, dir, segmentId))
 
   /** Batch survivors against the store — bit-identical to
     * [[graft.streaming.StreamingMediaDedup.incrementalFps]] over the full
@@ -269,12 +243,9 @@ object MediaFingerprintStore {
     val node = J.readFile(spark, s"$dir/_manifest.json")
     def num(f: String): Long = J.long(node, f, dir)
     val segs = committedSegments(spark, dir)
-    // build always commits seg 0: zero committed segments = a rebuild
-    // crashed mid-overwrite; reading on would serve a silently-EMPTY
-    // store that admits every duplicate
-    require(segs.nonEmpty,
-      s"MediaFingerprintStore: $dir has a manifest but no committed segments " +
-        "- a build crashed mid-overwrite; rebuild with MediaFingerprintStore.build; if an IN-PLACE compaction was interrupted instead, its committed fold is still staged - any append/appendAuto/compactInPlace call rolls it forward (SegmentCompaction.recover)")
+    // build always commits seg 0 — fail loud: reading on would serve a
+    // silently-EMPTY store that admits every duplicate
+    requireCommittedNonEmpty(segs, dir)
     val metas = segs.map { s =>
       val n = J.readFile(spark, s"$dir/segs/seg=$s/_meta.json")
       (J.long(n, "nDocs", dir), J.long(n, "maxId", dir))
@@ -284,10 +255,6 @@ object MediaFingerprintStore {
       nDocs = metas.map(_._1).sum,
       maxId = (Long.MinValue +: metas.map(_._2)).max)
   }
-
-  /** Committed segment ids (marker present), ascending. */
-  def committedSegments(spark: SparkSession, dir: String): Seq[Long] =
-    graft.sources.SegmentCompaction.committedSegments(spark, dir)
 
   /** All committed fingerprints (id, slot, fp) — the spec's
     * append ≡ rebuild surface and the compaction input.
@@ -341,10 +308,6 @@ object MediaFingerprintStore {
     graft.sources.ArtifactJson.writeFile(spark, s"$sDir/_done", "") // commit LAST
   }
 
-  private def fsFor(spark: SparkSession, dir: String) =
-    new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-
   private def fpBucket(nBuckets: Int) =
     pmod(xxhash64(col("id")), lit(nBuckets.toLong)).cast("int")
 
@@ -360,14 +323,5 @@ object MediaFingerprintStore {
     StructField("slot", IntegerType), StructField("band", IntegerType),
     StructField("bucket", LongType), StructField("id", LongType),
     StructField("fp", LongType), StructField("pb", IntegerType)))
-
-  // per-segment reads unioned, NOT one multi-path read (seg=K/<surface>
-  // roots are conflicting partition structures to Spark's discovery)
-  private def readSurface(spark: SparkSession, dir: String, segs: Seq[Long],
-      surface: String, schema: StructType): DataFrame =
-    if (segs.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else segs.map(s => spark.read.schema(schema).parquet(s"$dir/segs/seg=$s/$surface"))
-      .reduce(_ unionAll _)
 
 }

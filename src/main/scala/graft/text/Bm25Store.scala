@@ -47,7 +47,12 @@ import org.apache.spark.sql.functions._
   * guard could not protect later appends (drop empty-text docs upstream
   * or count them out of the segment).
   */
-object Bm25Store {
+object Bm25Store extends graft.sources.SegmentedStore {
+
+  protected def storeName: String = "Bm25Store"
+  protected def tornBuildHint: String =
+    "a rebuild crashed mid-overwrite; rebuild the index with Bm25Store.save"
+  override protected def compactNoun: String = "index"
 
   final case class Manifest(version: Int, nBuckets: Int, nDocs: Long,
       sumLen: Long, maxDocId: Long)
@@ -91,10 +96,9 @@ object Bm25Store {
     // committed into the old segs tree would be lost to the pending swap
     graft.sources.SegmentCompaction.recover(spark, dir)
     val m = loadManifest(spark, dir)
-    val fs = fsFor(spark, dir)
     require(segmentId > 0, s"Bm25Store.append: segmentId $segmentId must be > 0 " +
       "(0 is the base segment)")
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/segs/seg=$segmentId/_done")))
+    if (segmentCommitted(spark, dir, segmentId))
       return // committed: replay no-op
     val bounds = segment.postings.agg(count(lit(1)).as("n"),
       min(col("doc_id").cast("long")).as("lo"),
@@ -127,13 +131,7 @@ object Bm25Store {
     */
   def compactTo(spark: SparkSession, dir: String, outDir: String,
       nBuckets: Int = -1): Unit = {
-    val a = new org.apache.hadoop.fs.Path(dir)
-    val fs = a.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.makeQualified(a) !=
-        fs.makeQualified(new org.apache.hadoop.fs.Path(outDir)),
-      "Bm25Store.compactTo: outDir must differ from the source dir - the fold " +
-        "deletes the output's segments before the source readers materialize, " +
-        "so an in-place compact would destroy the index")
+    requireDistinctDirs(spark, dir, outDir)
     val m = loadManifest(spark, dir)
     save(load(spark, dir), outDir, if (nBuckets < 0) m.nBuckets else nBuckets)
   }
@@ -148,26 +146,9 @@ object Bm25Store {
     * ("append" | "append+compact") for callers/specs to assert.
     */
   def appendAuto(segment: Bm25.Index, dir: String, segmentId: Long,
-      maxSegments: Int = 32): String = {
-    require(maxSegments >= 2, s"Bm25Store.appendAuto: maxSegments $maxSegments < 2")
-    val spark = segment.postings.sparkSession
-    append(segment, dir, segmentId) // recovers any interrupted swap itself
-    if (committedSegments(spark, dir).size >= maxSegments) {
-      compactInPlace(spark, dir); "append+compact"
-    } else "append"
-  }
-
-  /** Fold the store's committed segments where it stands — the staged
-    * roll-forward protocol ([[graft.sources.SegmentCompaction]]): the
-    * fold lands under `dir/_compact` first, a marker commits it, and the
-    * segs tree swaps; a crash anywhere is either invisible (unmarked
-    * staging discarded) or finished by the next append/compact call.
-    * Scoring is bit-identical across the fold (merge-at-read ≡
-    * merge-at-write, the [[compactTo]] argument; spec-asserted).
-    */
-  def compactInPlace(spark: SparkSession, dir: String): Unit =
-    graft.sources.SegmentCompaction.inPlace(spark, dir)(staging =>
-      compactTo(spark, dir, staging))
+      maxSegments: Int = 32): String =
+    autoRoute(segment.postings.sparkSession, dir, maxSegments)(
+      append(segment, dir, segmentId))
 
   /** Load the artifact back as an in-memory [[Bm25.Index]] — plugs into
     * [[Bm25.scoreTopK]] (and [[Bm25.mergeIndex]]) unchanged.
@@ -221,13 +202,9 @@ object Bm25Store {
       "build the artifact with Bm25Store.build/save")
     val node = J.readFile(spark, s"$dir/_manifest.json")
     val segs = committedSegments(spark, dir)
-    // save() always commits seg 0 (even for an empty index), so zero
-    // committed segments under a valid manifest = a rebuild that crashed
-    // between its segs/ overwrite and seg 0's marker. Fail loud instead
-    // of silently scoring against an empty index
-    require(segs.nonEmpty,
-      s"Bm25Store: $dir has a manifest but no committed segments - a " +
-        "rebuild crashed mid-overwrite; rebuild the index with Bm25Store.save; if an IN-PLACE compaction was interrupted instead, its committed fold is still staged - any append/appendAuto/compactInPlace call rolls it forward (SegmentCompaction.recover)")
+    // save() always commits seg 0 (even for an empty index) — fail loud
+    // instead of silently scoring against an empty index
+    requireCommittedNonEmpty(segs, dir)
     val metas = segs.map { s =>
       val n = J.readFile(spark, s"$dir/segs/seg=$s/_meta.json")
       (J.long(n, "nDocs", dir), J.long(n, "sumLen", dir), J.long(n, "maxDocId", dir))
@@ -237,10 +214,6 @@ object Bm25Store {
       sumLen = metas.map(_._2).sum,
       maxDocId = (Long.MinValue +: metas.map(_._3)).max)
   }
-
-  /** Committed segment ids (marker present), ascending. */
-  def committedSegments(spark: SparkSession, dir: String): Seq[Long] =
-    graft.sources.SegmentCompaction.committedSegments(spark, dir)
 
   // ---- internals ----
 
@@ -271,10 +244,6 @@ object Bm25Store {
     graft.sources.ArtifactJson.writeFile(spark, s"$dir/_manifest.json",
       s"""{"version":2,"nBuckets":$nBuckets}""")
 
-  private def fsFor(spark: SparkSession, dir: String) =
-    new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-
   private def termBucket(nBuckets: Int) =
     pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int")
 
@@ -287,18 +256,14 @@ object Bm25Store {
     StructField("term", StringType), StructField("df", LongType),
     StructField("bucket", IntegerType)))
 
-  // per-segment reads unioned, NOT one multi-path read: Spark's partition
-  // discovery treats seg=K/postings roots as conflicting structures
   private def readPostings(spark: SparkSession, dir: String, segs: Seq[Long]): DataFrame = {
     require(segs.nonEmpty, s"Bm25Store: no committed segments under $dir")
-    segs.map(s => spark.read.schema(postingsSchema).parquet(s"$dir/segs/seg=$s/postings"))
-      .reduce(_ unionAll _)
+    readSurface(spark, dir, segs, "postings", postingsSchema)
   }
 
   private def readDfsRaw(spark: SparkSession, dir: String, segs: Seq[Long]): DataFrame = {
     require(segs.nonEmpty, s"Bm25Store: no committed segments under $dir")
-    segs.map(s => spark.read.schema(dfsSchema).parquet(s"$dir/segs/seg=$s/dfs"))
-      .reduce(_ unionAll _)
+    readSurface(spark, dir, segs, "dfs", dfsSchema)
   }
 
   private def readDfs(spark: SparkSession, dir: String, segs: Seq[Long]): DataFrame =
