@@ -169,6 +169,8 @@ object Bench {
     "q_heavy_hitters",
     "q_arrow_filtered_scan",
     "q_heavy_hitters_by_lang",
+    // round 15: nested-leaf IPC filter pushdown (dotted-path batch stats)
+    "q_arrow_nested_scan",
     "q_components_store"
   )
 

@@ -21,33 +21,61 @@ object CoreQueries {
     * (JVM, sfDir), removed by a shutdown hook — re-running a gate
     * measures the pruned READ, not a rewrite). Values are the temp
     * PARENT (what the hook deletes); the store itself lives at
-    * `<parent>/docs`, via [[docsIpcStore]] — the single builder both
-    * Arrow gates share, so their store parameters cannot fork.
+    * `<parent>/docs`, via [[docsIpcStore]] — the single builder all
+    * three Arrow gates share, so their store parameters cannot fork.
     */
   private val arrowStoreDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** The session's dictionary-encoded LZ4 IPC copy of `documents`,
-    * written once per (JVM, sfDir).
+    * written once per (JVM, sfDir). The Spark write job runs OUTSIDE the
+    * map's bin lock (a full write inside computeIfAbsent would hold it
+    * for the job's duration); a lost double-build race costs one extra
+    * temp write, and a failed write deletes its temp dir instead of
+    * orphaning it (no mapping recorded → the shutdown hook never sees it).
     */
-  private def docsIpcStore(s: org.apache.spark.sql.SparkSession, dir: String): String =
-    arrowStoreDirs.computeIfAbsent(dir, _ => {
-      val parent = java.nio.file.Files.createTempDirectory("graft_arrow_docs").toString
-      graft.sources.ArrowIpc.write(t(s, dir, "documents"), s"$parent/docs",
-        batchRows = 2048, dictColumns = Set("lang", "source"))
-      parent
-    }) + "/docs"
+  private def docsIpcStore(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val cached = arrowStoreDirs.get(dir)
+    val parent =
+      if (cached != null) cached
+      else {
+        val fresh = java.nio.file.Files.createTempDirectory("graft_arrow_docs").toString
+        try
+          // `meta` mirrors (doc_id, n_chars, lang) as a nested struct so
+          // the store exercises nested-leaf batch statistics (r15) — the
+          // reference's struct-heavy logical-type shape — without a
+          // second store; the flat gates never select it, so their
+          // selective IO is untouched
+          graft.sources.ArrowIpc.write(
+            t(s, dir, "documents").withColumn("meta",
+              struct(col("doc_id").as("did"), col("n_chars").as("chars"),
+                col("lang").as("lang"))),
+            s"$fresh/docs",
+            batchRows = 2048, dictColumns = Set("lang", "source"))
+        catch {
+          case e: Throwable =>
+            try deleteTree(fresh) catch { case _: Exception => () }
+            throw e
+        }
+        val prior = arrowStoreDirs.putIfAbsent(dir, fresh)
+        if (prior != null) { try deleteTree(fresh) catch { case _: Exception => () }; prior }
+        else fresh
+      }
+    parent + "/docs"
+  }
+
+  private def deleteTree(d: String): Unit = {
+    val root = java.nio.file.Paths.get(d)
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch { case _: Exception => () })
+    }
+  }
   locally {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       arrowStoreDirs.values().forEach { d =>
-        try {
-          val root = java.nio.file.Paths.get(d)
-          if (java.nio.file.Files.exists(root)) {
-            import scala.jdk.CollectionConverters._
-            java.nio.file.Files.walk(root).iterator().asScala.toSeq
-              .sortBy(-_.getNameCount)
-              .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch { case _: Exception => () })
-          }
-        } catch { case _: Exception => () }
+        try deleteTree(d) catch { case _: Exception => () }
       }
     }))
   }
@@ -86,6 +114,23 @@ object CoreQueries {
             org.apache.spark.sql.sources.LessThan("doc_id", 300L)))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"))
+    }),
+
+    // Arrow IPC NESTED-leaf filter pushdown (r15): the store's `meta`
+    // struct mirrors (doc_id, n_chars, lang); the range filter on the
+    // nested leaf `meta.did` batch-skips via the dotted-path footer
+    // statistics (struct-null-aware; ArrowFilterSpec asserts the byte
+    // counts), the scan reads ONLY the struct column's buffers, and the
+    // oracle re-derives the same aggregate from the flat parquet source —
+    // a wrongly-skipped batch = missing rows = hash mismatch.
+    "q_arrow_nested_scan" -> ((s, dir) => {
+      graft.sources.ArrowIpc.read(s, docsIpcStore(s, dir), Seq("meta"),
+          Seq(org.apache.spark.sql.sources.GreaterThanOrEqual("meta.did", 100L),
+            org.apache.spark.sql.sources.LessThan("meta.did", 300L)))
+        .groupBy(col("meta.lang").as("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("meta.chars")).as("sum_chars"),
+          min(col("meta.did")).as("min_id"), max(col("meta.did")).as("max_id"))
         .orderBy(col("lang"))
     }),
     // §7.1 minimum slice: scan → filter → project → slice.
@@ -326,6 +371,14 @@ object CoreQueries {
     "q_arrow_filtered_scan" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id >= 100 AND doc_id < 300
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    // the meta struct is a faithful mirror of (doc_id, n_chars, lang), so
+    // the nested-leaf filtered aggregate re-derives from the flat source
+    "q_arrow_nested_scan" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM documents WHERE doc_id >= 100 AND doc_id < 300
         |GROUP BY lang ORDER BY lang""".stripMargin,
     // physical row offsets recovered from the id-ordered write order of

@@ -102,6 +102,12 @@ object ArrowIpc {
 
   /** Bytes pulled through the IPC reader's channel while running `f`
     * (local-mode measurement helper — specs and probes share it).
+    *
+    * SINGLE-QUERY assumption: the counter is JVM-global, so the delta
+    * attributes every concurrent channel read to `f`. Callers (specs,
+    * ScaleProbe, ArrowReadBench) run one query at a time with no
+    * background Spark jobs; a parallel test runner would make byte
+    * assertions flaky — keep suites that assert on this sequential.
     */
   private[graft] def bytesReadDuring[T](f: => T): (T, Long) = {
     val before = bytesReadCounter.sum()
@@ -236,10 +242,15 @@ object ArrowIpc {
     def fieldOf(n: String): StructField =
       schema.fields.find(_.name == n).getOrElse(throw new IllegalArgumentException(
         s"column $n not in Arrow IPC schema ${schema.fieldNames.mkString(", ")} ($path)"))
-    // filter references must be top-level columns; they join the scan's
-    // column set (pruned reads still skip everything else) and drop from
-    // the output below
+    // filter references resolve to TOP-LEVEL columns for the scan's
+    // column set: an exact top-level name, or — for a dotted nested-leaf
+    // path ("meta.page") — its root struct. The root joins the scan's
+    // columns (pruned reads still skip everything else) and drops from
+    // the output below; the residual predicate evaluates the nested
+    // access exactly on the loaded rows
     val filterRefs = filters.flatMap(_.references).distinct
+      .map(r => if (schema.fieldNames.contains(r)) r else r.takeWhile(_ != '.'))
+      .distinct
     filterRefs.foreach(fieldOf)
     // pruned output schema: requested order, duplicates allowed (selectColumns
     // semantics); unknown names fail here on the driver, not mid-scan
@@ -918,9 +929,10 @@ object ArrowIpc {
       // MUTABLE on purpose: ArrowFileWriter serializes the map at end(),
       // so per-batch statistics accumulated during the write land in the
       // footer without buffering the data
-      fileMeta: java.util.Map[String, String])
+      fileMeta: java.util.Map[String, String],
+      codecFactory: org.apache.arrow.vector.compression.CompressionCodec.Factory)
     extends ArrowFileWriter(root, provider, ch, fileMeta, IpcOption.DEFAULT,
-      FastLz4.Factory, CompressionUtil.CodecType.LZ4_FRAME) {
+      codecFactory, CompressionUtil.CodecType.LZ4_FRAME) {
     override protected def ensureDictionariesWritten(
         p: DictionaryProvider, ids: java.util.Set[java.lang.Long]): Unit = ()
     def writeDict(b: ArrowDictionaryBatch): Unit = writeDictionaryBatch(b)
@@ -993,9 +1005,13 @@ object ArrowIpc {
     * deltas; nested-dict files re-verified the same way). Dictionary
     * size is bounded by the leaf's distinct values per file — encode
     * low-cardinality columns, which is the point of the format.
+    *
+    * `compressionLevel` ≤ 0 (default) writes through the JNI FAST LZ4
+    * compressor; 1–17 selects lz4hc at that level — the archival trade
+    * (smaller files, slower write; [[FastLz4.factory]]).
     */
   def write(df: DataFrame, path: String, batchRows: Int = 4096,
-      dictColumns: Set[String] = Set.empty): Unit = {
+      dictColumns: Set[String] = Set.empty, compressionLevel: Int = 0): Unit = {
     val schema = df.schema
     schema.foreach(f => toArrowField(f)) // fail fast on unsupported types
     // explicit requests must be satisfiable (hard error otherwise); the
@@ -1072,11 +1088,13 @@ object ArrowIpc {
       val os: OutputStream = new java.io.BufferedOutputStream(hfs.create(tmp, true), 1 << 20)
       try {
         val fileMeta = new java.util.HashMap[String, String]()
-        val writer = new DictFileWriter(root, provider, Channels.newChannel(os), fileMeta)
+        val codecFactory = FastLz4.factory(compressionLevel)
+        val writer = new DictFileWriter(root, provider, Channels.newChannel(os),
+          fileMeta, codecFactory)
         val om = new com.fasterxml.jackson.databind.ObjectMapper()
         val statsArr = om.createArrayNode()
         writer.start()
-        val codec = FastLz4.Factory.createCodec(CompressionUtil.CodecType.LZ4_FRAME)
+        val codec = codecFactory.createCodec(CompressionUtil.CodecType.LZ4_FRAME)
         // before each record batch: emit the values this batch introduced
         // (first time: the full-so-far dictionary; after: deltas). A batch
         // with no novel values emits nothing.
@@ -1138,6 +1156,18 @@ object ArrowIpc {
         writer.end(); writer.close(); os.close()
         hfs.delete(part, false) // replace any prior attempt's commit
         require(hfs.rename(tmp, part), s"rename $tmp -> $part failed")
+        // guard the mutable-fileMeta contract: batch statistics reach the
+        // footer only because ArrowFileWriter serializes the SAME map at
+        // end() — an arrow-java upgrade that defensively copied it at
+        // construction would silently drop them (reads stay correct but
+        // full-scan), so read the footer back and fail loudly instead
+        locally {
+          val back = new HadoopSeekableChannel(hfs, part)
+          try require(readFooter(back).getMetaData.containsKey(BatchStatsKey),
+            s"Arrow IPC writer: $part footer is missing $BatchStatsKey — " +
+              "ArrowFileWriter no longer serializes file metadata at end()")
+          finally back.close()
+        }
       } finally {
         root.close(); schemaVecs.foreach(_.close()); alloc.close()
         hfs.delete(tmp, false); () // no-op when renamed
@@ -1152,9 +1182,20 @@ object ArrowIpc {
   }
 
   /** Per-batch column statistics for [[BatchStatsKey]]: min/max/nulls for
-    * long-comparable, double, and short-string TOP-LEVEL columns (other
-    * types — nested, binary, bool, decimal, dictionary-encoded — record
-    * nothing and never prune). All-null columns record nulls only.
+    * long-comparable, double, and short-string LEAVES — top-level columns
+    * and nested STRUCT leaves, the latter recorded under their dotted
+    * path ("meta.page"), matching the read API's nested-filter attribute
+    * convention so range predicates on struct fields batch-skip like any
+    * column (the reference's logical types are struct-heavy — e.g.
+    * ZonedDateTime as a struct of longs, reference
+    * OnHeapArrowSchemaMapper.java:105-222 — so a migration reading a
+    * nested field's range would otherwise scan every batch). A
+    * struct-null row counts as null for every leaf below it (Spark's
+    * `s.f` null semantics), and a slot under a null ancestor is never
+    * read — its child validity/bytes are unset. A field whose own name
+    * contains '.' is ambiguous with the path convention and records
+    * nothing. Other types — list/map elements, binary, bool, decimal —
+    * record nothing and never prune. All-null columns record nulls only.
     * Strings cap at 64 UTF-8 bytes: a longer value drops the column's
     * entry for the batch (a truncated max is NOT an upper bound, so
     * recording it could skip a matching batch — absence only costs IO).
@@ -1166,8 +1207,9 @@ object ArrowIpc {
     val node = om.createObjectNode()
     node.put("rows", n)
     val cols = node.putObject("cols")
-    root.getFieldVectors.asScala.foreach { v =>
-      val name = v.getField.getName
+    def emit(v: FieldVector, name: String, parentNull: Int => Boolean): Unit = {
+      if (v.getField.getName.contains(".")) return // ambiguous with dotted paths
+      def nullAt(i: Int): Boolean = parentNull(i) || v.isNull(i)
       if (v.getField.getDictionary != null) {
         // dictionary-encoded STRING column: the writer-side dictionary
         // resolves each index to its value, so min/max are over real
@@ -1183,7 +1225,7 @@ object ArrowIpc {
                 var nulls = 0L; var i = 0
                 val seen = new java.util.BitSet()
                 while (i < n) {
-                  if (v.isNull(i)) nulls += 1 else seen.set(x.get(i))
+                  if (nullAt(i)) nulls += 1 else seen.set(x.get(i))
                   i += 1
                 }
                 var min: Array[Byte] = null; var max: Array[Byte] = null
@@ -1209,7 +1251,11 @@ object ArrowIpc {
             o.put("nulls", nulls)
           }
         }
-      } else {
+      } else v match {
+        case sv: StructVector =>
+          sv.getChildrenFromFields.asScala.foreach(ch =>
+            emit(ch, s"$name.${ch.getField.getName}", nullAt))
+        case _ =>
         val asLong: Option[Int => Long] = v match {
           case x: BigIntVector => Some(x.get)
           case x: IntVector => Some(x.get(_).toLong)
@@ -1232,7 +1278,7 @@ object ArrowIpc {
           var min: Option[T] = None; var max: Option[T] = None
           var nulls = 0L; var i = 0; var valid = true
           while (i < n && valid) {
-            if (v.isNull(i)) nulls += 1
+            if (nullAt(i)) nulls += 1
             else {
               val x = get(i)
               if (!ok(x)) valid = false
@@ -1272,6 +1318,7 @@ object ArrowIpc {
         }
       }
     }
+    root.getFieldVectors.asScala.foreach(v => emit(v, v.getField.getName, _ => false))
     node
   }
 

@@ -36,22 +36,38 @@ object FastLz4 {
 
   /** Arrow codec factory: LZ4_FRAME compression via lz4-java, everything
     * else (incl. all decompression) delegated to the stock factory.
+    * The no-arg `Factory` is the JNI FAST compressor (the write-path
+    * default); `factory(level)` with level ≥ 1 swaps in lz4hc at that
+    * level (1–17, JNI too) for ARCHIVAL writes — same spec-v1.6.1 frame
+    * shape, any standard reader decodes both, ~fast-path sizes shrink
+    * toward parity with deflate at a write-throughput cost (measured in
+    * FastLz4Spec; the fast path's 1.8× size tradeoff is the thing
+    * being clawed back).
     */
-  object Factory extends CompressionCodec.Factory {
+  object Factory extends LeveledFactory(0)
+
+  /** [[Factory]] at an explicit compression level: ≤ 0 = fast, 1–17 =
+    * lz4hc.
+    */
+  def factory(level: Int): CompressionCodec.Factory = new LeveledFactory(level)
+
+  sealed class LeveledFactory(level: Int) extends CompressionCodec.Factory {
     override def createCodec(t: CompressionUtil.CodecType): CompressionCodec =
-      if (t == CompressionUtil.CodecType.LZ4_FRAME) new FastLz4FrameCodec
+      if (t == CompressionUtil.CodecType.LZ4_FRAME) new FastLz4FrameCodec(level)
       else CommonsCompressionFactory.INSTANCE.createCodec(t)
-    override def createCodec(t: CompressionUtil.CodecType, level: Int): CompressionCodec =
-      if (t == CompressionUtil.CodecType.LZ4_FRAME) new FastLz4FrameCodec
-      else CommonsCompressionFactory.INSTANCE.createCodec(t, level)
+    override def createCodec(t: CompressionUtil.CodecType, l: Int): CompressionCodec =
+      if (t == CompressionUtil.CodecType.LZ4_FRAME) new FastLz4FrameCodec(l)
+      else CommonsCompressionFactory.INSTANCE.createCodec(t, l)
   }
 
   /** Standard LZ4 frame bytes for `src`: block-independent, ≤4 MiB
     * blocks, incompressible blocks stored raw (high-bit size escape), no
-    * optional checksums.
+    * optional checksums. `level` ≤ 0 = JNI fast compressor, 1–17 = lz4hc.
     */
-  def compressFrame(src: Array[Byte], srcLen: Int): Array[Byte] = {
-    val comp = lz4.fastCompressor()
+  def compressFrame(src: Array[Byte], srcLen: Int, level: Int = 0): Array[Byte] = {
+    val comp: net.jpountz.lz4.LZ4Compressor =
+      if (level <= 0) lz4.fastCompressor()
+      else lz4.highCompressor(math.min(level, 17))
     val out = new java.io.ByteArrayOutputStream(srcLen / 2 + 64)
     out.write(0x04); out.write(0x22); out.write(0x4d); out.write(0x18) // magic LE
     val flg = 0x60.toByte // version 01, block-independent; no checksums/content-size/dict
@@ -127,14 +143,14 @@ object FastLz4 {
       None // ran out of bytes before an EndMark
     } catch { case _: Exception => None }
 
-  private final class FastLz4FrameCodec extends AbstractCompressionCodec {
+  private final class FastLz4FrameCodec(level: Int) extends AbstractCompressionCodec {
     override def getCodecType: CompressionUtil.CodecType = CompressionUtil.CodecType.LZ4_FRAME
 
     override protected def doCompress(alloc: BufferAllocator, src: ArrowBuf): ArrowBuf = {
       val n = Math.toIntExact(src.writerIndex())
       val in = new Array[Byte](n)
       src.getBytes(0, in)
-      val framed = compressFrame(in, n)
+      val framed = compressFrame(in, n, level)
       // 8 leading bytes reserved for the base class's uncompressed-length
       // prefix (the Arrow buffer-compression convention)
       val out = alloc.buffer(8L + framed.length)

@@ -923,23 +923,37 @@ object ScaleProbe {
           } catch { case _: Exception => () }
         }))
         val dir = parent.toString + "/docs"
-        timed("write ipc store")(ArrowIpc.write(docs, dir, batchRows = 4096,
-          dictColumns = Set("lang", "source")))
+        // meta mirrors (doc_id, lang) as a struct so the tier also
+        // measures NESTED-leaf stats skipping (r15); it rides the same
+        // store — full_kb grows by the struct's bytes vs earlier rounds
+        timed("write ipc store")(ArrowIpc.write(
+          docs.withColumn("meta",
+            struct(col("doc_id").as("did"), col("lang").as("lang"))),
+          dir, batchRows = 4096, dictColumns = Set("lang", "source")))
         val (nFull, bFull) = ArrowIpc.bytesReadDuring(timed("full read count")(
           ArrowIpc.read(spark, dir).count()))
         val (_, bPruned) = ArrowIpc.bytesReadDuring(timed("pruned (doc_id,lang) agg")(
           ArrowIpc.read(spark, dir, Seq("doc_id", "lang"))
             .groupBy(col("lang")).agg(count(lit(1))).collect()))
-        val hi = nFull / 50 // ~2% of the id range survives
+        // ~2% of the id range survives; floor of 1 keeps the filtered
+        // probe non-vacuous on tiers under 50 rows
+        val hi = math.max(1L, nFull / 50)
         val (nFilt, bFilt) = ArrowIpc.bytesReadDuring(timed("filtered 2% id range")(
           ArrowIpc.read(spark, dir, Seq("doc_id", "lang"),
             Seq(org.apache.spark.sql.sources.LessThan("doc_id", hi))).count()))
+        // nested-leaf skip (meta.did mirrors doc_id): same 2% range via
+        // the dotted-path stats, reading only the struct's buffers
+        val (nNest, bNest) = ArrowIpc.bytesReadDuring(timed("nested filtered 2% id range")(
+          ArrowIpc.read(spark, dir, Seq("meta"),
+            Seq(org.apache.spark.sql.sources.LessThan("meta.did", hi))).count()))
+        require(nNest == nFilt, s"nested probe rows $nNest != flat probe rows $nFilt")
         val (nZero, bZero) = ArrowIpc.bytesReadDuring(timed("zero-column count")(
           ArrowIpc.read(spark, dir, Nil).count()))
         require(nZero == nFull)
         println(s"""{"mode":"arrow","rows":$nFull,"full_kb":${bFull / 1000},""" +
           s""""pruned_kb":${bPruned / 1000},"filtered_rows":$nFilt,""" +
-          s""""filtered_kb":${bFilt / 1000},"zero_col_kb":${bZero / 1000}}""")
+          s""""filtered_kb":${bFilt / 1000},"nested_kb":${bNest / 1000},""" +
+          s""""zero_col_kb":${bZero / 1000}}""")
       case other => sys.error(s"unknown probe mode: $other")
     }
     spark.stop()

@@ -32,25 +32,36 @@ class ArrowFilterFuzzSpec extends SparkSpec {
     Row(
       if (rnd.nextInt(8) == 0) null else longPool(rnd.nextInt(longPool.length)),
       if (rnd.nextInt(6) == 0) null else doublePool(rnd.nextInt(doublePool.length)),
-      if (rnd.nextInt(5) == 0) null else stringPool(rnd.nextInt(stringPool.length)))
+      if (rnd.nextInt(5) == 0) null else stringPool(rnd.nextInt(stringPool.length)),
+      // nested struct: struct-null rows AND leaf-null slots both in play
+      if (rnd.nextInt(6) == 0) null
+      else Row(
+        if (rnd.nextInt(7) == 0) null else longPool(rnd.nextInt(longPool.length)),
+        if (rnd.nextInt(5) == 0) null else stringPool(rnd.nextInt(stringPool.length))))
   }
 
   private val schema = StructType(Seq(
     StructField("l", LongType, nullable = true),
     StructField("d", DoubleType, nullable = true),
-    StructField("s", StringType, nullable = true)))
+    StructField("s", StringType, nullable = true),
+    StructField("m", StructType(Seq(
+      StructField("l2", LongType, nullable = true),
+      StructField("s2", StringType, nullable = true))), nullable = true)))
 
   /** A random filter over one of the three columns, values drawn from the
     * pools (so boundaries are hit constantly) — plus And/Or/Not nests.
     */
   private def randFilter(rnd: Random, depth: Int = 0): Filter = {
     def leaf(): Filter = {
-      val c = rnd.nextInt(3)
+      val c = rnd.nextInt(5)
       val (a, v): (String, Any) = c match {
         case 0 => ("l", longPool(rnd.nextInt(longPool.length)))
         case 1 => ("d", doublePool(rnd.nextInt(doublePool.length)))
+        case 2 => ("m.l2", longPool(rnd.nextInt(longPool.length)))
+        case 3 => ("m.s2", stringPool(rnd.nextInt(stringPool.length)))
         case _ => ("s", stringPool(rnd.nextInt(stringPool.length)))
       }
+      val isString = a == "s" || a == "m.s2"
       rnd.nextInt(8) match {
         case 0 => EqualTo(a, v)
         case 1 => GreaterThan(a, v)
@@ -59,9 +70,9 @@ class ArrowFilterFuzzSpec extends SparkSpec {
         case 4 => LessThanOrEqual(a, v)
         case 5 => IsNull(a)
         case 6 => IsNotNull(a)
-        case _ if a == "s" => StringStartsWith(a, v.toString.take(1 + rnd.nextInt(3)))
-        case _ => In(a, Array(v, if (a == "l") longPool(rnd.nextInt(longPool.length))
-          else doublePool(rnd.nextInt(doublePool.length))))
+        case _ if isString => StringStartsWith(a, v.toString.take(1 + rnd.nextInt(3)))
+        case _ => In(a, Array(v, if (a == "d") doublePool(rnd.nextInt(doublePool.length))
+          else longPool(rnd.nextInt(longPool.length))))
       }
     }
     if (depth >= 2) leaf()
@@ -105,7 +116,11 @@ class ArrowFilterFuzzSpec extends SparkSpec {
       val sorted = rnd.nextBoolean() // sorted stores make skips actually fire
       val base = spark.createDataFrame(
         spark.sparkContext.parallelize(randRows(rnd, n), 1 + rnd.nextInt(3)), schema)
-      val df = if (sorted) base.orderBy("l", "d", "s") else base
+      val df =
+        if (!sorted) base
+        // sometimes sort by the nested leaf so nested-stat skips fire
+        else if (rnd.nextBoolean()) base.orderBy("l", "d", "s")
+        else base.orderBy(col("m.l2"), col("m.s2"), col("l"))
       ArrowIpc.write(df, out, batchRows = 64 + rnd.nextInt(192))
       val full = ArrowIpc.read(spark, out)
       (0 until 6).foreach { _ =>

@@ -184,6 +184,89 @@ class ArrowFilterSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  // ---- nested struct leaves (round 15): stats under dotted paths ----
+
+  private val nestedSchema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("meta", StructType(Seq(
+      StructField("page", IntegerType, nullable = true),
+      StructField("score", DoubleType, nullable = true),
+      StructField("tag", StringType, nullable = true),
+      StructField("deep", StructType(Seq(
+        StructField("k", LongType, nullable = true))), nullable = true))),
+      nullable = true),
+    StructField("payload", StringType, nullable = true)))
+
+  private def nestedRows(n: Int): Seq[Row] = (0 until n).map { i =>
+    Row(
+      i.toLong,
+      if (i % 23 == 0) null // struct-null rows: null for every leaf below
+      else Row(
+        if (i % 11 == 0) null else i / 4, // monotone with id → batches partition
+        if (i % 13 == 0) null else i * 0.5,
+        if (i % 7 == 0) null else s"t${i % 6}",
+        if (i % 5 == 0) null else Row(i.toLong * 3)),
+      s"pad" * 50 + i)
+  }
+
+  private lazy val nestedStore: String = {
+    val out = tmp("ipc_filter_nested")
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(nestedRows(8000), 1), nestedSchema).orderBy("id")
+    ArrowIpc.write(df, out, batchRows = 512)
+    out
+  }
+
+  test("nested leaf filters return exactly the brute-force rows, incl. struct-null rows") {
+    val full = ArrowIpc.read(spark, nestedStore)
+    val cases: Seq[(Seq[Filter], org.apache.spark.sql.Column)] = Seq(
+      (Seq(GreaterThan("meta.page", 1500)), col("meta.page") > 1500),
+      (Seq(LessThanOrEqual("meta.score", 100.0)), col("meta.score") <= 100.0),
+      (Seq(EqualTo("meta.tag", "t3")), col("meta.tag") === "t3"),
+      (Seq(In("meta.tag", Array("t1", "t5"))), col("meta.tag").isin("t1", "t5")),
+      (Seq(IsNull("meta.page")), col("meta.page").isNull),
+      (Seq(IsNotNull("meta.deep.k"), LessThan("id", 200L)),
+        col("meta.deep.k").isNotNull && col("id") < 200L),
+      (Seq(And(GreaterThanOrEqual("meta.deep.k", 3000L), LessThan("meta.deep.k", 4500L))),
+        col("meta.deep.k") >= 3000L && col("meta.deep.k") < 4500L),
+      (Seq(StringStartsWith("meta.tag", "t")), col("meta.tag").startsWith("t")))
+    cases.foreach { case (fs, pred) =>
+      val got = ArrowIpc.readFiltered(spark, nestedStore, fs)
+      assert(canon(got) == canon(full.where(pred)), s"filters $fs")
+    }
+  }
+
+  test("nested leaf range filter skips non-matching batches' bytes") {
+    ArrowIpc.read(spark, nestedStore).count() // warm caches
+    val (_, fullBytes) = bytesRead(ArrowIpc.readFiltered(spark, nestedStore, Nil).count())
+    // page = id/4 ∈ [250, 380) → ids [1000, 1520) → 2 of 16 batches
+    val fs = Seq(GreaterThanOrEqual("meta.page", 250), LessThan("meta.page", 380))
+    val full = ArrowIpc.read(spark, nestedStore)
+    val want = full.where(col("meta.page") >= 250 && col("meta.page") < 380).count()
+    val (hit, narrowBytes) = bytesRead(
+      ArrowIpc.readFiltered(spark, nestedStore, fs).count())
+    assert(hit == want && want > 0)
+    assert(narrowBytes < fullBytes / 4,
+      s"nested range read $narrowBytes B, full $fullBytes B — batches not skipped?")
+    // two-level leaf: deep.k = 3*id ∈ [3000, 4536) → ids [1000, 1512)
+    val fs2 = Seq(GreaterThanOrEqual("meta.deep.k", 3000L), LessThan("meta.deep.k", 4536L))
+    val want2 = full.where(col("meta.deep.k") >= 3000L && col("meta.deep.k") < 4536L).count()
+    val (hit2, bytes2) = bytesRead(
+      ArrowIpc.readFiltered(spark, nestedStore, fs2).count())
+    assert(hit2 == want2 && want2 > 0)
+    assert(bytes2 < fullBytes / 4,
+      s"deep-leaf range read $bytes2 B, full $fullBytes B — batches not skipped?")
+  }
+
+  test("nested filter composes with column pruning: root struct reads internally, drops from output") {
+    val got = ArrowIpc.read(spark, nestedStore, Seq("id"),
+      Seq(GreaterThan("meta.page", 1900)))
+    assert(got.schema.fieldNames.toSeq == Seq("id"))
+    val want = ArrowIpc.read(spark, nestedStore)
+      .where(col("meta.page") > 1900).select(col("id"))
+    assert(canon(got) == canon(want))
+  }
+
   test("corrupt/mismatched stats metadata only disables skipping") {
     // hand-break the stats: parseBatchStats must reject a wrong batch
     // count and the read must fall back to full scanning, same results
