@@ -954,6 +954,32 @@ object ScaleProbe {
           s""""pruned_kb":${bPruned / 1000},"filtered_rows":$nFilt,""" +
           s""""filtered_kb":${bFilt / 1000},"nested_kb":${bNest / 1000},""" +
           s""""zero_col_kb":${bZero / 1000}}""")
+      case "heavy_hitters_route" =>
+        // the r15 broadcast guard's fallback cost at the tier: the exact
+        // recount with the candidate set BROADCAST (default route) vs
+        // FORCED onto the shuffle-hash route (broadcastLimit = 0 — what
+        // fires past 10M candidates); results must be identical
+        import graft.functions.{TextFunctions => T}
+        val toks = docs.select(explode(T.tokenize(col("text"))).as("token"))
+        def runRoute(limit: Long): (Long, Double) = {
+          val t0 = System.nanoTime()
+          val n = graft.text.HeavyHitters
+            .frequent(toks, "token", theta = 0.02, broadcastLimit = limit)
+            .count()
+          (n, (System.nanoTime() - t0) / 1e9)
+        }
+        // best-of-2 per route, interleaved, so first-run JIT/warmup cost
+        // doesn't land on whichever route runs first
+        val pairs = Seq.fill(2)(Seq(
+          "broadcast" -> runRoute(Long.MaxValue),
+          "shuffle" -> runRoute(0L))).flatten
+        val counts = pairs.map(_._2._1).distinct
+        require(counts.size == 1, s"route results diverge: $pairs")
+        val tB = pairs.collect { case ("broadcast", (_, t)) => t }.min
+        val tS = pairs.collect { case ("shuffle", (_, t)) => t }.min
+        System.err.println(f"[probe] broadcast best $tB%.2f s, shuffle best $tS%.2f s")
+        println(s"""{"mode":"heavy_hitters_route","rows":${counts.head},""" +
+          f""""broadcast_s":$tB%.2f,"shuffle_s":$tS%.2f}""")
       case other => sys.error(s"unknown probe mode: $other")
     }
     spark.stop()
