@@ -267,6 +267,30 @@ class ArrowFilterSpec extends SparkSpec {
     assert(canon(got) == canon(want))
   }
 
+  test("nested DICT-encoded string leaf gets stats: equality on it skips batches") {
+    val out = tmp("ipc_filter_nested_dict")
+    val df = spark.range(0, 8000).select(
+      col("id"),
+      struct(
+        concat(lit("cat_"), (col("id") / 1000).cast("int").cast("string")).as("cat"),
+        (col("id") % 100).cast("int").as("sub")).as("m"),
+      concat(lit("pad" * 100), col("id").cast("string")).as("payload"))
+      .orderBy(col("m.cat"), col("id")) // batches carry narrow cat ranges
+    graft.sources.ArrowIpc.write(df, out, batchRows = 512, dictColumns = Set("m.cat"))
+    val full = ArrowIpc.read(spark, out)
+    val (_, fullBytes) = bytesRead(full.collect().length)
+    val (got, dictBytes) = bytesRead(
+      ArrowIpc.readFiltered(spark, out, Seq(EqualTo("m.cat", "cat_3"))).collect())
+    assert(got.length == 1000)
+    assert(got.forall(_.getAs[Row]("m").getAs[String]("cat") == "cat_3"))
+    assert(dictBytes < fullBytes / 3,
+      s"nested dict equality read $dictBytes B vs full $fullBytes B — batches not skipped?")
+    // a value outside the dictionary skips everything
+    val (none, _) = bytesRead(
+      ArrowIpc.readFiltered(spark, out, Seq(EqualTo("m.cat", "zzz"))).count())
+    assert(none == 0)
+  }
+
   test("corrupt/mismatched stats metadata only disables skipping") {
     // hand-break the stats: parseBatchStats must reject a wrong batch
     // count and the read must fall back to full scanning, same results
