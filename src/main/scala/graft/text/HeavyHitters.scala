@@ -112,13 +112,17 @@ object HeavyHitters {
     // (releasing before the returned plan materializes breaks it), and a
     // checkpoint never pollutes the session CacheManager
     val sdf = summary.toDF("item", "w").localCheckpoint(true)
-    val nRow = sdf.where(col("item").isNull).agg(sum(col("w"))).head()
+    // one summary-sized aggregate yields BOTH n and the candidate count
+    // (the broadcast-guard route input) — no extra job vs the unguarded
+    // shape; count_distinct skips the nulls the `when` produces
+    val nRow = sdf.agg(
+      sum(when(col("item").isNull, col("w"))).as("n"),
+      count_distinct(when(col("item").isNotNull, col("item"))).as("cands")).head()
     val n = if (nRow.isNullAt(0)) 0L else nRow.getLong(0)
     if (n == 0L)
       return src.groupBy(col("item").as(itemCol)).agg(count(lit(1)).as("cnt")).limit(0)
     val candidates = sdf.where(col("item").isNotNull).select(col("item")).distinct()
-    // summary-sized count (checkpointed input) decides the join route
-    val nCand = candidates.count()
+    val nCand = nRow.getLong(1)
     semiPrune(src, candidates, Seq("item"), nCand, broadcastLimit)
       .groupBy(col("item"))
       .agg(count(lit(1)).as("cnt"))
@@ -187,11 +191,15 @@ object HeavyHitters {
     val totals = sdf.where(col("item").isNull)
       .groupBy(col("key")).agg(sum(col("w")).as("__n"))
     val candidates = sdf.where(col("item").isNotNull).select(col("key"), col("item")).distinct()
-    // both small frames are counted off the checkpointed summary; either
-    // can be unbounded (candidates: partitions × keys × 1/θ; totals: one
-    // row PER KEY) so each gets its own route decision
-    val nCand = candidates.count()
-    val nTotals = totals.count()
+    // ONE summary-sized aggregate sizes both frames for their route
+    // decisions; either can be unbounded (candidates: partitions × keys ×
+    // 1/θ; totals: one row PER KEY). count_distinct skips the `when` nulls
+    val cnts = sdf.agg(
+      count_distinct(when(col("item").isNotNull,
+        struct(col("key"), col("item")))).as("cands"),
+      count_distinct(when(col("item").isNull, col("key"))).as("keys")).head()
+    val nCand = cnts.getLong(0)
+    val nTotals = cnts.getLong(1)
     val counted = semiPrune(src, candidates, Seq("key", "item"), nCand, broadcastLimit)
       .groupBy(col("key"), col("item"))
       .agg(count(lit(1)).as("cnt"))
