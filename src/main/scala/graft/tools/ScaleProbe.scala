@@ -954,6 +954,41 @@ object ScaleProbe {
           s""""pruned_kb":${bPruned / 1000},"filtered_rows":$nFilt,""" +
           s""""filtered_kb":${bFilt / 1000},"nested_kb":${bNest / 1000},""" +
           s""""zero_col_kb":${bZero / 1000}}""")
+      case "arrow_hc" =>
+        // the lz4hc archival level vs the fast default at the tier:
+        // write time + store size + a full read back (values must match)
+        import graft.sources.ArrowIpc
+        val parent = java.nio.file.Files.createTempDirectory("probe_arrow_hc")
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          try {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(parent).iterator().asScala.toSeq
+              .sortBy(-_.getNameCount)
+              .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch { case _: Exception => () })
+          } catch { case _: Exception => () }
+        }))
+        def dirKb(d: String): Long = {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(java.nio.file.Paths.get(d)).iterator().asScala
+            .filter(java.nio.file.Files.isRegularFile(_))
+            .map(java.nio.file.Files.size(_)).sum / 1000
+        }
+        def bench(level: Int, name: String): (String, Long, Double) = {
+          val d = s"$parent/$name"
+          val t0 = System.nanoTime()
+          ArrowIpc.write(docs, d, batchRows = 4096,
+            dictColumns = Set("lang", "source"), compressionLevel = level)
+          val t = (System.nanoTime() - t0) / 1e9
+          System.err.println(f"[probe] write level=$level%-3d ${t}%.1f s, ${dirKb(d)} KB")
+          (d, dirKb(d), t)
+        }
+        val (fd, fKb, fT) = bench(0, "fast")
+        val (hd, hKb, hT) = bench(9, "hc9")
+        val nF = ArrowIpc.read(spark, fd).count()
+        val nH = ArrowIpc.read(spark, hd).count()
+        require(nF == nH, s"row counts diverge: $nF vs $nH")
+        println(s"""{"mode":"arrow_hc","rows":$nF,"fast_kb":$fKb,"hc_kb":$hKb,""" +
+          f""""fast_write_s":$fT%.1f,"hc_write_s":$hT%.1f}""")
       case "heavy_hitters_route" =>
         // the r15 broadcast guard's fallback cost at the tier: the exact
         // recount with the candidate set BROADCAST (default route) vs
