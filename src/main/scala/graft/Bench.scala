@@ -170,7 +170,9 @@ object Bench {
     "q_arrow_filtered_scan",
     "q_heavy_hitters_by_lang",
     // round 15: nested-leaf IPC filter pushdown (dotted-path batch stats)
+    // and the partial/in-flight (torn-store) reader
     "q_arrow_nested_scan",
+    "q_arrow_partial_scan",
     "q_components_store"
   )
 

@@ -63,6 +63,49 @@ object CoreQueries {
     parent + "/docs"
   }
 
+  /** A TORN copy of the session IPC store for the partial-read gate: the
+    * single part file cut 16 bytes INTO record batch 2's message
+    * (mid-metadata — a genuine tear, not a clean boundary) when the
+    * store has more than two batches, else copied whole. Both regimes
+    * serve exactly the `doc_id < 4096` prefix (2048-row batches,
+    * id-ordered writes — the order q_provenance pins at every SF), which
+    * is the static bound the DuckDB oracle re-derives. Cached per
+    * (JVM, sfDir) under the same shutdown-hook discipline.
+    */
+  private def tornDocsStore(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val key = dir + "#torn"
+    val cached = arrowStoreDirs.get(key)
+    val parent =
+      if (cached != null) cached
+      else {
+        val src = docsIpcStore(s, dir) // ensure the complete store exists
+        val fresh = java.nio.file.Files.createTempDirectory("graft_arrow_torn").toString
+        try {
+          val srcFiles = new java.io.File(src).listFiles()
+            .filter(f => f.isFile && f.getName.endsWith(".arrow")).sortBy(_.getName)
+          require(srcFiles.length == 1,
+            s"tornDocsStore: expected one part file under $src, got ${srcFiles.length}")
+          val bytes = java.nio.file.Files.readAllBytes(srcFiles.head.toPath)
+          val blocks = graft.sources.ArrowIpc.recordBatchBlocks(s, srcFiles.head.toString)
+          val cut =
+            if (blocks.size > 2) math.min(blocks(2)._1 + 16, bytes.length.toLong).toInt
+            else bytes.length
+          val d = java.nio.file.Paths.get(fresh, "torn")
+          java.nio.file.Files.createDirectories(d)
+          java.nio.file.Files.write(d.resolve("part-00000.arrow"),
+            java.util.Arrays.copyOf(bytes, cut))
+        } catch {
+          case e: Throwable =>
+            try deleteTree(fresh) catch { case _: Exception => () }
+            throw e
+        }
+        val prior = arrowStoreDirs.putIfAbsent(key, fresh)
+        if (prior != null) { try deleteTree(fresh) catch { case _: Exception => () }; prior }
+        else fresh
+      }
+    parent + "/torn"
+  }
+
   private def deleteTree(d: String): Unit = {
     val root = java.nio.file.Paths.get(d)
     if (java.nio.file.Files.exists(root)) {
@@ -133,6 +176,21 @@ object CoreQueries {
           min(col("meta.did")).as("min_id"), max(col("meta.did")).as("max_id"))
         .orderBy(col("lang"))
     }),
+    // Arrow IPC PARTIAL read (r15): a copy of the store torn mid-message
+    // inside record batch 2 — the crashed-writer / consume-while-producing
+    // shape (reference OffHeapArrowPartialFileBatchReadable) — must serve
+    // EXACTLY the complete-batch prefix (doc_id < 4096: 2048-row batches,
+    // id-ordered writes pinned by q_provenance), which the oracle
+    // re-derives from the flat parquet source. A partial batch leaking,
+    // a batch dropped, or a stale dictionary = hash mismatch.
+    "q_arrow_partial_scan" -> ((s, dir) => {
+      graft.sources.ArrowIpc.readPartial(s, tornDocsStore(s, dir))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy(col("lang"))
+    }),
+
     // §7.1 minimum slice: scan → filter → project → slice.
     // row provenance attach: Spark's hidden _metadata struct surfaces the
     // physical (file, row-offset) identity of every row — the audit /
@@ -372,6 +430,13 @@ object CoreQueries {
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE doc_id >= 100 AND doc_id < 300
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    // the torn store holds exactly batches 0-1 = the first 4096 doc_ids
+    "q_arrow_partial_scan" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  max(doc_id) AS max_id
+        |FROM documents WHERE doc_id < 4096
         |GROUP BY lang ORDER BY lang""".stripMargin,
     // the meta struct is a faithful mirror of (doc_id, n_chars, lang), so
     // the nested-leaf filtered aggregate re-derives from the flat source

@@ -226,6 +226,92 @@ object ArrowIpc {
       filters: Seq[org.apache.spark.sql.sources.Filter]): DataFrame =
     readImpl(spark, path, selected = None, filters = filters)
 
+  /** PARTIAL / in-flight read — the reference's consume-while-producing
+    * capability (reference org.knime.core.columnar.arrow/…/offheap/
+    * OffHeapArrowPartialFileBatchReadable.java): every COMPLETE record
+    * batch of `path` (file or directory), NO footer required, so a store
+    * whose writer crashed mid-write — or is still running — is readable
+    * up to its last committed batch. After the 8-byte magic an IPC file
+    * body is the self-delimiting STREAM framing, so the reader walks
+    * messages in file order (dictionary initial/delta/replacement
+    * semantics identical to [[read]]) and a torn tail — truncated
+    * metadata, message, or body — simply ends that file's contribution;
+    * a COMPLETE file stops cleanly at its end-of-stream marker. A file
+    * torn before even its schema message contributes zero rows; the
+    * DataFrame's schema comes from the first file that carries one, and
+    * a readable file whose schema diverges fails loud with its path.
+    * Full-width by design: this is the recovery / live-migration path —
+    * pruning, statistics, and filters live on the footer-driven [[read]].
+    */
+  def readPartial(spark: SparkSession, path: String): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new HPath(path)
+    val fs = p.getFileSystem(conf)
+    val files: Seq[String] =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).toSeq
+          .filter(s => s.isFile && !s.getPath.getName.startsWith(".") && !s.getPath.getName.startsWith("_"))
+          .map(_.getPath.toString).sorted
+      else Seq(path)
+    require(files.nonEmpty, s"no Arrow IPC files under $path")
+    // schema: the first file that got far enough to carry one (with
+    // concurrent writers ANY file can be torn pre-schema)
+    val schema: StructType = files.iterator
+      .flatMap { f =>
+        try {
+          val (ffs, fp) = fsPath(spark, f)
+          val src = openStreamSource(ffs, fp)
+          try Some(src.sparkSchema) finally src.close()
+        } catch { case TornBeforeSchema(_) => None }
+      }
+      .nextOption()
+      .getOrElse(throw new IllegalArgumentException(
+        s"Arrow IPC partial read: no file under $path carries a complete schema message"))
+    val confB = spark.sparkContext.broadcast(new SerializableWritable(conf))
+    val rows = spark.sparkContext
+      .parallelize(files, files.size)
+      .flatMap { file =>
+        val c = confB.value.value
+        val hp = new HPath(file)
+        val hfs = hp.getFileSystem(c)
+        val srcOpt =
+          try Some(openStreamSource(hfs, hp))
+          catch { case TornBeforeSchema(_) => None } // pre-schema tear: zero rows
+        srcOpt match {
+          case None => Iterator.empty
+          case Some(src) =>
+            Option(org.apache.spark.TaskContext.get())
+              .foreach(_.addTaskCompletionListener[Unit](_ => src.close()))
+            if (src.sparkSchema.map(f => (f.name, f.dataType)) != schema.map(f => (f.name, f.dataType))) {
+              src.close()
+              throw new IllegalArgumentException(
+                s"Arrow IPC file $file schema ${src.sparkSchema.simpleString} differs from " +
+                  s"the directory schema ${schema.simpleString}")
+            }
+            src.rows
+        }
+      }
+    GraftSqlInternals.internalCreateDataFrame(spark, rows, schema)
+  }
+
+  /** Record-batch block descriptors (offset, metadataLength, bodyLength)
+    * of a COMPLETE IPC file, in file order — partial-read tooling derives
+    * safe truncation points from these (the q_arrow_partial_scan gate's
+    * torn-store builder cuts mid-message after batch 2).
+    */
+  private[graft] def recordBatchBlocks(spark: SparkSession,
+      file: String): Seq[(Long, Int, Long)] = {
+    val (fs, p) = fsPath(spark, file)
+    withChannel(fs, p)(ch => readFooter(ch).getRecordBatches.asScala.toSeq
+      .map(b => (b.getOffset, b.getMetadataLength, b.getBodyLength)))
+  }
+
+  private def openStreamSource(fs: FileSystem, p: HPath): StreamSource = {
+    val ch = new HadoopSeekableChannel(fs, p)
+    try new StreamSource(ch, p.toString)
+    catch { case t: Throwable => ch.close(); throw t }
+  }
+
   private def readImpl(spark: SparkSession, path: String, selected: Option[Array[String]],
       filters: Seq[org.apache.spark.sql.sources.Filter]): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -409,45 +495,10 @@ object ArrowIpc {
     }
 
     private def load(raw: ArrowRecordBatch, target: VectorSchemaRoot): Unit =
-      if (!legacyBlock) {
-        // standard batches: VectorLoader handles frame/uncompressed itself
-        new VectorLoader(target, FastLz4.Factory).load(raw)
-      } else {
-        val bufs = raw.getBuffers.asScala.map(decompressLegacyBlock(alloc, _)).asJava
-        val clean = new ArrowRecordBatch(raw.getLength, raw.getNodes, bufs) // retains bufs
-        bufs.asScala.foreach(_.close())
-        try new VectorLoader(target).load(clean)
-        finally clean.close()
-      }
+      loadBatchInto(raw, target, alloc, legacyBlock)
 
-    /** Apply a deserialized dictionary batch: initial, replacement, or
-      * delta semantics against the live dictionary vector.
-      */
     private def applyDictionaryBatch(db: ArrowDictionaryBatch): Unit =
-      try {
-        val dv = dictionaries.get(db.getDictionaryId).getVector
-        if (!db.isDelta) {
-          // full dictionary — REPLACES any previous content (the
-          // reference re-writes each dictionary id per batch)
-          dv.clear()
-          val droot = new VectorSchemaRoot(
-            java.util.List.of(dv.getField), java.util.List.of[FieldVector](dv))
-          load(db.getDictionary, droot)
-        } else {
-          // delta — APPENDS new entries (what our own writer emits;
-          // also the spec-portable shape pyarrow/Arrow C++ accept)
-          val tmp = dv.getField.createVector(alloc)
-          try {
-            val troot = new VectorSchemaRoot(
-              java.util.List.of(tmp.getField), java.util.List.of[FieldVector](tmp))
-            load(db.getDictionary, troot)
-            val base = dv.getValueCount
-            var k = 0
-            while (k < troot.getRowCount) { dv.copyFromSafe(k, base + k, tmp); k += 1 }
-            dv.setValueCount(base + troot.getRowCount)
-          } finally tmp.close()
-        }
-      } finally db.close()
+      applyDictionaryBatchTo(db, dictionaries, alloc, legacyBlock)
 
     /** The encapsulated-message flatbuffer at a block's offset — a
       * metadata-only read ([[ArrowBlock.getMetadataLength]] bytes; the
@@ -581,6 +632,169 @@ object ArrowIpc {
               try load(rb, root)
               finally rb.close()
               batch = batchRows(root, id => dictionaries.get(id), outPerm)
+          }
+        }
+      override def hasNext: Boolean = { advance(); batch.hasNext }
+      override def next(): InternalRow = { advance(); batch.next() }
+    }
+  }
+
+  /** Load a record batch into `target`: standard (LZ4-frame /
+    * uncompressed) batches through [[VectorLoader]], legacy LZ4-BLOCK
+    * buffers decompressed with the reference's raw-block rule first.
+    * Shared by the footer-driven and partial (stream-walking) readers.
+    */
+  private def loadBatchInto(raw: ArrowRecordBatch, target: VectorSchemaRoot,
+      alloc: BufferAllocator, legacyBlock: Boolean): Unit =
+    if (!legacyBlock) {
+      // standard batches: VectorLoader handles frame/uncompressed itself
+      new VectorLoader(target, FastLz4.Factory).load(raw)
+    } else {
+      val bufs = raw.getBuffers.asScala.map(decompressLegacyBlock(alloc, _)).asJava
+      val clean = new ArrowRecordBatch(raw.getLength, raw.getNodes, bufs) // retains bufs
+      bufs.asScala.foreach(_.close())
+      try new VectorLoader(target).load(clean)
+      finally clean.close()
+    }
+
+  /** Apply a deserialized dictionary batch: initial, replacement, or
+    * delta semantics against the live dictionary vector. Closes `db`.
+    */
+  private def applyDictionaryBatchTo(db: ArrowDictionaryBatch,
+      dictionaries: java.util.HashMap[java.lang.Long, Dictionary],
+      alloc: BufferAllocator, legacyBlock: Boolean): Unit =
+    try {
+      val dv = dictionaries.get(db.getDictionaryId).getVector
+      if (!db.isDelta) {
+        // full dictionary — REPLACES any previous content (the
+        // reference re-writes each dictionary id per batch)
+        dv.clear()
+        val droot = new VectorSchemaRoot(
+          java.util.List.of(dv.getField), java.util.List.of[FieldVector](dv))
+        loadBatchInto(db.getDictionary, droot, alloc, legacyBlock)
+      } else {
+        // delta — APPENDS new entries (what our own writer emits;
+        // also the spec-portable shape pyarrow/Arrow C++ accept)
+        val tmp = dv.getField.createVector(alloc)
+        try {
+          val troot = new VectorSchemaRoot(
+            java.util.List.of(tmp.getField), java.util.List.of[FieldVector](tmp))
+          loadBatchInto(db.getDictionary, troot, alloc, legacyBlock)
+          val base = dv.getValueCount
+          var k = 0
+          while (k < troot.getRowCount) { dv.copyFromSafe(k, base + k, tmp); k += 1 }
+          dv.setValueCount(base + troot.getRowCount)
+        } finally tmp.close()
+      }
+    } finally db.close()
+
+  /** Sequential message-walking reader for PARTIAL / in-flight IPC files
+    * — the reference's consume-while-producing capability
+    * (OffHeapArrowPartialFileBatchReadable.java: read committed batches
+    * of a store whose writer is still running or died mid-write). No
+    * footer is needed: after the 8-byte file magic the body IS the IPC
+    * STREAM framing (schema message, then dictionary/record batches in
+    * file order), so the walk serves every COMPLETE batch and stops at
+    * the first tear — a truncated metadata prefix, message, or body is
+    * never visible downstream, and a complete file stops cleanly at its
+    * end-of-stream marker without ever touching the footer.
+    *
+    * Full-width by design: partial reads are a recovery / live-migration
+    * path, not a serving path — pruning and statistics live on the
+    * footer-driven [[FooterSource]].
+    */
+  /** A file torn before even a complete schema message — nothing to
+    * serve FROM IT; with concurrent writers any file of a crashed store
+    * can be in this state, so [[readPartial]] treats it as zero rows
+    * rather than failing the whole recovery (garbage that is not an
+    * Arrow file at all still fails loud on the magic check).
+    */
+  private final case class TornBeforeSchema(path: String)
+    extends RuntimeException(
+      s"Arrow IPC partial read: $path is torn before a complete schema message")
+
+  private final class StreamSource(ch: SeekableByteChannel, label: String) {
+    private val alloc = new RootAllocator(Long.MaxValue)
+    private val dictionaries = new java.util.HashMap[java.lang.Long, Dictionary]()
+    private val rch = new SeekableReadChannel(ch)
+    // "ARROW1\0\0": fewer than 8 readable bytes = a write torn inside
+    // the magic itself (zero rows); 8+ bytes that differ = not an Arrow
+    // IPC file — fail loud, a partial reader must still refuse garbage
+    locally {
+      val magic = java.nio.ByteBuffer.allocate(8)
+      val got = try { rch.setPosition(0); rch.readFully(magic) } catch { case _: Exception => -1 }
+      if (got < 8) throw TornBeforeSchema(label)
+      require(new String(magic.array, 0, 6, "US-ASCII") == "ARROW1",
+        s"$label is not an Arrow IPC file (missing ARROW1 magic)")
+      rch.setPosition(8)
+    }
+    private val msgReader =
+      new org.apache.arrow.vector.ipc.message.MessageChannelReader(rch, alloc)
+    // the schema message leads everything else in the framing
+    private val arrowSchema: org.apache.arrow.vector.types.pojo.Schema = {
+      val first =
+        try msgReader.readNext() catch { case _: Exception => null }
+      if (first == null ||
+          first.getMessage.headerType() != org.apache.arrow.flatbuf.MessageHeader.Schema)
+        throw TornBeforeSchema(label)
+      MessageSerializer.deserializeSchema(first.getMessage)
+    }
+    private val legacyBlock =
+      arrowSchema.getCustomMetadata.asScala.get(LegacyBlockKey).contains("true")
+    private val fileFields: IndexedSeq[Field] = arrowSchema.getFields.asScala.toIndexedSeq
+    private val memFields = fileFields
+      .map(f => DictionaryUtility.toMemoryFormat(f, alloc, dictionaries)).asJava
+    private val root = VectorSchemaRoot.create(
+      new ArrowSchema(memFields, arrowSchema.getCustomMetadata), alloc)
+    private val outPerm: Array[Int] = fileFields.indices.toArray
+    val sparkSchema: StructType = fromArrowSchema(arrowSchema)
+    private var open = true
+    def close(): Unit = if (open) {
+      open = false
+      root.close()
+      dictionaries.values().asScala.foreach(_.getVector.close())
+      try msgReader.close() catch { case _: Exception => () } // closes rch/ch
+      // a TORN body read leaks its ArrowBuf upstream (bytecode-read:
+      // MessageSerializer.readMessageBody allocates, then throws on a
+      // short read without releasing) — the allocator's leak complaint
+      // on that expected path must not fail the task that just served
+      // every complete batch; the allocator dies with this source either
+      // way, and the leak is bounded by one batch body per torn file
+      try alloc.close() catch { case _: IllegalStateException => () }
+    }
+
+    def rows: Iterator[InternalRow] = new Iterator[InternalRow] {
+      private var batch: Iterator[InternalRow] = Iterator.empty
+      private def advance(): Unit =
+        while (!batch.hasNext && open) {
+          // a torn tail surfaces as an IOException (or a short read)
+          // anywhere inside readNext — every batch already served was
+          // complete, so stopping here IS the contract
+          val res =
+            try msgReader.readNext()
+            catch { case _: Exception => null }
+          if (res == null) close() // EOS marker, clean EOF, or tear
+          else {
+            // deserialize{Record,Dictionary}Batch take OWNERSHIP of the
+            // body buffer (bytecode-read: they release it after retaining
+            // their slices) — never close it on the success path
+            def body: ArrowBuf =
+              Option(res.getBodyBuffer).getOrElse(alloc.getEmpty)
+            res.getMessage.headerType() match {
+              case org.apache.arrow.flatbuf.MessageHeader.DictionaryBatch =>
+                applyDictionaryBatchTo(
+                  MessageSerializer.deserializeDictionaryBatch(res.getMessage, body),
+                  dictionaries, alloc, legacyBlock)
+              case org.apache.arrow.flatbuf.MessageHeader.RecordBatch =>
+                val rb = MessageSerializer.deserializeRecordBatch(res.getMessage, body)
+                try loadBatchInto(rb, root, alloc, legacyBlock)
+                finally rb.close()
+                batch = batchRows(root, id => dictionaries.get(id), outPerm)
+              case _ =>
+                // unknown message type from a newer writer: its body is
+                // ours to drop — skip the message, keep walking
+                val b = res.getBodyBuffer; if (b != null) b.close()
+            }
           }
         }
       override def hasNext: Boolean = { advance(); batch.hasNext }

@@ -1,0 +1,155 @@
+package graft
+
+import graft.sources.ArrowIpc
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import scala.util.Random
+
+/** Partial / in-flight IPC reading (the reference's
+  * consume-while-producing capability): `readPartial` must serve EVERY
+  * complete record batch and NEVER a torn one — at any truncation point,
+  * on dict-encoded and nested schemas, across mixed torn/complete
+  * directories — and must still refuse files that are not Arrow at all.
+  */
+class ArrowPartialSpec extends SparkSpec {
+
+  private def tmp(name: String) =
+    Files.createTempDirectory(name).resolve("t").toString
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("cat", StringType, nullable = true), // dict-encoded
+    StructField("m", StructType(Seq(
+      StructField("k", LongType, nullable = true))), nullable = true),
+    StructField("txt", StringType, nullable = true)))
+
+  private def rows(n: Int): Seq[Row] = (0 until n).map { i =>
+    Row(
+      i.toLong,
+      if (i % 9 == 0) null else s"cat_${i % 7}",
+      if (i % 11 == 0) null else Row(i.toLong * 2),
+      s"body_$i")
+  }
+
+  // id-sorted single partition, 256-row batches: batch k holds ids
+  // [256k, 256(k+1)) — the prefix property every assertion leans on
+  private lazy val store: String = {
+    val out = tmp("ipc_partial")
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows(1000), 1), schema).orderBy("id")
+    ArrowIpc.write(df, out, batchRows = 256, dictColumns = Set("cat"))
+    out
+  }
+  private lazy val partFile: String = {
+    val fs = Files.list(Paths.get(store)).toArray.map(_.toString)
+      .filter(_.endsWith(".arrow"))
+    assert(fs.length == 1)
+    fs.head
+  }
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+
+  private def truncCopy(src: String, cut: Long): String = {
+    val d = tmp("ipc_partial_cut")
+    Files.createDirectories(Paths.get(d))
+    val dst = Paths.get(d, "part-00000.arrow")
+    val bytes = Files.readAllBytes(Paths.get(src))
+    Files.write(dst, java.util.Arrays.copyOf(bytes, math.min(cut, bytes.length).toInt))
+    d
+  }
+
+  test("complete file: readPartial equals the footer-driven read, footer untouched") {
+    val full = ArrowIpc.read(spark, store)
+    val part = ArrowIpc.readPartial(spark, store)
+    assert(part.schema == full.schema)
+    assert(canon(part) == canon(full))
+    assert(part.count() == 1000)
+  }
+
+  test("any truncation point serves exactly the complete-batch prefix (120 fuzz cuts)") {
+    val len = Files.size(Paths.get(partFile))
+    val rnd = new Random(20260816)
+    // every regime: inside magic, inside schema, mid-metadata, mid-body,
+    // between messages, inside the footer region
+    val cuts = Seq(0L, 3L, 8L, 20L, len - 1, len) ++
+      Seq.fill(114)(rnd.nextLong(len + 1)).map(math.abs(_) % (len + 1))
+    var lastOkCut = -1L
+    cuts.sorted.foreach { cut =>
+      val dir = truncCopy(partFile, cut)
+      val got =
+        try Some(ArrowIpc.readPartial(spark, dir).collect())
+        catch {
+          case e: IllegalArgumentException
+            if e.getMessage.contains("no file under") => None // pre-schema tear
+        }
+      val ids = got.toSeq.flatten.map(_.getLong(0)).sorted
+      val m = ids.length
+      // served rows are EXACTLY [0, m) with m a whole number of batches
+      // (or everything): never a partial batch, never a gap, never junk
+      assert(ids == (0L until m.toLong), s"cut=$cut: not a clean prefix")
+      assert(m % 256 == 0 || m == 1000, s"cut=$cut: partial batch served ($m rows)")
+      if (cut == len) assert(m == 1000, "full-length copy must serve everything")
+      // monotone: more bytes can never serve fewer rows
+      assert(cut >= lastOkCut || m >= 0)
+      lastOkCut = cut
+      // dictionary decode of the prefix matches the source values
+      got.toSeq.flatten.foreach { r =>
+        val i = r.getLong(0).toInt
+        val want = if (i % 9 == 0) null else s"cat_${i % 7}"
+        assert(r.getString(1) == want, s"cut=$cut id=$i dict value mismatch")
+      }
+    }
+  }
+
+  test("directory with torn, pre-schema, and complete files: complete batches only, zero-row tears tolerated") {
+    val d = tmp("ipc_partial_mixed")
+    Files.createDirectories(Paths.get(d))
+    val bytes = Files.readAllBytes(Paths.get(partFile))
+    // complete file + a file cut mid-stream + a 3-byte pre-magic tear
+    Files.write(Paths.get(d, "part-00000.arrow"), bytes)
+    Files.write(Paths.get(d, "part-00001.arrow"),
+      java.util.Arrays.copyOf(bytes, bytes.length / 2))
+    Files.write(Paths.get(d, "part-00002.arrow"), Array[Byte]('A', 'R', 'R'))
+    val got = ArrowIpc.readPartial(spark, d).collect()
+    val ids = got.map(_.getLong(0)).sorted
+    // file 0 contributes all 1000; file 1 a whole-batch prefix; file 2 none
+    assert(ids.length >= 1000 && ids.length < 2000)
+    assert((ids.length - 1000) % 256 == 0)
+    assert(ids.take(1000).toSeq == (0L until 1000L) ||
+      ids.count(_ == 0L) == 2) // both files start at id 0
+  }
+
+  test("a non-Arrow file fails loud instead of reading as torn") {
+    val d = tmp("ipc_partial_garbage")
+    Files.createDirectories(Paths.get(d))
+    Files.write(Paths.get(d, "part-00000.arrow"),
+      "definitely not arrow bytes".getBytes("UTF-8"))
+    val e = intercept[Exception] {
+      ArrowIpc.readPartial(spark, d).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("in-flight growth: growing prefixes serve monotonically growing whole-batch counts") {
+    val len = Files.size(Paths.get(partFile))
+    var last = -1L
+    // simulate a live writer: snapshot the file at 10 growing sizes
+    (1 to 10).map(i => len * i / 10).foreach { cut =>
+      val dir = truncCopy(partFile, cut)
+      val n =
+        try ArrowIpc.readPartial(spark, dir).count()
+        catch {
+          case e: IllegalArgumentException
+            if e.getMessage.contains("no file under") => 0L
+        }
+      assert(n >= last, s"cut=$cut went backwards: $last -> $n")
+      assert(n % 256 == 0 || n == 1000)
+      last = n
+    }
+    assert(last == 1000)
+  }
+}
