@@ -954,6 +954,59 @@ object ScaleProbe {
           s""""pruned_kb":${bPruned / 1000},"filtered_rows":$nFilt,""" +
           s""""filtered_kb":${bFilt / 1000},"nested_kb":${bNest / 1000},""" +
           s""""zero_col_kb":${bZero / 1000}}""")
+      case "arrow_partial" =>
+        // partial/in-flight reader at the tier: full-store walk (stream
+        // framing, no footer) vs the footer-driven read, then recovery
+        // from a copy torn mid-message at the file's midpoint batch
+        import graft.sources.ArrowIpc
+        val parent = java.nio.file.Files.createTempDirectory("probe_arrow_partial")
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          try {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(parent).iterator().asScala.toSeq
+              .sortBy(-_.getNameCount)
+              .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch { case _: Exception => () })
+          } catch { case _: Exception => () }
+        }))
+        val dir = parent.toString + "/docs"
+        timed("write ipc store")(ArrowIpc.write(docs, dir, batchRows = 4096,
+          dictColumns = Set("lang", "source")))
+        val t0 = System.nanoTime()
+        val nFooter = ArrowIpc.read(spark, dir).count()
+        val tFooter = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val nPartial = ArrowIpc.readPartial(spark, dir).count()
+        val tPartial = (System.nanoTime() - t1) / 1e9
+        require(nFooter == nPartial, s"partial walk lost rows: $nPartial vs $nFooter")
+        System.err.println(f"[probe] footer read $tFooter%.1f s, stream walk $tPartial%.1f s")
+        // torn copy: cut 16 bytes into the midpoint batch of each part
+        val tornDir = java.nio.file.Paths.get(parent.toString, "torn")
+        java.nio.file.Files.createDirectories(tornDir)
+        var expected = 0L
+        new java.io.File(dir).listFiles().filter(_.getName.endsWith(".arrow"))
+          .sortBy(_.getName).foreach { f =>
+          val blocks = ArrowIpc.recordBatchBlocks(spark, f.toString)
+          val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+          val mid = blocks.size / 2
+          val cut =
+            if (blocks.size > 1) math.min(blocks(mid)._1 + 16, bytes.length.toLong).toInt
+            else bytes.length
+          // rows fully before the cut batch (batch k holds its block's
+          // row count; sum the kept prefix from the footer metadata by
+          // re-reading lengths via the complete file)
+          expected += (if (blocks.size > 1) mid.toLong * 4096L else blocks.size.toLong * 0L)
+          java.nio.file.Files.write(tornDir.resolve(f.getName),
+            java.util.Arrays.copyOf(bytes, cut))
+        }
+        val t2 = System.nanoTime()
+        val nTorn = ArrowIpc.readPartial(spark, tornDir.toString).count()
+        val tTorn = (System.nanoTime() - t2) / 1e9
+        System.err.println(f"[probe] torn-store recovery $tTorn%.1f s, $nTorn rows (expected >= $expected)")
+        require(nTorn >= expected && nTorn <= nFooter,
+          s"torn recovery rows $nTorn outside [$expected, $nFooter]")
+        println(s"""{"mode":"arrow_partial","rows":$nFooter,""" +
+          f""""footer_read_s":$tFooter%.1f,"stream_read_s":$tPartial%.1f,""" +
+          f""""torn_rows":$nTorn,"torn_read_s":$tTorn%.1f}""")
       case "arrow_hc" =>
         // the lz4hc archival level vs the fast default at the tier:
         // write time + store size + a full read back (values must match)
