@@ -173,6 +173,7 @@ object Bench {
     // and the partial/in-flight (torn-store) reader
     "q_arrow_nested_scan",
     "q_arrow_partial_scan",
+    "q_plan_persist",
     "q_components_store"
   )
 

@@ -1,0 +1,210 @@
+package graft.plans
+
+import graft.table.{Combine, KTable, RowId}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, lit}
+
+/** Persisted virtual-table plans — the reference's TableTransform
+  * serialization re-expressed Spark-first.
+  *
+  * The reference saves a workflow's virtual-table graph as JSON so it
+  * re-executes after a restart (reference org.knime.core.data.columnar/
+  * …/table/virtual/persist/TableTransformSerializer.java:97-131 — op
+  * vocabulary source / identity / select_columns / permute / slice /
+  * append / concatenate; TableTransformNodeSettingsPersistor.java:409-459
+  * adds row_index / map / append_map via mapper-factory class names +
+  * settings). The Spark-first form persists the same DAG shape but keeps
+  * row logic DECLARATIVE: every expression is Spark SQL text, which
+  * Catalyst re-parses and re-optimizes on every replay against whatever
+  * snapshot of the sources exists then — where the reference pins a
+  * compiled mapper class, a saved plan here pins only semantics. Custom
+  * Scala UDFs are deliberately not serializable (express row logic as
+  * SQL; every engine operator does).
+  *
+  * A [[Plan]] is a topologically ordered node list over NAMED source
+  * tables (each node's inputs must be earlier nodes — the same
+  * resolve-forward discipline as the reference's
+  * `resolveTransformsTree`); `result` names the node whose frame the
+  * plan yields. [[toJson]]/[[fromJson]] round-trip bit-stable JSON;
+  * unknown ops or versions fail loud — a half-understood plan must never
+  * half-execute.
+  */
+object PlanSpec {
+
+  sealed trait Node { def inputs: Seq[Int] }
+  /** A named input table — resolution happens at execute time. */
+  final case class Source(table: String) extends Node { def inputs: Seq[Int] = Nil }
+  /** Pass-through (the reference serializes these; kept for fidelity). */
+  final case class Identity(input: Int) extends Node { def inputs: Seq[Int] = Seq(input) }
+  /** Select/permute/duplicate by position ([[KTable.selectColumns]]). */
+  final case class SelectCols(input: Int, indices: Seq[Int]) extends Node { def inputs: Seq[Int] = Seq(input) }
+  final case class DropCols(input: Int, indices: Seq[Int]) extends Node { def inputs: Seq[Int] = Seq(input) }
+  final case class Slice(input: Int, from: Long, until: Long) extends Node { def inputs: Seq[Int] = Seq(input) }
+  /** Row filter; `sql` is a boolean Spark SQL expression. */
+  final case class FilterRows(input: Int, sql: String) extends Node { def inputs: Seq[Int] = Seq(input) }
+  /** Output-only projection: each (name, sql) pair becomes a column. */
+  final case class MapCols(input: Int, outputs: Seq[(String, String)]) extends Node { def inputs: Seq[Int] = Seq(input) }
+  /** Keep every input column, append the computed ones. */
+  final case class AppendMap(input: Int, outputs: Seq[(String, String)]) extends Node { def inputs: Seq[Int] = Seq(input) }
+  /** Replace the column at `index` in place with `sql`'s value. */
+  final case class ReplaceMap(input: Int, index: Int, sql: String) extends Node { def inputs: Seq[Int] = Seq(input) }
+  /** Exact contiguous row index (+ offset) in current order. */
+  final case class RowIndex(input: Int, name: String, offset: Long) extends Node { def inputs: Seq[Int] = Seq(input) }
+  /** Rename ALL columns positionally ([[KTable.renameColumns]]). */
+  final case class Rename(input: Int, names: Seq[String]) extends Node { def inputs: Seq[Int] = Seq(input) }
+  /** Zip two equal-length tables column-wise ([[Combine.appendByPosition]]). */
+  final case class AppendByPosition(left: Int, right: Int) extends Node { def inputs: Seq[Int] = Seq(left, right) }
+  /** Row-wise concatenation with union-schema merge ([[Combine.concatenate]]). */
+  final case class Concatenate(override val inputs: Seq[Int]) extends Node
+
+  final case class Plan(nodes: IndexedSeq[Node], result: Int) {
+    require(nodes.nonEmpty, "PlanSpec: empty plan")
+    require(result >= 0 && result < nodes.length,
+      s"PlanSpec: result $result out of range (${nodes.length} nodes)")
+    nodes.zipWithIndex.foreach { case (n, i) =>
+      n.inputs.foreach(in => require(in >= 0 && in < i,
+        s"PlanSpec: node $i reads input $in - inputs must be earlier nodes " +
+          "(topological order, the serializer's resolve-forward rule)"))
+    }
+    /** Every source table name the plan reads. */
+    def sourceTables: Seq[String] =
+      nodes.collect { case Source(t) => t }.distinct
+  }
+
+  private val Version = 1
+
+  // ---- JSON ----
+
+  def toJson(plan: Plan): String = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.createObjectNode()
+    root.put("version", Version)
+    root.put("result", plan.result)
+    val arr = root.putArray("nodes")
+    plan.nodes.foreach { n =>
+      val o = arr.addObject()
+      n match {
+        case Source(t) => o.put("op", "source"); o.put("table", t)
+        case Identity(in) => o.put("op", "identity"); o.put("input", in)
+        case SelectCols(in, idx) =>
+          o.put("op", "select_columns"); o.put("input", in)
+          val a = o.putArray("indices"); idx.foreach(a.add)
+        case DropCols(in, idx) =>
+          o.put("op", "drop_columns"); o.put("input", in)
+          val a = o.putArray("indices"); idx.foreach(a.add)
+        case Slice(in, f, u) =>
+          o.put("op", "slice"); o.put("input", in); o.put("from", f); o.put("until", u)
+        case FilterRows(in, e) =>
+          o.put("op", "filter"); o.put("input", in); o.put("expr", e)
+        case MapCols(in, outs) =>
+          o.put("op", "map"); o.put("input", in); putOutputs(o, outs)
+        case AppendMap(in, outs) =>
+          o.put("op", "append_map"); o.put("input", in); putOutputs(o, outs)
+        case ReplaceMap(in, idx, e) =>
+          o.put("op", "replace_map"); o.put("input", in); o.put("index", idx); o.put("expr", e)
+        case RowIndex(in, name, off) =>
+          o.put("op", "row_index"); o.put("input", in); o.put("name", name); o.put("offset", off)
+        case Rename(in, names) =>
+          o.put("op", "rename"); o.put("input", in)
+          val a = o.putArray("names"); names.foreach(a.add)
+        case AppendByPosition(l, r) =>
+          o.put("op", "append"); o.put("left", l); o.put("right", r)
+        case Concatenate(ins) =>
+          o.put("op", "concatenate")
+          val a = o.putArray("inputs"); ins.foreach(a.add)
+      }
+    }
+    om.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
+
+  private def putOutputs(o: com.fasterxml.jackson.databind.node.ObjectNode,
+      outs: Seq[(String, String)]): Unit = {
+    val a = o.putArray("outputs")
+    outs.foreach { case (n, e) =>
+      val el = a.addObject(); el.put("name", n); el.put("expr", e)
+    }
+  }
+
+  def fromJson(json: String): Plan =
+    fromNode(new com.fasterxml.jackson.databind.ObjectMapper().readTree(json))
+
+  def fromNode(root: com.fasterxml.jackson.databind.JsonNode): Plan = {
+    require(root != null && root.isObject, "PlanSpec: not a JSON object")
+    val v = root.path("version").asInt(-1)
+    require(v == Version, s"PlanSpec: unsupported plan version $v (this reader: $Version)")
+    val nodesArr = root.path("nodes")
+    require(nodesArr.isArray && nodesArr.size > 0, "PlanSpec: missing nodes array")
+    import scala.jdk.CollectionConverters._
+    def outputsOf(o: com.fasterxml.jackson.databind.JsonNode): Seq[(String, String)] =
+      o.path("outputs").elements().asScala.map(el =>
+        (el.path("name").asText, el.path("expr").asText)).toSeq
+    def ints(o: com.fasterxml.jackson.databind.JsonNode, f: String): Seq[Int] =
+      o.path(f).elements().asScala.map(_.asInt).toSeq
+    val nodes = nodesArr.elements().asScala.map { o =>
+      o.path("op").asText match {
+        case "source" => Source(o.path("table").asText)
+        case "identity" => Identity(o.path("input").asInt)
+        case "select_columns" => SelectCols(o.path("input").asInt, ints(o, "indices"))
+        case "drop_columns" => DropCols(o.path("input").asInt, ints(o, "indices"))
+        case "slice" => Slice(o.path("input").asInt, o.path("from").asLong, o.path("until").asLong)
+        case "filter" => FilterRows(o.path("input").asInt, o.path("expr").asText)
+        case "map" => MapCols(o.path("input").asInt, outputsOf(o))
+        case "append_map" => AppendMap(o.path("input").asInt, outputsOf(o))
+        case "replace_map" => ReplaceMap(o.path("input").asInt, o.path("index").asInt, o.path("expr").asText)
+        case "row_index" => RowIndex(o.path("input").asInt, o.path("name").asText, o.path("offset").asLong)
+        case "rename" => Rename(o.path("input").asInt,
+          o.path("names").elements().asScala.map(_.asText).toSeq)
+        case "append" => AppendByPosition(o.path("left").asInt, o.path("right").asInt)
+        case "concatenate" => Concatenate(ints(o, "inputs"))
+        case other => throw new IllegalArgumentException(
+          s"PlanSpec: unknown op '$other' - refusing to half-execute a " +
+            "half-understood plan (newer writer?)")
+      }
+    }.toIndexedSeq
+    Plan(nodes, root.path("result").asInt)
+  }
+
+  /** Persist to a single JSON file (manifests' [[graft.sources.ArtifactJson]]
+    * discipline: real JSON, atomic single-file write).
+    */
+  def save(spark: SparkSession, plan: Plan, path: String): Unit =
+    graft.sources.ArtifactJson.writeFile(spark, path, toJson(plan))
+
+  def load(spark: SparkSession, path: String): Plan =
+    fromNode(graft.sources.ArtifactJson.readFile(spark, path))
+
+  /** Replay the plan against `sources` (name → frame). Each node maps to
+    * the engine operator that already owns its semantics, so a reloaded
+    * plan and hand-written code produce the SAME Catalyst plan — the
+    * declarative-serialization payoff.
+    */
+  def execute(plan: Plan, sources: Map[String, DataFrame]): DataFrame = {
+    val out = new Array[DataFrame](plan.nodes.length)
+    plan.nodes.zipWithIndex.foreach { case (n, i) =>
+      out(i) = n match {
+        case Source(t) => sources.getOrElse(t,
+          throw new IllegalArgumentException(
+            s"PlanSpec: plan reads source table '$t' but execute() got " +
+              s"[${sources.keys.toSeq.sorted.mkString(", ")}]"))
+        case Identity(in) => out(in)
+        case SelectCols(in, idx) => KTable(out(in)).selectColumns(idx: _*).df
+        case DropCols(in, idx) => KTable(out(in)).dropColumns(idx: _*).df
+        case Slice(in, f, u) => KTable(out(in)).slice(f, u).df
+        case FilterRows(in, e) => out(in).where(expr(e))
+        case MapCols(in, outs) =>
+          KTable(out(in)).map(outs.map { case (nm, e) => nm -> expr(e) }: _*).df
+        case AppendMap(in, outs) =>
+          KTable(out(in)).appendMap(outs.map { case (nm, e) => nm -> expr(e) }: _*).df
+        case ReplaceMap(in, idx, e) => KTable(out(in)).replaceMap(idx, expr(e)).df
+        case RowIndex(in, name, off) =>
+          val indexed = RowId.withRowIndex(out(in), name)
+          if (off == 0L) indexed
+          else indexed.withColumn(name, col(name) + lit(off))
+        case Rename(in, names) => KTable(out(in)).renameColumns(names: _*).df
+        case AppendByPosition(l, r) => Combine.appendByPosition(out(l), out(r))
+        case Concatenate(ins) => Combine.concatenate(ins.map(out))
+      }
+    }
+    out(plan.result)
+  }
+}

@@ -191,6 +191,28 @@ object CoreQueries {
         .orderBy(col("lang"))
     }),
 
+    // Plan persistence (r15, reference TableTransformSerializer.java:97-131):
+    // a virtual-table DAG serialized to JSON, re-parsed, and REPLAYED must
+    // yield the same rows as the SQL the oracle runs — expressions persist
+    // as Spark SQL text, so the reloaded plan re-optimizes (filter pushdown
+    // asserted in PlanSpecSpec) instead of pinning a compiled mapper.
+    "q_plan_persist" -> ((s, dir) => {
+      import graft.plans.PlanSpec
+      import graft.plans.PlanSpec._
+      val plan = Plan(Vector(
+        Source("lineitem"),
+        FilterRows(0, "l_quantity > 30 AND l_discount <= 0.05"),
+        AppendMap(1, Seq("gross" -> "l_quantity * l_extendedprice")),
+        MapCols(2, Seq(
+          "l_orderkey" -> "l_orderkey",
+          "l_linenumber" -> "l_linenumber",
+          "l_quantity" -> "l_quantity",
+          "gross" -> "gross"))), result = 3)
+      val reloaded = PlanSpec.fromJson(PlanSpec.toJson(plan)) // real round-trip
+      PlanSpec.execute(reloaded, Map("lineitem" -> t(s, dir, "lineitem")))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("gross"))
+    }),
+
     // §7.1 minimum slice: scan → filter → project → slice.
     // row provenance attach: Spark's hidden _metadata struct surfaces the
     // physical (file, row-offset) identity of every row — the audit /
@@ -431,6 +453,13 @@ object CoreQueries {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE doc_id >= 100 AND doc_id < 300
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // the plan's SQL-text expressions are the same arithmetic DuckDB runs
+    // (raw per-row doubles; no rounding - the float-parity rule)
+    "q_plan_persist" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |  l_quantity * l_extendedprice AS gross
+        |FROM lineitem WHERE l_quantity > 30 AND l_discount <= 0.05
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, gross""".stripMargin,
     // the torn store holds exactly batches 0-1 = the first 4096 doc_ids
     "q_arrow_partial_scan" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,

@@ -1,0 +1,112 @@
+package graft
+
+import graft.plans.PlanSpec
+import graft.plans.PlanSpec._
+import graft.table.{Combine, KTable}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Plan persistence: a serialized virtual-table DAG must round-trip
+  * bit-stably through JSON, replay to exactly the frames the engine
+  * operators produce by hand, survive a source-snapshot change (the
+  * declarative payoff), and refuse anything it only half-understands.
+  */
+class PlanSpecSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+
+  private val everyOp = Plan(Vector(
+    Source("t"),                                   // 0
+    Identity(0),                                   // 1
+    FilterRows(1, "v > 1"),                        // 2
+    AppendMap(2, Seq("v2" -> "v * 10")),           // 3
+    SelectCols(3, Seq(2, 0)),                      // 4  (v2, k)
+    DropCols(3, Seq(1)),                           // 5  (k, v2)
+    ReplaceMap(5, 1, "v2 + 1"),                    // 6
+    Rename(6, Seq("key", "v3")),                   // 7
+    Slice(7, 0, 2),                                // 8
+    RowIndex(7, "idx", 100),                       // 9
+    Concatenate(Seq(7, 7)),                        // 10
+    AppendByPosition(7, 7)                         // 11
+  ), result = 7)
+
+  test("JSON round-trip preserves every op exactly") {
+    val json = PlanSpec.toJson(everyOp)
+    val back = PlanSpec.fromJson(json)
+    assert(back == everyOp)
+    // and the re-serialization is bit-stable
+    assert(PlanSpec.toJson(back) == json)
+  }
+
+  test("replay equals the hand-written pipeline for every op") {
+    val t = Seq(("a", 1L), ("b", 2L), ("c", 3L), ("d", 4L)).toDF("k", "v")
+    def run(result: Int) =
+      PlanSpec.execute(everyOp.copy(result = result), Map("t" -> t))
+    val filtered = t.where(col("v") > 1)
+    val appended = filtered.withColumn("v2", col("v") * 10)
+    assert(canon(run(2)) == canon(filtered))
+    assert(canon(run(3)) == canon(appended))
+    assert(canon(run(4)) == canon(appended.select(col("v2"), col("k"))))
+    val dropped = appended.select(col("k"), col("v2"))
+    assert(canon(run(5)) == canon(dropped))
+    val replaced = dropped.withColumn("v2", col("v2") + 1)
+    assert(canon(run(6)) == canon(replaced))
+    val renamed = replaced.toDF("key", "v3")
+    assert(canon(run(7)) == canon(renamed))
+    assert(run(8).count() == 2)
+    val idx = run(9)
+    assert(idx.columns.toSeq == Seq("key", "v3", "idx"))
+    assert(idx.agg(min(col("idx"))).head.getLong(0) == 100L)
+    assert(canon(run(10)) == canon(renamed.unionAll(renamed)))
+    assert(run(11).count() == 3 && run(11).columns.length == 4)
+  }
+
+  test("save/load through a file; replay over a GROWN source sees the new rows") {
+    val path = Files.createTempDirectory("planspec").resolve("plan.json").toString
+    PlanSpec.save(spark, everyOp, path)
+    val back = PlanSpec.load(spark, path)
+    assert(back == everyOp)
+    assert(back.sourceTables == Seq("t"))
+    val small = Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
+    val grown = Seq(("a", 1L), ("b", 2L), ("z", 9L)).toDF("k", "v")
+    assert(PlanSpec.execute(back, Map("t" -> small)).count() == 1)
+    assert(PlanSpec.execute(back, Map("t" -> grown)).count() == 2) // declarative replay
+  }
+
+  test("unknown op, wrong version, forward reference, missing source all fail loud") {
+    val unknown = """{"version":1,"result":0,"nodes":[{"op":"teleport"}]}"""
+    assert(intercept[IllegalArgumentException](
+      PlanSpec.fromJson(unknown)).getMessage.contains("unknown op"))
+    val newer = """{"version":2,"result":0,"nodes":[{"op":"source","table":"t"}]}"""
+    assert(intercept[IllegalArgumentException](
+      PlanSpec.fromJson(newer)).getMessage.contains("version"))
+    intercept[IllegalArgumentException] { // node 0 reading node 1
+      Plan(Vector(Identity(1), Source("t")), result = 0)
+    }
+    val p = Plan(Vector(Source("missing")), result = 0)
+    assert(intercept[IllegalArgumentException](
+      PlanSpec.execute(p, Map.empty)).getMessage.contains("missing"))
+  }
+
+  test("expressions re-optimize on replay: filter over parquet still pushes down") {
+    val dir = Files.createTempDirectory("planspec_pq").resolve("t").toString
+    spark.range(0, 1000).select(col("id"), (col("id") % 7).as("m"))
+      .write.parquet(dir)
+    val plan = Plan(Vector(
+      Source("t"),
+      FilterRows(0, "id >= 900"),
+      MapCols(1, Seq("id" -> "id", "m2" -> "m * 2"))), result = 2)
+    val replayed = PlanSpec.execute(
+      PlanSpec.fromJson(PlanSpec.toJson(plan)),
+      Map("t" -> spark.read.parquet(dir)))
+    assert(replayed.count() == 100)
+    // the SQL-text filter reaches the parquet scan as a pushed filter —
+    // the whole point of persisting logic instead of compiled mappers
+    val physical = replayed.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters: [IsNotNull(id), GreaterThanOrEqual(id,900)]")
+      || physical.contains("GreaterThanOrEqual(id,900)"), physical.take(800))
+  }
+}
