@@ -52,6 +52,17 @@ object PlanSpec {
   final case class RowIndex(input: Int, name: String, offset: Long) extends Node { def inputs: Seq[Int] = Seq(input) }
   /** Rename ALL columns positionally ([[KTable.renameColumns]]). */
   final case class Rename(input: Int, names: Seq[String]) extends Node { def inputs: Seq[Int] = Seq(input) }
+  /** Append all-null columns typed by DDL strings
+    * (AppendMissingValuesTransformSpec; types round-trip via
+    * `DataType.fromDDL(dt.sql)`).
+    */
+  final case class AppendMissing(input: Int, fields: Seq[(String, String)]) extends Node { def inputs: Seq[Int] = Seq(input) }
+  /** Metric observation ([[KTable.observe]]; `exprs` are aggregate SQL
+    * expressions incl. aliases). The reference's ObserverTransformSpec is
+    * explicitly NOT persistable (compiled observer instances); SQL-text
+    * aggregates are, so it persists here.
+    */
+  final case class Observe(input: Int, name: String, exprs: Seq[String]) extends Node { def inputs: Seq[Int] = Seq(input) }
   /** Zip two equal-length tables column-wise ([[Combine.appendByPosition]]). */
   final case class AppendByPosition(left: Int, right: Int) extends Node { def inputs: Seq[Int] = Seq(left, right) }
   /** Row-wise concatenation with union-schema merge ([[Combine.concatenate]]). */
@@ -107,6 +118,15 @@ object PlanSpec {
         case Rename(in, names) =>
           o.put("op", "rename"); o.put("input", in)
           val a = o.putArray("names"); names.foreach(a.add)
+        case AppendMissing(in, fields) =>
+          o.put("op", "append_missing"); o.put("input", in)
+          val a = o.putArray("fields")
+          fields.foreach { case (nm, ddl) =>
+            val el = a.addObject(); el.put("name", nm); el.put("type", ddl)
+          }
+        case Observe(in, name, exprs) =>
+          o.put("op", "observe"); o.put("input", in); o.put("name", name)
+          val a = o.putArray("exprs"); exprs.foreach(a.add)
         case AppendByPosition(l, r) =>
           o.put("op", "append"); o.put("left", l); o.put("right", r)
         case Concatenate(ins) =>
@@ -154,6 +174,11 @@ object PlanSpec {
         case "row_index" => RowIndex(o.path("input").asInt, o.path("name").asText, o.path("offset").asLong)
         case "rename" => Rename(o.path("input").asInt,
           o.path("names").elements().asScala.map(_.asText).toSeq)
+        case "append_missing" => AppendMissing(o.path("input").asInt,
+          o.path("fields").elements().asScala.map(el =>
+            (el.path("name").asText, el.path("type").asText)).toSeq)
+        case "observe" => Observe(o.path("input").asInt, o.path("name").asText,
+          o.path("exprs").elements().asScala.map(_.asText).toSeq)
         case "append" => AppendByPosition(o.path("left").asInt, o.path("right").asInt)
         case "concatenate" => Concatenate(ints(o, "inputs"))
         case other => throw new IllegalArgumentException(
@@ -201,6 +226,12 @@ object PlanSpec {
           if (off == 0L) indexed
           else indexed.withColumn(name, col(name) + lit(off))
         case Rename(in, names) => KTable(out(in)).renameColumns(names: _*).df
+        case AppendMissing(in, fields) =>
+          KTable(out(in)).appendMissingValueColumns(fields.map { case (nm, ddl) =>
+            nm -> org.apache.spark.sql.types.DataType.fromDDL(ddl)
+          }: _*).df
+        case Observe(in, name, exprs) =>
+          KTable(out(in)).observe(name, exprs.map(expr): _*).df
         case AppendByPosition(l, r) => Combine.appendByPosition(out(l), out(r))
         case Concatenate(ins) => Combine.concatenate(ins.map(out))
       }

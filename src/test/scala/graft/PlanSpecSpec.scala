@@ -30,7 +30,9 @@ class PlanSpecSpec extends SparkSpec {
     Slice(7, 0, 2),                                // 8
     RowIndex(7, "idx", 100),                       // 9
     Concatenate(Seq(7, 7)),                        // 10
-    AppendByPosition(7, 7)                         // 11
+    AppendByPosition(7, 7),                        // 11
+    AppendMissing(7, Seq("extra" -> "BIGINT", "tags" -> "ARRAY<STRING>")), // 12
+    Observe(7, "metrics", Seq("count(1) AS n", "sum(v3) AS s"))            // 13
   ), result = 7)
 
   test("JSON round-trip preserves every op exactly") {
@@ -62,6 +64,11 @@ class PlanSpecSpec extends SparkSpec {
     assert(idx.agg(min(col("idx"))).head.getLong(0) == 100L)
     assert(canon(run(10)) == canon(renamed.unionAll(renamed)))
     assert(run(11).count() == 3 && run(11).columns.length == 4)
+    val missing = run(12)
+    assert(missing.schema("extra").dataType.sql == "BIGINT")
+    assert(missing.schema("tags").dataType.sql == "ARRAY<STRING>")
+    assert(missing.where(col("extra").isNotNull || col("tags").isNotNull).count() == 0)
+    assert(canon(run(13).select(col("key"), col("v3"))) == canon(renamed))
   }
 
   test("save/load through a file; replay over a GROWN source sees the new rows") {
