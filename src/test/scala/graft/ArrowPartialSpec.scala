@@ -50,8 +50,17 @@ class ArrowPartialSpec extends SparkSpec {
     fs.head
   }
 
+  private def fmt(v: Any): String = v match {
+    case b: Array[Byte] => b.map(x => f"$x%02x").mkString
+    case r: Row => r.toSeq.map(fmt).mkString("{", ",", "}")
+    case s: scala.collection.Seq[_] => s.map(fmt).mkString("[", ",", "]")
+    case m: scala.collection.Map[_, _] =>
+      m.toSeq.map { case (k, x) => fmt(k) + "=" + fmt(x) }.sorted.mkString("<", ",", ">")
+    case x => String.valueOf(x)
+  }
+
   private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
-    df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    df.collect().map(_.toSeq.map(fmt).mkString("|")).sorted.toSeq
 
   private def truncCopy(src: String, cut: Long): String = {
     val d = tmp("ipc_partial_cut")
@@ -132,6 +141,43 @@ class ArrowPartialSpec extends SparkSpec {
       ArrowIpc.readPartial(spark, d).collect()
     }
     assert(e.getMessage != null)
+  }
+
+  test("reference golden files: partial walk equals the footer read (legacy LZ4-block, replacement dicts)") {
+    // THE migration case: a crashed KNIME store is exactly these files
+    // with a torn tail — the complete goldens must stream-walk to the
+    // same rows the footer-driven reader serves (incl. the legacy block
+    // codec and mid-stream dictionary REPLACEMENT pyarrow refuses)
+    val base = "/root/reference/org.knime.core.columnar.arrow.tests/test_data"
+    assume(Files.isDirectory(Paths.get(base)))
+    val goldens = Seq(
+      s"$base/LZ4_block_compression/data.arrow",
+      s"$base/ZonedDateTime_legacy_files/multiple_batches.arrow",
+      s"$base/ZonedDateTime_legacy_files/compressed.arrow",
+      s"$base/ZonedDateTime_legacy_files/struct_list.arrow")
+    goldens.filter(f => Files.exists(Paths.get(f))).foreach { f =>
+      val full = ArrowIpc.read(spark, f)
+      val part = ArrowIpc.readPartial(spark, f)
+      assert(part.schema == full.schema, f)
+      assert(canon(part) == canon(full), s"partial walk diverged on $f")
+    }
+    // and a torn copy of a multi-batch golden still serves a clean prefix
+    val multi = s"$base/ZonedDateTime_legacy_files/multiple_batches.arrow"
+    if (Files.exists(Paths.get(multi))) {
+      val total = ArrowIpc.read(spark, multi).count()
+      val len = Files.size(Paths.get(multi))
+      val cuts = Seq(len / 3, len / 2, 2 * len / 3)
+      cuts.foreach { cut =>
+        val dir = truncCopy(multi, cut)
+        val n =
+          try ArrowIpc.readPartial(spark, dir).count()
+          catch {
+            case e: IllegalArgumentException
+              if e.getMessage.contains("no file under") => 0L
+          }
+        assert(n <= total, s"cut=$cut served $n > $total rows")
+      }
+    }
   }
 
   test("in-flight growth: growing prefixes serve monotonically growing whole-batch counts") {
