@@ -155,38 +155,62 @@ object PlanSpec {
     val nodesArr = root.path("nodes")
     require(nodesArr.isArray && nodesArr.size > 0, "PlanSpec: missing nodes array")
     import scala.jdk.CollectionConverters._
-    def outputsOf(o: com.fasterxml.jackson.databind.JsonNode): Seq[(String, String)] =
-      o.path("outputs").elements().asScala.map(el =>
-        (el.path("name").asText, el.path("expr").asText)).toSeq
-    def ints(o: com.fasterxml.jackson.databind.JsonNode, f: String): Seq[Int] =
-      o.path(f).elements().asScala.map(_.asInt).toSeq
+    // STRICT field access: a missing/mistyped field must fail loud, never
+    // default to 0 and replay the wrong DAG (the same contract the
+    // unknown-op and version checks enforce; review-found)
+    type J = com.fasterxml.jackson.databind.JsonNode
+    def req(o: J, f: String): J = {
+      val v = o.get(f)
+      require(v != null, s"PlanSpec: missing field '$f' in ${o.path("op").asText("(root)")}")
+      v
+    }
+    def reqInt(o: J, f: String): Int = {
+      val v = req(o, f); require(v.canConvertToInt, s"PlanSpec: field '$f' is not an int"); v.asInt
+    }
+    def reqLong(o: J, f: String): Long = {
+      val v = req(o, f); require(v.canConvertToLong, s"PlanSpec: field '$f' is not a long"); v.asLong
+    }
+    def reqText(o: J, f: String): String = {
+      val v = req(o, f); require(v.isTextual, s"PlanSpec: field '$f' is not a string"); v.asText
+    }
+    def reqArray(o: J, f: String): Seq[J] = {
+      val v = req(o, f); require(v.isArray, s"PlanSpec: field '$f' is not an array")
+      v.elements().asScala.toSeq
+    }
+    def outputsOf(o: J): Seq[(String, String)] =
+      reqArray(o, "outputs").map(el => (reqText(el, "name"), reqText(el, "expr")))
+    def ints(o: J, f: String): Seq[Int] = reqArray(o, f).map { v =>
+      require(v.canConvertToInt, s"PlanSpec: '$f' element is not an int"); v.asInt
+    }
     val nodes = nodesArr.elements().asScala.map { o =>
-      o.path("op").asText match {
-        case "source" => Source(o.path("table").asText)
-        case "identity" => Identity(o.path("input").asInt)
-        case "select_columns" => SelectCols(o.path("input").asInt, ints(o, "indices"))
-        case "drop_columns" => DropCols(o.path("input").asInt, ints(o, "indices"))
-        case "slice" => Slice(o.path("input").asInt, o.path("from").asLong, o.path("until").asLong)
-        case "filter" => FilterRows(o.path("input").asInt, o.path("expr").asText)
-        case "map" => MapCols(o.path("input").asInt, outputsOf(o))
-        case "append_map" => AppendMap(o.path("input").asInt, outputsOf(o))
-        case "replace_map" => ReplaceMap(o.path("input").asInt, o.path("index").asInt, o.path("expr").asText)
-        case "row_index" => RowIndex(o.path("input").asInt, o.path("name").asText, o.path("offset").asLong)
-        case "rename" => Rename(o.path("input").asInt,
-          o.path("names").elements().asScala.map(_.asText).toSeq)
-        case "append_missing" => AppendMissing(o.path("input").asInt,
-          o.path("fields").elements().asScala.map(el =>
-            (el.path("name").asText, el.path("type").asText)).toSeq)
-        case "observe" => Observe(o.path("input").asInt, o.path("name").asText,
-          o.path("exprs").elements().asScala.map(_.asText).toSeq)
-        case "append" => AppendByPosition(o.path("left").asInt, o.path("right").asInt)
+      reqText(o, "op") match {
+        case "source" => Source(reqText(o, "table"))
+        case "identity" => Identity(reqInt(o, "input"))
+        case "select_columns" => SelectCols(reqInt(o, "input"), ints(o, "indices"))
+        case "drop_columns" => DropCols(reqInt(o, "input"), ints(o, "indices"))
+        case "slice" => Slice(reqInt(o, "input"), reqLong(o, "from"), reqLong(o, "until"))
+        case "filter" => FilterRows(reqInt(o, "input"), reqText(o, "expr"))
+        case "map" => MapCols(reqInt(o, "input"), outputsOf(o))
+        case "append_map" => AppendMap(reqInt(o, "input"), outputsOf(o))
+        case "replace_map" => ReplaceMap(reqInt(o, "input"), reqInt(o, "index"), reqText(o, "expr"))
+        case "row_index" => RowIndex(reqInt(o, "input"), reqText(o, "name"), reqLong(o, "offset"))
+        case "rename" => Rename(reqInt(o, "input"), reqArray(o, "names").map { v =>
+          require(v.isTextual, "PlanSpec: 'names' element is not a string"); v.asText
+        })
+        case "append_missing" => AppendMissing(reqInt(o, "input"),
+          reqArray(o, "fields").map(el => (reqText(el, "name"), reqText(el, "type"))))
+        case "observe" => Observe(reqInt(o, "input"), reqText(o, "name"),
+          reqArray(o, "exprs").map { v =>
+            require(v.isTextual, "PlanSpec: 'exprs' element is not a string"); v.asText
+          })
+        case "append" => AppendByPosition(reqInt(o, "left"), reqInt(o, "right"))
         case "concatenate" => Concatenate(ints(o, "inputs"))
         case other => throw new IllegalArgumentException(
           s"PlanSpec: unknown op '$other' - refusing to half-execute a " +
             "half-understood plan (newer writer?)")
       }
     }.toIndexedSeq
-    Plan(nodes, root.path("result").asInt)
+    Plan(nodes, reqInt(root, "result"))
   }
 
   /** Persist to a single JSON file (manifests' [[graft.sources.ArtifactJson]]
@@ -204,9 +228,18 @@ object PlanSpec {
     * declarative-serialization payoff.
     */
   def execute(plan: Plan, sources: Map[String, DataFrame]): DataFrame = {
+    // build ONLY the result's ancestors: some nodes run eager Spark jobs
+    // when constructed (row_index's partition count, append-by-position's
+    // size check), so a dead branch must never cost jobs — or abort a
+    // valid replay on ITS OWN precondition (review-found)
+    val needed = new Array[Boolean](plan.nodes.length)
+    def mark(i: Int): Unit = if (!needed(i)) {
+      needed(i) = true; plan.nodes(i).inputs.foreach(mark)
+    }
+    mark(plan.result)
     val out = new Array[DataFrame](plan.nodes.length)
     plan.nodes.zipWithIndex.foreach { case (n, i) =>
-      out(i) = n match {
+      if (needed(i)) out(i) = n match {
         case Source(t) => sources.getOrElse(t,
           throw new IllegalArgumentException(
             s"PlanSpec: plan reads source table '$t' but execute() got " +

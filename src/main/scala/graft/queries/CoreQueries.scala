@@ -33,35 +33,43 @@ object CoreQueries {
     * temp write, and a failed write deletes its temp dir instead of
     * orphaning it (no mapping recorded → the shutdown hook never sees it).
     */
-  private def docsIpcStore(s: org.apache.spark.sql.SparkSession, dir: String): String = {
-    val cached = arrowStoreDirs.get(dir)
-    val parent =
-      if (cached != null) cached
-      else {
-        val fresh = java.nio.file.Files.createTempDirectory("graft_arrow_docs").toString
-        try
-          // `meta` mirrors (doc_id, n_chars, lang) as a nested struct so
-          // the store exercises nested-leaf batch statistics (r15) — the
-          // reference's struct-heavy logical-type shape — without a
-          // second store; the flat gates never select it, so their
-          // selective IO is untouched
-          graft.sources.ArrowIpc.write(
-            t(s, dir, "documents").withColumn("meta",
-              struct(col("doc_id").as("did"), col("n_chars").as("chars"),
-                col("lang").as("lang"))),
-            s"$fresh/docs",
-            batchRows = 2048, dictColumns = Set("lang", "source"))
-        catch {
-          case e: Throwable =>
-            try deleteTree(fresh) catch { case _: Exception => () }
-            throw e
-        }
-        val prior = arrowStoreDirs.putIfAbsent(dir, fresh)
-        if (prior != null) { try deleteTree(fresh) catch { case _: Exception => () }; prior }
-        else fresh
+  /** Get-or-build a session-cached temp artifact: build runs OUTSIDE the
+    * map lock, a failed build deletes its temp tree (no orphan for the
+    * shutdown hook to miss), a lost race deletes the duplicate. Returns
+    * the cached PARENT (what the hook deletes) — both Arrow store
+    * builders share this protocol so a fix lands once.
+    */
+  private def cachedTempDir(key: String, prefix: String)(build: String => Unit): String = {
+    val cached = arrowStoreDirs.get(key)
+    if (cached != null) cached
+    else {
+      val fresh = java.nio.file.Files.createTempDirectory(prefix).toString
+      try build(fresh)
+      catch {
+        case e: Throwable =>
+          try deleteTree(fresh) catch { case _: Exception => () }
+          throw e
       }
-    parent + "/docs"
+      val prior = arrowStoreDirs.putIfAbsent(key, fresh)
+      if (prior != null) { try deleteTree(fresh) catch { case _: Exception => () }; prior }
+      else fresh
+    }
   }
+
+  private def docsIpcStore(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    cachedTempDir(dir, "graft_arrow_docs") { fresh =>
+      // `meta` mirrors (doc_id, n_chars, lang) as a nested struct so the
+      // store exercises nested-leaf batch statistics (r15) — the
+      // reference's struct-heavy logical-type shape — without a second
+      // store; the flat gates never select it, so their selective IO is
+      // untouched
+      graft.sources.ArrowIpc.write(
+        t(s, dir, "documents").withColumn("meta",
+          struct(col("doc_id").as("did"), col("n_chars").as("chars"),
+            col("lang").as("lang"))),
+        s"$fresh/docs",
+        batchRows = 2048, dictColumns = Set("lang", "source"))
+    } + "/docs"
 
   /** A TORN copy of the session IPC store for the partial-read gate: the
     * single part file cut 16 bytes INTO record batch 2's message
@@ -72,39 +80,34 @@ object CoreQueries {
     * is the static bound the DuckDB oracle re-derives. Cached per
     * (JVM, sfDir) under the same shutdown-hook discipline.
     */
-  private def tornDocsStore(s: org.apache.spark.sql.SparkSession, dir: String): String = {
-    val key = dir + "#torn"
-    val cached = arrowStoreDirs.get(key)
-    val parent =
-      if (cached != null) cached
-      else {
-        val src = docsIpcStore(s, dir) // ensure the complete store exists
-        val fresh = java.nio.file.Files.createTempDirectory("graft_arrow_torn").toString
-        try {
-          val srcFiles = new java.io.File(src).listFiles()
-            .filter(f => f.isFile && f.getName.endsWith(".arrow")).sortBy(_.getName)
-          require(srcFiles.length == 1,
-            s"tornDocsStore: expected one part file under $src, got ${srcFiles.length}")
-          val bytes = java.nio.file.Files.readAllBytes(srcFiles.head.toPath)
-          val blocks = graft.sources.ArrowIpc.recordBatchBlocks(s, srcFiles.head.toString)
-          val cut =
-            if (blocks.size > 2) math.min(blocks(2)._1 + 16, bytes.length.toLong).toInt
-            else bytes.length
-          val d = java.nio.file.Paths.get(fresh, "torn")
-          java.nio.file.Files.createDirectories(d)
-          java.nio.file.Files.write(d.resolve("part-00000.arrow"),
-            java.util.Arrays.copyOf(bytes, cut))
-        } catch {
-          case e: Throwable =>
-            try deleteTree(fresh) catch { case _: Exception => () }
-            throw e
-        }
-        val prior = arrowStoreDirs.putIfAbsent(key, fresh)
-        if (prior != null) { try deleteTree(fresh) catch { case _: Exception => () }; prior }
-        else fresh
-      }
-    parent + "/torn"
-  }
+  private def tornDocsStore(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    cachedTempDir(dir + "#torn", "graft_arrow_torn") { fresh =>
+      val src = docsIpcStore(s, dir) // ensure the complete store exists
+      // the FIRST part file (sorted) holds the table's leading rows;
+      // extra splits (empty-partition schema-only files at larger tiers)
+      // are dropped from the torn copy, so the kept prefix is still
+      // exactly the first file's first two batches
+      val srcFiles = new java.io.File(src).listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".arrow")).sortBy(_.getName)
+      require(srcFiles.nonEmpty, s"tornDocsStore: no part files under $src")
+      val bytes = java.nio.file.Files.readAllBytes(srcFiles.head.toPath)
+      val blocks = graft.sources.ArrowIpc.recordBatchBlocks(s, srcFiles.head.toString)
+      // >2 batches → tear mid-message inside batch 2 (keeps 4096 rows); a
+      // small single-split table is copied whole (all its < 4096 rows).
+      // Anything else would silently break the static oracle bound, so it
+      // fails loud instead.
+      require(blocks.size > 2 || srcFiles.length == 1,
+        s"tornDocsStore: first file has ${blocks.size} batches but the store " +
+          s"has ${srcFiles.length} part files - the doc_id < 4096 oracle " +
+          "bound would not hold; regenerate with a larger first split")
+      val cut =
+        if (blocks.size > 2) math.min(blocks(2)._1 + 16, bytes.length.toLong).toInt
+        else bytes.length
+      val d = java.nio.file.Paths.get(fresh, "torn")
+      java.nio.file.Files.createDirectories(d)
+      java.nio.file.Files.write(d.resolve("part-00000.arrow"),
+        java.util.Arrays.copyOf(bytes, cut))
+    } + "/torn"
 
   private def deleteTree(d: String): Unit = {
     val root = java.nio.file.Paths.get(d)

@@ -294,6 +294,20 @@ object ArrowIpc {
     GraftSqlInternals.internalCreateDataFrame(spark, rows, schema)
   }
 
+  /** FILE-footer custom metadata of one IPC file (where [[BatchStatsKey]]
+    * lives — distinct from the SCHEMA metadata [[storeMetadataOf]]
+    * surfaces). Specs use it to pin the mutable-fileMeta contract: batch
+    * statistics reach the footer only because ArrowFileWriter serializes
+    * the same map at end(), so an arrow-java upgrade that defensively
+    * copied the map at construction would silently drop them (reads stay
+    * correct but full-scan) — ArrowFilterSpec fails loudly on that
+    * upgrade instead of a per-write read-back on the hot path.
+    */
+  private[graft] def fileMetadataOf(spark: SparkSession, file: String): Map[String, String] = {
+    val (fs, p) = fsPath(spark, file)
+    withChannel(fs, p)(ch => readFooter(ch).getMetaData.asScala.toMap)
+  }
+
   /** Record-batch block descriptors (offset, metadataLength, bodyLength)
     * of a COMPLETE IPC file, in file order — partial-read tooling derives
     * safe truncation points from these (the q_arrow_partial_scan gate's
@@ -765,14 +779,29 @@ object ArrowIpc {
 
     def rows: Iterator[InternalRow] = new Iterator[InternalRow] {
       private var batch: Iterator[InternalRow] = Iterator.empty
+      private var batchesServed = 0L
       private def advance(): Unit =
         while (!batch.hasNext && open) {
-          // a torn tail surfaces as an IOException (or a short read)
-          // anywhere inside readNext — every batch already served was
-          // complete, so stopping here IS the contract
+          // a torn tail surfaces as an IOException (truncated prefix,
+          // metadata, or body) inside readNext — every batch already
+          // served was complete, so stopping there IS the contract. The
+          // stop is LOGGED (a transient remote-IO failure on a healthy
+          // store is indistinguishable from a tear here — the caller can
+          // at least see which), and non-IO errors still propagate: only
+          // byte-level truncation is "partial", anything else is a bug.
           val res =
             try msgReader.readNext()
-            catch { case _: Exception => null }
+            catch {
+              case e: java.io.IOException =>
+                System.err.println(s"[ArrowIpc.readPartial] $label: stopping at " +
+                  s"torn tail after $batchesServed complete batches (${e.getMessage})")
+                null
+              case e: IndexOutOfBoundsException =>
+                // a truncated flatbuffer can also surface as a bounds error
+                System.err.println(s"[ArrowIpc.readPartial] $label: stopping at " +
+                  s"torn metadata after $batchesServed complete batches (${e.getMessage})")
+                null
+            }
           if (res == null) close() // EOS marker, clean EOF, or tear
           else {
             // deserialize{Record,Dictionary}Batch take OWNERSHIP of the
@@ -789,6 +818,7 @@ object ArrowIpc {
                 val rb = MessageSerializer.deserializeRecordBatch(res.getMessage, body)
                 try loadBatchInto(rb, root, alloc, legacyBlock)
                 finally rb.close()
+                batchesServed += 1
                 batch = batchRows(root, id => dictionaries.get(id), outPerm)
               case _ =>
                 // unknown message type from a newer writer: its body is
@@ -1370,18 +1400,6 @@ object ArrowIpc {
         writer.end(); writer.close(); os.close()
         hfs.delete(part, false) // replace any prior attempt's commit
         require(hfs.rename(tmp, part), s"rename $tmp -> $part failed")
-        // guard the mutable-fileMeta contract: batch statistics reach the
-        // footer only because ArrowFileWriter serializes the SAME map at
-        // end() — an arrow-java upgrade that defensively copied it at
-        // construction would silently drop them (reads stay correct but
-        // full-scan), so read the footer back and fail loudly instead
-        locally {
-          val back = new HadoopSeekableChannel(hfs, part)
-          try require(readFooter(back).getMetaData.containsKey(BatchStatsKey),
-            s"Arrow IPC writer: $part footer is missing $BatchStatsKey — " +
-              "ArrowFileWriter no longer serializes file metadata at end()")
-          finally back.close()
-        }
       } finally {
         root.close(); schemaVecs.foreach(_.close()); alloc.close()
         hfs.delete(tmp, false); () // no-op when renamed

@@ -81,9 +81,17 @@ final class KTable private (val df: DataFrame) extends Serializable {
   def map(outputs: (String, Column)*): KTable =
     KTable(df.select(outputs.map { case (n, c) => c.as(n) }: _*))
 
-  /** map + keep input columns (reference appendMap :478-501). */
-  def appendMap(outputs: (String, Column)*): KTable =
-    KTable(df.withColumns(outputs.toMap))
+  /** map + keep input columns (reference appendMap :478-501). Outputs
+    * land in DECLARED order (a `.toMap` here once hash-ordered them past
+    * 4 entries — silently rebinding every downstream positional op — and
+    * collapsed duplicate names; review-found, both now impossible).
+    */
+  def appendMap(outputs: (String, Column)*): KTable = {
+    val names = outputs.map(_._1)
+    require(names.distinct.size == names.size,
+      s"appendMap: duplicate output names ${names.diff(names.distinct).distinct.mkString(", ")}")
+    KTable(outputs.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) })
+  }
 
   /** Replace exactly one column in place via a 1-in/1-out expression
     * (reference replaceMap :513-541). Position is preserved.

@@ -23,6 +23,19 @@ import org.apache.spark.sql.functions._
   *    runs at corpus scale.
   */
 object ScaleProbe {
+  /** Register recursive deletion of `parent` at JVM exit — the probes'
+    * temp stores share one copy of the walk/delete block.
+    */
+  private def cleanupOnExit(parent: java.nio.file.Path): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(parent).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch { case _: Exception => () })
+      } catch { case _: Exception => () }
+    }))
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, mode) = args.take(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -914,14 +927,7 @@ object ScaleProbe {
         // counter isolates exactly what pruning/skipping saves)
         import graft.sources.ArrowIpc
         val parent = java.nio.file.Files.createTempDirectory("probe_arrow")
-        Runtime.getRuntime.addShutdownHook(new Thread(() => {
-          try {
-            import scala.jdk.CollectionConverters._
-            java.nio.file.Files.walk(parent).iterator().asScala.toSeq
-              .sortBy(-_.getNameCount)
-              .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch { case _: Exception => () })
-          } catch { case _: Exception => () }
-        }))
+        cleanupOnExit(parent)
         val dir = parent.toString + "/docs"
         // meta mirrors (doc_id, lang) as a struct so the tier also
         // measures NESTED-leaf stats skipping (r15); it rides the same
@@ -960,14 +966,7 @@ object ScaleProbe {
         // from a copy torn mid-message at the file's midpoint batch
         import graft.sources.ArrowIpc
         val parent = java.nio.file.Files.createTempDirectory("probe_arrow_partial")
-        Runtime.getRuntime.addShutdownHook(new Thread(() => {
-          try {
-            import scala.jdk.CollectionConverters._
-            java.nio.file.Files.walk(parent).iterator().asScala.toSeq
-              .sortBy(-_.getNameCount)
-              .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch { case _: Exception => () })
-          } catch { case _: Exception => () }
-        }))
+        cleanupOnExit(parent)
         val dir = parent.toString + "/docs"
         timed("write ipc store")(ArrowIpc.write(docs, dir, batchRows = 4096,
           dictColumns = Set("lang", "source")))
@@ -1012,14 +1011,7 @@ object ScaleProbe {
         // write time + store size + a full read back (values must match)
         import graft.sources.ArrowIpc
         val parent = java.nio.file.Files.createTempDirectory("probe_arrow_hc")
-        Runtime.getRuntime.addShutdownHook(new Thread(() => {
-          try {
-            import scala.jdk.CollectionConverters._
-            java.nio.file.Files.walk(parent).iterator().asScala.toSeq
-              .sortBy(-_.getNameCount)
-              .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch { case _: Exception => () })
-          } catch { case _: Exception => () }
-        }))
+        cleanupOnExit(parent)
         def dirKb(d: String): Long = {
           import scala.jdk.CollectionConverters._
           java.nio.file.Files.walk(java.nio.file.Paths.get(d)).iterator().asScala

@@ -291,6 +291,22 @@ class ArrowFilterSpec extends SparkSpec {
     assert(none == 0)
   }
 
+  test("written files carry BatchStatsKey in the FILE footer (mutable-fileMeta contract)") {
+    // the writer hands ArrowFileWriter a mutable map and mutates it until
+    // end(); an arrow-java upgrade that copied the map at construction
+    // would silently write no stats (reads stay correct but full-scan) —
+    // this pins the contract so the upgrade fails loudly here instead
+    import java.nio.file.{Files => F, Paths => P}
+    val parts = F.list(P.get(store)).toArray.map(_.toString).filter(_.endsWith(".arrow"))
+    assert(parts.nonEmpty)
+    parts.foreach { f =>
+      val meta = ArrowIpc.fileMetadataOf(spark, f)
+      assert(meta.contains(ArrowIpc.BatchStatsKey),
+        s"$f footer lost ${ArrowIpc.BatchStatsKey} - ArrowFileWriter no longer " +
+          "serializes file metadata mutated after construction")
+    }
+  }
+
   test("corrupt/mismatched stats metadata only disables skipping") {
     // hand-break the stats: parseBatchStats must reject a wrong batch
     // count and the read must fall back to full scanning, same results

@@ -86,7 +86,7 @@ class ArrowPartialSpec extends SparkSpec {
     // between messages, inside the footer region
     val cuts = Seq(0L, 3L, 8L, 20L, len - 1, len) ++
       Seq.fill(114)(rnd.nextLong(len + 1)).map(math.abs(_) % (len + 1))
-    var lastOkCut = -1L
+    var lastRows = -1L
     cuts.sorted.foreach { cut =>
       val dir = truncCopy(partFile, cut)
       val got =
@@ -102,9 +102,11 @@ class ArrowPartialSpec extends SparkSpec {
       assert(ids == (0L until m.toLong), s"cut=$cut: not a clean prefix")
       assert(m % 256 == 0 || m == 1000, s"cut=$cut: partial batch served ($m rows)")
       if (cut == len) assert(m == 1000, "full-length copy must serve everything")
-      // monotone: more bytes can never serve fewer rows
-      assert(cut >= lastOkCut || m >= 0)
-      lastOkCut = cut
+      // monotone: cuts iterate ascending, so more bytes must never serve
+      // FEWER rows (a dictionary-state bug dropping an earlier batch
+      // would trip exactly here)
+      assert(m >= lastRows, s"cut=$cut served $m rows after a shorter cut served $lastRows")
+      lastRows = m
       // dictionary decode of the prefix matches the source values
       got.toSeq.flatten.foreach { r =>
         val i = r.getLong(0).toInt

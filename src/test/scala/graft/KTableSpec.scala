@@ -292,4 +292,22 @@ class KTableSpec extends SparkSpec {
     val plan = li.slice(0, 5).df.queryExecution.optimizedPlan.toString
     assert(plan.contains("GlobalLimit") || plan.contains("LocalLimit"))
   }
+
+  test("appendMap keeps declared output order past 4 entries and rejects duplicates (review fix)") {
+    import spark.implicits._
+    val t = KTable(Seq((1L, 2L)).toDF("a", "b"))
+    // 6 outputs: a .toMap would hash-order these, silently rebinding
+    // every downstream positional op (selectColumns is index-based)
+    val outs = (1 to 6).map(i => s"c$i" -> (col("a") + i))
+    val got = t.appendMap(outs: _*)
+    assert(got.df.columns.toSeq == Seq("a", "b") ++ outs.map(_._1))
+    assert(got.selectColumns(2, 7).df.head.getLong(0) == 2L) // c1 = a+1
+    // replacement of an existing column stays in place
+    val rep = t.appendMap("b" -> (col("b") * 10), "z" -> lit(1))
+    assert(rep.df.columns.toSeq == Seq("a", "b", "z"))
+    assert(rep.df.head.getLong(1) == 20L)
+    val dup = intercept[IllegalArgumentException](
+      t.appendMap("x" -> lit(1), "x" -> lit(2)))
+    assert(dup.getMessage.contains("duplicate"))
+  }
 }

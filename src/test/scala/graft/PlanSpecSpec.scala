@@ -83,6 +83,45 @@ class PlanSpecSpec extends SparkSpec {
     assert(PlanSpec.execute(back, Map("t" -> grown)).count() == 2) // declarative replay
   }
 
+  test("append_map with 5+ outputs keeps DECLARED column order (review fix: toMap hash-ordered them)") {
+    val t = Seq((1L, 2L)).toDF("a", "b")
+    val outs = (1 to 6).map(i => s"c$i" -> s"a + $i")
+    val plan = Plan(Vector(Source("t"), AppendMap(0, outs)), result = 1)
+    val replayed = PlanSpec.execute(PlanSpec.fromJson(PlanSpec.toJson(plan)), Map("t" -> t))
+    assert(replayed.columns.toSeq == Seq("a", "b") ++ outs.map(_._1),
+      "appended columns must land in declared order - positional ops downstream depend on it")
+    // and a positional op downstream binds to the DECLARED layout
+    val sel = Plan(plan.nodes :+ SelectCols(1, Seq(2, 7)), result = 2)
+    val row = PlanSpec.execute(sel, Map("t" -> t)).head
+    assert(row.getLong(0) == 2L && row.getLong(1) == 7L) // c1 = a+1, c6 = a+6
+  }
+
+  test("dead branches never execute: a failing off-path node cannot abort the replay (review fix)") {
+    val a = Seq(1L, 2L, 3L).toDF("v")
+    val b = Seq(1L).toDF("w")
+    // node 3 zips tables of DIFFERENT sizes - constructing it eagerly
+    // fails its size check; it is off the result path and must not run
+    val plan = Plan(Vector(
+      Source("a"), Source("b"),
+      FilterRows(0, "v > 1"),
+      AppendByPosition(0, 1)), result = 2)
+    assert(PlanSpec.execute(plan, Map("a" -> a, "b" -> b)).count() == 2)
+    // and an unused source table need not even be provided
+    assert(PlanSpec.execute(plan, Map("a" -> a, "b" -> b)).columns.toSeq == Seq("v"))
+  }
+
+  test("strict JSON: missing result/input/from fields fail loud instead of defaulting to 0 (review fix)") {
+    val noResult = """{"version":1,"nodes":[{"op":"source","table":"t"}]}"""
+    assert(intercept[IllegalArgumentException](
+      PlanSpec.fromJson(noResult)).getMessage.contains("result"))
+    val noInput = """{"version":1,"result":1,"nodes":[{"op":"source","table":"t"},{"op":"filter","expr":"x > 1"}]}"""
+    assert(intercept[IllegalArgumentException](
+      PlanSpec.fromJson(noInput)).getMessage.contains("input"))
+    val badFrom = """{"version":1,"result":1,"nodes":[{"op":"source","table":"t"},{"op":"slice","input":0,"from":"3x","until":9}]}"""
+    assert(intercept[IllegalArgumentException](
+      PlanSpec.fromJson(badFrom)).getMessage.contains("from"))
+  }
+
   test("unknown op, wrong version, forward reference, missing source all fail loud") {
     val unknown = """{"version":1,"result":0,"nodes":[{"op":"teleport"}]}"""
     assert(intercept[IllegalArgumentException](
