@@ -414,6 +414,14 @@ object PlanCheck {
       "q_heavy_hitters_by_lang",
       mustContain = Seq("BroadcastHashJoin", "LeftSemi", "partial_count"),
       mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+    ,
+    // round 15 — plan persistence: the REPLAYED plan's SQL-text filter
+    // must still reach the parquet scan (persisting logic, not compiled
+    // mappers, is the point — Catalyst re-optimizes on every reload)
+    Check(
+      "q_plan_persist",
+      mustContain = Seq("PushedFilters: [IsNotNull(l_quantity)"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
   )
 
   /** Plan checks for operator INTERNALS the gate plans hide behind
