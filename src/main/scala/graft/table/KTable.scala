@@ -85,6 +85,9 @@ final class KTable private (val df: DataFrame) extends Serializable {
     * land in DECLARED order (a `.toMap` here once hash-ordered them past
     * 4 entries — silently rebinding every downstream positional op — and
     * collapsed duplicate names; review-found, both now impossible).
+    * Outputs apply SEQUENTIALLY: a later output may reference an earlier
+    * output's column (incl. a replaced value) — declared order is
+    * evaluation order, pinned by KTableSpec.
     */
   def appendMap(outputs: (String, Column)*): KTable = {
     val names = outputs.map(_._1)

@@ -309,5 +309,9 @@ class KTableSpec extends SparkSpec {
     val dup = intercept[IllegalArgumentException](
       t.appendMap("x" -> lit(1), "x" -> lit(2)))
     assert(dup.getMessage.contains("duplicate"))
+    // sequential semantics: declared order IS evaluation order — a later
+    // output sees an earlier output's (replaced) value
+    val seq2 = t.appendMap("a" -> (col("a") + 1), "d" -> (col("a") * 10)).df.head
+    assert(seq2.getLong(0) == 2L && seq2.getLong(2) == 20L)
   }
 }
