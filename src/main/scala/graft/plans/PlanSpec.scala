@@ -44,7 +44,11 @@ object PlanSpec {
   final case class FilterRows(input: Int, sql: String) extends Node { def inputs: Seq[Int] = Seq(input) }
   /** Output-only projection: each (name, sql) pair becomes a column. */
   final case class MapCols(input: Int, outputs: Seq[(String, String)]) extends Node { def inputs: Seq[Int] = Seq(input) }
-  /** Keep every input column, append the computed ones. */
+  /** Keep every input column, append the computed ones. FORMAT
+    * SEMANTICS: outputs apply in declared order, SEQUENTIALLY — a later
+    * output may reference an earlier output's column (including a
+    * replaced value); duplicate output names are invalid.
+    */
   final case class AppendMap(input: Int, outputs: Seq[(String, String)]) extends Node { def inputs: Seq[Int] = Seq(input) }
   /** Replace the column at `index` in place with `sql`'s value. */
   final case class ReplaceMap(input: Int, index: Int, sql: String) extends Node { def inputs: Seq[Int] = Seq(input) }
@@ -165,10 +169,16 @@ object PlanSpec {
       v
     }
     def reqInt(o: J, f: String): Int = {
-      val v = req(o, f); require(v.canConvertToInt, s"PlanSpec: field '$f' is not an int"); v.asInt
+      // isIntegralNumber first: canConvertToInt is true for FRACTIONAL
+      // doubles (1.9 would silently truncate to 1 — review-found)
+      val v = req(o, f)
+      require(v.isIntegralNumber && v.canConvertToInt, s"PlanSpec: field '$f' is not an int")
+      v.asInt
     }
     def reqLong(o: J, f: String): Long = {
-      val v = req(o, f); require(v.canConvertToLong, s"PlanSpec: field '$f' is not a long"); v.asLong
+      val v = req(o, f)
+      require(v.isIntegralNumber && v.canConvertToLong, s"PlanSpec: field '$f' is not a long")
+      v.asLong
     }
     def reqText(o: J, f: String): String = {
       val v = req(o, f); require(v.isTextual, s"PlanSpec: field '$f' is not a string"); v.asText
@@ -180,7 +190,9 @@ object PlanSpec {
     def outputsOf(o: J): Seq[(String, String)] =
       reqArray(o, "outputs").map(el => (reqText(el, "name"), reqText(el, "expr")))
     def ints(o: J, f: String): Seq[Int] = reqArray(o, f).map { v =>
-      require(v.canConvertToInt, s"PlanSpec: '$f' element is not an int"); v.asInt
+      require(v.isIntegralNumber && v.canConvertToInt,
+        s"PlanSpec: '$f' element is not an int")
+      v.asInt
     }
     val nodes = nodesArr.elements().asScala.map { o =>
       reqText(o, "op") match {

@@ -109,15 +109,8 @@ object CoreQueries {
         java.util.Arrays.copyOf(bytes, cut))
     } + "/torn"
 
-  private def deleteTree(d: String): Unit = {
-    val root = java.nio.file.Paths.get(d)
-    if (java.nio.file.Files.exists(root)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
-        .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch { case _: Exception => () })
-    }
-  }
+  private def deleteTree(d: String): Unit =
+    graft.sources.TempTrees.deleteTree(d)
   locally {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       arrowStoreDirs.values().forEach { d =>

@@ -90,9 +90,16 @@ final class KTable private (val df: DataFrame) extends Serializable {
     * evaluation order, pinned by KTableSpec.
     */
   def appendMap(outputs: (String, Column)*): KTable = {
+    // duplicate detection under the SESSION'S resolver: with default
+    // case-insensitive analysis, "x" and "X" are the same column to
+    // withColumn (the second would silently REPLACE the first — the
+    // very collapse this guard exists to prevent)
+    val caseSensitive =
+      df.sparkSession.conf.get("spark.sql.caseSensitive", "false").toBoolean
     val names = outputs.map(_._1)
-    require(names.distinct.size == names.size,
-      s"appendMap: duplicate output names ${names.diff(names.distinct).distinct.mkString(", ")}")
+    val resolved = if (caseSensitive) names else names.map(_.toLowerCase)
+    require(resolved.distinct.size == resolved.size,
+      s"appendMap: duplicate output names ${resolved.diff(resolved.distinct).distinct.mkString(", ")}")
     KTable(outputs.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) })
   }
 

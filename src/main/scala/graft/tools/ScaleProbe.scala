@@ -23,18 +23,11 @@ import org.apache.spark.sql.functions._
   *    runs at corpus scale.
   */
 object ScaleProbe {
-  /** Register recursive deletion of `parent` at JVM exit — the probes'
-    * temp stores share one copy of the walk/delete block.
+  /** Register recursive deletion of `parent` at JVM exit — the shared
+    * [[graft.sources.TempTrees]] protocol.
     */
   private def cleanupOnExit(parent: java.nio.file.Path): Unit =
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      try {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(parent).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount)
-          .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch { case _: Exception => () })
-      } catch { case _: Exception => () }
-    }))
+    graft.sources.TempTrees.deleteOnExit(parent.toString)
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, mode) = args.take(2)

@@ -106,8 +106,9 @@ class PlanSpecSpec extends SparkSpec {
       FilterRows(0, "v > 1"),
       AppendByPosition(0, 1)), result = 2)
     assert(PlanSpec.execute(plan, Map("a" -> a, "b" -> b)).count() == 2)
-    // and an unused source table need not even be provided
-    assert(PlanSpec.execute(plan, Map("a" -> a, "b" -> b)).columns.toSeq == Seq("v"))
+    // and an unused source table need not even be provided (actually
+    // exercised: b is absent here — a dead Source lookup must be skipped)
+    assert(PlanSpec.execute(plan, Map("a" -> a)).columns.toSeq == Seq("v"))
   }
 
   test("strict JSON: missing result/input/from fields fail loud instead of defaulting to 0 (review fix)") {
