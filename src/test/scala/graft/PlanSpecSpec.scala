@@ -123,6 +123,41 @@ class PlanSpecSpec extends SparkSpec {
       PlanSpec.fromJson(badFrom)).getMessage.contains("from"))
   }
 
+  test("random plans round-trip through JSON exactly (200 fuzz plans)") {
+    val rnd = new scala.util.Random(20260816)
+    def randName() = s"n${rnd.nextInt(1000)}"
+    def randExpr() = Seq("a + 1", "upper(s)", "v * 2.5", "coalesce(x, 0)")(rnd.nextInt(4))
+    def randNode(i: Int): Node = {
+      def in = rnd.nextInt(i) // any earlier node
+      rnd.nextInt(14) match {
+        case 0 => Identity(in)
+        case 1 => SelectCols(in, Seq.fill(1 + rnd.nextInt(4))(rnd.nextInt(8)))
+        case 2 => DropCols(in, Seq.fill(1 + rnd.nextInt(3))(rnd.nextInt(8)))
+        case 3 => Slice(in, rnd.nextLong(100), rnd.nextLong(1000))
+        case 4 => FilterRows(in, randExpr())
+        case 5 => MapCols(in, Seq.fill(1 + rnd.nextInt(5))((randName(), randExpr())))
+        case 6 => AppendMap(in, Seq.fill(1 + rnd.nextInt(5))((randName(), randExpr())))
+        case 7 => ReplaceMap(in, rnd.nextInt(8), randExpr())
+        case 8 => RowIndex(in, randName(), rnd.nextLong(1000))
+        case 9 => Rename(in, Seq.fill(1 + rnd.nextInt(5))(randName()))
+        case 10 => AppendMissing(in, Seq.fill(1 + rnd.nextInt(3))(
+          (randName(), Seq("BIGINT", "STRING", "ARRAY<DOUBLE>")(rnd.nextInt(3)))))
+        case 11 => Observe(in, randName(), Seq.fill(1 + rnd.nextInt(2))(s"count(1) AS ${randName()}"))
+        case 12 => AppendByPosition(in, in)
+        case _ => Concatenate(Seq.fill(1 + rnd.nextInt(3))(rnd.nextInt(i)))
+      }
+    }
+    (0 until 200).foreach { round =>
+      val n = 1 + rnd.nextInt(12)
+      val nodes = Source(randName()) +: (1 until n).map(randNode)
+      val plan = Plan(nodes.toVector, rnd.nextInt(n))
+      val json = PlanSpec.toJson(plan)
+      val back = PlanSpec.fromJson(json)
+      assert(back == plan, s"round $round:\n$json")
+      assert(PlanSpec.toJson(back) == json, s"round $round: re-serialization drifted")
+    }
+  }
+
   test("unknown op, wrong version, forward reference, missing source all fail loud") {
     val unknown = """{"version":1,"result":0,"nodes":[{"op":"teleport"}]}"""
     assert(intercept[IllegalArgumentException](
