@@ -174,6 +174,7 @@ object Bench {
     "q_arrow_nested_scan",
     "q_arrow_partial_scan",
     "q_plan_persist",
+    "q_plan_persist_multi",
     "q_components_store"
   )
 

@@ -209,6 +209,28 @@ object CoreQueries {
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("gross"))
     }),
 
+    // Multi-input persisted plan: two filtered branches of the same
+    // source CONCATENATED (the union-schema merge path) — the DAG shape
+    // the reference's serializer exists for — round-tripped through JSON
+    // and replayed; the aggregate on top makes the result order-free for
+    // the oracle.
+    "q_plan_persist_multi" -> ((s, dir) => {
+      import graft.plans.PlanSpec
+      import graft.plans.PlanSpec._
+      val plan = Plan(Vector(
+        Source("lineitem"),
+        FilterRows(0, "l_quantity > 45"),
+        FilterRows(0, "l_quantity < 5"),
+        Concatenate(Seq(1, 2)),
+        AppendMap(3, Seq("band" -> "CASE WHEN l_quantity > 45 THEN 'hi' ELSE 'lo' END"))),
+        result = 4)
+      val reloaded = PlanSpec.fromJson(PlanSpec.toJson(plan))
+      PlanSpec.execute(reloaded, Map("lineitem" -> t(s, dir, "lineitem")))
+        .groupBy(col("l_returnflag"), col("band"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag"), col("band"))
+    }),
+
     // §7.1 minimum slice: scan → filter → project → slice.
     // row provenance attach: Spark's hidden _metadata struct surfaces the
     // physical (file, row-offset) identity of every row — the audit /
@@ -456,6 +478,16 @@ object CoreQueries {
         |  l_quantity * l_extendedprice AS gross
         |FROM lineitem WHERE l_quantity > 30 AND l_discount <= 0.05
         |ORDER BY l_orderkey, l_linenumber, l_quantity, gross""".stripMargin,
+    "q_plan_persist_multi" ->
+      """SELECT l_returnflag,
+        |  CASE WHEN l_quantity > 45 THEN 'hi' ELSE 'lo' END AS band,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  sum(l_quantity) AS sum_qty
+        |FROM (
+        |  SELECT * FROM lineitem WHERE l_quantity > 45
+        |  UNION ALL
+        |  SELECT * FROM lineitem WHERE l_quantity < 5)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the torn store holds exactly batches 0-1 = the first 4096 doc_ids
     "q_arrow_partial_scan" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
