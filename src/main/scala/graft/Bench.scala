@@ -175,7 +175,10 @@ object Bench {
     "q_arrow_partial_scan",
     "q_plan_persist",
     "q_plan_persist_multi",
-    "q_components_store"
+    "q_components_store",
+    // round 16: the distribution readout served from its DerivedStore
+    // (the last reach-family member without a served lane)
+    "q_reach_distribution_store"
   )
 
   def main(args: Array[String]): Unit = {

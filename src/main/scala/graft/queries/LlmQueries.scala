@@ -1868,6 +1868,24 @@ object LlmQueries {
         .orderBy(col("hop"))
     }),
 
+    // the distribution SERVED from a DerivedStore certified against the
+    // register artifact's own state fingerprint (round 16): the readout
+    // is computed once and stored hop-sized; serving skips the register
+    // scan entirely, and the chain (graph fp -> register manifest ->
+    // derived certificate) fails loud end to end when either upstream
+    // moves (oracle = q_reach_distribution's from-scratch SQL)
+    "q_reach_distribution_store" -> ((s, dir) => {
+      val gDir = linkGraphDir(s, dir)
+      val hbDir = hyperBallDir(s, dir)
+      val dDir = ivfIndexDirs.computeIfAbsent(dir + "#rds", _ => {
+        val d = java.nio.file.Files.createTempDirectory("graft_rds").toString
+        graft.text.HyperBallStore.saveDistanceDistribution(s, hbDir, gDir, d)
+        d
+      })
+      graft.text.HyperBallStore.distanceDistributionStored(s, dDir, hbDir, gDir)
+        .orderBy(col("hop"))
+    }),
+
     // the bucket-pruned POINT lookup (single-doc "how connected is this
     // document" probes): reads only the probe ids' hash buckets of one
     // hop surface - the driver-side pmod(xxhash64) replay is the hazard
@@ -2417,6 +2435,9 @@ object LlmQueries {
       ("q_reach_estimate_artifact" -> m("q_reach_estimate")) +
       ("q_reach_harmonic_artifact" -> m("q_reach_harmonic")) +
       ("q_reach_distribution_artifact" -> m("q_reach_distribution")) +
+      // the DerivedStore-served distribution replays the same readout
+      // from disk — value-identical to the from-scratch propagation
+      ("q_reach_distribution_store" -> m("q_reach_distribution")) +
       // the point lookup serves the SAME estimates as the full readout
       // restricted to the probe ids: wrap the from-scratch oracle
       ("q_reach_point_artifact" ->

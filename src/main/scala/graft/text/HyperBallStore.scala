@@ -286,6 +286,62 @@ object HyperBallStore {
     distanceDistribution(spark, dir, q, scaleBits)
   }
 
+  /** Stable fingerprint of THIS artifact's state, for downstream
+    * [[graft.table.DerivedStore]] certificates. Manifest identity IS
+    * register identity: the stored registers are a pure function of
+    * (source graph, maxHops) — integer max-merges, bit-stable — so the
+    * manifest fields plus the recorded graph fingerprint pin the content.
+    * A store with no recorded source (raw edge frame / certificate-
+    * dropping extend) fingerprints as `<unverified>`: a derived table
+    * certified against it can detect a REBUILD of the registers, but
+    * nothing ties either to a graph.
+    */
+  def stateFingerprint(spark: SparkSession, dir: String): String = {
+    val m = loadManifest(spark, dir)
+    s"hyperball;v=${m.version};m=${m.m};hops=${m.maxHops};nodes=${m.nNodes};" +
+      s"buckets=${m.nBuckets};src=${m.source.getOrElse("<unverified>")}"
+  }
+
+  /** Persist the [[distanceDistribution]] readout as a
+    * [[graft.table.DerivedStore]] certified against this store's
+    * [[stateFingerprint]] — the q_reach_distribution pattern-mate of the
+    * stored PageRank/components tables: the distribution is a pure
+    * readout of the registers (hop-sized, tiny), so serving it from disk
+    * skips the register scan AND the fixed-point recompute entirely.
+    * `graphDir` gates BOTH ends: registers already stale for the graph
+    * must not get a fresh-looking derived certificate, and a graph
+    * mutating mid-save is caught by the re-check (buildFromGraph's
+    * belt-and-braces discipline).
+    */
+  def saveDistanceDistribution(spark: SparkSession, dir: String,
+      graphDir: String, outDir: String, q: Double = 0.9,
+      scaleBits: Int = 20): Unit = {
+    requireFresh(spark, dir, graphDir)
+    graft.table.DerivedStore.save(distanceDistribution(spark, dir, q, scaleBits),
+      outDir, stateFingerprint(spark, dir))
+    requireFresh(spark, dir, graphDir)
+  }
+
+  /** The stored distribution, serving only when the WHOLE chain is fresh:
+    * registers still describe `graphDir`'s current state AND the derived
+    * table still describes the registers. A delta append to the link
+    * graph flips leg 1 (the register store's manifest never changes);
+    * a register rebuild/extend flips leg 2.
+    */
+  def distanceDistributionStored(spark: SparkSession, outDir: String,
+      dir: String, graphDir: String): DataFrame = {
+    requireFresh(spark, dir, graphDir)
+    graft.table.DerivedStore.loadChecked(spark, outDir, stateFingerprint(spark, dir))
+  }
+
+  /** Chained staleness for the stored distribution (see
+    * [[distanceDistributionStored]] for the two legs).
+    */
+  def distributionIsStale(spark: SparkSession, outDir: String,
+      dir: String, graphDir: String): Boolean =
+    isStale(spark, dir, graphDir) ||
+      graft.table.DerivedStore.isStale(spark, outDir, stateFingerprint(spark, dir))
+
   def loadManifest(spark: SparkSession, dir: String): Manifest = {
     import graft.sources.{ArtifactJson => J}
     val path = new org.apache.hadoop.fs.Path(dir, "_manifest.json")

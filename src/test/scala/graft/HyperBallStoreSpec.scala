@@ -172,4 +172,52 @@ class HyperBallStoreSpec extends SparkSpec {
     assert(HyperBallStore.isStale(spark, rawDir, gDir))
     assert(rows(HyperBallStore.neighborhoodEstimate(spark, rawDir, "id")).nonEmpty)
   }
+
+  test("stored distribution: DerivedStore chain serves live-identical and " +
+      "flips stale on a graph delta append") {
+    val base = Seq((1L, "x y p q"), (2L, "x y"), (3L, "m n"), (4L, "p q"))
+      .toDF("doc_id", "text")
+    val gDir = tmp("hbs_dd_g")
+    LinkGraphStore.build(base, "doc_id", "text", w = 2, maxDf = 4, gDir, nBuckets = 2)
+    val hbDir = tmp("hbs_dd_hb")
+    HyperBallStore.buildFromGraph(spark, base.select($"doc_id".as("id")), "id",
+      gDir, maxHops = 2, hbDir, nBuckets = 2)
+    val dDir = tmp("hbs_dd_d")
+    HyperBallStore.saveDistanceDistribution(spark, hbDir, gDir, dDir)
+    // served table == the live readout from the registers, value-identical
+    assert(rows(HyperBallStore.distanceDistributionStored(spark, dDir, hbDir, gDir)) ==
+      rows(HyperBallStore.distanceDistribution(spark, hbDir)))
+    assert(!HyperBallStore.distributionIsStale(spark, dDir, hbDir, gDir))
+    // leg 1 flip: a DELTA append mutates the graph but touches NEITHER
+    // the register store's manifest NOR the derived certificate — only
+    // the chained check can see it
+    val route = LinkGraphStore.appendAuto(
+      Seq((5L, "x y m n")).toDF("doc_id", "text"), "doc_id", "text", gDir,
+      smallBatchFraction = 0.9, maxLiveDeltas = 32)
+    assert(route == "delta", s"expected the delta route, got $route")
+    assert(HyperBallStore.distributionIsStale(spark, dDir, hbDir, gDir))
+    val e = intercept[IllegalArgumentException] {
+      HyperBallStore.distanceDistributionStored(spark, dDir, hbDir, gDir)
+    }
+    assert(e.getMessage.contains("STALE"))
+    // saving a new derived table over stale registers must refuse too:
+    // a fresh-looking certificate over old-graph numbers is the hole
+    intercept[IllegalArgumentException] {
+      HyperBallStore.saveDistanceDistribution(spark, hbDir, gDir, dDir)
+    }
+    // rebuild the registers from the grown graph: leg 1 fresh again but
+    // leg 2 now stale (the derived table describes the OLD registers)
+    HyperBallStore.buildFromGraph(spark, (1L to 5L).toDF("id"), "id",
+      gDir, maxHops = 2, hbDir, nBuckets = 2)
+    assert(HyperBallStore.distributionIsStale(spark, dDir, hbDir, gDir))
+    intercept[IllegalArgumentException] {
+      HyperBallStore.distanceDistributionStored(spark, dDir, hbDir, gDir)
+    }
+    // re-save: the whole chain is fresh and the served values match the
+    // grown graph's live readout
+    HyperBallStore.saveDistanceDistribution(spark, hbDir, gDir, dDir)
+    assert(!HyperBallStore.distributionIsStale(spark, dDir, hbDir, gDir))
+    assert(rows(HyperBallStore.distanceDistributionStored(spark, dDir, hbDir, gDir)) ==
+      rows(HyperBallStore.distanceDistribution(spark, hbDir)))
+  }
 }
