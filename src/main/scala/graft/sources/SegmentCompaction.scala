@@ -27,9 +27,24 @@ import org.apache.spark.sql.SparkSession
   *
   * The root `_manifest.json` is untouched: an in-place fold keeps the
   * store's own parameters (change them with the out-of-place
-  * `compactTo`). Rename is atomic on HDFS/local; on object stores it is
-  * copy+delete — the marker discipline stays correct, the window just
-  * widens.
+  * `compactTo`).
+  *
+  * == Non-atomic (object-store) rename ==
+  * Rename is atomic on HDFS/local, but on object stores it is COPY then
+  * DELETE — a crash mid-rename leaves BOTH trees partial-looking, and the
+  * naive "staging is authoritative while it exists" rule would delete a
+  * COMPLETE freshly-copied `segs` and roll forward the half-deleted
+  * staging: committed segments silently lost. So the marker is not a bare
+  * flag: it records the staged tree's full file INVENTORY (relpath +
+  * length, written after the fold completes). [[finishSwap]] then picks
+  * the tree the inventory proves complete — staging when every recorded
+  * file is still there (the copy never started / stopped partway), `segs`
+  * when the copy finished and the crash hit the source delete — and if an
+  * interleaving rename left NEITHER tree complete it fails loud with both
+  * states named instead of discarding either (the union still holds every
+  * byte; that window is manual territory, not silent-loss territory).
+  * A legacy empty marker (pre-inventory crash) keeps the old
+  * staging-authoritative behavior.
   */
 object SegmentCompaction {
 
@@ -54,7 +69,7 @@ object SegmentCompaction {
     val staging = new org.apache.hadoop.fs.Path(s"$dir/_compact")
     if (fs.exists(staging)) fs.delete(staging, true) // unmarked leftover
     fold(staging.toString)
-    fs.create(marker(dir), true).close() // commit point
+    commitMarker(spark, dir) // commit point (carries the fold's inventory)
     finishSwap(fs, dir)
   }
 
@@ -76,17 +91,103 @@ object SegmentCompaction {
   private def marker(dir: String) =
     new org.apache.hadoop.fs.Path(s"$dir/_compact/_SWAP")
 
+  /** Write the `_SWAP` commit marker carrying the staged segs tree's file
+    * inventory (one `relpath\tlength` line per file) — what lets recovery
+    * tell a complete tree from one a non-atomic rename half-processed.
+    * Exposed to the crash-injection spec; production callers go through
+    * [[inPlace]].
+    */
+  private[graft] def commitMarker(spark: SparkSession, dir: String): Unit = {
+    val fs = fsFor(spark, dir)
+    val inv = inventory(fs, new org.apache.hadoop.fs.Path(s"$dir/_compact/segs"))
+    val out = fs.create(marker(dir), true)
+    try out.write(inv.map { case (rel, len) => s"$rel\t$len\n" }.mkString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Recursive file inventory of `root`: (path relative to root, length),
+    * sorted. Empty when `root` does not exist.
+    */
+  private def inventory(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[(String, Long)] = {
+    if (!fs.exists(root)) Seq.empty
+    else {
+      val base = fs.makeQualified(root).toUri.getPath.stripSuffix("/") + "/"
+      val it = fs.listFiles(root, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      while (it.hasNext) {
+        val s = it.next()
+        buf += ((fs.makeQualified(s.getPath).toUri.getPath.stripPrefix(base), s.getLen))
+      }
+      buf.sortBy(_._1).toSeq
+    }
+  }
+
+  /** The inventory recorded in the marker, or None for a legacy (empty /
+    * unparseable) marker. Truncated tails degrade to a weaker subset
+    * check, never to a parse failure — recovery must not wedge on a
+    * half-written marker.
+    */
+  private def readMarker(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Option[Seq[(String, Long)]] = {
+    val len = fs.getFileStatus(marker(dir)).getLen.toInt
+    val in = fs.open(marker(dir))
+    val text =
+      try {
+        val buf = new Array[Byte](len)
+        in.readFully(0L, buf)
+        new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+      } finally in.close()
+    val inv = text.split("\n").toSeq.filter(_.nonEmpty).flatMap { line =>
+      line.split("\t") match {
+        case Array(rel, len) if len.forall(_.isDigit) && len.nonEmpty =>
+          Some((rel, len.toLong))
+        case _ => None
+      }
+    }
+    if (inv.isEmpty) None else Some(inv)
+  }
+
+  /** Every recorded file present under `root` at its recorded length. */
+  private def complete(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, inv: Seq[(String, Long)]): Boolean =
+    inv.forall { case (rel, len) =>
+      val f = new org.apache.hadoop.fs.Path(root, rel)
+      try fs.getFileStatus(f).getLen == len
+      catch { case _: java.io.FileNotFoundException => false }
+    }
+
   private def finishSwap(fs: org.apache.hadoop.fs.FileSystem, dir: String): Unit = {
     val segs = new org.apache.hadoop.fs.Path(s"$dir/segs")
     val stSegs = new org.apache.hadoop.fs.Path(s"$dir/_compact/segs")
-    // idempotent re-entry: only delete+rename while the staging segs
-    // still exist — after the rename a retry must NOT delete the
-    // freshly-swapped tree
+    // idempotent re-entry: act only while the staging segs still exist —
+    // after an atomic rename a retry must NOT delete the swapped tree
     if (fs.exists(stSegs)) {
-      if (fs.exists(segs)) fs.delete(segs, true)
-      require(fs.rename(stSegs, segs),
-        s"SegmentCompaction: rename $stSegs -> $segs failed; re-run to retry " +
-          "(the staging fold is committed and will roll forward)")
+      val invOpt = readMarker(fs, dir)
+      val stagingComplete = invOpt.forall(complete(fs, stSegs, _))
+      if (stagingComplete) {
+        // the fold's inventory is intact in staging (rename never started,
+        // stopped mid-copy, or legacy marker): staging is authoritative
+        if (fs.exists(segs)) fs.delete(segs, true)
+        require(fs.rename(stSegs, segs),
+          s"SegmentCompaction: rename $stSegs -> $segs failed; re-run to retry " +
+            "(the staging fold is committed and will roll forward)")
+      } else {
+        // a non-atomic (copy+delete) rename crashed after its copy phase:
+        // staging is half-deleted, so the complete fold must be in segs —
+        // verify BEFORE discarding staging; if neither tree matches the
+        // inventory (an interleaving rename split a file between phases)
+        // fail loud with both states on the table, union intact
+        require(complete(fs, segs, invOpt.get),
+          s"SegmentCompaction: $dir was interrupted mid-rename with NEITHER " +
+            s"$stSegs nor $segs holding the committed fold's full inventory " +
+            "(a non-atomic rename split the tree between its copy and delete " +
+            "phases). Nothing has been deleted: the two trees' union still " +
+            "holds every committed byte - reconstruct segs from it manually, " +
+            "then remove _compact")
+        // segs holds the complete fold: keep it, staging leftovers go below
+      }
     }
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_compact"), true)
   }

@@ -59,6 +59,16 @@ class SegmentCompactionSpec extends SparkSpec {
     locally {
       val (dir, rb, _) = host()
       MinHashStore.compactTo(spark, dir, s"$dir/_compact")
+      graft.sources.SegmentCompaction.commitMarker(spark, dir)
+      graft.sources.SegmentCompaction.recover(spark, dir)
+      assert(MinHashStore.committedSegments(spark, dir) == Seq(0L))
+      assert(sigSet(dir) == sigSet(rb) && verdicts(dir) == verdicts(rb))
+    }
+    // step (b-legacy): a bare pre-inventory marker (old format) keeps the
+    // staging-authoritative behavior
+    locally {
+      val (dir, rb, _) = host()
+      MinHashStore.compactTo(spark, dir, s"$dir/_compact")
       fsOf(dir).create(p(s"$dir/_compact/_SWAP"), true).close()
       graft.sources.SegmentCompaction.recover(spark, dir)
       assert(MinHashStore.committedSegments(spark, dir) == Seq(0L))
@@ -69,7 +79,7 @@ class SegmentCompactionSpec extends SparkSpec {
     locally {
       val (dir, rb, _) = host()
       MinHashStore.compactTo(spark, dir, s"$dir/_compact")
-      fsOf(dir).create(p(s"$dir/_compact/_SWAP"), true).close()
+      graft.sources.SegmentCompaction.commitMarker(spark, dir)
       fsOf(dir).delete(p(s"$dir/segs"), true)
       // append (recover-first) heals it and lands its segment on the fold
       val more = spark.read.parquet(s"$sf0001/documents.parquet")
@@ -88,7 +98,7 @@ class SegmentCompactionSpec extends SparkSpec {
       val (dir, rb, _) = host()
       MinHashStore.compactTo(spark, dir, s"$dir/_compact")
       val fs = fsOf(dir)
-      fs.create(p(s"$dir/_compact/_SWAP"), true).close()
+      graft.sources.SegmentCompaction.commitMarker(spark, dir)
       fs.delete(p(s"$dir/segs"), true)
       require(fs.rename(p(s"$dir/_compact/segs"), p(s"$dir/segs")))
       // crash here: _compact/_SWAP still on disk, segs/ is the NEW tree
@@ -97,6 +107,121 @@ class SegmentCompactionSpec extends SparkSpec {
       assert(MinHashStore.committedSegments(spark, dir) == Seq(0L),
         "re-entrant finish must keep the freshly-swapped fold")
       assert(sigSet(dir) == sigSet(rb) && verdicts(dir) == verdicts(rb))
+    }
+  }
+
+  /** Object-store rename = COPY every file then DELETE every source file.
+    * Simulated at file granularity with crash injection: `copies` /
+    * `deletes` bound how many files each phase processes before the
+    * "crash" (Int.MaxValue = phase completes). Copy order and delete
+    * order are both the sorted listing — deterministic windows.
+    */
+  private def copyDeleteRename(dir: String, copies: Int, deletes: Int): Unit = {
+    val fs = fsOf(dir)
+    val src = p(s"$dir/_compact/segs")
+    val dst = p(s"$dir/segs")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = fs.makeQualified(src).toUri.getPath.stripSuffix("/") + "/"
+    val files = {
+      val it = fs.listFiles(src, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext)
+        buf += fs.makeQualified(it.next().getPath).toUri.getPath.stripPrefix(base)
+      buf.sorted.toSeq
+    }
+    files.take(copies).foreach { rel =>
+      org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(src, rel),
+        fs, new org.apache.hadoop.fs.Path(dst, rel), false, conf)
+    }
+    if (copies >= files.size)
+      files.take(deletes).foreach(rel =>
+        fs.delete(new org.apache.hadoop.fs.Path(src, rel), false))
+  }
+
+  test("non-atomic copy+delete rename: every crash window converges or fails loud, nothing lost") {
+    val probe = spark.read.parquet(s"$sf0001/documents.parquet")
+      .where($"doc_id" >= 160 && $"doc_id" < 200)
+    def verdicts(d: String) = MinHashStore.dedupBatch(spark, d, probe, "text", "doc_id")
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+
+    // window (e): crash MID-COPY — staging still complete, segs partial;
+    // recovery discards the partial copy and re-renames the staging
+    locally {
+      val (dir, rb, _) = host()
+      MinHashStore.compactTo(spark, dir, s"$dir/_compact")
+      graft.sources.SegmentCompaction.commitMarker(spark, dir)
+      fsOf(dir).delete(p(s"$dir/segs"), true)
+      copyDeleteRename(dir, copies = 2, deletes = 0)
+      graft.sources.SegmentCompaction.recover(spark, dir)
+      assert(!fsOf(dir).exists(p(s"$dir/_compact")))
+      assert(MinHashStore.committedSegments(spark, dir) == Seq(0L))
+      assert(sigSet(dir) == sigSet(rb) && verdicts(dir) == verdicts(rb))
+    }
+    // window (f): copy COMPLETE, crash MID-SOURCE-DELETE — staging is
+    // half-deleted, segs holds the complete fold; the naive rule would
+    // delete segs and roll the partial staging forward (silent loss of
+    // committed segments); the inventory check must keep segs instead
+    locally {
+      val (dir, rb, _) = host()
+      MinHashStore.compactTo(spark, dir, s"$dir/_compact")
+      graft.sources.SegmentCompaction.commitMarker(spark, dir)
+      fsOf(dir).delete(p(s"$dir/segs"), true)
+      copyDeleteRename(dir, copies = Int.MaxValue, deletes = 3)
+      graft.sources.SegmentCompaction.recover(spark, dir)
+      assert(!fsOf(dir).exists(p(s"$dir/_compact")))
+      assert(MinHashStore.committedSegments(spark, dir) == Seq(0L))
+      assert(sigSet(dir) == sigSet(rb) && verdicts(dir) == verdicts(rb))
+    }
+    // window (f'): the delete phase got everything EXCEPT the marker's
+    // parent dirs — staging segs root still exists but empty-ish; same
+    // verdict: segs is authoritative
+    locally {
+      val (dir, rb, _) = host()
+      MinHashStore.compactTo(spark, dir, s"$dir/_compact")
+      graft.sources.SegmentCompaction.commitMarker(spark, dir)
+      fsOf(dir).delete(p(s"$dir/segs"), true)
+      copyDeleteRename(dir, copies = Int.MaxValue, deletes = Int.MaxValue - 1)
+      graft.sources.SegmentCompaction.recover(spark, dir)
+      assert(MinHashStore.committedSegments(spark, dir) == Seq(0L))
+      assert(sigSet(dir) == sigSet(rb) && verdicts(dir) == verdicts(rb))
+    }
+    // window (g): an interleaving rename left NEITHER tree complete (a
+    // data file deleted from staging without ever being copied) —
+    // recovery must fail LOUD and delete NOTHING: the union of the two
+    // trees still holds every committed byte
+    locally {
+      val (dir, _, _) = host()
+      MinHashStore.compactTo(spark, dir, s"$dir/_compact")
+      graft.sources.SegmentCompaction.commitMarker(spark, dir)
+      val fs = fsOf(dir)
+      fs.delete(p(s"$dir/segs"), true)
+      copyDeleteRename(dir, copies = 2, deletes = 0)
+      // adversarial split: drop a staged file that was NOT among the 2
+      // copied (sorted order makes the tail uncopied)
+      val base = fs.makeQualified(p(s"$dir/_compact/segs")).toUri.getPath
+        .stripSuffix("/") + "/"
+      val staged = {
+        val it = fs.listFiles(p(s"$dir/_compact/segs"), true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext)
+          buf += fs.makeQualified(it.next().getPath).toUri.getPath.stripPrefix(base)
+        buf.sorted.toSeq
+      }
+      fs.delete(p(s"$dir/_compact/segs/${staged.last}"), false)
+      val before = staged.size
+      val e = intercept[IllegalArgumentException] {
+        graft.sources.SegmentCompaction.recover(spark, dir)
+      }
+      assert(e.getMessage.contains("NEITHER"), e.getMessage)
+      // nothing deleted: marker, remaining staging files, and the partial
+      // segs copy are all still on disk for manual union reconstruction
+      assert(fs.exists(p(s"$dir/_compact/_SWAP")))
+      val after = {
+        val it = fs.listFiles(p(s"$dir/_compact/segs"), true)
+        var n = 0; while (it.hasNext) { it.next(); n += 1 }; n
+      }
+      assert(after == before - 1, "recovery must not delete staging files in the split state")
+      assert(fs.exists(p(s"$dir/segs")))
     }
   }
 }
