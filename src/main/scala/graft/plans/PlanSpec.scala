@@ -72,7 +72,18 @@ object PlanSpec {
   /** Row-wise concatenation with union-schema merge ([[Combine.concatenate]]). */
   final case class Concatenate(override val inputs: Seq[Int]) extends Node
 
-  final case class Plan(nodes: IndexedSeq[Node], result: Int) {
+  /** `sourceSchemas` (optional, name → Spark DDL) pins the source shape a
+    * plan's POSITIONAL ops (SelectCols/DropCols/ReplaceMap/Rename) were
+    * authored against: filter/map SQL fails loud on a missing column, but
+    * an index binds silently to whatever sits at that position, so a
+    * reordered/retyped source would replay to WRONG data without a
+    * recorded schema to check. The reference persists exactly this with
+    * its specs (ValueSchema inside TableTransformNodeSettingsPersistor).
+    * [[execute]] verifies name+type positionally per source; nullability
+    * and metadata are snapshot details, not binding contracts.
+    */
+  final case class Plan(nodes: IndexedSeq[Node], result: Int,
+      sourceSchemas: Map[String, String] = Map.empty) {
     require(nodes.nonEmpty, "PlanSpec: empty plan")
     require(result >= 0 && result < nodes.length,
       s"PlanSpec: result $result out of range (${nodes.length} nodes)")
@@ -80,10 +91,38 @@ object PlanSpec {
       n.inputs.foreach(in => require(in >= 0 && in < i,
         s"PlanSpec: node $i reads input $in - inputs must be earlier nodes " +
           "(topological order, the serializer's resolve-forward rule)"))
+      n match {
+        // arity at PARSE time: Combine.concatenate would reject an empty
+        // list only at execute() with no node context (review-found) —
+        // the fail-loud-at-parse contract owns malformed plans
+        case Concatenate(ins) => require(ins.nonEmpty,
+          s"PlanSpec: node $i (concatenate) has no inputs")
+        case _ => ()
+      }
+    }
+    sourceSchemas.foreach { case (t, ddl) =>
+      require(nodes.contains(Source(t)),
+        s"PlanSpec: sourceSchemas records table '$t' but no source node reads it")
+      try org.apache.spark.sql.types.StructType.fromDDL(ddl)
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"PlanSpec: sourceSchemas['$t'] is not valid DDL: $ddl", e)
+      }
     }
     /** Every source table name the plan reads. */
     def sourceTables: Seq[String] =
       nodes.collect { case Source(t) => t }.distinct
+
+    /** This plan with source schemas captured from the frames it will run
+      * against — call at AUTHOR time so the persisted plan can refuse a
+      * drifted source at replay time.
+      */
+    def withSchemasFrom(sources: Map[String, DataFrame]): Plan =
+      copy(sourceSchemas = sourceTables.map { t =>
+        t -> sources.getOrElse(t, throw new IllegalArgumentException(
+          s"PlanSpec.withSchemasFrom: plan reads source table '$t' but got " +
+            s"[${sources.keys.toSeq.sorted.mkString(", ")}]")).schema.toDDL
+      }.toMap)
   }
 
   private val Version = 1
@@ -95,6 +134,13 @@ object PlanSpec {
     val root = om.createObjectNode()
     root.put("version", Version)
     root.put("result", plan.result)
+    if (plan.sourceSchemas.nonEmpty) {
+      // sorted for bit-stable re-serialization
+      val so = root.putObject("sources")
+      plan.sourceSchemas.toSeq.sortBy(_._1).foreach { case (t, ddl) =>
+        so.put(t, ddl)
+      }
+    }
     val arr = root.putArray("nodes")
     plan.nodes.foreach { n =>
       val o = arr.addObject()
@@ -222,7 +268,17 @@ object PlanSpec {
             "half-understood plan (newer writer?)")
       }
     }.toIndexedSeq
-    Plan(nodes, reqInt(root, "result"))
+    // optional sources map (name -> DDL); when present it must be
+    // well-formed — a half-readable schema record is a half-understood plan
+    val schemas = Option(root.get("sources")).map { so =>
+      require(so.isObject, "PlanSpec: field 'sources' is not an object")
+      so.properties().asScala.map { e =>
+        require(e.getValue.isTextual,
+          s"PlanSpec: sources['${e.getKey}'] is not a string")
+        e.getKey -> e.getValue.asText
+      }.toMap
+    }.getOrElse(Map.empty[String, String])
+    Plan(nodes, reqInt(root, "result"), schemas)
   }
 
   /** Persist to a single JSON file (manifests' [[graft.sources.ArtifactJson]]
@@ -252,10 +308,13 @@ object PlanSpec {
     val out = new Array[DataFrame](plan.nodes.length)
     plan.nodes.zipWithIndex.foreach { case (n, i) =>
       if (needed(i)) out(i) = n match {
-        case Source(t) => sources.getOrElse(t,
-          throw new IllegalArgumentException(
-            s"PlanSpec: plan reads source table '$t' but execute() got " +
-              s"[${sources.keys.toSeq.sorted.mkString(", ")}]"))
+        case Source(t) =>
+          val df = sources.getOrElse(t,
+            throw new IllegalArgumentException(
+              s"PlanSpec: plan reads source table '$t' but execute() got " +
+                s"[${sources.keys.toSeq.sorted.mkString(", ")}]"))
+          plan.sourceSchemas.get(t).foreach(checkSourceSchema(t, _, df))
+          df
         case Identity(in) => out(in)
         case SelectCols(in, idx) => KTable(out(in)).selectColumns(idx: _*).df
         case DropCols(in, idx) => KTable(out(in)).dropColumns(idx: _*).df
@@ -282,5 +341,28 @@ object PlanSpec {
       }
     }
     out(plan.result)
+  }
+
+  /** The drift gate: the bound frame must match the recorded schema
+    * POSITIONALLY on names and types — the binding contract the plan's
+    * index-addressed ops rely on. Nullability/metadata deltas pass (they
+    * are snapshot details that cannot re-bind an index). Failures name
+    * the table and the first differing position.
+    */
+  private def checkSourceSchema(table: String, ddl: String, df: DataFrame): Unit = {
+    val want = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+    val got = df.schema
+    require(got.length == want.length,
+      s"PlanSpec: source '$table' has ${got.length} columns but the plan " +
+        s"was authored against ${want.length} (recorded: $ddl) - the source " +
+        "drifted; positional ops would bind to wrong columns")
+    want.fields.zip(got.fields).zipWithIndex.foreach { case ((w, g), i) =>
+      require(w.name == g.name && w.dataType == g.dataType,
+        s"PlanSpec: source '$table' column $i is ${g.name}: " +
+          s"${g.dataType.simpleString} but the plan was authored against " +
+          s"${w.name}: ${w.dataType.simpleString} - the source drifted " +
+          "(reordered, renamed, or retyped); refusing to bind positional " +
+          "ops against it")
+    }
   }
 }

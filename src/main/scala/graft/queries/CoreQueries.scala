@@ -204,6 +204,9 @@ object CoreQueries {
           "l_linenumber" -> "l_linenumber",
           "l_quantity" -> "l_quantity",
           "gross" -> "gross"))), result = 3)
+        // author-time schema capture: the reloaded plan refuses a drifted
+        // source instead of binding positional ops silently (r16)
+        .withSchemasFrom(Map("lineitem" -> t(s, dir, "lineitem")))
       val reloaded = PlanSpec.fromJson(PlanSpec.toJson(plan)) // real round-trip
       PlanSpec.execute(reloaded, Map("lineitem" -> t(s, dir, "lineitem")))
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("gross"))

@@ -149,13 +149,84 @@ class PlanSpecSpec extends SparkSpec {
     }
     (0 until 200).foreach { round =>
       val n = 1 + rnd.nextInt(12)
-      val nodes = Source(randName()) +: (1 until n).map(randNode)
-      val plan = Plan(nodes.toVector, rnd.nextInt(n))
+      val src = randName()
+      val nodes = Source(src) +: (1 until n).map(randNode)
+      // half the plans carry a recorded source schema (the drift gate's
+      // persisted form must round-trip bit-stably too)
+      val schemas =
+        if (rnd.nextBoolean()) Map(src -> "a BIGINT,s STRING,v DOUBLE")
+        else Map.empty[String, String]
+      val plan = Plan(nodes.toVector, rnd.nextInt(n), schemas)
       val json = PlanSpec.toJson(plan)
       val back = PlanSpec.fromJson(json)
       assert(back == plan, s"round $round:\n$json")
       assert(PlanSpec.toJson(back) == json, s"round $round: re-serialization drifted")
     }
+  }
+
+  test("recorded source schemas: a reordered/retyped source fails loud, " +
+      "nullability deltas pass (drift gate)") {
+    val t = Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
+    val authored = Plan(Vector(
+      Source("t"),
+      SelectCols(0, Seq(1)) // positional: index 1 must stay 'v'
+    ), result = 1).withSchemasFrom(Map("t" -> t))
+    val back = PlanSpec.fromJson(PlanSpec.toJson(authored))
+    assert(back == authored)
+    // matching source: serves
+    assert(PlanSpec.execute(back, Map("t" -> t)).columns.toSeq == Seq("v"))
+    // REORDERED source: the index would silently bind to 'k' - refused,
+    // naming the table and the first drifted position
+    val reordered = t.select(col("v"), col("k"))
+    val e1 = intercept[IllegalArgumentException] {
+      PlanSpec.execute(back, Map("t" -> reordered))
+    }
+    assert(e1.getMessage.contains("'t'") && e1.getMessage.contains("drifted"),
+      e1.getMessage)
+    assert(e1.getMessage.contains("column 0"), e1.getMessage)
+    // RETYPED source: same refusal
+    val retyped = t.select(col("k"), col("v").cast("int").as("v"))
+    val e2 = intercept[IllegalArgumentException] {
+      PlanSpec.execute(back, Map("t" -> retyped))
+    }
+    assert(e2.getMessage.contains("column 1") && e2.getMessage.contains("int"),
+      e2.getMessage)
+    // column ADDED: count mismatch named
+    val widened = t.withColumn("extra", lit(1))
+    val e3 = intercept[IllegalArgumentException] {
+      PlanSpec.execute(back, Map("t" -> widened))
+    }
+    assert(e3.getMessage.contains("3 columns"), e3.getMessage)
+    // nullability-only delta: passes (snapshot detail, cannot re-bind an index)
+    val relaxed = spark.createDataFrame(t.rdd,
+      org.apache.spark.sql.types.StructType(t.schema.fields.map(_.copy(nullable = true))))
+    assert(PlanSpec.execute(back, Map("t" -> relaxed)).count() == 2)
+    // a schema-less plan keeps the old behavior (no check at all)
+    val unchecked = Plan(authored.nodes, authored.result)
+    assert(PlanSpec.execute(unchecked, Map("t" -> reordered)).columns.toSeq == Seq("k"))
+  }
+
+  test("malformed sources field / unknown table / bad DDL / empty concatenate fail loud") {
+    val badVal = """{"version":1,"result":0,"sources":{"t":123},"nodes":[{"op":"source","table":"t"}]}"""
+    assert(intercept[IllegalArgumentException](
+      PlanSpec.fromJson(badVal)).getMessage.contains("sources"))
+    val badShape = """{"version":1,"result":0,"sources":["t"],"nodes":[{"op":"source","table":"t"}]}"""
+    assert(intercept[IllegalArgumentException](
+      PlanSpec.fromJson(badShape)).getMessage.contains("sources"))
+    // schema recorded for a table no source node reads: author-time typo
+    intercept[IllegalArgumentException] {
+      Plan(Vector(Source("t")), 0, Map("other" -> "a BIGINT"))
+    }
+    // unparseable DDL fails at construction/parse, not at execute
+    assert(intercept[IllegalArgumentException] {
+      Plan(Vector(Source("t")), 0, Map("t" -> "a NOT_A_TYPE<<<"))
+    }.getMessage.contains("DDL"))
+    // concatenate with no inputs: rejected at parse with the node index,
+    // not by Combine.concatenate's bare require at execute (review fix)
+    val emptyConcat = """{"version":1,"result":1,"nodes":[{"op":"source","table":"t"},{"op":"concatenate","inputs":[]}]}"""
+    val e = intercept[IllegalArgumentException](PlanSpec.fromJson(emptyConcat))
+    assert(e.getMessage.contains("concatenate") && e.getMessage.contains("node 1"),
+      e.getMessage)
   }
 
   test("unknown op, wrong version, forward reference, missing source all fail loud") {
