@@ -27,6 +27,23 @@ import org.apache.spark.sql.types.StructType
   * (The reference's closest analog is its batch-store file layout with a
   * write-then-flag commit, `ColumnarContainerTable`-style; the segmenting
   * itself is this engine's design for append-without-rewrite.)
+  *
+  * == Single-writer contract ==
+  * Mutation is SINGLE-APPENDER: the recover→append→fold sequence is
+  * crash-safe and idempotent against ITSELF, but two concurrent mutators
+  * can interleave — one entering `compactInPlace` while the other appends
+  * a fresh segment into the tree mid-swap (the appended segment would be
+  * lost to the pending swap), or both folding the same segments twice.
+  * [[appendAuto]]/[[compactInPlace]] enforce it with a best-effort LEASE:
+  * `dir/_LEASE` is created exclusively for the duration of the mutation,
+  * so a second out-of-process mutator fails loud with the lease named
+  * instead of interleaving. A crashed holder leaves the lease behind —
+  * the failure message says so and recovery is "verify the holder is
+  * dead, delete `_LEASE`, re-run" (every mutation entry point rolls an
+  * interrupted swap forward first, so re-running converges). Plain
+  * `append` with caller-chosen segment ids stays lease-free: pipelines
+  * that shard appends across jobs coordinate ids themselves, and the
+  * monotonic-id guard still rejects overlap. Reads never take the lease.
   */
 trait SegmentedStore {
 
@@ -63,10 +80,41 @@ trait SegmentedStore {
     * store).
     */
   def compactInPlace(spark: SparkSession, dir: String): Unit =
-    SegmentCompaction.inPlace(spark, dir)(staging =>
-      compactTo(spark, dir, staging))
+    withLease(spark, dir) {
+      SegmentCompaction.inPlace(spark, dir)(staging =>
+        compactTo(spark, dir, staging))
+    }
 
   // ---- protected plumbing the stores' own entry points compose ----
+
+  /** Run `body` holding the store's exclusive appender lease (see the
+    * single-writer contract in the trait doc). Exclusive-create is atomic
+    * on local/HDFS and best-effort on object stores — a lost race there
+    * is no worse than today's uncoordinated interleave, and the common
+    * misuse (two cron pipelines appending to one store) fails loud.
+    */
+  protected final def withLease[T](spark: SparkSession, dir: String)(body: => T): T = {
+    val fs = fsFor(spark, dir)
+    val lease = new org.apache.hadoop.fs.Path(s"$dir/_LEASE")
+    val out =
+      try fs.create(lease, false) // overwrite=false: exclusive
+      catch {
+        case e: java.io.IOException => throw new IllegalStateException(
+          s"$storeName: another appender holds the mutation lease $lease - " +
+            "segmented stores are single-appender (concurrent mutators can " +
+            "interleave a fresh append into a tree mid-swap). If the holder " +
+            "is still running, wait for it; if it CRASHED, verify it is dead, " +
+            "delete the _LEASE file and re-run - every mutation entry point " +
+            "rolls an interrupted swap forward first, so re-running converges", e)
+      }
+    try {
+      // holder breadcrumb for the human deciding whether a lease is stale
+      out.write(s"pid=${ProcessHandle.current().pid()} time=${java.time.Instant.now()}\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+      body
+    } finally fs.delete(lease, false)
+  }
 
   protected final def fsFor(spark: SparkSession,
       dir: String): org.apache.hadoop.fs.FileSystem =
@@ -96,10 +144,16 @@ trait SegmentedStore {
       maxSegments: Int)(doAppend: => Unit): String = {
     require(maxSegments >= 2,
       s"$storeName.appendAuto: maxSegments $maxSegments < 2")
-    doAppend // recovers any interrupted swap itself (append's family rule)
-    if (committedSegments(spark, dir).size >= maxSegments) {
-      compactInPlace(spark, dir); "append+compact"
-    } else "append"
+    withLease(spark, dir) {
+      doAppend // recovers any interrupted swap itself (append's family rule)
+      if (committedSegments(spark, dir).size >= maxSegments) {
+        // already under THIS call's lease: fold directly (compactInPlace
+        // would try to re-acquire and see our own lease as a holder)
+        SegmentCompaction.inPlace(spark, dir)(staging =>
+          compactTo(spark, dir, staging))
+        "append+compact"
+      } else "append"
+    }
   }
 
   /** Whether `segmentId`'s `_done` marker exists — a committed replay's

@@ -224,4 +224,45 @@ class SegmentCompactionSpec extends SparkSpec {
       assert(fs.exists(p(s"$dir/segs")))
     }
   }
+
+  test("appender lease: a second mutator fails loud with the lease named, " +
+      "released on success AND failure") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val (dir, _, _) = host()
+    val fs = fsOf(dir)
+    val lease = p(s"$dir/_LEASE")
+    // simulate an in-flight out-of-process appender holding the lease
+    fs.create(lease, false).close()
+    val more = docs.where($"doc_id" >= 160 && $"doc_id" < 180)
+    val e = intercept[IllegalStateException] {
+      MinHashStore.appendAuto(more, "text", "doc_id", dir, maxSegments = 2)
+    }
+    assert(e.getMessage.contains("_LEASE") && e.getMessage.contains("single-appender"),
+      e.getMessage)
+    val e2 = intercept[IllegalStateException] {
+      MinHashStore.compactInPlace(spark, dir)
+    }
+    assert(e2.getMessage.contains("_LEASE"), e2.getMessage)
+    // the refused calls touched nothing: both original segments intact
+    assert(MinHashStore.committedSegments(spark, dir) == Seq(0L, 1L))
+    // crashed-holder recovery: delete the lease, re-run converges (and
+    // the maxSegments=2 bound makes this append fold in place too —
+    // autoRoute's internal fold must not self-deadlock on its own lease)
+    fs.delete(lease, false)
+    val route = MinHashStore.appendAuto(more, "text", "doc_id", dir, maxSegments = 2)
+    assert(route == "append+compact")
+    assert(!fs.exists(lease), "lease must release on success")
+    val rb = tmp("segswap_lease_rb")
+    MinHashStore.build(docs.where($"doc_id" < 180), "text", "doc_id", rb, nBuckets = 4)
+    assert(sigSet(dir) == sigSet(rb))
+    // a FAILING mutation (monotonic-id guard: same ids again) must release
+    // the lease too - a wedged store after a bad batch would be worse
+    // than the race the lease closes
+    intercept[IllegalArgumentException] {
+      MinHashStore.appendAuto(more, "text", "doc_id", dir)
+    }
+    assert(!fs.exists(lease), "lease must release when the append throws")
+    // store still serves
+    assert(MinHashStore.committedSegments(spark, dir).nonEmpty)
+  }
 }
