@@ -177,8 +177,10 @@ object Bench {
     "q_plan_persist_multi",
     "q_components_store",
     // round 16: the distribution readout served from its DerivedStore
-    // (the last reach-family member without a served lane)
-    "q_reach_distribution_store"
+    // (the last reach-family member without a served lane) + the pruned
+    // torn-store walk (footer-free selective IO)
+    "q_reach_distribution_store",
+    "q_arrow_partial_pruned"
   )
 
   def main(args: Array[String]): Unit = {

@@ -187,6 +187,22 @@ object CoreQueries {
         .orderBy(col("lang"))
     }),
 
+    // PRUNED partial read (r16): the same torn store walked selecting
+    // only (doc_id, lang, n_chars) — the fat text column's buffers are
+    // never read even without a footer (each stream message carries the
+    // batch's flatbuffer buffer layout; ArrowPartialSpec asserts the byte
+    // counts). Same complete-batch-prefix oracle: a pruned walk that
+    // dropped a batch, leaked a torn one, or misaligned buffer spans =
+    // hash mismatch.
+    "q_arrow_partial_pruned" -> ((s, dir) => {
+      graft.sources.ArrowIpc.readPartial(s, tornDocsStore(s, dir),
+          Seq("doc_id", "lang", "n_chars"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy(col("lang"))
+    }),
+
     // Plan persistence (r15, reference TableTransformSerializer.java:97-131):
     // a virtual-table DAG serialized to JSON, re-parsed, and REPLAYED must
     // yield the same rows as the SQL the oracle runs — expressions persist
@@ -493,6 +509,13 @@ object CoreQueries {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the torn store holds exactly batches 0-1 = the first 4096 doc_ids
     "q_arrow_partial_scan" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  max(doc_id) AS max_id
+        |FROM documents WHERE doc_id < 4096
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    // the pruned walk serves the same complete-batch prefix
+    "q_arrow_partial_pruned" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  max(doc_id) AS max_id

@@ -240,10 +240,28 @@ object ArrowIpc {
     * torn before even its schema message contributes zero rows; the
     * DataFrame's schema comes from the first file that carries one, and
     * a readable file whose schema diverges fails loud with its path.
-    * Full-width by design: this is the recovery / live-migration path —
-    * pruning, statistics, and filters live on the footer-driven [[read]].
+    * Statistics and filters live on the footer-driven [[read]] (the
+    * footer is exactly what a torn file lacks), but COLUMN PRUNING does
+    * not need the footer: each stream message carries the same flatbuffer
+    * buffer layout the pruned reader decodes, so the `columns` overload
+    * below reads only the selected fields' byte ranges of each complete
+    * batch — a migration-era consume-while-producing read of a WIDE store
+    * no longer pays full-width IO.
     */
-  def readPartial(spark: SparkSession, path: String): DataFrame = {
+  def readPartial(spark: SparkSession, path: String): DataFrame =
+    readPartialImpl(spark, path, selected = None)
+
+  /** Column-pruned partial read: [[readPartial]] semantics (every
+    * complete batch, torn tails stop cleanly) with [[read]]'s `columns`
+    * contract (project/permute/duplicate; only selected buffer ranges are
+    * read, unselected dictionaries skip body-unread, zero columns =
+    * metadata-only row counts).
+    */
+  def readPartial(spark: SparkSession, path: String, columns: Seq[String]): DataFrame =
+    readPartialImpl(spark, path, selected = Some(columns.toArray))
+
+  private def readPartialImpl(spark: SparkSession, path: String,
+      selected: Option[Array[String]]): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new HPath(path)
     val fs = p.getFileSystem(conf)
@@ -267,6 +285,14 @@ object ArrowIpc {
       .nextOption()
       .getOrElse(throw new IllegalArgumentException(
         s"Arrow IPC partial read: no file under $path carries a complete schema message"))
+    // pruned output schema: requested order, duplicates allowed; unknown
+    // names fail here on the driver, not mid-scan
+    val outSchema = selected match {
+      case None => schema
+      case Some(names) => StructType(names.map(n =>
+        schema.fields.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+          s"column $n not in Arrow IPC schema ${schema.fieldNames.mkString(", ")} ($path)"))))
+    }
     val confB = spark.sparkContext.broadcast(new SerializableWritable(conf))
     val rows = spark.sparkContext
       .parallelize(files, files.size)
@@ -275,7 +301,7 @@ object ArrowIpc {
         val hp = new HPath(file)
         val hfs = hp.getFileSystem(c)
         val srcOpt =
-          try Some(openStreamSource(hfs, hp))
+          try Some(openStreamSource(hfs, hp, selected))
           catch { case TornBeforeSchema(_) => None } // pre-schema tear: zero rows
         srcOpt match {
           case None => Iterator.empty
@@ -291,7 +317,7 @@ object ArrowIpc {
             src.rows
         }
       }
-    GraftSqlInternals.internalCreateDataFrame(spark, rows, schema)
+    GraftSqlInternals.internalCreateDataFrame(spark, rows, outSchema)
   }
 
   /** FILE-footer custom metadata of one IPC file (where [[BatchStatsKey]]
@@ -320,9 +346,10 @@ object ArrowIpc {
       .map(b => (b.getOffset, b.getMetadataLength, b.getBodyLength)))
   }
 
-  private def openStreamSource(fs: FileSystem, p: HPath): StreamSource = {
+  private def openStreamSource(fs: FileSystem, p: HPath,
+      selected: Option[Array[String]] = None): StreamSource = {
     val ch = new HadoopSeekableChannel(fs, p)
-    try new StreamSource(ch, p.toString)
+    try new StreamSource(ch, p.toString, selected)
     catch { case t: Throwable => ch.close(); throw t }
   }
 
@@ -452,37 +479,13 @@ object ArrowIpc {
     private val dictionaries = new java.util.HashMap[java.lang.Long, Dictionary]()
     private val fileFields: IndexedSeq[Field] =
       footer.getSchema.getFields.asScala.toIndexedSeq
-    // record-batch WIRE layout spans per top-level field: node/buffer
-    // counts walk the MESSAGE-format schema exactly the way VectorUnloader
-    // emits them (depth-first; a dictionary-encoded field ships only its
-    // index vector — 1 node, the index type's buffers, children live in
-    // the dictionary batch), so [nodeStarts(i), +nodeCounts(i)) /
-    // [bufStarts(i), +bufCounts(i)) address field i's slice of any batch
-    private val nodeCounts = fileFields.map(wireNodeCount)
-    private val bufCounts = fileFields.map(wireBufferCount)
-    private val nodeStarts = nodeCounts.scanLeft(0)(_ + _)
-    private val bufStarts = bufCounts.scanLeft(0)(_ + _)
-    // selected field indices in FILE order (deduped — the output
-    // permutation below restores requested order/duplicates)
-    private val selIdx: Array[Int] = selected match {
-      case None => fileFields.indices.toArray
-      case Some(names) => names.distinct.map { n =>
-        val i = fileFields.indexWhere(_.getName == n)
-        require(i >= 0, s"column $n not in Arrow IPC schema ${fileFields.map(_.getName).mkString(", ")}")
-        i
-      }.sorted
-    }
+    private val spans = new WireSpans(fileFields)
+    private val (selIdx, outPerm) = resolveSelection(fileFields, selected)
     private val pruned = selected.isDefined
     private val memFields = selIdx.toSeq
       .map(i => DictionaryUtility.toMemoryFormat(fileFields(i), alloc, dictionaries)).asJava
     private val root = VectorSchemaRoot.create(
       new ArrowSchema(memFields, footer.getSchema.getCustomMetadata), alloc)
-    // requested output order → root vector index (root holds selIdx's
-    // fields in file order; duplicates/permutations resolve here)
-    private val outPerm: Array[Int] = selected match {
-      case None => fileFields.indices.toArray
-      case Some(names) => names.map(n => selIdx.indexOf(fileFields.indexWhere(_.getName == n)))
-    }
     private val rch = new SeekableReadChannel(ch)
     // record batches to SKIP outright: every filter must still possibly
     // match per the footer's batch statistics. Missing/foreign/mismatched
@@ -528,79 +531,14 @@ object ArrowIpc {
       FbMessage.getRootAsMessage(slice.order(ByteOrder.LITTLE_ENDIAN))
     }
 
-    /** Selective record-batch load: read ONLY the selected fields' node
-      * metadata and buffer byte ranges (located by the batch's flatbuffer
-      * metadata), assemble a pruned [[ArrowRecordBatch]], and load it into
-      * the pruned root. Unselected columns cost zero body IO.
+    /** Selective record-batch load (shared span machinery; see
+      * [[loadPrunedBatchInto]]): only the selected fields' buffer byte
+      * ranges are read, located by the batch's flatbuffer metadata.
       */
     private def loadPrunedBatch(blk: ArrowBlock, rb: FbRecordBatch): Unit = {
       val bodyStart = blk.getOffset + blk.getMetadataLength
-      val comp = rb.compression()
-      val bodyComp =
-        if (legacyBlock || comp == null) NoCompressionCodec.DEFAULT_BODY_COMPRESSION
-        else new ArrowBodyCompression(comp.codec(), comp.method())
-      val nodesJ = new java.util.ArrayList[ArrowFieldNode]()
-      val bufsJ = new java.util.ArrayList[ArrowBuf]()
-      // selected buffer descriptors in wire order + the selected nodes
-      val bufSel = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)] // (body offset, length)
-      selIdx.foreach { fi =>
-        var k = nodeStarts(fi); val nEnd = k + nodeCounts(fi)
-        while (k < nEnd) {
-          val nd = rb.nodes(k)
-          nodesJ.add(new ArrowFieldNode(nd.length(), nd.nullCount()))
-          k += 1
-        }
-        var b = bufStarts(fi); val bEnd = b + bufCounts(fi)
-        while (b < bEnd) {
-          val fb = rb.buffers(b)
-          bufSel += ((fb.offset(), Math.toIntExact(fb.length())))
-          b += 1
-        }
-      }
-      if (legacyBlock) {
-        // legacy buffers decompress individually (custom block rule), so
-        // each batch buffer is a fresh standalone allocation; the plain
-        // VectorLoader (no codec) never drops a reference mid-load
-        bufSel.foreach { case (off, len) =>
-          val raw = alloc.buffer(len)
-          try {
-            if (len > 0) raw.setBytes(0, readFully(ch, bodyStart + off, len))
-            raw.writerIndex(len)
-            bufsJ.add(decompressLegacyBlock(alloc, raw))
-          } finally raw.close()
-        }
-        val clean = new ArrowRecordBatch(
-          Math.toIntExact(rb.length()), nodesJ, bufsJ, bodyComp) // retains bufs
-        bufsJ.asScala.foreach(_.close())
-        try new VectorLoader(root).load(clean) // already decompressed
-        finally clean.close()
-      } else {
-        // reference discipline (arrow-java 18 VectorLoader bytecode-read):
-        // the loader's decompression codec CLOSES each input buffer and
-        // only re-retains it AFTERWARDS, so a standalone per-buffer
-        // allocation would hit refcount zero mid-load and die. The stock
-        // deserializeRecordBatch survives because every batch buffer is a
-        // SLICE of one shared body allocation — siblings keep the ledger
-        // alive through the close/retain window. Reproduce exactly that:
-        // one pruned-body allocation, batch buffers are slices of it.
-        val align = (n: Long) => (n + 7L) & ~7L
-        val total = bufSel.foldLeft(0L) { case (a, (_, len)) => a + align(len.toLong) }
-        val body = alloc.buffer(total)
-        val clean =
-          try {
-            var pos = 0L
-            bufSel.foreach { case (off, len) =>
-              if (len > 0) body.setBytes(pos, readFully(ch, bodyStart + off, len))
-              val sl = body.slice(pos, len)
-              sl.writerIndex(len)
-              bufsJ.add(sl)
-              pos += align(len.toLong)
-            }
-            new ArrowRecordBatch(Math.toIntExact(rb.length()), nodesJ, bufsJ, bodyComp) // retains slices
-          } finally body.close() // batch slices (or nothing, on throw) hold the ledger now
-        try new VectorLoader(root, FastLz4.Factory).load(clean)
-        finally clean.close()
-      }
+      loadPrunedBatchInto(rb, root, alloc, legacyBlock, spans, selIdx,
+        (off, len) => readFully(ch, bodyStart + off, len))
     }
 
     def rows: Iterator[InternalRow] = new Iterator[InternalRow] {
@@ -713,9 +651,10 @@ object ArrowIpc {
     * never visible downstream, and a complete file stops cleanly at its
     * end-of-stream marker without ever touching the footer.
     *
-    * Full-width by design: partial reads are a recovery / live-migration
-    * path, not a serving path — pruning and statistics live on the
-    * footer-driven [[FooterSource]].
+    * Column pruning works footer-free (each stream message carries the
+    * same flatbuffer buffer layout the pruned [[FooterSource]] decodes,
+    * r16); batch STATISTICS stay footer-only — the footer is exactly what
+    * a torn file lacks, so filter skipping is inherently unavailable here.
     */
   /** A file torn before even a complete schema message — nothing to
     * serve FROM IT; with concurrent writers any file of a crashed store
@@ -723,57 +662,115 @@ object ArrowIpc {
     * rather than failing the whole recovery (garbage that is not an
     * Arrow file at all still fails loud on the magic check).
     */
+  /** One encapsulated stream message: parsed metadata + its body's byte
+    * range (the walk advances past both; bodies are read or skipped
+    * positionally by the consumer).
+    */
+  private final case class Msg(meta: FbMessage, bodyStart: Long, bodyLen: Long)
+
   private final case class TornBeforeSchema(path: String)
     extends RuntimeException(
       s"Arrow IPC partial read: $path is torn before a complete schema message")
 
-  private final class StreamSource(ch: SeekableByteChannel, label: String) {
+  private final class StreamSource(ch: SeekableByteChannel, label: String,
+      selected: Option[Array[String]] = None) {
     private val alloc = new RootAllocator(Long.MaxValue)
     private val dictionaries = new java.util.HashMap[java.lang.Long, Dictionary]()
     private val rch = new SeekableReadChannel(ch)
+    // Tear detection is POSITIONAL against the size snapshot taken at
+    // open: a writer only ever APPENDS, so every byte before `fileSize`
+    // is final, and "not enough bytes remain for the next length prefix /
+    // metadata / body" is the one and only way a tear manifests. A read
+    // that FAILS with bytes still available is a transient-IO or reader
+    // bug and PROPAGATES — the old exception-driven stop resolved that
+    // ambiguity toward silently truncating a healthy store (review-found).
+    private val fileSize = ch.size()
+    private var pos = 0L
+    private def avail: Long = fileSize - pos
     // "ARROW1\0\0": fewer than 8 readable bytes = a write torn inside
     // the magic itself (zero rows); 8+ bytes that differ = not an Arrow
     // IPC file — fail loud, a partial reader must still refuse garbage
     locally {
-      val magic = java.nio.ByteBuffer.allocate(8)
-      val got = try { rch.setPosition(0); rch.readFully(magic) } catch { case _: Exception => -1 }
-      if (got < 8) throw TornBeforeSchema(label)
-      require(new String(magic.array, 0, 6, "US-ASCII") == "ARROW1",
+      if (fileSize < 8) throw TornBeforeSchema(label)
+      val magic = readFully(ch, 0, 8)
+      val m = new Array[Byte](6); magic.get(m)
+      require(new String(m, "US-ASCII") == "ARROW1",
         s"$label is not an Arrow IPC file (missing ARROW1 magic)")
-      rch.setPosition(8)
+      pos = 8
     }
-    private val msgReader =
-      new org.apache.arrow.vector.ipc.message.MessageChannelReader(rch, alloc)
+
+    /** The next encapsulated message's metadata flatbuffer, or None at a
+      * clean end (EOS marker / exact end of readable bytes) — TornTail at
+      * a mid-message truncation. Advances `pos` past metadata AND body;
+      * the body bytes themselves are read (or skipped) by the caller via
+      * the returned body range.
+      */
+    private object TornTail extends RuntimeException("torn tail")
+      with scala.util.control.NoStackTrace
+    private def nextMessage(): Option[Msg] = {
+      if (avail == 0) return None // byte-exact end without an EOS marker
+      if (avail < 4) throw TornTail
+      val first = readFully(ch, pos, 4).getInt; pos += 4
+      val metaLen =
+        if (first != MessageSerializer.IPC_CONTINUATION_TOKEN) first
+        else {
+          if (avail < 4) throw TornTail
+          val v = readFully(ch, pos, 4).getInt; pos += 4; v
+        }
+      if (metaLen == 0) return None // end-of-stream marker
+      if (metaLen < 0 || avail < metaLen) throw TornTail
+      val metaBuf = readFully(ch, pos, metaLen); pos += metaLen
+      // metadata bytes are COMPLETE here: a parse failure on them is
+      // corruption or a reader bug, not a tear — it propagates
+      val meta = FbMessage.getRootAsMessage(metaBuf)
+      val bodyLen = meta.bodyLength()
+      if (bodyLen < 0 || avail < bodyLen) throw TornTail
+      val start = pos; pos += bodyLen
+      Some(Msg(meta, start, bodyLen))
+    }
+
+    /** The message's body as one owned ArrowBuf (availability already
+      * verified, so a short read cannot happen on a healthy FS).
+      */
+    private def readBody(m: Msg): ArrowBuf =
+      if (m.bodyLen == 0L) alloc.getEmpty
+      else {
+        rch.setPosition(m.bodyStart)
+        MessageSerializer.readMessageBody(rch, m.bodyLen, alloc)
+      }
+
     // the schema message leads everything else in the framing
     private val arrowSchema: org.apache.arrow.vector.types.pojo.Schema = {
       val first =
-        try msgReader.readNext() catch { case _: Exception => null }
-      if (first == null ||
-          first.getMessage.headerType() != org.apache.arrow.flatbuf.MessageHeader.Schema)
-        throw TornBeforeSchema(label)
-      MessageSerializer.deserializeSchema(first.getMessage)
+        try nextMessage() catch { case TornTail => None }
+      first match {
+        case Some(m) if m.meta.headerType() == org.apache.arrow.flatbuf.MessageHeader.Schema =>
+          MessageSerializer.deserializeSchema(m.meta)
+        case _ => throw TornBeforeSchema(label)
+      }
     }
     private val legacyBlock =
       arrowSchema.getCustomMetadata.asScala.get(LegacyBlockKey).contains("true")
     private val fileFields: IndexedSeq[Field] = arrowSchema.getFields.asScala.toIndexedSeq
-    private val memFields = fileFields
-      .map(f => DictionaryUtility.toMemoryFormat(f, alloc, dictionaries)).asJava
+    private val spans = new WireSpans(fileFields)
+    private val (selIdx, outPerm) = resolveSelection(fileFields, selected)
+    private val pruned = selected.isDefined
+    private val memFields = selIdx.toSeq
+      .map(i => DictionaryUtility.toMemoryFormat(fileFields(i), alloc, dictionaries)).asJava
     private val root = VectorSchemaRoot.create(
       new ArrowSchema(memFields, arrowSchema.getCustomMetadata), alloc)
-    private val outPerm: Array[Int] = fileFields.indices.toArray
     val sparkSchema: StructType = fromArrowSchema(arrowSchema)
     private var open = true
     def close(): Unit = if (open) {
       open = false
       root.close()
       dictionaries.values().asScala.foreach(_.getVector.close())
-      try msgReader.close() catch { case _: Exception => () } // closes rch/ch
-      // a TORN body read leaks its ArrowBuf upstream (bytecode-read:
-      // MessageSerializer.readMessageBody allocates, then throws on a
-      // short read without releasing) — the allocator's leak complaint
-      // on that expected path must not fail the task that just served
-      // every complete batch; the allocator dies with this source either
-      // way, and the leak is bounded by one batch body per torn file
+      try rch.close() catch { case _: Exception => () } // closes ch
+      // availability is verified before every body read, so the
+      // MessageSerializer.readMessageBody leak-on-short-read path is gone
+      // from normal operation — but a propagating mid-read FS failure can
+      // still leave its ArrowBuf unreleased, and the task-completion
+      // listener must not replace THAT failure with a leak complaint
       try alloc.close() catch { case _: IllegalStateException => () }
     }
 
@@ -782,53 +779,174 @@ object ArrowIpc {
       private var batchesServed = 0L
       private def advance(): Unit =
         while (!batch.hasNext && open) {
-          // a torn tail surfaces as an IOException (truncated prefix,
-          // metadata, or body) inside readNext — every batch already
-          // served was complete, so stopping there IS the contract. The
-          // stop is LOGGED (a transient remote-IO failure on a healthy
-          // store is indistinguishable from a tear here — the caller can
-          // at least see which), and non-IO errors still propagate: only
-          // byte-level truncation is "partial", anything else is a bug.
           val res =
-            try msgReader.readNext()
+            try nextMessage()
             catch {
-              case e: java.io.IOException =>
+              case TornTail =>
+                // every batch already served was complete, so stopping
+                // here IS the partial-read contract; logged so a torn
+                // store is visible in task logs
                 System.err.println(s"[ArrowIpc.readPartial] $label: stopping at " +
-                  s"torn tail after $batchesServed complete batches (${e.getMessage})")
-                null
-              case e: IndexOutOfBoundsException =>
-                // a truncated flatbuffer can also surface as a bounds error
-                System.err.println(s"[ArrowIpc.readPartial] $label: stopping at " +
-                  s"torn metadata after $batchesServed complete batches (${e.getMessage})")
-                null
+                  s"torn tail after $batchesServed complete batches " +
+                  s"(${fileSize - pos} trailing bytes unreadable)")
+                None
             }
-          if (res == null) close() // EOS marker, clean EOF, or tear
-          else {
-            // deserialize{Record,Dictionary}Batch take OWNERSHIP of the
-            // body buffer (bytecode-read: they release it after retaining
-            // their slices) — never close it on the success path
-            def body: ArrowBuf =
-              Option(res.getBodyBuffer).getOrElse(alloc.getEmpty)
-            res.getMessage.headerType() match {
-              case org.apache.arrow.flatbuf.MessageHeader.DictionaryBatch =>
-                applyDictionaryBatchTo(
-                  MessageSerializer.deserializeDictionaryBatch(res.getMessage, body),
-                  dictionaries, alloc, legacyBlock)
-              case org.apache.arrow.flatbuf.MessageHeader.RecordBatch =>
-                val rb = MessageSerializer.deserializeRecordBatch(res.getMessage, body)
-                try loadBatchInto(rb, root, alloc, legacyBlock)
-                finally rb.close()
-                batchesServed += 1
-                batch = batchRows(root, id => dictionaries.get(id), outPerm)
-              case _ =>
-                // unknown message type from a newer writer: its body is
-                // ours to drop — skip the message, keep walking
-                val b = res.getBodyBuffer; if (b != null) b.close()
-            }
+          res match {
+            case None => close() // EOS marker, clean end, or tear
+            case Some(m) =>
+              m.meta.headerType() match {
+                case org.apache.arrow.flatbuf.MessageHeader.DictionaryBatch =>
+                  val dbh = m.meta.header(new FbDictionaryBatch())
+                    .asInstanceOf[FbDictionaryBatch]
+                  require(dbh != null,
+                    s"$label: dictionary message at ${m.bodyStart} has no DictionaryBatch header")
+                  // pruned reads skip unselected columns' dictionaries with
+                  // their bodies unread (file order preserves replacement
+                  // semantics either way)
+                  if (!pruned || dictionaries.containsKey(dbh.id()))
+                    applyDictionaryBatchTo(
+                      MessageSerializer.deserializeDictionaryBatch(m.meta, readBody(m)),
+                      dictionaries, alloc, legacyBlock)
+                case org.apache.arrow.flatbuf.MessageHeader.RecordBatch =>
+                  if (pruned) {
+                    val rbh = m.meta.header(new FbRecordBatch()).asInstanceOf[FbRecordBatch]
+                    require(rbh != null,
+                      s"$label: record-batch message at ${m.bodyStart} has no RecordBatch header")
+                    if (selIdx.isEmpty) {
+                      // zero-column read: row count from metadata alone
+                      val n = Math.toIntExact(rbh.length())
+                      batch = Iterator.range(0, n).map(_ => new GenericInternalRow(Array.empty[Any]))
+                    } else {
+                      loadPrunedBatchInto(rbh, root, alloc, legacyBlock, spans, selIdx,
+                        (off, len) => readFully(ch, m.bodyStart + off, len))
+                      batch = batchRows(root, id => dictionaries.get(id), outPerm)
+                    }
+                  } else {
+                    val rb = MessageSerializer.deserializeRecordBatch(m.meta, readBody(m))
+                    try loadBatchInto(rb, root, alloc, legacyBlock)
+                    finally rb.close()
+                    batch = batchRows(root, id => dictionaries.get(id), outPerm)
+                  }
+                  batchesServed += 1
+                case _ =>
+                  // unknown message type from a newer writer: body bytes
+                  // were never read (positional skip) — keep walking
+                  ()
+              }
           }
         }
       override def hasNext: Boolean = { advance(); batch.hasNext }
       override def next(): InternalRow = { advance(); batch.next() }
+    }
+  }
+
+  /** Record-batch WIRE layout spans per top-level field: node/buffer
+    * counts walk the MESSAGE-format schema exactly the way VectorUnloader
+    * emits them (depth-first; a dictionary-encoded field ships only its
+    * index vector — 1 node, the index type's buffers, children live in
+    * the dictionary batch), so [nodeStarts(i), +nodeCounts(i)) /
+    * [bufStarts(i), +bufCounts(i)) address field i's slice of any batch.
+    * Shared by the footer-driven and stream-walking pruned readers.
+    */
+  private final class WireSpans(fileFields: IndexedSeq[Field]) {
+    val nodeCounts: IndexedSeq[Int] = fileFields.map(wireNodeCount)
+    val bufCounts: IndexedSeq[Int] = fileFields.map(wireBufferCount)
+    val nodeStarts: IndexedSeq[Int] = nodeCounts.scanLeft(0)(_ + _)
+    val bufStarts: IndexedSeq[Int] = bufCounts.scanLeft(0)(_ + _)
+  }
+
+  /** Resolve a column selection against the file schema: (selected field
+    * indices in FILE order, deduped; requested-order permutation into the
+    * selected root — duplicates allowed, selectColumns semantics).
+    * None = full width (identity permutation).
+    */
+  private def resolveSelection(fileFields: IndexedSeq[Field],
+      selected: Option[Array[String]]): (Array[Int], Array[Int]) = selected match {
+    case None => (fileFields.indices.toArray, fileFields.indices.toArray)
+    case Some(names) =>
+      val selIdx = names.distinct.map { n =>
+        val i = fileFields.indexWhere(_.getName == n)
+        require(i >= 0,
+          s"column $n not in Arrow IPC schema ${fileFields.map(_.getName).mkString(", ")}")
+        i
+      }.sorted
+      (selIdx, names.map(n => selIdx.indexOf(fileFields.indexWhere(_.getName == n))))
+  }
+
+  /** Selective record-batch load: read ONLY the selected fields' node
+    * metadata and buffer byte ranges (located by the batch's flatbuffer
+    * metadata via `readAt(bodyRelativeOffset, len)`), assemble a pruned
+    * [[ArrowRecordBatch]], and load it into the pruned `root`. Unselected
+    * columns cost zero body IO.
+    */
+  private def loadPrunedBatchInto(rb: FbRecordBatch, root: VectorSchemaRoot,
+      alloc: BufferAllocator, legacyBlock: Boolean, spans: WireSpans,
+      selIdx: Array[Int], readAt: (Long, Int) => ByteBuffer): Unit = {
+    val comp = rb.compression()
+    val bodyComp =
+      if (legacyBlock || comp == null) NoCompressionCodec.DEFAULT_BODY_COMPRESSION
+      else new ArrowBodyCompression(comp.codec(), comp.method())
+    val nodesJ = new java.util.ArrayList[ArrowFieldNode]()
+    val bufsJ = new java.util.ArrayList[ArrowBuf]()
+    // selected buffer descriptors in wire order + the selected nodes
+    val bufSel = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)] // (body offset, length)
+    selIdx.foreach { fi =>
+      var k = spans.nodeStarts(fi); val nEnd = k + spans.nodeCounts(fi)
+      while (k < nEnd) {
+        val nd = rb.nodes(k)
+        nodesJ.add(new ArrowFieldNode(nd.length(), nd.nullCount()))
+        k += 1
+      }
+      var b = spans.bufStarts(fi); val bEnd = b + spans.bufCounts(fi)
+      while (b < bEnd) {
+        val fb = rb.buffers(b)
+        bufSel += ((fb.offset(), Math.toIntExact(fb.length())))
+        b += 1
+      }
+    }
+    if (legacyBlock) {
+      // legacy buffers decompress individually (custom block rule), so
+      // each batch buffer is a fresh standalone allocation; the plain
+      // VectorLoader (no codec) never drops a reference mid-load
+      bufSel.foreach { case (off, len) =>
+        val raw = alloc.buffer(len)
+        try {
+          if (len > 0) raw.setBytes(0, readAt(off, len))
+          raw.writerIndex(len)
+          bufsJ.add(decompressLegacyBlock(alloc, raw))
+        } finally raw.close()
+      }
+      val clean = new ArrowRecordBatch(
+        Math.toIntExact(rb.length()), nodesJ, bufsJ, bodyComp) // retains bufs
+      bufsJ.asScala.foreach(_.close())
+      try new VectorLoader(root).load(clean) // already decompressed
+      finally clean.close()
+    } else {
+      // reference discipline (arrow-java 18 VectorLoader bytecode-read):
+      // the loader's decompression codec CLOSES each input buffer and
+      // only re-retains it AFTERWARDS, so a standalone per-buffer
+      // allocation would hit refcount zero mid-load and die. The stock
+      // deserializeRecordBatch survives because every batch buffer is a
+      // SLICE of one shared body allocation — siblings keep the ledger
+      // alive through the close/retain window. Reproduce exactly that:
+      // one pruned-body allocation, batch buffers are slices of it.
+      val align = (n: Long) => (n + 7L) & ~7L
+      val total = bufSel.foldLeft(0L) { case (a, (_, len)) => a + align(len.toLong) }
+      val body = alloc.buffer(total)
+      val clean =
+        try {
+          var pos = 0L
+          bufSel.foreach { case (off, len) =>
+            if (len > 0) body.setBytes(pos, readAt(off, len))
+            val sl = body.slice(pos, len)
+            sl.writerIndex(len)
+            bufsJ.add(sl)
+            pos += align(len.toLong)
+          }
+          new ArrowRecordBatch(Math.toIntExact(rb.length()), nodesJ, bufsJ, bodyComp) // retains slices
+        } finally body.close() // batch slices (or nothing, on throw) hold the ledger now
+      try new VectorLoader(root, FastLz4.Factory).load(clean)
+      finally clean.close()
     }
   }
 

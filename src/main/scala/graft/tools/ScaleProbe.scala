@@ -983,10 +983,11 @@ object ScaleProbe {
           val cut =
             if (blocks.size > 1) math.min(blocks(mid)._1 + 16, bytes.length.toLong).toInt
             else bytes.length
-          // rows fully before the cut batch (batch k holds its block's
-          // row count; sum the kept prefix from the footer metadata by
-          // re-reading lengths via the complete file)
-          expected += (if (blocks.size > 1) mid.toLong * 4096L else blocks.size.toLong * 0L)
+          // rows fully before the cut batch: mid whole batches of 4096.
+          // Single-batch files are copied WHOLE (no mid-batch cut point),
+          // so they contribute a 0 lower bound — their rows only tighten
+          // the upper bound via nFooter
+          expected += (if (blocks.size > 1) mid.toLong * 4096L else 0L)
           java.nio.file.Files.write(tornDir.resolve(f.getName),
             java.util.Arrays.copyOf(bytes, cut))
         }
@@ -996,9 +997,33 @@ object ScaleProbe {
         System.err.println(f"[probe] torn-store recovery $tTorn%.1f s, $nTorn rows (expected >= $expected)")
         require(nTorn >= expected && nTorn <= nFooter,
           s"torn recovery rows $nTorn outside [$expected, $nFooter]")
+        // PRUNED partial walk (r16): a torn WIDE store read for 2 columns
+        // must cost the selected buffers, not full width — the migration
+        // consume-while-producing read the r15 verdict flagged as
+        // full-width-only
+        val (fullAgg, bTornFull) = ArrowIpc.bytesReadDuring {
+          val t = System.nanoTime()
+          val n = ArrowIpc.readPartial(spark, tornDir.toString)
+            .groupBy(col("lang")).agg(count(lit(1))).collect()
+            .map(_.getLong(1)).sum
+          (n, (System.nanoTime() - t) / 1e9)
+        }
+        val (prunedAgg, bTornPruned) = ArrowIpc.bytesReadDuring {
+          val t = System.nanoTime()
+          val n = ArrowIpc.readPartial(spark, tornDir.toString, Seq("doc_id", "lang"))
+            .groupBy(col("lang")).agg(count(lit(1))).collect()
+            .map(_.getLong(1)).sum
+          (n, (System.nanoTime() - t) / 1e9)
+        }
+        require(prunedAgg._1 == fullAgg._1,
+          s"pruned torn walk rows ${prunedAgg._1} != full ${fullAgg._1}")
+        System.err.println(f"[probe] torn pruned walk ${prunedAgg._2}%.1f s " +
+          f"${bTornPruned / 1000} KB vs full ${fullAgg._2}%.1f s ${bTornFull / 1000} KB")
         println(s"""{"mode":"arrow_partial","rows":$nFooter,""" +
           f""""footer_read_s":$tFooter%.1f,"stream_read_s":$tPartial%.1f,""" +
-          f""""torn_rows":$nTorn,"torn_read_s":$tTorn%.1f}""")
+          f""""torn_rows":$nTorn,"torn_read_s":$tTorn%.1f,""" +
+          s""""torn_full_kb":${bTornFull / 1000},"torn_pruned_kb":${bTornPruned / 1000},""" +
+          f""""torn_pruned_s":${prunedAgg._2}%.1f}""")
       case "arrow_hc" =>
         // the lz4hc archival level vs the fast default at the tier:
         // write time + store size + a full read back (values must match)

@@ -162,6 +162,11 @@ class ArrowPartialSpec extends SparkSpec {
       val part = ArrowIpc.readPartial(spark, f)
       assert(part.schema == full.schema, f)
       assert(canon(part) == canon(full), s"partial walk diverged on $f")
+      // pruned walk on the same goldens (legacy block codec, replacement
+      // dicts): first column's values equal the footer-driven pruned read
+      val c0 = full.schema.fieldNames.head
+      assert(canon(ArrowIpc.readPartial(spark, f, Seq(c0))) ==
+        canon(ArrowIpc.read(spark, f, Seq(c0))), s"pruned partial diverged on $f")
     }
     // and a torn copy of a multi-batch golden still serves a clean prefix
     val multi = s"$base/ZonedDateTime_legacy_files/multiple_batches.arrow"
@@ -178,6 +183,79 @@ class ArrowPartialSpec extends SparkSpec {
               if e.getMessage.contains("no file under") => 0L
           }
         assert(n <= total, s"cut=$cut served $n > $total rows")
+      }
+    }
+  }
+
+  test("pruned partial read: projection/permute/duplicate values equal the " +
+      "full walk's; fat unselected column costs no body IO") {
+    // a WIDE store: the unselected txt column dominates the bytes
+    val d = tmp("ipc_partial_wide")
+    val wideSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("cat", StringType, nullable = true),
+      StructField("txt", StringType, nullable = true)))
+    // txt must be INCOMPRESSIBLE — the store is LZ4-framed, and a
+    // constant filler would compress to nothing, flattening the byte
+    // ratio the assertion is about
+    val trnd = new Random(42)
+    val wdf = spark.createDataFrame(
+      spark.sparkContext.parallelize((0 until 1000).map { i =>
+        Row(i.toLong, if (i % 9 == 0) null else s"cat_${i % 7}",
+          Seq.fill(300)(trnd.nextPrintableChar()).mkString)
+      }, 1), wideSchema).orderBy("id")
+    ArrowIpc.write(wdf, d, batchRows = 256, dictColumns = Set("cat"))
+    val f = Files.list(Paths.get(d)).toArray.map(_.toString)
+      .filter(_.endsWith(".arrow")).head
+    // torn copy (cut somewhere inside the data): pruned and full must
+    // serve the SAME whole-batch prefix
+    val cutDir = truncCopy(f, Files.size(Paths.get(f)) * 2 / 3)
+    val (gotFull, bytesFull) = ArrowIpc.bytesReadDuring(
+      canon(ArrowIpc.readPartial(spark, cutDir).select(col("id"), col("cat"))))
+    val (gotPruned, bytesPruned) = ArrowIpc.bytesReadDuring(
+      canon(ArrowIpc.readPartial(spark, cutDir, Seq("id", "cat"))))
+    assert(gotPruned == gotFull, "pruned torn read diverged from the full walk's projection")
+    assert(gotFull.nonEmpty && gotFull.size % 256 == 0)
+    assert(bytesPruned * 5 < bytesFull,
+      s"pruned torn read should skip the fat column: $bytesPruned vs $bytesFull bytes")
+    // zero columns: row count from message metadata alone, bodies unread
+    val (nZero, bytesZero) = ArrowIpc.bytesReadDuring(
+      ArrowIpc.readPartial(spark, cutDir, Seq.empty).count())
+    assert(nZero == gotFull.size.toLong)
+    assert(bytesZero < bytesPruned,
+      s"zero-column read should cost less than the pruned read: $bytesZero vs $bytesPruned")
+    // permute + duplicate on the COMPLETE store (selectColumns semantics)
+    val dup = ArrowIpc.readPartial(spark, d, Seq("cat", "id", "cat"))
+    assert(dup.columns.toSeq == Seq("cat", "id", "cat"))
+    assert(canon(dup) == canon(ArrowIpc.read(spark, d, Seq("cat", "id", "cat"))))
+    // unknown column fails on the driver with the schema named
+    val e = intercept[IllegalArgumentException] {
+      ArrowIpc.readPartial(spark, d, Seq("nope"))
+    }
+    assert(e.getMessage.contains("nope") && e.getMessage.contains("id"))
+  }
+
+  test("pruned partial fuzz: every truncation point serves the clean prefix's projection (30 cuts)") {
+    val len = Files.size(Paths.get(partFile))
+    val rnd = new Random(20260817)
+    val cuts = Seq(0L, 8L, len) ++ Seq.fill(27)(rnd.nextLong(len + 1))
+    cuts.foreach { cut =>
+      val dir = truncCopy(partFile, cut)
+      val got =
+        try Some(ArrowIpc.readPartial(spark, dir, Seq("id", "cat")).collect())
+        catch {
+          case e: IllegalArgumentException
+            if e.getMessage.contains("no file under") => None // pre-schema tear
+        }
+      val rowsGot = got.toSeq.flatten
+      val m = rowsGot.length
+      assert(m % 256 == 0 || m == 1000, s"cut=$cut: partial batch served ($m rows)")
+      val ids = rowsGot.map(_.getLong(0)).sorted
+      assert(ids == (0L until m.toLong), s"cut=$cut: not a clean prefix")
+      rowsGot.foreach { r =>
+        val i = r.getLong(0).toInt
+        val want = if (i % 9 == 0) null else s"cat_${i % 7}"
+        assert(r.getString(1) == want, s"cut=$cut id=$i dict value mismatch (pruned)")
       }
     }
   }
