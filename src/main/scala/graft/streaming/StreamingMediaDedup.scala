@@ -103,19 +103,7 @@ object StreamingMediaDedup {
   ): DataFrame = {
     require(maxHamming < bands, s"maxHamming ($maxHamming) must be < bands ($bands) for full recall")
     require(minMatches >= 1, s"minMatches must be >= 1, got $minMatches")
-    // corpus side collapsed to one representative per distinct fingerprint
-    // VECTOR (verdict-preserving: a batch doc matches a member on exactly
-    // the slots it matches the member's rep on, and only the batch id
-    // appears in the verdict) — without it an exact-duplicate-heavy
-    // admitted set makes the candidate join quadratic in the duplicate
-    // cluster (the MinHash set-group hazard, measured at sf10 in the
-    // store's round-14 probe). The BATCH side never collapses: every
-    // batch id needs its own verdict and the in-batch rule is id-ordered.
-    val corpusReps = corpusFps.groupBy(col("id"))
-      .agg(sort_array(collect_list(struct(col("slot"), col("fp")))).as("__v"))
-      .groupBy(col("__v")).agg(min(col("id")).as("id"))
-      .select(col("id"))
-    val keyedC = keyedFps(corpusFps.join(corpusReps, Seq("id"), "left_semi"), bands)
+    val keyedC = keyedFps(collapsedCorpus(corpusFps), bands)
     val keyedB = keyedFps(batchFps, bands)
     // batch-vs-corpus candidates (any match kills the batch doc) and
     // batch-internal candidates (ordered: only the higher id can die)
@@ -123,6 +111,25 @@ object StreamingMediaDedup {
       .select(col("b.id").as("id_b"), col("c.id").as("id_other"), col("slot"),
         col("b.fp").as("fp_b"), col("c.fp").as("fp_o"))
     survivorsFrom(candCB, keyedB, batch, idCol, maxHamming, minMatches)
+  }
+
+  /** Corpus side collapsed to one representative (min id) per distinct
+    * fingerprint VECTOR — verdict-preserving: a batch doc matches a
+    * member on exactly the slots it matches the member's rep on, and
+    * only the batch id appears in the verdict. Without it an
+    * exact-duplicate-heavy admitted set makes the candidate join scale
+    * with the duplicate-cluster size (the MinHash set-group hazard,
+    * measured at sf10 in the store's round-14 probe: candidates are
+    * exactly `collapsed × cluster-size` for exact duplicates —
+    * property-spec'd). The BATCH side never collapses: every batch id
+    * needs its own verdict and the in-batch rule is id-ordered.
+    */
+  private[graft] def collapsedCorpus(corpusFps: DataFrame): DataFrame = {
+    val reps = corpusFps.groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("slot"), col("fp")))).as("__v"))
+      .groupBy(col("__v")).agg(min(col("id")).as("id"))
+      .select(col("id"))
+    corpusFps.join(reps, Seq("id"), "left_semi")
   }
 
   /** The banded fingerprint shape the match rule joins on — also the

@@ -87,7 +87,12 @@ final class KTable private (val df: DataFrame) extends Serializable {
     * collapsed duplicate names; review-found, both now impossible).
     * Outputs apply SEQUENTIALLY: a later output may reference an earlier
     * output's column (incl. a replaced value) — declared order is
-    * evaluation order, pinned by KTableSpec.
+    * evaluation order, pinned by KTableSpec. BEHAVIORAL CHANGE vs the
+    * pre-r15 simultaneous evaluation: a replace-then-reference pair sees
+    * the NEW value, so `appendMap("a" -> col("b"), "b" -> col("a"))`
+    * yields (b, b), not a swap — express a swap with [[map]]/select over
+    * the input frame. The sequential contract is also what the persisted
+    * plan format ([[graft.plans.PlanSpec.AppendMap]]) pins.
     */
   def appendMap(outputs: (String, Column)*): KTable = {
     // duplicate detection under the SESSION'S resolver: with default

@@ -313,5 +313,13 @@ class KTableSpec extends SparkSpec {
     // output sees an earlier output's (replaced) value
     val seq2 = t.appendMap("a" -> (col("a") + 1), "d" -> (col("a") * 10)).df.head
     assert(seq2.getLong(0) == 2L && seq2.getLong(2) == 20L)
+    // the swap example, pinned EXPLICITLY (r15 changed appendMap from
+    // simultaneous withColumns to this sequential fold — the documented
+    // behavioral consequence is that a two-column swap no longer swaps:
+    // the second output reads a's ALREADY-REPLACED value, i.e. b, b)
+    val swap = t.appendMap("a" -> col("b"), "b" -> col("a")).df.head
+    assert(swap.getLong(0) == 2L && swap.getLong(1) == 2L,
+      "sequential contract: appendMap(a->b, b->a) yields (b, b), not a swap " +
+        "- express a swap as map()/select() outputs over the INPUT frame")
   }
 }

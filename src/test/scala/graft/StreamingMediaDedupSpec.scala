@@ -74,4 +74,57 @@ class StreamingMediaDedupSpec extends SparkSpec {
       .select($"vid_id").as[Long].collect().sorted.toSeq
     assert(replayed == Seq(1L, 2L, 5L, 6L), s"replay changed survivors: $replayed")
   }
+
+  test("degenerate corpus (property): rep collapse bounds candidates to " +
+      "collapsed x cluster-size; verdicts identical to the uncollapsed rule") {
+    import org.apache.spark.sql.functions._
+    val bands = 8; val maxHamming = 6; val minMatches = 2; val slots = 4
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      // nDistinct fingerprint vectors, each duplicated dup times across
+      // corpus ids — the exact-duplicate-heavy admitted set (re-uploads)
+      val nDistinct = 3 + rnd.nextInt(4)
+      val dup = 5 + rnd.nextInt(20)
+      val vectors = Seq.fill(nDistinct)(Seq.tabulate(slots)(s => (s, rnd.nextLong())))
+      val corpusRows = for {
+        (vec, vi) <- vectors.zipWithIndex
+        d <- 0 until dup
+        (slot, fp) <- vec
+      } yield (vi.toLong * 1000 + d, slot, fp)
+      val corpusFps = corpusRows.toDF("id", "slot", "fp")
+      // batch: one exact re-upload of vector 0 (must die), one fresh (lives)
+      val batchFps = (vectors.head.map { case (s, f) => (90001L, s, f) } ++
+        Seq.tabulate(slots)(s => (90002L, s, rnd.nextLong()))).toDF("id", "slot", "fp")
+      val batch = Seq(90001L, 90002L).toDF("vid_id")
+      // the collapse keeps exactly one rep per distinct vector
+      val collapsed = StreamingMediaDedup.collapsedCorpus(corpusFps)
+      assert(collapsed.select($"id").distinct.count() == nDistinct.toLong,
+        s"seed $seed: collapse kept more than one rep per vector")
+      // candidate BOUND: exact duplicates make raw candidates exactly
+      // collapsed x dup — the quadratic the collapse removes
+      def cands(c: org.apache.spark.sql.DataFrame): Long =
+        StreamingMediaDedup.keyedFps(c, bands).as("c")
+          .join(StreamingMediaDedup.keyedFps(batchFps, bands).as("b"),
+            Seq("slot", "band", "bucket")).count()
+      val nCollapsed = cands(collapsed)
+      val nRaw = cands(corpusFps)
+      assert(nRaw == nCollapsed * dup,
+        s"seed $seed: raw candidates $nRaw != collapsed $nCollapsed x $dup")
+      // verdict identity: incrementalFps (collapsed) == the uncollapsed rule
+      val got = StreamingMediaDedup.incrementalFps(corpusFps, batchFps, batch,
+        "vid_id", maxHamming, bands, minMatches)
+        .select($"vid_id").as[Long].collect().sorted.toSeq
+      val rawCand = StreamingMediaDedup.keyedFps(batchFps, bands).as("b")
+        .join(StreamingMediaDedup.keyedFps(corpusFps, bands).as("c"),
+          Seq("slot", "band", "bucket"))
+        .select($"b.id".as("id_b"), $"c.id".as("id_other"), $"slot",
+          $"b.fp".as("fp_b"), $"c.fp".as("fp_o"))
+      val want = StreamingMediaDedup.survivorsFrom(rawCand,
+        StreamingMediaDedup.keyedFps(batchFps, bands), batch, "vid_id",
+        maxHamming, minMatches)
+        .select($"vid_id").as[Long].collect().sorted.toSeq
+      assert(got == want, s"seed $seed: collapse changed verdicts: $got vs $want")
+      assert(got == Seq(90002L), s"seed $seed: expected the re-upload to die, got $got")
+    }
+  }
 }
