@@ -1024,10 +1024,17 @@ object ScaleProbe {
           f""""torn_rows":$nTorn,"torn_read_s":$tTorn%.1f,""" +
           s""""torn_full_kb":${bTornFull / 1000},"torn_pruned_kb":${bTornPruned / 1000},""" +
           f""""torn_pruned_s":${prunedAgg._2}%.1f}""")
-      case "arrow_hc" =>
+      case "arrow_hc" | "arrow_hc_big" =>
         // the lz4hc archival level vs the fast default at the tier:
-        // write time + store size + a full read back (values must match)
+        // write time + store size + a full read back (values must match).
+        // arrow_hc_big re-runs it at ~10x the per-task volume (ONE task,
+        // one big file — the realistic archival-shard shape): the default
+        // tier writes ~5 MB/task, where codec throughput differences can
+        // hide behind task scheduling; the single-task row measures the
+        // fast-vs-hc write-throughput crossover directly
         import graft.sources.ArrowIpc
+        val big = mode == "arrow_hc_big"
+        val hcDocs = if (big) docs.coalesce(1) else docs
         val parent = java.nio.file.Files.createTempDirectory("probe_arrow_hc")
         cleanupOnExit(parent)
         def dirKb(d: String): Long = {
@@ -1039,7 +1046,7 @@ object ScaleProbe {
         def bench(level: Int, name: String): (String, Long, Double) = {
           val d = s"$parent/$name"
           val t0 = System.nanoTime()
-          ArrowIpc.write(docs, d, batchRows = 4096,
+          ArrowIpc.write(hcDocs, d, batchRows = 4096,
             dictColumns = Set("lang", "source"), compressionLevel = level)
           val t = (System.nanoTime() - t0) / 1e9
           System.err.println(f"[probe] write level=$level%-3d ${t}%.1f s, ${dirKb(d)} KB")
@@ -1050,7 +1057,7 @@ object ScaleProbe {
         val nF = ArrowIpc.read(spark, fd).count()
         val nH = ArrowIpc.read(spark, hd).count()
         require(nF == nH, s"row counts diverge: $nF vs $nH")
-        println(s"""{"mode":"arrow_hc","rows":$nF,"fast_kb":$fKb,"hc_kb":$hKb,""" +
+        println(s"""{"mode":"$mode","rows":$nF,"fast_kb":$fKb,"hc_kb":$hKb,""" +
           f""""fast_write_s":$fT%.1f,"hc_write_s":$hT%.1f}""")
       case "heavy_hitters_route" =>
         // the r15 broadcast guard's fallback cost at the tier: the exact
