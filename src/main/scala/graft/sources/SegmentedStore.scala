@@ -88,33 +88,11 @@ trait SegmentedStore {
   // ---- protected plumbing the stores' own entry points compose ----
 
   /** Run `body` holding the store's exclusive appender lease (see the
-    * single-writer contract in the trait doc). Exclusive-create is atomic
-    * on local/HDFS and best-effort on object stores — a lost race there
-    * is no worse than today's uncoordinated interleave, and the common
-    * misuse (two cron pipelines appending to one store) fails loud.
+    * single-writer contract in the trait doc; shared implementation —
+    * incl. the non-segmented LinkGraphStore's — in [[AppendLease]]).
     */
-  protected final def withLease[T](spark: SparkSession, dir: String)(body: => T): T = {
-    val fs = fsFor(spark, dir)
-    val lease = new org.apache.hadoop.fs.Path(s"$dir/_LEASE")
-    val out =
-      try fs.create(lease, false) // overwrite=false: exclusive
-      catch {
-        case e: java.io.IOException => throw new IllegalStateException(
-          s"$storeName: another appender holds the mutation lease $lease - " +
-            "segmented stores are single-appender (concurrent mutators can " +
-            "interleave a fresh append into a tree mid-swap). If the holder " +
-            "is still running, wait for it; if it CRASHED, verify it is dead, " +
-            "delete the _LEASE file and re-run - every mutation entry point " +
-            "rolls an interrupted swap forward first, so re-running converges", e)
-      }
-    try {
-      // holder breadcrumb for the human deciding whether a lease is stale
-      out.write(s"pid=${ProcessHandle.current().pid()} time=${java.time.Instant.now()}\n"
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      out.close()
-      body
-    } finally fs.delete(lease, false)
-  }
+  protected final def withLease[T](spark: SparkSession, dir: String)(body: => T): T =
+    AppendLease.withLease(spark, dir, storeName)(body)
 
   protected final def fsFor(spark: SparkSession,
       dir: String): org.apache.hadoop.fs.FileSystem =

@@ -312,19 +312,25 @@ object LinkGraphStore {
     }
     val n = newDocs.count()
     if (n == 0L) return "noop"
-    if (n.toDouble >= smallBatchFraction * math.max(m.nDocs, 1L)) {
-      compactInPlace(spark, dir) // no-op when the log is empty
-      append(newDocs, idCol, textCol, dir, batchId)
-      "inplace"
-    } else {
-      val live = liveDeltaIds(spark, dir)
-      val nextId =
-        if (batchId >= 0L) batchId
-        else (m.lastBatchId +: live).max + 1L
-      graft.streaming.StreamingLinkGraph.applyBatchTo(
-        newDocs, nextId, idCol, textCol, dir, s"$dir/deltas")
-      if (live.size + 1 >= maxLiveDeltas) { compactInPlace(spark, dir); "delta+compact" }
-      else "delta"
+    // mutation under the exclusive appender lease (the read-only noop
+    // checks above stay outside it): two out-of-process appendAuto calls
+    // interleaving a delta commit with an in-place ±support fold is the
+    // single-writer hazard the lease turns into a loud failure
+    graft.sources.AppendLease.withLease(spark, dir, "LinkGraphStore") {
+      if (n.toDouble >= smallBatchFraction * math.max(m.nDocs, 1L)) {
+        foldLog(spark, dir) // no-op when the log is empty
+        append(newDocs, idCol, textCol, dir, batchId)
+        "inplace"
+      } else {
+        val live = liveDeltaIds(spark, dir)
+        val nextId =
+          if (batchId >= 0L) batchId
+          else (m.lastBatchId +: live).max + 1L
+        graft.streaming.StreamingLinkGraph.applyBatchTo(
+          newDocs, nextId, idCol, textCol, dir, s"$dir/deltas")
+        if (live.size + 1 >= maxLiveDeltas) { foldLog(spark, dir); "delta+compact" }
+        else "delta"
+      }
     }
   }
 
@@ -337,7 +343,16 @@ object LinkGraphStore {
     * the folded entries ([[liveDeltaIds]] filters on it), so the
     * best-effort directory cleanup afterwards can crash harmlessly.
     */
-  def compactInPlace(spark: SparkSession, dir: String): Unit = {
+  def compactInPlace(spark: SparkSession, dir: String): Unit =
+    graft.sources.AppendLease.withLease(spark, dir, "LinkGraphStore") {
+      foldLog(spark, dir)
+    }
+
+  /** [[compactInPlace]] without the lease — for callers already holding
+    * it ([[appendAuto]]'s routes; acquiring twice would self-deadlock on
+    * our own lease file).
+    */
+  private def foldLog(spark: SparkSession, dir: String): Unit = {
     val m = loadManifest(spark, dir)
     val live = liveDeltaIds(spark, dir)
     if (live.isEmpty) return

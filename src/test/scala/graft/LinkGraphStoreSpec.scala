@@ -300,4 +300,40 @@ class LinkGraphStoreSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
   }
 
+  test("appender lease: a second mutator fails loud, lease released on success and failure") {
+    val base = Seq((1L, "x y p q"), (2L, "x y"), (3L, "m n")).toDF("doc_id", "text")
+    val dir = tmp("lgs_lease")
+    LinkGraphStore.build(base, "doc_id", "text", w = 2, maxDf = 4, dir, nBuckets = 2)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lease = new org.apache.hadoop.fs.Path(s"$dir/_LEASE")
+    fs.create(lease, false).close() // a live out-of-process appender
+    val more = Seq((4L, "p q m")).toDF("doc_id", "text")
+    val e = intercept[IllegalStateException] {
+      LinkGraphStore.appendAuto(more, "doc_id", "text", dir, smallBatchFraction = 0.9)
+    }
+    assert(e.getMessage.contains("_LEASE") && e.getMessage.contains("single-appender"),
+      e.getMessage)
+    intercept[IllegalStateException] { LinkGraphStore.compactInPlace(spark, dir) }
+    // crashed-holder recovery: delete the lease, both routes work again
+    fs.delete(lease, false)
+    val route = LinkGraphStore.appendAuto(more, "doc_id", "text", dir,
+      smallBatchFraction = 0.9)
+    assert(route == "delta", s"expected delta, got $route")
+    assert(!fs.exists(lease), "lease must release on success")
+    LinkGraphStore.compactInPlace(spark, dir) // folds under its own lease
+    assert(!fs.exists(lease))
+    // a FAILING mutation releases too (duplicate batch: the id guard throws)
+    intercept[Exception] {
+      LinkGraphStore.appendAuto(more, "doc_id", "text", dir, smallBatchFraction = 0.9)
+    }
+    assert(!fs.exists(lease), "lease must release when the append throws")
+    // noop routes (replayed batchId / empty batch) run OUTSIDE the lease:
+    // they must succeed even while a foreign holder is live
+    fs.create(lease, false).close()
+    assert(LinkGraphStore.appendAuto(spark.emptyDataFrame
+        .selectExpr("CAST(1 AS LONG) AS doc_id", "'x' AS text").where(lit(false)),
+      "doc_id", "text", dir, smallBatchFraction = 0.9) == "noop")
+    fs.delete(lease, false)
+  }
 }
