@@ -357,12 +357,34 @@ object PlanSpec {
         s"was authored against ${want.length} (recorded: $ddl) - the source " +
         "drifted; positional ops would bind to wrong columns")
     want.fields.zip(got.fields).zipWithIndex.foreach { case ((w, g), i) =>
-      require(w.name == g.name && w.dataType == g.dataType,
+      // asNullable on BOTH sides: nullability is a snapshot detail at
+      // every nesting level (the documented contract), and DDL itself
+      // cannot round-trip ArrayType.containsNull / MapType.valueContainsNull
+      // (toDDL drops them, fromDDL defaults true — confirmed on Spark
+      // 4.1.2), so a raw dataType compare would refuse a plan's OWN
+      // authoring source whenever it carries e.g. collect_list's
+      // containsNull=false array (review-found)
+      require(w.name == g.name && nullNormalized(w.dataType) == nullNormalized(g.dataType),
         s"PlanSpec: source '$table' column $i is ${g.name}: " +
           s"${g.dataType.simpleString} but the plan was authored against " +
           s"${w.name}: ${w.dataType.simpleString} - the source drifted " +
           "(reordered, renamed, or retyped); refusing to bind positional " +
           "ops against it")
+    }
+  }
+
+  /** The type with every nullability flag (and field metadata) forced to
+    * its loosest form — the shape the positional contract actually binds.
+    */
+  private def nullNormalized(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        StructField(f.name, nullNormalized(f.dataType), nullable = true)))
+      case a: ArrayType => ArrayType(nullNormalized(a.elementType), containsNull = true)
+      case m: MapType =>
+        MapType(nullNormalized(m.keyType), nullNormalized(m.valueType), valueContainsNull = true)
+      case other => other
     }
   }
 }

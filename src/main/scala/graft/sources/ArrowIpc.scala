@@ -739,13 +739,22 @@ object ArrowIpc {
         MessageSerializer.readMessageBody(rch, m.bodyLen, alloc)
       }
 
-    // the schema message leads everything else in the framing
+    // the schema message leads everything else in the framing. A
+    // crash-truncated file can carry GARBAGE within its size (fs crash
+    // semantics: the inode size update can outlive the data blocks), so
+    // an unparseable first message reads as torn-before-schema — the
+    // magic check above already rejected non-Arrow files loudly
     private val arrowSchema: org.apache.arrow.vector.types.pojo.Schema = {
       val first =
-        try nextMessage() catch { case TornTail => None }
+        try nextMessage()
+        catch {
+          case TornTail => None
+          case _: IndexOutOfBoundsException => None // garbage flatbuffer
+        }
       first match {
         case Some(m) if m.meta.headerType() == org.apache.arrow.flatbuf.MessageHeader.Schema =>
-          MessageSerializer.deserializeSchema(m.meta)
+          try MessageSerializer.deserializeSchema(m.meta)
+          catch { case scala.util.control.NonFatal(_) => throw TornBeforeSchema(label) }
         case _ => throw TornBeforeSchema(label)
       }
     }
@@ -790,8 +799,23 @@ object ArrowIpc {
                   s"torn tail after $batchesServed complete batches " +
                   s"(${fileSize - pos} trailing bytes unreadable)")
                 None
+              case e: IndexOutOfBoundsException =>
+                // size-complete but WRITE-incomplete tail (fs crash
+                // semantics: the inode size update can outlive the data
+                // blocks) — the metadata flatbuffer is garbage within
+                // bounds; distinct-logged so a reader bug can't hide as
+                // routine truncation
+                System.err.println(s"[ArrowIpc.readPartial] $label: stopping at " +
+                  s"unparseable metadata (crash-garbage tail?) after " +
+                  s"$batchesServed complete batches (${e.getMessage})")
+                None
             }
-          res match {
+          // the dispatch below parses flatbuffer metadata whose bytes are
+          // size-complete but possibly NOT write-complete (crash-garbage
+          // tails: the size update can outlive the data blocks) — a
+          // bounds error there is the tear's second face, distinct-logged
+          // so a real reader bug doesn't hide as routine truncation
+          try res match {
             case None => close() // EOS marker, clean end, or tear
             case Some(m) =>
               m.meta.headerType() match {
@@ -833,6 +857,12 @@ object ArrowIpc {
                   // were never read (positional skip) — keep walking
                   ()
               }
+          } catch {
+            case e: IndexOutOfBoundsException =>
+              System.err.println(s"[ArrowIpc.readPartial] $label: stopping at " +
+                s"unparseable metadata (crash-garbage tail?) after " +
+                s"$batchesServed complete batches (${e.getMessage})")
+              close()
           }
         }
       override def hasNext: Boolean = { advance(); batch.hasNext }

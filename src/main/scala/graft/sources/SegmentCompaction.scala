@@ -50,28 +50,44 @@ object SegmentCompaction {
 
   /** Finish (or discard) an interrupted in-place fold. Returns true if a
     * committed fold was rolled forward.
+    *
+    * ACTING recovery runs under the appender LEASE (reentrant when the
+    * caller already holds it): a lease-FREE plain append calls recover
+    * first per the family rule, and without the lease its finishSwap
+    * could interleave with a lease-held compactInPlace's — B observing
+    * the staging, A completing the rename, then B deleting the freshly
+    * swapped segs (review-found). The no-staging fast path stays
+    * lease-free, so coordinated-id parallel plain appends keep their
+    * concurrency; they serialize only when there is an interrupted swap
+    * to act on.
     */
   def recover(spark: SparkSession, dir: String): Boolean = {
     val fs = fsFor(spark, dir)
     val staging = new org.apache.hadoop.fs.Path(s"$dir/_compact")
     if (!fs.exists(staging)) false
-    else if (!fs.exists(marker(dir))) { fs.delete(staging, true); false }
-    else { finishSwap(fs, dir); true }
+    else AppendLease.withLease(spark, dir, "SegmentCompaction.recover") {
+      // re-check under the lease: the holder we raced may have finished
+      if (!fs.exists(staging)) false
+      else if (!fs.exists(marker(dir))) { fs.delete(staging, true); false }
+      else { finishSwap(fs, dir); true }
+    }
   }
 
   /** Compact `dir` in place: `fold(stagingDir)` must write a complete
     * store (the store's own `compactTo(dir, stagingDir)`), then the segs
-    * tree swaps under the marker protocol above.
+    * tree swaps under the marker protocol above. Runs under the appender
+    * lease (reentrant under an already-leased appendAuto/compactInPlace).
     */
-  def inPlace(spark: SparkSession, dir: String)(fold: String => Unit): Unit = {
-    recover(spark, dir)
-    val fs = fsFor(spark, dir)
-    val staging = new org.apache.hadoop.fs.Path(s"$dir/_compact")
-    if (fs.exists(staging)) fs.delete(staging, true) // unmarked leftover
-    fold(staging.toString)
-    commitMarker(spark, dir) // commit point (carries the fold's inventory)
-    finishSwap(fs, dir)
-  }
+  def inPlace(spark: SparkSession, dir: String)(fold: String => Unit): Unit =
+    AppendLease.withLease(spark, dir, "SegmentCompaction.inPlace") {
+      recover(spark, dir)
+      val fs = fsFor(spark, dir)
+      val staging = new org.apache.hadoop.fs.Path(s"$dir/_compact")
+      if (fs.exists(staging)) fs.delete(staging, true) // unmarked leftover
+      fold(staging.toString)
+      commitMarker(spark, dir) // commit point (carries the fold's inventory)
+      finishSwap(fs, dir)
+    }
 
   /** Committed segment ids (marker present), ascending — the shared
     * listing all four segmented stores delegate to (one implementation,
@@ -100,10 +116,21 @@ object SegmentCompaction {
   private[graft] def commitMarker(spark: SparkSession, dir: String): Unit = {
     val fs = fsFor(spark, dir)
     val inv = inventory(fs, new org.apache.hadoop.fs.Path(s"$dir/_compact/segs"))
-    val out = fs.create(marker(dir), true)
+    // temp + rename: the marker IS the commit point, so its own write
+    // must be all-or-nothing — a crash mid-write would otherwise leave a
+    // truncated inventory that either wedges recovery (cut mid-line) or,
+    // worse, records a plausible SUBSET a later half-deleted staging
+    // passes, re-opening the silent-loss window (review-found). A crash
+    // before the rename leaves only the ignored .tmp: the fold reads as
+    // uncommitted and is discarded — correct
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/_compact/_SWAP.tmp")
+    val out = fs.create(tmp, true)
     try out.write(inv.map { case (rel, len) => s"$rel\t$len\n" }.mkString
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    require(fs.rename(tmp, marker(dir)),
+      s"SegmentCompaction: could not commit the swap marker under $dir " +
+        "(rename failed); the staged fold remains uncommitted - re-run")
   }
 
   /** Recursive file inventory of `root`: (path relative to root, length),

@@ -41,9 +41,13 @@ import org.apache.spark.sql.types.StructType
   * the failure message says so and recovery is "verify the holder is
   * dead, delete `_LEASE`, re-run" (every mutation entry point rolls an
   * interrupted swap forward first, so re-running converges). Plain
-  * `append` with caller-chosen segment ids stays lease-free: pipelines
-  * that shard appends across jobs coordinate ids themselves, and the
-  * monotonic-id guard still rejects overlap. Reads never take the lease.
+  * `append` with caller-chosen segment ids stays lease-free on its fast
+  * path: pipelines that shard appends across jobs coordinate ids
+  * themselves, and the monotonic-id guard still rejects overlap — but
+  * the recover() it runs first DOES take the lease when there is an
+  * interrupted swap to act on, so a roll-forward can never interleave
+  * with a live compactInPlace's own finishSwap (review-found). Reads
+  * never take the lease.
   */
 trait SegmentedStore {
 

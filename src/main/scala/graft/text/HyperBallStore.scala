@@ -156,16 +156,21 @@ object HyperBallStore {
     * Recovery is always [[build]]/[[buildFromGraph]]: edge growth
     * invalidates every stored hop (see class doc).
     */
-  def requireFresh(spark: SparkSession, dir: String, graphDir: String): Unit = {
-    val src = loadManifest(spark, dir).source
-    val now = LinkGraphStore.stateFingerprint(spark, graphDir)
-    require(src.contains(now),
+  def requireFresh(spark: SparkSession, dir: String, graphDir: String): Unit =
+    requireFreshM(loadManifest(spark, dir), dir, graphDir,
+      LinkGraphStore.stateFingerprint(spark, graphDir))
+
+  /** [[requireFresh]] against an already-loaded manifest + graph
+    * fingerprint — the chain entry points read each exactly once.
+    */
+  private def requireFreshM(m: Manifest, dir: String, graphDir: String,
+      now: String): Unit =
+    require(m.source.contains(now),
       s"HyperBallStore: registers under $dir are STALE for graph $graphDir - " +
-        s"built at ${src.getOrElse("<no recorded source>")}, graph now at " +
+        s"built at ${m.source.getOrElse("<no recorded source>")}, graph now at " +
         s"$now. Edge-set changes invalidate every stored hop (new edges " +
         "shorten distances retroactively); rebuild with " +
         "HyperBallStore.buildFromGraph")
-  }
 
   /** Continue the propagation from the stored last hop to `newMaxHops`
     * on the SAME graph — bit-identical to a deeper rebuild (see class
@@ -296,11 +301,12 @@ object HyperBallStore {
     * certified against it can detect a REBUILD of the registers, but
     * nothing ties either to a graph.
     */
-  def stateFingerprint(spark: SparkSession, dir: String): String = {
-    val m = loadManifest(spark, dir)
+  def stateFingerprint(spark: SparkSession, dir: String): String =
+    fingerprintOf(loadManifest(spark, dir))
+
+  private def fingerprintOf(m: Manifest): String =
     s"hyperball;v=${m.version};m=${m.m};hops=${m.maxHops};nodes=${m.nNodes};" +
       s"buckets=${m.nBuckets};src=${m.source.getOrElse("<unverified>")}"
-  }
 
   /** Persist the [[distanceDistribution]] readout as a
     * [[graft.table.DerivedStore]] certified against this store's
@@ -316,31 +322,40 @@ object HyperBallStore {
   def saveDistanceDistribution(spark: SparkSession, dir: String,
       graphDir: String, outDir: String, q: Double = 0.9,
       scaleBits: Int = 20): Unit = {
-    requireFresh(spark, dir, graphDir)
+    val m = loadManifest(spark, dir)
+    requireFreshM(m, dir, graphDir, LinkGraphStore.stateFingerprint(spark, graphDir))
     graft.table.DerivedStore.save(distanceDistribution(spark, dir, q, scaleBits),
-      outDir, stateFingerprint(spark, dir))
-    requireFresh(spark, dir, graphDir)
+      outDir, fingerprintOf(m))
+    // graph-mutated-mid-save caught here (buildFromGraph's belt-and-braces
+    // rule); an HB REBUILD mid-save is caught at serve time instead — the
+    // certificate records m's fingerprint, which the rebuilt store no
+    // longer matches
+    requireFreshM(m, dir, graphDir, LinkGraphStore.stateFingerprint(spark, graphDir))
   }
 
   /** The stored distribution, serving only when the WHOLE chain is fresh:
     * registers still describe `graphDir`'s current state AND the derived
     * table still describes the registers. A delta append to the link
     * graph flips leg 1 (the register store's manifest never changes);
-    * a register rebuild/extend flips leg 2.
+    * a register rebuild/extend flips leg 2. One manifest read and one
+    * graph fingerprint serve both legs.
     */
   def distanceDistributionStored(spark: SparkSession, outDir: String,
       dir: String, graphDir: String): DataFrame = {
-    requireFresh(spark, dir, graphDir)
-    graft.table.DerivedStore.loadChecked(spark, outDir, stateFingerprint(spark, dir))
+    val m = loadManifest(spark, dir)
+    requireFreshM(m, dir, graphDir, LinkGraphStore.stateFingerprint(spark, graphDir))
+    graft.table.DerivedStore.loadChecked(spark, outDir, fingerprintOf(m))
   }
 
   /** Chained staleness for the stored distribution (see
     * [[distanceDistributionStored]] for the two legs).
     */
   def distributionIsStale(spark: SparkSession, outDir: String,
-      dir: String, graphDir: String): Boolean =
-    isStale(spark, dir, graphDir) ||
-      graft.table.DerivedStore.isStale(spark, outDir, stateFingerprint(spark, dir))
+      dir: String, graphDir: String): Boolean = {
+    val m = loadManifest(spark, dir)
+    !m.source.contains(LinkGraphStore.stateFingerprint(spark, graphDir)) ||
+      graft.table.DerivedStore.isStale(spark, outDir, fingerprintOf(m))
+  }
 
   def loadManifest(spark: SparkSession, dir: String): Manifest = {
     import graft.sources.{ArtifactJson => J}

@@ -260,6 +260,42 @@ class ArrowPartialSpec extends SparkSpec {
     }
   }
 
+  test("crash-garbage tail (size-complete, write-incomplete): clean prefix " +
+      "served, garbage schema reads as pre-schema tear") {
+    // an OS crash can persist the size update without the data blocks:
+    // the tail is then GARBAGE within the file's size, not a clean
+    // truncation — the walk must still stop at the last complete batch
+    val bytes = Files.readAllBytes(Paths.get(partFile))
+    val blocks = ArrowIpc.recordBatchBlocks(spark, partFile)
+    val keep = blocks(2)._1.toInt // clean boundary after 2 batches (512 rows)
+    def garbled(tail: Array[Byte]): String = {
+      val d = tmp("ipc_partial_garble")
+      Files.createDirectories(Paths.get(d))
+      Files.write(Paths.get(d, "part-00000.arrow"),
+        java.util.Arrays.copyOf(bytes, keep) ++ tail)
+      d
+    }
+    // (a) a plausible message prefix whose flatbuffer is garbage:
+    // continuation token + metaLen 64 + 64 junk bytes
+    val cont = Array[Byte](-1, -1, -1, -1, 64, 0, 0, 0)
+    val junk = Array.fill[Byte](64)(0xAB.toByte)
+    val idsA = ArrowIpc.readPartial(spark, garbled(cont ++ junk))
+      .collect().map(_.getLong(0)).sorted
+    assert(idsA.toSeq == (0L until 512L), "garbage metadata must stop at the clean prefix")
+    // (b) raw junk where the length prefix itself is garbage
+    val idsB = ArrowIpc.readPartial(spark, garbled(Array.fill[Byte](100)(0x5C)))
+      .collect().map(_.getLong(0)).sorted
+    assert(idsB.toSeq == (0L until 512L))
+    // (c) garbage immediately after the magic: torn before schema = zero
+    // rows from that file, not a task failure
+    val d = tmp("ipc_partial_garble_schema")
+    Files.createDirectories(Paths.get(d))
+    Files.write(Paths.get(d, "part-00000.arrow"),
+      bytes.take(8) ++ cont ++ junk)
+    Files.write(Paths.get(d, "part-00001.arrow"), bytes) // a healthy sibling
+    assert(ArrowIpc.readPartial(spark, d).count() == 1000L)
+  }
+
   test("in-flight growth: growing prefixes serve monotonically growing whole-batch counts") {
     val len = Files.size(Paths.get(partFile))
     var last = -1L

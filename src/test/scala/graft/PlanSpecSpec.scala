@@ -204,6 +204,26 @@ class PlanSpecSpec extends SparkSpec {
     // a schema-less plan keeps the old behavior (no check at all)
     val unchecked = Plan(authored.nodes, authored.result)
     assert(PlanSpec.execute(unchecked, Map("t" -> reordered)).columns.toSeq == Seq("k"))
+    // array/map sources: DDL cannot round-trip containsNull /
+    // valueContainsNull (toDDL drops them, fromDDL defaults true —
+    // review-found on Spark 4.1.2), so the check must normalize
+    // nullability at EVERY nesting level or a plan refuses its OWN
+    // authoring source
+    val arrT = t.groupBy(col("k")).agg(
+      collect_list(col("v")).as("vs"),                      // ARRAY<BIGINT> containsNull=false
+      map_from_arrays(collect_list(col("k")), collect_list(col("v"))).as("kv"),
+      struct(col("k").as("ik")).as("st"))
+    val arrPlan = Plan(Vector(Source("t"), SelectCols(0, Seq(1, 3))), result = 1)
+      .withSchemasFrom(Map("t" -> arrT))
+    val arrBack = PlanSpec.fromJson(PlanSpec.toJson(arrPlan))
+    assert(PlanSpec.execute(arrBack, Map("t" -> arrT)).columns.toSeq == Seq("vs", "st"),
+      "a plan must not refuse its own authoring source over DDL-dropped nullability flags")
+    // while a REAL retype inside the array still refuses
+    val arrRetyped = arrT.withColumn("vs", col("vs").cast("array<int>"))
+    val eArr = intercept[IllegalArgumentException] {
+      PlanSpec.execute(arrBack, Map("t" -> arrRetyped))
+    }
+    assert(eArr.getMessage.contains("drifted"), eArr.getMessage)
   }
 
   test("malformed sources field / unknown table / bad DDL / empty concatenate fail loud") {

@@ -225,6 +225,45 @@ class SegmentCompactionSpec extends SparkSpec {
     }
   }
 
+  test("marker commit is atomic: a _SWAP.tmp leftover reads as UNCOMMITTED " +
+      "(staging discarded, store intact)") {
+    // crash window inside commitMarker: the inventory landed in the temp
+    // file but the rename to _SWAP never happened — recovery must treat
+    // the fold as uncommitted (a truncated inventory masquerading as a
+    // commit point is the silent-loss window the temp+rename closes)
+    val (dir, rb, _) = host()
+    MinHashStore.compactTo(spark, dir, s"$dir/_compact")
+    val fs = fsOf(dir)
+    val out = fs.create(p(s"$dir/_compact/_SWAP.tmp"), true)
+    out.write("seg=0/_done\t0\n".getBytes("UTF-8")); out.close()
+    graft.sources.SegmentCompaction.recover(spark, dir)
+    assert(!fs.exists(p(s"$dir/_compact")))
+    assert(MinHashStore.committedSegments(spark, dir) == Seq(0L, 1L),
+      "an unrenamed tmp marker must not commit the fold")
+    assert(sigSet(dir) == sigSet(rb))
+  }
+
+  test("recover takes the lease when acting: a marked staging under a foreign " +
+      "holder fails loud instead of racing the holder's swap") {
+    val (dir, _, _) = host()
+    MinHashStore.compactTo(spark, dir, s"$dir/_compact")
+    graft.sources.SegmentCompaction.commitMarker(spark, dir)
+    val fs = fsOf(dir)
+    fs.create(p(s"$dir/_LEASE"), false).close() // a live compactInPlace elsewhere
+    val e = intercept[IllegalStateException] {
+      graft.sources.SegmentCompaction.recover(spark, dir)
+    }
+    assert(e.getMessage.contains("_LEASE"), e.getMessage)
+    // nothing acted: staging + marker + old segs all intact
+    assert(fs.exists(p(s"$dir/_compact/_SWAP")))
+    assert(MinHashStore.committedSegments(spark, dir) == Seq(0L, 1L))
+    // and the no-staging fast path never touches the lease (parallel
+    // plain appends keep their concurrency)
+    fs.delete(p(s"$dir/_compact"), true)
+    assert(!graft.sources.SegmentCompaction.recover(spark, dir))
+    fs.delete(p(s"$dir/_LEASE"), false)
+  }
+
   test("appender lease: a second mutator fails loud with the lease named, " +
       "released on success AND failure") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
