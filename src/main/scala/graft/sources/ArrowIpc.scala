@@ -786,83 +786,97 @@ object ArrowIpc {
     def rows: Iterator[InternalRow] = new Iterator[InternalRow] {
       private var batch: Iterator[InternalRow] = Iterator.empty
       private var batchesServed = 0L
+      // every batch already served was complete, so stopping at a tear IS
+      // the partial-read contract; logged with the STAGE named so a torn
+      // store is visible in task logs and a reader bug can't hide as
+      // routine truncation
+      private def logTear(what: String, detail: String): Unit =
+        System.err.println(s"[ArrowIpc.readPartial] $label: stopping at " +
+          s"$what after $batchesServed complete batches ($detail)")
       private def advance(): Unit =
         while (!batch.hasNext && open) {
           val res =
             try nextMessage()
             catch {
               case TornTail =>
-                // every batch already served was complete, so stopping
-                // here IS the partial-read contract; logged so a torn
-                // store is visible in task logs
-                System.err.println(s"[ArrowIpc.readPartial] $label: stopping at " +
-                  s"torn tail after $batchesServed complete batches " +
-                  s"(${fileSize - pos} trailing bytes unreadable)")
+                logTear("torn tail", s"${fileSize - pos} trailing bytes unreadable")
                 None
               case e: IndexOutOfBoundsException =>
                 // size-complete but WRITE-incomplete tail (fs crash
                 // semantics: the inode size update can outlive the data
-                // blocks) — the metadata flatbuffer is garbage within
-                // bounds; distinct-logged so a reader bug can't hide as
-                // routine truncation
-                System.err.println(s"[ArrowIpc.readPartial] $label: stopping at " +
-                  s"unparseable metadata (crash-garbage tail?) after " +
-                  s"$batchesServed complete batches (${e.getMessage})")
+                // blocks) — the metadata flatbuffer is garbage within bounds
+                logTear("unparseable metadata (crash-garbage tail?)",
+                  String.valueOf(e.getMessage))
                 None
             }
-          // the dispatch below parses flatbuffer metadata whose bytes are
-          // size-complete but possibly NOT write-complete (crash-garbage
-          // tails: the size update can outlive the data blocks) — a
-          // bounds error there is the tear's second face, distinct-logged
-          // so a real reader bug doesn't hide as routine truncation
-          try res match {
+          res match {
             case None => close() // EOS marker, clean end, or tear
             case Some(m) =>
-              m.meta.headerType() match {
-                case org.apache.arrow.flatbuf.MessageHeader.DictionaryBatch =>
-                  val dbh = m.meta.header(new FbDictionaryBatch())
-                    .asInstanceOf[FbDictionaryBatch]
-                  require(dbh != null,
-                    s"$label: dictionary message at ${m.bodyStart} has no DictionaryBatch header")
-                  // pruned reads skip unselected columns' dictionaries with
-                  // their bodies unread (file order preserves replacement
-                  // semantics either way)
-                  if (!pruned || dictionaries.containsKey(dbh.id()))
-                    applyDictionaryBatchTo(
-                      MessageSerializer.deserializeDictionaryBatch(m.meta, readBody(m)),
-                      dictionaries, alloc, legacyBlock)
-                case org.apache.arrow.flatbuf.MessageHeader.RecordBatch =>
-                  if (pruned) {
-                    val rbh = m.meta.header(new FbRecordBatch()).asInstanceOf[FbRecordBatch]
-                    require(rbh != null,
-                      s"$label: record-batch message at ${m.bodyStart} has no RecordBatch header")
-                    if (selIdx.isEmpty) {
-                      // zero-column read: row count from metadata alone
-                      val n = Math.toIntExact(rbh.length())
-                      batch = Iterator.range(0, n).map(_ => new GenericInternalRow(Array.empty[Any]))
+              // HEADER flatbuffer reads are still metadata: garbage within
+              // bounds here is the tear's second face. Everything past the
+              // header — body reads, decompression, vector loads — is NOT:
+              // a bounds error there is mid-file corruption or a reader
+              // bug and PROPAGATES (silently truncating healthy batches
+              // after it would misreport what is recoverable; review-found)
+              val hdr: Option[(Byte, FbDictionaryBatch, FbRecordBatch)] =
+                try {
+                  val ht = m.meta.headerType()
+                  val dbh =
+                    if (ht == org.apache.arrow.flatbuf.MessageHeader.DictionaryBatch) {
+                      val h = m.meta.header(new FbDictionaryBatch()).asInstanceOf[FbDictionaryBatch]
+                      require(h != null,
+                        s"$label: dictionary message at ${m.bodyStart} has no DictionaryBatch header")
+                      h
+                    } else null
+                  val rbh =
+                    if (ht == org.apache.arrow.flatbuf.MessageHeader.RecordBatch && pruned) {
+                      val h = m.meta.header(new FbRecordBatch()).asInstanceOf[FbRecordBatch]
+                      require(h != null,
+                        s"$label: record-batch message at ${m.bodyStart} has no RecordBatch header")
+                      h
+                    } else null
+                  Some((ht, dbh, rbh))
+                } catch {
+                  case e: IndexOutOfBoundsException =>
+                    logTear("unparseable message header (crash-garbage tail?)",
+                      String.valueOf(e.getMessage))
+                    None
+                }
+              hdr match {
+                case None => close()
+                case Some((ht, dbh, rbh)) => ht match {
+                  case org.apache.arrow.flatbuf.MessageHeader.DictionaryBatch =>
+                    // pruned reads skip unselected columns' dictionaries with
+                    // their bodies unread (file order preserves replacement
+                    // semantics either way)
+                    if (!pruned || dictionaries.containsKey(dbh.id()))
+                      applyDictionaryBatchTo(
+                        MessageSerializer.deserializeDictionaryBatch(m.meta, readBody(m)),
+                        dictionaries, alloc, legacyBlock)
+                  case org.apache.arrow.flatbuf.MessageHeader.RecordBatch =>
+                    if (pruned) {
+                      if (selIdx.isEmpty) {
+                        // zero-column read: row count from metadata alone
+                        val n = Math.toIntExact(rbh.length())
+                        batch = Iterator.range(0, n).map(_ => new GenericInternalRow(Array.empty[Any]))
+                      } else {
+                        loadPrunedBatchInto(rbh, root, alloc, legacyBlock, spans, selIdx,
+                          (off, len) => readFully(ch, m.bodyStart + off, len))
+                        batch = batchRows(root, id => dictionaries.get(id), outPerm)
+                      }
                     } else {
-                      loadPrunedBatchInto(rbh, root, alloc, legacyBlock, spans, selIdx,
-                        (off, len) => readFully(ch, m.bodyStart + off, len))
+                      val rb = MessageSerializer.deserializeRecordBatch(m.meta, readBody(m))
+                      try loadBatchInto(rb, root, alloc, legacyBlock)
+                      finally rb.close()
                       batch = batchRows(root, id => dictionaries.get(id), outPerm)
                     }
-                  } else {
-                    val rb = MessageSerializer.deserializeRecordBatch(m.meta, readBody(m))
-                    try loadBatchInto(rb, root, alloc, legacyBlock)
-                    finally rb.close()
-                    batch = batchRows(root, id => dictionaries.get(id), outPerm)
-                  }
-                  batchesServed += 1
-                case _ =>
-                  // unknown message type from a newer writer: body bytes
-                  // were never read (positional skip) — keep walking
-                  ()
+                    batchesServed += 1
+                  case _ =>
+                    // unknown message type from a newer writer: body bytes
+                    // were never read (positional skip) — keep walking
+                    ()
+                }
               }
-          } catch {
-            case e: IndexOutOfBoundsException =>
-              System.err.println(s"[ArrowIpc.readPartial] $label: stopping at " +
-                s"unparseable metadata (crash-garbage tail?) after " +
-                s"$batchesServed complete batches (${e.getMessage})")
-              close()
           }
         }
       override def hasNext: Boolean = { advance(); batch.hasNext }

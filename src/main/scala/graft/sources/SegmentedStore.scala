@@ -129,10 +129,7 @@ trait SegmentedStore {
     withLease(spark, dir) {
       doAppend // recovers any interrupted swap itself (append's family rule)
       if (committedSegments(spark, dir).size >= maxSegments) {
-        // already under THIS call's lease: fold directly (compactInPlace
-        // would try to re-acquire and see our own lease as a holder)
-        SegmentCompaction.inPlace(spark, dir)(staging =>
-          compactTo(spark, dir, staging))
+        compactInPlace(spark, dir) // lease is thread-reentrant
         "append+compact"
       } else "append"
     }

@@ -144,6 +144,19 @@ object LinkGraphStore {
   def append(newDocs: DataFrame, idCol: String, textCol: String, dir: String,
       batchId: Long = -1L): Unit = {
     val spark = newDocs.sparkSession
+    // under the appender lease (reentrant from appendAuto's in-place
+    // route): unlike a segmented store's append — which lands in its own
+    // disjoint seg dir — this append REWRITES the shared bucket surfaces,
+    // so a lease-free run concurrent with a fold would lose updates
+    // silently (review-found)
+    graft.sources.AppendLease.withLease(spark, dir, "LinkGraphStore") {
+      appendUnleased(newDocs, idCol, textCol, dir, batchId)
+    }
+  }
+
+  private def appendUnleased(newDocs: DataFrame, idCol: String, textCol: String,
+      dir: String, batchId: Long): Unit = {
+    val spark = newDocs.sparkSession
     val m = loadManifest(spark, dir)
     // in-place append reads ONLY the base surfaces: a live appendAuto
     // delta log would be invisible to its df/postings math and the
@@ -301,7 +314,6 @@ object LinkGraphStore {
       s"appendAuto: smallBatchFraction $smallBatchFraction outside (0,1]")
     require(maxLiveDeltas >= 1, s"appendAuto: maxLiveDeltas $maxLiveDeltas < 1")
     val spark = newDocs.sparkSession
-    val m = loadManifest(spark, dir)
     // committed replay short-circuit BEFORE the count (exactly-once for
     // explicit ids; mirrors StreamingLinkGraph.applyBatchTo's ordering)
     if (batchId >= 0L) {
@@ -315,10 +327,15 @@ object LinkGraphStore {
     // mutation under the exclusive appender lease (the read-only noop
     // checks above stay outside it): two out-of-process appendAuto calls
     // interleaving a delta commit with an in-place ±support fold is the
-    // single-writer hazard the lease turns into a loud failure
+    // single-writer hazard the lease turns into a loud failure. The
+    // manifest loads INSIDE the lease: routing and nextId read
+    // nDocs/lastBatchId, and a fold racing ahead of a pre-lease snapshot
+    // would misroute or compute an at-or-below-watermark id that the
+    // replay guard then spuriously rejects (review-found)
     graft.sources.AppendLease.withLease(spark, dir, "LinkGraphStore") {
+      val m = loadManifest(spark, dir)
       if (n.toDouble >= smallBatchFraction * math.max(m.nDocs, 1L)) {
-        foldLog(spark, dir) // no-op when the log is empty
+        compactInPlace(spark, dir) // no-op when the log is empty
         append(newDocs, idCol, textCol, dir, batchId)
         "inplace"
       } else {
@@ -328,7 +345,7 @@ object LinkGraphStore {
           else (m.lastBatchId +: live).max + 1L
         graft.streaming.StreamingLinkGraph.applyBatchTo(
           newDocs, nextId, idCol, textCol, dir, s"$dir/deltas")
-        if (live.size + 1 >= maxLiveDeltas) { foldLog(spark, dir); "delta+compact" }
+        if (live.size + 1 >= maxLiveDeltas) { compactInPlace(spark, dir); "delta+compact" }
         else "delta"
       }
     }
@@ -345,12 +362,13 @@ object LinkGraphStore {
     */
   def compactInPlace(spark: SparkSession, dir: String): Unit =
     graft.sources.AppendLease.withLease(spark, dir, "LinkGraphStore") {
-      foldLog(spark, dir)
+      foldLog(spark, dir) // the lease is thread-reentrant under appendAuto
     }
 
-  /** [[compactInPlace]] without the lease — for callers already holding
-    * it ([[appendAuto]]'s routes; acquiring twice would self-deadlock on
-    * our own lease file).
+  /** [[compactInPlace]]'s body, factored so its early no-op return stays
+    * a plain method return (a `return` inside the lease closure would
+    * ride a NonLocalReturnControl through the finally — works, but one
+    * future catch-all away from breaking).
     */
   private def foldLog(spark: SparkSession, dir: String): Unit = {
     val m = loadManifest(spark, dir)

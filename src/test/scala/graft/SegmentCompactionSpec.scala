@@ -264,6 +264,33 @@ class SegmentCompactionSpec extends SparkSpec {
     fs.delete(p(s"$dir/_LEASE"), false)
   }
 
+  test("lease reentrancy is PER-THREAD: same-thread nesting runs, a different " +
+      "thread in the same JVM fails loud like any other process") {
+    val dir = tmp("lease_threads")
+    import graft.sources.AppendLease
+    // same-thread nesting (appendAuto -> recover -> finishSwap composition)
+    val nested = AppendLease.withLease(spark, dir, "T") {
+      AppendLease.withLease(spark, dir, "T") { 42 }
+    }
+    assert(nested == 42)
+    val lease = p(s"$dir/_LEASE")
+    assert(!fsOf(dir).exists(lease), "outer frame must release after nesting")
+    // a different thread is a genuinely concurrent mutator — pid-keyed
+    // reentrancy would wave it through (review-found); it must fail loud
+    AppendLease.withLease(spark, dir, "T") {
+      val caught = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val t = new Thread(() =>
+        try AppendLease.withLease(spark, dir, "T") { () }
+        catch { case e: Throwable => caught.set(e) })
+      t.start(); t.join()
+      assert(caught.get() != null &&
+        caught.get().isInstanceOf[IllegalStateException] &&
+        caught.get().getMessage.contains("_LEASE"),
+        s"cross-thread acquire must fail loud, got ${caught.get()}")
+    }
+    assert(!fsOf(dir).exists(lease))
+  }
+
   test("appender lease: a second mutator fails loud with the lease named, " +
       "released on success AND failure") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
