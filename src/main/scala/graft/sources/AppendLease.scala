@@ -6,15 +6,24 @@ import org.apache.spark.sql.SparkSession
   * stores ([[SegmentedStore]]'s four + [[graft.text.LinkGraphStore]]):
   * `dir/_LEASE` is created exclusively for the duration of a mutation so
   * a second mutator fails loud instead of interleaving with a
-  * mid-swap/mid-fold tree. Exclusive-create is atomic on local/HDFS and
-  * best-effort on object stores — a lost race there is no worse than an
-  * uncoordinated interleave, and the common misuse (two cron pipelines
-  * mutating one store) fails loud. A crashed holder leaves the lease
-  * behind; the failure message carries the holder breadcrumb + lease age
-  * and spells out the recovery (verify the holder is dead, delete
-  * `_LEASE`, re-run — every store's mutation entry point rolls
-  * interrupted work forward first, so re-running converges). Reads never
-  * take the lease.
+  * mid-swap/mid-fold tree. Exclusive-create is atomic on HDFS
+  * (`create(overwrite=false)` is a single namenode op) and — via
+  * `java.nio` `Files.createFile`, true `O_EXCL` — on local paths too
+  * (Hadoop's own `RawLocalFileSystem.create(overwrite=false)` is
+  * exists-then-create, NOT atomic, so local goes through nio instead);
+  * on object stores it is best-effort — a lost race there is no worse
+  * than an uncoordinated interleave, and the common misuse (two cron
+  * pipelines mutating one store) fails loud. A crashed holder leaves the
+  * lease behind; the failure message carries the holder breadcrumb +
+  * lease age, flags an obviously STALE lease (age above
+  * `spark.graft.lease.staleWarnSec`, default 3600), and spells out the
+  * recovery (verify the holder is dead, delete `_LEASE`, re-run — every
+  * store's mutation entry point rolls interrupted work forward first, so
+  * re-running converges). Setting `spark.graft.lease.autoReclaimSec`
+  * (off by default) reclaims a lease older than that many seconds
+  * automatically — an explicit opt-in for pipelines whose mutation time
+  * is bounded and monitored; leave it off anywhere a holder could
+  * legitimately run long. Reads never take the lease.
   */
 object AppendLease {
 
@@ -42,31 +51,94 @@ object AppendLease {
     val lease = fs.makeQualified(new org.apache.hadoop.fs.Path(s"$dir/_LEASE"))
     val key = lease.toString
     if (held.get().contains(key)) return body // nested on this thread
-    val out =
-      try fs.create(lease, false) // overwrite=false: exclusive
-      catch {
-        case e: java.io.IOException => throw new IllegalStateException(
-          s"$storeName: another appender holds the mutation lease $lease " +
-            s"(${holderInfo(fs, lease)}) - this store is single-appender " +
-            "(concurrent mutators can interleave a fresh append into a " +
-            "tree mid-swap/mid-fold). If the holder is still running, wait " +
-            "for it; if it CRASHED, verify it is dead, delete the _LEASE " +
-            "file and re-run - every mutation entry point rolls " +
-            "interrupted work forward first, so re-running converges", e)
-      }
+    acquire(spark, fs, lease, storeName)
     held.get().add(key)
     try {
       // holder breadcrumb: stale-lease triage info for the failure
-      // message above (exclusion itself is the file + the thread-local)
-      out.write(s"pid=${ProcessHandle.current().pid()} time=${java.time.Instant.now()}\n"
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      out.close()
+      // message above (exclusion itself is the file + the thread-local;
+      // we own the lease here, so an overwrite of OUR file is safe)
+      writeCrumb(fs, lease)
       body
     } finally {
       held.get().remove(key)
       fs.delete(lease, false)
     }
   }
+
+  /** Create the lease file exclusively, translating a refused create into
+    * the triage-carrying failure. Opt-in auto-reclaim: when
+    * `spark.graft.lease.autoReclaimSec` is set and the existing lease is
+    * older, delete it and retry the exclusive create ONCE (the retry is
+    * itself exclusive, so two reclaiming waiters still elect one winner).
+    */
+  private def acquire(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+      lease: org.apache.hadoop.fs.Path, storeName: String): Unit =
+    try createExclusive(fs, lease)
+    catch {
+      case e: java.io.IOException =>
+        val reclaimSec = spark.conf.getOption("spark.graft.lease.autoReclaimSec")
+          .map(_.toLong)
+        val age = leaseAgeSec(fs, lease)
+        if (reclaimSec.exists(r => age.exists(_ > r))) {
+          System.err.println(s"[AppendLease] $storeName: auto-reclaiming " +
+            s"stale lease $lease (${holderInfo(fs, lease)}; " +
+            s"spark.graft.lease.autoReclaimSec=${reclaimSec.get})")
+          fs.delete(lease, false)
+          try createExclusive(fs, lease)
+          catch { case e2: java.io.IOException =>
+            throw refused(spark, fs, lease, storeName, e2) }
+        } else throw refused(spark, fs, lease, storeName, e)
+    }
+
+  /** True exclusive create: `java.nio` `O_EXCL` for local paths (Hadoop's
+    * RawLocalFileSystem `create(overwrite=false)` is exists-then-create —
+    * two same-host processes can race past it), Hadoop's atomic
+    * namenode create for HDFS, best-effort elsewhere.
+    */
+  private def createExclusive(fs: org.apache.hadoop.fs.FileSystem,
+      lease: org.apache.hadoop.fs.Path): Unit =
+    if (Option(lease.toUri.getScheme).forall(_ == "file")) {
+      val p = java.nio.file.Paths.get(lease.toUri.getPath)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.createFile(p) // FileAlreadyExistsException is an IOException
+    } else fs.create(lease, false).close()
+
+  private def writeCrumb(fs: org.apache.hadoop.fs.FileSystem,
+      lease: org.apache.hadoop.fs.Path): Unit = {
+    val crumb = s"pid=${ProcessHandle.current().pid()} time=${java.time.Instant.now()}\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = fs.create(lease, true)
+    try out.write(crumb) finally out.close()
+  }
+
+  private def refused(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+      lease: org.apache.hadoop.fs.Path, storeName: String,
+      cause: java.io.IOException): IllegalStateException = {
+    val warnSec = spark.conf.get("spark.graft.lease.staleWarnSec", "3600").toLong
+    val stale = leaseAgeSec(fs, lease) match {
+      case Some(age) if age > warnSec =>
+        s" NOTE: this lease looks STALE (age ${age}s > spark.graft.lease." +
+          s"staleWarnSec=$warnSec) - almost certainly a crashed holder; " +
+          "verify and delete it, or set spark.graft.lease.autoReclaimSec " +
+          "to reclaim leases this old automatically."
+      case _ => ""
+    }
+    new IllegalStateException(
+      s"$storeName: another appender holds the mutation lease $lease " +
+        s"(${holderInfo(fs, lease)}) - this store is single-appender " +
+        "(concurrent mutators can interleave a fresh append into a " +
+        "tree mid-swap/mid-fold). If the holder is still running, wait " +
+        "for it; if it CRASHED, verify it is dead, delete the _LEASE " +
+        "file and re-run - every mutation entry point rolls " +
+        "interrupted work forward first, so re-running converges." + stale, cause)
+  }
+
+  /** Age of the lease file in seconds, None if it vanished mid-check. */
+  private def leaseAgeSec(fs: org.apache.hadoop.fs.FileSystem,
+      lease: org.apache.hadoop.fs.Path): Option[Long] =
+    try Some(math.max(0L,
+      (System.currentTimeMillis() - fs.getFileStatus(lease).getModificationTime) / 1000L))
+    catch { case _: Exception => None }
 
   /** Triage line for the failure message: the holder's breadcrumb plus
     * the lease file's age — an hours-old lease under a minutes-long

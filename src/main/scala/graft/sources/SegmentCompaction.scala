@@ -123,6 +123,21 @@ object SegmentCompaction {
     // passes, re-opening the silent-loss window (review-found). A crash
     // before the rename leaves only the ignored .tmp: the fold reads as
     // uncommitted and is discarded — correct
+    // the inventory is line/tab-delimited: a relpath carrying a tab or
+    // newline would serialize to a line readMarker silently drops,
+    // weakening the completeness check to a subset — the exact silent-
+    // loss window the inventory exists to close. Store-generated names
+    // never contain them, but nothing upstream pins that: fail loud at
+    // commit time (fold uncommitted, staging discarded — safe)
+    inv.foreach { case (rel, _) =>
+      require(!rel.exists(c => c == '\t' || c == '\n' || c == '\r'),
+        s"SegmentCompaction: staged file path ${rel.flatMap {
+          case '\t' => "\\t"; case '\n' => "\\n"; case '\r' => "\\r"
+          case c => c.toString
+        }} contains a tab/newline - the swap marker's inventory is " +
+          "line/tab-delimited and cannot record it faithfully; rename the " +
+          "file (the fold stays uncommitted, nothing was swapped)")
+    }
     val tmp = new org.apache.hadoop.fs.Path(s"$dir/_compact/_SWAP.tmp")
     val out = fs.create(tmp, true)
     try out.write(inv.map { case (rel, len) => s"$rel\t$len\n" }.mkString

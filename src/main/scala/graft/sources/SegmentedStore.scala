@@ -46,8 +46,14 @@ import org.apache.spark.sql.types.StructType
   * themselves, and the monotonic-id guard still rejects overlap — but
   * the recover() it runs first DOES take the lease when there is an
   * interrupted swap to act on, so a roll-forward can never interleave
-  * with a live compactInPlace's own finishSwap (review-found). Reads
-  * never take the lease.
+  * with a live compactInPlace's own finishSwap (review-found). NOTE the
+  * limit of that contract: id coordination only prevents segment-id
+  * OVERLAP — it does NOT make plain `append` safe to run concurrently
+  * with `compactInPlace`. A fresh segment landed into `segs/` while a
+  * leased fold is mid-flight is absent from the staged tree and is
+  * deleted by the fold's finishSwap. Callers sharding plain appends
+  * across jobs must also serialize them against compaction (or use
+  * `appendAuto`, whose lease covers both). Reads never take the lease.
   */
 trait SegmentedStore {
 

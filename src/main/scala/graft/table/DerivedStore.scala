@@ -42,8 +42,14 @@ object DerivedStore {
     val manifestPath = new org.apache.hadoop.fs.Path(dir, "_manifest.json")
     val fs = manifestPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(manifestPath)) fs.delete(manifestPath, false)
-    df.write.mode("overwrite").parquet(s"$dir/data")
-    val rows = spark.read.parquet(s"$dir/data").count()
+    // row count from the WRITING job itself (observe rides the write's
+    // scan) — a post-write re-read is footer-cheap at test scale but an
+    // extra job over the whole data dir at a 100 TB derived table
+    val obs = org.apache.spark.sql.Observation()
+    df.observe(obs, org.apache.spark.sql.functions
+        .count(org.apache.spark.sql.functions.lit(1)).as("rows"))
+      .write.mode("overwrite").parquet(s"$dir/data")
+    val rows = obs.get("rows").asInstanceOf[Long]
     val esc = new com.fasterxml.jackson.databind.ObjectMapper()
       .writeValueAsString(source)
     graft.sources.ArtifactJson.writeFile(spark, s"$dir/_manifest.json",

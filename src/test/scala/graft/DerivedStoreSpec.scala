@@ -65,4 +65,31 @@ class DerivedStoreSpec extends SparkSpec {
     DerivedStore.save(ranks2, dir, fp())
     assert(DerivedStore.loadChecked(spark, dir, fp()).count() == 5)
   }
+
+  test("save takes the row count from the writing job itself - ONE job, " +
+      "no post-write re-read of the data dir") {
+    val df = (1L to 7L).toDF("doc_id")
+    val dir = tmp("ds_rows")
+    val sc = spark.sparkContext
+    sc.setJobGroup("ds_save_jobs", "derived-store save", interruptOnCancel = false)
+    try DerivedStore.save(df, dir, "fp-v1")
+    finally sc.clearJobGroup()
+    // the status tracker is fed by an async listener; poll briefly
+    def jobs() = sc.statusTracker.getJobIdsForGroup("ds_save_jobs")
+    val deadline = System.currentTimeMillis() + 5000
+    while (jobs().isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(jobs().length == 1,
+      s"save must run exactly the writing job (rows observed on it, not " +
+        s"re-counted after) - saw ${jobs().length} jobs")
+    // the observed count certifies the real row count in the manifest
+    val node = graft.sources.ArtifactJson.readFile(spark, s"$dir/_manifest.json")
+    assert(node.get("rows").asLong() == 7L)
+    assert(DerivedStore.load(spark, dir).count() == 7)
+    // zero-row save: the observation still resolves (no hang) and records 0
+    val emptyDir = tmp("ds_rows_empty")
+    DerivedStore.save(df.where($"doc_id" < 0), emptyDir, "fp-v1")
+    val node2 = graft.sources.ArtifactJson.readFile(spark, s"$emptyDir/_manifest.json")
+    assert(node2.get("rows").asLong() == 0L)
+    assert(DerivedStore.load(spark, emptyDir).count() == 0)
+  }
 }

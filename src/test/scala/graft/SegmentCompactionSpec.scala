@@ -331,4 +331,64 @@ class SegmentCompactionSpec extends SparkSpec {
     // store still serves
     assert(MinHashStore.committedSegments(spark, dir).nonEmpty)
   }
+
+  test("stale-lease triage: an aged lease is flagged STALE in the failure; " +
+      "auto-reclaim only under the explicit opt-in") {
+    import graft.sources.AppendLease
+    val dir = tmp("lease_stale")
+    val fs = fsOf(dir)
+    val lease = p(s"$dir/_LEASE")
+    fs.mkdirs(p(dir))
+    fs.create(lease, false).close()
+    // age the lease 2 hours into the past (> the 3600 s default warn bar)
+    val old = System.currentTimeMillis() - 2 * 3600 * 1000L
+    fs.setTimes(lease, old, -1)
+    val e = intercept[IllegalStateException] {
+      AppendLease.withLease(spark, dir, "T") { () }
+    }
+    assert(e.getMessage.contains("STALE") &&
+      e.getMessage.contains("staleWarnSec"), e.getMessage)
+    assert(fs.exists(lease), "no behavior change without the opt-in")
+    // a FRESH lease must not carry the STALE note
+    fs.setTimes(lease, System.currentTimeMillis(), -1)
+    val e2 = intercept[IllegalStateException] {
+      AppendLease.withLease(spark, dir, "T") { () }
+    }
+    assert(!e2.getMessage.contains("STALE"), e2.getMessage)
+    // explicit opt-in: leases older than autoReclaimSec are reclaimed and
+    // the mutation proceeds (two reclaiming waiters still elect one
+    // winner - the retry create is itself exclusive)
+    fs.setTimes(lease, old, -1)
+    spark.conf.set("spark.graft.lease.autoReclaimSec", "3600")
+    try {
+      val got = AppendLease.withLease(spark, dir, "T") { 7 }
+      assert(got == 7)
+      assert(!fs.exists(lease), "reclaimed lease must release after the body")
+      // a YOUNG foreign lease is still respected under the opt-in
+      fs.create(lease, false).close()
+      intercept[IllegalStateException] {
+        AppendLease.withLease(spark, dir, "T") { () }
+      }
+      assert(fs.exists(lease))
+    } finally spark.conf.unset("spark.graft.lease.autoReclaimSec")
+  }
+
+  test("commitMarker refuses a staged relpath carrying a tab/newline (the " +
+      "inventory is line/tab-delimited; a dropped line weakens completeness)") {
+    val (dir, _, _) = host()
+    MinHashStore.compactTo(spark, dir, s"$dir/_compact")
+    val fs = fsOf(dir)
+    val evil = p(s"$dir/_compact/segs/seg=0/bad\tname")
+    fs.create(evil, true).close()
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.SegmentCompaction.commitMarker(spark, dir)
+    }
+    assert(e.getMessage.contains("tab/newline") && e.getMessage.contains("\\t"),
+      e.getMessage)
+    // the fold stayed uncommitted: no marker, recovery discards it, the
+    // pre-fold store is intact
+    assert(!fs.exists(p(s"$dir/_compact/_SWAP")))
+    graft.sources.SegmentCompaction.recover(spark, dir)
+    assert(MinHashStore.committedSegments(spark, dir) == Seq(0L, 1L))
+  }
 }
