@@ -11,8 +11,89 @@ import org.apache.spark.sql.SparkSession
   * org.knime.core.columnar.benchmarks.tests/.../workflow/SimpleLinearWorkflowBenchmark.java:85-240),
   * plus the relational/LLM headliners (Q1 agg, multi-join, exact dedup,
   * MinHash pairs, brute-force ANN).
+  *
+  * == Self-adjudicating windows ==
+  * Two consecutive rounds burned effort hand-adjudicating environment-
+  * elevated windows (r15's bench_ab control protocol, r16's uniform
+  * 1.38×-floor driver window), so the control protocol now rides IN the
+  * output: every run emits a `floors` block — per-run median/mean ratio
+  * to the recorded per-lane floors (BASELINE.md#floors), the lanes over
+  * 2× floor, and `control_drift` = median floor-ratio of the CONTROL
+  * panel below — so any window, driver or local, carries its own
+  * environment verdict and needs zero manual archaeology. (The reference
+  * pins its measurement protocol in-code the same way — JMH warmup/
+  * measure annotations, benchmarks.tests/.../HeapBadgerBenchmark.java:90-171.)
   */
 object Bench {
+
+  /** Control panel for window adjudication: CPU-heavy lanes (floors
+    * ≥0.5 s, so launch jitter can't dominate the ratio) whose measured
+    * code has been byte-stable for multiple rounds. Elevated ratios HERE
+    * mean the window (JVM/page-cache/CPU contention), not a regression —
+    * r16's driver window sat at 1.38× mean floor with q_pack_sequences
+    * et al. elevated in lockstep with the touched lanes. Revise the
+    * panel if a member's measured path changes (its floor is then
+    * re-established per BASELINE.md#floors and it stops being a control).
+    */
+  private[graft] val controlLanes = Seq(
+    "q_pack_sequences", "q_bpe_train", "q_image_resize", "q_audio_mfcc",
+    "q_dsir_weights")
+
+  /** Window adjudication computed against the recorded floors. */
+  private[graft] final case class Adjudication(
+      nFloored: Int, medianRatio: Double, meanRatio: Double,
+      over2x: Seq[String], controlRatios: Seq[(String, Double)],
+      controlDrift: Double, window: String)
+
+  private[graft] def median(sortedXs: Seq[Double]): Double =
+    if (sortedXs.isEmpty) Double.NaN
+    else if (sortedXs.size % 2 == 1) sortedXs(sortedXs.size / 2)
+    else (sortedXs(sortedXs.size / 2 - 1) + sortedXs(sortedXs.size / 2)) / 2.0
+
+  /** Per-lane floor ratios + the control verdict. None when no floor
+    * baseline applies (missing file or tier mismatch) — the caller then
+    * reports `"window":"no-floor-baseline"` rather than a fake verdict.
+    * Window bands: ≤1.25 control drift = "clean" (the idle-machine
+    * band across r13–r16 folds), ≤1.6 = "elevated" (interpret lane
+    * deltas against the drift, as in r16), above = "degraded" (re-run
+    * on an idle machine; per-lane numbers are not floor-comparable).
+    */
+  private[graft] def adjudicate(results: Seq[(String, Double)],
+      floors: Map[String, Double]): Option[Adjudication] = {
+    val ratios = results.collect {
+      case (n, b) if b > 0 && floors.get(n).exists(_ > 0) => n -> b / floors(n)
+    }
+    if (ratios.isEmpty) None
+    else {
+      val sorted = ratios.map(_._2).sorted
+      val ctrl = ratios.filter(t => controlLanes.contains(t._1))
+      val drift = median(ctrl.map(_._2).sorted)
+      val window =
+        if (ctrl.isEmpty) "no-controls"
+        else if (drift <= 1.25) "clean"
+        else if (drift <= 1.6) "elevated"
+        else "degraded"
+      Some(Adjudication(ratios.size, median(sorted), sorted.sum / sorted.size,
+        ratios.collect { case (n, r) if r > 2.0 => n }, ctrl, drift, window))
+    }
+  }
+
+  /** The `floors` JSON block (compact, self-contained). */
+  private[graft] def floorsJson(adj: Option[Adjudication], baseline: String): String =
+    adj match {
+      case None =>
+        s"""{"baseline":"$baseline","window":"no-floor-baseline"}"""
+      case Some(a) =>
+        val ctrl = a.controlRatios
+          .map { case (n, r) => "\"" + n + "\":" + f"$r%.2f" }.mkString("{", ",", "}")
+        val over = a.over2x.map("\"" + _ + "\"").mkString("[", ",", "]")
+        s"""{"baseline":"$baseline","n_floored":${a.nFloored},""" +
+          f""""median_floor_ratio":${a.medianRatio}%.2f,""" +
+          f""""mean_floor_ratio":${a.meanRatio}%.2f,""" +
+          s""""lanes_over_2x_floor":$over,"controls":$ctrl,""" +
+          (if (a.controlDrift.isNaN) s""""window":"${a.window}"}"""
+           else f""""control_drift":${a.controlDrift}%.2f,"window":"${a.window}"}""")
+    }
 
   private val headline = Seq(
     "q_scan_filter_project_slice",
@@ -237,7 +318,19 @@ object Bench {
     val guarded = remeasureOutliers(results, sfDir, cpus, runs)
     val qs = guarded.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = guarded.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // in-band window adjudication (see object doc): ratios to the
+    // recorded floors + the untouched-control drift verdict
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "BENCH_floor.json")
+    val adj = adjudicate(guarded, loadFloors(baselinePath, sfDir))
+    val floors = floorsJson(adj, baselinePath)
+    adj.foreach { a =>
+      System.err.println(f"[bench] window: ${a.window} (control drift " +
+        f"${a.controlDrift}%.2fx, median floor-ratio ${a.medianRatio}%.2fx, " +
+        s"${a.over2x.size} lane(s) over 2x floor" +
+        (if (a.over2x.isEmpty) ")" else s": ${a.over2x.mkString(",")})"))
+    }
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""floors":$floors,"sf":"$sfDir"}"""
     println(line)
     // the capture keeps the END of stdout, and the full per-lane line is
     // now 100+ lanes long — r11 AND r12 driver captures front-truncated
@@ -245,7 +338,7 @@ object Bench {
     // summary (same shape, no per-lane map) that survives any tail clip;
     // the full map rides the line above and the mirror file
     val summary = s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""n_queries":${guarded.size},"sf":"$sfDir"}"""
+      s""""n_queries":${guarded.size},"floors":$floors,"sf":"$sfDir"}"""
     println(summary)
     // flush explicitly (an unflushed buffer at JVM teardown is a
     // truncated BENCH_r*.json), and mirror the full line to a file so a
@@ -264,16 +357,16 @@ object Bench {
     * classpath; SPARK_GRAFT_BENCH_NOFORK breaks recursion. Any child
     * failure leaves the parent's numbers untouched.
     */
-  private def remeasureOutliers(results: Seq[(String, Double)], sfDir: String,
-      cpus: String, runs: Int): Seq[(String, Double)] = {
-    if (sys.env.contains("SPARK_GRAFT_BENCH_NOFORK")) return results
-    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "BENCH_floor.json")
-    val floors: Map[String, Double] = try {
+  /** Per-lane floors from `baselinePath`, empty when missing/unparseable
+    * or when the baseline's tier does not match this run's (floors are
+    * tier-specific: comparing an sf10 run against sf0.1 floors would
+    * flag every lane). Shared by the poisoning guard and the window
+    * adjudication.
+    */
+  private def loadFloors(baselinePath: String, sfDir: String): Map[String, Double] =
+    try {
       val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(baselinePath))
       val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
-      // floors are tier-specific: comparing an sf10 run against sf0.1
-      // floors would flag every lane and fork a pointless re-measure, so
-      // the guard only engages when the baseline's sf matches this run's
       val sfOk = node != null && node.isObject && {
         val s = node.get("sf")
         s != null && s.isTextual &&
@@ -288,6 +381,12 @@ object Bench {
         }.toMap
       }
     } catch { case _: Exception => Map.empty }
+
+  private def remeasureOutliers(results: Seq[(String, Double)], sfDir: String,
+      cpus: String, runs: Int): Seq[(String, Double)] = {
+    if (sys.env.contains("SPARK_GRAFT_BENCH_NOFORK")) return results
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "BENCH_floor.json")
+    val floors = loadFloors(baselinePath, sfDir)
     val outliers = results.collect {
       case (name, best) if best > 0 && floors.get(name).exists(f =>
         best > 3.0 * f && best - f > 0.5) => name
