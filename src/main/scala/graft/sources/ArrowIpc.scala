@@ -247,6 +247,16 @@ object ArrowIpc {
     * below reads only the selected fields' byte ranges of each complete
     * batch — a migration-era consume-while-producing read of a WIDE store
     * no longer pays full-width IO.
+    *
+    * Scale shape: one task per file, and files LARGER than
+    * `spark.graft.arrow.partialSplitBytes` (default 128 MB) additionally
+    * fan out WITHIN the file — a metadata-only plan walk (bodies skipped
+    * positionally) lists the complete batches, which chunk into
+    * byte-bounded ranges served by parallel tasks, each replaying the
+    * dictionary messages its range depends on (see [[partialPlan]]). A
+    * single huge in-flight migration file no longer reads serially
+    * (sf10 probe: 301 MB single file, 18 tasks, 5× — `ScaleProbe
+    * arrow_partial_split`).
     */
   def readPartial(spark: SparkSession, path: String): DataFrame =
     readPartialImpl(spark, path, selected = None)
@@ -260,27 +270,59 @@ object ArrowIpc {
   def readPartial(spark: SparkSession, path: String, columns: Seq[String]): DataFrame =
     readPartialImpl(spark, path, selected = Some(columns.toArray))
 
+  /** One serving task's share of a big in-flight file: a contiguous range
+    * of its complete record batches, plus every dictionary message that
+    * precedes the range's last batch (initial + deltas + replacements —
+    * replaying them in offset order reconstructs exactly the dictionary
+    * state each batch saw; pruned reads still skip unselected ids'
+    * bodies). Blocks are (messageOffset, metadataLength incl. the length
+    * prefix, bodyLength) — the ArrowBlock shape.
+    */
+  private final case class PartialSlice(file: String, schemaBlock: (Long, Int),
+      dicts: IndexedSeq[(Long, Int, Long)], recs: IndexedSeq[(Long, Int, Long)])
+
+  private def toArrowBlocks(bs: IndexedSeq[(Long, Int, Long)]): java.util.List[ArrowBlock] =
+    bs.map { case (off, metaLen, bodyLen) => new ArrowBlock(off, metaLen, bodyLen) }.asJava
+
+  /** Group contiguous record batches into ranges of ~`target` bytes
+    * (message + body) each — the within-file split unit. Covers every
+    * batch exactly once; never emits an empty range.
+    */
+  private[graft] def chunkRanges(recs: IndexedSeq[(Long, Int, Long)],
+      target: Long): Seq[(Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var lo = 0
+    var acc = 0L
+    var i = 0
+    while (i < recs.length) {
+      acc += recs(i)._2 + recs(i)._3
+      if (acc >= target) { out += ((lo, i + 1)); lo = i + 1; acc = 0L }
+      i += 1
+    }
+    if (lo < recs.length) out += ((lo, recs.length))
+    out.toSeq
+  }
+
   private def readPartialImpl(spark: SparkSession, path: String,
       selected: Option[Array[String]]): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new HPath(path)
     val fs = p.getFileSystem(conf)
-    val files: Seq[String] =
+    val statuses: Seq[(String, Long)] =
       if (fs.getFileStatus(p).isDirectory)
         fs.listStatus(p).toSeq
           .filter(s => s.isFile && !s.getPath.getName.startsWith(".") && !s.getPath.getName.startsWith("_"))
-          .map(_.getPath.toString).sorted
-      else Seq(path)
-    require(files.nonEmpty, s"no Arrow IPC files under $path")
+          .map(s => (s.getPath.toString, s.getLen)).sortBy(_._1)
+      else Seq((path, fs.getFileStatus(p).getLen))
+    require(statuses.nonEmpty, s"no Arrow IPC files under $path")
     // schema: the first file that got far enough to carry one (with
-    // concurrent writers ANY file can be torn pre-schema)
-    val schema: StructType = files.iterator
-      .flatMap { f =>
-        try {
-          val (ffs, fp) = fsPath(spark, f)
-          val src = openStreamSource(ffs, fp)
-          try Some(src.sparkSchema) finally src.close()
-        } catch { case TornBeforeSchema(_) => None }
+    // concurrent writers ANY file can be torn pre-schema) — a
+    // schema-only plan probe, one message deep
+    val schema: StructType = statuses.iterator
+      .flatMap { case (f, _) =>
+        val (ffs, fp) = fsPath(spark, f)
+        withChannel(ffs, fp)(ch =>
+          partialPlan(ch, f, schemaOnly = true).map(pl => fromArrowSchema(pl.schema)))
       }
       .nextOption()
       .getOrElse(throw new IllegalArgumentException(
@@ -294,17 +336,69 @@ object ArrowIpc {
           s"column $n not in Arrow IPC schema ${schema.fieldNames.mkString(", ")} ($path)"))))
     }
     val confB = spark.sparkContext.broadcast(new SerializableWritable(conf))
+    // files above the split threshold fan out WITHIN the file: a
+    // metadata-only plan walk (an executor task per big file; bodies are
+    // skipped positionally, so a 100 GB file plans in message-count time)
+    // yields the complete-batch block list, which chunks into
+    // byte-bounded ranges served in parallel. Small files keep the
+    // one-task-per-file shape with the plan walked in the task itself.
+    val splitBytes = spark.conf
+      .get("spark.graft.arrow.partialSplitBytes", (128L * 1024 * 1024).toString).toLong
+    val bigFiles = statuses.collect { case (f, len) if len > splitBytes => f }
+    // collected shape is blocks-only: the Arrow Schema pojo is not
+    // serializable (and slices re-read the schema message themselves)
+    val bigPlans: Map[String, ((Long, Int), IndexedSeq[(Long, Int, Long)], IndexedSeq[(Long, Int, Long)])] =
+      if (bigFiles.isEmpty) Map.empty
+      else spark.sparkContext.parallelize(bigFiles, bigFiles.size)
+        .map { f =>
+          val c = confB.value.value
+          val hp = new HPath(f)
+          val ch = new HadoopSeekableChannel(hp.getFileSystem(c), hp)
+          try f -> partialPlan(ch, f).map(pl => (pl.schemaBlock, pl.dicts, pl.recs))
+          finally ch.close()
+        }
+        .collect().toSeq
+        .collect { case (f, Some(pl)) => f -> pl }.toMap
+    val tasks: Seq[Either[String, PartialSlice]] = statuses.flatMap { case (f, len) =>
+      if (len <= splitBytes) Seq(Left(f))
+      else bigPlans.get(f) match {
+        case None => Seq.empty // torn before schema: zero rows
+        case Some((schemaBlock, dicts, recs)) =>
+          chunkRanges(recs, splitBytes).map { case (lo, hi) =>
+            val lastOff = recs(hi - 1)._1
+            Right(PartialSlice(f, schemaBlock,
+              dicts.filter(_._1 < lastOff), recs.slice(lo, hi)))
+          }
+      }
+    }
+    if (tasks.isEmpty) // schema found, zero complete batches anywhere
+      return GraftSqlInternals.internalCreateDataFrame(spark,
+        spark.sparkContext.emptyRDD[InternalRow], outSchema)
     val rows = spark.sparkContext
-      .parallelize(files, files.size)
-      .flatMap { file =>
+      .parallelize(tasks, tasks.size)
+      .flatMap { task =>
         val c = confB.value.value
+        val file = task.fold(identity, _.file)
         val hp = new HPath(file)
-        val hfs = hp.getFileSystem(c)
+        val ch = new HadoopSeekableChannel(hp.getFileSystem(c), hp)
         val srcOpt =
-          try Some(openStreamSource(hfs, hp, selected))
-          catch { case TornBeforeSchema(_) => None } // pre-schema tear: zero rows
+          try task match {
+            case Left(f) =>
+              partialPlan(ch, f).map(pl => new FooterSource(ch,
+                new ArrowFooter(pl.schema, toArrowBlocks(pl.dicts),
+                  toArrowBlocks(pl.recs), new java.util.HashMap[String, String]()),
+                selected))
+            case Right(sl) =>
+              // the slice's schema rides the file itself: re-read the
+              // schema message (tiny) instead of shipping Arrow pojos
+              val sch = MessageSerializer.deserializeSchema(
+                messageMetaAt(ch, sl.schemaBlock._1, sl.schemaBlock._2))
+              Some(new FooterSource(ch,
+                new ArrowFooter(sch, toArrowBlocks(sl.dicts), toArrowBlocks(sl.recs),
+                  new java.util.HashMap[String, String]()), selected))
+          } catch { case t: Throwable => ch.close(); throw t }
         srcOpt match {
-          case None => Iterator.empty
+          case None => ch.close(); Iterator.empty // pre-schema tear: zero rows
           case Some(src) =>
             Option(org.apache.spark.TaskContext.get())
               .foreach(_.addTaskCompletionListener[Unit](_ => src.close()))
@@ -346,11 +440,19 @@ object ArrowIpc {
       .map(b => (b.getOffset, b.getMetadataLength, b.getBodyLength)))
   }
 
-  private def openStreamSource(fs: FileSystem, p: HPath,
-      selected: Option[Array[String]] = None): StreamSource = {
-    val ch = new HadoopSeekableChannel(fs, p)
-    try new StreamSource(ch, p.toString, selected)
-    catch { case t: Throwable => ch.close(); throw t }
+  /** The encapsulated-message flatbuffer at `offset` — a metadata-only
+    * read of `metadataLength` bytes (the body is NOT touched). Handles
+    * both the post-0.15 continuation prefix and the legacy bare-length
+    * prefix. Shared by [[FooterSource]] and the partial-read plan serve.
+    */
+  private def messageMetaAt(ch: SeekableByteChannel, offset: Long,
+      metadataLength: Int): FbMessage = {
+    val bb = readFully(ch, offset, metadataLength)
+    val first = bb.getInt
+    val metaLen = if (first == MessageSerializer.IPC_CONTINUATION_TOKEN) bb.getInt else first
+    val slice = bb.slice()
+    slice.limit(metaLen)
+    FbMessage.getRootAsMessage(slice.order(ByteOrder.LITTLE_ENDIAN))
   }
 
   private def readImpl(spark: SparkSession, path: String, selected: Option[Array[String]],
@@ -517,19 +619,11 @@ object ArrowIpc {
     private def applyDictionaryBatch(db: ArrowDictionaryBatch): Unit =
       applyDictionaryBatchTo(db, dictionaries, alloc, legacyBlock)
 
-    /** The encapsulated-message flatbuffer at a block's offset — a
-      * metadata-only read ([[ArrowBlock.getMetadataLength]] bytes; the
-      * body is NOT touched). Handles both the post-0.15 continuation
-      * prefix and the legacy bare-length prefix.
+    /** The encapsulated-message flatbuffer at a block's offset (see
+      * [[messageMetaAt]]; the body is NOT touched).
       */
-    private def messageMetaOf(blk: ArrowBlock): FbMessage = {
-      val bb = readFully(ch, blk.getOffset, blk.getMetadataLength)
-      val first = bb.getInt
-      val metaLen = if (first == MessageSerializer.IPC_CONTINUATION_TOKEN) bb.getInt else first
-      val slice = bb.slice()
-      slice.limit(metaLen)
-      FbMessage.getRootAsMessage(slice.order(ByteOrder.LITTLE_ENDIAN))
-    }
+    private def messageMetaOf(blk: ArrowBlock): FbMessage =
+      messageMetaAt(ch, blk.getOffset, blk.getMetadataLength)
 
     /** Selective record-batch load (shared span machinery; see
       * [[loadPrunedBatchInto]]): only the selected fields' buffer byte
@@ -640,249 +734,154 @@ object ArrowIpc {
       }
     } finally db.close()
 
-  /** Sequential message-walking reader for PARTIAL / in-flight IPC files
-    * — the reference's consume-while-producing capability
-    * (OffHeapArrowPartialFileBatchReadable.java: read committed batches
-    * of a store whose writer is still running or died mid-write). No
-    * footer is needed: after the 8-byte file magic the body IS the IPC
-    * STREAM framing (schema message, then dictionary/record batches in
-    * file order), so the walk serves every COMPLETE batch and stops at
-    * the first tear — a truncated metadata prefix, message, or body is
-    * never visible downstream, and a complete file stops cleanly at its
-    * end-of-stream marker without ever touching the footer.
+  /** Metadata-only PLAN of a partial / in-flight IPC file — the walk
+    * behind [[readPartial]] (the reference's consume-while-producing
+    * capability, OffHeapArrowPartialFileBatchReadable.java: read
+    * committed batches of a store whose writer is still running or died
+    * mid-write). No footer is needed: after the 8-byte file magic the
+    * body IS the IPC STREAM framing (schema message, then dictionary /
+    * record batches in file order), and every message is self-delimiting
+    * (length prefix + metadata flatbuffer carrying its body length), so
+    * the plan walks message to message reading ONLY the metadata — bodies
+    * are skipped positionally — and records each complete message's block
+    * span. Serving then goes through the one batch engine,
+    * [[FooterSource]], over a footer synthesized from the plan; a big
+    * file's plan additionally chunks into byte-bounded ranges served by
+    * parallel tasks ([[PartialSlice]]).
     *
-    * Column pruning works footer-free (each stream message carries the
-    * same flatbuffer buffer layout the pruned [[FooterSource]] decodes,
-    * r16); batch STATISTICS stay footer-only — the footer is exactly what
-    * a torn file lacks, so filter skipping is inherently unavailable here.
+    * Tear contract (identical to the r16 stream walker it replaces):
+    * detection is POSITIONAL against the size snapshot taken at entry — a
+    * writer only ever APPENDS, so every byte before `fileSize` is final,
+    * and "not enough bytes remain for the next length prefix / metadata /
+    * body" is a tear. A size-complete but write-incomplete tail (fs crash
+    * semantics: the inode size update can outlive the data blocks) shows
+    * as GARBAGE metadata within bounds — an `IndexOutOfBoundsException`
+    * parsing the metadata or header flatbuffer is the tear's second face
+    * and also stops the plan. Those are the ONLY tolerated faces: body
+    * reads never happen here (and body-decode errors during the serve
+    * propagate from [[FooterSource]]), so a transient mid-file IO failure
+    * on a healthy store can never silently truncate it. A file torn
+    * before a complete schema message plans to None (zero rows — with
+    * concurrent writers any file of a crashed store can be in that
+    * state); bytes that are not Arrow at all still fail loud on the
+    * magic check. Unknown message types from a newer writer are skipped
+    * positionally, exactly like the footer path never visiting them.
     */
-  /** A file torn before even a complete schema message — nothing to
-    * serve FROM IT; with concurrent writers any file of a crashed store
-    * can be in this state, so [[readPartial]] treats it as zero rows
-    * rather than failing the whole recovery (garbage that is not an
-    * Arrow file at all still fails loud on the magic check).
-    */
-  /** One encapsulated stream message: parsed metadata + its body's byte
-    * range (the walk advances past both; bodies are read or skipped
-    * positionally by the consumer).
-    */
-  private final case class Msg(meta: FbMessage, bodyStart: Long, bodyLen: Long)
+  private[graft] final case class PartialPlan(
+      schema: org.apache.arrow.vector.types.pojo.Schema,
+      schemaBlock: (Long, Int),
+      dicts: IndexedSeq[(Long, Int, Long)],
+      recs: IndexedSeq[(Long, Int, Long)])
 
-  private final case class TornBeforeSchema(path: String)
-    extends RuntimeException(
-      s"Arrow IPC partial read: $path is torn before a complete schema message")
-
-  private final class StreamSource(ch: SeekableByteChannel, label: String,
-      selected: Option[Array[String]] = None) {
-    private val alloc = new RootAllocator(Long.MaxValue)
-    private val dictionaries = new java.util.HashMap[java.lang.Long, Dictionary]()
-    private val rch = new SeekableReadChannel(ch)
-    // Tear detection is POSITIONAL against the size snapshot taken at
-    // open: a writer only ever APPENDS, so every byte before `fileSize`
-    // is final, and "not enough bytes remain for the next length prefix /
-    // metadata / body" is the one and only way a tear manifests. A read
-    // that FAILS with bytes still available is a transient-IO or reader
-    // bug and PROPAGATES — the old exception-driven stop resolved that
-    // ambiguity toward silently truncating a healthy store (review-found).
-    private val fileSize = ch.size()
-    private var pos = 0L
-    private def avail: Long = fileSize - pos
-    // "ARROW1\0\0": fewer than 8 readable bytes = a write torn inside
-    // the magic itself (zero rows); 8+ bytes that differ = not an Arrow
-    // IPC file — fail loud, a partial reader must still refuse garbage
+  private[graft] def partialPlan(ch: SeekableByteChannel, label: String,
+      schemaOnly: Boolean = false): Option[PartialPlan] = {
+    val fileSize = ch.size()
+    if (fileSize < 8) return None // torn inside the magic itself
     locally {
-      if (fileSize < 8) throw TornBeforeSchema(label)
       val magic = readFully(ch, 0, 8)
       val m = new Array[Byte](6); magic.get(m)
       require(new String(m, "US-ASCII") == "ARROW1",
         s"$label is not an Arrow IPC file (missing ARROW1 magic)")
-      pos = 8
     }
-
-    /** The next encapsulated message's metadata flatbuffer, or None at a
-      * clean end (EOS marker / exact end of readable bytes) — TornTail at
-      * a mid-message truncation. Advances `pos` past metadata AND body;
-      * the body bytes themselves are read (or skipped) by the caller via
-      * the returned body range.
-      */
-    private object TornTail extends RuntimeException("torn tail")
-      with scala.util.control.NoStackTrace
-    private def nextMessage(): Option[Msg] = {
-      if (avail == 0) return None // byte-exact end without an EOS marker
-      if (avail < 4) throw TornTail
+    var pos = 8L
+    def avail: Long = fileSize - pos
+    object PlanTear extends RuntimeException with scala.util.control.NoStackTrace
+    // one encapsulated message: (metadata flatbuffer, message offset,
+    // metadata length incl. prefix, body offset, body length); None at a
+    // clean end (EOS marker / byte-exact end), PlanTear mid-message,
+    // IndexOutOfBoundsException on garbage metadata (callers classify)
+    def nextMsg(): Option[(FbMessage, Long, Int, Long, Long)] = {
+      if (avail == 0) return None
+      val msgStart = pos
+      if (avail < 4) throw PlanTear
       val first = readFully(ch, pos, 4).getInt; pos += 4
       val metaLen =
         if (first != MessageSerializer.IPC_CONTINUATION_TOKEN) first
         else {
-          if (avail < 4) throw TornTail
+          if (avail < 4) throw PlanTear
           val v = readFully(ch, pos, 4).getInt; pos += 4; v
         }
       if (metaLen == 0) return None // end-of-stream marker
-      if (metaLen < 0 || avail < metaLen) throw TornTail
+      if (metaLen < 0 || avail < metaLen) throw PlanTear
       val metaBuf = readFully(ch, pos, metaLen); pos += metaLen
-      // metadata bytes are COMPLETE here: a parse failure on them is
-      // corruption or a reader bug, not a tear — it propagates
       val meta = FbMessage.getRootAsMessage(metaBuf)
       val bodyLen = meta.bodyLength()
-      if (bodyLen < 0 || avail < bodyLen) throw TornTail
-      val start = pos; pos += bodyLen
-      Some(Msg(meta, start, bodyLen))
+      if (bodyLen < 0 || avail < bodyLen) throw PlanTear
+      val bodyStart = pos; pos += bodyLen // body skipped POSITIONALLY
+      Some((meta, msgStart, (bodyStart - msgStart).toInt, bodyStart, bodyLen))
     }
-
-    /** The message's body as one owned ArrowBuf (availability already
-      * verified, so a short read cannot happen on a healthy FS).
-      */
-    private def readBody(m: Msg): ArrowBuf =
-      if (m.bodyLen == 0L) alloc.getEmpty
-      else {
-        rch.setPosition(m.bodyStart)
-        MessageSerializer.readMessageBody(rch, m.bodyLen, alloc)
-      }
-
-    // the schema message leads everything else in the framing. A
-    // crash-truncated file can carry GARBAGE within its size (fs crash
-    // semantics: the inode size update can outlive the data blocks), so
-    // an unparseable first message reads as torn-before-schema — the
-    // magic check above already rejected non-Arrow files loudly
-    private val arrowSchema: org.apache.arrow.vector.types.pojo.Schema = {
-      val first =
-        try nextMessage()
+    // the schema message leads the framing; garbage within the size reads
+    // as torn-before-schema (the magic check above already rejected
+    // non-Arrow bytes loudly)
+    val first =
+      try nextMsg()
+      catch { case PlanTear => None; case _: IndexOutOfBoundsException => None }
+    val (schema, schemaBlock) = first match {
+      case Some((meta, off, metaTotal, _, _))
+          if meta.headerType() == org.apache.arrow.flatbuf.MessageHeader.Schema =>
+        val s =
+          try MessageSerializer.deserializeSchema(meta)
+          catch { case scala.util.control.NonFatal(_) => return None }
+        (s, (off, metaTotal))
+      case _ => return None
+    }
+    val dicts = IndexedSeq.newBuilder[(Long, Int, Long)]
+    val recs = IndexedSeq.newBuilder[(Long, Int, Long)]
+    var batches = 0L
+    // every planned batch is complete, so stopping at a tear IS the
+    // partial-read contract; logged with the STAGE named so a torn store
+    // is visible in task logs and a reader bug can't hide as truncation
+    def logTear(what: String, detail: String): Unit =
+      System.err.println(s"[ArrowIpc.readPartial] $label: stopping at " +
+        s"$what after $batches complete batches ($detail)")
+    var walking = !schemaOnly
+    while (walking) {
+      val res =
+        try nextMsg()
         catch {
-          case TornTail => None
-          case _: IndexOutOfBoundsException => None // garbage flatbuffer
+          case PlanTear =>
+            logTear("torn tail", s"${fileSize - pos} trailing bytes unreadable")
+            None
+          case e: IndexOutOfBoundsException =>
+            logTear("unparseable metadata (crash-garbage tail?)",
+              String.valueOf(e.getMessage))
+            None
         }
-      first match {
-        case Some(m) if m.meta.headerType() == org.apache.arrow.flatbuf.MessageHeader.Schema =>
-          try MessageSerializer.deserializeSchema(m.meta)
-          catch { case scala.util.control.NonFatal(_) => throw TornBeforeSchema(label) }
-        case _ => throw TornBeforeSchema(label)
+      res match {
+        case None => walking = false
+        case Some((meta, off, metaTotal, bodyStart, bodyLen)) =>
+          // HEADER flatbuffer reads are still metadata: garbage within
+          // bounds here is the tear's second face (a null header table on
+          // a parseable message is corruption, not a tear - the require
+          // propagates, same as the footer path)
+          val cls =
+            try meta.headerType() match {
+              case org.apache.arrow.flatbuf.MessageHeader.DictionaryBatch =>
+                require(meta.header(new FbDictionaryBatch()).asInstanceOf[FbDictionaryBatch] != null,
+                  s"$label: dictionary message at $bodyStart has no DictionaryBatch header")
+                1
+              case org.apache.arrow.flatbuf.MessageHeader.RecordBatch =>
+                require(meta.header(new FbRecordBatch()).asInstanceOf[FbRecordBatch] != null,
+                  s"$label: record-batch message at $bodyStart has no RecordBatch header")
+                2
+              case _ => 0 // unknown message from a newer writer: skip
+            } catch {
+              case e: IndexOutOfBoundsException =>
+                logTear("unparseable message header (crash-garbage tail?)",
+                  String.valueOf(e.getMessage))
+                -1
+            }
+          cls match {
+            case -1 => walking = false
+            case 1 => dicts += ((off, metaTotal, bodyLen))
+            case 2 => recs += ((off, metaTotal, bodyLen)); batches += 1
+            case _ => ()
+          }
       }
     }
-    private val legacyBlock =
-      arrowSchema.getCustomMetadata.asScala.get(LegacyBlockKey).contains("true")
-    private val fileFields: IndexedSeq[Field] = arrowSchema.getFields.asScala.toIndexedSeq
-    private val spans = new WireSpans(fileFields)
-    private val (selIdx, outPerm) = resolveSelection(fileFields, selected)
-    private val pruned = selected.isDefined
-    private val memFields = selIdx.toSeq
-      .map(i => DictionaryUtility.toMemoryFormat(fileFields(i), alloc, dictionaries)).asJava
-    private val root = VectorSchemaRoot.create(
-      new ArrowSchema(memFields, arrowSchema.getCustomMetadata), alloc)
-    val sparkSchema: StructType = fromArrowSchema(arrowSchema)
-    private var open = true
-    def close(): Unit = if (open) {
-      open = false
-      root.close()
-      dictionaries.values().asScala.foreach(_.getVector.close())
-      try rch.close() catch { case _: Exception => () } // closes ch
-      // availability is verified before every body read, so the
-      // MessageSerializer.readMessageBody leak-on-short-read path is gone
-      // from normal operation — but a propagating mid-read FS failure can
-      // still leave its ArrowBuf unreleased, and the task-completion
-      // listener must not replace THAT failure with a leak complaint
-      try alloc.close() catch { case _: IllegalStateException => () }
-    }
-
-    def rows: Iterator[InternalRow] = new Iterator[InternalRow] {
-      private var batch: Iterator[InternalRow] = Iterator.empty
-      private var batchesServed = 0L
-      // every batch already served was complete, so stopping at a tear IS
-      // the partial-read contract; logged with the STAGE named so a torn
-      // store is visible in task logs and a reader bug can't hide as
-      // routine truncation
-      private def logTear(what: String, detail: String): Unit =
-        System.err.println(s"[ArrowIpc.readPartial] $label: stopping at " +
-          s"$what after $batchesServed complete batches ($detail)")
-      private def advance(): Unit =
-        while (!batch.hasNext && open) {
-          val res =
-            try nextMessage()
-            catch {
-              case TornTail =>
-                logTear("torn tail", s"${fileSize - pos} trailing bytes unreadable")
-                None
-              case e: IndexOutOfBoundsException =>
-                // size-complete but WRITE-incomplete tail (fs crash
-                // semantics: the inode size update can outlive the data
-                // blocks) — the metadata flatbuffer is garbage within bounds
-                logTear("unparseable metadata (crash-garbage tail?)",
-                  String.valueOf(e.getMessage))
-                None
-            }
-          res match {
-            case None => close() // EOS marker, clean end, or tear
-            case Some(m) =>
-              // HEADER flatbuffer reads are still metadata: garbage within
-              // bounds here is the tear's second face. Everything past the
-              // header — body reads, decompression, vector loads — is NOT:
-              // a bounds error there is mid-file corruption or a reader
-              // bug and PROPAGATES (silently truncating healthy batches
-              // after it would misreport what is recoverable; review-found)
-              val hdr: Option[(Byte, FbDictionaryBatch, FbRecordBatch)] =
-                try {
-                  val ht = m.meta.headerType()
-                  val dbh =
-                    if (ht == org.apache.arrow.flatbuf.MessageHeader.DictionaryBatch) {
-                      val h = m.meta.header(new FbDictionaryBatch()).asInstanceOf[FbDictionaryBatch]
-                      require(h != null,
-                        s"$label: dictionary message at ${m.bodyStart} has no DictionaryBatch header")
-                      h
-                    } else null
-                  val rbh =
-                    if (ht == org.apache.arrow.flatbuf.MessageHeader.RecordBatch && pruned) {
-                      val h = m.meta.header(new FbRecordBatch()).asInstanceOf[FbRecordBatch]
-                      require(h != null,
-                        s"$label: record-batch message at ${m.bodyStart} has no RecordBatch header")
-                      h
-                    } else null
-                  Some((ht, dbh, rbh))
-                } catch {
-                  case e: IndexOutOfBoundsException =>
-                    logTear("unparseable message header (crash-garbage tail?)",
-                      String.valueOf(e.getMessage))
-                    None
-                }
-              hdr match {
-                case None => close()
-                case Some((ht, dbh, rbh)) => ht match {
-                  case org.apache.arrow.flatbuf.MessageHeader.DictionaryBatch =>
-                    // pruned reads skip unselected columns' dictionaries with
-                    // their bodies unread (file order preserves replacement
-                    // semantics either way)
-                    if (!pruned || dictionaries.containsKey(dbh.id()))
-                      applyDictionaryBatchTo(
-                        MessageSerializer.deserializeDictionaryBatch(m.meta, readBody(m)),
-                        dictionaries, alloc, legacyBlock)
-                  case org.apache.arrow.flatbuf.MessageHeader.RecordBatch =>
-                    if (pruned) {
-                      if (selIdx.isEmpty) {
-                        // zero-column read: row count from metadata alone
-                        val n = Math.toIntExact(rbh.length())
-                        batch = Iterator.range(0, n).map(_ => new GenericInternalRow(Array.empty[Any]))
-                      } else {
-                        loadPrunedBatchInto(rbh, root, alloc, legacyBlock, spans, selIdx,
-                          (off, len) => readFully(ch, m.bodyStart + off, len))
-                        batch = batchRows(root, id => dictionaries.get(id), outPerm)
-                      }
-                    } else {
-                      val rb = MessageSerializer.deserializeRecordBatch(m.meta, readBody(m))
-                      try loadBatchInto(rb, root, alloc, legacyBlock)
-                      finally rb.close()
-                      batch = batchRows(root, id => dictionaries.get(id), outPerm)
-                    }
-                    batchesServed += 1
-                  case _ =>
-                    // unknown message type from a newer writer: body bytes
-                    // were never read (positional skip) — keep walking
-                    ()
-                }
-              }
-          }
-        }
-      override def hasNext: Boolean = { advance(); batch.hasNext }
-      override def next(): InternalRow = { advance(); batch.next() }
-    }
+    Some(PartialPlan(schema, schemaBlock, dicts.result(), recs.result()))
   }
+
 
   /** Record-batch WIRE layout spans per top-level field: node/buffer
     * counts walk the MESSAGE-format schema exactly the way VectorUnloader

@@ -1024,6 +1024,61 @@ object ScaleProbe {
           f""""torn_rows":$nTorn,"torn_read_s":$tTorn%.1f,""" +
           s""""torn_full_kb":${bTornFull / 1000},"torn_pruned_kb":${bTornPruned / 1000},""" +
           f""""torn_pruned_s":${prunedAgg._2}%.1f}""")
+      case "arrow_partial_split" =>
+        // within-file fan-out (r17): ONE huge in-flight file — the
+        // migration shape where the r16 reader was a single serial task.
+        // Serial walk vs the plan+slice split read (metadata-only plan,
+        // byte-bounded batch ranges served in parallel); rows AND a
+        // content hash must match exactly, with and without a torn tail.
+        import graft.sources.ArrowIpc
+        val parent = java.nio.file.Files.createTempDirectory("probe_arrow_psplit")
+        cleanupOnExit(parent)
+        val dir = parent.toString + "/one"
+        // 4x the tier's corpus in ONE file (offset ids keep the content
+        // hash meaningful): the single-file migration shape at ~300 MB
+        val corpus = (0 until 4).map(k =>
+            docs.withColumn("doc_id", col("doc_id") + lit(k.toLong * 10000000L)))
+          .reduce(_ union _)
+        timed("write 1-file ipc store")(ArrowIpc.write(corpus.repartition(1), dir,
+          batchRows = 4096, dictColumns = Set("lang", "source")))
+        val f = new java.io.File(dir).listFiles()
+          .filter(_.getName.endsWith(".arrow")).head
+        def readStats(): (Long, Long, Double, Int) = {
+          val t = System.nanoTime()
+          val df = ArrowIpc.readPartial(spark, dir)
+          val parts = df.rdd.getNumPartitions
+          val r = df.agg(count(lit(1)), bit_xor(xxhash64(col("doc_id"), col("text"))))
+            .collect().head
+          (r.getLong(0), r.getLong(1), (System.nanoTime() - t) / 1e9, parts)
+        }
+        spark.conf.set("spark.graft.arrow.partialSplitBytes", (f.length() + 1).toString)
+        val (nSer, hSer, tSer, pSer) = readStats()
+        spark.conf.set("spark.graft.arrow.partialSplitBytes", (16L * 1024 * 1024).toString)
+        val (nSplit, hSplit, tSplit, pSplit) = readStats()
+        require(pSer == 1 && pSplit > 1, s"split shape wrong: $pSer/$pSplit tasks")
+        require(nSer == nSplit && hSer == hSplit,
+          s"split read diverged: $nSplit/$hSplit vs $nSer/$hSer")
+        System.err.println(f"[probe] serial 1-task $tSer%.1f s vs split " +
+          f"$pSplit-task $tSplit%.1f s (${tSer / tSplit}%.1fx, ${f.length() / 1e6}%.0f MB)")
+        // torn copy (cut 16 bytes into the midpoint batch): the split
+        // read serves exactly the complete-batch prefix, in parallel
+        val blocks = ArrowIpc.recordBatchBlocks(spark, f.toString)
+        val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+        val mid = blocks.size / 2
+        val tornDir = java.nio.file.Paths.get(parent.toString, "torn")
+        java.nio.file.Files.createDirectories(tornDir)
+        java.nio.file.Files.write(tornDir.resolve(f.getName), java.util.Arrays.copyOf(
+          bytes, math.min(blocks(mid)._1 + 16, bytes.length.toLong).toInt))
+        val t2 = System.nanoTime()
+        val nTorn = ArrowIpc.readPartial(spark, tornDir.toString).count()
+        val tTorn = (System.nanoTime() - t2) / 1e9
+        require(nTorn == mid.toLong * 4096L,
+          s"torn split prefix: $nTorn rows, expected ${mid * 4096L}")
+        System.err.println(f"[probe] torn split read $tTorn%.1f s, $nTorn rows")
+        println(s"""{"mode":"arrow_partial_split","rows":$nSer,""" +
+          f""""file_mb":${f.length() / 1e6}%.0f,"serial_s":$tSer%.1f,""" +
+          f""""split_s":$tSplit%.1f,"split_tasks":$pSplit,""" +
+          f""""speedup":${tSer / tSplit}%.1f,"torn_rows":$nTorn,"torn_s":$tTorn%.1f}""")
       case "arrow_hc" | "arrow_hc_big" =>
         // the lz4hc archival level vs the fast default at the tier:
         // write time + store size + a full read back (values must match).

@@ -296,6 +296,69 @@ class ArrowPartialSpec extends SparkSpec {
     assert(ArrowIpc.readPartial(spark, d).count() == 1000L)
   }
 
+  test("within-file split: a big in-flight file fans out across tasks and " +
+      "serves the identical rows (plan + sliced serve, dict state replayed)") {
+    // force the split on the 1000-row store: every ~4 KB of batches
+    // becomes its own task
+    spark.conf.set("spark.graft.arrow.partialSplitBytes", "4096")
+    try {
+      val full = ArrowIpc.read(spark, store)
+      val part = ArrowIpc.readPartial(spark, store)
+      assert(part.rdd.getNumPartitions > 1,
+        s"expected within-file fan-out, got ${part.rdd.getNumPartitions} task(s)")
+      assert(part.schema == full.schema)
+      assert(canon(part) == canon(full))
+      // dict-encoded values decode correctly in EVERY slice (later slices
+      // replay the initial+delta dictionary messages before their range)
+      part.collect().foreach { r =>
+        val i = r.getLong(0).toInt
+        val want = if (i % 9 == 0) null else s"cat_${i % 7}"
+        assert(r.getString(1) == want, s"id=$i dict value mismatch in split read")
+      }
+      // pruned + zero-column reads keep their contracts across the split
+      assert(canon(ArrowIpc.readPartial(spark, store, Seq("cat", "id", "cat"))) ==
+        canon(ArrowIpc.read(spark, store, Seq("cat", "id", "cat"))))
+      assert(ArrowIpc.readPartial(spark, store, Seq.empty).count() == 1000L)
+      // a TORN big file still serves exactly the complete-batch prefix
+      val len = Files.size(Paths.get(partFile))
+      val dir = truncCopy(partFile, len * 2 / 3)
+      val ids = ArrowIpc.readPartial(spark, dir).collect().map(_.getLong(0)).sorted
+      assert(ids.length % 256 == 0 && ids.length > 0)
+      assert(ids.toSeq == (0L until ids.length.toLong))
+      // replacement-dictionary goldens (the case pyarrow refuses) under
+      // an even smaller split unit: slice serving must replay replacement
+      // state per range
+      val multi = "/root/reference/org.knime.core.columnar.arrow.tests/test_data/" +
+        "ZonedDateTime_legacy_files/multiple_batches.arrow"
+      if (Files.exists(Paths.get(multi))) {
+        spark.conf.set("spark.graft.arrow.partialSplitBytes", "512")
+        val g = ArrowIpc.readPartial(spark, multi)
+        assert(g.rdd.getNumPartitions > 1)
+        assert(canon(g) == canon(ArrowIpc.read(spark, multi)))
+      }
+    } finally spark.conf.unset("spark.graft.arrow.partialSplitBytes")
+  }
+
+  test("chunkRanges: covers every batch exactly once in order, ranges bounded " +
+      "by the byte target") {
+    val rnd = new Random(7)
+    for (n <- Seq(0, 1, 7, 100)) {
+      val recs = IndexedSeq.tabulate(n)(i => (i.toLong * 100, 24, rnd.nextLong(5000)))
+      for (target <- Seq(1L, 4096L, Long.MaxValue)) {
+        val ranges = ArrowIpc.chunkRanges(recs, target)
+        assert(ranges.flatMap { case (lo, hi) => lo until hi } == (0 until n),
+          s"n=$n target=$target: not a cover")
+        assert(ranges.forall { case (lo, hi) => lo < hi }, "empty range emitted")
+        // each range except the last crossed the target when it closed
+        ranges.dropRight(1).foreach { case (lo, hi) =>
+          val bytes = (lo until hi).map(i => recs(i)._2 + recs(i)._3.toLong).sum
+          assert(bytes >= target, s"n=$n target=$target: range closed early")
+        }
+      }
+    }
+    assert(ArrowIpc.chunkRanges(IndexedSeq.empty, 1L).isEmpty)
+  }
+
   test("in-flight growth: growing prefixes serve monotonically growing whole-batch counts") {
     val len = Files.size(Paths.get(partFile))
     var last = -1L
