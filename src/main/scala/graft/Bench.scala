@@ -261,7 +261,10 @@ object Bench {
     // (the last reach-family member without a served lane) + the pruned
     // torn-store walk (footer-free selective IO)
     "q_reach_distribution_store",
-    "q_arrow_partial_pruned"
+    "q_arrow_partial_pruned",
+    // round 17: the drift gate's opt-in evolution path (renamed+widened
+    // source bound exactly under a persisted SourceEvolution)
+    "q_plan_persist_evolve"
   )
 
   def main(args: Array[String]): Unit = {

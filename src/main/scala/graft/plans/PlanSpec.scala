@@ -72,6 +72,24 @@ object PlanSpec {
   /** Row-wise concatenation with union-schema merge ([[Combine.concatenate]]). */
   final case class Concatenate(override val inputs: Seq[Int]) extends Node
 
+  /** Explicit, OPT-IN schema-evolution policy for one source table — the
+    * escape hatches a real migration needs once the drift gate
+    * (`sourceSchemas`) starts refusing a moved-on source. `renames` maps
+    * AUTHORED column names to the source's CURRENT names ("the column is
+    * the same, its name changed"); at bind time the frame is normalized
+    * BACK to the authored names, so the plan's SQL text and positional
+    * ops replay exactly as written and the output carries the authored
+    * names. `allowWidening` accepts a current type that is a lossless
+    * widening of the authored one (byte→short→int→long, float→double —
+    * recursively inside struct/array/map); the data keeps its wider
+    * current type. Anything else still fails loud. The reference's
+    * analog is its versioned per-column factories
+    * (ArrowColumnDataFactoryVersion.java) — compat is declared, never
+    * guessed.
+    */
+  final case class SourceEvolution(renames: Map[String, String] = Map.empty,
+      allowWidening: Boolean = false)
+
   /** `sourceSchemas` (optional, name → Spark DDL) pins the source shape a
     * plan's POSITIONAL ops (SelectCols/DropCols/ReplaceMap/Rename) were
     * authored against: filter/map SQL fails loud on a missing column, but
@@ -81,9 +99,12 @@ object PlanSpec {
     * its specs (ValueSchema inside TableTransformNodeSettingsPersistor).
     * [[execute]] verifies name+type positionally per source; nullability
     * and metadata are snapshot details, not binding contracts.
+    * `evolution` (optional, per recorded source) relaxes that gate along
+    * DECLARED axes only — see [[SourceEvolution]].
     */
   final case class Plan(nodes: IndexedSeq[Node], result: Int,
-      sourceSchemas: Map[String, String] = Map.empty) {
+      sourceSchemas: Map[String, String] = Map.empty,
+      evolution: Map[String, SourceEvolution] = Map.empty) {
     require(nodes.nonEmpty, "PlanSpec: empty plan")
     require(result >= 0 && result < nodes.length,
       s"PlanSpec: result $result out of range (${nodes.length} nodes)")
@@ -109,6 +130,18 @@ object PlanSpec {
           s"PlanSpec: sourceSchemas['$t'] is not valid DDL: $ddl", e)
       }
     }
+    evolution.foreach { case (t, ev) =>
+      // evolution is an escape hatch OF the drift gate: without a
+      // recorded schema there is nothing to relax against
+      require(sourceSchemas.contains(t),
+        s"PlanSpec: evolution declared for '$t' but sourceSchemas records " +
+          "no schema for it - evolution relaxes the recorded-schema gate")
+      val authored = org.apache.spark.sql.types.StructType
+        .fromDDL(sourceSchemas(t)).fieldNames.toSet
+      ev.renames.keys.foreach(k => require(authored.contains(k),
+        s"PlanSpec: evolution for '$t' renames unknown authored column '$k' " +
+          s"(recorded: ${authored.toSeq.sorted.mkString(", ")})"))
+    }
     /** Every source table name the plan reads. */
     def sourceTables: Seq[String] =
       nodes.collect { case Source(t) => t }.distinct
@@ -123,22 +156,56 @@ object PlanSpec {
           s"PlanSpec.withSchemasFrom: plan reads source table '$t' but got " +
             s"[${sources.keys.toSeq.sorted.mkString(", ")}]")).schema.toDDL
       }.toMap)
+
+    /** This plan with an explicit evolution policy for `table` — the
+      * opt-in that lets [[execute]] bind a renamed and/or widened source
+      * (see [[SourceEvolution]]); everything else still refuses.
+      */
+    def withEvolution(table: String, renames: Map[String, String] = Map.empty,
+        allowWidening: Boolean = false): Plan =
+      copy(evolution = evolution +
+        (table -> SourceEvolution(renames, allowWidening)))
   }
 
-  private val Version = 1
+  /** Format versions. v1 is the original node vocabulary; v2 adds the
+    * root-level `sources` (recorded schemas) and `evolution` blocks.
+    * [[toJson]] stamps the LOWEST version that can carry the plan — a
+    * plan using no v2 feature still replays on a v1 reader, while a v1
+    * reader meeting a v2 plan refuses loudly instead of silently
+    * dropping its drift gate (a v1 reader ignores unknown root fields;
+    * review-found). LEGACY exception: this engine's r16 build wrote
+    * `sources` while still stamping v1, so v1 + `sources` is accepted on
+    * read; `evolution` strictly requires v2.
+    */
+  private val Version = 2
+  private val MinVersion = 1
 
   // ---- JSON ----
 
   def toJson(plan: Plan): String = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = om.createObjectNode()
-    root.put("version", Version)
+    // lowest version that carries the plan (see the Version doc)
+    root.put("version",
+      if (plan.sourceSchemas.nonEmpty || plan.evolution.nonEmpty) Version
+      else MinVersion)
     root.put("result", plan.result)
     if (plan.sourceSchemas.nonEmpty) {
       // sorted for bit-stable re-serialization
       val so = root.putObject("sources")
       plan.sourceSchemas.toSeq.sortBy(_._1).foreach { case (t, ddl) =>
         so.put(t, ddl)
+      }
+    }
+    if (plan.evolution.nonEmpty) {
+      val eo = root.putObject("evolution")
+      plan.evolution.toSeq.sortBy(_._1).foreach { case (t, ev) =>
+        val o = eo.putObject(t)
+        if (ev.renames.nonEmpty) {
+          val ro = o.putObject("renames")
+          ev.renames.toSeq.sortBy(_._1).foreach { case (a, b) => ro.put(a, b) }
+        }
+        if (ev.allowWidening) o.put("allowWidening", true)
       }
     }
     val arr = root.putArray("nodes")
@@ -201,7 +268,8 @@ object PlanSpec {
   def fromNode(root: com.fasterxml.jackson.databind.JsonNode): Plan = {
     require(root != null && root.isObject, "PlanSpec: not a JSON object")
     val v = root.path("version").asInt(-1)
-    require(v == Version, s"PlanSpec: unsupported plan version $v (this reader: $Version)")
+    require(v >= MinVersion && v <= Version,
+      s"PlanSpec: unsupported plan version $v (this reader: $MinVersion..$Version)")
     val nodesArr = root.path("nodes")
     require(nodesArr.isArray && nodesArr.size > 0, "PlanSpec: missing nodes array")
     import scala.jdk.CollectionConverters._
@@ -269,7 +337,8 @@ object PlanSpec {
       }
     }.toIndexedSeq
     // optional sources map (name -> DDL); when present it must be
-    // well-formed — a half-readable schema record is a half-understood plan
+    // well-formed — a half-readable schema record is a half-understood
+    // plan. Accepted at v1 too (the r16 legacy stamping; Version doc)
     val schemas = Option(root.get("sources")).map { so =>
       require(so.isObject, "PlanSpec: field 'sources' is not an object")
       so.properties().asScala.map { e =>
@@ -278,7 +347,28 @@ object PlanSpec {
         e.getKey -> e.getValue.asText
       }.toMap
     }.getOrElse(Map.empty[String, String])
-    Plan(nodes, reqInt(root, "result"), schemas)
+    val evolution = Option(root.get("evolution")).map { eo =>
+      require(v >= 2, s"PlanSpec: 'evolution' requires plan version >= 2 (got $v)")
+      require(eo.isObject, "PlanSpec: field 'evolution' is not an object")
+      eo.properties().asScala.map { e =>
+        val o = e.getValue
+        require(o.isObject, s"PlanSpec: evolution['${e.getKey}'] is not an object")
+        val renames = Option(o.get("renames")).map { ro =>
+          require(ro.isObject, s"PlanSpec: evolution['${e.getKey}'].renames is not an object")
+          ro.properties().asScala.map { r =>
+            require(r.getValue.isTextual,
+              s"PlanSpec: evolution['${e.getKey}'].renames['${r.getKey}'] is not a string")
+            r.getKey -> r.getValue.asText
+          }.toMap
+        }.getOrElse(Map.empty[String, String])
+        val widening = Option(o.get("allowWidening")).map { w =>
+          require(w.isBoolean, s"PlanSpec: evolution['${e.getKey}'].allowWidening is not a boolean")
+          w.asBoolean
+        }.getOrElse(false)
+        e.getKey -> SourceEvolution(renames, widening)
+      }.toMap
+    }.getOrElse(Map.empty[String, SourceEvolution])
+    Plan(nodes, reqInt(root, "result"), schemas, evolution)
   }
 
   /** Persist to a single JSON file (manifests' [[graft.sources.ArtifactJson]]
@@ -313,8 +403,10 @@ object PlanSpec {
             throw new IllegalArgumentException(
               s"PlanSpec: plan reads source table '$t' but execute() got " +
                 s"[${sources.keys.toSeq.sorted.mkString(", ")}]"))
-          plan.sourceSchemas.get(t).foreach(checkSourceSchema(t, _, df))
-          df
+          plan.sourceSchemas.get(t) match {
+            case Some(ddl) => bindSource(t, ddl, df, plan.evolution.get(t))
+            case None => df
+          }
         case Identity(in) => out(in)
         case SelectCols(in, idx) => KTable(out(in)).selectColumns(idx: _*).df
         case DropCols(in, idx) => KTable(out(in)).dropColumns(idx: _*).df
@@ -346,10 +438,17 @@ object PlanSpec {
   /** The drift gate: the bound frame must match the recorded schema
     * POSITIONALLY on names and types — the binding contract the plan's
     * index-addressed ops rely on. Nullability/metadata deltas pass (they
-    * are snapshot details that cannot re-bind an index). Failures name
-    * the table and the first differing position.
+    * are snapshot details that cannot re-bind an index). An explicit
+    * [[SourceEvolution]] relaxes exactly its declared axes: a recorded
+    * rename matches the current name (and the returned frame is
+    * normalized BACK to the authored names, so SQL text and output
+    * columns replay as authored), and under `allowWidening` the current
+    * type may be a lossless widening of the authored one (the data keeps
+    * its wider type). Failures name the table and the first differing
+    * position.
     */
-  private def checkSourceSchema(table: String, ddl: String, df: DataFrame): Unit = {
+  private def bindSource(table: String, ddl: String, df: DataFrame,
+      ev: Option[SourceEvolution]): DataFrame = {
     val want = org.apache.spark.sql.types.StructType.fromDDL(ddl)
     val got = df.schema
     require(got.length == want.length,
@@ -364,12 +463,43 @@ object PlanSpec {
       // 4.1.2), so a raw dataType compare would refuse a plan's OWN
       // authoring source whenever it carries e.g. collect_list's
       // containsNull=false array (review-found)
-      require(w.name == g.name && nullNormalized(w.dataType) == nullNormalized(g.dataType),
+      val nameOk = w.name == g.name ||
+        ev.exists(_.renames.get(w.name).contains(g.name))
+      val typeOk = nullNormalized(w.dataType) == nullNormalized(g.dataType) ||
+        ev.exists(_.allowWidening) && widens(w.dataType, g.dataType)
+      require(nameOk && typeOk,
         s"PlanSpec: source '$table' column $i is ${g.name}: " +
           s"${g.dataType.simpleString} but the plan was authored against " +
           s"${w.name}: ${w.dataType.simpleString} - the source drifted " +
           "(reordered, renamed, or retyped); refusing to bind positional " +
-          "ops against it")
+          "ops against it. If the drift is a pure rename or a lossless " +
+          "type widening, declare it explicitly with Plan.withEvolution")
+    }
+    // normalize a renamed source back to the authored names (positions
+    // just verified, so a positional rename is exact); widened columns
+    // keep their current, wider type
+    if (ev.exists(_.renames.nonEmpty)) df.toDF(want.fieldNames.toIndexedSeq: _*)
+    else df
+  }
+
+  /** `g` is `w` or a lossless widening of it, recursively. */
+  private def widens(w: org.apache.spark.sql.types.DataType,
+      g: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (w, g) match {
+      case (a, b) if nullNormalized(a) == nullNormalized(b) => true
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (a: StructType, b: StructType) =>
+        a.length == b.length && a.fields.zip(b.fields).forall { case (x, y) =>
+          x.name == y.name && widens(x.dataType, y.dataType)
+        }
+      case (a: ArrayType, b: ArrayType) => widens(a.elementType, b.elementType)
+      case (a: MapType, b: MapType) =>
+        widens(a.keyType, b.keyType) && widens(a.valueType, b.valueType)
+      case _ => false
     }
   }
 

@@ -250,6 +250,39 @@ object CoreQueries {
         .orderBy(col("l_returnflag"), col("band"))
     }),
 
+    // Schema EVOLUTION under the drift gate (r17): the plan is authored
+    // with a recorded schema, then replayed over a source that RENAMED a
+    // column (l_extendedprice -> price) and WIDENED another
+    // (l_linenumber int -> bigint). Default replay refuses both drifts
+    // (PlanSpecSpec pins the refusal); with the persisted opt-in
+    // (Plan.withEvolution: the rename declared, widening allowed) the
+    // replay binds, normalizes the names back to the authored ones, and
+    // yields row-identical results — the oracle runs the authored SQL on
+    // the UN-drifted table.
+    "q_plan_persist_evolve" -> ((s, dir) => {
+      import graft.plans.PlanSpec
+      import graft.plans.PlanSpec._
+      val authored = t(s, dir, "lineitem")
+      val plan = Plan(Vector(
+        Source("lineitem"),
+        FilterRows(0, "l_quantity > 30 AND l_discount <= 0.05"),
+        AppendMap(1, Seq("gross" -> "l_quantity * l_extendedprice")),
+        MapCols(2, Seq(
+          "l_orderkey" -> "l_orderkey",
+          "l_linenumber" -> "l_linenumber",
+          "l_quantity" -> "l_quantity",
+          "gross" -> "gross"))), result = 3)
+        .withSchemasFrom(Map("lineitem" -> authored))
+        .withEvolution("lineitem",
+          renames = Map("l_extendedprice" -> "price"), allowWidening = true)
+      val drifted = authored
+        .withColumnRenamed("l_extendedprice", "price")
+        .withColumn("l_linenumber", col("l_linenumber").cast("bigint"))
+      val reloaded = PlanSpec.fromJson(PlanSpec.toJson(plan)) // real round-trip
+      PlanSpec.execute(reloaded, Map("lineitem" -> drifted))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("gross"))
+    }),
+
     // §7.1 minimum slice: scan → filter → project → slice.
     // row provenance attach: Spark's hidden _metadata struct surfaces the
     // physical (file, row-offset) identity of every row — the audit /
@@ -507,6 +540,13 @@ object CoreQueries {
         |  UNION ALL
         |  SELECT * FROM lineitem WHERE l_quantity < 5)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the evolved replay must equal the AUTHORED query on the un-drifted
+    // table (names normalized back; l_linenumber rides wider as BIGINT)
+    "q_plan_persist_evolve" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  l_quantity, l_quantity * l_extendedprice AS gross
+        |FROM lineitem WHERE l_quantity > 30 AND l_discount <= 0.05
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, gross""".stripMargin,
     // the torn store holds exactly batches 0-1 = the first 4096 doc_ids
     "q_arrow_partial_scan" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,

@@ -253,7 +253,7 @@ class PlanSpecSpec extends SparkSpec {
     val unknown = """{"version":1,"result":0,"nodes":[{"op":"teleport"}]}"""
     assert(intercept[IllegalArgumentException](
       PlanSpec.fromJson(unknown)).getMessage.contains("unknown op"))
-    val newer = """{"version":2,"result":0,"nodes":[{"op":"source","table":"t"}]}"""
+    val newer = """{"version":99,"result":0,"nodes":[{"op":"source","table":"t"}]}"""
     assert(intercept[IllegalArgumentException](
       PlanSpec.fromJson(newer)).getMessage.contains("version"))
     intercept[IllegalArgumentException] { // node 0 reading node 1
@@ -262,6 +262,82 @@ class PlanSpecSpec extends SparkSpec {
     val p = Plan(Vector(Source("missing")), result = 0)
     assert(intercept[IllegalArgumentException](
       PlanSpec.execute(p, Map.empty)).getMessage.contains("missing"))
+  }
+
+  test("schema evolution opt-in: renamed/widened sources refused by default, " +
+      "bound exactly under a DECLARED SourceEvolution, never beyond it") {
+    val t0 = Seq(("a", 1, 2L), ("b", 5, 6L)).toDF("k", "v", "w")
+    val authored = Plan(Vector(
+      Source("t"),
+      SelectCols(0, Seq(1, 0)),                       // positional: (v, k)
+      AppendMap(1, Seq("v10" -> "v * 10"))            // SQL text: authored name
+    ), result = 2).withSchemasFrom(Map("t" -> t0))
+    // the drifted source: 'v' renamed to 'val', 'w' untouched
+    val renamed = t0.withColumnRenamed("v", "val")
+    val eDefault = intercept[IllegalArgumentException] {
+      PlanSpec.execute(authored, Map("t" -> renamed))
+    }
+    assert(eDefault.getMessage.contains("drifted") &&
+      eDefault.getMessage.contains("withEvolution"), eDefault.getMessage)
+    // opt-in rename: binds, SQL text replays as authored, output carries
+    // the AUTHORED names, values identical to the un-drifted replay
+    val evolved = authored.withEvolution("t", renames = Map("v" -> "val"))
+    val back = PlanSpec.fromJson(PlanSpec.toJson(evolved)) // v2 round-trip
+    assert(back == evolved)
+    assert(PlanSpec.toJson(back) == PlanSpec.toJson(evolved))
+    val got = PlanSpec.execute(back, Map("t" -> renamed))
+    assert(got.columns.toSeq == Seq("v", "k", "v10"))
+    assert(canon(got) == canon(PlanSpec.execute(authored, Map("t" -> t0))))
+    // the declared rename does NOT wave through a DIFFERENT current name
+    val otherName = t0.withColumnRenamed("v", "value")
+    intercept[IllegalArgumentException] {
+      PlanSpec.execute(back, Map("t" -> otherName))
+    }
+    // widening: int->long refused by default, exact under allowWidening,
+    // and NARROWING is never accepted (long->int under the same flag)
+    val widenedSrc = t0.withColumn("v", col("v").cast("bigint"))
+    intercept[IllegalArgumentException] {
+      PlanSpec.execute(authored, Map("t" -> widenedSrc))
+    }
+    val widening = authored.withEvolution("t", allowWidening = true)
+    val back2 = PlanSpec.fromJson(PlanSpec.toJson(widening))
+    val gotW = PlanSpec.execute(back2, Map("t" -> widenedSrc))
+    assert(gotW.schema("v").dataType.typeName == "long", "data keeps its wider type")
+    assert(canon(gotW) == canon(PlanSpec.execute(authored, Map("t" -> t0))))
+    val narrowedSrc = t0.withColumn("w", col("w").cast("int"))
+    val eNarrow = intercept[IllegalArgumentException] {
+      PlanSpec.execute(back2, Map("t" -> narrowedSrc))
+    }
+    assert(eNarrow.getMessage.contains("drifted"), eNarrow.getMessage)
+    // author-time validation: evolution needs a recorded schema, and its
+    // rename keys must be authored columns
+    intercept[IllegalArgumentException] {
+      Plan(Vector(Source("t")), 0).withEvolution("t", Map("v" -> "val"))
+    }
+    intercept[IllegalArgumentException] {
+      authored.withEvolution("t", renames = Map("nope" -> "val"))
+    }
+  }
+
+  test("format versions: plain plans still write v1; v2 features stamp v2; " +
+      "legacy v1+sources accepted; evolution at v1 refused") {
+    // a plan with no v2 feature stays readable by a v1 reader
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    assert(om.readTree(PlanSpec.toJson(everyOp)).get("version").asInt == 1)
+    val t0 = Seq(("a", 1L)).toDF("k", "v")
+    val schemad = Plan(Vector(Source("t")), 0).withSchemasFrom(Map("t" -> t0))
+    assert(om.readTree(PlanSpec.toJson(schemad)).get("version").asInt == 2)
+    // the r16 legacy stamping (sources under v1) still loads
+    val legacy = """{"version":1,"result":0,"sources":{"t":"k STRING,v BIGINT"},""" +
+      """"nodes":[{"op":"source","table":"t"}]}"""
+    assert(PlanSpec.fromJson(legacy).sourceSchemas == Map("t" -> "k STRING,v BIGINT"))
+    // evolution under v1 is a half-understood plan: refused with the
+    // version named (no legacy writer ever produced this shape)
+    val evoV1 = """{"version":1,"result":0,"sources":{"t":"k STRING,v BIGINT"},""" +
+      """"evolution":{"t":{"allowWidening":true}},""" +
+      """"nodes":[{"op":"source","table":"t"}]}"""
+    assert(intercept[IllegalArgumentException](
+      PlanSpec.fromJson(evoV1)).getMessage.contains("version"))
   }
 
   test("expressions re-optimize on replay: filter over parquet still pushes down") {
