@@ -106,11 +106,8 @@ object Layout {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
-    val it = fs.listFiles(root, true)
-    val files = Iterator.continually(it)
-      .takeWhile(_.hasNext).map(_.next())
+    val files = FsWalk.files(fs, root)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .toSeq
     val rows = files.map { s =>
       val reader = ParquetFileReader.open(HadoopInputFile.fromStatus(s, conf))
       try {

@@ -149,21 +149,15 @@ object SegmentCompaction {
   }
 
   /** Recursive file inventory of `root`: (path relative to root, length),
-    * sorted. Empty when `root` does not exist.
+    * sorted. Empty when `root` does not exist. [[FsWalk]] keeps this a
+    * true metadata listing (local `listFiles` costs ~6 ms/file).
     */
   private def inventory(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): Seq[(String, Long)] = {
-    if (!fs.exists(root)) Seq.empty
-    else {
-      val base = fs.makeQualified(root).toUri.getPath.stripSuffix("/") + "/"
-      val it = fs.listFiles(root, true)
-      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-      while (it.hasNext) {
-        val s = it.next()
-        buf += ((fs.makeQualified(s.getPath).toUri.getPath.stripPrefix(base), s.getLen))
-      }
-      buf.sortBy(_._1).toSeq
-    }
+    val base = fs.makeQualified(root).toUri.getPath.stripSuffix("/") + "/"
+    FsWalk.files(fs, root)
+      .map(s => (fs.makeQualified(s.getPath).toUri.getPath.stripPrefix(base), s.getLen))
+      .sortBy(_._1)
   }
 
   /** The inventory recorded in the marker, or None for a legacy (empty /
@@ -191,14 +185,18 @@ object SegmentCompaction {
     if (inv.isEmpty) None else Some(inv)
   }
 
-  /** Every recorded file present under `root` at its recorded length. */
+  /** Every recorded file present under `root` at its recorded length.
+    * ONE recursive listing + map compare, not a per-file `getFileStatus`
+    * loop: recovery verifies the whole inventory, and on an object store
+    * a many-thousand-file segs tree would otherwise be a driver-side
+    * metadata storm of N HEAD calls (one LIST page ≈ 1000 keys).
+    * Measured at the many-file tier: `ScaleProbe compaction_recovery`.
+    */
   private def complete(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path, inv: Seq[(String, Long)]): Boolean =
-    inv.forall { case (rel, len) =>
-      val f = new org.apache.hadoop.fs.Path(root, rel)
-      try fs.getFileStatus(f).getLen == len
-      catch { case _: java.io.FileNotFoundException => false }
-    }
+      root: org.apache.hadoop.fs.Path, inv: Seq[(String, Long)]): Boolean = {
+    val have = inventory(fs, root).toMap
+    inv.forall { case (rel, len) => have.get(rel).contains(len) }
+  }
 
   private def finishSwap(fs: org.apache.hadoop.fs.FileSystem, dir: String): Unit = {
     val segs = new org.apache.hadoop.fs.Path(s"$dir/segs")

@@ -220,9 +220,7 @@ object TableWriter {
     if (!fs.exists(p)) (0L, 0L)
     else {
       var n = 0L; var b = 0L
-      val it = fs.listFiles(p, true)
-      while (it.hasNext) {
-        val f = it.next()
+      graft.sources.FsWalk.files(fs, p).foreach { f =>
         val name = f.getPath.getName
         // skip hidden files AND files inside hidden dirs (_temporary)
         val hidden = {

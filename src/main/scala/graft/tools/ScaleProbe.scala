@@ -1024,6 +1024,45 @@ object ScaleProbe {
           f""""torn_rows":$nTorn,"torn_read_s":$tTorn%.1f,""" +
           s""""torn_full_kb":${bTornFull / 1000},"torn_pruned_kb":${bTornPruned / 1000},""" +
           f""""torn_pruned_s":${prunedAgg._2}%.1f}""")
+      case "compaction_recovery" =>
+        // the swap protocol's driver-side metadata cost at FILE scale
+        // (r16 verdict What's-wrong #3): commitMarker re-lists the staged
+        // tree and recovery verifies the whole inventory. The axis is
+        // file COUNT, not data volume — a deliberately over-bucketed
+        // store makes a many-thousand-file segs tree from small data.
+        import graft.dedup.MinHashStore
+        import graft.sources.SegmentCompaction
+        val parent = java.nio.file.Files.createTempDirectory("probe_compact_rec")
+        cleanupOnExit(parent)
+        val dir = parent.toString + "/mh"
+        // contiguous id ranges per segment (the append monotonic-id guard)
+        val corpus = docs.where(col("doc_id") < 4000).cache()
+        timed("build seg0")(MinHashStore.build(
+          corpus.where(col("doc_id") < 1000), "text", "doc_id",
+          dir, nBuckets = 512))
+        (1 until 4).foreach(k => timed(s"append seg$k")(MinHashStore.append(
+          corpus.where(col("doc_id") >= k * 1000 && col("doc_id") < (k + 1) * 1000),
+          "text", "doc_id", dir, segmentId = k.toLong)))
+        def fileCount(p: String): Long = {
+          val fs = new org.apache.hadoop.fs.Path(p)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          graft.sources.FsWalk.files(fs, new org.apache.hadoop.fs.Path(p)).size.toLong
+        }
+        val nSegs = fileCount(s"$dir/segs")
+        timed("fold to staging")(MinHashStore.compactTo(spark, dir, s"$dir/_compact"))
+        val nStaged = fileCount(s"$dir/_compact/segs")
+        val t0 = System.nanoTime()
+        SegmentCompaction.commitMarker(spark, dir)
+        val tMarker = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        require(SegmentCompaction.recover(spark, dir), "expected a roll-forward")
+        val tRecover = (System.nanoTime() - t1) / 1e9
+        require(MinHashStore.committedSegments(spark, dir) == Seq(0L))
+        System.err.println(f"[probe] segs files $nSegs, staged $nStaged; " +
+          f"commitMarker $tMarker%.2f s, recover (verify+swap) $tRecover%.2f s")
+        println(s"""{"mode":"compaction_recovery","segs_files":$nSegs,""" +
+          f""""staged_files":$nStaged,"marker_s":$tMarker%.2f,""" +
+          f""""recover_s":$tRecover%.2f}""")
       case "arrow_partial_split" =>
         // within-file fan-out (r17): ONE huge in-flight file — the
         // migration shape where the r16 reader was a single serial task.
