@@ -68,27 +68,45 @@ object AppendLease {
   /** Create the lease file exclusively, translating a refused create into
     * the triage-carrying failure. Opt-in auto-reclaim: when
     * `spark.graft.lease.autoReclaimSec` is set and the existing lease is
-    * older, delete it and retry the exclusive create ONCE (the retry is
-    * itself exclusive, so two reclaiming waiters still elect one winner).
+    * older, CLAIM the stale file by atomic rename and retry the exclusive
+    * create ONCE — so of two reclaiming waiters exactly one enters and
+    * the other fails loud against the winner's fresh lease.
     */
   private def acquire(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
       lease: org.apache.hadoop.fs.Path, storeName: String): Unit =
     try createExclusive(fs, lease)
     catch {
       case e: java.io.IOException =>
-        val reclaimSec = spark.conf.getOption("spark.graft.lease.autoReclaimSec")
-          .map(_.toLong)
+        val reclaimSec = confSec(spark, "spark.graft.lease.autoReclaimSec")
         val age = leaseAgeSec(fs, lease)
         if (reclaimSec.exists(r => age.exists(_ > r))) {
           System.err.println(s"[AppendLease] $storeName: auto-reclaiming " +
             s"stale lease $lease (${holderInfo(fs, lease)}; " +
             s"spark.graft.lease.autoReclaimSec=${reclaimSec.get})")
-          fs.delete(lease, false)
+          // claim the STALE file by atomic RENAME, not delete: with a
+          // plain delete two reclaiming waiters interleave as A.delete,
+          // A.create, B.delete (removing A's FRESH lease), B.create —
+          // both inside. Rename of one source succeeds for exactly one
+          // waiter; the loser falls through to the retry create and
+          // fails loud against the winner's fresh lease (review-found)
+          val claim = new org.apache.hadoop.fs.Path(lease.getParent,
+            s"_LEASE.reclaimed.${ProcessHandle.current().pid()}.${System.nanoTime()}")
+          if (try fs.rename(lease, claim) catch { case _: java.io.IOException => false })
+            fs.delete(claim, false)
           try createExclusive(fs, lease)
           catch { case e2: java.io.IOException =>
             throw refused(spark, fs, lease, storeName, e2) }
         } else throw refused(spark, fs, lease, storeName, e)
     }
+
+  /** A `spark.graft.lease.*` seconds knob; malformed values fail with the
+    * knob named instead of a bare NumberFormatException mid-acquire.
+    */
+  private def confSec(spark: SparkSession, key: String): Option[Long] =
+    spark.conf.getOption(key).map(v => try v.trim.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"AppendLease: $key must be a number of seconds, got '$v'")
+    })
 
   /** True exclusive create: `java.nio` `O_EXCL` for local paths (Hadoop's
     * RawLocalFileSystem `create(overwrite=false)` is exists-then-create —
@@ -114,7 +132,7 @@ object AppendLease {
   private def refused(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
       lease: org.apache.hadoop.fs.Path, storeName: String,
       cause: java.io.IOException): IllegalStateException = {
-    val warnSec = spark.conf.get("spark.graft.lease.staleWarnSec", "3600").toLong
+    val warnSec = confSec(spark, "spark.graft.lease.staleWarnSec").getOrElse(3600L)
     val stale = leaseAgeSec(fs, lease) match {
       case Some(age) if age > warnSec =>
         s" NOTE: this lease looks STALE (age ${age}s > spark.graft.lease." +

@@ -364,6 +364,11 @@ class SegmentCompactionSpec extends SparkSpec {
       val got = AppendLease.withLease(spark, dir, "T") { 7 }
       assert(got == 7)
       assert(!fs.exists(lease), "reclaimed lease must release after the body")
+      // the rename-claimed stale file is cleaned up (the rename, not a
+      // bare delete, is what keeps two reclaiming waiters from both
+      // entering - only the rename winner retries the create)
+      assert(!fs.listStatus(p(dir)).exists(_.getPath.getName.startsWith("_LEASE.reclaimed")),
+        "reclaim must not leave claim debris")
       // a YOUNG foreign lease is still respected under the opt-in
       fs.create(lease, false).close()
       intercept[IllegalStateException] {
