@@ -156,11 +156,25 @@ class PlanSpecSpec extends SparkSpec {
       val schemas =
         if (rnd.nextBoolean()) Map(src -> "a BIGINT,s STRING,v DOUBLE")
         else Map.empty[String, String]
-      val plan = Plan(nodes.toVector, rnd.nextInt(n), schemas)
+      // a third of the schema'd plans also carry an evolution block
+      // (r17: rename map / widening flag must round-trip bit-stably and
+      // stamp format v2)
+      val evolution =
+        if (schemas.nonEmpty && rnd.nextInt(3) == 0)
+          Map(src -> SourceEvolution(
+            renames = if (rnd.nextBoolean())
+              Map(Seq("a", "s", "v")(rnd.nextInt(3)) -> randName()) else Map.empty,
+            allowWidening = rnd.nextBoolean()))
+        else Map.empty[String, SourceEvolution]
+      val plan = Plan(nodes.toVector, rnd.nextInt(n), schemas, evolution)
       val json = PlanSpec.toJson(plan)
       val back = PlanSpec.fromJson(json)
       assert(back == plan, s"round $round:\n$json")
       assert(PlanSpec.toJson(back) == json, s"round $round: re-serialization drifted")
+      val ver = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(json).get("version").asInt
+      assert(ver == (if (schemas.nonEmpty || evolution.nonEmpty) 2 else 1),
+        s"round $round: wrong version stamp $ver")
     }
   }
 
