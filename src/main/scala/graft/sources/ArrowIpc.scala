@@ -52,7 +52,14 @@ import scala.jdk.CollectionConverters._
   * Scale shape: one task per FILE (a store is a directory of IPC files,
   * each internally batched — the reference's batch-per-RecordBatch
   * layout), so a 1000-file store fans out across the cluster with no
-  * driver materialization. Each batch converts Arrow vectors DIRECTLY to
+  * driver materialization — and files LARGER than
+  * `spark.graft.arrow.splitBytes` (default 128 MB) additionally fan out
+  * WITHIN the file: byte-bounded record-batch ranges served by parallel
+  * tasks (footer blocks sliced via serveRange here; a planned walk for
+  * footer-less partial files — see [[readPartial]]), so a single huge
+  * file is not a serial read either (sf10: 301 MB file, 18 tasks, 8.6×
+  * footer / 5× partial — `ScaleProbe arrow_partial_split`).
+  * Each batch converts Arrow vectors DIRECTLY to
   * `InternalRow` (single conversion; `UTF8String`/`ArrayData` values, no
   * external-Row detour — measured 1.27× the r6 double-conversion read,
   * 1.44 M rows/s on sf0.1 lineitem; `graft.tools.ArrowReadBench`, numbers
@@ -249,7 +256,7 @@ object ArrowIpc {
     * no longer pays full-width IO.
     *
     * Scale shape: one task per file, and files LARGER than
-    * `spark.graft.arrow.partialSplitBytes` (default 128 MB) additionally
+    * `spark.graft.arrow.splitBytes` (default 128 MB) additionally
     * fan out WITHIN the file — a metadata-only plan walk (bodies skipped
     * positionally) lists the complete batches, which chunk into
     * byte-bounded ranges served by parallel tasks, each replaying the
@@ -342,8 +349,7 @@ object ArrowIpc {
     // yields the complete-batch block list, which chunks into
     // byte-bounded ranges served in parallel. Small files keep the
     // one-task-per-file shape with the plan walked in the task itself.
-    val splitBytes = spark.conf
-      .get("spark.graft.arrow.partialSplitBytes", (128L * 1024 * 1024).toString).toLong
+    val splitBytes = arrowSplitBytes(spark)
     val bigFiles = statuses.collect { case (f, len) if len > splitBytes => f }
     // collected shape is blocks-only: the Arrow Schema pojo is not
     // serializable (and slices re-read the schema message themselves)
@@ -460,12 +466,13 @@ object ArrowIpc {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new HPath(path)
     val fs = p.getFileSystem(conf)
-    val files: Seq[String] =
+    val statuses: Seq[(String, Long)] =
       if (fs.getFileStatus(p).isDirectory)
         fs.listStatus(p).toSeq
           .filter(s => s.isFile && !s.getPath.getName.startsWith(".") && !s.getPath.getName.startsWith("_"))
-          .map(_.getPath.toString).sorted
-      else Seq(path)
+          .map(s => (s.getPath.toString, s.getLen)).sortBy(_._1)
+      else Seq((path, fs.getFileStatus(p).getLen))
+    val files = statuses.map(_._1)
     require(files.nonEmpty, s"no Arrow IPC files under $path")
     val schema = schemaOf(spark, files.head)
     def fieldOf(n: String): StructField =
@@ -500,13 +507,28 @@ object ArrowIpc {
       case Some(names) => StructType(names.map(fieldOf))
     }
     val confB = spark.sparkContext.broadcast(new SerializableWritable(conf))
+    // files above the split threshold fan out WITHIN the file: the
+    // footer IS the plan, so byte-bounded record-batch ranges serve in
+    // parallel via FooterSource's serveRange (footer-GLOBAL indices, so
+    // per-batch statistics skipping stays aligned) — a single huge
+    // complete file no longer reads serially, same as readPartial's
+    // planned splits
+    val splitBytes = arrowSplitBytes(spark)
+    val tasks: Seq[(String, Option[(Int, Int)])] = statuses.flatMap { case (f, len) =>
+      if (len <= splitBytes) Seq((f, None))
+      else {
+        val ranges = chunkRanges(recordBatchBlocks(spark, f).toIndexedSeq, splitBytes)
+        if (ranges.size <= 1) Seq((f, None))
+        else ranges.map(r => (f, Some(r)))
+      }
+    }
     val rows = spark.sparkContext
-      .parallelize(files, files.size)
-      .flatMap { file =>
+      .parallelize(tasks, tasks.size)
+      .flatMap { case (file, range) =>
         val c = confB.value.value
         val hp = new HPath(file)
         val hfs = hp.getFileSystem(c)
-        val src = openBatchSource(hfs, hp, readNames, filters)
+        val src = openBatchSource(hfs, hp, readNames, filters, range)
         // cleanup listener FIRST so a partially-drained iterator
         // (limit/take/kill) cannot leak off-heap Arrow buffers, the
         // allocator, or the file handle — and so the invariant check
@@ -539,14 +561,22 @@ object ArrowIpc {
     }
   }
 
+  /** The within-file fan-out threshold shared by the footer-driven and
+    * partial readers (bytes; default 128 MB, the maxPartitionBytes
+    * neighborhood).
+    */
+  private def arrowSplitBytes(spark: SparkSession): Long =
+    spark.conf.get("spark.graft.arrow.splitBytes", (128L * 1024 * 1024).toString).toLong
+
   private def openBatchSource(fs: FileSystem, p: HPath,
       selected: Option[Array[String]] = None,
-      filters: Seq[org.apache.spark.sql.sources.Filter] = Nil): FooterSource = {
+      filters: Seq[org.apache.spark.sql.sources.Filter] = Nil,
+      serveRange: Option[(Int, Int)] = None): FooterSource = {
     val ch = new HadoopSeekableChannel(fs, p)
     val footer =
       try readFooter(ch)
       catch { case t: Throwable => ch.close(); throw t }
-    new FooterSource(ch, footer, selected, filters)
+    new FooterSource(ch, footer, selected, filters, serveRange)
   }
 
   /** Footer-driven batch reader — deliberately NOT [[ArrowFileReader]],
@@ -574,7 +604,8 @@ object ArrowIpc {
     */
   private final class FooterSource(ch: SeekableByteChannel, footer: ArrowFooter,
       selected: Option[Array[String]] = None,
-      filters: Seq[org.apache.spark.sql.sources.Filter] = Nil) {
+      filters: Seq[org.apache.spark.sql.sources.Filter] = Nil,
+      serveRange: Option[(Int, Int)] = None) {
     private val legacyBlock =
       footer.getSchema.getCustomMetadata.asScala.get(LegacyBlockKey).contains("true")
     private val alloc = new RootAllocator(Long.MaxValue)
@@ -655,6 +686,16 @@ object ArrowIpc {
             case (blk, -1) => // dictionary batch: initial, replacement, or delta
               rch.setPosition(blk.getOffset)
               applyDictionaryBatch(MessageSerializer.deserializeDictionaryBatch(rch, blk, alloc))
+            case (_, rbi) if rbi >= 0 && serveRange.exists(_._2 <= rbi) =>
+              // past the slice's last batch: blocks iterate in offset
+              // order, so nothing further can serve — stop (trailing
+              // dictionaries are irrelevant to already-served batches)
+              close()
+            case (_, rbi) if rbi >= 0 && serveRange.exists(_._1 > rbi) =>
+              // before the slice: skipped positionally (dictionary
+              // blocks never reach the range cases, so the slice still
+              // replays every preceding dictionary message)
+              ()
             case (_, rbi) if skipBatch.exists(_(rbi)) =>
               // statistics prove no row here can pass the filters: the
               // block is skipped whole — not even its metadata is read

@@ -1090,9 +1090,9 @@ object ScaleProbe {
             .collect().head
           (r.getLong(0), r.getLong(1), (System.nanoTime() - t) / 1e9, parts)
         }
-        spark.conf.set("spark.graft.arrow.partialSplitBytes", (f.length() + 1).toString)
+        spark.conf.set("spark.graft.arrow.splitBytes", (f.length() + 1).toString)
         val (nSer, hSer, tSer, pSer) = readStats()
-        spark.conf.set("spark.graft.arrow.partialSplitBytes", (16L * 1024 * 1024).toString)
+        spark.conf.set("spark.graft.arrow.splitBytes", (16L * 1024 * 1024).toString)
         val (nSplit, hSplit, tSplit, pSplit) = readStats()
         require(pSer == 1 && pSplit > 1, s"split shape wrong: $pSer/$pSplit tasks")
         require(nSer == nSplit && hSer == hSplit,
@@ -1114,10 +1114,30 @@ object ScaleProbe {
         require(nTorn == mid.toLong * 4096L,
           s"torn split prefix: $nTorn rows, expected ${mid * 4096L}")
         System.err.println(f"[probe] torn split read $tTorn%.1f s, $nTorn rows")
+        // the FOOTER-driven read over the same complete file: serveRange
+        // slices vs the one-task read (same threshold semantics)
+        def footerStats(): (Long, Long, Double, Int) = {
+          val t = System.nanoTime()
+          val df = ArrowIpc.read(spark, dir)
+          val parts = df.rdd.getNumPartitions
+          val r = df.agg(count(lit(1)), bit_xor(xxhash64(col("doc_id"), col("text"))))
+            .collect().head
+          (r.getLong(0), r.getLong(1), (System.nanoTime() - t) / 1e9, parts)
+        }
+        spark.conf.set("spark.graft.arrow.splitBytes", (f.length() + 1).toString)
+        val (nfSer, hfSer, tfSer, pfSer) = footerStats()
+        spark.conf.set("spark.graft.arrow.splitBytes", (16L * 1024 * 1024).toString)
+        val (nfSp, hfSp, tfSp, pfSp) = footerStats()
+        require(pfSer == 1 && pfSp > 1 && nfSer == nfSp && hfSer == hfSp,
+          s"footer split diverged: $nfSp/$hfSp/$pfSp vs $nfSer/$hfSer/$pfSer")
+        System.err.println(f"[probe] footer serial $tfSer%.1f s vs split " +
+          f"$pfSp-task $tfSp%.1f s (${tfSer / tfSp}%.1fx)")
         println(s"""{"mode":"arrow_partial_split","rows":$nSer,""" +
           f""""file_mb":${f.length() / 1e6}%.0f,"serial_s":$tSer%.1f,""" +
           f""""split_s":$tSplit%.1f,"split_tasks":$pSplit,""" +
-          f""""speedup":${tSer / tSplit}%.1f,"torn_rows":$nTorn,"torn_s":$tTorn%.1f}""")
+          f""""speedup":${tSer / tSplit}%.1f,"torn_rows":$nTorn,"torn_s":$tTorn%.1f,""" +
+          f""""footer_serial_s":$tfSer%.1f,"footer_split_s":$tfSp%.1f,""" +
+          f""""footer_speedup":${tfSer / tfSp}%.1f}""")
       case "arrow_hc" | "arrow_hc_big" =>
         // the lz4hc archival level vs the fast default at the tier:
         // write time + store size + a full read back (values must match).

@@ -300,7 +300,7 @@ class ArrowPartialSpec extends SparkSpec {
       "serves the identical rows (plan + sliced serve, dict state replayed)") {
     // force the split on the 1000-row store: every ~4 KB of batches
     // becomes its own task
-    spark.conf.set("spark.graft.arrow.partialSplitBytes", "4096")
+    spark.conf.set("spark.graft.arrow.splitBytes", "4096")
     try {
       val full = ArrowIpc.read(spark, store)
       val part = ArrowIpc.readPartial(spark, store)
@@ -331,12 +331,56 @@ class ArrowPartialSpec extends SparkSpec {
       val multi = "/root/reference/org.knime.core.columnar.arrow.tests/test_data/" +
         "ZonedDateTime_legacy_files/multiple_batches.arrow"
       if (Files.exists(Paths.get(multi))) {
-        spark.conf.set("spark.graft.arrow.partialSplitBytes", "512")
+        spark.conf.set("spark.graft.arrow.splitBytes", "512")
         val g = ArrowIpc.readPartial(spark, multi)
         assert(g.rdd.getNumPartitions > 1)
         assert(canon(g) == canon(ArrowIpc.read(spark, multi)))
       }
-    } finally spark.conf.unset("spark.graft.arrow.partialSplitBytes")
+    } finally spark.conf.unset("spark.graft.arrow.splitBytes")
+  }
+
+  test("footer-driven read splits big COMPLETE files too: serveRange slices " +
+      "equal the unsplit read - values, pruning, filters (stats skip stays " +
+      "footer-aligned), replacement-dict goldens") {
+    spark.conf.set("spark.graft.arrow.splitBytes", "4096")
+    try {
+      val split = ArrowIpc.read(spark, store)
+      assert(split.rdd.getNumPartitions > 1,
+        s"expected within-file fan-out, got ${split.rdd.getNumPartitions} task(s)")
+      spark.conf.set("spark.graft.arrow.splitBytes", (1L << 40).toString)
+      val whole = ArrowIpc.read(spark, store)
+      assert(whole.rdd.getNumPartitions == 1)
+      spark.conf.set("spark.graft.arrow.splitBytes", "4096")
+      assert(split.schema == whole.schema)
+      assert(canon(split) == canon(whole))
+      // dict values decode in every slice (later slices replay dicts)
+      split.collect().foreach { r =>
+        val i = r.getLong(0).toInt
+        val want = if (i % 9 == 0) null else s"cat_${i % 7}"
+        assert(r.getString(1) == want, s"id=$i dict value mismatch in split read")
+      }
+      // pruning + permute/duplicate across the split
+      assert(canon(ArrowIpc.read(spark, store, Seq("cat", "id", "cat"))) ==
+        canon(whole.select(col("cat"), col("id"), col("cat"))))
+      // FILTERS: per-batch statistics skipping indexes batches by footer
+      // position — serveRange keeps footer-global indices, so a sliced
+      // filtered read must equal the unsplit one exactly
+      import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan}
+      val filtered = ArrowIpc.read(spark, store, Seq("id", "cat"),
+        Seq(GreaterThanOrEqual("id", 300L), LessThan("id", 700L)))
+      assert(filtered.rdd.getNumPartitions > 1)
+      assert(filtered.collect().map(_.getLong(0)).sorted.toSeq == (300L until 700L))
+      // replacement-dictionary + legacy-block goldens under a tiny split
+      val multi = "/root/reference/org.knime.core.columnar.arrow.tests/test_data/" +
+        "ZonedDateTime_legacy_files/multiple_batches.arrow"
+      if (Files.exists(Paths.get(multi))) {
+        spark.conf.set("spark.graft.arrow.splitBytes", "512")
+        val g = ArrowIpc.read(spark, multi)
+        assert(g.rdd.getNumPartitions > 1)
+        spark.conf.set("spark.graft.arrow.splitBytes", (1L << 40).toString)
+        assert(canon(g) == canon(ArrowIpc.read(spark, multi)))
+      }
+    } finally spark.conf.unset("spark.graft.arrow.splitBytes")
   }
 
   test("chunkRanges: covers every batch exactly once in order, ranges bounded " +
