@@ -369,7 +369,16 @@ class ArrowPartialSpec extends SparkSpec {
       val filtered = ArrowIpc.read(spark, store, Seq("id", "cat"),
         Seq(GreaterThanOrEqual("id", 300L), LessThan("id", 700L)))
       assert(filtered.rdd.getNumPartitions > 1)
-      assert(filtered.collect().map(_.getLong(0)).sorted.toSeq == (300L until 700L))
+      val (got, bytesFiltered) = ArrowIpc.bytesReadDuring(
+        filtered.collect().map(_.getLong(0)).sorted.toSeq)
+      assert(got == (300L until 700L))
+      // and the statistics actually SKIP under the split (batches 0 and 3
+      // hold ids outside [300,700) and must never be read) — not just the
+      // residual re-filter doing the work
+      val (_, bytesAll) = ArrowIpc.bytesReadDuring(
+        ArrowIpc.read(spark, store, Seq("id", "cat")).collect())
+      assert(bytesFiltered < bytesAll,
+        s"stats skipping must engage under serveRange: $bytesFiltered vs $bytesAll bytes")
       // replacement-dictionary + legacy-block goldens under a tiny split
       val multi = "/root/reference/org.knime.core.columnar.arrow.tests/test_data/" +
         "ZonedDateTime_legacy_files/multiple_batches.arrow"
