@@ -392,6 +392,34 @@ class ArrowPartialSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.arrow.splitBytes")
   }
 
+  test("split-mode truncation fuzz: arbitrary tears under within-file " +
+      "fan-out still serve exactly the complete-batch prefix (30 cuts)") {
+    // the probe pins ONE mid-message cut on a big file; this fuzzes the
+    // plan+slice path across every tear regime with splits forced on
+    val len = Files.size(Paths.get(partFile))
+    val rnd = new Random(20260818)
+    val cuts = Seq(0L, 8L, len / 2, len) ++ Seq.fill(26)(rnd.nextLong(len + 1))
+    spark.conf.set("spark.graft.arrow.splitBytes", "4096")
+    try cuts.foreach { cut =>
+      val dir = truncCopy(partFile, cut)
+      val got =
+        try Some(ArrowIpc.readPartial(spark, dir).collect())
+        catch {
+          case e: IllegalArgumentException
+            if e.getMessage.contains("no file under") => None // pre-schema tear
+        }
+      val ids = got.toSeq.flatten.map(_.getLong(0)).sorted
+      val m = ids.length
+      assert(ids == (0L until m.toLong), s"cut=$cut: not a clean prefix (split)")
+      assert(m % 256 == 0 || m == 1000, s"cut=$cut: partial batch served (split, $m rows)")
+      got.toSeq.flatten.foreach { r =>
+        val i = r.getLong(0).toInt
+        val want = if (i % 9 == 0) null else s"cat_${i % 7}"
+        assert(r.getString(1) == want, s"cut=$cut id=$i dict value mismatch (split)")
+      }
+    } finally spark.conf.unset("spark.graft.arrow.splitBytes")
+  }
+
   test("chunkRanges: covers every batch exactly once in order, ranges bounded " +
       "by the byte target") {
     val rnd = new Random(7)
