@@ -278,15 +278,49 @@ object ArrowIpc {
     readPartialImpl(spark, path, selected = Some(columns.toArray))
 
   /** One serving task's share of a big in-flight file: a contiguous range
-    * of its complete record batches, plus every dictionary message that
-    * precedes the range's last batch (initial + deltas + replacements —
-    * replaying them in offset order reconstructs exactly the dictionary
-    * state each batch saw; pruned reads still skip unselected ids'
-    * bodies). Blocks are (messageOffset, metadataLength incl. the length
-    * prefix, bodyLength) — the ArrowBlock shape.
+    * of its complete record batches, plus the MINIMAL dictionary messages
+    * the range depends on (see [[sliceDicts]] — replaying them in offset
+    * order reconstructs exactly the dictionary state each batch saw;
+    * pruned reads still skip unselected ids' bodies). Blocks are
+    * (messageOffset, metadataLength incl. the length prefix, bodyLength)
+    * — the ArrowBlock shape.
     */
   private final case class PartialSlice(file: String, schemaBlock: (Long, Int),
       dicts: IndexedSeq[(Long, Int, Long)], recs: IndexedSeq[(Long, Int, Long)])
+
+  /** One planned dictionary message: block span plus the identity the
+    * minimal-replay computation needs (dictionary id; delta vs
+    * initial/replacement).
+    */
+  private[graft] final case class DictMsg(off: Long, metaLen: Int, bodyLen: Long,
+      id: Long, isDelta: Boolean)
+
+  /** The MINIMAL dictionary messages a slice [firstOff, lastOff] of
+    * record batches must replay (r17 shipped the full prefix — correct
+    * but O(file) redundant IO per slice on a replacement-heavy store;
+    * quadratic-ish across slices). Two regimes, both exact:
+    *
+    *  - messages BEFORE the slice's first batch collapse PER ID to the
+    *    last initial/replacement plus its subsequent deltas — that chain
+    *    reconstructs id's state at `firstOff` exactly (earlier replaced
+    *    generations are unreachable from any batch in the slice);
+    *  - messages BETWEEN the first and last batch must ALL ride along:
+    *    they interleave with the slice's own batches (a mid-slice
+    *    replacement changes what the NEXT batch in the slice sees), and
+    *    [[FooterSource]] replays everything in offset order.
+    *
+    * Deltas with no preceding base (foreign writer quirk) keep the whole
+    * chain — never less than the r17 prefix semantics.
+    */
+  private[graft] def sliceDicts(dicts: IndexedSeq[DictMsg], firstOff: Long,
+      lastOff: Long): IndexedSeq[DictMsg] = {
+    val (prefix, interleaved) = dicts.filter(_.off < lastOff).partition(_.off < firstOff)
+    val collapsed = prefix.groupBy(_.id).values.flatMap { msgs =>
+      val lastBase = msgs.lastIndexWhere(!_.isDelta)
+      if (lastBase < 0) msgs else msgs.drop(lastBase)
+    }
+    (collapsed ++ interleaved).toIndexedSeq.sortBy(_.off)
+  }
 
   private def toArrowBlocks(bs: IndexedSeq[(Long, Int, Long)]): java.util.List[ArrowBlock] =
     bs.map { case (off, metaLen, bodyLen) => new ArrowBlock(off, metaLen, bodyLen) }.asJava
@@ -315,12 +349,7 @@ object ArrowIpc {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new HPath(path)
     val fs = p.getFileSystem(conf)
-    val statuses: Seq[(String, Long)] =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).toSeq
-          .filter(s => s.isFile && !s.getPath.getName.startsWith(".") && !s.getPath.getName.startsWith("_"))
-          .map(s => (s.getPath.toString, s.getLen)).sortBy(_._1)
-      else Seq((path, fs.getFileStatus(p).getLen))
+    val statuses = listStoreFiles(fs, p, path)
     require(statuses.nonEmpty, s"no Arrow IPC files under $path")
     // schema: the first file that got far enough to carry one (with
     // concurrent writers ANY file can be torn pre-schema) — a
@@ -353,7 +382,7 @@ object ArrowIpc {
     val bigFiles = statuses.collect { case (f, len) if len > splitBytes => f }
     // collected shape is blocks-only: the Arrow Schema pojo is not
     // serializable (and slices re-read the schema message themselves)
-    val bigPlans: Map[String, ((Long, Int), IndexedSeq[(Long, Int, Long)], IndexedSeq[(Long, Int, Long)])] =
+    val bigPlans: Map[String, ((Long, Int), IndexedSeq[DictMsg], IndexedSeq[(Long, Int, Long)])] =
       if (bigFiles.isEmpty) Map.empty
       else spark.sparkContext.parallelize(bigFiles, bigFiles.size)
         .map { f =>
@@ -371,9 +400,13 @@ object ArrowIpc {
         case None => Seq.empty // torn before schema: zero rows
         case Some((schemaBlock, dicts, recs)) =>
           chunkRanges(recs, splitBytes).map { case (lo, hi) =>
-            val lastOff = recs(hi - 1)._1
+            // minimal dictionary replay per slice: prefix collapsed per
+            // id to the live chain at the slice's first batch, mid-slice
+            // messages kept (they interleave) — see [[sliceDicts]]
             Right(PartialSlice(f, schemaBlock,
-              dicts.filter(_._1 < lastOff), recs.slice(lo, hi)))
+              sliceDicts(dicts, recs(lo)._1, recs(hi - 1)._1)
+                .map(m => (m.off, m.metaLen, m.bodyLen)),
+              recs.slice(lo, hi)))
           }
       }
     }
@@ -391,7 +424,7 @@ object ArrowIpc {
           try task match {
             case Left(f) =>
               partialPlan(ch, f).map(pl => new FooterSource(ch,
-                new ArrowFooter(pl.schema, toArrowBlocks(pl.dicts),
+                new ArrowFooter(pl.schema, toArrowBlocks(pl.dictBlocks),
                   toArrowBlocks(pl.recs), new java.util.HashMap[String, String]()),
                 selected))
             case Right(sl) =>
@@ -466,12 +499,7 @@ object ArrowIpc {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new HPath(path)
     val fs = p.getFileSystem(conf)
-    val statuses: Seq[(String, Long)] =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).toSeq
-          .filter(s => s.isFile && !s.getPath.getName.startsWith(".") && !s.getPath.getName.startsWith("_"))
-          .map(s => (s.getPath.toString, s.getLen)).sortBy(_._1)
-      else Seq((path, fs.getFileStatus(p).getLen))
+    val statuses = listStoreFiles(fs, p, path)
     val files = statuses.map(_._1)
     require(files.nonEmpty, s"no Arrow IPC files under $path")
     val schema = schemaOf(spark, files.head)
@@ -512,16 +540,10 @@ object ArrowIpc {
     // parallel via FooterSource's serveRange (footer-GLOBAL indices, so
     // per-batch statistics skipping stays aligned) — a single huge
     // complete file no longer reads serially, same as readPartial's
-    // planned splits
-    val splitBytes = arrowSplitBytes(spark)
-    val tasks: Seq[(String, Option[(Int, Int)])] = statuses.flatMap { case (f, len) =>
-      if (len <= splitBytes) Seq((f, None))
-      else {
-        val ranges = chunkRanges(recordBatchBlocks(spark, f).toIndexedSeq, splitBytes)
-        if (ranges.size <= 1) Seq((f, None))
-        else ranges.map(r => (f, Some(r)))
-      }
-    }
+    // planned splits. Many big files plan their footers in ONE executor
+    // job, not a serial driver loop (see [[planCompleteTasks]]).
+    val tasks: Seq[(String, Option[(Int, Int)])] =
+      planCompleteTasks(spark, statuses, arrowSplitBytes(spark))
     val rows = spark.sparkContext
       .parallelize(tasks, tasks.size)
       .flatMap { case (file, range) =>
@@ -563,10 +585,97 @@ object ArrowIpc {
 
   /** The within-file fan-out threshold shared by the footer-driven and
     * partial readers (bytes; default 128 MB, the maxPartitionBytes
-    * neighborhood).
+    * neighborhood). Malformed or non-positive values fail with the knob
+    * NAMED (zero/negative would degenerate to one task per record batch).
     */
-  private def arrowSplitBytes(spark: SparkSession): Long =
-    spark.conf.get("spark.graft.arrow.splitBytes", (128L * 1024 * 1024).toString).toLong
+  private[graft] def arrowSplitBytes(spark: SparkSession): Long = {
+    val key = "spark.graft.arrow.splitBytes"
+    val raw = spark.conf.get(key, (128L * 1024 * 1024).toString)
+    val v = try raw.trim.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"ArrowIpc: $key must be a number of bytes, got '$raw'")
+    }
+    require(v > 0, s"ArrowIpc: $key must be positive (got $v); " +
+      "zero/negative would split every record batch into its own task")
+    v
+  }
+
+  /** Task plan for a footer-driven read over `statuses` (file, length):
+    * one task per file, plus within-file record-batch ranges for files
+    * above `splitBytes` — served via [[FooterSource]]'s serveRange with
+    * footer-GLOBAL indices. Big files' footers are read in ONE executor
+    * job (a serial per-file driver loop on an object store with hundreds
+    * of >threshold files would stall the scan before it starts; the
+    * single-big-file case stays a driver read — one footer, no job).
+    * A footer whose record-batch blocks are NOT in ascending offset
+    * order (no known writer produces one, but the format does not forbid
+    * it) falls back to the unsplit one-task read for that file:
+    * serveRange's early-stop and [[chunkRanges]]'s contiguity both assume
+    * offset-sorted blocks, and silently dropping in-range batches is the
+    * one failure mode this reader must never have.
+    */
+  private[graft] def planCompleteTasks(spark: SparkSession,
+      statuses: Seq[(String, Long)], splitBytes: Long): Seq[(String, Option[(Int, Int)])] = {
+    val bigFiles = statuses.collect { case (f, len) if len > splitBytes => f }
+    val bigBlocks: Map[String, IndexedSeq[(Long, Int, Long)]] =
+      if (bigFiles.isEmpty) Map.empty
+      else if (bigFiles.size == 1)
+        Map(bigFiles.head -> recordBatchBlocks(spark, bigFiles.head).toIndexedSeq)
+      else {
+        val confB = spark.sparkContext.broadcast(
+          new SerializableWritable(spark.sparkContext.hadoopConfiguration))
+        spark.sparkContext.parallelize(bigFiles, bigFiles.size)
+          .map { f =>
+            val c = confB.value.value
+            val hp = new HPath(f)
+            val ch = new HadoopSeekableChannel(hp.getFileSystem(c), hp)
+            try f -> readFooter(ch).getRecordBatches.asScala.toIndexedSeq
+              .map(b => (b.getOffset, b.getMetadataLength, b.getBodyLength))
+            finally ch.close()
+          }
+          .collect().toMap
+      }
+    statuses.flatMap { case (f, len) =>
+      if (len <= splitBytes) Seq((f, None))
+      else {
+        val blocks = bigBlocks(f)
+        val ascending = blocks.indices.drop(1).forall(i => blocks(i - 1)._1 < blocks(i)._1)
+        if (!ascending) {
+          System.err.println(s"[ArrowIpc] $f: footer record-batch blocks are not in " +
+            "ascending offset order - serving unsplit (within-file fan-out assumes " +
+            "offset-sorted blocks)")
+          Seq((f, None))
+        } else {
+          val ranges = chunkRanges(blocks, splitBytes)
+          if (ranges.size <= 1) Seq((f, None))
+          else ranges.map(r => (f, Some(r)))
+        }
+      }
+    }
+  }
+
+  /** List the data files of an IPC store path (single file or directory;
+    * hidden/underscore names skipped), with lengths, name-sorted.
+    */
+  private[graft] def listStoreFiles(fs: FileSystem, p: HPath,
+      path: String): Seq[(String, Long)] =
+    if (fs.getFileStatus(p).isDirectory)
+      fs.listStatus(p).toSeq
+        .filter(s => s.isFile && !s.getPath.getName.startsWith(".") && !s.getPath.getName.startsWith("_"))
+        .map(s => (s.getPath.toString, s.getLen)).sortBy(_._1)
+    else Seq((path, fs.getFileStatus(p).getLen))
+
+  /** Open a [[FooterSource]] over one file with an explicit Hadoop conf —
+    * the executor-side entry the DataSourceV2 reader
+    * ([[ArrowIpcDataSource]]) shares with [[readImpl]]'s task closure.
+    */
+  private[sources] def openSourceAt(conf: org.apache.hadoop.conf.Configuration,
+      file: String, selected: Option[Array[String]],
+      filters: Seq[org.apache.spark.sql.sources.Filter],
+      range: Option[(Int, Int)]): FooterSource = {
+    val hp = new HPath(file)
+    openBatchSource(hp.getFileSystem(conf), hp, selected, filters, range)
+  }
 
   private def openBatchSource(fs: FileSystem, p: HPath,
       selected: Option[Array[String]] = None,
@@ -602,7 +711,7 @@ object ArrowIpc {
     * Standard (LZ4-frame / uncompressed) batches go through
     * [[VectorLoader]] with the stock commons-compress factory.
     */
-  private final class FooterSource(ch: SeekableByteChannel, footer: ArrowFooter,
+  private[sources] final class FooterSource(ch: SeekableByteChannel, footer: ArrowFooter,
       selected: Option[Array[String]] = None,
       filters: Seq[org.apache.spark.sql.sources.Filter] = Nil,
       serveRange: Option[(Int, Int)] = None) {
@@ -811,8 +920,11 @@ object ArrowIpc {
   private[graft] final case class PartialPlan(
       schema: org.apache.arrow.vector.types.pojo.Schema,
       schemaBlock: (Long, Int),
-      dicts: IndexedSeq[(Long, Int, Long)],
-      recs: IndexedSeq[(Long, Int, Long)])
+      dicts: IndexedSeq[DictMsg],
+      recs: IndexedSeq[(Long, Int, Long)]) {
+    def dictBlocks: IndexedSeq[(Long, Int, Long)] =
+      dicts.map(m => (m.off, m.metaLen, m.bodyLen))
+  }
 
   private[graft] def partialPlan(ch: SeekableByteChannel, label: String,
       schemaOnly: Boolean = false): Option[PartialPlan] = {
@@ -866,7 +978,7 @@ object ArrowIpc {
         (s, (off, metaTotal))
       case _ => return None
     }
-    val dicts = IndexedSeq.newBuilder[(Long, Int, Long)]
+    val dicts = IndexedSeq.newBuilder[DictMsg]
     val recs = IndexedSeq.newBuilder[(Long, Int, Long)]
     var batches = 0L
     // every planned batch is complete, so stopping at a tear IS the
@@ -895,11 +1007,17 @@ object ArrowIpc {
           // bounds here is the tear's second face (a null header table on
           // a parseable message is corruption, not a tear - the require
           // propagates, same as the footer path)
+          // cls: -1 tear, 0 skip, 1 dictionary (id/isDelta captured for
+          // the minimal-replay slice computation), 2 record batch
+          var dictId = 0L
+          var dictDelta = false
           val cls =
             try meta.headerType() match {
               case org.apache.arrow.flatbuf.MessageHeader.DictionaryBatch =>
-                require(meta.header(new FbDictionaryBatch()).asInstanceOf[FbDictionaryBatch] != null,
+                val dbh = meta.header(new FbDictionaryBatch()).asInstanceOf[FbDictionaryBatch]
+                require(dbh != null,
                   s"$label: dictionary message at $bodyStart has no DictionaryBatch header")
+                dictId = dbh.id(); dictDelta = dbh.isDelta()
                 1
               case org.apache.arrow.flatbuf.MessageHeader.RecordBatch =>
                 require(meta.header(new FbRecordBatch()).asInstanceOf[FbRecordBatch] != null,
@@ -914,7 +1032,7 @@ object ArrowIpc {
             }
           cls match {
             case -1 => walking = false
-            case 1 => dicts += ((off, metaTotal, bodyLen))
+            case 1 => dicts += DictMsg(off, metaTotal, bodyLen, dictId, dictDelta)
             case 2 => recs += ((off, metaTotal, bodyLen)); batches += 1
             case _ => ()
           }

@@ -1,0 +1,210 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.SerializableWritable
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import scala.jdk.CollectionConverters._
+
+/** Arrow IPC as a Catalyst-integrated DataSourceV2 table —
+  * `spark.read.format("arrowipc").load(path)`.
+  *
+  * [[ArrowIpc]]'s native `read(path, columns, filters)` API prunes
+  * columns to their buffer byte ranges and skips record batches via the
+  * footer's per-batch statistics — but as a SIDE-CHANNEL: a user
+  * composing ordinary DataFrame ops over `ArrowIpc.read(path)` got a
+  * full-width scan, because Catalyst cannot push projections or
+  * predicates INTO an RDD-backed plan. The reference wires its pushdown
+  * into the consumer API itself (org.knime.core.data.columnar/…/filter/
+  * TableFilterUtils.java:84-103 — every cursor flows through a
+  * `Selection`), so any consumer benefits without opting in; this
+  * provider is the Spark-idiomatic equivalent. `df.select(...).where(...)`
+  * over the loaded table reaches the SAME selective-IO engine
+  * ([[ArrowIpc.FooterSource]]):
+  *
+  *  - `SupportsPushDownRequiredColumns`: Catalyst's required schema maps
+  *    to the native column selection — unselected columns cost zero body
+  *    IO / decompression / decode (ArrowDsv2Spec asserts byte-equality
+  *    with the native API); an empty requirement (`count(*)`) reads zero
+  *    body bytes.
+  *  - `SupportsPushDownFilters`: every translatable filter is handed to
+  *    the footer-statistics batch skipper ([[ArrowIpc.BatchStatsKey]];
+  *    parquet row-group semantics). Skipping is conservative IO-only
+  *    pruning, so ALL filters are also returned as post-scan residuals —
+  *    Spark re-evaluates them exactly on the surviving rows (the same
+  *    split parquet uses for row-group-level statistics).
+  *  - `planInputPartitions` reuses [[ArrowIpc.planCompleteTasks]]: one
+  *    partition per file, plus within-file record-batch ranges
+  *    (`spark.graft.arrow.splitBytes`, served through FooterSource's
+  *    serveRange with footer-global indices) for big files, whose
+  *    footers plan in one executor job — the 1000-file / single-huge-file
+  *    store fans out across the cluster identically to the native path.
+  *
+  * Writes stay on [[ArrowIpc.write]] (distributed, dictionary-encoding,
+  * stats-collecting); this table is the migration READ surface.
+  */
+final class ArrowIpcDataSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "arrowipc"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val paths = ArrowIpcDataSource.pathsOf(options)
+    val spark = SparkSession.active
+    val statuses = ArrowIpcDataSource.listAll(spark, paths)
+    require(statuses.nonEmpty, s"no Arrow IPC files under ${paths.mkString(", ")}")
+    ArrowIpc.schemaOf(spark, statuses.head._1)
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val paths = ArrowIpcDataSource.pathsOf(new CaseInsensitiveStringMap(properties))
+    new ArrowIpcTable(paths, schema)
+  }
+}
+
+private[sources] object ArrowIpcDataSource {
+  /** The store path(s) from reader options: `load(p)` → "path",
+    * `load(p1, p2, …)` → "paths" (a JSON string array).
+    */
+  def pathsOf(options: CaseInsensitiveStringMap): Seq[String] = {
+    val multi = Option(options.get("paths")).map { js =>
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(js)
+      require(node != null && node.isArray, s"arrowipc: malformed paths option '$js'")
+      node.elements().asScala.map(_.asText()).toSeq
+    }.getOrElse(Seq.empty)
+    val single = Option(options.get("path")).toSeq
+    val all = single ++ multi
+    require(all.nonEmpty,
+      "arrowipc: no path specified - spark.read.format(\"arrowipc\").load(path)")
+    all
+  }
+
+  /** Data files across all paths, name-sorted per path (the store's
+    * file order — q_provenance's contract rides it on the native path).
+    */
+  def listAll(spark: SparkSession, paths: Seq[String]): Seq[(String, Long)] =
+    paths.flatMap { path =>
+      val p = new HPath(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      ArrowIpc.listStoreFiles(fs, p, path)
+    }
+}
+
+private[sources] final class ArrowIpcTable(paths: Seq[String], tableSchema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"arrowipc ${paths.mkString(",")}"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ArrowIpcScanBuilder(paths, tableSchema)
+}
+
+private[sources] final class ArrowIpcScanBuilder(paths: Seq[String], fileSchema: StructType)
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  // Catalyst's required schema, top-level: nested pruning requests (a
+  // struct with a subset of its children) widen back to the full file
+  // field — the engine prunes at buffer granularity per TOP-LEVEL column
+  // (a struct's children share its node/buffer span), and readSchema()
+  // must describe what the scan actually produces.
+  private var requiredNames: Array[String] = fileSchema.fieldNames
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    requiredNames = requiredSchema.fieldNames
+
+  /** Accept every filter whose references resolve into the schema (a
+    * top-level name, or a dotted nested-leaf path rooted at one — the
+    * engine's stats carry dotted-path entries). Skipping is conservative
+    * ([[ArrowIpc.mayMatch]] returns "may match" for anything it cannot
+    * evaluate), so acceptance can only save IO — and ALL filters return
+    * as residuals for Spark's exact post-scan evaluation.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val names = fileSchema.fieldNames.toSet
+    pushed = filters.filter(_.references.forall(r =>
+      names.contains(r) || names.contains(r.takeWhile(_ != '.'))))
+    filters // everything re-evaluates exactly post-scan (stats are IO-only)
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new ArrowIpcScan(paths, fileSchema, requiredNames, pushed)
+}
+
+private[sources] final class ArrowIpcScan(paths: Seq[String], fileSchema: StructType,
+    requiredNames: Array[String], pushed: Array[Filter]) extends Scan with Batch {
+
+  override def readSchema(): StructType =
+    StructType(requiredNames.map(n => fileSchema(n)))
+
+  override def toBatch: Batch = this
+
+  // rendered inside the BatchScan node by explain — the PlanCheck /
+  // .explain surface proving pushdown reached the scan
+  override def description(): String =
+    s"arrowipc PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${readSchema().catalogString}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val statuses = ArrowIpcDataSource.listAll(spark, paths)
+    require(statuses.nonEmpty, s"no Arrow IPC files under ${paths.mkString(", ")}")
+    ArrowIpc.planCompleteTasks(spark, statuses, ArrowIpc.arrowSplitBytes(spark))
+      .map { case (f, range) => ArrowIpcInputPartition(f, range): InputPartition }
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val spark = SparkSession.active
+    // full-width selections pass None: same bytes, and the whole-body
+    // deserialize path beats per-buffer reads when every buffer is wanted
+    val selected =
+      if (requiredNames.toSeq == fileSchema.fieldNames.toSeq) None
+      else Some(requiredNames)
+    new ArrowIpcReaderFactory(
+      new SerializableWritable(spark.sparkContext.hadoopConfiguration),
+      fileSchema.json, selected, pushed)
+  }
+}
+
+private[sources] final case class ArrowIpcInputPartition(
+    file: String, range: Option[(Int, Int)]) extends InputPartition
+
+private[sources] final class ArrowIpcReaderFactory(
+    conf: SerializableWritable[org.apache.hadoop.conf.Configuration],
+    fileSchemaJson: String, selected: Option[Array[String]],
+    filters: Array[Filter]) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val part = partition.asInstanceOf[ArrowIpcInputPartition]
+    val expected = org.apache.spark.sql.types.DataType.fromJson(fileSchemaJson)
+      .asInstanceOf[StructType]
+    val src = ArrowIpc.openSourceAt(conf.value, part.file, selected,
+      filters.toIndexedSeq, part.range)
+    // store invariant (same as the native path): a file whose schema
+    // diverges from the table's fails with the offending PATH
+    if (src.sparkSchema.map(f => (f.name, f.dataType)) != expected.map(f => (f.name, f.dataType))) {
+      src.close()
+      throw new IllegalArgumentException(
+        s"Arrow IPC file ${part.file} schema ${src.sparkSchema.simpleString} differs " +
+          s"from the table schema ${expected.simpleString}")
+    }
+    new PartitionReader[InternalRow] {
+      private val it = src.rows
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { current = it.next(); true } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = src.close()
+    }
+  }
+}

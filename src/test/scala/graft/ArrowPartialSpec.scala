@@ -458,4 +458,111 @@ class ArrowPartialSpec extends SparkSpec {
     }
     assert(last == 1000)
   }
+
+  test("sliceDicts: minimal replay - prefix collapses per id to the last " +
+      "non-delta chain, mid-slice messages ride whole, delta-only chains keep") {
+    import graft.sources.ArrowIpc.DictMsg
+    def d(off: Long, id: Long, delta: Boolean) = DictMsg(off, 8, 8, id, delta)
+    // id 1: replaced at 10, 30, 50; deltas at 40 (on the 30 base), 60.
+    // id 2: initial at 20 only. Slice batches span [100, 200].
+    val dicts = IndexedSeq(
+      d(10, 1, delta = false), d(20, 2, delta = false), d(30, 1, delta = false),
+      d(40, 1, delta = true), d(50, 1, delta = false), d(60, 1, delta = true),
+      d(150, 1, delta = false), d(250, 1, delta = false))
+    val got = ArrowIpc.sliceDicts(dicts, firstOff = 100, lastOff = 200)
+    // kept: id 1's live chain at 100 = (50 base, 60 delta); id 2's initial;
+    // the mid-slice replacement at 150. Dropped: 10, 30, 40 (replaced
+    // generations), 250 (past the slice's last batch).
+    assert(got.map(_.off) == IndexedSeq(20L, 50L, 60L, 150L))
+    // delta-only chain (foreign quirk): nothing collapses
+    val orphan = IndexedSeq(d(10, 3, delta = true), d(20, 3, delta = true))
+    assert(ArrowIpc.sliceDicts(orphan, 100, 200).map(_.off) == IndexedSeq(10L, 20L))
+    // first slice of the file: only mid-slice messages apply
+    assert(ArrowIpc.sliceDicts(dicts, 5, 200).map(_.off) ==
+      IndexedSeq(10L, 20L, 30L, 40L, 50L, 60L, 150L))
+  }
+
+  test("planCompleteTasks: multiple big files plan their footers in ONE " +
+      "executor job, not a serial driver loop") {
+    // three single-file stores, all over a tiny threshold
+    val dirs = (1 to 3).map { k =>
+      val out = tmp(s"ipc_plan_par_$k")
+      ArrowIpc.write(spark.createDataFrame(
+        spark.sparkContext.parallelize(rows(600), 1), schema).orderBy("id"),
+        out, batchRows = 256, dictColumns = Set("cat"))
+      Files.list(Paths.get(out)).toArray.map(_.toString).filter(_.endsWith(".arrow")).head
+    }
+    val statuses = dirs.map(f => (f, Files.size(Paths.get(f))))
+    val sc = spark.sparkContext
+    sc.setJobGroup("arrow_plan_jobs", "footer planning", interruptOnCancel = false)
+    val tasks =
+      try ArrowIpc.planCompleteTasks(spark, statuses, splitBytes = 4096)
+      finally sc.clearJobGroup()
+    def jobs() = sc.statusTracker.getJobIdsForGroup("arrow_plan_jobs")
+    val deadline = System.currentTimeMillis() + 5000
+    while (jobs().isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(jobs().length == 1,
+      s"big-file footer planning must be ONE job - saw ${jobs().length}")
+    // every file fanned out, ranges cover in order
+    dirs.foreach { f =>
+      val ranges = tasks.collect { case (`f`, Some(r)) => r }
+      assert(ranges.size > 1, s"$f did not fan out: $tasks")
+      assert(ranges.head._1 == 0 && ranges.sliding(2).forall {
+        case Seq((_, hi), (lo2, _)) => hi == lo2
+        case _ => true
+      })
+    }
+  }
+
+  test("splitBytes knob: malformed and non-positive values fail with the " +
+      "key named") {
+    for (bad <- Seq("12MB", "0", "-5")) {
+      spark.conf.set("spark.graft.arrow.splitBytes", bad)
+      try {
+        val e = intercept[IllegalArgumentException](ArrowIpc.arrowSplitBytes(spark))
+        assert(e.getMessage.contains("spark.graft.arrow.splitBytes"), e.getMessage)
+      } finally spark.conf.unset("spark.graft.arrow.splitBytes")
+    }
+    assert(ArrowIpc.arrowSplitBytes(spark) == 128L * 1024 * 1024)
+  }
+
+  test("planCompleteTasks: a footer with out-of-order record-batch blocks " +
+      "falls back to the unsplit one-task read (never drops batches)") {
+    // synthesize the pathological footer by rewriting a real file's tail
+    // with its record-batch blocks REVERSED (offsets descending)
+    import org.apache.arrow.vector.ipc.message.ArrowFooter
+    import scala.jdk.CollectionConverters._
+    val bytes = Files.readAllBytes(Paths.get(partFile))
+    val bb = java.nio.ByteBuffer.wrap(bytes, bytes.length - 10, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val footerLen = bb.getInt
+    val footerStart = bytes.length - 10 - footerLen
+    val fb = org.apache.arrow.flatbuf.Footer.getRootAsFooter(
+      java.nio.ByteBuffer.wrap(bytes, footerStart, footerLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).slice())
+    val footer = new ArrowFooter(fb)
+    val reversed = new ArrowFooter(footer.getSchema,
+      footer.getDictionaries, footer.getRecordBatches.asScala.reverse.asJava,
+      footer.getMetaData)
+    val builder = new com.google.flatbuffers.FlatBufferBuilder()
+    builder.finish(reversed.writeTo(builder))
+    val newFooter = builder.dataBuffer()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(bytes, 0, footerStart)
+    val nf = new Array[Byte](newFooter.remaining()); newFooter.get(nf)
+    out.write(nf)
+    val tail = java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    tail.putInt(nf.length); out.write(tail.array())
+    out.write("ARROW1".getBytes("ASCII"))
+    val d = tmp("ipc_ooo_footer")
+    Files.createDirectories(Paths.get(d))
+    val f = Paths.get(d, "part-00000.arrow")
+    Files.write(f, out.toByteArray)
+    val statuses = Seq((f.toString, Files.size(f)))
+    val tasks = ArrowIpc.planCompleteTasks(spark, statuses, splitBytes = 4096)
+    assert(tasks == Seq((f.toString, None)),
+      s"out-of-order footer must serve unsplit: $tasks")
+    // and the unsplit read still serves every row (offset-order replay)
+    assert(ArrowIpc.read(spark, d).count() == 1000L)
+  }
 }
