@@ -39,11 +39,19 @@ object Bench {
     "q_pack_sequences", "q_bpe_train", "q_image_resize", "q_audio_mfcc",
     "q_dsir_weights")
 
-  /** Window adjudication computed against the recorded floors. */
+  /** Window adjudication computed against the recorded floors.
+    * `controlsExcluded` = control-panel lanes DROPPED from the drift
+    * verdict because the floor baseline marks their floors as
+    * re-established (not min-folded) — a re-established control floor
+    * is by definition a window-of-record measurement, so drift against
+    * it is circular; emitting the exclusion in-band keeps the verdict
+    * from silently rotting (r17 verdict task).
+    */
   private[graft] final case class Adjudication(
       nFloored: Int, medianRatio: Double, meanRatio: Double,
       over2x: Seq[String], controlRatios: Seq[(String, Double)],
-      controlDrift: Double, window: String)
+      controlDrift: Double, window: String,
+      controlsExcluded: Seq[String] = Seq.empty)
 
   private[graft] def median(sortedXs: Seq[Double]): Double =
     if (sortedXs.isEmpty) Double.NaN
@@ -59,14 +67,21 @@ object Bench {
     * on an idle machine; per-lane numbers are not floor-comparable).
     */
   private[graft] def adjudicate(results: Seq[(String, Double)],
-      floors: Map[String, Double]): Option[Adjudication] = {
+      floors: Map[String, Double],
+      reestablished: Set[String] = Set.empty): Option[Adjudication] = {
     val ratios = results.collect {
       case (n, b) if b > 0 && floors.get(n).exists(_ > 0) => n -> b / floors(n)
     }
     if (ratios.isEmpty) None
     else {
       val sorted = ratios.map(_._2).sorted
-      val ctrl = ratios.filter(t => controlLanes.contains(t._1))
+      // a control whose floor was RE-ESTABLISHED in the baseline's round
+      // is not a control (its floor is a window measurement, drift
+      // against it is circular) — excluded, and the exclusion is
+      // reported in-band so the panel can't silently rot
+      val excluded = controlLanes.filter(reestablished.contains)
+      val ctrl = ratios.filter(t =>
+        controlLanes.contains(t._1) && !reestablished.contains(t._1))
       val drift = median(ctrl.map(_._2).sorted)
       val window =
         if (ctrl.isEmpty) "no-controls"
@@ -74,7 +89,8 @@ object Bench {
         else if (drift <= 1.6) "elevated"
         else "degraded"
       Some(Adjudication(ratios.size, median(sorted), sorted.sum / sorted.size,
-        ratios.collect { case (n, r) if r > 2.0 => n }, ctrl, drift, window))
+        ratios.collect { case (n, r) if r > 2.0 => n }, ctrl, drift, window,
+        excluded))
     }
   }
 
@@ -87,10 +103,14 @@ object Bench {
         val ctrl = a.controlRatios
           .map { case (n, r) => "\"" + n + "\":" + f"$r%.2f" }.mkString("{", ",", "}")
         val over = a.over2x.map("\"" + _ + "\"").mkString("[", ",", "]")
+        val excl =
+          if (a.controlsExcluded.isEmpty) ""
+          else a.controlsExcluded.map("\"" + _ + "\"")
+            .mkString(""""controls_reestablished":[""", ",", "],")
         s"""{"baseline":"$baseline","n_floored":${a.nFloored},""" +
           f""""median_floor_ratio":${a.medianRatio}%.2f,""" +
           f""""mean_floor_ratio":${a.meanRatio}%.2f,""" +
-          s""""lanes_over_2x_floor":$over,"controls":$ctrl,""" +
+          s""""lanes_over_2x_floor":$over,"controls":$ctrl,$excl""" +
           (if (a.controlDrift.isNaN) s""""window":"${a.window}"}"""
            else f""""control_drift":${a.controlDrift}%.2f,"window":"${a.window}"}""")
     }
@@ -264,7 +284,11 @@ object Bench {
     "q_arrow_partial_pruned",
     // round 17: the drift gate's opt-in evolution path (renamed+widened
     // source bound exactly under a persisted SourceEvolution)
-    "q_plan_persist_evolve"
+    "q_plan_persist_evolve",
+    // round 18: the Catalyst-integrated IPC read (DataSourceV2 pushdown
+    // over spark.read composition - same engine as q_arrow_filtered_scan,
+    // so the lane pair prices the DSv2 integration itself)
+    "q_arrow_dsv2"
   )
 
   def main(args: Array[String]): Unit = {
@@ -324,7 +348,8 @@ object Bench {
     // in-band window adjudication (see object doc): ratios to the
     // recorded floors + the untouched-control drift verdict
     val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "BENCH_floor.json")
-    val adj = adjudicate(guarded, loadFloors(baselinePath, sfDir))
+    val adj = adjudicate(guarded, loadFloors(baselinePath, sfDir),
+      loadReestablished(baselinePath))
     val floors = floorsJson(adj, baselinePath)
     adj.foreach { a =>
       System.err.println(f"[bench] window: ${a.window} (control drift " +
@@ -384,6 +409,24 @@ object Bench {
         }.toMap
       }
     } catch { case _: Exception => Map.empty }
+
+  /** Lanes the floor baseline marks as RE-ESTABLISHED in its own round
+    * (`"reestablished": [...]` — written by the round-close fold for
+    * lanes whose floors were reset rather than min-folded, per
+    * BASELINE.md#floors). Consumed by [[adjudicate]] to drop such lanes
+    * from the control panel. Missing field / file → empty.
+    */
+  private def loadReestablished(baselinePath: String): Set[String] =
+    try {
+      val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(baselinePath))
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+      val arr = if (node != null && node.isObject) node.get("reestablished") else null
+      if (arr == null || !arr.isArray) Set.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        arr.elements().asScala.filter(_.isTextual).map(_.asText()).toSet
+      }
+    } catch { case _: Exception => Set.empty }
 
   private def remeasureOutliers(results: Seq[(String, Double)], sfDir: String,
       cpus: String, runs: Int): Seq[(String, Double)] = {

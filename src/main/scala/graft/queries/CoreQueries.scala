@@ -156,6 +156,23 @@ object CoreQueries {
         .orderBy(col("lang"))
     }),
 
+    // Arrow IPC via DataSourceV2 (r18): the SAME store read through
+    // `spark.read.format("arrowipc")` with ORDINARY DataFrame ops — no
+    // side-channel (columns, filters) API. Catalyst pushes the column
+    // selection and the doc_id range into the scan (ArrowDsv2Spec asserts
+    // byte-equality with the native q_arrow_filtered_scan path; PlanCheck
+    // asserts the BatchScan's PushedFilters/ReadSchema), and every filter
+    // re-evaluates exactly post-scan, so stats can only save IO. Same
+    // aggregate and oracle as q_arrow_filtered_scan: a divergence between
+    // the two read paths = hash mismatch.
+    "q_arrow_dsv2" -> ((s, dir) => {
+      s.read.format("arrowipc").load(docsIpcStore(s, dir))
+        .where(col("doc_id") >= 100L && col("doc_id") < 300L)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"))
+    }),
+
     // Arrow IPC NESTED-leaf filter pushdown (r15): the store's `meta`
     // struct mirrors (doc_id, n_chars, lang); the range filter on the
     // nested leaf `meta.did` batch-skips via the dotted-path footer
@@ -519,6 +536,12 @@ object CoreQueries {
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_arrow_filtered_scan" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id >= 100 AND doc_id < 300
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    // the DSv2 path must land on the identical result via spark.read
+    "q_arrow_dsv2" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE doc_id >= 100 AND doc_id < 300

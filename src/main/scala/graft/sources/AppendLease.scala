@@ -91,12 +91,45 @@ object AppendLease {
           // fails loud against the winner's fresh lease (review-found)
           val claim = new org.apache.hadoop.fs.Path(lease.getParent,
             s"_LEASE.reclaimed.${ProcessHandle.current().pid()}.${System.nanoTime()}")
-          if (try fs.rename(lease, claim) catch { case _: java.io.IOException => false })
-            fs.delete(claim, false)
+          if ((try fs.rename(lease, claim) catch { case _: java.io.IOException => false })
+              && !claimedStale(fs, claim, lease, reclaimSec.get, storeName))
+            throw refused(spark, fs, lease, storeName, e)
           try createExclusive(fs, lease)
           catch { case e2: java.io.IOException =>
             throw refused(spark, fs, lease, storeName, e2) }
         } else throw refused(spark, fs, lease, storeName, e)
+    }
+
+  /** TOCTOU re-verify after a successful rename-claim (review-found):
+    * between OUR staleness check and the rename, a faster reclaimer can
+    * have renamed the stale lease away AND entered with a FRESH lease —
+    * rename is path-based, not inode-based, so the file we just claimed
+    * may be the winner's LIVE lease. The mtime rides the rename, so
+    * staleness is re-checked on the claimed file ITSELF: genuinely stale
+    * (or vanished) → delete it and return true (proceed to the retry
+    * create); fresh → rename it BACK to the lease path and return false
+    * (the caller fails loud like any other refused acquire). If the
+    * rename-back loses to a third waiter's new lease, the stray claim is
+    * NOT deleted — both paths are named for manual triage (this corner
+    * needs two reclaim races inside one mtime window, i.e. a reclaim
+    * timeout already far too short for the store's mutation time).
+    */
+  private[graft] def claimedStale(fs: org.apache.hadoop.fs.FileSystem,
+      claim: org.apache.hadoop.fs.Path, lease: org.apache.hadoop.fs.Path,
+      reclaimSec: Long, storeName: String): Boolean =
+    if (leaseAgeSec(fs, claim).forall(_ > reclaimSec)) {
+      fs.delete(claim, false) // genuinely stale (or already gone)
+      true
+    } else {
+      val restored =
+        try fs.rename(claim, lease)
+        catch { case _: java.io.IOException => false }
+      if (!restored)
+        System.err.println(s"[AppendLease] $storeName: claimed a FRESH " +
+          s"lease in a reclaim race and could not restore it: the live " +
+          s"holder's lease file is now $claim (a newer lease exists at " +
+          s"$lease). Verify the holders and remove the stray file.")
+      false
     }
 
   /** A `spark.graft.lease.*` seconds knob; malformed values fail with the
@@ -123,7 +156,14 @@ object AppendLease {
 
   private def writeCrumb(fs: org.apache.hadoop.fs.FileSystem,
       lease: org.apache.hadoop.fs.Path): Unit = {
-    val crumb = s"pid=${ProcessHandle.current().pid()} time=${java.time.Instant.now()}\n"
+    // host + pid + time: on a shared filesystem the pid alone points
+    // triage at the wrong machine (review-found) — "verify the holder is
+    // dead" needs to know WHERE the pid lives
+    val host =
+      try java.net.InetAddress.getLocalHost.getHostName
+      catch { case _: Exception => "unknown-host" }
+    val crumb = (s"host=$host pid=${ProcessHandle.current().pid()} " +
+      s"time=${java.time.Instant.now()}\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val out = fs.create(lease, true)
     try out.write(crumb) finally out.close()

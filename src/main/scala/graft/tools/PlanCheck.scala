@@ -22,6 +22,15 @@ object PlanCheck {
       // "*(1)" = whole-stage-codegen stage marker; TakeOrderedAndProject =
       // offset+limit folded into a top-k, no global sort
       mustContain = Seq("PushedFilters: [IsNotNull(l_quantity)", "*(1)", "TakeOrderedAndProject")),
+    // DataSourceV2 IPC read: Catalyst pushed the doc_id range and the
+    // pruned column set INTO the BatchScan (r18 - the spark.read
+    // composition path; byte-equality with the native API is asserted in
+    // ArrowDsv2Spec, value-equality by the gate's oracle)
+    Check(
+      "q_arrow_dsv2",
+      mustContain = Seq("BatchScan arrowipc",
+        "GreaterThanOrEqual(doc_id,100)", "LessThan(doc_id,300)",
+        "ReadSchema: struct<doc_id:bigint,lang:string,n_chars:bigint>")),
     // broadcast chosen for the small dim side
     Check("q_join_broadcast", mustContain = Seq("BroadcastHashJoin")),
     Check("q_join_multi", mustContain = Seq("BroadcastHashJoin")),

@@ -73,6 +73,41 @@ class BenchAdjudicationSpec extends AnyFunSuite {
     assert(node.get("n_floored").asInt() == floors.size)
   }
 
+  test("a control whose floor was re-established is excluded from the " +
+      "drift verdict and the exclusion is emitted in-band") {
+    // three controls' floors were reset in the measured window itself
+    // (their ratios read 1.0 BY CONSTRUCTION) while the surviving
+    // controls sit at 1.5x: including them makes an elevated window read
+    // clean — the silent-rot scenario the provenance exists to stop
+    val reset = Set("q_pack_sequences", "q_bpe_train", "q_image_resize")
+    val results = at(1.5, floors.keys).map {
+      case (n, _) if reset.contains(n) => n -> floors(n)
+      case other => other
+    }
+    val honest = Bench.adjudicate(results, floors, reestablished = reset).get
+    assert(honest.controlsExcluded.toSet == reset)
+    assert(math.abs(honest.controlDrift - 1.5) < 1e-9,
+      s"excluded controls still moved the drift: ${honest.controlDrift}")
+    assert(honest.window == "elevated")
+    assert(honest.controlRatios.forall(t => !reset.contains(t._1)))
+    // without the provenance the same window adjudicates itself CLEAN
+    val rotted = Bench.adjudicate(results, floors).get
+    assert(rotted.controlDrift < honest.controlDrift)
+    assert(rotted.window == "clean", rotted.toString)
+    // the exclusion rides the json; absent when nothing was excluded
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.readTree(Bench.floorsJson(Some(honest), "BENCH_floor.json"))
+    assert(node.get("controls_reestablished").isArray &&
+      node.get("controls_reestablished").size() == 3)
+    assert(node.get("controls").size() == Bench.controlLanes.size - 3)
+    val plain = om.readTree(Bench.floorsJson(Some(rotted), "BENCH_floor.json"))
+    assert(plain.get("controls_reestablished") == null)
+    // ALL controls re-established -> no-controls, never a fake verdict
+    val none = Bench.adjudicate(results, floors,
+      reestablished = Bench.controlLanes.toSet).get
+    assert(none.window == "no-controls")
+  }
+
   test("a window with no control lanes present reports no-controls and " +
       "omits control_drift (NaN would corrupt the json)") {
     val adj = Bench.adjudicate(at(1.0, Seq("q_a", "q_b", "q_c")), floors)

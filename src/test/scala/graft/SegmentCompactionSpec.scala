@@ -378,6 +378,63 @@ class SegmentCompactionSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.lease.autoReclaimSec")
   }
 
+  test("reclaim TOCTOU: a rename-claim that lands on a FRESH lease (another " +
+      "reclaimer won the window and re-entered) is restored, not deleted") {
+    import graft.sources.AppendLease
+    val dir = tmp("lease_toctou")
+    val fs = fsOf(dir)
+    fs.mkdirs(p(dir))
+    val lease = p(s"$dir/_LEASE")
+    val claim = p(s"$dir/_LEASE.reclaimed.test.1")
+    // the slow waiter's rename claimed a FRESH file (the winner's lease,
+    // mtime = now): claimedStale must put it back and refuse
+    fs.create(claim, false).close()
+    assert(!AppendLease.claimedStale(fs, claim, lease, reclaimSec = 3600, "T"))
+    assert(fs.exists(lease) && !fs.exists(claim),
+      "fresh claim must be renamed back to the lease path")
+    // a genuinely stale claim is deleted and the reclaim proceeds
+    fs.delete(lease, false)
+    fs.create(claim, false).close()
+    fs.setTimes(claim, System.currentTimeMillis() - 2 * 3600 * 1000L, -1)
+    assert(AppendLease.claimedStale(fs, claim, lease, reclaimSec = 3600, "T"))
+    assert(!fs.exists(claim) && !fs.exists(lease))
+    // a vanished claim (FS hiccup mid-race) also proceeds - the retry
+    // create is itself exclusive, so safety rides on it either way
+    assert(AppendLease.claimedStale(fs, claim, lease, reclaimSec = 3600, "T"))
+    // (the rename-back-vs-third-waiter corner is FS-dependent: POSIX
+    // rename overwrites an existing dest, HDFS refuses - claimedStale
+    // refuses the acquire EITHER way, which is the safety property; the
+    // unrestorable-claim triage message is exercised on HDFS semantics
+    // only, so it is not pinned here)
+    fs.create(lease, false).close()
+    fs.create(claim, false).close()
+    assert(!AppendLease.claimedStale(fs, claim, lease, reclaimSec = 3600, "T"))
+    assert(fs.exists(lease))
+    fs.delete(lease, false)
+    if (fs.exists(claim)) fs.delete(claim, false)
+  }
+
+  test("lease breadcrumb carries host + pid + time (shared-filesystem " +
+      "triage needs to know WHERE the pid lives)") {
+    import graft.sources.AppendLease
+    val dir = tmp("lease_crumb")
+    val fs = fsOf(dir)
+    fs.mkdirs(p(dir))
+    val lease = p(s"$dir/_LEASE")
+    // capture the crumb mid-hold (it is deleted on release)
+    var crumb = ""
+    AppendLease.withLease(spark, dir, "T") {
+      val in = fs.open(lease)
+      try {
+        val buf = new Array[Byte](256)
+        val n = math.max(0, in.read(buf))
+        crumb = new String(buf, 0, n, "UTF-8").trim
+      } finally in.close()
+    }
+    assert(crumb.matches("host=\\S+ pid=\\d+ time=\\S+"), s"crumb format: '$crumb'")
+    assert(crumb.contains(s"pid=${ProcessHandle.current().pid()}"))
+  }
+
   test("commitMarker refuses a staged relpath carrying a tab/newline (the " +
       "inventory is line/tab-delimited; a dropped line weakens completeness)") {
     val (dir, _, _) = host()
