@@ -285,7 +285,7 @@ object ArrowIpc {
     * (messageOffset, metadataLength incl. the length prefix, bodyLength)
     * — the ArrowBlock shape.
     */
-  private final case class PartialSlice(file: String, schemaBlock: (Long, Int),
+  private[sources] final case class PartialSlice(file: String, schemaBlock: (Long, Int),
       dicts: IndexedSeq[(Long, Int, Long)], recs: IndexedSeq[(Long, Int, Long)])
 
   /** One planned dictionary message: block span plus the identity the
@@ -344,57 +344,53 @@ object ArrowIpc {
     out.toSeq
   }
 
-  private def readPartialImpl(spark: SparkSession, path: String,
-      selected: Option[Array[String]]): DataFrame = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val p = new HPath(path)
-    val fs = p.getFileSystem(conf)
-    val statuses = listStoreFiles(fs, p, path)
-    require(statuses.nonEmpty, s"no Arrow IPC files under $path")
-    // schema: the first file that got far enough to carry one (with
-    // concurrent writers ANY file can be torn pre-schema) — a
-    // schema-only plan probe, one message deep
-    val schema: StructType = statuses.iterator
+  /** Schema of a partial/in-flight store: the first file that got far
+    * enough to carry a complete schema message (with concurrent writers
+    * ANY file can be torn pre-schema) — a schema-only plan probe, one
+    * message deep. None when no file carries one.
+    */
+  private[sources] def planPartialSchema(spark: SparkSession,
+      statuses: Seq[(String, Long)]): Option[StructType] =
+    statuses.iterator
       .flatMap { case (f, _) =>
         val (ffs, fp) = fsPath(spark, f)
         withChannel(ffs, fp)(ch =>
           partialPlan(ch, f, schemaOnly = true).map(pl => fromArrowSchema(pl.schema)))
       }
       .nextOption()
-      .getOrElse(throw new IllegalArgumentException(
-        s"Arrow IPC partial read: no file under $path carries a complete schema message"))
-    // pruned output schema: requested order, duplicates allowed; unknown
-    // names fail here on the driver, not mid-scan
-    val outSchema = selected match {
-      case None => schema
-      case Some(names) => StructType(names.map(n =>
-        schema.fields.find(_.name == n).getOrElse(throw new IllegalArgumentException(
-          s"column $n not in Arrow IPC schema ${schema.fieldNames.mkString(", ")} ($path)"))))
-    }
-    val confB = spark.sparkContext.broadcast(new SerializableWritable(conf))
-    // files above the split threshold fan out WITHIN the file: a
-    // metadata-only plan walk (an executor task per big file; bodies are
-    // skipped positionally, so a 100 GB file plans in message-count time)
-    // yields the complete-batch block list, which chunks into
-    // byte-bounded ranges served in parallel. Small files keep the
-    // one-task-per-file shape with the plan walked in the task itself.
-    val splitBytes = arrowSplitBytes(spark)
+
+  /** Task plan for a partial/in-flight read: files above the split
+    * threshold fan out WITHIN the file — a metadata-only plan walk (one
+    * executor task per big file; bodies are skipped positionally, so a
+    * 100 GB file plans in message-count time) yields the complete-batch
+    * block list, which chunks into byte-bounded ranges served in
+    * parallel, each slice carrying its MINIMAL dictionary replay set
+    * ([[sliceDicts]]). Small files keep the one-task-per-file shape with
+    * the plan walked in the task itself (Left). A big file torn before
+    * its schema contributes zero tasks.
+    */
+  private[sources] def planPartialTasks(spark: SparkSession,
+      statuses: Seq[(String, Long)], splitBytes: Long): Seq[Either[String, PartialSlice]] = {
     val bigFiles = statuses.collect { case (f, len) if len > splitBytes => f }
     // collected shape is blocks-only: the Arrow Schema pojo is not
     // serializable (and slices re-read the schema message themselves)
     val bigPlans: Map[String, ((Long, Int), IndexedSeq[DictMsg], IndexedSeq[(Long, Int, Long)])] =
       if (bigFiles.isEmpty) Map.empty
-      else spark.sparkContext.parallelize(bigFiles, bigFiles.size)
-        .map { f =>
-          val c = confB.value.value
-          val hp = new HPath(f)
-          val ch = new HadoopSeekableChannel(hp.getFileSystem(c), hp)
-          try f -> partialPlan(ch, f).map(pl => (pl.schemaBlock, pl.dicts, pl.recs))
-          finally ch.close()
-        }
-        .collect().toSeq
-        .collect { case (f, Some(pl)) => f -> pl }.toMap
-    val tasks: Seq[Either[String, PartialSlice]] = statuses.flatMap { case (f, len) =>
+      else {
+        val confB = spark.sparkContext.broadcast(
+          new SerializableWritable(spark.sparkContext.hadoopConfiguration))
+        spark.sparkContext.parallelize(bigFiles, bigFiles.size)
+          .map { f =>
+            val c = confB.value.value
+            val hp = new HPath(f)
+            val ch = new HadoopSeekableChannel(hp.getFileSystem(c), hp)
+            try f -> partialPlan(ch, f).map(pl => (pl.schemaBlock, pl.dicts, pl.recs))
+            finally ch.close()
+          }
+          .collect().toSeq
+          .collect { case (f, Some(pl)) => f -> pl }.toMap
+      }
+    statuses.flatMap { case (f, len) =>
       if (len <= splitBytes) Seq(Left(f))
       else bigPlans.get(f) match {
         case None => Seq.empty // torn before schema: zero rows
@@ -410,41 +406,74 @@ object ArrowIpc {
           }
       }
     }
+  }
+
+  /** Open the serving source for one partial-read task (executor-side;
+    * shared by [[readPartialImpl]]'s closure and the DataSourceV2
+    * partial reader). Left = whole small file, planned here in-task;
+    * Right = a planned slice of a big file. None = the file tore before
+    * its schema (zero rows).
+    */
+  private[sources] def openPartialSourceAt(conf: org.apache.hadoop.conf.Configuration,
+      task: Either[String, PartialSlice],
+      selected: Option[Array[String]]): Option[FooterSource] = {
+    val file = task.fold(identity, _.file)
+    val hp = new HPath(file)
+    val ch = new HadoopSeekableChannel(hp.getFileSystem(conf), hp)
+    try task match {
+      case Left(f) =>
+        partialPlan(ch, f).map(pl => new FooterSource(ch,
+          new ArrowFooter(pl.schema, toArrowBlocks(pl.dictBlocks),
+            toArrowBlocks(pl.recs), new java.util.HashMap[String, String]()),
+          selected))
+          .orElse { ch.close(); None }
+      case Right(sl) =>
+        // the slice's schema rides the file itself: re-read the
+        // schema message (tiny) instead of shipping Arrow pojos
+        val sch = MessageSerializer.deserializeSchema(
+          messageMetaAt(ch, sl.schemaBlock._1, sl.schemaBlock._2))
+        Some(new FooterSource(ch,
+          new ArrowFooter(sch, toArrowBlocks(sl.dicts), toArrowBlocks(sl.recs),
+            new java.util.HashMap[String, String]()), selected))
+    } catch { case t: Throwable => ch.close(); throw t }
+  }
+
+  private def readPartialImpl(spark: SparkSession, path: String,
+      selected: Option[Array[String]]): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new HPath(path)
+    val fs = p.getFileSystem(conf)
+    val statuses = listStoreFiles(fs, p, path)
+    require(statuses.nonEmpty, s"no Arrow IPC files under $path")
+    val schema: StructType = planPartialSchema(spark, statuses)
+      .getOrElse(throw new IllegalArgumentException(
+        s"Arrow IPC partial read: no file under $path carries a complete schema message"))
+    // pruned output schema: requested order, duplicates allowed; unknown
+    // names fail here on the driver, not mid-scan
+    val outSchema = selected match {
+      case None => schema
+      case Some(names) => StructType(names.map(n =>
+        schema.fields.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+          s"column $n not in Arrow IPC schema ${schema.fieldNames.mkString(", ")} ($path)"))))
+    }
+    val confB = spark.sparkContext.broadcast(new SerializableWritable(conf))
+    val tasks = planPartialTasks(spark, statuses, arrowSplitBytes(spark))
     if (tasks.isEmpty) // schema found, zero complete batches anywhere
       return GraftSqlInternals.internalCreateDataFrame(spark,
         spark.sparkContext.emptyRDD[InternalRow], outSchema)
     val rows = spark.sparkContext
       .parallelize(tasks, tasks.size)
       .flatMap { task =>
-        val c = confB.value.value
-        val file = task.fold(identity, _.file)
-        val hp = new HPath(file)
-        val ch = new HadoopSeekableChannel(hp.getFileSystem(c), hp)
-        val srcOpt =
-          try task match {
-            case Left(f) =>
-              partialPlan(ch, f).map(pl => new FooterSource(ch,
-                new ArrowFooter(pl.schema, toArrowBlocks(pl.dictBlocks),
-                  toArrowBlocks(pl.recs), new java.util.HashMap[String, String]()),
-                selected))
-            case Right(sl) =>
-              // the slice's schema rides the file itself: re-read the
-              // schema message (tiny) instead of shipping Arrow pojos
-              val sch = MessageSerializer.deserializeSchema(
-                messageMetaAt(ch, sl.schemaBlock._1, sl.schemaBlock._2))
-              Some(new FooterSource(ch,
-                new ArrowFooter(sch, toArrowBlocks(sl.dicts), toArrowBlocks(sl.recs),
-                  new java.util.HashMap[String, String]()), selected))
-          } catch { case t: Throwable => ch.close(); throw t }
-        srcOpt match {
-          case None => ch.close(); Iterator.empty // pre-schema tear: zero rows
+        openPartialSourceAt(confB.value.value, task, selected) match {
+          case None => Iterator.empty // pre-schema tear: zero rows
           case Some(src) =>
             Option(org.apache.spark.TaskContext.get())
               .foreach(_.addTaskCompletionListener[Unit](_ => src.close()))
             if (src.sparkSchema.map(f => (f.name, f.dataType)) != schema.map(f => (f.name, f.dataType))) {
               src.close()
               throw new IllegalArgumentException(
-                s"Arrow IPC file $file schema ${src.sparkSchema.simpleString} differs from " +
+                s"Arrow IPC file ${task.fold(identity, _.file)} schema " +
+                  s"${src.sparkSchema.simpleString} differs from " +
                   s"the directory schema ${schema.simpleString}")
             }
             src.rows

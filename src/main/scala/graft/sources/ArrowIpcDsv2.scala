@@ -46,6 +46,15 @@ import scala.jdk.CollectionConverters._
   *    serveRange with footer-global indices) for big files, whose
   *    footers plan in one executor job — the 1000-file / single-huge-file
   *    store fans out across the cluster identically to the native path.
+  *  - `option("partial", "true")` routes to the PARTIAL/in-flight
+  *    engine ([[ArrowIpc.readPartial]]'s planner): every COMPLETE batch
+  *    of a torn or still-being-written store, no footer required, with
+  *    the same within-file slice fan-out and minimal dictionary replay —
+  *    so the crashed-writer migration read is an ordinary `spark.read`
+  *    too. Column pruning still pushes (the stream framing carries the
+  *    buffer layout); filter pushdown does not (statistics live in the
+  *    footer, which is exactly what a torn file lacks) — filters stay
+  *    whole as Catalyst post-scan predicates, so semantics are identical.
   *
   * Writes stay on [[ArrowIpc.write]] (distributed, dictionary-encoding,
   * stats-collecting); this table is the migration READ surface.
@@ -59,13 +68,18 @@ final class ArrowIpcDataSource extends TableProvider with DataSourceRegister {
     val spark = SparkSession.active
     val statuses = ArrowIpcDataSource.listAll(spark, paths)
     require(statuses.nonEmpty, s"no Arrow IPC files under ${paths.mkString(", ")}")
-    ArrowIpc.schemaOf(spark, statuses.head._1)
+    if (ArrowIpcDataSource.isPartial(options))
+      ArrowIpc.planPartialSchema(spark, statuses).getOrElse(
+        throw new IllegalArgumentException("arrowipc: no file under " +
+          s"${paths.mkString(", ")} carries a complete schema message"))
+    else ArrowIpc.schemaOf(spark, statuses.head._1)
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
-    val paths = ArrowIpcDataSource.pathsOf(new CaseInsensitiveStringMap(properties))
-    new ArrowIpcTable(paths, schema)
+    val opts = new CaseInsensitiveStringMap(properties)
+    new ArrowIpcTable(ArrowIpcDataSource.pathsOf(opts), schema,
+      ArrowIpcDataSource.isPartial(opts))
   }
 }
 
@@ -86,6 +100,9 @@ private[sources] object ArrowIpcDataSource {
     all
   }
 
+  def isPartial(options: CaseInsensitiveStringMap): Boolean =
+    options.getBoolean("partial", false)
+
   /** Data files across all paths, name-sorted per path (the store's
     * file order — q_provenance's contract rides it on the native path).
     */
@@ -97,17 +114,19 @@ private[sources] object ArrowIpcDataSource {
     }
 }
 
-private[sources] final class ArrowIpcTable(paths: Seq[String], tableSchema: StructType)
-    extends Table with SupportsRead {
-  override def name(): String = s"arrowipc ${paths.mkString(",")}"
+private[sources] final class ArrowIpcTable(paths: Seq[String], tableSchema: StructType,
+    partial: Boolean) extends Table with SupportsRead {
+  override def name(): String =
+    s"arrowipc${if (partial) "(partial)" else ""} ${paths.mkString(",")}"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ArrowIpcScanBuilder(paths, tableSchema)
+    new ArrowIpcScanBuilder(paths, tableSchema, partial)
 }
 
-private[sources] final class ArrowIpcScanBuilder(paths: Seq[String], fileSchema: StructType)
+private[sources] final class ArrowIpcScanBuilder(paths: Seq[String],
+    fileSchema: StructType, partial: Boolean)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
   // Catalyst's required schema, top-level: nested pruning requests (a
@@ -126,22 +145,28 @@ private[sources] final class ArrowIpcScanBuilder(paths: Seq[String], fileSchema:
     * engine's stats carry dotted-path entries). Skipping is conservative
     * ([[ArrowIpc.mayMatch]] returns "may match" for anything it cannot
     * evaluate), so acceptance can only save IO — and ALL filters return
-    * as residuals for Spark's exact post-scan evaluation.
+    * as residuals for Spark's exact post-scan evaluation. Partial mode
+    * pushes nothing: batch statistics live in the footer a torn store
+    * lacks, so claiming a pushdown would only misreport the plan.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val names = fileSchema.fieldNames.toSet
-    pushed = filters.filter(_.references.forall(r =>
-      names.contains(r) || names.contains(r.takeWhile(_ != '.'))))
+    pushed =
+      if (partial) Array.empty
+      else filters.filter(_.references.forall(r =>
+        names.contains(r) || names.contains(r.takeWhile(_ != '.'))))
     filters // everything re-evaluates exactly post-scan (stats are IO-only)
   }
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new ArrowIpcScan(paths, fileSchema, requiredNames, pushed)
+  override def build(): Scan =
+    new ArrowIpcScan(paths, fileSchema, requiredNames, pushed, partial)
 }
 
 private[sources] final class ArrowIpcScan(paths: Seq[String], fileSchema: StructType,
-    requiredNames: Array[String], pushed: Array[Filter]) extends Scan with Batch {
+    requiredNames: Array[String], pushed: Array[Filter], partial: Boolean)
+    extends Scan with Batch {
 
   override def readSchema(): StructType =
     StructType(requiredNames.map(n => fileSchema(n)))
@@ -151,16 +176,22 @@ private[sources] final class ArrowIpcScan(paths: Seq[String], fileSchema: Struct
   // rendered inside the BatchScan node by explain — the PlanCheck /
   // .explain surface proving pushdown reached the scan
   override def description(): String =
-    s"arrowipc PushedFilters: [${pushed.mkString(", ")}], " +
+    s"arrowipc${if (partial) "(partial)" else ""} " +
+      s"PushedFilters: [${pushed.mkString(", ")}], " +
       s"ReadSchema: ${readSchema().catalogString}"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
     val statuses = ArrowIpcDataSource.listAll(spark, paths)
     require(statuses.nonEmpty, s"no Arrow IPC files under ${paths.mkString(", ")}")
-    ArrowIpc.planCompleteTasks(spark, statuses, ArrowIpc.arrowSplitBytes(spark))
-      .map { case (f, range) => ArrowIpcInputPartition(f, range): InputPartition }
-      .toArray
+    val splitBytes = ArrowIpc.arrowSplitBytes(spark)
+    if (partial)
+      ArrowIpc.planPartialTasks(spark, statuses, splitBytes)
+        .map(t => ArrowIpcPartialPartition(t): InputPartition).toArray
+    else
+      ArrowIpc.planCompleteTasks(spark, statuses, splitBytes)
+        .map { case (f, range) => ArrowIpcInputPartition(f, range): InputPartition }
+        .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -179,32 +210,54 @@ private[sources] final class ArrowIpcScan(paths: Seq[String], fileSchema: Struct
 private[sources] final case class ArrowIpcInputPartition(
     file: String, range: Option[(Int, Int)]) extends InputPartition
 
+private[sources] final case class ArrowIpcPartialPartition(
+    task: Either[String, ArrowIpc.PartialSlice]) extends InputPartition
+
 private[sources] final class ArrowIpcReaderFactory(
     conf: SerializableWritable[org.apache.hadoop.conf.Configuration],
     fileSchemaJson: String, selected: Option[Array[String]],
     filters: Array[Filter]) extends PartitionReaderFactory {
 
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val part = partition.asInstanceOf[ArrowIpcInputPartition]
-    val expected = org.apache.spark.sql.types.DataType.fromJson(fileSchemaJson)
-      .asInstanceOf[StructType]
-    val src = ArrowIpc.openSourceAt(conf.value, part.file, selected,
-      filters.toIndexedSeq, part.range)
-    // store invariant (same as the native path): a file whose schema
-    // diverges from the table's fails with the offending PATH
-    if (src.sparkSchema.map(f => (f.name, f.dataType)) != expected.map(f => (f.name, f.dataType))) {
-      src.close()
-      throw new IllegalArgumentException(
-        s"Arrow IPC file ${part.file} schema ${src.sparkSchema.simpleString} differs " +
-          s"from the table schema ${expected.simpleString}")
-    }
+  private def emptyReader: PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
-      private val it = src.rows
-      private var current: InternalRow = _
-      override def next(): Boolean =
-        if (it.hasNext) { current = it.next(); true } else false
-      override def get(): InternalRow = current
-      override def close(): Unit = src.close()
+      override def next(): Boolean = false
+      override def get(): InternalRow =
+        throw new java.util.NoSuchElementException("empty partition")
+      override def close(): Unit = ()
+    }
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val (srcOpt, file) = partition match {
+      case ArrowIpcInputPartition(f, range) =>
+        (Some(ArrowIpc.openSourceAt(conf.value, f, selected,
+          filters.toIndexedSeq, range)), f)
+      case ArrowIpcPartialPartition(task) =>
+        (ArrowIpc.openPartialSourceAt(conf.value, task, selected),
+          task.fold(identity, _.file))
+      case other => throw new IllegalArgumentException(
+        s"arrowipc: unexpected partition type ${other.getClass.getName}")
+    }
+    srcOpt match {
+      case None => emptyReader // pre-schema tear in partial mode: zero rows
+      case Some(src) =>
+        val expected = org.apache.spark.sql.types.DataType.fromJson(fileSchemaJson)
+          .asInstanceOf[StructType]
+        // store invariant (same as the native path): a file whose schema
+        // diverges from the table's fails with the offending PATH
+        if (src.sparkSchema.map(f => (f.name, f.dataType)) != expected.map(f => (f.name, f.dataType))) {
+          src.close()
+          throw new IllegalArgumentException(
+            s"Arrow IPC file $file schema ${src.sparkSchema.simpleString} differs " +
+              s"from the table schema ${expected.simpleString}")
+        }
+        new PartitionReader[InternalRow] {
+          private val it = src.rows
+          private var current: InternalRow = _
+          override def next(): Boolean =
+            if (it.hasNext) { current = it.next(); true } else false
+          override def get(): InternalRow = current
+          override def close(): Unit = src.close()
+        }
     }
   }
 }

@@ -1138,6 +1138,208 @@ object ScaleProbe {
           f""""speedup":${tSer / tSplit}%.1f,"torn_rows":$nTorn,"torn_s":$tTorn%.1f,""" +
           f""""footer_serial_s":$tfSer%.1f,"footer_split_s":$tfSp%.1f,""" +
           f""""footer_speedup":${tfSer / tfSp}%.1f}""")
+      case "arrow_bigfile" =>
+        // r18 (verdict task): the within-file fan-out claims extrapolated
+        // from a 301 MB file; this pins them at a MULTI-GB single file,
+        // where body skipping actually dominates the metadata walk. One
+        // ~3+ GB file (replication factor = arg 3, default 44): plan-walk
+        // time (metadata-only), slice count at the default 128 MB
+        // threshold, split vs serial serve, footer-driven read, torn
+        // variant. Uses a java.nio FileChannel for the raw plan timing
+        // (same SeekableByteChannel contract the reader runs on).
+        import graft.sources.ArrowIpc
+        val mult = args.drop(2).headOption.map(_.toInt).getOrElse(44)
+        val parent = java.nio.file.Files.createTempDirectory("probe_arrow_bigfile")
+        cleanupOnExit(parent)
+        val dir = parent.toString + "/one"
+        val corpus = (0 until mult).map(k =>
+            docs.withColumn("doc_id", col("doc_id") + lit(k.toLong * 100000000L)))
+          .reduce(_ union _)
+        timed(s"write 1-file ipc store (${mult}x docs)")(
+          ArrowIpc.write(corpus.repartition(1), dir,
+            batchRows = 4096, dictColumns = Set("lang", "source")))
+        val f = new java.io.File(dir).listFiles()
+          .filter(_.getName.endsWith(".arrow")).head
+        System.err.println(f"[probe] file size ${f.length() / 1e9}%.2f GB")
+        // metadata-only plan walk, timed raw (driver-side, one channel)
+        def planOnce(): (Int, Int, Double) = {
+          val t0 = System.nanoTime()
+          val ch = java.nio.channels.FileChannel.open(f.toPath)
+          val pl = try ArrowIpc.partialPlan(ch, f.toString).get finally ch.close()
+          val t = (System.nanoTime() - t0) / 1e9
+          (pl.recs.size, pl.dicts.size, t)
+        }
+        val (nBatches, nDicts, tPlan) = planOnce()
+        val slices = {
+          val ch = java.nio.channels.FileChannel.open(f.toPath)
+          val pl = try ArrowIpc.partialPlan(ch, f.toString).get finally ch.close()
+          ArrowIpc.chunkRanges(pl.recs, 128L * 1024 * 1024).size
+        }
+        System.err.println(f"[probe] plan walk $tPlan%.2f s " +
+          f"($nBatches batches, $nDicts dict msgs, $slices slices @128MB)")
+        def agg(df: org.apache.spark.sql.DataFrame): (Long, Long, Double, Int) = {
+          val t = System.nanoTime()
+          val parts = df.rdd.getNumPartitions
+          val r = df.agg(count(lit(1)), bit_xor(xxhash64(col("doc_id"), col("text"))))
+            .collect().head
+          (r.getLong(0), r.getLong(1), (System.nanoTime() - t) / 1e9, parts)
+        }
+        spark.conf.set("spark.graft.arrow.splitBytes", (f.length() + 1).toString)
+        val (nSer, hSer, tSer, pSer) = agg(ArrowIpc.readPartial(spark, dir))
+        spark.conf.unset("spark.graft.arrow.splitBytes") // default 128 MB
+        val (nSp, hSp, tSp, pSp) = agg(ArrowIpc.readPartial(spark, dir))
+        require(pSer == 1 && pSp > 1 && nSer == nSp && hSer == hSp,
+          s"split diverged: $nSp/$hSp/$pSp vs $nSer/$hSer/$pSer")
+        val (nFt, hFt, tFt, pFt) = agg(ArrowIpc.read(spark, dir))
+        require(nFt == nSer && hFt == hSer && pFt > 1,
+          s"footer read diverged: $nFt/$hFt/$pFt")
+        System.err.println(f"[probe] partial serial $tSer%.1f s vs split " +
+          f"$pSp-task $tSp%.1f s (${tSer / tSp}%.1fx); footer $tFt%.1f s")
+        // torn at 2/3: complete-batch prefix, served split, plan re-timed
+        val blocks = ArrowIpc.recordBatchBlocks(spark, f.toString)
+        val tornDir = java.nio.file.Paths.get(parent.toString, "torn")
+        java.nio.file.Files.createDirectories(tornDir)
+        val cut = f.length() * 2 / 3
+        timed("torn copy (2/3)") {
+          val in = java.nio.channels.FileChannel.open(f.toPath)
+          val out = java.nio.channels.FileChannel.open(tornDir.resolve(f.getName),
+            java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+          try { var p = 0L; while (p < cut) p += in.transferTo(p, cut - p, out) }
+          finally { in.close(); out.close() }
+        }
+        val expectTorn = blocks.takeWhile(b => b._1 + b._2 + b._3 <= cut).size * 4096L
+        val t3 = System.nanoTime()
+        val nTorn = ArrowIpc.readPartial(spark, tornDir.toString).count()
+        val tTorn = (System.nanoTime() - t3) / 1e9
+        require(nTorn == expectTorn, s"torn prefix $nTorn rows, expected $expectTorn")
+        println(s"""{"mode":"arrow_bigfile","rows":$nSer,""" +
+          f""""file_gb":${f.length() / 1e9}%.2f,"plan_s":$tPlan%.2f,""" +
+          s""""batches":$nBatches,"slices_128mb":$slices,""" +
+          f""""partial_serial_s":$tSer%.1f,"partial_split_s":$tSp%.1f,""" +
+          f""""split_tasks":$pSp,"speedup":${tSer / tSp}%.1f,""" +
+          f""""footer_split_s":$tFt%.1f,"torn_rows":$nTorn,"torn_s":$tTorn%.1f}""")
+
+      case "arrow_dict_slices" =>
+        // r18 (verdict task): minimal per-slice dictionary replay on a
+        // REPLACEMENT-heavy store. Builds one by byte-level repetition of
+        // a real engine-written dict store's message stream (each
+        // repetition's initial dictionary message is a non-delta, i.e. a
+        // REPLACEMENT of the previous generation — the reference's
+        // per-batch-replacement shape): magic + schema + N x (dicts +
+        // record batches). Reports the per-slice dictionary bytes under
+        // the r17 prefix-cumulative rule vs the minimal rule (both
+        // computed EXACTLY from the plan), plus split-vs-serial value
+        // equality on the synthesized file.
+        import graft.sources.ArrowIpc
+        val reps = args.drop(2).headOption.map(_.toInt).getOrElse(24)
+        val parent = java.nio.file.Files.createTempDirectory("probe_arrow_dicts")
+        cleanupOnExit(parent)
+        val seedDir = parent.toString + "/seed"
+        timed("write seed dict store")(ArrowIpc.write(docs.repartition(1), seedDir,
+          batchRows = 4096, dictColumns = Set("lang", "source")))
+        val seed = new java.io.File(seedDir).listFiles()
+          .filter(_.getName.endsWith(".arrow")).head
+        val seedBytes = java.nio.file.Files.readAllBytes(seed.toPath)
+        val pl0 = {
+          val ch = java.nio.channels.FileChannel.open(seed.toPath)
+          try ArrowIpc.partialPlan(ch, seed.toString).get finally ch.close()
+        }
+        require(pl0.dicts.nonEmpty, "seed store carries no dictionary messages")
+        // repeated unit: everything after the schema message up to the
+        // end of the last record batch (stream framing is contiguous)
+        val unitStart = pl0.schemaBlock._1 + pl0.schemaBlock._2
+        val lastRec = pl0.recs.last
+        val unitEnd = lastRec._1 + lastRec._2 + lastRec._3
+        val big = java.nio.file.Paths.get(parent.toString, "big")
+        java.nio.file.Files.createDirectories(big)
+        val bigFile = big.resolve("part-00000.arrow")
+        timed(s"synthesize ${reps}x replacement store") {
+          val out = java.nio.file.Files.newOutputStream(bigFile)
+          try {
+            out.write(seedBytes, 0, unitStart.toInt)
+            (0 until reps).foreach(_ =>
+              out.write(seedBytes, unitStart.toInt, (unitEnd - unitStart).toInt))
+          } finally out.close()
+        }
+        val pl = {
+          val ch = java.nio.channels.FileChannel.open(bigFile)
+          try ArrowIpc.partialPlan(ch, bigFile.toString).get finally ch.close()
+        }
+        require(pl.recs.size == pl0.recs.size * reps &&
+          pl.dicts.size == pl0.dicts.size * reps, "synthesized plan shape off")
+        // per-slice dictionary bytes, both rules, exact from the plan
+        val splitBytes = 4L * 1024 * 1024
+        val ranges = ArrowIpc.chunkRanges(pl.recs, splitBytes)
+        def dictBytes(ms: Seq[ArrowIpc.DictMsg]): Long =
+          ms.map(m => m.metaLen + m.bodyLen).sum
+        val minimal = ranges.map { case (lo, hi) =>
+          dictBytes(ArrowIpc.sliceDicts(pl.dicts, pl.recs(lo)._1, pl.recs(hi - 1)._1))
+        }
+        val prefix = ranges.map { case (lo, hi) =>
+          dictBytes(pl.dicts.filter(_.off < pl.recs(hi - 1)._1))
+        }
+        System.err.println(f"[probe] ${ranges.size} slices: dict bytes/slice " +
+          f"minimal ${minimal.sum / ranges.size}%,d avg (max ${minimal.max}%,d) vs " +
+          f"prefix-cumulative ${prefix.sum / ranges.size}%,d avg (max ${prefix.max}%,d) " +
+          f"- total ${minimal.sum}%,d vs ${prefix.sum}%,d (${prefix.sum.toDouble / minimal.sum}%.1fx)")
+        // correctness on the synthesized replacement store: split == serial
+        def agg2(df: org.apache.spark.sql.DataFrame): (Long, Long, Int) = {
+          val parts = df.rdd.getNumPartitions
+          val r = df.agg(count(lit(1)), bit_xor(xxhash64(col("doc_id"), col("lang"),
+            col("source"), col("text")))).collect().head
+          (r.getLong(0), r.getLong(1), parts)
+        }
+        spark.conf.set("spark.graft.arrow.splitBytes", (java.nio.file.Files.size(bigFile) + 1).toString)
+        val (nS, hS, pS) = agg2(ArrowIpc.readPartial(spark, big.toString))
+        spark.conf.set("spark.graft.arrow.splitBytes", splitBytes.toString)
+        val ((nP, hP, pP), splitIoBytes) = ArrowIpc.bytesReadDuring(
+          agg2(ArrowIpc.readPartial(spark, big.toString)))
+        spark.conf.unset("spark.graft.arrow.splitBytes")
+        require(pS == 1 && pP > 1 && nS == nP && hS == hP,
+          s"replacement split diverged: $nP/$hP/$pP vs $nS/$hS/$pS")
+        println(s"""{"mode":"arrow_dict_slices","reps":$reps,"slices":${ranges.size},""" +
+          s""""rows":$nS,"dict_bytes_minimal":${minimal.sum},""" +
+          s""""dict_bytes_prefix_rule":${prefix.sum},""" +
+          f""""reduction":${prefix.sum.toDouble / minimal.sum}%.1f,""" +
+          s""""split_io_bytes":$splitIoBytes}""")
+
+      case "arrow_plan_many" =>
+        // r18 (verdict task): big-file footer planning with MANY
+        // over-threshold files must be one executor job, not a serial
+        // driver loop. 64 files, threshold below every file: the serial
+        // per-file loop (the r17 readImpl shape) vs planCompleteTasks.
+        import graft.sources.ArrowIpc
+        val parent = java.nio.file.Files.createTempDirectory("probe_arrow_many")
+        cleanupOnExit(parent)
+        val dir = parent.toString + "/many"
+        timed("write 64-file ipc store")(ArrowIpc.write(docs.repartition(64), dir,
+          batchRows = 2048, dictColumns = Set("lang", "source")))
+        val statuses = new java.io.File(dir).listFiles()
+          .filter(_.getName.endsWith(".arrow")).sortBy(_.getName)
+          .map(f => (f.toString, f.length())).toSeq
+        require(statuses.size == 64, s"expected 64 files, got ${statuses.size}")
+        val thr = statuses.map(_._2).min / 2
+        def secsN[A](f: => A): (A, Double) = {
+          val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+        }
+        // serial driver loop (what readImpl did before r18)
+        val (_, tSerial) = secsN(statuses.foreach { case (f, _) =>
+          ArrowIpc.recordBatchBlocks(spark, f) })
+        val (tasks, tJob) = secsN(ArrowIpc.planCompleteTasks(spark, statuses, thr))
+        require(tasks.count(_._2.isDefined) > 64 || tasks.size >= 64,
+          s"plan produced ${tasks.size} tasks")
+        System.err.println(f"[probe] 64-file footer plan: serial driver loop " +
+          f"$tSerial%.2f s vs one-job $tJob%.2f s (${statuses.size} files, " +
+          f"${tasks.size} tasks)")
+        // values survive the planned split read
+        spark.conf.set("spark.graft.arrow.splitBytes", thr.toString)
+        val n = ArrowIpc.read(spark, dir).count()
+        spark.conf.unset("spark.graft.arrow.splitBytes")
+        require(n == docs.count(), s"split read lost rows: $n")
+        println(s"""{"mode":"arrow_plan_many","files":${statuses.size},""" +
+          f""""serial_plan_s":$tSerial%.2f,"onejob_plan_s":$tJob%.2f,""" +
+          s""""tasks":${tasks.size},"rows":$n}""")
+
       case "arrow_hc" | "arrow_hc_big" =>
         // the lz4hc archival level vs the fast default at the tier:
         // write time + store size + a full read back (values must match).

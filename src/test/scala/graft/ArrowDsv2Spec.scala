@@ -183,6 +183,62 @@ class ArrowDsv2Spec extends SparkSpec {
       s"error did not name the divergent file: ${chain(e).mkString(" | ")}")
   }
 
+  test("partial option: a torn store reads its complete-batch prefix via " +
+      "spark.read, values and pruned bytes equal the native readPartial") {
+    // id-ordered single file, 256-row batches, then torn mid-batch-6
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(sampleRows(4000), 1), schema).orderBy($"id")
+    val out = tmp("dsv2_partial_src")
+    ArrowIpc.write(df, out, batchRows = 256)
+    val f = Files.list(Paths.get(out)).iterator()
+    var part: java.nio.file.Path = null
+    while (f.hasNext) { val x = f.next(); if (x.toString.endsWith(".arrow")) part = x }
+    val blocks = graft.sources.ArrowIpc.recordBatchBlocks(spark, part.toString)
+    val bytes = Files.readAllBytes(part)
+    val torn = tmp("dsv2_partial_torn")
+    Files.createDirectories(Paths.get(torn))
+    Files.write(Paths.get(torn, "part-00000.arrow"),
+      java.util.Arrays.copyOf(bytes, (blocks(6)._1 + 16).toInt))
+    val v2 = spark.read.format("arrowipc").option("partial", "true").load(torn)
+    assert(v2.count() == 6 * 256)
+    assert(canon(v2.orderBy($"id").collect()) ==
+      canon(ArrowIpc.readPartial(spark, torn).orderBy($"id").collect()))
+    // pruning pushes without a footer too - byte parity with the native
+    // pruned walk (fat blob column never read)
+    val (v2Rows, v2Bytes) = ArrowIpc.bytesReadDuring {
+      spark.read.format("arrowipc").option("partial", "true").load(torn)
+        .select($"id", $"score").orderBy($"id").collect()
+    }
+    val (natRows, natBytes) = ArrowIpc.bytesReadDuring {
+      ArrowIpc.readPartial(spark, torn, Seq("id", "score")).orderBy($"id").collect()
+    }
+    assert(canon(v2Rows) == canon(natRows))
+    assert(v2Bytes == natBytes,
+      s"DSv2 partial pruned scan read $v2Bytes bytes vs native $natBytes")
+    // filters stay residual (nothing pushed - no footer stats) but
+    // semantics hold exactly
+    val got = spark.read.format("arrowipc").option("partial", "true").load(torn)
+      .where($"id" >= 100L && $"id" < 200L).select($"id").orderBy($"id").collect()
+    assert(got.length == 100 && got.head.getLong(0) == 100L)
+    // and the COMPLETE file through partial mode serves everything
+    val all = spark.read.format("arrowipc").option("partial", "true").load(out)
+    assert(all.count() == 4000)
+  }
+
+  test("partial option: within-file slice fan-out via spark.read") {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(sampleRows(4000), 1), schema).orderBy($"id")
+    val out = tmp("dsv2_partial_split")
+    ArrowIpc.write(df, out, batchRows = 256)
+    spark.conf.set("spark.graft.arrow.splitBytes", (64L * 1024).toString)
+    try {
+      val v2 = spark.read.format("arrowipc").option("partial", "true").load(out)
+      assert(v2.rdd.getNumPartitions > 1,
+        s"expected partial slices, got ${v2.rdd.getNumPartitions}")
+      assert(canon(v2.orderBy($"id").collect()) == canon(df.orderBy($"id").collect()))
+    } finally spark.conf.unset("spark.graft.arrow.splitBytes")
+  }
+
   test("multi-path load unions the stores") {
     val a = tmp("dsv2_a"); val b = tmp("dsv2_b")
     val df = spark.createDataFrame(
