@@ -287,8 +287,11 @@ object Bench {
     "q_plan_persist_evolve",
     // round 18: the Catalyst-integrated IPC read (DataSourceV2 pushdown
     // over spark.read composition - same engine as q_arrow_filtered_scan,
-    // so the lane pair prices the DSv2 integration itself)
-    "q_arrow_dsv2"
+    // so the lane pair prices the DSv2 integration itself), and late-r18
+    // the DSv2 WRITE round trip (df.write.format("arrowipc") store build
+    // amortized session-wide + the filtered DSv2 read over it)
+    "q_arrow_dsv2",
+    "q_arrow_dsv2_write"
   )
 
   def main(args: Array[String]): Unit = {

@@ -173,6 +173,29 @@ object CoreQueries {
         .orderBy(col("lang"))
     }),
 
+    // Arrow IPC DataSourceV2 WRITE path (r18): documents written through
+    // `df.write.format("arrowipc")` (dictionary-encoded, per-batch
+    // stats), then read back through the DSv2 scan with a pushed filter —
+    // the full Catalyst-integrated round trip in one gate. The store is
+    // session-cached like the read gates (ivfIndexDirs amortization);
+    // ArrowDsv2WriteSpec pins value-parity with the native writer. Same
+    // oracle as the native scans: a writer that dropped/duplicated rows,
+    // broke dictionary encoding, or mis-recorded stats = hash mismatch.
+    "q_arrow_dsv2_write" -> ((s, dir) => {
+      val store = cachedTempDir(dir + "#dsv2w", "graft_arrow_dsv2w") { fresh =>
+        t(s, dir, "documents")
+          .write.format("arrowipc")
+          .option("dictColumns", "lang,source").option("batchRows", "2048")
+          .mode("overwrite").save(s"$fresh/docs")
+      } + "/docs"
+      s.read.format("arrowipc").load(store)
+        .where(col("doc_id") >= 100L && col("doc_id") < 300L)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy(col("lang"))
+    }),
+
     // Arrow IPC NESTED-leaf filter pushdown (r15): the store's `meta`
     // struct mirrors (doc_id, n_chars, lang); the range filter on the
     // nested leaf `meta.did` batch-skips via the dotted-path footer
@@ -544,6 +567,14 @@ object CoreQueries {
     "q_arrow_dsv2" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id >= 100 AND doc_id < 300
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    // the DSv2-WRITTEN store is a faithful copy of documents, so the
+    // oracle re-derives the same filtered aggregate from the parquet source
+    "q_arrow_dsv2_write" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM documents WHERE doc_id >= 100 AND doc_id < 300
         |GROUP BY lang ORDER BY lang""".stripMargin,
     // the plan's SQL-text expressions are the same arithmetic DuckDB runs

@@ -1603,9 +1603,156 @@ object ArrowIpc {
     * compressor; 1–17 selects lz4hc at that level — the archival trade
     * (smaller files, slower write; [[FastLz4.factory]]).
     */
-  def write(df: DataFrame, path: String, batchRows: Int = 4096,
-      dictColumns: Set[String] = Set.empty, compressionLevel: Int = 0): Unit = {
-    val schema = df.schema
+  /** One task's IPC part-file writer — the executor-side core shared by
+    * [[write]]'s closure and the DataSourceV2 write path
+    * ([[ArrowIpcDataSource]]). Commit protocol: an attempt-private temp
+    * (dot-prefixed: read() skips it) renamed on [[commit]] — a failed or
+    * killed attempt leaves only an ignorable temp, a zombie attempt
+    * writes to its OWN temp, and the final file appears atomically or
+    * not at all. [[close]] is idempotent and safe after failure: it
+    * frees the Arrow memory and deletes the temp iff the rename never
+    * happened.
+    */
+  private[sources] final class IpcPartWriter(
+      c: org.apache.hadoop.conf.Configuration, pathStr: String, schema: StructType,
+      dictCols: Set[String], batchRows: Int, compressionLevel: Int,
+      finalFile: String, tmpFile: String, replacePrior: Boolean) {
+    private val part = new HPath(pathStr, finalFile)
+    private val tmp = new HPath(pathStr, tmpFile)
+    private val hfs = part.getFileSystem(c)
+    private val alloc = new RootAllocator(Long.MaxValue)
+    private val plainFields = schema.map(toArrowField)
+    // memory-format root: dict-encoded leaves (any depth) are int32
+    // index vectors carrying a DictionaryEncoding (ids allocated in
+    // tree order); the provider holds a value-typed vector per
+    // dictionary so the writer can derive the message-format schema
+    // (content is emitted via writeDict, not the provider)
+    private val states = new java.util.HashMap[String, DictState]()
+    private val provider = new DictionaryProvider.MapDictionaryProvider()
+    private val schemaVecs = scala.collection.mutable.ArrayBuffer.empty[FieldVector]
+    private var dictIdCounter = -1L
+    private val memFields = schema.indices.map { i =>
+      val sf = schema(i)
+      encodeDictFields(sf, plainFields(i), sf.name, dictCols,
+        () => { dictIdCounter += 1; dictIdCounter }, (path, id, vf) => {
+          states.put(path, new DictState(id, vf))
+          val sv = vf.createVector(alloc)
+          schemaVecs += sv
+          provider.put(new Dictionary(sv,
+            new DictionaryEncoding(id, false, new ArrowType.Int(32, true))))
+        })
+    }
+    private val statesByPath: Map[String, DictState] = states.asScala.toMap
+    private val root = VectorSchemaRoot.create(new ArrowSchema(memFields.asJava), alloc)
+    private val writers: Array[(Int, SpecializedGetters, Int) => Unit] =
+      schema.indices.map { i =>
+        writerFor(root.getVector(i), schema(i).dataType, schema(i).name, statesByPath)
+      }.toArray
+    // 1 MiB buffer: ArrowFileWriter emits many sub-4K writes and the
+    // Hadoop local stream's default 4K buffer turns each into a
+    // checksummed syscall (measured at the 100x tier: the sf10
+    // documents store wrote 339 s unbuffered)
+    private val os: OutputStream = new java.io.BufferedOutputStream(hfs.create(tmp, true), 1 << 20)
+    private val fileMeta = new java.util.HashMap[String, String]()
+    private val codecFactory = FastLz4.factory(compressionLevel)
+    private val writer = new DictFileWriter(root, provider, Channels.newChannel(os),
+      fileMeta, codecFactory)
+    private val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    private val statsArr = om.createArrayNode()
+    writer.start()
+    private val codec = codecFactory.createCodec(CompressionUtil.CodecType.LZ4_FRAME)
+    private var n = 0
+    private var renamed = false
+    private var closed = false
+
+    // before each record batch: emit the values this batch introduced
+    // (first time: the full-so-far dictionary; after: deltas). A batch
+    // with no novel values emits nothing.
+    private def flushDicts(): Unit = states.values().asScala.foreach { st =>
+      if (!st.emitted || st.pending.nonEmpty) {
+        val vec = st.valueField.createVector(alloc)
+        try {
+          var k = 0
+          st.pending.foreach { b =>
+            vec match {
+              case v: VarCharVector => v.setSafe(k, b)
+              case v: LargeVarCharVector => v.setSafe(k, b)
+              case v: VarBinaryVector => v.setSafe(k, b)
+              case v: LargeVarBinaryVector => v.setSafe(k, b)
+              case o => throw new IllegalStateException(s"dict value vector ${o.getClass.getSimpleName}")
+            }
+            k += 1
+          }
+          vec.setValueCount(st.pending.size)
+          val droot = new VectorSchemaRoot(
+            java.util.List.of(vec.getField), java.util.List.of[FieldVector](vec))
+          // an EMPTY batch (all-null first rows) goes uncompressed:
+          // arrow-java emits 0-length LZ4 buffers that pyarrow rejects
+          // ("contains less than one frame"); compression is declared
+          // per batch, so mixing is spec-valid
+          val batchCodec =
+            if (st.pending.isEmpty) org.apache.arrow.vector.compression.NoCompressionCodec.INSTANCE
+            else codec
+          val rb = new VectorUnloader(droot, true, batchCodec, true).getRecordBatch
+          val db = new ArrowDictionaryBatch(st.id, rb, st.emitted)
+          try writer.writeDict(db) finally db.close()
+          st.emitted = true
+          st.pending.clear()
+        } finally vec.close()
+      }
+    }
+
+    private def flush(): Unit = if (n > 0) {
+      flushDicts()
+      root.setRowCount(n)
+      statsArr.add(collectBatchStats(root, n, om, name =>
+        statesByPath.get(name)
+          .filter(_.valueField.getType.isInstanceOf[ArrowType.Utf8])
+          .map(st => (i: Int) => st.valuesInOrder(i))))
+      writer.writeBatch(); root.allocateNew(); n = 0
+    }
+
+    def writeRow(row: InternalRow): Unit = {
+      var i = 0
+      while (i < writers.length) {
+        if (row.isNullAt(i)) setNullSafe(root.getVector(i), n)
+        else writers(i)(n, row, i)
+        i += 1
+      }
+      n += 1
+      if (n >= batchRows) flush()
+    }
+
+    /** Finish the file and rename it into place; returns the final file
+      * name. `replacePrior` deletes an existing commit of the same name
+      * first (the fixed-name fresh-store write); the DSv2 path writes
+      * job-unique names and passes false.
+      */
+    def commit(): String = {
+      flush()
+      fileMeta.put(BatchStatsKey, om.writeValueAsString(statsArr))
+      writer.end(); writer.close(); os.close()
+      if (replacePrior) hfs.delete(part, false) // replace any prior attempt's commit
+      require(hfs.rename(tmp, part), s"rename $tmp -> $part failed")
+      renamed = true
+      finalFile
+    }
+
+    def close(): Unit = if (!closed) {
+      closed = true
+      try os.close() catch { case _: Exception => () } // no-op after commit
+      root.close(); schemaVecs.foreach(_.close()); alloc.close()
+      if (!renamed) { hfs.delete(tmp, false); () }
+    }
+  }
+
+  /** Fail fast on unsupported types / unsatisfiable dictColumns requests
+    * and return the effective dictionary-path set (explicit + schema
+    * markers) — shared by [[write]] and the DSv2 write builder so both
+    * surfaces refuse identically on the driver, not mid-job.
+    */
+  private[sources] def validateWriteSchema(schema: StructType,
+      dictColumns: Set[String]): Set[String] = {
     schema.foreach(f => toArrowField(f)) // fail fast on unsupported types
     // explicit requests must be satisfiable (hard error otherwise); the
     // read-side marker is best-effort — a dict-encoded int/decimal/...
@@ -1619,7 +1766,13 @@ object ArrowIpc {
           s"dictColumns: path '$c' is $dt — only string/binary leaves dictionary-encode")
       }
     }
-    val dictCols: Set[String] = dictColumns ++ markedDictPaths(schema)
+    dictColumns ++ markedDictPaths(schema)
+  }
+
+  def write(df: DataFrame, path: String, batchRows: Int = 4096,
+      dictColumns: Set[String] = Set.empty, compressionLevel: Int = 0): Unit = {
+    val schema = df.schema
+    val dictCols: Set[String] = validateWriteSchema(schema, dictColumns)
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val out = new HPath(path)
@@ -1637,122 +1790,12 @@ object ArrowIpc {
     }
     rowRdd.mapPartitionsWithIndex { (pid, it) =>
       val c = confB.value.value
-      // attempt-private temp (dot-prefixed: read() skips it) + rename-on-
-      // success = the minimal commit protocol: a failed/killed attempt
-      // leaves only an ignorable temp file, a zombie attempt writes to its
-      // OWN temp, and the final file appears atomically or not at all
       val attempt = Option(org.apache.spark.TaskContext.get())
         .map(_.taskAttemptId()).getOrElse(0L)
-      val part = new HPath(pathStr, f"part-$pid%05d.arrow")
-      val tmp = new HPath(pathStr, f".part-$pid%05d-$attempt.arrow.tmp")
-      val hfs = part.getFileSystem(c)
-      val alloc = new RootAllocator(Long.MaxValue)
-      val plainFields = schema.map(toArrowField)
-      // memory-format root: dict-encoded leaves (any depth) are int32
-      // index vectors carrying a DictionaryEncoding (ids allocated in
-      // tree order); the provider holds a value-typed vector per
-      // dictionary so the writer can derive the message-format schema
-      // (content is emitted via writeDict, not the provider)
-      val states = new java.util.HashMap[String, DictState]()
-      val provider = new DictionaryProvider.MapDictionaryProvider()
-      val schemaVecs = scala.collection.mutable.ArrayBuffer.empty[FieldVector]
-      var dictIdCounter = -1L
-      val nextId = () => { dictIdCounter += 1; dictIdCounter }
-      val memFields = schema.indices.map { i =>
-        val sf = schema(i)
-        encodeDictFields(sf, plainFields(i), sf.name, dictCols, nextId, (path, id, vf) => {
-          states.put(path, new DictState(id, vf))
-          val sv = vf.createVector(alloc)
-          schemaVecs += sv
-          provider.put(new Dictionary(sv,
-            new DictionaryEncoding(id, false, new ArrowType.Int(32, true))))
-        })
-      }
-      val statesByPath: Map[String, DictState] = states.asScala.toMap
-      val root = VectorSchemaRoot.create(new ArrowSchema(memFields.asJava), alloc)
-      val writers: Array[(Int, SpecializedGetters, Int) => Unit] =
-        schema.indices.map { i =>
-          writerFor(root.getVector(i), schema(i).dataType, schema(i).name, statesByPath)
-        }.toArray
-      // 1 MiB buffer: ArrowFileWriter emits many sub-4K writes and the
-      // Hadoop local stream's default 4K buffer turns each into a
-      // checksummed syscall (measured at the 100x tier: the sf10
-      // documents store wrote 339 s unbuffered)
-      val os: OutputStream = new java.io.BufferedOutputStream(hfs.create(tmp, true), 1 << 20)
-      try {
-        val fileMeta = new java.util.HashMap[String, String]()
-        val codecFactory = FastLz4.factory(compressionLevel)
-        val writer = new DictFileWriter(root, provider, Channels.newChannel(os),
-          fileMeta, codecFactory)
-        val om = new com.fasterxml.jackson.databind.ObjectMapper()
-        val statsArr = om.createArrayNode()
-        writer.start()
-        val codec = codecFactory.createCodec(CompressionUtil.CodecType.LZ4_FRAME)
-        // before each record batch: emit the values this batch introduced
-        // (first time: the full-so-far dictionary; after: deltas). A batch
-        // with no novel values emits nothing.
-        def flushDicts(): Unit = states.values().asScala.foreach { st =>
-          if (!st.emitted || st.pending.nonEmpty) {
-            val vec = st.valueField.createVector(alloc)
-            try {
-              var k = 0
-              st.pending.foreach { b =>
-                vec match {
-                  case v: VarCharVector => v.setSafe(k, b)
-                  case v: LargeVarCharVector => v.setSafe(k, b)
-                  case v: VarBinaryVector => v.setSafe(k, b)
-                  case v: LargeVarBinaryVector => v.setSafe(k, b)
-                  case o => throw new IllegalStateException(s"dict value vector ${o.getClass.getSimpleName}")
-                }
-                k += 1
-              }
-              vec.setValueCount(st.pending.size)
-              val droot = new VectorSchemaRoot(
-                java.util.List.of(vec.getField), java.util.List.of[FieldVector](vec))
-              // an EMPTY batch (all-null first rows) goes uncompressed:
-              // arrow-java emits 0-length LZ4 buffers that pyarrow rejects
-              // ("contains less than one frame"); compression is declared
-              // per batch, so mixing is spec-valid
-              val batchCodec =
-                if (st.pending.isEmpty) org.apache.arrow.vector.compression.NoCompressionCodec.INSTANCE
-                else codec
-              val rb = new VectorUnloader(droot, true, batchCodec, true).getRecordBatch
-              val db = new ArrowDictionaryBatch(st.id, rb, st.emitted)
-              try writer.writeDict(db) finally db.close()
-              st.emitted = true
-              st.pending.clear()
-            } finally vec.close()
-          }
-        }
-        var n = 0
-        def flush(): Unit = if (n > 0) {
-          flushDicts()
-          root.setRowCount(n)
-          statsArr.add(collectBatchStats(root, n, om, name =>
-            statesByPath.get(name)
-              .filter(_.valueField.getType.isInstanceOf[ArrowType.Utf8])
-              .map(st => (i: Int) => st.valuesInOrder(i))))
-          writer.writeBatch(); root.allocateNew(); n = 0
-        }
-        it.foreach { row =>
-          var i = 0
-          while (i < writers.length) {
-            if (row.isNullAt(i)) setNullSafe(root.getVector(i), n)
-            else writers(i)(n, row, i)
-            i += 1
-          }
-          n += 1
-          if (n >= batchRows) flush()
-        }
-        flush()
-        fileMeta.put(BatchStatsKey, om.writeValueAsString(statsArr))
-        writer.end(); writer.close(); os.close()
-        hfs.delete(part, false) // replace any prior attempt's commit
-        require(hfs.rename(tmp, part), s"rename $tmp -> $part failed")
-      } finally {
-        root.close(); schemaVecs.foreach(_.close()); alloc.close()
-        hfs.delete(tmp, false); () // no-op when renamed
-      }
+      val w = new IpcPartWriter(c, pathStr, schema, dictCols, batchRows,
+        compressionLevel, f"part-$pid%05d.arrow",
+        f".part-$pid%05d-$attempt.arrow.tmp", replacePrior = true)
+      try { it.foreach(w.writeRow); w.commit() } finally w.close()
       Iterator.empty[Int].iterator
     }.count() // trigger
     // job-level marker: a reader (or operator) can check completeness; our

@@ -4,9 +4,10 @@ import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.SerializableWritable
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -66,14 +67,27 @@ final class ArrowIpcDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val paths = ArrowIpcDataSource.pathsOf(options)
     val spark = SparkSession.active
-    val statuses = ArrowIpcDataSource.listAll(spark, paths)
-    require(statuses.nonEmpty, s"no Arrow IPC files under ${paths.mkString(", ")}")
-    if (ArrowIpcDataSource.isPartial(options))
+    // a missing or empty path infers an EMPTY schema instead of failing:
+    // the WRITE path reaches here too (DataFrameWriter resolves the table
+    // before newWriteBuilder sees the query schema), and a fresh store
+    // has nothing to infer from. Reads over such a store still fail with
+    // the path named — at scan planning.
+    val statuses =
+      try ArrowIpcDataSource.listAll(spark, paths)
+      catch { case _: java.io.FileNotFoundException => Seq.empty }
+    if (statuses.isEmpty) new StructType()
+    else if (ArrowIpcDataSource.isPartial(options))
       ArrowIpc.planPartialSchema(spark, statuses).getOrElse(
         throw new IllegalArgumentException("arrowipc: no file under " +
           s"${paths.mkString(", ")} carries a complete schema message"))
     else ArrowIpc.schemaOf(spark, statuses.head._1)
   }
+
+  // writes hand the QUERY schema to getTable (a fresh store has nothing
+  // to infer); reads with a user-specified schema are validated per-file
+  // by the reader's schema-invariant check, so a wrong schema fails with
+  // the offending path, never a silent mis-decode
+  override def supportsExternalMetadata(): Boolean = true
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
@@ -115,14 +129,145 @@ private[sources] object ArrowIpcDataSource {
 }
 
 private[sources] final class ArrowIpcTable(paths: Seq[String], tableSchema: StructType,
-    partial: Boolean) extends Table with SupportsRead {
+    partial: Boolean) extends Table with SupportsRead with SupportsWrite {
   override def name(): String =
     s"arrowipc${if (partial) "(partial)" else ""} ${paths.mkString(",")}"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ArrowIpcScanBuilder(paths, tableSchema, partial)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(paths.size == 1,
+      s"arrowipc: write needs exactly one path, got ${paths.size}")
+    require(!partial, "arrowipc: the partial option is a READ mode")
+    new ArrowIpcWriteBuilder(paths.head, info)
+  }
+}
+
+/** DSv2 write: `df.write.format("arrowipc").mode("append"|"overwrite")
+  * .save(path)` — the Catalyst-integrated face of [[ArrowIpc.write]]
+  * (same per-task [[ArrowIpc.IpcPartWriter]] core: LZ4-frame batches,
+  * delta dictionary encoding, per-batch footer statistics, temp+rename
+  * task commit). Options: `batchRows` (default 4096), `dictColumns`
+  * (comma-separated dotted paths), `compressionLevel` (0 fast /
+  * 1–17 lz4hc). Semantics:
+  *
+  *  - append: files land under job-unique names next to the existing
+  *    store; the query schema must match the store's (names + types) —
+  *    checked on the DRIVER at build, because a mixed-schema store
+  *    fails every subsequent read.
+  *  - overwrite (truncate): the new files land first, then commit()
+  *    deletes every data file the job did not write. NOT atomic for
+  *    concurrent readers (a reader between rename and delete can see
+  *    both generations) — same visibility contract as Hadoop
+  *    FileOutputCommitter v2, acceptable for the batch-store shape the
+  *    `_SUCCESS` marker gates.
+  *  - abort: files this job already task-committed are deleted (task
+  *    temps clean themselves up via the attempt-private protocol).
+  */
+private[sources] final class ArrowIpcWriteBuilder(path: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var overwrite = false
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+  override def build(): Write = {
+    val spark = SparkSession.active
+    val opts = info.options()
+    val dictCols = Option(opts.get("dictcolumns")).map(_.split(",").map(_.trim)
+      .filter(_.nonEmpty).toSet).getOrElse(Set.empty[String])
+    // fail fast on the driver: unsupported types / bad dict paths
+    val effectiveDicts = ArrowIpc.validateWriteSchema(info.schema(), dictCols)
+    val batchRows = opts.getInt("batchrows", 4096)
+    require(batchRows > 0, s"arrowipc: batchRows must be positive, got $batchRows")
+    val level = opts.getInt("compressionlevel", 0)
+    // append into a NON-EMPTY store must match its schema exactly —
+    // readers enforce one schema per directory, so a drifted append
+    // would poison every subsequent read
+    if (!overwrite) {
+      val existing =
+        try ArrowIpcDataSource.listAll(spark, Seq(path))
+        catch { case _: java.io.FileNotFoundException => Seq.empty }
+      existing.headOption.foreach { case (f, _) =>
+        val stored = ArrowIpc.schemaOf(spark, f)
+        require(stored.map(x => (x.name, x.dataType)) ==
+            info.schema().map(x => (x.name, x.dataType)),
+          s"arrowipc: append schema ${info.schema().simpleString} does not match " +
+            s"the store's ${stored.simpleString} ($path)")
+      }
+    }
+    new ArrowIpcWrite(path, info.schema(), effectiveDicts, batchRows, level,
+      overwrite, info.queryId(),
+      new SerializableWritable(spark.sparkContext.hadoopConfiguration))
+  }
+}
+
+private[sources] final class ArrowIpcWrite(path: String, schema: StructType,
+    dictCols: Set[String], batchRows: Int, level: Int, overwrite: Boolean,
+    queryId: String, conf: SerializableWritable[org.apache.hadoop.conf.Configuration])
+    extends Write with BatchWrite {
+
+  override def toBatch: BatchWrite = this
+  override def description(): String =
+    s"arrowipc ${if (overwrite) "overwrite" else "append"} $path"
+
+  override def createBatchWriterFactory(phys: PhysicalWriteInfo): DataWriterFactory = {
+    // the dir must exist before tasks open temp files (native write
+    // mkdirs on the driver too)
+    val p = new HPath(path)
+    p.getFileSystem(conf.value).mkdirs(p)
+    // job tag for file names: queryId is unique per write query, so
+    // parallel/append jobs can never collide on a part name
+    val tag = queryId.replaceAll("[^a-zA-Z0-9]", "").takeRight(12)
+    new ArrowIpcWriterFactory(conf, path, schema.json, dictCols, batchRows, level, tag)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val written = messages.collect { case ArrowIpcFileCommitted(n) => n }.toSet
+    val p = new HPath(path)
+    val fs = p.getFileSystem(conf.value)
+    if (overwrite) {
+      // the job's files are all task-committed; retire every data file
+      // this job did not write (see visibility note in the builder doc)
+      fs.listStatus(p).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isFile && !n.startsWith(".") && !n.startsWith("_") && !written.contains(n))
+          fs.delete(st.getPath, false)
+      }
+    }
+    val done = fs.create(new HPath(p, "_SUCCESS"), true)
+    done.close()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val p = new HPath(path)
+    val fs = p.getFileSystem(conf.value)
+    messages.collect { case ArrowIpcFileCommitted(n) => n }
+      .foreach(n => fs.delete(new HPath(p, n), false))
+  }
+}
+
+private[sources] final case class ArrowIpcFileCommitted(file: String)
+    extends WriterCommitMessage
+
+private[sources] final class ArrowIpcWriterFactory(
+    conf: SerializableWritable[org.apache.hadoop.conf.Configuration],
+    path: String, schemaJson: String, dictCols: Set[String], batchRows: Int,
+    level: Int, tag: String) extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+      .asInstanceOf[StructType]
+    val w = new ArrowIpc.IpcPartWriter(conf.value, path, schema, dictCols,
+      batchRows, level, f"part-$partitionId%05d-$tag.arrow",
+      f".part-$partitionId%05d-$taskId-$tag.arrow.tmp", replacePrior = false)
+    new DataWriter[InternalRow] {
+      override def write(row: InternalRow): Unit = w.writeRow(row)
+      override def commit(): WriterCommitMessage = ArrowIpcFileCommitted(w.commit())
+      override def abort(): Unit = w.close() // deletes the un-renamed temp
+      override def close(): Unit = w.close()
+    }
+  }
 }
 
 private[sources] final class ArrowIpcScanBuilder(paths: Seq[String],

@@ -31,6 +31,12 @@ object PlanCheck {
       mustContain = Seq("BatchScan arrowipc",
         "GreaterThanOrEqual(doc_id,100)", "LessThan(doc_id,300)",
         "ReadSchema: struct<doc_id:bigint,lang:string,n_chars:bigint>")),
+    // the DSv2-WRITTEN store reads back through the same pushed-down
+    // BatchScan shape (late r18 - write path gate)
+    Check(
+      "q_arrow_dsv2_write",
+      mustContain = Seq("BatchScan arrowipc",
+        "GreaterThanOrEqual(doc_id,100)", "LessThan(doc_id,300)")),
     // broadcast chosen for the small dim side
     Check("q_join_broadcast", mustContain = Seq("BroadcastHashJoin")),
     Check("q_join_multi", mustContain = Seq("BroadcastHashJoin")),
