@@ -291,7 +291,10 @@ object Bench {
     // the DSv2 WRITE round trip (df.write.format("arrowipc") store build
     // amortized session-wide + the filtered DSv2 read over it)
     "q_arrow_dsv2",
-    "q_arrow_dsv2_write"
+    "q_arrow_dsv2_write",
+    // the streaming sink's serving lane (store build session-amortized,
+    // like the other artifact lanes; the first run pays the stream)
+    "q_arrow_stream_sink"
   )
 
   def main(args: Array[String]): Unit = {

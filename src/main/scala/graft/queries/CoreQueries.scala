@@ -196,6 +196,38 @@ object CoreQueries {
         .orderBy(col("lang"))
     }),
 
+    // Arrow IPC STREAMING sink (late r18): a REAL bounded Structured
+    // Streaming query (file-source epochs over the events parquet,
+    // Trigger.AvailableNow) writes the store through
+    // `writeStream.format("arrowipc")` — one complete IPC file per
+    // (partition, epoch), idempotent replay by deterministic naming
+    // (ArrowStreamSinkSpec) — then the DSv2 reader aggregates it against
+    // the parquet oracle. A dropped epoch, duplicated replay, or torn
+    // file = wrong counts = hash mismatch. Store build session-cached.
+    "q_arrow_stream_sink" -> ((s, dir) => {
+      val parent = cachedTempDir(dir + "#streamsink", "graft_arrow_streamsink") { fresh =>
+        // the tier ships events as ONE parquet file; the file source
+        // needs a directory, and 4 splits give the stream 4 genuine
+        // epochs under maxFilesPerTrigger=1
+        val ev = t(s, dir, "events")
+        ev.repartition(4).write.parquet(s"$fresh/src")
+        val q = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$fresh/src")
+          .writeStream.format("arrowipc")
+          .option("checkpointLocation", s"$fresh/ckpt")
+          .option("batchRows", "4096")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(s"$fresh/store")
+        q.awaitTermination()
+      }
+      s.read.format("arrowipc").load(s"$parent/store")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 4).as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // Arrow IPC NESTED-leaf filter pushdown (r15): the store's `meta`
     // struct mirrors (doc_id, n_chars, lang); the range filter on the
     // nested leaf `meta.did` batch-skips via the dotted-path footer
@@ -569,6 +601,12 @@ object CoreQueries {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE doc_id >= 100 AND doc_id < 300
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // the STREAMED store is a faithful copy of events, so the oracle
+    // re-derives the same aggregate from the parquet source
+    "q_arrow_stream_sink" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // the DSv2-WRITTEN store is a faithful copy of documents, so the
     // oracle re-derives the same filtered aggregate from the parquet source
     "q_arrow_dsv2_write" ->

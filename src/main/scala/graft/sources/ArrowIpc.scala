@@ -1613,7 +1613,7 @@ object ArrowIpc {
     * frees the Arrow memory and deletes the temp iff the rename never
     * happened.
     */
-  private[sources] final class IpcPartWriter(
+  private[graft] final class IpcPartWriter(
       c: org.apache.hadoop.conf.Configuration, pathStr: String, schema: StructType,
       dictCols: Set[String], batchRows: Int, compressionLevel: Int,
       finalFile: String, tmpFile: String, replacePrior: Boolean) {
@@ -1648,22 +1648,34 @@ object ArrowIpc {
       schema.indices.map { i =>
         writerFor(root.getVector(i), schema(i).dataType, schema(i).name, statesByPath)
       }.toArray
-    // 1 MiB buffer: ArrowFileWriter emits many sub-4K writes and the
-    // Hadoop local stream's default 4K buffer turns each into a
-    // checksummed syscall (measured at the 100x tier: the sf10
-    // documents store wrote 339 s unbuffered)
-    private val os: OutputStream = new java.io.BufferedOutputStream(hfs.create(tmp, true), 1 << 20)
-    private val fileMeta = new java.util.HashMap[String, String]()
-    private val codecFactory = FastLz4.factory(compressionLevel)
-    private val writer = new DictFileWriter(root, provider, Channels.newChannel(os),
-      fileMeta, codecFactory)
-    private val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    private val statsArr = om.createArrayNode()
-    writer.start()
-    private val codec = codecFactory.createCodec(CompressionUtil.CodecType.LZ4_FRAME)
     private var n = 0
     private var renamed = false
     private var closed = false
+    // 1 MiB buffer: ArrowFileWriter emits many sub-4K writes and the
+    // Hadoop local stream's default 4K buffer turns each into a
+    // checksummed syscall (measured at the 100x tier: the sf10
+    // documents store wrote 339 s unbuffered). A throw here (bad path,
+    // permissions) must free the Arrow memory already allocated above —
+    // the constructor completes or cleans up after itself, so callers
+    // only guard the post-construction phase.
+    private val os: OutputStream =
+      try new java.io.BufferedOutputStream(hfs.create(tmp, true), 1 << 20)
+      catch { case t: Throwable => closed = true
+        root.close(); schemaVecs.foreach(_.close()); alloc.close(); throw t }
+    private val fileMeta = new java.util.HashMap[String, String]()
+    private val codecFactory = FastLz4.factory(compressionLevel)
+    private val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    private val statsArr = om.createArrayNode()
+    // writer construction + start() write the magic and schema message:
+    // IO failures here clean up the temp and memory the same way
+    private val writer =
+      try {
+        val w = new DictFileWriter(root, provider, Channels.newChannel(os),
+          fileMeta, codecFactory)
+        w.start()
+        w
+      } catch { case t: Throwable => close(); throw t }
+    private val codec = codecFactory.createCodec(CompressionUtil.CodecType.LZ4_FRAME)
 
     // before each record batch: emit the values this batch introduced
     // (first time: the full-so-far dictionary; after: deltas). A batch

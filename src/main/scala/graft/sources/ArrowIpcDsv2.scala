@@ -8,6 +8,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -135,7 +136,8 @@ private[sources] final class ArrowIpcTable(paths: Seq[String], tableSchema: Stru
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ArrowIpcScanBuilder(paths, tableSchema, partial)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -211,6 +213,49 @@ private[sources] final class ArrowIpcWrite(path: String, schema: StructType,
   override def description(): String =
     s"arrowipc ${if (overwrite) "overwrite" else "append"} $path"
 
+  /** Streaming sink — `df.writeStream.format("arrowipc")` — the PRODUCE
+    * side of the reference's consume-while-producing story: each
+    * micro-batch epoch appends one complete IPC file per partition, so
+    * [[ArrowIpc.readPartial]] / the DSv2 `partial` option read the
+    * growing store live, and the plain footer reader works between
+    * epochs (every committed file is footer-complete). Exactly-once by
+    * DETERMINISTIC NAMING: a file is `part-<pid>-e<epoch>.arrow`, task
+    * commit renames over any prior attempt's commit of the same name
+    * (`replacePrior`), so a replayed epoch (post-crash restart from the
+    * checkpoint) REWRITES the same files instead of duplicating rows —
+    * the idempotent-sink contract for deterministic sources, with no
+    * epoch log to maintain. Complete output mode rides the truncate
+    * flag: each epoch's commit retires every data file the epoch did
+    * not write. One streaming query per store (same single-writer
+    * contract as the native writer).
+    */
+  override def toStreaming: StreamingWrite = new StreamingWrite {
+    override def createStreamingWriterFactory(
+        phys: PhysicalWriteInfo): StreamingDataWriterFactory = {
+      val p = new HPath(path)
+      p.getFileSystem(conf.value).mkdirs(p)
+      new ArrowIpcStreamingWriterFactory(conf, path, schema.json, dictCols,
+        batchRows, level)
+    }
+    override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+      if (overwrite) { // complete mode: this epoch IS the table
+        val written = messages.collect { case ArrowIpcFileCommitted(n) => n }.toSet
+        val p = new HPath(path)
+        val fs = p.getFileSystem(conf.value)
+        fs.listStatus(p).foreach { st =>
+          val n = st.getPath.getName
+          if (st.isFile && !n.startsWith(".") && !n.startsWith("_") && !written.contains(n))
+            fs.delete(st.getPath, false)
+        }
+      }
+    override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+      val p = new HPath(path)
+      val fs = p.getFileSystem(conf.value)
+      messages.collect { case ArrowIpcFileCommitted(n) => n }
+        .foreach(n => fs.delete(new HPath(p, n), false))
+    }
+  }
+
   override def createBatchWriterFactory(phys: PhysicalWriteInfo): DataWriterFactory = {
     // the dir must exist before tasks open temp files (native write
     // mkdirs on the driver too)
@@ -249,6 +294,29 @@ private[sources] final class ArrowIpcWrite(path: String, schema: StructType,
 
 private[sources] final case class ArrowIpcFileCommitted(file: String)
     extends WriterCommitMessage
+
+private[sources] final class ArrowIpcStreamingWriterFactory(
+    conf: SerializableWritable[org.apache.hadoop.conf.Configuration],
+    path: String, schemaJson: String, dictCols: Set[String], batchRows: Int,
+    level: Int) extends StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] = {
+    val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+      .asInstanceOf[StructType]
+    // deterministic (pid, epoch) name + replacePrior: an epoch replayed
+    // from the checkpoint rewrites the same file - idempotent, no dupes
+    val w = new ArrowIpc.IpcPartWriter(conf.value, path, schema, dictCols,
+      batchRows, level, f"part-$partitionId%05d-e$epochId.arrow",
+      f".part-$partitionId%05d-$taskId-e$epochId.arrow.tmp", replacePrior = true)
+    new DataWriter[InternalRow] {
+      override def write(row: InternalRow): Unit = w.writeRow(row)
+      override def commit(): WriterCommitMessage = ArrowIpcFileCommitted(w.commit())
+      override def abort(): Unit = w.close()
+      override def close(): Unit = w.close()
+    }
+  }
+}
 
 private[sources] final class ArrowIpcWriterFactory(
     conf: SerializableWritable[org.apache.hadoop.conf.Configuration],
