@@ -204,7 +204,7 @@ private[sources] final class ArrowIpcWriteBuilder(path: String, info: LogicalWri
   }
 }
 
-private[sources] final class ArrowIpcWrite(path: String, schema: StructType,
+private[graft] final class ArrowIpcWrite(path: String, schema: StructType,
     dictCols: Set[String], batchRows: Int, level: Int, overwrite: Boolean,
     queryId: String, conf: SerializableWritable[org.apache.hadoop.conf.Configuration])
     extends Write with BatchWrite {
@@ -237,17 +237,31 @@ private[sources] final class ArrowIpcWrite(path: String, schema: StructType,
       new ArrowIpcStreamingWriterFactory(conf, path, schema.json, dictCols,
         batchRows, level)
     }
-    override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+      val written = messages.collect { case ArrowIpcFileCommitted(n) => n }.toSet
+      val p = new HPath(path)
+      val fs = p.getFileSystem(conf.value)
       if (overwrite) { // complete mode: this epoch IS the table
-        val written = messages.collect { case ArrowIpcFileCommitted(n) => n }.toSet
-        val p = new HPath(path)
-        val fs = p.getFileSystem(conf.value)
         fs.listStatus(p).foreach { st =>
           val n = st.getPath.getName
           if (st.isFile && !n.startsWith(".") && !n.startsWith("_") && !written.contains(n))
             fs.delete(st.getPath, false)
         }
+      } else {
+        // append mode replay guard: a replayed epoch can run with FEWER
+        // partitions than the crashed original (source repartitioning
+        // after restart) — deterministic names make the rewritten files
+        // replace, but the original's EXTRA partitions would survive as
+        // duplicates. Retire any file of THIS epoch the replay did not
+        // (re)write; other epochs are untouched.
+        val suffix = f"-e$epochId.arrow"
+        fs.listStatus(p).foreach { st =>
+          val n = st.getPath.getName
+          if (st.isFile && !n.startsWith(".") && n.endsWith(suffix) && !written.contains(n))
+            fs.delete(st.getPath, false)
+        }
       }
+    }
     override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
       val p = new HPath(path)
       val fs = p.getFileSystem(conf.value)
@@ -292,7 +306,7 @@ private[sources] final class ArrowIpcWrite(path: String, schema: StructType,
   }
 }
 
-private[sources] final case class ArrowIpcFileCommitted(file: String)
+private[graft] final case class ArrowIpcFileCommitted(file: String)
     extends WriterCommitMessage
 
 private[sources] final class ArrowIpcStreamingWriterFactory(

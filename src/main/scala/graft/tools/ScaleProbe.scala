@@ -1340,6 +1340,42 @@ object ScaleProbe {
           f""""serial_plan_s":$tSerial%.2f,"onejob_plan_s":$tJob%.2f,""" +
           s""""tasks":${tasks.size},"rows":$n}""")
 
+      case "arrow_dsv2_write" =>
+        // late r18: the DSv2 write wrapper vs the native writer at the
+        // tier - same IpcPartWriter core, so wall-clock and content must
+        // both match (the wrapper adds only commit-message plumbing)
+        import graft.sources.ArrowIpc
+        val parent = java.nio.file.Files.createTempDirectory("probe_dsv2w")
+        cleanupOnExit(parent)
+        def secsW[A](f: => A): (A, Double) = {
+          val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+        }
+        def contentHash(dir: String): (Long, Long) = {
+          val r = ArrowIpc.read(spark, dir)
+            .agg(count(lit(1)), bit_xor(xxhash64(col("doc_id"), col("lang"),
+              col("source"), col("text")))).collect().head
+          (r.getLong(0), r.getLong(1))
+        }
+        // interleaved best-of-2 so page-cache warmth doesn't pick a winner
+        val runs = (1 to 2).flatMap { i =>
+          val (_, tn) = secsW(ArrowIpc.write(docs, s"$parent/nat$i",
+            batchRows = 4096, dictColumns = Set("lang", "source")))
+          val (_, td) = secsW(docs.write.format("arrowipc")
+            .option("dictColumns", "lang,source").option("batchRows", "4096")
+            .mode("overwrite").save(s"$parent/v2$i"))
+          Seq(("native", tn, s"$parent/nat$i"), ("dsv2", td, s"$parent/v2$i"))
+        }
+        val natBest = runs.collect { case ("native", t, _) => t }.min
+        val v2Best = runs.collect { case ("dsv2", t, _) => t }.min
+        val hn = contentHash(s"$parent/nat1")
+        val hd = contentHash(s"$parent/v21")
+        require(hn == hd, s"DSv2-written store diverges from native: $hd vs $hn")
+        System.err.println(f"[probe] write ${hn._1} rows: native best $natBest%.1f s " +
+          f"vs dsv2 $v2Best%.1f s (${v2Best / natBest}%.2fx)")
+        println(s"""{"mode":"arrow_dsv2_write","rows":${hn._1},""" +
+          f""""native_s":$natBest%.1f,"dsv2_s":$v2Best%.1f,""" +
+          f""""ratio":${v2Best / natBest}%.2f}""")
+
       case "arrow_hc" | "arrow_hc_big" =>
         // the lz4hc archival level vs the fast default at the tier:
         // write time + store size + a full read back (values must match).

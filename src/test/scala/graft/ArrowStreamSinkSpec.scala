@@ -97,6 +97,39 @@ class ArrowStreamSinkSpec extends SparkSpec {
       "replay must not duplicate rows")
   }
 
+  test("append-mode epoch commit retires THIS epoch's unwritten files: a " +
+      "replay with fewer partitions cannot leave the original's extras as dupes") {
+    val dir = java.nio.file.Files.createTempDirectory("arrow_sink_shrink").toString
+    val out = s"$dir/store"
+    java.nio.file.Files.createDirectories(Paths.get(out))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType)))
+    def writeFile(name: String, ids: Range): Unit = {
+      val w = new graft.sources.ArrowIpc.IpcPartWriter(
+        spark.sparkContext.hadoopConfiguration, out, schema, Set.empty, 4096, 0,
+        name, s".$name.tmp", replacePrior = true)
+      try {
+        ids.foreach(i => w.writeRow(org.apache.spark.sql.catalyst.InternalRow(i.toLong)))
+        w.commit()
+      } finally w.close()
+    }
+    // crashed original of epoch 0 ran 2 partitions; epoch 1 is committed
+    writeFile("part-00000-e0.arrow", 0 until 10)
+    writeFile("part-00001-e0.arrow", 10 until 20)
+    writeFile("part-00000-e1.arrow", 20 until 30)
+    // the replay of epoch 0 rewrote only partition 0 (source coalesced
+    // after restart); its commit must retire the orphaned partition 1
+    // of THE SAME epoch and leave epoch 1 alone
+    val w = new graft.sources.ArrowIpcWrite(out, schema, Set.empty, 4096, 0,
+      overwrite = false, "qid",
+      new org.apache.spark.SerializableWritable(spark.sparkContext.hadoopConfiguration))
+    w.toStreaming.commit(0L,
+      Array(graft.sources.ArrowIpcFileCommitted("part-00000-e0.arrow")))
+    assert(arrowFiles(out) == Seq("part-00000-e0.arrow", "part-00000-e1.arrow"),
+      s"epoch self-clean wrong: ${arrowFiles(out)}")
+    assert(spark.read.format("arrowipc").load(out).count() == 20)
+  }
+
   test("complete output mode retires prior epochs (truncate per epoch)") {
     val dir = java.nio.file.Files.createTempDirectory("arrow_sink_complete").toString
     val out = s"$dir/store"
