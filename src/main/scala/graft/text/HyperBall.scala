@@ -1,6 +1,6 @@
 package graft.text
 
-import graft.functions.RegisterMaxAggregator
+import graft.functions.RegisterMaxAgg
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -147,7 +147,6 @@ object HyperBall {
     val ids = nodes.select(col(idCol).as("id"))
     val e = edges.select(col("src"), col("dst"))
       .where(col("src") =!= col("dst")).distinct().cache()
-    val regMax = udaf(RegisterMaxAggregator(M))
     var regs = ids.select(col("id"), initRegisters(col("id")).as("reg"))
       .localCheckpoint(true)
     var snapshots = regs.select(col("id"))
@@ -158,7 +157,7 @@ object HyperBall {
       val nb = e.join(regs, col("dst") === col("id"))
         .select(col("src").as("id"), col("reg"))
       regs = regs.unionAll(nb)
-        .groupBy(col("id")).agg(regMax(col("reg")).as("reg"))
+        .groupBy(col("id")).agg(RegisterMaxAgg.registerMax(col("reg"), M).as("reg"))
         .localCheckpoint(true)
       // per-hop mode keeps every round's snapshot live (the final join
       // reads them all); otherwise the superseded round releases

@@ -1,6 +1,6 @@
 package graft.text
 
-import graft.functions.RegisterMaxAggregator
+import graft.functions.RegisterMaxAgg
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -381,11 +381,10 @@ object HyperBallStore {
     * (identical to [[HyperBall]]'s in-memory loop body).
     */
   private def round(e: DataFrame, regs: DataFrame): DataFrame = {
-    val regMax = udaf(RegisterMaxAggregator(HyperBall.M))
     val nb = e.join(regs, col("dst") === col("id"))
       .select(col("src").as("id"), col("reg"))
     regs.unionAll(nb)
-      .groupBy(col("id")).agg(regMax(col("reg")).as("reg"))
+      .groupBy(col("id")).agg(RegisterMaxAgg.registerMax(col("reg"), HyperBall.M).as("reg"))
   }
 
   /** The wide `(id, __reg1 … __regD)` frame the shared readouts consume,

@@ -142,11 +142,20 @@ object LinkGraph {
     var d = 1
     var done = false
     while (!done) {
-      val next = frontier.join(e, col("id") === col("src"))
-        .select(col("root"), col("dst").as("id")).distinct()
-        .join(reached.select(col("root"), col("id")), Seq("root", "id"), "left_anti")
-        .withColumn("d", lit(d))
-      val grown = reached.unionAll(next).cache()
+      // BFS step as ONE aggregation (optimization round 18): the old
+      // shape shuffled the hop's candidate set twice (distinct + the
+      // anti-join against reached) before the union; min(d) over
+      // reached ∪ candidates is the same min-distance semantics — a
+      // node rediscovered at hop d keeps its earlier d, a fresh node
+      // enters with d — in a single (root, id) exchange (guide §2.4).
+      // Candidate rows carry d = current hop, so min(d) ≡ first
+      // discovery; the frontier filter below (d === current) then picks
+      // exactly the fresh nodes.
+      val candidates = frontier.join(e, col("id") === col("src"))
+        .select(col("root"), col("dst").as("id"), lit(d).as("d"))
+      val grown = reached.unionAll(candidates)
+        .groupBy(col("root"), col("id")).agg(min(col("d")).as("d"))
+        .cache()
       if (d == maxHops) {
         // the final iteration terminates unconditionally: skip its
         // convergence count and let the closing localCheckpoint do the
@@ -423,24 +432,53 @@ object LinkGraph {
     * frequency lies in [2, maxDf]. The df cap drops boilerplate spans —
     * they carry no linkage signal and are exactly the spans that would
     * make the pair join quadratic (same hygiene as LSH bucket caps).
+    *
+    * Shape (optimization round 18): ONE corpus scan + explode, one
+    * shuffle grouping spans by hash with a SIZE-CAPPED distinct-id set
+    * ([[graft.functions.BoundedSetAgg]], cap = maxDf + 1 — the buffer is
+    * O(maxDf) on any df distribution, so boilerplate hubs never
+    * materialize their id list), local pair generation inside each kept
+    * group (≤ maxDf·(maxDf−1) rows, both directions emitted inline), and
+    * one distinct shuffle. The previous formulation (df aggregation +
+    * span⨝rare + span-pair self-join + per-direction union) planned the
+    * corpus scan+shingle explode SIXTEEN times and five exchanges —
+    * measured in plans/r18/inner_sharedSpanEdges_before.txt; guide §2.3/
+    * §2.4 (shuffle fewer bytes / remove shuffles outright).
     */
   def sharedSpanEdges(docs: DataFrame, idCol: String, textCol: String,
+      w: Int, maxDf: Int): DataFrame =
+    spanPairGroups(docs, idCol, textCol, w, maxDf)
+      .select(explode(bothDirectionPairs).as("__p"))
+      .select(col("__p.src").as("src"), col("__p.dst").as("dst"))
+      .distinct()
+
+  /** Spans grouped by hash with the COMPLETE distinct-id set for every
+    * span whose df lies in [2, maxDf]: the capped collect returns
+    * maxDf + 1 elements for any hub span (true df ≥ maxDf + 1), which
+    * the size filter drops — never pairing boilerplate, exactly like the
+    * old countDistinct + semi-join, in one aggregation.
+    */
+  private def spanPairGroups(docs: DataFrame, idCol: String, textCol: String,
       w: Int, maxDf: Int): DataFrame = {
     import graft.functions.{TextFunctions => T}
-    val spans = docs.select(col(idCol).as("__id"),
-      explode(T.shingleHashes(col(textCol), w)).as("__h"))
-    val rare = spans.groupBy(col("__h"))
-      .agg(countDistinct(col("__id")).as("__df"))
-      .where(col("__df") >= 2 && col("__df") <= maxDf)
-      .select(col("__h"))
-    val sp = spans.join(rare, Seq("__h"))
-    val pairs = sp.select(col("__h"), col("__id").as("id_a"))
-      .join(sp.select(col("__h"), col("__id").as("id_b")), Seq("__h"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
-    pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    docs.select(col(idCol).as("__id"),
+        explode(T.shingleHashes(col(textCol), w)).as("__h"))
+      .groupBy(col("__h"))
+      .agg(graft.functions.BoundedSetAgg
+        .boundedDistinctSet(col("__id"), maxDf + 1).as("__ids"))
+      .where(size(col("__ids")) >= 2 && size(col("__ids")) <= maxDf)
   }
+
+  /** All ordered pairs of a kept group's sorted id array, both edge
+    * directions emitted inline (array of `struct<src, dst>`): replaces
+    * the old pairs-table self-union, so the plan stays ONE tree instead
+    * of duplicating the whole build per direction.
+    */
+  private def bothDirectionPairs =
+    expr("""flatten(transform(__ids, (x, i) ->
+             flatten(transform(slice(__ids, i + 2, size(__ids)), y ->
+               array(named_struct('src', x, 'dst', y),
+                     named_struct('src', y, 'dst', x))))))""")
 
   /** Per-document span-novelty profile — the inverse signal of the link
     * graph: how much of a document is UNIQUE vs shared vs boilerplate.
@@ -525,13 +563,13 @@ object LinkGraph {
     var rounds = 0
     var converged = isStarSet(e)
     while (!converged && rounds < maxRounds) {
-      // each star pass is consumed twice (its own min-agg + join), so pin
-      // both — otherwise the per-round plan executes the pass twice; the
-      // intermediate pin and the superseded round are released explicitly
-      // (Dataset.unpersist is a no-op for checkpoints — graft.Pins)
-      val ls = largeStar(e).localCheckpoint(true)
-      val next = smallStar(ls).localCheckpoint(true)
-      graft.Pins.release(ls)
+      // one pin per ROUND (optimization round 18): the star passes are
+      // window-based (see largeStar/smallStar), so each consumes its
+      // input exactly once and the large-star intermediate no longer
+      // needs its own checkpoint — the r17 shape pinned it because the
+      // min-agg + join consumed it twice. Round jobs drop 3 → 2 and one
+      // edge-set materialization per round disappears (guide §1.2 step 1).
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
       graft.Pins.release(e)
       e = next
       converged = isStarSet(e)
@@ -672,11 +710,16 @@ object LinkGraph {
       val counts = e
         .join(labels.select(col("id").as("dst"), col("lbl").as("nlbl")), Seq("dst"))
         .groupBy(col("src"), col("nlbl")).agg(count(lit(1)).as("__c"))
+      // argmax as min_by over (−count, label) instead of the r17
+      // row_number window (optimization round 18): same deterministic
+      // pick — highest count, smallest label on ties, and (−c, nlbl) is
+      // unique per group so the ordering never ties — via a hash
+      // aggregate with map-side partials instead of a full sort under a
+      // window (guide §2.3 aggregate-before-shuffle; works for any
+      // orderable label type)
       val picked = counts
-        .withColumn("__rn", row_number().over(
-          Window.partitionBy(col("src")).orderBy(col("__c").desc, col("nlbl").asc)))
-        .where(col("__rn") === 1)
-        .select(col("src").as("id"), col("nlbl").as("__new"))
+        .groupBy(col("src").as("id"))
+        .agg(min_by(col("nlbl"), struct(-col("__c"), col("nlbl"))).as("__new"))
       labels = labels.join(picked, Seq("id"), "left")
         .select(col("id"), coalesce(col("__new"), col("lbl")).as("lbl"))
         .localCheckpoint(true)
@@ -764,12 +807,14 @@ object LinkGraph {
     * (v > u ≥ m), self-loop-free by construction.
     */
   private def largeStar(e: DataFrame): DataFrame = {
+    // m(u) via a window over the symmetric edges instead of the r17
+    // min-agg + self-join: one pass over the input (the join shape
+    // consumed `sym` twice, forcing a checkpoint of the pass), same
+    // exchange count, no join
     val sym = e.select(col("hi").as("u"), col("lo").as("v"))
       .unionAll(e.select(col("lo").as("u"), col("hi").as("v")))
-    val m = sym.groupBy(col("u"))
-      .agg(min(col("v")).as("__mn"))
-      .select(col("u"), least(col("u"), col("__mn")).as("__m"))
-    sym.join(m, Seq("u"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
+    sym.withColumn("__m", least(col("u"), min(col("v")).over(w)))
       .where(col("v") > col("u"))
       .select(col("v").as("hi"), col("__m").as("lo"))
       .distinct()
@@ -781,11 +826,21 @@ object LinkGraph {
     * outputs stay canonical (v > m since m is the strict min; u > m).
     */
   private def smallStar(e: DataFrame): DataFrame = {
-    val m = e.groupBy(col("hi")).agg(min(col("lo")).as("__m"))
-    val moved = e.join(m, Seq("hi"))
-      .where(col("lo") =!= col("__m"))
-      .select(col("lo").as("hi"), col("__m").as("lo"))
-    moved.unionAll(m.select(col("hi"), col("__m").as("lo"))).distinct()
+    // same one-pass window shape as largeStar; both output kinds (the
+    // re-pointed neighbor and the center edge) are emitted from ONE
+    // projection via explode, so the windowed frame is consumed exactly
+    // once — a union of the two kinds would plan the window pass twice.
+    // The per-edge (u, m) duplicates collapse in the trailing distinct
+    // (identical set to the r17 min-agg + join formulation).
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("hi"))
+    e.withColumn("__m", min(col("lo")).over(w))
+      .select(explode(
+        when(col("lo") =!= col("__m"),
+          array(struct(col("lo").as("hi"), col("__m").as("lo")),
+            struct(col("hi"), col("__m").as("lo"))))
+          .otherwise(array(struct(col("hi"), col("__m").as("lo"))))).as("__e"))
+      .select(col("__e.hi").as("hi"), col("__e.lo").as("lo"))
+      .distinct()
   }
 
   /** Exact star-fixpoint test (see [[connectedComponents]] scaladoc):
@@ -903,20 +958,13 @@ object LinkGraph {
     * [[pageRankWeighted]] overflow guard.
     */
   def sharedSpanEdgesWeighted(docs: DataFrame, idCol: String, textCol: String,
-      w: Int, maxDf: Int): DataFrame = {
-    import graft.functions.{TextFunctions => T}
-    val spans = docs.select(col(idCol).as("__id"),
-      explode(T.shingleHashes(col(textCol), w)).as("__h"))
-    val rare = spans.groupBy(col("__h"))
-      .agg(countDistinct(col("__id")).as("__df"))
-      .where(col("__df") >= 2 && col("__df") <= maxDf)
-      .select(col("__h"))
-    val sp = spans.join(rare, Seq("__h"))
-    val pairs = sp.select(col("__h"), col("__id").as("id_a"))
-      .join(sp.select(col("__h"), col("__id").as("id_b")), Seq("__h"))
-      .where(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("weight"))
-    pairs.select(col("id_a").as("src"), col("id_b").as("dst"), col("weight"))
-      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst"), col("weight")))
-  }
+      w: Int, maxDf: Int): DataFrame =
+    // same single-scan grouped shape as [[sharedSpanEdges]] (see its
+    // scaladoc); both directions of a pair count the same shared spans,
+    // so the per-direction group-by count reproduces the old
+    // count-then-union weights exactly
+    spanPairGroups(docs, idCol, textCol, w, maxDf)
+      .select(explode(bothDirectionPairs).as("__p"))
+      .select(col("__p.src").as("src"), col("__p.dst").as("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("weight"))
 }
