@@ -272,16 +272,20 @@ object LinkGraph {
     var i = 0
     while (i < iters) {
       // `div`, not `/`: Spark's `/` on longs is DOUBLE division — the
-      // fixed-point contract needs truncating integer division
+      // fixed-point contract needs truncating integer division.
+      // The node set rides the aggregation as zero-contribution rows
+      // (optimization round 18): the r17 shape aggregated contributions
+      // and then LEFT-JOINED ids back in — one extra node-sized join per
+      // iteration; Σ over the union is the same exact Long sum, and
+      // every id is present by construction (guide §2.4)
       val contrib = ranks.join(ewd, col("id") === col("src"))
         .select(col("dst").as("id"), expr("r div __deg").as("__c"))
-        .groupBy(col("id")).agg(sum(col("__c")).as("__s"))
       // pin each iteration: cuts the k-fold self-join lineage and makes
       // iteration k read materialized ranks, not re-run iterations 1..k-1
-      ranks = ids.join(contrib, Seq("id"), "left")
+      ranks = ids.withColumn("__c", lit(0L)).unionAll(contrib)
+        .groupBy(col("id")).agg(sum(col("__c")).as("__s"))
         .select(col("id"),
-          (lit(teleport) +
-            coalesce(expr(s"(${dampNum}L * __s) div ${dampDen}L"), lit(0L))).as("r"))
+          (lit(teleport) + expr(s"(${dampNum}L * __s) div ${dampDen}L")).as("r"))
         .localCheckpoint(true)
       prevPinned.foreach(graft.Pins.release)
       prevPinned = Some(ranks)
@@ -338,13 +342,18 @@ object LinkGraph {
     var prevPinned: Option[DataFrame] = None // see pageRank
     var i = 0
     while (i < iters) {
+      // same union-into-the-aggregate shape as [[pageRank]] (r18): the
+      // node rows carry their seed flag and zero contribution; contrib
+      // rows carry false, so max(__seed) restores the flag exactly
+      // (every id has exactly one idsFlag row)
       val contrib = ranks.join(ewd, col("id") === col("src"))
-        .select(col("dst").as("id"), expr("r div __deg").as("__c"))
-        .groupBy(col("id")).agg(sum(col("__c")).as("__s"))
-      ranks = idsFlag.join(contrib, Seq("id"), "left")
+        .select(col("dst").as("id"), expr("r div __deg").as("__c"), lit(false).as("__seed"))
+      ranks = idsFlag.select(col("id"), lit(0L).as("__c"), col("__seed"))
+        .unionAll(contrib)
+        .groupBy(col("id")).agg(sum(col("__c")).as("__s"), max(col("__seed")).as("__sd"))
         .select(col("id"),
-          (when(col("__seed"), lit(teleport)).otherwise(lit(0L)) +
-            coalesce(expr(s"(${dampNum}L * __s) div ${dampDen}L"), lit(0L))).as("r"))
+          (when(col("__sd"), lit(teleport)).otherwise(lit(0L)) +
+            expr(s"(${dampNum}L * __s) div ${dampDen}L")).as("r"))
         .localCheckpoint(true)
       prevPinned.foreach(graft.Pins.release)
       prevPinned = Some(ranks)
@@ -410,13 +419,13 @@ object LinkGraph {
     var prevPinned: Option[DataFrame] = None // see pageRank
     var i = 0
     while (i < iters) {
+      // same union-into-the-aggregate shape as [[pageRank]] (r18)
       val contrib = ranks.join(ewd, col("id") === col("src"))
         .select(col("dst").as("id"), expr("(r * weight) div __wsum").as("__c"))
+      ranks = ids.withColumn("__c", lit(0L)).unionAll(contrib)
         .groupBy(col("id")).agg(sum(col("__c")).as("__s"))
-      ranks = ids.join(contrib, Seq("id"), "left")
         .select(col("id"),
-          (lit(teleport) +
-            coalesce(expr(s"(${dampNum}L * __s) div ${dampDen}L"), lit(0L))).as("r"))
+          (lit(teleport) + expr(s"(${dampNum}L * __s) div ${dampDen}L")).as("r"))
         .localCheckpoint(true)
       prevPinned.foreach(graft.Pins.release)
       prevPinned = Some(ranks)
@@ -563,13 +572,18 @@ object LinkGraph {
     var rounds = 0
     var converged = isStarSet(e)
     while (!converged && rounds < maxRounds) {
-      // one pin per ROUND (optimization round 18): the star passes are
-      // window-based (see largeStar/smallStar), so each consumes its
-      // input exactly once and the large-star intermediate no longer
-      // needs its own checkpoint — the r17 shape pinned it because the
-      // min-agg + join consumed it twice. Round jobs drop 3 → 2 and one
-      // edge-set materialization per round disappears (guide §1.2 step 1).
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      // each star pass is consumed twice (its own min-agg + join), so pin
+      // both — otherwise the per-round plan executes the pass twice; the
+      // intermediate pin and the superseded round are released explicitly
+      // (Dataset.unpersist is a no-op for checkpoints — graft.Pins).
+      // Optimization round 18 note: a window-based one-pass star variant
+      // (no ls pin, 2 jobs/round) A/B-measured 25-40% SLOWER in one JVM
+      // (CcAb: 1.63 s vs 2.02-2.27 s) — WindowExec's per-round sort costs
+      // more than the hash-agg + broadcast join it replaced; kept as-is
+      // per guide §1.1 (empirical loop beats the "ideal" plan).
+      val ls = largeStar(e).localCheckpoint(true)
+      val next = smallStar(ls).localCheckpoint(true)
+      graft.Pins.release(ls)
       graft.Pins.release(e)
       e = next
       converged = isStarSet(e)
@@ -807,14 +821,12 @@ object LinkGraph {
     * (v > u ≥ m), self-loop-free by construction.
     */
   private def largeStar(e: DataFrame): DataFrame = {
-    // m(u) via a window over the symmetric edges instead of the r17
-    // min-agg + self-join: one pass over the input (the join shape
-    // consumed `sym` twice, forcing a checkpoint of the pass), same
-    // exchange count, no join
     val sym = e.select(col("hi").as("u"), col("lo").as("v"))
       .unionAll(e.select(col("lo").as("u"), col("hi").as("v")))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
-    sym.withColumn("__m", least(col("u"), min(col("v")).over(w)))
+    val m = sym.groupBy(col("u"))
+      .agg(min(col("v")).as("__mn"))
+      .select(col("u"), least(col("u"), col("__mn")).as("__m"))
+    sym.join(m, Seq("u"))
       .where(col("v") > col("u"))
       .select(col("v").as("hi"), col("__m").as("lo"))
       .distinct()
@@ -826,21 +838,11 @@ object LinkGraph {
     * outputs stay canonical (v > m since m is the strict min; u > m).
     */
   private def smallStar(e: DataFrame): DataFrame = {
-    // same one-pass window shape as largeStar; both output kinds (the
-    // re-pointed neighbor and the center edge) are emitted from ONE
-    // projection via explode, so the windowed frame is consumed exactly
-    // once — a union of the two kinds would plan the window pass twice.
-    // The per-edge (u, m) duplicates collapse in the trailing distinct
-    // (identical set to the r17 min-agg + join formulation).
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("hi"))
-    e.withColumn("__m", min(col("lo")).over(w))
-      .select(explode(
-        when(col("lo") =!= col("__m"),
-          array(struct(col("lo").as("hi"), col("__m").as("lo")),
-            struct(col("hi"), col("__m").as("lo"))))
-          .otherwise(array(struct(col("hi"), col("__m").as("lo"))))).as("__e"))
-      .select(col("__e.hi").as("hi"), col("__e.lo").as("lo"))
-      .distinct()
+    val m = e.groupBy(col("hi")).agg(min(col("lo")).as("__m"))
+    val moved = e.join(m, Seq("hi"))
+      .where(col("lo") =!= col("__m"))
+      .select(col("lo").as("hi"), col("__m").as("lo"))
+    moved.unionAll(m.select(col("hi"), col("__m").as("lo"))).distinct()
   }
 
   /** Exact star-fixpoint test (see [[connectedComponents]] scaladoc):
@@ -850,14 +852,19 @@ object LinkGraph {
     * semi-join would cost).
     */
   private def isStarSet(e: DataFrame): Boolean = {
+    // `e` is always a DISTINCT (hi, lo) set (canonicalization and every
+    // star pass end with .distinct()), so "hi maps to >1 distinct lo" ≡
+    // "hi appears in >1 rows" — a plain row count per hi. The r17 form
+    // counted DISTINCT lo per hi, which planned an Expand + two-phase
+    // aggregation over the 2|E| union every round; sum/min/max is one
+    // codegen hash aggregate (optimization round 18, guide §2.3 — the
+    // convergence probe was costing as much as a star pass).
     val sides = e
-      .select(col("hi").as("n"), col("lo").as("other"), lit(1L).as("__h"))
-      .unionAll(e.select(col("lo").as("n"),
-        lit(null).cast(e.schema("hi").dataType).as("other"), lit(0L).as("__h")))
+      .select(col("hi").as("n"), lit(1L).as("__h"))
+      .unionAll(e.select(col("lo").as("n"), lit(0L).as("__h")))
     sides.groupBy(col("n"))
-      .agg(max(col("__h")).as("__hasHi"), min(col("__h")).as("__minH"),
-        countDistinct(col("other")).as("__nd")) // nulls (lo-side rows) don't count
-      .where((col("__hasHi") === 1 && col("__minH") === 0) || col("__nd") > 1)
+      .agg(sum(col("__h")).as("__nHi"), min(col("__h")).as("__minH"))
+      .where(col("__nHi") > 1 || (col("__nHi") >= 1 && col("__minH") === 0))
       .limit(1).count() == 0L
   }
 

@@ -499,8 +499,11 @@ object PlanCheck {
         val ewd = edges.join(
           edges.groupBy(col("src")).agg(count(lit(1)).as("__deg")), Seq("src"))
         val ranks = docs.select(col("doc_id").as("id")).withColumn("r", lit(1000000L))
-        ranks.join(ewd, col("id") === col("src"))
+        // r18 iteration body: the node set rides the aggregation as
+        // zero-contribution rows instead of a post-agg left join
+        val contrib = ranks.join(ewd, col("id") === col("src"))
           .select(col("dst").as("id"), expr("r div __deg").as("__c"))
+        ranks.select(col("id")).withColumn("__c", lit(0L)).unionAll(contrib)
           .groupBy(col("id")).agg(sum(col("__c")).as("__s"))
       },
       mustContain = Seq("partial_sum"),
