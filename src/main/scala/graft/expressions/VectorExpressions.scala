@@ -177,3 +177,54 @@ object HyperplaneLsh {
     ((h >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
   }
 }
+
+/** Deterministic centered dot product `Σ_t (vec[t] − mean[t]) · weight[t]`
+  * folded left-to-right in component order — the per-row kernel of the
+  * PCA power iteration ([[graft.similarity.Pca]]). Replaces an
+  * `aggregate` higher-order function that paid interpreted dispatch per
+  * element (optimization round 18): same IEEE add/multiply sequence, so
+  * projections are bit-identical, but the row cost is ONE static call
+  * into [[VectorOps.dotCentered]] inside whole-stage codegen. `mean` and
+  * `weight` must be array<double> (they are literals in practice);
+  * `vec` may be array<float> or array<double>; null vec → null.
+  */
+case class DotCentered(vec: Expression, mean: Expression, weight: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  import VectorExpressions._
+
+  override def first: Expression = vec
+  override def second: Expression = mean
+  override def third: Expression = weight
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot_centered"
+
+  override def checkInputDataTypes() = {
+    val v = checkVec(vec.dataType, "vec")
+    def dbl(dt: DataType, side: String) = dt match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$side must be array<double>, got ${other.simpleString(10)}")
+    }
+    if (v.isFailure) v
+    else {
+      val m = dbl(mean.dataType, "mean")
+      if (m.isFailure) m else dbl(weight.dataType, "weight")
+    }
+  }
+
+  @transient private lazy val vf = isFloatArray(vec.dataType)
+
+  override def nullSafeEval(v: Any, m: Any, w: Any): Any =
+    VectorOps.dotCentered(v.asInstanceOf[ArrayData], m.asInstanceOf[ArrayData],
+      w.asInstanceOf[ArrayData], vf)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, m, w) =>
+      s"${ev.value} = graft.expressions.VectorOps.dotCentered($v, $m, $w, $vf);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): DotCentered =
+    copy(vec = newFirst, mean = newSecond, weight = newThird)
+}

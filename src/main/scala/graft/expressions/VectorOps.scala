@@ -48,4 +48,18 @@ object VectorOps {
     while (i < a.numElements()) { val x = at(a, i, f); s += x * x; i += 1 }
     math.sqrt(s)
   }
+
+  /** Left fold `acc + (v[t] - mu[t]) * w[t]` in component order — the
+    * deterministic centered dot product behind [[DotCentered]]
+    * (bit-identical to the aggregate-HOF formulation it replaced:
+    * same add/multiply sequence, one static call per row instead of
+    * interpreted per-element lambda dispatch).
+    */
+  def dotCentered(v: ArrayData, mu: ArrayData, w: ArrayData, vf: Boolean): Double = {
+    val n = mu.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += (at(v, i, vf) - mu.getDouble(i)) * w.getDouble(i); i += 1 }
+    s
+  }
 }

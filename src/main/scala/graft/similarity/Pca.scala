@@ -81,11 +81,17 @@ object Pca {
     corpus.select(col(idCol), projectColumn(col(vecCol), mean, pc).as("pc_score"))
 
   /** Left fold `acc + (x[t]−μ[t])·w[t]` in component order — the per-row
-    * dot-product spec the oracle mirrors.
+    * dot-product spec the oracle mirrors. Native kernel
+    * ([[graft.expressions.DotCentered]], optimization round 18): the same
+    * IEEE add/multiply sequence as the previous `aggregate` HOF (bit-
+    * identical doubles, oracle-verified), minus the interpreted
+    * per-element lambda dispatch the HOF paid per row.
     */
-  private def dotExpr(v: Column, mu: Array[Double], w: Array[Double], d: Int): Column =
-    aggregate(sequence(lit(0), lit(d - 1)), lit(0.0),
-      (acc, t) => acc + (element_at(v, t + 1) - element_at(lits(mu), t + 1)) * element_at(lits(w), t + 1))
+  private def dotExpr(v: Column, mu: Array[Double], w: Array[Double], d: Int): Column = {
+    val b = org.apache.spark.sql.graftbridge.Bridge
+    b.column(graft.expressions.DotCentered(
+      b.expression(v), b.expression(lits(mu)), b.expression(lits(w))))
+  }
 
   private def lits(a: Array[Double]): Column = array(a.map(lit).toSeq: _*)
 
