@@ -32,6 +32,20 @@ import org.apache.spark.sql.functions._
   */
 object LinkGraph {
 
+  /** Checkpoint cadence inside the iterative loops (optimization round
+    * 19): iterations CHAIN inside one plan — nothing in a pageRank round
+    * body is consumed twice, every exchange materializes its own output,
+    * so a per-iteration localCheckpoint bought no reuse and cost one
+    * driver barrier + a full rank-table materialization per iteration
+    * (guide §2.6: per-round job submission is the fixed cost that made
+    * the iterative lanes run FASTER on 8 cores than 32 at sf0.1 —
+    * PERF_r18 scaling 0.55). A pin every [[CheckpointEvery]] iterations
+    * bounds plan depth and lineage for large `iters`; the declared lanes
+    * (iters ≤ 3) run as ONE job. One-JVM A/B (PrAb, sf0.1): chained
+    * 0.97 s vs per-iteration pins 1.15 s, rank tables bit-identical.
+    */
+  private val CheckpointEvery = 8
+
   /** Default [[centrality]] density-guard bound: ~10⁹ (root, id) rows ≈
     * tens of GB of closure state — past this, an uncapped all-roots BFS
     * is a cluster-killer, not a query (measured: 80 GB of spill and an
@@ -250,7 +264,10 @@ object LinkGraph {
     require(dampNum > 0 && dampNum < dampDen, s"LinkGraph.pageRank: damping $dampNum/$dampDen")
     require(scale >= 1 && scale <= Long.MaxValue / dampDen,
       s"LinkGraph.pageRank: scale $scale would overflow the damping multiply")
-    val ids = nodes.select(col(idCol).as("id"))
+    // cached (lazy, populated by the n-count below): consumed by every
+    // iteration's zero-contribution lane — uncached, a chained plan would
+    // re-scan the node source 2·iters times
+    val ids = nodes.select(col(idCol).as("id")).cache()
     val e = edges.select(col("src"), col("dst"))
       .where(col("src") =!= col("dst")).distinct()
     // (src, dst, deg) cached once: both the degree and the join side of
@@ -259,15 +276,14 @@ object LinkGraph {
         e.groupBy(col("src")).agg(count(lit(1)).as("__deg")), Seq("src"))
       .cache()
     val n = ids.count()
-    if (n == 0) { // fail-fast must not leak the edge cache
+    if (n == 0) { // fail-fast must not leak the caches
+      ids.unpersist()
       ewd.unpersist()
       throw new IllegalArgumentException("LinkGraph.pageRank: empty node set")
     }
     val teleport = ((dampDen - dampNum).toLong * scale / dampDen) / n
     var ranks = ids.withColumn("r", lit(scale / n))
-    // superseded-checkpoint handle: Dataset.unpersist is a no-op for
-    // checkpoint blocks (graft.Pins scaladoc), so each round releases the
-    // previous round's pin explicitly — state stays one snapshot deep
+    // iterations chain into one plan; see [[CheckpointEvery]]
     var prevPinned: Option[DataFrame] = None
     var i = 0
     while (i < iters) {
@@ -280,19 +296,24 @@ object LinkGraph {
       // every id is present by construction (guide §2.4)
       val contrib = ranks.join(ewd, col("id") === col("src"))
         .select(col("dst").as("id"), expr("r div __deg").as("__c"))
-      // pin each iteration: cuts the k-fold self-join lineage and makes
-      // iteration k read materialized ranks, not re-run iterations 1..k-1
       ranks = ids.withColumn("__c", lit(0L)).unionAll(contrib)
         .groupBy(col("id")).agg(sum(col("__c")).as("__s"))
         .select(col("id"),
           (lit(teleport) + expr(s"(${dampNum}L * __s) div ${dampDen}L")).as("r"))
-        .localCheckpoint(true)
-      prevPinned.foreach(graft.Pins.release)
-      prevPinned = Some(ranks)
       i += 1
+      if (i % CheckpointEvery == 0 && i < iters) {
+        ranks = ranks.localCheckpoint(true)
+        prevPinned.foreach(graft.Pins.release)
+        prevPinned = Some(ranks)
+      }
     }
+    // the final pin materializes the whole chained tail as ONE job and
+    // frees the caches the lineage reads
+    val out = ranks.localCheckpoint(true)
+    prevPinned.foreach(graft.Pins.release)
+    ids.unpersist()
     ewd.unpersist()
-    ranks.select(col("id").as(idCol), col("r").as("rank_fp"),
+    out.select(col("id").as(idCol), col("r").as("rank_fp"),
       (col("r").cast("double") / lit(scale.toDouble)).as("score"))
   }
 
@@ -339,7 +360,8 @@ object LinkGraph {
     val teleport = ((dampDen - dampNum).toLong * scale / dampDen) / nSeeds
     var ranks = idsFlag.select(col("id"),
       when(col("__seed"), lit(scale / nSeeds)).otherwise(lit(0L)).as("r"))
-    var prevPinned: Option[DataFrame] = None // see pageRank
+    // iterations chain into one plan; see [[CheckpointEvery]]
+    var prevPinned: Option[DataFrame] = None
     var i = 0
     while (i < iters) {
       // same union-into-the-aggregate shape as [[pageRank]] (r18): the
@@ -354,13 +376,18 @@ object LinkGraph {
         .select(col("id"),
           (when(col("__sd"), lit(teleport)).otherwise(lit(0L)) +
             expr(s"(${dampNum}L * __s) div ${dampDen}L")).as("r"))
-        .localCheckpoint(true)
-      prevPinned.foreach(graft.Pins.release)
-      prevPinned = Some(ranks)
       i += 1
+      if (i % CheckpointEvery == 0 && i < iters) {
+        ranks = ranks.localCheckpoint(true)
+        prevPinned.foreach(graft.Pins.release)
+        prevPinned = Some(ranks)
+      }
     }
+    val out = ranks.localCheckpoint(true)
+    prevPinned.foreach(graft.Pins.release)
     ewd.unpersist()
-    ranks.select(col("id").as(idCol), col("r").as("rank_fp"),
+    graft.Pins.release(idsFlag) // r18 kept this pinned past return — leak
+    out.select(col("id").as(idCol), col("r").as("rank_fp"),
       (col("r").cast("double") / lit(scale.toDouble)).as("score"))
   }
 
@@ -381,7 +408,8 @@ object LinkGraph {
       s"LinkGraph.pageRankWeighted: damping $dampNum/$dampDen")
     require(scale >= 1 && scale <= Long.MaxValue / dampDen,
       s"LinkGraph.pageRankWeighted: scale $scale would overflow the damping multiply")
-    val ids = nodes.select(col(idCol).as("id"))
+    val ids = nodes.select(col(idCol).as("id")).cache() // see pageRank
+
     val e = edges.select(col("src"), col("dst"), col("weight").cast("long").as("weight"))
       .where(col("src") =!= col("dst") && col("weight") > 0)
       .groupBy(col("src"), col("dst")).agg(sum(col("weight")).as("weight"))
@@ -411,12 +439,14 @@ object LinkGraph {
     }
     val n = ids.count()
     if (n == 0) {
+      ids.unpersist()
       ewd.unpersist()
       throw new IllegalArgumentException("LinkGraph.pageRankWeighted: empty node set")
     }
     val teleport = ((dampDen - dampNum).toLong * scale / dampDen) / n
     var ranks = ids.withColumn("r", lit(scale / n))
-    var prevPinned: Option[DataFrame] = None // see pageRank
+    // iterations chain into one plan; see [[CheckpointEvery]]
+    var prevPinned: Option[DataFrame] = None
     var i = 0
     while (i < iters) {
       // same union-into-the-aggregate shape as [[pageRank]] (r18)
@@ -426,13 +456,18 @@ object LinkGraph {
         .groupBy(col("id")).agg(sum(col("__c")).as("__s"))
         .select(col("id"),
           (lit(teleport) + expr(s"(${dampNum}L * __s) div ${dampDen}L")).as("r"))
-        .localCheckpoint(true)
-      prevPinned.foreach(graft.Pins.release)
-      prevPinned = Some(ranks)
       i += 1
+      if (i % CheckpointEvery == 0 && i < iters) {
+        ranks = ranks.localCheckpoint(true)
+        prevPinned.foreach(graft.Pins.release)
+        prevPinned = Some(ranks)
+      }
     }
+    val out = ranks.localCheckpoint(true)
+    prevPinned.foreach(graft.Pins.release)
+    ids.unpersist()
     ewd.unpersist()
-    ranks.select(col("id").as(idCol), col("r").as("rank_fp"),
+    out.select(col("id").as(idCol), col("r").as("rank_fp"),
       (col("r").cast("double") / lit(scale.toDouble)).as("score"))
   }
 
@@ -569,8 +604,9 @@ object LinkGraph {
         least(col("src"), col("dst")).as("lo"))
       .distinct()
       .localCheckpoint(true)
+    var cnt = e.count()
     var rounds = 0
-    var converged = isStarSet(e)
+    var converged = false
     while (!converged && rounds < maxRounds) {
       // each star pass is consumed twice (its own min-agg + join), so pin
       // both — otherwise the per-round plan executes the pass twice; the
@@ -579,14 +615,29 @@ object LinkGraph {
       // Optimization round 18 note: a window-based one-pass star variant
       // (no ls pin, 2 jobs/round) A/B-measured 25-40% SLOWER in one JVM
       // (CcAb: 1.63 s vs 2.02-2.27 s) — WindowExec's per-round sort costs
-      // more than the hash-agg + broadcast join it replaced; kept as-is
-      // per guide §1.1 (empirical loop beats the "ideal" plan).
+      // more than the hash-agg + broadcast join it replaced. Round 19: a
+      // fused smallStar(largeStar(e)) single-checkpoint round also lost
+      // (CcAb2: exchange reuse never fired, largeStar ran twice).
       val ls = largeStar(e).localCheckpoint(true)
       val next = smallStar(ls).localCheckpoint(true)
       graft.Pins.release(ls)
       graft.Pins.release(e)
       e = next
-      converged = isStarSet(e)
+      // convergence = the EXACT star-fixpoint probe, but gated behind
+      // edge-count stability (optimization round 19): the star passes
+      // can only reach their fixpoint through a round that leaves the
+      // edge count unchanged (a fixpoint round leaves the SET unchanged),
+      // and the count is a near-free job over the just-pinned checkpoint,
+      // while isStarSet is a full 2|E| shuffle+aggregation. Probing only
+      // count-stable rounds ran the expensive probe ONCE instead of
+      // every round (CcAb2 one-JVM A/B: 2.15 s vs 3.27 s, labels
+      // identical; a count-stable non-fixpoint round just pays one
+      // extra probe and keeps looping — exactness is untouched).
+      // Already-star inputs run one extra round: the passes are
+      // idempotent at the fixpoint, so the set (and labels) are identical.
+      val c = next.count()
+      if (c == cnt) converged = isStarSet(e)
+      cnt = c
       rounds += 1
     }
     // the alternation provably converges in O(log² n) rounds; a graph
@@ -661,6 +712,11 @@ object LinkGraph {
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
       .localCheckpoint(true)
+    // round-19 note: a one-query peel round ("keep edges whose BOTH
+    // endpoints have degree ≥ k" via two degree joins) was tried and
+    // REVERTED — the degree aggregate is consumed by both join sides and
+    // exchange reuse did not fire, so the lane went from 34 to 44 AQE
+    // jobs (LaneStats). The weak-node pin below computes degrees once.
     var stable = false
     var rounds = 0
     while (!stable && rounds < maxRounds) {
@@ -826,10 +882,17 @@ object LinkGraph {
     val m = sym.groupBy(col("u"))
       .agg(min(col("v")).as("__mn"))
       .select(col("u"), least(col("u"), col("__mn")).as("__m"))
-    sym.join(m, Seq("u"))
-      .where(col("v") > col("u"))
-      .select(col("v").as("hi"), col("__m").as("lo"))
-      .distinct()
+    // only the u = lo orientation survives the old `v > u` filter (e is
+    // canonical hi > lo), so the join probes e DIRECTLY — half the rows
+    // the symmetric join carried — and emits exactly one row per
+    // canonical edge: (hi, m(lo)), canonical again since m(lo) ≤ lo < hi.
+    // Output size is therefore ≤ |E| with NO distinct of its own
+    // (optimization round 19, guide §2.4): duplicates arise only where
+    // two edges re-point at the same min, and smallStar's final distinct
+    // collapses those anyway — the per-round distinct exchange here was
+    // pure cost.
+    e.join(m, col("lo") === col("u"))
+      .select(col("hi"), col("__m").as("lo"))
   }
 
   /** One small-star pass: for each center u (the hi endpoint of canonical
