@@ -205,7 +205,13 @@ object MediaFingerprintStore extends graft.sources.SegmentedStore {
       .select(col(idCol).cast("long").as("id"), col("sample_idx").as("slot"),
         col("frame_hash").as("fp"))
       .localCheckpoint(true)
-    val keyedB = graft.streaming.StreamingMediaDedup.keyedFps(batchFps, m.bands)
+    // batch collapsed to one rep per distinct fingerprint vector
+    // (optimization round 19, StreamingMediaDedup.batchGroups): the
+    // posting join and the in-batch pairing run on reps only — members
+    // share their rep's vector, so the probed bucket set is UNCHANGED
+    // and the verdicts expand exactly (survivorsCollapsed scaladoc)
+    val (members, repFps) = graft.streaming.StreamingMediaDedup.batchGroups(batchFps)
+    val keyedB = graft.streaming.StreamingMediaDedup.keyedFps(repFps, m.bands)
       .localCheckpoint(true)
     val tb = keyedB.select(postingBucket(m.nBuckets).as("b")).distinct()
       .collect().map(_.getInt(0)).sorted // bounded by nBuckets
@@ -229,8 +235,8 @@ object MediaFingerprintStore extends graft.sources.SegmentedStore {
         .join(keyedB.as("b"), Seq("slot", "band", "bucket"))
         .select(col("b.id").as("id_b"), col("c.id").as("id_other"), col("slot"),
           col("b.fp").as("fp_b"), col("c.fp").as("fp_o"))
-    graft.streaming.StreamingMediaDedup.survivorsFrom(
-      candCB, keyedB, batch, idCol, maxHamming, minMatches)
+    graft.streaming.StreamingMediaDedup.survivorsCollapsed(
+      candCB, keyedB, members, batch, idCol, maxHamming, minMatches)
   }
 
   /** Root manifest + folded committed-segment metas. */

@@ -104,13 +104,19 @@ object StreamingMediaDedup {
     require(maxHamming < bands, s"maxHamming ($maxHamming) must be < bands ($bands) for full recall")
     require(minMatches >= 1, s"minMatches must be >= 1, got $minMatches")
     val keyedC = keyedFps(collapsedCorpus(corpusFps), bands)
-    val keyedB = keyedFps(batchFps, bands)
-    // batch-vs-corpus candidates (any match kills the batch doc) and
-    // batch-internal candidates (ordered: only the higher id can die)
-    val candCB = keyedB.as("b").join(keyedC.as("c"), Seq("slot", "band", "bucket"))
+    // batch side collapsed to group representatives too (optimization
+    // round 19, see [[batchGroups]]/[[survivorsCollapsed]]): candidates
+    // are generated on one rep per distinct fingerprint vector and the
+    // verdicts expanded by group membership — verdict-identical
+    // (spec-compared against [[survivorsFrom]], the uncollapsed rule)
+    val (members, repFps) = batchGroups(batchFps)
+    val keyedR = keyedFps(repFps, bands)
+    // batch-vs-corpus candidates (any match kills the batch doc's whole
+    // identical-vector group) and rep-vs-rep in-batch candidates
+    val candCB = keyedR.as("b").join(keyedC.as("c"), Seq("slot", "band", "bucket"))
       .select(col("b.id").as("id_b"), col("c.id").as("id_other"), col("slot"),
         col("b.fp").as("fp_b"), col("c.fp").as("fp_o"))
-    survivorsFrom(candCB, keyedB, batch, idCol, maxHamming, minMatches)
+    survivorsCollapsed(candCB, keyedR, members, batch, idCol, maxHamming, minMatches)
   }
 
   /** Corpus side collapsed to one representative (min id) per distinct
@@ -121,8 +127,10 @@ object StreamingMediaDedup {
     * with the duplicate-cluster size (the MinHash set-group hazard,
     * measured at sf10 in the store's round-14 probe: candidates are
     * exactly `collapsed × cluster-size` for exact duplicates —
-    * property-spec'd). The BATCH side never collapses: every batch id
-    * needs its own verdict and the in-batch rule is id-ordered.
+    * property-spec'd). The batch side collapses too since round 19 —
+    * see [[batchGroups]]: the id-ordered in-batch rule survives the
+    * collapse because verdicts depend only on the VECTORS, so group
+    * membership plus an id threshold reconstructs them exactly.
     */
   private[graft] def collapsedCorpus(corpusFps: DataFrame): DataFrame = {
     val reps = corpusFps.groupBy(col("id"))
@@ -161,6 +169,73 @@ object StreamingMediaDedup {
         col("b.fp").as("fp_b"), col("a.fp").as("fp_o"))
     val allLosers = losers(candCB).unionAll(losers(candBB)).distinct()
     batch.join(allLosers.withColumnRenamed("id_b", idCol), Seq(idCol), "left_anti")
+  }
+
+  /** Batch collapsed to one representative (min id) per distinct
+    * slot-ordered fingerprint VECTOR (optimization round 19): returns
+    * `(members (id, gid, __nslots), repFps (id, slot, fp))` where `gid`
+    * is the id's group representative. Sampled-frame aHashes quantize
+    * hard, so real batches are massively degenerate — measured at sf0.1:
+    * 2,500 batch videos collapse to 307 distinct vectors and the
+    * in-batch LSH self-join drops from 18.2M candidate rows to the rep
+    * pairs. `members` rides a checkpoint pin (consumed by three verdict
+    * lanes; released by GC with the returned plan, the family
+    * discipline).
+    */
+  private[graft] def batchGroups(batchFps: DataFrame): (DataFrame, DataFrame) = {
+    val vecs = batchFps.groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("slot"), col("fp")))).as("__v"),
+        count(lit(1)).as("__nslots"))
+    val members = vecs
+      .join(vecs.groupBy(col("__v")).agg(min(col("id")).as("gid")), Seq("__v"))
+      .select(col("id"), col("gid"), col("__nslots"))
+      .localCheckpoint(true)
+    val repFps = batchFps.join(
+      members.where(col("id") === col("gid")).select(col("id")), Seq("id"), "left_semi")
+    (members, repFps)
+  }
+
+  /** Verdict tail over COLLAPSED batch groups — bit-identical to
+    * [[survivorsFrom]] (spec-compared), at rep-pair candidate volume:
+    * the slot-aligned rule depends only on the fingerprint vectors, so
+    * for members x < y the original verdicts reconstruct exactly as
+    *  - a corpus match against a group's rep kills every member
+    *    (corpus docs win unconditionally),
+    *  - a matched rep pair (r1, r2) kills members of G(r2) above r1 and
+    *    members of G(r1) above r2 (∃ smaller matching batch id ⟺ the
+    *    other group's min id is smaller),
+    *  - a group whose vector has ≥ minMatches slots kills its own
+    *    non-rep members (identical vectors share every slot at
+    *    Hamming 0).
+    */
+  private[graft] def survivorsCollapsed(candCB: DataFrame, keyedR: DataFrame,
+      members: DataFrame, batch: DataFrame, idCol: String,
+      maxHamming: Int, minMatches: Int): DataFrame = {
+    // filter BEFORE distinct (row-wise predicate commutes with distinct):
+    // the hash aggregate then runs over surviving rows only
+    def matched(cand: DataFrame): DataFrame = cand
+      .where(H.hamming64(col("fp_b"), col("fp_o")) <= maxHamming)
+      .distinct()
+      .groupBy(col("id_b"), col("id_other"))
+      .agg(count(lit(1)).as("m"))
+      .where(col("m") >= minMatches)
+    val corpusKills = matched(candCB).select(col("id_b").as("gid"))
+    val candRR = keyedR.as("a").join(keyedR.as("b"), Seq("slot", "band", "bucket"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("b.id").as("id_b"), col("a.id").as("id_other"), col("slot"),
+        col("b.fp").as("fp_b"), col("a.fp").as("fp_o"))
+    val mm = matched(candRR)
+    val pairKills = mm.select(col("id_b").as("gid"), col("id_other").as("__t"))
+      .unionAll(mm.select(col("id_other").as("gid"), col("id_b").as("__t")))
+    val selfKills = members.where(col("__nslots") >= minMatches)
+      .select(col("gid"), col("gid").as("__t")).distinct()
+    val thresholdLosers = members
+      .join(pairKills.unionAll(selfKills), Seq("gid"))
+      .where(col("id") > col("__t")).select(col("id"))
+    val corpusLosers = members.join(corpusKills, Seq("gid"), "left_semi").select(col("id"))
+    batch.join(
+      corpusLosers.unionAll(thresholdLosers).distinct().withColumnRenamed("id", idCol),
+      Seq(idCol), "left_anti")
   }
 
   /** All admitted survivors so far. Fails with a clear message before the

@@ -127,4 +127,57 @@ class StreamingMediaDedupSpec extends SparkSpec {
       assert(got == Seq(90002L), s"seed $seed: expected the re-upload to die, got $got")
     }
   }
+
+  test("batch-side collapse (property): survivorsCollapsed == the uncollapsed " +
+      "rule on duplicate-heavy random batches") {
+    import org.apache.spark.sql.functions._
+    val bands = 8; val maxHamming = 6; val minMatches = 2
+    for (seed <- Seq(3, 19, 101, 555)) {
+      val rnd = new scala.util.Random(seed)
+      // a small vector pool (heavy duplication), some pool entries
+      // near-dups of each other (bit flips), some videos with fewer
+      // slots than minMatches (the self-kill guard corner)
+      val pool = Seq.fill(4 + rnd.nextInt(3)) {
+        val nSlots = 1 + rnd.nextInt(4)
+        Seq.tabulate(nSlots)(s => (s, rnd.nextLong()))
+      }
+      val mutated = pool.map(v =>
+        if (rnd.nextBoolean()) v.map { case (s, f) => (s, f ^ (1L << rnd.nextInt(64))) }
+        else v)
+      val all = pool ++ mutated
+      val nBatch = 30 + rnd.nextInt(40)
+      val batchRows = for {
+        id <- 0 until nBatch
+        (slot, fp) <- all(rnd.nextInt(all.size))
+      } yield (1000L + id, slot, fp)
+      val batchFps = batchRows.toDF("id", "slot", "fp")
+      val batch = (0 until nBatch).map(i => 1000L + i).toDF("vid_id")
+      // corpus: a few pool vectors verbatim (kill whole batch groups)
+      val corpusRows = for {
+        (vec, vi) <- pool.take(2).zipWithIndex
+        (slot, fp) <- vec
+      } yield (vi.toLong, slot, fp)
+      val corpusFps = corpusRows.toDF("id", "slot", "fp")
+
+      val rawCand = StreamingMediaDedup.keyedFps(batchFps, bands).as("b")
+        .join(StreamingMediaDedup.keyedFps(corpusFps, bands).as("c"),
+          Seq("slot", "band", "bucket"))
+        .select($"b.id".as("id_b"), $"c.id".as("id_other"), $"slot",
+          $"b.fp".as("fp_b"), $"c.fp".as("fp_o"))
+      val want = StreamingMediaDedup.survivorsFrom(rawCand,
+        StreamingMediaDedup.keyedFps(batchFps, bands), batch, "vid_id",
+        maxHamming, minMatches)
+        .select($"vid_id").as[Long].collect().sorted.toSeq
+      val got = StreamingMediaDedup.incrementalFps(corpusFps, batchFps, batch,
+        "vid_id", maxHamming, bands, minMatches)
+        .select($"vid_id").as[Long].collect().sorted.toSeq
+      assert(got == want, s"seed $seed: batch collapse changed verdicts: got $got want $want")
+      // the collapse must actually collapse on this duplicate-heavy input
+      val (members, repFps) = StreamingMediaDedup.batchGroups(batchFps)
+      val nReps = repFps.select($"id").distinct.count()
+      val nIds = members.count()
+      assert(nReps <= all.size.toLong && nIds == nBatch.toLong,
+        s"seed $seed: expected <= ${all.size} reps over $nBatch ids, got $nReps/$nIds")
+    }
+  }
 }
