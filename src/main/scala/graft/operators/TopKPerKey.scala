@@ -22,8 +22,10 @@ import org.apache.spark.sql.types._
   */
 object TopKPerKey {
 
-  /** (score, payload) pairs kept in a bounded array buffer. */
-  private final case class HeapAgg(k: Int)
+  /** (score, payload) pairs kept in a bounded array buffer — retained as
+    * the spec's reference implementation for [[graft.functions.TopKAgg]].
+    */
+  private[graft] final case class HeapAgg(k: Int)
       extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
 
     override def zero: Seq[(Double, Long)] = Vector.empty
@@ -69,12 +71,16 @@ object TopKPerKey {
   /** Top-k (score desc, id asc) per key. Input columns: key (any), score
     * (double), id (long payload / row identifier). Output: key, id, score,
     * rank (1-based).
+    *
+    * Since optimization round 19 the aggregate is
+    * [[graft.functions.TopKAgg]] (TypedImperativeAggregate over primitive
+    * arrays — the RegisterMaxAgg conversion); [[HeapAgg]] stays as the
+    * spec's reference implementation (TopKPerKeySpec asserts equality).
     */
   def topK(df: DataFrame, keyCol: String, scoreCol: String, idCol: String, k: Int): DataFrame = {
-    val agg = udaf(HeapAgg(k))
     df.select(col(keyCol).as("key"), col(scoreCol).cast("double").as("__score"), col(idCol).cast("long").as("__id"))
       .groupBy(col("key"))
-      .agg(agg(col("__score"), col("__id")).as("top"))
+      .agg(graft.functions.TopKAgg.topK(col("__score"), col("__id"), k).as("top"))
       .select(col("key"), posexplode(col("top")).as(Seq("rank0", "pair")))
       .select(
         col("key").as(keyCol),

@@ -168,11 +168,14 @@ object FunctionQueries {
         .orderBy(col("event_type"))
     }),
 
-    // custom typed UDAF surface (reference has none; Aggregator[IN,BUF,OUT])
+    // custom typed aggregate surface (reference has none). Since r19 the
+    // query path runs the unboxed TypedImperativeAggregate (GeoMeanAgg);
+    // the Aggregator[IN,BUF,OUT] form (GeoMean) stays spec-covered as the
+    // reference implementation — same buffer, same finish semantics
     "q_udaf_geomean" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(round(graft.functions.GeoMean.asColumn(col("l_extendedprice")), 4).as("geomean_price"))
+        .agg(round(graft.functions.GeoMeanAgg.geoMean(col("l_extendedprice")), 4).as("geomean_price"))
         .orderBy(col("l_returnflag"))
     }),
 

@@ -163,13 +163,24 @@ class TextSpec extends SparkSpec {
   }
 
   test("geomean: zero input zeroes the mean, negative input is NaN (review r2)") {
-    import graft.functions.GeoMean
-    val z = Seq(0.0, 100.0).toDF("v").agg(GeoMean.asColumn($"v")).head().getDouble(0)
-    assert(z == 0.0)
-    val n = Seq(-1.0, 100.0).toDF("v").agg(GeoMean.asColumn($"v")).head().getDouble(0)
-    assert(n.isNaN)
-    val ok = Seq(4.0, 9.0).toDF("v").agg(GeoMean.asColumn($"v")).head().getDouble(0)
-    assert(math.abs(ok - 6.0) < 1e-9)
+    import graft.functions.{GeoMean, GeoMeanAgg}
+    // both implementations: the Aggregator reference and the
+    // TypedImperativeAggregate the query path runs since r19
+    for (gm <- Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column](
+        GeoMean.asColumn, GeoMeanAgg.geoMean)) {
+      val z = Seq(0.0, 100.0).toDF("v").agg(gm($"v")).head().getDouble(0)
+      assert(z == 0.0)
+      val n = Seq(-1.0, 100.0).toDF("v").agg(gm($"v")).head().getDouble(0)
+      assert(n.isNaN)
+      val ok = Seq(4.0, 9.0).toDF("v").agg(gm($"v")).head().getDouble(0)
+      assert(math.abs(ok - 6.0) < 1e-9)
+    }
+    // bit-identity between the two on a multi-partition aggregate
+    val vals = Seq.tabulate(5000)(i => (i % 7).toDouble + 0.5).toDF("v").repartition(8)
+    val a = vals.agg(GeoMean.asColumn($"v")).head().getDouble(0)
+    val b = vals.agg(GeoMeanAgg.geoMean($"v")).head().getDouble(0)
+    assert(java.lang.Double.doubleToRawLongBits(a) == java.lang.Double.doubleToRawLongBits(b),
+      s"GeoMeanAgg diverged from GeoMean: $a vs $b")
   }
 
   test("chunkTokens: overlap, short tail, empty input") {
