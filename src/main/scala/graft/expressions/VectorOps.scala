@@ -57,6 +57,15 @@ object VectorOps {
     */
   def dotCentered(v: ArrayData, mu: ArrayData, w: ArrayData, vf: Boolean): Double = {
     val n = mu.numElements()
+    // fail fast on ragged input: UnsafeArrayData has no bounds check, so
+    // a vec shorter than the mean would silently read garbage (every
+    // other kernel in this file clamps; a centered projection over a
+    // short vector has no right answer, so the clamp would be a silent
+    // wrong result — throw with the shapes instead)
+    if (v.numElements() < n)
+      throw new IllegalArgumentException(
+        s"dotCentered: vector has ${v.numElements()} elements, mean has $n - " +
+          "PCA projection needs every vector at least mean-length")
     var s = 0.0
     var i = 0
     while (i < n) { s += (at(v, i, vf) - mu.getDouble(i)) * w.getDouble(i); i += 1 }

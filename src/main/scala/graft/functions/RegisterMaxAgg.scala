@@ -52,6 +52,12 @@ case class RegisterMaxAgg(
         s"register_max: input vector has ${arr.numElements()} elements, expected $m")
       var i = 0
       while (i < m) {
+        // getInt on a null element silently reads 0 — the old udaf failed
+        // loudly on malformed registers, keep that contract (ADVICE r18).
+        // The type stays accepting of containsNull=true schemas because
+        // parquet reads stored registers back as nullable-element arrays.
+        require(!arr.isNullAt(i),
+          s"register_max: null register at lane $i - malformed register vector")
         val x = arr.getInt(i)
         if (x > buf(i)) buf(i) = x
         i += 1

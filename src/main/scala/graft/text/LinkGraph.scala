@@ -256,6 +256,20 @@ object LinkGraph {
     * so no density guard is needed — cost is linear in edges per
     * iteration at any scale.
     *
+    * NODE-SET CONTRACT (here and in [[pageRankPersonalized]] /
+    * [[pageRankWeighted]]): edge `dst`s are expected to be ⊆ `nodes`.
+    * Since the r18 union-into-aggregate shape, a dst OUTSIDE the node
+    * set enters the rank table (receiving teleport mass and propagating
+    * through its own out-edges in later iterations) and appears in the
+    * output — where the pre-r18 shape silently dropped it. Every in-repo
+    * caller derives edges and nodes from the same corpus, so the two
+    * agree there; a caller with an edge table not closed over `nodes`
+    * must pre-filter (`edges.join(nodes, edges("dst") === nodes(id),
+    * "left_semi")`) to get node-set-only ranks. Pinned by
+    * LinkGraphSpec's foreign-dst row; NOT filtered here — the semi-join
+    * would tax every well-formed caller's |E| for a precondition they
+    * already meet.
+    *
     * Returns `(idCol, rank_fp: long, score: double = rank_fp / scale)`.
     */
   def pageRank(nodes: DataFrame, idCol: String, edges: DataFrame, iters: Int,

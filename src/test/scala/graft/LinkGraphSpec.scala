@@ -169,6 +169,28 @@ class LinkGraphSpec extends SparkSpec {
     assert(ranks.values.sum <= 1000000000000L)
   }
 
+  test("pageRank: foreign edge dst enters the rank table (declared node-set contract)") {
+    // scaladoc contract pin: a dst OUTSIDE `nodes` gets a rank row since
+    // the r18 union-into-aggregate shape (teleport + contributions); a
+    // caller wanting node-set-only ranks pre-filters the edges. N counts
+    // `nodes` only (2), so teleport = (15e12/100)/2 = 75e9.
+    //   1→99 (foreign), symmetric back-edge omitted; node 2 isolated
+    val e = Seq((1L, 99L)).toDF("src", "dst")
+    val out = LinkGraph.pageRank(nodes(1L, 2L), "id", e, iters = 1)
+      .orderBy($"id").collect()
+    val ranks = out.map(r => r.getAs[Long]("id") -> r.getAs[Long]("rank_fp")).toMap
+    // foreign 99 present: teleport + 85% of r0(1)/deg(1) = 75e9 + 425e9
+    assert(ranks.keySet == Set(1L, 2L, 99L), s"got $ranks")
+    assert(ranks(99L) == 75000000000L + 425000000000L, s"got $ranks")
+    assert(ranks(1L) == 75000000000L && ranks(2L) == 75000000000L, s"got $ranks")
+    // the documented pre-filter restores node-set-only output
+    val filtered = e.join(nodes(1L, 2L).select($"id".as("dst")), Seq("dst"), "left_semi")
+      .select($"src", $"dst")
+    val fOut = LinkGraph.pageRank(nodes(1L, 2L), "id", filtered, iters = 1)
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(fOut == Seq(1L, 2L), s"pre-filtered ranks leaked foreign ids: $fOut")
+  }
+
   test("pageRankWeighted: hand-computed weighted contributions + guards") {
     import org.apache.spark.sql.functions._
     // edges (src,dst,w): 1→2 w1, 1→3 w3 (W(1)=4), 2→1 w2, 3→1 w1
