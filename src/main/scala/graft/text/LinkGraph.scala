@@ -661,15 +661,19 @@ object LinkGraph {
       s"LinkGraph.connectedComponents: not converged after $maxRounds rounds - " +
         "the alternating algorithm needs O(log^2 n) rounds; raise maxRounds " +
         "(default 30 covers any graph that fits on disk).")
-    // at the fixed point each component is a star (root = component min):
-    // leaves read their label off their single edge, roots label themselves
-    val lbl = e.select(col("hi").as("id"), col("lo").as("rep"))
-      .unionAll(e.select(col("lo").as("id"), col("lo").as("rep")).distinct())
-    val sized = lbl.join(
-      lbl.groupBy(col("rep")).agg(count(lit(1)).as("component_size")), Seq("rep"))
+    // at the fixed point each component is a star (root = component min)
+    // and every hi maps to exactly ONE lo (the isStarSet condition), so
+    // component_size = the root's star degree + 1: one aggregation over e
+    // replaces the r18 label self-join + root distinct (two exchanges of
+    // node-sized tables, optimization round 19 §2.4); leaves read their
+    // label and size off their single edge, roots off their own group row
+    val sizes = e.groupBy(col("lo")).agg(count(lit(1)).as("__n"))
+    val labeled = e.join(sizes, Seq("lo"))
+      .select(col("hi").as("id"), col("lo").as("rep"), (col("__n") + 1L).as("component_size"))
+      .unionAll(sizes.select(col("lo").as("id"), col("lo").as("rep"),
+        (col("__n") + 1L).as("component_size")))
     nodes.select(col(idCol))
-      .join(sized.select(col("id").as(idCol), col("rep"), col("component_size")),
-        Seq(idCol), "left")
+      .join(labeled.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("rep"), col(idCol)).as("rep"),
         coalesce(col("component_size"), lit(1L)).as("component_size"))
